@@ -1,0 +1,216 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.engine._
+import graft.model._
+import graft.parser.QueryParser
+
+/** Validates the declarative engine against a naive in-memory oracle that
+  * directly transcribes the reference's formulas (server.py:303-351, 496-555,
+  * 614-664, 779-836, 955-1016) over a small deterministic series.
+  */
+class EngineSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = TestSpark.spark
+  import spark.implicits._
+
+  // deterministic pseudo-random series, N=80, values in [0, 10)
+  val n = 80
+  val ys: Array[Double] =
+    (1 to n).map(i => ((i * 2654435761L) % 1000) / 100.0).toArray
+  lazy val series = (1 to n).map(i => (i.toLong, ys(i - 1))).toDF("t", "y")
+
+  // ---- naive oracle (reference semantics, brute force) ----
+  def winAvg(a: Int, b: Int): Double = ys.slice(a - 1, b).sum / (b - a + 1)
+  def winMax(a: Int, b: Int): Double = ys.slice(a - 1, b).max
+
+  def naiveValue(c: Constraint, x: Int, lx: Int): Double = c.name match {
+    case "avg_amp" => winAvg(x, x + lx)
+    case "max_amp_excess_right" =>
+      val np = math.min(c.args.head.toInt, n - (x + lx))
+      winMax(x, x + lx) - winMax(x + lx, x + lx + np)
+    case "max_amp_excess_left" =>
+      val np = math.min(c.args.head.toInt, x - 1)
+      winMax(x, x + lx) - winMax(x - np, x)
+  }
+
+  def naiveGrid(spec: QuerySpec, b: RefinementEngine.Bound): Seq[(Int, Int, Seq[Double])] =
+    for {
+      x <- (b.xLo.toInt to b.xHi.toInt)
+      lx <- (b.lxLo.toInt to b.lxHi.toInt)
+      if x + lx <= n
+    } yield (x, lx, spec.constraints.map(c => naiveValue(c, x, lx)))
+
+  def sat(c: Constraint, v: Double): Boolean =
+    c.lo.forall(v >= _) && c.hi.forall(v <= _)
+
+  /** Reference result semantics, naive: unified refined top-k. */
+  def naiveRefined(spec: QuerySpec): Seq[(Int, Int)] = {
+    val b = RefinementEngine.bindDomains(spec, 1, n)
+    val grid = naiveGrid(spec, b)
+    val cs = spec.constraints
+    val mins = cs.indices.map(i => grid.map(_._3(i)).min)
+    val maxs = cs.indices.map(i => grid.map(_._3(i)).max)
+    def rd(i: Int, t: Double): Double = {
+      val c = cs(i)
+      val a = c.lo.getOrElse(t); val bb = c.hi.getOrElse(t)
+      if (a <= t && t <= bb) 0.0
+      else if (t > bb) (t - bb) / (maxs(i) - bb)
+      else (a - t) / (a - mins(i))
+    }
+    def rk(vs: Seq[Double]): Double = {
+      val w = 1.0 / cs.size
+      1.0 - cs.indices.map { i =>
+        val c = cs(i)
+        val a = c.lo.getOrElse(mins(i)); val bb = c.hi.getOrElse(maxs(i))
+        val t = vs(i)
+        w * (c.target match {
+          case Target.Max => (bb - t) / (bb - a)
+          case Target.Min => (a - t) / (bb - a)
+        })
+      }.sum
+    }
+    val scoredRows = grid.map { case (x, lx, vs) =>
+      val sats = cs.indices.map(i => sat(cs(i), vs(i)))
+      val isSat = sats.forall(identity)
+      val vc = (cs.size - sats.count(identity)).toDouble / cs.size
+      val rp = 0.5 * cs.indices.map(i => rd(i, vs(i))).max + 0.5 * vc
+      (x, lx, isSat, rk(vs), rp)
+    }
+    scoredRows
+      .sortBy { case (x, lx, s, rkv, rpv) =>
+        (if (s) 0 else 1, if (s) -rkv else rpv, x, lx)
+      }
+      .take(spec.limit.get)
+      .map(r => (r._1, r._2))
+  }
+
+  def run(q: String): Seq[(Int, Int)] =
+    RefinementEngine.execute(spark, series, QueryParser.parse(q))
+      .collect().map(r => (r.getLong(0).toInt, r.getLong(1).toInt)).toSeq
+
+  // ---- parser ----
+  test("parser: smoke query") {
+    val s = QueryParser.parse(
+      """SELECT time_id, offset IN_DOMAIN [300, 500], [10, 50]
+        |FROM emg_data.emg1
+        |WHERE avg_amp() in [1, 2] MAX
+        |LIMIT REFINED 5""".stripMargin)
+    assert(s == QuerySpec("emg_data", "emg1", Domain(Some(300), Some(500)),
+      Domain(Some(10), Some(50)),
+      Seq(Constraint("avg_amp", Nil, Some(1), Some(2), Target.Max)),
+      Some(5), refined = true))
+  }
+
+  test("parser: multi-constraint, None sides, unrefined limit, no limit") {
+    val s = QueryParser.parse(
+      "SELECT time_id, offset IN_DOMAIN [None, 10], [5, None] " +
+        "FROM gas_data.flow_rate " +
+        "WHERE avg_amp() in [50, 200] MAX and max_amp_excess_left(4) in [-2, 0] MIN " +
+        "LIMIT 50")
+    assert(s.xDomain == Domain(None, Some(10)) && s.lxDomain == Domain(Some(5), None))
+    assert(s.constraints.size == 2 && !s.refined && s.limit.contains(50))
+    assert(s.constraints(1) ==
+      Constraint("max_amp_excess_left", Seq(4), Some(-2), Some(0), Target.Min))
+    val noLimit = QueryParser.parse(
+      "SELECT time_id, offset IN_DOMAIN [1,5],[1,2] FROM t.c WHERE avg_amp() in [None, 3] MAX")
+    assert(noLimit.limit.isEmpty && !noLimit.refined)
+  }
+
+  test("parser: rejections (reference client.py:204-288)") {
+    val bad = Seq(
+      "SELECT a, b IN_DOMAIN [1,2],[1,2] FROM t.c WHERE avg_amp() in [1,2] MAX",
+      "SELECT time_id, offset IN_DOMAIN [1,2] FROM t.c WHERE avg_amp() in [1,2] MAX",
+      "SELECT time_id, offset IN_DOMAIN [1,2],[1,2] FROM t WHERE avg_amp() in [1,2] MAX",
+      "SELECT time_id, offset IN_DOMAIN [1,2],[1,2] FROM t.c WHERE nope() in [1,2] MAX",
+      "SELECT time_id, offset IN_DOMAIN [1,2],[1,2] FROM t.c WHERE avg_amp() in [1,2] FOO",
+      "SELECT time_id, offset IN_DOMAIN [1,2],[1,2] FROM t.c WHERE avg_amp(3) in [1,2] MAX",
+      "SELECT time_id, offset IN_DOMAIN [1,2],[1,2] FROM t.c WHERE max_amp_excess_left() in [1,2] MAX",
+      "")
+    bad.foreach(q => assertThrows[ParseException](QueryParser.parse(q)))
+  }
+
+  // ---- series index vs naive windows ----
+  test("windowAgg avg/max match naive on all (a,b) pairs up to len 16") {
+    val idx = SeriesOps.index(series, 16)
+    import org.apache.spark.sql.functions._
+    val pairs = for (a <- 1 to n; len <- 1 to 16; if a + len - 1 <= n)
+      yield (a.toLong, (a + len - 1).toLong)
+    val pairsDf = pairs.toDF("a", "b")
+    val got = SeriesOps.windowAgg(pairsDf, idx, col("a"), col("b"), "w",
+        needAvg = true, needMax = true)
+      .select("a", "b", "w_avg", "w_max").collect()
+    got.foreach { r =>
+      val (a, b) = (r.getLong(0).toInt, r.getLong(1).toInt)
+      assert(math.abs(r.getDouble(2) - winAvg(a, b)) < 1e-9, s"avg($a,$b)")
+      assert(r.getDouble(3) == winMax(a, b), s"max($a,$b)")
+    }
+  }
+
+  // ---- full queries vs naive oracle ----
+  test("unrefined query returns exactly the satisfying cells") {
+    val spec = QueryParser.parse(
+      "SELECT time_id, offset IN_DOMAIN [1, 60], [3, 10] FROM t.c " +
+        "WHERE avg_amp() in [4, 6] MAX")
+    val b = RefinementEngine.bindDomains(spec, 1, n)
+    val expect = naiveGrid(spec, b)
+      .filter { case (_, _, vs) => sat(spec.constraints.head, vs.head) }
+      .map(g => (g._1, g._2)).sorted
+    val got = run(spec.toString match { case _ =>
+      "SELECT time_id, offset IN_DOMAIN [1, 60], [3, 10] FROM t.c " +
+        "WHERE avg_amp() in [4, 6] MAX" })
+    assert(got == expect)
+  }
+
+  test("refined tightening (over-production): top-k by RK desc") {
+    val q = "SELECT time_id, offset IN_DOMAIN [1, 60], [3, 10] FROM t.c " +
+      "WHERE avg_amp() in [2, 8] MAX LIMIT REFINED 7"
+    assert(run(q) == naiveRefined(QueryParser.parse(q)))
+  }
+
+  test("refined relaxation (under-production): satisfied + RP asc extras") {
+    // impossible-ish interval => few/no satisfying candidates
+    val q = "SELECT time_id, offset IN_DOMAIN [1, 60], [3, 10] FROM t.c " +
+      "WHERE avg_amp() in [9, 10] MAX LIMIT REFINED 6"
+    assert(run(q) == naiveRefined(QueryParser.parse(q)))
+  }
+
+  test("refined multi-constraint with excess functions and MIN target") {
+    val q = "SELECT time_id, offset IN_DOMAIN [5, 50], [3, 8] FROM t.c " +
+      "WHERE avg_amp() in [3, 7] MAX and max_amp_excess_right(4) in [-1, 1] MAX " +
+      "and max_amp_excess_left(4) in [None, 2] MIN LIMIT REFINED 10"
+    assert(run(q) == naiveRefined(QueryParser.parse(q)))
+  }
+
+  test("excess functions clamp at series edges like the reference") {
+    // windows touching t=1 and t=n exercise the n' clamps
+    val q = "SELECT time_id, offset IN_DOMAIN [1, 79], [1, 1] FROM t.c " +
+      "WHERE max_amp_excess_left(10) in [0, None] MAX and " +
+      "max_amp_excess_right(10) in [None, 0] MAX LIMIT REFINED 12"
+    assert(run(q) == naiveRefined(QueryParser.parse(q)))
+  }
+
+  test("None domain sides bind from series extent; offset default domain") {
+    val spec = QueryParser.parse(
+      "SELECT time_id, offset IN_DOMAIN [None, None], [None, None] FROM t.c " +
+        "WHERE avg_amp() in [0, 10] MAX")
+    val b = RefinementEngine.bindDomains(spec, 1, n)
+    assert(b == RefinementEngine.Bound(1, n, 1, n))
+  }
+}
+
+object TestSpark {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}
