@@ -1,0 +1,121 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.engine.{RefinementEngine, SeriesOps}
+import graft.parser.QueryParser
+
+/** Time-series / CP-refinement queries over the driver testdata, used by
+  * [[graft.SparkEntry]]. The series is derived from the `events` table with
+  * the reference's dense ordinal key (time_id BIGSERIAL,
+  * reference: db_preparation.py:59): row_number over event_id.
+  */
+object TimeSeriesQueries {
+
+  /** events.parquet stores `ts` as parquet TIMESTAMP(NANOS), which Spark 4
+    * rejects by default; read it as a nanos-since-epoch Long instead. The
+    * conf is runtime-settable so this works in any session (driver's too).
+    */
+  def events(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.read.parquet(s"$dir/events.parquet")
+  }
+
+  /** (t, y) series: t = row_number over event_id, y = value. */
+  def series(s: SparkSession, dir: String): DataFrame =
+    events(s, dir).select(
+      row_number().over(Window.orderBy("event_id")).cast("long").as("t"),
+      col("value").as("y"))
+
+  /** SQL CTE prefix shared by every DuckDB oracle below. */
+  val seriesCte: String =
+    "WITH series AS (SELECT row_number() OVER (ORDER BY event_id) AS t, " +
+      "value AS y FROM events)"
+
+  /** Candidate grid with avg/max window columns via the sparse-table index.
+    * Returns grid with columns x, lx plus requested per-window aggregates. */
+  private def indexedGrid(
+      s: SparkSession, dir: String,
+      xLo: Long, xHi: Long, lxLo: Long, lxHi: Long,
+      maxWin: Long): (DataFrame, SeriesOps.SeriesIndex) = {
+    val ser = series(s, dir)
+    val idx = SeriesOps.index(ser, maxWin)
+    val b = RefinementEngine.Bound(xLo, xHi, lxLo, lxHi)
+    (RefinementEngine.candidateGrid(s, b, idx.tMax), idx)
+  }
+
+  /** A3 — windowed average over the candidate grid (reference:
+    * server.py:960-964). */
+  def windowAvg(s: SparkSession, dir: String): DataFrame = {
+    val (grid, idx) = indexedGrid(s, dir, 1, 1000, 10, 20, 21)
+    SeriesOps.windowAgg(grid, idx, col("x"), col("x") + col("lx"), "w",
+        needAvg = true, needMax = false)
+      .select(col("x"), col("lx"), round(col("w_avg"), 6).as("win_avg"))
+      .orderBy("x", "lx")
+  }
+
+  /** A4 — max_amp_excess_right(10) values over the grid
+    * (reference: server.py:967-992). */
+  def excessRight(s: SparkSession, dir: String): DataFrame = {
+    val (grid, idx) = indexedGrid(s, dir, 1, 1000, 10, 20, 21)
+    graft.engine.MaxAmpExcessRight(grid, idx, Seq(10), "v")
+      .select(col("x"), col("lx"), round(col("v"), 6).as("excess_right"))
+      .orderBy("x", "lx")
+  }
+
+  /** A5 — max_amp_excess_left(10) values (reference: server.py:995-1016). */
+  def excessLeft(s: SparkSession, dir: String): DataFrame = {
+    val (grid, idx) = indexedGrid(s, dir, 1, 1000, 10, 20, 21)
+    graft.engine.MaxAmpExcessLeft(grid, idx, Seq(10), "v")
+      .select(col("x"), col("lx"), round(col("v"), 6).as("excess_left"))
+      .orderBy("x", "lx")
+  }
+
+  /** A6 — grid-global constraint extrema (the reference's 'mins'/'maxs'
+    * entries, server.py:313-317,345-349). */
+  def gridExtrema(s: SparkSession, dir: String): DataFrame = {
+    val (grid, idx) = indexedGrid(s, dir, 1, 2000, 5, 30, 31)
+    val g = SeriesOps.windowAgg(grid, idx, col("x"), col("x") + col("lx"), "w",
+      needAvg = true, needMax = false)
+    g.agg(
+      round(min("w_avg"), 6).as("min_c0"),
+      round(max("w_avg"), 6).as("max_c0"),
+      count(lit(1)).as("grid_cells"))
+  }
+
+  private def cp(s: SparkSession, dir: String, q: String): DataFrame =
+    RefinementEngine.execute(s, series(s, dir), QueryParser.parse(q))
+      .orderBy("time_id", "offset")
+
+  /** §2.6 UNREFINED — all candidates satisfying every constraint. */
+  def cpUnrefined(s: SparkSession, dir: String): DataFrame =
+    cp(s, dir,
+      "SELECT time_id, offset IN_DOMAIN [1, 2000], [5, 30] FROM events.value " +
+        "WHERE avg_amp() in [80, 100] MAX")
+
+  /** §2.6 REFINED over-production -> tightening: top-k by RK desc
+    * (reference: server.py:413-429, 819-836). */
+  def cpRefinedTighten(s: SparkSession, dir: String): DataFrame =
+    cp(s, dir,
+      "SELECT time_id, offset IN_DOMAIN [1, 2000], [5, 30] FROM events.value " +
+        "WHERE avg_amp() in [40, 60] MAX LIMIT REFINED 20")
+
+  /** §2.6 REFINED under-production -> relaxation: satisfied + best
+    * non-satisfying by RP asc (reference: server.py:72-78, 691-772). */
+  def cpRefinedRelax(s: SparkSession, dir: String): DataFrame =
+    cp(s, dir,
+      "SELECT time_id, offset IN_DOMAIN [1, 2000], [5, 30] FROM events.value " +
+        "WHERE avg_amp() in [130, 140] MAX and " +
+        "max_amp_excess_right(10) in [0, None] MAX LIMIT REFINED 25")
+
+  /** P5 — variability guard generalized: per-chunk population variance with
+    * the reference's "no variability" predicate (server.py:209-214). */
+  def variabilityGuard(s: SparkSession, dir: String): DataFrame =
+    series(s, dir)
+      .groupBy((((col("t") - 1) / 1000).cast("long")).as("chunk"))
+      .agg(round(var_pop("y"), 4).as("variance"),
+        (var_pop("y") <= lit(5e-28)).as("no_variability"))
+      .orderBy("chunk")
+}
