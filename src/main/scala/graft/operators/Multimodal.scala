@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing: image/audio/video payloads as opaque
+  * `binary` columns with typed metadata, processed per-partition in batches.
+  *
+  * The Spark-side shape (schema, partitioning, per-partition batch
+  * iteration) is real and tested; the actual media decode is a STUB —
+  * the image/audio codecs are not in this container — replaced by a
+  * deterministic fake that derives metadata from the byte payload. Swap
+  * [[decodeStub]] for a real codec (e.g. javax.imageio / ffmpeg bindings)
+  * without touching the dataflow.
+  */
+object Multimodal {
+
+  /** Decoded-media metadata (the stub derives all fields from the bytes). */
+  final case class MediaMeta(
+      doc_id: Long, n_bytes: Long, width: Int, height: Int, frames: Int)
+
+  val mediaMetaSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("n_bytes", LongType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("frames", IntegerType, nullable = false)))
+
+  /** STUB decode: deterministic fake metadata from payload length. A real
+    * implementation would parse the container/codec headers here. */
+  def decodeStub(id: Long, bytes: Array[Byte]): MediaMeta = {
+    val n = bytes.length.toLong
+    MediaMeta(id, n,
+      width = (64 + n % 512).toInt,
+      height = (64 + (n * 7) % 512).toInt,
+      frames = (1 + n % 30).toInt)
+  }
+
+  /** Attach an opaque binary payload column (here: utf-8 bytes of a text
+    * column stand in for a real media blob). */
+  def withBinaryPayload(df: DataFrame, src: String, as: String = "payload"): DataFrame =
+    df.withColumn(as, encode(col(src), "UTF-8"))
+
+  /** Per-partition batched decode over the binary column — the mapPartitions
+    * shape a Pandas-UDF/mapInPandas pipeline uses: one iterator per
+    * partition, no per-row task overhead, executor-local codec state.
+    */
+  def decodeMeta(spark: SparkSession, df: DataFrame, id: String,
+      payload: String = "payload"): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.product[MediaMeta]
+    df.select(col(id).cast("long"), col(payload))
+      .mapPartitions { rows =>
+        // per-partition init (a real codec would open its context here)
+        rows.map(r => decodeStub(r.getLong(0), r.getAs[Array[Byte]](1)))
+      }(enc)
+      .toDF()
+  }
+
+  /** Declarative equivalent of the stub metadata (pure column arithmetic) —
+    * used by the oracle-checked query so the driver can reproduce it in SQL;
+    * must stay in lockstep with [[decodeStub]]. */
+  def stubMetaColumns(df: DataFrame, id: String, payload: String): DataFrame =
+    df.select(
+      col(id).cast("long").as("doc_id"),
+      octet_length(col(payload)).cast("long").as("n_bytes"))
+      .select(col("doc_id"), col("n_bytes"),
+        (lit(64) + col("n_bytes") % 512).cast("int").as("width"),
+        (lit(64) + (col("n_bytes") * 7) % 512).cast("int").as("height"),
+        (lit(1) + col("n_bytes") % 30).cast("int").as("frames"))
+}

@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  *  - Brute-force cosine top-k: `zip_with` dot product + TakeOrderedAndProject
+  *    — the exact baseline, one scan, no shuffle beyond the top-k.
+  *  - Random-hyperplane LSH: 16-bit sign bucket per vector from
+  *    deterministic (portable-hash-derived) hyperplanes; ANN = equi-join on
+  *    the bucket + cosine re-rank. At 100 TB the bucket join replaces the
+  *    full scan per query with a partition-pruned probe.
+  *  - Near-dup by embedding: cosine over candidate pairs.
+  */
+object Similarity {
+
+  /** Cosine similarity between two array<float/double> columns (element-wise
+    * via zip_with + aggregate — codegen'd higher-order functions, no UDF). */
+  def cosine(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (u, v) => u * v.cast("double")),
+        lit(0.0), (acc, e) => acc + e)
+    dot(a, b) / sqrt(dot(a, a)) / sqrt(dot(b, b))
+  }
+
+  /** Brute-force exact top-k by cosine against one query vector. */
+  def bruteForceTopK(
+      vecs: DataFrame, id: String, emb: String,
+      query: Array[Float], k: Int): DataFrame = {
+    val q = lit(query.map(_.toDouble))
+    vecs.select(col(id),
+        round(cosine(col(emb).cast("array<double>"), q), 4).as("cos"))
+      .orderBy(col("cos").desc, col(id))
+      .limit(k)
+  }
+
+  /** Deterministic pseudo-random hyperplane coefficient for (plane, dim):
+    * portable-hash derived, uniform in [-1, 1] (1e-3 grid). Reproducible in
+    * SQL: ((('0x'||substr(md5('11:'||p||'_'||d),1,15))::BIGINT % 2001) - 1000) / 1000.0 */
+  def planeCoef(plane: Column, dim: Column): Column =
+    ((TextOps.portableHash(concat(plane, lit("_"), dim), 11) % 2001L) - 1000L)
+      .cast("double") / 1000.0
+
+  /** 16-bit random-hyperplane LSH bucket code per vector.
+    * posexplode(embedding) x planes -> groupBy sign sums -> bit-pack.
+    * Shuffles once on (id); plane table is tiny and broadcast. */
+  def lshBuckets(spark: SparkSession, vecs: DataFrame, id: String, emb: String,
+      planes: Int = 16): DataFrame = {
+    val exploded = vecs.select(col(id), posexplode(col(emb)).as(Seq("d", "v")))
+    val planeDf = broadcast(spark.range(0, planes).toDF("p"))
+    exploded.crossJoin(planeDf)
+      .groupBy(col(id), col("p"))
+      .agg(sum(col("v").cast("double") * planeCoef(col("p"), col("d"))).as("s"))
+      .groupBy(col(id))
+      .agg(sum(when(col("s") > 0,
+          pow(lit(2.0), col("p").cast("double")).cast("long"))
+        .otherwise(lit(0L))).as("bucket"))
+  }
+
+  /** ANN: probe the query vector's bucket, cosine re-rank inside it. */
+  def annLsh(spark: SparkSession, vecs: DataFrame, id: String, emb: String,
+      query: Array[Float], k: Int, planes: Int = 16): DataFrame = {
+    val buckets = lshBuckets(spark, vecs, id, emb, planes)
+    val withB = vecs.join(buckets, id)
+    val qDf = spark.range(1).select(lit(query.map(_.toDouble)).as("qe"))
+    val qBucket = lshBuckets(spark,
+      qDf.select(lit(-1L).as(id), col("qe").as(emb)), id, emb, planes)
+      .select(col("bucket").as("qbucket"))
+    withB.join(broadcast(qBucket), col("bucket") === col("qbucket"))
+      .select(col(id),
+        round(cosine(col(emb).cast("array<double>"),
+          lit(query.map(_.toDouble))), 4).as("cos"))
+      .orderBy(col("cos").desc, col(id))
+      .limit(k)
+  }
+
+  /** Embedding-cosine near-dup over candidate pairs (a, b). */
+  def cosinePairs(vecs: DataFrame, pairs: DataFrame, id: String, emb: String): DataFrame =
+    pairs
+      .join(vecs.select(col(id).as("a"), col(emb).as("ea")), "a")
+      .join(vecs.select(col(id).as("b"), col(emb).as("eb")), "b")
+      .select(col("a"), col("b"),
+        round(cosine(col("ea").cast("array<double>"),
+          col("eb").cast("array<double>")), 4).as("cos"))
+}

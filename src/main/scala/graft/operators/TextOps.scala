@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization, quality scoring, language-ID, document fingerprinting.
+  *
+  * All of it is pure column arithmetic over built-in functions (codegen'd,
+  * no UDFs), and every hash is *portable* (md5-hex -> bigint) so the same
+  * computation is expressible in ANSI SQL for the DuckDB oracle.
+  */
+object TextOps {
+
+  /** Lowercased whitespace tokens. */
+  def tokens(c: Column): Column = split(trim(lower(c)), "\\s+")
+
+  /** Portable 60-bit hash: first 15 hex chars of md5, as a Long. Seeded by
+    * prefixing the input — h_i(w) = portableHash(i || ':' || w). Identical
+    * in DuckDB: ('0x' || substr(md5(i || ':' || w), 1, 15))::BIGINT.
+    */
+  def portableHash(c: Column, seed: Int): Column =
+    conv(substring(md5(concat(lit(s"$seed:"), c)), 1, 15), 16, 10).cast(LongType)
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** Quality-scoring features: length, alpha/digit/punct/space ratios and
+    * mean token length — the standard cheap pre-filters for corpus curation.
+    */
+  def qualityFeatures(df: DataFrame, text: String, id: String): DataFrame = {
+    val t = col(text)
+    val len = length(t).cast("double")
+    def ratio(pattern: String) =
+      length(regexp_replace(t, pattern, "")).cast("double") / len
+    df.select(
+      col(id),
+      length(t).as("n_chars"),
+      tokenCount(t).as("n_tokens"),
+      round(ratio("[^a-zA-Z]"), 6).as("alpha_ratio"),
+      round(ratio("[^0-9]"), 6).as("digit_ratio"),
+      round(ratio("[^.,!?;:]"), 6).as("punct_ratio"),
+      round(ratio("[^ ]"), 6).as("space_ratio"),
+      round(length(regexp_replace(t, "\\s", "")).cast("double") /
+        tokenCount(t).cast("double"), 6).as("mean_token_len"))
+  }
+
+  /** Language marker words (tiny stopword lists) for the n-gram/stopword
+    * language-ID heuristic. */
+  val langMarkers: Seq[(String, String)] = Seq(
+    "en" -> "\\b(the|and|of|to|in|is|a)\\b",
+    "de" -> "\\b(der|die|und|das|ist|ein)\\b",
+    "fr" -> "\\b(le|la|les|et|est|un)\\b",
+    "es" -> "\\b(el|los|las|y|es|un)\\b")
+
+  /** Language-ID: per-language marker-hit counts normalized by token count,
+    * argmax wins ('und' = undetermined when no marker hits). */
+  def languageId(df: DataFrame, text: String, id: String): DataFrame = {
+    val t = lower(col(text))
+    val scored = langMarkers.foldLeft(df) { case (d, (lang, re)) =>
+      d.withColumn(s"score_$lang",
+        size(regexp_extract_all(t, lit(re), lit(0))).cast("double") /
+          tokenCount(col(text)).cast("double"))
+    }
+    val best = langMarkers.map { case (l, _) => col(s"score_$l") }
+    val bestScore = greatest(best: _*)
+    val pred = langMarkers.reverse.foldLeft(lit("und")) { case (acc, (l, _)) =>
+      when(col(s"score_$l") === bestScore && bestScore > 0, lit(l)).otherwise(acc)
+    }
+    // ties resolve to the FIRST language in langMarkers order (the reverse
+    // fold makes earlier entries overwrite later ones)
+    scored.select(
+      (col(id) +: langMarkers.map { case (l, _) =>
+        round(col(s"score_$l"), 6).as(s"score_$l")
+      }) :+ pred.as("lang_pred"): _*)
+  }
+
+  /** Bag-of-words document fingerprint: sum of portable token hashes mod a
+    * prime. Order-insensitive, whitespace-normalization-insensitive — the
+    * cheap exact-near-dup key (rolling-hash family). */
+  def fingerprint(df: DataFrame, text: String, id: String): DataFrame =
+    df.select(col(id), explode(tokens(col(text))).as("w"))
+      .groupBy(id)
+      .agg((sum(pmod(portableHash(col("w"), 7), lit(1000003L))) % 1000003L)
+        .as("fingerprint"))
+}

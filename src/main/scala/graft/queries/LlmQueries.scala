@@ -1,0 +1,276 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Multimodal, Similarity, TextOps}
+
+/** Training-data pipeline queries (dedup / similarity / text analysis /
+  * multimodal) over the `documents` and `embeddings` testdata tables, with
+  * the DuckDB oracle SQL for each. All hashes are portable md5-derived so
+  * even MinHash/SimHash/LSH signatures are reproducible in ANSI SQL.
+  */
+object LlmQueries {
+
+  private def docs(s: SparkSession, d: String) =
+    s.read.parquet(s"$d/documents.parquet")
+  private def embs(s: SparkSession, d: String) =
+    s.read.parquet(s"$d/embeddings.parquet")
+
+  // --- shared SQL fragments (DuckDB) ---
+  private val tokCte =
+    """tok AS (SELECT DISTINCT doc_id,
+      |  unnest(string_split_regex(trim(lower(text)), '\s+')) AS shingle
+      |  FROM documents)""".stripMargin
+  private def pHash(seed: String, expr: String): String =
+    s"('0x' || substr(md5('$seed:' || $expr), 1, 15))::BIGINT"
+
+  // ---- Spark-side queries ----
+
+  def textTokens(s: SparkSession, d: String): DataFrame =
+    docs(s, d).select(col("doc_id"), TextOps.tokenCount(col("text")).as("n_tokens"))
+      .orderBy("doc_id")
+
+  def textQuality(s: SparkSession, d: String): DataFrame =
+    TextOps.qualityFeatures(docs(s, d), "text", "doc_id").orderBy("doc_id")
+
+  def textLangId(s: SparkSession, d: String): DataFrame =
+    TextOps.languageId(docs(s, d), "text", "doc_id").orderBy("doc_id")
+
+  def textFingerprint(s: SparkSession, d: String): DataFrame =
+    TextOps.fingerprint(docs(s, d), "text", "doc_id").orderBy("doc_id")
+
+  def dedupExact(s: SparkSession, d: String): DataFrame =
+    Dedup.exact(docs(s, d), "text", "doc_id").orderBy("keep_id")
+
+  def dedupJaccard(s: SparkSession, d: String): DataFrame =
+    Dedup.jaccardAdjacent(docs(s, d), "text", "doc_id").orderBy("a")
+
+  val NumHashes = 8
+  val Bands = 4
+
+  private def minhashSig(s: SparkSession, d: String): DataFrame =
+    Dedup.minHash(Dedup.shingles(docs(s, d), "text", "doc_id", 1),
+      "doc_id", NumHashes)
+
+  def dedupMinhash(s: SparkSession, d: String): DataFrame =
+    minhashSig(s, d).orderBy("doc_id")
+
+  def dedupLshBands(s: SparkSession, d: String): DataFrame =
+    Dedup.lshBands(minhashSig(s, d), "doc_id", NumHashes, Bands)
+      .select(col("doc_id") +: (0 until Bands).map(b => col(s"band$b")): _*)
+      .orderBy("doc_id")
+
+  def dedupSimhash(s: SparkSession, d: String): DataFrame =
+    Dedup.simHash(Dedup.shingles(docs(s, d), "text", "doc_id", 1), "doc_id")
+      .orderBy("doc_id")
+
+  def dedupEmbedCosine(s: SparkSession, d: String): DataFrame = {
+    val v = embs(s, d)
+    val pairs = v.select(col("vec_id").as("a"), (col("vec_id") + 1).as("b"))
+    Similarity.cosinePairs(v, pairs, "vec_id", "embedding").orderBy("a")
+  }
+
+  def annBruteForce(s: SparkSession, d: String): DataFrame = {
+    val v = embs(s, d)
+    val q = broadcast(v.where(col("vec_id") === 0)
+      .select(col("embedding").as("qe")))
+    v.crossJoin(q)
+      .select(col("vec_id"),
+        round(Similarity.cosine(col("embedding").cast("array<double>"),
+          col("qe").cast("array<double>")), 4).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(20)
+  }
+
+  def annLshBuckets(s: SparkSession, d: String): DataFrame =
+    Similarity.lshBuckets(s, embs(s, d), "vec_id", "embedding", 16)
+      .orderBy("vec_id")
+
+  def multimodalMeta(s: SparkSession, d: String): DataFrame =
+    Multimodal.stubMetaColumns(
+      Multimodal.withBinaryPayload(docs(s, d), "text"), "doc_id", "payload")
+      .orderBy("doc_id")
+
+  // ---- DuckDB oracles ----
+
+  val sql: Map[String, String] = Map(
+    "q25_text_tokens" ->
+      """SELECT doc_id,
+        |  len(string_split_regex(trim(lower(text)), '\s+')) AS n_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q26_text_quality" ->
+      """SELECT doc_id, length(text) AS n_chars,
+        |  len(string_split_regex(trim(lower(text)), '\s+')) AS n_tokens,
+        |  round(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) / length(text)::DOUBLE, 6) AS alpha_ratio,
+        |  round(length(regexp_replace(text, '[^0-9]', '', 'g')) / length(text)::DOUBLE, 6) AS digit_ratio,
+        |  round(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) / length(text)::DOUBLE, 6) AS punct_ratio,
+        |  round(length(regexp_replace(text, '[^ ]', '', 'g')) / length(text)::DOUBLE, 6) AS space_ratio,
+        |  round(length(regexp_replace(text, '\s', '', 'g'))::DOUBLE /
+        |        len(string_split_regex(trim(lower(text)), '\s+')), 6) AS mean_token_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q27_text_langid" -> {
+      // DuckDB single-quoted literals keep backslashes verbatim, so the
+      // Scala regex string ("\\b..." = \b...) drops in unchanged.
+      val scores = TextOps.langMarkers.map { case (l, re) =>
+        s"len(regexp_extract_all(lower(text), '$re'))::DOUBLE" +
+          s" / len(string_split_regex(trim(lower(text)), '\\s+')) AS score_$l"
+      }.mkString(",\n  ")
+      val names = TextOps.langMarkers.map(_._1)
+      val g = names.map(l => s"score_$l").mkString("greatest(", ", ", ")")
+      val pred = names.map(l =>
+        s"WHEN score_$l = $g THEN '$l'").mkString(
+        s"CASE WHEN $g = 0 THEN 'und' ", " ", " ELSE 'und' END")
+      val rounded = names.map(l => s"round(score_$l, 6) AS score_$l").mkString(", ")
+      s"""WITH sc AS (SELECT doc_id,
+         |  $scores
+         |FROM documents)
+         |SELECT doc_id, $rounded, $pred AS lang_pred
+         |FROM sc ORDER BY doc_id""".stripMargin
+    },
+
+    "q28_text_fingerprint" ->
+      s"""WITH tokall AS (SELECT doc_id,
+         |  unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+         |  FROM documents)
+         |SELECT doc_id,
+         |  sum(${pHash("7", "w")} % 1000003) % 1000003 AS fingerprint
+         |FROM tokall GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q29_dedup_exact" ->
+      """SELECT min(doc_id) AS keep_id, count(*) AS copies
+        |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
+
+    "q30_dedup_jaccard" ->
+      s"""WITH $tokCte,
+         |sizes AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+         |inter AS (SELECT a.doc_id AS a, count(*) AS ni
+         |  FROM tok a JOIN tok b ON b.doc_id = a.doc_id + 1 AND b.shingle = a.shingle
+         |  GROUP BY a.doc_id)
+         |SELECT sa.doc_id AS a, sa.doc_id + 1 AS b,
+         |  round(coalesce(ni, 0)::DOUBLE / (sa.n + sb.n - coalesce(ni, 0)), 6) AS jaccard
+         |FROM sizes sa JOIN sizes sb ON sb.doc_id = sa.doc_id + 1
+         |LEFT JOIN inter ON inter.a = sa.doc_id
+         |ORDER BY a""".stripMargin,
+
+    "q31_dedup_minhash" -> {
+      val ms = (0 until NumHashes).map(i =>
+        s"min(${pHash(i.toString, "shingle")}) AS m$i").mkString(",\n  ")
+      s"""WITH $tokCte
+         |SELECT doc_id,
+         |  $ms
+         |FROM tok GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
+
+    "q32_dedup_lsh_bands" -> {
+      val ms = (0 until NumHashes).map(i =>
+        s"min(${pHash(i.toString, "shingle")}) AS m$i").mkString(",\n  ")
+      val bandExprs = (0 until Bands).map { b =>
+        val concat = s"m${2 * b}::VARCHAR || '_' || m${2 * b + 1}::VARCHAR"
+        s"${pHash((100 + b).toString, s"($concat)")} AS band$b"
+      }.mkString(",\n  ")
+      s"""WITH $tokCte,
+         |sig AS (SELECT doc_id, $ms FROM tok GROUP BY doc_id)
+         |SELECT doc_id,
+         |  $bandExprs
+         |FROM sig ORDER BY doc_id""".stripMargin
+    },
+
+    "q33_dedup_simhash" -> {
+      val sTerms = (0 until 32).map(b =>
+        s"sum((((h >> $b) & 1) * 2) - 1) AS s$b").mkString(",\n  ")
+      val bTerms = (0 until 32).map(b =>
+        s"CASE WHEN s$b > 0 THEN (1::BIGINT << $b) ELSE 0::BIGINT END")
+        .mkString(" + ")
+      s"""WITH $tokCte,
+         |h AS (SELECT doc_id, ${pHash("3", "shingle")} AS h FROM tok),
+         |s AS (SELECT doc_id,
+         |  $sTerms
+         |FROM h GROUP BY doc_id)
+         |SELECT doc_id, $bTerms AS simhash FROM s ORDER BY doc_id""".stripMargin
+    },
+
+    "q34_dedup_embed_cosine" ->
+      """WITH pr AS (SELECT a.vec_id AS a, b2.vec_id AS b,
+        |    a.embedding AS ea, b2.embedding AS eb
+        |  FROM embeddings a JOIN embeddings b2 ON b2.vec_id = a.vec_id + 1)
+        |SELECT a, b,
+        |  round(sum(ea[i]::DOUBLE * eb[i]::DOUBLE)
+        |    / sqrt(sum(ea[i]::DOUBLE * ea[i]::DOUBLE))
+        |    / sqrt(sum(eb[i]::DOUBLE * eb[i]::DOUBLE)), 4) AS cos
+        |FROM pr CROSS JOIN generate_series(1, 64) t(i)
+        |GROUP BY a, b ORDER BY a""".stripMargin,
+
+    "q35_ann_bruteforce" ->
+      """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        |c AS (SELECT e.vec_id,
+        |  round(sum(e.embedding[i]::DOUBLE * q.qe[i]::DOUBLE)
+        |    / sqrt(sum(e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE))
+        |    / sqrt(sum(q.qe[i]::DOUBLE * q.qe[i]::DOUBLE)), 4) AS cos
+        |  FROM embeddings e CROSS JOIN q CROSS JOIN generate_series(1, 64) t(i)
+        |  GROUP BY e.vec_id)
+        |SELECT vec_id, cos FROM c ORDER BY cos DESC, vec_id LIMIT 20""".stripMargin,
+
+    "q36_ann_lsh_buckets" ->
+      s"""WITH ex AS (SELECT vec_id, i - 1 AS d, embedding[i]::DOUBLE AS v
+         |  FROM embeddings CROSS JOIN generate_series(1, 64) t(i)),
+         |pl AS (SELECT p, d,
+         |    ((${pHash("11", "(p::VARCHAR || '_' || d::VARCHAR)")} % 2001) - 1000) / 1000.0 AS coef
+         |  FROM generate_series(0, 15) g(p) CROSS JOIN generate_series(0, 63) h(d)),
+         |s AS (SELECT vec_id, p, sum(v * coef) AS s
+         |  FROM ex JOIN pl USING (d) GROUP BY vec_id, p)
+         |SELECT vec_id,
+         |  sum(CASE WHEN s > 0 THEN (1::BIGINT << p) ELSE 0::BIGINT END) AS bucket
+         |FROM s GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+
+    "q37_multimodal_meta" ->
+      """SELECT doc_id, octet_length(encode(text))::BIGINT AS n_bytes,
+        |  (64 + octet_length(encode(text)) % 512)::INTEGER AS width,
+        |  (64 + (octet_length(encode(text))::BIGINT * 7) % 512)::INTEGER AS height,
+        |  (1 + octet_length(encode(text)) % 30)::INTEGER AS frames
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q38_part_agg" ->
+      """SELECT p_brand, count(*) AS n, round(avg(p_retailprice), 4) AS avg_price,
+        |  round(sum(p_size), 2) AS sum_size
+        |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+
+    "q39_supplier_agg" ->
+      """SELECT n_name, count(*) AS n_supp, round(sum(s_acctbal), 2) AS acctbal
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+  )
+
+  /** Spark-side entries matching [[sql]]. */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q25_text_tokens" -> textTokens _,
+    "q26_text_quality" -> textQuality _,
+    "q27_text_langid" -> textLangId _,
+    "q28_text_fingerprint" -> textFingerprint _,
+    "q29_dedup_exact" -> dedupExact _,
+    "q30_dedup_jaccard" -> dedupJaccard _,
+    "q31_dedup_minhash" -> dedupMinhash _,
+    "q32_dedup_lsh_bands" -> dedupLshBands _,
+    "q33_dedup_simhash" -> dedupSimhash _,
+    "q34_dedup_embed_cosine" -> dedupEmbedCosine _,
+    "q35_ann_bruteforce" -> annBruteForce _,
+    "q36_ann_lsh_buckets" -> annLshBuckets _,
+    "q37_multimodal_meta" -> multimodalMeta _,
+    "q38_part_agg" -> ((s, d) =>
+      s.read.parquet(s"$d/part.parquet")
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n"),
+          round(avg("p_retailprice"), 4).as("avg_price"),
+          round(sum("p_size"), 2).as("sum_size"))
+        .orderBy("p_brand")),
+    "q39_supplier_agg" -> ((s, d) =>
+      s.read.parquet(s"$d/supplier.parquet")
+        .join(s.read.parquet(s"$d/nation.parquet"),
+          col("s_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("n_supp"), round(sum("s_acctbal"), 2).as("acctbal"))
+        .orderBy("n_name")),
+  )
+}

@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators._
+
+/** Library-level tests for the training-data pipeline operators: the parts
+  * the oracle queries can't cover — LSH actually *finding* injected
+  * near-dups, the mapPartitions multimodal path, ANN probing.
+  */
+class OperatorSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+    "lambda mu nu xi omicron pi rho sigma tau upsilon"
+  // docs 1/2 near-identical, 3 identical to 1, 4 unrelated
+  lazy val docs = Seq(
+    (1L, base),
+    (2L, base.replace("beta", "betax")),
+    (3L, base),
+    (4L, "one two three four five six seven eight nine ten")
+  ).toDF("doc_id", "text")
+
+  test("portableHash matches the md5-derived constant") {
+    val got = Seq("hello").toDF("w")
+      .select(TextOps.portableHash(col("w"), 42)).head().getLong(0)
+    assert(got == 88733634095193746L) // int(md5('42:hello')[:15], 16)
+  }
+
+  test("minhash+LSH candidate pairs find the injected near/exact dups") {
+    val sh = Dedup.shingles(docs, "text", "doc_id", 1)
+    val sig = Dedup.minHash(sh, "doc_id", 8)
+    val banded = Dedup.lshBands(sig, "doc_id", 8, 4)
+    val pairs = Dedup.lshCandidatePairs(banded, "doc_id", 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 3L)), s"exact dup must collide in every band: $pairs")
+    assert(pairs.contains((1L, 2L)) || pairs.contains((2L, 3L)),
+      s"near dup should collide in some band: $pairs")
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L),
+      s"unrelated doc must not be a candidate: $pairs")
+    // jaccard verification of candidates
+    val j = Dedup.jaccardPairs(sh, Dedup.lshCandidatePairs(banded, "doc_id", 4),
+        "doc_id").collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(j((1L, 3L)) == 1.0)
+    j.get((1L, 2L)).foreach(v => assert(v > 0.8 && v < 1.0))
+  }
+
+  test("simhash: identical docs equal, near-dups close in Hamming distance") {
+    val sh = Dedup.shingles(docs, "text", "doc_id", 1)
+    val hs = Dedup.simHash(sh, "doc_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hs(1L) == hs(3L))
+    val near = java.lang.Long.bitCount(hs(1L) ^ hs(2L))
+    val far = java.lang.Long.bitCount(hs(1L) ^ hs(4L))
+    assert(near < far, s"near=$near far=$far")
+  }
+
+  test("3-gram shingles slide correctly") {
+    val sh = Dedup.shingles(Seq((1L, "a b c d")).toDF("doc_id", "text"),
+      "text", "doc_id", 3).collect().map(_.getString(1)).toSet
+    assert(sh == Set("a b c", "b c d"))
+  }
+
+  test("multimodal mapPartitions decode stays in lockstep with declarative stub") {
+    val withBin = Multimodal.withBinaryPayload(docs, "text")
+    val viaPartitions = Multimodal.decodeMeta(spark, withBin, "doc_id")
+      .orderBy("doc_id").collect().toSeq
+    val declarative = Multimodal.stubMetaColumns(withBin, "doc_id", "payload")
+      .orderBy("doc_id").collect().toSeq
+    assert(viaPartitions == declarative)
+  }
+
+  test("brute-force ANN: query vector itself ranks first with cos 1.0") {
+    val vecs = (0 until 50).map { i =>
+      (i.toLong, Array.tabulate(8)(d => math.sin(i * 8 + d).toFloat))
+    }.toDF("vec_id", "embedding")
+    val q = vecs.where($"vec_id" === 7).head().getSeq[Float](1).toArray
+    val top = Similarity.bruteForceTopK(vecs, "vec_id", "embedding", q, 5)
+      .collect()
+    assert(top.head.getLong(0) == 7L && top.head.getDouble(1) == 1.0)
+  }
+
+  test("LSH-bucketed ANN returns the query vector from its own bucket") {
+    val vecs = (0 until 40).map { i =>
+      (i.toLong, Array.tabulate(8)(d => math.cos(i * 3 + d).toFloat))
+    }.toDF("vec_id", "embedding")
+    val q = vecs.where($"vec_id" === 5).head().getSeq[Float](1).toArray
+    val got = Similarity.annLsh(spark, vecs, "vec_id", "embedding", q, 10, planes = 8)
+      .collect()
+    assert(got.nonEmpty && got.head.getLong(0) == 5L,
+      s"query's own bucket must contain it first: ${got.mkString(",")}")
+  }
+
+  test("exact dedup keeps min id per content") {
+    val kept = Dedup.exact(docs, "text", "doc_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(kept(1L) == 2L && kept(2L) == 1L && kept(4L) == 1L && !kept.contains(3L))
+  }
+}
