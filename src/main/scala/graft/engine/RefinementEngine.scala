@@ -149,12 +149,29 @@ object RefinementEngine {
   }
 
   /** Execute a full query against a series `(t, y)`. Returns
-    * `(time_id, offset)` rows in canonical order. */
-  def execute(spark: SparkSession, series: DataFrame, spec: QuerySpec): DataFrame = {
-    val bounds = series.agg(min("t"), max("t")).head()
-    val (tMin, tMax) = (bounds.getLong(0), bounds.getLong(1))
+    * `(time_id, offset)` rows in canonical order.
+    *
+    * `prebuilt`: reuse a (persisted) [[SeriesOps.SeriesIndex]] when the
+    * caller already indexed this series — only taken when its sparse table
+    * is deep enough for this query's windows.
+    */
+  def execute(
+      spark: SparkSession,
+      series: DataFrame,
+      spec: QuerySpec,
+      prebuilt: Option[SeriesIndex] = None): DataFrame = {
+    val (tMin, tMax) = prebuilt match {
+      case Some(i) => (i.tMin, i.tMax)
+      case None =>
+        val bounds = series.agg(min("t"), max("t")).head()
+        (bounds.getLong(0), bounds.getLong(1))
+    }
     val b = bindDomains(spec, tMin, tMax)
-    val idx = SeriesOps.index(series, maxWindow(spec, b) max (b.lxHi + 1))
+    val needWin = maxWindow(spec, b) max (b.lxHi + 1)
+    // a table with L levels answers windows up to 2^L - 1 rows
+    val idx = prebuilt
+      .filter(i => (1L << i.levels) > needWin)
+      .getOrElse(SeriesOps.index(series, needWin))
     val grid = constraintGrid(spark, idx, spec, b)
     val out =
       if (!spec.refined) {
@@ -166,7 +183,9 @@ object RefinementEngine {
         spec.limit.map(sat.limit).getOrElse(sat)
       } else {
         val k = spec.limit.getOrElse(Int.MaxValue)
-        scored(grid, spec)
+        // the grid lineage feeds both the extrema aggregate and the final
+        // rank — persist it so the probe joins run once
+        scored(grid.persist(), spec)
           .orderBy(col("sat").desc,
             when(col("sat"), -col("rk")).otherwise(col("rp")).asc,
             col("x").asc, col("lx").asc)

@@ -34,14 +34,27 @@ object TimeSeriesQueries {
     "WITH series AS (SELECT row_number() OVER (ORDER BY event_id) AS t, " +
       "value AS y FROM events)"
 
+  /** Per-directory memo of the persisted series index (the grid queries and
+    * all three CP modes probe the same series; building the sparse table
+    * once per session instead of once per query is a ~7x cut in window
+    * passes). maxWin=64 (7 levels) covers every declared query. */
+  private val idxCache =
+    new java.util.concurrent.ConcurrentHashMap[String, SeriesOps.SeriesIndex]()
+
+  def cachedIndex(s: SparkSession, dir: String): SeriesOps.SeriesIndex =
+    idxCache.computeIfAbsent(dir, _ => {
+      val idx = SeriesOps.index(series(s, dir), 64)
+      idx.copy(df = idx.df.persist())
+    })
+
   /** Candidate grid with avg/max window columns via the sparse-table index.
     * Returns grid with columns x, lx plus requested per-window aggregates. */
   private def indexedGrid(
       s: SparkSession, dir: String,
       xLo: Long, xHi: Long, lxLo: Long, lxHi: Long,
       maxWin: Long): (DataFrame, SeriesOps.SeriesIndex) = {
-    val ser = series(s, dir)
-    val idx = SeriesOps.index(ser, maxWin)
+    require(maxWin <= 64, "cachedIndex is sized for windows up to 64 rows")
+    val idx = cachedIndex(s, dir)
     val b = RefinementEngine.Bound(xLo, xHi, lxLo, lxHi)
     (RefinementEngine.candidateGrid(s, b, idx.tMax), idx)
   }
@@ -86,7 +99,8 @@ object TimeSeriesQueries {
   }
 
   private def cp(s: SparkSession, dir: String, q: String): DataFrame =
-    RefinementEngine.execute(s, series(s, dir), QueryParser.parse(q))
+    RefinementEngine.execute(s, series(s, dir), QueryParser.parse(q),
+        prebuilt = Some(cachedIndex(s, dir)))
       .orderBy("time_id", "offset")
 
   /** §2.6 UNREFINED — all candidates satisfying every constraint. */
