@@ -1,0 +1,101 @@
+package graft.cli
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.SparkSession
+
+import graft.engine.RefinementEngine
+import graft.model.ParseException
+import graft.parser.QueryParser
+
+/** Named-phase timing sink — the reference's LibraryOfTime
+  * (LibraryOfTime.py:8-26, 73-87): record seconds per phase, dump a
+  * `(Name, Seconds)` CSV. */
+final class Timekeeper {
+  private val entries = ArrayBuffer.empty[(String, Double)]
+  def time[A](name: String)(body: => A): A = {
+    val t0 = System.nanoTime()
+    try body
+    finally entries += name -> (System.nanoTime() - t0) / 1e9
+  }
+  def csv: String =
+    "Name,Seconds\n" + entries.map { case (n, s) => f"$n,$s%.6f" }.mkString("\n")
+  def save(path: String): Unit =
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(path), csv + "\n")
+}
+
+/** CLI over the engine — the reference's client path (client.py:13-65):
+  * catalog readout, query parse, execute, result print, timing CSV.
+  *
+  * Usage: graft.cli.Main <table.parquet> <query.txt> [timesOut.csv]
+  *
+  * The table must contain a dense `time_id` column (see
+  * [[graft.sources.Ingest]]); the queried column is `FROM table.column`'s
+  * column. Exit codes: 0 ok, 1 parse error (the reference's earlyDeath /
+  * quit(1), client.py:296-303), 2 execution error.
+  */
+object Main {
+  def main(args: Array[String]): Unit = {
+    if (args.length < 2) {
+      System.err.println("usage: graft.cli.Main <table.parquet> <query.txt> [times.csv]")
+      sys.exit(1)
+    }
+    val Array(tablePath, queryPath) = args.take(2)
+    val tk = new Timekeeper
+
+    val spark = tk.time("connect") {
+      val s = SparkSession.builder()
+        .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
+        .appName("graft-cli")
+        .config("spark.sql.shuffle.partitions",
+          sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      s.sparkContext.setLogLevel("ERROR")
+      s
+    }
+    try {
+      val queryText = tk.time("read_query") {
+        java.nio.file.Files.readString(java.nio.file.Paths.get(queryPath))
+      }
+      val spec =
+        try tk.time("parse")(QueryParser.parse(queryText))
+        catch {
+          case ParseException(m) => System.err.println(s"parse error: $m"); sys.exit(1)
+        }
+
+      val table = tk.time("scan")(spark.read.parquet(tablePath))
+      // catalog readout (reference: client.py:124-146)
+      println(s"table: $tablePath")
+      table.schema.foreach(f => println(s"  ${f.name}: ${f.dataType.simpleString}"))
+      if (!table.columns.contains(spec.column)) {
+        System.err.println(s"column '${spec.column}' not in table"); sys.exit(1)
+      }
+
+      val series = table.selectExpr(s"time_id as t", s"`${spec.column}` as y")
+      // variability guard (reference: server.py:209-214)
+      val variance = tk.time("variability_guard") {
+        series.selectExpr("var_pop(y)").head().getDouble(0)
+      }
+      if (variance <= 5e-28) {
+        System.err.println("no variability in data; aborting"); sys.exit(1)
+      }
+
+      val rows = tk.time("execute") {
+        RefinementEngine.execute(spark, series, spec).collect()
+      }
+      // result print, variables sorted by name desc (reference: server.py:888-898)
+      println(s"${rows.length} result(s):")
+      rows.foreach(r => println(s"  time_id=${r.getLong(0)} offset=${r.getLong(1)}"))
+
+      if (args.length > 2) tk.save(args(2))
+      sys.exit(0)
+    } catch {
+      case e: Exception =>
+        System.err.println(s"execution error: ${e.getMessage}")
+        if (args.length > 2) tk.save(args(2))
+        sys.exit(2)
+    } finally spark.stop()
+  }
+}

@@ -1,0 +1,60 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+
+/** Structured Streaming extension (SURVEY §2.10): the streaming analogues of
+  * the engine's window-frame aggregates, plus custom keyed state.
+  *
+  * The reference is batch-only; these operators make the same analytics run
+  * incrementally: `readStream` -> transform -> `writeStream`, with
+  * watermarked event-time windows and `mapGroupsWithState` for state the
+  * built-in windows can't express.
+  */
+object StreamingOps {
+
+  /** An event row for the typed stateful operators. */
+  final case class Evt(ts: java.sql.Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
+  /** Per-key running state for [[runningStats]]. */
+  final case class KeyStats(user_id: Long, n: Long, sum: Double, max: Double)
+
+  /** Watermarked sliding event-time window aggregation — the streaming form
+    * of the batch tumbling agg (SparkEntry q16) and of the engine's window
+    * aggregates (A3-A5). Late rows beyond the watermark are dropped, so
+    * state is bounded at any scale.
+    */
+  def windowedAgg(
+      events: DataFrame,
+      win: String = "1 hour",
+      slide: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), win, slide), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /** Custom keyed state via mapGroupsWithState: per-user running
+    * count/sum/max — state the built-in aggregations would re-shuffle for,
+    * kept incrementally per key. State size is O(keys), partitioned by key
+    * hash, so it scales out with executors.
+    */
+  def runningStats(events: Dataset[Evt]): Dataset[KeyStats] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[Evt], state: GroupState[KeyStats]) =>
+          val prev = state.getOption.getOrElse(KeyStats(user, 0L, 0.0, Double.MinValue))
+          val next = rows.foldLeft(prev) { (s, e) =>
+            KeyStats(user, s.n + 1, s.sum + e.value, math.max(s.max, e.value))
+          }
+          state.update(next)
+          next
+      }
+  }
+}

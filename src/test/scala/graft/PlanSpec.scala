@@ -1,0 +1,61 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan shape assertions — the scale contract. These pin the
+  * properties that make the engine viable at 100 TB: filter/projection
+  * pushdown into the parquet scan, broadcast joins for small dims, top-k
+  * without full sort, whole-stage codegen over the hot paths.
+  */
+class PlanSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.spark
+  val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("q01: range predicate and projection push down to the parquet scan") {
+    val p = plan("q01_scan_filter_project")
+    assert(p.contains("PushedFilters:") &&
+      p.contains("GreaterThanOrEqual(l_orderkey,500)"), p.take(2000))
+    // only the 3 projected columns reach the scan
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,l_quantity:double>"),
+      p.take(2000))
+  }
+
+  test("q10: small dimension join is a BroadcastHashJoin") {
+    assert(plan("q10_join_broadcast").contains("BroadcastHashJoin"))
+  }
+
+  test("q03: grouped agg runs partial+final hash aggregate under codegen") {
+    val df = SparkEntry.queries("q03_agg_groupby")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(2000))
+    // codegen spans only materialize in the final adaptive plan; in the
+    // compact plan string a whole-stage-codegen stage prints as "*(n) Op"
+    df.collect()
+    val finalPlan = df.queryExecution.executedPlan.toString
+    assert("""\*\(\d+\) HashAggregate""".r.findFirstIn(finalPlan).isDefined, finalPlan.take(2000))
+  }
+
+  test("q05: orderBy+limit compiles to TakeOrderedAndProject (no full sort)") {
+    assert(plan("q05_topk_orderby_limit").contains("TakeOrderedAndProject"))
+  }
+
+  test("CP refined top-k also avoids a full sort") {
+    import graft.engine.RefinementEngine
+    import graft.parser.QueryParser
+    import spark.implicits._
+    val series = (1 to 100).map(i => (i.toLong, i * 0.5)).toDF("t", "y")
+    val df = RefinementEngine.execute(spark, series, QueryParser.parse(
+      "SELECT time_id, offset IN_DOMAIN [1, 50], [2, 5] FROM t.c " +
+        "WHERE avg_amp() in [10, 20] MAX LIMIT REFINED 5"))
+    assert(df.queryExecution.executedPlan.toString.contains("TakeOrderedAndProject"))
+  }
+
+  test("q13/q14: semi and anti joins plan as semi/anti, not inner+distinct") {
+    assert(plan("q13_semi_join").contains("LeftSemi"))
+    assert(plan("q14_anti_join").contains("LeftAnti"))
+  }
+}

@@ -1,0 +1,60 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.StreamingOps
+import graft.streaming.StreamingOps.{Evt, KeyStats}
+
+class StreamingSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.spark
+
+  private def ts(h: Int, m: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+
+  test("watermarked windowed aggregation over a memory stream") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Evt]
+    val agg = StreamingOps.windowedAgg(mem.toDF(), "1 hour", "1 hour", "2 hours")
+    val q = agg.writeStream.outputMode(OutputMode.Complete())
+      .format("memory").queryName("win_out").start()
+    try {
+      mem.addData(
+        Evt(ts(0, 10), 1, "click", 2.0),
+        Evt(ts(0, 50), 2, "click", 3.0),
+        Evt(ts(1, 5), 1, "view", 7.0))
+      q.processAllAvailable()
+      val rows = spark.table("win_out")
+        .orderBy("win_start", "event_type").collect()
+      assert(rows.length == 2)
+      assert(rows(0).getAs[Timestamp]("win_start") == ts(0, 0))
+      assert(rows(0).getString(1) == "click" && rows(0).getLong(2) == 2
+        && rows(0).getDouble(3) == 5.0)
+      assert(rows(1).getString(1) == "view" && rows(1).getLong(2) == 1)
+    } finally q.stop()
+  }
+
+  test("mapGroupsWithState keeps per-key running stats across batches") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Evt]
+    val q = StreamingOps.runningStats(mem.toDS())
+      .writeStream.outputMode(OutputMode.Update())
+      .format("memory").queryName("stats_out").start()
+    try {
+      mem.addData(Evt(ts(0, 1), 1, "a", 2.0), Evt(ts(0, 2), 1, "a", 9.0))
+      q.processAllAvailable()
+      mem.addData(Evt(ts(0, 3), 1, "a", 4.0), Evt(ts(0, 4), 2, "b", 1.0))
+      q.processAllAvailable()
+      val byUser = spark.table("stats_out").as[KeyStats].collect()
+        .groupBy(_.user_id).map { case (u, xs) => u -> xs.maxBy(_.n) }
+      assert(byUser(1L) == KeyStats(1L, 3, 15.0, 9.0))
+      assert(byUser(2L) == KeyStats(2L, 1, 1.0, 1.0))
+    } finally q.stop()
+  }
+}
