@@ -138,10 +138,15 @@ object RefinementEngine {
       val t = col(s"c$i")
       val a = c.lo.map(lit(_)).getOrElse(col(s"min_c$i"))
       val b = c.hi.map(lit(_)).getOrElse(col(s"max_c$i"))
-      val rkc = c.target match {
-        case Target.Max => (b - t) / (b - a)
-        case Target.Min => (a - t) / (b - a)
+      // degenerate interval (b == a, possible with literal bounds or when an
+      // unbounded side resolves to the grid extremum): every candidate ranks
+      // equally -> RK_c = 0. The reference would raise ZeroDivisionError
+      // here (server.py:789-792); we are total instead.
+      val num = c.target match {
+        case Target.Max => b - t
+        case Target.Min => a - t
       }
+      val rkc = when(b - a =!= lit(0.0), num / (b - a)).otherwise(lit(0.0))
       lit(w) * rkc
     }.reduce(_ + _)
     g = g.withColumn("rk", lit(1.0) - rkSum)

@@ -66,10 +66,13 @@ class EngineSpec extends AnyFunSuite {
         val c = cs(i)
         val a = c.lo.getOrElse(mins(i)); val bb = c.hi.getOrElse(maxs(i))
         val t = vs(i)
-        w * (c.target match {
-          case Target.Max => (bb - t) / (bb - a)
-          case Target.Min => (a - t) / (bb - a)
-        })
+        val rkc =
+          if (bb - a == 0.0) 0.0
+          else c.target match {
+            case Target.Max => (bb - t) / (bb - a)
+            case Target.Min => (a - t) / (bb - a)
+          }
+        w * rkc
       }.sum
     }
     val scoredRows = grid.map { case (x, lx, vs) =>
@@ -85,6 +88,44 @@ class EngineSpec extends AnyFunSuite {
       }
       .take(spec.limit.get)
       .map(r => (r._1, r._2))
+  }
+
+  /** Full grid scored with the unified key, sorted: ((x,lx), (satInt, key)). */
+  def naiveRefinedFull(
+      spec: QuerySpec,
+      grid: Seq[(Int, Int, Seq[Double])]): Seq[((Int, Int), (Int, Double))] = {
+    val cs = spec.constraints
+    val mins = cs.indices.map(i => grid.map(_._3(i)).min)
+    val maxs = cs.indices.map(i => grid.map(_._3(i)).max)
+    def rd(i: Int, t: Double): Double = {
+      val c = cs(i)
+      val a = c.lo.getOrElse(t); val bb = c.hi.getOrElse(t)
+      if (a <= t && t <= bb) 0.0
+      else if (t > bb) (t - bb) / (maxs(i) - bb)
+      else (a - t) / (a - mins(i))
+    }
+    def rk(vs: Seq[Double]): Double = {
+      val w = 1.0 / cs.size
+      1.0 - cs.indices.map { i =>
+        val c = cs(i)
+        val a = c.lo.getOrElse(mins(i)); val bb = c.hi.getOrElse(maxs(i))
+        val t = vs(i)
+        val rkc =
+          if (bb - a == 0.0) 0.0
+          else c.target match {
+            case Target.Max => (bb - t) / (bb - a)
+            case Target.Min => (a - t) / (bb - a)
+          }
+        w * rkc
+      }.sum
+    }
+    grid.map { case (x, lx, vs) =>
+      val sats = cs.indices.map(i => sat(cs(i), vs(i)))
+      val isSat = sats.forall(identity)
+      val vc = (cs.size - sats.count(identity)).toDouble / cs.size
+      val rp = 0.5 * cs.indices.map(i => rd(i, vs(i))).max + 0.5 * vc
+      ((x, lx), (if (isSat) 0 else 1, if (isSat) -rk(vs) else rp))
+    }.sortBy { case ((x, lx), (s, key)) => (s, key, x, lx) }
   }
 
   def run(q: String): Seq[(Int, Int)] =
@@ -190,6 +231,51 @@ class EngineSpec extends AnyFunSuite {
       "WHERE max_amp_excess_left(10) in [0, None] MAX and " +
       "max_amp_excess_right(10) in [None, 0] MAX LIMIT REFINED 12"
     assert(run(q) == naiveRefined(QueryParser.parse(q)))
+  }
+
+  /** Naive scored candidates sorted by the unified refinement key. */
+  def naiveScoredSorted(spec: QuerySpec): Seq[((Int, Int), (Int, Double))] = {
+    val b = RefinementEngine.bindDomains(spec, 1, n)
+    val grid = naiveGrid(spec, b)
+    val full = naiveRefinedFull(spec, grid)
+    full
+  }
+
+  test("randomized specs match the naive oracle up to score ties (seeded, 8 cases)") {
+    // Engine (prefix-sum arithmetic) and the naive oracle (direct sums) may
+    // order exact score ties differently; the contract is set-level with a
+    // deterministic tie-break WITHIN one arithmetic. So: everything strictly
+    // better than the k-th score must be present; ties at the cut may go
+    // either way; cardinality is exact.
+    val rnd = new scala.util.Random(7)
+    val eps = 1e-9
+    for (_ <- 1 to 8) {
+      val xLo = 1 + rnd.nextInt(20); val xHi = xLo + 10 + rnd.nextInt(40)
+      val lxLo = 1 + rnd.nextInt(4); val lxHi = lxLo + rnd.nextInt(6)
+      val a = rnd.nextInt(8); val b = a + rnd.nextInt(4)
+      val k = 1 + rnd.nextInt(12)
+      val tgt = if (rnd.nextBoolean()) "MAX" else "MIN"
+      val q = s"SELECT time_id, offset IN_DOMAIN [$xLo, $xHi], [$lxLo, $lxHi] " +
+        s"FROM t.c WHERE avg_amp() in [$a, $b] $tgt LIMIT REFINED $k"
+      val spec = QueryParser.parse(q)
+      val got = run(q).toSet
+      val sortedAll = naiveScoredSorted(spec)
+      val cells = sortedAll.size
+      assert(got.size == math.min(k, cells), s"cardinality for $q")
+      if (cells > k) {
+        val (kthSat, kthKey) = sortedAll(k - 1)._2
+        def strictlyBetter(e: (Int, Double)) =
+          e._1 < kthSat || (e._1 == kthSat && e._2 < kthKey - eps)
+        def noWorse(e: (Int, Double)) =
+          e._1 < kthSat || (e._1 == kthSat && e._2 <= kthKey + eps)
+        val mustHave = sortedAll.filter(e => strictlyBetter(e._2)).map(_._1).toSet
+        val mayHave = sortedAll.filter(e => noWorse(e._2)).map(_._1).toSet
+        assert(mustHave.subsetOf(got), s"missing strictly-better candidates for $q")
+        assert(got.subsetOf(mayHave), s"included worse-than-cut candidates for $q")
+      } else {
+        assert(got == sortedAll.map(_._1).toSet, q)
+      }
+    }
   }
 
   test("None domain sides bind from series extent; offset default domain") {
