@@ -1,0 +1,222 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.model._
+
+/** The 100 TB generalization of [[RefinementEngine]]: the same CP-refinement
+  * semantics over a corpus of MANY series `(sid, t, y)`, with every stage
+  * partitioned by `sid`:
+  *
+  *   - index build: `Window.partitionBy(sid).orderBy(t)` — prefix sums and
+  *     sparse-table levels are computed inside each series partition, no
+  *     global sort, no single-partition bottleneck;
+  *   - domain binding: None sides resolve to PER-SERIES extents (a
+  *     broadcastable `(sid, tMin, tMax)` aggregate), reference semantics
+  *     applied independently per series (the reference's two datasets are
+  *     two sids);
+  *   - candidate grid: per-series `explode(sequence)` — partition-local;
+  *   - probes: equi-joins on `(sid, t)` — shuffle hash joins that scale out;
+  *   - extrema: `groupBy(sid)` instead of a global aggregate;
+  *   - refined top-k: `row_number over (partition by sid order by key)` —
+  *     a per-series top-k with bounded state per partition.
+  *
+  * [[RefinementEngine]] stays the single-series fast path (its global top-k
+  * compiles to TakeOrderedAndProject); this engine is the horizontal path.
+  * Formulas (VC/RD/RK/RP, clamps) are identical — see the cross-check in
+  * MultiSeriesSpec.
+  */
+object MultiSeriesEngine {
+
+  final case class MsIndex(df: DataFrame, bounds: DataFrame, levels: Int)
+
+  private def log2Floor(len: Column): Column =
+    floor(log(2.0, len.cast("double")) + lit(1e-9)).cast("int")
+
+  /** Index a multi-series frame `(sid, t, y)`; t dense ascending per sid. */
+  def index(series: DataFrame, maxWin: Long): MsIndex = {
+    val levels = math.max(1, 64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, maxWin)))
+    val w = Window.partitionBy("sid").orderBy("t")
+    var df = series
+      .select(col("sid"), col("t").cast("long").as("t"), col("y").cast("double").as("y"))
+      .withColumn("s", sum("y").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("m0", col("y"))
+    for (j <- 1 until levels) {
+      df = df.withColumn(
+        s"m$j",
+        greatest(col(s"m${j - 1}"),
+          coalesce(lead(col(s"m${j - 1}"), 1 << (j - 1)).over(w), lit(Double.NegativeInfinity))))
+    }
+    val indexed = df
+      .withColumn("ms", array((0 until levels).map(j => col(s"m$j")): _*))
+      .drop((0 until levels).map(j => s"m$j"): _*)
+    val bounds = series.groupBy("sid")
+      .agg(min("t").as("tMin"), max("t").as("tMax"))
+    MsIndex(indexed, bounds, levels)
+  }
+
+  private def lookupAt(
+      grid: DataFrame, idx: MsIndex, pos: Column, prefix: String,
+      cols: Seq[String]): DataFrame = {
+    val probe = idx.df.select(
+      (col("sid").as(s"${prefix}_sid") +: col("t").as(s"${prefix}_t") +:
+        cols.map(c => col(c).as(s"${prefix}_$c"))): _*)
+    grid
+      .join(probe,
+        col("sid") === col(s"${prefix}_sid") && pos === col(s"${prefix}_t"), "left")
+      .drop(s"${prefix}_sid", s"${prefix}_t")
+  }
+
+  /** Same probe formulas as [[SeriesOps.windowAgg]], keyed by (sid, t). */
+  def windowAgg(
+      grid: DataFrame, idx: MsIndex, a: Column, b: Column, tag: String,
+      needAvg: Boolean, needMax: Boolean): DataFrame = {
+    var g = grid.withColumn(s"${tag}_a", a.cast("long")).withColumn(s"${tag}_b", b.cast("long"))
+    val ac = col(s"${tag}_a")
+    val bc = col(s"${tag}_b")
+    if (needAvg) {
+      g = lookupAt(g, idx, ac, s"${tag}_la", Seq("s", "y"))
+      g = lookupAt(g, idx, bc, s"${tag}_lb", Seq("s"))
+      val len = (bc - ac + lit(1)).cast("double")
+      val sumc = col(s"${tag}_lb_s") - col(s"${tag}_la_s") + col(s"${tag}_la_y")
+      g = g.withColumn(s"${tag}_avg", sumc / len)
+        .drop(s"${tag}_la_s", s"${tag}_la_y", s"${tag}_lb_s")
+    }
+    if (needMax) {
+      val len = bc - ac + lit(1)
+      val j = log2Floor(len)
+      val p2 = pow(lit(2.0), j.cast("double")).cast("long")
+      g = g.withColumn(s"${tag}_j", j).withColumn(s"${tag}_b2", bc - p2 + lit(1))
+      g = lookupAt(g, idx, ac, s"${tag}_ma", Seq("ms"))
+      g = lookupAt(g, idx, col(s"${tag}_b2"), s"${tag}_mb", Seq("ms"))
+      g = g.withColumn(
+          s"${tag}_max",
+          greatest(
+            element_at(col(s"${tag}_ma_ms"), col(s"${tag}_j") + lit(1)),
+            element_at(col(s"${tag}_mb_ms"), col(s"${tag}_j") + lit(1))))
+        .drop(s"${tag}_ma_ms", s"${tag}_mb_ms", s"${tag}_j", s"${tag}_b2")
+    }
+    g.drop(s"${tag}_a", s"${tag}_b")
+  }
+
+  /** Per-series candidate grid with per-series domain binding: None sides
+    * resolve to (tMin, tMax) of EACH series; offset default [1, extent]. */
+  def candidateGrid(idx: MsIndex, spec: QuerySpec): DataFrame = {
+    val xLo = spec.xDomain.lo.map(lit(_)).getOrElse(col("tMin"))
+    val xHi = spec.xDomain.hi.map(lit(_)).getOrElse(col("tMax"))
+    val lxLo = spec.lxDomain.lo.map(lit(_)).getOrElse(lit(1L))
+    val lxHi = spec.lxDomain.hi.map(lit(_)).getOrElse(col("tMax") - col("tMin") + 1)
+    idx.bounds
+      .withColumn("x", explode(sequence(xLo.cast("long"), xHi.cast("long"))))
+      .withColumn("lx", explode(sequence(lxLo.cast("long"), lxHi.cast("long"))))
+      .where(col("x") + col("lx") <= col("tMax"))
+      .select("sid", "x", "lx", "tMin", "tMax")
+  }
+
+  private def addConstraint(
+      g: DataFrame, idx: MsIndex, c: Constraint, as: String): DataFrame = c.name match {
+    case "avg_amp" =>
+      windowAgg(g, idx, col("x"), col("x") + col("lx"), as + "_w",
+          needAvg = true, needMax = false)
+        .withColumn(as, col(as + "_w_avg")).drop(as + "_w_avg")
+    case "max_amp_excess_right" =>
+      val xp = col("x") + col("lx")
+      val g1 = windowAgg(g, idx, col("x"), xp, as + "_m", needAvg = false, needMax = true)
+      val g2 = windowAgg(g1, idx, xp, least(xp + lit(c.args.head), col("tMax")),
+        as + "_r", needAvg = false, needMax = true)
+      g2.withColumn(as, col(as + "_m_max") - col(as + "_r_max"))
+        .drop(as + "_m_max", as + "_r_max")
+    case "max_amp_excess_left" =>
+      val g1 = windowAgg(g, idx, col("x"), col("x") + col("lx"),
+        as + "_m", needAvg = false, needMax = true)
+      val g2 = windowAgg(g1, idx, greatest(col("x") - lit(c.args.head), col("tMin")),
+        col("x"), as + "_l", needAvg = false, needMax = true)
+      g2.withColumn(as, col(as + "_m_max") - col(as + "_l_max"))
+        .drop(as + "_m_max", as + "_l_max")
+    case other => throw ParseException(s"unknown constraint function '$other'")
+  }
+
+  /** Execute the query independently over every series; returns
+    * `(sid, time_id, offset)` in canonical per-series order. */
+  def execute(spark: SparkSession, series: DataFrame, spec: QuerySpec): DataFrame = {
+    val maxNeighborhood = spec.constraints.collect {
+      case Constraint(n, args, _, _, _)
+          if n == "max_amp_excess_left" || n == "max_amp_excess_right" => args.head + 1
+    }
+    // size for the widest window; unbounded lx falls back to per-series
+    // extent -> conservatively index at 2^20 (doc'd cap for this path)
+    val maxWin = (spec.lxDomain.hi.map(_ + 1).getOrElse(1L << 20) +: maxNeighborhood).max
+    val idx = index(series, maxWin)
+    var g = candidateGrid(idx, spec)
+    val cs = spec.constraints.zipWithIndex
+    cs.foreach { case (c, i) => g = addConstraint(g, idx, c, s"c$i") }
+
+    def satCol(c: Constraint, v: Column): Column =
+      c.lo.map(v >= lit(_)).getOrElse(lit(true)) &&
+        c.hi.map(v <= lit(_)).getOrElse(lit(true))
+
+    if (!spec.refined) {
+      val allSat = cs.map { case (c, i) => satCol(c, col(s"c$i")) }.reduce(_ && _)
+      val sat = g.where(allSat)
+      val ordered = spec.limit match {
+        case Some(k) =>
+          val w = Window.partitionBy("sid").orderBy(col("x"), col("lx"))
+          sat.withColumn("__rn", row_number().over(w)).where(col("__rn") <= k).drop("__rn")
+        case None => sat
+      }
+      ordered.select(col("sid"), col("x").as("time_id"), col("lx").as("offset"))
+        .orderBy("sid", "time_id", "offset")
+    } else {
+      val k = spec.limit.getOrElse(Int.MaxValue)
+      g = g.persist()
+      // per-series extrema (the reference's 'mins'/'maxs', per sid)
+      val ext = g.groupBy("sid").agg(
+        cs.flatMap { case (_, i) =>
+          Seq(min(col(s"c$i")).as(s"min_c$i"), max(col(s"c$i")).as(s"max_c$i"))
+        }.head,
+        cs.flatMap { case (_, i) =>
+          Seq(min(col(s"c$i")).as(s"min_c$i"), max(col(s"c$i")).as(s"max_c$i"))
+        }.tail: _*)
+      var s = g.join(broadcast(ext), "sid")
+      cs.foreach { case (c, i) => s = s.withColumn(s"sat$i", satCol(c, col(s"c$i"))) }
+      val nSat = cs.map { case (_, i) => col(s"sat$i").cast("int") }.reduce(_ + _)
+      s = s.withColumn("sat", cs.map { case (_, i) => col(s"sat$i") }.reduce(_ && _))
+        .withColumn("vc", (lit(cs.size) - nSat).cast("double") / lit(cs.size))
+      val rds = cs.map { case (c, i) =>
+        val t = col(s"c$i")
+        val above = c.hi.map(bb => when(t > lit(bb), (t - lit(bb)) / (col(s"max_c$i") - lit(bb))))
+        val below = c.lo.map(aa => when(t < lit(aa), (lit(aa) - t) / (lit(aa) - col(s"min_c$i"))))
+        (above, below) match {
+          case (Some(ab), Some(be)) => ab.otherwise(be.otherwise(lit(0.0)))
+          case (Some(ab), None)     => ab.otherwise(lit(0.0))
+          case (None, Some(be))     => be.otherwise(lit(0.0))
+          case (None, None)         => lit(0.0)
+        }
+      }
+      val maxRd = if (rds.size == 1) rds.head else greatest(rds: _*)
+      s = s.withColumn("rp", lit(0.5) * maxRd + lit(0.5) * col("vc"))
+      val w = 1.0 / cs.size
+      val rkSum = cs.map { case (c, i) =>
+        val t = col(s"c$i")
+        val a = c.lo.map(lit(_)).getOrElse(col(s"min_c$i"))
+        val b = c.hi.map(lit(_)).getOrElse(col(s"max_c$i"))
+        val num = c.target match {
+          case Target.Max => b - t
+          case Target.Min => a - t
+        }
+        lit(w) * when(b - a =!= lit(0.0), num / (b - a)).otherwise(lit(0.0))
+      }.reduce(_ + _)
+      s = s.withColumn("rk", lit(1.0) - rkSum)
+      val rankW = Window.partitionBy("sid").orderBy(
+        col("sat").desc,
+        when(col("sat"), -col("rk")).otherwise(col("rp")).asc,
+        col("x").asc, col("lx").asc)
+      s.withColumn("__rn", row_number().over(rankW))
+        .where(col("__rn") <= k)
+        .select(col("sid"), col("x").as("time_id"), col("lx").as("offset"))
+        .orderBy("sid", "time_id", "offset")
+    }
+  }
+}
