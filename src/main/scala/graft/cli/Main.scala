@@ -89,6 +89,14 @@ object Main {
       println(s"${rows.length} result(s):")
       rows.foreach(r => println(s"  time_id=${r.getLong(0)} offset=${r.getLong(1)}"))
 
+      // plot sink (reference: server.py:901-952), optional 4th arg
+      if (args.length > 3) {
+        val pts = series.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+        PlotSink.save(args(3), pts,
+          rows.map(r => (r.getLong(0), r.getLong(1))).toSeq)
+        println(s"plot written to ${args(3)}")
+      }
+
       if (args.length > 2) tk.save(args(2))
       sys.exit(0)
     } catch {
