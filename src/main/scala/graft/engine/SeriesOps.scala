@@ -71,6 +71,60 @@ object SeriesOps {
     SeriesIndex(indexed, bounds.getLong(0), bounds.getLong(1), levels)
   }
 
+  /** Row shape produced by [[indexFast]]. */
+  final case class IndexedPoint(t: Long, y: Double, s: Double, ms: Array[Double])
+
+  /** Single-pass index build: buffers each (sorted) partition and computes
+    * prefix sums + all sparse-table levels imperatively — one shuffle + one
+    * sort instead of log2(maxWin) sequential window stages. Semantically
+    * identical to [[index]] (asserted in EngineSpec); use for single-series
+    * or per-partition-complete series. The declarative build remains the
+    * reference formulation (and the multi-series engine's path).
+    */
+  def indexFast(series: DataFrame, maxWin: Long): SeriesIndex = {
+    val levels = math.max(1, 64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, maxWin)))
+    val spark = series.sparkSession
+    import spark.implicits._
+    val sorted = series
+      .select(col("t").cast("long"), col("y").cast("double"))
+      .as[(Long, Double)]
+      .repartition(1)
+      .sortWithinPartitions("t")
+    val indexed = sorted.mapPartitions { it =>
+      val buf = it.toArray
+      val n = buf.length
+      if (n == 0) Iterator.empty
+      else {
+        // prefix sums
+        val s = new Array[Double](n)
+        var acc = 0.0
+        var i = 0
+        while (i < n) { acc += buf(i)._2; s(i) = acc; i += 1 }
+        // sparse table: m(j)(i) = max(y[i .. i+2^j-1]), truncated at the end
+        val m = Array.ofDim[Double](levels, n)
+        i = 0
+        while (i < n) { m(0)(i) = buf(i)._2; i += 1 }
+        var j = 1
+        while (j < levels) {
+          val half = 1 << (j - 1)
+          i = 0
+          while (i < n) {
+            val other = if (i + half < n) m(j - 1)(i + half) else Double.NegativeInfinity
+            m(j)(i) = math.max(m(j - 1)(i), other)
+            i += 1
+          }
+          j += 1
+        }
+        Iterator.tabulate(n) { k =>
+          IndexedPoint(buf(k)._1, buf(k)._2, s(k),
+            Array.tabulate(levels)(j => m(j)(k)))
+        }
+      }
+    }.toDF()
+    val bounds = series.agg(min("t"), max("t")).head()
+    SeriesIndex(indexed, bounds.getLong(0), bounds.getLong(1), levels)
+  }
+
   /** Join `grid` to the index at position `pos` (an expression over grid
     * columns), adding the requested index columns renamed with `prefix`.
     * Left join: positions outside [tMin,tMax] yield nulls (callers clamp).

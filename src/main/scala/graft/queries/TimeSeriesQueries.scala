@@ -43,7 +43,9 @@ object TimeSeriesQueries {
 
   def cachedIndex(s: SparkSession, dir: String): SeriesOps.SeriesIndex =
     idxCache.computeIfAbsent(dir, _ => {
-      val idx = SeriesOps.index(series(s, dir), 64)
+      // single-pass kernel build (equal to the declarative build, see
+      // EngineSpec) — one sort instead of log2(maxWin) window stages
+      val idx = SeriesOps.indexFast(series(s, dir), 64)
       idx.copy(df = idx.df.persist())
     })
 

@@ -174,6 +174,17 @@ class EngineSpec extends AnyFunSuite {
   }
 
   // ---- series index vs naive windows ----
+  test("indexFast (single-pass kernel) equals the declarative index build") {
+    val a = SeriesOps.index(series, 16)
+    val b = SeriesOps.indexFast(series, 16)
+    assert(a.levels == b.levels && a.tMin == b.tMin && a.tMax == b.tMax)
+    val rowsA = a.df.orderBy("t").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getSeq[Double](3)))
+    val rowsB = b.df.orderBy("t").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getSeq[Double](3)))
+    assert(rowsA.toSeq == rowsB.toSeq)
+  }
+
   test("windowAgg avg/max match naive on all (a,b) pairs up to len 16") {
     val idx = SeriesOps.index(series, 16)
     import org.apache.spark.sql.functions._
