@@ -92,37 +92,70 @@ object SeriesOps {
       .sortWithinPartitions("t")
     val indexed = sorted.mapPartitions { it =>
       val buf = it.toArray
-      val n = buf.length
-      if (n == 0) Iterator.empty
+      if (buf.isEmpty) Iterator.empty
       else {
-        // prefix sums
-        val s = new Array[Double](n)
-        var acc = 0.0
-        var i = 0
-        while (i < n) { acc += buf(i)._2; s(i) = acc; i += 1 }
-        // sparse table: m(j)(i) = max(y[i .. i+2^j-1]), truncated at the end
-        val m = Array.ofDim[Double](levels, n)
-        i = 0
-        while (i < n) { m(0)(i) = buf(i)._2; i += 1 }
-        var j = 1
-        while (j < levels) {
-          val half = 1 << (j - 1)
-          i = 0
-          while (i < n) {
-            val other = if (i + half < n) m(j - 1)(i + half) else Double.NegativeInfinity
-            m(j)(i) = math.max(m(j - 1)(i), other)
-            i += 1
-          }
-          j += 1
-        }
-        Iterator.tabulate(n) { k =>
-          IndexedPoint(buf(k)._1, buf(k)._2, s(k),
-            Array.tabulate(levels)(j => m(j)(k)))
+        val ys = buf.map(_._2)
+        val s = prefixSums(ys)
+        val m = buildLevels(ys, levels)
+        Iterator.tabulate(buf.length) { k =>
+          IndexedPoint(buf(k)._1, ys(k), s(k), Array.tabulate(levels)(j => m(j)(k)))
         }
       }
     }.toDF()
     val bounds = series.agg(min("t"), max("t")).head()
     SeriesIndex(indexed, bounds.getLong(0), bounds.getLong(1), levels)
+  }
+
+  /** [[indexFast]] fused with ordinal-key assignment: sorts by `orderCol`
+    * and assigns the dense `t = 1..N` positionally inside the same pass —
+    * one stage instead of row_number-window + re-sort. `tMax` needs the row
+    * count (cheap parquet-footer count). */
+  def indexFastFromOrdered(
+      df: DataFrame, orderCol: String, valueCol: String, maxWin: Long): SeriesIndex = {
+    val n = df.count()
+    val spark = df.sparkSession
+    import spark.implicits._
+    val levels = math.max(1, 64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, maxWin)))
+    val ys = df.select(col(orderCol), col(valueCol).cast("double").as("y"))
+      .repartition(1)
+      .sortWithinPartitions(orderCol)
+      .select("y")
+      .as[Double]
+    val indexed = ys.mapPartitions { it =>
+      val buf = it.toArray
+      val m = buildLevels(buf, levels)
+      val s = prefixSums(buf)
+      Iterator.tabulate(buf.length) { k =>
+        IndexedPoint(k + 1L, buf(k), s(k), Array.tabulate(levels)(j => m(j)(k)))
+      }
+    }.toDF()
+    SeriesIndex(indexed, 1L, n, levels)
+  }
+
+  private def prefixSums(ys: Array[Double]): Array[Double] = {
+    val s = new Array[Double](ys.length)
+    var acc = 0.0
+    var i = 0
+    while (i < ys.length) { acc += ys(i); s(i) = acc; i += 1 }
+    s
+  }
+
+  private def buildLevels(ys: Array[Double], levels: Int): Array[Array[Double]] = {
+    val n = ys.length
+    val m = Array.ofDim[Double](levels, n)
+    System.arraycopy(ys, 0, m(0), 0, n)
+    var j = 1
+    while (j < levels) {
+      val half = 1 << (j - 1)
+      var i = 0
+      while (i < n) {
+        val other = if (i + half < n) m(j - 1)(i + half) else Double.NegativeInfinity
+        m(j)(i) = math.max(m(j - 1)(i), other)
+        i += 1
+      }
+      j += 1
+    }
+    m
   }
 
   /** Join `grid` to the index at position `pos` (an expression over grid

@@ -43,9 +43,11 @@ object TimeSeriesQueries {
 
   def cachedIndex(s: SparkSession, dir: String): SeriesOps.SeriesIndex =
     idxCache.computeIfAbsent(dir, _ => {
-      // single-pass kernel build (equal to the declarative build, see
-      // EngineSpec) — one sort instead of log2(maxWin) window stages
-      val idx = SeriesOps.indexFast(series(s, dir), 64)
+      // single-pass kernel build fused with ordinal-key assignment (equal
+      // to the declarative build, see EngineSpec) — one sorted pass instead
+      // of row_number window + log2(maxWin) window stages
+      val idx = SeriesOps.indexFastFromOrdered(
+        events(s, dir), "event_id", "value", 64)
       idx.copy(df = idx.df.persist())
     })
 

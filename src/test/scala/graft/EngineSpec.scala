@@ -178,11 +178,14 @@ class EngineSpec extends AnyFunSuite {
     val a = SeriesOps.index(series, 16)
     val b = SeriesOps.indexFast(series, 16)
     assert(a.levels == b.levels && a.tMin == b.tMin && a.tMax == b.tMax)
-    val rowsA = a.df.orderBy("t").collect()
+    def rows(i: SeriesOps.SeriesIndex) = i.df.orderBy("t").collect()
       .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getSeq[Double](3)))
-    val rowsB = b.df.orderBy("t").collect()
-      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getSeq[Double](3)))
-    assert(rowsA.toSeq == rowsB.toSeq)
+      .toSeq
+    assert(rows(a) == rows(b))
+    // fused variant: same result from an unkeyed frame ordered by a column
+    val raw = (1 to n).map(i => (i * 10L, ys(i - 1))).toDF("ord", "y")
+    val c = SeriesOps.indexFastFromOrdered(raw, "ord", "y", 16)
+    assert(c.tMin == 1 && c.tMax == n && rows(c) == rows(a))
   }
 
   test("windowAgg avg/max match naive on all (a,b) pairs up to len 16") {
