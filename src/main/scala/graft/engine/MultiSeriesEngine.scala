@@ -145,9 +145,16 @@ object MultiSeriesEngine {
       case Constraint(n, args, _, _, _)
           if n == "max_amp_excess_left" || n == "max_amp_excess_right" => args.head + 1
     }
-    // size for the widest window; unbounded lx falls back to per-series
-    // extent -> conservatively index at 2^20 (doc'd cap for this path)
-    val maxWin = (spec.lxDomain.hi.map(_ + 1).getOrElse(1L << 20) +: maxNeighborhood).max
+    // size the sparse table for the widest window any series can ask for;
+    // an unbounded lx means "whole series", so take the largest extent
+    // (tiny aggregate action — same binding step the reference does)
+    val maxExtent = () => {
+      import org.apache.spark.sql.functions.{max => fmax, min => fmin}
+      series.groupBy("sid").agg(fmin("t").as("lo"), fmax("t").as("hi"))
+        .agg(fmax(col("hi") - col("lo") + 1)).head().getLong(0)
+    }
+    val maxWin =
+      (spec.lxDomain.hi.map(_ + 1).getOrElse(maxExtent()) +: maxNeighborhood).max
     val idx = index(series, maxWin)
     var g = candidateGrid(idx, spec)
     val cs = spec.constraints.zipWithIndex

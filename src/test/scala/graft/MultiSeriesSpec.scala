@@ -29,7 +29,10 @@ class MultiSeriesSpec extends AnyFunSuite {
       "WHERE avg_amp() in [8, 10] MAX and max_amp_excess_right(5) in [0, None] MAX " +
       "LIMIT REFINED 6",
     "SELECT time_id, offset IN_DOMAIN [1, 60], [3, 5] FROM t.c " +
-      "WHERE max_amp_excess_left(7) in [None, 1] MIN")
+      "WHERE max_amp_excess_left(7) in [None, 1] MIN",
+    // unbounded lx: sparse table must be sized from the series extent
+    "SELECT time_id, offset IN_DOMAIN [1, 60], [1, None] FROM t.c " +
+      "WHERE avg_amp() in [4, 6] MAX LIMIT REFINED 8")
 
   test("multi-series execution equals per-series single-series execution") {
     for (q <- queries) {
