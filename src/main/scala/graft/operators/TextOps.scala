@@ -26,6 +26,16 @@ object TextOps {
   /** Whitespace token count. */
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  /** BPE-ish subword-unit pattern: letter runs, digit runs, and single
+    * punctuation marks each count as a token — the cheap approximation of a
+    * byte-pair tokenizer's unit count (same regex family as GPT-style
+    * pre-tokenizers, minus the merges). */
+  val BpeishPattern = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
+
+  /** BPE-ish token count via the subword pattern. */
+  def tokenCountBpeish(text: Column): Column =
+    size(regexp_extract_all(lower(text), lit(BpeishPattern), lit(0)))
+
   /** Quality-scoring features: length, alpha/digit/punct/space ratios and
     * mean token length — the standard cheap pre-filters for corpus curation.
     */

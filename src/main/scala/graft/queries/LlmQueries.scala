@@ -28,7 +28,9 @@ object LlmQueries {
   // ---- Spark-side queries ----
 
   def textTokens(s: SparkSession, d: String): DataFrame =
-    docs(s, d).select(col("doc_id"), TextOps.tokenCount(col("text")).as("n_tokens"))
+    docs(s, d).select(col("doc_id"),
+        TextOps.tokenCount(col("text")).as("n_tokens"),
+        TextOps.tokenCountBpeish(col("text")).as("n_tokens_bpeish"))
       .orderBy("doc_id")
 
   def textQuality(s: SparkSession, d: String): DataFrame =
@@ -97,7 +99,8 @@ object LlmQueries {
   val sql: Map[String, String] = Map(
     "q25_text_tokens" ->
       """SELECT doc_id,
-        |  len(string_split_regex(trim(lower(text)), '\s+')) AS n_tokens
+        |  len(string_split_regex(trim(lower(text)), '\s+')) AS n_tokens,
+        |  len(regexp_extract_all(lower(text), '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS n_tokens_bpeish
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q26_text_quality" ->
