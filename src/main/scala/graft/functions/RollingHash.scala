@@ -68,4 +68,9 @@ object RollingHash {
   /** Column API. */
   def rolling_hash(c: Column): Column =
     GraftShims.column(RollingHash(GraftShims.expression(c)))
+
+  /** Register for SQL: `SELECT rolling_hash(text) FROM ...`. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "rolling_hash", exprs => RollingHash(exprs.head), "scala_udf")
 }

@@ -23,6 +23,12 @@ class FunctionsSpec extends AnyFunSuite {
     assert(got("order matters") != got("matters order"))
   }
 
+  test("rolling_hash registers as a SQL function") {
+    RollingHash.register(spark)
+    val got = spark.sql("SELECT rolling_hash('hello world') AS h").head().getLong(0)
+    assert(got == RollingHash.eval("hello world".getBytes("UTF-8")))
+  }
+
   test("rolling_hash stays inside whole-stage codegen") {
     // spark.range is a codegen source (a literal local table would be
     // constant-folded into a LocalTableScan via the interpreted path)
