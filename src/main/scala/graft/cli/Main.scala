@@ -27,7 +27,7 @@ final class Timekeeper {
 /** CLI over the engine — the reference's client path (client.py:13-65):
   * catalog readout, query parse, execute, result print, timing CSV.
   *
-  * Usage: graft.cli.Main <table.parquet> <query.txt> [timesOut.csv]
+  * Usage: graft.cli.Main <table.parquet> <query.txt> [timesOut.csv] [plot.svg]
   *
   * The table must contain a dense `time_id` column (see
   * [[graft.sources.Ingest]]); the queried column is `FROM table.column`'s
@@ -37,11 +37,20 @@ final class Timekeeper {
 object Main {
   def main(args: Array[String]): Unit = {
     if (args.length < 2) {
-      System.err.println("usage: graft.cli.Main <table.parquet> <query.txt> [times.csv]")
+      System.err.println(
+        "usage: graft.cli.Main <table.parquet> <query.txt> [times.csv] [plot.svg]")
       sys.exit(1)
     }
+    // sys.exit inside the try would skip `finally spark.stop()` (System.exit
+    // does not unwind the stack) — record the code, exit after cleanup.
+    sys.exit(run(args))
+  }
+
+  /** Body returning the exit code; never calls sys.exit itself. */
+  private def run(args: Array[String]): Int = {
     val Array(tablePath, queryPath) = args.take(2)
     val tk = new Timekeeper
+    final case class Abort(code: Int) extends RuntimeException
 
     val spark = tk.time("connect") {
       val s = SparkSession.builder()
@@ -62,7 +71,8 @@ object Main {
       val spec =
         try tk.time("parse")(QueryParser.parse(queryText))
         catch {
-          case ParseException(m) => System.err.println(s"parse error: $m"); sys.exit(1)
+          case ParseException(m) =>
+            System.err.println(s"parse error: $m"); throw Abort(1)
         }
 
       val table = tk.time("scan")(spark.read.parquet(tablePath))
@@ -70,7 +80,7 @@ object Main {
       println(s"table: $tablePath")
       table.schema.foreach(f => println(s"  ${f.name}: ${f.dataType.simpleString}"))
       if (!table.columns.contains(spec.column)) {
-        System.err.println(s"column '${spec.column}' not in table"); sys.exit(1)
+        System.err.println(s"column '${spec.column}' not in table"); throw Abort(1)
       }
 
       val series = table.selectExpr(s"time_id as t", s"`${spec.column}` as y")
@@ -79,7 +89,7 @@ object Main {
         series.selectExpr("var_pop(y)").head().getDouble(0)
       }
       if (variance <= 5e-28) {
-        System.err.println("no variability in data; aborting"); sys.exit(1)
+        System.err.println("no variability in data; aborting"); throw Abort(1)
       }
 
       val rows = tk.time("execute") {
@@ -98,12 +108,15 @@ object Main {
       }
 
       if (args.length > 2) tk.save(args(2))
-      sys.exit(0)
+      0
     } catch {
+      case Abort(code) =>
+        if (args.length > 2) tk.save(args(2))
+        code
       case e: Exception =>
         System.err.println(s"execution error: ${e.getMessage}")
         if (args.length > 2) tk.save(args(2))
-        sys.exit(2)
+        2
     } finally spark.stop()
   }
 }

@@ -1,9 +1,31 @@
 package graft.engine
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.engine.SeriesOps.SeriesIndex
+/** The window-aggregate probe surface a [[ConstraintFunction]] is written
+  * against. Two implementations exist:
+  *
+  *   - [[SeriesOps.probe]] — single series; `tMin`/`tMax` are literals and
+  *     lookups are equi-joins on `t`;
+  *   - [[MultiSeriesEngine.probe]] — a corpus of series; `tMin`/`tMax` are
+  *     per-series columns on the candidate grid and lookups join `(sid, t)`.
+  *
+  * Constraint formulas are therefore written ONCE and run unchanged on both
+  * the single-series and the horizontally-partitioned path.
+  */
+trait WindowProbe {
+
+  /** Series start / end as columns (literals for a single series; the
+    * per-series `tMin`/`tMax` grid columns on the multi-series path). */
+  def tMinCol: Column
+  def tMaxCol: Column
+
+  /** Append `{tag}_avg` and/or `{tag}_max` for the inclusive window `[a, b]`
+    * (caller guarantees tMin <= a <= b <= tMax). */
+  def windowAgg(grid: DataFrame, a: Column, b: Column, tag: String,
+      needAvg: Boolean, needMax: Boolean): DataFrame
+}
 
 /** Registry of named interval-aggregate constraint functions — the engine's
   * extensibility point, mirroring the reference's `available_functions`
@@ -11,9 +33,10 @@ import graft.engine.SeriesOps.SeriesIndex
   *
   * Each function appends one Double column to the candidate grid, computed
   * for the window defined by the grid's `x` (start) and `lx` (length)
-  * columns, probing the [[SeriesOps.SeriesIndex]] with O(1) equi-join
-  * lookups. New constraints register as pure `DataFrame => DataFrame`
-  * builders — no UDFs, everything stays inside whole-stage codegen.
+  * columns, probing a [[WindowProbe]] with O(1) equi-join lookups. New
+  * constraints register via [[ConstraintRegistry.register]] and are then
+  * parseable ([[graft.parser.QueryParser]] derives its whitelist from the
+  * registry) and executable on BOTH engine paths — no other code to touch.
   */
 trait ConstraintFunction {
   def name: String
@@ -24,7 +47,7 @@ trait ConstraintFunction {
   def maxWindow(lxHi: Long, args: Seq[Long]): Long
 
   /** Append column `as` to `grid` (columns x, lx; x+lx <= tMax guaranteed). */
-  def apply(grid: DataFrame, idx: SeriesIndex, args: Seq[Long], as: String): DataFrame
+  def apply(grid: DataFrame, probe: WindowProbe, args: Seq[Long], as: String): DataFrame
 }
 
 /** Mean amplitude over [x, x+lx] inclusive (reference: server.py:955-964,
@@ -33,11 +56,10 @@ object AvgAmp extends ConstraintFunction {
   val name = "avg_amp"
   val arity = 0
   def maxWindow(lxHi: Long, args: Seq[Long]): Long = lxHi + 1
-  def apply(grid: DataFrame, idx: SeriesIndex, args: Seq[Long], as: String): DataFrame =
-    SeriesOps.windowAgg(grid, idx, col("x"), col("x") + col("lx"), as + "_w",
+  def apply(grid: DataFrame, probe: WindowProbe, args: Seq[Long], as: String): DataFrame =
+    probe.windowAgg(grid, col("x"), col("x") + col("lx"), as + "_w",
         needAvg = true, needMax = false)
-      .withColumn(as, col(as + "_w_avg"))
-      .drop(as + "_w_sum", as + "_w_cnt", as + "_w_avg")
+      .withColumnRenamed(as + "_w_avg", as)
 }
 
 /** max(y[x..x+lx]) - max(y[x+lx..x+lx+n']) with n' clamped at the series end
@@ -46,13 +68,13 @@ object MaxAmpExcessRight extends ConstraintFunction {
   val name = "max_amp_excess_right"
   val arity = 1
   def maxWindow(lxHi: Long, args: Seq[Long]): Long = math.max(lxHi + 1, args.head + 1)
-  def apply(grid: DataFrame, idx: SeriesIndex, args: Seq[Long], as: String): DataFrame = {
+  def apply(grid: DataFrame, probe: WindowProbe, args: Seq[Long], as: String): DataFrame = {
     val n = args.head
     val xp = col("x") + col("lx")
-    val g1 = SeriesOps.windowAgg(grid, idx, col("x"), xp, as + "_m",
+    val g1 = probe.windowAgg(grid, col("x"), xp, as + "_m",
       needAvg = false, needMax = true)
     // n' = min(n, tMax - x') (reference: server.py:977-981)
-    val g2 = SeriesOps.windowAgg(g1, idx, xp, least(xp + lit(n), lit(idx.tMax)),
+    val g2 = probe.windowAgg(g1, xp, least(xp + lit(n), probe.tMaxCol),
       as + "_r", needAvg = false, needMax = true)
     g2.withColumn(as, col(as + "_m_max") - col(as + "_r_max"))
       .drop(as + "_m_max", as + "_r_max")
@@ -65,11 +87,11 @@ object MaxAmpExcessLeft extends ConstraintFunction {
   val name = "max_amp_excess_left"
   val arity = 1
   def maxWindow(lxHi: Long, args: Seq[Long]): Long = math.max(lxHi + 1, args.head + 1)
-  def apply(grid: DataFrame, idx: SeriesIndex, args: Seq[Long], as: String): DataFrame = {
+  def apply(grid: DataFrame, probe: WindowProbe, args: Seq[Long], as: String): DataFrame = {
     val n = args.head
-    val g1 = SeriesOps.windowAgg(grid, idx, col("x"), col("x") + col("lx"),
+    val g1 = probe.windowAgg(grid, col("x"), col("x") + col("lx"),
       as + "_m", needAvg = false, needMax = true)
-    val g2 = SeriesOps.windowAgg(g1, idx, greatest(col("x") - lit(n), lit(idx.tMin)),
+    val g2 = probe.windowAgg(g1, greatest(col("x") - lit(n), probe.tMinCol),
       col("x"), as + "_l", needAvg = false, needMax = true)
     g2.withColumn(as, col(as + "_m_max") - col(as + "_l_max"))
       .drop(as + "_m_max", as + "_l_max")
@@ -85,4 +107,5 @@ object ConstraintRegistry {
     fns.getOrElse(name, throw graft.model.ParseException(
       s"unknown constraint function '$name'; available: ${fns.keys.mkString(", ")}"))
   def names: Set[String] = fns.keySet
+  def all: Iterable[ConstraintFunction] = fns.values
 }

@@ -32,8 +32,16 @@ object MultiSeriesEngine {
 
   final case class MsIndex(df: DataFrame, bounds: DataFrame, levels: Int)
 
-  private def log2Floor(len: Column): Column =
-    floor(log(2.0, len.cast("double")) + lit(1e-9)).cast("int")
+  /** The [[WindowProbe]] view of an [[MsIndex]]: same constraint formulas as
+    * the single-series path, with per-series `tMin`/`tMax` grid columns and
+    * `(sid, t)`-keyed lookups. */
+  def probe(idx: MsIndex): WindowProbe = new WindowProbe {
+    val tMinCol: Column = col("tMin")
+    val tMaxCol: Column = col("tMax")
+    def windowAgg(grid: DataFrame, a: Column, b: Column, tag: String,
+        needAvg: Boolean, needMax: Boolean): DataFrame =
+      MultiSeriesEngine.windowAgg(grid, idx, a, b, tag, needAvg, needMax)
+  }
 
   /** Index a multi-series frame `(sid, t, y)`; t dense ascending per sid. */
   def index(series: DataFrame, maxWin: Long): MsIndex = {
@@ -86,7 +94,7 @@ object MultiSeriesEngine {
     }
     if (needMax) {
       val len = bc - ac + lit(1)
-      val j = log2Floor(len)
+      val j = SeriesOps.log2Floor(len)
       val p2 = pow(lit(2.0), j.cast("double")).cast("long")
       g = g.withColumn(s"${tag}_j", j).withColumn(s"${tag}_b2", bc - p2 + lit(1))
       g = lookupAt(g, idx, ac, s"${tag}_ma", Seq("ms"))
@@ -115,50 +123,26 @@ object MultiSeriesEngine {
       .select("sid", "x", "lx", "tMin", "tMax")
   }
 
-  private def addConstraint(
-      g: DataFrame, idx: MsIndex, c: Constraint, as: String): DataFrame = c.name match {
-    case "avg_amp" =>
-      windowAgg(g, idx, col("x"), col("x") + col("lx"), as + "_w",
-          needAvg = true, needMax = false)
-        .withColumn(as, col(as + "_w_avg")).drop(as + "_w_avg")
-    case "max_amp_excess_right" =>
-      val xp = col("x") + col("lx")
-      val g1 = windowAgg(g, idx, col("x"), xp, as + "_m", needAvg = false, needMax = true)
-      val g2 = windowAgg(g1, idx, xp, least(xp + lit(c.args.head), col("tMax")),
-        as + "_r", needAvg = false, needMax = true)
-      g2.withColumn(as, col(as + "_m_max") - col(as + "_r_max"))
-        .drop(as + "_m_max", as + "_r_max")
-    case "max_amp_excess_left" =>
-      val g1 = windowAgg(g, idx, col("x"), col("x") + col("lx"),
-        as + "_m", needAvg = false, needMax = true)
-      val g2 = windowAgg(g1, idx, greatest(col("x") - lit(c.args.head), col("tMin")),
-        col("x"), as + "_l", needAvg = false, needMax = true)
-      g2.withColumn(as, col(as + "_m_max") - col(as + "_l_max"))
-        .drop(as + "_m_max", as + "_l_max")
-    case other => throw ParseException(s"unknown constraint function '$other'")
-  }
-
   /** Execute the query independently over every series; returns
     * `(sid, time_id, offset)` in canonical per-series order. */
   def execute(spark: SparkSession, series: DataFrame, spec: QuerySpec): DataFrame = {
-    val maxNeighborhood = spec.constraints.collect {
-      case Constraint(n, args, _, _, _)
-          if n == "max_amp_excess_left" || n == "max_amp_excess_right" => args.head + 1
-    }
     // size the sparse table for the widest window any series can ask for;
     // an unbounded lx means "whole series", so take the largest extent
     // (tiny aggregate action — same binding step the reference does)
-    val maxExtent = () => {
+    def maxExtent(): Long = {
       import org.apache.spark.sql.functions.{max => fmax, min => fmin}
       series.groupBy("sid").agg(fmin("t").as("lo"), fmax("t").as("hi"))
         .agg(fmax(col("hi") - col("lo") + 1)).head().getLong(0)
     }
-    val maxWin =
-      (spec.lxDomain.hi.map(_ + 1).getOrElse(maxExtent()) +: maxNeighborhood).max
+    val lxHi = spec.lxDomain.hi.getOrElse(maxExtent() - 1)
+    val maxWin = spec.constraints
+      .map(c => ConstraintRegistry(c.name).maxWindow(lxHi, c.args))
+      .foldLeft(lxHi + 1)(math.max)
     val idx = index(series, maxWin)
     var g = candidateGrid(idx, spec)
     val cs = spec.constraints.zipWithIndex
-    cs.foreach { case (c, i) => g = addConstraint(g, idx, c, s"c$i") }
+    val p = probe(idx)
+    cs.foreach { case (c, i) => g = ConstraintRegistry(c.name)(g, p, c.args, s"c$i") }
 
     def satCol(c: Constraint, v: Column): Column =
       c.lo.map(v >= lit(_)).getOrElse(lit(true)) &&
@@ -177,7 +161,11 @@ object MultiSeriesEngine {
         .orderBy("sid", "time_id", "offset")
     } else {
       val k = spec.limit.getOrElse(Int.MaxValue)
-      g = g.persist()
+      // persist only when the output is bounded (k rows per series): the
+      // cached grid is released after the result materializes below. With no
+      // limit, stay lazy — the extrema aggregate recomputes the probes once.
+      val persisted = spec.limit.isDefined
+      if (persisted) g = g.persist()
       // per-series extrema (the reference's 'mins'/'maxs', per sid)
       val ext = g.groupBy("sid").agg(
         cs.flatMap { case (_, i) =>
@@ -220,10 +208,17 @@ object MultiSeriesEngine {
         col("sat").desc,
         when(col("sat"), -col("rk")).otherwise(col("rp")).asc,
         col("x").asc, col("lx").asc)
-      s.withColumn("__rn", row_number().over(rankW))
+      val res = s.withColumn("__rn", row_number().over(rankW))
         .where(col("__rn") <= k)
         .select(col("sid"), col("x").as("time_id"), col("lx").as("offset"))
         .orderBy("sid", "time_id", "offset")
+      if (persisted) {
+        // materialize the bounded result, truncate its lineage off the cached
+        // grid, then release the cache (no block accumulation across queries)
+        val out = res.localCheckpoint(true)
+        g.unpersist()
+        out
+      } else res
     }
   }
 }

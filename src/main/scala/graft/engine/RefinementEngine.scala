@@ -66,8 +66,9 @@ object RefinementEngine {
       spec: QuerySpec,
       b: Bound): DataFrame = {
     var g = candidateGrid(spark, b, idx.tMax)
+    val p = SeriesOps.probe(idx)
     spec.constraints.zipWithIndex.foreach { case (c, i) =>
-      g = ConstraintRegistry(c.name)(g, idx, c.args, s"c$i")
+      g = ConstraintRegistry(c.name)(g, p, c.args, s"c$i")
     }
     g
   }
@@ -178,24 +179,46 @@ object RefinementEngine {
       .filter(i => (1L << i.levels) > needWin)
       .getOrElse(SeriesOps.index(series, needWin))
     val grid = constraintGrid(spark, idx, spec, b)
-    val out =
-      if (!spec.refined) {
-        // UNREFINED: candidates satisfying every constraint
-        // (reference: server.py:456-460)
-        val cs = spec.constraints.zipWithIndex
-        val allSat = cs.map { case (c, i) => satCol(c, col(s"c$i")) }.reduce(_ && _)
-        val sat = grid.where(allSat).orderBy("x", "lx")
-        spec.limit.map(sat.limit).getOrElse(sat)
-      } else {
-        val k = spec.limit.getOrElse(Int.MaxValue)
-        // the grid lineage feeds both the extrema aggregate and the final
-        // rank — persist it so the probe joins run once
-        scored(grid.persist(), spec)
-          .orderBy(col("sat").desc,
-            when(col("sat"), -col("rk")).otherwise(col("rp")).asc,
-            col("x").asc, col("lx").asc)
-          .limit(k)
+    if (!spec.refined) {
+      // UNREFINED: candidates satisfying every constraint
+      // (reference: server.py:456-460)
+      val cs = spec.constraints.zipWithIndex
+      val allSat = cs.map { case (c, i) => satCol(c, col(s"c$i")) }.reduce(_ && _)
+      val sat = grid.where(allSat).orderBy("x", "lx")
+      spec.limit.map(sat.limit).getOrElse(sat)
+        .select(col("x").as("time_id"), col("lx").as("offset"))
+    } else {
+      spec.limit match {
+        case Some(k) =>
+          // the grid lineage feeds both the extrema aggregate and the final
+          // rank — persist it so the probe joins run once, then release it
+          // once the (<= k row) result has materialized: localCheckpoint
+          // truncates the lineage so the returned frame no longer depends on
+          // the cached blocks (long-lived sessions don't accumulate grids).
+          val g = grid.persist()
+          val res = refinedTopK(g, spec, Some(k)).localCheckpoint(true)
+          g.unpersist()
+          res
+        case None =>
+          // unbounded refined output: stay fully lazy (no persist to leak);
+          // the extrema aggregate recomputes the probes once more.
+          refinedTopK(grid, spec, None)
       }
-    out.select(col("x").as("time_id"), col("lx").as("offset"))
+    }
+  }
+
+  /** The refined query as a LAZY plan over a constraint grid: score, rank by
+    * `(sat desc, if(sat, -RK, RP) asc, x, lx)`, take k. With a limit Spark
+    * compiles this to TakeOrderedAndProject — a streaming top-k, no full
+    * sort (asserted in PlanSpec). [[execute]] wraps this with grid
+    * persist/release; call directly for plan inspection or when managing
+    * caching yourself. */
+  def refinedTopK(grid: DataFrame, spec: QuerySpec, k: Option[Int]): DataFrame = {
+    val ranked = scored(grid, spec)
+      .orderBy(col("sat").desc,
+        when(col("sat"), -col("rk")).otherwise(col("rp")).asc,
+        col("x").asc, col("lx").asc)
+    k.map(ranked.limit).getOrElse(ranked)
+      .select(col("x").as("time_id"), col("lx").as("offset"))
   }
 }

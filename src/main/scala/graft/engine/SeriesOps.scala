@@ -175,9 +175,35 @@ object SeriesOps {
       .drop(s"${prefix}_t")
   }
 
-  /** floor(log2(len)) as an int column; len >= 1. */
-  private def log2Floor(len: Column): Column =
-    floor(log(2.0, len.cast("double")) + lit(1e-9)).cast("int")
+  /** floor(log2(len)) as an int column; len >= 1, exact for len <= 2^53.
+    *
+    * The double log is only ulp-accurate, so near powers of two a naive
+    * floor(+epsilon) can land one level off (probing a sparse-table range
+    * with b2 < a, or past the array end). Instead correct the approximate
+    * level by comparing against exact powers of two — 2^j is exactly
+    * representable as a double for every level we can hold (j < 64).
+    */
+  private[engine] def log2Floor(len: Column): Column = {
+    val d = len.cast("double")
+    val j0 = floor(log(2.0, d)).cast("int")
+    val p = pow(lit(2.0), j0.cast("double"))
+    when(p > d, j0 - lit(1))
+      .when(p * lit(2.0) <= d, j0 + lit(1))
+      .otherwise(j0)
+  }
+
+  /** The [[WindowProbe]] view of a [[SeriesIndex]]: constraint formulas are
+    * written once against this surface and run identically on the
+    * multi-series path ([[MultiSeriesEngine.probe]]). */
+  def probe(idx: SeriesIndex): WindowProbe = new WindowProbe {
+    val tMinCol: Column = lit(idx.tMin)
+    val tMaxCol: Column = lit(idx.tMax)
+    def windowAgg(grid: DataFrame, a: Column, b: Column, tag: String,
+        needAvg: Boolean, needMax: Boolean): DataFrame = {
+      val g = SeriesOps.windowAgg(grid, idx, a, b, tag, needAvg, needMax)
+      if (needAvg) g.drop(s"${tag}_sum", s"${tag}_cnt") else g
+    }
+  }
 
   /** Append `{tag}_sum`, `{tag}_cnt`, `{tag}_avg` and/or `{tag}_max` for the
     * inclusive window [a, b] (caller guarantees tMin <= a <= b <= tMax).

@@ -17,10 +17,12 @@ import graft.model._
   */
 object QueryParser {
 
-  /** Whitelisted constraint functions (reference: client.py:160
-    * `available_functions`). Arity: avg_amp(), the excess pair take 1 int. */
-  val availableFunctions: Map[String, Int] =
-    Map("avg_amp" -> 0, "max_amp_excess_left" -> 1, "max_amp_excess_right" -> 1)
+  /** Whitelisted constraint functions with arity (reference: client.py:160
+    * `available_functions`), derived from [[graft.engine.ConstraintRegistry]]
+    * so a function added via `ConstraintRegistry.register` is immediately
+    * parseable — one source of truth, no drifting copies. */
+  def availableFunctions: Map[String, Int] =
+    graft.engine.ConstraintRegistry.all.map(f => f.name -> f.arity).toMap
 
   private val boundRe = """(?:None|[+-]?\d+)"""
   private val intervalRe = s"""\\[\\s*($boundRe)\\s*,\\s*($boundRe)\\s*\\]"""

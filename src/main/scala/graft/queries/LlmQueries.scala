@@ -139,7 +139,7 @@ object LlmQueries {
          |  unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
          |  FROM documents)
          |SELECT doc_id,
-         |  sum(${pHash("7", "w")} % 1000003) % 1000003 AS fingerprint
+         |  (sum(${pHash("7", "w")} % 1000003) % 1000003)::BIGINT AS fingerprint
          |FROM tokall GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q29_dedup_exact" ->
@@ -225,7 +225,7 @@ object LlmQueries {
          |s AS (SELECT vec_id, p, sum(v * coef) AS s
          |  FROM ex JOIN pl USING (d) GROUP BY vec_id, p)
          |SELECT vec_id,
-         |  sum(CASE WHEN s > 0 THEN (1::BIGINT << p) ELSE 0::BIGINT END) AS bucket
+         |  sum(CASE WHEN s > 0 THEN (1::BIGINT << p) ELSE 0::BIGINT END)::BIGINT AS bucket
          |FROM s GROUP BY vec_id ORDER BY vec_id""".stripMargin,
 
     "q37_multimodal_meta" ->
@@ -237,7 +237,7 @@ object LlmQueries {
 
     "q38_part_agg" ->
       """SELECT p_brand, count(*) AS n, round(avg(p_retailprice), 4) AS avg_price,
-        |  round(sum(p_size), 2) AS sum_size
+        |  sum(p_size)::BIGINT AS sum_size
         |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin,
 
     "q39_supplier_agg" ->
@@ -266,7 +266,7 @@ object LlmQueries {
         .groupBy("p_brand")
         .agg(count(lit(1)).as("n"),
           round(avg("p_retailprice"), 4).as("avg_price"),
-          round(sum("p_size"), 2).as("sum_size"))
+          sum("p_size").as("sum_size"))
         .orderBy("p_brand")),
     "q39_supplier_agg" -> ((s, d) =>
       s.read.parquet(s"$d/supplier.parquet")

@@ -42,13 +42,19 @@ object TimeSeriesQueries {
     new java.util.concurrent.ConcurrentHashMap[String, SeriesOps.SeriesIndex]()
 
   def cachedIndex(s: SparkSession, dir: String): SeriesOps.SeriesIndex =
-    idxCache.computeIfAbsent(dir, _ => {
-      // single-pass kernel build fused with ordinal-key assignment (equal
-      // to the declarative build, see EngineSpec) — one sorted pass instead
-      // of row_number window + log2(maxWin) window stages
-      val idx = SeriesOps.indexFastFromOrdered(
-        events(s, dir), "event_id", "value", 64)
-      idx.copy(df = idx.df.persist())
+    idxCache.compute(dir, (_, cur) => {
+      // a cached index is only valid for the session that built it: a new
+      // session in the same JVM (Bench then Verify, test suites) must not
+      // probe a DataFrame bound to a stopped session — rebuild on mismatch.
+      if (cur != null && (cur.df.sparkSession eq s)) cur
+      else {
+        // single-pass kernel build fused with ordinal-key assignment (equal
+        // to the declarative build, see EngineSpec) — one sorted pass instead
+        // of row_number window + log2(maxWin) window stages
+        val idx = SeriesOps.indexFastFromOrdered(
+          events(s, dir), "event_id", "value", 64)
+        idx.copy(df = idx.df.persist())
+      }
     })
 
   /** Candidate grid with avg/max window columns via the sparse-table index.
@@ -77,7 +83,7 @@ object TimeSeriesQueries {
     * (reference: server.py:967-992). */
   def excessRight(s: SparkSession, dir: String): DataFrame = {
     val (grid, idx) = indexedGrid(s, dir, 1, 1000, 10, 20, 21)
-    graft.engine.MaxAmpExcessRight(grid, idx, Seq(10), "v")
+    graft.engine.MaxAmpExcessRight(grid, SeriesOps.probe(idx), Seq(10), "v")
       .select(col("x"), col("lx"), round(col("v"), 6).as("excess_right"))
       .orderBy("x", "lx")
   }
@@ -85,7 +91,7 @@ object TimeSeriesQueries {
   /** A5 — max_amp_excess_left(10) values (reference: server.py:995-1016). */
   def excessLeft(s: SparkSession, dir: String): DataFrame = {
     val (grid, idx) = indexedGrid(s, dir, 1, 1000, 10, 20, 21)
-    graft.engine.MaxAmpExcessLeft(grid, idx, Seq(10), "v")
+    graft.engine.MaxAmpExcessLeft(grid, SeriesOps.probe(idx), Seq(10), "v")
       .select(col("x"), col("lx"), round(col("v"), 6).as("excess_left"))
       .orderBy("x", "lx")
   }

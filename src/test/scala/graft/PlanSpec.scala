@@ -44,13 +44,19 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("CP refined top-k also avoids a full sort") {
-    import graft.engine.RefinementEngine
+    import graft.engine.{RefinementEngine, SeriesOps}
     import graft.parser.QueryParser
     import spark.implicits._
     val series = (1 to 100).map(i => (i.toLong, i * 0.5)).toDF("t", "y")
-    val df = RefinementEngine.execute(spark, series, QueryParser.parse(
+    val spec = QueryParser.parse(
       "SELECT time_id, offset IN_DOMAIN [1, 50], [2, 5] FROM t.c " +
-        "WHERE avg_amp() in [10, 20] MAX LIMIT REFINED 5"))
+        "WHERE avg_amp() in [10, 20] MAX LIMIT REFINED 5")
+    // inspect the lazy pipeline execute() runs internally — execute() itself
+    // returns a localCheckpoint'ed frame (lineage truncated, cache released)
+    val b = RefinementEngine.bindDomains(spec, 1, 100)
+    val idx = SeriesOps.index(series, RefinementEngine.maxWindow(spec, b) max (b.lxHi + 1))
+    val grid = RefinementEngine.constraintGrid(spark, idx, spec, b)
+    val df = RefinementEngine.refinedTopK(grid, spec, Some(5))
     assert(df.queryExecution.executedPlan.toString.contains("TakeOrderedAndProject"))
   }
 

@@ -51,6 +51,16 @@ def main() -> None:
                   f"vs oracle {exp.shape}{list(exp.columns)}")
             n_bad += 1
             continue
+        # the driver's hash is dtype-sensitive: DuckDB HUGEINT (e.g. sum of
+        # BIGINT) arrives as float64 while Spark writes int64 -> hash mismatch
+        # even when values are equal. Flag any int-vs-float kind difference.
+        kinds = [(c, got[c].dtype.kind, exp[c].dtype.kind)
+                 for c in got.columns
+                 if {got[c].dtype.kind, exp[c].dtype.kind} == {"i", "f"}]
+        if kinds:
+            print(f"DTYPE    {name}: int-vs-float columns {kinds}")
+            n_bad += 1
+            continue
         try:
             pd.testing.assert_frame_equal(got, exp, check_dtype=False,
                                           check_exact=True)
