@@ -177,7 +177,7 @@ object SparkEntry {
     "q23_cp_refined_relax" -> TimeSeriesQueries.cpRefinedRelax _,
     // ---- P5: variability guard ----
     "q24_ts_variability" -> TimeSeriesQueries.variabilityGuard _,
-  ) ++ graft.queries.LlmQueries.queries
+  ) ++ graft.queries.LlmQueries.queries ++ graft.queries.RelationalQueries.queries
 
   /** DuckDB-runnable ANSI SQL oracle per query (same tables, same column
     * names, same ordering, same rounding). */
@@ -383,5 +383,5 @@ object SparkEntry {
         |SELECT ((t - 1) // 1000) AS chunk, round(var_pop(y), 4) AS variance,
         |  (var_pop(y) <= 5e-28) AS no_variability
         |FROM series GROUP BY 1 ORDER BY chunk""".stripMargin),
-  ) ++ graft.queries.LlmQueries.sql
+  ) ++ graft.queries.LlmQueries.sql ++ graft.queries.RelationalQueries.sql
 }

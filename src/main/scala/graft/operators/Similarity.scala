@@ -75,6 +75,50 @@ object Similarity {
       .limit(k)
   }
 
+  /** IVF coarse quantizer: assign every vector to the nearest of `k`
+    * centroids by cosine (`cell` column). Centroids here are the k lowest-id
+    * vectors — deterministic and oracle-reproducible; a production path swaps
+    * in k-means centroids, the dataflow is identical: a tiny broadcast
+    * centroid table against one scan of the corpus, argmax via `max_by`
+    * (partial-aggregated, no shuffle of the wide side), ties to the smallest
+    * cell id. At 100 TB the assignment is the partitioning key: writing the
+    * corpus bucketed by `cell` turns every probe into a partition-pruned
+    * scan of nprobe/k of the data.
+    */
+  def ivfAssign(vecs: DataFrame, id: String, emb: String, k: Int): DataFrame = {
+    val cents = broadcast(vecs.where(col(id) < k)
+      .select(col(id).as("__c"), col(emb).cast("array<double>").as("__ce")))
+    vecs.select(col(id), col(emb))
+      .crossJoin(cents)
+      .withColumn("__cos", cosine(col(emb).cast("array<double>"), col("__ce")))
+      .groupBy(col(id))
+      .agg(max_by(col("__c"), struct(col("__cos"), -col("__c"))).as("cell"))
+  }
+
+  /** IVF search: rank the `k` cells by query-to-centroid cosine, scan only
+    * the `nprobe` best cells, exact cosine re-rank inside them. */
+  def ivfSearch(
+      vecs: DataFrame, id: String, emb: String,
+      queryId: Long, k: Int, nprobe: Int, topK: Int): DataFrame = {
+    val q = broadcast(vecs.where(col(id) === queryId)
+      .select(col(emb).cast("array<double>").as("__qe")))
+    val cents = vecs.where(col(id) < k)
+      .select(col(id).as("cell"), col(emb).cast("array<double>").as("__ce"))
+    val probes = broadcast(cents.crossJoin(q)
+      .select(col("cell"), cosine(col("__ce"), col("__qe")).as("__pc"))
+      .orderBy(col("__pc").desc, col("cell"))
+      .limit(nprobe)
+      .select("cell"))
+    vecs.select(col(id), col(emb))
+      .join(ivfAssign(vecs, id, emb, k), id)
+      .join(probes, "cell")
+      .crossJoin(q)
+      .select(col(id),
+        round(cosine(col(emb).cast("array<double>"), col("__qe")), 4).as("cos"))
+      .orderBy(col("cos").desc, col(id))
+      .limit(topK)
+  }
+
   /** Embedding-cosine near-dup over candidate pairs (a, b). */
   def cosinePairs(vecs: DataFrame, pairs: DataFrame, id: String, emb: String): DataFrame =
     pairs

@@ -1,0 +1,183 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Similarity, Temporal}
+
+/** Round-2 widening of the oracle surface: IVF ANN search, as-of join,
+  * sessionization, and the relational operators a complete engine owes its
+  * users (rollup, exact percentiles, outer join, pivot) — each with the
+  * DuckDB oracle that independently recomputes it (the as-of oracle uses
+  * DuckDB's native ASOF JOIN, a genuinely independent implementation of the
+  * semantics our union-trick operator claims).
+  */
+object RelationalQueries {
+
+  private def t(s: SparkSession, d: String, name: String): DataFrame =
+    s.read.parquet(s"$d/$name.parquet")
+
+  /** 3-day gap (ns) — events average ~5.5 days apart per user at sf0.01, so
+    * this yields a mix of merged and singleton sessions. */
+  val SessionGapNs: Long = 259200L * 1000000000L
+
+  // ---- Spark-side queries ----
+
+  /** IVF ANN: k=8 coarse cells, probe the best 2 for query vec 0, top-10. */
+  def annIvf(s: SparkSession, d: String): DataFrame =
+    Similarity.ivfSearch(t(s, d, "embeddings"), "vec_id", "embedding",
+      queryId = 0, k = 8, nprobe = 2, topK = 10)
+
+  /** Backward as-of join: each click matched to the user's latest
+    * at-or-before error event (inner semantics: unmatched clicks dropped so
+    * both sides emit non-null int64 timestamps). */
+  def asofJoin(s: SparkSession, d: String): DataFrame = {
+    // DuckDB timestamps are microsecond-precision, so the oracle's epoch_ns
+    // is micro-truncated; truncate our nanos BEFORE the join so both engines
+    // match on identical values (a sub-microsecond difference could
+    // otherwise flip an e.ts <= c.ts decision).
+    val ev = TimeSeriesQueries.events(s, d)
+      .withColumn("ts", expr("ts div 1000") * 1000)
+    val clicks = ev.where(col("event_type") === "click")
+      .select("event_id", "user_id", "ts")
+    val errors = ev.where(col("event_type") === "error")
+      .select("event_id", "user_id", "ts", "value")
+    Temporal.asofBackward(clicks, errors, Seq("user_id"), "ts", "ts",
+        rightCols = Seq("ts", "value"), rightTiebreak = Some("event_id"))
+      .where(col("asof_ts").isNotNull)
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("asof_ts"), col("asof_value"))
+      .orderBy("event_id")
+  }
+
+  /** Gap-based sessionization of the event stream per user. */
+  def sessionize(s: SparkSession, d: String): DataFrame =
+    Temporal.sessionize(
+        TimeSeriesQueries.events(s, d)
+          .select("event_id", "user_id", "ts"),
+        Seq("user_id"), "ts", SessionGapNs, tiebreak = Seq("event_id"))
+      .select("event_id", "user_id", "session_id")
+      .orderBy("event_id")
+
+  /** ROLLUP with subtotal rows (grouping nulls folded to 'ALL'). */
+  def rollupAgg(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(round(sum("l_quantity"), 2).as("sum_qty"), count(lit(1)).as("n"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("rflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("lstat"),
+        col("sum_qty"), col("n"))
+      .orderBy("rflag", "lstat")
+
+  /** Exact interpolated percentiles (median + p90) per group. */
+  def percentiles(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("med"),
+        round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90"))
+      .orderBy("l_returnflag")
+
+  /** Left outer join keeping order-less customers (zero-filled). */
+  def outerJoin(s: SparkSession, d: String): DataFrame =
+    t(s, d, "customer")
+      .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"), "left")
+      .groupBy("c_custkey")
+      .agg(
+        count(col("o_orderkey")).as("n_orders"),
+        round(coalesce(sum("o_totalprice"), lit(0.0)), 2).as("spend"))
+      .orderBy("c_custkey")
+
+  /** Pivot order totals by status (fixed pivot values -> stable schema). */
+  def pivotAgg(s: SparkSession, d: String): DataFrame =
+    t(s, d, "orders")
+      .groupBy("o_orderpriority")
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(round(sum("o_totalprice"), 2))
+      .na.fill(0.0, Seq("F", "O", "P"))
+      .orderBy("o_orderpriority")
+
+  // ---- DuckDB oracles ----
+
+  val sql: Map[String, String] = Map(
+    "q40_ann_ivf" ->
+      """WITH ex AS (SELECT vec_id, i - 1 AS d, embedding[i]::DOUBLE AS v
+        |  FROM embeddings CROSS JOIN generate_series(1, 64) t(i)),
+        |cent AS (SELECT vec_id AS c, d, v FROM ex WHERE vec_id < 8),
+        |sim AS (SELECT e.vec_id, ct.c,
+        |    sum(e.v * ct.v) / sqrt(sum(e.v * e.v)) / sqrt(sum(ct.v * ct.v)) AS cs
+        |  FROM ex e JOIN cent ct USING (d) GROUP BY e.vec_id, ct.c),
+        |assigned AS (SELECT vec_id, c AS cell FROM (
+        |    SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY cs DESC, c) AS rn FROM sim) WHERE rn = 1),
+        |probes AS (SELECT c AS cell FROM sim WHERE vec_id = 0
+        |  ORDER BY cs DESC, c LIMIT 2),
+        |q AS (SELECT d, v FROM ex WHERE vec_id = 0),
+        |scored AS (SELECT e.vec_id,
+        |    round(sum(e.v * q.v) / sqrt(sum(e.v * e.v)) / sqrt(sum(q.v * q.v)), 4) AS cos
+        |  FROM ex e JOIN q USING (d)
+        |  WHERE e.vec_id IN (SELECT a.vec_id FROM assigned a JOIN probes p USING (cell))
+        |  GROUP BY e.vec_id)
+        |SELECT vec_id, cos FROM scored ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
+
+    // independent implementation: DuckDB's native ASOF JOIN vs our
+    // union+last-ignoreNulls operator
+    "q41_asof_join" ->
+      """WITH c AS (SELECT event_id, user_id, epoch_ns(ts) AS ts FROM events
+        |  WHERE event_type = 'click'),
+        |e AS (SELECT user_id, epoch_ns(ts) AS ts, value FROM events
+        |  WHERE event_type = 'error')
+        |SELECT c.event_id, c.user_id, c.ts,
+        |  e.ts AS asof_ts, e.value AS asof_value
+        |FROM c ASOF JOIN e ON c.user_id = e.user_id AND e.ts <= c.ts
+        |ORDER BY c.event_id""".stripMargin,
+
+    "q42_sessionize" ->
+      s"""WITH e AS (SELECT event_id, user_id, epoch_ns(ts) AS tns FROM events),
+         |f AS (SELECT event_id, user_id, tns,
+         |    CASE WHEN tns - lag(tns) OVER w > $SessionGapNs THEN 1 ELSE 0 END AS brk
+         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tns, event_id))
+         |SELECT event_id, user_id,
+         |  sum(brk) OVER (PARTITION BY user_id ORDER BY tns, event_id
+         |    ROWS UNBOUNDED PRECEDING)::BIGINT AS session_id
+         |FROM f ORDER BY event_id""".stripMargin,
+
+    "q43_rollup" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS rflag,
+        |  coalesce(l_linestatus, 'ALL') AS lstat,
+        |  round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY rflag, lstat""".stripMargin,
+
+    "q44_percentiles" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_extendedprice, 0.5), 4) AS med,
+        |  round(quantile_cont(l_extendedprice, 0.9), 4) AS p90
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q45_outer_join" ->
+      """SELECT c_custkey, count(o_orderkey) AS n_orders,
+        |  round(coalesce(sum(o_totalprice), 0), 2) AS spend
+        |FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+
+    "q46_pivot" ->
+      """SELECT o_orderpriority,
+        |  coalesce(round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2), 0) AS "F",
+        |  coalesce(round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 2), 0) AS "O",
+        |  coalesce(round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 2), 0) AS "P"
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+  )
+
+  /** Spark-side entries matching [[sql]]. */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q40_ann_ivf" -> annIvf _,
+    "q41_asof_join" -> asofJoin _,
+    "q42_sessionize" -> sessionize _,
+    "q43_rollup" -> rollupAgg _,
+    "q44_percentiles" -> percentiles _,
+    "q45_outer_join" -> outerJoin _,
+    "q46_pivot" -> pivotAgg _,
+  )
+}

@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Similarity, Temporal}
+
+/** Library-level tests for the temporal operators (as-of join,
+  * sessionization) and the IVF ANN path: the union-trick as-of is checked
+  * against a naive per-row reference computed in plain Scala.
+  */
+class TemporalSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // (key, t) left probes; (key, t, v) right states
+  val leftRows = Seq((1L, 5L), (1L, 10L), (1L, 3L), (2L, 7L), (3L, 1L))
+  val rightRows = Seq((1L, 3L, 30.0), (1L, 8L, 80.0), (2L, 7L, 77.0), (2L, 9L, 99.0))
+
+  test("asofBackward matches the naive latest-at-or-before lookup") {
+    val left = leftRows.toDF("user_id", "ts")
+    val right = rightRows.toDF("user_id", "ts", "value")
+    val got = Temporal.asofBackward(left, right, Seq("user_id"), "ts", "ts",
+        rightCols = Seq("ts", "value"))
+      .select("user_id", "ts", "asof_ts", "asof_value")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+      .toSet
+    val expected = leftRows.map { case (k, t) =>
+      val m = rightRows.filter(r => r._1 == k && r._2 <= t).sortBy(_._2).lastOption
+      (k, t, m.map(_._2), m.map(_._3))
+    }.toSet
+    assert(got == expected)
+    // exact-time tie matches (1,3)->(3,30); no-earlier-row probe is null
+    assert(expected.contains((1L, 3L, Some(3L), Some(30.0))))
+    assert(expected.contains((3L, 1L, None, None)))
+  }
+
+  test("sessionize splits on gaps > threshold per key") {
+    val df = Seq(
+      (1L, 0L), (1L, 10L), (1L, 100L), (1L, 105L), // gap 90 splits
+      (2L, 0L), (2L, 200L), (2L, 205L)             // gap 200 splits
+    ).toDF("user_id", "ts")
+    val got = Temporal.sessionize(df, Seq("user_id"), "ts", gap = 50L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set(
+      (1L, 0L, 0L), (1L, 10L, 0L), (1L, 100L, 1L), (1L, 105L, 1L),
+      (2L, 0L, 0L), (2L, 200L, 1L), (2L, 205L, 1L)))
+  }
+
+  test("IVF: query vector lands in its own cell and ranks first at cos 1.0") {
+    // 16 vectors in 4 dims; ids 0..3 double as centroids
+    val vecs = (0 until 16).map { i =>
+      val base = Array.fill(4)(0.1f)
+      base(i % 4) = 1.0f + (i / 4) * 0.05f
+      (i.toLong, base)
+    }.toDF("vec_id", "embedding")
+    val assigned = Similarity.ivfAssign(vecs, "vec_id", "embedding", 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every centroid is its own nearest centroid
+    (0L until 4L).foreach(c => assert(assigned(c) == c, s"centroid $c -> ${assigned(c)}"))
+    // vectors dominated by dimension d land in centroid d's cell
+    assert(assigned(5L) == 1L && assigned(10L) == 2L)
+
+    val hits = Similarity.ivfSearch(vecs, "vec_id", "embedding",
+        queryId = 6, k = 4, nprobe = 1, topK = 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    // nprobe=1 restricts the scan to the query's own cell (ids = 2 mod 4);
+    // the query itself scores cos 1.0 (near-parallel cellmates may tie at
+    // 4-decimal rounding, id ascending breaks the tie)
+    assert(hits.forall(_._1 % 4 == 2), s"probe must stay in cell 2: ${hits.toSeq}")
+    assert(hits.exists(h => h._1 == 6L && h._2 == 1.0),
+      s"query must be found at cos 1.0: ${hits.toSeq}")
+  }
+}
