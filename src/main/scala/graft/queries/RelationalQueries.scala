@@ -1,9 +1,12 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.engine.MultiSeriesEngine
 import graft.operators.{Similarity, Temporal}
+import graft.parser.QueryParser
 
 /** Round-2 widening of the oracle surface: IVF ANN search, as-of join,
   * sessionization, and the relational operators a complete engine owes its
@@ -98,6 +101,22 @@ object RelationalQueries {
       .na.fill(0.0, Seq("F", "O", "P"))
       .orderBy("o_orderpriority")
 
+  /** The horizontal (100 TB) CP path, oracle-gated: the same reference
+    * semantics run independently over a corpus of series (sid = user_id % 4),
+    * every stage partitioned by sid — per-series grid, per-series probes,
+    * per-series LIMIT via a bounded-state ranking window. */
+  def cpMultiSeries(s: SparkSession, d: String): DataFrame = {
+    val series = TimeSeriesQueries.events(s, d)
+      .select((col("user_id") % 4).as("sid"), col("event_id"), col("value"))
+      .withColumn("t",
+        row_number().over(Window.partitionBy("sid").orderBy("event_id")).cast("long"))
+      .select(col("sid"), col("t"), col("value").as("y"))
+    val spec = QueryParser.parse(
+      "SELECT time_id, offset IN_DOMAIN [1, 200], [5, 10] FROM events.value " +
+        "WHERE avg_amp() in [80, 100] MAX LIMIT 50")
+    MultiSeriesEngine.execute(s, series, spec)
+  }
+
   // ---- DuckDB oracles ----
 
   val sql: Map[String, String] = Map(
@@ -168,6 +187,27 @@ object RelationalQueries {
         |  coalesce(round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 2), 0) AS "O",
         |  coalesce(round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 2), 0) AS "P"
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q47_cp_multiseries" ->
+      """WITH base AS (SELECT user_id % 4 AS sid, event_id, value FROM events),
+        |series AS (SELECT sid,
+        |    row_number() OVER (PARTITION BY sid ORDER BY event_id) AS t,
+        |    value AS y FROM base),
+        |ext AS (SELECT sid, max(t) AS tmax FROM series GROUP BY sid),
+        |grid AS (SELECT e.sid, x, lx FROM ext e
+        |         CROSS JOIN generate_series(1, 200) g(x)
+        |         CROSS JOIN generate_series(5, 10) h(lx)
+        |         WHERE x + lx <= e.tmax),
+        |vals AS (SELECT g.sid, g.x, g.lx, avg(s.y) AS c0
+        |         FROM grid g JOIN series s
+        |           ON s.sid = g.sid AND s.t BETWEEN g.x AND g.x + g.lx
+        |         GROUP BY g.sid, g.x, g.lx)
+        |SELECT sid, time_id, "offset" FROM (
+        |  SELECT sid, x AS time_id, lx AS "offset",
+        |    row_number() OVER (PARTITION BY sid ORDER BY x, lx) AS rn
+        |  FROM vals WHERE c0 BETWEEN 80 AND 100)
+        |WHERE rn <= 50
+        |ORDER BY sid, time_id, "offset"""".stripMargin,
   )
 
   /** Spark-side entries matching [[sql]]. */
@@ -179,5 +219,6 @@ object RelationalQueries {
     "q44_percentiles" -> percentiles _,
     "q45_outer_join" -> outerJoin _,
     "q46_pivot" -> pivotAgg _,
+    "q47_cp_multiseries" -> cpMultiSeries _,
   )
 }

@@ -38,6 +38,23 @@ object StreamingOps {
       .select(col("window.start").as("win_start"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** Watermarked session-window aggregation — the streaming form of the
+    * batch gap-based sessionization ([[graft.operators.Temporal.sessionize]],
+    * SparkEntry q42): a session closes once no event arrives within `gap`,
+    * and the watermark bounds how long an open session's state is held.
+    */
+  def sessionAgg(
+      events: DataFrame,
+      gap: String = "30 minutes",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
+      .select(col("session_window.start").as("sess_start"),
+        col("session_window.end").as("sess_end"),
+        col("user_id"), col("n"), col("sum_value"))
+
   /** Custom keyed state via mapGroupsWithState: per-user running
     * count/sum/max — state the built-in aggregations would re-shuffle for,
     * kept incrementally per key. State size is O(keys), partitioned by key

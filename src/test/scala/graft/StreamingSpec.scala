@@ -39,6 +39,35 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("session windows close after the gap and split per user") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Evt]
+    val agg = StreamingOps.sessionAgg(mem.toDF(), "30 minutes", "2 hours")
+    val q = agg.writeStream.outputMode(OutputMode.Complete())
+      .format("memory").queryName("sess_out").start()
+    try {
+      mem.addData(
+        Evt(ts(0, 0), 1, "click", 1.0),   // session A (user 1)
+        Evt(ts(0, 20), 1, "click", 2.0),  // still A (gap 20m < 30m)
+        Evt(ts(1, 30), 1, "click", 4.0),  // gap 70m -> session B
+        Evt(ts(0, 5), 2, "view", 8.0))    // user 2's own session
+      q.processAllAvailable()
+      val rows = spark.table("sess_out")
+        .orderBy("user_id", "sess_start").collect()
+      assert(rows.length == 3)
+      // user 1, session A: 2 events, sum 3.0, closes 30m after the last event
+      assert(rows(0).getAs[Timestamp]("sess_start") == ts(0, 0))
+      assert(rows(0).getAs[Timestamp]("sess_end") == ts(0, 50))
+      assert(rows(0).getLong(3) == 2 && rows(0).getDouble(4) == 3.0)
+      // user 1, session B: singleton
+      assert(rows(1).getAs[Timestamp]("sess_start") == ts(1, 30))
+      assert(rows(1).getLong(3) == 1)
+      // user 2: singleton
+      assert(rows(2).getLong(2) == 2L && rows(2).getLong(3) == 1)
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState keeps per-key running stats across batches") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
