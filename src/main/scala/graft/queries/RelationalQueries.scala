@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.engine.MultiSeriesEngine
-import graft.operators.{Similarity, Temporal}
+import graft.operators.{Similarity, Skew, Temporal}
 import graft.parser.QueryParser
 
 /** Round-2 widening of the oracle surface: IVF ANN search, as-of join,
@@ -117,6 +117,40 @@ object RelationalQueries {
     MultiSeriesEngine.execute(s, series, spec)
   }
 
+  /** Skew-safe two-phase salted aggregation, oracle-gated against the plain
+    * single-phase GROUP BY it must be equivalent to (salting is
+    * semantics-preserving; only the shuffle shape changes). */
+  def skewSaltedAgg(s: SparkSession, d: String): DataFrame =
+    Skew.saltedAgg(t(s, d, "lineitem"),
+        col("l_returnflag"), col("l_orderkey"), numSalts = 8,
+        Seq(
+          Skew.SaltedAgg("l_quantity", c => sum(c), c => sum(c), "sum_qty_raw"),
+          Skew.SaltedAgg("l_quantity", c => count(c), c => sum(c), "n"),
+          Skew.SaltedAgg("l_extendedprice", c => max(c), c => max(c), "max_price")))
+      .select(col("key").as("l_returnflag"),
+        round(col("sum_qty_raw"), 2).as("sum_qty"), col("n"), col("max_price"))
+      .orderBy("l_returnflag")
+
+  /** Sketch aggregates gated by tolerance: HLL++ distinct count and the
+    * approximate percentile must land within 5% of the exact values the
+    * oracle recomputes (both sketches are merge-order-insensitive enough
+    * that the boolean is deterministic at this accuracy). */
+  def sketchTolerance(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        countDistinct(col("l_partkey")).as("exact_nd"),
+        approx_count_distinct(col("l_partkey"), 0.02).as("approx_nd"),
+        expr("percentile(l_extendedprice, 0.5)").as("exact_med"),
+        expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("approx_med"))
+      .select(col("l_returnflag"), col("exact_nd"),
+        (abs(col("approx_nd") - col("exact_nd")).cast("double") /
+          col("exact_nd") <= 0.05).as("nd_within_5pct"),
+        round(col("exact_med"), 4).as("exact_med"),
+        (abs(col("approx_med") - col("exact_med")) /
+          col("exact_med") <= 0.05).as("med_within_5pct"))
+      .orderBy("l_returnflag")
+
   // ---- DuckDB oracles ----
 
   val sql: Map[String, String] = Map(
@@ -208,6 +242,21 @@ object RelationalQueries {
         |  FROM vals WHERE c0 BETWEEN 80 AND 100)
         |WHERE rn <= 50
         |ORDER BY sid, time_id, "offset"""".stripMargin,
+
+    "q48_skew_salted_agg" ->
+      """SELECT l_returnflag, round(sum(l_quantity), 2) AS sum_qty,
+        |  count(*) AS n, max(l_extendedprice) AS max_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // the oracle recomputes the exact values and asserts the Spark-side
+    // sketches landed within tolerance (literal true columns)
+    "q49_sketch_tolerance" ->
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_partkey) AS exact_nd,
+        |  true AS nd_within_5pct,
+        |  round(quantile_cont(l_extendedprice, 0.5), 4) AS exact_med,
+        |  true AS med_within_5pct
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
   )
 
   /** Spark-side entries matching [[sql]]. */
@@ -220,5 +269,7 @@ object RelationalQueries {
     "q45_outer_join" -> outerJoin _,
     "q46_pivot" -> pivotAgg _,
     "q47_cp_multiseries" -> cpMultiSeries _,
+    "q48_skew_salted_agg" -> skewSaltedAgg _,
+    "q49_sketch_tolerance" -> sketchTolerance _,
   )
 }
