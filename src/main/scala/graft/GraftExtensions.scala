@@ -1,0 +1,22 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.RollingHash
+
+/** Library entry point for `spark.sql.extensions=graft.GraftExtensions`:
+  * installs the engine's native expressions into every session built from
+  * the config (and every `newSession()` derived from it), with no imperative
+  * `register` call — the standard way a Spark library ships Catalyst
+  * extensions (functions here; rules/strategies would inject the same way).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("rolling_hash"),
+      new ExpressionInfo(classOf[RollingHash].getName, "rolling_hash"),
+      (exprs: Seq[Expression]) => RollingHash(exprs.head)))
+  }
+}

@@ -29,6 +29,15 @@ class FunctionsSpec extends AnyFunSuite {
     assert(got == RollingHash.eval("hello world".getBytes("UTF-8")))
   }
 
+  test("GraftExtensions installs rolling_hash without an imperative register") {
+    // newSession() builds a fresh SessionState: the temp function installed
+    // by register() above is gone, but the extensions-injected one (from
+    // spark.sql.extensions=graft.GraftExtensions on the test session) stays
+    val fresh = spark.newSession()
+    val got = fresh.sql("SELECT rolling_hash('hello world') AS h").head().getLong(0)
+    assert(got == RollingHash.eval("hello world".getBytes("UTF-8")))
+  }
+
   test("rolling_hash stays inside whole-stage codegen") {
     // spark.range is a codegen source (a literal local table would be
     // constant-folded into a LocalTableScan via the interpreted path)
