@@ -161,6 +161,12 @@ object SeriesOps {
   /** Join `grid` to the index at position `pos` (an expression over grid
     * columns), adding the requested index columns renamed with `prefix`.
     * Left join: positions outside [tMin,tMax] yield nulls (callers clamp).
+    *
+    * NOTE on broadcast reuse: each probe builds its own broadcast of the
+    * (column-pruned) index. Sharing one exchange across probes is not
+    * worth forcing — Catalyst's column pruning keeps an avg probe from
+    * broadcasting the sparse-table arrays an s/y lookup never reads, which
+    * is the right trade at scale.
     */
   def lookupAt(
       grid: DataFrame,
