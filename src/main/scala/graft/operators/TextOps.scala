@@ -94,4 +94,42 @@ object TextOps {
       .groupBy(id)
       .agg((sum(pmod(portableHash(col("w"), 7), lit(1000003L))) % 1000003L)
         .as("fingerprint"))
+
+  /** Stopword list for the stopword-ratio quality signal (the 'en' marker
+    * set — a corpus-curation heuristic, not linguistics). */
+  val Stopwords: Seq[String] = Seq("the", "and", "of", "to", "in", "is", "a")
+
+  /** Stopword ratio per document: tokens drawn from [[Stopwords]] over all
+    * tokens — near-zero flags keyword-stuffed or non-prose content; all
+    * higher-order-function column arithmetic, no explode, no shuffle. */
+  def stopwordRatio(df: DataFrame, text: String, id: String): DataFrame = {
+    val toks = tokens(col(text))
+    val stops = array(Stopwords.map(lit): _*)
+    df.select(col(id),
+      size(toks).as("n_tokens"),
+      size(filter(toks, t => array_contains(stops, t))).as("n_stop"),
+      round(size(filter(toks, t => array_contains(stops, t))).cast("double") /
+        size(toks).cast("double"), 6).as("stop_ratio"))
+  }
+
+  /** Per-document top term by TF-IDF over the corpus: tf = in-doc term
+    * count, idf = ln(N / df) with df = number of documents containing the
+    * term. Two shuffles (term aggregation, df join) + a per-doc top-1
+    * ranking window — the standard distributed formulation; at scale both
+    * aggregations partial-combine map-side. Ties break to the
+    * lexicographically smallest term for determinism. */
+  def tfidfTopTerm(df: DataFrame, text: String, id: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val n = df.count()
+    val tok = df.select(col(id), explode(tokens(col(text))).as("w"))
+    val tf = tok.groupBy(col(id), col("w")).agg(count(lit(1)).as("tf"))
+    val dfreq = tok.select(col(id), col("w")).distinct()
+      .groupBy("w").agg(count(lit(1)).as("dfreq"))
+    val scored = tf.join(dfreq, "w")
+      .withColumn("score", col("tf") * log(lit(n.toDouble) / col("dfreq")))
+    val win = Window.partitionBy(col(id)).orderBy(col("score").desc, col("w"))
+    scored.withColumn("__rn", row_number().over(win))
+      .where(col("__rn") === 1)
+      .select(col(id), col("w").as("top_term"), round(col("score"), 6).as("score"))
+  }
 }

@@ -89,6 +89,12 @@ object LlmQueries {
     Similarity.lshBuckets(s, embs(s, d), "vec_id", "embedding", 16)
       .orderBy("vec_id")
 
+  def textStopwords(s: SparkSession, d: String): DataFrame =
+    TextOps.stopwordRatio(docs(s, d), "text", "doc_id").orderBy("doc_id")
+
+  def textTfidf(s: SparkSession, d: String): DataFrame =
+    TextOps.tfidfTopTerm(docs(s, d), "text", "doc_id").orderBy("doc_id")
+
   def multimodalMeta(s: SparkSession, d: String): DataFrame =
     Multimodal.stubMetaColumns(
       Multimodal.withBinaryPayload(docs(s, d), "text"), "doc_id", "payload")
@@ -235,6 +241,34 @@ object LlmQueries {
         |  (1 + octet_length(encode(text)) % 30)::INTEGER AS frames
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    "q50_text_stopwords" -> {
+      val list = TextOps.Stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"""WITH t AS (SELECT doc_id,
+         |    string_split_regex(trim(lower(text)), '\\s+') AS toks
+         |  FROM documents)
+         |SELECT doc_id, len(toks) AS n_tokens,
+         |  len(list_filter(toks, x -> list_contains($list, x))) AS n_stop,
+         |  round(len(list_filter(toks, x -> list_contains($list, x)))::DOUBLE
+         |    / len(toks), 6) AS stop_ratio
+         |FROM t ORDER BY doc_id""".stripMargin
+    },
+
+    // plain (non-interpolated) triple-quoted string: \s+ stays literal here
+    "q51_text_tfidf" ->
+      """WITH tok AS (SELECT doc_id,
+        |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+        |  FROM documents),
+        |tf AS (SELECT doc_id, w, count(*) AS tf FROM tok GROUP BY doc_id, w),
+        |dfreq AS (SELECT w, count(DISTINCT doc_id) AS dfreq FROM tok GROUP BY w),
+        |n AS (SELECT count(*)::DOUBLE AS n FROM documents),
+        |scored AS (SELECT tf.doc_id, tf.w,
+        |    tf.tf * ln(n.n / dfreq.dfreq) AS score
+        |  FROM tf JOIN dfreq USING (w) CROSS JOIN n)
+        |SELECT doc_id, w AS top_term, round(score, 6) AS score FROM (
+        |  SELECT doc_id, w, score, row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY score DESC, w) AS rn FROM scored)
+        |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
     "q38_part_agg" ->
       """SELECT p_brand, count(*) AS n, round(avg(p_retailprice), 4) AS avg_price,
         |  sum(p_size)::BIGINT AS sum_size
@@ -261,6 +295,8 @@ object LlmQueries {
     "q35_ann_bruteforce" -> annBruteForce _,
     "q36_ann_lsh_buckets" -> annLshBuckets _,
     "q37_multimodal_meta" -> multimodalMeta _,
+    "q50_text_stopwords" -> textStopwords _,
+    "q51_text_tfidf" -> textTfidf _,
     "q38_part_agg" -> ((s, d) =>
       s.read.parquet(s"$d/part.parquet")
         .groupBy("p_brand")
