@@ -15,9 +15,22 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Cosine similarity between two array<float/double> columns (element-wise
-    * via zip_with + aggregate — codegen'd higher-order functions, no UDF). */
+  /** Cosine similarity between two array<double> columns, built on the
+    * native codegen [[graft.functions.DotProduct]] expression — a tight
+    * primitive loop instead of the zip_with/aggregate lambda pipeline. The
+    * accumulation order (left-to-right fold) is identical, so results are
+    * bit-equal to [[cosineHof]] (asserted in FunctionsSpec) and the DuckDB
+    * oracles are unchanged. */
   def cosine(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column): Column =
+      graft.functions.DotProduct.dot_product(x, y)
+    dot(a, b) / sqrt(dot(a, a)) / sqrt(dot(b, b))
+  }
+
+  /** The composable higher-order-function formulation of [[cosine]]
+    * (zip_with + aggregate) — kept as the reference implementation the
+    * native expression is verified against. */
+  def cosineHof(a: Column, b: Column): Column = {
     def dot(x: Column, y: Column): Column =
       aggregate(zip_with(x, y, (u, v) => u * v.cast("double")),
         lit(0.0), (acc, e) => acc + e)

@@ -29,6 +29,31 @@ class FunctionsSpec extends AnyFunSuite {
     assert(got == RollingHash.eval("hello world".getBytes("UTF-8")))
   }
 
+  test("dot_product native expression is bit-identical to zip_with+aggregate") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    // synthetic pair including negatives, zeros, and magnitudes apart
+    val df = Seq((
+      Array(0.1, -2.5, 3.75, 0.0, 1e-9, 123.456),
+      Array(1.5, 2.25, -0.125, 4.0, -7.5, 0.001)
+    )).toDF("x", "y")
+    val r = df.select(
+      Similarity.cosine(col("x"), col("y")).as("native"),
+      Similarity.cosineHof(col("x"), col("y")).as("hof")).head()
+    assert(r.getDouble(0) == r.getDouble(1)) // exact, not approx
+    // and over the real embeddings table: every row bit-equal on a
+    // self-pair and against a broadcast query vector
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val q = org.apache.spark.sql.functions.broadcast(
+      e.where(col("vec_id") === 0).select(col("v").as("qv")))
+    val diffs = e.crossJoin(q).where(
+        Similarity.cosine(col("v"), col("qv")) =!=
+          Similarity.cosineHof(col("v"), col("qv")))
+      .count()
+    assert(diffs == 0)
+  }
+
   test("GraftExtensions installs rolling_hash without an imperative register") {
     // newSession() builds a fresh SessionState: the temp function installed
     // by register() above is gone, but the extensions-injected one (from
