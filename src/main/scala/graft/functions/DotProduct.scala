@@ -76,4 +76,9 @@ object DotProduct {
   /** Column API. */
   def dot_product(a: Column, b: Column): Column =
     GraftShims.column(DotProduct(GraftShims.expression(a), GraftShims.expression(b)))
+
+  /** Register for SQL: `SELECT dot_product(a, b) FROM ...`. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "dot_product", exprs => DotProduct(exprs.head, exprs(1)), "scala_udf")
 }

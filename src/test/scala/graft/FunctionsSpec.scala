@@ -61,6 +61,11 @@ class FunctionsSpec extends AnyFunSuite {
     val fresh = spark.newSession()
     val got = fresh.sql("SELECT rolling_hash('hello world') AS h").head().getLong(0)
     assert(got == RollingHash.eval("hello world".getBytes("UTF-8")))
+    // dot_product rides the same extension point
+    val dp = fresh.sql(
+      "SELECT dot_product(array(1.0d, 2.0d, 3.0d), array(4.0d, 5.0d, 6.0d)) AS d")
+      .head().getDouble(0)
+    assert(dp == 32.0)
   }
 
   test("rolling_hash stays inside whole-stage codegen") {
