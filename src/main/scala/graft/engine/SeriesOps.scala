@@ -1,8 +1,10 @@
 package graft.engine
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+import org.apache.spark.storage.StorageLevel
 
 /** Scale-first building blocks for range aggregates over a time series.
   *
@@ -23,10 +25,12 @@ import org.apache.spark.sql.functions._
   * Total cost: O(N log maxWin) build + O(cells) probes, vs the reference's
   * O(cells x window).
   *
-  * NOTE on partitioning: the reference is single-series, so the build windows
-  * here are `Window.orderBy(t)` (one partition). For a multi-series corpus at
-  * 100 TB, add a `series_id` column and `Window.partitionBy(series_id)
-  * .orderBy(t)` — every formula below is unchanged within a partition.
+  * NOTE on partitioning: the declarative [[index]] build (the reference
+  * formulation) uses `Window.orderBy(t)` — one partition, kept as the
+  * executable spec the kernel builds are tested against. The production
+  * builds ([[indexFast]]/[[indexFastFromOrdered]]) are partitioned two-pass
+  * kernels ([[twoPassBuild]]) with no single-partition stage. For a
+  * multi-series corpus, [[MultiSeriesEngine]] partitions by series id.
   */
 object SeriesOps {
 
@@ -39,12 +43,18 @@ object SeriesOps {
   /** Assign the reference's dense ascending surrogate key
     * (`time_id BIGSERIAL`, reference: db_preparation.py:59,93).
     *
-    * Implemented as `row_number` over a total order. This is a single-partition
-    * sort — fine up to ~10^8 rows; at 100 TB assign per-partition offsets
-    * instead (zipWithIndex-style: partition row counts -> prefix offsets).
+    * Distributed two-pass assignment: range-partition + sort on the order
+    * columns (global order across partitions), then zipWithIndex — a first
+    * job counts rows per partition, a second adds the per-partition prefix
+    * offsets. No single-partition sort anywhere, so this holds at 10^9+ rows.
     */
-  def withTimeId(df: DataFrame, orderCols: Seq[Column], as: String = "t"): DataFrame =
-    df.withColumn(as, row_number().over(Window.orderBy(orderCols: _*)).cast("long"))
+  def withTimeId(df: DataFrame, orderCols: Seq[Column], as: String = "t"): DataFrame = {
+    val spark = df.sparkSession
+    val sorted = df.repartitionByRange(orderCols: _*).sortWithinPartitions(orderCols: _*)
+    val out = StructType(sorted.schema.fields :+ StructField(as, LongType, nullable = false))
+    val rows = sorted.rdd.zipWithIndex().map { case (r, i) => Row.fromSeq(r.toSeq :+ (i + 1L)) }
+    spark.createDataFrame(rows, out)
+  }
 
   /** Build the index. `maxWin` = largest window length (in rows) any probe
     * will ask for; levels = floor(log2(maxWin)) + 1.
@@ -71,73 +81,151 @@ object SeriesOps {
     SeriesIndex(indexed, bounds.getLong(0), bounds.getLong(1), levels)
   }
 
-  /** Row shape produced by [[indexFast]]. */
+  /** Row shape produced by the kernel builds. */
   final case class IndexedPoint(t: Long, y: Double, s: Double, ms: Array[Double])
 
-  /** Single-pass index build: buffers each (sorted) partition and computes
-    * prefix sums + all sparse-table levels imperatively — one shuffle + one
-    * sort instead of log2(maxWin) sequential window stages. Semantically
-    * identical to [[index]] (asserted in EngineSpec); use for single-series
-    * or per-partition-complete series. The declarative build remains the
-    * reference formulation (and the multi-series engine's path).
+  /** Per-partition pass-1 digest: row count, sequential partial sum, the
+    * first `look` values (lookahead halo material), and the first/last keys.
+    */
+  private final case class PartStats(
+      pid: Int, cnt: Long, sum: Double, head: Array[Double], tFirst: Long, tLast: Long)
+
+  private def levelsFor(maxWin: Long): Int =
+    math.max(1, 64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, maxWin)))
+
+  /** Partitioned two-pass kernel build — the scale path. The series is
+    * range-partitioned and sorted on its key, then:
+    *
+    *   pass 1 streams each partition once, collecting (count, sequential
+    *   partial sum, first `2^(levels-1)-1` values, first/last key) — a few
+    *   KB per partition, collected to the driver and folded into
+    *   per-partition ordinal offsets, prefix-sum carry-ins, and lookahead
+    *   halos (drawn from the heads of subsequent partitions, so short
+    *   partitions chain correctly);
+    *
+    *   pass 2 streams each partition again and builds prefix sums (seeded
+    *   with the carry-in) plus all sparse-table levels over
+    *   owned-rows ++ halo, emitting only the owned rows.
+    *
+    * No single-partition stage anywhere: both passes are embarrassingly
+    * parallel over the range partitions, and the driver holds only
+    * O(partitions x maxWin) doubles. Sparse-table levels are bit-identical
+    * to a sequential build (max is associative; the halo supplies exactly
+    * the values a truncated partition is missing, -Inf past the true series
+    * end). Prefix sums associate differently than one sequential sweep, so
+    * they agree bit-for-bit only when the sums are FP-exact and to ~ulp
+    * otherwise — EngineSpec asserts both. Downstream outputs round to 6
+    * decimals (matching the reference's display precision), so the oracle
+    * gate is insensitive to the association order.
+    *
+    * The result is materialized (persisted + counted) before the sorted
+    * input is released: an index exists to be probed many times, and eager
+    * build keeps the two passes reading one cached sort instead of
+    * re-shuffling per probe.
+    */
+  private def twoPassBuild(
+      sorted: Dataset[(Long, Double)], levels: Int, ordinal: Boolean): SeriesIndex = {
+    val spark = sorted.sparkSession
+    import spark.implicits._
+    val look = (1 << (levels - 1)) - 1
+    val ds = sorted.persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val stats = ds.rdd.mapPartitionsWithIndex { (pid, it) =>
+        var cnt = 0L; var sum = 0.0
+        var tFirst = 0L; var tLast = 0L
+        val head = new scala.collection.mutable.ArrayBuffer[Double](math.min(look, 1024))
+        it.foreach { case (t, y) =>
+          if (cnt == 0L) tFirst = t
+          tLast = t
+          if (cnt < look) head += y
+          cnt += 1; sum += y
+        }
+        Iterator.single(PartStats(pid, cnt, sum, head.toArray, tFirst, tLast))
+      }.collect().sortBy(_.pid)
+      val nonEmpty = stats.filter(_.cnt > 0)
+      require(nonEmpty.nonEmpty, "cannot index an empty series")
+      val n = stats.map(_.cnt).sum
+      val tOff = new Array[Long](stats.length)
+      val sCarry = new Array[Double](stats.length)
+      var c = 0L; var sc = 0.0; var i = 0
+      while (i < stats.length) {
+        tOff(i) = c; sCarry(i) = sc
+        c += stats(i).cnt; sc += stats(i).sum; i += 1
+      }
+      val halos: Array[Array[Double]] = Array.tabulate(stats.length) { p =>
+        val buf = new scala.collection.mutable.ArrayBuffer[Double](look)
+        var j = p + 1
+        while (buf.length < look && j < stats.length) {
+          buf ++= stats(j).head.take(look - buf.length)
+          j += 1
+        }
+        buf.toArray
+      }
+      val bc = spark.sparkContext.broadcast((tOff, sCarry, halos))
+      val indexed = ds.rdd.mapPartitionsWithIndex { (pid, it) =>
+        val rows = it.toArray
+        if (rows.isEmpty) Iterator.empty
+        else {
+          val (tOffB, sCarryB, halosB) = bc.value
+          val own = rows.length
+          val ys = new Array[Double](own)
+          var k = 0
+          while (k < own) { ys(k) = rows(k)._2; k += 1 }
+          val halo = halosB(pid)
+          val ext = new Array[Double](own + halo.length)
+          System.arraycopy(ys, 0, ext, 0, own)
+          System.arraycopy(halo, 0, ext, own, halo.length)
+          val m = buildLevels(ext, levels)
+          val s = new Array[Double](own)
+          var acc = sCarryB(pid)
+          k = 0
+          while (k < own) { acc += ys(k); s(k) = acc; k += 1 }
+          val off = tOffB(pid)
+          Iterator.tabulate(own) { q =>
+            val t = if (ordinal) off + q + 1L else rows(q)._1
+            IndexedPoint(t, ys(q), s(q), Array.tabulate(levels)(j => m(j)(q)))
+          }
+        }
+      }.toDF().persist(StorageLevel.MEMORY_AND_DISK)
+      indexed.count() // materialize before releasing the sorted input
+      val (tMin, tMax) =
+        if (ordinal) (1L, n) else (nonEmpty.head.tFirst, nonEmpty.last.tLast)
+      SeriesIndex(indexed, tMin, tMax, levels)
+    } finally { ds.unpersist(); () }
+  }
+
+  /** Kernel index build for a series that already carries its dense key
+    * `(t, y)`. Partitioned two-pass ([[twoPassBuild]]); semantically equal
+    * to the declarative [[index]] (asserted in EngineSpec).
     */
   def indexFast(series: DataFrame, maxWin: Long): SeriesIndex = {
-    val levels = math.max(1, 64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, maxWin)))
     val spark = series.sparkSession
     import spark.implicits._
+    val levels = levelsFor(maxWin)
     val sorted = series
-      .select(col("t").cast("long"), col("y").cast("double"))
-      .as[(Long, Double)]
-      .repartition(1)
+      .select(col("t").cast("long").as("t"), col("y").cast("double").as("y"))
+      .repartitionByRange(col("t"))
       .sortWithinPartitions("t")
-    val indexed = sorted.mapPartitions { it =>
-      val buf = it.toArray
-      if (buf.isEmpty) Iterator.empty
-      else {
-        val ys = buf.map(_._2)
-        val s = prefixSums(ys)
-        val m = buildLevels(ys, levels)
-        Iterator.tabulate(buf.length) { k =>
-          IndexedPoint(buf(k)._1, ys(k), s(k), Array.tabulate(levels)(j => m(j)(k)))
-        }
-      }
-    }.toDF()
-    val bounds = series.agg(min("t"), max("t")).head()
-    SeriesIndex(indexed, bounds.getLong(0), bounds.getLong(1), levels)
+      .as[(Long, Double)]
+    twoPassBuild(sorted, levels, ordinal = false)
   }
 
-  /** [[indexFast]] fused with ordinal-key assignment: sorts by `orderCol`
-    * and assigns the dense `t = 1..N` positionally inside the same pass —
-    * one stage instead of row_number-window + re-sort. `tMax` needs the row
-    * count (cheap parquet-footer count). */
+  /** [[indexFast]] fused with ordinal-key assignment: range-partitions and
+    * sorts by `orderCol`, then assigns the dense `t = 1..N` from the pass-1
+    * per-partition row-count offsets — no global row_number window, no
+    * separate count job. */
   def indexFastFromOrdered(
       df: DataFrame, orderCol: String, valueCol: String, maxWin: Long): SeriesIndex = {
-    val n = df.count()
     val spark = df.sparkSession
     import spark.implicits._
-    val levels = math.max(1, 64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, maxWin)))
-    val ys = df.select(col(orderCol), col(valueCol).cast("double").as("y"))
-      .repartition(1)
-      .sortWithinPartitions(orderCol)
-      .select("y")
-      .as[Double]
-    val indexed = ys.mapPartitions { it =>
-      val buf = it.toArray
-      val m = buildLevels(buf, levels)
-      val s = prefixSums(buf)
-      Iterator.tabulate(buf.length) { k =>
-        IndexedPoint(k + 1L, buf(k), s(k), Array.tabulate(levels)(j => m(j)(k)))
-      }
-    }.toDF()
-    SeriesIndex(indexed, 1L, n, levels)
-  }
-
-  private def prefixSums(ys: Array[Double]): Array[Double] = {
-    val s = new Array[Double](ys.length)
-    var acc = 0.0
-    var i = 0
-    while (i < ys.length) { acc += ys(i); s(i) = acc; i += 1 }
-    s
+    val levels = levelsFor(maxWin)
+    val sorted = df
+      .select(col(orderCol).as("__ord"), col(valueCol).cast("double").as("y"))
+      .repartitionByRange(col("__ord"))
+      .sortWithinPartitions("__ord")
+      .select(lit(0L).as("t"), col("y")) // narrow projection: order preserved
+      .as[(Long, Double)]
+    twoPassBuild(sorted, levels, ordinal = true)
   }
 
   private def buildLevels(ys: Array[Double], levels: Int): Array[Array[Double]] = {

@@ -174,18 +174,42 @@ class EngineSpec extends AnyFunSuite {
   }
 
   // ---- series index vs naive windows ----
-  test("indexFast (single-pass kernel) equals the declarative index build") {
+  def idxRows(i: SeriesOps.SeriesIndex): Seq[(Long, Double, Double, Seq[Double])] =
+    i.df.orderBy("t").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getSeq[Double](3)))
+      .toSeq
+
+  test("indexFast (partitioned two-pass kernel) equals the declarative index build") {
     val a = SeriesOps.index(series, 16)
     val b = SeriesOps.indexFast(series, 16)
     assert(a.levels == b.levels && a.tMin == b.tMin && a.tMax == b.tMax)
-    def rows(i: SeriesOps.SeriesIndex) = i.df.orderBy("t").collect()
-      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getSeq[Double](3)))
-      .toSeq
-    assert(rows(a) == rows(b))
+    val (ra, rb) = (idxRows(a), idxRows(b))
+    // t, y and every sparse-table level are bit-equal (max is associative);
+    // prefix sums associate differently across partitions, so on inexact
+    // doubles (multiples of 0.01) they match to ~ulp, not bitwise
+    assert(ra.map(r => (r._1, r._2, r._4)) == rb.map(r => (r._1, r._2, r._4)))
+    ra.zip(rb).foreach { case (x, y) =>
+      assert(math.abs(x._3 - y._3) <= 1e-9 * math.max(1.0, math.abs(x._3)), s"s at t=${x._1}")
+    }
     // fused variant: same result from an unkeyed frame ordered by a column
     val raw = (1 to n).map(i => (i * 10L, ys(i - 1))).toDF("ord", "y")
     val c = SeriesOps.indexFastFromOrdered(raw, "ord", "y", 16)
-    assert(c.tMin == 1 && c.tMax == n && rows(c) == rows(a))
+    assert(c.tMin == 1 && c.tMax == n)
+    assert(idxRows(c).map(r => (r._1, r._2, r._4)) == ra.map(r => (r._1, r._2, r._4)))
+  }
+
+  test("partitioned kernel build is bit-equal to declarative on FP-exact data") {
+    // integer-valued ys: every partial sum is exactly representable, so the
+    // carry-in association cannot differ -> full bit-equality, including s
+    val intYs = (1 to n).map(i => ((i * 2654435761L) % 1000).toDouble)
+    val s2 = (1 to n).map(i => (i.toLong, intYs(i - 1))).toDF("t", "y")
+    // maxWin=64 -> 63-row lookahead halo, longer than a ~20-row partition:
+    // the halo must chain across several downstream partitions
+    val a = SeriesOps.index(s2, 64)
+    val b = SeriesOps.indexFast(s2, 64)
+    assert(idxRows(a) == idxRows(b))
+    // the kernel input really is multi-partition (halo/carry logic exercised)
+    assert(b.df.rdd.getNumPartitions > 1)
   }
 
   test("windowAgg avg/max match naive on all (a,b) pairs up to len 16") {

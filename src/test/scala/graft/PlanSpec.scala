@@ -60,6 +60,15 @@ class PlanSpec extends AnyFunSuite {
     assert(df.queryExecution.executedPlan.toString.contains("TakeOrderedAndProject"))
   }
 
+  test("q17: series-index hot path has no single-partition exchange") {
+    // the partitioned two-pass build must leave no repartition(1)/global
+    // row_number funnel anywhere in the flagship windowed-grid plan
+    val df = SparkEntry.queries("q17_ts_window_avg")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange SinglePartition"), p.take(3000))
+  }
+
   test("q13/q14: semi and anti joins plan as semi/anti, not inner+distinct") {
     assert(plan("q13_semi_join").contains("LeftSemi"))
     assert(plan("q14_anti_join").contains("LeftAnti"))
