@@ -108,8 +108,54 @@ object Similarity {
       .agg(max_by(col("__c"), struct(col("__cos"), -col("__c"))).as("cell"))
   }
 
-  /** IVF search: rank the `k` cells by query-to-centroid cosine, scan only
-    * the `nprobe` best cells, exact cosine re-rank inside them. */
+  /** A materialized IVF index: the corpus written `partitionBy("cell")`
+    * (so a probe is a partition-pruned scan of nprobe/k of the data) with
+    * the centroid table alongside. This is the 100 TB shape: assignment
+    * runs ONCE at build time; every search after that touches only the
+    * probed cells' files.
+    */
+  final case class IvfIndex(spark: SparkSession, path: String, id: String, emb: String) {
+    def corpus: DataFrame = spark.read.parquet(s"$path/corpus")
+    def centroids: DataFrame = spark.read.parquet(s"$path/centroids")
+  }
+
+  /** Build and persist the IVF index: one corpus scan for the assignment
+    * ([[ivfAssign]]), written bucketed by `cell`; centroids (k rows) written
+    * next to it. */
+  def ivfBuild(spark: SparkSession, vecs: DataFrame, id: String, emb: String,
+      k: Int, path: String): IvfIndex = {
+    vecs.select(col(id), col(emb))
+      .join(ivfAssign(vecs, id, emb, k), id)
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/corpus")
+    vecs.where(col(id) < k)
+      .select(col(id).as("cell"), col(emb).cast("array<double>").as("ce"))
+      .write.mode("overwrite").parquet(s"$path/centroids")
+    IvfIndex(spark, path, id, emb)
+  }
+
+  /** Search a materialized [[IvfIndex]]: rank cells by query-to-centroid
+    * cosine over the k-row centroid table (collected — it is the probe
+    * "plan", nprobe cell ids), then scan ONLY those cells via partition
+    * pruning and cosine re-rank. The corpus is never reassigned. */
+  def ivfSearchIndexed(
+      idx: IvfIndex, query: Array[Double], nprobe: Int, topK: Int): DataFrame = {
+    val q = lit(query)
+    val cells = idx.centroids
+      .select(col("cell"), cosine(col("ce"), q).as("pc"))
+      .orderBy(col("pc").desc, col("cell"))
+      .limit(nprobe)
+      .collect().map(_.get(0))
+    idx.corpus.where(col("cell").isin(cells: _*))
+      .select(col(idx.id),
+        round(cosine(col(idx.emb).cast("array<double>"), q), 4).as("cos"))
+      .orderBy(col("cos").desc, col(idx.id))
+      .limit(topK)
+  }
+
+  /** IVF search without a materialized index — the logical formulation
+    * ([[ivfSearchIndexed]] is the production path: this one re-derives the
+    * cell assignment inline, i.e. a full corpus pass per query). Kept as
+    * the executable spec the indexed path is verified against. */
   def ivfSearch(
       vecs: DataFrame, id: String, emb: String,
       queryId: Long, k: Int, nprobe: Int, topK: Int): DataFrame = {

@@ -26,10 +26,31 @@ object RelationalQueries {
 
   // ---- Spark-side queries ----
 
-  /** IVF ANN: k=8 coarse cells, probe the best 2 for query vec 0, top-10. */
-  def annIvf(s: SparkSession, d: String): DataFrame =
-    Similarity.ivfSearch(t(s, d, "embeddings"), "vec_id", "embedding",
-      queryId = 0, k = 8, nprobe = 2, topK = 10)
+  /** Per-directory memo of the materialized IVF index (corpus written
+    * partitionBy("cell") to a temp dir + centroid table): built once per
+    * session, searched via partition pruning — the 100 TB path promised by
+    * [[Similarity.IvfIndex]]. Session-checked like the series-index cache. */
+  private val ivfCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Similarity.IvfIndex]()
+
+  private def ivfIndex(s: SparkSession, d: String): Similarity.IvfIndex =
+    ivfCache.compute(d, (_, cur) => {
+      if (cur != null && (cur.spark eq s)) cur
+      else Similarity.ivfBuild(s, t(s, d, "embeddings"), "vec_id", "embedding",
+        k = 8,
+        path = s"${sys.props("java.io.tmpdir")}/graft_ivf_${Integer.toHexString(d.hashCode)}")
+    })
+
+  /** IVF ANN: k=8 coarse cells, probe the best 2 for query vec 0, top-10.
+    * Runs against the materialized bucketed index — the probe scan reads
+    * only the 2 probed cell partitions (PartitionFilters, see PlanSpec). */
+  def annIvf(s: SparkSession, d: String): DataFrame = {
+    val idx = ivfIndex(s, d)
+    val qv = t(s, d, "embeddings").where(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>"))
+      .head().getSeq[Double](0).toArray
+    Similarity.ivfSearchIndexed(idx, qv, nprobe = 2, topK = 10)
+  }
 
   /** Backward as-of join: each click matched to the user's latest
     * at-or-before error event (inner semantics: unmatched clicks dropped so

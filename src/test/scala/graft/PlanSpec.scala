@@ -69,6 +69,16 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Exchange SinglePartition"), p.take(3000))
   }
 
+  test("q40: IVF probe scan is partition-pruned to the nprobe cells") {
+    val df = SparkEntry.queries("q40_ann_ivf")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    // the bucketed corpus scan must carry a PartitionFilters entry on cell
+    // (directory pruning), not a post-scan filter over all cells
+    assert(p.contains("PartitionFilters") && p.contains("cell"), p.take(3000))
+    assert("cell#\\d+L? IN".r.findFirstIn(p).isDefined ||
+      p.contains("cell IN"), p.take(3000))
+  }
+
   test("q13/q14: semi and anti joins plan as semi/anti, not inner+distinct") {
     assert(plan("q13_semi_join").contains("LeftSemi"))
     assert(plan("q14_anti_join").contains("LeftAnti"))

@@ -74,5 +74,15 @@ class TemporalSpec extends AnyFunSuite {
     assert(hits.forall(_._1 % 4 == 2), s"probe must stay in cell 2: ${hits.toSeq}")
     assert(hits.exists(h => h._1 == 6L && h._2 == 1.0),
       s"query must be found at cos 1.0: ${hits.toSeq}")
+
+    // the materialized bucketed index returns exactly what the inline
+    // formulation returns — same probe, same re-rank, zero reassignment
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ivf_test").toString
+    val idx = Similarity.ivfBuild(spark, vecs, "vec_id", "embedding", 4, tmp)
+    val qv = vecs.where(col("vec_id") === 6)
+      .select(col("embedding").cast("array<double>")).head().getSeq[Double](0).toArray
+    val hits2 = Similarity.ivfSearchIndexed(idx, qv, nprobe = 1, topK = 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(hits2.toSeq == hits.toSeq, s"indexed ${hits2.toSeq} vs inline ${hits.toSeq}")
   }
 }
