@@ -55,10 +55,42 @@ object Similarity {
     ((TextOps.portableHash(concat(plane, lit("_"), dim), 11) % 2001L) - 1000L)
       .cast("double") / 1000.0
 
-  /** 16-bit random-hyperplane LSH bucket code per vector.
-    * posexplode(embedding) x planes -> groupBy sign sums -> bit-pack.
-    * Shuffles once on (id); plane table is tiny and broadcast. */
-  def lshBuckets(spark: SparkSession, vecs: DataFrame, id: String, emb: String,
+  /** JVM-side mirror of [[planeCoef]] — byte-identical md5 derivation to
+    * [[TextOps.portableHash]] (asserted in OperatorSpec) — so the plane
+    * coefficient matrix can be precomputed ONCE at plan-build time instead
+    * of hashed per row. */
+  def planeCoefJvm(p: Int, d: Int): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"11:${p}_${d}".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map(b => f"$b%02x").mkString
+    ((java.lang.Long.parseLong(hex.substring(0, 15), 16) % 2001L) - 1000L) / 1000.0
+  }
+
+  /** 16-bit random-hyperplane LSH bucket code per vector, as pure per-row
+    * column arithmetic: per plane, a zip_with/aggregate dot product against
+    * a LITERAL coefficient array (precomputed via [[planeCoefJvm]]), then a
+    * sign-bit pack. No explode, no join, no shuffle — the bucket column
+    * exists before any exchange, so at 100 TB this is a map-only stage
+    * (the prior formulation exploded dims x planes rows per vector through
+    * two hash aggregations). `dims` is the embedding dimensionality (the
+    * coefficient matrix is planes x dims).
+    */
+  def lshBuckets(vecs: DataFrame, id: String, emb: String,
+      planes: Int = 16, dims: Int = 64): DataFrame = {
+    val e = col(emb).cast("array<double>")
+    val bucket = (0 until planes).map { p =>
+      val coefs = lit((0 until dims).map(d => planeCoefJvm(p, d)).toArray)
+      val s = aggregate(zip_with(e, coefs, (v, c) => v * c),
+        lit(0.0), (acc, x) => acc + x)
+      when(s > 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    vecs.select(col(id), bucket.as("bucket"))
+  }
+
+  /** The exploded groupBy formulation of [[lshBuckets]] — kept as the
+    * executable spec the shuffle-free path is verified against
+    * (OperatorSpec asserts identical buckets). */
+  def lshBucketsExploded(spark: SparkSession, vecs: DataFrame, id: String, emb: String,
       planes: Int = 16): DataFrame = {
     val exploded = vecs.select(col(id), posexplode(col(emb)).as(Seq("d", "v")))
     val planeDf = broadcast(spark.range(0, planes).toDF("p"))
@@ -74,11 +106,12 @@ object Similarity {
   /** ANN: probe the query vector's bucket, cosine re-rank inside it. */
   def annLsh(spark: SparkSession, vecs: DataFrame, id: String, emb: String,
       query: Array[Float], k: Int, planes: Int = 16): DataFrame = {
-    val buckets = lshBuckets(spark, vecs, id, emb, planes)
+    val dims = query.length
+    val buckets = lshBuckets(vecs, id, emb, planes, dims)
     val withB = vecs.join(buckets, id)
     val qDf = spark.range(1).select(lit(query.map(_.toDouble)).as("qe"))
-    val qBucket = lshBuckets(spark,
-      qDf.select(lit(-1L).as(id), col("qe").as(emb)), id, emb, planes)
+    val qBucket = lshBuckets(
+      qDf.select(lit(-1L).as(id), col("qe").as(emb)), id, emb, planes, dims)
       .select(col("bucket").as("qbucket"))
     withB.join(broadcast(qBucket), col("bucket") === col("qbucket"))
       .select(col(id),

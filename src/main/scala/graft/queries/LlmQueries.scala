@@ -86,7 +86,7 @@ object LlmQueries {
   }
 
   def annLshBuckets(s: SparkSession, d: String): DataFrame =
-    Similarity.lshBuckets(s, embs(s, d), "vec_id", "embedding", 16)
+    Similarity.lshBuckets(embs(s, d), "vec_id", "embedding", 16, 64)
       .orderBy("vec_id")
 
   def textStopwords(s: SparkSession, d: String): DataFrame =

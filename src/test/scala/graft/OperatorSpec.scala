@@ -94,6 +94,21 @@ class OperatorSpec extends AnyFunSuite {
       s"query's own bucket must contain it first: ${got.mkString(",")}")
   }
 
+  test("shuffle-free LSH buckets equal the exploded-groupBy formulation") {
+    val vecs = (0 until 40).map { i =>
+      (i.toLong, Array.tabulate(8)(d => math.cos(i * 3 + d).toFloat))
+    }.toDF("vec_id", "embedding")
+    // the JVM coefficient mirror is bit-identical to the column derivation
+    val coefCol = Seq((3, 5)).toDF("p", "d")
+      .select(Similarity.planeCoef(col("p"), col("d"))).head().getDouble(0)
+    assert(coefCol == Similarity.planeCoefJvm(3, 5))
+    val fast = Similarity.lshBuckets(vecs, "vec_id", "embedding", 8, 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val spec = Similarity.lshBucketsExploded(spark, vecs, "vec_id", "embedding", 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fast == spec)
+  }
+
   test("exact dedup keeps min id per content") {
     val kept = Dedup.exact(docs, "text", "doc_id").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -79,6 +79,15 @@ class PlanSpec extends AnyFunSuite {
       p.contains("cell IN"), p.take(3000))
   }
 
+  test("q36: LSH bucket column is computed map-side, before any exchange") {
+    val df = SparkEntry.queries("q36_ann_lsh_buckets")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    // no aggregation anywhere: the only exchange allowed is the final
+    // display orderBy's range partitioning
+    assert(!p.contains("HashAggregate") && !p.contains("Generate"), p.take(3000))
+    assert("Exchange".r.findAllIn(p).size <= 1, p.take(3000))
+  }
+
   test("q13/q14: semi and anti joins plan as semi/anti, not inner+distinct") {
     assert(plan("q13_semi_join").contains("LeftSemi"))
     assert(plan("q14_anti_join").contains("LeftAnti"))
