@@ -43,8 +43,10 @@ object MultiSeriesEngine {
       MultiSeriesEngine.windowAgg(grid, idx, a, b, tag, needAvg, needMax)
   }
 
-  /** Index a multi-series frame `(sid, t, y)`; t dense ascending per sid. */
-  def index(series: DataFrame, maxWin: Long): MsIndex = {
+  /** Index a multi-series frame `(sid, t, y)`; t dense ascending per sid.
+    * `boundsOpt` lets a caller that already derived the per-series bounds
+    * aggregate pass it in instead of re-deriving it. */
+  def index(series: DataFrame, maxWin: Long, boundsOpt: Option[DataFrame] = None): MsIndex = {
     val levels = math.max(1, 64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, maxWin)))
     val w = Window.partitionBy("sid").orderBy("t")
     var df = series
@@ -60,8 +62,8 @@ object MultiSeriesEngine {
     val indexed = df
       .withColumn("ms", array((0 until levels).map(j => col(s"m$j")): _*))
       .drop((0 until levels).map(j => s"m$j"): _*)
-    val bounds = series.groupBy("sid")
-      .agg(min("t").as("tMin"), max("t").as("tMax"))
+    val bounds = boundsOpt.getOrElse(
+      series.groupBy("sid").agg(min("t").as("tMin"), max("t").as("tMax")))
     MsIndex(indexed, bounds, levels)
   }
 
@@ -126,19 +128,24 @@ object MultiSeriesEngine {
   /** Execute the query independently over every series; returns
     * `(sid, time_id, offset)` in canonical per-series order. */
   def execute(spark: SparkSession, series: DataFrame, spec: QuerySpec): DataFrame = {
-    // size the sparse table for the widest window any series can ask for;
-    // an unbounded lx means "whole series", so take the largest extent
-    // (tiny aggregate action — same binding step the reference does)
-    def maxExtent(): Long = {
-      import org.apache.spark.sql.functions.{max => fmax, min => fmin}
-      series.groupBy("sid").agg(fmin("t").as("lo"), fmax("t").as("hi"))
-        .agg(fmax(col("hi") - col("lo") + 1)).head().getLong(0)
+    // the per-series bounds aggregate is needed by the grid anyway; when lx
+    // is unbounded ("whole series") the sparse-table depth additionally
+    // needs its max extent as a driver value (levels is a structural plan
+    // parameter — the same binding step the reference does). Persist the
+    // tiny (sid, tMin, tMax) frame in that case so the action and the grid
+    // share ONE computation instead of two corpus passes.
+    val bounds0 = series.groupBy("sid")
+      .agg(min("t").as("tMin"), max("t").as("tMax"))
+    val (bounds, lxHi) = spec.lxDomain.hi match {
+      case Some(h) => (bounds0, h)
+      case None =>
+        val b = bounds0.persist()
+        (b, b.agg(max(col("tMax") - col("tMin") + 1)).head().getLong(0) - 1)
     }
-    val lxHi = spec.lxDomain.hi.getOrElse(maxExtent() - 1)
     val maxWin = spec.constraints
       .map(c => ConstraintRegistry(c.name).maxWindow(lxHi, c.args))
       .foldLeft(lxHi + 1)(math.max)
-    val idx = index(series, maxWin)
+    val idx = index(series, maxWin, Some(bounds))
     var g = candidateGrid(idx, spec)
     val cs = spec.constraints.zipWithIndex
     val p = probe(idx)

@@ -120,13 +120,17 @@ object TextOps {
     * lexicographically smallest term for determinism. */
   def tfidfTopTerm(df: DataFrame, text: String, id: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val n = df.count()
+    // corpus size as a broadcast 1-row aggregate, not a driver-side count():
+    // the plan stays fully lazy and N is computed inside the same job
+    val nDf = df.agg(count(lit(1)).cast("double").as("__n"))
     val tok = df.select(col(id), explode(tokens(col(text))).as("w"))
     val tf = tok.groupBy(col(id), col("w")).agg(count(lit(1)).as("tf"))
     val dfreq = tok.select(col(id), col("w")).distinct()
       .groupBy("w").agg(count(lit(1)).as("dfreq"))
     val scored = tf.join(dfreq, "w")
-      .withColumn("score", col("tf") * log(lit(n.toDouble) / col("dfreq")))
+      .crossJoin(broadcast(nDf))
+      .withColumn("score", col("tf") * log(col("__n") / col("dfreq")))
+      .drop("__n")
     val win = Window.partitionBy(col(id)).orderBy(col("score").desc, col("w"))
     scored.withColumn("__rn", row_number().over(win))
       .where(col("__rn") === 1)
