@@ -76,9 +76,14 @@ object Main {
         }
 
       val table = tk.time("scan")(spark.read.parquet(tablePath))
-      // catalog readout (reference: client.py:124-146)
-      println(s"table: $tablePath")
-      table.schema.foreach(f => println(s"  ${f.name}: ${f.dataType.simpleString}"))
+      // full catalog readout (reference: client.py:124-146): register the
+      // loaded table as a view, then walk spark.catalog like the reference
+      // walks information_schema — all databases, tables, and columns
+      val viewName = new java.io.File(tablePath).getName
+        .stripSuffix(".parquet").replaceAll("[^A-Za-z0-9_]", "_")
+      table.createOrReplaceTempView(viewName)
+      println(s"table: $tablePath (view: $viewName)")
+      print(tk.time("catalog")(graft.sources.Catalog.readout(spark)))
       if (!table.columns.contains(spec.column)) {
         System.err.println(s"column '${spec.column}' not in table"); throw Abort(1)
       }

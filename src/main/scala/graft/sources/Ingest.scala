@@ -49,4 +49,52 @@ object Ingest {
     * db_preparation.py:58,92). */
   def toParquet(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").parquet(path)
+
+  /** One extracted dataset: the directory its csvs landed in and whether
+    * the archive held a single csv (the reference's routing signal: a
+    * single-csv zip is the EMG dataset, multi-csv is GAS,
+    * db_preparation.py:122-126). */
+  final case class UnzippedDataset(dir: String, csvs: Seq[String]) {
+    def singleCsv: Boolean = csvs.size == 1
+  }
+
+  /** S1 — zip extraction + dataset routing (reference:
+    * db_preparation.py:113-130): for every `*.zip` in `dirPath`, extract
+    * its TOP-LEVEL `.csv` members (nested paths skipped, like the
+    * reference's namelist filter) into `dirPath/temp_<zipname>/`.
+    * Driver-side one-time prep, exactly like the reference — the extracted
+    * files then flow through the distributed loaders ([[loadUnzipped]]).
+    */
+  def unzipData(dirPath: String): Seq[UnzippedDataset] = {
+    val dir = new java.io.File(dirPath)
+    val zips = Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.toLowerCase.endsWith(".zip")).sortBy(_.getName)
+    zips.toSeq.map { zf =>
+      val zip = new java.util.zip.ZipFile(zf)
+      try {
+        import scala.jdk.CollectionConverters._
+        val members = zip.entries().asScala.toSeq
+          .filter(e => !e.isDirectory && e.getName.endsWith(".csv") &&
+            !e.getName.contains("/"))
+        val outDir = new java.io.File(dir, s"temp_${zf.getName.stripSuffix(".zip")}")
+        outDir.mkdirs()
+        val names = members.map { e =>
+          val out = new java.io.File(outDir, e.getName)
+          val in = zip.getInputStream(e)
+          try java.nio.file.Files.copy(in, out.toPath,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          finally in.close()
+          out.getName
+        }
+        UnzippedDataset(outDir.getAbsolutePath, names)
+      } finally zip.close()
+    }
+  }
+
+  /** Route an extracted dataset to its loader: single csv -> the EMG
+    * loader (junk-line fixup), several csvs -> the GAS loader (filename
+    * date + union). Reference: db_preparation.py:183-195. */
+  def loadUnzipped(spark: SparkSession, d: UnzippedDataset): DataFrame =
+    if (d.singleCsv) emgCsv(spark, s"${d.dir}/${d.csvs.head}")
+    else gasCsvDir(spark, d.dir)
 }
