@@ -27,6 +27,62 @@ trait WindowProbe {
       needAvg: Boolean, needMax: Boolean): DataFrame
 }
 
+/** Memoizing probe planner shared by both engine paths: ONE index join per
+  * DISTINCT probe position per query, keyed by the position expression's
+  * canonical text and shared across constraints AND across the avg/max
+  * legs of one window (an avg's left endpoint and a max's left endpoint at
+  * the same x join once, not twice — a 2-constraint refined query drops
+  * from 6 index joins to 4). Each join fetches the full index row
+  * (y, s, ms); Catalyst's column pruning narrows every merged probe to the
+  * union of what its sharers actually read, so merging never widens a scan.
+  * The probe columns stay on the grid until the engine's final projection
+  * prunes them (they are plan intermediates, never materialized). A probe
+  * instance is per-query: the memo's lifetime is one constraint-grid build.
+  */
+private[engine] abstract class MemoProbe extends WindowProbe {
+
+  /** Join `grid` to the index at `pos`, appending
+    * `{prefix}_y`, `{prefix}_s`, `{prefix}_ms`. */
+  protected def lookupAll(grid: DataFrame, pos: Column, prefix: String): DataFrame
+
+  private val memo = scala.collection.mutable.Map.empty[String, String]
+
+  private def at(g0: DataFrame, pos: Column): (DataFrame, String) =
+    memo.get(pos.toString) match {
+      case Some(p) => (g0, p)
+      case None =>
+        val p = s"pr${memo.size}"
+        memo(pos.toString) = p
+        (lookupAll(g0, pos, p), p)
+    }
+
+  def windowAgg(grid: DataFrame, a: Column, b: Column, tag: String,
+      needAvg: Boolean, needMax: Boolean): DataFrame = {
+    val ac = a.cast("long")
+    val bc = b.cast("long")
+    var g = grid
+    if (needAvg) {
+      val (g1, pa) = at(g, ac); g = g1
+      val (g2, pb) = at(g, bc); g = g2
+      val len = (bc - ac + lit(1)).cast("double")
+      g = g.withColumn(s"${tag}_avg",
+        (col(s"${pb}_s") - col(s"${pa}_s") + col(s"${pa}_y")) / len)
+    }
+    if (needMax) {
+      val len = bc - ac + lit(1)
+      val j = SeriesOps.log2Floor(len)
+      val p2 = pow(lit(2.0), j.cast("double")).cast("long")
+      val (g1, pa) = at(g, ac); g = g1
+      val (g2, pb2) = at(g, bc - p2 + lit(1)); g = g2
+      g = g.withColumn(s"${tag}_max",
+        greatest(
+          element_at(col(s"${pa}_ms"), j + lit(1)),
+          element_at(col(s"${pb2}_ms"), j + lit(1))))
+    }
+    g
+  }
+}
+
 /** Registry of named interval-aggregate constraint functions — the engine's
   * extensibility point, mirroring the reference's `available_functions`
   * whitelist + name-dispatch (reference: client.py:160, server.py:328-343).

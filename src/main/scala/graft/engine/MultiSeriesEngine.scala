@@ -34,13 +34,13 @@ object MultiSeriesEngine {
 
   /** The [[WindowProbe]] view of an [[MsIndex]]: same constraint formulas as
     * the single-series path, with per-series `tMin`/`tMax` grid columns and
-    * `(sid, t)`-keyed lookups. */
-  def probe(idx: MsIndex): WindowProbe = new WindowProbe {
+    * `(sid, t)`-keyed lookups. Position-memoizing — see [[MemoProbe]];
+    * create one instance per query. */
+  def probe(idx: MsIndex): WindowProbe = new MemoProbe {
     val tMinCol: Column = col("tMin")
     val tMaxCol: Column = col("tMax")
-    def windowAgg(grid: DataFrame, a: Column, b: Column, tag: String,
-        needAvg: Boolean, needMax: Boolean): DataFrame =
-      MultiSeriesEngine.windowAgg(grid, idx, a, b, tag, needAvg, needMax)
+    protected def lookupAll(grid: DataFrame, pos: Column, prefix: String): DataFrame =
+      MultiSeriesEngine.lookupAt(grid, idx, pos, prefix, Seq("y", "s", "ms"))
   }
 
   /** Index a multi-series frame `(sid, t, y)`; t dense ascending per sid.
@@ -150,6 +150,8 @@ object MultiSeriesEngine {
     val cs = spec.constraints.zipWithIndex
     val p = probe(idx)
     cs.foreach { case (c, i) => g = ConstraintRegistry(c.name)(g, p, c.args, s"c$i") }
+    // drop the memoized probe intermediates before scoring/persisting
+    g = g.select((Seq("sid", "x", "lx") ++ cs.map { case (_, i) => s"c$i" }).map(col): _*)
 
     def satCol(c: Constraint, v: Column): Column =
       c.lo.map(v >= lit(_)).getOrElse(lit(true)) &&

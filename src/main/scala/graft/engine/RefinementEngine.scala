@@ -70,7 +70,9 @@ object RefinementEngine {
     spec.constraints.zipWithIndex.foreach { case (c, i) =>
       g = ConstraintRegistry(c.name)(g, p, c.args, s"c$i")
     }
-    g
+    // drop the memoized probe intermediates: downstream (extrema, scores,
+    // persist) sees only the narrow (x, lx, c*) grid
+    g.select((Seq("x", "lx") ++ spec.constraints.indices.map(i => s"c$i")).map(col): _*)
   }
 
   /** Size the sparse table for the largest window any constraint will probe. */

@@ -250,11 +250,16 @@ object SeriesOps {
     * columns), adding the requested index columns renamed with `prefix`.
     * Left join: positions outside [tMin,tMax] yield nulls (callers clamp).
     *
-    * NOTE on broadcast reuse: each probe builds its own broadcast of the
-    * (column-pruned) index. Sharing one exchange across probes is not
-    * worth forcing — Catalyst's column pruning keeps an avg probe from
-    * broadcasting the sparse-table arrays an s/y lookup never reads, which
-    * is the right trade at scale.
+    * NOTE on broadcast reuse: forcing all probes onto ONE shared exchange
+    * is not expressible against Catalyst — column pruning and inferred
+    * filters rewrite each probe's broadcast child differently (verified:
+    * identical full-width projections still canonicalize apart once pruned),
+    * and that pruning is the behavior we want. Probe-count reduction happens
+    * one level up instead: [[MemoProbe]] merges probes that share a position
+    * expression, so a 2-constraint refined query issues 4 index joins (one
+    * per distinct position), not 6 (one per constraint leg) — measured in
+    * PLANS.md. Each remaining broadcast ships only the columns its sharers
+    * read.
     */
   def lookupAt(
       grid: DataFrame,
@@ -262,11 +267,11 @@ object SeriesOps {
       pos: Column,
       prefix: String,
       cols: Seq[String]): DataFrame = {
-    val probe = idx.df.select(
-      (col("t").as(s"${prefix}_t") +: cols.map(c => col(c).as(s"${prefix}_$c"))): _*)
+    val all = Seq("t", "y", "s", "ms")
+    val probe = idx.df.select(all.map(c => col(c).as(s"${prefix}_$c")): _*)
     grid
       .join(probe, pos === col(s"${prefix}_t"), "left")
-      .drop(s"${prefix}_t")
+      .drop((s"${prefix}_t" +: all.filterNot(cols.contains).map(c => s"${prefix}_$c")): _*)
   }
 
   /** floor(log2(len)) as an int column; len >= 1, exact for len <= 2^53.
@@ -288,15 +293,13 @@ object SeriesOps {
 
   /** The [[WindowProbe]] view of a [[SeriesIndex]]: constraint formulas are
     * written once against this surface and run identically on the
-    * multi-series path ([[MultiSeriesEngine.probe]]). */
-  def probe(idx: SeriesIndex): WindowProbe = new WindowProbe {
+    * multi-series path ([[MultiSeriesEngine.probe]]). Position-memoizing —
+    * see [[MemoProbe]]; create one instance per query. */
+  def probe(idx: SeriesIndex): WindowProbe = new MemoProbe {
     val tMinCol: Column = lit(idx.tMin)
     val tMaxCol: Column = lit(idx.tMax)
-    def windowAgg(grid: DataFrame, a: Column, b: Column, tag: String,
-        needAvg: Boolean, needMax: Boolean): DataFrame = {
-      val g = SeriesOps.windowAgg(grid, idx, a, b, tag, needAvg, needMax)
-      if (needAvg) g.drop(s"${tag}_sum", s"${tag}_cnt") else g
-    }
+    protected def lookupAll(grid: DataFrame, pos: Column, prefix: String): DataFrame =
+      SeriesOps.lookupAt(grid, idx, pos, prefix, Seq("y", "s", "ms"))
   }
 
   /** Append `{tag}_sum`, `{tag}_cnt`, `{tag}_avg` and/or `{tag}_max` for the
