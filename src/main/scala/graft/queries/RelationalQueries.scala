@@ -74,6 +74,26 @@ object RelationalQueries {
       .orderBy("event_id")
   }
 
+  /** q52 — the STREAMING session-window operator ([[graft.streaming
+    * .StreamingOps.sessionAgg]]) run in batch mode: Spark plans
+    * `session_window` identically for batch frames (the watermark is a
+    * streaming-only hint, eliminated in batch), so the operator's output is
+    * DuckDB-checkable against an independent lag/cumsum session
+    * computation. Same 3-day gap as q42. Note `session_window` is half-open
+    * `[start, last + gap)` — an event at exactly gap distance opens a NEW
+    * session — hence `>=` in the oracle where q42's batch operator uses `>`.
+    */
+  def streamingSessionWindow(s: SparkSession, d: String): DataFrame = {
+    val ev = TimeSeriesQueries.events(s, d)
+      .select(col("user_id"),
+        timestamp_micros(expr("ts div 1000")).as("ts"),
+        col("value"))
+    graft.streaming.StreamingOps.sessionAgg(ev, gap = "72 hours", watermark = "2 hours")
+      .select(col("user_id"), unix_micros(col("sess_start")).as("sess_start_us"),
+        col("n"), round(col("sum_value"), 6).as("sum_value"))
+      .orderBy("user_id", "sess_start_us")
+  }
+
   /** Gap-based sessionization of the event stream per user. */
   def sessionize(s: SparkSession, d: String): DataFrame =
     Temporal.sessionize(
@@ -217,6 +237,21 @@ object RelationalQueries {
          |    ROWS UNBOUNDED PRECEDING)::BIGINT AS session_id
          |FROM f ORDER BY event_id""".stripMargin,
 
+    "q52_streaming_session_window" -> {
+      val gapUs = SessionGapNs / 1000L
+      s"""WITH e AS (SELECT user_id, epoch_ns(ts) // 1000 AS us, value FROM events),
+         |f AS (SELECT user_id, us, value,
+         |    CASE WHEN us - lag(us) OVER w >= $gapUs THEN 1 ELSE 0 END AS brk
+         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)),
+         |s AS (SELECT user_id, us, value,
+         |    sum(brk) OVER (PARTITION BY user_id ORDER BY us
+         |      ROWS UNBOUNDED PRECEDING) AS sess
+         |  FROM f)
+         |SELECT user_id, min(us) AS sess_start_us, count(*)::BIGINT AS n,
+         |  round(sum(value), 6) AS sum_value
+         |FROM s GROUP BY user_id, sess ORDER BY user_id, sess_start_us""".stripMargin
+    },
+
     "q43_rollup" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS rflag,
         |  coalesce(l_linestatus, 'ALL') AS lstat,
@@ -285,6 +320,7 @@ object RelationalQueries {
     "q40_ann_ivf" -> annIvf _,
     "q41_asof_join" -> asofJoin _,
     "q42_sessionize" -> sessionize _,
+    "q52_streaming_session_window" -> streamingSessionWindow _,
     "q43_rollup" -> rollupAgg _,
     "q44_percentiles" -> percentiles _,
     "q45_outer_join" -> outerJoin _,
