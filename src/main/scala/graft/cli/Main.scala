@@ -104,9 +104,13 @@ object Main {
       println(s"${rows.length} result(s):")
       rows.foreach(r => println(s"  time_id=${r.getLong(0)} offset=${r.getLong(1)}"))
 
-      // plot sink (reference: server.py:901-952), optional 4th arg
+      // plot sink (reference: server.py:901-952), optional 4th arg; the
+      // series is envelope-downsampled to a bounded point budget so the
+      // driver never collects more than a few thousand rows
       if (args.length > 3) {
-        val pts = series.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+        val pts = tk.time("plot_downsample") {
+          PlotSink.downsample(series.selectExpr("t", "cast(y as double) as y"))
+        }
         PlotSink.save(args(3), pts,
           rows.map(r => (r.getLong(0), r.getLong(1))).toSeq)
         println(s"plot written to ${args(3)}")

@@ -23,4 +23,24 @@ class PlotSinkSpec extends AnyFunSuite {
     PlotSink.save(p.toString, Seq((1L, 1.0), (2L, 2.0)), Seq((1L, 1L)))
     assert(java.nio.file.Files.readString(p).contains("</svg>"))
   }
+
+  test("downsample bounds a 10^6-row series to the point budget, keeps envelope") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val n = 1000000
+    // y has a single extreme spike the envelope must preserve
+    val series = spark.range(1, n + 1).selectExpr(
+      "id as t",
+      "case when id = 777777 then 999.0 else sin(id * 0.001) * 10 end as y")
+    val pts = PlotSink.downsample(series, budget = 4000)
+    assert(pts.size <= 4000, s"got ${pts.size} points")
+    assert(pts.size > 1000, s"got only ${pts.size} points")
+    assert(pts.exists(p => p._1 == 777777L && p._2 == 999.0), "spike lost")
+    assert(pts == pts.sortBy(_._1), "points must be t-ordered")
+    // small series collect unchanged
+    val small = (1L to 10L).map(t => (t, t * 1.0)).toDF("t", "y")
+    assert(PlotSink.downsample(small, 4000) == (1L to 10L).map(t => (t, t * 1.0)))
+    // and the svg renders from the downsampled points
+    assert(PlotSink.svg(pts, Seq((5L, 100L))).contains("<polyline"))
+  }
 }
