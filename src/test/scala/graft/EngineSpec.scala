@@ -212,6 +212,37 @@ class EngineSpec extends AnyFunSuite {
     assert(b.df.rdd.getNumPartitions > 1)
   }
 
+  test("cross-session index cache: write-through, hit, staleness rebuild") {
+    import graft.engine.IndexCache
+    val cacheDir = java.nio.file.Files.createTempDirectory("graft_idx_cache").toString
+    val tableDir = java.nio.file.Files.createTempDirectory("graft_idx_src")
+    val tableFile = tableDir.resolve("series.parquet")
+    series.write.mode("overwrite").parquet(tableFile.toString)
+    val spec = QueryParser.parse(
+      "SELECT time_id, offset IN_DOMAIN [1, 60], [3, 10] FROM t.c " +
+        "WHERE avg_amp() in [4, 6] MAX")
+    val (i1, hit1) = IndexCache.getOrBuild(
+      spark, cacheDir, tableFile.toString, "c", series, spec)
+    assert(!hit1)
+    val (i2, hit2) = IndexCache.getOrBuild(
+      spark, cacheDir, tableFile.toString, "c", series, spec)
+    assert(hit2 && i2.tMin == i1.tMin && i2.tMax == i1.tMax && i2.levels == i1.levels)
+    assert(idxRows(i2) == idxRows(i1)) // parquet round-trip is exact
+    // touching the source invalidates the cache
+    java.nio.file.Files.setLastModifiedTime(tableFile,
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() + 60000))
+    val (_, hit3) = IndexCache.getOrBuild(
+      spark, cacheDir, tableFile.toString, "c", series, spec)
+    assert(!hit3)
+    // a query needing deeper windows than cached also rebuilds
+    val wide = QueryParser.parse(
+      "SELECT time_id, offset IN_DOMAIN [1, 60], [3, 70] FROM t.c " +
+        "WHERE avg_amp() in [4, 6] MAX")
+    val (i4, hit4) = IndexCache.getOrBuild(
+      spark, cacheDir, tableFile.toString, "c", series, wide)
+    assert(!hit4 && i4.levels > i1.levels)
+  }
+
   test("windowAgg avg/max match naive on all (a,b) pairs up to len 16") {
     val idx = SeriesOps.index(series, 16)
     import org.apache.spark.sql.functions._
