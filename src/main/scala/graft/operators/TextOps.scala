@@ -114,10 +114,11 @@ object TextOps {
 
   /** Per-document top term by TF-IDF over the corpus: tf = in-doc term
     * count, idf = ln(N / df) with df = number of documents containing the
-    * term. Two shuffles (term aggregation, df join) + a per-doc top-1
-    * ranking window — the standard distributed formulation; at scale both
-    * aggregations partial-combine map-side. Ties break to the
-    * lexicographically smallest term for determinism. */
+    * term. One tokenize pass: `tf` already holds one row per (doc, term),
+    * so `dfreq` is a re-aggregation of `tf` — no second explode/distinct
+    * scan of the corpus, and the (id, w) shuffle feeding both sides is one
+    * exchange Catalyst can reuse. Ties break to the lexicographically
+    * smallest term for determinism. */
   def tfidfTopTerm(df: DataFrame, text: String, id: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // corpus size as a broadcast 1-row aggregate, not a driver-side count():
@@ -125,8 +126,7 @@ object TextOps {
     val nDf = df.agg(count(lit(1)).cast("double").as("__n"))
     val tok = df.select(col(id), explode(tokens(col(text))).as("w"))
     val tf = tok.groupBy(col(id), col("w")).agg(count(lit(1)).as("tf"))
-    val dfreq = tok.select(col(id), col("w")).distinct()
-      .groupBy("w").agg(count(lit(1)).as("dfreq"))
+    val dfreq = tf.groupBy("w").agg(count(lit(1)).as("dfreq"))
     val scored = tf.join(dfreq, "w")
       .crossJoin(broadcast(nDf))
       .withColumn("score", col("tf") * log(col("__n") / col("dfreq")))
