@@ -36,14 +36,96 @@ final class Timekeeper {
   */
 object Main {
   def main(args: Array[String]): Unit = {
+    // one directory argument -> interactive mode (dataset pick + query
+    // loop, reference client.py:103-121); otherwise the batch path
+    if (args.length == 1 && new java.io.File(args(0)).isDirectory)
+      sys.exit(interactive(args(0)))
     if (args.length < 2) {
       System.err.println(
-        "usage: graft.cli.Main <table.parquet> <query.txt> [times.csv] [plot.svg]")
+        "usage: graft.cli.Main <table.parquet> <query.txt> [times.csv] [plot.svg]\n" +
+          "       graft.cli.Main <datasets-dir>   (interactive)")
       sys.exit(1)
     }
     // sys.exit inside the try would skip `finally spark.stop()` (System.exit
     // does not unwind the stack) — record the code, exit after cleanup.
     sys.exit(run(args))
+  }
+
+  private def buildSession(): SparkSession = {
+    val s = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
+      .appName("graft-cli")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+
+  /** Interactive session — the reference's client loop (client.py:103-121):
+    * numbered dataset pick from the directory's parquet tables, catalog
+    * readout, then one query per line until quit/EOF. Parse and execution
+    * errors re-prompt instead of exiting (a usability refinement of the
+    * reference's earlyDeath; the batch path keeps exit-code parity). */
+  private def interactive(dir: String): Int = {
+    val files = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    if (files.isEmpty) { System.err.println(s"no .parquet datasets in $dir"); return 1 }
+    val console = new java.io.BufferedReader(new java.io.InputStreamReader(System.in))
+    println("Please enter a number to select a dataset:")
+    files.zipWithIndex.foreach { case (f, i) =>
+      println(s"  ${i + 1}: ${f.getName.stripSuffix(".parquet")}")
+    }
+    var pick = -1
+    while (pick < 0) {
+      val line = console.readLine()
+      if (line == null) return 1
+      line.trim.toIntOption match {
+        case Some(n) if n >= 1 && n <= files.length => pick = n - 1
+        case _ => println("Please choose a correct number")
+      }
+    }
+    val spark = buildSession()
+    try {
+      val table = spark.read.parquet(files(pick).getPath)
+      val viewName = files(pick).getName.stripSuffix(".parquet")
+        .replaceAll("[^A-Za-z0-9_]", "_")
+      table.createOrReplaceTempView(viewName)
+      println(s"\n Connected to $viewName dataset.")
+      print(graft.sources.Catalog.readout(spark))
+      // variability guard once per dataset (reference: server.py:209-214)
+      val columns = table.columns.toSet
+      println("enter a query per line; 'quit' to exit")
+      var done = false
+      while (!done) {
+        print("query> "); Console.flush()
+        val line = console.readLine()
+        if (line == null || line.trim == "quit" || line.trim == "exit") done = true
+        else if (line.trim.nonEmpty) {
+          try {
+            val spec = QueryParser.parse(line)
+            if (!columns.contains(spec.column))
+              println(s"column '${spec.column}' not in table")
+            else {
+              val series = table.selectExpr("time_id as t", s"`${spec.column}` as y")
+              if (series.selectExpr("var_pop(y)").head().getDouble(0) <= 5e-28)
+                println("no variability in data; query skipped")
+              else {
+                val rows = RefinementEngine.execute(spark, series, spec).collect()
+                println(s"${rows.length} result(s):")
+                rows.foreach(r => println(s"  time_id=${r.getLong(0)} offset=${r.getLong(1)}"))
+              }
+            }
+          } catch {
+            case ParseException(m) => println(s"parse error: $m")
+            case e: Exception => println(s"execution error: ${e.getMessage}")
+          }
+        }
+      }
+      0
+    } finally spark.stop()
   }
 
   /** Body returning the exit code; never calls sys.exit itself. */
@@ -52,18 +134,7 @@ object Main {
     val tk = new Timekeeper
     final case class Abort(code: Int) extends RuntimeException
 
-    val spark = tk.time("connect") {
-      val s = SparkSession.builder()
-        .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
-        .appName("graft-cli")
-        .config("spark.sql.shuffle.partitions",
-          sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
-        .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.ui.enabled", "false")
-        .getOrCreate()
-      s.sparkContext.setLogLevel("ERROR")
-      s
-    }
+    val spark = tk.time("connect")(buildSession())
     try {
       val queryText = tk.time("read_query") {
         java.nio.file.Files.readString(java.nio.file.Paths.get(queryPath))
