@@ -67,6 +67,56 @@ object MultiSeriesEngine {
     MsIndex(indexed, bounds, levels)
   }
 
+  /** Row shape produced by [[indexFast]]. */
+  final case class MsIndexedPoint(sid: Long, t: Long, y: Double, s: Double, ms: Array[Double])
+
+  /** Kernel build of [[index]]: hash-partition by sid, sort (sid, t) within
+    * partitions, then compute每 series' prefix sums and ALL sparse-table
+    * levels imperatively in one pass over each series' contiguous run — one
+    * shuffle + one sort instead of 1 + log2(maxWin) sequential window stages.
+    * Equality with the declarative build is asserted in MultiSeriesSpec.
+    * Assumes a series fits its executor's partition (the same working-set
+    * assumption the per-sid window build makes); a series too large for
+    * that belongs on the single-series engine's partitioned two-pass path.
+    */
+  def indexFast(series: DataFrame, maxWin: Long, boundsOpt: Option[DataFrame] = None): MsIndex = {
+    val levels = math.max(1, 64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, maxWin)))
+    val spark = series.sparkSession
+    import spark.implicits._
+    val sorted = series
+      .select(col("sid").cast("long").as("sid"),
+        col("t").cast("long").as("t"), col("y").cast("double").as("y"))
+      .repartition(col("sid"))
+      .sortWithinPartitions("sid", "t")
+      .as[(Long, Long, Double)]
+    val indexed = sorted.mapPartitions { it =>
+      val rows = it.buffered
+      new Iterator[Iterator[MsIndexedPoint]] {
+        def hasNext: Boolean = rows.hasNext
+        def next(): Iterator[MsIndexedPoint] = {
+          // consume one sid's contiguous run
+          val sid = rows.head._1
+          val ts = new scala.collection.mutable.ArrayBuffer[Long]
+          val ys = new scala.collection.mutable.ArrayBuffer[Double]
+          while (rows.hasNext && rows.head._1 == sid) {
+            val r = rows.next(); ts += r._2; ys += r._3
+          }
+          val arr = ys.toArray
+          val m = SeriesOps.buildLevels(arr, levels)
+          var acc = 0.0
+          val s = arr.map { v => acc += v; acc }
+          Iterator.tabulate(arr.length) { k =>
+            MsIndexedPoint(sid, ts(k), arr(k), s(k),
+              Array.tabulate(levels)(j => m(j)(k)))
+          }
+        }
+      }.flatten
+    }.toDF()
+    val bounds = boundsOpt.getOrElse(
+      series.groupBy("sid").agg(min("t").as("tMin"), max("t").as("tMax")))
+    MsIndex(indexed, bounds, levels)
+  }
+
   private def lookupAt(
       grid: DataFrame, idx: MsIndex, pos: Column, prefix: String,
       cols: Seq[String]): DataFrame = {
@@ -145,7 +195,7 @@ object MultiSeriesEngine {
     val maxWin = spec.constraints
       .map(c => ConstraintRegistry(c.name).maxWindow(lxHi, c.args))
       .foldLeft(lxHi + 1)(math.max)
-    val idx = index(series, maxWin, Some(bounds))
+    val idx = indexFast(series, maxWin, Some(bounds))
     var g = candidateGrid(idx, spec)
     val cs = spec.constraints.zipWithIndex
     val p = probe(idx)

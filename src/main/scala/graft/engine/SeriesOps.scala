@@ -228,7 +228,7 @@ object SeriesOps {
     twoPassBuild(sorted, levels, ordinal = true)
   }
 
-  private def buildLevels(ys: Array[Double], levels: Int): Array[Array[Double]] = {
+  private[engine] def buildLevels(ys: Array[Double], levels: Int): Array[Array[Double]] = {
     val n = ys.length
     val m = Array.ofDim[Double](levels, n)
     System.arraycopy(ys, 0, m(0), 0, n)

@@ -66,4 +66,19 @@ class MultiSeriesSpec extends AnyFunSuite {
     val plan = idx.df.queryExecution.executedPlan.toString
     assert(plan.contains("Window") && plan.contains("sid"), plan.take(1500))
   }
+
+  test("per-sid kernel index build equals the declarative windowed build") {
+    val a = MultiSeriesEngine.index(multi, 16)
+    val b = MultiSeriesEngine.indexFast(multi, 16)
+    assert(a.levels == b.levels)
+    def rows(i: MultiSeriesEngine.MsIndex) = i.df.orderBy("sid", "t").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getSeq[Double](4)))
+      .toSeq
+    // bit-equal including prefix sums: both accumulate sequentially per sid
+    assert(rows(a) == rows(b))
+    // and no Window / per-level lead stages in the kernel plan
+    val plan = b.df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan.take(1500))
+  }
 }
