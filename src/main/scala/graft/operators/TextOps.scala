@@ -114,11 +114,15 @@ object TextOps {
 
   /** Per-document top term by TF-IDF over the corpus: tf = in-doc term
     * count, idf = ln(N / df) with df = number of documents containing the
-    * term. One tokenize pass: `tf` already holds one row per (doc, term),
-    * so `dfreq` is a re-aggregation of `tf` — no second explode/distinct
-    * scan of the corpus, and the (id, w) shuffle feeding both sides is one
-    * exchange Catalyst can reuse. Ties break to the lexicographically
-    * smallest term for determinism. */
+    * term. `dfreq` is written as a re-aggregation of `tf`; Catalyst prunes
+    * the count off that branch and derives the lean distinct-(id,w) form,
+    * which means the corpus IS tokenized twice — the deliberate trade:
+    * both aggregations partial-combine map-side, where the alternative
+    * (dfreq as a count window partitioned by term) would buffer every
+    * occurrence of a common term in one window partition — a skew
+    * time-bomb at corpus scale. Tokenization is embarrassingly parallel
+    * map work; skewed shuffles are not. Ties break to the
+    * lexicographically smallest term for determinism. */
   def tfidfTopTerm(df: DataFrame, text: String, id: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // corpus size as a broadcast 1-row aggregate, not a driver-side count():

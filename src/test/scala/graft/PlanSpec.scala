@@ -88,6 +88,20 @@ class PlanSpec extends AnyFunSuite {
     assert("Exchange".r.findAllIn(p).size <= 1, p.take(3000))
   }
 
+  test("q51: TF-IDF keeps both aggregations map-side combined, no term window") {
+    val df = SparkEntry.queries("q51_text_tfidf")(spark, sf)
+    df.collect()
+    // inspect the ADAPTIVE final plan only (toString appends the initial
+    // plan, which double-prints every subtree)
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    // the dfreq branch must be partial+final hash aggregates (skew-safe),
+    // NOT a count window partitioned by term; the only Window is the
+    // per-doc top-1 (WindowGroupLimit-pruned)
+    assert("Window \\[count".r.findFirstIn(p).isEmpty, p.take(3000))
+    assert(p.contains("WindowGroupLimit"), p.take(3000))
+    assert("partial_count".r.findAllIn(p).size >= 2, p.take(3000))
+  }
+
   test("q13/q14: semi and anti joins plan as semi/anti, not inner+distinct") {
     assert(plan("q13_semi_join").contains("LeftSemi"))
     assert(plan("q14_anti_join").contains("LeftAnti"))
