@@ -178,24 +178,26 @@ object MultiSeriesEngine {
   /** Execute the query independently over every series; returns
     * `(sid, time_id, offset)` in canonical per-series order. */
   def execute(spark: SparkSession, series: DataFrame, spec: QuerySpec): DataFrame = {
-    // the per-series bounds aggregate is needed by the grid anyway; when lx
-    // is unbounded ("whole series") the sparse-table depth additionally
-    // needs its max extent as a driver value (levels is a structural plan
-    // parameter — the same binding step the reference does). Persist the
-    // tiny (sid, tMin, tMax) frame in that case so the action and the grid
-    // share ONE computation instead of two corpus passes.
-    val bounds0 = series.groupBy("sid")
-      .agg(min("t").as("tMin"), max("t").as("tMax"))
-    val (bounds, lxHi) = spec.lxDomain.hi match {
-      case Some(h) => (bounds0, h)
-      case None =>
-        val b = bounds0.persist()
-        (b, b.agg(max(col("tMax") - col("tMin") + 1)).head().getLong(0) - 1)
+    // when lx is unbounded ("whole series") the sparse-table depth needs
+    // the max extent as a driver value (levels is a structural plan
+    // parameter — the same binding step the reference does): one tiny
+    // aggregate action in that case, none otherwise
+    val lxHi = spec.lxDomain.hi.getOrElse {
+      series.groupBy("sid").agg((max("t") - min("t") + lit(1)).as("ext"))
+        .agg(max("ext")).head().getLong(0) - 1
     }
     val maxWin = spec.constraints
       .map(c => ConstraintRegistry(c.name).maxWindow(lxHi, c.args))
       .foldLeft(lxHi + 1)(math.max)
-    val idx = indexFast(series, maxWin, Some(bounds))
+    // materialize the index ONCE (lineage truncated): every probe join
+    // reads the checkpointed blocks instead of re-running the kernel build
+    // inside its own broadcast, and the per-series bounds aggregate reads
+    // the index instead of re-scanning the source
+    val built = indexFast(series, maxWin)
+    val ckpt = built.df.localCheckpoint(true)
+    val bounds = ckpt.groupBy("sid")
+      .agg(min("t").as("tMin"), max("t").as("tMax"))
+    val idx = MsIndex(ckpt, bounds, built.levels)
     var g = candidateGrid(idx, spec)
     val cs = spec.constraints.zipWithIndex
     val p = probe(idx)
