@@ -132,11 +132,18 @@ object Similarity {
     * scan of nprobe/k of the data.
     */
   def ivfAssign(vecs: DataFrame, id: String, emb: String, k: Int): DataFrame = {
+    // self-norms hoisted out of the (corpus x centroids) pair loop: each
+    // side's sqrt(dot(v, v)) is computed once per vector instead of once
+    // per pair — bit-identical to the inline cosine (same expressions in
+    // the same division order), k x fewer self-dot products
+    def dot(x: Column, y: Column): Column = graft.functions.DotProduct.dot_product(x, y)
     val cents = broadcast(vecs.where(col(id) < k)
-      .select(col(id).as("__c"), col(emb).cast("array<double>").as("__ce")))
-    vecs.select(col(id), col(emb))
+      .select(col(id).as("__c"), col(emb).cast("array<double>").as("__ce"))
+      .withColumn("__cn", sqrt(dot(col("__ce"), col("__ce")))))
+    vecs.select(col(id), col(emb).cast("array<double>").as("__e"))
+      .withColumn("__vn", sqrt(dot(col("__e"), col("__e"))))
       .crossJoin(cents)
-      .withColumn("__cos", cosine(col(emb).cast("array<double>"), col("__ce")))
+      .withColumn("__cos", dot(col("__e"), col("__ce")) / col("__vn") / col("__cn"))
       .groupBy(col(id))
       .agg(max_by(col("__c"), struct(col("__cos"), -col("__c"))).as("cell"))
   }
@@ -157,11 +164,18 @@ object Similarity {
     * next to it. */
   def ivfBuild(spark: SparkSession, vecs: DataFrame, id: String, emb: String,
       k: Int, path: String): IvfIndex = {
-    vecs.select(col(id), col(emb))
+    def dot(x: Column, y: Column): Column = graft.functions.DotProduct.dot_product(x, y)
+    // vector/centroid self-norms are build-time columns: every future
+    // search divides by them instead of recomputing sqrt(dot(v, v)) per
+    // probed row — bit-identical values (same expression, evaluated once)
+    vecs.select(col(id), col(emb),
+        sqrt(dot(col(emb).cast("array<double>"), col(emb).cast("array<double>")))
+          .as("norm"))
       .join(ivfAssign(vecs, id, emb, k), id)
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/corpus")
     vecs.where(col(id) < k)
       .select(col(id).as("cell"), col(emb).cast("array<double>").as("ce"))
+      .withColumn("cnorm", sqrt(dot(col("ce"), col("ce"))))
       .write.mode("overwrite").parquet(s"$path/centroids")
     IvfIndex(spark, path, id, emb)
   }
@@ -172,15 +186,18 @@ object Similarity {
     * pruning and cosine re-rank. The corpus is never reassigned. */
   def ivfSearchIndexed(
       idx: IvfIndex, query: Array[Double], nprobe: Int, topK: Int): DataFrame = {
+    def dot(x: Column, y: Column): Column = graft.functions.DotProduct.dot_product(x, y)
     val q = lit(query)
+    val qn = sqrt(dot(q, q)) // literal args: constant-folded once
     val cells = idx.centroids
-      .select(col("cell"), cosine(col("ce"), q).as("pc"))
+      .select(col("cell"), (dot(col("ce"), q) / col("cnorm") / qn).as("pc"))
       .orderBy(col("pc").desc, col("cell"))
       .limit(nprobe)
       .collect().map(_.get(0))
     idx.corpus.where(col("cell").isin(cells: _*))
       .select(col(idx.id),
-        round(cosine(col(idx.emb).cast("array<double>"), q), 4).as("cos"))
+        round(dot(col(idx.emb).cast("array<double>"), q) / col("norm") / qn, 4)
+          .as("cos"))
       .orderBy(col("cos").desc, col(idx.id))
       .limit(topK)
   }
