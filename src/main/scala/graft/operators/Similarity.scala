@@ -66,16 +66,26 @@ object Similarity {
     ((java.lang.Long.parseLong(hex.substring(0, 15), 16) % 2001L) - 1000L) / 1000.0
   }
 
-  /** 16-bit random-hyperplane LSH bucket code per vector, as pure per-row
-    * column arithmetic: per plane, a zip_with/aggregate dot product against
-    * a LITERAL coefficient array (precomputed via [[planeCoefJvm]]), then a
-    * sign-bit pack. No explode, no join, no shuffle — the bucket column
-    * exists before any exchange, so at 100 TB this is a map-only stage
-    * (the prior formulation exploded dims x planes rows per vector through
-    * two hash aggregations). `dims` is the embedding dimensionality (the
-    * coefficient matrix is planes x dims).
+  /** 16-bit random-hyperplane LSH bucket code per vector, as ONE native
+    * codegen expression ([[graft.functions.LshBucket]]): a tight primitive
+    * loop over the precomputed planes x dims coefficient matrix
+    * ([[planeCoefJvm]]) with a sign-bit pack. No explode, no join, no
+    * shuffle, no lambda evaluation — the bucket column exists before any
+    * exchange, so at 100 TB this is a map-only codegen stage (the original
+    * formulation exploded dims x planes rows per vector through two hash
+    * aggregations). `dims` is the embedding dimensionality.
     */
   def lshBuckets(vecs: DataFrame, id: String, emb: String,
+      planes: Int = 16, dims: Int = 64): DataFrame =
+    vecs.select(col(id),
+      graft.functions.LshBucket
+        .lsh_bucket(col(emb).cast("array<double>"), planes, dims).as("bucket"))
+
+  /** The column-arithmetic formulation of [[lshBuckets]] — per plane, a
+    * zip_with/aggregate dot product against a literal coefficient array,
+    * then a sign-bit pack. Kept as the composable executable spec the
+    * native expression is verified against (bit-identical fold order). */
+  def lshBucketsHof(vecs: DataFrame, id: String, emb: String,
       planes: Int = 16, dims: Int = 64): DataFrame = {
     val e = col(emb).cast("array<double>")
     val bucket = (0 until planes).map { p =>

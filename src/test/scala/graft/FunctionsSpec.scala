@@ -68,6 +68,35 @@ class FunctionsSpec extends AnyFunSuite {
     assert(dp == 32.0)
   }
 
+  test("lsh_bucket native expression runs in codegen and matches interpreted eval") {
+    import graft.functions.LshBucket.lsh_bucket
+    // codegen source so the Project is whole-stage compiled
+    val df = spark.range(50)
+      .select(col("id"),
+        lsh_bucket(array((0 until 8).map(d => cos(col("id") * 3 + lit(d))): _*), 8, 8)
+          .as("b"))
+    val rows = df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert("""\*\(\d+\) Project""".r.findFirstIn(plan).isDefined, plan.take(1000))
+    // interpreted path (eval) agrees with the codegen'd result
+    rows.foreach { r =>
+      val e = (0 until 8).map(d => math.cos(r.getLong(0) * 3 + d))
+      var expect = 0L
+      for (p <- 0 until 8) {
+        val s = (0 until 8).foldLeft(0.0)((acc, d) =>
+          acc + e(d) * graft.operators.Similarity.planeCoefJvm(p, d))
+        if (s > 0) expect |= (1L << p)
+      }
+      assert(r.getLong(1) == expect, s"id=${r.getLong(0)}")
+    }
+    // SQL surface via GraftExtensions injection
+    val viaSql = spark.sql("SELECT lsh_bucket(array(1.0d, -2.0d), 4, 2) AS b")
+      .head().getLong(0)
+    val viaCol = spark.range(1)
+      .select(lsh_bucket(array(lit(1.0), lit(-2.0)), 4, 2)).head().getLong(0)
+    assert(viaSql == viaCol)
+  }
+
   test("rolling_hash stays inside whole-stage codegen") {
     // spark.range is a codegen source (a literal local table would be
     // constant-folded into a LocalTableScan via the interpreted path)

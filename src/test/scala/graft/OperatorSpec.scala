@@ -102,11 +102,13 @@ class OperatorSpec extends AnyFunSuite {
     val coefCol = Seq((3, 5)).toDF("p", "d")
       .select(Similarity.planeCoef(col("p"), col("d"))).head().getDouble(0)
     assert(coefCol == Similarity.planeCoefJvm(3, 5))
-    val fast = Similarity.lshBuckets(vecs, "vec_id", "embedding", 8, 8)
+    val native = Similarity.lshBuckets(vecs, "vec_id", "embedding", 8, 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val hof = Similarity.lshBucketsHof(vecs, "vec_id", "embedding", 8, 8)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val spec = Similarity.lshBucketsExploded(spark, vecs, "vec_id", "embedding", 8)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(fast == spec)
+    assert(native == hof && hof == spec)
   }
 
   test("exact dedup keeps min id per content") {
