@@ -63,8 +63,12 @@ object LlmQueries {
       .select(col("doc_id") +: (0 until Bands).map(b => col(s"band$b")): _*)
       .orderBy("doc_id")
 
+  /** Per-row native SimHash ([[graft.functions.SimHash32]]) — no explode,
+    * no shuffle; bit-identical to the grouped shingle formulation
+    * (OperatorSpec asserts the equality on the fixture corpus). */
   def dedupSimhash(s: SparkSession, d: String): DataFrame =
-    Dedup.simHash(Dedup.shingles(docs(s, d), "text", "doc_id", 1), "doc_id")
+    docs(s, d).select(col("doc_id"),
+        graft.functions.SimHash32.simhash32(col("text")).as("simhash"))
       .orderBy("doc_id")
 
   def dedupEmbedCosine(s: SparkSession, d: String): DataFrame = {

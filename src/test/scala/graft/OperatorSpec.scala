@@ -94,6 +94,15 @@ class OperatorSpec extends AnyFunSuite {
       s"query's own bucket must contain it first: ${got.mkString(",")}")
   }
 
+  test("native per-row simhash32 equals the grouped shingle formulation") {
+    val grouped = Dedup.simHash(Dedup.shingles(docs, "text", "doc_id", 1), "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val native = docs.select(col("doc_id"),
+        graft.functions.SimHash32.simhash32(col("text")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(native == grouped)
+  }
+
   test("shuffle-free LSH buckets equal the exploded-groupBy formulation") {
     val vecs = (0 until 40).map { i =>
       (i.toLong, Array.tabulate(8)(d => math.cos(i * 3 + d).toFloat))
