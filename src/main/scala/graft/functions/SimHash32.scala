@@ -17,16 +17,25 @@ import org.apache.spark.unsafe.types.UTF8String
 object SimHashKernel extends Serializable {
   private val Ws = java.util.regex.Pattern.compile("\\s+")
 
-  /** 60-bit portable token hash: first 15 hex chars of md5("3:" + token) —
-    * identical to `TextOps.portableHash(token, 3)` (the seed the shingle
-    * pipeline uses). */
-  def hash60(md: java.security.MessageDigest, token: String): Long = {
-    val d = md.digest(("3:" + token).getBytes(StandardCharsets.UTF_8))
+  /** 60-bit portable hash: first 15 hex chars of md5(s) as a Long —
+    * identical to `TextOps.portableHash` for `s = "<seed>:<token>"`. */
+  def hash60(md: java.security.MessageDigest, s: String): Long = {
+    val d = md.digest(s.getBytes(StandardCharsets.UTF_8))
     var h = 0L
     var i = 0
     // first 15 hex chars = first 7 bytes + high nibble of byte 8
     while (i < 7) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
     (h << 4) | ((d(7) & 0xf0L) >> 4)
+  }
+
+  /** Lowercased, trimmed, whitespace-split DISTINCT tokens — the kernel
+    * mirror of `TextOps.tokens` + `Dedup.shingles(n=1)`'s distinct. */
+  def distinctTokens(s: UTF8String): java.util.LinkedHashSet[String] = {
+    val toks = Ws.split(s.toLowerCase.trim.toString, -1)
+    val seen = new java.util.LinkedHashSet[String]()
+    var i = 0
+    while (i < toks.length) { seen.add(toks(i)); i += 1 }
+    seen
   }
 
   /** 32-bit SimHash of a document: lowercase, trim, whitespace-split,
@@ -35,28 +44,41 @@ object SimHashKernel extends Serializable {
     * which is exactly why this is computable per row with no explode and
     * no shuffle. Mirrors `Dedup.simHash(shingles(n=1))` bit for bit. */
   def compute(s: UTF8String): Long = {
-    val str = s.toLowerCase.trim.toString
-    val toks = Ws.split(str, -1)
     val md = java.security.MessageDigest.getInstance("MD5")
-    val seen = new java.util.HashSet[String]()
     val votes = new Array[Int](32)
-    var i = 0
-    while (i < toks.length) {
-      val t = toks(i)
-      if (seen.add(t)) {
-        val h = hash60(md, t)
-        var b = 0
-        while (b < 32) {
-          votes(b) += (if (((h >> b) & 1L) == 1L) 1 else -1)
-          b += 1
-        }
+    val it = distinctTokens(s).iterator()
+    while (it.hasNext) {
+      val h = hash60(md, "3:" + it.next())
+      var b = 0
+      while (b < 32) {
+        votes(b) += (if (((h >> b) & 1L) == 1L) 1 else -1)
+        b += 1
       }
-      i += 1
     }
     var out = 0L
     var b = 0
     while (b < 32) { if (votes(b) > 0) out |= (1L << b); b += 1 }
     out
+  }
+
+  /** MinHash signature: element i = min over the distinct tokens of the
+    * seed-i portable hash — identical to
+    * `Dedup.minHash(shingles(n=1), k)`'s grouped mins (min is
+    * order-independent, hence per-row computable). */
+  def minhash(s: UTF8String, k: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val mins = Array.fill(k)(Long.MaxValue)
+    val it = distinctTokens(s).iterator()
+    while (it.hasNext) {
+      val t = it.next()
+      var i = 0
+      while (i < k) {
+        val h = hash60(md, i.toString + ":" + t)
+        if (h < mins(i)) mins(i) = h
+        i += 1
+      }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(mins)
   }
 }
 
@@ -97,4 +119,40 @@ object SimHash32 {
   /** Column API. */
   def simhash32(c: Column): Column =
     GraftShims.column(SimHash32(GraftShims.expression(c)))
+}
+
+/** Native Catalyst expression: k-element MinHash signature of a STRING
+  * document, per row — the same order-independence argument as
+  * [[SimHash32]] (each signature element is a min), so the shingle
+  * explode + k-way min groupBy folds into one map-only pass with
+  * signatures identical to [[graft.operators.Dedup.minHash]] over n=1
+  * shingles (asserted in OperatorSpec). */
+case class MinHashSig(child: Expression, numHashes: Int) extends UnaryExpression {
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"minhash_sig expects STRING, got ${child.dataType.simpleString}")
+
+  override def nullSafeEval(input: Any): Any =
+    SimHashKernel.minhash(input.asInstanceOf[UTF8String], numHashes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val kernel = ctx.addReferenceObj("minhashKernel", SimHashKernel,
+        "graft.functions.SimHashKernel$")
+      s"${ev.value} = $kernel.minhash($c, $numHashes);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}
+
+object MinHashSig {
+  /** Column API. */
+  def minhash_sig(c: Column, numHashes: Int): Column =
+    GraftShims.column(MinHashSig(GraftShims.expression(c), numHashes))
 }

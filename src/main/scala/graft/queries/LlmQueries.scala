@@ -51,9 +51,15 @@ object LlmQueries {
   val NumHashes = 8
   val Bands = 4
 
-  private def minhashSig(s: SparkSession, d: String): DataFrame =
-    Dedup.minHash(Dedup.shingles(docs(s, d), "text", "doc_id", 1),
-      "doc_id", NumHashes)
+  /** Per-row native MinHash signature ([[graft.functions.MinHashSig]]) —
+    * no explode, no shuffle; signatures identical to the grouped
+    * formulation (OperatorSpec asserts the equality). */
+  private def minhashSig(s: SparkSession, d: String): DataFrame = {
+    val sig = docs(s, d).select(col("doc_id"),
+      graft.functions.MinHashSig.minhash_sig(col("text"), NumHashes).as("__sig"))
+    sig.select(col("doc_id") +:
+      (0 until NumHashes).map(i => element_at(col("__sig"), i + 1).as(s"m$i")): _*)
+  }
 
   def dedupMinhash(s: SparkSession, d: String): DataFrame =
     minhashSig(s, d).orderBy("doc_id")

@@ -103,6 +103,15 @@ class OperatorSpec extends AnyFunSuite {
     assert(native == grouped)
   }
 
+  test("native per-row minhash_sig equals the grouped shingle formulation") {
+    val grouped = Dedup.minHash(Dedup.shingles(docs, "text", "doc_id", 1), "doc_id", 8)
+      .collect().map(r => r.getLong(0) -> (1 to 8).map(r.getLong).toSeq).toMap
+    val native = docs.select(col("doc_id"),
+        graft.functions.MinHashSig.minhash_sig(col("text"), 8))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
+    assert(native == grouped)
+  }
+
   test("shuffle-free LSH buckets equal the exploded-groupBy formulation") {
     val vecs = (0 until 40).map { i =>
       (i.toLong, Array.tabulate(8)(d => math.cos(i * 3 + d).toFloat))
