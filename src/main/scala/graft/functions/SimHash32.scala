@@ -80,6 +80,22 @@ object SimHashKernel extends Serializable {
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(mins)
   }
+
+  /** Bag-of-words fingerprint: sum over ALL tokens (multiset, not
+    * distinct) of `portableHash(token, 7) mod 1000003`, mod 1000003 — an
+    * order-independent integer sum, identical to
+    * [[graft.operators.TextOps.fingerprint]]'s grouped formulation. */
+  def fingerprint(s: UTF8String): Long = {
+    val toks = Ws.split(s.toLowerCase.trim.toString, -1)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    var acc = 0L
+    var i = 0
+    while (i < toks.length) {
+      acc += hash60(md, "7:" + toks(i)) % 1000003L
+      i += 1
+    }
+    acc % 1000003L
+  }
 }
 
 /** Native Catalyst expression: 32-bit SimHash fingerprint of a STRING
@@ -155,4 +171,37 @@ object MinHashSig {
   /** Column API. */
   def minhash_sig(c: Column, numHashes: Int): Column =
     GraftShims.column(MinHashSig(GraftShims.expression(c), numHashes))
+}
+
+/** Native Catalyst expression: bag-of-words document fingerprint per row —
+  * the order-independent-sum folding of
+  * [[graft.operators.TextOps.fingerprint]] (which stays as the grouped
+  * executable spec; equality asserted in OperatorSpec). */
+case class Fingerprint(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"fingerprint64 expects STRING, got ${child.dataType.simpleString}")
+
+  override def nullSafeEval(input: Any): Any =
+    SimHashKernel.fingerprint(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val kernel = ctx.addReferenceObj("fpKernel", SimHashKernel,
+        "graft.functions.SimHashKernel$")
+      s"${ev.value} = $kernel.fingerprint($c);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Fingerprint =
+    copy(child = newChild)
+}
+
+object Fingerprint {
+  /** Column API. */
+  def fingerprint64(c: Column): Column =
+    GraftShims.column(Fingerprint(GraftShims.expression(c)))
 }

@@ -39,8 +39,13 @@ object LlmQueries {
   def textLangId(s: SparkSession, d: String): DataFrame =
     TextOps.languageId(docs(s, d), "text", "doc_id").orderBy("doc_id")
 
+  /** Per-row native fingerprint ([[graft.functions.Fingerprint]]) — the
+    * explode+sum groupBy folded into a map-only scan (equality with the
+    * grouped spec asserted in OperatorSpec). */
   def textFingerprint(s: SparkSession, d: String): DataFrame =
-    TextOps.fingerprint(docs(s, d), "text", "doc_id").orderBy("doc_id")
+    docs(s, d).select(col("doc_id"),
+        graft.functions.Fingerprint.fingerprint64(col("text")).as("fingerprint"))
+      .orderBy("doc_id")
 
   def dedupExact(s: SparkSession, d: String): DataFrame =
     Dedup.exact(docs(s, d), "text", "doc_id").orderBy("keep_id")

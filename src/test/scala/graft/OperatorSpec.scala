@@ -103,6 +103,15 @@ class OperatorSpec extends AnyFunSuite {
     assert(native == grouped)
   }
 
+  test("native per-row fingerprint64 equals the grouped explode+sum formulation") {
+    val grouped = TextOps.fingerprint(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val native = docs.select(col("doc_id"),
+        graft.functions.Fingerprint.fingerprint64(col("text")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(native == grouped)
+  }
+
   test("native per-row minhash_sig equals the grouped shingle formulation") {
     val grouped = Dedup.minHash(Dedup.shingles(docs, "text", "doc_id", 1), "doc_id", 8)
       .collect().map(r => r.getLong(0) -> (1 to 8).map(r.getLong).toSeq).toMap
