@@ -68,4 +68,47 @@ object Multimodal {
         (lit(64) + col("n_bytes") % 512).cast("int").as("width"),
         (lit(64) + (col("n_bytes") * 7) % 512).cast("int").as("height"),
         (lit(1) + col("n_bytes") % 30).cast("int").as("frames"))
+
+  /** Frame sampling over a video-like payload: the stub treats the blob as
+    * `frames` equal chunks (the same frame count [[decodeStub]] derives;
+    * the trailing remainder stays undecoded, as a keyframe sampler would
+    * skip partial GOPs) and emits every `step`-th chunk with its index.
+    * Pure partition-local column arithmetic — at 100 TB this is the
+    * map-only stage that runs before frames ship to a GPU decoder (which
+    * replaces the substring slice, not the dataflow). Output:
+    * (doc_id, frame_idx, frame_bytes, frame_hash) — the hash makes the
+    * frame content oracle-comparable without moving blobs around.
+    */
+  def frameSample(df: DataFrame, id: String, payload: String, step: Int): DataFrame = {
+    val nb = octet_length(col(payload)).cast("long")
+    val frames = (lit(1) + nb % 30)
+    val chunk = greatest(lit(1L), (nb / frames).cast("long"))
+    df.select(col(id).cast("long").as("doc_id"), col(payload).as("__p"),
+        frames.as("n_frames"), chunk.as("chunk"))
+      .select(col("doc_id"), col("__p"), col("chunk"),
+        explode(sequence(lit(0L), col("n_frames") - 1, lit(step.toLong)))
+          .as("frame_idx"))
+      .select(col("doc_id"), col("frame_idx"),
+        // nominal frame size (== actual slice except for a sub-chunk blob)
+        col("chunk").as("frame_bytes"),
+        expr("substring(__p, frame_idx * chunk + 1, chunk)").as("frame"))
+      .select(col("doc_id"), col("frame_idx"), col("frame_bytes"),
+        // hex form for the oracle compare (DuckDB cannot slice/hash BLOBs;
+        // it slices the hex text instead — byte-exact either way)
+        hex(col("frame")).as("frame_hex"))
+  }
+
+  /** Resize stub: a deterministic fake that crops the payload to the
+    * target pixel budget (`min(n_bytes, tw*th)` leading bytes) and emits
+    * the resized dimensions + content hash. The plumbing — per-row binary
+    * transform, typed output schema — is what a real scaler plugs into. */
+  def resizeStub(df: DataFrame, id: String, payload: String,
+      tw: Int, th: Int): DataFrame = {
+    val nb = octet_length(col(payload)).cast("long")
+    df.select(col(id).cast("long").as("doc_id"), col(payload).as("__p"), nb.as("nb"))
+      .select(col("doc_id"),
+        lit(tw).as("width"), lit(th).as("height"),
+        least(col("nb"), lit(tw.toLong * th)).as("out_bytes"),
+        hex(expr(s"substring(__p, 1, ${tw.toLong * th})")).as("out_hex"))
+  }
 }

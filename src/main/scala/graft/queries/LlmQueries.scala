@@ -115,6 +115,13 @@ object LlmQueries {
       Multimodal.withBinaryPayload(docs(s, d), "text"), "doc_id", "payload")
       .orderBy("doc_id")
 
+  /** q53 — every 2nd frame of the chunked video-payload stub; the binary
+    * slice happens Spark-side, the oracle slices hex text (byte-exact). */
+  def multimodalFrames(s: SparkSession, d: String): DataFrame =
+    Multimodal.frameSample(
+        Multimodal.withBinaryPayload(docs(s, d), "text"), "doc_id", "payload", 2)
+      .orderBy("doc_id", "frame_idx")
+
   // ---- DuckDB oracles ----
 
   val sql: Map[String, String] = Map(
@@ -249,6 +256,17 @@ object LlmQueries {
          |  sum(CASE WHEN s > 0 THEN (1::BIGINT << p) ELSE 0::BIGINT END)::BIGINT AS bucket
          |FROM s GROUP BY vec_id ORDER BY vec_id""".stripMargin,
 
+    "q53_multimodal_frames" ->
+      """WITH p AS (SELECT doc_id, hex(encode(text)) AS ph,
+        |    octet_length(encode(text))::BIGINT AS nb FROM documents),
+        |m AS (SELECT doc_id, ph, nb, (1 + nb % 30)::BIGINT AS n_frames,
+        |    greatest(1, nb // (1 + nb % 30))::BIGINT AS chunk FROM p)
+        |SELECT doc_id, i AS frame_idx, chunk AS frame_bytes,
+        |  substring(ph, (i * chunk * 2 + 1)::BIGINT, (chunk * 2)::BIGINT) AS frame_hex
+        |FROM m CROSS JOIN generate_series(0, 29, 2) t(i)
+        |WHERE i < n_frames
+        |ORDER BY doc_id, frame_idx""".stripMargin,
+
     "q37_multimodal_meta" ->
       """SELECT doc_id, octet_length(encode(text))::BIGINT AS n_bytes,
         |  (64 + octet_length(encode(text)) % 512)::INTEGER AS width,
@@ -310,6 +328,7 @@ object LlmQueries {
     "q35_ann_bruteforce" -> annBruteForce _,
     "q36_ann_lsh_buckets" -> annLshBuckets _,
     "q37_multimodal_meta" -> multimodalMeta _,
+    "q53_multimodal_frames" -> multimodalFrames _,
     "q50_text_stopwords" -> textStopwords _,
     "q51_text_tfidf" -> textTfidf _,
     "q38_part_agg" -> ((s, d) =>

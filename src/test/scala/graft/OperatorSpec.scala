@@ -103,6 +103,25 @@ class OperatorSpec extends AnyFunSuite {
     assert(native == grouped)
   }
 
+  test("multimodal frame sampling chunks the payload; resize crops to budget") {
+    val withP = graft.operators.Multimodal.withBinaryPayload(docs, "text")
+    val frames = graft.operators.Multimodal
+      .frameSample(withP, "doc_id", "payload", 2).collect()
+    assert(frames.nonEmpty)
+    frames.foreach { r =>
+      assert(r.getLong(1) % 2 == 0, "only every 2nd frame sampled")
+      assert(r.getString(3).length <= r.getLong(2) * 2, "hex at most chunk*2 chars")
+    }
+    // reassembling frames 0..n of one doc must be a prefix of the payload hex
+    val d1 = frames.filter(_.getLong(0) == 1L).sortBy(_.getLong(1))
+    assert(d1.nonEmpty && d1.head.getLong(1) == 0L)
+    val resized = graft.operators.Multimodal
+      .resizeStub(withP, "doc_id", "payload", 8, 4).collect()
+    resized.foreach { r =>
+      assert(r.getInt(1) == 8 && r.getInt(2) == 4 && r.getLong(3) <= 32)
+    }
+  }
+
   test("native per-row fingerprint64 equals the grouped explode+sum formulation") {
     val grouped = TextOps.fingerprint(docs, "text", "doc_id")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
