@@ -1,7 +1,6 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.engine.{RefinementEngine, SeriesOps}
@@ -23,11 +22,12 @@ object TimeSeriesQueries {
     s.read.parquet(s"$dir/events.parquet")
   }
 
-  /** (t, y) series: t = row_number over event_id, y = value. */
+  /** (t, y) series: t = dense ordinal over event_id (distributed
+    * range-sort + zipWithIndex assignment — no global window), y = value. */
   def series(s: SparkSession, dir: String): DataFrame =
-    events(s, dir).select(
-      row_number().over(Window.orderBy("event_id")).cast("long").as("t"),
-      col("value").as("y"))
+    SeriesOps.withTimeId(
+        events(s, dir).select("event_id", "value"), Seq(col("event_id")), "t")
+      .select(col("t"), col("value").as("y"))
 
   /** SQL CTE prefix shared by every DuckDB oracle below. */
   val seriesCte: String =
