@@ -310,6 +310,40 @@ class EngineSpec extends AnyFunSuite {
     full
   }
 
+  test("kernel-index prebuilt path returns exactly the declarative-index results") {
+    // the production path (cachedIndex -> execute(prebuilt)) runs the
+    // partitioned kernel build + MemoProbe; the declarative path builds via
+    // window functions. Same queries, byte-equal (t, offset) output.
+    lazy val kernelIdx = SeriesOps.indexFast(series, 64)
+    val qs = Seq(
+      "SELECT time_id, offset IN_DOMAIN [1, 60], [3, 10] FROM t.c " +
+        "WHERE avg_amp() in [4, 6] MAX",
+      "SELECT time_id, offset IN_DOMAIN [5, 70], [2, 8] FROM t.c " +
+        "WHERE avg_amp() in [3, 7] MAX and max_amp_excess_right(5) in [0, None] MAX " +
+        "LIMIT REFINED 12",
+      "SELECT time_id, offset IN_DOMAIN [1, 70], [2, 6] FROM t.c " +
+        "WHERE max_amp_excess_left(6) in [None, 2] MIN LIMIT REFINED 9")
+    for (q <- qs) {
+      val spec = QueryParser.parse(q)
+      val declarative = RefinementEngine.execute(spark, series, spec)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val viaKernel = RefinementEngine.execute(spark, series, spec,
+          prebuilt = Some(kernelIdx))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(viaKernel == declarative, q)
+    }
+  }
+
+  test("kernel build handles a series far smaller than the halo window") {
+    // n=3 over up to 4 range partitions with a 63-row lookahead need:
+    // halos chain across near-empty partitions and clamp at the true end
+    val tiny = Seq((1L, 2.0), (2L, 9.0), (3L, 4.0)).toDF("t", "y")
+    val a = SeriesOps.index(tiny, 64)
+    val b = SeriesOps.indexFast(tiny, 64)
+    assert(a.levels == b.levels && b.tMin == 1L && b.tMax == 3L)
+    assert(idxRows(a) == idxRows(b))
+  }
+
   test("randomized specs match the naive oracle up to score ties (seeded, 8 cases)") {
     // Engine (prefix-sum arithmetic) and the naive oracle (direct sums) may
     // order exact score ties differently; the contract is set-level with a
