@@ -98,6 +98,34 @@ object Multimodal {
         hex(col("frame")).as("frame_hex"))
   }
 
+  /** Feature-extraction stub: a deterministic 16-dim float feature vector
+    * per payload (normalized 16-bucket byte histogram — the stand-in for a
+    * real image/audio embedding model). The plumbing is the production
+    * shape: per-partition batched iteration (one model context per
+    * partition, as a GPU encoder needs), typed `(id, array<float>)` output
+    * that feeds straight into [[Similarity]]'s ANN/near-dup operators. */
+  final case class MediaFeatures(doc_id: Long, features: Array[Float])
+
+  def featureExtract(spark: SparkSession, df: DataFrame, id: String,
+      payload: String = "payload"): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.product[MediaFeatures]
+    df.select(col(id).cast("long"), col(payload))
+      .mapPartitions { rows =>
+        // per-partition init (a real encoder would load its weights here)
+        rows.map { r =>
+          val bytes = r.getAs[Array[Byte]](1)
+          val hist = new Array[Float](16)
+          var i = 0
+          while (i < bytes.length) { hist((bytes(i) & 0xf0) >> 4) += 1f; i += 1 }
+          val n = math.max(1, bytes.length).toFloat
+          var b = 0
+          while (b < 16) { hist(b) /= n; b += 1 }
+          MediaFeatures(r.getLong(0), hist)
+        }
+      }(enc)
+      .toDF()
+  }
+
   /** Resize stub: a deterministic fake that crops the payload to the
     * target pixel budget (`min(n_bytes, tw*th)` leading bytes) and emits
     * the resized dimensions + content hash. The plumbing — per-row binary

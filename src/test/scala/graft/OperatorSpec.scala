@@ -122,6 +122,22 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("multimodal feature extraction feeds the ANN operators") {
+    val withP = graft.operators.Multimodal.withBinaryPayload(docs, "text")
+    val feats = graft.operators.Multimodal.featureExtract(spark, withP, "doc_id")
+    val rows = feats.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val v = r.getSeq[Float](1)
+      assert(v.size == 16 && math.abs(v.sum - 1.0f) < 1e-3, s"doc ${r.getLong(0)}: $v")
+    }
+    // the typed (id, array<float>) output plugs into the similarity ops
+    val q = rows.head.getSeq[Float](1).toArray
+    val top = graft.operators.Similarity
+      .bruteForceTopK(feats, "doc_id", "features", q, 3).collect()
+    assert(top.head.getLong(0) == rows.head.getLong(0) && top.head.getDouble(1) == 1.0)
+  }
+
   test("native per-row fingerprint64 equals the grouped explode+sum formulation") {
     val grouped = TextOps.fingerprint(docs, "text", "doc_id")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
