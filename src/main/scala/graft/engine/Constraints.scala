@@ -53,7 +53,12 @@ private[engine] abstract class MemoProbe extends WindowProbe {
       case None =>
         val p = s"pr${memo.size}"
         memo(pos.toString) = p
-        (lookupAll(g0, pos, p), p)
+        // materialize the position as a grid column and join on the
+        // attribute: Catalyst's alias tracking then rewrites grid
+        // constraints (x <= xHi, x + lx <= tMax, ...) onto the join key
+        // and infers matching bounds on the index side of each probe —
+        // the broadcast ships the probed slice, not the whole series
+        (lookupAll(g0.withColumn(s"${p}_pos", pos), col(s"${p}_pos"), p), p)
     }
 
   def windowAgg(grid: DataFrame, a: Column, b: Column, tag: String,

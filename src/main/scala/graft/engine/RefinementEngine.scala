@@ -58,6 +58,12 @@ object RefinementEngine {
     spark.range(b.xLo, b.xHi + 1).toDF("x")
       .withColumn("lx", explode(sequence(lit(b.lxLo), lit(b.lxHi))))
       .where(col("x") + col("lx") <= lit(tMax))
+      // redundant given the range bounds, but Range emits no value
+      // constraints: these filters let InferFiltersFromConstraints push
+      // position bounds through the probe join keys into the index scans,
+      // so a probe's broadcast ships only the [xLo, xHi(+lx)] slice of the
+      // index instead of the whole series
+      .where(col("x") >= lit(b.xLo) && col("x") <= lit(b.xHi))
 
   /** Grid + one value column per constraint (c0, c1, ...). */
   def constraintGrid(
