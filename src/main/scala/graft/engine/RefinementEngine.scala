@@ -72,7 +72,14 @@ object RefinementEngine {
       spec: QuerySpec,
       b: Bound): DataFrame = {
     var g = candidateGrid(spark, b, idx.tMax)
-    val p = SeriesOps.probe(idx)
+    // every probe position lies in [xLo - win, xHi + lxHi + win] (window
+    // lookaheads are clamped to the series and bounded by the sparse-table
+    // depth), so pre-filter the index to that slice: all four probe
+    // broadcasts — including the b2 sparse-table positions constraint
+    // inference cannot bound — ship O(domain) rows, never O(series)
+    val slack = 1L << idx.levels
+    val p = SeriesOps.probe(idx.copy(df =
+      idx.df.where(col("t").between(b.xLo - slack, b.xHi + b.lxHi + slack))))
     spec.constraints.zipWithIndex.foreach { case (c, i) =>
       g = ConstraintRegistry(c.name)(g, p, c.args, s"c$i")
     }
