@@ -197,7 +197,16 @@ object MultiSeriesEngine {
     val ckpt = built.df.localCheckpoint(true)
     val bounds = ckpt.groupBy("sid")
       .agg(min("t").as("tMin"), max("t").as("tMax"))
-    val idx = MsIndex(ckpt, bounds, built.levels)
+    // bounded domains probe only [xLo - win, xHi + lxHi + win] in every
+    // series: pre-filter the probe view so lookups join O(domain) rows per
+    // series, not O(series) (bounds still read the full index)
+    val probeDf = (spec.xDomain.lo, spec.xDomain.hi, spec.lxDomain.hi) match {
+      case (Some(xl), Some(xh), Some(lxh)) =>
+        val slack = 1L << built.levels
+        ckpt.where(col("t").between(xl - slack, xh + lxh + slack))
+      case _ => ckpt // an unbounded side binds per series; keep the full view
+    }
+    val idx = MsIndex(probeDf, bounds, built.levels)
     var g = candidateGrid(idx, spec)
     val cs = spec.constraints.zipWithIndex
     val p = probe(idx)
