@@ -93,6 +93,13 @@ object SeriesOps {
   private def levelsFor(maxWin: Long): Int =
     math.max(1, 64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, maxWin)))
 
+  /** Kernel halo budget: beyond this depth the per-partition lookahead
+    * digests (2^(levels-1)-1 doubles each) rival the partitions themselves
+    * and the pass-1 collect stops being "a few KB per partition" — the
+    * kernel builds fall back to the declarative formulation there. 2^23-row
+    * windows cover any domain a CP grid can enumerate cell-by-cell. */
+  private val MaxKernelLevels = 24
+
   /** Partitioned two-pass kernel build — the scale path. The series is
     * range-partitioned and sorted on its key, then:
     *
@@ -202,6 +209,7 @@ object SeriesOps {
     val spark = series.sparkSession
     import spark.implicits._
     val levels = levelsFor(maxWin)
+    if (levels > MaxKernelLevels) return index(series, maxWin)
     val sorted = series
       .select(col("t").cast("long").as("t"), col("y").cast("double").as("y"))
       .repartitionByRange(col("t"))
@@ -219,6 +227,11 @@ object SeriesOps {
     val spark = df.sparkSession
     import spark.implicits._
     val levels = levelsFor(maxWin)
+    if (levels > MaxKernelLevels)
+      return index(
+        withTimeId(df.select(col(orderCol), col(valueCol)), Seq(col(orderCol)))
+          .select(col("t"), col(valueCol).as("y")),
+        maxWin)
     val sorted = df
       .select(col(orderCol).as("__ord"), col(valueCol).cast("double").as("y"))
       .repartitionByRange(col("__ord"))

@@ -344,6 +344,20 @@ class EngineSpec extends AnyFunSuite {
     assert(idxRows(a) == idxRows(b))
   }
 
+  test("kernel builds fall back to declarative beyond the halo depth budget") {
+    // levels > 24 would make the lookahead digests rival the partitions;
+    // the builds must still answer correctly (via the declarative path)
+    val big = 1L << 26
+    val a = SeriesOps.index(series, big)
+    val b = SeriesOps.indexFast(series, big)
+    assert(a.levels == b.levels && b.levels == 27)
+    assert(idxRows(a).map(r => (r._1, r._2, r._4)) ==
+      idxRows(b).map(r => (r._1, r._2, r._4)))
+    val raw = (1 to n).map(i => (i * 10L, ys(i - 1))).toDF("ord", "y")
+    val c = SeriesOps.indexFastFromOrdered(raw, "ord", "y", big)
+    assert(c.tMin == 1 && c.tMax == n && c.levels == 27)
+  }
+
   test("randomized specs match the naive oracle up to score ties (seeded, 8 cases)") {
     // Engine (prefix-sum arithmetic) and the naive oracle (direct sums) may
     // order exact score ties differently; the contract is set-level with a
