@@ -26,10 +26,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("lsh_bucket"),
       new ExpressionInfo(classOf[LshBucket].getName, "lsh_bucket"),
       // planes/dims are structural (they size the coefficient matrix), so
-      // the SQL form requires foldable int arguments
-      (exprs: Seq[Expression]) => LshBucket(exprs.head,
-        exprs(1).eval().asInstanceOf[Number].intValue(),
-        exprs(2).eval().asInstanceOf[Number].intValue())))
+      // the SQL form requires foldable non-null int arguments — checked
+      // here to fail with a clear analysis error, not an internal NPE
+      (exprs: Seq[Expression]) => {
+        def intArg(e: Expression, name: String): Int = {
+          if (!e.foldable) throw new IllegalArgumentException(
+            s"lsh_bucket: $name must be a literal integer, got ${e.sql}")
+          e.eval() match {
+            case n: Number => n.intValue()
+            case other => throw new IllegalArgumentException(
+              s"lsh_bucket: $name must be a non-null integer, got $other")
+          }
+        }
+        LshBucket(exprs.head, intArg(exprs(1), "planes"), intArg(exprs(2), "dims"))
+      }))
     ext.injectFunction((
       FunctionIdentifier("simhash32"),
       new ExpressionInfo(classOf[SimHash32].getName, "simhash32"),

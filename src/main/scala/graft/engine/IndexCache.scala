@@ -21,6 +21,16 @@ object IndexCache {
 
   private def sanitize(s: String): String = s.replaceAll("[^A-Za-z0-9._-]", "_")
 
+  /** Injective directory key: the readable sanitized form is suffixed with
+    * a hash of the RAW (table, column) pair — two pairs that sanitize to
+    * the same text cannot collide onto one cache entry. */
+  private def dirKey(table: String, column: String): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val h = md.digest(s"$table\u0000$column".getBytes("UTF-8"))
+      .take(6).map(b => f"$b%02x").mkString
+    s"${sanitize(table)}__${sanitize(column)}__$h"
+  }
+
   /** Newest modification time under `path` (file or directory tree). */
   def maxMtime(path: String): Long = {
     val f = new java.io.File(path)
@@ -58,23 +68,32 @@ object IndexCache {
       column: String,
       series: DataFrame,
       spec: QuerySpec): (SeriesIndex, Boolean) = {
-    val dir = new java.io.File(cacheDir, s"${sanitize(table)}__${sanitize(column)}")
+    val dir = new java.io.File(cacheDir, dirKey(table, column))
     val dataPath = new java.io.File(dir, "data").toString
     val mt = maxMtime(table)
     def needWin(tMin: Long, tMax: Long): Long = {
       val b = RefinementEngine.bindDomains(spec, tMin, tMax)
       RefinementEngine.maxWindow(spec, b) max (b.lxHi + 1)
     }
+    def build(): (SeriesIndex, Boolean) = {
+      val bounds = series.agg(min("t"), max("t")).head()
+      val idx = SeriesOps.indexFast(series, needWin(bounds.getLong(0), bounds.getLong(1)))
+      dir.mkdirs()
+      idx.df.write.mode("overwrite").parquet(dataPath)
+      writeMeta(dir, Meta(idx.tMin, idx.tMax, idx.levels, mt))
+      (idx, false)
+    }
     readMeta(dir) match {
       case Some(m) if m.srcMtime == mt && (1L << m.levels) > needWin(m.tMin, m.tMax) =>
-        (SeriesIndex(spark.read.parquet(dataPath), m.tMin, m.tMax, m.levels), true)
-      case _ =>
-        val bounds = series.agg(min("t"), max("t")).head()
-        val idx = SeriesOps.indexFast(series, needWin(bounds.getLong(0), bounds.getLong(1)))
-        dir.mkdirs()
-        idx.df.write.mode("overwrite").parquet(dataPath)
-        writeMeta(dir, Meta(idx.tMin, idx.tMax, idx.levels, mt))
-        (idx, false)
+        // a reaped/torn data dir (tmp cleaners, concurrent writers) must
+        // rebuild, not crash; persist the loaded view like the build path
+        // persists its result (the probes join it several times)
+        try {
+          val df = spark.read.parquet(dataPath)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          (SeriesIndex(df, m.tMin, m.tMax, m.levels), true)
+        } catch { case _: Exception => build() }
+      case _ => build()
     }
   }
 }

@@ -84,11 +84,17 @@ object SeriesOps {
   /** Row shape produced by the kernel builds. */
   final case class IndexedPoint(t: Long, y: Double, s: Double, ms: Array[Double])
 
-  /** Per-partition pass-1 digest: row count, sequential partial sum, the
-    * first `look` values (lookahead halo material), and the first/last keys.
-    */
+  /** Per-partition pass-1 digest: row count, sequential partial sum, and
+    * the first/last keys — a few dozen bytes per partition. */
   private final case class PartStats(
-      pid: Int, cnt: Long, sum: Double, head: Array[Double], tFirst: Long, tLast: Long)
+      pid: Int, cnt: Long, sum: Double, tFirst: Long, tLast: Long)
+
+  /** Routes halo rows to the partition that consumes them (key IS the
+    * target partition index). */
+  private final class IndexPartitioner(override val numPartitions: Int)
+      extends org.apache.spark.Partitioner {
+    def getPartition(key: Any): Int = key.asInstanceOf[Int]
+  }
 
   private def levelsFor(maxWin: Long): Int =
     math.max(1, 64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, maxWin)))
@@ -104,19 +110,24 @@ object SeriesOps {
     * range-partitioned and sorted on its key, then:
     *
     *   pass 1 streams each partition once, collecting (count, sequential
-    *   partial sum, first `2^(levels-1)-1` values, first/last key) — a few
-    *   KB per partition, collected to the driver and folded into
-    *   per-partition ordinal offsets, prefix-sum carry-ins, and lookahead
-    *   halos (drawn from the heads of subsequent partitions, so short
-    *   partitions chain correctly);
+    *   partial sum, first/last key) — a few dozen bytes per partition,
+    *   folded on the driver into per-partition ordinal offsets and
+    *   prefix-sum carry-ins;
     *
-    *   pass 2 streams each partition again and builds prefix sums (seeded
-    *   with the carry-in) plus all sparse-table levels over
+    *   the lookahead halos move through a SHUFFLE, not the driver: each
+    *   row whose global index lands within `2^(levels-1)-1` rows after
+    *   some earlier partition's end emits a copy keyed by that partition
+    *   (short partitions chain naturally — a row can serve several), and
+    *   an index partitioner delivers the copies;
+    *
+    *   pass 2 zips each partition with its shuffled halo and builds prefix
+    *   sums (seeded with the carry-in) plus all sparse-table levels over
     *   owned-rows ++ halo, emitting only the owned rows.
     *
     * No single-partition stage anywhere: both passes are embarrassingly
-    * parallel over the range partitions, and the driver holds only
-    * O(partitions x maxWin) doubles. Sparse-table levels are bit-identical
+    * parallel over the range partitions, the driver holds only
+    * O(partitions) counters, and halo traffic is O(partitions x maxWin)
+    * rows spread across the cluster. Sparse-table levels are bit-identical
     * to a sequential build (max is associative; the halo supplies exactly
     * the values a truncated partition is missing, -Inf past the true series
     * end). Prefix sums associate differently than one sequential sweep, so
@@ -140,59 +151,79 @@ object SeriesOps {
       val stats = ds.rdd.mapPartitionsWithIndex { (pid, it) =>
         var cnt = 0L; var sum = 0.0
         var tFirst = 0L; var tLast = 0L
-        val head = new scala.collection.mutable.ArrayBuffer[Double](math.min(look, 1024))
         it.foreach { case (t, y) =>
           if (cnt == 0L) tFirst = t
           tLast = t
-          if (cnt < look) head += y
           cnt += 1; sum += y
         }
-        Iterator.single(PartStats(pid, cnt, sum, head.toArray, tFirst, tLast))
+        Iterator.single(PartStats(pid, cnt, sum, tFirst, tLast))
       }.collect().sortBy(_.pid)
       val nonEmpty = stats.filter(_.cnt > 0)
       require(nonEmpty.nonEmpty, "cannot index an empty series")
+      val nParts = stats.length
       val n = stats.map(_.cnt).sum
-      val tOff = new Array[Long](stats.length)
-      val sCarry = new Array[Double](stats.length)
+      val tOff = new Array[Long](nParts)
+      val sCarry = new Array[Double](nParts)
       var c = 0L; var sc = 0.0; var i = 0
-      while (i < stats.length) {
+      while (i < nParts) {
         tOff(i) = c; sCarry(i) = sc
         c += stats(i).cnt; sc += stats(i).sum; i += 1
       }
-      val halos: Array[Array[Double]] = Array.tabulate(stats.length) { p =>
-        val buf = new scala.collection.mutable.ArrayBuffer[Double](look)
-        var j = p + 1
-        while (buf.length < look && j < stats.length) {
-          buf ++= stats(j).head.take(look - buf.length)
-          j += 1
-        }
-        buf.toArray
-      }
-      val bc = spark.sparkContext.broadcast((tOff, sCarry, halos))
-      val indexed = ds.rdd.mapPartitionsWithIndex { (pid, it) =>
-        val rows = it.toArray
-        if (rows.isEmpty) Iterator.empty
-        else {
-          val (tOffB, sCarryB, halosB) = bc.value
-          val own = rows.length
-          val ys = new Array[Double](own)
-          var k = 0
-          while (k < own) { ys(k) = rows(k)._2; k += 1 }
-          val halo = halosB(pid)
-          val ext = new Array[Double](own + halo.length)
-          System.arraycopy(ys, 0, ext, 0, own)
-          System.arraycopy(halo, 0, ext, own, halo.length)
-          val m = buildLevels(ext, levels)
-          val s = new Array[Double](own)
-          var acc = sCarryB(pid)
-          k = 0
-          while (k < own) { acc += ys(k); s(k) = acc; k += 1 }
-          val off = tOffB(pid)
-          Iterator.tabulate(own) { q =>
-            val t = if (ordinal) off + q + 1L else rows(q)._1
-            IndexedPoint(t, ys(q), s(q), Array.tabulate(levels)(j => m(j)(q)))
+      // cumEnd(q) = global index of the first row AFTER partition q
+      val cumEnd = Array.tabulate(nParts)(q => tOff(q) + stats(q).cnt)
+      val bc = spark.sparkContext.broadcast((tOff, sCarry, cumEnd))
+      // halo exchange: a row at global index g is lookahead material for
+      // every earlier partition q with cumEnd(q) in (g - look, g]; emit a
+      // (q, (g, y)) copy per consumer and shuffle by target partition.
+      // Only rows within `look` of a boundary emit anything.
+      val haloRdd = ds.rdd.mapPartitionsWithIndex { (pid, it) =>
+        val (tOffB, _, cumEndB) = bc.value
+        var k = 0L
+        it.flatMap { case (_, y) =>
+          val g = tOffB(pid) + k
+          k += 1L
+          // first q with cumEnd(q) > g - look (cumEnd is non-decreasing)
+          var q = java.util.Arrays.binarySearch(cumEndB, g - look + 1)
+          if (q < 0) q = -q - 1
+          else { while (q > 0 && cumEndB(q - 1) == g - look + 1) q -= 1 }
+          if (q >= pid || cumEndB(q) > g) Nil // interior row: no consumer
+          else {
+            val out = List.newBuilder[(Int, (Long, Double))]
+            while (q < pid && cumEndB(q) <= g) {
+              out += ((q, (g, y)))
+              q += 1
+            }
+            out.result()
           }
         }
+      }.partitionBy(new IndexPartitioner(nParts))
+      val indexed = ds.rdd.zipPartitions(haloRdd, preservesPartitioning = true) {
+        (it, haloIt) =>
+          val rows = it.toArray
+          if (rows.isEmpty) Iterator.empty
+          else {
+            val (tOffB, sCarryB, _) = bc.value
+            val pid = org.apache.spark.TaskContext.getPartitionId()
+            val own = rows.length
+            val ys = new Array[Double](own)
+            var k = 0
+            while (k < own) { ys(k) = rows(k)._2; k += 1 }
+            // shuffled halo arrives unordered: sort by global index
+            val halo = haloIt.toArray.sortBy(_._2._1).map(_._2._2)
+            val ext = new Array[Double](own + halo.length)
+            System.arraycopy(ys, 0, ext, 0, own)
+            System.arraycopy(halo, 0, ext, own, halo.length)
+            val m = buildLevels(ext, levels)
+            val s = new Array[Double](own)
+            var acc = sCarryB(pid)
+            k = 0
+            while (k < own) { acc += ys(k); s(k) = acc; k += 1 }
+            val off = tOffB(pid)
+            Iterator.tabulate(own) { q =>
+              val t = if (ordinal) off + q + 1L else rows(q)._1
+              IndexedPoint(t, ys(q), s(q), Array.tabulate(levels)(j => m(j)(q)))
+            }
+          }
       }.toDF().persist(StorageLevel.MEMORY_AND_DISK)
       indexed.count() // materialize before releasing the sorted input
       val (tMin, tMax) =

@@ -43,7 +43,7 @@ object LlmQueries {
     * explode+sum groupBy folded into a map-only scan (equality with the
     * grouped spec asserted in OperatorSpec). */
   def textFingerprint(s: SparkSession, d: String): DataFrame =
-    docs(s, d).select(col("doc_id"),
+    docs(s, d).where(col("text").isNotNull).select(col("doc_id"),
         graft.functions.Fingerprint.fingerprint64(col("text")).as("fingerprint"))
       .orderBy("doc_id")
 
@@ -60,7 +60,7 @@ object LlmQueries {
     * no explode, no shuffle; signatures identical to the grouped
     * formulation (OperatorSpec asserts the equality). */
   private def minhashSig(s: SparkSession, d: String): DataFrame = {
-    val sig = docs(s, d).select(col("doc_id"),
+    val sig = docs(s, d).where(col("text").isNotNull).select(col("doc_id"),
       graft.functions.MinHashSig.minhash_sig(col("text"), NumHashes).as("__sig"))
     sig.select(col("doc_id") +:
       (0 until NumHashes).map(i => element_at(col("__sig"), i + 1).as(s"m$i")): _*)
@@ -78,7 +78,7 @@ object LlmQueries {
     * no shuffle; bit-identical to the grouped shingle formulation
     * (OperatorSpec asserts the equality on the fixture corpus). */
   def dedupSimhash(s: SparkSession, d: String): DataFrame =
-    docs(s, d).select(col("doc_id"),
+    docs(s, d).where(col("text").isNotNull).select(col("doc_id"),
         graft.functions.SimHash32.simhash32(col("text")).as("simhash"))
       .orderBy("doc_id")
 

@@ -36,9 +36,13 @@ object RelationalQueries {
   private def ivfIndex(s: SparkSession, d: String): Similarity.IvfIndex =
     ivfCache.compute(d, (_, cur) => {
       if (cur != null && (cur.spark eq s)) cur
-      else Similarity.ivfBuild(s, t(s, d, "embeddings"), "vec_id", "embedding",
-        k = 8,
-        path = s"${sys.props("java.io.tmpdir")}/graft_ivf_${Integer.toHexString(d.hashCode)}")
+      else {
+        // injective path per dataset dir (hashCode could collide)
+        val h = java.security.MessageDigest.getInstance("MD5")
+          .digest(d.getBytes("UTF-8")).take(8).map(b => f"$b%02x").mkString
+        Similarity.ivfBuild(s, t(s, d, "embeddings"), "vec_id", "embedding",
+          k = 8, path = s"${sys.props("java.io.tmpdir")}/graft_ivf_$h")
+      }
     })
 
   /** IVF ANN: k=8 coarse cells, probe the best 2 for query vec 0, top-10.

@@ -94,7 +94,10 @@ object Ingest {
   /** Route an extracted dataset to its loader: single csv -> the EMG
     * loader (junk-line fixup), several csvs -> the GAS loader (filename
     * date + union). Reference: db_preparation.py:183-195. */
-  def loadUnzipped(spark: SparkSession, d: UnzippedDataset): DataFrame =
+  def loadUnzipped(spark: SparkSession, d: UnzippedDataset): DataFrame = {
+    require(d.csvs.nonEmpty,
+      s"archive extracted to ${d.dir} contains no top-level .csv members")
     if (d.singleCsv) emgCsv(spark, s"${d.dir}/${d.csvs.head}")
     else gasCsvDir(spark, d.dir)
+  }
 }
