@@ -41,14 +41,18 @@ case class LshBucket(child: Expression, planes: Int, dims: Int)
 
   override def nullSafeEval(a: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
+    // a silent truncation to `dims` would diverge from the declared
+    // coefficient matrix (and the oracle) — mismatched data fails fast
+    if (x.numElements() != dims)
+      throw new IllegalArgumentException(
+        s"lsh_bucket: embedding has ${x.numElements()} dims, expected $dims")
     var bucket = 0L
     var p = 0
     while (p < planes) {
       val row = coefs(p)
-      val n = math.min(x.numElements(), row.length)
       var acc = 0.0
       var d = 0
-      while (d < n) {
+      while (d < dims) {
         if (!x.isNullAt(d)) acc += x.getDouble(d) * row(d)
         d += 1
       }
@@ -63,17 +67,19 @@ case class LshBucket(child: Expression, planes: Int, dims: Int)
       val m = ctx.addReferenceObj("lshCoefs", coefs, "double[][]")
       val p = ctx.freshName("p")
       val d = ctx.freshName("d")
-      val n = ctx.freshName("n")
       val acc = ctx.freshName("acc")
       val row = ctx.freshName("row")
       val bucket = ctx.freshName("bucket")
       s"""
+         |if ($a.numElements() != $dims) {
+         |  throw new IllegalArgumentException(
+         |    "lsh_bucket: embedding has " + $a.numElements() + " dims, expected $dims");
+         |}
          |long $bucket = 0L;
          |for (int $p = 0; $p < $planes; $p++) {
          |  double[] $row = $m[$p];
-         |  int $n = java.lang.Math.min($a.numElements(), $row.length);
          |  double $acc = 0.0;
-         |  for (int $d = 0; $d < $n; $d++) {
+         |  for (int $d = 0; $d < $dims; $d++) {
          |    if (!$a.isNullAt($d)) { $acc += $a.getDouble($d) * $row[$d]; }
          |  }
          |  if ($acc > 0) { $bucket |= (1L << $p); }
