@@ -29,6 +29,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       // the SQL form requires foldable non-null int arguments — checked
       // here to fail with a clear analysis error, not an internal NPE
       (exprs: Seq[Expression]) => {
+        require(exprs.length == 3,
+          s"lsh_bucket(embedding, planes, dims) takes 3 arguments, got ${exprs.length}")
         def intArg(e: Expression, name: String): Int = {
           if (!e.foldable) throw new IllegalArgumentException(
             s"lsh_bucket: $name must be a literal integer, got ${e.sql}")

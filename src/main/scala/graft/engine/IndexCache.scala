@@ -21,15 +21,25 @@ object IndexCache {
 
   private def sanitize(s: String): String = s.replaceAll("[^A-Za-z0-9._-]", "_")
 
+  /** md5-hex prefix for injective path keys (shared by every disk-cache
+    * path in the library — see also the IVF index memo). */
+  def md5Key(s: String, bytes: Int): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).take(bytes).map(b => f"$b%02x").mkString
+
   /** Injective directory key: the readable sanitized form is suffixed with
     * a hash of the RAW (table, column) pair — two pairs that sanitize to
     * the same text cannot collide onto one cache entry. */
-  private def dirKey(table: String, column: String): String = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val h = md.digest(s"$table\u0000$column".getBytes("UTF-8"))
-      .take(6).map(b => f"$b%02x").mkString
-    s"${sanitize(table)}__${sanitize(column)}__$h"
-  }
+  private def dirKey(table: String, column: String): String =
+    s"${sanitize(table)}__${sanitize(column)}__${md5Key(table + "\u0000" + column, 6)}"
+
+  /** Session-level memo of loaded/built indexes keyed by cache dir: a
+    * long-lived session querying the same (table, column) repeatedly
+    * reuses ONE persisted copy instead of pinning a fresh one per call.
+    * Entries carry the source mtime they were built against, so staleness
+    * invalidates the memo exactly like it invalidates the disk cache. */
+  private val memo = new java.util.concurrent.ConcurrentHashMap[
+    String, (SparkSession, SeriesIndex, Long)]()
 
   /** Newest modification time under `path` (file or directory tree). */
   def maxMtime(path: String): Long = {
@@ -68,7 +78,8 @@ object IndexCache {
       column: String,
       series: DataFrame,
       spec: QuerySpec): (SeriesIndex, Boolean) = {
-    val dir = new java.io.File(cacheDir, dirKey(table, column))
+    val key = dirKey(table, column)
+    val dir = new java.io.File(cacheDir, key)
     val dataPath = new java.io.File(dir, "data").toString
     val mt = maxMtime(table)
     def needWin(tMin: Long, tMax: Long): Long = {
@@ -83,17 +94,29 @@ object IndexCache {
       writeMeta(dir, Meta(idx.tMin, idx.tMax, idx.levels, mt))
       (idx, false)
     }
-    readMeta(dir) match {
+    // same-session repeats reuse the one persisted copy (deep enough or
+    // it is dropped and re-resolved)
+    Option(memo.get(key)) match {
+      case Some((sess, cached, cachedMt)) if (sess eq spark) && cachedMt == mt &&
+          (1L << cached.levels) > needWin(cached.tMin, cached.tMax) =>
+        return (cached, true)
+      case _ => ()
+    }
+    val result = readMeta(dir) match {
       case Some(m) if m.srcMtime == mt && (1L << m.levels) > needWin(m.tMin, m.tMax) =>
         // a reaped/torn data dir (tmp cleaners, concurrent writers) must
-        // rebuild, not crash; persist the loaded view like the build path
-        // persists its result (the probes join it several times)
+        // rebuild, not crash. Persist AND materialize inside the guard:
+        // after count() the probes read block storage, so a file deleted
+        // mid-query can no longer fail the query lazily.
         try {
           val df = spark.read.parquet(dataPath)
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          df.count()
           (SeriesIndex(df, m.tMin, m.tMax, m.levels), true)
         } catch { case _: Exception => build() }
       case _ => build()
     }
+    memo.put(key, (spark, result._1, mt))
+    result
   }
 }

@@ -99,9 +99,11 @@ object SeriesOps {
   private def levelsFor(maxWin: Long): Int =
     math.max(1, 64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, maxWin)))
 
-  /** Kernel halo budget: beyond this depth the per-partition lookahead
-    * digests (2^(levels-1)-1 doubles each) rival the partitions themselves
-    * and the pass-1 collect stops being "a few KB per partition" — the
+  /** Kernel halo budget: the halo exchange duplicates up to
+    * `2^(levels-1)-1` rows per partition through a shuffle and each task
+    * buffers its own rows plus that lookahead, so beyond this depth the
+    * duplicated traffic and the per-task `owned + halo` buffer rival the
+    * partitions themselves (and the Int shift would overflow at 32) — the
     * kernel builds fall back to the declarative formulation there. 2^23-row
     * windows cover any domain a CP grid can enumerate cell-by-cell. */
   private val MaxKernelLevels = 24
@@ -175,18 +177,20 @@ object SeriesOps {
       // halo exchange: a row at global index g is lookahead material for
       // every earlier partition q with cumEnd(q) in (g - look, g]; emit a
       // (q, (g, y)) copy per consumer and shuffle by target partition.
-      // Only rows within `look` of a boundary emit anything.
+      // Only a partition's first `look` rows can have an earlier consumer
+      // (g - look < cumEnd(pid-1) <= tOff(pid) requires k < look), so the
+      // pass reads just that prefix of each partition.
       val haloRdd = ds.rdd.mapPartitionsWithIndex { (pid, it) =>
         val (tOffB, _, cumEndB) = bc.value
         var k = 0L
-        it.flatMap { case (_, y) =>
+        it.take(look).flatMap { case (_, y) =>
           val g = tOffB(pid) + k
           k += 1L
           // first q with cumEnd(q) > g - look (cumEnd is non-decreasing)
           var q = java.util.Arrays.binarySearch(cumEndB, g - look + 1)
           if (q < 0) q = -q - 1
           else { while (q > 0 && cumEndB(q - 1) == g - look + 1) q -= 1 }
-          if (q >= pid || cumEndB(q) > g) Nil // interior row: no consumer
+          if (q >= pid || cumEndB(q) > g) Nil // no earlier consumer
           else {
             val out = List.newBuilder[(Int, (Long, Double))]
             while (q < pid && cumEndB(q) <= g) {

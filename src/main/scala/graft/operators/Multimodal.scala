@@ -109,7 +109,9 @@ object Multimodal {
   def featureExtract(spark: SparkSession, df: DataFrame, id: String,
       payload: String = "payload"): DataFrame = {
     val enc = org.apache.spark.sql.Encoders.product[MediaFeatures]
+    // null payloads drop like the SQL operators' null propagation does
     df.select(col(id).cast("long"), col(payload))
+      .where(col(payload).isNotNull)
       .mapPartitions { rows =>
         // per-partition init (a real encoder would load its weights here)
         rows.map { r =>

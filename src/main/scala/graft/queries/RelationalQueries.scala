@@ -38,8 +38,7 @@ object RelationalQueries {
       if (cur != null && (cur.spark eq s)) cur
       else {
         // injective path per dataset dir (hashCode could collide)
-        val h = java.security.MessageDigest.getInstance("MD5")
-          .digest(d.getBytes("UTF-8")).take(8).map(b => f"$b%02x").mkString
+        val h = graft.engine.IndexCache.md5Key(d, 8)
         Similarity.ivfBuild(s, t(s, d, "embeddings"), "vec_id", "embedding",
           k = 8, path = s"${sys.props("java.io.tmpdir")}/graft_ivf_$h")
       }
