@@ -91,7 +91,7 @@ object SparkEntry {
     // ---- J2: range join (windows over the series), scalable
     //      explode(sequence)+equi-join formulation ----
     "q09_range_join_agg" -> ((s, d) => {
-      val ser = TimeSeriesQueries.series(s, d)
+      val ser = TimeSeriesQueries.cachedSeries(s, d)
       val windows = s.range(0, 100).toDF("w")
         .select(col("w"), (col("w") * 100 + 1).as("lo"), (col("w") * 100 + 50).as("hi"))
       windows

@@ -95,7 +95,7 @@ object Main {
       table.createOrReplaceTempView(viewName)
       println(s"\n Connected to $viewName dataset.")
       print(graft.sources.Catalog.readout(spark))
-      // variability guard once per dataset (reference: server.py:209-214)
+      // variability guard applied per query below (reference: server.py:209-214)
       val columns = table.columns.toSet
       println("enter a query per line; 'quit' to exit")
       var done = false

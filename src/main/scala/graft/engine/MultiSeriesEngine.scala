@@ -71,7 +71,7 @@ object MultiSeriesEngine {
   final case class MsIndexedPoint(sid: Long, t: Long, y: Double, s: Double, ms: Array[Double])
 
   /** Kernel build of [[index]]: hash-partition by sid, sort (sid, t) within
-    * partitions, then compute每 series' prefix sums and ALL sparse-table
+    * partitions, then compute each series' prefix sums and ALL sparse-table
     * levels imperatively in one pass over each series' contiguous run — one
     * shuffle + one sort instead of 1 + log2(maxWin) sequential window stages.
     * Equality with the declarative build is asserted in MultiSeriesSpec.

@@ -115,6 +115,62 @@ object Dedup {
           .as("jaccard"))
   }
 
+  /** Transitive near-dup clustering: connected components over candidate
+    * pairs, so (a,b),(b,c) collapse to ONE keeper — the step every
+    * production dedup needs after LSH pair generation. Output:
+    * `(id, component)` for EVERY node, where `component` is the smallest id
+    * in the node's component (so `component` IS the canonical keeper and
+    * `id != component` marks the rows to drop).
+    *
+    * Min-id label propagation with pointer jumping (path halving), all in
+    * DataFrame ops — no GraphX, no driver-side union-find. Per iteration:
+    *
+    *   1. neighbor-min: every node takes the min label across itself and
+    *      its neighbors (edge-join + map-side-combinable min groupBy);
+    *   2. pointer jump: `l(u) := l(l(u))` (a labels self-join) — labels are
+    *      always ids of nodes in the same component, so jumping stays inside
+    *      the component while halving label-chain depth.
+    *
+    * Labels only decrease and the component minimum keeps its own id, so the
+    * fixpoint assigns every node the component-min (neighbor-min fixpoint
+    * forces labels constant across every edge). Jumping makes convergence
+    * O(log diameter) rather than O(diameter) — `maxIter` = 25 covers any
+    * graph that fits on disk. Each iteration is a localCheckpoint (lineage
+    * would otherwise grow by 3 joins per round) and costs a bounded 1-row
+    * sum action for the convergence test; all real work is per-iteration
+    * shuffles that scale out.
+    */
+  def connectedComponents(
+      nodes: DataFrame, pairs: DataFrame, id: String,
+      maxIter: Int = 25): DataFrame = {
+    val edges = pairs.select(col("a").cast("long").as("u"), col("b").cast("long").as("v"))
+      .where(col("u") =!= col("v"))
+    val bi = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
+    var labels = nodes.select(col(id).cast("long").as("u")).distinct()
+      .withColumn("l", col("u"))
+      .localCheckpoint(true)
+    // sum(l) strictly decreases until the fixpoint (labels only decrease)
+    def labelSum(df: DataFrame): Long =
+      df.agg(sum("l")).head().getLong(0)
+    var prevSum = labelSum(labels)
+    var it = 0
+    var converged = false
+    while (!converged && it < maxIter) {
+      val msgs = bi.join(labels, "u").select(col("v").as("u"), col("l"))
+      val nm = labels.union(msgs).groupBy("u").agg(min("l").as("l"))
+      val next = nm.join(
+          nm.select(col("u").as("l"), col("l").as("l2")), Seq("l"))
+        .select(col("u"), col("l2").as("l"))
+        .localCheckpoint(true)
+      val curSum = labelSum(next)
+      converged = curSum == prevSum
+      prevSum = curSum
+      labels = next
+      it += 1
+    }
+    labels.select(col("u").as(id), col("l").as("component"))
+  }
+
   /** Jaccard over consecutive-id pairs — the deterministic demo/benchmark
     * shape: pair (id, id+1), similarity on distinct token sets. */
   def jaccardAdjacent(df: DataFrame, text: String, id: String): DataFrame = {

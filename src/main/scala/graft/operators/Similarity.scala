@@ -113,20 +113,42 @@ object Similarity {
         .otherwise(lit(0L))).as("bucket"))
   }
 
-  /** ANN: probe the query vector's bucket, cosine re-rank inside it. */
+  /** JVM-side bucket code for one vector — the same left-to-right
+    * accumulation over the same [[planeCoefJvm]] matrix as the native
+    * [[graft.functions.LshBucket]] expression, so the code is bit-equal
+    * (asserted in OperatorSpec). Used to plan the query-side bucket on the
+    * driver: the query is ONE vector, hashing it per-executor would be a
+    * join for no reason. */
+  def lshBucketJvm(v: Array[Double], planes: Int): Long = {
+    var bucket = 0L
+    var p = 0
+    while (p < planes) {
+      var acc = 0.0
+      var d = 0
+      while (d < v.length) { acc += v(d) * planeCoefJvm(p, d); d += 1 }
+      if (acc > 0) bucket |= (1L << p)
+      p += 1
+    }
+    bucket
+  }
+
+  /** ANN: probe the query vector's bucket, cosine re-rank inside it.
+    * The corpus bucket is computed IN PLACE by the native expression (a
+    * map-only column, no self-join shuffling the corpus to attach its own
+    * derived value) and the query bucket on the driver ([[lshBucketJvm]]),
+    * so the whole plan is scan -> filter(bucket = const) -> top-k: zero
+    * joins (PlanSpec-asserted). */
   def annLsh(spark: SparkSession, vecs: DataFrame, id: String, emb: String,
       query: Array[Float], k: Int, planes: Int = 16): DataFrame = {
     val dims = query.length
-    val buckets = lshBuckets(vecs, id, emb, planes, dims)
-    val withB = vecs.join(buckets, id)
-    val qDf = spark.range(1).select(lit(query.map(_.toDouble)).as("qe"))
-    val qBucket = lshBuckets(
-      qDf.select(lit(-1L).as(id), col("qe").as(emb)), id, emb, planes, dims)
-      .select(col("bucket").as("qbucket"))
-    withB.join(broadcast(qBucket), col("bucket") === col("qbucket"))
+    val qd = query.map(_.toDouble)
+    val qBucket = lshBucketJvm(qd, planes)
+    vecs
+      .withColumn("bucket", graft.functions.LshBucket
+        .lsh_bucket(col(emb).cast("array<double>"), planes, dims))
+      .where(col("bucket") === lit(qBucket))
       .select(col(id),
-        round(cosine(col(emb).cast("array<double>"),
-          lit(query.map(_.toDouble))), 4).as("cos"))
+        round(cosine(col(emb).cast("array<double>"), lit(qd)), 4).as("cos"))
       .orderBy(col("cos").desc, col(id))
       .limit(k)
   }

@@ -82,6 +82,18 @@ object LlmQueries {
         graft.functions.SimHash32.simhash32(col("text")).as("simhash"))
       .orderBy("doc_id")
 
+  /** q54 — the composed transitive dedup pipeline: MinHash signatures ->
+    * LSH band buckets -> candidate pairs -> connected components, so
+    * near-dup chains (a,b),(b,c) collapse to one canonical keeper. The
+    * oracle replays the identical pipeline in SQL and resolves transitivity
+    * with a recursive CTE — an independent reachability implementation. */
+  def dedupComponents(s: SparkSession, d: String): DataFrame = {
+    val banded = Dedup.lshBands(minhashSig(s, d), "doc_id", NumHashes, Bands)
+    val pairs = Dedup.lshCandidatePairs(banded, "doc_id", Bands)
+    Dedup.connectedComponents(docs(s, d).select("doc_id"), pairs, "doc_id")
+      .orderBy("doc_id")
+  }
+
   def dedupEmbedCosine(s: SparkSession, d: String): DataFrame = {
     val v = embs(s, d)
     val pairs = v.select(col("vec_id").as("a"), (col("vec_id") + 1).as("b"))
@@ -209,6 +221,34 @@ object LlmQueries {
          |FROM sig ORDER BY doc_id""".stripMargin
     },
 
+    "q54_dedup_components" -> {
+      val ms = (0 until NumHashes).map(i =>
+        s"min(${pHash(i.toString, "shingle")}) AS m$i").mkString(",\n  ")
+      val bandExprs = (0 until Bands).map { b =>
+        val concat = s"m${2 * b}::VARCHAR || '_' || m${2 * b + 1}::VARCHAR"
+        s"${pHash((100 + b).toString, s"($concat)")} AS band$b"
+      }.mkString(",\n  ")
+      val pairUnions = (0 until Bands).map(b =>
+        s"SELECT x.doc_id AS a, y.doc_id AS b FROM banded x " +
+          s"JOIN banded y ON x.band$b = y.band$b AND x.doc_id < y.doc_id")
+        .mkString("\n  UNION\n  ")
+      s"""WITH RECURSIVE $tokCte,
+         |sig AS (SELECT doc_id, $ms FROM tok GROUP BY doc_id),
+         |banded AS (SELECT doc_id,
+         |  $bandExprs
+         |FROM sig),
+         |pr AS (
+         |  $pairUnions),
+         |edges AS (SELECT a AS u, b AS v FROM pr
+         |  UNION SELECT b AS u, a AS v FROM pr),
+         |reach(u, r) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.v, reach.r FROM reach JOIN edges e ON e.u = reach.u)
+         |SELECT u AS doc_id, min(r) AS component
+         |FROM reach GROUP BY u ORDER BY doc_id""".stripMargin
+    },
+
     "q33_dedup_simhash" -> {
       val sTerms = (0 until 32).map(b =>
         s"sum((((h >> $b) & 1) * 2) - 1) AS s$b").mkString(",\n  ")
@@ -324,6 +364,7 @@ object LlmQueries {
     "q31_dedup_minhash" -> dedupMinhash _,
     "q32_dedup_lsh_bands" -> dedupLshBands _,
     "q33_dedup_simhash" -> dedupSimhash _,
+    "q54_dedup_components" -> dedupComponents _,
     "q34_dedup_embed_cosine" -> dedupEmbedCosine _,
     "q35_ann_bruteforce" -> annBruteForce _,
     "q36_ann_lsh_buckets" -> annLshBuckets _,

@@ -57,6 +57,12 @@ object TimeSeriesQueries {
       }
     })
 
+  /** The (t, y) series view of the cached persisted index — callers that
+    * only need the raw series (no probes) read the in-memory index blocks
+    * instead of re-paying the distributed ordinal-key assignment per run. */
+  def cachedSeries(s: SparkSession, dir: String): DataFrame =
+    cachedIndex(s, dir).df.select(col("t"), col("y"))
+
   /** Candidate grid with avg/max window columns via the sparse-table index.
     * Returns grid with columns x, lx plus requested per-window aggregates. */
   private def indexedGrid(

@@ -171,6 +171,27 @@ class OperatorSpec extends AnyFunSuite {
     val spec = Similarity.lshBucketsExploded(spark, vecs, "vec_id", "embedding", 8)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(native == hof && hof == spec)
+    // driver-side mirror (annLsh's query-bucket path) is bit-equal too
+    val jvm = vecs.collect().map { r =>
+      r.getLong(0) -> Similarity.lshBucketJvm(
+        r.getSeq[Float](1).map(_.toDouble).toArray, 8)
+    }.toMap
+    assert(jvm == native)
+  }
+
+  test("connected components collapse transitive candidate chains to the min id") {
+    val nodes = (1L to 12L).toDF("doc_id")
+    // a 7-node chain (forces propagation past one hop), one pair given in
+    // reversed order, and a singleton
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L), (6L, 7L),
+      (8L, 9L), (11L, 10L)).toDF("a", "b")
+    val got = Dedup.connectedComponents(nodes, pairs, "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 7L).forall(got(_) == 1L), got.toString)
+    assert(got(8L) == 8L && got(9L) == 8L)
+    assert(got(10L) == 10L && got(11L) == 10L)
+    assert(got(12L) == 12L)
   }
 
   test("exact dedup keeps min id per content") {

@@ -88,6 +88,20 @@ class PlanSpec extends AnyFunSuite {
     assert("Exchange".r.findAllIn(p).size <= 1, p.take(3000))
   }
 
+  test("annLsh plans as scan -> bucket filter -> top-k with zero joins") {
+    import graft.operators.Similarity
+    import spark.implicits._
+    val vecs = (0 until 40).map { i =>
+      (i.toLong, Array.tabulate(8)(d => math.cos(i * 3 + d).toFloat))
+    }.toDF("vec_id", "embedding")
+    val q = vecs.where($"vec_id" === 5).head().getSeq[Float](1).toArray
+    val p = Similarity.annLsh(spark, vecs, "vec_id", "embedding", q, 10, planes = 8)
+      .queryExecution.executedPlan.toString
+    // the corpus must NOT be joined to attach its own derived bucket column
+    assert(!p.contains("Join"), p.take(3000))
+    assert(p.contains("TakeOrderedAndProject"), p.take(3000))
+  }
+
   test("q51: TF-IDF keeps both aggregations map-side combined, no term window") {
     val df = SparkEntry.queries("q51_text_tfidf")(spark, sf)
     df.collect()
