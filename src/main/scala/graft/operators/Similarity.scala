@@ -153,31 +153,69 @@ object Similarity {
       .limit(k)
   }
 
-  /** IVF coarse quantizer: assign every vector to the nearest of `k`
-    * centroids by cosine (`cell` column). Centroids here are the k lowest-id
-    * vectors — deterministic and oracle-reproducible; a production path swaps
-    * in k-means centroids, the dataflow is identical: a tiny broadcast
-    * centroid table against one scan of the corpus, argmax via `max_by`
+  /** Seeded deterministic centroid init: the `k` lowest-id vectors —
+    * reproducible in the oracle (ids are data, not randomness). */
+  def seedCentroids(vecs: DataFrame, id: String, emb: String, k: Int): DataFrame =
+    vecs.where(col(id) < k)
+      .select(col(id).as("cell"), col(emb).cast("array<double>").as("ce"))
+
+  /** Assign every vector to the nearest centroid by cosine (`cell` column),
+    * against an arbitrary `(cell, ce)` centroid table: a tiny broadcast
+    * against one scan of the corpus, argmax via `max_by`
     * (partial-aggregated, no shuffle of the wide side), ties to the smallest
-    * cell id. At 100 TB the assignment is the partitioning key: writing the
-    * corpus bucketed by `cell` turns every probe into a partition-pruned
-    * scan of nprobe/k of the data.
-    */
-  def ivfAssign(vecs: DataFrame, id: String, emb: String, k: Int): DataFrame = {
-    // self-norms hoisted out of the (corpus x centroids) pair loop: each
-    // side's sqrt(dot(v, v)) is computed once per vector instead of once
-    // per pair — bit-identical to the inline cosine (same expressions in
-    // the same division order), k x fewer self-dot products
+    * cell id. Self-norms are hoisted out of the (corpus x centroids) pair
+    * loop: each side's sqrt(dot(v, v)) is computed once per vector instead
+    * of once per pair — bit-identical to the inline cosine (same expressions
+    * in the same division order), k x fewer self-dot products. At 100 TB the
+    * assignment is the partitioning key: writing the corpus bucketed by
+    * `cell` turns every probe into a partition-pruned scan of nprobe/k of
+    * the data. */
+  def assignCells(vecs: DataFrame, id: String, emb: String,
+      cents: DataFrame): DataFrame = {
     def dot(x: Column, y: Column): Column = graft.functions.DotProduct.dot_product(x, y)
-    val cents = broadcast(vecs.where(col(id) < k)
-      .select(col(id).as("__c"), col(emb).cast("array<double>").as("__ce"))
+    val c = broadcast(cents
+      .select(col("cell").as("__c"), col("ce").as("__ce"))
       .withColumn("__cn", sqrt(dot(col("__ce"), col("__ce")))))
     vecs.select(col(id), col(emb).cast("array<double>").as("__e"))
       .withColumn("__vn", sqrt(dot(col("__e"), col("__e"))))
-      .crossJoin(cents)
+      .crossJoin(c)
       .withColumn("__cos", dot(col("__e"), col("__ce")) / col("__vn") / col("__cn"))
       .groupBy(col(id))
       .agg(max_by(col("__c"), struct(col("__cos"), -col("__c"))).as("cell"))
+  }
+
+  /** IVF coarse quantizer with the seeded init — kept as the executable
+    * spec; production trains the centroids first ([[kmeansCentroids]]). */
+  def ivfAssign(vecs: DataFrame, id: String, emb: String, k: Int): DataFrame =
+    assignCells(vecs, id, emb, seedCentroids(vecs, id, emb, k))
+
+  /** Deterministic Lloyd k-means over the embedding column: seeded init
+    * ([[seedCentroids]] — ids are data, so the oracle replays it), then
+    * `iters` assign/update rounds. Each round is one broadcast-assign scan
+    * ([[assignCells]]) plus one per-(cell, dim) mean — posexplode ->
+    * map-side-combinable avg -> array re-pack — so the whole training is
+    * O(iters) corpus scans with no driver-side math. Centroid components
+    * are rounded to 6 dp after every update: partial-aggregation order
+    * makes float means ulp-unstable across engines, and the rounding
+    * re-synchronizes the trained table so DuckDB can replay training
+    * exactly. Balanced (trained) cells are what make the IVF nprobe/k
+    * pruning claim real on skewed corpora — the seeded init degrades to
+    * arbitrarily lopsided cells. Returns `(cell, ce)`. */
+  def kmeansCentroids(vecs: DataFrame, id: String, emb: String,
+      k: Int, iters: Int): DataFrame = {
+    var cents = seedCentroids(vecs, id, emb, k)
+    for (_ <- 0 until iters) {
+      val assigned = assignCells(vecs, id, emb, cents)
+      cents = vecs.select(col(id), col(emb))
+        .join(assigned, id)
+        .select(col("cell"),
+          posexplode(col(emb).cast("array<double>")).as(Seq("d", "v")))
+        .groupBy("cell", "d").agg(round(avg("v"), 6).as("v"))
+        .groupBy("cell")
+        .agg(transform(array_sort(collect_list(struct(col("d"), col("v")))),
+          x => x("v")).as("ce"))
+    }
+    cents
   }
 
   /** A materialized IVF index: the corpus written `partitionBy("cell")`
@@ -192,22 +230,27 @@ object Similarity {
   }
 
   /** Build and persist the IVF index: one corpus scan for the assignment
-    * ([[ivfAssign]]), written bucketed by `cell`; centroids (k rows) written
-    * next to it. */
+    * ([[assignCells]]), written bucketed by `cell`; centroids (k rows)
+    * written next to it. `centroids` defaults to [[kmeansCentroids]]
+    * training (`trainIters` Lloyd rounds) — pass a `(cell, ce)` frame to
+    * supply your own. */
   def ivfBuild(spark: SparkSession, vecs: DataFrame, id: String, emb: String,
-      k: Int, path: String): IvfIndex = {
+      k: Int, path: String, trainIters: Int = 2,
+      centroids: Option[DataFrame] = None): IvfIndex = {
     def dot(x: Column, y: Column): Column = graft.functions.DotProduct.dot_product(x, y)
+    // train once, reuse for both the assignment and the persisted table —
+    // localCheckpoint so the iterative training lineage isn't re-run
+    val cents = centroids.getOrElse(kmeansCentroids(vecs, id, emb, k, trainIters))
+      .localCheckpoint(true)
     // vector/centroid self-norms are build-time columns: every future
     // search divides by them instead of recomputing sqrt(dot(v, v)) per
     // probed row — bit-identical values (same expression, evaluated once)
     vecs.select(col(id), col(emb),
         sqrt(dot(col(emb).cast("array<double>"), col(emb).cast("array<double>")))
           .as("norm"))
-      .join(ivfAssign(vecs, id, emb, k), id)
+      .join(assignCells(vecs, id, emb, cents), id)
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/corpus")
-    vecs.where(col(id) < k)
-      .select(col(id).as("cell"), col(emb).cast("array<double>").as("ce"))
-      .withColumn("cnorm", sqrt(dot(col("ce"), col("ce"))))
+    cents.withColumn("cnorm", sqrt(dot(col("ce"), col("ce"))))
       .write.mode("overwrite").parquet(s"$path/centroids")
     IvfIndex(spark, path, id, emb)
   }
@@ -258,6 +301,23 @@ object Similarity {
         round(cosine(col(emb).cast("array<double>"), col("__qe")), 4).as("cos"))
       .orderBy(col("cos").desc, col(id))
       .limit(topK)
+  }
+
+  /** End-to-end embedding near-dup: LSH bucket (map-only native
+    * expression) -> bucket equi-join candidate pairs (never an all-pairs
+    * cross join) -> cosine re-rank -> threshold on the rounded similarity.
+    * `planes` is the recall knob: fewer planes = wider buckets = more
+    * candidates. This is the composed pipeline a curation user runs; at
+    * 100 TB the only non-map stage is the bucket equi-join, whose fan-out
+    * is bounded by bucket occupancy, not corpus size squared. */
+  def embedNearDupPairs(vecs: DataFrame, id: String, emb: String,
+      planes: Int, dims: Int, minCos: Double): DataFrame = {
+    val b = lshBuckets(vecs, id, emb, planes, dims)
+    val pairs = b.select(col(id).as("a"), col("bucket"))
+      .join(b.select(col(id).as("b"), col("bucket")), "bucket")
+      .where(col("a") < col("b"))
+      .select("a", "b")
+    cosinePairs(vecs, pairs, id, emb).where(col("cos") >= minCos)
   }
 
   /** Embedding-cosine near-dup over candidate pairs (a, b). */

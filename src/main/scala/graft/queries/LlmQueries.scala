@@ -100,6 +100,15 @@ object LlmQueries {
     Similarity.cosinePairs(v, pairs, "vec_id", "embedding").orderBy("a")
   }
 
+  /** q56 — the composed embedding near-dup pipeline a curation user runs:
+    * LSH bucket -> bucket equi-join candidate pairs -> cosine -> threshold.
+    * 8 planes (vs q36's 16) widens the buckets so the candidate set is
+    * non-trivial on this corpus; 0.2 is the curation threshold. */
+  def dedupEmbedPipeline(s: SparkSession, d: String): DataFrame =
+    Similarity.embedNearDupPairs(embs(s, d), "vec_id", "embedding",
+        planes = 8, dims = 64, minCos = 0.2)
+      .orderBy("a", "b")
+
   def annBruteForce(s: SparkSession, d: String): DataFrame = {
     val v = embs(s, d)
     val q = broadcast(v.where(col("vec_id") === 0)
@@ -296,6 +305,28 @@ object LlmQueries {
          |  sum(CASE WHEN s > 0 THEN (1::BIGINT << p) ELSE 0::BIGINT END)::BIGINT AS bucket
          |FROM s GROUP BY vec_id ORDER BY vec_id""".stripMargin,
 
+    "q56_dedup_embed_pipeline" ->
+      s"""WITH ex AS (SELECT vec_id, i - 1 AS d, embedding[i]::DOUBLE AS v
+         |  FROM embeddings CROSS JOIN generate_series(1, 64) t(i)),
+         |pl AS (SELECT p, d,
+         |    ((${pHash("11", "(p::VARCHAR || '_' || d::VARCHAR)")} % 2001) - 1000) / 1000.0 AS coef
+         |  FROM generate_series(0, 7) g(p) CROSS JOIN generate_series(0, 63) h(d)),
+         |sb AS (SELECT vec_id, p, sum(v * coef) AS s
+         |  FROM ex JOIN pl USING (d) GROUP BY vec_id, p),
+         |bk AS (SELECT vec_id,
+         |    sum(CASE WHEN s > 0 THEN (1::BIGINT << p) ELSE 0::BIGINT END)::BIGINT AS bucket
+         |  FROM sb GROUP BY vec_id),
+         |pairs AS (SELECT x.vec_id AS a, y.vec_id AS b FROM bk x
+         |  JOIN bk y ON x.bucket = y.bucket AND x.vec_id < y.vec_id),
+         |pe AS (SELECT p2.a, p2.b, ea.v AS va, eb.v AS vb
+         |  FROM pairs p2
+         |  JOIN ex ea ON ea.vec_id = p2.a
+         |  JOIN ex eb ON eb.vec_id = p2.b AND eb.d = ea.d),
+         |sc AS (SELECT a, b,
+         |    round(sum(va * vb) / sqrt(sum(va * va)) / sqrt(sum(vb * vb)), 4) AS cos
+         |  FROM pe GROUP BY a, b)
+         |SELECT a, b, cos FROM sc WHERE cos >= 0.2 ORDER BY a, b""".stripMargin,
+
     "q53_multimodal_frames" ->
       """WITH p AS (SELECT doc_id, hex(encode(text)) AS ph,
         |    octet_length(encode(text))::BIGINT AS nb FROM documents),
@@ -368,6 +399,7 @@ object LlmQueries {
     "q34_dedup_embed_cosine" -> dedupEmbedCosine _,
     "q35_ann_bruteforce" -> annBruteForce _,
     "q36_ann_lsh_buckets" -> annLshBuckets _,
+    "q56_dedup_embed_pipeline" -> dedupEmbedPipeline _,
     "q37_multimodal_meta" -> multimodalMeta _,
     "q53_multimodal_frames" -> multimodalFrames _,
     "q50_text_stopwords" -> textStopwords _,

@@ -44,15 +44,56 @@ object RelationalQueries {
       }
     })
 
-  /** IVF ANN: k=8 coarse cells, probe the best 2 for query vec 0, top-10.
-    * Runs against the materialized bucketed index — the probe scan reads
-    * only the 2 probed cell partitions (PartitionFilters, see PlanSpec). */
+  /** IVF ANN: k=8 Lloyd-trained coarse cells (2 deterministic iterations
+    * from the seeded lowest-id init — [[Similarity.kmeansCentroids]]),
+    * probe the best 2 for query vec 0, top-10. Runs against the
+    * materialized bucketed index — the probe scan reads only the 2 probed
+    * cell partitions (PartitionFilters, see PlanSpec). */
   def annIvf(s: SparkSession, d: String): DataFrame = {
     val idx = ivfIndex(s, d)
     val qv = t(s, d, "embeddings").where(col("vec_id") === 0)
       .select(col("embedding").cast("array<double>"))
       .head().getSeq[Double](0).toArray
     Similarity.ivfSearchIndexed(idx, qv, nprobe = 2, topK = 10)
+  }
+
+  /** q55 — the IVF coarse-quantizer cell assignment after Lloyd training:
+    * every vector's cell against the trained centroids (the exact column
+    * [[Similarity.ivfBuild]] partitions the corpus by). The oracle replays
+    * both training iterations and the final assignment in SQL — possible
+    * because the init is seeded from ids and every centroid update rounds
+    * to 6 dp. */
+  def kmeansAssign(s: SparkSession, d: String): DataFrame = {
+    val v = t(s, d, "embeddings")
+    val cents = Similarity.kmeansCentroids(v, "vec_id", "embedding", k = 8, iters = 2)
+    Similarity.assignCells(v, "vec_id", "embedding", cents).orderBy("vec_id")
+  }
+
+  /** CTE chain replaying `kmeansCentroids(k=8, iters=2)` plus the final
+    * corpus assignment (`asg3` = the cell column IVF partitions by):
+    * `cent0` = seeded init, `simN`/`asgN`/`centN` = iteration N's cosines,
+    * argmax assignment, and 6-dp-rounded mean update. Shared by the q40 and
+    * q55 oracles. */
+  private def kmeansCtes: String = {
+    def sim(i: Int, cent: String) =
+      s"""sim$i AS (SELECT e.vec_id, c.cell,
+         |    sum(e.v * c.v) / sqrt(sum(e.v * e.v)) / sqrt(sum(c.v * c.v)) AS cs
+         |  FROM ex e JOIN $cent c USING (d) GROUP BY e.vec_id, c.cell)""".stripMargin
+    def asg(i: Int) =
+      s"""asg$i AS (SELECT vec_id, cell FROM (
+         |    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY cs DESC, cell) AS rn FROM sim$i) WHERE rn = 1)""".stripMargin
+    def cent(i: Int) =
+      s"""cent$i AS (SELECT a.cell, e.d, round(avg(e.v), 6) AS v
+         |  FROM asg$i a JOIN ex e USING (vec_id) GROUP BY a.cell, e.d)""".stripMargin
+    Seq(
+      """ex AS (SELECT vec_id, i - 1 AS d, embedding[i]::DOUBLE AS v
+        |  FROM embeddings CROSS JOIN generate_series(1, 64) t(i))""".stripMargin,
+      "cent0 AS (SELECT vec_id AS cell, d, v FROM ex WHERE vec_id < 8)",
+      sim(1, "cent0"), asg(1), cent(1),
+      sim(2, "cent1"), asg(2), cent(2),
+      sim(3, "cent2"), asg(3)
+    ).mkString(",\n")
   }
 
   /** Backward as-of join: each click matched to the user's latest
@@ -198,25 +239,24 @@ object RelationalQueries {
   // ---- DuckDB oracles ----
 
   val sql: Map[String, String] = Map(
+    // sim3 at vec_id = 0 IS the query-to-trained-centroid cosine table, so
+    // the probe plan and the corpus assignment both come from the shared
+    // k-means replay
     "q40_ann_ivf" ->
-      """WITH ex AS (SELECT vec_id, i - 1 AS d, embedding[i]::DOUBLE AS v
-        |  FROM embeddings CROSS JOIN generate_series(1, 64) t(i)),
-        |cent AS (SELECT vec_id AS c, d, v FROM ex WHERE vec_id < 8),
-        |sim AS (SELECT e.vec_id, ct.c,
-        |    sum(e.v * ct.v) / sqrt(sum(e.v * e.v)) / sqrt(sum(ct.v * ct.v)) AS cs
-        |  FROM ex e JOIN cent ct USING (d) GROUP BY e.vec_id, ct.c),
-        |assigned AS (SELECT vec_id, c AS cell FROM (
-        |    SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id
-        |      ORDER BY cs DESC, c) AS rn FROM sim) WHERE rn = 1),
-        |probes AS (SELECT c AS cell FROM sim WHERE vec_id = 0
-        |  ORDER BY cs DESC, c LIMIT 2),
-        |q AS (SELECT d, v FROM ex WHERE vec_id = 0),
-        |scored AS (SELECT e.vec_id,
-        |    round(sum(e.v * q.v) / sqrt(sum(e.v * e.v)) / sqrt(sum(q.v * q.v)), 4) AS cos
-        |  FROM ex e JOIN q USING (d)
-        |  WHERE e.vec_id IN (SELECT a.vec_id FROM assigned a JOIN probes p USING (cell))
-        |  GROUP BY e.vec_id)
-        |SELECT vec_id, cos FROM scored ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
+      s"""WITH $kmeansCtes,
+         |probes AS (SELECT cell FROM sim3 WHERE vec_id = 0
+         |  ORDER BY cs DESC, cell LIMIT 2),
+         |q AS (SELECT d, v FROM ex WHERE vec_id = 0),
+         |scored AS (SELECT e.vec_id,
+         |    round(sum(e.v * q.v) / sqrt(sum(e.v * e.v)) / sqrt(sum(q.v * q.v)), 4) AS cos
+         |  FROM ex e JOIN q USING (d)
+         |  WHERE e.vec_id IN (SELECT a.vec_id FROM asg3 a JOIN probes p USING (cell))
+         |  GROUP BY e.vec_id)
+         |SELECT vec_id, cos FROM scored ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
+
+    "q55_kmeans_assign" ->
+      s"""WITH $kmeansCtes
+         |SELECT vec_id, cell FROM asg3 ORDER BY vec_id""".stripMargin,
 
     // independent implementation: DuckDB's native ASOF JOIN vs our
     // union+last-ignoreNulls operator
@@ -321,6 +361,7 @@ object RelationalQueries {
   /** Spark-side entries matching [[sql]]. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_ann_ivf" -> annIvf _,
+    "q55_kmeans_assign" -> kmeansAssign _,
     "q41_asof_join" -> asofJoin _,
     "q42_sessionize" -> sessionize _,
     "q52_streaming_session_window" -> streamingSessionWindow _,

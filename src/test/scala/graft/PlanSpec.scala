@@ -90,16 +90,25 @@ class PlanSpec extends AnyFunSuite {
 
   test("annLsh plans as scan -> bucket filter -> top-k with zero joins") {
     import graft.operators.Similarity
-    import spark.implicits._
-    val vecs = (0 until 40).map { i =>
-      (i.toLong, Array.tabulate(8)(d => math.cos(i * 3 + d).toFloat))
-    }.toDF("vec_id", "embedding")
-    val q = vecs.where($"vec_id" === 5).head().getSeq[Float](1).toArray
-    val p = Similarity.annLsh(spark, vecs, "vec_id", "embedding", q, 10, planes = 8)
+    import org.apache.spark.sql.functions.col
+    // parquet-backed corpus: a local relation would constant-fold the whole
+    // plan into a LocalTableScan and hide the shape under test
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+    val q = vecs.where(col("vec_id") === 5).head().getSeq[Float](1).toArray
+    val p = Similarity.annLsh(spark, vecs, "vec_id", "embedding", q, 10)
       .queryExecution.executedPlan.toString
     // the corpus must NOT be joined to attach its own derived bucket column
     assert(!p.contains("Join"), p.take(3000))
     assert(p.contains("TakeOrderedAndProject"), p.take(3000))
+  }
+
+  test("q56: embed near-dup candidates come from a bucket equi-join, never a cross join") {
+    val p = plan("q56_dedup_embed_pipeline")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(3000))
+    // the pair join is keyed on the bucket column
+    assert("HashJoin.*bucket".r.findFirstIn(p).isDefined ||
+      "SortMergeJoin.*bucket".r.findFirstIn(p).isDefined, p.take(3000))
   }
 
   test("q51: TF-IDF keeps both aggregations map-side combined, no term window") {

@@ -77,12 +77,47 @@ class TemporalSpec extends AnyFunSuite {
 
     // the materialized bucketed index returns exactly what the inline
     // formulation returns — same probe, same re-rank, zero reassignment
+    // (seeded centroids pin the build to the inline spec's quantizer;
+    // trained centroids are exercised in the Lloyd test below and q55)
     val tmp = java.nio.file.Files.createTempDirectory("graft_ivf_test").toString
-    val idx = Similarity.ivfBuild(spark, vecs, "vec_id", "embedding", 4, tmp)
+    val idx = Similarity.ivfBuild(spark, vecs, "vec_id", "embedding", 4, tmp,
+      centroids = Some(Similarity.seedCentroids(vecs, "vec_id", "embedding", 4)))
     val qv = vecs.where(col("vec_id") === 6)
       .select(col("embedding").cast("array<double>")).head().getSeq[Double](0).toArray
     val hits2 = Similarity.ivfSearchIndexed(idx, qv, nprobe = 1, topK = 3)
       .collect().map(r => (r.getLong(0), r.getDouble(1)))
     assert(hits2.toSeq == hits.toSeq, s"indexed ${hits2.toSeq} vs inline ${hits.toSeq}")
+  }
+
+  test("Lloyd training improves the quantizer over the seeded init on a clustered corpus") {
+    // 3 tight clusters around orthogonal axes; ids 0..2 ALL land in cluster
+    // 0 (ids are assigned round-robin-free), so the lowest-id seeded init
+    // picks three near-duplicate centroids — the degenerate case training
+    // must fix
+    val dims = 6
+    val vecs = (0 until 60).map { i =>
+      val cluster = if (i < 3) 0 else i % 3
+      val v = Array.tabulate(dims)(d =>
+        (if (d == cluster * 2) 1.0 else 0.0) + 0.05 * math.sin(i * dims + d))
+      (i.toLong, v.map(_.toFloat))
+    }.toDF("vec_id", "embedding")
+    def meanBestCos(cents: Array[Array[Double]]): Double = {
+      val rows = vecs.collect().map(_.getSeq[Float](1).map(_.toDouble).toArray)
+      def cos(a: Array[Double], b: Array[Double]): Double = {
+        val dot = a.indices.map(i => a(i) * b(i)).sum
+        dot / math.sqrt(a.map(x => x * x).sum) / math.sqrt(b.map(x => x * x).sum)
+      }
+      rows.map(v => cents.map(c => cos(v, c)).max).sum / rows.length
+    }
+    def centArr(df: org.apache.spark.sql.DataFrame): Array[Array[Double]] =
+      df.collect().map(_.getSeq[Double](1).toArray)
+    val seed = centArr(
+      Similarity.seedCentroids(vecs, "vec_id", "embedding", 3).select("cell", "ce"))
+    val trained = centArr(
+      Similarity.kmeansCentroids(vecs, "vec_id", "embedding", 3, iters = 2)
+        .select("cell", "ce"))
+    val (before, after) = (meanBestCos(seed), meanBestCos(trained))
+    assert(after > before + 0.1,
+      s"training must spread the degenerate seeds: before=$before after=$after")
   }
 }
