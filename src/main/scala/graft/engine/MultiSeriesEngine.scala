@@ -70,16 +70,27 @@ object MultiSeriesEngine {
   /** Row shape produced by [[indexFast]]. */
   final case class MsIndexedPoint(sid: Long, t: Long, y: Double, s: Double, ms: Array[Double])
 
+  /** Per-sid row budget for the kernel build's in-task buffer: a run of
+    * `maxRunRows` rows buffers roughly rows x (point + levels x 8 B) per
+    * task, so the default keeps the working set a few hundred MB — well
+    * inside an executor task's share. Series above it are routed to the
+    * single-series engine's partitioned two-pass build ([[indexRouted]] /
+    * [[execute]]); [[indexFast]] itself fails fast rather than OOM. */
+  val DefaultMaxRunRows: Long = 4 * 1000 * 1000
+
   /** Kernel build of [[index]]: hash-partition by sid, sort (sid, t) within
     * partitions, then compute each series' prefix sums and ALL sparse-table
     * levels imperatively in one pass over each series' contiguous run — one
     * shuffle + one sort instead of 1 + log2(maxWin) sequential window stages.
     * Equality with the declarative build is asserted in MultiSeriesSpec.
     * Assumes a series fits its executor's partition (the same working-set
-    * assumption the per-sid window build makes); a series too large for
-    * that belongs on the single-series engine's partitioned two-pass path.
+    * assumption the per-sid window build makes); the assumption is ENFORCED:
+    * a run longer than `maxRunRows` fails fast with a routing message
+    * instead of silently OOMing the task ([[indexRouted]] is the caller
+    * that routes instead of failing).
     */
-  def indexFast(series: DataFrame, maxWin: Long, boundsOpt: Option[DataFrame] = None): MsIndex = {
+  def indexFast(series: DataFrame, maxWin: Long, boundsOpt: Option[DataFrame] = None,
+      maxRunRows: Long = DefaultMaxRunRows): MsIndex = {
     val levels = math.max(1, 64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, maxWin)))
     val spark = series.sparkSession
     import spark.implicits._
@@ -100,6 +111,10 @@ object MultiSeriesEngine {
           val ys = new scala.collection.mutable.ArrayBuffer[Double]
           while (rows.hasNext && rows.head._1 == sid) {
             val r = rows.next(); ts += r._2; ys += r._3
+            if (ts.length > maxRunRows) throw new IllegalStateException(
+              s"series sid=$sid exceeds maxRunRows=$maxRunRows for the per-partition " +
+                "kernel build; route oversized series through " +
+                "MultiSeriesEngine.indexRouted (or SeriesOps.indexFast per series)")
           }
           val arr = ys.toArray
           val m = SeriesOps.buildLevels(arr, levels)
@@ -115,6 +130,35 @@ object MultiSeriesEngine {
     val bounds = boundsOpt.getOrElse(
       series.groupBy("sid").agg(min("t").as("tMin"), max("t").as("tMax")))
     MsIndex(indexed, bounds, levels)
+  }
+
+  /** [[indexFast]] with the working-set assumption enforced by ROUTING
+    * rather than failing: series whose row count exceeds `maxRunRows` are
+    * built by the single-series engine's partitioned two-pass kernel
+    * ([[SeriesOps.indexFast]] — range-partitioned, halo-exchanged, no
+    * whole-series buffering anywhere) and unioned back; everything else
+    * takes the per-sid single-pass path. `stats` must be the per-sid
+    * `(sid, tMin, tMax, n)` aggregate (callers need it for bounds anyway,
+    * so it is computed once and shared). The oversized-sid list is a
+    * bounded driver collect: sids above millions of rows are few by
+    * construction (their count is capped by corpus size / maxRunRows). */
+  def indexRouted(series: DataFrame, maxWin: Long, stats: DataFrame,
+      maxRunRows: Long = DefaultMaxRunRows): MsIndex = {
+    val bounds = stats.select("sid", "tMin", "tMax")
+    val bigSids = stats.where(col("n") > maxRunRows)
+      .select("sid").collect().map(_.getLong(0)).toSeq
+    if (bigSids.isEmpty) indexFast(series, maxWin, Some(bounds), maxRunRows)
+    else {
+      val small = indexFast(
+        series.where(!col("sid").isin(bigSids: _*)), maxWin, Some(bounds), maxRunRows)
+      val bigDfs = bigSids.map { sid =>
+        SeriesOps.indexFast(series.where(col("sid") === sid).select("t", "y"), maxWin)
+          .df.select(lit(sid).as("sid"), col("t"), col("y"), col("s"), col("ms"))
+      }
+      MsIndex(
+        bigDfs.foldLeft(small.df.select("sid", "t", "y", "s", "ms"))(_ unionByName _),
+        bounds, small.levels)
+    }
   }
 
   private def lookupAt(
@@ -177,26 +221,30 @@ object MultiSeriesEngine {
 
   /** Execute the query independently over every series; returns
     * `(sid, time_id, offset)` in canonical per-series order. */
-  def execute(spark: SparkSession, series: DataFrame, spec: QuerySpec): DataFrame = {
+  def execute(spark: SparkSession, series: DataFrame, spec: QuerySpec,
+      maxRunRows: Long = DefaultMaxRunRows): DataFrame = {
+    // one per-sid stats pass (tiny checkpointed result, one row per sid):
+    // feeds domain binding, the oversized-series routing decision, AND the
+    // grid bounds — replacing the post-build bounds re-aggregation
+    val stats = series.groupBy("sid")
+      .agg(min("t").as("tMin"), max("t").as("tMax"), count(lit(1)).as("n"))
+      .localCheckpoint(true)
     // when lx is unbounded ("whole series") the sparse-table depth needs
     // the max extent as a driver value (levels is a structural plan
-    // parameter — the same binding step the reference does): one tiny
-    // aggregate action in that case, none otherwise
+    // parameter — the same binding step the reference does)
     val lxHi = spec.lxDomain.hi.getOrElse {
-      series.groupBy("sid").agg((max("t") - min("t") + lit(1)).as("ext"))
-        .agg(max("ext")).head().getLong(0) - 1
+      stats.agg(max(col("tMax") - col("tMin") + lit(1))).head().getLong(0) - 1
     }
     val maxWin = spec.constraints
       .map(c => ConstraintRegistry(c.name).maxWindow(lxHi, c.args))
       .foldLeft(lxHi + 1)(math.max)
     // materialize the index ONCE (lineage truncated): every probe join
     // reads the checkpointed blocks instead of re-running the kernel build
-    // inside its own broadcast, and the per-series bounds aggregate reads
-    // the index instead of re-scanning the source
-    val built = indexFast(series, maxWin)
+    // inside its own broadcast; series too large for the per-partition
+    // kernel are routed to the partitioned two-pass build
+    val built = indexRouted(series, maxWin, stats, maxRunRows)
     val ckpt = built.df.localCheckpoint(true)
-    val bounds = ckpt.groupBy("sid")
-      .agg(min("t").as("tMin"), max("t").as("tMax"))
+    val bounds = stats.select("sid", "tMin", "tMax")
     // bounded domains probe only [xLo - win, xHi + lxHi + win] in every
     // series: pre-filter the probe view so lookups join O(domain) rows per
     // series, not O(series) (bounds still read the full index)

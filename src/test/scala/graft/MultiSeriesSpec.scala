@@ -81,4 +81,42 @@ class MultiSeriesSpec extends AnyFunSuite {
     val plan = b.df.queryExecution.executedPlan.toString
     assert(!plan.contains("Window"), plan.take(1500))
   }
+
+  test("one giant + many small series: the giant routes to the partitioned build") {
+    // sid 9 is 600 rows — over a 200-row budget; sids 0..2 stay on the
+    // per-partition kernel path
+    val giant = (1 to 600)
+      .map(i => (9L, i.toLong, ((i * 2654435761L) % 1000) / 100.0))
+      .toDF("sid", "t", "y")
+    val mixed = multi.unionByName(giant)
+    val spec = QueryParser.parse(queries.head)
+    def run(budget: Long) =
+      MultiSeriesEngine.execute(spark, mixed, spec, maxRunRows = budget)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // routing is semantics-preserving: tiny budget (giant routed) equals
+    // the default budget (nothing routed)
+    val routed = run(200L)
+    assert(routed == run(MultiSeriesEngine.DefaultMaxRunRows))
+    assert(routed.exists(_._1 == 9L), "giant series must produce results")
+    // the routed index itself is row-equal to the unrouted kernel build
+    val stats = mixed.groupBy("sid").agg(
+      org.apache.spark.sql.functions.min("t").as("tMin"),
+      org.apache.spark.sql.functions.max("t").as("tMax"),
+      org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"))
+    def rows(i: MultiSeriesEngine.MsIndex) = i.df.orderBy("sid", "t").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getSeq[Double](4))).toSeq
+    assert(rows(MultiSeriesEngine.indexRouted(mixed, 16, stats, maxRunRows = 200L))
+      == rows(MultiSeriesEngine.indexFast(mixed, 16)))
+  }
+
+  test("indexFast fails fast (not OOM) when a series exceeds the run budget") {
+    val ex = intercept[Throwable] {
+      MultiSeriesEngine.indexFast(multi, 16, maxRunRows = 50L).df.count()
+    }
+    def chain(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => e.toString +: chain(e.getCause))
+    assert(chain(ex).exists(_.contains("maxRunRows")), chain(ex).mkString(" | "))
+  }
 }
