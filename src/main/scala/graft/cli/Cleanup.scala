@@ -1,0 +1,33 @@
+package graft.cli
+
+/** Teardown utility — the parquet-world analogue of the reference's
+  * `post_cleanup.py:7-12` (DROP DATABASE for its two working databases):
+  * removes the on-disk caches the engine creates, i.e. the cross-session
+  * series-index cache ([[graft.engine.IndexCache]], default
+  * `$TMPDIR/graft_index_cache`, overridable via `GRAFT_INDEX_CACHE`) and
+  * the materialized IVF index dirs (`$TMPDIR/graft_ivf_*`). Both caches
+  * are mtime-invalidated, so cleanup is about disk space, never
+  * correctness. Prints what it removed; `--dry-run` only lists.
+  */
+object Cleanup {
+  def main(args: Array[String]): Unit = {
+    val dryRun = args.contains("--dry-run")
+    val tmp = new java.io.File(sys.props("java.io.tmpdir"))
+    val indexCache = new java.io.File(
+      sys.env.getOrElse("GRAFT_INDEX_CACHE", s"$tmp/graft_index_cache"))
+    val ivfDirs = Option(tmp.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("graft_ivf_"))
+    val targets = (indexCache +: ivfDirs.toSeq).filter(_.exists())
+    if (targets.isEmpty) { println("nothing to clean"); return }
+    targets.foreach { d =>
+      if (dryRun) println(s"would remove $d")
+      else { deleteRecursively(d); println(s"removed $d") }
+    }
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
+    f.delete()
+    ()
+  }
+}

@@ -43,4 +43,26 @@ class PlotSinkSpec extends AnyFunSuite {
     // and the svg renders from the downsampled points
     assert(PlotSink.svg(pts, Seq((5L, 100L))).contains("<polyline"))
   }
+
+  test("sweep chart stacks one band per phase from the sweep CSV") {
+    val csv = Seq(
+      "iter,udf_size,fix_domains_s,index_s,grid_s,refine_s,total_s",
+      "0,60,0.1,0.5,1.0,0.4,2.0",
+      "1,780,0.0,0.3,1.2,0.5,2.0",
+      "2,39060,0.0,0.3,1.5,0.6,2.4")
+    val (xs, phases) = PlotSink.parseSweepCsv(csv)
+    assert(xs == Seq(60L, 780L, 39060L))
+    assert(phases.map(_._1) == Seq("fix_domains", "index", "grid", "refine"))
+    val svg = PlotSink.sweepSvg(xs, phases, "test sweep")
+    assert("<polygon".r.findAllIn(svg).size == 4, svg.take(500))
+    assert(svg.contains("Time (sec)") && svg.contains("Decision Variable"))
+    assert(svg.contains("refine") && svg.contains("39060"))
+    // the committed sweep artifact parses and renders too
+    val committed = java.nio.file.Files.readAllLines(
+      java.nio.file.Paths.get("bench/sweep_sf0.01.csv"))
+    import scala.jdk.CollectionConverters._
+    val (cx, cp) = PlotSink.parseSweepCsv(committed.asScala.toSeq)
+    assert(cx.nonEmpty && cp.nonEmpty)
+    assert(PlotSink.sweepSvg(cx, cp, "sweep").contains("<polygon"))
+  }
 }
