@@ -8,8 +8,27 @@ package graft.cli
   * the materialized IVF index dirs (`$TMPDIR/graft_ivf_*`). Both caches
   * are mtime-invalidated, so cleanup is about disk space, never
   * correctness. Prints what it removed; `--dry-run` only lists.
+  *
+  * Lifecycle: the IVF dirs are SESSION scratch — the code that builds one
+  * registers it via [[deleteOnExit]], so a normally-exiting JVM leaves no
+  * `graft_ivf_*` behind and this main is only needed after a crash (or to
+  * drop the intentionally cross-session series-index cache).
   */
 object Cleanup {
+
+  private val exitDirs = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private val hooked = new java.util.concurrent.atomic.AtomicBoolean(false)
+
+  /** Register a scratch dir for recursive deletion at JVM exit (idempotent;
+    * one shutdown hook regardless of call count). For per-session
+    * materializations like the IVF index dirs — NOT for the cross-session
+    * series-index cache, whose persistence is the point. */
+  def deleteOnExit(path: String): Unit = {
+    exitDirs.add(path)
+    if (hooked.compareAndSet(false, true))
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        exitDirs.forEach(p => deleteRecursively(new java.io.File(p)))))
+  }
   def main(args: Array[String]): Unit = {
     val dryRun = args.contains("--dry-run")
     val tmp = new java.io.File(sys.props("java.io.tmpdir"))

@@ -65,14 +65,49 @@ object Dedup {
     sig.select(col(id) +: (0 until numHashes).map(i => col(s"m$i")) ++: bandCols: _*)
   }
 
-  /** Candidate near-dup pairs from LSH buckets (a < b, distinct). */
+  /** Candidate near-dup pairs from LSH buckets (a < b, distinct): the band
+    * columns are stacked into `(band_idx, key)` rows and ONE self-join on
+    * that pair replaces per-band joins — the signature pipeline upstream is
+    * referenced twice total (the two join sides) instead of twice per band,
+    * and all bands share a single shuffle on the composite key. */
   def lshCandidatePairs(banded: DataFrame, id: String, bands: Int): DataFrame = {
-    val pairs = (0 until bands).map { b =>
-      val l = banded.select(col(id).as("a"), col(s"band$b").as("k"))
-      val r = banded.select(col(id).as("b"), col(s"band$b").as("k"))
-      l.join(r, "k").where(col("a") < col("b")).select("a", "b")
-    }
-    pairs.reduce(_ unionByName _).distinct()
+    val stacked = banded.select(col(id),
+      posexplode(array((0 until bands).map(b => col(s"band$b")): _*))
+        .as(Seq("bi", "k")))
+    stacked.select(col(id).as("a"), col("bi"), col("k"))
+      .join(stacked.select(col(id).as("b"), col("bi"), col("k")), Seq("bi", "k"))
+      .where(col("a") < col("b"))
+      .select("a", "b")
+      .distinct()
+  }
+
+  /** Transitive-dedup edge set from LSH buckets: per `(band, key)` bucket a
+    * STAR — every member linked to the bucket minimum — instead of the full
+    * clique. Connectivity-equivalent to [[lshCandidatePairs]] (both connect
+    * exactly the bucket's members, so [[connectedComponents]] over either
+    * yields identical components), but LINEAR in bucket size where the
+    * clique is quadratic: one skewed mega-bucket of n docs contributes n-1
+    * edges instead of n(n-1)/2 pairs. On a template-heavy corpus (observed
+    * at sf0.1: a 3.9k-doc bucket out of 5k docs -> 10.6M clique pairs) this
+    * is the difference between a dedup that scales and one that re-derives
+    * all-pairs. Feed THIS to [[connectedComponents]]; use
+    * [[lshCandidatePairs]] only when each pair is individually verified
+    * (Jaccard / cosine re-rank), where the pair list itself is the output. */
+  def lshStarEdges(banded: DataFrame, id: String, bands: Int): DataFrame = {
+    val stacked = banded.select(col(id),
+      posexplode(array((0 until bands).map(b => col(s"band$b")): _*))
+        .as(Seq("bi", "k")))
+    // bucket-min via groupBy + equi-join (not a window: a min-over-window
+    // attribute surviving into a later localCheckpoint leaves the LogicalRDD
+    // with constraints on the dead window attribute, which kills Catalyst's
+    // Union constraint rewrite). The groupBy output is one row per bucket —
+    // AQE broadcasts it at small scale; at scale both sides shuffle on the
+    // same (bi, k) key.
+    val mins = stacked.groupBy("bi", "k").agg(min(col(id)).as("a"))
+    stacked.join(mins, Seq("bi", "k"))
+      .where(col("a") < col(id))
+      .select(col("a"), col(id).as("b"))
+      .distinct()
   }
 
   /** 32-bit SimHash from token hashes: bit b of the fingerprint is the sign
@@ -135,20 +170,53 @@ object Dedup {
     * fixpoint assigns every node the component-min (neighbor-min fixpoint
     * forces labels constant across every edge). Jumping makes convergence
     * O(log diameter) rather than O(diameter) — `maxIter` = 25 covers any
-    * graph that fits on disk. Each iteration is a localCheckpoint (lineage
-    * would otherwise grow by 3 joins per round) and costs a bounded 1-row
-    * sum action for the convergence test; all real work is per-iteration
-    * shuffles that scale out.
+    * graph that fits on disk.
+    *
+    * Caching discipline (the part that makes the loop scale-true): the
+    * bidirected edge set is loop-INVARIANT, so it is checkpointed ONCE
+    * before the loop — without that, every iteration re-executes the entire
+    * upstream pair-generation DAG (in the q54 pipeline: MinHash -> LSH
+    * bands -> self-join -> distinct, the most expensive stage of the whole
+    * job, multiplied by the iteration count). Each round's label frame is
+    * an eager localCheckpoint (lineage would otherwise grow by 3 joins per
+    * round) and the SUPERSEDED round's blocks are released immediately
+    * ([[graft.engine.Checkpoints.release]]) so nothing accumulates in the
+    * block manager across queries. The only per-round action is a bounded
+    * 1-row sum for the convergence test; all real work is per-iteration
+    * shuffles that scale out. The returned labels stay checkpointed
+    * (2 longs/node) — the caller's result, lineage-free of the loop.
     */
   def connectedComponents(
       nodes: DataFrame, pairs: DataFrame, id: String,
-      maxIter: Int = 25): DataFrame = {
+      maxIter: Int = 25): DataFrame =
+    connectedComponentsStats(nodes, pairs, id, maxIter).labels
+
+  /** [[connectedComponents]] plus convergence observability: the iteration
+    * count and whether the fixpoint was actually reached. `converged` =
+    * false means `maxIter` rounds ran without the label sum stabilizing —
+    * the labels are then valid per-node upper bounds but NOT canonical
+    * component minima; a warning is printed and callers that need
+    * canonical keepers should treat `converged = false` as an error. */
+  final case class CcResult(labels: DataFrame, iterations: Int, converged: Boolean)
+
+  def connectedComponentsStats(
+      nodes: DataFrame, pairs: DataFrame, id: String,
+      maxIter: Int = 25): CcResult = {
+    import graft.engine.Checkpoints
     val edges = pairs.select(col("a").cast("long").as("u"), col("b").cast("long").as("v"))
       .where(col("u") =!= col("v"))
-    val bi = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
-    var labels = nodes.select(col(id).cast("long").as("u")).distinct()
-      .withColumn("l", col("u"))
-      .localCheckpoint(true)
+    // loop-invariant: materialize the directed edge set once, THEN bidirect
+    // over the lineage-free leaf — one evaluation of the (expensive)
+    // upstream pair pipeline instead of two, and the self-union sees plain
+    // LogicalRDD children (deep self-unions over window/distinct lineages
+    // trip Catalyst's Union constraint rewrite)
+    val e0 = Checkpoints.mark(edges)
+    val bi = Checkpoints.mark(
+      e0.union(e0.select(col("v").as("u"), col("u").as("v"))))
+    Checkpoints.release(e0)
+    var labels = Checkpoints.mark(
+      nodes.select(col(id).cast("long").as("u")).distinct()
+        .withColumn("l", col("u")))
     // sum(l) strictly decreases until the fixpoint (labels only decrease)
     def labelSum(df: DataFrame): Long =
       df.agg(sum("l")).head().getLong(0)
@@ -158,17 +226,25 @@ object Dedup {
     while (!converged && it < maxIter) {
       val msgs = bi.join(labels, "u").select(col("v").as("u"), col("l"))
       val nm = labels.union(msgs).groupBy("u").agg(min("l").as("l"))
-      val next = nm.join(
-          nm.select(col("u").as("l"), col("l").as("l2")), Seq("l"))
-        .select(col("u"), col("l2").as("l"))
-        .localCheckpoint(true)
+      val next = Checkpoints.mark(
+        nm.join(nm.select(col("u").as("l"), col("l").as("l2")), Seq("l"))
+          .select(col("u"), col("l2").as("l")))
       val curSum = labelSum(next)
       converged = curSum == prevSum
       prevSum = curSum
+      Checkpoints.release(labels) // superseded round
       labels = next
       it += 1
     }
-    labels.select(col("u").as(id), col("l").as("component"))
+    val out = Checkpoints.mark(
+      labels.select(col("u").as(id), col("l").as("component")))
+    Checkpoints.release(labels)
+    Checkpoints.release(bi)
+    if (!converged)
+      System.err.println(
+        s"[graft] connectedComponents: maxIter=$maxIter reached without " +
+          "convergence — labels are upper bounds, not canonical component minima")
+    CcResult(out, it, converged)
   }
 
   /** Jaccard over consecutive-id pairs — the deterministic demo/benchmark

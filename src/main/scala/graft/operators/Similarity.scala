@@ -200,20 +200,32 @@ object Similarity {
     * re-synchronizes the trained table so DuckDB can replay training
     * exactly. Balanced (trained) cells are what make the IVF nprobe/k
     * pruning claim real on skewed corpora — the seeded init degrades to
-    * arbitrarily lopsided cells. Returns `(cell, ce)`. */
+    * arbitrarily lopsided cells.
+    *
+    * Each round's centroid table (k×dims rows — trivial) is an eager
+    * localCheckpoint and the previous round's blocks are released: without
+    * the per-round truncation, round N's broadcast subtree contains rounds
+    * 1..N-1's full pipelines, so every evaluation re-executes the whole
+    * training history — ~2^iters corpus scans, a scale-killer hiding
+    * behind a small default. Returns `(cell, ce)`, checkpointed — the
+    * caller owns the blocks (release via
+    * [[graft.engine.Checkpoints.release]] once consumed). */
   def kmeansCentroids(vecs: DataFrame, id: String, emb: String,
       k: Int, iters: Int): DataFrame = {
-    var cents = seedCentroids(vecs, id, emb, k)
+    import graft.engine.Checkpoints
+    var cents = Checkpoints.mark(seedCentroids(vecs, id, emb, k))
     for (_ <- 0 until iters) {
       val assigned = assignCells(vecs, id, emb, cents)
-      cents = vecs.select(col(id), col(emb))
+      val next = Checkpoints.mark(vecs.select(col(id), col(emb))
         .join(assigned, id)
         .select(col("cell"),
           posexplode(col(emb).cast("array<double>")).as(Seq("d", "v")))
         .groupBy("cell", "d").agg(round(avg("v"), 6).as("v"))
         .groupBy("cell")
         .agg(transform(array_sort(collect_list(struct(col("d"), col("v")))),
-          x => x("v")).as("ce"))
+          x => x("v")).as("ce")))
+      Checkpoints.release(cents) // superseded round
+      cents = next
     }
     cents
   }
@@ -239,9 +251,11 @@ object Similarity {
       centroids: Option[DataFrame] = None): IvfIndex = {
     def dot(x: Column, y: Column): Column = graft.functions.DotProduct.dot_product(x, y)
     // train once, reuse for both the assignment and the persisted table —
-    // localCheckpoint so the iterative training lineage isn't re-run
-    val cents = centroids.getOrElse(kmeansCentroids(vecs, id, emb, k, trainIters))
-      .localCheckpoint(true)
+    // checkpointed so the iterative training lineage isn't re-run; the
+    // blocks are released once both tables are on disk (the index is the
+    // parquet files, not the block manager)
+    val cents = centroids.map(graft.engine.Checkpoints.mark)
+      .getOrElse(kmeansCentroids(vecs, id, emb, k, trainIters))
     // vector/centroid self-norms are build-time columns: every future
     // search divides by them instead of recomputing sqrt(dot(v, v)) per
     // probed row — bit-identical values (same expression, evaluated once)
@@ -252,6 +266,7 @@ object Similarity {
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/corpus")
     cents.withColumn("cnorm", sqrt(dot(col("ce"), col("ce"))))
       .write.mode("overwrite").parquet(s"$path/centroids")
+    graft.engine.Checkpoints.release(cents)
     IvfIndex(spark, path, id, emb)
   }
 

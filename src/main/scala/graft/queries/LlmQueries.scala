@@ -83,13 +83,19 @@ object LlmQueries {
       .orderBy("doc_id")
 
   /** q54 — the composed transitive dedup pipeline: MinHash signatures ->
-    * LSH band buckets -> candidate pairs -> connected components, so
-    * near-dup chains (a,b),(b,c) collapse to one canonical keeper. The
-    * oracle replays the identical pipeline in SQL and resolves transitivity
-    * with a recursive CTE — an independent reachability implementation. */
+    * LSH band buckets -> star edges -> connected components, so near-dup
+    * chains (a,b),(b,c) collapse to one canonical keeper. Edges are per-
+    * bucket STARS ([[Dedup.lshStarEdges]]), not cliques: connectivity-
+    * identical, but linear instead of quadratic in bucket size — the knob
+    * that keeps this runnable on a template-heavy corpus where one bucket
+    * can hold most of the docs. The oracle replays the pipeline in SQL with
+    * clique pairs and resolves transitivity with a recursive CTE — an
+    * independent reachability implementation over a different (but
+    * connectivity-equivalent) edge set, so the match is evidence both of
+    * pipeline correctness and of the star/clique equivalence. */
   def dedupComponents(s: SparkSession, d: String): DataFrame = {
     val banded = Dedup.lshBands(minhashSig(s, d), "doc_id", NumHashes, Bands)
-    val pairs = Dedup.lshCandidatePairs(banded, "doc_id", Bands)
+    val pairs = Dedup.lshStarEdges(banded, "doc_id", Bands)
     Dedup.connectedComponents(docs(s, d).select("doc_id"), pairs, "doc_id")
       .orderBy("doc_id")
   }

@@ -39,8 +39,10 @@ object RelationalQueries {
       else {
         // injective path per dataset dir (hashCode could collide)
         val h = graft.engine.IndexCache.md5Key(d, 8)
+        val path = s"${sys.props("java.io.tmpdir")}/graft_ivf_$h"
+        graft.cli.Cleanup.deleteOnExit(path) // session scratch, not a cache
         Similarity.ivfBuild(s, t(s, d, "embeddings"), "vec_id", "embedding",
-          k = 8, path = s"${sys.props("java.io.tmpdir")}/graft_ivf_$h")
+          k = 8, path = path)
       }
     })
 
@@ -65,7 +67,12 @@ object RelationalQueries {
     * to 6 dp. */
   def kmeansAssign(s: SparkSession, d: String): DataFrame = {
     val v = t(s, d, "embeddings")
-    val cents = Similarity.kmeansCentroids(v, "vec_id", "embedding", k = 8, iters = 2)
+    // reuse the session-trained IVF centroids (same k/iters/seeded init —
+    // [[ivfIndex]] runs kmeansCentroids(k = 8, iters = 2) at build time)
+    // instead of retraining from scratch: the persisted centroid table IS
+    // the trained table, 6-dp-rounded so the parquet roundtrip is
+    // bit-stable and the oracle's CTE replay of training is unchanged.
+    val cents = ivfIndex(s, d).centroids.drop("cnorm")
     Similarity.assignCells(v, "vec_id", "embedding", cents).orderBy("vec_id")
   }
 

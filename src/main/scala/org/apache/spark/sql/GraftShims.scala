@@ -9,4 +9,31 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftShims {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Rebuild every [[execution.LogicalRDD]] leaf of `df`'s plan without its
+    * `originConstraints`/`originStats`. A `localCheckpoint` keeps the origin
+    * plan's constraints on the new leaf, but self-join deduplication
+    * (`DeduplicateRelations` → `newInstance()`) re-IDs the leaf's output
+    * while those constraints keep the OLD expression ids — any later
+    * `Union` over the deduplicated side then dies in `rewriteConstraints`
+    * with `key not found: <stale attr>`. Iterative operators that
+    * checkpoint per round and self-join the result (label propagation's
+    * pointer jump) hit this deterministically, so their checkpoints must
+    * shed the origin constraints; the only cost is weaker
+    * constraint-inference on top of an already-materialized leaf. */
+  def dropCheckpointConstraints(df: DataFrame): DataFrame = {
+    val cdf = df.asInstanceOf[classic.Dataset[Row]]
+    val session = cdf.sparkSession
+    // NOT plan.transform: the rebuilt leaf differs only in the SECOND
+    // constructor parameter list, which case-class equality ignores, so
+    // transformDown's fastEquals check would silently keep the original
+    // node. A checkpoint's plan is the LogicalRDD root itself — match it.
+    val plan = cdf.queryExecution.analyzed match {
+      case lr: execution.LogicalRDD =>
+        new execution.LogicalRDD(lr.output, lr.rdd, lr.outputPartitioning,
+          lr.outputOrdering, lr.isStreaming, lr.stream)(session, None, None)
+      case other => other
+    }
+    classic.Dataset.ofRows(session, plan)
+  }
 }

@@ -48,6 +48,29 @@ class OperatorSpec extends AnyFunSuite {
     j.get((1L, 2L)).foreach(v => assert(v > 0.8 && v < 1.0))
   }
 
+  test("lshStarEdges are connectivity-equivalent to clique pairs, but linear") {
+    // a bucket-heavy fixture: three clusters of identical docs (mega-bucket
+    // shape) plus a singleton
+    val many = ((1L to 9L).map(i => (i, base)) ++
+      (10L to 14L).map(i => (i, base.replace("alpha", "zeta"))) ++
+      Seq((15L, "one two three four five six seven eight nine ten")))
+      .toDF("doc_id", "text")
+    val sig = Dedup.minHash(Dedup.shingles(many, "text", "doc_id", 1), "doc_id", 8)
+    val banded = Dedup.lshBands(sig, "doc_id", 8, 4)
+    val clique = Dedup.lshCandidatePairs(banded, "doc_id", 4)
+    val star = Dedup.lshStarEdges(banded, "doc_id", 4)
+    // linear vs quadratic: a 9-doc bucket is 8 star edges vs 36 clique pairs
+    assert(star.count() < clique.count())
+    assert(star.count() <= 14 * 4) // <= (nodes-1) x bands
+    def comps(pairs: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      Dedup.connectedComponentsStats(many.select("doc_id"), pairs, "doc_id") match {
+        case r =>
+          val m = r.labels.collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+          graft.engine.Checkpoints.release(r.labels); m
+      }
+    assert(comps(star) == comps(clique))
+  }
+
   test("simhash: identical docs equal, near-dups close in Hamming distance") {
     val sh = Dedup.shingles(docs, "text", "doc_id", 1)
     val hs = Dedup.simHash(sh, "doc_id").collect()
@@ -192,6 +215,74 @@ class OperatorSpec extends AnyFunSuite {
     assert(got(8L) == 8L && got(9L) == 8L)
     assert(got(10L) == 10L && got(11L) == 10L)
     assert(got(12L) == 12L)
+  }
+
+  test("connectedComponents converges in O(log diameter) and reports it") {
+    val nodes = (1L to 16L).toDF("doc_id")
+    val pairs = (1L to 15L).map(i => (i, i + 1)).toDF("a", "b")
+    val r = Dedup.connectedComponentsStats(nodes, pairs, "doc_id")
+    assert(r.converged)
+    // pointer jumping: a 16-node chain (diameter 15) must converge in far
+    // fewer than 15 rounds (log-ish; +1 round to observe the fixpoint)
+    assert(r.iterations <= 8, s"iterations = ${r.iterations}")
+    val got = r.labels.collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert((1L to 16L).forall(got(_) == 1L))
+    graft.engine.Checkpoints.release(r.labels)
+  }
+
+  test("connectedComponents reports non-convergence at maxIter") {
+    val nodes = (1L to 16L).toDF("doc_id")
+    val pairs = (1L to 15L).map(i => (i, i + 1)).toDF("a", "b")
+    val r = Dedup.connectedComponentsStats(nodes, pairs, "doc_id", maxIter = 1)
+    assert(!r.converged && r.iterations == 1)
+    // labels are still emitted for every node (documented: upper bounds)
+    assert(r.labels.count() == 16)
+    graft.engine.Checkpoints.release(r.labels)
+  }
+
+  test("connectedComponents releases every superseded checkpoint") {
+    val sc = spark.sparkContext
+    val nodes = (1L to 12L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (8L, 9L)).toDF("a", "b")
+    val before = sc.getPersistentRDDs.size
+    val r = Dedup.connectedComponentsStats(nodes, pairs, "doc_id")
+    // only the returned labels frame may remain pinned — the edge set and
+    // every intermediate round must have been released
+    assert(sc.getPersistentRDDs.size == before + 1,
+      s"leaked checkpoints: ${sc.getPersistentRDDs.size - before - 1}")
+    graft.engine.Checkpoints.release(r.labels)
+    assert(sc.getPersistentRDDs.size == before)
+  }
+
+  test("Checkpoints.mark truncates lineage; release frees the blocks") {
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.size
+    val df = graft.engine.Checkpoints.mark(
+      spark.range(100).toDF("x").where(col("x") > 10))
+    assert(sc.getPersistentRDDs.size == before + 1)
+    // lineage is gone: the plan is a single materialized-RDD leaf
+    assert(df.queryExecution.analyzed.collectLeaves().forall(
+      _.isInstanceOf[org.apache.spark.sql.execution.LogicalRDD]))
+    graft.engine.Checkpoints.release(df)
+    assert(sc.getPersistentRDDs.size == before)
+  }
+
+  test("kmeansCentroids at iters=6 runs in bounded time (no lineage blowup)") {
+    val sc = spark.sparkContext
+    val vecs = (0L until 40L)
+      .map(i => (i, Array.tabulate(8)(d => ((i * 31 + d * 7) % 13).toFloat - 6f)))
+      .toDF("vec_id", "embedding")
+    val before = sc.getPersistentRDDs.size
+    val t0 = System.nanoTime()
+    val cents = Similarity.kmeansCentroids(vecs, "vec_id", "embedding", k = 4, iters = 6)
+    assert(cents.count() == 4)
+    val secs = (System.nanoTime() - t0) / 1e9
+    // without the per-round checkpoint this re-executes ~2^6 subtrees
+    assert(secs < 60.0, s"took $secs s")
+    // only the final round's k x dims table stays pinned
+    assert(sc.getPersistentRDDs.size == before + 1)
+    graft.engine.Checkpoints.release(cents)
+    assert(sc.getPersistentRDDs.size == before)
   }
 
   test("exact dedup keeps min id per content") {
