@@ -240,6 +240,21 @@ class OperatorSpec extends AnyFunSuite {
     graft.engine.Checkpoints.release(r.labels)
   }
 
+  test("connectedComponents evaluates its edge input exactly once") {
+    // the loop-invariance pin: an accumulator in the pair pipeline counts
+    // how many times each edge row is produced across the WHOLE cc run —
+    // pre-checkpoint-fix this was (1 + iterations) x rows
+    val acc = spark.sparkContext.longAccumulator("edgeEvals")
+    val tick = udf { (x: Long) => acc.add(1L); x }
+    val nodes = (1L to 16L).toDF("doc_id")
+    val pairs = (1L to 15L).map(i => (i, i + 1)).toDF("a", "b")
+      .withColumn("a", tick(col("a")))
+    val r = Dedup.connectedComponentsStats(nodes, pairs, "doc_id")
+    assert(r.converged && r.iterations >= 2)
+    assert(acc.value == 15L, s"edge pipeline evaluated ${acc.value / 15.0} times")
+    graft.engine.Checkpoints.release(r.labels)
+  }
+
   test("connectedComponents releases every superseded checkpoint") {
     val sc = spark.sparkContext
     val nodes = (1L to 12L).toDF("doc_id")
