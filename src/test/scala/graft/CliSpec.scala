@@ -24,6 +24,7 @@ class CliSpec extends AnyFunSuite {
     val spark = TestSpark.spark
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_cli_test").toFile
+    graft.cli.Cleanup.deleteOnExit(dir.getPath)
     (1 to 80).map(i => (i.toLong, (i % 13) * 1.5))
       .toDF("time_id", "c")
       .coalesce(1).write.mode("overwrite")

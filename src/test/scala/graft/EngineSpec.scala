@@ -215,7 +215,9 @@ class EngineSpec extends AnyFunSuite {
   test("cross-session index cache: write-through, hit, staleness rebuild") {
     import graft.engine.IndexCache
     val cacheDir = java.nio.file.Files.createTempDirectory("graft_idx_cache").toString
+    graft.cli.Cleanup.deleteOnExit(cacheDir)
     val tableDir = java.nio.file.Files.createTempDirectory("graft_idx_src")
+    graft.cli.Cleanup.deleteOnExit(tableDir.toString)
     val tableFile = tableDir.resolve("series.parquet")
     series.write.mode("overwrite").parquet(tableFile.toString)
     val spec = QueryParser.parse(
@@ -412,8 +414,10 @@ object TestSpark {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .config("spark.sql.warehouse.dir",
-        java.nio.file.Files.createTempDirectory("graft_wh").toString)
+      .config("spark.sql.warehouse.dir", {
+        val wh = java.nio.file.Files.createTempDirectory("graft_wh").toString
+        graft.cli.Cleanup.deleteOnExit(wh); wh
+      })
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")

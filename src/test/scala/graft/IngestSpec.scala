@@ -12,6 +12,7 @@ class IngestSpec extends AnyFunSuite {
 
   test("EMG loader drops 3 junk lines, reads header, assigns dense time_id") {
     val dir = Files.createTempDirectory("graft_emg")
+    graft.cli.Cleanup.deleteOnExit(dir.toString)
     val f = dir.resolve("emg.csv")
     Files.writeString(f,
       "junk line 1\njunk 2\njunk 3\ntimestamp,emg1,emg2\n100,1,5\n200,2,6\n300,3,7\n")
@@ -24,6 +25,7 @@ class IngestSpec extends AnyFunSuite {
 
   test("GAS loader unions csvs, derives Date from filename, strips unit suffixes") {
     val dir = Files.createTempDirectory("graft_gas")
+    graft.cli.Cleanup.deleteOnExit(dir.toString)
     Files.writeString(dir.resolve("20090102.csv"),
       "Time (s),CO (ppm)\n0.5,12.0\n1.5,13.0\n")
     Files.writeString(dir.resolve("20090101.csv"),
@@ -48,6 +50,7 @@ class IngestSpec extends AnyFunSuite {
       } finally zos.close()
     }
     val dir = Files.createTempDirectory("graft_zip")
+    graft.cli.Cleanup.deleteOnExit(dir.toString)
     mkZip(dir.resolve("a_emg.zip"),
       "emg.csv" -> "j1\nj2\nj3\ntimestamp,emg1\n100,1\n200,2\n",
       "nested/skip.csv" -> "x\n", // non-top-level members are skipped

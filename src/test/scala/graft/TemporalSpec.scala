@@ -80,6 +80,7 @@ class TemporalSpec extends AnyFunSuite {
     // (seeded centroids pin the build to the inline spec's quantizer;
     // trained centroids are exercised in the Lloyd test below and q55)
     val tmp = java.nio.file.Files.createTempDirectory("graft_ivf_test").toString
+    graft.cli.Cleanup.deleteOnExit(tmp)
     val idx = Similarity.ivfBuild(spark, vecs, "vec_id", "embedding", 4, tmp,
       centroids = Some(Similarity.seedCentroids(vecs, "vec_id", "embedding", 4)))
     val qv = vecs.where(col("vec_id") === 6)
