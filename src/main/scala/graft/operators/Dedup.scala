@@ -81,6 +81,35 @@ object Dedup {
       .distinct()
   }
 
+  /** [[lshCandidatePairs]] with a per-bucket size cap, for verified-pair
+    * pipelines (Jaccard / cosine re-rank) at corpus scale. The clique is
+    * quadratic in bucket size, so ONE template mega-bucket otherwise
+    * dominates the whole job (observed at sf0.1: a 3.9k-doc bucket → 7.7M
+    * of the 10.6M pairs); buckets larger than `maxBucket` are excluded
+    * from pair generation — their members still pair through any other
+    * band whose bucket is under the cap, and pipelines that only need
+    * connectivity should use [[lshStarEdges]], which is immune. Returns
+    * `(pairs, skipped)` where `skipped` lists the excluded
+    * `(band_idx, key, size)` buckets — callers MUST surface it (a silent
+    * cap would read as full coverage when it is not). */
+  def lshCandidatePairsCapped(banded: DataFrame, id: String, bands: Int,
+      maxBucket: Int): (DataFrame, DataFrame) = {
+    val stacked = banded.select(col(id),
+      posexplode(array((0 until bands).map(b => col(s"band$b")): _*))
+        .as(Seq("bi", "k")))
+    val sizes = stacked.groupBy("bi", "k").agg(count(lit(1)).as("size"))
+    val kept = stacked.join(
+      sizes.where(col("size") <= maxBucket).select("bi", "k"), Seq("bi", "k"))
+    val pairs = kept.select(col(id).as("a"), col("bi"), col("k"))
+      .join(kept.select(col(id).as("b"), col("bi"), col("k")), Seq("bi", "k"))
+      .where(col("a") < col("b"))
+      .select("a", "b")
+      .distinct()
+    val skipped = sizes.where(col("size") > maxBucket)
+      .select(col("bi").as("band_idx"), col("k").as("key"), col("size"))
+    (pairs, skipped)
+  }
+
   /** Transitive-dedup edge set from LSH buckets: per `(band, key)` bucket a
     * STAR — every member linked to the bucket minimum — instead of the full
     * clique. Connectivity-equivalent to [[lshCandidatePairs]] (both connect

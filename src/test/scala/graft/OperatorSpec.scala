@@ -71,6 +71,27 @@ class OperatorSpec extends AnyFunSuite {
     assert(comps(star) == comps(clique))
   }
 
+  test("capped candidate pairs exclude mega-buckets and report them") {
+    val many = ((1L to 9L).map(i => (i, base)) ++
+      (10L to 14L).map(i => (i, "the quick brown fox jumps over the lazy dog")) ++
+      Seq((15L, "one two three four five six seven eight nine ten")))
+      .toDF("doc_id", "text")
+    val sig = Dedup.minHash(Dedup.shingles(many, "text", "doc_id", 1), "doc_id", 8)
+    val banded = Dedup.lshBands(sig, "doc_id", 8, 4)
+    val full = Dedup.lshCandidatePairs(banded, "doc_id", 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val (capped, skipped) = Dedup.lshCandidatePairsCapped(banded, "doc_id", 4, maxBucket = 5)
+    val cp = capped.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sk = skipped.collect()
+    // the 9-doc cluster collides in every band -> its buckets exceed the
+    // cap and are reported; the 5-doc cluster's pairs survive
+    assert(sk.nonEmpty && sk.forall(_.getLong(2) > 5))
+    assert(cp.subsetOf(full))
+    assert(cp.contains((10L, 11L)), s"under-cap bucket pairs must survive: $cp")
+    assert(!cp.exists(p => p._1 <= 9L && p._2 <= 9L),
+      s"mega-bucket cliques must be excluded: $cp")
+  }
+
   test("simhash: identical docs equal, near-dups close in Hamming distance") {
     val sh = Dedup.shingles(docs, "text", "doc_id", 1)
     val hs = Dedup.simHash(sh, "doc_id").collect()
