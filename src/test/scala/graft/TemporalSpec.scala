@@ -114,9 +114,9 @@ class TemporalSpec extends AnyFunSuite {
       df.collect().map(_.getSeq[Double](1).toArray)
     val seed = centArr(
       Similarity.seedCentroids(vecs, "vec_id", "embedding", 3).select("cell", "ce"))
-    val trained = centArr(
-      Similarity.kmeansCentroids(vecs, "vec_id", "embedding", 3, iters = 2)
-        .select("cell", "ce"))
+    val trainedDf = Similarity.kmeansCentroids(vecs, "vec_id", "embedding", 3, iters = 2)
+    val trained = centArr(trainedDf.select("cell", "ce"))
+    graft.engine.Checkpoints.release(trainedDf)
     val (before, after) = (meanBestCos(seed), meanBestCos(trained))
     assert(after > before + 0.1,
       s"training must spread the degenerate seeds: before=$before after=$after")
