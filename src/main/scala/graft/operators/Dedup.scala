@@ -254,10 +254,15 @@ object Dedup {
     var converged = false
     while (!converged && it < maxIter) {
       val msgs = bi.join(labels, "u").select(col("v").as("u"), col("l"))
-      val nm = labels.union(msgs).groupBy("u").agg(min("l").as("l"))
+      // checkpoint the neighbor-min BEFORE the pointer-jump self-join: both
+      // join sides read nm, so an unmaterialized nm evaluates its edge join
+      // + aggregate twice per round
+      val nm = Checkpoints.mark(
+        labels.union(msgs).groupBy("u").agg(min("l").as("l")))
       val next = Checkpoints.mark(
         nm.join(nm.select(col("u").as("l"), col("l").as("l2")), Seq("l"))
           .select(col("u"), col("l2").as("l")))
+      Checkpoints.release(nm)
       val curSum = labelSum(next)
       converged = curSum == prevSum
       prevSum = curSum
