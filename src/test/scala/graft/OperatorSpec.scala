@@ -261,6 +261,33 @@ class OperatorSpec extends AnyFunSuite {
     graft.engine.Checkpoints.release(r.labels)
   }
 
+  test("connectedComponents matches driver union-find on random graphs") {
+    // independent oracle: in-memory union-find over the same edge list,
+    // seeded pseudo-random graphs of mixed density (incl. isolated nodes)
+    for (seed <- 1 to 5) {
+      val rnd = new scala.util.Random(seed)
+      val n = 30 + rnd.nextInt(30)
+      val edges = Seq.fill(20 + rnd.nextInt(40))(
+        (rnd.nextInt(n).toLong + 1L, rnd.nextInt(n).toLong + 1L))
+      val parent = Array.tabulate(n + 1)(identity)
+      def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val want = (1 to n).map(i => i.toLong -> {
+        // path-compress to the canonical minimum (union by min above)
+        find(i).toLong
+      }).toMap
+      val r = Dedup.connectedComponentsStats(
+        (1L to n.toLong).toDF("doc_id"), edges.toDF("a", "b"), "doc_id")
+      val got = r.labels.collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+      graft.engine.Checkpoints.release(r.labels)
+      assert(r.converged, s"seed $seed did not converge")
+      assert(got == want, s"seed $seed: n=$n edges=${edges.size}")
+    }
+  }
+
   test("connectedComponents evaluates its edge input exactly once") {
     // the loop-invariance pin: an accumulator in the pair pipeline counts
     // how many times each edge row is produced across the WHOLE cc run —
