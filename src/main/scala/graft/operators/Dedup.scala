@@ -249,36 +249,44 @@ object Dedup {
     // sum(l) strictly decreases until the fixpoint (labels only decrease)
     def labelSum(df: DataFrame): Long =
       df.agg(sum("l")).head().getLong(0)
-    var prevSum = labelSum(labels)
     var it = 0
     var converged = false
-    while (!converged && it < maxIter) {
-      val msgs = bi.join(labels, "u").select(col("v").as("u"), col("l"))
-      // checkpoint the neighbor-min BEFORE the pointer-jump self-join: both
-      // join sides read nm, so an unmaterialized nm evaluates its edge join
-      // + aggregate twice per round
-      val nm = Checkpoints.mark(
-        labels.union(msgs).groupBy("u").agg(min("l").as("l")))
-      val next = Checkpoints.mark(
-        nm.join(nm.select(col("u").as("l"), col("l").as("l2")), Seq("l"))
-          .select(col("u"), col("l2").as("l")))
-      Checkpoints.release(nm)
-      val curSum = labelSum(next)
-      converged = curSum == prevSum
-      prevSum = curSum
-      Checkpoints.release(labels) // superseded round
-      labels = next
-      it += 1
+    try {
+      var prevSum = labelSum(labels)
+      while (!converged && it < maxIter) {
+        val msgs = bi.join(labels, "u").select(col("v").as("u"), col("l"))
+        // checkpoint the neighbor-min BEFORE the pointer-jump self-join: both
+        // join sides read nm, so an unmaterialized nm evaluates its edge join
+        // + aggregate twice per round
+        val nm = Checkpoints.mark(
+          labels.union(msgs).groupBy("u").agg(min("l").as("l")))
+        val next =
+          try Checkpoints.mark(
+            nm.join(nm.select(col("u").as("l"), col("l").as("l2")), Seq("l"))
+              .select(col("u"), col("l2").as("l")))
+          finally Checkpoints.release(nm)
+        val curSum =
+          try labelSum(next)
+          catch { case e: Throwable => Checkpoints.release(next); throw e }
+        converged = curSum == prevSum
+        prevSum = curSum
+        Checkpoints.release(labels) // superseded round
+        labels = next
+        it += 1
+      }
+      val out = Checkpoints.mark(
+        labels.select(col("u").as(id), col("l").as("component")))
+      if (!converged)
+        System.err.println(
+          s"[graft] connectedComponents: maxIter=$maxIter reached without " +
+            "convergence — labels are upper bounds, not canonical component minima")
+      CcResult(out, it, converged)
+    } finally {
+      // a failed iteration (OOM, task abort) must not pin blocks in a
+      // long-lived session; on success this releases the last round + edges
+      Checkpoints.release(labels)
+      Checkpoints.release(bi)
     }
-    val out = Checkpoints.mark(
-      labels.select(col("u").as(id), col("l").as("component")))
-    Checkpoints.release(labels)
-    Checkpoints.release(bi)
-    if (!converged)
-      System.err.println(
-        s"[graft] connectedComponents: maxIter=$maxIter reached without " +
-          "convergence — labels are upper bounds, not canonical component minima")
-    CcResult(out, it, converged)
   }
 
   /** Jaccard over consecutive-id pairs — the deterministic demo/benchmark

@@ -214,20 +214,26 @@ object Similarity {
       k: Int, iters: Int): DataFrame = {
     import graft.engine.Checkpoints
     var cents = Checkpoints.mark(seedCentroids(vecs, id, emb, k))
-    for (_ <- 0 until iters) {
-      val assigned = assignCells(vecs, id, emb, cents)
-      val next = Checkpoints.mark(vecs.select(col(id), col(emb))
-        .join(assigned, id)
-        .select(col("cell"),
-          posexplode(col(emb).cast("array<double>")).as(Seq("d", "v")))
-        .groupBy("cell", "d").agg(round(avg("v"), 6).as("v"))
-        .groupBy("cell")
-        .agg(transform(array_sort(collect_list(struct(col("d"), col("v")))),
-          x => x("v")).as("ce")))
-      Checkpoints.release(cents) // superseded round
-      cents = next
+    try {
+      for (_ <- 0 until iters) {
+        val assigned = assignCells(vecs, id, emb, cents)
+        val next = Checkpoints.mark(vecs.select(col(id), col(emb))
+          .join(assigned, id)
+          .select(col("cell"),
+            posexplode(col(emb).cast("array<double>")).as(Seq("d", "v")))
+          .groupBy("cell", "d").agg(round(avg("v"), 6).as("v"))
+          .groupBy("cell")
+          .agg(transform(array_sort(collect_list(struct(col("d"), col("v")))),
+            x => x("v")).as("ce")))
+        Checkpoints.release(cents) // superseded round
+        cents = next
+      }
+      cents
+    } catch {
+      // a failed Lloyd round must not pin the last centroid checkpoint in a
+      // long-lived session (success hands ownership to the caller)
+      case e: Throwable => Checkpoints.release(cents); throw e
     }
-    cents
   }
 
   /** A materialized IVF index: the corpus written `partitionBy("cell")`
