@@ -126,14 +126,12 @@ object Dedup {
     val stacked = banded.select(col(id),
       posexplode(array((0 until bands).map(b => col(s"band$b")): _*))
         .as(Seq("bi", "k")))
-    // bucket-min via groupBy + equi-join (not a window: a min-over-window
-    // attribute surviving into a later localCheckpoint leaves the LogicalRDD
-    // with constraints on the dead window attribute, which kills Catalyst's
-    // Union constraint rewrite). The groupBy output is one row per bucket —
-    // AQE broadcasts it at small scale; at scale both sides shuffle on the
-    // same (bi, k) key.
-    val mins = stacked.groupBy("bi", "k").agg(min(col(id)).as("a"))
-    stacked.join(mins, Seq("bi", "k"))
+    // bucket-min via an unordered window over (bi, k): ONE shuffle of the
+    // stacked rows (a groupBy + join-back would shuffle them twice); no
+    // per-bucket ordering is required, so there is no sort and no
+    // single-partition risk — partitions are (band, key) buckets
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("bi", "k")
+    stacked.withColumn("a", min(col(id)).over(w))
       .where(col("a") < col(id))
       .select(col("a"), col(id).as("b"))
       .distinct()
