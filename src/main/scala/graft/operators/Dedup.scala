@@ -8,8 +8,12 @@ import org.apache.spark.sql.functions._
   *
   *  - exact: hash-groupBy on content (one shuffle on the content hash);
   *  - MinHash + LSH: shingle -> seeded min-hash signature -> banded bucket
-  *    keys -> candidate pairs via equi-join on (band, key) — never an O(n^2)
-  *    comparison;
+  *    keys -> then EITHER per-bucket star edges ([[lshStarEdges]], linear in
+  *    bucket size — feed these to [[connectedComponents]]) OR candidate
+  *    pairs via equi-join on (band, key) for verified-pair re-ranking
+  *    ([[lshCandidatePairs]]; quadratic in bucket size, so cap template
+  *    mega-buckets with [[lshCandidatePairsCapped]] at corpus scale) —
+  *    never an all-pairs comparison across buckets;
   *  - SimHash: 32-bit sign-aggregated token-hash fingerprint, near-dups =
   *    small Hamming distance;
   *  - n-gram Jaccard: exploded distinct shingles, pairwise overlap by
