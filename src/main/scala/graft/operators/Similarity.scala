@@ -153,6 +153,35 @@ object Similarity {
       .limit(k)
   }
 
+  /** Multi-probe LSH ANN (Lv et al., VLDB'07 shape): probe the query's
+    * bucket plus every bucket within Hamming distance `hamming` of it —
+    * for random-hyperplane codes, the near-miss neighbors concentrate in
+    * single-bit-flip buckets, so probing them buys most of the lost recall
+    * for a (1 + planes choose ≤hamming)-wide bucket filter. Still join-free
+    * and map-only before the top-k: the probe set is a literal `isin` over
+    * the native codegen bucket column, exactly like [[annLsh]]'s single
+    * bucket. Recall measured in BASELINE.md ("ANN recall",
+    * `tools.AnnRecall`). */
+  def annLshMultiProbe(spark: SparkSession, vecs: DataFrame, id: String,
+      emb: String, query: Array[Float], k: Int, planes: Int = 16,
+      hamming: Int = 1): DataFrame = {
+    val dims = query.length
+    val qd = query.map(_.toDouble)
+    val qBucket = lshBucketJvm(qd, planes)
+    def flips(base: Seq[Long], dist: Int): Seq[Long] =
+      if (dist == 0) base
+      else flips(base.flatMap(b => (0 until planes).map(p => b ^ (1L << p))), dist - 1)
+    val probes = (0 to hamming).flatMap(h => flips(Seq(qBucket), h)).distinct
+    vecs
+      .withColumn("bucket", graft.functions.LshBucket
+        .lsh_bucket(col(emb).cast("array<double>"), planes, dims))
+      .where(col("bucket").isin(probes: _*))
+      .select(col(id),
+        round(cosine(col(emb).cast("array<double>"), lit(qd)), 4).as("cos"))
+      .orderBy(col("cos").desc, col(id))
+      .limit(k)
+  }
+
   /** Seeded deterministic centroid init: the `k` lowest-id vectors —
     * reproducible in the oracle (ids are data, not randomness). */
   def seedCentroids(vecs: DataFrame, id: String, emb: String, k: Int): DataFrame =

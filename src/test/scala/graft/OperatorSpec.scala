@@ -138,6 +138,23 @@ class OperatorSpec extends AnyFunSuite {
       s"query's own bucket must contain it first: ${got.mkString(",")}")
   }
 
+  test("multi-probe LSH widens the single-bucket candidate set monotonically") {
+    val vecs = (0 until 40).map { i =>
+      (i.toLong, Array.tabulate(8)(d => math.cos(i * 3 + d).toFloat))
+    }.toDF("vec_id", "embedding")
+    val q = vecs.where($"vec_id" === 5).head().getSeq[Float](1).toArray
+    def ids(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.getLong(0)).toSet
+    val h0 = ids(Similarity.annLshMultiProbe(spark, vecs, "vec_id", "embedding",
+      q, 40, planes = 8, hamming = 0))
+    val h1 = ids(Similarity.annLshMultiProbe(spark, vecs, "vec_id", "embedding",
+      q, 40, planes = 8, hamming = 1))
+    val single = ids(Similarity.annLsh(spark, vecs, "vec_id", "embedding",
+      q, 40, planes = 8))
+    assert(h0 == single, "hamming=0 must equal the single-bucket search")
+    assert(single.subsetOf(h1), "wider probe must contain the narrow results")
+    assert(h1.contains(5L))
+  }
+
   test("native per-row simhash32 equals the grouped shingle formulation") {
     val grouped = Dedup.simHash(Dedup.shingles(docs, "text", "doc_id", 1), "doc_id")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
