@@ -100,6 +100,23 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  /** q57 — the capped verified near-dup pipeline: LSH candidate pairs with
+    * mega-buckets excluded ([[Dedup.lshCandidatePairsCapped]], cap 100 —
+    * the quadratic-clique guard for verified-pair pipelines at corpus
+    * scale), then n-gram Jaccard verification at >= 0.5. The oracle
+    * replays the cap as a per-band HAVING on bucket size — an independent
+    * formulation of the same exclusion — then the same Jaccard. */
+  def dedupCappedVerified(s: SparkSession, d: String): DataFrame = {
+    val banded = Dedup.lshBands(minhashSig(s, d), "doc_id", NumHashes, Bands)
+    val (pairs, _) =
+      Dedup.lshCandidatePairsCapped(banded, "doc_id", Bands, maxBucket = 100)
+    val sh = Dedup.shingles(
+      docs(s, d).where(col("text").isNotNull), "text", "doc_id", 1)
+    Dedup.jaccardPairs(sh, pairs, "doc_id")
+      .where(col("jaccard") >= 0.5)
+      .orderBy("a", "b")
+  }
+
   def dedupEmbedCosine(s: SparkSession, d: String): DataFrame = {
     val v = embs(s, d)
     val pairs = v.select(col("vec_id").as("a"), (col("vec_id") + 1).as("b"))
@@ -264,6 +281,40 @@ object LlmQueries {
          |FROM reach GROUP BY u ORDER BY doc_id""".stripMargin
     },
 
+    "q57_dedup_capped_verified" -> {
+      val ms = (0 until NumHashes).map(i =>
+        s"min(${pHash(i.toString, "shingle")}) AS m$i").mkString(",\n  ")
+      val bandExprs = (0 until Bands).map { b =>
+        val concat = s"m${2 * b}::VARCHAR || '_' || m${2 * b + 1}::VARCHAR"
+        s"${pHash((100 + b).toString, s"($concat)")} AS band$b"
+      }.mkString(",\n  ")
+      val capped = (0 until Bands).map(b =>
+        s"""SELECT x.doc_id AS a, y.doc_id AS b FROM banded x
+           |    JOIN banded y ON x.band$b = y.band$b AND x.doc_id < y.doc_id
+           |    WHERE x.band$b IN (
+           |      SELECT band$b FROM banded GROUP BY band$b HAVING count(*) <= 100)"""
+          .stripMargin).mkString("\n  UNION\n  ")
+      s"""WITH $tokCte,
+         |sig AS (SELECT doc_id, $ms FROM tok GROUP BY doc_id),
+         |banded AS (SELECT doc_id,
+         |  $bandExprs
+         |FROM sig),
+         |pr AS (
+         |  $capped),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+         |inter AS (SELECT pr.a, pr.b, count(*) AS ni
+         |  FROM pr JOIN tok ta ON ta.doc_id = pr.a
+         |    JOIN tok tb ON tb.doc_id = pr.b AND tb.shingle = ta.shingle
+         |  GROUP BY pr.a, pr.b)
+         |SELECT pr.a, pr.b,
+         |  round(coalesce(ni, 0)::DOUBLE / (sa.n + sb.n - coalesce(ni, 0)), 6) AS jaccard
+         |FROM pr JOIN sizes sa ON sa.doc_id = pr.a
+         |  JOIN sizes sb ON sb.doc_id = pr.b
+         |  LEFT JOIN inter ON inter.a = pr.a AND inter.b = pr.b
+         |WHERE round(coalesce(ni, 0)::DOUBLE / (sa.n + sb.n - coalesce(ni, 0)), 6) >= 0.5
+         |ORDER BY pr.a, pr.b""".stripMargin
+    },
+
     "q33_dedup_simhash" -> {
       val sTerms = (0 until 32).map(b =>
         s"sum((((h >> $b) & 1) * 2) - 1) AS s$b").mkString(",\n  ")
@@ -402,6 +453,7 @@ object LlmQueries {
     "q32_dedup_lsh_bands" -> dedupLshBands _,
     "q33_dedup_simhash" -> dedupSimhash _,
     "q54_dedup_components" -> dedupComponents _,
+    "q57_dedup_capped_verified" -> dedupCappedVerified _,
     "q34_dedup_embed_cosine" -> dedupEmbedCosine _,
     "q35_ann_bruteforce" -> annBruteForce _,
     "q36_ann_lsh_buckets" -> annLshBuckets _,
