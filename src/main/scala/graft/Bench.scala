@@ -28,14 +28,24 @@ object Bench {
     // hash-map iteration order moves first-touch costs (codegen, file
     // listing, cache fill) onto a different query each run, making
     // round-over-round per-query deltas unattributable
+    // each invocation builds a fresh frame (fresh checkpoints), and no
+    // query result shares a checkpointed leaf with a session cache (the
+    // IVF/series indexes are parquet-backed), so releasing after the count
+    // is safe — without it a checkpoint-returning query (q54's labels)
+    // pins blocks for the rest of the run, the leak class that regressed
+    // q50-q53 in round 5
+    def runOnce(name: String): Unit = {
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      try df.count() finally engine.Checkpoints.release(df)
+    }
     val names = SparkEntry.queries.keys.toSeq.sorted
     names.foreach { name =>
-      try { SparkEntry.queries(name)(spark, sfDir).count() }
+      try runOnce(name)
       catch { case _: Throwable => () }
     }
     val results = names.map { name =>
       val t0 = System.nanoTime()
-      try { SparkEntry.queries(name)(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try runOnce(name) catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

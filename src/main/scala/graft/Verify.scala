@@ -18,9 +18,15 @@ object Verify {
     spark.sparkContext.setLogLevel("ERROR")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        val df = fn(spark, sfDir)
+        // release any checkpoint the query returned (q54's labels) once
+        // it is on disk — 57 queries in one session must not accumulate
+        // block-manager state (safe: every invocation builds fresh
+        // checkpoints; session caches are parquet-backed, never marked)
+        try df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        finally graft.engine.Checkpoints.release(df)
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }

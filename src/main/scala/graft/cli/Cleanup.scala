@@ -27,7 +27,12 @@ object Cleanup {
     exitDirs.add(path)
     if (hooked.compareAndSet(false, true))
       Runtime.getRuntime.addShutdownHook(new Thread(() =>
-        exitDirs.forEach(p => deleteRecursively(new java.io.File(p)))))
+        // per-dir isolation: one failing delete (permissions, a race with
+        // Spark's own shutdown hooks) must not abort the remaining dirs
+        exitDirs.forEach { p =>
+          try deleteRecursively(new java.io.File(p))
+          catch { case _: Throwable => () }
+        }))
   }
   def main(args: Array[String]): Unit = {
     val dryRun = args.contains("--dry-run")

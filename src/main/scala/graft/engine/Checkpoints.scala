@@ -34,7 +34,15 @@ object Checkpoints {
       df.localCheckpoint(eager = true))
 
   /** Release the block-manager storage behind a frame produced by
-    * [[mark]]. Safe no-op for frames with no checkpointed leaf. */
+    * [[mark]]. Safe no-op for frames with no checkpointed leaf.
+    *
+    * Unpersists EVERY checkpointed leaf in the plan, so the argument must
+    * be a frame whose checkpointed leaves are ALL owned by the caller —
+    * normally a frame returned by [[mark]] (exactly one leaf), or a
+    * derivation whose only marked inputs the caller owns. Passing a frame
+    * derived from a still-shared checkpoint (e.g. a join of an owned and
+    * a session-cached marked frame) would release blocks another owner
+    * still needs — don't. */
   def release(df: DataFrame): Unit =
     df.queryExecution.analyzed.foreach {
       case lr: LogicalRDD => lr.rdd.unpersist(blocking = false)

@@ -216,6 +216,12 @@ object Dedup {
     * 1-row sum for the convergence test; all real work is per-iteration
     * shuffles that scale out. The returned labels stay checkpointed
     * (2 longs/node) — the caller's result, lineage-free of the loop.
+    *
+    * OWNERSHIP: the returned frame pins one n-row checkpoint in the block
+    * manager; the caller must pass it to
+    * [[graft.engine.Checkpoints.release]] after its final evaluation, or
+    * the blocks live for the session (graft's own consumers — Bench,
+    * Verify, LargeDedupBench — all release after materializing).
     */
   def connectedComponents(
       nodes: DataFrame, pairs: DataFrame, id: String,

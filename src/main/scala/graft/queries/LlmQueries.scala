@@ -105,7 +105,17 @@ object LlmQueries {
     * the quadratic-clique guard for verified-pair pipelines at corpus
     * scale), then n-gram Jaccard verification at >= 0.5. The oracle
     * replays the cap as a per-band HAVING on bucket size — an independent
-    * formulation of the same exclusion — then the same Jaccard. */
+    * formulation of the same exclusion — then the same Jaccard.
+    *
+    * The `skipped` frame from [[Dedup.lshCandidatePairsCapped]] is
+    * deliberately discarded HERE (an exception to that operator's
+    * surface-the-exclusions contract): for q57 the cap is part of the
+    * query's spec, not a silent coverage loss — the oracle replays the
+    * identical exclusion, so the verified result is defined as
+    * "pairs from sub-cap buckets". Pipelines that treat the cap as an
+    * approximation (deduplicate-everything jobs) must NOT copy this:
+    * route mega-buckets through [[Dedup.lshStarEdges]] (q54's linear
+    * path) or log them, as the operator's scaladoc prescribes. */
   def dedupCappedVerified(s: SparkSession, d: String): DataFrame = {
     val banded = Dedup.lshBands(minhashSig(s, d), "doc_id", NumHashes, Bands)
     val (pairs, _) =

@@ -31,7 +31,11 @@ object AnnRecall {
     val vecs = spark.read.parquet(s"$d/embeddings.parquet")
       .select(col("vec_id"), col("embedding")).cache()
     val n = vecs.count()
-    val queryIds = (0 until nq).map(i => i.toLong * (n / nq))
+    // step >= 1 or all ids collapse to 0 when nq > n; distinct because a
+    // small n still folds ids together — recall is then reported over
+    // queries.size, not the requested nq
+    val step = math.max(1L, n / nq)
+    val queryIds = (0 until nq).map(i => i.toLong * step).filter(_ < n).distinct
     val queries = vecs.where(col("vec_id").isin(queryIds: _*))
       .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
 

@@ -347,6 +347,21 @@ class OperatorSpec extends AnyFunSuite {
     assert(sc.getPersistentRDDs.size == before)
   }
 
+  test("Checkpoints.release reaches checkpoints through derived frames") {
+    // the Bench/Verify contract: releasing a query RESULT (projection/sort
+    // over a checkpoint-returning operator, e.g. q54's labels.orderBy)
+    // frees the underlying blocks — release walks the analyzed plan, not
+    // just a bare mark()ed frame
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.size
+    val ck = graft.engine.Checkpoints.mark(spark.range(50).toDF("x"))
+    val derived = ck.where(col("x") > 5).select((col("x") * 2).as("y"))
+      .orderBy("y")
+    assert(derived.count() == 44)
+    graft.engine.Checkpoints.release(derived)
+    assert(sc.getPersistentRDDs.size == before)
+  }
+
   test("kmeansCentroids at iters=6 runs in bounded time (no lineage blowup)") {
     val sc = spark.sparkContext
     val vecs = (0L until 40L)
