@@ -112,6 +112,46 @@ object TextOps {
         size(toks).cast("double"), 6).as("stop_ratio"))
   }
 
+  /** Deterministic train/val/test assignment by portable id hash — the
+    * reproducible split a training pipeline needs: content-stable (the
+    * same doc lands in the same split on every run, every cluster, any
+    * partitioning), no RNG, no state. Map-only column arithmetic, so at
+    * 100 TB it is a free column on the scan. `bucket` is the 0..99
+    * percentile bucket; boundaries at `trainPct` / `trainPct + valPct`. */
+  def hashSplit(df: DataFrame, id: String,
+      trainPct: Int = 80, valPct: Int = 10, seed: Int = 42): DataFrame = {
+    val bucket = pmod(portableHash(col(id).cast("string"), seed), lit(100L))
+    df.select(col(id), bucket.as("bucket"),
+      when(bucket < trainPct, "train")
+        .when(bucket < trainPct + valPct, "val")
+        .otherwise("test").as("split"))
+  }
+
+  /** Deterministic per-stratum sampling flag — the corpus-mixing primitive:
+    * keep a per-stratum fraction of documents (e.g. downsample the dominant
+    * language), decided by a portable id hash against a per-stratum
+    * threshold, NOT by `df.sample` (whose per-partition RNG changes with
+    * partitioning and reruns). Adds `__kept` (1/0) as map-only arithmetic;
+    * [[stratifiedSample]] filters to the kept rows. Fractions are rounded
+    * to 1/1000 granularity. */
+  def sampleFlag(df: DataFrame, id: String, strata: String,
+      fractions: Map[String, Double], default: Double = 1.0,
+      seed: Int = 77): DataFrame = {
+    val bucket = pmod(portableHash(col(id).cast("string"), seed), lit(1000L))
+    val thresh = fractions.toSeq.sortBy(_._1).foldLeft(
+      lit(math.round(default * 1000)): Column) { case (acc, (k, f)) =>
+        when(col(strata) === k, lit(math.round(f * 1000))).otherwise(acc)
+    }
+    df.withColumn("__kept", (bucket < thresh).cast("int"))
+  }
+
+  /** Deterministic stratified sample: the rows [[sampleFlag]] keeps. */
+  def stratifiedSample(df: DataFrame, id: String, strata: String,
+      fractions: Map[String, Double], default: Double = 1.0,
+      seed: Int = 77): DataFrame =
+    sampleFlag(df, id, strata, fractions, default, seed)
+      .where(col("__kept") === 1).drop("__kept")
+
   /** Per-document top term by TF-IDF over the corpus: tf = in-doc term
     * count, idf = ln(N / df) with df = number of documents containing the
     * term. `dfreq` is written as a re-aggregation of `tf`; Catalyst prunes

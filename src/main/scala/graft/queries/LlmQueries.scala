@@ -164,6 +164,36 @@ object LlmQueries {
   def textTfidf(s: SparkSession, d: String): DataFrame =
     TextOps.tfidfTopTerm(docs(s, d), "text", "doc_id").orderBy("doc_id")
 
+  /** q58 — deterministic train/val/test assignment
+    * ([[TextOps.hashSplit]]): content-stable portable-hash buckets, so the
+    * split is reproducible across runs, clusters, and partitionings — the
+    * property `df.sample`/`randomSplit` (per-partition RNG) cannot give.
+    * 80/10/10 at 1% granularity. */
+  def corpusHashSplit(s: SparkSession, d: String): DataFrame =
+    TextOps.hashSplit(docs(s, d), "doc_id").orderBy("doc_id")
+
+  /** q59 — corpus mixing: downsample the dominant language to 50% via the
+    * deterministic per-stratum sampler ([[TextOps.sampleFlag]]) and report
+    * per-language total vs kept counts — the audit a mixing job emits.
+    * One scan, map-side-combinable aggregate. */
+  def corpusMix(s: SparkSession, d: String): DataFrame =
+    TextOps.sampleFlag(docs(s, d), "doc_id", "lang", Map("en" -> 0.5))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("__kept").as("n_kept"))
+      .orderBy("lang")
+
+  /** q60 — corpus-level vocabulary: top-20 terms by occurrence count with
+    * document frequency. Explode -> two-phase aggregate (partial map-side
+    * combine; the distinct doc count is Spark's standard two-shuffle
+    * expansion) -> TakeOrderedAndProject: no skew window, no driver loop. */
+  def vocabTopK(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
+      .groupBy("term")
+      .agg(count(lit(1)).as("n_occ"), countDistinct("doc_id").as("n_docs"))
+      .orderBy(col("n_occ").desc, col("term"))
+      .limit(20)
+
   def multimodalMeta(s: SparkSession, d: String): DataFrame =
     Multimodal.stubMetaColumns(
       Multimodal.withBinaryPayload(docs(s, d), "text"), "doc_id", "payload")
@@ -440,6 +470,29 @@ object LlmQueries {
         |    ORDER BY score DESC, w) AS rn FROM scored)
         |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
 
+    "q58_hash_split" ->
+      s"""SELECT doc_id, bucket,
+         |  CASE WHEN bucket < 80 THEN 'train'
+         |       WHEN bucket < 90 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM (SELECT doc_id, ${pHash("42", "doc_id::VARCHAR")} % 100 AS bucket
+         |      FROM documents)
+         |ORDER BY doc_id""".stripMargin,
+
+    "q59_corpus_mix" ->
+      s"""SELECT lang, count(*) AS n_docs,
+         |  sum(CASE WHEN ${pHash("77", "doc_id::VARCHAR")} % 1000 <
+         |        (CASE WHEN lang = 'en' THEN 500 ELSE 1000 END)
+         |      THEN 1 ELSE 0 END)::BIGINT AS n_kept
+         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q60_vocab_topk" ->
+      """SELECT term, count(*) AS n_occ, count(DISTINCT doc_id) AS n_docs
+        |FROM (SELECT doc_id,
+        |        unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+        |      FROM documents)
+        |GROUP BY term ORDER BY n_occ DESC, term LIMIT 20""".stripMargin,
+
     "q38_part_agg" ->
       """SELECT p_brand, count(*) AS n, round(avg(p_retailprice), 4) AS avg_price,
         |  sum(p_size)::BIGINT AS sum_size
@@ -472,6 +525,9 @@ object LlmQueries {
     "q53_multimodal_frames" -> multimodalFrames _,
     "q50_text_stopwords" -> textStopwords _,
     "q51_text_tfidf" -> textTfidf _,
+    "q58_hash_split" -> corpusHashSplit _,
+    "q59_corpus_mix" -> corpusMix _,
+    "q60_vocab_topk" -> vocabTopK _,
     "q38_part_agg" -> ((s, d) =>
       s.read.parquet(s"$d/part.parquet")
         .groupBy("p_brand")

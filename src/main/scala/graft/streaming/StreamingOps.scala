@@ -55,6 +55,25 @@ object StreamingOps {
         col("session_window.end").as("sess_end"),
         col("user_id"), col("n"), col("sum_value"))
 
+  /** Streaming exact dedup — the incremental form of the batch hash-dedup
+    * ([[graft.operators.Dedup.exact]], SparkEntry q29): drop rows whose
+    * key (e.g. a content fingerprint) was already seen, holding per-key
+    * state only within the event-time watermark so state is bounded at
+    * any scale — the guarantee an unbounded `dropDuplicates` on a stream
+    * cannot give. A duplicate arriving after its key's watermark window
+    * expired is re-emitted; for corpus curation that is the correct
+    * trade (state stays O(keys-per-window), and a later batch compaction
+    * catches stragglers).
+    */
+  def dedupStream(
+      events: DataFrame,
+      keys: Seq[String],
+      eventTime: String = "ts",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark(eventTime, watermark)
+      .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+
   /** Custom keyed state via mapGroupsWithState: per-user running
     * count/sum/max — state the built-in aggregations would re-shuffle for,
     * kept incrementally per key. State size is O(keys), partitioned by key

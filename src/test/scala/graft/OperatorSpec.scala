@@ -347,6 +347,44 @@ class OperatorSpec extends AnyFunSuite {
     assert(sc.getPersistentRDDs.size == before)
   }
 
+  test("hashSplit is deterministic, partition-invariant, and boundary-exact") {
+    val ids = (0L until 200L).map(i => (i, s"t$i")).toDF("doc_id", "text")
+    val a = TextOps.hashSplit(ids, "doc_id").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    // same assignment regardless of physical layout (the randomSplit trap)
+    val b = TextOps.hashSplit(ids.repartition(13), "doc_id").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(a == b)
+    a.values.foreach { case (bucket, split) =>
+      assert(bucket >= 0 && bucket < 100)
+      val want = if (bucket < 80) "train" else if (bucket < 90) "val" else "test"
+      assert(split == want)
+    }
+    // all three splits are populated and roughly proportioned at n=200
+    val sizes = a.values.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(sizes.keySet == Set("train", "val", "test"))
+    assert(sizes("train") > sizes("val") && sizes("train") > sizes("test"))
+  }
+
+  test("stratifiedSample keeps per-stratum hash fractions, no RNG") {
+    val rows = (0L until 400L).map(i =>
+      (i, if (i % 2 == 0) "en" else "de")).toDF("doc_id", "lang")
+    val kept = TextOps.stratifiedSample(rows, "doc_id", "lang",
+      Map("en" -> 0.5), default = 1.0)
+    val byLang = kept.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLang("de") == 200L) // default 1.0: stratum kept whole
+    assert(byLang("en") > 60L && byLang("en") < 140L) // ~0.5 of 200, hash-variance bound
+    // the flag form marks exactly the sampled rows (q59's single-scan path)
+    val flagged = TextOps.sampleFlag(rows, "doc_id", "lang", Map("en" -> 0.5))
+    assert(flagged.where(col("__kept") === 1).count() == kept.count())
+    // determinism: a rerun keeps the identical id set
+    val ids1 = kept.select("doc_id").collect().map(_.getLong(0)).toSet
+    val ids2 = TextOps.stratifiedSample(rows.repartition(7), "doc_id", "lang",
+      Map("en" -> 0.5)).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids1 == ids2)
+  }
+
   test("Checkpoints.release reaches checkpoints through derived frames") {
     // the Bench/Verify contract: releasing a query RESULT (projection/sort
     // over a checkpoint-returning operator, e.g. q54's labels.orderBy)

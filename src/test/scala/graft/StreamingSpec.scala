@@ -68,6 +68,32 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup drops duplicate keys within the watermark") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Evt]
+    val dd = StreamingOps.dedupStream(mem.toDF(), Seq("user_id", "event_type"))
+    val q = dd.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("dedup_out").start()
+    try {
+      mem.addData(
+        Evt(ts(0, 1), 1, "click", 1.0),
+        Evt(ts(0, 2), 1, "click", 2.0), // dup key in the same batch
+        Evt(ts(0, 3), 2, "view", 3.0))
+      q.processAllAvailable()
+      mem.addData(
+        Evt(ts(0, 10), 1, "click", 4.0), // dup key across batches
+        Evt(ts(0, 11), 1, "view", 5.0))  // new key
+      q.processAllAvailable()
+      val rows = spark.table("dedup_out")
+        .orderBy("user_id", "event_type").collect()
+      assert(rows.length == 3)
+      // the FIRST occurrence of each key is the one kept
+      assert(rows.map(r => (r.getLong(1), r.getString(2), r.getDouble(3))).toSeq
+        == Seq((1L, "click", 1.0), (1L, "view", 5.0), (2L, "view", 3.0)))
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState keeps per-key running stats across batches") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
