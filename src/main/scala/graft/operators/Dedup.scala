@@ -300,7 +300,12 @@ object Dedup {
   /** Jaccard over consecutive-id pairs — the deterministic demo/benchmark
     * shape: pair (id, id+1), similarity on distinct token sets. */
   def jaccardAdjacent(df: DataFrame, text: String, id: String): DataFrame = {
-    val sh = shingles(df, text, id, 1)
+    // the shingle set feeds four plan branches (two size lookups, two
+    // intersection sides); materialized once so the tokenize isn't
+    // re-derived per branch (was 6 corpus scans in one plan). OWNERSHIP:
+    // the checkpoint stays a leaf of the returned frame — consumers
+    // release the result after the final evaluation (Bench/Verify do).
+    val sh = graft.engine.Checkpoints.mark(shingles(df, text, id, 1))
     val sizes = sh.groupBy(col(id)).agg(count(lit(1)).as("n"))
     val a = sh.select(col(id).as("a"), col("shingle"))
     val b = sh.select((col(id) - 1).as("a"), col("shingle"))

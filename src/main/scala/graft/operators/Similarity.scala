@@ -362,7 +362,16 @@ object Similarity {
     * is bounded by bucket occupancy, not corpus size squared. */
   def embedNearDupPairs(vecs: DataFrame, id: String, emb: String,
       planes: Int, dims: Int, minCos: Double): DataFrame = {
-    val b = lshBuckets(vecs, id, emb, planes, dims)
+    // the (id, bucket) table is compact (2 longs/row) and self-joined, so
+    // materialize it once instead of recomputing the bucket projection on
+    // both join sides (each re-scanning the corpus). The raw `vecs` refs
+    // in cosinePairs stay lazy on purpose: re-scanning a column-pruned
+    // parquet corpus is the scale-correct choice, re-running derived work
+    // is not. OWNERSHIP: the returned frame keeps the bucket checkpoint as
+    // a leaf — release the result after its final evaluation
+    // ([[graft.engine.Checkpoints.release]] reaches it; Bench/Verify do).
+    val b = graft.engine.Checkpoints.mark(
+      lshBuckets(vecs, id, emb, planes, dims))
     val pairs = b.select(col(id).as("a"), col("bucket"))
       .join(b.select(col(id).as("b"), col("bucket")), "bucket")
       .where(col("a") < col("b"))

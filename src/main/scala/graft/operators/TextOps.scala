@@ -169,7 +169,13 @@ object TextOps {
     // the plan stays fully lazy and N is computed inside the same job
     val nDf = df.agg(count(lit(1)).cast("double").as("__n"))
     val tok = df.select(col(id), explode(tokens(col(text))).as("w"))
-    val tf = tok.groupBy(col(id), col("w")).agg(count(lit(1)).as("tf"))
+    // tf feeds both the dfreq re-aggregation and the scored join;
+    // materialized once so the corpus isn't re-tokenized per branch (was 6
+    // scans in one plan). OWNERSHIP: the checkpoint stays a leaf of the
+    // returned frame — consumers release the result after the final
+    // evaluation (Bench/Verify do).
+    val tf = graft.engine.Checkpoints.mark(
+      tok.groupBy(col(id), col("w")).agg(count(lit(1)).as("tf")))
     val dfreq = tf.groupBy("w").agg(count(lit(1)).as("dfreq"))
     val scored = tf.join(dfreq, "w")
       .crossJoin(broadcast(nDf))

@@ -117,11 +117,25 @@ object LlmQueries {
     * route mega-buckets through [[Dedup.lshStarEdges]] (q54's linear
     * path) or log them, as the operator's scaladoc prescribes. */
   def dedupCappedVerified(s: SparkSession, d: String): DataFrame = {
-    val banded = Dedup.lshBands(minhashSig(s, d), "doc_id", NumHashes, Bands)
-    val (pairs, _) =
-      Dedup.lshCandidatePairsCapped(banded, "doc_id", Bands, maxBucket = 100)
-    val sh = Dedup.shingles(
-      docs(s, d).where(col("text").isNotNull), "text", "doc_id", 1)
+    import graft.engine.Checkpoints
+    // Materialize the three shared intermediates ONCE. The capped self-join
+    // references the banded signature table four times and jaccardPairs
+    // references the pair list three times and the shingle set four times;
+    // left lazy, ONE q57 plan re-derived the corpus scan 16 times (only 5
+    // exchanges reused) — at corpus scale that is 16 scans for one query.
+    // `banded` is transient (pairs' checkpoint truncates it out of the
+    // result plan, so it must be released here); `pairs`/`sh` stay leaves
+    // of the returned frame, owned by it, and freed when the consumer
+    // releases the result (Bench/Verify do, after materializing).
+    val banded = Checkpoints.mark(
+      Dedup.lshBands(minhashSig(s, d), "doc_id", NumHashes, Bands))
+    val pairs =
+      try Checkpoints.mark(
+        Dedup.lshCandidatePairsCapped(banded, "doc_id", Bands,
+          maxBucket = 100)._1)
+      finally Checkpoints.release(banded)
+    val sh = Checkpoints.mark(Dedup.shingles(
+      docs(s, d).where(col("text").isNotNull), "text", "doc_id", 1))
     Dedup.jaccardPairs(sh, pairs, "doc_id")
       .where(col("jaccard") >= 0.5)
       .orderBy("a", "b")

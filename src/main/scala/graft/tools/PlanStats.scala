@@ -1,0 +1,37 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Subtree-reuse accounting for any registered query's executed plan:
+  * how many times the final physical plan re-derives a parquet scan vs
+  * reusing an exchange — the "would this re-scan the corpus at 100 TB"
+  * check ([[graft.queries.LlmQueries.dedupCappedVerified]]'s 16-scan bug
+  * was found this way).
+  *
+  * Usage: `sbt "runMain graft.tools.PlanStats q57_dedup_capped_verified
+  * [sfDir]"`
+  */
+object PlanStats {
+  def main(args: Array[String]): Unit = {
+    val name = args.headOption.getOrElse("q57_dedup_capped_verified")
+    val d = args.lift(1).getOrElse("/root/testdata/sf0.01")
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val df = graft.SparkEntry.queries(name)(spark, d)
+    df.collect()
+    val s = df.queryExecution.executedPlan.toString
+    def n(re: String): Int = re.r.findAllIn(s).size
+    println(s"query:           $name")
+    println(s"FileScan:        ${n("FileScan parquet")}")
+    println(s"LogicalRDD scan: ${n("Scan ExistingRDD")}")
+    println(s"Exchange:        ${n("Exchange (hash|range|Single)")}")
+    println(s"ReusedExchange:  ${n("ReusedExchange")}")
+    println(s"BroadcastHashJoin: ${n("BroadcastHashJoin")}")
+    println(s"SortMergeJoin:   ${n("SortMergeJoin")}")
+    graft.engine.Checkpoints.release(df)
+    spark.stop()
+  }
+}

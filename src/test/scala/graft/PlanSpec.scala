@@ -129,4 +129,29 @@ class PlanSpec extends AnyFunSuite {
     assert(plan("q13_semi_join").contains("LeftSemi"))
     assert(plan("q14_anti_join").contains("LeftAnti"))
   }
+
+  test("composed pipelines stay inside their corpus-scan budget") {
+    // multi-branch pipelines materialize shared intermediates once; left
+    // lazy, every branch re-derives its input back to the parquet scan
+    // (q57 was 16 corpus scans in ONE plan before the checkpoint fix).
+    // Budget = raw-corpus references that are CHEAPER as re-scans of
+    // column-pruned parquet than as materializations (cosinePairs' two
+    // vector lookups, TF-IDF's 1-row corpus count).
+    val budget = Seq(
+      "q57_dedup_capped_verified" -> 0,
+      "q56_dedup_embed_pipeline" -> 3,
+      "q51_text_tfidf" -> 2,
+      "q30_dedup_jaccard" -> 0)
+    budget.foreach { case (name, maxScans) =>
+      val df = SparkEntry.queries(name)(spark, sf)
+      try {
+        df.collect() // finalize AQE
+        val p = df.queryExecution.executedPlan.toString
+          .split("== Initial Plan ==").head
+        val scans = "FileScan parquet".r.findAllIn(p).size
+        assert(scans <= maxScans,
+          s"$name: $scans parquet scans (budget $maxScans)")
+      } finally graft.engine.Checkpoints.release(df)
+    }
+  }
 }
