@@ -74,10 +74,16 @@ object Dedup {
     * that pair replaces per-band joins — the signature pipeline upstream is
     * referenced twice total (the two join sides) instead of twice per band,
     * and all bands share a single shuffle on the composite key. */
-  def lshCandidatePairs(banded: DataFrame, id: String, bands: Int): DataFrame = {
-    val stacked = banded.select(col(id),
+  /** The band columns stacked to `(id, bi, k)` rows — the join-ready form
+    * every LSH pair/edge generator shares, and the schema of the persisted
+    * band index ([[bandIndexWrite]]). */
+  def stackBands(banded: DataFrame, id: String, bands: Int): DataFrame =
+    banded.select(col(id),
       posexplode(array((0 until bands).map(b => col(s"band$b")): _*))
         .as(Seq("bi", "k")))
+
+  def lshCandidatePairs(banded: DataFrame, id: String, bands: Int): DataFrame = {
+    val stacked = stackBands(banded, id, bands)
     stacked.select(col(id).as("a"), col("bi"), col("k"))
       .join(stacked.select(col(id).as("b"), col("bi"), col("k")), Seq("bi", "k"))
       .where(col("a") < col("b"))
@@ -98,9 +104,7 @@ object Dedup {
     * cap would read as full coverage when it is not). */
   def lshCandidatePairsCapped(banded: DataFrame, id: String, bands: Int,
       maxBucket: Int): (DataFrame, DataFrame) = {
-    val stacked = banded.select(col(id),
-      posexplode(array((0 until bands).map(b => col(s"band$b")): _*))
-        .as(Seq("bi", "k")))
+    val stacked = stackBands(banded, id, bands)
     val sizes = stacked.groupBy("bi", "k").agg(count(lit(1)).as("size"))
     val kept = stacked.join(
       sizes.where(col("size") <= maxBucket).select("bi", "k"), Seq("bi", "k"))
@@ -127,9 +131,7 @@ object Dedup {
     * [[lshCandidatePairs]] only when each pair is individually verified
     * (Jaccard / cosine re-rank), where the pair list itself is the output. */
   def lshStarEdges(banded: DataFrame, id: String, bands: Int): DataFrame = {
-    val stacked = banded.select(col(id),
-      posexplode(array((0 until bands).map(b => col(s"band$b")): _*))
-        .as(Seq("bi", "k")))
+    val stacked = stackBands(banded, id, bands)
     // bucket-min via an unordered window over (bi, k): ONE shuffle of the
     // stacked rows (a groupBy + join-back would shuffle them twice); no
     // per-bucket ordering is required, so there is no sort and no
@@ -140,6 +142,75 @@ object Dedup {
       .select(col("a"), col(id).as("b"))
       .distinct()
   }
+
+  /** Persist the stacked LSH band rows of a signed corpus as a parquet
+    * band index — the sign-once/query-per-batch shape continuous ingestion
+    * needs at corpus scale: the 100 TB corpus is MinHash-signed exactly
+    * once; every incoming batch signs only its own rows (map-only) and
+    * equi-joins the index ([[incrementalPairs]]). Appending the batch's
+    * own band rows afterwards keeps the index current (parquet append —
+    * no rewrite).
+    *
+    * `maxBucket` applies the quadratic-blowup guard AT INDEX TIME: band
+    * rows of over-cap buckets are excluded from `<path>/bands` and
+    * recorded in `<path>/skipped` (`band_idx, key, size`) — so EVERY
+    * future batch query is bounded by construction instead of each
+    * caller re-deriving bucket sizes. A mega-bucket (template boilerplate
+    * bucketing most of a corpus) pairs every batch doc with everything in
+    * it; those docs belong on the connected-components path
+    * ([[lshStarEdges]]), not in a verified-pair join. Read the index back
+    * with [[bandIndexRead]]; surface `<path>/skipped` (it is the record
+    * that coverage was bounded). */
+  def bandIndexWrite(banded: DataFrame, id: String, bands: Int,
+      path: String, maxBucket: Int = Int.MaxValue,
+      append: Boolean = false): Unit = {
+    val stacked = stackBands(banded, id, bands)
+    val mode = if (append) "append" else "overwrite"
+    if (maxBucket == Int.MaxValue) {
+      stacked.write.mode(mode).parquet(s"$path/bands")
+    } else {
+      // one pass over the (compact) stacked rows to size buckets; at
+      // append time the cap is re-evaluated only over the appended rows —
+      // rebuild periodically if buckets straddle appends
+      val sizes = stacked.groupBy("bi", "k").agg(count(lit(1)).as("size"))
+      stacked.join(sizes.where(col("size") <= maxBucket).select("bi", "k"),
+          Seq("bi", "k"))
+        .write.mode(mode).parquet(s"$path/bands")
+      sizes.where(col("size") > maxBucket)
+        .select(col("bi").as("band_idx"), col("k").as("key"), col("size"))
+        .write.mode(mode).parquet(s"$path/skipped")
+    }
+  }
+
+  /** The queryable band rows of a persisted index ([[bandIndexWrite]]). */
+  def bandIndexRead(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    spark.read.parquet(s"$path/bands")
+
+  /** The `(band_idx, key, size)` buckets a capped [[bandIndexWrite]]
+    * excluded; empty for an uncapped index. */
+  def bandIndexSkipped(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    try spark.read.parquet(s"$path/skipped")
+    catch { case _: org.apache.spark.sql.AnalysisException =>
+      spark.emptyDataFrame
+        .withColumn("band_idx", lit(0))
+        .withColumn("key", lit(0L))
+        .withColumn("size", lit(0L))
+        .limit(0)
+    }
+
+  /** Candidate near-dup pairs between a NEW batch and the persisted band
+    * index: `(a = indexed id, b = batch id)`, distinct. The only non-map
+    * stage is the `(bi, k)` equi-join, whose left side is the index SCAN —
+    * no corpus re-signing, no self-join. Batch ids present in the index
+    * (a re-ingested doc) pair with themselves and are filtered out. */
+  def incrementalPairs(index: DataFrame, newBanded: DataFrame, id: String,
+      bands: Int): DataFrame =
+    index.select(col(id).as("a"), col("bi"), col("k"))
+      .join(stackBands(newBanded, id, bands).select(col(id).as("b"), col("bi"), col("k")),
+        Seq("bi", "k"))
+      .where(col("a") =!= col("b"))
+      .select("a", "b")
+      .distinct()
 
   /** 32-bit SimHash from token hashes: bit b of the fingerprint is the sign
     * of the sum over tokens of (2*bit_b(hash) - 1). Near-dups differ in few

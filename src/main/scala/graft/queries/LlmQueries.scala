@@ -58,13 +58,18 @@ object LlmQueries {
 
   /** Per-row native MinHash signature ([[graft.functions.MinHashSig]]) —
     * no explode, no shuffle; signatures identical to the grouped
-    * formulation (OperatorSpec asserts the equality). */
-  private def minhashSig(s: SparkSession, d: String): DataFrame = {
-    val sig = docs(s, d).where(col("text").isNotNull).select(col("doc_id"),
+    * formulation (OperatorSpec asserts the equality). Per-row computation
+    * means a signature is the same whether signed alone or with the whole
+    * corpus — the property the incremental path (q61) relies on. */
+  private[queries] def minhashSigOf(dd: DataFrame): DataFrame = {
+    val sig = dd.where(col("text").isNotNull).select(col("doc_id"),
       graft.functions.MinHashSig.minhash_sig(col("text"), NumHashes).as("__sig"))
     sig.select(col("doc_id") +:
       (0 until NumHashes).map(i => element_at(col("__sig"), i + 1).as(s"m$i")): _*)
   }
+
+  private def minhashSig(s: SparkSession, d: String): DataFrame =
+    minhashSigOf(docs(s, d))
 
   def dedupMinhash(s: SparkSession, d: String): DataFrame =
     minhashSig(s, d).orderBy("doc_id")
@@ -138,6 +143,64 @@ object LlmQueries {
       docs(s, d).where(col("text").isNotNull), "text", "doc_id", 1))
     Dedup.jaccardPairs(sh, pairs, "doc_id")
       .where(col("jaccard") >= 0.5)
+      .orderBy("a", "b")
+  }
+
+  /** Every 5th doc plays the "incoming batch"; the rest are the already-
+    * ingested corpus the band index covers. Modulo (not a threshold) so
+    * both sides are non-empty at every scale factor. */
+  val NewBatchMod = 5
+
+  /** The per-bucket size cap baked into the q61 band index at build time
+    * — the same quadratic-blowup guard as q57's, but enforced ONCE in the
+    * index instead of per query (a mega-bucket pairs every future batch
+    * doc with most of the corpus; observed uncapped at sf0.1: 4.4 s and
+    * millions of pairs from one template bucket). */
+  val IncrementalCap = 100
+
+  /** Per-directory memo of the persisted LSH band index over the
+    * already-ingested corpus ([[Dedup.bandIndexWrite]], capped at
+    * [[IncrementalCap]]): signed ONCE per session, queried per batch —
+    * the sign-once shape that makes incremental dedup viable at corpus
+    * scale. Session scratch, removed at JVM exit like the IVF dirs. */
+  private val bandIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (SparkSession, String)]()
+
+  private def bandIndex(s: SparkSession, d: String): DataFrame = {
+    val path = bandIndexCache.compute(d, (_, cur) => {
+      if (cur != null && (cur._1 eq s)) cur
+      else {
+        val h = graft.engine.IndexCache.md5Key(d, 8)
+        val p = s"${sys.props("java.io.tmpdir")}/graft_bandidx_$h"
+        graft.cli.Cleanup.deleteOnExit(p)
+        val old = docs(s, d)
+          .where(pmod(col("doc_id"), lit(NewBatchMod)) =!= 0)
+        Dedup.bandIndexWrite(
+          Dedup.lshBands(minhashSigOf(old), "doc_id", NumHashes, Bands),
+          "doc_id", Bands, p, maxBucket = IncrementalCap)
+        (s, p)
+      }
+    })._2
+    Dedup.bandIndexRead(s, path)
+  }
+
+  /** q61 — incremental dedup of an incoming batch against the persisted
+    * band index: the batch signs only its own rows (map-only) and
+    * equi-joins the index scan — the corpus is never re-signed and there
+    * is no self-join. The index is capped at [[IncrementalCap]] at BUILD
+    * time (over-cap buckets live in the index's `skipped` sidecar —
+    * [[Dedup.bandIndexSkipped]] — and their members belong on the q54
+    * component path). The oracle replays BOTH sides' signatures from
+    * scratch, re-derives the index-side cap as a HAVING on old-side
+    * bucket size, and joins the stacked bands — an independent
+    * formulation whose match also evidences the sign-alone ==
+    * sign-with-corpus property the incremental path relies on. */
+  def dedupIncremental(s: SparkSession, d: String): DataFrame = {
+    val batch = docs(s, d)
+      .where(pmod(col("doc_id"), lit(NewBatchMod)) === 0)
+    Dedup.incrementalPairs(bandIndex(s, d),
+        Dedup.lshBands(minhashSigOf(batch), "doc_id", NumHashes, Bands),
+        "doc_id", Bands)
       .orderBy("a", "b")
   }
 
@@ -484,6 +547,30 @@ object LlmQueries {
         |    ORDER BY score DESC, w) AS rn FROM scored)
         |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
 
+    "q61_dedup_incremental" -> {
+      val ms = (0 until NumHashes).map(i =>
+        s"min(${pHash(i.toString, "shingle")}) AS m$i").mkString(",\n  ")
+      val bandExprs = (0 until Bands).map { b =>
+        val concat = s"m${2 * b}::VARCHAR || '_' || m${2 * b + 1}::VARCHAR"
+        s"${pHash((100 + b).toString, s"($concat)")} AS band$b"
+      }.mkString(",\n  ")
+      val stack = (0 until Bands).map(b =>
+        s"SELECT doc_id, $b AS bi, band$b AS k FROM bands")
+        .mkString("\nUNION ALL ")
+      s"""WITH $tokCte,
+         |sig AS (SELECT doc_id, $ms FROM tok GROUP BY doc_id),
+         |bands AS (SELECT doc_id, $bandExprs FROM sig),
+         |stacked AS ($stack),
+         |old AS (SELECT * FROM stacked WHERE doc_id % $NewBatchMod <> 0),
+         |kept AS (SELECT bi, k FROM old GROUP BY bi, k
+         |  HAVING count(*) <= $IncrementalCap)
+         |SELECT DISTINCT o.doc_id AS a, n.doc_id AS b
+         |FROM old o JOIN kept USING (bi, k)
+         |JOIN stacked n ON o.bi = n.bi AND o.k = n.k
+         |WHERE n.doc_id % $NewBatchMod = 0 AND o.doc_id <> n.doc_id
+         |ORDER BY a, b""".stripMargin
+    },
+
     "q58_hash_split" ->
       s"""SELECT doc_id, bucket,
          |  CASE WHEN bucket < 80 THEN 'train'
@@ -540,6 +627,7 @@ object LlmQueries {
     "q50_text_stopwords" -> textStopwords _,
     "q51_text_tfidf" -> textTfidf _,
     "q58_hash_split" -> corpusHashSplit _,
+    "q61_dedup_incremental" -> dedupIncremental _,
     "q59_corpus_mix" -> corpusMix _,
     "q60_vocab_topk" -> vocabTopK _,
     "q38_part_agg" -> ((s, d) =>

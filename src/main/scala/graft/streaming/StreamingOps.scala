@@ -74,6 +74,36 @@ object StreamingOps {
       .withWatermark(eventTime, watermark)
       .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
 
+  /** Streaming near-dup detection against a persisted LSH band index
+    * ([[graft.operators.Dedup.bandIndexWrite]]) — the stream-static form
+    * of the incremental batch dedup (SparkEntry q61): each arriving
+    * document is MinHash-signed per-row (map-only native expression,
+    * works unchanged under streaming), its band keys are stacked, and a
+    * stream-static equi-join against the index scan yields
+    * `(a = indexed id, b = streamed id)` candidate pairs. The corpus is
+    * never re-signed; per-micro-batch work is O(batch + matched buckets).
+    *
+    * The distinct is a stateful streaming dedup on the pair key; without
+    * an upstream watermark its state grows with distinct pairs — bound it
+    * in production by watermarking the stream before this operator (the
+    * state then expires like [[dedupStream]]'s).
+    */
+  def nearDupCandidates(
+      docsStream: DataFrame,
+      bandIndex: DataFrame,
+      text: String,
+      id: String,
+      numHashes: Int = 8,
+      bands: Int = 4): DataFrame = {
+    import graft.operators.Dedup
+    val sig = docsStream.where(col(text).isNotNull).select(col(id),
+      graft.functions.MinHashSig.minhash_sig(col(text), numHashes).as("__sig"))
+      .select(col(id) +: (0 until numHashes).map(i =>
+        element_at(col("__sig"), i + 1).as(s"m$i")): _*)
+    Dedup.incrementalPairs(bandIndex,
+      Dedup.lshBands(sig, id, numHashes, bands), id, bands)
+  }
+
   /** Custom keyed state via mapGroupsWithState: per-user running
     * count/sum/max — state the built-in aggregations would re-shuffle for,
     * kept incrementally per key. State size is O(keys), partitioned by key

@@ -347,6 +347,42 @@ class OperatorSpec extends AnyFunSuite {
     assert(sc.getPersistentRDDs.size == before)
   }
 
+  test("incrementalPairs: batch vs persisted index, self-pairs excluded") {
+    val idxPath = s"${sys.props("java.io.tmpdir")}/graft_test_incr_idx"
+    graft.cli.Cleanup.deleteOnExit(idxPath)
+    // index = docs 1,2 (near-dups) and 4 (unrelated)
+    val corpus = docs.where(col("doc_id").isin(1L, 2L, 4L))
+    val sigC = Dedup.minHash(Dedup.shingles(corpus, "text", "doc_id", 1), "doc_id", 8)
+    Dedup.bandIndexWrite(Dedup.lshBands(sigC, "doc_id", 8, 4), "doc_id", 4, idxPath)
+    val index = Dedup.bandIndexRead(spark, idxPath)
+    assert(Dedup.bandIndexSkipped(spark, idxPath).isEmpty) // uncapped build
+    // batch = doc 3 (exact dup of 1) plus a RE-INGESTED doc 1
+    val batch = docs.where(col("doc_id").isin(1L, 3L))
+    val sigB = Dedup.minHash(Dedup.shingles(batch, "text", "doc_id", 1), "doc_id", 8)
+    val got = Dedup.incrementalPairs(index,
+        Dedup.lshBands(sigB, "doc_id", 8, 4), "doc_id", 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.contains((1L, 3L)) && got.contains((2L, 3L)), s"$got")
+    assert(got.contains((2L, 1L)), s"re-ingested doc must pair with its dups: $got")
+    assert(!got.contains((1L, 1L)), s"self-pair must be excluded: $got")
+    assert(!got.exists(p => p._1 == 4L), s"unrelated index doc must not pair: $got")
+    // a-side ids come from the index, b-side from the batch — never swapped
+    assert(got.forall { case (a, b) => Set(1L, 2L, 4L)(a) && Set(1L, 3L)(b) })
+
+    // capped build: over-cap buckets land in the skipped sidecar and are
+    // absent from the queryable band rows
+    val cappedPath = s"${sys.props("java.io.tmpdir")}/graft_test_incr_idx_capped"
+    graft.cli.Cleanup.deleteOnExit(cappedPath)
+    Dedup.bandIndexWrite(Dedup.lshBands(sigC, "doc_id", 8, 4), "doc_id", 4,
+      cappedPath, maxBucket = 1)
+    val kept = Dedup.bandIndexRead(spark, cappedPath)
+    val skipped = Dedup.bandIndexSkipped(spark, cappedPath)
+    assert(skipped.count() > 0) // docs 1/2 share at least one band bucket
+    assert(kept.groupBy("bi", "k").count().where(col("count") > 1).isEmpty)
+    assert(kept.join(skipped,
+      kept("bi") === skipped("band_idx") && kept("k") === skipped("key")).isEmpty)
+  }
+
   test("hashSplit is deterministic, partition-invariant, and boundary-exact") {
     val ids = (0L until 200L).map(i => (i, s"t$i")).toDF("doc_id", "text")
     val a = TextOps.hashSplit(ids, "doc_id").collect()

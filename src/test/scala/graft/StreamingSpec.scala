@@ -94,6 +94,47 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-static near-dup candidates against a persisted band index") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    import graft.operators.Dedup
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    // corpus: two near-identical docs + one unrelated, signed into an index
+    val corpus = Seq(
+      (1L, base), (2L, base.replace("beta", "betax")),
+      (3L, "one two three four five six seven eight nine ten"))
+      .toDF("doc_id", "text")
+    val idxPath = s"${sys.props("java.io.tmpdir")}/graft_test_bandidx"
+    graft.cli.Cleanup.deleteOnExit(idxPath)
+    val sig = Dedup.minHash(Dedup.shingles(corpus, "text", "doc_id", 1), "doc_id", 8)
+    Dedup.bandIndexWrite(Dedup.lshBands(sig, "doc_id", 8, 4), "doc_id", 4, idxPath)
+    val index = Dedup.bandIndexRead(spark, idxPath)
+
+    val mem = MemoryStream[(Long, String)]
+    val cand = StreamingOps.nearDupCandidates(
+      mem.toDF().toDF("doc_id", "text"), index, "text", "doc_id")
+    val q = cand.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("neardup_out").start()
+    try {
+      mem.addData(
+        (10L, base),                                      // dup of docs 1/2
+        (11L, "unrelated words entirely different here")) // no bucket match
+      q.processAllAvailable()
+      val got = spark.table("neardup_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got.contains((1L, 10L)), s"exact dup must match the index: $got")
+      assert(!got.exists(_._2 == 11L), s"unrelated doc must not match: $got")
+      // a second micro-batch with the same doc re-emits nothing new for
+      // already-seen pairs (the stateful distinct)
+      mem.addData((10L, base))
+      q.processAllAvailable()
+      val again = spark.table("neardup_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      assert(again.length == again.distinct.length, s"pair re-emitted: ${again.toSeq}")
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState keeps per-key running stats across batches") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
