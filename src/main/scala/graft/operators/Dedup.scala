@@ -32,19 +32,23 @@ object Dedup {
 
   /** Word shingles (n-grams of tokens) as exploded rows (id, shingle),
     * distinct. n=1 -> token set. */
-  def shingles(df: DataFrame, text: String, id: String, n: Int): DataFrame = {
+  def shingles(df: DataFrame, text: String, id: String, n: Int,
+      dedup: Boolean = true): DataFrame = {
     val toks = TextOps.tokens(col(text))
-    if (n == 1)
-      df.select(col(id), explode(toks).as("shingle")).distinct()
-    else {
-      // slide over the token array: shingle i = tokens[i..i+n-1] joined
-      val idxs = sequence(lit(0), size(toks) - n)
-      df.where(size(toks) >= n)
-        .select(col(id), toks.as("toks"), explode(idxs).as("i"))
-        .select(col(id),
-          concat_ws(" ", slice(col("toks"), col("i") + 1, lit(n))).as("shingle"))
-        .distinct()
-    }
+    // dedup = false keeps the raw occurrence rows MAP-ONLY (no shuffle):
+    // the right input when the consumer's semantics ignore duplicates
+    // anyway (a membership join) or need occurrence counts
+    val raw =
+      if (n == 1) df.select(col(id), explode(toks).as("shingle"))
+      else {
+        // slide over the token array: shingle i = tokens[i..i+n-1] joined
+        val idxs = sequence(lit(0), size(toks) - n)
+        df.where(size(toks) >= n)
+          .select(col(id), toks.as("toks"), explode(idxs).as("i"))
+          .select(col(id),
+            concat_ws(" ", slice(col("toks"), col("i") + 1, lit(n))).as("shingle"))
+      }
+    if (dedup) raw.distinct() else raw
   }
 
   /** MinHash signatures: numHashes seeded portable hashes, min per doc.

@@ -152,6 +152,24 @@ object TextOps {
     sampleFlag(df, id, strata, fractions, default, seed)
       .where(col("__kept") === 1).drop("__kept")
 
+  /** Intra-document repetition ratio over word n-grams — the Gopher-style
+    * repetitious-content filter: 1 − distinct/total n-grams, high for
+    * boilerplate loops and keyword stuffing. `n_total` is map-side
+    * arithmetic (tokens − n + 1); only the distinct count aggregates.
+    * Docs with fewer than `n` tokens are excluded (no n-grams exist). */
+  def repetitionRatio(df: DataFrame, text: String, id: String,
+      n: Int = 3): DataFrame = {
+    val toks = tokens(col(text))
+    val dis = Dedup.shingles(df.where(col(text).isNotNull), text, id, n)
+      .groupBy(col(id)).agg(count(lit(1)).as("n_distinct"))
+    df.where(col(text).isNotNull && size(toks) >= n)
+      .select(col(id), (size(toks) - (n - 1)).cast("long").as("n_total"))
+      .join(dis, id)
+      .select(col(id), col("n_total"), col("n_distinct"),
+        round(lit(1) - col("n_distinct").cast("double") / col("n_total"), 6)
+          .as("rep_ratio"))
+  }
+
   /** Per-document top term by TF-IDF over the corpus: tf = in-doc term
     * count, idf = ln(N / df) with df = number of documents containing the
     * term. `dfreq` is written as a re-aggregation of `tf`; Catalyst prunes

@@ -22,6 +22,17 @@ object LlmQueries {
     """tok AS (SELECT DISTINCT doc_id,
       |  unnest(string_split_regex(trim(lower(text)), '\s+')) AS shingle
       |  FROM documents)""".stripMargin
+
+  /** Word 3-gram CTEs replaying [[Dedup.shingles]] (n = 3): 1-indexed
+    * array slices joined by single spaces, distinct per doc. */
+  private val tok3Cte =
+    """raw3 AS (SELECT doc_id,
+      |  unnest(generate_series(1, len(arr) - 2)) AS i, arr
+      |  FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS arr
+      |        FROM documents)
+      |  WHERE len(arr) >= 3),
+      |tok3 AS (SELECT DISTINCT doc_id,
+      |  arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] AS shingle FROM raw3)""".stripMargin
   private def pHash(seed: String, expr: String): String =
     s"('0x' || substr(md5('$seed:' || $expr), 1, 15))::BIGINT"
 
@@ -203,6 +214,42 @@ object LlmQueries {
         "doc_id", Bands)
       .orderBy("a", "b")
   }
+
+  /** Every 17th doc plays the held-out eval set for decontamination. */
+  val EvalMod = 17
+
+  /** q62 — decontamination: flag every corpus doc sharing ANY word
+    * 3-gram with the held-out eval set — the leakage gate run before
+    * training. The 100 TB plan shape: the corpus side stays a MAP-ONLY
+    * shingle explode (no distinct — duplicate occurrences don't change a
+    * membership join), the eval side is a small distinct BROADCAST (the
+    * held-out set is tiny by construction at any corpus scale), and the
+    * only corpus-sized aggregation is the map-side-combinable doc_id
+    * distinct after the broadcast join. Zero full-corpus shuffles. */
+  def decontaminate(s: SparkSession, d: String): DataFrame = {
+    val all = docs(s, d)
+    val evalSh = Dedup.shingles(
+      all.where(col("text").isNotNull &&
+        pmod(col("doc_id"), lit(EvalMod)) === 0), "text", "doc_id", 3)
+      .select("shingle").distinct()
+    val hit = Dedup.shingles(
+        all.where(col("text").isNotNull &&
+          pmod(col("doc_id"), lit(EvalMod)) =!= 0), "text", "doc_id", 3,
+        dedup = false)
+      .join(broadcast(evalSh), "shingle")
+      .select("doc_id").distinct()
+      .withColumn("contaminated", lit(1L))
+    all.where(pmod(col("doc_id"), lit(EvalMod)) =!= 0).select("doc_id")
+      .join(hit, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("contaminated"), lit(0L)).as("contaminated"))
+      .orderBy("doc_id")
+  }
+
+  /** q63 — Gopher-style repetition filter: per-doc 3-gram repetition
+    * ratio ([[TextOps.repetitionRatio]]). */
+  def textRepetition(s: SparkSession, d: String): DataFrame =
+    TextOps.repetitionRatio(docs(s, d), "text", "doc_id").orderBy("doc_id")
 
   def dedupEmbedCosine(s: SparkSession, d: String): DataFrame = {
     val v = embs(s, d)
@@ -571,6 +618,29 @@ object LlmQueries {
          |ORDER BY a, b""".stripMargin
     },
 
+    "q62_decontaminate" ->
+      s"""WITH $tok3Cte,
+         |ev AS (SELECT DISTINCT shingle FROM tok3 WHERE doc_id % $EvalMod = 0),
+         |hit AS (SELECT DISTINCT t.doc_id FROM tok3 t JOIN ev USING (shingle)
+         |  WHERE t.doc_id % $EvalMod <> 0)
+         |SELECT d.doc_id,
+         |  (CASE WHEN hit.doc_id IS NULL THEN 0 ELSE 1 END)::BIGINT AS contaminated
+         |FROM documents d LEFT JOIN hit ON d.doc_id = hit.doc_id
+         |WHERE d.doc_id % $EvalMod <> 0
+         |ORDER BY d.doc_id""".stripMargin,
+
+    "q63_repetition" ->
+      s"""WITH $tok3Cte,
+         |dis AS (SELECT doc_id, count(*) AS n_distinct FROM tok3 GROUP BY doc_id),
+         |tot AS (SELECT doc_id, (len(string_split_regex(trim(lower(text)), '\\s+')) - 2)::BIGINT AS n_total
+         |  FROM documents
+         |  WHERE text IS NOT NULL
+         |    AND len(string_split_regex(trim(lower(text)), '\\s+')) >= 3)
+         |SELECT tot.doc_id, n_total, n_distinct,
+         |  round(1 - n_distinct / n_total::DOUBLE, 6) AS rep_ratio
+         |FROM tot JOIN dis ON tot.doc_id = dis.doc_id
+         |ORDER BY tot.doc_id""".stripMargin,
+
     "q58_hash_split" ->
       s"""SELECT doc_id, bucket,
          |  CASE WHEN bucket < 80 THEN 'train'
@@ -628,6 +698,8 @@ object LlmQueries {
     "q51_text_tfidf" -> textTfidf _,
     "q58_hash_split" -> corpusHashSplit _,
     "q61_dedup_incremental" -> dedupIncremental _,
+    "q62_decontaminate" -> decontaminate _,
+    "q63_repetition" -> textRepetition _,
     "q59_corpus_mix" -> corpusMix _,
     "q60_vocab_topk" -> vocabTopK _,
     "q38_part_agg" -> ((s, d) =>

@@ -383,6 +383,20 @@ class OperatorSpec extends AnyFunSuite {
       kept("bi") === skipped("band_idx") && kept("k") === skipped("key")).isEmpty)
   }
 
+  test("repetitionRatio counts distinct vs total n-grams") {
+    val rows = Seq(
+      (1L, "a b c a b c a b c"),  // 7 total 3-grams, 3 distinct
+      (2L, "u v w x y z"),        // 4 total, all distinct
+      (3L, "one two"),            // < 3 tokens: excluded
+      (4L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val got = TextOps.repetitionRatio(rows, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got.keySet == Set(1L, 2L))
+    assert(got(1L) == ((7L, 3L, 0.571429)))
+    assert(got(2L) == ((4L, 4L, 0.0)))
+  }
+
   test("hashSplit is deterministic, partition-invariant, and boundary-exact") {
     val ids = (0L until 200L).map(i => (i, s"t$i")).toDF("doc_id", "text")
     val a = TextOps.hashSplit(ids, "doc_id").collect()

@@ -130,6 +130,17 @@ class PlanSpec extends AnyFunSuite {
     assert(plan("q14_anti_join").contains("LeftAnti"))
   }
 
+  test("q62: eval set broadcasts, corpus shingle side joins without a shuffle") {
+    val df = SparkEntry.queries("q62_decontaminate")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // the membership join must be a broadcast of the (small) eval shingle
+    // set — a sort-merge join here would shuffle the full corpus explode
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+  }
+
   test("composed pipelines stay inside their corpus-scan budget") {
     // multi-branch pipelines materialize shared intermediates once; left
     // lazy, every branch re-derives its input back to the parquet scan
