@@ -170,6 +170,86 @@ object TextOps {
           .as("rep_ratio"))
   }
 
+  /** Sequence packing: assign each document to a fixed-token-budget chunk
+    * by exclusive cumulative token count within a partition group — the
+    * pretraining step that turns a curated corpus into contiguous
+    * `chunkTokens`-sized training sequences. `chunk_id` restarts per
+    * group, so the global chunk key is (partCols..., chunk_id) and
+    * `chunk_offset` is the document's start position inside its chunk.
+    *
+    * One window per group (ordered by `id`), nothing else: packing is
+    * embarrassingly parallel ACROSS groups, and that is the scale knob —
+    * at 100 TB you pass fine partition cols (source × shard/date, not a
+    * single global key), because a window partition sorts and scans on
+    * one task. A global ordering would be a single-task bottleneck by
+    * construction; contiguity within (source, shard) is what training
+    * shard layouts actually guarantee. */
+  def packChunks(df: DataFrame, id: String, partCols: Seq[String],
+      tokens: Column, chunkTokens: Int = 256): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(partCols.map(col): _*).orderBy(col(id))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.select(col(id) +: partCols.map(col) :+
+        tokens.cast(LongType).as("n_tokens"): _*)
+      .withColumn("__before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(col(id) +: partCols.map(col) :+ col("n_tokens") :+
+        floor(col("__before") / lit(chunkTokens)).cast(LongType).as("chunk_id") :+
+        (col("__before") % lit(chunkTokens)).as("chunk_offset"): _*)
+  }
+
+  /** Per-stratum quantile-threshold keep flag — the distribution-relative
+    * quality gate (e.g. "drop the shortest quartile per language", so one
+    * language's length profile doesn't set another's bar). Emits every row
+    * with its stratum threshold and `kept` = value >= threshold.
+    *
+    * `exact = true` computes the interpolated quantile exactly
+    * (`percentile`) — right for oracle parity and moderate stratum counts,
+    * but it buffers each stratum's values on one reducer. At 100 TB flip
+    * to `exact = false` (`approx_percentile`, t-digest: map-side
+    * combinable, bounded memory, rank error `eps`) — same plan shape,
+    * streaming-friendly threshold. The threshold side is strata-sized
+    * (tiny), broadcast back onto the corpus scan. */
+  def quantileKeep(df: DataFrame, id: String, strata: String, value: Column,
+      q: Double, exact: Boolean = true, eps: Double = 1e-4): DataFrame = {
+    val v = value.cast("double")
+    val agg = if (exact) percentile(v, lit(q))
+      else percentile_approx(v, lit(q), lit((1.0 / eps).toInt))
+    val thresholds = df.groupBy(col(strata))
+      .agg(round(agg, 6).as("thresh"))
+    df.select(col(id), col(strata), v.as("value"))
+      .join(broadcast(thresholds), strata)
+      .select(col(id), col(strata), col("value"), col("thresh"),
+        (col("value") >= col("thresh")).cast("int").as("kept"))
+  }
+
+  /** PII patterns — deliberately restricted to a regex subset with
+    * identical semantics in Java regex (Spark codegen) and RE2 (DuckDB
+    * oracle): literal classes, bounded repetition, `\b` word boundaries.
+    * Order matters downstream: emails first (so their digit runs are gone
+    * before the numeric patterns look), then IPv4, then long digit runs. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val LongNumRe = "\\b\\d{9,}\\b"
+
+  /** PII redaction: emails -> `<EMAIL>`, IPv4 -> `<IP>`, 9+-digit runs
+    * (ids, phone-shaped numbers) -> `<ID>`, plus a per-doc match count for
+    * the audit trail. Pure `regexp_replace`/`regexp_extract_all` column
+    * arithmetic — map-only, codegen'd, a free pass over the scan at any
+    * corpus scale. */
+  def redactPii(df: DataFrame, text: String, id: String): DataFrame = {
+    val t = col(text)
+    val nPii = (size(regexp_extract_all(t, lit(EmailRe), lit(0))) +
+      size(regexp_extract_all(t, lit(Ipv4Re), lit(0))) +
+      size(regexp_extract_all(
+        regexp_replace(regexp_replace(t, EmailRe, "<EMAIL>"), Ipv4Re, "<IP>"),
+        lit(LongNumRe), lit(0)))).cast(LongType)
+    df.select(col(id),
+      regexp_replace(regexp_replace(regexp_replace(
+        t, EmailRe, "<EMAIL>"), Ipv4Re, "<IP>"), LongNumRe, "<ID>")
+        .as("text_redacted"),
+      nPii.as("n_pii"))
+  }
+
   /** Per-document top term by TF-IDF over the corpus: tf = in-doc term
     * count, idf = ln(N / df) with df = number of documents containing the
     * term. `dfreq` is written as a re-aggregation of `tf`; Catalyst prunes

@@ -318,6 +318,79 @@ object LlmQueries {
       .orderBy(col("n_occ").desc, col("term"))
       .limit(20)
 
+  /** Token budget per packed training sequence (q64). Documents here run
+    * 10-99 whitespace tokens, so 256 packs several docs per chunk. */
+  val ChunkTokens = 256
+
+  /** q64 — sequence packing ([[TextOps.packChunks]]): exclusive cumulative
+    * token count per source, `chunk_id` = cumsum / budget. Partitioned by
+    * `source` (20-way parallel here; at corpus scale the caller passes
+    * finer keys — see the operator scaladoc for why a global order is a
+    * one-task bottleneck by construction). */
+  def packChunks(s: SparkSession, d: String): DataFrame =
+    TextOps.packChunks(docs(s, d), "doc_id", Seq("source"),
+        TextOps.tokenCount(col("text")), ChunkTokens)
+      .orderBy("doc_id")
+
+  /** q65 — distribution-relative quality gate ([[TextOps.quantileKeep]]):
+    * keep docs at or above their LANGUAGE's 25th percentile of token
+    * count, so one language's length profile doesn't set another's bar.
+    * Exact interpolated quantile for oracle parity; the operator's
+    * `exact = false` t-digest path is the same plan at 100 TB. */
+  def quantileFilter(s: SparkSession, d: String): DataFrame =
+    TextOps.quantileKeep(docs(s, d), "doc_id", "lang",
+        TextOps.tokenCount(col("text")), q = 0.25)
+      .orderBy("doc_id")
+
+  /** q66 — PII redaction ([[TextOps.redactPii]]) over a deterministically
+    * injected contact trailer (the corpus itself contains no PII-shaped
+    * strings — injection gives the regexes real work and the oracle
+    * replays the identical construction; the FIXTURE corpus in
+    * OperatorSpec carries the adversarial cases: multiple emails,
+    * boundary-adjacent IPs, sub-9-digit runs left intact). */
+  def piiRedact(s: SparkSession, d: String): DataFrame = {
+    val withPii = docs(s, d).select(col("doc_id"),
+      concat(col("text"),
+        lit(" contact u"), col("doc_id").cast("string"), lit("@example.com"),
+        lit(" from 10.0."), pmod(col("doc_id"), lit(256)).cast("string"),
+        lit(".7 ref 90012345"), col("doc_id").cast("string")).as("text"))
+    TextOps.redactPii(withPii, "text", "doc_id").orderBy("doc_id")
+  }
+
+  /** q67 token-count keep band (active filter on this corpus: tokens run
+    * 10-99, so both tails drop). Repetition/dedup legs pass everything
+    * here (500 distinct texts, near-zero 3-gram repetition) but stay in
+    * the pipeline — they are the legs that do the work on a real crawl. */
+  val CurationMinTokens = 20
+  val CurationMaxTokens = 90
+  val CurationMaxRep = 0.2
+
+  /** q67 — the end-to-end curation pipeline a pretraining run executes:
+    * exact dedup -> token-count band -> repetition gate
+    * ([[TextOps.repetitionRatio]]) -> deterministic split
+    * ([[TextOps.hashSplit]]) -> per-(split, lang) doc/token audit. Every
+    * leg is an operator gated elsewhere on its own oracle (q29/q25/q63/
+    * q58); this query gates their COMPOSITION — join keys, filter
+    * ordering, and the audit aggregation — end to end. */
+  def curationPipeline(s: SparkSession, d: String): DataFrame = {
+    val dd = docs(s, d)
+    val keepers = dd.join(
+      Dedup.exact(dd, "text", "doc_id")
+        .select(col("keep_id").as("doc_id")), Seq("doc_id"), "left_semi")
+    val banded = keepers
+      .withColumn("n_tokens", TextOps.tokenCount(col("text")).cast("long"))
+      .where(col("n_tokens").between(CurationMinTokens, CurationMaxTokens))
+    val lowRep = banded.join(
+      TextOps.repetitionRatio(dd, "text", "doc_id")
+        .where(col("rep_ratio") <= CurationMaxRep).select("doc_id"),
+      Seq("doc_id"), "left_semi")
+    TextOps.hashSplit(lowRep.select("doc_id", "lang", "n_tokens"), "doc_id")
+      .join(lowRep, "doc_id")
+      .groupBy("split", "lang")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("sum_tokens"))
+      .orderBy("split", "lang")
+  }
+
   def multimodalMeta(s: SparkSession, d: String): DataFrame =
     Multimodal.stubMetaColumns(
       Multimodal.withBinaryPayload(docs(s, d), "text"), "doc_id", "payload")
@@ -664,6 +737,73 @@ object LlmQueries {
         |      FROM documents)
         |GROUP BY term ORDER BY n_occ DESC, term LIMIT 20""".stripMargin,
 
+    "q64_pack_chunks" ->
+      s"""WITH t AS (SELECT doc_id, source,
+         |    len(string_split_regex(trim(lower(text)), '\\s+'))::BIGINT AS n_tokens
+         |  FROM documents),
+         |c AS (SELECT doc_id, source, n_tokens,
+         |    coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_before
+         |  FROM t)
+         |SELECT doc_id, source, n_tokens,
+         |  (tok_before // $ChunkTokens)::BIGINT AS chunk_id,
+         |  (tok_before % $ChunkTokens)::BIGINT AS chunk_offset
+         |FROM c ORDER BY doc_id""".stripMargin,
+
+    "q65_quantile_filter" ->
+      """WITH t AS (SELECT doc_id, lang,
+        |    len(string_split_regex(trim(lower(text)), '\s+'))::DOUBLE AS value
+        |  FROM documents),
+        |th AS (SELECT lang, round(quantile_cont(value, 0.25), 6) AS thresh
+        |  FROM t GROUP BY lang)
+        |SELECT doc_id, t.lang, value, thresh,
+        |  (CASE WHEN value >= thresh THEN 1 ELSE 0 END)::INTEGER AS kept
+        |FROM t JOIN th USING (lang) ORDER BY doc_id""".stripMargin,
+
+    "q66_pii_redact" -> {
+      // same regexes as TextOps (Java-regex/RE2-common subset); DuckDB
+      // regexp_replace needs the explicit 'g' flag Spark implies
+      val em = TextOps.EmailRe
+      val ip = TextOps.Ipv4Re
+      val num = TextOps.LongNumRe
+      s"""WITH p AS (SELECT doc_id,
+         |    text || ' contact u' || doc_id || '@example.com from 10.0.' ||
+         |      (doc_id % 256) || '.7 ref 90012345' || doc_id AS t
+         |  FROM documents),
+         |r AS (SELECT doc_id, t,
+         |    regexp_replace(regexp_replace(t, '$em', '<EMAIL>', 'g'),
+         |      '$ip', '<IP>', 'g') AS t2
+         |  FROM p)
+         |SELECT doc_id,
+         |  regexp_replace(t2, '$num', '<ID>', 'g') AS text_redacted,
+         |  (len(regexp_extract_all(t, '$em'))
+         |   + len(regexp_extract_all(t, '$ip'))
+         |   + len(regexp_extract_all(t2, '$num')))::BIGINT AS n_pii
+         |FROM r ORDER BY doc_id""".stripMargin
+    },
+
+    "q67_curation_pipeline" ->
+      s"""WITH $tok3Cte,
+         |keep1 AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text),
+         |dis AS (SELECT doc_id, count(*) AS n_distinct FROM tok3 GROUP BY doc_id),
+         |tot AS (SELECT doc_id,
+         |    (len(string_split_regex(trim(lower(text)), '\\s+')) - 2)::BIGINT AS n_total
+         |  FROM documents WHERE text IS NOT NULL
+         |    AND len(string_split_regex(trim(lower(text)), '\\s+')) >= 3),
+         |lowrep AS (SELECT tot.doc_id FROM tot JOIN dis USING (doc_id)
+         |  WHERE round(1 - n_distinct / n_total::DOUBLE, 6) <= $CurationMaxRep),
+         |band AS (SELECT d.doc_id, lang,
+         |    len(string_split_regex(trim(lower(text)), '\\s+'))::BIGINT AS n_tokens
+         |  FROM documents d
+         |  JOIN keep1 USING (doc_id) JOIN lowrep USING (doc_id)
+         |  WHERE len(string_split_regex(trim(lower(text)), '\\s+'))
+         |    BETWEEN $CurationMinTokens AND $CurationMaxTokens)
+         |SELECT CASE WHEN ${pHash("42", "doc_id::VARCHAR")} % 100 < 80 THEN 'train'
+         |       WHEN ${pHash("42", "doc_id::VARCHAR")} % 100 < 90 THEN 'val'
+         |       ELSE 'test' END AS split,
+         |  lang, count(*) AS n_docs, sum(n_tokens)::BIGINT AS sum_tokens
+         |FROM band GROUP BY split, lang ORDER BY split, lang""".stripMargin,
+
     "q38_part_agg" ->
       """SELECT p_brand, count(*) AS n, round(avg(p_retailprice), 4) AS avg_price,
         |  sum(p_size)::BIGINT AS sum_size
@@ -702,6 +842,10 @@ object LlmQueries {
     "q63_repetition" -> textRepetition _,
     "q59_corpus_mix" -> corpusMix _,
     "q60_vocab_topk" -> vocabTopK _,
+    "q64_pack_chunks" -> packChunks _,
+    "q65_quantile_filter" -> quantileFilter _,
+    "q66_pii_redact" -> piiRedact _,
+    "q67_curation_pipeline" -> curationPipeline _,
     "q38_part_agg" -> ((s, d) =>
       s.read.parquet(s"$d/part.parquet")
         .groupBy("p_brand")

@@ -473,4 +473,53 @@ class OperatorSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(kept(1L) == 2L && kept(2L) == 1L && kept(4L) == 1L && !kept.contains(3L))
   }
+
+  test("packChunks: exclusive cumsum per group, budget arithmetic, partition-invariant") {
+    // group a: 100+100+80+90 tokens at budget 128 -> chunks 0,0,1,2
+    //   before: 0, 100, 200, 280 -> chunk 0, 0, 1, 2; offsets 0, 100, 72, 24
+    // group b independent: restarts at chunk 0
+    val rows = Seq((1L, "a", 100L), (2L, "a", 100L), (3L, "a", 80L),
+      (4L, "a", 90L), (5L, "b", 50L), (6L, "b", 100L))
+    val df = rows.toDF("doc_id", "source", "nt")
+    def packed(d: org.apache.spark.sql.DataFrame) =
+      TextOps.packChunks(d, "doc_id", Seq("source"), col("nt"), 128)
+        .collect().map(r => (r.getLong(0), r.getLong(3), r.getLong(4))).toSet
+    val got = packed(df)
+    assert(got == Set((1L, 0L, 0L), (2L, 0L, 100L), (3L, 1L, 72L),
+      (4L, 2L, 24L), (5L, 0L, 0L), (6L, 0L, 50L)), s"got $got")
+    // content-stable under physical repartitioning (window order is by id)
+    assert(packed(df.repartition(7)) == got)
+  }
+
+  test("quantileKeep: exact per-stratum threshold; approx path agrees here") {
+    // stratum x: values 1..4 -> p25 (linear interpolation) = 1.75
+    val df = Seq((1L, "x", 1), (2L, "x", 2), (3L, "x", 3), (4L, "x", 4),
+      (5L, "y", 10), (6L, "y", 20)).toDF("id", "s", "v")
+    val r = TextOps.quantileKeep(df, "id", "s", col("v"), 0.25)
+      .collect().map(x => x.getLong(0) -> (x.getDouble(3), x.getInt(4))).toMap
+    assert(r(1L) == (1.75, 0) && r(2L) == (1.75, 1) && r(4L) == (1.75, 1))
+    assert(r(5L)._2 == 0 && r(6L)._2 == 1) // y: p25 = 12.5
+    // the scale path (t-digest) returns a MEMBER value, not an
+    // interpolation — same schema, threshold inside the stratum's range,
+    // and kept must be internally consistent with the approx threshold
+    val a = TextOps.quantileKeep(df, "id", "s", col("v"), 0.25, exact = false)
+      .collect().map(x => (x.getLong(0), x.getDouble(2), x.getDouble(3), x.getInt(4)))
+    assert(a.forall { case (_, v, th, k) => (v >= th) == (k == 1) })
+    assert(a.filter(_._1 <= 4).forall { case (_, _, th, _) => th >= 1 && th <= 4 })
+  }
+
+  test("redactPii: emails, IPv4, long digit runs; short runs survive") {
+    val df = Seq(
+      (1L, "mail a.b+c@x-corp.io and d@e.org stay out"),
+      (2L, "10.0.0.1 leads and trails 192.168.254.7"),
+      (3L, "id 123456789 yes but 12345678 is too short"),
+      (4L, "mixed u42@h.net at 8.8.8.8 ref 987654321012")
+    ).toDF("doc_id", "text")
+    val r = TextOps.redactPii(df, "text", "doc_id")
+      .collect().map(x => x.getLong(0) -> (x.getString(1), x.getLong(2))).toMap
+    assert(r(1L) == ("mail <EMAIL> and <EMAIL> stay out", 2L))
+    assert(r(2L) == ("<IP> leads and trails <IP>", 2L))
+    assert(r(3L) == ("id <ID> yes but 12345678 is too short", 1L))
+    assert(r(4L) == ("mixed <EMAIL> at <IP> ref <ID>", 3L))
+  }
 }
