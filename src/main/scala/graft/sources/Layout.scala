@@ -1,0 +1,46 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Output-layout operators: the write side of a training-data pipeline.
+  *
+  * At 100 TB the layout of what you WRITE decides the cost of every later
+  * read: range-partitioned, sorted shards give parquet min/max footer
+  * stats that prune whole files on key-range scans; bounded file sizes
+  * keep task granularity sane (no 10 GB stragglers, no 10k-file
+  * metadata storms); and periodic compaction repairs the small-file
+  * accumulation every incremental/streaming ingest produces. The
+  * reference's analogue is its bulk CSV->table load + serial-key layout
+  * (db_preparation.py:21-97) — this is the same concern re-expressed for
+  * a sharded object store instead of a single PostgreSQL heap.
+  */
+object Layout {
+
+  /** Write `df` as range-partitioned parquet sorted by `sortCols`:
+    * `nRanges` disjoint key ranges (one task each — sampled split points,
+    * so ranges are balanced even on skewed keys), rows sorted within each
+    * file, and at most `maxRecordsPerFile` rows per file (0 = unbounded).
+    * Disjoint sorted ranges mean a key-range read prunes non-overlapping
+    * files from the parquet footer stats alone. */
+  def writeSorted(df: DataFrame, path: String, sortCols: Seq[String],
+      nRanges: Int, maxRecordsPerFile: Long = 0L): Unit =
+    df.repartitionByRange(nRanges, sortCols.map(col): _*)
+      .sortWithinPartitions(sortCols.map(col): _*)
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .parquet(path)
+
+  /** Rewrite a parquet directory into ~`targetRecordsPerFile`-row sorted
+    * shards: the small-file compaction pass run behind incremental
+    * ingest. One count to size the job, then one range-shuffle write —
+    * returns the shard count it produced. */
+  def compact(spark: SparkSession, inPath: String, outPath: String,
+      sortCols: Seq[String], targetRecordsPerFile: Long): Int = {
+    val df = spark.read.parquet(inPath)
+    val n = df.count()
+    val shards = math.max(1L, (n + targetRecordsPerFile - 1) / targetRecordsPerFile)
+    writeSorted(df, outPath, sortCols, shards.toInt)
+    shards.toInt
+  }
+}

@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.Layout
+
+/** The layout properties the write operators promise: disjoint sorted key
+  * ranges across files (what makes footer-stat file pruning work), bounded
+  * rows per file, and compaction to the target shard count. */
+class LayoutSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def tmpDir(name: String): String = {
+    val p = java.nio.file.Files.createTempDirectory(name).toString
+    graft.cli.Cleanup.deleteOnExit(p)
+    p
+  }
+
+  private def partFiles(dir: String): Seq[java.io.File] =
+    new java.io.File(dir).listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      .toSeq
+
+  test("writeSorted: disjoint per-file key ranges, sorted within each file") {
+    val df = (1L to 1000L).map(i => (i * 37 % 1000, s"v$i")).toDF("k", "v")
+    val out = tmpDir("graft_layout_sorted")
+    Layout.writeSorted(df, out, Seq("k"), nRanges = 4)
+    val files = partFiles(out)
+    assert(files.size == 4)
+    val ranges = files.map { f =>
+      val rows = spark.read.parquet(f.getAbsolutePath)
+        .select("k").collect().map(_.getLong(0))
+      assert(rows.sameElements(rows.sorted), s"${f.getName} not sorted")
+      (rows.min, rows.max)
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Seq((_, hi), (lo, _)) => assert(hi <= lo, s"overlap: $ranges")
+      case _ => ()
+    }
+    // nothing lost in the shuffle
+    assert(spark.read.parquet(out).count() == 1000)
+  }
+
+  test("writeSorted: maxRecordsPerFile bounds every file") {
+    val df = (1L to 900L).toDF("k")
+    val out = tmpDir("graft_layout_bounded")
+    Layout.writeSorted(df, out, Seq("k"), nRanges = 2, maxRecordsPerFile = 100)
+    val files = partFiles(out)
+    assert(files.size >= 9) // 900 rows / <=100 per file
+    files.foreach { f =>
+      val c = spark.read.parquet(f.getAbsolutePath).count()
+      assert(c <= 100, s"${f.getName} has $c rows")
+    }
+  }
+
+  test("compact: many small files -> ceil(n/target) sorted shards, content-identical") {
+    val smallDir = tmpDir("graft_layout_small")
+    val df = (1L to 500L).map(i => (i, i % 7)).toDF("k", "g")
+    df.repartition(20).write.mode("overwrite").parquet(smallDir)
+    assert(partFiles(smallDir).size == 20)
+
+    val out = tmpDir("graft_layout_compacted")
+    val shards = Layout.compact(spark, smallDir, out, Seq("k"), 200)
+    assert(shards == 3) // ceil(500/200)
+    assert(partFiles(out).size == 3)
+    val got = spark.read.parquet(out).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+  }
+}
