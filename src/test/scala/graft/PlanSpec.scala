@@ -141,6 +141,39 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), p.take(3000))
   }
 
+  test("q64: packing window partitions by source — never a single global sort") {
+    val df = SparkEntry.queries("q64_pack_chunks")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // the cumsum window must shuffle BY THE GROUP KEY (parallel across
+    // sources); a SinglePartition exchange here would serialize the corpus
+    // through one task — the exact bottleneck the operator exists to avoid
+    assert(p.contains("hashpartitioning(source"), p.take(3000))
+    assert(!p.replaceAll("rangepartitioning\\(doc_id[^)]*\\)", "")
+      .contains("SinglePartition"), p.take(3000))
+  }
+
+  test("q65: per-stratum thresholds broadcast back onto the corpus scan") {
+    val df = SparkEntry.queries("q65_quantile_filter")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+  }
+
+  test("q66: PII redaction is map-only — no exchange except the display sort") {
+    val df = SparkEntry.queries("q66_pii_redact")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // strip the display-sort range exchange; nothing else may shuffle
+    val stripped = p.replaceAll("Exchange rangepartitioning[^\n]*", "")
+    assert(!stripped.contains("Exchange "), p.take(3000))
+    assert("FileScan parquet".r.findAllIn(p).size == 1, p.take(3000))
+  }
+
   test("composed pipelines stay inside their corpus-scan budget") {
     // multi-branch pipelines materialize shared intermediates once; left
     // lazy, every branch re-derives its input back to the parquet scan
