@@ -41,12 +41,25 @@ object Dedup {
     val raw =
       if (n == 1) df.select(col(id), explode(toks).as("shingle"))
       else {
-        // slide over the token array: shingle i = tokens[i..i+n-1] joined
-        val idxs = sequence(lit(0), size(toks) - n)
+        // Build the whole shingle array per doc, then explode it. The
+        // obvious index-explode form (explode positions, then
+        // slice(toks, i+1, n) per row) is a performance trap: Catalyst
+        // inlines a once-referenced `toks` alias into the post-explode
+        // projection, so the tokenizing regex SPLIT re-executes once per
+        // SHINGLE (~tokens× redundant work per doc — measured 12x on the
+        // sf0.1 corpus). Here `__toks` is referenced n times (slices) and
+        // `__m` twice+, so CollapseProject keeps both materialized:
+        // split runs once per doc, the zip_with chain concatenates
+        // elementwise in one pass.
+        val parts = (0 until n).map(k =>
+          slice(col("__toks"), lit(k + 1), col("__m")))
+        val sh = parts.reduce((a, b) =>
+          zip_with(a, b, (x, y) => concat(x, lit(" "), y)))
         df.where(size(toks) >= n)
-          .select(col(id), toks.as("toks"), explode(idxs).as("i"))
-          .select(col(id),
-            concat_ws(" ", slice(col("toks"), col("i") + 1, lit(n))).as("shingle"))
+          .select(col(id), toks.as("__toks"))
+          .select(col(id), col("__toks"),
+            (size(col("__toks")) - (n - 1)).as("__m"))
+          .select(col(id), explode(sh).as("shingle"))
       }
     if (dedup) raw.distinct() else raw
   }

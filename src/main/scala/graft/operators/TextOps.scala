@@ -119,12 +119,24 @@ object TextOps {
     * 100 TB it is a free column on the scan. `bucket` is the 0..99
     * percentile bucket; boundaries at `trainPct` / `trainPct + valPct`. */
   def hashSplit(df: DataFrame, id: String,
+      trainPct: Int = 80, valPct: Int = 10, seed: Int = 42): DataFrame =
+    withHashSplit(df, id, trainPct, valPct, seed)
+      .select(col(id), col("bucket"), col("split"))
+
+  /** [[hashSplit]]'s append form: adds `bucket`/`split` WITHOUT projecting
+    * the other columns away — for pipelines that keep flowing (q67). A
+    * pipeline that instead computes hashSplit separately and joins it back
+    * references its input twice, re-executing the whole upstream; the
+    * append form keeps the split a free map-only column on whatever plan
+    * is already running. */
+  def withHashSplit(df: DataFrame, id: String,
       trainPct: Int = 80, valPct: Int = 10, seed: Int = 42): DataFrame = {
     val bucket = pmod(portableHash(col(id).cast("string"), seed), lit(100L))
-    df.select(col(id), bucket.as("bucket"),
-      when(bucket < trainPct, "train")
-        .when(bucket < trainPct + valPct, "val")
-        .otherwise("test").as("split"))
+    df.withColumn("bucket", bucket)
+      .withColumn("split",
+        when(col("bucket") < trainPct, "train")
+          .when(col("bucket") < trainPct + valPct, "val")
+          .otherwise("test"))
   }
 
   /** Deterministic per-stratum sampling flag — the corpus-mixing primitive:

@@ -384,8 +384,10 @@ object LlmQueries {
       TextOps.repetitionRatio(dd, "text", "doc_id")
         .where(col("rep_ratio") <= CurationMaxRep).select("doc_id"),
       Seq("doc_id"), "left_semi")
-    TextOps.hashSplit(lowRep.select("doc_id", "lang", "n_tokens"), "doc_id")
-      .join(lowRep, "doc_id")
+    // append form, NOT hashSplit + join-back: the join would reference
+    // lowRep twice and re-execute the dedup + repetition legs (measured:
+    // 2x the corpus-side work in one plan)
+    TextOps.withHashSplit(lowRep.select("doc_id", "lang", "n_tokens"), "doc_id")
       .groupBy("split", "lang")
       .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("sum_tokens"))
       .orderBy("split", "lang")

@@ -1,0 +1,89 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Large-N evidence run for the curation-side operators added in round 7:
+  * PII redaction (map-only regex pass), deterministic hash split
+  * (map-only), sequence packing (one group-key window), and the
+  * per-stratum quantile gate (t-digest path). The claims under test: the
+  * map-only passes scale with row count and never shuffle; packing's cost
+  * is one hash exchange + per-group sort; the approx quantile gate stays
+  * map-side combinable (no per-stratum value buffering).
+  *
+  * Corpus shape: `n` synthetic docs, deterministic text derived from the
+  * id (templated words + an id-dependent email/ip/number trailer so the
+  * redaction regexes do real work on every row), 20 sources × 5 langs as
+  * the group keys — the testdata's shape at 10^7 rows.
+  *
+  * Usage: `sbt "runMain graft.tools.LargeCurationBench [n]"`
+  * Default n = 10,000,000. Results recorded in BASELINE.md
+  * ("Large-N curation evidence").
+  */
+object LargeCurationBench {
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toLong).getOrElse(10000000L)
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "64")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    def time[A](name: String)(f: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val r = f
+      val s = (System.nanoTime() - t0) / 1e9
+      println(f"$name%-34s $s%9.2f s"); (r, s)
+    }
+    import graft.operators.TextOps
+
+    val words = Array("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa", "lambda", "mu")
+    val wordArr = array(words.map(lit): _*)
+    val docs = spark.range(n).select(
+      col("id").as("doc_id"),
+      concat_ws(" ",
+        element_at(wordArr, (pmod(col("id"), lit(12)) + 1).cast("int")),
+        element_at(wordArr, (pmod(col("id") * 7, lit(12)) + 1).cast("int")),
+        element_at(wordArr, (pmod(col("id") * 31, lit(12)) + 1).cast("int")),
+        lit("contact"),
+        concat(lit("u"), col("id").cast("string"), lit("@example.com")),
+        lit("from"),
+        concat(lit("10.0."), pmod(col("id"), lit(256)).cast("string"), lit(".7")),
+        lit("ref"),
+        concat(lit("90012345"), col("id").cast("string"))).as("text"),
+      concat(lit("src"), pmod(col("id"), lit(20)).cast("string")).as("source"),
+      element_at(array(lit("en"), lit("de"), lit("fr"), lit("es"), lit("zh")),
+        (pmod(col("id"), lit(5)) + 1).cast("int")).as("lang"))
+
+    println(s"n = $n docs (synthetic, deterministic)")
+
+    val (_, tRedact) = time("redactPii (map-only)") {
+      TextOps.redactPii(docs, "text", "doc_id")
+        .agg(sum("n_pii")).collect()(0).getLong(0)
+    }
+    println(f"  redact throughput: ${n / tRedact / 1e6}%.1f M docs/s")
+
+    time("hashSplit (map-only)") {
+      TextOps.hashSplit(docs, "doc_id")
+        .groupBy("split").count().collect()
+    }
+
+    // finer partition cols than the sf0.1 query (source × lang, 100
+    // groups): the scale knob the operator scaladoc prescribes — group
+    // count, not corpus size, bounds per-task window work
+    time("packChunks (group-key window)") {
+      TextOps.packChunks(docs, "doc_id", Seq("source", "lang"),
+          TextOps.tokenCount(col("text")), 2048)
+        .agg(max("chunk_id")).collect()
+    }
+
+    time("quantileKeep (t-digest path)") {
+      TextOps.quantileKeep(docs, "doc_id", "lang",
+          TextOps.tokenCount(col("text")), q = 0.25, exact = false)
+        .groupBy("lang", "kept").count().collect()
+    }
+
+    spark.stop()
+  }
+}
