@@ -153,4 +153,29 @@ class StreamingSpec extends AnyFunSuite {
       assert(byUser(2L) == KeyStats(2L, 1, 1.0, 1.0))
     } finally q.stop()
   }
+
+  test("stateless curation ops (redact, split) apply unchanged to a stream") {
+    // the map-only curation operators are column arithmetic, so the SAME
+    // operator call works on readStream frames — incremental ingest
+    // curation needs no second implementation
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    import graft.operators.TextOps
+    def curate(df: org.apache.spark.sql.DataFrame) =
+      TextOps.withHashSplit(TextOps.redactPii(df, "text", "doc_id"), "doc_id")
+    val rows = Seq((1L, "mail a@b.io now"), (2L, "nothing here"))
+    val mem = MemoryStream[(Long, String)]
+    val red = curate(mem.toDF().toDF("doc_id", "text"))
+    assert(red.isStreaming)
+    val q = red.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("curate_out").start()
+    try {
+      mem.addData(rows: _*)
+      q.processAllAvailable()
+      val got = spark.table("curate_out").collect().map(_.toSeq).toSet
+      val batch = curate(rows.toDF("doc_id", "text")).collect().map(_.toSeq).toSet
+      assert(got == batch) // stream ≡ batch, row for row
+      assert(got.exists(_.contains("mail <EMAIL> now")))
+    } finally q.stop()
+  }
 }
