@@ -234,6 +234,39 @@ object TextOps {
         (col("value") >= col("thresh")).cast("int").as("kept"))
   }
 
+  /** Per-stratum quota: keep the `k` best rows per stratum by `score`
+    * (ties break to the smallest id for determinism), with the rank as an
+    * audit column. One window per stratum — parallel across strata, and
+    * per-task work is bounded by stratum size. For quotas over huge
+    * strata, pre-filter with [[quantileKeep]] so the sort input is small.
+    */
+  def groupQuota(df: DataFrame, id: String, strata: String, score: Column,
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(strata))
+      .orderBy(score.desc, col(id))
+    df.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
+  /** Token-budget selection: walk each stratum best-score-first and keep
+    * rows while the running token total stays within `budget` — the
+    * corpus-mixing step that fills a per-language token budget with the
+    * highest-quality documents. `cum_tokens` (inclusive) is the audit
+    * column; a document that would overflow the budget is dropped, as are
+    * all worse-scored ones (no best-fit backfill — deterministic and
+    * single-pass, the 100 TB-friendly greedy). */
+  def budgetSelect(df: DataFrame, id: String, strata: String, score: Column,
+      tokens: Column, budget: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(strata))
+      .orderBy(score.desc, col(id))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("__tok", tokens.cast(LongType))
+      .withColumn("cum_tokens", sum(col("__tok")).over(w))
+      .where(col("cum_tokens") <= budget)
+      .drop("__tok")
+  }
+
   /** PII patterns — deliberately restricted to a regex subset with
     * identical semantics in Java regex (Spark codegen) and RE2 (DuckDB
     * oracle): literal classes, bounded repetition, `\b` word boundaries.

@@ -393,6 +393,32 @@ object LlmQueries {
       .orderBy("split", "lang")
   }
 
+  /** q68 — per-source quota ([[TextOps.groupQuota]]): the 10 longest docs
+    * per source (token count as the quality proxy; ties to smallest id).
+    * The per-group top-k every curation job runs to cap dominant sources.
+    */
+  def sourceQuota(s: SparkSession, d: String): DataFrame =
+    TextOps.groupQuota(
+        docs(s, d).select(col("doc_id"), col("source"),
+          TextOps.tokenCount(col("text")).cast("long").as("n_tokens")),
+        "doc_id", "source", col("n_tokens"), k = 10)
+      .orderBy("doc_id")
+
+  /** Per-language token budget for q69 (docs run 10-99 tokens, ~100 docs
+    * per language here, so 2000 keeps roughly the better half). */
+  val LangTokenBudget = 2000L
+
+  /** q69 — token-budget selection ([[TextOps.budgetSelect]]): fill each
+    * language's token budget with the longest documents first (n_chars as
+    * the quality proxy, stored column — no tokenization on the sort key).
+    */
+  def tokenBudget(s: SparkSession, d: String): DataFrame =
+    TextOps.budgetSelect(
+        docs(s, d).select(col("doc_id"), col("lang"), col("n_chars"),
+          TextOps.tokenCount(col("text")).cast("long").as("n_tokens")),
+        "doc_id", "lang", col("n_chars"), col("n_tokens"), LangTokenBudget)
+      .orderBy("doc_id")
+
   def multimodalMeta(s: SparkSession, d: String): DataFrame =
     Multimodal.stubMetaColumns(
       Multimodal.withBinaryPayload(docs(s, d), "text"), "doc_id", "payload")
@@ -739,6 +765,29 @@ object LlmQueries {
         |      FROM documents)
         |GROUP BY term ORDER BY n_occ DESC, term LIMIT 20""".stripMargin,
 
+    "q68_source_quota" ->
+      """WITH t AS (SELECT doc_id, source,
+        |    len(string_split_regex(trim(lower(text)), '\s+'))::BIGINT AS n_tokens
+        |  FROM documents),
+        |r AS (SELECT doc_id, source, n_tokens,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY n_tokens DESC, doc_id) AS rank
+        |  FROM t)
+        |SELECT doc_id, source, n_tokens, rank::INTEGER AS rank
+        |FROM r WHERE rank <= 10 ORDER BY doc_id""".stripMargin,
+
+    "q69_token_budget" ->
+      s"""WITH t AS (SELECT doc_id, lang, n_chars,
+         |    len(string_split_regex(trim(lower(text)), '\\s+'))::BIGINT AS n_tokens
+         |  FROM documents),
+         |c AS (SELECT doc_id, lang, n_chars, n_tokens,
+         |    sum(n_tokens) OVER (PARTITION BY lang
+         |      ORDER BY n_chars DESC, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+         |  FROM t)
+         |SELECT doc_id, lang, n_chars, n_tokens, cum_tokens::BIGINT AS cum_tokens
+         |FROM c WHERE cum_tokens <= $LangTokenBudget ORDER BY doc_id""".stripMargin,
+
     "q64_pack_chunks" ->
       s"""WITH t AS (SELECT doc_id, source,
          |    len(string_split_regex(trim(lower(text)), '\\s+'))::BIGINT AS n_tokens
@@ -848,6 +897,8 @@ object LlmQueries {
     "q65_quantile_filter" -> quantileFilter _,
     "q66_pii_redact" -> piiRedact _,
     "q67_curation_pipeline" -> curationPipeline _,
+    "q68_source_quota" -> sourceQuota _,
+    "q69_token_budget" -> tokenBudget _,
     "q38_part_agg" -> ((s, d) =>
       s.read.parquet(s"$d/part.parquet")
         .groupBy("p_brand")

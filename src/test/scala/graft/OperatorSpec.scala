@@ -508,6 +508,26 @@ class OperatorSpec extends AnyFunSuite {
     assert(a.filter(_._1 <= 4).forall { case (_, _, th, _) => th >= 1 && th <= 4 })
   }
 
+  test("groupQuota keeps k best per stratum, ties to smallest id") {
+    val df = Seq((1L, "a", 5), (2L, "a", 9), (3L, "a", 9), (4L, "a", 7),
+      (5L, "b", 1)).toDF("id", "s", "sc")
+    val r = TextOps.groupQuota(df, "id", "s", col("sc"), k = 2)
+      .collect().map(x => x.getLong(0) -> x.getInt(3)).toMap
+    // a: 9(id2) rank1, 9(id3) rank2, 7(id4) out; b: lone row kept
+    assert(r == Map(2L -> 1, 3L -> 2, 5L -> 1), s"got $r")
+  }
+
+  test("budgetSelect fills the budget best-first; overflow row drops") {
+    val df = Seq(
+      (1L, "a", 10, 400L), (2L, "a", 9, 500L), (3L, "a", 8, 200L),
+      (4L, "b", 1, 2000L)).toDF("id", "s", "sc", "nt")
+    val r = TextOps.budgetSelect(df, "id", "s", col("sc"), col("nt"), 1000L)
+      .collect().map(x => x.getLong(0) -> x.getLong(4)).toMap
+    // a: 400 (cum 400), 500 (cum 900), 200 would hit 1100 > 1000 -> out
+    // b: first row already over budget -> stratum empty
+    assert(r == Map(1L -> 400L, 2L -> 900L), s"got $r")
+  }
+
   test("redactPii: emails, IPv4, long digit runs; short runs survive") {
     val df = Seq(
       (1L, "mail a.b+c@x-corp.io and d@e.org stay out"),
