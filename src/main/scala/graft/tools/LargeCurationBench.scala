@@ -84,6 +84,21 @@ object LargeCurationBench {
         .groupBy("lang", "kept").count().collect()
     }
 
+    time("groupQuota (window per stratum)") {
+      TextOps.groupQuota(docs.select(col("doc_id"),
+          col("source"), col("lang"),
+          TextOps.tokenCount(col("text")).as("nt")),
+          "doc_id", "source", col("nt"), k = 1000)
+        .groupBy("source").count().collect()
+    }
+
+    time("budgetSelect (window per stratum)") {
+      TextOps.budgetSelect(docs.select(col("doc_id"), col("lang"),
+          TextOps.tokenCount(col("text")).as("nt")),
+          "doc_id", "lang", col("nt"), col("nt"), budget = 1000000L)
+        .groupBy("lang").count().collect()
+    }
+
     spark.stop()
   }
 }
