@@ -26,6 +26,13 @@ object TextOps {
   /** Whitespace token count. */
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  /** Guard for the append-form operators (withColumn replaces by name, so
+    * a pre-existing column of the same name would be SILENTLY clobbered —
+    * fail loud instead, since these ops are made for mid-pipeline use). */
+  private def requireFresh(df: DataFrame, names: String*): Unit =
+    names.foreach(n => require(!df.columns.contains(n),
+      s"input already has a '$n' column — rename it before appending"))
+
   /** BPE-ish subword-unit pattern: letter runs, digit runs, and single
     * punctuation marks each count as a token — the cheap approximation of a
     * byte-pair tokenizer's unit count (same regex family as GPT-style
@@ -131,6 +138,7 @@ object TextOps {
     * is already running. */
   def withHashSplit(df: DataFrame, id: String,
       trainPct: Int = 80, valPct: Int = 10, seed: Int = 42): DataFrame = {
+    requireFresh(df, "bucket", "split")
     val bucket = pmod(portableHash(col(id).cast("string"), seed), lit(100L))
     df.withColumn("bucket", bucket)
       .withColumn("split",
@@ -243,6 +251,7 @@ object TextOps {
   def groupQuota(df: DataFrame, id: String, strata: String, score: Column,
       k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    requireFresh(df, "rank")
     val w = Window.partitionBy(col(strata))
       .orderBy(score.desc, col(id))
     df.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
@@ -258,6 +267,7 @@ object TextOps {
   def budgetSelect(df: DataFrame, id: String, strata: String, score: Column,
       tokens: Column, budget: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    requireFresh(df, "cum_tokens")
     val w = Window.partitionBy(col(strata))
       .orderBy(score.desc, col(id))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -283,15 +293,17 @@ object TextOps {
     * corpus scale. */
   def redactPii(df: DataFrame, text: String, id: String): DataFrame = {
     val t = col(text)
+    // each count runs on the PREVIOUS stage's output (emails gone before
+    // the IP count, IPs gone before the digit-run count) so n_pii always
+    // equals the number of replacements actually made, even when patterns
+    // overlap (an IPv4-shaped email domain is ONE email redaction, not two)
+    val t1 = regexp_replace(t, EmailRe, "<EMAIL>")
+    val t2 = regexp_replace(t1, Ipv4Re, "<IP>")
     val nPii = (size(regexp_extract_all(t, lit(EmailRe), lit(0))) +
-      size(regexp_extract_all(t, lit(Ipv4Re), lit(0))) +
-      size(regexp_extract_all(
-        regexp_replace(regexp_replace(t, EmailRe, "<EMAIL>"), Ipv4Re, "<IP>"),
-        lit(LongNumRe), lit(0)))).cast(LongType)
+      size(regexp_extract_all(t1, lit(Ipv4Re), lit(0))) +
+      size(regexp_extract_all(t2, lit(LongNumRe), lit(0)))).cast(LongType)
     df.select(col(id),
-      regexp_replace(regexp_replace(regexp_replace(
-        t, EmailRe, "<EMAIL>"), Ipv4Re, "<IP>"), LongNumRe, "<ID>")
-        .as("text_redacted"),
+      regexp_replace(t2, LongNumRe, "<ID>").as("text_redacted"),
       nPii.as("n_pii"))
   }
 

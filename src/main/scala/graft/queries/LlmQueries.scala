@@ -822,15 +822,17 @@ object LlmQueries {
          |      (doc_id % 256) || '.7 ref 90012345' || doc_id AS t
          |  FROM documents),
          |r AS (SELECT doc_id, t,
-         |    regexp_replace(regexp_replace(t, '$em', '<EMAIL>', 'g'),
-         |      '$ip', '<IP>', 'g') AS t2
-         |  FROM p)
+         |    regexp_replace(t, '$em', '<EMAIL>', 'g') AS t1
+         |  FROM p),
+         |r2 AS (SELECT doc_id, t, t1,
+         |    regexp_replace(t1, '$ip', '<IP>', 'g') AS t2
+         |  FROM r)
          |SELECT doc_id,
          |  regexp_replace(t2, '$num', '<ID>', 'g') AS text_redacted,
          |  (len(regexp_extract_all(t, '$em'))
-         |   + len(regexp_extract_all(t, '$ip'))
+         |   + len(regexp_extract_all(t1, '$ip'))
          |   + len(regexp_extract_all(t2, '$num')))::BIGINT AS n_pii
-         |FROM r ORDER BY doc_id""".stripMargin
+         |FROM r2 ORDER BY doc_id""".stripMargin
     },
 
     "q67_curation_pipeline" ->

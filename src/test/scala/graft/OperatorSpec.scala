@@ -542,4 +542,22 @@ class OperatorSpec extends AnyFunSuite {
     assert(r(3L) == ("id <ID> yes but 12345678 is too short", 1L))
     assert(r(4L) == ("mixed <EMAIL> at <IP> ref <ID>", 3L))
   }
+
+  test("redactPii overlap: IPv4-shaped email domain counts as ONE redaction") {
+    val df = Seq((1L, "u@1.2.3.4.com wrote")).toDF("doc_id", "text")
+    val r = TextOps.redactPii(df, "text", "doc_id").head()
+    // the email regex consumes the whole address; the IP count runs on the
+    // email-redacted text, so n_pii == replacements actually made
+    assert(r.getString(1) == "<EMAIL> wrote" && r.getLong(2) == 1L)
+  }
+
+  test("append-form operators refuse to clobber existing columns") {
+    val df = Seq((1L, "x", 1)).toDF("id", "bucket", "v")
+    val e = intercept[IllegalArgumentException](
+      TextOps.withHashSplit(df, "id"))
+    assert(e.getMessage.contains("bucket"))
+    val df2 = Seq((1L, "x", 1)).toDF("id", "rank", "v")
+    intercept[IllegalArgumentException](
+      TextOps.groupQuota(df2, "id", "v", col("v"), 1))
+  }
 }
