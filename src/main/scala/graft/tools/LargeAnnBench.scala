@@ -1,0 +1,88 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Large-N evidence run for the IVF ANN path: build + probe + recall over
+  * a deterministic synthetic corpus with PLANTED cluster structure (the
+  * testdata embeddings are near-random, which bounds what any
+  * bucket/cell method can recall — see BASELINE's "ANN recall" table;
+  * production embedding spaces cluster, and this bench measures the
+  * operator in that regime).
+  *
+  * Corpus: `n` 64-d vectors in 64 clusters; vector i = center(i % 64) +
+  * 0.25 × noise(i), both md5-derived ([[graft.operators.Similarity
+  * .planeCoef]] family — no RNG, reruns identical). Claims under test:
+  * ivfBuild is O(corpus) with driver-free Lloyd training; probe cost
+  * scales with nprobe/k of the corpus, not the corpus; recall climbs
+  * with nprobe and hits ~1 at nprobe=k.
+  *
+  * Usage: `sbt "runMain graft.tools.LargeAnnBench [n]"` (default 500k).
+  * Results recorded in BASELINE.md ("Large-N ANN evidence").
+  */
+object LargeAnnBench {
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toLong).getOrElse(500000L)
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "64")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    def time[A](name: String)(f: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val r = f
+      val s = (System.nanoTime() - t0) / 1e9
+      println(f"$name%-34s $s%9.2f s"); (r, s)
+    }
+    import graft.operators.Similarity
+
+    val dims = 64
+    val clusters = 64
+    // center(c, d) in [-1, 1] md5-derived; noise(i, d) likewise, offset
+    // seed so it never collides with a center row
+    val cell = pmod(col("id"), lit(clusters))
+    val vec = transform(sequence(lit(0), lit(dims - 1)), d =>
+      (Similarity.planeCoef(cell, d) +
+        lit(0.25) * Similarity.planeCoef(col("id") + lit(10000), d))
+        .cast("float"))
+    val vecs = spark.range(n)
+      .select(col("id").as("vec_id"), vec.as("embedding"))
+      .cache()
+    println(s"n = $n vectors, $dims-d, $clusters planted clusters")
+    time("corpus materialize")(vecs.count())
+
+    val ivfPath = s"${sys.props("java.io.tmpdir")}/graft_large_ann_ivf"
+    graft.cli.Cleanup.deleteOnExit(ivfPath)
+    val (idx, _) = time(s"ivfBuild k=32, 2 Lloyd rounds")(
+      Similarity.ivfBuild(spark, vecs, "vec_id", "embedding", k = 32,
+        path = ivfPath))
+
+    val k = 10
+    val nq = 20
+    val step = math.max(1L, n / nq)
+    val queries = vecs.where(pmod(col("vec_id"), lit(step)) === 0)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).take(nq)
+
+    def ids(df: DataFrame): Set[Long] = df.collect().map(_.getLong(0)).toSet
+    val exact = queries.map { case (qid, qv) =>
+      qid -> ids(Similarity.bruteForceTopK(vecs, "vec_id", "embedding", qv, k))
+    }.toMap
+    val (_, tBrute) = time(s"brute force, $nq queries")(
+      queries.foreach { case (_, qv) =>
+        Similarity.bruteForceTopK(vecs, "vec_id", "embedding", qv, k).collect() })
+
+    Seq(1, 2, 4, 8).foreach { np =>
+      var hit = 0; var tot = 0
+      val (_, t) = time(s"ivf probe nprobe=$np, $nq queries")(
+        queries.foreach { case (qid, qv) =>
+          val got = ids(Similarity.ivfSearchIndexed(idx, qv.map(_.toDouble),
+            nprobe = np, topK = k))
+          hit += (exact(qid) intersect got).size; tot += exact(qid).size
+        })
+      println(f"  recall@$k = ${hit.toDouble / tot}%.3f" +
+        f"  (${t / nq}%.2f s/query vs brute ${tBrute / nq}%.2f)")
+    }
+    spark.stop()
+  }
+}
