@@ -205,17 +205,47 @@ object TextOps {
     * construction; contiguity within (source, shard) is what training
     * shard layouts actually guarantee. */
   def packChunks(df: DataFrame, id: String, partCols: Seq[String],
+      tokens: Column, chunkTokens: Int = 256): DataFrame =
+    withPackChunks(df, id, partCols, tokens, chunkTokens)
+      .select(col(id) +: partCols.map(col) :+ col("n_tokens") :+
+        col("chunk_id") :+ col("chunk_offset"): _*)
+
+  /** [[packChunks]]'s append form: adds `n_tokens`/`chunk_id`/
+    * `chunk_offset` while keeping the input columns flowing — what
+    * [[packText]] needs to carry the text into the chunk assembly without
+    * a join-back (which would reference the window plan twice). */
+  def withPackChunks(df: DataFrame, id: String, partCols: Seq[String],
       tokens: Column, chunkTokens: Int = 256): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    requireFresh(df, "n_tokens", "chunk_id", "chunk_offset")
     val w = Window.partitionBy(partCols.map(col): _*).orderBy(col(id))
       .rowsBetween(Window.unboundedPreceding, -1)
-    df.select(col(id) +: partCols.map(col) :+
-        tokens.cast(LongType).as("n_tokens"): _*)
+    df.withColumn("n_tokens", tokens.cast(LongType))
       .withColumn("__before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
-      .select(col(id) +: partCols.map(col) :+ col("n_tokens") :+
-        floor(col("__before") / lit(chunkTokens)).cast(LongType).as("chunk_id") :+
-        (col("__before") % lit(chunkTokens)).as("chunk_offset"): _*)
+      .withColumn("chunk_id",
+        floor(col("__before") / lit(chunkTokens)).cast(LongType))
+      .withColumn("chunk_offset", col("__before") % lit(chunkTokens))
+      .drop("__before")
   }
+
+  /** Chunk assembly: the step after [[packChunks]] that emits the actual
+    * training sequences — one row per (group, chunk) with the member
+    * documents' text joined in id order by `sep` (the end-of-text token),
+    * plus doc/token audit counts. One groupBy over the window output;
+    * chunk populations are bounded by the token budget, so the per-group
+    * collect is budget-sized, never corpus-sized. */
+  def packText(df: DataFrame, id: String, partCols: Seq[String],
+      text: String, tokens: Column, chunkTokens: Int = 256,
+      sep: String = " <|eot|> "): DataFrame =
+    withPackChunks(df, id, partCols, tokens, chunkTokens)
+      .groupBy(partCols.map(col) :+ col("chunk_id"): _*)
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("chunk_tokens"),
+        array_join(
+          transform(array_sort(collect_list(struct(col(id), col(text)))),
+            s => s.getField(text)),
+          sep).as("chunk_text"))
 
   /** Per-stratum quantile-threshold keep flag — the distribution-relative
     * quality gate (e.g. "drop the shortest quartile per language", so one

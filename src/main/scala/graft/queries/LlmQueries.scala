@@ -404,6 +404,19 @@ object LlmQueries {
         "doc_id", "source", col("n_tokens"), k = 10)
       .orderBy("doc_id")
 
+  /** q70 — chunk assembly ([[TextOps.packText]]): the packed training
+    * sequences themselves — per (source, chunk), member texts joined in
+    * doc order by the end-of-text separator, with doc/token audits. The
+    * oracle rebuilds the chunks with the same window and joins the text
+    * with `string_agg(... ORDER BY doc_id)` — an independent formulation
+    * of the ordered assembly. */
+  def packText(s: SparkSession, d: String): DataFrame =
+    TextOps.packText(
+        docs(s, d).select(col("doc_id"), col("source"), col("text")),
+        "doc_id", Seq("source"), "text",
+        TextOps.tokenCount(col("text")), ChunkTokens)
+      .orderBy("source", "chunk_id")
+
   /** Per-language token budget for q69 (docs run 10-99 tokens, ~100 docs
     * per language here, so 2000 keeps roughly the better half). */
   val LangTokenBudget = 2000L
@@ -765,6 +778,21 @@ object LlmQueries {
         |      FROM documents)
         |GROUP BY term ORDER BY n_occ DESC, term LIMIT 20""".stripMargin,
 
+    "q70_pack_text" ->
+      s"""WITH t AS (SELECT doc_id, source, text,
+         |    len(string_split_regex(trim(lower(text)), '\\s+'))::BIGINT AS n_tokens
+         |  FROM documents),
+         |c AS (SELECT doc_id, source, text, n_tokens,
+         |    (coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |     // $ChunkTokens)::BIGINT AS chunk_id
+         |  FROM t)
+         |SELECT source, chunk_id, count(*) AS n_docs,
+         |  sum(n_tokens)::BIGINT AS chunk_tokens,
+         |  string_agg(text, ' <|eot|> ' ORDER BY doc_id) AS chunk_text
+         |FROM c GROUP BY source, chunk_id
+         |ORDER BY source, chunk_id""".stripMargin,
+
     "q68_source_quota" ->
       """WITH t AS (SELECT doc_id, source,
         |    len(string_split_regex(trim(lower(text)), '\s+'))::BIGINT AS n_tokens
@@ -901,6 +929,7 @@ object LlmQueries {
     "q67_curation_pipeline" -> curationPipeline _,
     "q68_source_quota" -> sourceQuota _,
     "q69_token_budget" -> tokenBudget _,
+    "q70_pack_text" -> packText _,
     "q38_part_agg" -> ((s, d) =>
       s.read.parquet(s"$d/part.parquet")
         .groupBy("p_brand")

@@ -491,6 +491,21 @@ class OperatorSpec extends AnyFunSuite {
     assert(packed(df.repartition(7)) == got)
   }
 
+  test("packText assembles chunk members in id order with the separator") {
+    val rows = Seq((1L, "a", "one", 100L), (2L, "a", "two", 100L),
+      (3L, "a", "three", 80L), (5L, "b", "solo", 50L))
+    val df = rows.toDF("doc_id", "source", "text", "nt")
+    val r = TextOps.packText(df, "doc_id", Seq("source"), "text",
+        col("nt"), 128, sep = " | ")
+      .collect().map(x => (x.getString(0), x.getLong(1)) ->
+        (x.getLong(2), x.getLong(3), x.getString(4))).toMap
+    // a: doc1 (before 0) and doc2 (before 100) share chunk 0; doc3
+    // (before 200) starts chunk 1; b restarts at chunk 0
+    assert(r(("a", 0L)) == (2L, 200L, "one | two"), s"got $r")
+    assert(r(("a", 1L)) == (1L, 80L, "three"))
+    assert(r(("b", 0L)) == (1L, 50L, "solo"))
+  }
+
   test("quantileKeep: exact per-stratum threshold; approx path agrees here") {
     // stratum x: values 1..4 -> p25 (linear interpolation) = 1.75
     val df = Seq((1L, "x", 1), (2L, "x", 2), (3L, "x", 3), (4L, "x", 4),
