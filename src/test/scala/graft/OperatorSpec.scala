@@ -491,6 +491,52 @@ class OperatorSpec extends AnyFunSuite {
     assert(packed(df.repartition(7)) == got)
   }
 
+  test("packing and selection invariants hold on seeded random corpora") {
+    // independent oracle: a sequential in-memory replay of each operator's
+    // spec over the same rows — random sizes, strata, and physical
+    // partitioning (the operators promise partition-invariance)
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(seed)
+      val n = 50 + rnd.nextInt(100)
+      val rows = (1 to n).map(i => (i.toLong,
+        s"s${rnd.nextInt(4)}", 1L + rnd.nextInt(120)))
+      val df = rows.toDF("id", "g", "nt").repartition(1 + rnd.nextInt(7))
+      val budget = 128
+
+      // packChunks: replay the exclusive cumsum per group sequentially
+      val wantPack = rows.groupBy(_._2).flatMap { case (_, grp) =>
+        var cum = 0L
+        grp.sortBy(_._1).map { case (id, _, nt) =>
+          val r = (id, cum / budget, cum % budget); cum += nt; r
+        }
+      }.map(r => r._1 -> (r._2, r._3)).toMap
+      val gotPack = TextOps.packChunks(df, "id", Seq("g"), col("nt"), budget)
+        .collect().map(r => r.getLong(0) -> (r.getLong(3), r.getLong(4))).toMap
+      assert(gotPack == wantPack, s"seed $seed packChunks")
+
+      // budgetSelect: replay the greedy fill (score = nt desc, id asc)
+      val bud = 600L
+      val wantSel = rows.groupBy(_._2).flatMap { case (_, grp) =>
+        var cum = 0L
+        grp.sortBy(t => (-t._3, t._1)).flatMap { case (id, _, nt) =>
+          cum += nt; if (cum <= bud) Some(id -> cum) else None
+        }
+      }.toMap
+      val gotSel = TextOps.budgetSelect(df, "id", "g", col("nt"), col("nt"), bud)
+        .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+      assert(gotSel == wantSel, s"seed $seed budgetSelect")
+
+      // groupQuota: replay the per-group top-k
+      val k = 1 + rnd.nextInt(5)
+      val wantQ = rows.groupBy(_._2).flatMap { case (_, grp) =>
+        grp.sortBy(t => (-t._3, t._1)).take(k).map(_._1)
+      }.toSet
+      val gotQ = TextOps.groupQuota(df, "id", "g", col("nt"), k)
+        .collect().map(_.getLong(0)).toSet
+      assert(gotQ == wantQ, s"seed $seed groupQuota")
+    }
+  }
+
   test("packText assembles chunk members in id order with the separator") {
     val rows = Seq((1L, "a", "one", 100L), (2L, "a", "two", 100L),
       (3L, "a", "three", 80L), (5L, "b", "solo", 50L))
