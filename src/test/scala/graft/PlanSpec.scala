@@ -185,7 +185,14 @@ class PlanSpec extends AnyFunSuite {
       "q57_dedup_capped_verified" -> 0,
       "q56_dedup_embed_pipeline" -> 3,
       "q51_text_tfidf" -> 2,
-      "q30_dedup_jaccard" -> 0)
+      "q30_dedup_jaccard" -> 0,
+      // q67 composes 4 independent corpus passes (dedup agg, repetition
+      // shingles, n_total, main) — each column-pruned; a 5th scan means a
+      // leg got re-derived (the withHashSplit join-back bug pattern)
+      "q67_curation_pipeline" -> 4,
+      "q62_decontaminate" -> 3,
+      "q65_quantile_filter" -> 2,
+      "q70_pack_text" -> 1)
     budget.foreach { case (name, maxScans) =>
       val df = SparkEntry.queries(name)(spark, sf)
       try {
