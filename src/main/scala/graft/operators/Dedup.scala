@@ -24,9 +24,18 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Exact dedup: keep the smallest id per identical content. */
+  /** Exact dedup: keep the smallest id per identical content.
+    *
+    * Groups by `sha2(text, 256)`, NOT the raw text column: the group key
+    * is the shuffle key, so grouping by text would make the exchange
+    * carry the entire corpus bytes over the network — at 100 TB a 100 TB
+    * shuffle where 32 B/doc suffices (map-side partial aggregation does
+    * not help when texts are mostly distinct). SHA-256 collisions are
+    * negligible at any feasible corpus size (2^-128 at 10^18 docs), and
+    * the hash is oracle-portable (DuckDB `sha256`). Null text hashes to
+    * null — one group, same as grouping by the raw column. */
   def exact(df: DataFrame, text: String, id: String): DataFrame =
-    df.groupBy(col(text))
+    df.groupBy(sha2(col(text), 256).as("content_hash"))
       .agg(min(col(id)).as("keep_id"), count(lit(1)).as("copies"))
       .select("keep_id", "copies")
 
@@ -51,6 +60,11 @@ object Dedup {
         // `__m` twice+, so CollapseProject keeps both materialized:
         // split runs once per doc, the zip_with chain concatenates
         // elementwise in one pass.
+        // no requireFresh needed for __toks/__m: these are select-based
+        // projections (not withColumn), so a pre-existing input column of
+        // either name is projected away like every other non-id column —
+        // each intermediate projection contains the name exactly once
+        // (no ambiguity) and the output is (id, shingle) regardless
         val parts = (0 until n).map(k =>
           slice(col("__toks"), lit(k + 1), col("__m")))
         val sh = parts.reduce((a, b) =>

@@ -157,6 +157,7 @@ object TextOps {
   def sampleFlag(df: DataFrame, id: String, strata: String,
       fractions: Map[String, Double], default: Double = 1.0,
       seed: Int = 77): DataFrame = {
+    requireFresh(df, "__kept")
     val bucket = pmod(portableHash(col(id).cast("string"), seed), lit(1000L))
     val thresh = fractions.toSeq.sortBy(_._1).foldLeft(
       lit(math.round(default * 1000)): Column) { case (acc, (k, f)) =>
@@ -217,10 +218,22 @@ object TextOps {
   def withPackChunks(df: DataFrame, id: String, partCols: Seq[String],
       tokens: Column, chunkTokens: Int = 256): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    requireFresh(df, "n_tokens", "chunk_id", "chunk_offset")
+    // `__before` included: the temp column is withColumn-appended too, so
+    // an input column of that name would be silently clobbered then dropped
+    requireFresh(df, "n_tokens", "chunk_id", "chunk_offset", "__before")
     val w = Window.partitionBy(partCols.map(col): _*).orderBy(col(id))
       .rowsBetween(Window.unboundedPreceding, -1)
-    df.withColumn("n_tokens", tokens.cast(LongType))
+    // null/zero token counts never advance the cumsum, so arbitrarily many
+    // such rows would land in ONE chunk and the per-group collect in
+    // [[packText]] would grow unboundedly — the budget-bounded-population
+    // guarantee holds only for positive counts, so enforce it row-level
+    // (one codegen'd `when`, no extra pass)
+    val tok = tokens.cast(LongType)
+    val checked = when(tok.isNull || tok <= 0,
+      raise_error(concat(
+        lit("packChunks: every row needs a positive token count; got "),
+        coalesce(tok.cast("string"), lit("null"))))).otherwise(tok)
+    df.withColumn("n_tokens", checked)
       .withColumn("__before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
       .withColumn("chunk_id",
         floor(col("__before") / lit(chunkTokens)).cast(LongType))
@@ -233,7 +246,10 @@ object TextOps {
     * documents' text joined in id order by `sep` (the end-of-text token),
     * plus doc/token audit counts. One groupBy over the window output;
     * chunk populations are bounded by the token budget, so the per-group
-    * collect is budget-sized, never corpus-sized. */
+    * collect is budget-sized, never corpus-sized — a bound that holds
+    * BY CONSTRUCTION because [[withPackChunks]] rejects null/non-positive
+    * token counts (which would pile into one chunk without advancing the
+    * cumsum). */
   def packText(df: DataFrame, id: String, partCols: Seq[String],
       text: String, tokens: Column, chunkTokens: Int = 256,
       sep: String = " <|eot|> "): DataFrame =
@@ -297,7 +313,7 @@ object TextOps {
   def budgetSelect(df: DataFrame, id: String, strata: String, score: Column,
       tokens: Column, budget: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    requireFresh(df, "cum_tokens")
+    requireFresh(df, "cum_tokens", "__tok")
     val w = Window.partitionBy(col(strata))
       .orderBy(score.desc, col(id))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -377,11 +377,21 @@ object LlmQueries {
     val keepers = dd.join(
       Dedup.exact(dd, "text", "doc_id")
         .select(col("keep_id").as("doc_id")), Seq("doc_id"), "left_semi")
-    val banded = keepers
+    // the repetition leg shingle-explodes its input (~tokens× row
+    // amplification — the most expensive map work in the pipeline), so it
+    // runs on the dedup+band SURVIVORS, not the full corpus: the semi-join
+    // intersects anyway, and on a real crawl dedup + band drop most docs
+    // before this leg. The survivors feed THREE plan branches (the
+    // semi-join left side + repetitionRatio's two internal references),
+    // so they are materialized once; left lazy, the dedup leg re-executes
+    // per branch. OWNERSHIP: the checkpoint stays a leaf of the returned
+    // frame — consumers release after the final evaluation (Verify/Bench
+    // /PlanSpec do).
+    val banded = graft.engine.Checkpoints.mark(keepers
       .withColumn("n_tokens", TextOps.tokenCount(col("text")).cast("long"))
-      .where(col("n_tokens").between(CurationMinTokens, CurationMaxTokens))
+      .where(col("n_tokens").between(CurationMinTokens, CurationMaxTokens)))
     val lowRep = banded.join(
-      TextOps.repetitionRatio(dd, "text", "doc_id")
+      TextOps.repetitionRatio(banded.select("doc_id", "text"), "text", "doc_id")
         .where(col("rep_ratio") <= CurationMaxRep).select("doc_id"),
       Seq("doc_id"), "left_semi")
     // append form, NOT hashSplit + join-back: the join would reference
@@ -494,7 +504,7 @@ object LlmQueries {
 
     "q29_dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS copies
-        |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
+        |FROM documents GROUP BY sha256(text) ORDER BY keep_id""".stripMargin,
 
     "q30_dedup_jaccard" ->
       s"""WITH $tokCte,

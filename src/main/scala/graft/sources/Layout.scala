@@ -37,9 +37,15 @@ object Layout {
     * returns the shard count it produced. */
   def compact(spark: SparkSession, inPath: String, outPath: String,
       sortCols: Seq[String], targetRecordsPerFile: Long): Int = {
+    require(targetRecordsPerFile > 0,
+      s"targetRecordsPerFile must be positive; got $targetRecordsPerFile")
     val df = spark.read.parquet(inPath)
     val n = df.count()
     val shards = math.max(1L, (n + targetRecordsPerFile - 1) / targetRecordsPerFile)
+    // an unchecked .toInt would silently overflow into a negative/garbage
+    // partition count for n/target beyond Int range
+    require(shards <= Int.MaxValue,
+      s"$n rows / $targetRecordsPerFile per file = $shards shards exceeds Int range")
     writeSorted(df, outPath, sortCols, shards.toInt)
     shards.toInt
   }

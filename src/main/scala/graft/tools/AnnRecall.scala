@@ -52,7 +52,7 @@ object AnnRecall {
         val got = ids(approx(qid, qv))
         hit += (exact intersect got).size; tot += exact.size
       }
-      println(f"$name%-28s recall@$k = ${hit.toDouble / tot}%.3f over $nq queries")
+      println(f"$name%-28s recall@$k = ${hit.toDouble / tot}%.3f over ${queries.size} queries")
     }
 
     recallOf("lsh 16 planes") { (_, qv) =>

@@ -29,7 +29,10 @@ class LayoutSpec extends AnyFunSuite {
     val out = tmpDir("graft_layout_sorted")
     Layout.writeSorted(df, out, Seq("k"), nRanges = 4)
     val files = partFiles(out)
-    assert(files.size == 4)
+    // repartitionByRange samples split points, so exactly-nRanges non-empty
+    // partitions is NOT promised on skewed/low-cardinality keys — the
+    // contract is AT MOST nRanges, plus disjointness and completeness below
+    assert(files.size <= 4 && files.nonEmpty, s"${files.size} files")
     val ranges = files.map { f =>
       val rows = spark.read.parquet(f.getAbsolutePath)
         .select("k").collect().map(_.getLong(0))
@@ -65,7 +68,7 @@ class LayoutSpec extends AnyFunSuite {
     val out = tmpDir("graft_layout_compacted")
     val shards = Layout.compact(spark, smallDir, out, Seq("k"), 200)
     assert(shards == 3) // ceil(500/200)
-    assert(partFiles(out).size == 3)
+    assert(partFiles(out).size <= 3 && partFiles(out).nonEmpty) // sampled ranges
     val got = spark.read.parquet(out).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got == df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet)

@@ -125,6 +125,41 @@ class PlanSpec extends AnyFunSuite {
     assert("partial_count".r.findAllIn(p).size >= 2, p.take(3000))
   }
 
+  test("q29: exact-dedup exchanges carry the content hash, never the text bytes") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val df = SparkEntry.queries("q29_dedup_exact")(spark, sf)
+    df.collect()
+    // AQE wraps shuffles in leaf query stages; unwrap to reach every
+    // exchange in the FINAL plan
+    def flatten(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => a +: flatten(a.executedPlan)
+      case q: QueryStageExec        => q +: flatten(q.plan)
+      case other                    => other +: other.children.flatMap(flatten)
+    }
+    val shuffles = flatten(df.queryExecution.executedPlan)
+      .collect { case s: ShuffleExchangeLike => s }
+    assert(shuffles.nonEmpty)
+    // the shuffle PAYLOAD (exchange output = partial-agg output) must be
+    // (hash, partial min, partial count) — 32 B/doc; carrying the text
+    // column here would ship the whole corpus through the exchange
+    shuffles.foreach { s =>
+      assert(!s.output.exists(_.name == "text"),
+        s"exchange payload carries text: ${s.output.mkString(", ")}")
+    }
+    // and the agg shuffle is KEYED on the hash, not the raw text column —
+    // Catalyst normalizes the groupBy-expression alias to
+    // _groupingexpression; the hash itself is computed map-side (the
+    // Project under the partial aggregate)
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert("hashpartitioning\\((content_hash|_groupingexpression)".r
+      .findFirstIn(p).isDefined, p.take(3000))
+    assert(p.contains("sha2(cast(text"), p.take(3000))
+    assert("partitioning\\(text".r.findFirstIn(p).isEmpty, p.take(3000))
+  }
+
   test("q13/q14: semi and anti joins plan as semi/anti, not inner+distinct") {
     assert(plan("q13_semi_join").contains("LeftSemi"))
     assert(plan("q14_anti_join").contains("LeftAnti"))
@@ -186,10 +221,10 @@ class PlanSpec extends AnyFunSuite {
       "q56_dedup_embed_pipeline" -> 3,
       "q51_text_tfidf" -> 2,
       "q30_dedup_jaccard" -> 0,
-      // q67 composes 4 independent corpus passes (dedup agg, repetition
-      // shingles, n_total, main) — each column-pruned; a 5th scan means a
-      // leg got re-derived (the withHashSplit join-back bug pattern)
-      "q67_curation_pipeline" -> 4,
+      // q67 materializes the dedup+band survivors once (they feed the
+      // repetition semi-join's three branches); the final plan reads only
+      // the checkpoint — any corpus scan means a leg got re-derived
+      "q67_curation_pipeline" -> 0,
       "q62_decontaminate" -> 3,
       "q65_quantile_filter" -> 2,
       "q70_pack_text" -> 1)
