@@ -191,25 +191,72 @@ object Dedup {
     * it; those docs belong on the connected-components path
     * ([[lshStarEdges]]), not in a verified-pair join. Read the index back
     * with [[bandIndexRead]]; surface `<path>/skipped` (it is the record
-    * that coverage was bounded). */
+    * that coverage was bounded).
+    *
+    * On `append = true` the cap is decided over the COMBINED size
+    * (existing band rows + previously skipped total + this batch), so a
+    * bucket that straddles appends can never silently exceed `maxBucket`:
+    * once a bucket's total crosses the cap, every later append routes its
+    * rows to `<path>/skipped`, and a bucket skipped at build time stays
+    * excluded even when a later batch alone would fit under the cap
+    * (its historical rows are not in the index — admitting new ones
+    * would present a silently partial bucket as complete). The invariant
+    * is that `<path>/bands` never holds more than `maxBucket` rows of
+    * any bucket, at every point in time; no periodic rebuild needed.
+    * The existing-size lookup reads only the (2-long) stacked rows of
+    * buckets the batch touches — a semi-joined aggregate, not an index
+    * rewrite. `<path>/skipped` may then carry one row per append for the
+    * same bucket; the max-size row is current ([[bandIndexSkipped]]
+    * dedupes). */
   def bandIndexWrite(banded: DataFrame, id: String, bands: Int,
       path: String, maxBucket: Int = Int.MaxValue,
       append: Boolean = false): Unit = {
     val stacked = stackBands(banded, id, bands)
+    val spark = banded.sparkSession
+    val hp = new org.apache.hadoop.fs.Path(s"$path/bands")
+    val indexExists =
+      hp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(hp)
     val mode = if (append) "append" else "overwrite"
     if (maxBucket == Int.MaxValue) {
       stacked.write.mode(mode).parquet(s"$path/bands")
-    } else {
-      // one pass over the (compact) stacked rows to size buckets; at
-      // append time the cap is re-evaluated only over the appended rows —
-      // rebuild periodically if buckets straddle appends
+    } else if (!append || !indexExists) {
+      // build: one pass over the (compact) stacked rows to size buckets
       val sizes = stacked.groupBy("bi", "k").agg(count(lit(1)).as("size"))
       stacked.join(sizes.where(col("size") <= maxBucket).select("bi", "k"),
           Seq("bi", "k"))
-        .write.mode(mode).parquet(s"$path/bands")
+        .write.mode("overwrite").parquet(s"$path/bands")
       sizes.where(col("size") > maxBucket)
         .select(col("bi").as("band_idx"), col("k").as("key"), col("size"))
-        .write.mode(mode).parquet(s"$path/skipped")
+        .write.mode("overwrite").parquet(s"$path/skipped")
+    } else {
+      // append: combined = already-indexed rows of the touched buckets
+      // + previously-skipped totals + this batch
+      val touched = stacked.select("bi", "k").distinct()
+      val oldSizes = bandIndexRead(spark, path)
+        .join(touched, Seq("bi", "k"), "left_semi")
+        .groupBy("bi", "k").agg(count(lit(1)).as("__old"))
+      val oldSkipped = bandIndexSkipped(spark, path)
+        .groupBy(col("band_idx").as("bi"), col("key").as("k"))
+        .agg(max("size").as("__oldskip"))
+      val sizes = stacked.groupBy("bi", "k").agg(count(lit(1)).as("__add"))
+        .join(oldSizes, Seq("bi", "k"), "left")
+        .join(oldSkipped, Seq("bi", "k"), "left")
+        .select(col("bi"), col("k"),
+          (coalesce(col("__old"), lit(0L)) +
+            coalesce(col("__oldskip"), lit(0L)) + col("__add")).as("size"),
+          col("__oldskip").isNotNull.as("__preskipped"))
+      // materialize the exclusion set BEFORE either write: both writes
+      // consume it, and a lazy `over` would re-read `<path>/bands` for the
+      // second write AFTER the first already appended the batch rows
+      // (double-counting the batch in the sizes)
+      val over = graft.engine.Checkpoints.mark(
+        sizes.where(col("__preskipped") || col("size") > maxBucket))
+      try {
+        stacked.join(over.select("bi", "k"), Seq("bi", "k"), "left_anti")
+          .write.mode("append").parquet(s"$path/bands")
+        over.select(col("bi").as("band_idx"), col("k").as("key"), col("size"))
+          .write.mode("append").parquet(s"$path/skipped")
+      } finally graft.engine.Checkpoints.release(over)
     }
   }
 
@@ -218,9 +265,12 @@ object Dedup {
     spark.read.parquet(s"$path/bands")
 
   /** The `(band_idx, key, size)` buckets a capped [[bandIndexWrite]]
-    * excluded; empty for an uncapped index. */
+    * excluded; empty for an uncapped index. A bucket re-hit by several
+    * appends has one sidecar row per append; this returns the current
+    * (max) total per bucket. */
   def bandIndexSkipped(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
     try spark.read.parquet(s"$path/skipped")
+      .groupBy("band_idx", "key").agg(max("size").as("size"))
     catch { case _: org.apache.spark.sql.AnalysisException =>
       spark.emptyDataFrame
         .withColumn("band_idx", lit(0))

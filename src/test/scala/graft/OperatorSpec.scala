@@ -383,6 +383,42 @@ class OperatorSpec extends AnyFunSuite {
       kept("bi") === skipped("band_idx") && kept("k") === skipped("key")).isEmpty)
   }
 
+  test("bandIndexWrite append: cap decided over combined size — straddling buckets stay bounded") {
+    val idxPath = s"${sys.props("java.io.tmpdir")}/graft_test_band_straddle"
+    graft.cli.Cleanup.deleteOnExit(idxPath)
+    // hand-crafted single-band frames: bucket = the band0 value
+    def banded(rows: (Long, Long)*) = rows.toDF("doc_id", "band0")
+    def keyCount(k: Long): Long =
+      Dedup.bandIndexRead(spark, idxPath).where(col("k") === k).count()
+    def skippedSizes: Map[Long, Long] =
+      Dedup.bandIndexSkipped(spark, idxPath).collect()
+        .map(r => r.getLong(1) -> r.getLong(2)).toMap
+    // build, cap=3: bucket 7 (2 docs) kept; bucket 9 (4 docs) skipped
+    Dedup.bandIndexWrite(banded(1L -> 7L, 2L -> 7L,
+        11L -> 9L, 12L -> 9L, 13L -> 9L, 14L -> 9L),
+      "doc_id", 1, idxPath, maxBucket = 3)
+    assert(keyCount(7L) == 2 && keyCount(9L) == 0)
+    assert(skippedSizes == Map(9L -> 4L))
+    // append within the cap: combined 3 <= 3, admitted
+    Dedup.bandIndexWrite(banded(3L -> 7L), "doc_id", 1, idxPath,
+      maxBucket = 3, append = true)
+    assert(keyCount(7L) == 3)
+    // append past the cap: the appended rows are excluded, the in-index
+    // bucket never exceeds the cap, and skipped records the true total —
+    // the straddling bucket the per-batch cap used to miss
+    Dedup.bandIndexWrite(banded(4L -> 7L, 5L -> 7L), "doc_id", 1, idxPath,
+      maxBucket = 3, append = true)
+    assert(keyCount(7L) == 3)
+    assert(skippedSizes(7L) == 5L)
+    // a bucket skipped at BUILD stays excluded even when a later batch
+    // alone would fit (its historical rows are gone — admitting new ones
+    // would present a partial bucket as complete)
+    Dedup.bandIndexWrite(banded(15L -> 9L), "doc_id", 1, idxPath,
+      maxBucket = 3, append = true)
+    assert(keyCount(9L) == 0)
+    assert(skippedSizes(9L) == 5L)
+  }
+
   test("repetitionRatio counts distinct vs total n-grams") {
     val rows = Seq(
       (1L, "a b c a b c a b c"),  // 7 total 3-grams, 3 distinct

@@ -15,6 +15,18 @@ class PlanSpec extends AnyFunSuite {
   private def plan(name: String): String =
     SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
 
+  /** Every node of the FINAL physical plan — unwraps AQE's adaptive root
+    * and leaf query stages, which hide their subtrees from `collect`. */
+  private def flattenPlan(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    p match {
+      case a: AdaptiveSparkPlanExec => a +: flattenPlan(a.executedPlan)
+      case q: QueryStageExec        => q +: flattenPlan(q.plan)
+      case other                    => other +: other.children.flatMap(flattenPlan)
+    }
+  }
+
   test("q01: range predicate and projection push down to the parquet scan") {
     val p = plan("q01_scan_filter_project")
     assert(p.contains("PushedFilters:") &&
@@ -126,19 +138,10 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("q29: exact-dedup exchanges carry the content hash, never the text bytes") {
-    import org.apache.spark.sql.execution.SparkPlan
-    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
     val df = SparkEntry.queries("q29_dedup_exact")(spark, sf)
     df.collect()
-    // AQE wraps shuffles in leaf query stages; unwrap to reach every
-    // exchange in the FINAL plan
-    def flatten(p: SparkPlan): Seq[SparkPlan] = p match {
-      case a: AdaptiveSparkPlanExec => a +: flatten(a.executedPlan)
-      case q: QueryStageExec        => q +: flatten(q.plan)
-      case other                    => other +: other.children.flatMap(flatten)
-    }
-    val shuffles = flatten(df.queryExecution.executedPlan)
+    val shuffles = flattenPlan(df.queryExecution.executedPlan)
       .collect { case s: ShuffleExchangeLike => s }
     assert(shuffles.nonEmpty)
     // the shuffle PAYLOAD (exchange output = partial-agg output) must be
@@ -207,6 +210,43 @@ class PlanSpec extends AnyFunSuite {
     val stripped = p.replaceAll("Exchange rangepartitioning[^\n]*", "")
     assert(!stripped.contains("Exchange "), p.take(3000))
     assert("FileScan parquet".r.findAllIn(p).size == 1, p.take(3000))
+  }
+
+  test("Layout.writeSorted: a key-range read decodes only the overlapping ranges") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.functions.col
+    // the 100 TB claim behind writeSorted: disjoint sorted ranges give
+    // parquet min/max footer stats that let a key-range scan SKIP the
+    // non-overlapping files' row groups entirely. File listing is static
+    // (numFiles counts both layouts alike); the skip shows up as row
+    // groups never decoded — the scan's numOutputRows metric.
+    def tmp(name: String): String = {
+      val p = java.nio.file.Files.createTempDirectory(name).toString
+      graft.cli.Cleanup.deleteOnExit(p); p
+    }
+    val n = 40000L
+    val df = spark.range(n).select(col("id").as("k"), (col("id") % 97).as("v"))
+    val sortedPath = tmp("graft_plan_layout_sorted")
+    val unsortedPath = tmp("graft_plan_layout_unsorted")
+    graft.sources.Layout.writeSorted(df, sortedPath, Seq("k"), nRanges = 8)
+    // same rows, same file count, but hash-partitioned: every file spans
+    // the full key range, so footer stats can never exclude one
+    df.repartition(8).write.mode("overwrite").parquet(unsortedPath)
+
+    def scanRows(path: String): Long = {
+      val q = spark.read.parquet(path).where(col("k").between(100, 200))
+      assert(q.collect().length == 101)
+      val p = q.queryExecution.executedPlan
+      assert(p.toString.contains("PushedFilters: [IsNotNull(k), GreaterThanOrEqual(k,100)"),
+        p.toString.take(2000))
+      flattenPlan(p).collect { case s: FileSourceScanExec => s }
+        .map(_.metrics("numOutputRows").value).sum
+    }
+    val sortedRows = scanRows(sortedPath)
+    val unsortedRows = scanRows(unsortedPath)
+    // unsorted decodes everything; sorted decodes at most one range's worth
+    assert(unsortedRows == n, s"unsorted layout decoded $unsortedRows")
+    assert(sortedRows <= n / 8 + 1, s"sorted layout decoded $sortedRows of $n")
   }
 
   test("composed pipelines stay inside their corpus-scan budget") {
