@@ -8,11 +8,14 @@ import org.apache.spark.sql.types._
   * `binary` columns with typed metadata, processed per-partition in batches.
   *
   * The Spark-side shape (schema, partitioning, per-partition batch
-  * iteration) is real and tested; the actual media decode is a STUB —
-  * the image/audio codecs are not in this container — replaced by a
-  * deterministic fake that derives metadata from the byte payload. Swap
-  * [[decodeStub]] for a real codec (e.g. javax.imageio / ffmpeg bindings)
-  * without touching the dataflow.
+  * iteration) is real and tested. The decode layer is split: binary PPM
+  * (P6) images decode FOR REAL ([[decodePpm]] — a pure-JVM header parse +
+  * pixel-plane extraction, no codec dependency), and its output feeds
+  * [[featureExtract]] like any other payload; formats that need real
+  * codecs (JPEG/audio/video — not in this container) remain a clearly
+  * marked STUB ([[decodeStub]]) with deterministic fake metadata. Swap
+  * the stub for a real codec (javax.imageio / ffmpeg bindings) without
+  * touching the dataflow.
   */
 object Multimodal {
 
@@ -96,6 +99,67 @@ object Multimodal {
         // hex form for the oracle compare (DuckDB cannot slice/hash BLOBs;
         // it slices the hex text instead — byte-exact either way)
         hex(col("frame")).as("frame_hex"))
+  }
+
+  /** Parse a binary PPM (P6) header: returns `(width, height, maxval,
+    * dataOffset)`, or None for anything that is not a well-formed
+    * single-byte-depth P6 blob. Real format handling: `#` comments and
+    * arbitrary whitespace between header tokens, exactly one whitespace
+    * byte after maxval before the pixel plane, maxval 1..255 (2-byte
+    * samples rejected). Pure JVM — no codec dependency. */
+  def parsePpmHeader(b: Array[Byte]): Option[(Int, Int, Int, Int)] = {
+    def isWs(c: Byte): Boolean =
+      c == ' '.toByte || c == '\n'.toByte || c == '\r'.toByte || c == '\t'.toByte
+    if (b.length < 2 || b(0) != 'P'.toByte || b(1) != '6'.toByte) return None
+    var i = 2
+    def int(): Int = { // -1 = malformed
+      var ws = true
+      while (ws && i < b.length) {
+        if (b(i) == '#'.toByte) { // comment runs to end-of-line
+          while (i < b.length && b(i) != '\n'.toByte) i += 1
+        } else if (isWs(b(i))) i += 1
+        else ws = false
+      }
+      val s = i
+      while (i < b.length && b(i) >= '0'.toByte && b(i) <= '9'.toByte) i += 1
+      if (i == s || i - s > 9) -1 else new String(b, s, i - s, "US-ASCII").toInt
+    }
+    val w = int(); val h = int(); val m = int()
+    if (w <= 0 || h <= 0 || m <= 0 || m > 255) None
+    else if (i >= b.length || !isWs(b(i))) None
+    else Some((w, h, m, i + 1))
+  }
+
+  /** Decoded P6 image: typed metadata + the raw RGB pixel plane (width ×
+    * height × 3 bytes), ready for [[featureExtract]] / [[resizeStub]]. */
+  final case class PpmImage(doc_id: Long, width: Int, height: Int,
+      maxval: Int, n_pixel_bytes: Long, pixels: Array[Byte])
+
+  /** REAL batch decode of binary PPM (P6) payloads through the same
+    * per-partition seam the stub uses — proof the decode slot is a plug
+    * point, not a hand-wave. Malformed or truncated blobs (bad magic,
+    * comment-only header, pixel plane shorter than width×height×3) are
+    * DROPPED, the same null-propagation discipline the SQL operators use;
+    * a production ingest would route them to a quarantine sidecar. Map-
+    * only: at 100 TB this is a free pass over the scan, and the pixel
+    * plane never shuffles unless the caller asks for it. */
+  def decodePpm(df: DataFrame, id: String,
+      payload: String = "payload"): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.product[PpmImage]
+    df.select(col(id).cast("long"), col(payload))
+      .where(col(payload).isNotNull)
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val bytes = r.getAs[Array[Byte]](1)
+          parsePpmHeader(bytes).flatMap { case (w, h, m, off) =>
+            val n = w.toLong * h * 3
+            if (n > Int.MaxValue - off || bytes.length - off < n) None
+            else Some(PpmImage(r.getLong(0), w, h, m, n,
+              java.util.Arrays.copyOfRange(bytes, off, off + n.toInt)))
+          }
+        }
+      }(enc)
+      .toDF()
   }
 
   /** Feature-extraction stub: a deterministic 16-dim float feature vector

@@ -447,6 +447,28 @@ object LlmQueries {
       Multimodal.withBinaryPayload(docs(s, d), "text"), "doc_id", "payload")
       .orderBy("doc_id")
 
+  /** q71 — REAL binary image decode: each doc's text is wrapped into a
+    * valid binary PPM (P6) payload (dims derived from doc_id, pixel plane
+    * = the text bytes padded/truncated to width×height×3) and
+    * [[Multimodal.decodePpm]] parses the format back — magic, header
+    * whitespace, maxval, plane-length validation — and extracts the pixel
+    * plane. The decode is genuine format parsing; the deterministic
+    * construction is what lets DuckDB replay it (the oracle rebuilds the
+    * same pixel slice and compares hex, byte-exact, as q53 does). */
+  def ppmDecode(s: SparkSession, d: String): DataFrame = {
+    val npix = "cast((4 + doc_id % 8) * (3 + doc_id % 5) * 3 as int)"
+    val withPayload = docs(s, d).select(col("doc_id"),
+      encode(concat(
+        lit("P6\n"),
+        (lit(4) + col("doc_id") % 8).cast("string"), lit(" "),
+        (lit(3) + col("doc_id") % 5).cast("string"), lit("\n255\n"),
+        expr(s"rpad(text, $npix, '.')")), "UTF-8").as("payload"))
+    Multimodal.decodePpm(withPayload, "doc_id", "payload")
+      .select(col("doc_id"), col("width"), col("height"), col("maxval"),
+        col("n_pixel_bytes"), hex(col("pixels")).as("pixels_hex"))
+      .orderBy("doc_id")
+  }
+
   /** q53 — every 2nd frame of the chunked video-payload stub; the binary
     * slice happens Spark-side, the oracle slices hex text (byte-exact). */
   def multimodalFrames(s: SparkSession, d: String): DataFrame =
@@ -682,6 +704,16 @@ object LlmQueries {
         |FROM m CROSS JOIN generate_series(0, 29, 2) t(i)
         |WHERE i < n_frames
         |ORDER BY doc_id, frame_idx""".stripMargin,
+
+    "q71_ppm_decode" ->
+      """WITH d AS (SELECT doc_id,
+        |    (4 + doc_id % 8)::INTEGER AS width,
+        |    (3 + doc_id % 5)::INTEGER AS height,
+        |    ((4 + doc_id % 8) * (3 + doc_id % 5) * 3)::BIGINT AS n_pixel_bytes,
+        |    text FROM documents)
+        |SELECT doc_id, width, height, 255::INTEGER AS maxval, n_pixel_bytes,
+        |  hex(encode(rpad(text, n_pixel_bytes::INTEGER, '.'))) AS pixels_hex
+        |FROM d ORDER BY doc_id""".stripMargin,
 
     "q37_multimodal_meta" ->
       """SELECT doc_id, octet_length(encode(text))::BIGINT AS n_bytes,
@@ -925,6 +957,7 @@ object LlmQueries {
     "q56_dedup_embed_pipeline" -> dedupEmbedPipeline _,
     "q37_multimodal_meta" -> multimodalMeta _,
     "q53_multimodal_frames" -> multimodalFrames _,
+    "q71_ppm_decode" -> ppmDecode _,
     "q50_text_stopwords" -> textStopwords _,
     "q51_text_tfidf" -> textTfidf _,
     "q58_hash_split" -> corpusHashSplit _,

@@ -183,6 +183,47 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("PPM decode: real P6 header parse — comments, whitespace, rejects, pixel plane") {
+    def ppm(header: String, pixels: Array[Byte]): Array[Byte] =
+      header.getBytes("US-ASCII") ++ pixels
+    val px = Array.tabulate(2 * 2 * 3)(i => (i * 7 + 3).toByte)
+    // header parse directly: comments and arbitrary whitespace are legal
+    assert(Multimodal.parsePpmHeader(ppm("P6\n2 2\n255\n", px))
+      .contains((2, 2, 255, 11)))
+    assert(Multimodal.parsePpmHeader(
+      ppm("P6\n# a comment\n 2\t2 # dims\n255\n", px)).map(t => (t._1, t._2, t._3))
+      .contains((2, 2, 255)))
+    // rejects: bad magic (P3 = ASCII ppm), 2-byte samples, missing tokens
+    assert(Multimodal.parsePpmHeader(ppm("P3\n2 2\n255\n", px)).isEmpty)
+    assert(Multimodal.parsePpmHeader(ppm("P6\n2 2\n65535\n", px)).isEmpty)
+    assert(Multimodal.parsePpmHeader(ppm("P6\n2\n255\n", px)).isEmpty)
+
+    val rows = Seq(
+      1L -> ppm("P6\n2 2\n255\n", px),                    // valid
+      2L -> ppm("P6\n# hi\n2 2\n255\n", px),              // valid, comment
+      3L -> ppm("P6\n4 4\n255\n", px),                    // truncated plane
+      4L -> "not an image".getBytes("US-ASCII"),          // garbage
+      5L -> ppm("P6\n2 2\n255\n", px ++ Array[Byte](9, 9)) // trailing junk ok
+    ).toDF("doc_id", "payload")
+    val got = Multimodal.decodePpm(rows, "doc_id").collect()
+      .map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getInt(3), r.getAs[Array[Byte]](5).toSeq))
+      .toMap
+    // malformed/truncated blobs drop; valid ones decode byte-exact
+    assert(got.keySet == Set(1L, 2L, 5L))
+    got.values.foreach { case (w, h, m, pix) =>
+      assert(w == 2 && h == 2 && m == 255 && pix == px.toSeq)
+    }
+    // the decoded pixel plane feeds featureExtract like any payload
+    val feats = Multimodal.featureExtract(spark,
+        Multimodal.decodePpm(rows, "doc_id"), "doc_id", "pixels")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(feats.keySet == Set(1L, 2L, 5L))
+    feats.values.foreach(v => assert(v.size == 16 && math.abs(v.sum - 1f) < 1e-3))
+    // identical pixel planes -> identical features, regardless of header form
+    assert(feats(1L) == feats(2L) && feats(1L) == feats(5L))
+  }
+
   test("multimodal feature extraction feeds the ANN operators") {
     val withP = graft.operators.Multimodal.withBinaryPayload(docs, "text")
     val feats = graft.operators.Multimodal.featureExtract(spark, withP, "doc_id")
