@@ -276,17 +276,33 @@ object TextOps {
     * streaming-friendly threshold. The threshold side is strata-sized
     * (tiny), broadcast back onto the corpus scan. */
   def quantileKeep(df: DataFrame, id: String, strata: String, value: Column,
+      q: Double, exact: Boolean = true, eps: Double = 1e-4): DataFrame =
+    applyThresholds(df, quantileThresholds(df, strata, value, q, exact, eps),
+      id, strata, value)
+
+  /** The per-stratum `(strata, thresh)` frame [[quantileKeep]] joins back —
+    * exposed so other consumers can decouple threshold DERIVATION from
+    * gate APPLICATION: [[graft.streaming.StreamingOps.quantileGate]] joins
+    * a live stream against a static threshold frame computed here over an
+    * already-ingested corpus (and periodically refreshed). */
+  def quantileThresholds(df: DataFrame, strata: String, value: Column,
       q: Double, exact: Boolean = true, eps: Double = 1e-4): DataFrame = {
     val v = value.cast("double")
     val agg = if (exact) percentile(v, lit(q))
       else percentile_approx(v, lit(q), lit((1.0 / eps).toInt))
-    val thresholds = df.groupBy(col(strata))
-      .agg(round(agg, 6).as("thresh"))
-    df.select(col(id), col(strata), v.as("value"))
+    df.groupBy(col(strata)).agg(round(agg, 6).as("thresh"))
+  }
+
+  /** Apply a `(strata, thresh)` frame to rows: emits every row with its
+    * stratum threshold and `kept` = value >= threshold. The threshold side
+    * is strata-sized (tiny) and broadcast — on a stream this makes the
+    * gate a stateless map-side join, no shuffle of the data side. */
+  def applyThresholds(df: DataFrame, thresholds: DataFrame, id: String,
+      strata: String, value: Column): DataFrame =
+    df.select(col(id), col(strata), value.cast("double").as("value"))
       .join(broadcast(thresholds), strata)
       .select(col(id), col(strata), col("value"), col("thresh"),
         (col("value") >= col("thresh")).cast("int").as("kept"))
-  }
 
   /** Per-stratum quota: keep the `k` best rows per stratum by `score`
     * (ties break to the smallest id for determinism), with the rank as an

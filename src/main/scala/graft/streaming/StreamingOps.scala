@@ -104,6 +104,24 @@ object StreamingOps {
       Dedup.lshBands(sig, id, numHashes, bands), id, bands)
   }
 
+  /** Distribution-relative quality gate on a stream — the streaming form
+    * of the batch per-stratum quantile gate
+    * ([[graft.operators.TextOps.quantileKeep]], SparkEntry q65). A
+    * quantile over an unbounded stream is ill-defined, so the thresholds
+    * come from a STATIC frame ([[graft.operators.TextOps.quantileThresholds]]
+    * with `exact = false` — approx_percentile's t-digest — over the
+    * already-ingested corpus, refreshed on whatever cadence the corpus
+    * drifts; re-reading the frame per micro-batch picks the refresh up).
+    * The stream side is then a stateless broadcast join + comparison —
+    * map-only per micro-batch, no stream-side shuffle, no state. Same
+    * output schema as the batch gate: `(id, strata, value, thresh, kept)`.
+    */
+  def quantileGate(docsStream: DataFrame, thresholds: DataFrame,
+      id: String, strata: String,
+      value: org.apache.spark.sql.Column): DataFrame =
+    graft.operators.TextOps.applyThresholds(
+      docsStream, thresholds, id, strata, value)
+
   /** Custom keyed state via mapGroupsWithState: per-user running
     * count/sum/max — state the built-in aggregations would re-shuffle for,
     * kept incrementally per key. State size is O(keys), partitioned by key

@@ -154,6 +154,45 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming quantile gate: static t-digest thresholds, stream ≡ batch") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    import graft.operators.TextOps
+    import org.apache.spark.sql.functions.col
+    // the already-ingested corpus fixes the per-stratum thresholds — the
+    // approx (t-digest) path, i.e. what a production refresh job computes
+    val corpus = Seq(
+      (1L, "en", 10.0), (2L, "en", 20.0), (3L, "en", 30.0), (4L, "en", 40.0),
+      (5L, "de", 100.0), (6L, "de", 200.0), (7L, "de", 300.0), (8L, "de", 400.0)
+    ).toDF("doc_id", "lang", "score")
+    val thresholds = TextOps.quantileThresholds(
+      corpus, "lang", col("score"), q = 0.25, exact = false)
+    val incoming = Seq((11L, "en", 1.0), (12L, "en", 35.0),
+      (13L, "de", 5.0), (14L, "de", 350.0))
+    val batchOut = TextOps.applyThresholds(
+        incoming.toDF("doc_id", "lang", "score"),
+        thresholds, "doc_id", "lang", col("score"))
+      .collect().map(_.toSeq).toSet
+
+    val mem = MemoryStream[(Long, String, Double)]
+    val gated = StreamingOps.quantileGate(
+      mem.toDF().toDF("doc_id", "lang", "score"),
+      thresholds, "doc_id", "lang", col("score"))
+    assert(gated.isStreaming)
+    val q = gated.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("qgate_out").start()
+    try {
+      mem.addData(incoming: _*)
+      q.processAllAvailable()
+      val got = spark.table("qgate_out").collect().map(_.toSeq).toSet
+      assert(got == batchOut) // stream ≡ batch, row for row
+      // gate semantics: below-minimum rows flagged 0, top rows kept
+      val kept = got.map(r => r.head -> r.last).toMap
+      assert(kept(11L) == 0 && kept(13L) == 0)
+      assert(kept(12L) == 1 && kept(14L) == 1)
+    } finally q.stop()
+  }
+
   test("stateless curation ops (redact, split) apply unchanged to a stream") {
     // the map-only curation operators are column arithmetic, so the SAME
     // operator call works on readStream frames — incremental ingest
