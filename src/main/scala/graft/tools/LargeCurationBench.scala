@@ -78,6 +78,20 @@ object LargeCurationBench {
         .agg(max("chunk_id")).collect()
     }
 
+    // the one curation op that carries TEXT through a per-group buffer
+    // (collect_list in the chunk assembly) — its memory profile is the
+    // claim worth evidencing: chunk populations are budget-bounded by
+    // construction, so the buffer is ~chunkTokens of text per group,
+    // never a stratum's worth
+    time("packText (text through collect_list)") {
+      TextOps.packText(
+          docs.select(col("doc_id"), col("source"), col("lang"), col("text")),
+          "doc_id", Seq("source", "lang"), "text",
+          TextOps.tokenCount(col("text")), 2048)
+        .agg(count(lit(1)).as("n_chunks"),
+          max(length(col("chunk_text"))).as("max_chunk_chars")).collect()
+    }
+
     time("quantileKeep (t-digest path)") {
       TextOps.quantileKeep(docs, "doc_id", "lang",
           TextOps.tokenCount(col("text")), q = 0.25, exact = false)
