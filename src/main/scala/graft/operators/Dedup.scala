@@ -316,12 +316,32 @@ object Dedup {
   /** n-gram Jaccard similarity for given candidate pairs (a, b): computed by
     * equi-joining exploded distinct shingle sets — |A ∩ B| / |A ∪ B|.
     * Pairs come from LSH buckets (never all-pairs), so the join stays
-    * candidate-bounded at scale. */
-  def jaccardPairs(sh: DataFrame, pairs: DataFrame, id: String): DataFrame = {
-    val sizes = sh.groupBy(col(id)).agg(count(lit(1)).as("n"))
+    * candidate-bounded at scale.
+    *
+    * The intersection joins run on the 60-bit portable HASH of each
+    * shingle, not the n-gram text: the join key is the shuffle key, so
+    * keying on text would ship every shingle's bytes through two
+    * exchanges — the same payload class as grouping [[exact]] by raw
+    * text. 8 B/shingle instead; a same-doc hash collision inflating one
+    * intersection count has odds ~2⁻⁶⁰ per shingle pair — immaterial
+    * against corpus-scale shuffle bytes. */
+  def jaccardPairs(sh: DataFrame, pairs: DataFrame, id: String): DataFrame =
+    jaccardPairsHashed(hashShingles(sh, id), pairs, id)
+
+  /** The `(id, sh_h)` form of a distinct shingle set — the join-ready
+    * 16 B/row representation the Jaccard operators shuffle. */
+  def hashShingles(sh: DataFrame, id: String): DataFrame =
+    sh.select(col(id), TextOps.portableHash(col("shingle"), 9).as("sh_h"))
+
+  /** [[jaccardPairs]] over pre-hashed DISTINCT `(id, sh_h)` rows
+    * ([[hashShingles]]) — for pipelines that materialize the shingle set
+    * once (q57): the checkpoint then holds 16 B/row instead of n-gram
+    * text, and every downstream exchange is already compact. */
+  def jaccardPairsHashed(h: DataFrame, pairs: DataFrame, id: String): DataFrame = {
+    val sizes = h.groupBy(col(id)).agg(count(lit(1)).as("n"))
     val inter = pairs
-      .join(sh.select(col(id).as("a"), col("shingle")), "a")
-      .join(sh.select(col(id).as("b"), col("shingle")), Seq("b", "shingle"))
+      .join(h.select(col(id).as("a"), col("sh_h")), "a")
+      .join(h.select(col(id).as("b"), col("sh_h")), Seq("b", "sh_h"))
       .groupBy("a", "b").agg(count(lit(1)).as("n_inter"))
     pairs
       .join(sizes.select(col(id).as("a"), col("n").as("na")), "a")
@@ -457,11 +477,17 @@ object Dedup {
     // re-derived per branch (was 6 corpus scans in one plan). OWNERSHIP:
     // the checkpoint stays a leaf of the returned frame — consumers
     // release the result after the final evaluation (Bench/Verify do).
-    val sh = graft.engine.Checkpoints.mark(shingles(df, text, id, 1))
+    // hash-first: the raw occurrence rows are map-only (dedup = false),
+    // the hash projection makes rows 16 B, and only THEN the distinct
+    // shuffles — so neither the dedup exchange nor the intersection
+    // joins ever carry token text (the q29 shuffle-payload fix applied
+    // to every shingle exchange; same-doc collision odds ~2^-60)
+    val sh = graft.engine.Checkpoints.mark(
+      hashShingles(shingles(df, text, id, 1, dedup = false), id).distinct())
     val sizes = sh.groupBy(col(id)).agg(count(lit(1)).as("n"))
-    val a = sh.select(col(id).as("a"), col("shingle"))
-    val b = sh.select((col(id) - 1).as("a"), col("shingle"))
-    val inter = a.join(b, Seq("a", "shingle")).groupBy("a")
+    val a = sh.select(col(id).as("a"), col("sh_h"))
+    val b = sh.select((col(id) - 1).as("a"), col("sh_h"))
+    val inter = a.join(b, Seq("a", "sh_h")).groupBy("a")
       .agg(count(lit(1)).as("n_inter"))
     sizes.select(col(id).as("a"), col("n").as("na"))
       .join(sizes.select((col(id) - 1).as("a"), col("n").as("nb")), "a")

@@ -150,9 +150,14 @@ object LlmQueries {
         Dedup.lshCandidatePairsCapped(banded, "doc_id", Bands,
           maxBucket = 100)._1)
       finally Checkpoints.release(banded)
-    val sh = Checkpoints.mark(Dedup.shingles(
-      docs(s, d).where(col("text").isNotNull), "text", "doc_id", 1))
-    Dedup.jaccardPairs(sh, pairs, "doc_id")
+    // hash-first shingle set: the checkpoint holds 16 B/row (id, sh_h)
+    // instead of n-gram text, the distinct and both intersection joins
+    // shuffle hashes — no exchange in this pipeline carries token text
+    val sh = Checkpoints.mark(
+      Dedup.hashShingles(Dedup.shingles(
+        docs(s, d).where(col("text").isNotNull), "text", "doc_id", 1,
+        dedup = false), "doc_id").distinct())
+    Dedup.jaccardPairsHashed(sh, pairs, "doc_id")
       .where(col("jaccard") >= 0.5)
       .orderBy("a", "b")
   }

@@ -163,6 +163,33 @@ class PlanSpec extends AnyFunSuite {
     assert("partitioning\\(text".r.findFirstIn(p).isEmpty, p.take(3000))
   }
 
+  test("q30/q57: no exchange carries shingle text — Jaccard shuffles 8B hashes") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    Seq("q30_dedup_jaccard", "q57_dedup_capped_verified").foreach { name =>
+      val df = SparkEntry.queries(name)(spark, sf)
+      try {
+        df.collect()
+        val shuffles = flattenPlan(df.queryExecution.executedPlan)
+          .collect { case s: ShuffleExchangeLike => s }
+        assert(shuffles.nonEmpty, name)
+        shuffles.foreach { s =>
+          assert(!s.output.exists(_.name == "shingle"),
+            s"$name exchange carries shingle text: ${s.output.mkString(", ")}")
+        }
+      } finally graft.engine.Checkpoints.release(df)
+    }
+  }
+
+  test("q71: PPM decode is map-only — one scan, display sort is the only exchange") {
+    val df = SparkEntry.queries("q71_ppm_decode")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val stripped = p.replaceAll("Exchange rangepartitioning[^\n]*", "")
+    assert(!stripped.contains("Exchange "), p.take(3000))
+    assert("FileScan parquet".r.findAllIn(p).size == 1, p.take(3000))
+  }
+
   test("q13/q14: semi and anti joins plan as semi/anti, not inner+distinct") {
     assert(plan("q13_semi_join").contains("LeftSemi"))
     assert(plan("q14_anti_join").contains("LeftAnti"))
