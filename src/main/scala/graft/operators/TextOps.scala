@@ -181,7 +181,14 @@ object TextOps {
   def repetitionRatio(df: DataFrame, text: String, id: String,
       n: Int = 3): DataFrame = {
     val toks = tokens(col(text))
-    val dis = Dedup.shingles(df.where(col(text).isNotNull), text, id, n)
+    // hash-first distinct: the raw shingle rows stay map-only, the hash
+    // projection makes them 16 B, and only then the distinct shuffles —
+    // the exchange never carries n-gram text (collision odds ~2^-60 per
+    // same-doc shingle pair, immaterial vs corpus-scale shuffle bytes)
+    val dis = Dedup.hashShingles(
+        Dedup.shingles(df.where(col(text).isNotNull), text, id, n,
+          dedup = false), id)
+      .distinct()
       .groupBy(col(id)).agg(count(lit(1)).as("n_distinct"))
     df.where(col(text).isNotNull && size(toks) >= n)
       .select(col(id), (size(toks) - (n - 1)).cast("long").as("n_total"))

@@ -163,9 +163,10 @@ class PlanSpec extends AnyFunSuite {
     assert("partitioning\\(text".r.findFirstIn(p).isEmpty, p.take(3000))
   }
 
-  test("q30/q57: no exchange carries shingle text — Jaccard shuffles 8B hashes") {
+  test("q30/q57/q63: no exchange carries shingle text — shingle ops shuffle 8B hashes") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
-    Seq("q30_dedup_jaccard", "q57_dedup_capped_verified").foreach { name =>
+    Seq("q30_dedup_jaccard", "q57_dedup_capped_verified",
+        "q63_repetition").foreach { name =>
       val df = SparkEntry.queries(name)(spark, sf)
       try {
         df.collect()
