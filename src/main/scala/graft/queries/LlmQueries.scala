@@ -233,15 +233,20 @@ object LlmQueries {
     * distinct after the broadcast join. Zero full-corpus shuffles. */
   def decontaminate(s: SparkSession, d: String): DataFrame = {
     val all = docs(s, d)
-    val evalSh = Dedup.shingles(
-      all.where(col("text").isNotNull &&
-        pmod(col("doc_id"), lit(EvalMod)) === 0), "text", "doc_id", 3)
-      .select("shingle").distinct()
-    val hit = Dedup.shingles(
+    // membership is tested on the 60-bit shingle hash, not the n-gram
+    // text: the broadcast hash relation holds 8 B longs instead of
+    // strings (smaller to ship, cheaper to probe), and both sides'
+    // shingle rows stay map-only
+    val evalSh = Dedup.hashShingles(Dedup.shingles(
+        all.where(col("text").isNotNull &&
+          pmod(col("doc_id"), lit(EvalMod)) === 0), "text", "doc_id", 3,
+        dedup = false), "doc_id")
+      .select("sh_h").distinct()
+    val hit = Dedup.hashShingles(Dedup.shingles(
         all.where(col("text").isNotNull &&
           pmod(col("doc_id"), lit(EvalMod)) =!= 0), "text", "doc_id", 3,
-        dedup = false)
-      .join(broadcast(evalSh), "shingle")
+        dedup = false), "doc_id")
+      .join(broadcast(evalSh), "sh_h")
       .select("doc_id").distinct()
       .withColumn("contaminated", lit(1L))
     all.where(pmod(col("doc_id"), lit(EvalMod)) =!= 0).select("doc_id")

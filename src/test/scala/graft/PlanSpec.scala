@@ -166,7 +166,7 @@ class PlanSpec extends AnyFunSuite {
   test("q30/q57/q63: no exchange carries shingle text — shingle ops shuffle 8B hashes") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
     Seq("q30_dedup_jaccard", "q57_dedup_capped_verified",
-        "q63_repetition").foreach { name =>
+        "q63_repetition", "q62_decontaminate").foreach { name =>
       val df = SparkEntry.queries(name)(spark, sf)
       try {
         df.collect()
