@@ -242,8 +242,14 @@ object Dedup {
         .join(oldSizes, Seq("bi", "k"), "left")
         .join(oldSkipped, Seq("bi", "k"), "left")
         .select(col("bi"), col("k"),
-          (coalesce(col("__old"), lit(0L)) +
-            coalesce(col("__oldskip"), lit(0L)) + col("__add")).as("size"),
+          // total-so-far: a skipped record's size already INCLUDES any
+          // rows still sitting in bands from before the bucket went over
+          // (the straddle write recorded bands+batch), so for a
+          // pre-skipped bucket the base is the skipped total alone —
+          // adding __old again would double-count the in-index rows on
+          // every later append
+          (coalesce(col("__oldskip"), coalesce(col("__old"), lit(0L))) +
+            col("__add")).as("size"),
           col("__oldskip").isNotNull.as("__preskipped"))
       // materialize the exclusion set BEFORE either write: both writes
       // consume it, and a lazy `over` would re-read `<path>/bands` for the

@@ -460,6 +460,52 @@ class OperatorSpec extends AnyFunSuite {
     assert(skippedSizes(9L) == 5L)
   }
 
+  test("bandIndexWrite append cap: randomized multi-append sequential replay") {
+    // independent oracle: an in-memory sequential replay of the cap spec
+    // over random bucket assignments split across random appends —
+    // invariants: bands never exceeds the cap for any bucket at any
+    // point, exclusion is sticky, skipped records the true total-so-far
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(seed)
+      val cap = 2 + rnd.nextInt(4)
+      val nBuckets = 3 + rnd.nextInt(5)
+      val path =
+        s"${sys.props("java.io.tmpdir")}/graft_test_band_rand_$seed"
+      graft.cli.Cleanup.deleteOnExit(path)
+      var docId = 0L
+      val batches = (0 until 2 + rnd.nextInt(3)).map { _ =>
+        (0 until 5 + rnd.nextInt(20)).map { _ =>
+          docId += 1; (docId, (rnd.nextInt(nBuckets) + 1).toLong)
+        }
+      }
+      // sequential replay state
+      val bandsN = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+      val skipN = scala.collection.mutable.Map[Long, Long]()
+      batches.zipWithIndex.foreach { case (rows, i) =>
+        Dedup.bandIndexWrite(rows.toDF("doc_id", "band0"), "doc_id", 1,
+          path, maxBucket = cap, append = i > 0)
+        rows.groupBy(_._2).foreach { case (k, rs) =>
+          val add = rs.size.toLong
+          if (skipN.contains(k)) skipN(k) += add // sticky exclusion
+          else {
+            val combined = bandsN(k) + add
+            if (combined > cap) skipN(k) = combined // straddle: total incl. in-index rows
+            else bandsN(k) = combined
+          }
+        }
+        // the invariant that must hold AFTER EVERY write, not just at the end
+        val gotBands = Dedup.bandIndexRead(spark, path)
+          .groupBy("k").count().collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(gotBands.values.forall(_ <= cap), s"seed $seed write $i: $gotBands")
+        assert(gotBands == bandsN.toMap.filter(_._2 > 0), s"seed $seed write $i")
+      }
+      val gotSkip = Dedup.bandIndexSkipped(spark, path).collect()
+        .map(r => r.getLong(1) -> r.getLong(2)).toMap
+      assert(gotSkip == skipN.toMap, s"seed $seed skipped: got $gotSkip want $skipN")
+    }
+  }
+
   test("repetitionRatio counts distinct vs total n-grams") {
     val rows = Seq(
       (1L, "a b c a b c a b c"),  // 7 total 3-grams, 3 distinct
