@@ -48,6 +48,35 @@ class OperatorSpec extends AnyFunSuite {
     j.get((1L, 2L)).foreach(v => assert(v > 0.8 && v < 1.0))
   }
 
+  test("jaccardPairs (hashed joins) equals an exact token-set replay on random docs") {
+    // the hash-keyed intersection joins must be value-identical to plain
+    // set arithmetic on the token text (collisions are ~2^-60; any real
+    // divergence is a bug in the hashing/join rewrite)
+    val vocab = Array("red", "blue", "green", "gold", "gray", "teal",
+      "pink", "onyx", "rust", "sage")
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(seed)
+      val docsR = (1L to 30L).map { i =>
+        i -> (0 until 3 + rnd.nextInt(8)).map(_ => vocab(rnd.nextInt(vocab.length)))
+      }
+      val df = docsR.map { case (i, ws) => (i, ws.mkString(" ")) }.toDF("doc_id", "text")
+      val pairRows = (0 until 20).map { _ =>
+        (1L + rnd.nextInt(30), 1L + rnd.nextInt(30))
+      }.filter(p => p._1 < p._2).distinct
+      val pairsDf = pairRows.toDF("a", "b")
+      val sh = Dedup.shingles(df, "text", "doc_id", 1)
+      val got = Dedup.jaccardPairs(sh, pairsDf, "doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      val sets = docsR.map { case (i, ws) => i -> ws.toSet }.toMap
+      pairRows.foreach { case (a, b) =>
+        val want = BigDecimal(
+          sets(a).intersect(sets(b)).size.toDouble / sets(a).union(sets(b)).size)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        assert(math.abs(got((a, b)) - want) < 1e-9, s"seed $seed pair ($a,$b)")
+      }
+    }
+  }
+
   test("lshStarEdges are connectivity-equivalent to clique pairs, but linear") {
     // a bucket-heavy fixture: three clusters of identical docs (mega-bucket
     // shape) plus a singleton
