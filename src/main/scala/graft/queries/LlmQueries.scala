@@ -479,6 +479,47 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  /** Per-directory memo of the compacted layout over the documents table:
+    * 17 unsorted small files (simulated incremental ingest) rewritten by
+    * [[graft.sources.Layout.compact]] into doc_id-sorted range shards —
+    * the write side exercised once per session, range-read per query.
+    * Session scratch, removed at JVM exit like the IVF/band-index dirs. */
+  private val layoutCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (SparkSession, String)]()
+
+  private def compactedDocs(s: SparkSession, d: String): String =
+    layoutCache.compute(d, (_, cur) => {
+      if (cur != null && (cur._1 eq s)) cur
+      else {
+        val h = graft.engine.IndexCache.md5Key(d, 17)
+        val small = s"${sys.props("java.io.tmpdir")}/graft_layout_small_$h"
+        val out = s"${sys.props("java.io.tmpdir")}/graft_layout_sorted_$h"
+        graft.cli.Cleanup.deleteOnExit(small)
+        graft.cli.Cleanup.deleteOnExit(out)
+        docs(s, d).select("doc_id", "lang", "n_chars")
+          .repartition(17)
+          .write.mode("overwrite").parquet(small)
+        graft.sources.Layout.compact(s, small, out, Seq("doc_id"),
+          targetRecordsPerFile = 200)
+        (s, out)
+      }
+    })._2
+
+  /** q72 — layout round-trip: documents land as unsorted small files,
+    * [[graft.sources.Layout.compact]] rewrites them into doc_id-sorted
+    * range shards, and the query is a key-range read + per-language audit
+    * over the compacted output. Gates the write path end-to-end in the
+    * DuckDB oracle: no row lost or duplicated in the range-shuffle
+    * rewrite, range reads correct. (The footer-stat pruning that
+    * motivates the layout is PlanSpec-gated; this gates the DATA.) */
+  def layoutRoundtrip(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(compactedDocs(s, d))
+      .where(col("doc_id").between(100, 400))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"),
+        min("doc_id").as("min_id"), max("doc_id").as("max_id"))
+      .orderBy("lang")
+
   /** q53 — every 2nd frame of the chunked video-payload stub; the binary
     * slice happens Spark-side, the oracle slices hex text (byte-exact). */
   def multimodalFrames(s: SparkSession, d: String): DataFrame =
@@ -714,6 +755,12 @@ object LlmQueries {
         |FROM m CROSS JOIN generate_series(0, 29, 2) t(i)
         |WHERE i < n_frames
         |ORDER BY doc_id, frame_idx""".stripMargin,
+
+    "q72_layout_roundtrip" ->
+      """SELECT lang, count(*) AS n_docs, sum(n_chars)::BIGINT AS sum_chars,
+        |  min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM documents WHERE doc_id BETWEEN 100 AND 400
+        |GROUP BY lang ORDER BY lang""".stripMargin,
 
     "q71_ppm_decode" ->
       """WITH d AS (SELECT doc_id,
@@ -968,6 +1015,7 @@ object LlmQueries {
     "q37_multimodal_meta" -> multimodalMeta _,
     "q53_multimodal_frames" -> multimodalFrames _,
     "q71_ppm_decode" -> ppmDecode _,
+    "q72_layout_roundtrip" -> layoutRoundtrip _,
     "q50_text_stopwords" -> textStopwords _,
     "q51_text_tfidf" -> textTfidf _,
     "q58_hash_split" -> corpusHashSplit _,
