@@ -256,6 +256,38 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  /** q73 — FRACTIONAL decontamination: per corpus doc, the fraction of
+    * its distinct 3-grams shared with the eval set — the thresholdable
+    * form of q62's any-hit flag (production pipelines drop at e.g.
+    * overlap ≥ 10 %, not on a single shared n-gram). Same 100 TB shape
+    * as q62 plus one distinct: hashed shingles throughout (16 B rows),
+    * eval side broadcast with a hit marker, and then ONE
+    * map-side-combinable groupBy computes both the per-doc shingle count
+    * and the hit count — the corpus side is exploded and shuffled exactly
+    * once (a counts-join-hits formulation would re-derive the explode
+    * per branch). */
+  def decontaminateFrac(s: SparkSession, d: String): DataFrame = {
+    val all = docs(s, d)
+    val evalSh = Dedup.hashShingles(Dedup.shingles(
+        all.where(col("text").isNotNull &&
+          pmod(col("doc_id"), lit(EvalMod)) === 0), "text", "doc_id", 3,
+        dedup = false), "doc_id")
+      .select("sh_h").distinct()
+    val corpusSh = Dedup.hashShingles(Dedup.shingles(
+        all.where(col("text").isNotNull &&
+          pmod(col("doc_id"), lit(EvalMod)) =!= 0), "text", "doc_id", 3,
+        dedup = false), "doc_id")
+      .distinct()
+    corpusSh
+      .join(broadcast(evalSh.withColumn("__hit", lit(1L))), Seq("sh_h"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_sh"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_hit"))
+      .select(col("doc_id"), col("n_sh"), col("n_hit"),
+        round(col("n_hit").cast("double") / col("n_sh"), 6).as("contam_frac"))
+      .orderBy("doc_id")
+  }
+
   /** q63 — Gopher-style repetition filter: per-doc 3-gram repetition
     * ratio ([[TextOps.repetitionRatio]]). */
   def textRepetition(s: SparkSession, d: String): DataFrame =
@@ -842,6 +874,18 @@ object LlmQueries {
          |WHERE d.doc_id % $EvalMod <> 0
          |ORDER BY d.doc_id""".stripMargin,
 
+    "q73_decontaminate_frac" ->
+      s"""WITH $tok3Cte,
+         |ev AS (SELECT DISTINCT shingle FROM tok3 WHERE doc_id % $EvalMod = 0),
+         |corp AS (SELECT doc_id, shingle FROM tok3 WHERE doc_id % $EvalMod <> 0),
+         |agg AS (SELECT c.doc_id, count(*) AS n_sh,
+         |    (count(*) FILTER (WHERE ev.shingle IS NOT NULL))::BIGINT AS n_hit
+         |  FROM corp c LEFT JOIN ev ON c.shingle = ev.shingle
+         |  GROUP BY c.doc_id)
+         |SELECT doc_id, n_sh, n_hit,
+         |  round(n_hit / n_sh::DOUBLE, 6) AS contam_frac
+         |FROM agg ORDER BY doc_id""".stripMargin,
+
     "q63_repetition" ->
       s"""WITH $tok3Cte,
          |dis AS (SELECT doc_id, count(*) AS n_distinct FROM tok3 GROUP BY doc_id),
@@ -1021,6 +1065,7 @@ object LlmQueries {
     "q58_hash_split" -> corpusHashSplit _,
     "q61_dedup_incremental" -> dedupIncremental _,
     "q62_decontaminate" -> decontaminate _,
+    "q73_decontaminate_frac" -> decontaminateFrac _,
     "q63_repetition" -> textRepetition _,
     "q59_corpus_mix" -> corpusMix _,
     "q60_vocab_topk" -> vocabTopK _,

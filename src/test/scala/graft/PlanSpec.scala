@@ -166,7 +166,8 @@ class PlanSpec extends AnyFunSuite {
   test("q30/q57/q63: no exchange carries shingle text — shingle ops shuffle 8B hashes") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
     Seq("q30_dedup_jaccard", "q57_dedup_capped_verified",
-        "q63_repetition", "q62_decontaminate").foreach { name =>
+        "q63_repetition", "q62_decontaminate",
+        "q73_decontaminate_frac").foreach { name =>
       val df = SparkEntry.queries(name)(spark, sf)
       try {
         df.collect()
@@ -196,15 +197,17 @@ class PlanSpec extends AnyFunSuite {
     assert(plan("q14_anti_join").contains("LeftAnti"))
   }
 
-  test("q62: eval set broadcasts, corpus shingle side joins without a shuffle") {
-    val df = SparkEntry.queries("q62_decontaminate")(spark, sf)
-    df.collect()
-    val p = df.queryExecution.executedPlan.toString
-      .split("== Initial Plan ==").head
-    // the membership join must be a broadcast of the (small) eval shingle
-    // set — a sort-merge join here would shuffle the full corpus explode
-    assert(p.contains("BroadcastHashJoin"), p.take(3000))
-    assert(!p.contains("SortMergeJoin"), p.take(3000))
+  test("q62/q73: eval set broadcasts, corpus shingle side joins without a shuffle") {
+    Seq("q62_decontaminate", "q73_decontaminate_frac").foreach { name =>
+      val df = SparkEntry.queries(name)(spark, sf)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      // the membership join must be a broadcast of the (small) eval shingle
+      // set — a sort-merge join here would shuffle the full corpus explode
+      assert(p.contains("BroadcastHashJoin"), s"$name: ${p.take(3000)}")
+      assert(!p.contains("SortMergeJoin"), s"$name: ${p.take(3000)}")
+    }
   }
 
   test("q64: packing window partitions by source — never a single global sort") {
