@@ -223,6 +223,23 @@ class PlanSpec extends AnyFunSuite {
       .contains("SinglePartition"), p.take(3000))
   }
 
+  test("q68/q69/q70: selection and assembly windows shuffle by stratum, never one task") {
+    // groupQuota / budgetSelect / packText all window per stratum — the
+    // scale knob is group count, so the window exchange must be keyed on
+    // the stratum column; a SinglePartition exchange would serialize the
+    // corpus through one task
+    Seq("q68_source_quota" -> "source", "q69_token_budget" -> "lang",
+        "q70_pack_text" -> "source").foreach { case (name, key) =>
+      val df = SparkEntry.queries(name)(spark, sf)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      assert(p.contains(s"hashpartitioning($key"), s"$name: ${p.take(3000)}")
+      assert(!p.replaceAll("rangepartitioning\\([^)]*\\)", "")
+        .contains("SinglePartition"), s"$name: ${p.take(3000)}")
+    }
+  }
+
   test("q65: per-stratum thresholds broadcast back onto the corpus scan") {
     val df = SparkEntry.queries("q65_quantile_filter")(spark, sf)
     df.collect()
