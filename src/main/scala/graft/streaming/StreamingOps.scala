@@ -104,6 +104,28 @@ object StreamingOps {
       Dedup.lshBands(sig, id, numHashes, bands), id, bands)
   }
 
+  /** Streaming decontamination — the stream-static twin of the batch
+    * eval-overlap gates (SparkEntry q62/q73): each arriving document
+    * explodes to hashed word n-gram rows (map-only, the SAME operators as
+    * batch — [[graft.operators.Dedup.shingles]] + `hashShingles`, so the
+    * exchange-free 16 B/shingle discipline carries over), joins the small
+    * STATIC eval shingle set as a broadcast, and a stateful distinct
+    * emits each contaminated doc id exactly once across micro-batches.
+    * State is O(flagged ids); bound it in production by watermarking
+    * upstream (as [[dedupStream]] does) so ids expire with the event-time
+    * horizon. The eval side refreshes like [[quantileGate]]'s thresholds.
+    */
+  def decontaminateStream(docsStream: DataFrame, evalSh: DataFrame,
+      text: String, id: String, n: Int = 3): DataFrame = {
+    import graft.operators.Dedup
+    Dedup.hashShingles(
+        Dedup.shingles(docsStream.where(col(text).isNotNull), text, id, n,
+          dedup = false), id)
+      .join(broadcast(evalSh), "sh_h")
+      .select(id)
+      .dropDuplicates(id)
+  }
+
   /** Distribution-relative quality gate on a stream — the streaming form
     * of the batch per-stratum quantile gate
     * ([[graft.operators.TextOps.quantileKeep]], SparkEntry q65). A

@@ -154,6 +154,35 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming decontamination: static eval set, flag once, clean docs pass") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    import graft.operators.Dedup
+    import org.apache.spark.sql.functions.col
+    // static eval set (the held-out suite), hashed distinct 3-grams
+    val evalDocs = Seq((100L, "the quick brown fox jumps high")).toDF("doc_id", "text")
+    val evalSh = Dedup.hashShingles(
+        Dedup.shingles(evalDocs, "text", "doc_id", 3, dedup = false), "doc_id")
+      .select("sh_h").distinct()
+
+    val mem = MemoryStream[(Long, String)]
+    val flagged = StreamingOps.decontaminateStream(
+      mem.toDF().toDF("doc_id", "text"), evalSh, "text", "doc_id")
+    assert(flagged.isStreaming)
+    val q = flagged.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("decon_out").start()
+    try {
+      // batch 1: doc 1 shares "quick brown fox", doc 2 is clean
+      mem.addData((1L, "saw the quick brown fox today"), (2L, "nothing shared here at all"))
+      q.processAllAvailable()
+      assert(spark.table("decon_out").collect().map(_.getLong(0)).toSet == Set(1L))
+      // batch 2: doc 1 re-ingested (no re-emit), doc 3 contaminated
+      mem.addData((1L, "saw the quick brown fox today"), (3L, "brown fox jumps often"))
+      q.processAllAvailable()
+      assert(spark.table("decon_out").collect().map(_.getLong(0)).toSet == Set(1L, 3L))
+    } finally q.stop()
+  }
+
   test("streaming quantile gate: static t-digest thresholds, stream ≡ batch") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
