@@ -203,11 +203,14 @@ object Dedup {
     * would present a silently partial bucket as complete). The invariant
     * is that `<path>/bands` never holds more than `maxBucket` rows of
     * any bucket, at every point in time; no periodic rebuild needed.
-    * The existing-size lookup reads only the (2-long) stacked rows of
-    * buckets the batch touches — a semi-joined aggregate, not an index
-    * rewrite. `<path>/skipped` may then carry one row per append for the
-    * same bucket; the max-size row is current ([[bandIndexSkipped]]
-    * dedupes). */
+    * The existing-size lookup reads the `<path>/bandsizes` sidecar —
+    * bucket-count rows, maintained per write — so an append never scans
+    * the row-count-sized index (at a 10⁹-doc corpus that is the
+    * difference between reading bucket metadata and re-reading ~100 GB
+    * of band rows per batch); a capped append onto an uncapped build has
+    * no sidecar and falls back to counting the compact band rows.
+    * `<path>/skipped` may carry one row per append for the same bucket;
+    * the max-size row is current ([[bandIndexSkipped]] dedupes). */
   def bandIndexWrite(banded: DataFrame, id: String, bands: Int,
       path: String, maxBucket: Int = Int.MaxValue,
       append: Boolean = false): Unit = {
@@ -228,13 +231,31 @@ object Dedup {
       sizes.where(col("size") > maxBucket)
         .select(col("bi").as("band_idx"), col("k").as("key"), col("size"))
         .write.mode("overwrite").parquet(s"$path/skipped")
+      // bucket-size sidecar: bucket-count-sized, so appends size their
+      // touched buckets WITHOUT scanning the full row-count-sized index
+      sizes.where(col("size") <= maxBucket)
+        .select(col("bi"), col("k"), col("size").as("n"))
+        .write.mode("overwrite").parquet(s"$path/bandsizes")
     } else {
       // append: combined = already-indexed rows of the touched buckets
-      // + previously-skipped totals + this batch
+      // + previously-skipped totals + this batch. The in-index counts
+      // come from the `bandsizes` sidecar when present (bucket-count
+      // rows — the 100 TB path: no full index scan per append); a capped
+      // append onto an UNCAPPED build has no sidecar and falls back to
+      // counting the (compact 3-long) band rows once.
       val touched = stacked.select("bi", "k").distinct()
-      val oldSizes = bandIndexRead(spark, path)
-        .join(touched, Seq("bi", "k"), "left_semi")
-        .groupBy("bi", "k").agg(count(lit(1)).as("__old"))
+      val szPath = new org.apache.hadoop.fs.Path(s"$path/bandsizes")
+      val sizesExist =
+        szPath.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(szPath)
+      val oldSizes =
+        if (sizesExist)
+          spark.read.parquet(s"$path/bandsizes")
+            .join(touched, Seq("bi", "k"), "left_semi")
+            .groupBy("bi", "k").agg(max("n").as("__old"))
+        else
+          bandIndexRead(spark, path)
+            .join(touched, Seq("bi", "k"), "left_semi")
+            .groupBy("bi", "k").agg(count(lit(1)).as("__old"))
       val oldSkipped = bandIndexSkipped(spark, path)
         .groupBy(col("band_idx").as("bi"), col("key").as("k"))
         .agg(max("size").as("__oldskip"))
@@ -251,18 +272,28 @@ object Dedup {
           (coalesce(col("__oldskip"), coalesce(col("__old"), lit(0L))) +
             col("__add")).as("size"),
           col("__oldskip").isNotNull.as("__preskipped"))
-      // materialize the exclusion set BEFORE either write: both writes
-      // consume it, and a lazy `over` would re-read `<path>/bands` for the
-      // second write AFTER the first already appended the batch rows
-      // (double-counting the batch in the sizes)
-      val over = graft.engine.Checkpoints.mark(
-        sizes.where(col("__preskipped") || col("size") > maxBucket))
+      // materialize the decision set BEFORE any write: all three writes
+      // consume it, and a lazy plan would re-read `<path>/bands`/sizes
+      // for later writes AFTER the first already appended the batch rows
+      // (double-counting the batch)
+      val decided = graft.engine.Checkpoints.mark(sizes)
       try {
+        val over = decided.where(col("__preskipped") || col("size") > maxBucket)
         stacked.join(over.select("bi", "k"), Seq("bi", "k"), "left_anti")
           .write.mode("append").parquet(s"$path/bands")
         over.select(col("bi").as("band_idx"), col("k").as("key"), col("size"))
           .write.mode("append").parquet(s"$path/skipped")
-      } finally graft.engine.Checkpoints.release(over)
+        // admitted buckets: record the new in-bands total (readers take
+        // max per key — counts only grow). Maintained ONLY when the
+        // sidecar was created at build time: a partial sidecar started
+        // mid-life (capped append onto an uncapped build) would
+        // under-count buckets it never touched, so that lineage keeps
+        // falling back to counting band rows instead
+        if (sizesExist)
+          decided.where(!col("__preskipped") && col("size") <= maxBucket)
+            .select(col("bi"), col("k"), col("size").as("n"))
+            .write.mode("append").parquet(s"$path/bandsizes")
+      } finally graft.engine.Checkpoints.release(decided)
     }
   }
 

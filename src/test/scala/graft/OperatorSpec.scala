@@ -487,6 +487,26 @@ class OperatorSpec extends AnyFunSuite {
       maxBucket = 3, append = true)
     assert(keyCount(9L) == 0)
     assert(skippedSizes(9L) == 5L)
+
+    // capped appends onto an UNCAPPED build: no bandsizes sidecar exists,
+    // so every append falls back to counting the band rows — the cap must
+    // still hold and no partial sidecar may be started (a mid-life sidecar
+    // would under-count buckets it never touched)
+    val p2 = s"${sys.props("java.io.tmpdir")}/graft_test_band_uncapped"
+    graft.cli.Cleanup.deleteOnExit(p2)
+    def keyCount2(k: Long): Long =
+      Dedup.bandIndexRead(spark, p2).where(col("k") === k).count()
+    Dedup.bandIndexWrite(banded(1L -> 5L, 2L -> 5L, 3L -> 5L), "doc_id", 1, p2)
+    Dedup.bandIndexWrite(banded(4L -> 5L), "doc_id", 1, p2,
+      maxBucket = 3, append = true)
+    assert(keyCount2(5L) == 3)
+    Dedup.bandIndexWrite(banded(5L -> 5L), "doc_id", 1, p2,
+      maxBucket = 3, append = true)
+    assert(keyCount2(5L) == 3)
+    val skip2 = Dedup.bandIndexSkipped(spark, p2).collect()
+      .map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(skip2(5L) == 5L) // true total across both refused appends
+    assert(!new java.io.File(s"$p2/bandsizes").exists(), "no partial sidecar")
   }
 
   test("bandIndexWrite append cap: randomized multi-append sequential replay") {
