@@ -217,10 +217,18 @@ object Dedup {
     val stacked = stackBands(banded, id, bands)
     val spark = banded.sparkSession
     val hp = new org.apache.hadoop.fs.Path(s"$path/bands")
-    val indexExists =
-      hp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(hp)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val indexExists = fs.exists(hp)
+    def sidecar(name: String): Boolean =
+      fs.exists(new org.apache.hadoop.fs.Path(s"$path/$name"))
     val mode = if (append) "append" else "overwrite"
     if (maxBucket == Int.MaxValue) {
+      // an UNCAPPED append onto a CAPPED index would blind-append past the
+      // cap (breaking the never-over-maxBucket invariant) and leave the
+      // size sidecar stale so later capped appends under-count — refuse
+      require(!append || !(sidecar("bandsizes") || sidecar("skipped")),
+        s"$path is a capped band index; appending without maxBucket would " +
+          "break the bucket-cap invariant — pass the index's maxBucket")
       stacked.write.mode(mode).parquet(s"$path/bands")
     } else if (!append || !indexExists) {
       // build: one pass over the (compact) stacked rows to size buckets
@@ -244,9 +252,7 @@ object Dedup {
       // append onto an UNCAPPED build has no sidecar and falls back to
       // counting the (compact 3-long) band rows once.
       val touched = stacked.select("bi", "k").distinct()
-      val szPath = new org.apache.hadoop.fs.Path(s"$path/bandsizes")
-      val sizesExist =
-        szPath.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(szPath)
+      val sizesExist = sidecar("bandsizes")
       val oldSizes =
         if (sizesExist)
           spark.read.parquet(s"$path/bandsizes")
@@ -256,9 +262,11 @@ object Dedup {
           bandIndexRead(spark, path)
             .join(touched, Seq("bi", "k"), "left_semi")
             .groupBy("bi", "k").agg(count(lit(1)).as("__old"))
+      // bandIndexSkipped already returns one max-size row per bucket —
+      // only the column renames are needed here
       val oldSkipped = bandIndexSkipped(spark, path)
-        .groupBy(col("band_idx").as("bi"), col("key").as("k"))
-        .agg(max("size").as("__oldskip"))
+        .select(col("band_idx").as("bi"), col("key").as("k"),
+          col("size").as("__oldskip"))
       val sizes = stacked.groupBy("bi", "k").agg(count(lit(1)).as("__add"))
         .join(oldSizes, Seq("bi", "k"), "left")
         .join(oldSkipped, Seq("bi", "k"), "left")

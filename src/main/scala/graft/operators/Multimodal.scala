@@ -110,7 +110,11 @@ object Multimodal {
   def parsePpmHeader(b: Array[Byte]): Option[(Int, Int, Int, Int)] = {
     def isWs(c: Byte): Boolean =
       c == ' '.toByte || c == '\n'.toByte || c == '\r'.toByte || c == '\t'.toByte
-    if (b.length < 2 || b(0) != 'P'.toByte || b(1) != '6'.toByte) return None
+    // the magic must be FOLLOWED by whitespace: without this check a
+    // malformed 'P63 3\n...' would glue the digit to the magic and parse
+    // it as the width instead of being dropped
+    if (b.length < 3 || b(0) != 'P'.toByte || b(1) != '6'.toByte ||
+      !isWs(b(2))) return None
     var i = 2
     def int(): Int = { // -1 = malformed
       var ws = true

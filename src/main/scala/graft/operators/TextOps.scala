@@ -300,16 +300,22 @@ object TextOps {
     df.groupBy(col(strata)).agg(round(agg, 6).as("thresh"))
   }
 
-  /** Apply a `(strata, thresh)` frame to rows: emits every row with its
-    * stratum threshold and `kept` = value >= threshold. The threshold side
-    * is strata-sized (tiny) and broadcast — on a stream this makes the
-    * gate a stateless map-side join, no shuffle of the data side. */
+  /** Apply a `(strata, thresh)` frame to rows: emits EVERY row with its
+    * stratum threshold and `kept` = value >= threshold. The join is a
+    * broadcast LEFT join — a row whose stratum has no threshold row (a
+    * novel stratum arriving on a stream before the threshold refresh)
+    * is RETAINED with `thresh` null and `kept` = 0, the conservative
+    * hold-until-known gate; an inner join would silently drop it, the
+    * exact data-loss mode a gate must not have. The threshold side is
+    * strata-sized (tiny) and broadcast — on a stream this makes the gate
+    * a stateless map-side join, no shuffle of the data side. */
   def applyThresholds(df: DataFrame, thresholds: DataFrame, id: String,
       strata: String, value: Column): DataFrame =
     df.select(col(id), col(strata), value.cast("double").as("value"))
-      .join(broadcast(thresholds), strata)
+      .join(broadcast(thresholds), Seq(strata), "left")
       .select(col(id), col(strata), col("value"), col("thresh"),
-        (col("value") >= col("thresh")).cast("int").as("kept"))
+        when(col("thresh").isNull, lit(0))
+          .otherwise((col("value") >= col("thresh")).cast("int")).as("kept"))
 
   /** Per-stratum quota: keep the `k` best rows per stratum by `score`
     * (ties break to the smallest id for determinism), with the rank as an

@@ -174,29 +174,44 @@ object LlmQueries {
     * millions of pairs from one template bucket). */
   val IncrementalCap = 100
 
+  /** Session-scoped (dataset-dir → tmp path) memo: builds a persisted
+    * artifact once per (session, dir) under a single cleanup root,
+    * registers it for JVM-exit removal, rebuilds if the owning session
+    * changed — the one shape behind the band-index and compacted-layout
+    * caches (previously two hand-rolled copies whose md5Key args had
+    * already drifted). */
+  private final class SessionPathMemo(tag: String,
+      build: (SparkSession, String, String) => Unit) {
+    private val memo =
+      new java.util.concurrent.ConcurrentHashMap[String, (SparkSession, String)]()
+    def apply(s: SparkSession, d: String): String =
+      memo.compute(d, (_, cur) => {
+        if (cur != null && (cur._1 eq s)) cur
+        else {
+          val p = s"${sys.props("java.io.tmpdir")}/graft_${tag}_" +
+            graft.engine.IndexCache.md5Key(d, 8)
+          graft.cli.Cleanup.deleteOnExit(p)
+          build(s, d, p)
+          (s, p)
+        }
+      })._2
+  }
+
   /** Per-directory memo of the persisted LSH band index over the
     * already-ingested corpus ([[Dedup.bandIndexWrite]], capped at
     * [[IncrementalCap]]): signed ONCE per session, queried per batch —
     * the sign-once shape that makes incremental dedup viable at corpus
     * scale. Session scratch, removed at JVM exit like the IVF dirs. */
-  private val bandIndexCache =
-    new java.util.concurrent.ConcurrentHashMap[String, (SparkSession, String)]()
+  private val bandIndexCache = new SessionPathMemo("bandidx", (s, d, p) => {
+    val old = docs(s, d)
+      .where(pmod(col("doc_id"), lit(NewBatchMod)) =!= 0)
+    Dedup.bandIndexWrite(
+      Dedup.lshBands(minhashSigOf(old), "doc_id", NumHashes, Bands),
+      "doc_id", Bands, p, maxBucket = IncrementalCap)
+  })
 
   private def bandIndex(s: SparkSession, d: String): DataFrame = {
-    val path = bandIndexCache.compute(d, (_, cur) => {
-      if (cur != null && (cur._1 eq s)) cur
-      else {
-        val h = graft.engine.IndexCache.md5Key(d, 8)
-        val p = s"${sys.props("java.io.tmpdir")}/graft_bandidx_$h"
-        graft.cli.Cleanup.deleteOnExit(p)
-        val old = docs(s, d)
-          .where(pmod(col("doc_id"), lit(NewBatchMod)) =!= 0)
-        Dedup.bandIndexWrite(
-          Dedup.lshBands(minhashSigOf(old), "doc_id", NumHashes, Bands),
-          "doc_id", Bands, p, maxBucket = IncrementalCap)
-        (s, p)
-      }
-    })._2
+    val path = bandIndexCache(s, d)
     Dedup.bandIndexRead(s, path)
   }
 
@@ -499,7 +514,13 @@ object LlmQueries {
     * same pixel slice and compares hex, byte-exact, as q53 does). */
   def ppmDecode(s: SparkSession, d: String): DataFrame = {
     val npix = "cast((4 + doc_id % 8) * (3 + doc_id % 5) * 3 as int)"
-    val withPayload = docs(s, d).select(col("doc_id"),
+    // the construction pads by CHARACTERS and the decoder slices BYTES, so
+    // both sides restrict to non-null ASCII docs (chars ≡ bytes) — on this
+    // corpus that is everything, and the gate stays robust if a future sf
+    // dir gains null or multibyte text (the oracle applies the same filter)
+    val ascii = docs(s, d).where(col("text").isNotNull &&
+      octet_length(encode(col("text"), "UTF-8")) === length(col("text")))
+    val withPayload = ascii.select(col("doc_id"),
       encode(concat(
         lit("P6\n"),
         (lit(4) + col("doc_id") % 8).cast("string"), lit(" "),
@@ -516,26 +537,16 @@ object LlmQueries {
     * [[graft.sources.Layout.compact]] into doc_id-sorted range shards —
     * the write side exercised once per session, range-read per query.
     * Session scratch, removed at JVM exit like the IVF/band-index dirs. */
-  private val layoutCache =
-    new java.util.concurrent.ConcurrentHashMap[String, (SparkSession, String)]()
+  private val layoutCache = new SessionPathMemo("layout", (s, d, p) => {
+    docs(s, d).select("doc_id", "lang", "n_chars")
+      .repartition(17)
+      .write.mode("overwrite").parquet(s"$p/small")
+    graft.sources.Layout.compact(s, s"$p/small", s"$p/sorted", Seq("doc_id"),
+      targetRecordsPerFile = 200)
+  })
 
   private def compactedDocs(s: SparkSession, d: String): String =
-    layoutCache.compute(d, (_, cur) => {
-      if (cur != null && (cur._1 eq s)) cur
-      else {
-        val h = graft.engine.IndexCache.md5Key(d, 17)
-        val small = s"${sys.props("java.io.tmpdir")}/graft_layout_small_$h"
-        val out = s"${sys.props("java.io.tmpdir")}/graft_layout_sorted_$h"
-        graft.cli.Cleanup.deleteOnExit(small)
-        graft.cli.Cleanup.deleteOnExit(out)
-        docs(s, d).select("doc_id", "lang", "n_chars")
-          .repartition(17)
-          .write.mode("overwrite").parquet(small)
-        graft.sources.Layout.compact(s, small, out, Seq("doc_id"),
-          targetRecordsPerFile = 200)
-        (s, out)
-      }
-    })._2
+    s"${layoutCache(s, d)}/sorted"
 
   /** q72 — layout round-trip: documents land as unsorted small files,
     * [[graft.sources.Layout.compact]] rewrites them into doc_id-sorted
@@ -799,7 +810,8 @@ object LlmQueries {
         |    (4 + doc_id % 8)::INTEGER AS width,
         |    (3 + doc_id % 5)::INTEGER AS height,
         |    ((4 + doc_id % 8) * (3 + doc_id % 5) * 3)::BIGINT AS n_pixel_bytes,
-        |    text FROM documents)
+        |    text FROM documents
+        |  WHERE text IS NOT NULL AND octet_length(encode(text)) = length(text))
         |SELECT doc_id, width, height, 255::INTEGER AS maxval, n_pixel_bytes,
         |  hex(encode(rpad(text, n_pixel_bytes::INTEGER, '.'))) AS pixels_hex
         |FROM d ORDER BY doc_id""".stripMargin,

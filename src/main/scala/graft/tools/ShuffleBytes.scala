@@ -1,8 +1,6 @@
 package graft.tools
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.execution.SparkPlan
-import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
 import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
 import org.apache.spark.sql.functions._
 
@@ -29,16 +27,12 @@ object ShuffleBytes {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    def flatten(p: SparkPlan): Seq[SparkPlan] = p match {
-      case a: AdaptiveSparkPlanExec => a +: flatten(a.executedPlan)
-      case q: QueryStageExec        => q +: flatten(q.plan)
-      case other                    => other +: other.children.flatMap(flatten)
-    }
     // summed over every exchange in the FINAL plan: (in-memory dataSize,
-    // on-wire shuffle bytes written — post-serialization, pre-fetch)
+    // on-wire shuffle bytes written — post-serialization, pre-fetch);
+    // PlanWalk is the same traversal the PlanSpec pins use
     def exchangeBytes(df: DataFrame): (Long, Long) = {
       df.collect() // collect() executes THIS queryExecution (count() plans a new one)
-      val shuffles = flatten(df.queryExecution.executedPlan)
+      val shuffles = graft.plans.PlanWalk.flatten(df.queryExecution.executedPlan)
         .collect { case s: ShuffleExchangeLike => s }
       val data = shuffles.map(s =>
         s.metrics.get("dataSize").map(_.value).getOrElse(0L)).sum
@@ -47,7 +41,11 @@ object ShuffleBytes {
       (data, wire)
     }
     def row(name: String, df: DataFrame): Unit = {
-      val (data, wire) = exchangeBytes(df)
+      val (data, wire) =
+        // release any checkpointed leaves after measuring: the jaccard
+        // variants materialize shingle sets, and pinned blocks would put
+        // later measurements under artificial memory pressure
+        try exchangeBytes(df) finally graft.engine.Checkpoints.release(df)
       println(f"$name%-44s dataSize ${data / 1024.0}%9.1f KiB   wire ${wire / 1024.0}%9.1f KiB")
     }
 

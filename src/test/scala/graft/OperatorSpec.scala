@@ -222,10 +222,12 @@ class OperatorSpec extends AnyFunSuite {
     assert(Multimodal.parsePpmHeader(
       ppm("P6\n# a comment\n 2\t2 # dims\n255\n", px)).map(t => (t._1, t._2, t._3))
       .contains((2, 2, 255)))
-    // rejects: bad magic (P3 = ASCII ppm), 2-byte samples, missing tokens
+    // rejects: bad magic (P3 = ASCII ppm), 2-byte samples, missing tokens,
+    // and a digit glued to the magic (no whitespace after 'P6')
     assert(Multimodal.parsePpmHeader(ppm("P3\n2 2\n255\n", px)).isEmpty)
     assert(Multimodal.parsePpmHeader(ppm("P6\n2 2\n65535\n", px)).isEmpty)
     assert(Multimodal.parsePpmHeader(ppm("P6\n2\n255\n", px)).isEmpty)
+    assert(Multimodal.parsePpmHeader(ppm("P62 2\n255\n", px)).isEmpty)
 
     val rows = Seq(
       1L -> ppm("P6\n2 2\n255\n", px),                    // valid
@@ -507,6 +509,14 @@ class OperatorSpec extends AnyFunSuite {
       .map(r => r.getLong(1) -> r.getLong(2)).toMap
     assert(skip2(5L) == 5L) // true total across both refused appends
     assert(!new java.io.File(s"$p2/bandsizes").exists(), "no partial sidecar")
+
+    // an UNCAPPED append onto a CAPPED index is refused: it would
+    // blind-append past the cap and leave the size sidecar stale
+    val e = intercept[IllegalArgumentException] {
+      Dedup.bandIndexWrite(banded(20L -> 7L), "doc_id", 1, idxPath,
+        append = true)
+    }
+    assert(e.getMessage.contains("capped band index"), e.getMessage)
   }
 
   test("bandIndexWrite append cap: randomized multi-append sequential replay") {

@@ -16,16 +16,11 @@ class PlanSpec extends AnyFunSuite {
     SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
 
   /** Every node of the FINAL physical plan — unwraps AQE's adaptive root
-    * and leaf query stages, which hide their subtrees from `collect`. */
+    * and leaf query stages ([[graft.plans.PlanWalk]], shared with the
+    * ShuffleBytes evidence tool so both count the same nodes). */
   private def flattenPlan(p: org.apache.spark.sql.execution.SparkPlan)
-      : Seq[org.apache.spark.sql.execution.SparkPlan] = {
-    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-    p match {
-      case a: AdaptiveSparkPlanExec => a +: flattenPlan(a.executedPlan)
-      case q: QueryStageExec        => q +: flattenPlan(q.plan)
-      case other                    => other +: other.children.flatMap(flattenPlan)
-    }
-  }
+      : Seq[org.apache.spark.sql.execution.SparkPlan] =
+    graft.plans.PlanWalk.flatten(p)
 
   test("q01: range predicate and projection push down to the parquet scan") {
     val p = plan("q01_scan_filter_project")

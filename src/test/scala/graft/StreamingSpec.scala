@@ -196,8 +196,10 @@ class StreamingSpec extends AnyFunSuite {
     ).toDF("doc_id", "lang", "score")
     val thresholds = TextOps.quantileThresholds(
       corpus, "lang", col("score"), q = 0.25, exact = false)
+    // doc 15 arrives in a stratum the threshold frame has never seen —
+    // the gate must RETAIN it (kept = 0, thresh null), not drop it
     val incoming = Seq((11L, "en", 1.0), (12L, "en", 35.0),
-      (13L, "de", 5.0), (14L, "de", 350.0))
+      (13L, "de", 5.0), (14L, "de", 350.0), (15L, "fr", 9.0))
     val batchOut = TextOps.applyThresholds(
         incoming.toDF("doc_id", "lang", "score"),
         thresholds, "doc_id", "lang", col("score"))
@@ -215,10 +217,12 @@ class StreamingSpec extends AnyFunSuite {
       q.processAllAvailable()
       val got = spark.table("qgate_out").collect().map(_.toSeq).toSet
       assert(got == batchOut) // stream ≡ batch, row for row
-      // gate semantics: below-minimum rows flagged 0, top rows kept
+      // gate semantics: below-minimum rows flagged 0, top rows kept,
+      // novel-stratum row retained conservatively (not silently dropped)
       val kept = got.map(r => r.head -> r.last).toMap
       assert(kept(11L) == 0 && kept(13L) == 0)
       assert(kept(12L) == 1 && kept(14L) == 1)
+      assert(kept.contains(15L) && kept(15L) == 0, s"novel stratum: $kept")
     } finally q.stop()
   }
 
