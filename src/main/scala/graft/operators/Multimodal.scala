@@ -196,6 +196,64 @@ object Multimodal {
       .toDF()
   }
 
+  /** Per-channel statistics computed from a DECODED pixel plane
+    * ([[decodePpm]] output) — the connector between real decode and the
+    * ANN operators: channel means plus a 4-bucket histogram per channel,
+    * all derived from the interleaved RGB bytes, NOT from the raw payload
+    * (header bytes never contaminate the features). Map-only, same
+    * per-partition batched seam as the decoders; a learned encoder
+    * replaces the arithmetic, not the dataflow. Means are emitted
+    * unrounded — callers round at the query edge (`round(c, 6)`) the way
+    * every other oracle-compared double is. */
+  final case class PlaneStats(doc_id: Long,
+      mean_r: Double, mean_g: Double, mean_b: Double,
+      h_r0: Long, h_r1: Long, h_r2: Long, h_r3: Long,
+      h_g0: Long, h_g1: Long, h_g2: Long, h_g3: Long,
+      h_b0: Long, h_b1: Long, h_b2: Long, h_b3: Long)
+
+  def planeStats(decoded: DataFrame, id: String = "doc_id",
+      pixels: String = "pixels"): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.product[PlaneStats]
+    decoded.select(col(id).cast("long"), col(pixels))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val px = r.getAs[Array[Byte]](1)
+          val sums = new Array[Long](3)
+          val hist = new Array[Long](12) // channel * 4 + (byte >> 6)
+          val n = px.length / 3 // pixels; decodePpm guarantees length = w*h*3
+          var i = 0
+          while (i < n * 3) {
+            val v = px(i) & 0xff
+            sums(i % 3) += v
+            hist((i % 3) * 4 + (v >> 6)) += 1
+            i += 1
+          }
+          val d = math.max(1, n).toDouble
+          PlaneStats(r.getLong(0),
+            sums(0) / d, sums(1) / d, sums(2) / d,
+            hist(0), hist(1), hist(2), hist(3),
+            hist(4), hist(5), hist(6), hist(7),
+            hist(8), hist(9), hist(10), hist(11))
+        }
+      }(enc)
+      .toDF()
+  }
+
+  /** [[planeStats]] repacked as the `(id, array<float>)` shape the
+    * [[Similarity]] ANN operators consume: 15 dims — the three channel
+    * means scaled to [0,1] followed by the per-channel histograms
+    * normalized to fractions. Pure column arithmetic over the stats
+    * frame (no second pass over pixels). */
+  def planeFeatureVector(stats: DataFrame, id: String = "doc_id"): DataFrame = {
+    val n = (col("h_r0") + col("h_r1") + col("h_r2") + col("h_r3"))
+      .cast("double")
+    val histCols = for (c <- Seq("r", "g", "b"); b <- 0 until 4)
+      yield (col(s"h_$c$b") / greatest(n, lit(1.0))).cast("float")
+    val meanCols = Seq("r", "g", "b").map(c =>
+      (col(s"mean_$c") / 255.0).cast("float"))
+    stats.select(col(id), array(meanCols ++ histCols: _*).as("features"))
+  }
+
   /** Resize stub: a deterministic fake that crops the payload to the
     * target pixel budget (`min(n_bytes, tw*th)` leading bytes) and emits
     * the resized dimensions + content hash. The plumbing — per-row binary

@@ -512,25 +512,55 @@ object LlmQueries {
     * plane. The decode is genuine format parsing; the deterministic
     * construction is what lets DuckDB replay it (the oracle rebuilds the
     * same pixel slice and compares hex, byte-exact, as q53 does). */
-  def ppmDecode(s: SparkSession, d: String): DataFrame = {
+  /** Each ASCII doc's text wrapped into a valid binary PPM (P6) payload —
+    * dims derived from doc_id, pixel plane = the text bytes padded /
+    * truncated to width×height×3. Shared by q71 (decode round-trip) and
+    * q74 (plane features): the deterministic construction is what lets
+    * DuckDB replay the pixel plane. The construction pads by CHARACTERS
+    * and the decoder slices BYTES, so both sides restrict to non-null
+    * ASCII docs (chars ≡ bytes) — on this corpus that is everything, and
+    * the gate stays robust if a future sf dir gains null or multibyte
+    * text (the oracles apply the same filter). */
+  private def ppmPayloads(s: SparkSession, d: String): DataFrame = {
     val npix = "cast((4 + doc_id % 8) * (3 + doc_id % 5) * 3 as int)"
-    // the construction pads by CHARACTERS and the decoder slices BYTES, so
-    // both sides restrict to non-null ASCII docs (chars ≡ bytes) — on this
-    // corpus that is everything, and the gate stays robust if a future sf
-    // dir gains null or multibyte text (the oracle applies the same filter)
     val ascii = docs(s, d).where(col("text").isNotNull &&
       octet_length(encode(col("text"), "UTF-8")) === length(col("text")))
-    val withPayload = ascii.select(col("doc_id"),
+    ascii.select(col("doc_id"),
       encode(concat(
         lit("P6\n"),
         (lit(4) + col("doc_id") % 8).cast("string"), lit(" "),
         (lit(3) + col("doc_id") % 5).cast("string"), lit("\n255\n"),
         expr(s"rpad(text, $npix, '.')")), "UTF-8").as("payload"))
-    Multimodal.decodePpm(withPayload, "doc_id", "payload")
+  }
+
+  def ppmDecode(s: SparkSession, d: String): DataFrame = {
+    Multimodal.decodePpm(ppmPayloads(s, d), "doc_id", "payload")
       .select(col("doc_id"), col("width"), col("height"), col("maxval"),
         col("n_pixel_bytes"), hex(col("pixels")).as("pixels_hex"))
       .orderBy("doc_id")
   }
+
+  /** q74 — features from DECODED pixels: the real-decode output of q71
+    * ([[Multimodal.decodePpm]]) feeds [[Multimodal.planeStats]] — per-
+    * channel means + 4-bucket histograms computed from the interleaved
+    * RGB plane, never from raw payload bytes (the header is parsed away
+    * first). This closes decode → features → ANN into a genuine image
+    * pipeline: the same stats repack into ANN features via
+    * [[Multimodal.planeFeatureVector]] (OperatorSpec drives them through
+    * `Similarity.bruteForceTopK`). The oracle recomputes every stat from
+    * the padded-text pixel plane character-by-character — an independent
+    * formulation with no shared decode code. Map-only end to end. */
+  def planeFeatures(s: SparkSession, d: String): DataFrame =
+    Multimodal.planeStats(
+        Multimodal.decodePpm(ppmPayloads(s, d), "doc_id", "payload"))
+      .select(col("doc_id"),
+        round(col("mean_r"), 6).as("mean_r"),
+        round(col("mean_g"), 6).as("mean_g"),
+        round(col("mean_b"), 6).as("mean_b"),
+        col("h_r0"), col("h_r1"), col("h_r2"), col("h_r3"),
+        col("h_g0"), col("h_g1"), col("h_g2"), col("h_g3"),
+        col("h_b0"), col("h_b1"), col("h_b2"), col("h_b3"))
+      .orderBy("doc_id")
 
   /** Per-directory memo of the compacted layout over the documents table:
     * 17 unsorted small files (simulated incremental ingest) rewritten by
@@ -816,6 +846,26 @@ object LlmQueries {
         |  hex(encode(rpad(text, n_pixel_bytes::INTEGER, '.'))) AS pixels_hex
         |FROM d ORDER BY doc_id""".stripMargin,
 
+    "q74_plane_features" -> {
+      // max plane = 11 * 7 * 3 = 231 bytes (width 4..11, height 3..7)
+      val hists = for (c <- Seq(0 -> "r", 1 -> "g", 2 -> "b"); b <- 0 until 4)
+        yield s"(count(*) FILTER (WHERE ch = ${c._1} AND b // 64 = $b))::BIGINT" +
+          s" AS h_${c._2}$b"
+      s"""WITH d AS (SELECT doc_id,
+         |    ((4 + doc_id % 8) * (3 + doc_id % 5) * 3)::INTEGER AS npix, text
+         |  FROM documents
+         |  WHERE text IS NOT NULL AND octet_length(encode(text)) = length(text)),
+         |p AS (SELECT doc_id, npix, rpad(text, npix, '.') AS pt FROM d),
+         |ex AS (SELECT doc_id, ascii(substring(pt, i, 1)) AS b, (i - 1) % 3 AS ch
+         |  FROM p CROSS JOIN generate_series(1, 231) t(i) WHERE i <= npix)
+         |SELECT doc_id,
+         |  round(avg(b) FILTER (WHERE ch = 0), 6) AS mean_r,
+         |  round(avg(b) FILTER (WHERE ch = 1), 6) AS mean_g,
+         |  round(avg(b) FILTER (WHERE ch = 2), 6) AS mean_b,
+         |  ${hists.mkString(",\n  ")}
+         |FROM ex GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
+
     "q37_multimodal_meta" ->
       """SELECT doc_id, octet_length(encode(text))::BIGINT AS n_bytes,
         |  (64 + octet_length(encode(text)) % 512)::INTEGER AS width,
@@ -1071,6 +1121,7 @@ object LlmQueries {
     "q37_multimodal_meta" -> multimodalMeta _,
     "q53_multimodal_frames" -> multimodalFrames _,
     "q71_ppm_decode" -> ppmDecode _,
+    "q74_plane_features" -> planeFeatures _,
     "q72_layout_roundtrip" -> layoutRoundtrip _,
     "q50_text_stopwords" -> textStopwords _,
     "q51_text_tfidf" -> textTfidf _,

@@ -255,6 +255,42 @@ class OperatorSpec extends AnyFunSuite {
     assert(feats(1L) == feats(2L) && feats(1L) == feats(5L))
   }
 
+  test("plane stats from decoded pixels: hand-checked channels, feeds ANN") {
+    def ppm(header: String, pixels: Array[Byte]): Array[Byte] =
+      header.getBytes("US-ASCII") ++ pixels
+    // 2x1 image: pixels (10, 100, 200), (30, 140, 240) — channel means and
+    // buckets are hand-computable: R mean 20 (bucket 0), G mean 120
+    // (buckets 1, 2), B mean 220 (bucket 3 twice)
+    val px = Array(10, 100, 200, 30, 140, 240).map(_.toByte)
+    val rows = Seq(
+      1L -> ppm("P6\n2 1\n255\n", px),
+      2L -> ppm("P6\n# c\n2 1\n255\n", px),          // same plane, other header
+      3L -> "garbage".getBytes("US-ASCII"))           // dropped by decode
+      .toDF("doc_id", "payload")
+    val stats = Multimodal.planeStats(
+        Multimodal.decodePpm(rows, "doc_id"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(stats.keySet == Set(1L, 2L))
+    val s1 = stats(1L)
+    assert(s1.getDouble(1) == 20.0 && s1.getDouble(2) == 120.0 &&
+      s1.getDouble(3) == 220.0)
+    // histograms: header bytes must NOT contaminate the buckets
+    assert(s1.getLong(4) == 2 && s1.getLong(5) == 0)              // R: bucket 0 x2
+    assert(s1.getLong(9) == 1 && s1.getLong(10) == 1)             // G: buckets 1, 2
+    assert(s1.getLong(15) == 2 && s1.getLong(12) == 0)            // B: bucket 3 x2
+    // identical planes under different headers -> identical stats
+    assert(s1.toSeq.tail == stats(2L).toSeq.tail)
+    // the stats repack into the (id, array<float>) ANN shape and rank
+    val feats = Multimodal.planeFeatureVector(
+      Multimodal.planeStats(Multimodal.decodePpm(rows, "doc_id")))
+    val fRows = feats.collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(fRows(1L).size == 15 && fRows(1L) == fRows(2L))
+    val top = graft.operators.Similarity
+      .bruteForceTopK(feats, "doc_id", "features", fRows(1L).toArray, 2).collect()
+    assert(top.map(_.getLong(0)).toSet == Set(1L, 2L) &&
+      top.forall(_.getDouble(1) == 1.0))
+  }
+
   test("multimodal feature extraction feeds the ANN operators") {
     val withP = graft.operators.Multimodal.withBinaryPayload(docs, "text")
     val feats = graft.operators.Multimodal.featureExtract(spark, withP, "doc_id")
