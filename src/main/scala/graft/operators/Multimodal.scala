@@ -196,6 +196,120 @@ object Multimodal {
       .toDF()
   }
 
+  /** Parse an uncompressed 24-bit BMP header (BITMAPFILEHEADER +
+    * BITMAPINFOHEADER): returns `(width, height, dataOffset)` or None for
+    * anything that is not a well-formed bottom-up 24-bit BI_RGB blob.
+    * Checks: 'BM' magic, 40-byte DIB header, planes = 1, bitCount = 24,
+    * compression = BI_RGB (0), positive dims (negative height = top-down
+    * — rejected; the decoder's contract is the classic bottom-up form),
+    * data offset inside the file. Pure JVM, little-endian field reads —
+    * no codec dependency. */
+  def parseBmpHeader(b: Array[Byte]): Option[(Int, Int, Int)] = {
+    def le16(o: Int): Int = (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+    def le32(o: Int): Int = (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) |
+      ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
+    if (b.length < 54 || b(0) != 'B'.toByte || b(1) != 'M'.toByte) return None
+    val off = le32(10)
+    val dib = le32(14)
+    val w = le32(18)
+    val h = le32(22)
+    if (dib != 40 || le16(26) != 1 || le16(28) != 24 || le32(30) != 0) None
+    else if (w <= 0 || h <= 0 || off < 54 || off > b.length) None
+    else Some((w, h, off))
+  }
+
+  /** BMP row stride: each pixel row is 3·width bytes padded up to a
+    * multiple of 4 — the field the format is notorious for. */
+  def bmpStride(width: Int): Int = (3 * width + 3) & ~3
+
+  /** Encode a top-down interleaved RGB plane as an uncompressed 24-bit
+    * BMP blob — the fixture/round-trip counterpart of [[decodeBmp]]
+    * (rows flipped bottom-up, channels swapped to BGR, stride padded
+    * with zeros). Used by the q75 payload construction and the
+    * OperatorSpec round-trip; decode correctness itself is pinned
+    * against hand-authored byte literals, not this encoder. */
+  def encodeBmp(width: Int, height: Int, rgb: Array[Byte]): Array[Byte] = {
+    require(rgb.length == width * height * 3,
+      s"plane must be width*height*3 bytes, got ${rgb.length}")
+    val stride = bmpStride(width)
+    val size = 54 + stride * height
+    val out = new Array[Byte](size)
+    def le16(o: Int, v: Int): Unit = { out(o) = v.toByte; out(o + 1) = (v >> 8).toByte }
+    def le32(o: Int, v: Int): Unit = {
+      out(o) = v.toByte; out(o + 1) = (v >> 8).toByte
+      out(o + 2) = (v >> 16).toByte; out(o + 3) = (v >> 24).toByte
+    }
+    out(0) = 'B'.toByte; out(1) = 'M'.toByte
+    le32(2, size); le32(10, 54); le32(14, 40)
+    le32(18, width); le32(22, height)
+    le16(26, 1); le16(28, 24); le32(30, 0); le32(34, stride * height)
+    var r = 0
+    while (r < height) {
+      val src = (height - 1 - r) * width * 3 // bottom file row = last image row
+      var x = 0
+      while (x < width) {
+        val o = 54 + r * stride + x * 3
+        out(o) = rgb(src + x * 3 + 2)     // B
+        out(o + 1) = rgb(src + x * 3 + 1) // G
+        out(o + 2) = rgb(src + x * 3)     // R
+        x += 1
+      }
+      r += 1
+    }
+    out
+  }
+
+  /** Decoded BMP image, normalized to the SAME plane convention as
+    * [[PpmImage]]: `pixels` is top-down interleaved RGB, so the decoded
+    * output of either format feeds [[planeStats]] / [[featureExtract]]
+    * identically — the decode layer is a layer, not a per-format
+    * special case. */
+  final case class BmpImage(doc_id: Long, width: Int, height: Int,
+      n_pixel_bytes: Long, pixels: Array[Byte])
+
+  /** REAL batch decode of uncompressed 24-bit BMP payloads through the
+    * same per-partition seam as [[decodePpm]]. Undoes all three BMP
+    * storage quirks — bottom-up row order, BGR channel order, 4-byte row
+    * stride padding — emitting the normalized top-down RGB plane.
+    * Malformed blobs (bad magic/DIB, wrong depth or compression, pixel
+    * data shorter than stride×height) are DROPPED, same discipline as
+    * [[decodePpm]]. Map-only. */
+  def decodeBmp(df: DataFrame, id: String,
+      payload: String = "payload"): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.product[BmpImage]
+    df.select(col(id).cast("long"), col(payload))
+      .where(col(payload).isNotNull)
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val b = r.getAs[Array[Byte]](1)
+          parseBmpHeader(b).flatMap { case (w, h, off) =>
+            val stride = bmpStride(w)
+            val need = stride.toLong * h
+            val n = w.toLong * h * 3
+            if (need > b.length - off || n > Int.MaxValue) None
+            else {
+              val out = new Array[Byte](n.toInt)
+              var fr = 0
+              while (fr < h) {
+                val dst = (h - 1 - fr) * w * 3
+                var x = 0
+                while (x < w) {
+                  val o = off + fr * stride + x * 3
+                  out(dst + x * 3) = b(o + 2)     // R
+                  out(dst + x * 3 + 1) = b(o + 1) // G
+                  out(dst + x * 3 + 2) = b(o)     // B
+                  x += 1
+                }
+                fr += 1
+              }
+              Some(BmpImage(r.getLong(0), w, h, n, out))
+            }
+          }
+        }
+      }(enc)
+      .toDF()
+  }
+
   /** Per-channel statistics computed from a DECODED pixel plane
     * ([[decodePpm]] output) — the connector between real decode and the
     * ANN operators: channel means plus a 4-bucket histogram per channel,

@@ -540,6 +540,43 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  /** Rows of (doc_id, BMP payload): the q71 logical plane (text padded to
+    * width×height×3) encoded as an uncompressed 24-bit BMP blob —
+    * bottom-up rows, BGR channels, stride padded ([[Multimodal.encodeBmp]]).
+    * Batched per-partition like every payload stage. */
+  private final case class IdPayload(doc_id: Long, payload: Array[Byte])
+  private def bmpPayloads(s: SparkSession, d: String): DataFrame = {
+    val npix = "cast((4 + doc_id % 8) * (3 + doc_id % 5) * 3 as int)"
+    val ascii = docs(s, d).where(col("text").isNotNull &&
+      octet_length(encode(col("text"), "UTF-8")) === length(col("text")))
+    val planes = ascii.select(col("doc_id"),
+      (lit(4) + col("doc_id") % 8).cast("int").as("w"),
+      (lit(3) + col("doc_id") % 5).cast("int").as("h"),
+      encode(expr(s"rpad(text, $npix, '.')"), "UTF-8").as("plane"))
+    val enc = org.apache.spark.sql.Encoders.product[IdPayload]
+    planes.mapPartitions { rows =>
+      rows.map { r =>
+        IdPayload(r.getLong(0), Multimodal.encodeBmp(
+          r.getInt(1), r.getInt(2), r.getAs[Array[Byte]](3)))
+      }
+    }(enc).toDF()
+  }
+
+  /** q75 — REAL BMP decode: the second pure-JVM format through the batched
+    * decode seam, exercising the storage quirks PPM doesn't have —
+    * bottom-up row order, BGR channel order, 4-byte stride padding
+    * (width 4 has zero pad bytes, 5..11 have 1–3, so both stride cases run
+    * on every sf dir). [[Multimodal.decodeBmp]] undoes all three and emits
+    * the normalized top-down RGB plane, which must equal the q71 logical
+    * plane the payload was encoded FROM — the oracle rebuilds that plane
+    * from text independently (decode-vs-encode symmetry itself is pinned
+    * against hand-authored byte literals in OperatorSpec). */
+  def bmpDecode(s: SparkSession, d: String): DataFrame =
+    Multimodal.decodeBmp(bmpPayloads(s, d), "doc_id", "payload")
+      .select(col("doc_id"), col("width"), col("height"),
+        col("n_pixel_bytes"), hex(col("pixels")).as("pixels_hex"))
+      .orderBy("doc_id")
+
   /** q74 — features from DECODED pixels: the real-decode output of q71
     * ([[Multimodal.decodePpm]]) feeds [[Multimodal.planeStats]] — per-
     * channel means + 4-bucket histograms computed from the interleaved
@@ -846,6 +883,17 @@ object LlmQueries {
         |  hex(encode(rpad(text, n_pixel_bytes::INTEGER, '.'))) AS pixels_hex
         |FROM d ORDER BY doc_id""".stripMargin,
 
+    "q75_bmp_decode" ->
+      """WITH d AS (SELECT doc_id,
+        |    (4 + doc_id % 8)::INTEGER AS width,
+        |    (3 + doc_id % 5)::INTEGER AS height,
+        |    ((4 + doc_id % 8) * (3 + doc_id % 5) * 3)::BIGINT AS n_pixel_bytes,
+        |    text FROM documents
+        |  WHERE text IS NOT NULL AND octet_length(encode(text)) = length(text))
+        |SELECT doc_id, width, height, n_pixel_bytes,
+        |  hex(encode(rpad(text, n_pixel_bytes::INTEGER, '.'))) AS pixels_hex
+        |FROM d ORDER BY doc_id""".stripMargin,
+
     "q74_plane_features" -> {
       // max plane = 11 * 7 * 3 = 231 bytes (width 4..11, height 3..7)
       val hists = for (c <- Seq(0 -> "r", 1 -> "g", 2 -> "b"); b <- 0 until 4)
@@ -1122,6 +1170,7 @@ object LlmQueries {
     "q53_multimodal_frames" -> multimodalFrames _,
     "q71_ppm_decode" -> ppmDecode _,
     "q74_plane_features" -> planeFeatures _,
+    "q75_bmp_decode" -> bmpDecode _,
     "q72_layout_roundtrip" -> layoutRoundtrip _,
     "q50_text_stopwords" -> textStopwords _,
     "q51_text_tfidf" -> textTfidf _,

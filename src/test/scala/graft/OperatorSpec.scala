@@ -255,6 +255,48 @@ class OperatorSpec extends AnyFunSuite {
     assert(feats(1L) == feats(2L) && feats(1L) == feats(5L))
   }
 
+  test("BMP decode: hand-authored bytes pin bottom-up/BGR/stride; reject matrix") {
+    def le16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
+    def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte,
+      (v >> 16).toByte, (v >> 24).toByte)
+    def header(w: Int, h: Int, size: Int, off: Int = 54, dib: Int = 40,
+        planes: Int = 1, bits: Int = 24, comp: Int = 0): Array[Byte] =
+      "BM".getBytes("US-ASCII") ++ le32(size) ++ le32(0) ++ le32(off) ++
+        le32(dib) ++ le32(w) ++ le32(h) ++ le16(planes) ++ le16(bits) ++
+        le32(comp) ++ le32(size - 54) ++ Array.fill[Byte](16)(0)
+    // 2x2 logical top-down RGB plane = bytes 1..12; the FILE stores it
+    // bottom-up, BGR, with 2 stride-pad bytes per row — all hand-written
+    // here so decode is pinned against the spec, not against encodeBmp
+    val pixFile = Array[Byte](9, 8, 7, 12, 11, 10, 0, 0,
+      3, 2, 1, 6, 5, 4, 0, 0)
+    val good = header(2, 2, 54 + 16) ++ pixFile
+    val rows = Seq(
+      1L -> good,
+      2L -> (header(2, 2, 54 + 16, bits = 8) ++ pixFile),  // wrong bit depth
+      3L -> (header(2, 2, 54 + 16, comp = 1) ++ pixFile),  // compressed (RLE)
+      4L -> (header(2, 4, 54 + 32) ++ pixFile),            // truncated plane
+      5L -> (header(2, -2, 54 + 16) ++ pixFile),           // top-down (negative h)
+      6L -> "XX garbage".getBytes("US-ASCII"))             // bad magic
+      .toDF("doc_id", "payload")
+    val got = Multimodal.decodeBmp(rows, "doc_id").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(got.keySet == Set(1L))
+    val r1 = got(1L)
+    assert(r1.getInt(1) == 2 && r1.getInt(2) == 2 && r1.getLong(3) == 12)
+    assert(r1.getAs[Array[Byte]](4).toSeq == (1 to 12).map(_.toByte).toSeq)
+    // encode -> decode round-trip at a width with 3 pad bytes (stride 12)
+    val plane = Array.tabulate(3 * 2 * 3)(i => (40 + i * 5).toByte)
+    val rt = Multimodal.decodeBmp(
+        Seq(9L -> Multimodal.encodeBmp(3, 2, plane)).toDF("doc_id", "payload"),
+        "doc_id")
+      .collect()
+    assert(rt.length == 1 && rt.head.getAs[Array[Byte]](4).toSeq == plane.toSeq)
+    // the normalized plane feeds planeStats exactly like decodePpm output
+    val st = Multimodal.planeStats(Multimodal.decodeBmp(
+        Seq(1L -> good).toDF("doc_id", "payload"), "doc_id")).collect()
+    assert(st.length == 1 && st.head.getDouble(1) == (1 + 4 + 7 + 10) / 4.0)
+  }
+
   test("plane stats from decoded pixels: hand-checked channels, feeds ANN") {
     def ppm(header: String, pixels: Array[Byte]): Array[Byte] =
       header.getBytes("US-ASCII") ++ pixels
