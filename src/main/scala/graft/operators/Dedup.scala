@@ -338,6 +338,52 @@ object Dedup {
       .select("a", "b")
       .distinct()
 
+  /** The size/accuracy record of a built shingle Bloom filter — surfaced
+    * to callers the way the capped-pair `skipped` frame is: an
+    * approximation in the pipeline must be visible, not silent. */
+  final case class BloomStats(nItems: Long, fpp: Double, bitSize: Long)
+
+  /** Build a Bloom filter over a distinct long hash column (distributed
+    * per-partition build + merge via `DataFrameStatFunctions.bloomFilter`
+    * — no row ever collects to the driver, only the fused bit array).
+    * The scale-safe membership form for an eval/reference set too big to
+    * BROADCAST-JOIN: a raw distinct-hash relation costs 8 B/item and is
+    * subject to `autoBroadcastJoinThreshold` — past it, Spark silently
+    * plans a full-corpus shuffle join. The Bloom filter costs ~1.2
+    * bits/item per ln(1/fpp) factor (≈29 bits at fpp 1e-6, ≈3.6 B/item)
+    * and ships as a broadcast VARIABLE, so the corpus side stays map-only
+    * at ANY eval size — there is no threshold past which the plan shape
+    * degrades. Rule of thumb: below ~1M distinct eval shingles (≈8 MB)
+    * use the exact broadcast join ([[graft.queries.LlmQueries
+    * .decontaminate]]); above it, this. */
+  def shingleBloom(sh: DataFrame, hashCol: String = "sh_h",
+      fpp: Double = 1e-6): (org.apache.spark.util.sketch.BloomFilter, BloomStats) = {
+    val distinctH = sh.select(hashCol).distinct()
+    val n = math.max(1L, distinctH.count())
+    val bf = distinctH.stat.bloomFilter(hashCol, n, fpp)
+    (bf, BloomStats(n, fpp, bf.bitSize()))
+  }
+
+  /** The doc ids of shingle rows whose hash the filter (might) contain —
+    * map-only membership over `(id, sh_h)` rows, then one
+    * map-side-combinable distinct. False positives can only ADD flagged
+    * docs (never miss one): per-doc flag error is bounded by
+    * n_shingles(doc) × fpp. Typed filter over a broadcast variable —
+    * no UDF registry, no join. */
+  def bloomHits(sh: DataFrame, id: String,
+      bf: org.apache.spark.util.sketch.BloomFilter): DataFrame = {
+    val spark = sh.sparkSession
+    val bfB = spark.sparkContext.broadcast(bf)
+    implicit val enc: org.apache.spark.sql.Encoder[Long] =
+      org.apache.spark.sql.Encoders.scalaLong
+    sh.select(col(id).cast("long"), col("sh_h"))
+      .mapPartitions { rows =>
+        val f = bfB.value
+        rows.collect { case r if f.mightContainLong(r.getLong(1)) => r.getLong(0) }
+      }
+      .toDF(id).distinct()
+  }
+
   /** 32-bit SimHash from token hashes: bit b of the fingerprint is the sign
     * of the sum over tokens of (2*bit_b(hash) - 1). Near-dups differ in few
     * bits (Hamming). Pure aggregate — one shuffle. */

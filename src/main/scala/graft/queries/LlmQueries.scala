@@ -271,6 +271,44 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  /** q76 — BLOOM-FILTER decontamination: the scale-safe variant of q62
+    * for eval sides too big to broadcast-join. q62's broadcast of the
+    * distinct eval hashes is right for a tiny held-out set, but a user
+    * decontaminating against MANY benchmarks plus perturbations can
+    * exceed `autoBroadcastJoinThreshold`, and the failure mode there is a
+    * SILENT full-corpus shuffle join. Here the eval shingles fuse into a
+    * Bloom filter ([[Dedup.shingleBloom]] — distributed build, ~3.6
+    * B/item at fpp 1e-6 vs 8 B raw) shipped as a broadcast VARIABLE, so
+    * the corpus side is map-only membership at ANY eval size
+    * ([[Dedup.bloomHits]]) — no threshold past which the plan degrades.
+    *
+    * False positives only ever ADD flags (no contaminated doc is missed);
+    * per-doc flag error ≤ n_shingles × fpp. At fpp 1e-6 the expected
+    * false-flag count on this corpus is ~1e-4, and the filter build is
+    * deterministic, so the exact-formulation oracle (same SQL as q62)
+    * gates this query too — OperatorSpec measures the fp bound explicitly
+    * and pins superset-of-exact on a fixture. The broadcast-vs-Bloom
+    * selection threshold is documented on [[Dedup.shingleBloom]]. */
+  def decontaminateBloom(s: SparkSession, d: String): DataFrame = {
+    val all = docs(s, d)
+    val evalSh = Dedup.hashShingles(Dedup.shingles(
+        all.where(col("text").isNotNull &&
+          pmod(col("doc_id"), lit(EvalMod)) === 0), "text", "doc_id", 3,
+        dedup = false), "doc_id")
+    val (bf, _) = Dedup.shingleBloom(evalSh)
+    val corpusSh = Dedup.hashShingles(Dedup.shingles(
+        all.where(col("text").isNotNull &&
+          pmod(col("doc_id"), lit(EvalMod)) =!= 0), "text", "doc_id", 3,
+        dedup = false), "doc_id")
+    val hit = Dedup.bloomHits(corpusSh, "doc_id", bf)
+      .withColumn("contaminated", lit(1L))
+    all.where(pmod(col("doc_id"), lit(EvalMod)) =!= 0).select("doc_id")
+      .join(hit, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("contaminated"), lit(0L)).as("contaminated"))
+      .orderBy("doc_id")
+  }
+
   /** q73 — FRACTIONAL decontamination: per corpus doc, the fraction of
     * its distinct 3-grams shared with the eval set — the thresholdable
     * form of q62's any-hit flag (production pipelines drop at e.g.
@@ -984,6 +1022,22 @@ object LlmQueries {
          |WHERE d.doc_id % $EvalMod <> 0
          |ORDER BY d.doc_id""".stripMargin,
 
+    // the exact formulation gates the Bloom variant too: fps are the only
+    // possible divergence, the build is deterministic, and at fpp 1e-6 the
+    // expected false-flag count at any test sf is ~1e-4 (bound measured in
+    // OperatorSpec) — a hash-mismatch here would mean a real fp landed,
+    // which at this fpp indicates a build/probe bug, not bad luck
+    "q76_decontaminate_bloom" ->
+      s"""WITH $tok3Cte,
+         |ev AS (SELECT DISTINCT shingle FROM tok3 WHERE doc_id % $EvalMod = 0),
+         |hit AS (SELECT DISTINCT t.doc_id FROM tok3 t JOIN ev USING (shingle)
+         |  WHERE t.doc_id % $EvalMod <> 0)
+         |SELECT d.doc_id,
+         |  (CASE WHEN hit.doc_id IS NULL THEN 0 ELSE 1 END)::BIGINT AS contaminated
+         |FROM documents d LEFT JOIN hit ON d.doc_id = hit.doc_id
+         |WHERE d.doc_id % $EvalMod <> 0
+         |ORDER BY d.doc_id""".stripMargin,
+
     "q73_decontaminate_frac" ->
       s"""WITH $tok3Cte,
          |ev AS (SELECT DISTINCT shingle FROM tok3 WHERE doc_id % $EvalMod = 0),
@@ -1178,6 +1232,7 @@ object LlmQueries {
     "q61_dedup_incremental" -> dedupIncremental _,
     "q62_decontaminate" -> decontaminate _,
     "q73_decontaminate_frac" -> decontaminateFrac _,
+    "q76_decontaminate_bloom" -> decontaminateBloom _,
     "q63_repetition" -> textRepetition _,
     "q59_corpus_mix" -> corpusMix _,
     "q60_vocab_topk" -> vocabTopK _,

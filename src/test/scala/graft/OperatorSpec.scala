@@ -255,6 +255,47 @@ class OperatorSpec extends AnyFunSuite {
     assert(feats(1L) == feats(2L) && feats(1L) == feats(5L))
   }
 
+  test("bloom decontamination: superset of exact keeps, measured fp bound") {
+    // controlled-overlap corpus: 15 contaminated docs share the 3-gram
+    // "alpha beta gamma" with the eval set; 85 clean docs use per-doc
+    // vocabularies so no real overlap exists
+    val eval = (1 to 20).map(i => (1000L + i, s"mark$i alpha beta gamma tail$i end$i"))
+    val contam = (1 to 15).map(i => (i.toLong, s"noise$i alpha beta gamma other$i"))
+    val clean = (16 to 100).map(i =>
+      (i.toLong, s"w${i}a w${i}b w${i}c w${i}d w${i}e w${i}f"))
+    val evalSh = Dedup.hashShingles(Dedup.shingles(
+      eval.toDF("doc_id", "text"), "text", "doc_id", 3, dedup = false), "doc_id")
+    val corpusSh = Dedup.hashShingles(Dedup.shingles(
+      (contam ++ clean).toDF("doc_id", "text"), "text", "doc_id", 3,
+      dedup = false), "doc_id")
+    // exact flags (the q62 broadcast-join formulation, replayed inline)
+    val exact = corpusSh.join(broadcast(evalSh.select("sh_h").distinct()), "sh_h")
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(exact == (1 to 15).map(_.toLong).toSet)
+    // tight filter: identical to exact (expected fps ~ probes * 1e-6 ≈ 0)
+    val (bf, stats) = Dedup.shingleBloom(evalSh)
+    val bloom = Dedup.bloomHits(corpusSh, "doc_id", bf)
+      .collect().map(_.getLong(0)).toSet
+    assert(bloom == exact, s"fpp 1e-6 must be fp-free at this size")
+    assert(stats.nItems ==
+      evalSh.select("sh_h").distinct().count() && stats.bitSize > 0)
+    // loose filter: fps become measurable and stay within the advertised
+    // bound — flags are a SUPERSET of exact (no contaminated doc missed),
+    // and the per-probe fp rate is the fpp order of magnitude
+    val (bfLoose, _) = Dedup.shingleBloom(evalSh, fpp = 0.2)
+    val loose = Dedup.bloomHits(corpusSh, "doc_id", bfLoose)
+      .collect().map(_.getLong(0)).toSet
+    assert(exact.subsetOf(loose), "bloom must never miss a contaminated doc")
+    val cleanProbes = corpusSh.join(evalSh.select("sh_h").distinct(),
+      Seq("sh_h"), "left_anti").select("sh_h").distinct().count()
+    val fpProbes = corpusSh.join(evalSh.select("sh_h").distinct(),
+        Seq("sh_h"), "left_anti")
+      .select("sh_h").distinct().collect()
+      .count(r => bfLoose.mightContainLong(r.getLong(0)))
+    assert(fpProbes <= math.max(3, (3.0 * 0.2 * cleanProbes).toLong),
+      s"fp rate $fpProbes/$cleanProbes must be within 3x of fpp 0.2")
+  }
+
   test("BMP decode: hand-authored bytes pin bottom-up/BGR/stride; reject matrix") {
     def le16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
     def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte,
