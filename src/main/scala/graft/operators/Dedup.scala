@@ -210,7 +210,16 @@ object Dedup {
     * of band rows per batch); a capped append onto an uncapped build has
     * no sidecar and falls back to counting the compact band rows.
     * `<path>/skipped` may carry one row per append for the same bucket;
-    * the max-size row is current ([[bandIndexSkipped]] dedupes). */
+    * the max-size row is current ([[bandIndexSkipped]] dedupes).
+    *
+    * WRITE-ORDER CONTRACT: within one (build or append) call the three
+    * dirs are written `bands` → `skipped` → `bandsizes`, and the writes
+    * are NOT atomic across dirs — a crash between them leaves the cap
+    * metadata stale with no marker in the data itself. The in-session
+    * ordering is safe (the decision set is materialized before the first
+    * write), but a torn append is only DETECTABLE by recounting:
+    * run [[bandIndexVerify]] after a crash (or on index open) and
+    * rebuild if it reports findings. */
   def bandIndexWrite(banded: DataFrame, id: String, bands: Int,
       path: String, maxBucket: Int = Int.MaxValue,
       append: Boolean = false): Unit = {
@@ -230,6 +239,14 @@ object Dedup {
         s"$path is a capped band index; appending without maxBucket would " +
           "break the bucket-cap invariant — pass the index's maxBucket")
       stacked.write.mode(mode).parquet(s"$path/bands")
+      // an uncapped REBUILD over a previously capped index must also drop
+      // the old cap sidecars: left behind, bandIndexSkipped would report
+      // phantom excluded buckets of the discarded index and a later capped
+      // append would base its combined-size decision on stale sizes
+      if (!append) Seq("bandsizes", "skipped").foreach { name =>
+        val p = new org.apache.hadoop.fs.Path(s"$path/$name")
+        if (fs.exists(p)) fs.delete(p, true)
+      }
     } else if (!append || !indexExists) {
       // build: one pass over the (compact) stacked rows to size buckets
       val sizes = stacked.groupBy("bi", "k").agg(count(lit(1)).as("size"))
@@ -323,6 +340,88 @@ object Dedup {
         .withColumn("size", lit(0L))
         .limit(0)
     }
+
+  /** Crash-consistency check for a persisted band index: recounts the
+    * actual per-bucket sizes in `<path>/bands` and cross-checks them
+    * against the `bandsizes` and `skipped` sidecars (whose writes are not
+    * atomic with the band rows — see the write-order contract on
+    * [[bandIndexWrite]]). Returns one `(bi, k, issue, expected, actual)`
+    * row per finding; an empty result means the metadata is consistent.
+    * Issues:
+    *
+    *  - `size_mismatch`  — a non-skipped `bandsizes` bucket whose recorded
+    *    size differs from the recount (append crashed between `bands` and
+    *    `bandsizes`);
+    *  - `skipped_leak`   — a `skipped` bucket whose `bands` rows differ
+    *    from its last admitted total (`bandsizes` row, or 0 if skipped at
+    *    build): rows landed in `bands` that the exclusion should have
+    *    routed away, or admitted rows vanished;
+    *  - `missing_size`   — a bucket present in `bands` but in neither
+    *    sidecar, on a lineage that maintains `bandsizes` (the bucket's
+    *    size row was lost);
+    *  - `skipped_undercount` — a `skipped` bucket with MORE rows in
+    *    `bands` than its recorded total-seen (total-seen includes routed-
+    *    away rows, so this is gross corruption; on the no-`bandsizes`
+    *    lineage it is also the only skipped-bucket check available);
+    *  - `over_cap`       — only when `maxBucket` is passed: a bucket whose
+    *    recount exceeds the cap (the never-over-maxBucket invariant is
+    *    broken outright).
+    *
+    * Cost: one aggregation over the compact 3-long band rows plus the
+    * bucket-count-sized sidecars — run it on index open after an unclean
+    * shutdown, and rebuild the index if it reports findings. */
+  def bandIndexVerify(spark: org.apache.spark.sql.SparkSession, path: String,
+      maxBucket: Int = Int.MaxValue): DataFrame = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def sidecar(name: String): Boolean =
+      fs.exists(new org.apache.hadoop.fs.Path(s"$path/$name"))
+    val actual = bandIndexRead(spark, path).groupBy("bi", "k")
+      .agg(count(lit(1)).as("actual"))
+    def finding(df: DataFrame, issue: String, expected: Column): DataFrame =
+      df.select(col("bi"), col("k"), lit(issue).as("issue"),
+        expected.cast("long").as("expected"), col("actual"))
+    val overCap =
+      if (maxBucket == Int.MaxValue) finding(actual, "over_cap", lit(0L)).limit(0)
+      else finding(actual.where(col("actual") > maxBucket), "over_cap",
+        lit(maxBucket.toLong))
+    val sizesExist = sidecar("bandsizes")
+    val sizes =
+      if (sizesExist)
+        spark.read.parquet(s"$path/bandsizes")
+          .groupBy("bi", "k").agg(max("n").as("expected"))
+      else
+        spark.emptyDataFrame.withColumn("bi", lit(0))
+          .withColumn("k", lit(0L)).withColumn("expected", lit(0L)).limit(0)
+    val skip = bandIndexSkipped(spark, path)
+      .select(col("band_idx").as("bi"), col("key").as("k"),
+        col("size").as("__skip"))
+    val j = actual.join(sizes, Seq("bi", "k"), "full")
+      .join(skip, Seq("bi", "k"), "left")
+      .select(col("bi"), col("k"),
+        coalesce(col("actual"), lit(0L)).as("actual"),
+        col("expected"), col("__skip"))
+    val mismatch = finding(
+      j.where(col("__skip").isNull && col("expected").isNotNull &&
+        col("expected") =!= col("actual")),
+      "size_mismatch", col("expected"))
+    val leak =
+      if (!sizesExist) finding(j, "skipped_leak", lit(0L)).limit(0)
+      else finding(
+        j.where(col("__skip").isNotNull &&
+          coalesce(col("expected"), lit(0L)) =!= col("actual")),
+        "skipped_leak", coalesce(col("expected"), lit(0L)))
+    val missing =
+      if (!sizesExist) finding(j, "missing_size", lit(0L)).limit(0)
+      else finding(
+        j.where(col("expected").isNull && col("__skip").isNull &&
+          col("actual") > 0),
+        "missing_size", lit(null))
+    val under = finding(
+      j.where(col("__skip").isNotNull && col("actual") > col("__skip")),
+      "skipped_undercount", col("__skip"))
+    overCap.union(mismatch).union(leak).union(missing).union(under)
+  }
 
   /** Candidate near-dup pairs between a NEW batch and the persisted band
     * index: `(a = indexed id, b = batch id)`, distinct. The only non-map

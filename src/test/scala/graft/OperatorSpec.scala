@@ -638,6 +638,45 @@ class OperatorSpec extends AnyFunSuite {
     assert(e.getMessage.contains("capped band index"), e.getMessage)
   }
 
+  test("bandIndexVerify: healthy index clean; torn appends flagged; rebuild clears sidecars") {
+    def banded(rows: (Long, Long)*) = rows.toDF("doc_id", "band0")
+    val path = s"${sys.props("java.io.tmpdir")}/graft_test_band_verify"
+    graft.cli.Cleanup.deleteOnExit(path)
+    // capped build: bucket 7 kept (2 rows), bucket 9 skipped (4 rows)
+    Dedup.bandIndexWrite(banded(1L -> 7L, 2L -> 7L,
+        11L -> 9L, 12L -> 9L, 13L -> 9L, 14L -> 9L),
+      "doc_id", 1, path, maxBucket = 3)
+    assert(Dedup.bandIndexVerify(spark, path, maxBucket = 3).isEmpty,
+      "a healthy index must verify clean")
+    // torn append simulation 1: rows reach bands but the crash loses the
+    // bandsizes update — recount disagrees with the sidecar
+    banded(3L -> 7L).select(col("doc_id"), lit(0).as("bi"),
+        col("band0").as("k"))
+      .write.mode("append").parquet(s"$path/bands")
+    val torn1 = Dedup.bandIndexVerify(spark, path).collect()
+      .map(r => (r.getLong(1), r.getString(2), r.getLong(3), r.getLong(4)))
+    assert(torn1.toSeq == Seq((7L, "size_mismatch", 2L, 3L)), torn1.toSeq.toString)
+    // torn append simulation 2: rows of a SKIPPED bucket land in bands
+    // (should never be admitted) and a brand-new bucket has no size row
+    banded(15L -> 9L, 16L -> 42L).select(col("doc_id"), lit(0).as("bi"),
+        col("band0").as("k"))
+      .write.mode("append").parquet(s"$path/bands")
+    val torn2 = Dedup.bandIndexVerify(spark, path).collect()
+      .map(r => (r.getLong(1), r.getString(2))).toSet
+    assert(torn2.contains((9L, "skipped_leak")) &&
+      torn2.contains((42L, "missing_size")), torn2.toString)
+    // over_cap fires only when the caller states the cap
+    assert(Dedup.bandIndexVerify(spark, path, maxBucket = 2).collect()
+      .exists(r => r.getLong(1) == 7L && r.getString(2) == "over_cap"))
+    // an uncapped REBUILD must drop the stale cap sidecars: phantom
+    // skipped buckets of the discarded index would otherwise survive
+    Dedup.bandIndexWrite(banded(1L -> 7L), "doc_id", 1, path)
+    assert(Dedup.bandIndexSkipped(spark, path).isEmpty)
+    assert(!new java.io.File(s"$path/bandsizes").exists() &&
+      !new java.io.File(s"$path/skipped").exists(), "stale sidecars dropped")
+    assert(Dedup.bandIndexVerify(spark, path).isEmpty)
+  }
+
   test("bandIndexWrite append cap: randomized multi-append sequential replay") {
     // independent oracle: an in-memory sequential replay of the cap spec
     // over random bucket assignments split across random appends —
