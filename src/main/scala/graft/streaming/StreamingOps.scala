@@ -96,12 +96,80 @@ object StreamingOps {
       numHashes: Int = 8,
       bands: Int = 4): DataFrame = {
     import graft.operators.Dedup
-    val sig = docsStream.where(col(text).isNotNull).select(col(id),
-      graft.functions.MinHashSig.minhash_sig(col(text), numHashes).as("__sig"))
+    Dedup.incrementalPairs(bandIndex,
+      Dedup.lshBands(signDocs(docsStream, text, id, numHashes),
+        id, numHashes, bands), id, bands)
+  }
+
+  /** Per-row MinHash signature columns (m0..m{k-1}) of a document frame —
+    * the map-only native-expression signing shared by the streaming
+    * near-dup query side and the index maintenance side (per-row signing
+    * means a signature is the same whether signed alone or with the
+    * corpus, the property both rely on). */
+  private def signDocs(docs: DataFrame, text: String, id: String,
+      numHashes: Int): DataFrame =
+    docs.where(col(text).isNotNull).select(col(id),
+        graft.functions.MinHashSig.minhash_sig(col(text), numHashes).as("__sig"))
       .select(col(id) +: (0 until numHashes).map(i =>
         element_at(col("__sig"), i + 1).as(s"m$i")): _*)
-    Dedup.incrementalPairs(bandIndex,
-      Dedup.lshBands(sig, id, numHashes, bands), id, bands)
+
+  /** Sign one (static) micro-batch and append its band rows to the
+    * persisted band index — the per-batch body of [[maintainBandIndex]],
+    * exposed for direct use and testing. Returns false (a no-op) for a
+    * batch id at or below the last applied one: `foreachBatch` is
+    * at-least-once, so a retried micro-batch would otherwise DOUBLE-append
+    * its band rows (and double-count toward the bucket cap). The guard
+    * records the applied batch id in `<path>/lastbatch` AFTER the index
+    * write — a crash between them re-runs the append (the torn state
+    * [[graft.operators.Dedup.bandIndexVerify]] detects), never skips one.
+    * The first batch onto an empty path builds the index; later ones
+    * take the capped-append path, so the never-over-`maxBucket` invariant
+    * holds across the whole stream lifetime. */
+  def appendBatchToBandIndex(batch: DataFrame, batchId: Long,
+      text: String, id: String, path: String,
+      numHashes: Int = 8, bands: Int = 4,
+      maxBucket: Int = Int.MaxValue): Boolean = {
+    import graft.operators.Dedup
+    val spark = batch.sparkSession
+    val marker = new org.apache.hadoop.fs.Path(s"$path/lastbatch")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val last =
+      if (!fs.exists(marker)) -1L
+      else {
+        val in = new java.io.BufferedReader(
+          new java.io.InputStreamReader(fs.open(marker), "UTF-8"))
+        try in.readLine().trim.toLong finally in.close()
+      }
+    if (batchId <= last) false
+    else {
+      Dedup.bandIndexWrite(
+        Dedup.lshBands(signDocs(batch, text, id, numHashes), id, numHashes, bands),
+        id, bands, path, maxBucket, append = true)
+      val out = fs.create(marker, true)
+      try out.write(batchId.toString.getBytes("UTF-8")) finally out.close()
+      true
+    }
+  }
+
+  /** Streaming band-index maintenance: each micro-batch is MinHash-signed
+    * (map-only) and appended to the persisted band index via
+    * [[appendBatchToBandIndex]], so the index [[nearDupCandidates]]
+    * queries stays CURRENT under continuous ingest — a doc arriving in
+    * batch N collides with a near-dup ingested in batch N−1
+    * (StreamingSpec pins exactly that). The capped-append semantics
+    * bound every bucket by construction across the stream's lifetime;
+    * retried batches are no-ops via the `lastbatch` marker. Returns the
+    * configured writer — caller sets `checkpointLocation` and `start()`s. */
+  def maintainBandIndex(docsStream: DataFrame, text: String, id: String,
+      path: String, numHashes: Int = 8, bands: Int = 4,
+      maxBucket: Int = Int.MaxValue)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val fn: (DataFrame, Long) => Unit = (batch, batchId) => {
+      appendBatchToBandIndex(batch, batchId, text, id, path,
+        numHashes, bands, maxBucket)
+      ()
+    }
+    docsStream.writeStream.foreachBatch(fn)
   }
 
   /** Streaming decontamination — the stream-static twin of the batch
