@@ -211,10 +211,21 @@ object TextOps {
     * single global key), because a window partition sorts and scans on
     * one task. A global ordering would be a single-task bottleneck by
     * construction; contiguity within (source, shard) is what training
-    * shard layouts actually guarantee. */
+    * shard layouts actually guarantee.
+    *
+    * PRECONDITION: every row's `tokens` must be a positive count — null
+    * or non-positive rows fail the job mid-task by default (they would
+    * pile into one chunk without advancing the cumsum, breaking the
+    * budget-bounded-chunk guarantee [[packText]] relies on). Feeding an
+    * unfiltered corpus (null text → null count)? Either pre-filter, or
+    * pass `dropInvalid = true` to silently drop such rows instead —
+    * curation pipelines that already count tokens upstream keep the
+    * fail-fast default so a broken count surfaces as an error, not as
+    * quietly missing documents. */
   def packChunks(df: DataFrame, id: String, partCols: Seq[String],
-      tokens: Column, chunkTokens: Int = 256): DataFrame =
-    withPackChunks(df, id, partCols, tokens, chunkTokens)
+      tokens: Column, chunkTokens: Int = 256,
+      dropInvalid: Boolean = false): DataFrame =
+    withPackChunks(df, id, partCols, tokens, chunkTokens, dropInvalid)
       .select(col(id) +: partCols.map(col) :+ col("n_tokens") :+
         col("chunk_id") :+ col("chunk_offset"): _*)
 
@@ -223,7 +234,8 @@ object TextOps {
     * [[packText]] needs to carry the text into the chunk assembly without
     * a join-back (which would reference the window plan twice). */
   def withPackChunks(df: DataFrame, id: String, partCols: Seq[String],
-      tokens: Column, chunkTokens: Int = 256): DataFrame = {
+      tokens: Column, chunkTokens: Int = 256,
+      dropInvalid: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // `__before` included: the temp column is withColumn-appended too, so
     // an input column of that name would be silently clobbered then dropped
@@ -234,13 +246,18 @@ object TextOps {
     // such rows would land in ONE chunk and the per-group collect in
     // [[packText]] would grow unboundedly — the budget-bounded-population
     // guarantee holds only for positive counts, so enforce it row-level
-    // (one codegen'd `when`, no extra pass)
+    // (one codegen'd `when`, no extra pass); dropInvalid = true filters
+    // such rows instead of failing (see the [[packChunks]] precondition)
     val tok = tokens.cast(LongType)
-    val checked = when(tok.isNull || tok <= 0,
-      raise_error(concat(
-        lit("packChunks: every row needs a positive token count; got "),
-        coalesce(tok.cast("string"), lit("null"))))).otherwise(tok)
-    df.withColumn("n_tokens", checked)
+    val invalid = tok.isNull || tok <= 0
+    val base = if (dropInvalid) df.where(!invalid) else df
+    val checked =
+      if (dropInvalid) tok
+      else when(invalid,
+        raise_error(concat(
+          lit("packChunks: every row needs a positive token count; got "),
+          coalesce(tok.cast("string"), lit("null"))))).otherwise(tok)
+    base.withColumn("n_tokens", checked)
       .withColumn("__before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
       .withColumn("chunk_id",
         floor(col("__before") / lit(chunkTokens)).cast(LongType))
@@ -256,11 +273,12 @@ object TextOps {
     * collect is budget-sized, never corpus-sized — a bound that holds
     * BY CONSTRUCTION because [[withPackChunks]] rejects null/non-positive
     * token counts (which would pile into one chunk without advancing the
-    * cumsum). */
+    * cumsum). Same precondition and `dropInvalid` escape hatch as
+    * [[packChunks]]. */
   def packText(df: DataFrame, id: String, partCols: Seq[String],
       text: String, tokens: Column, chunkTokens: Int = 256,
-      sep: String = " <|eot|> "): DataFrame =
-    withPackChunks(df, id, partCols, tokens, chunkTokens)
+      sep: String = " <|eot|> ", dropInvalid: Boolean = false): DataFrame =
+    withPackChunks(df, id, partCols, tokens, chunkTokens, dropInvalid)
       .groupBy(partCols.map(col) :+ col("chunk_id"): _*)
       .agg(
         count(lit(1)).as("n_docs"),

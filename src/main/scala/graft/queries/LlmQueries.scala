@@ -723,9 +723,14 @@ object LlmQueries {
          |  (sum(${pHash("7", "w")} % 1000003) % 1000003)::BIGINT AS fingerprint
          |FROM tokall GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
+    // the oracle groups by RAW text while the Spark side groups by
+    // sha2(text): an INDEPENDENT formulation, so a hash-collision-induced
+    // merge (however improbable) would surface as a mismatch instead of
+    // being replayed identically on both sides. The oracle runs at sf
+    // scale where the shuffle-payload argument for hashing doesn't apply.
     "q29_dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS copies
-        |FROM documents GROUP BY sha256(text) ORDER BY keep_id""".stripMargin,
+        |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
 
     "q30_dedup_jaccard" ->
       s"""WITH $tokCte,

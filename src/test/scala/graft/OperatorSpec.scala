@@ -829,6 +829,18 @@ class OperatorSpec extends AnyFunSuite {
       (4L, 2L, 24L), (5L, 0L, 0L), (6L, 0L, 50L)), s"got $got")
     // content-stable under physical repartitioning (window order is by id)
     assert(packed(df.repartition(7)) == got)
+    // an unfiltered corpus (null/zero counts): fail-fast by default,
+    // dropInvalid filters the offending rows and packs the rest unchanged
+    val dirty = (rows ++ Seq((7L, "a", 0L))).toDF("doc_id", "source", "nt")
+      .withColumn("nt", when(col("doc_id") === 5L, lit(null)).otherwise(col("nt")))
+    intercept[org.apache.spark.SparkThrowable] {
+      TextOps.packChunks(dirty, "doc_id", Seq("source"), col("nt"), 128).collect()
+    }
+    val dropped = TextOps.packChunks(dirty, "doc_id", Seq("source"), col("nt"),
+        128, dropInvalid = true)
+      .collect().map(r => (r.getLong(0), r.getLong(3), r.getLong(4))).toSet
+    assert(dropped == got - ((5L, 0L, 0L)) - ((6L, 0L, 50L)) + ((6L, 0L, 0L)),
+      s"invalid rows dropped, survivors repacked: $dropped")
   }
 
   test("packing and selection invariants hold on seeded random corpora") {
