@@ -64,6 +64,29 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    // Self-evidencing artifact: the full per-query min/median/max spread,
+    // written to a FILE (env SPARK_GRAFT_BENCH_JSON, default
+    // bench/bench_latest.json under the cwd). The driver captures only the
+    // stdout tail — which truncates mid-JSON every round — and a
+    // contended-window run is indistinguishable from a regression in a
+    // median alone: a wide min–max spread says "contention" on its face
+    // (an idle machine runs the three passes within a few percent).
+    val spreads = names.map { name =>
+      val ts = samples.map(_(name)).sorted
+      s""""$name":{"min":${ts.head},"med":${ts(ts.size / 2)},"max":${ts.last}}"""
+    }.mkString("{", ",", "}")
+    val fileJson =
+      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir",""" +
+        s""""passes":$passes,"queries":$qs,"spread":$spreads}"""
+    val outPath = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_JSON", "bench/bench_latest.json"))
+    try {
+      Option(outPath.getParent).foreach(java.nio.file.Files.createDirectories(_))
+      java.nio.file.Files.write(outPath,
+        fileJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case e: java.io.IOException =>
+      System.err.println(s"[graft] bench artifact not written ($outPath): $e")
+    }
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
