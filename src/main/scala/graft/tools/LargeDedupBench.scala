@@ -19,9 +19,20 @@ import org.apache.spark.sql.functions._
   * Usage: `SPARK_DRIVER_MEM=32g sbt "runMain graft.tools.LargeDedupBench [n]"`
   * Default n = 5,000,000 docs. Results recorded in BASELINE.md
   * ("Large-N dedup evidence").
+  *
+  * `runMain graft.tools.LargeDedupBench chain [n]` runs the DIAMETER
+  * stress instead: a path graph of n nodes (diameter n−1 — the
+  * worst-case shape for label propagation, which LSH-derived graphs
+  * never exhibit because bucket stars are depth-2). The claim under
+  * test is the O(log diameter) convergence of the pointer-jumping loop:
+  * plain min-label propagation would need ~n rounds on a path; the
+  * jump halves label-chain depth per round, so iterations ≈ log₂(n)
+  * (plus the fixpoint-detection round) and per-round cost stays flat —
+  * each round is the same bounded pair of shuffles over n labels.
   */
 object LargeDedupBench {
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("chain")) return chainMain(args.drop(1))
     val n = args.headOption.map(_.toLong).getOrElse(5000000L)
     val spark = SparkSession.builder()
       .master("local[32]")
@@ -71,6 +82,32 @@ object LargeDedupBench {
     graft.engine.Checkpoints.release(r.labels)
     println(f"RESULT n=$n sig=$sigS%.1f s edges=$edgeS%.1f s cc=$ccS%.1f s " +
       f"docs_per_s=${n / (sigS + edgeS + ccS)}%.0f")
+    spark.stop()
+  }
+
+  /** Path-graph diameter stress (see object scaladoc). */
+  private def chainMain(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toLong).getOrElse(1000000L)
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "64")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import graft.operators.Dedup
+    println(s"path graph: n = $n nodes, diameter = ${n - 1}")
+    val nodes = spark.range(0L, n).toDF("doc_id")
+    val edges = spark.range(0L, n - 1)
+      .select(col("id").as("a"), (col("id") + 1L).as("b"))
+    val t0 = System.nanoTime()
+    val r = Dedup.connectedComponentsStats(nodes, edges, "doc_id", maxIter = 40)
+    val comps = r.labels.select(countDistinct("component")).head().getLong(0)
+    val s = (System.nanoTime() - t0) / 1e9
+    graft.engine.Checkpoints.release(r.labels)
+    val log2d = math.ceil(math.log((n - 1).toDouble) / math.log(2)).toInt
+    println(f"RESULT chain n=$n iterations=${r.iterations} " +
+      f"(log2(d)=$log2d) converged=${r.converged} components=$comps " +
+      f"wall=$s%.1f s per_round=${s / math.max(1, r.iterations)}%.2f s")
     spark.stop()
   }
 }
