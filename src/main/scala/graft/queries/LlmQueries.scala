@@ -637,6 +637,33 @@ object LlmQueries {
         col("h_b0"), col("h_b1"), col("h_b2"), col("h_b3"))
       .orderBy("doc_id")
 
+  /** q77 — the image pipeline END-TO-END, oracle-gated: decode (q71's
+    * real PPM parse) → per-channel plane features (q74's stats, repacked
+    * as a 15-dim double vector in column arithmetic — integer-exact
+    * inputs, so DuckDB's replay is bit-identical) → brute-force cosine
+    * top-k against one query image (q35's broadcast-query shape). The
+    * oracle recomputes the features from the padded-text plane and the
+    * cosine from scratch — no shared code with the decode path at all.
+    * Map-only until the single top-k. */
+  def planeAnn(s: SparkSession, d: String): DataFrame = {
+    val stats = Multimodal.planeStats(
+      Multimodal.decodePpm(ppmPayloads(s, d), "doc_id", "payload"))
+    val n = (col("h_r0") + col("h_r1") + col("h_r2") + col("h_r3"))
+      .cast("double")
+    val dims = Seq(col("mean_r") / 255.0, col("mean_g") / 255.0,
+      col("mean_b") / 255.0) ++
+      (for (c <- Seq("r", "g", "b"); b <- 0 until 4)
+        yield col(s"h_$c$b") / n)
+    val feats = stats.select(col("doc_id"), array(dims: _*).as("features"))
+    val q = broadcast(feats.where(col("doc_id") === 1)
+      .select(col("features").as("qf")))
+    feats.crossJoin(q)
+      .select(col("doc_id"),
+        round(Similarity.cosine(col("features"), col("qf")), 4).as("cos"))
+      .orderBy(col("cos").desc, col("doc_id"))
+      .limit(20)
+  }
+
   /** Per-directory memo of the compacted layout over the documents table:
     * 17 unsorted small files (simulated incremental ingest) rewritten by
     * [[graft.sources.Layout.compact]] into doc_id-sorted range shards —
@@ -957,6 +984,35 @@ object LlmQueries {
          |FROM ex GROUP BY doc_id ORDER BY doc_id""".stripMargin
     },
 
+    "q77_plane_ann" -> {
+      val means = (0 to 2).map(ch =>
+        s"avg(b) FILTER (WHERE ch = $ch) / 255.0")
+      val hists = for (ch <- 0 to 2; bk <- 0 until 4)
+        yield s"(count(*) FILTER (WHERE ch = $ch AND b // 64 = $bk))::DOUBLE" +
+          s" / (npix // 3)"
+      val fs = (means ++ hists).zipWithIndex
+        .map { case (e, i) => s"$e AS f$i" }.mkString(",\n  ")
+      val arr = (0 until 15).map(i => s"f$i").mkString("[", ", ", "]")
+      s"""WITH d AS (SELECT doc_id,
+         |    ((4 + doc_id % 8) * (3 + doc_id % 5) * 3)::INTEGER AS npix, text
+         |  FROM documents
+         |  WHERE text IS NOT NULL AND octet_length(encode(text)) = length(text)),
+         |p AS (SELECT doc_id, npix, rpad(text, npix, '.') AS pt FROM d),
+         |ex AS (SELECT doc_id, npix, ascii(substring(pt, i, 1)) AS b,
+         |    (i - 1) % 3 AS ch
+         |  FROM p CROSS JOIN generate_series(1, 231) t(i) WHERE i <= npix),
+         |st AS (SELECT doc_id,
+         |  $fs
+         |FROM ex GROUP BY doc_id, npix),
+         |fv AS (SELECT doc_id, $arr AS f FROM st),
+         |q AS (SELECT f AS qf FROM fv WHERE doc_id = 1)
+         |SELECT fv.doc_id,
+         |  round(sum(f[i] * qf[i]) / sqrt(sum(f[i] * f[i]))
+         |    / sqrt(sum(qf[i] * qf[i])), 4) AS cos
+         |FROM fv CROSS JOIN q CROSS JOIN generate_series(1, 15) t(i)
+         |GROUP BY fv.doc_id ORDER BY cos DESC, fv.doc_id LIMIT 20""".stripMargin
+    },
+
     "q37_multimodal_meta" ->
       """SELECT doc_id, octet_length(encode(text))::BIGINT AS n_bytes,
         |  (64 + octet_length(encode(text)) % 512)::INTEGER AS width,
@@ -1230,6 +1286,7 @@ object LlmQueries {
     "q71_ppm_decode" -> ppmDecode _,
     "q74_plane_features" -> planeFeatures _,
     "q75_bmp_decode" -> bmpDecode _,
+    "q77_plane_ann" -> planeAnn _,
     "q72_layout_roundtrip" -> layoutRoundtrip _,
     "q50_text_stopwords" -> textStopwords _,
     "q51_text_tfidf" -> textTfidf _,

@@ -187,6 +187,34 @@ class PlanSpec extends AnyFunSuite {
     assert("FileScan parquet".r.findAllIn(p).size == 1, p.take(3000))
   }
 
+  test("q74/q75: decode-and-featurize pipelines are map-only — one scan, sort-only exchange") {
+    Seq("q74_plane_features", "q75_bmp_decode").foreach { name =>
+      val df = SparkEntry.queries(name)(spark, sf)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      val stripped = p.replaceAll("Exchange rangepartitioning[^\n]*", "")
+      assert(!stripped.contains("Exchange "), s"$name: ${p.take(3000)}")
+      assert("FileScan parquet".r.findAllIn(p).size == 1, s"$name: ${p.take(3000)}")
+    }
+  }
+
+  test("q76: Bloom membership is a partition filter — no join on the shingle hash at all") {
+    val df = SparkEntry.queries("q76_decontaminate_bloom")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // the scale property: unlike q62's broadcast JOIN (which silently
+    // degrades to a corpus-wide SortMergeJoin past the broadcast
+    // threshold), the Bloom probe is a typed partition filter — the only
+    // join left in the whole plan is the doc_id flag join-back
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+    val joinLines = p.linesIterator.filter(_.contains("Join")).toSeq
+    assert(joinLines.nonEmpty && joinLines.forall(!_.contains("sh_h")),
+      joinLines.mkString("\n"))
+    assert(p.contains("MapPartitions"), p.take(3000))
+  }
+
   test("q13/q14: semi and anti joins plan as semi/anti, not inner+distinct") {
     assert(plan("q13_semi_join").contains("LeftSemi"))
     assert(plan("q14_anti_join").contains("LeftAnti"))
