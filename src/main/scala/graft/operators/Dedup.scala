@@ -459,7 +459,19 @@ object Dedup {
       fpp: Double = 1e-6): (org.apache.spark.util.sketch.BloomFilter, BloomStats) = {
     val distinctH = sh.select(hashCol).distinct()
     val n = math.max(1L, distinctH.count())
-    val bf = distinctH.stat.bloomFilter(hashCol, n, fpp)
+    // build via treeAggregate over the sketch API directly, NOT
+    // DataFrameStatFunctions.bloomFilter: since Spark 4 the latter routes
+    // through the runtime-filter BloomFilterAggregate, which SILENTLY
+    // clamps the filter to spark.sql.optimizer.runtime.bloomFilter
+    // .maxNumBits (default 2^26) — at 10^7 items that undersizes the
+    // filter 4x and the real fp rate lands at ~11% regardless of the
+    // requested fpp (measured, tools.BloomBench). The sketch filter sizes
+    // itself from (n, fpp) with no cap; per-partition filters merge up a
+    // tree, so only fused bit arrays ever move.
+    val bf = distinctH.rdd.treeAggregate(
+      org.apache.spark.util.sketch.BloomFilter.create(n, fpp))(
+      (f, row) => { f.putLong(row.getLong(0)); f },
+      (a, b) => { a.mergeInPlace(b); a })
     (bf, BloomStats(n, fpp, bf.bitSize()))
   }
 
