@@ -379,6 +379,31 @@ object Similarity {
     cosinePairs(vecs, pairs, id, emb).where(col("cos") >= minCos)
   }
 
+  /** Batched brute-force ANN: exact top-k by cosine for EVERY query in a
+    * query frame at once — the retrieval shape real pipelines run (a
+    * batch of queries against the corpus, not one vector at a time).
+    * The query side BROADCASTS (batches are small relative to the
+    * corpus; the corpus side is the streamed scan), every (corpus,
+    * query) score is computed map-side in one codegen stage, and the
+    * per-query top-k is a rank window PARTITIONED BY the query id — k
+    * queries give k-way parallelism, never a single global sort. At
+    * 100 TB the cost is one corpus scan per batch regardless of batch
+    * size — the reason to batch queries instead of looping
+    * [[bruteForceTopK]] (which scans per query). Output:
+    * `(q_id, id, cos, rank)`, rank 1..k per query. */
+  def bruteForceTopKBatch(vecs: DataFrame, queries: DataFrame,
+      id: String, emb: String, k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("cos").desc, col(id))
+    vecs.crossJoin(broadcast(
+        queries.select(col(id).as("q_id"), col(emb).as("qe"))))
+      .select(col("q_id"), col(id),
+        round(cosine(col(emb).cast("array<double>"),
+          col("qe").cast("array<double>")), 4).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+  }
+
   /** Embedding-cosine near-dup over candidate pairs (a, b). */
   def cosinePairs(vecs: DataFrame, pairs: DataFrame, id: String, emb: String): DataFrame =
     pairs

@@ -377,6 +377,18 @@ object LlmQueries {
     Similarity.lshBuckets(embs(s, d), "vec_id", "embedding", 16, 64)
       .orderBy("vec_id")
 
+  /** q78 — BATCHED brute-force ANN ([[Similarity.bruteForceTopKBatch]]):
+    * exact top-5 for three query vectors in ONE corpus scan — the
+    * retrieval shape real pipelines run. The per-query rank window
+    * partitions by q_id (never a global sort); the oracle replays score +
+    * window in SQL. */
+  def annBatch(s: SparkSession, d: String): DataFrame = {
+    val v = embs(s, d)
+    Similarity.bruteForceTopKBatch(v, v.where(col("vec_id") < 3),
+        "vec_id", "embedding", 5)
+      .orderBy("q_id", "rank")
+  }
+
   def textStopwords(s: SparkSession, d: String): DataFrame =
     TextOps.stopwordRatio(docs(s, d), "text", "doc_id").orderBy("doc_id")
 
@@ -891,6 +903,21 @@ object LlmQueries {
         |  GROUP BY e.vec_id)
         |SELECT vec_id, cos FROM c ORDER BY cos DESC, vec_id LIMIT 20""".stripMargin,
 
+    "q78_ann_batch" ->
+      """WITH ex AS (SELECT vec_id, i, embedding[i]::DOUBLE AS v
+        |  FROM embeddings CROSS JOIN generate_series(1, 64) t(i)),
+        |q AS (SELECT vec_id AS q_id, i, v AS qv FROM ex WHERE vec_id < 3),
+        |sc AS (SELECT q.q_id, e.vec_id,
+        |    round(sum(e.v * q.qv) / sqrt(sum(e.v * e.v))
+        |      / sqrt(sum(q.qv * q.qv)), 4) AS cos
+        |  FROM ex e JOIN q ON q.i = e.i GROUP BY q.q_id, e.vec_id),
+        |r AS (SELECT q_id, vec_id, cos,
+        |    row_number() OVER (PARTITION BY q_id
+        |      ORDER BY cos DESC, vec_id)::INTEGER AS rank
+        |  FROM sc)
+        |SELECT q_id, vec_id, cos, rank FROM r WHERE rank <= 5
+        |ORDER BY q_id, rank""".stripMargin,
+
     "q36_ann_lsh_buckets" ->
       s"""WITH ex AS (SELECT vec_id, i - 1 AS d, embedding[i]::DOUBLE AS v
          |  FROM embeddings CROSS JOIN generate_series(1, 64) t(i)),
@@ -1280,6 +1307,7 @@ object LlmQueries {
     "q34_dedup_embed_cosine" -> dedupEmbedCosine _,
     "q35_ann_bruteforce" -> annBruteForce _,
     "q36_ann_lsh_buckets" -> annLshBuckets _,
+    "q78_ann_batch" -> annBatch _,
     "q56_dedup_embed_pipeline" -> dedupEmbedPipeline _,
     "q37_multimodal_meta" -> multimodalMeta _,
     "q53_multimodal_frames" -> multimodalFrames _,

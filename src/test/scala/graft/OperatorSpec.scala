@@ -255,6 +255,31 @@ class OperatorSpec extends AnyFunSuite {
     assert(feats(1L) == feats(2L) && feats(1L) == feats(5L))
   }
 
+  test("bruteForceTopKBatch equals per-query bruteForceTopK loops") {
+    val vecs = Seq(
+      0L -> Array(1f, 0f, 0f), 1L -> Array(0f, 1f, 0f),
+      2L -> Array(0.9f, 0.1f, 0f), 3L -> Array(0f, 0.2f, 1f),
+      4L -> Array(0.5f, 0.5f, 0f), 5L -> Array(-1f, 0f, 0f))
+      .toDF("vec_id", "embedding")
+    val queries = vecs.where(col("vec_id") < 2)
+    val batch = Similarity.bruteForceTopKBatch(vecs, queries,
+        "vec_id", "embedding", 3)
+      .collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues(_.sortBy(_.getInt(3))
+        .map(r => (r.getLong(1), r.getDouble(2))).toSeq).toMap
+    assert(batch.keySet == Set(0L, 1L))
+    for (q <- Seq(0L, 1L)) {
+      val qv = vecs.where(col("vec_id") === q)
+        .head().getSeq[Float](1).toArray
+      val loop = Similarity.bruteForceTopK(vecs, "vec_id", "embedding", qv, 3)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(batch(q) == loop, s"query $q: ${batch(q)} vs $loop")
+    }
+    // each query ranks itself first at cos 1.0
+    assert(batch(0L).head == (0L, 1.0) && batch(1L).head == (1L, 1.0))
+  }
+
   test("bloom decontamination: superset of exact keeps, measured fp bound") {
     // controlled-overlap corpus: 15 contaminated docs share the 3-gram
     // "alpha beta gamma" with the eval set; 85 clean docs use per-doc

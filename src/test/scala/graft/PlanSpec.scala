@@ -215,6 +215,20 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("MapPartitions"), p.take(3000))
   }
 
+  test("q78: batched ANN broadcasts the query side, ranks per query — never one task") {
+    val df = SparkEntry.queries("q78_ann_batch")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // query batch broadcast against the streamed corpus scan
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      p.take(3000))
+    // the top-k window shuffles BY QUERY id — a single-partition window
+    // here would funnel every (corpus x query) score through one task
+    assert(p.contains("hashpartitioning(q_id"), p.take(3000))
+    assert(!p.contains("SinglePartition"), p.take(3000))
+  }
+
   test("q13/q14: semi and anti joins plan as semi/anti, not inner+distinct") {
     assert(plan("q13_semi_join").contains("LeftSemi"))
     assert(plan("q14_anti_join").contains("LeftAnti"))
