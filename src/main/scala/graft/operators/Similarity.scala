@@ -327,6 +327,45 @@ object Similarity {
       .limit(topK)
   }
 
+  /** Batched IVF search: every query in a query frame probes its own
+    * best-nprobe cells and re-ranks, in ONE pruned scan of the indexed
+    * corpus — the scale path for batch retrieval
+    * ([[bruteForceTopKBatch]] is the exact baseline; this reads only the
+    * UNION of probed cell partitions instead of the corpus). The probe
+    * plan (queries × k centroids, ranked per query) is tiny — its
+    * distinct cell list (≤ k) drives partition pruning as literals, and
+    * the `(q_id, cell, qe)` routes broadcast onto the pruned scan, so a
+    * corpus row is scored only against the queries that probed its
+    * cell. Per-query top-k is a window partitioned by q_id — batch size
+    * = parallelism, never one task. Output `(q_id, id, cos, rank)`. */
+  def ivfSearchIndexedBatch(idx: IvfIndex, queries: DataFrame,
+      nprobe: Int, topK: Int): DataFrame = {
+    def dot(x: Column, y: Column): Column = graft.functions.DotProduct.dot_product(x, y)
+    val q = queries.select(col(idx.id).as("q_id"),
+        col(idx.emb).cast("array<double>").as("qe"))
+      .withColumn("qnorm", sqrt(dot(col("qe"), col("qe"))))
+    val wProbe = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("pc").desc, col("cell"))
+    val probes = q.crossJoin(broadcast(idx.centroids))
+      .select(col("q_id"), col("qe"), col("qnorm"), col("cell"),
+        (dot(col("ce"), col("qe")) / col("cnorm") / col("qnorm")).as("pc"))
+      .withColumn("__pr", row_number().over(wProbe))
+      .where(col("__pr") <= nprobe)
+      .select("q_id", "cell", "qe", "qnorm")
+    // the distinct probed cells are the probe PLAN (≤ k values, like the
+    // single-query path's collect) — literals so the scan partition-prunes
+    val cells = probes.select("cell").distinct().collect().map(_.get(0))
+    val wTop = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("cos").desc, col(idx.id))
+    idx.corpus.where(col("cell").isin(cells: _*))
+      .join(broadcast(probes), "cell")
+      .select(col("q_id"), col(idx.id),
+        round(dot(col(idx.emb).cast("array<double>"), col("qe"))
+          / col("norm") / col("qnorm"), 4).as("cos"))
+      .withColumn("rank", row_number().over(wTop))
+      .where(col("rank") <= topK)
+  }
+
   /** IVF search without a materialized index — the logical formulation
     * ([[ivfSearchIndexed]] is the production path: this one re-derives the
     * cell assignment inline, i.e. a full corpus pass per query). Kept as

@@ -59,6 +59,19 @@ object RelationalQueries {
     Similarity.ivfSearchIndexed(idx, qv, nprobe = 2, topK = 10)
   }
 
+  /** q79 — BATCHED IVF search ([[Similarity.ivfSearchIndexedBatch]]):
+    * queries 0–2 each probe their best-2 trained cells, one pruned scan
+    * of the union of probed partitions scores all three, per-query
+    * top-10 via a q_id-partitioned window. The oracle replays the Lloyd
+    * training, ranks probes per query over the same cosine table, and
+    * scores through the (query, cell) membership join. */
+  def annIvfBatch(s: SparkSession, d: String): DataFrame = {
+    val idx = ivfIndex(s, d)
+    Similarity.ivfSearchIndexedBatch(idx,
+        t(s, d, "embeddings").where(col("vec_id") < 3), nprobe = 2, topK = 10)
+      .orderBy("q_id", "rank")
+  }
+
   /** q55 — the IVF coarse-quantizer cell assignment after Lloyd training:
     * every vector's cell against the trained centroids (the exact column
     * [[Similarity.ivfBuild]] partitions the corpus by). The oracle replays
@@ -265,6 +278,28 @@ object RelationalQueries {
       s"""WITH $kmeansCtes
          |SELECT vec_id, cell FROM asg3 ORDER BY vec_id""".stripMargin,
 
+    "q79_ann_ivf_batch" ->
+      s"""WITH $kmeansCtes,
+         |qprobes AS (SELECT q_id, cell FROM (
+         |    SELECT vec_id AS q_id, cell, row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY cs DESC, cell) AS pr
+         |    FROM sim3 WHERE vec_id < 3) WHERE pr <= 2),
+         |q AS (SELECT vec_id AS q_id, d, v FROM ex WHERE vec_id < 3),
+         |scored AS (SELECT q.q_id, e.vec_id,
+         |    round(sum(e.v * q.v) / sqrt(sum(e.v * e.v))
+         |      / sqrt(sum(q.v * q.v)), 4) AS cos
+         |  FROM ex e
+         |  JOIN q ON q.d = e.d
+         |  JOIN asg3 a ON a.vec_id = e.vec_id
+         |  JOIN qprobes p ON p.q_id = q.q_id AND p.cell = a.cell
+         |  GROUP BY q.q_id, e.vec_id),
+         |r AS (SELECT q_id, vec_id, cos,
+         |    row_number() OVER (PARTITION BY q_id
+         |      ORDER BY cos DESC, vec_id)::INTEGER AS rank
+         |  FROM scored)
+         |SELECT q_id, vec_id, cos, rank FROM r WHERE rank <= 10
+         |ORDER BY q_id, rank""".stripMargin,
+
     // independent implementation: DuckDB's native ASOF JOIN vs our
     // union+last-ignoreNulls operator
     "q41_asof_join" ->
@@ -368,6 +403,7 @@ object RelationalQueries {
   /** Spark-side entries matching [[sql]]. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_ann_ivf" -> annIvf _,
+    "q79_ann_ivf_batch" -> annIvfBatch _,
     "q55_kmeans_assign" -> kmeansAssign _,
     "q41_asof_join" -> asofJoin _,
     "q42_sessionize" -> sessionize _,

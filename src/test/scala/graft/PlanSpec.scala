@@ -86,6 +86,21 @@ class PlanSpec extends AnyFunSuite {
       p.contains("cell IN"), p.take(3000))
   }
 
+  test("q79: batched IVF scan partition-prunes to the probed cells, ranks per query") {
+    val df = SparkEntry.queries("q79_ann_ivf_batch")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // one pruned scan for the whole batch (directory pruning on cell)...
+    assert(p.contains("PartitionFilters") && p.contains("cell"), p.take(3000))
+    // ...scores routed by a broadcast of the tiny probe plan, never a
+    // corpus shuffle join...
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+    // ...and the per-query top-k shuffles BY QUERY id, never one task
+    assert(p.contains("hashpartitioning(q_id"), p.take(3000))
+    assert(!p.contains("SinglePartition"), p.take(3000))
+  }
+
   test("q36: LSH bucket column is computed map-side, before any exchange") {
     val df = SparkEntry.queries("q36_ann_lsh_buckets")(spark, sf)
     val p = df.queryExecution.executedPlan.toString
