@@ -185,6 +185,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(Dedup.bandIndexVerify(spark, idxPath, maxBucket = 100).isEmpty)
   }
 
+  test("multimodal decode + plane stats run unchanged on a stream") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    import graft.operators.Multimodal
+    // the decode seam is a stateless mapPartitions, so the SAME operators
+    // run per micro-batch with no streaming-specific code — the property
+    // that lets a continuous ingest pipeline decode/featurize in place
+    val plane = Array.tabulate(2 * 2 * 3)(i => (i * 3 + 1).toByte)
+    val mem = MemoryStream[(Long, Array[Byte])]
+    val decoded = Multimodal.planeStats(Multimodal.decodeBmp(
+      mem.toDF().toDF("doc_id", "payload"), "doc_id"))
+    val q = decoded.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("bmp_stream_out").start()
+    try {
+      mem.addData(1L -> Multimodal.encodeBmp(2, 2, plane),
+        2L -> "not a bmp".getBytes("US-ASCII"))
+      q.processAllAvailable()
+      mem.addData(3L -> Multimodal.encodeBmp(2, 2, plane))
+      q.processAllAvailable()
+      val got = spark.table("bmp_stream_out").collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      // garbage dropped; both batches decode to identical channel means
+      assert(got.keySet == Set(1L, 3L), got.toString)
+      assert(got(1L) == got(3L) && got(1L) == (1 + 10 + 19 + 28) / 4.0)
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState keeps per-key running stats across batches") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
