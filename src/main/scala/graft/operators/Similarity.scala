@@ -305,6 +305,25 @@ object Similarity {
     IvfIndex(spark, path, id, emb)
   }
 
+  /** Append new vectors to a materialized [[IvfIndex]] without
+    * retraining: assign against the PERSISTED centroids (map-only over
+    * the batch — the corpus is never rescanned, the quantizer never
+    * moves, so existing cell assignments stay valid) and append into the
+    * cell partitions. This is the continuous-ingest shape: sign-once /
+    * append-per-batch, same as the band index. Centroid drift under a
+    * shifting distribution is a REBUILD decision (compare fresh
+    * [[kmeansCentroids]] on a sample vs the stored table), not an append
+    * decision — appending must not silently re-partition the corpus. */
+  def ivfAppend(idx: IvfIndex, newVecs: DataFrame): Unit = {
+    def dot(x: Column, y: Column): Column = graft.functions.DotProduct.dot_product(x, y)
+    val cents = idx.centroids.drop("cnorm")
+    newVecs.select(col(idx.id), col(idx.emb),
+        sqrt(dot(col(idx.emb).cast("array<double>"),
+          col(idx.emb).cast("array<double>"))).as("norm"))
+      .join(assignCells(newVecs, idx.id, idx.emb, cents), idx.id)
+      .write.mode("append").partitionBy("cell").parquet(s"${idx.path}/corpus")
+  }
+
   /** Search a materialized [[IvfIndex]]: rank cells by query-to-centroid
     * cosine over the k-row centroid table (collected — it is the probe
     * "plan", nprobe cell ids), then scan ONLY those cells via partition

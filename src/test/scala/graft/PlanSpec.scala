@@ -214,6 +214,19 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q77: decode→features→ANN is one scan ending in TakeOrderedAndProject") {
+    val df = SparkEntry.queries("q77_plane_ann")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // the whole image pipeline reads the corpus once; the top-k is a
+    // TakeOrderedAndProject (never a full sort of the scored corpus)
+    assert("FileScan parquet".r.findAllIn(p).size <= 2, p.take(3000)) // corpus + broadcast query side
+    assert(p.contains("TakeOrderedAndProject"), p.take(3000))
+    assert(!p.contains("SortMergeJoin") && !p.contains("HashAggregate"),
+      p.take(3000))
+  }
+
   test("q76: Bloom membership is a partition filter — no join on the shingle hash at all") {
     val df = SparkEntry.queries("q76_decontaminate_bloom")(spark, sf)
     df.collect()

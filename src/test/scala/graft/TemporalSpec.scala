@@ -88,6 +88,28 @@ class TemporalSpec extends AnyFunSuite {
     val hits2 = Similarity.ivfSearchIndexed(idx, qv, nprobe = 1, topK = 3)
       .collect().map(r => (r.getLong(0), r.getDouble(1)))
     assert(hits2.toSeq == hits.toSeq, s"indexed ${hits2.toSeq} vs inline ${hits.toSeq}")
+
+    // incremental ingest: a new vector appends through the STORED
+    // quantizer (no retrain, no corpus rescan) and is immediately
+    // searchable — an exact duplicate of the query must join cell 2 and
+    // take rank 1 alongside it
+    val newVec = Seq((100L, qv.map(_.toFloat))).toDF("vec_id", "embedding")
+    Similarity.ivfAppend(idx, newVec)
+    // topK=5: the cellmates tie at 1.0 after 4-dp rounding and the
+    // id-ascending tiebreak ranks the appended id 100 after 2/6/10/14
+    val hits3 = Similarity.ivfSearchIndexed(idx, qv, nprobe = 1, topK = 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(hits3.contains((100L, 1.0)) && hits3.contains((6L, 1.0)),
+      s"appended dup must be found at cos 1.0: ${hits3.toSeq}")
+    assert(hits3.forall(h => h._1 % 4 == 2 || h._1 == 100L),
+      s"append must not disturb cell routing: ${hits3.toSeq}")
+
+    // batched search over the appended index agrees with per-query search
+    val batch = Similarity.ivfSearchIndexedBatch(idx,
+        vecs.where(col("vec_id") === 6), nprobe = 1, topK = 5)
+      .collect().map(r => (r.getLong(1), r.getDouble(2)))
+    assert(batch.toSeq == hits3.toSeq,
+      s"batched ${batch.toSeq} vs single ${hits3.toSeq}")
   }
 
   test("Lloyd training improves the quantizer over the seeded init on a clustered corpus") {
