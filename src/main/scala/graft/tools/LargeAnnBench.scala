@@ -83,6 +83,27 @@ object LargeAnnBench {
       println(f"  recall@$k = ${hit.toDouble / tot}%.3f" +
         f"  (${t / nq}%.2f s/query vs brute ${tBrute / nq}%.2f)")
     }
+
+    // BATCH paths: the whole query set in one job — brute batch reads the
+    // corpus once (vs once per query above), IVF batch reads one pruned
+    // scan of the union of probed cells. Same results as the loops.
+    val qDf = vecs.where(col("vec_id").isin(queries.map(_._1): _*))
+    def byQuery(rows: Array[org.apache.spark.sql.Row]): Map[Long, Set[Long]] =
+      rows.groupBy(_.getLong(0)).map { case (q, rs) =>
+        q -> rs.map(_.getLong(1)).toSet }
+    val (bb, tBatch) = time(s"brute force BATCH, $nq queries, one scan")(
+      byQuery(Similarity.bruteForceTopKBatch(vecs, qDf, "vec_id", "embedding", k)
+        .collect()))
+    val agree = queries.count { case (qid, _) => bb(qid) == exact(qid) }
+    println(f"  batch == per-query for $agree/$nq queries; " +
+      f"${tBrute / tBatch}%.1f x faster than the loop")
+    val (ib, tIvfB) = time(s"ivf BATCH nprobe=8, $nq queries, one pruned scan")(
+      byQuery(Similarity.ivfSearchIndexedBatch(idx, qDf, nprobe = 8, topK = k)
+        .collect()))
+    val hitB = queries.map { case (qid, _) =>
+      (exact(qid) intersect ib.getOrElse(qid, Set())).size }.sum
+    println(f"  recall@$k = ${hitB.toDouble / (nq * k)}%.3f, " +
+      f"${tBrute / tIvfB}%.1f x faster than the brute loop")
     spark.stop()
   }
 }

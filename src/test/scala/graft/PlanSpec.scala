@@ -101,6 +101,21 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SinglePartition"), p.take(3000))
   }
 
+  test("q78/q79: rank<=k filter becomes a PARTIAL WindowGroupLimit before the exchange") {
+    // the property that makes batched top-k scale: map-side partial
+    // group-limit keeps per-partition top-k per query, so the rank
+    // shuffle carries <= partitions x queries x k rows — NOT the full
+    // (corpus x queries) score table
+    Seq("q78_ann_batch", "q79_ann_ivf_batch").foreach { name =>
+      val df = SparkEntry.queries(name)(spark, sf)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      assert("WindowGroupLimit .*Partial".r.findFirstIn(p).isDefined,
+        s"$name: ${p.take(3000)}")
+    }
+  }
+
   test("q36: LSH bucket column is computed map-side, before any exchange") {
     val df = SparkEntry.queries("q36_ann_lsh_buckets")(spark, sf)
     val p = df.queryExecution.executedPlan.toString
