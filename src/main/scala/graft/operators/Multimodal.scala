@@ -147,6 +147,16 @@ object Multimodal {
     * a production ingest would route them to a quarantine sidecar. Map-
     * only: at 100 TB this is a free pass over the scan, and the pixel
     * plane never shuffles unless the caller asks for it. */
+  /** The JVM decode core of [[decodePpm]]: `(width, height, maxval,
+    * pixels)` or None. */
+  def ppmDecodeBytes(bytes: Array[Byte]): Option[(Int, Int, Int, Array[Byte])] =
+    parsePpmHeader(bytes).flatMap { case (w, h, m, off) =>
+      val n = w.toLong * h * 3
+      if (n > Int.MaxValue - off || bytes.length - off < n) None
+      else Some((w, h, m,
+        java.util.Arrays.copyOfRange(bytes, off, off + n.toInt)))
+    }
+
   def decodePpm(df: DataFrame, id: String,
       payload: String = "payload"): DataFrame = {
     val enc = org.apache.spark.sql.Encoders.product[PpmImage]
@@ -154,12 +164,8 @@ object Multimodal {
       .where(col(payload).isNotNull)
       .mapPartitions { rows =>
         rows.flatMap { r =>
-          val bytes = r.getAs[Array[Byte]](1)
-          parsePpmHeader(bytes).flatMap { case (w, h, m, off) =>
-            val n = w.toLong * h * 3
-            if (n > Int.MaxValue - off || bytes.length - off < n) None
-            else Some(PpmImage(r.getLong(0), w, h, m, n,
-              java.util.Arrays.copyOfRange(bytes, off, off + n.toInt)))
+          ppmDecodeBytes(r.getAs[Array[Byte]](1)).map { case (w, h, m, px) =>
+            PpmImage(r.getLong(0), w, h, m, px.length.toLong, px)
           }
         }
       }(enc)
@@ -274,6 +280,33 @@ object Multimodal {
     * Malformed blobs (bad magic/DIB, wrong depth or compression, pixel
     * data shorter than stride×height) are DROPPED, same discipline as
     * [[decodePpm]]. Map-only. */
+  /** The JVM decode core of [[decodeBmp]]: `(width, height, pixels)`
+    * (top-down RGB) or None. */
+  def bmpDecodeBytes(b: Array[Byte]): Option[(Int, Int, Array[Byte])] =
+    parseBmpHeader(b).flatMap { case (w, h, off) =>
+      val stride = bmpStride(w)
+      val need = stride.toLong * h
+      val n = w.toLong * h * 3
+      if (need > b.length - off || n > Int.MaxValue) None
+      else {
+        val out = new Array[Byte](n.toInt)
+        var fr = 0
+        while (fr < h) {
+          val dst = (h - 1 - fr) * w * 3
+          var x = 0
+          while (x < w) {
+            val o = off + fr * stride + x * 3
+            out(dst + x * 3) = b(o + 2)     // R
+            out(dst + x * 3 + 1) = b(o + 1) // G
+            out(dst + x * 3 + 2) = b(o)     // B
+            x += 1
+          }
+          fr += 1
+        }
+        Some((w, h, out))
+      }
+    }
+
   def decodeBmp(df: DataFrame, id: String,
       payload: String = "payload"): DataFrame = {
     val enc = org.apache.spark.sql.Encoders.product[BmpImage]
@@ -281,30 +314,42 @@ object Multimodal {
       .where(col(payload).isNotNull)
       .mapPartitions { rows =>
         rows.flatMap { r =>
-          val b = r.getAs[Array[Byte]](1)
-          parseBmpHeader(b).flatMap { case (w, h, off) =>
-            val stride = bmpStride(w)
-            val need = stride.toLong * h
-            val n = w.toLong * h * 3
-            if (need > b.length - off || n > Int.MaxValue) None
-            else {
-              val out = new Array[Byte](n.toInt)
-              var fr = 0
-              while (fr < h) {
-                val dst = (h - 1 - fr) * w * 3
-                var x = 0
-                while (x < w) {
-                  val o = off + fr * stride + x * 3
-                  out(dst + x * 3) = b(o + 2)     // R
-                  out(dst + x * 3 + 1) = b(o + 1) // G
-                  out(dst + x * 3 + 2) = b(o)     // B
-                  x += 1
-                }
-                fr += 1
-              }
-              Some(BmpImage(r.getLong(0), w, h, n, out))
-            }
+          bmpDecodeBytes(r.getAs[Array[Byte]](1)).map { case (w, h, px) =>
+            BmpImage(r.getLong(0), w, h, px.length.toLong, px)
           }
+        }
+      }(enc)
+      .toDF()
+  }
+
+  /** One decoded row of a MIXED-format corpus ([[decodeAny]]). */
+  final case class AnyImage(doc_id: Long, format: String, width: Int,
+      height: Int, n_pixel_bytes: Long, pixels: Array[Byte])
+
+  /** Format-dispatching decode: routes each payload by its magic bytes
+    * (P6 → PPM, BM → BMP; anything else drops) and emits the NORMALIZED
+    * top-down RGB plane plus a format tag — a mixed-format corpus
+    * decodes in ONE map-only pass, the property that makes the decode
+    * layer a layer rather than per-format pipelines. Dispatch costs two
+    * byte compares before the full header parse runs. */
+  def decodeAny(df: DataFrame, id: String,
+      payload: String = "payload"): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.product[AnyImage]
+    df.select(col(id).cast("long"), col(payload))
+      .where(col(payload).isNotNull)
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val b = r.getAs[Array[Byte]](1)
+          val docId = r.getLong(0)
+          if (b.length >= 2 && b(0) == 'P'.toByte && b(1) == '6'.toByte)
+            ppmDecodeBytes(b).map { case (w, h, _, px) =>
+              AnyImage(docId, "ppm", w, h, px.length.toLong, px)
+            }
+          else if (b.length >= 2 && b(0) == 'B'.toByte && b(1) == 'M'.toByte)
+            bmpDecodeBytes(b).map { case (w, h, px) =>
+              AnyImage(docId, "bmp", w, h, px.length.toLong, px)
+            }
+          else None
         }
       }(enc)
       .toDF()

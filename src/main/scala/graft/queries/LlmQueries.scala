@@ -36,6 +36,35 @@ object LlmQueries {
   private def pHash(seed: String, expr: String): String =
     s"('0x' || substr(md5('$seed:' || $expr), 1, 15))::BIGINT"
 
+  /** The recursive-CTE chain replaying the q54 transitive-dedup pipeline
+    * through reachability (`reach(u, r)`), shared by the q54 and q80
+    * oracles. */
+  private lazy val cc54With: String = {
+    val ms = (0 until NumHashes).map(i =>
+      s"min(${pHash(i.toString, "shingle")}) AS m$i").mkString(",\n  ")
+    val bandExprs = (0 until Bands).map { b =>
+      val concat = s"m${2 * b}::VARCHAR || '_' || m${2 * b + 1}::VARCHAR"
+      s"${pHash((100 + b).toString, s"($concat)")} AS band$b"
+    }.mkString(",\n  ")
+    val pairUnions = (0 until Bands).map(b =>
+      s"SELECT x.doc_id AS a, y.doc_id AS b FROM banded x " +
+        s"JOIN banded y ON x.band$b = y.band$b AND x.doc_id < y.doc_id")
+      .mkString("\n  UNION\n  ")
+    s"""WITH RECURSIVE $tokCte,
+       |sig AS (SELECT doc_id, $ms FROM tok GROUP BY doc_id),
+       |banded AS (SELECT doc_id,
+       |  $bandExprs
+       |FROM sig),
+       |pr AS (
+       |  $pairUnions),
+       |edges AS (SELECT a AS u, b AS v FROM pr
+       |  UNION SELECT b AS u, a AS v FROM pr),
+       |reach(u, r) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT e.v, reach.r FROM reach JOIN edges e ON e.u = reach.u)""".stripMargin
+  }
+
   // ---- Spark-side queries ----
 
   def textTokens(s: SparkSession, d: String): DataFrame =
@@ -115,6 +144,20 @@ object LlmQueries {
     Dedup.connectedComponents(docs(s, d).select("doc_id"), pairs, "doc_id")
       .orderBy("doc_id")
   }
+
+  /** q80 — the dedup OUTPUT a curation job actually ships: per-component
+    * keeper + audit counts over the q54 transitive clusters (`keep_id` =
+    * the component's canonical minimum, `n_dropped` = how many near-dups
+    * collapse into it). One map-side-combinable groupBy over the
+    * component labels; the oracle extends the q54 reachability replay
+    * with the same aggregation. */
+  def dedupKeepers(s: SparkSession, d: String): DataFrame =
+    dedupComponents(s, d)
+      .groupBy("component")
+      .agg(count(lit(1)).as("n_docs"))
+      .select(col("component").as("keep_id"), col("n_docs"),
+        (col("n_docs") - 1).as("n_dropped"))
+      .orderBy("keep_id")
 
   /** q57 — the capped verified near-dup pipeline: LSH candidate pairs with
     * mega-buckets excluded ([[Dedup.lshCandidatePairsCapped]], cap 100 —
@@ -627,6 +670,37 @@ object LlmQueries {
         col("n_pixel_bytes"), hex(col("pixels")).as("pixels_hex"))
       .orderBy("doc_id")
 
+  /** q81 — MIXED-format decode dispatch: even docs carry binary PPM
+    * payloads, odd docs the same logical plane as uncompressed BMP, and
+    * [[Multimodal.decodeAny]] routes by magic bytes in ONE map-only pass,
+    * emitting the normalized top-down RGB plane + format tag for both —
+    * the decode layer is a layer, not per-format pipelines. The oracle
+    * rebuilds the plane from text and tags format by parity. */
+  def mixedDecode(s: SparkSession, d: String): DataFrame = {
+    val npix = "cast((4 + doc_id % 8) * (3 + doc_id % 5) * 3 as int)"
+    val ascii = docs(s, d).where(col("text").isNotNull &&
+      octet_length(encode(col("text"), "UTF-8")) === length(col("text")))
+    val planes = ascii.select(col("doc_id"),
+      (lit(4) + col("doc_id") % 8).cast("int").as("w"),
+      (lit(3) + col("doc_id") % 5).cast("int").as("h"),
+      encode(expr(s"rpad(text, $npix, '.')"), "UTF-8").as("plane"))
+    val enc = org.apache.spark.sql.Encoders.product[IdPayload]
+    val payloads = planes.mapPartitions { rows =>
+      rows.map { r =>
+        val (docId, w, h) = (r.getLong(0), r.getInt(1), r.getInt(2))
+        val plane = r.getAs[Array[Byte]](3)
+        IdPayload(docId,
+          if (docId % 2 == 0)
+            s"P6\n$w $h\n255\n".getBytes("US-ASCII") ++ plane
+          else Multimodal.encodeBmp(w, h, plane))
+      }
+    }(enc).toDF()
+    Multimodal.decodeAny(payloads, "doc_id", "payload")
+      .select(col("doc_id"), col("format"), col("width"), col("height"),
+        col("n_pixel_bytes"), hex(col("pixels")).as("pixels_hex"))
+      .orderBy("doc_id")
+  }
+
   /** q74 — features from DECODED pixels: the real-decode output of q71
     * ([[Multimodal.decodePpm]]) feeds [[Multimodal.planeStats]] — per-
     * channel means + 4-bucket histograms computed from the interleaved
@@ -806,33 +880,18 @@ object LlmQueries {
          |FROM sig ORDER BY doc_id""".stripMargin
     },
 
-    "q54_dedup_components" -> {
-      val ms = (0 until NumHashes).map(i =>
-        s"min(${pHash(i.toString, "shingle")}) AS m$i").mkString(",\n  ")
-      val bandExprs = (0 until Bands).map { b =>
-        val concat = s"m${2 * b}::VARCHAR || '_' || m${2 * b + 1}::VARCHAR"
-        s"${pHash((100 + b).toString, s"($concat)")} AS band$b"
-      }.mkString(",\n  ")
-      val pairUnions = (0 until Bands).map(b =>
-        s"SELECT x.doc_id AS a, y.doc_id AS b FROM banded x " +
-          s"JOIN banded y ON x.band$b = y.band$b AND x.doc_id < y.doc_id")
-        .mkString("\n  UNION\n  ")
-      s"""WITH RECURSIVE $tokCte,
-         |sig AS (SELECT doc_id, $ms FROM tok GROUP BY doc_id),
-         |banded AS (SELECT doc_id,
-         |  $bandExprs
-         |FROM sig),
-         |pr AS (
-         |  $pairUnions),
-         |edges AS (SELECT a AS u, b AS v FROM pr
-         |  UNION SELECT b AS u, a AS v FROM pr),
-         |reach(u, r) AS (
-         |  SELECT doc_id, doc_id FROM documents
-         |  UNION
-         |  SELECT e.v, reach.r FROM reach JOIN edges e ON e.u = reach.u)
+    "q54_dedup_components" ->
+      s"""$cc54With
          |SELECT u AS doc_id, min(r) AS component
-         |FROM reach GROUP BY u ORDER BY doc_id""".stripMargin
-    },
+         |FROM reach GROUP BY u ORDER BY doc_id""".stripMargin,
+
+    "q80_dedup_keepers" ->
+      s"""$cc54With,
+         |comp AS (SELECT u AS doc_id, min(r) AS component
+         |  FROM reach GROUP BY u)
+         |SELECT component AS keep_id, count(*) AS n_docs,
+         |  (count(*) - 1) AS n_dropped
+         |FROM comp GROUP BY component ORDER BY keep_id""".stripMargin,
 
     "q57_dedup_capped_verified" -> {
       val ms = (0 until NumHashes).map(i =>
@@ -977,6 +1036,19 @@ object LlmQueries {
         |    text FROM documents
         |  WHERE text IS NOT NULL AND octet_length(encode(text)) = length(text))
         |SELECT doc_id, width, height, 255::INTEGER AS maxval, n_pixel_bytes,
+        |  hex(encode(rpad(text, n_pixel_bytes::INTEGER, '.'))) AS pixels_hex
+        |FROM d ORDER BY doc_id""".stripMargin,
+
+    "q81_mixed_decode" ->
+      """WITH d AS (SELECT doc_id,
+        |    (4 + doc_id % 8)::INTEGER AS width,
+        |    (3 + doc_id % 5)::INTEGER AS height,
+        |    ((4 + doc_id % 8) * (3 + doc_id % 5) * 3)::BIGINT AS n_pixel_bytes,
+        |    text FROM documents
+        |  WHERE text IS NOT NULL AND octet_length(encode(text)) = length(text))
+        |SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'ppm' ELSE 'bmp' END AS format,
+        |  width, height, n_pixel_bytes,
         |  hex(encode(rpad(text, n_pixel_bytes::INTEGER, '.'))) AS pixels_hex
         |FROM d ORDER BY doc_id""".stripMargin,
 
@@ -1303,6 +1375,8 @@ object LlmQueries {
     "q32_dedup_lsh_bands" -> dedupLshBands _,
     "q33_dedup_simhash" -> dedupSimhash _,
     "q54_dedup_components" -> dedupComponents _,
+    "q80_dedup_keepers" -> dedupKeepers _,
+    "q81_mixed_decode" -> mixedDecode _,
     "q57_dedup_capped_verified" -> dedupCappedVerified _,
     "q34_dedup_embed_cosine" -> dedupEmbedCosine _,
     "q35_ann_bruteforce" -> annBruteForce _,

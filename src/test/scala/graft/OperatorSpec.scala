@@ -363,6 +363,23 @@ class OperatorSpec extends AnyFunSuite {
     assert(st.length == 1 && st.head.getDouble(1) == (1 + 4 + 7 + 10) / 4.0)
   }
 
+  test("decodeAny dispatches by magic: same plane from either format, garbage drops") {
+    val plane = Array.tabulate(2 * 2 * 3)(i => (i * 7 + 3).toByte)
+    val rows = Seq(
+      1L -> ("P6\n2 2\n255\n".getBytes("US-ASCII") ++ plane),
+      2L -> Multimodal.encodeBmp(2, 2, plane),
+      3L -> "neither format".getBytes("US-ASCII"),
+      4L -> ("P6\n4 4\n255\n".getBytes("US-ASCII") ++ plane)) // truncated ppm
+      .toDF("doc_id", "payload")
+    val got = Multimodal.decodeAny(rows, "doc_id").collect()
+      .map(r => r.getLong(0) ->
+        (r.getString(1), r.getAs[Array[Byte]](5).toSeq)).toMap
+    assert(got.keySet == Set(1L, 2L))
+    assert(got(1L)._1 == "ppm" && got(2L)._1 == "bmp")
+    // both formats normalize to the SAME top-down RGB plane
+    assert(got(1L)._2 == plane.toSeq && got(2L)._2 == plane.toSeq)
+  }
+
   test("plane stats from decoded pixels: hand-checked channels, feeds ANN") {
     def ppm(header: String, pixels: Array[Byte]): Array[Byte] =
       header.getBytes("US-ASCII") ++ pixels
