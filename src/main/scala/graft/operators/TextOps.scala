@@ -166,6 +166,35 @@ object TextOps {
     df.withColumn("__kept", (bucket < thresh).cast("int"))
   }
 
+  /** Temperature-weighted per-stratum downsampling — the multilingual
+    * rebalancing step (sampling share of stratum l ∝ count_l^alpha, so
+    * alpha < 1 flattens the language distribution toward uniform without
+    * upsampling anyone): per-doc keep probability
+    * `p_l = (count_min / count_l)^(1-alpha)` — the SMALLEST stratum keeps
+    * everything, dominant strata shed proportionally harder the smaller
+    * alpha gets (alpha = 1 keeps all, alpha = 0 equalizes expected
+    * counts). Deterministic: the flag is a portable-hash bucket against a
+    * per-stratum integer threshold (content-stable like [[sampleFlag]],
+    * reproducible across runs/partitionings/engines). Two passes — a
+    * strata-sized count aggregate broadcast back onto the scan, then a
+    * map-only flag; `alpha = 0.5` computes the weight via `sqrt`
+    * (IEEE-exact, bit-identical in the SQL oracle) rather than `pow`. */
+  def temperatureSampleFlag(df: DataFrame, id: String, strata: String,
+      alpha: Double = 0.5, scale: Long = 1000000L,
+      seed: Int = 91): DataFrame = {
+    requireFresh(df, "__kept", "__thr", "__n", "__nmin")
+    val counts = df.groupBy(strata).agg(count(lit(1)).as("__n"))
+    val nmin = counts.agg(min(col("__n")).as("__nmin"))
+    val ratio = col("__nmin").cast("double") / col("__n")
+    val w = if (alpha == 0.5) sqrt(ratio) else pow(ratio, 1 - alpha)
+    val thr = counts.crossJoin(broadcast(nmin))
+      .select(col(strata), floor(w * scale).cast("long").as("__thr"))
+    df.join(broadcast(thr), strata)
+      .withColumn("__kept",
+        (pmod(portableHash(col(id).cast("string"), seed), lit(scale)) <
+          col("__thr")).cast("int"))
+  }
+
   /** Deterministic stratified sample: the rows [[sampleFlag]] keeps. */
   def stratifiedSample(df: DataFrame, id: String, strata: String,
       fractions: Map[String, Double], default: Double = 1.0,

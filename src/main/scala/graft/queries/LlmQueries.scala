@@ -456,6 +456,18 @@ object LlmQueries {
       .agg(count(lit(1)).as("n_docs"), sum("__kept").as("n_kept"))
       .orderBy("lang")
 
+  /** q82 — temperature-weighted language rebalancing
+    * ([[TextOps.temperatureSampleFlag]], alpha = 0.5): per-language keep
+    * share ∝ sqrt(count) — the multilingual mixing step that flattens a
+    * skewed language distribution without upsampling. Audit output per
+    * language: total, integer threshold, kept. */
+  def temperatureMix(s: SparkSession, d: String): DataFrame =
+    TextOps.temperatureSampleFlag(docs(s, d), "doc_id", "lang")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), max("__thr").as("thr"),
+        sum("__kept").as("n_kept"))
+      .orderBy("lang")
+
   /** q60 — corpus-level vocabulary: top-20 terms by occurrence count with
     * document frequency. Explode -> two-phase aggregate (partial map-side
     * combine; the distinct doc count is Spark's standard two-shuffle
@@ -1231,6 +1243,18 @@ object LlmQueries {
          |      FROM documents)
          |ORDER BY doc_id""".stripMargin,
 
+    "q82_temperature_mix" ->
+      s"""WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+         |m AS (SELECT min(n) AS nmin FROM c),
+         |p AS (SELECT lang, n,
+         |    floor(sqrt(nmin::DOUBLE / n) * 1000000)::BIGINT AS thr
+         |  FROM c CROSS JOIN m)
+         |SELECT d.lang, count(*) AS n_docs, max(p.thr) AS thr,
+         |  sum(CASE WHEN ${pHash("91", "d.doc_id::VARCHAR")} % 1000000 < p.thr
+         |      THEN 1 ELSE 0 END)::BIGINT AS n_kept
+         |FROM documents d JOIN p USING (lang)
+         |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
+
     "q59_corpus_mix" ->
       s"""SELECT lang, count(*) AS n_docs,
          |  sum(CASE WHEN ${pHash("77", "doc_id::VARCHAR")} % 1000 <
@@ -1399,6 +1423,7 @@ object LlmQueries {
     "q76_decontaminate_bloom" -> decontaminateBloom _,
     "q63_repetition" -> textRepetition _,
     "q59_corpus_mix" -> corpusMix _,
+    "q82_temperature_mix" -> temperatureMix _,
     "q60_vocab_topk" -> vocabTopK _,
     "q64_pack_chunks" -> packChunks _,
     "q65_quantile_filter" -> quantileFilter _,

@@ -255,6 +255,29 @@ class OperatorSpec extends AnyFunSuite {
     assert(feats(1L) == feats(2L) && feats(1L) == feats(5L))
   }
 
+  test("temperature sampling: smallest stratum keeps all, dominant flattens by sqrt") {
+    val rows = (1 to 900).map(i => (i.toLong,
+      if (i <= 600) "en" else if (i <= 850) "de" else "fr"))
+    val df = rows.toDF("doc_id", "lang")
+    def audit(d: org.apache.spark.sql.DataFrame): Map[String, (Long, Long, Long)] =
+      TextOps.temperatureSampleFlag(d, "doc_id", "lang")
+        .groupBy("lang").agg(count(lit(1)).as("n"), max("__thr").as("t"),
+          sum("__kept").as("k"))
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val got = audit(df)
+    // smallest stratum (fr, 50 docs): threshold = scale -> keeps everything
+    assert(got("fr") == ((50L, 1000000L, 50L)), got.toString)
+    // dominant stratum: threshold = floor(sqrt(50/600) * 1e6) exactly
+    assert(got("en")._2 == math.floor(math.sqrt(50.0 / 600) * 1e6).toLong)
+    // kept share tracks the threshold (hash-uniform within a loose band)
+    val (nEn, tEn, kEn) = got("en")
+    assert(math.abs(kEn.toDouble / nEn - tEn / 1e6) < 0.08,
+      s"en kept $kEn of $nEn vs p=${tEn / 1e6}")
+    // content-stable: physical repartitioning changes nothing
+    assert(audit(df.repartition(7)) == got)
+  }
+
   test("bruteForceTopKBatch equals per-query bruteForceTopK loops") {
     val vecs = Seq(
       0L -> Array(1f, 0f, 0f), 1L -> Array(0f, 1f, 0f),
