@@ -294,6 +294,42 @@ object TextOps {
       .drop("__before")
   }
 
+  /** Span-level sequence packing: unlike [[packChunks]] (whole-doc chunk
+    * assignment), real training shards SPLIT a document that straddles a
+    * chunk boundary — each doc emits one row per chunk it overlaps, with
+    * the token span it contributes: `(chunk_id, chunk_offset,
+    * doc_offset, span_tokens)`. Spans tile each chunk exactly
+    * (`chunkTokens` per chunk, no gaps) and concatenate back to the doc
+    * (doc_offset-ordered spans sum to n_tokens). Built ON TOP of the
+    * [[withPackChunks]] window — the doc's global start is recovered as
+    * `chunk_id·B + chunk_offset` (exact integer arithmetic), then a
+    * map-only `explode(sequence(first_chunk, last_chunk))` fans out the
+    * overlapped chunks: ONE window shuffle total, the fan-out costs no
+    * exchange, and everything stays integer-exact for the oracle. Same
+    * precondition and `dropInvalid` as [[packChunks]]. */
+  def packSpans(df: DataFrame, id: String, partCols: Seq[String],
+      tokens: Column, chunkTokens: Int = 256,
+      dropInvalid: Boolean = false): DataFrame = {
+    val b = lit(chunkTokens.toLong)
+    val base = withPackChunks(df, id, partCols, tokens, chunkTokens, dropInvalid)
+      .withColumn("__before", col("chunk_id") * b + col("chunk_offset"))
+    base.select(col(id) +: partCols.map(col) :+ col("n_tokens") :+
+        col("__before") :+
+        explode(sequence(col("chunk_id"),
+          floor((col("__before") + col("n_tokens") - 1) / b).cast("long")))
+          .as("__c"): _*)
+      .select(col(id) +: partCols.map(col) :+
+        col("__c").as("chunk_id") :+
+        greatest(col("__before"), col("__c") * b).as("__gs") :+
+        least(col("__before") + col("n_tokens"), (col("__c") + 1) * b)
+          .as("__ge") :+ col("__before"): _*)
+      .select(col(id) +: partCols.map(col) :+
+        col("chunk_id") :+
+        (col("__gs") - col("chunk_id") * b).as("chunk_offset") :+
+        (col("__gs") - col("__before")).as("doc_offset") :+
+        (col("__ge") - col("__gs")).as("span_tokens"): _*)
+  }
+
   /** Chunk assembly: the step after [[packChunks]] that emits the actual
     * training sequences — one row per (group, chunk) with the member
     * documents' text joined in id order by `sep` (the end-of-text token),

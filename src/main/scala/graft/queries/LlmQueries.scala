@@ -494,6 +494,17 @@ object LlmQueries {
         TextOps.tokenCount(col("text")), ChunkTokens)
       .orderBy("doc_id")
 
+  /** q83 — span-level packing ([[TextOps.packSpans]]): documents that
+    * straddle a chunk boundary split into per-chunk token spans — the
+    * form a training shard actually stores. Integer-exact throughout,
+    * so the oracle replays cumsum + boundary arithmetic verbatim. */
+  def packSpansQ(s: SparkSession, d: String): DataFrame =
+    TextOps.packSpans(
+        docs(s, d).select(col("doc_id"), col("source"), col("text")),
+        "doc_id", Seq("source"), TextOps.tokenCount(col("text")).cast("long"),
+        ChunkTokens)
+      .orderBy("doc_id", "chunk_id")
+
   /** q65 — distribution-relative quality gate ([[TextOps.quantileKeep]]):
     * keep docs at or above their LANGUAGE's 25th percentile of token
     * count, so one language's length profile doesn't set another's bar.
@@ -1320,6 +1331,30 @@ object LlmQueries {
          |  (tok_before % $ChunkTokens)::BIGINT AS chunk_offset
          |FROM c ORDER BY doc_id""".stripMargin,
 
+    // DuckDB generate_series cannot take lateral column bounds, so the
+    // span fan-out is a constant 0..32 relative range + WHERE (supports
+    // docs up to 33 chunks = 8448 tokens — far above this corpus; a doc
+    // beyond it would surface as a row-count mismatch, never silently)
+    "q83_pack_spans" ->
+      s"""WITH t AS (SELECT doc_id, source,
+         |    len(string_split_regex(trim(lower(text)), '\\s+'))::BIGINT AS n_tokens
+         |  FROM documents),
+         |c AS (SELECT doc_id, source, n_tokens,
+         |    coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS bf
+         |  FROM t),
+         |sp AS (SELECT doc_id, source, n_tokens, bf,
+         |    (bf // $ChunkTokens + j) AS chunk_id
+         |  FROM c CROSS JOIN generate_series(0, 32) g(j)
+         |  WHERE bf // $ChunkTokens + j <= (bf + n_tokens - 1) // $ChunkTokens)
+         |SELECT doc_id, source, chunk_id,
+         |  (greatest(bf, chunk_id * $ChunkTokens)
+         |    - chunk_id * $ChunkTokens)::BIGINT AS chunk_offset,
+         |  (greatest(bf, chunk_id * $ChunkTokens) - bf)::BIGINT AS doc_offset,
+         |  (least(bf + n_tokens, (chunk_id + 1) * $ChunkTokens)
+         |    - greatest(bf, chunk_id * $ChunkTokens))::BIGINT AS span_tokens
+         |FROM sp ORDER BY doc_id, chunk_id""".stripMargin,
+
     "q65_quantile_filter" ->
       """WITH t AS (SELECT doc_id, lang,
         |    len(string_split_regex(trim(lower(text)), '\s+'))::DOUBLE AS value
@@ -1426,6 +1461,7 @@ object LlmQueries {
     "q82_temperature_mix" -> temperatureMix _,
     "q60_vocab_topk" -> vocabTopK _,
     "q64_pack_chunks" -> packChunks _,
+    "q83_pack_spans" -> packSpansQ _,
     "q65_quantile_filter" -> quantileFilter _,
     "q66_pii_redact" -> piiRedact _,
     "q67_curation_pipeline" -> curationPipeline _,

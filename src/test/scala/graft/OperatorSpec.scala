@@ -908,6 +908,29 @@ class OperatorSpec extends AnyFunSuite {
       s"invalid rows dropped, survivors repacked: $dropped")
   }
 
+  test("packSpans: straddling docs split at boundaries, spans tile and reassemble") {
+    val rows = Seq((1L, "a", 100L), (2L, "a", 200L), (3L, "a", 60L),
+      (4L, "b", 300L)).toDF("doc_id", "source", "nt")
+    def spans(d: org.apache.spark.sql.DataFrame) =
+      TextOps.packSpans(d, "doc_id", Seq("source"), col("nt"), 128)
+        .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5))).toSet
+    val got = spans(rows)
+    // hand-computed: group a cumsum 0/100/300, group b restarts at 0
+    assert(got == Set(
+      (1L, 0L, 0L, 0L, 100L),                                      // fits chunk 0
+      (2L, 0L, 100L, 0L, 28L), (2L, 1L, 0L, 28L, 128L),            // straddles
+      (2L, 2L, 0L, 156L, 44L),
+      (3L, 2L, 44L, 0L, 60L),                                      // packs after
+      (4L, 0L, 0L, 0L, 128L), (4L, 1L, 0L, 128L, 128L),            // exact tiles
+      (4L, 2L, 0L, 256L, 44L)), got.toString)
+    // invariants: per-doc spans sum to n_tokens; doc_offsets are contiguous
+    val byDoc = got.groupBy(_._1)
+    assert(byDoc(2L).toSeq.sortBy(_._4).map(_._5).sum == 200L)
+    // partition-invariant (window orders by id)
+    assert(spans(rows.repartition(5)) == got)
+  }
+
   test("packing and selection invariants hold on seeded random corpora") {
     // independent oracle: a sequential in-memory replay of each operator's
     // spec over the same rows — random sizes, strata, and physical
