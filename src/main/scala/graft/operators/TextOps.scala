@@ -178,7 +178,10 @@ object TextOps {
     * reproducible across runs/partitionings/engines). Two passes — a
     * strata-sized count aggregate broadcast back onto the scan, then a
     * map-only flag; `alpha = 0.5` computes the weight via `sqrt`
-    * (IEEE-exact, bit-identical in the SQL oracle) rather than `pow`. */
+    * (IEEE-exact, bit-identical in the SQL oracle) rather than `pow`.
+    * Rows with a NULL stratum are dropped (the threshold join is inner
+    * and null joins nothing) — pre-bucket unknowns into a sentinel
+    * stratum if they must survive the gate. */
   def temperatureSampleFlag(df: DataFrame, id: String, strata: String,
       alpha: Double = 0.5, scale: Long = 1000000L,
       seed: Int = 91): DataFrame = {
