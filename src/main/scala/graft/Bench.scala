@@ -4,6 +4,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    tools.CodegenGuard.install()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -89,5 +90,11 @@ object Bench {
     }
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
+    // codegen health is a gate: an interpreted fallback is a silent per-row
+    // tax at scale, so a bench that logged compile failures is not a bench
+    if (tools.CodegenGuard.failureCount > 0) {
+      System.err.println(s"[graft] ${tools.CodegenGuard.failureSummary}")
+      sys.exit(3)
+    }
   }
 }

@@ -7,6 +7,7 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    graft.tools.CodegenGuard.install()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -46,5 +47,12 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
+    // codegen health gate — runs AFTER every result parquet and the oracle
+    // json are on disk, so the driver's DuckDB compare has its inputs even
+    // when the gate trips; the nonzero exit makes the fallback un-shippable
+    if (graft.tools.CodegenGuard.failureCount > 0) {
+      System.err.println(s"[verify] ${graft.tools.CodegenGuard.failureSummary}")
+      sys.exit(3)
+    }
   }
 }

@@ -660,7 +660,7 @@ object LlmQueries {
     * width×height×3) encoded as an uncompressed 24-bit BMP blob —
     * bottom-up rows, BGR channels, stride padded ([[Multimodal.encodeBmp]]).
     * Batched per-partition like every payload stage. */
-  private final case class IdPayload(doc_id: Long, payload: Array[Byte])
+  final case class IdPayload(doc_id: Long, payload: Array[Byte])
   private def bmpPayloads(s: SparkSession, d: String): DataFrame = {
     val npix = "cast((4 + doc_id % 8) * (3 + doc_id % 5) * 3 as int)"
     val ascii = docs(s, d).where(col("text").isNotNull &&

@@ -408,6 +408,7 @@ class EngineSpec extends AnyFunSuite {
 
 object TestSpark {
   lazy val spark: SparkSession = {
+    graft.tools.CodegenGuard.install()
     val s = SparkSession.builder()
       .master("local[4]")
       .appName("graft-test")

@@ -410,4 +410,19 @@ class PlanSpec extends AnyFunSuite {
       } finally graft.engine.Checkpoints.release(df)
     }
   }
+
+  test("codegen health: payload/decode pipelines compile clean (no interpreted fallback)") {
+    // Regression guard for the round-9 defect class: a `private` encoder
+    // case class type-checks but Janino cannot reach its accessors, so
+    // Catalyst logs `ERROR CodeGenerator ... CompileException` and falls
+    // back to interpreted serialization — correct rows, wrong plan. The
+    // guard appender counts exactly those ERRORs; driving the payload-
+    // construction + decode queries end-to-end must record zero.
+    graft.tools.CodegenGuard.reset()
+    Seq("q75_bmp_decode", "q81_mixed_decode", "q71_ppm_decode",
+        "q74_plane_features").foreach { name =>
+      SparkEntry.queries(name)(spark, sf).collect()
+    }
+    graft.tools.CodegenGuard.assertHealthy("q75/q81/q71/q74 pipelines")
+  }
 }
