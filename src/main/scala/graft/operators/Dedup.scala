@@ -231,6 +231,11 @@ object Dedup {
     def sidecar(name: String): Boolean =
       fs.exists(new org.apache.hadoop.fs.Path(s"$path/$name"))
     val mode = if (append) "append" else "overwrite"
+    // any REBUILD invalidates the streaming `lastbatch` marker along with
+    // the cap sidecars: a maintainBandIndex restart with a fresh checkpoint
+    // restarts batch ids at 0, and a stale marker would make every append
+    // silently no-op (batchId <= last) — silent ingest loss, no error
+    if (!append) graft.sources.Markers.delete(spark, s"$path/lastbatch")
     if (maxBucket == Int.MaxValue) {
       // an UNCAPPED append onto a CAPPED index would blind-append past the
       // cap (breaking the never-over-maxBucket invariant) and leave the
@@ -482,9 +487,19 @@ object Dedup {
     * n_shingles(doc) × fpp. Typed filter over a broadcast variable —
     * no UDF registry, no join. */
   def bloomHits(sh: DataFrame, id: String,
-      bf: org.apache.spark.util.sketch.BloomFilter): DataFrame = {
-    val spark = sh.sparkSession
-    val bfB = spark.sparkContext.broadcast(bf)
+      bf: org.apache.spark.util.sketch.BloomFilter): DataFrame =
+    bloomHitsWith(sh, id, sh.sparkSession.sparkContext.broadcast(bf))
+
+  /** [[bloomHits]] over a CALLER-OWNED broadcast handle. The returned
+    * frame is lazy, so the broadcast must outlive every action on it and
+    * cannot be destroyed here; the convenience overload above therefore
+    * leaks one broadcast block (up to tens of MiB at large n) per call
+    * for the session's lifetime. A long-lived session should broadcast
+    * the filter itself and `destroy()` the handle once the consuming
+    * action has run. */
+  def bloomHitsWith(sh: DataFrame, id: String,
+      bfB: org.apache.spark.broadcast.Broadcast[
+        org.apache.spark.util.sketch.BloomFilter]): DataFrame = {
     implicit val enc: org.apache.spark.sql.Encoder[Long] =
       org.apache.spark.sql.Encoders.scalaLong
     sh.select(col(id).cast("long"), col("sh_h"))
@@ -601,6 +616,31 @@ object Dedup {
       nodes: DataFrame, pairs: DataFrame, id: String,
       maxIter: Int = 25): DataFrame =
     connectedComponentsStats(nodes, pairs, id, maxIter).labels
+
+  /** Quality-aware keeper selection over component labels: real curation
+    * keeps the BEST member of a duplicate cluster (longest, highest
+    * quality score), not the smallest id — `keep_id` = the max-`score`
+    * member (ties broken to the smallest id, so the choice is
+    * deterministic and degrades to min-id when scores are constant).
+    * Input: `(id, component, score)` rows — [[connectedComponents]]
+    * labels joined with whatever score the caller curates by. Output per
+    * component: `(keep_id, n_docs, n_dropped, dropped_ids)` with
+    * `dropped_ids` the ascending comma-joined losers. ONE
+    * map-side-combinable hash aggregate over the labels; the
+    * `collect_list` behind `dropped_ids` is bounded by dedup cluster
+    * size (the same bound q80's audit counts rely on) — it exists for
+    * the shipped drop-list report, and a pipeline that only needs the
+    * keeper set should select `keep_id` and skip it. */
+  def keepersBy(labeled: DataFrame, id: String, score: String): DataFrame =
+    labeled.groupBy("component")
+      .agg(
+        max_by(col(id), struct(col(score), (-col(id)).as("__t"))).as("keep_id"),
+        count(lit(1)).as("n_docs"),
+        array_sort(collect_list(col(id))).as("__all"))
+      .select(col("keep_id"), col("n_docs"),
+        (col("n_docs") - 1).as("n_dropped"),
+        array_join(array_remove(col("__all"), col("keep_id")), ",")
+          .as("dropped_ids"))
 
   /** [[connectedComponents]] plus convergence observability: the iteration
     * count and whether the fixpoint was actually reached. `converged` =

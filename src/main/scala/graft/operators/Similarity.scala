@@ -291,6 +291,10 @@ object Similarity {
     // parquet files, not the block manager)
     val cents = centroids.map(graft.engine.Checkpoints.mark)
       .getOrElse(kmeansCentroids(vecs, id, emb, k, trainIters))
+    // a rebuild invalidates the streaming `lastbatch` marker: a fresh
+    // maintenance checkpoint restarts batch ids at 0, and a stale marker
+    // would silently no-op every future ivfAppendBatch
+    graft.sources.Markers.delete(spark, s"$path/lastbatch")
     // vector/centroid self-norms are build-time columns: every future
     // search divides by them instead of recomputing sqrt(dot(v, v)) per
     // probed row — bit-identical values (same expression, evaluated once)
@@ -322,6 +326,110 @@ object Similarity {
           col(idx.emb).cast("array<double>"))).as("norm"))
       .join(assignCells(newVecs, idx.id, idx.emb, cents), idx.id)
       .write.mode("append").partitionBy("cell").parquet(s"${idx.path}/corpus")
+  }
+
+  /** Replay-guarded [[ivfAppend]] for at-least-once callers
+    * (`foreachBatch`): a retried micro-batch would otherwise DOUBLE-append
+    * its rows into the cell partitions and duplicate search results. Same
+    * protocol as [[graft.streaming.StreamingOps.appendBatchToBandIndex]]:
+    * skip batches at or below the `<path>/lastbatch` marker; record
+    * `batchId` AFTER the append, so a crash between them re-runs the
+    * append (duplicates a dedup-by-id read can detect), never skips one.
+    * [[ivfBuild]] deletes the marker, so a rebuild restarts cleanly.
+    * Returns true iff the batch was applied. */
+  def ivfAppendBatch(idx: IvfIndex, newVecs: DataFrame, batchId: Long): Boolean = {
+    val marker = s"${idx.path}/lastbatch"
+    if (batchId <= graft.sources.Markers.readLastBatch(idx.spark, marker)) false
+    else {
+      ivfAppend(idx, newVecs)
+      graft.sources.Markers.writeLastBatch(idx.spark, marker, batchId)
+      true
+    }
+  }
+
+  /** Per-cell parquet file counts of a materialized index — the
+    * fragmentation gauge: every [[ivfAppend]] batch adds new files to each
+    * touched cell, so under continuous ingest a hot cell accumulates
+    * small files and probe latency degrades. Driver-side FS listing
+    * (O(files) metadata, no data read). */
+  def ivfCellFiles(idx: IvfIndex): Map[String, Int] = {
+    val root = new org.apache.hadoop.fs.Path(s"${idx.path}/corpus")
+    val fs = root.getFileSystem(idx.spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) Map.empty
+    else fs.listStatus(root).filter(_.isDirectory)
+      .map { d =>
+        val n = fs.listStatus(d.getPath)
+          .count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+        d.getPath.getName -> n
+      }.toMap
+  }
+
+  /** Compact the cell partitions of a materialized index: rewrite the
+    * corpus range-partitioned on `(cell, id)` with bounded file sizes —
+    * cells stay contiguous (partition pruning is untouched), rows within a
+    * file are id-sorted, and a cell's file count drops to
+    * ~ceil(rows/`targetRecordsPerFile`) regardless of how many append
+    * batches built it up. The same small-file repair
+    * [[graft.sources.Layout.compact]] runs for row shards, applied per
+    * cell directory. Rewrites to `corpus_compacting` then swaps via two
+    * renames (old corpus preserved at `corpus_precompact` until the swap
+    * completes — a crash mid-swap loses no data, just needs a manual
+    * rename). Search results are IDENTICAL before/after (OperatorSpec
+    * pins this). Returns the max files-per-cell after compaction. */
+  def ivfCompact(idx: IvfIndex, targetRecordsPerFile: Long): Int = {
+    require(targetRecordsPerFile > 0,
+      s"targetRecordsPerFile must be positive; got $targetRecordsPerFile")
+    val spark = idx.spark
+    val corpus = new org.apache.hadoop.fs.Path(s"${idx.path}/corpus")
+    val tmp = new org.apache.hadoop.fs.Path(s"${idx.path}/corpus_compacting")
+    val old = new org.apache.hadoop.fs.Path(s"${idx.path}/corpus_precompact")
+    val fs = corpus.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val df = idx.corpus
+    val n = df.count()
+    val shards = math.max(1L, (n + targetRecordsPerFile - 1) / targetRecordsPerFile)
+    require(shards <= Int.MaxValue,
+      s"$n rows / $targetRecordsPerFile per file = $shards shards exceeds Int range")
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    df.repartitionByRange(shards.toInt, col("cell"), col(idx.id))
+      .sortWithinPartitions(col("cell"), col(idx.id))
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", targetRecordsPerFile)
+      .partitionBy("cell").parquet(tmp.toString)
+    if (fs.exists(old)) fs.delete(old, true)
+    require(fs.rename(corpus, old), s"could not move $corpus aside")
+    require(fs.rename(tmp, corpus), s"could not swap $tmp into place")
+    fs.delete(old, true)
+    ivfCellFiles(idx).values.foldLeft(0)(math.max)
+  }
+
+  /** Centroid drift gauge — the REBUILD decision [[ivfAppend]]'s scaladoc
+    * defers. Per cell: the cosine distance between the STORED centroid and
+    * the mean of the vectors currently ASSIGNED to that cell (one Lloyd
+    * half-step over a seeded sample — no retraining, so the signal is
+    * deterministic and cell-aligned by construction). A converged
+    * quantizer over a static distribution reads ≈ 0 everywhere (the
+    * stored centroid IS a recent cell mean); appends from a shifted
+    * distribution pull the cell means away, and `max(drift)` above a
+    * caller-chosen threshold (0.1 is a reasonable default) says rebuild,
+    * don't append. Output `(cell, n_sampled, drift)`, drift = 1 − cosine.
+    * Cost: ONE sampled partition-pruned corpus scan + a (cell, dim)-keyed
+    * aggregation — a maintenance job, not a query. */
+  def ivfDrift(idx: IvfIndex, sampleFraction: Double = 0.1,
+      seed: Long = 42L): DataFrame = {
+    val sample =
+      if (sampleFraction >= 1.0) idx.corpus
+      else idx.corpus.sample(withReplacement = false, sampleFraction, seed)
+    val means = sample
+      .select(col("cell"), posexplode(col(idx.emb).cast("array<double>"))
+        .as(Seq("d", "v")))
+      .groupBy("cell", "d").agg(avg("v").as("v"), count(lit(1)).as("n"))
+      .groupBy("cell")
+      .agg(transform(array_sort(collect_list(struct(col("d"), col("v")))),
+          x => x("v")).as("mean"),
+        max("n").as("n_sampled"))
+    idx.centroids.join(means, "cell")
+      .select(col("cell"), col("n_sampled"),
+        round(lit(1.0) - cosine(col("ce"), col("mean")), 6).as("drift"))
   }
 
   /** Search a materialized [[IvfIndex]]: rank cells by query-to-centroid

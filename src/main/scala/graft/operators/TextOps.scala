@@ -198,6 +198,39 @@ object TextOps {
           col("__thr")).cast("int"))
   }
 
+  /** Temperature-weighted per-stratum UP-sampling — the epoch/repeat form
+    * of [[temperatureSampleFlag]]: that flag covers alpha-mixing with
+    * p ≤ 1 (downsample-only), but real multilingual mixes also REPEAT
+    * small-language data. Per-doc repeat factor
+    * `p_l = (count_max / count_l)^(1-alpha)` ≥ 1 — the LARGEST stratum
+    * keeps exactly 1 copy, smaller strata repeat harder the smaller
+    * alpha gets (alpha = 1 → everyone 1 copy; alpha = 0 → expected
+    * counts equalized to the largest). Emits `__copies` =
+    * `floor(p_l)` + a deterministic fractional flag (portable-hash
+    * bucket vs `frac(p_l)·scale`, content-stable like [[sampleFlag]]),
+    * so `E[copies | stratum l] = p_l` and reruns are identical. Same
+    * two-pass shape as the downsampling flag: a strata-sized count
+    * aggregate broadcast back, then a map-only projection — the caller
+    * materializes repeats with `explode(sequence(1, __copies))` (a
+    * map-only fan-out, no shuffle). NULL strata drop (inner threshold
+    * join), as documented on [[temperatureSampleFlag]]. */
+  def temperatureRepeatFactor(df: DataFrame, id: String, strata: String,
+      alpha: Double = 0.5, scale: Long = 1000000L,
+      seed: Int = 91): DataFrame = {
+    requireFresh(df, "__copies", "__base", "__thr", "__n", "__nmax")
+    val counts = df.groupBy(strata).agg(count(lit(1)).as("__n"))
+    val nmax = counts.agg(max(col("__n")).as("__nmax"))
+    val ratio = col("__nmax").cast("double") / col("__n")
+    val p = if (alpha == 0.5) sqrt(ratio) else pow(ratio, 1 - alpha)
+    val thr = counts.crossJoin(broadcast(nmax))
+      .select(col(strata), floor(p).cast("long").as("__base"),
+        floor((p - floor(p)) * scale).cast("long").as("__thr"))
+    df.join(broadcast(thr), strata)
+      .withColumn("__copies", col("__base") +
+        (pmod(portableHash(col(id).cast("string"), seed), lit(scale)) <
+          col("__thr")).cast("long"))
+  }
+
   /** Deterministic stratified sample: the rows [[sampleFlag]] keeps. */
   def stratifiedSample(df: DataFrame, id: String, strata: String,
       fractions: Map[String, Double], default: Double = 1.0,

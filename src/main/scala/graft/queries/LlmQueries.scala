@@ -150,7 +150,12 @@ object LlmQueries {
     * the component's canonical minimum, `n_dropped` = how many near-dups
     * collapse into it). One map-side-combinable groupBy over the
     * component labels; the oracle extends the q54 reachability replay
-    * with the same aggregation. */
+    * with the same aggregation.
+    *
+    * BENCH NOTE: as a standalone oracle query this re-derives the whole
+    * q54 LSH + connected-components pipeline before its one groupBy, so
+    * its bench cost reads ~q54's (~2 s at sf0.1) — in a real pipeline
+    * the keeper audit shares q54's labels and costs one aggregation. */
   def dedupKeepers(s: SparkSession, d: String): DataFrame =
     dedupComponents(s, d)
       .groupBy("component")
@@ -158,6 +163,24 @@ object LlmQueries {
       .select(col("component").as("keep_id"), col("n_docs"),
         (col("n_docs") - 1).as("n_dropped"))
       .orderBy("keep_id")
+
+  /** q84 — QUALITY-AWARE keeper selection ([[Dedup.keepersBy]]): the
+    * shipped form of dedup keeps the best-quality member of each q54
+    * near-dup cluster (here: longest text, the simplest curation score —
+    * any scalar works), ties to the smallest id, and reports the dropped
+    * ids. The oracle replays the same max-by as a row_number window over
+    * the recursive-CTE reachability labels — an independent keeper
+    * formulation over an independent transitivity implementation. Same
+    * standalone-re-derivation bench note as q80. */
+  def dedupKeepersBy(s: SparkSession, d: String): DataFrame = {
+    // score = UTF-8 byte length: identical on both sides by construction
+    // (DuckDB strlen), where a char count could diverge on non-ASCII
+    val scored = dedupComponents(s, d).join(
+      docs(s, d).select(col("doc_id"),
+        coalesce(octet_length(col("text")), lit(-1)).cast("long").as("score")),
+      "doc_id")
+    Dedup.keepersBy(scored, "doc_id", "score").orderBy("keep_id")
+  }
 
   /** q57 — the capped verified near-dup pipeline: LSH candidate pairs with
     * mega-buckets excluded ([[Dedup.lshCandidatePairsCapped]], cap 100 —
@@ -466,6 +489,21 @@ object LlmQueries {
       .groupBy("lang")
       .agg(count(lit(1)).as("n_docs"), max("__thr").as("thr"),
         sum("__kept").as("n_kept"))
+      .orderBy("lang")
+
+  /** q85 — temperature UP-sampling ([[TextOps.temperatureRepeatFactor]]):
+    * the epoch/repeat half of multilingual rebalancing q82's
+    * downsample-only flag can't express — the largest language keeps one
+    * copy, smaller ones repeat `floor(p)` times plus a deterministic
+    * fractional flag, `p = (count_max/count_l)^(1-alpha)`. Aggregated
+    * per language like q82; `n_copies` is the stratum's post-repeat
+    * size. The oracle recomputes p from counts with the identical
+    * IEEE expression (sqrt at alpha = 0.5) and replays the hash flag. */
+  def temperatureRepeat(s: SparkSession, d: String): DataFrame =
+    TextOps.temperatureRepeatFactor(docs(s, d), "doc_id", "lang")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), max("__base").as("base"),
+        max("__thr").as("thr"), sum("__copies").as("n_copies"))
       .orderBy("lang")
 
   /** q60 — corpus-level vocabulary: top-20 terms by occurrence count with
@@ -916,6 +954,29 @@ object LlmQueries {
          |  (count(*) - 1) AS n_dropped
          |FROM comp GROUP BY component ORDER BY keep_id""".stripMargin,
 
+    "q84_dedup_keepers_by" ->
+      s"""$cc54With,
+         |comp AS (SELECT u AS doc_id, min(r) AS component
+         |  FROM reach GROUP BY u),
+         |scored AS (SELECT c.component, c.doc_id,
+         |    coalesce(strlen(d.text), -1)::BIGINT AS score
+         |  FROM comp c JOIN documents d USING (doc_id)),
+         |rn AS (SELECT component, doc_id,
+         |    row_number() OVER (PARTITION BY component
+         |      ORDER BY score DESC, doc_id ASC) AS rn
+         |  FROM scored)
+         |SELECT k.doc_id AS keep_id, cnt.n_docs,
+         |  cnt.n_docs - 1 AS n_dropped,
+         |  coalesce(dr.s, '') AS dropped_ids
+         |FROM rn k
+         |JOIN (SELECT component, count(*) AS n_docs FROM rn
+         |  GROUP BY component) cnt USING (component)
+         |LEFT JOIN (SELECT component,
+         |    string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id) AS s
+         |  FROM rn WHERE rn > 1 GROUP BY component) dr USING (component)
+         |WHERE k.rn = 1
+         |ORDER BY keep_id""".stripMargin,
+
     "q57_dedup_capped_verified" -> {
       val ms = (0 until NumHashes).map(i =>
         s"min(${pHash(i.toString, "shingle")}) AS m$i").mkString(",\n  ")
@@ -1266,6 +1327,22 @@ object LlmQueries {
          |FROM documents d JOIN p USING (lang)
          |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
 
+    "q85_temperature_repeat" ->
+      s"""WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+         |m AS (SELECT max(n) AS nmax FROM c),
+         |p AS (SELECT lang, n,
+         |    floor(sqrt(nmax::DOUBLE / n))::BIGINT AS base,
+         |    floor((sqrt(nmax::DOUBLE / n) - floor(sqrt(nmax::DOUBLE / n)))
+         |      * 1000000)::BIGINT AS thr
+         |  FROM c CROSS JOIN m)
+         |SELECT d.lang, count(*) AS n_docs, max(p.base) AS base,
+         |  max(p.thr) AS thr,
+         |  sum(p.base + CASE
+         |      WHEN ${pHash("91", "d.doc_id::VARCHAR")} % 1000000 < p.thr
+         |      THEN 1 ELSE 0 END)::BIGINT AS n_copies
+         |FROM documents d JOIN p USING (lang)
+         |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
+
     "q59_corpus_mix" ->
       s"""SELECT lang, count(*) AS n_docs,
          |  sum(CASE WHEN ${pHash("77", "doc_id::VARCHAR")} % 1000 <
@@ -1435,6 +1512,7 @@ object LlmQueries {
     "q33_dedup_simhash" -> dedupSimhash _,
     "q54_dedup_components" -> dedupComponents _,
     "q80_dedup_keepers" -> dedupKeepers _,
+    "q84_dedup_keepers_by" -> dedupKeepersBy _,
     "q81_mixed_decode" -> mixedDecode _,
     "q57_dedup_capped_verified" -> dedupCappedVerified _,
     "q34_dedup_embed_cosine" -> dedupEmbedCosine _,
@@ -1459,6 +1537,7 @@ object LlmQueries {
     "q63_repetition" -> textRepetition _,
     "q59_corpus_mix" -> corpusMix _,
     "q82_temperature_mix" -> temperatureMix _,
+    "q85_temperature_repeat" -> temperatureRepeat _,
     "q60_vocab_topk" -> vocabTopK _,
     "q64_pack_chunks" -> packChunks _,
     "q83_pack_spans" -> packSpansQ _,

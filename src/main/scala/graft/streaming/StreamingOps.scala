@@ -131,22 +131,13 @@ object StreamingOps {
       maxBucket: Int = Int.MaxValue): Boolean = {
     import graft.operators.Dedup
     val spark = batch.sparkSession
-    val marker = new org.apache.hadoop.fs.Path(s"$path/lastbatch")
-    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val last =
-      if (!fs.exists(marker)) -1L
-      else {
-        val in = new java.io.BufferedReader(
-          new java.io.InputStreamReader(fs.open(marker), "UTF-8"))
-        try in.readLine().trim.toLong finally in.close()
-      }
+    val last = graft.sources.Markers.readLastBatch(spark, s"$path/lastbatch")
     if (batchId <= last) false
     else {
       Dedup.bandIndexWrite(
         Dedup.lshBands(signDocs(batch, text, id, numHashes), id, numHashes, bands),
         id, bands, path, maxBucket, append = true)
-      val out = fs.create(marker, true)
-      try out.write(batchId.toString.getBytes("UTF-8")) finally out.close()
+      graft.sources.Markers.writeLastBatch(spark, s"$path/lastbatch", batchId)
       true
     }
   }
@@ -170,6 +161,29 @@ object StreamingOps {
       ()
     }
     docsStream.writeStream.foreachBatch(fn)
+  }
+
+  /** Streaming IVF maintenance — the embedding-index twin of
+    * [[maintainBandIndex]]: each micro-batch of `(id, emb)` vectors is
+    * assigned against the index's STORED centroids (map-only — the
+    * quantizer never moves under ingest) and appended into the cell
+    * partitions via the replay-guarded
+    * [[graft.operators.Similarity.ivfAppendBatch]], so a vector ingested
+    * in batch N−1 is retrievable by [[graft.operators.Similarity
+    * .ivfSearchIndexed]] in batch N (StreamingSpec pins that, and that a
+    * retried batch appends nothing). Fragmentation under continuous
+    * appends is repaired offline by [[graft.operators.Similarity
+    * .ivfCompact]]; distribution drift is watched by `ivfDrift` — both
+    * maintenance jobs, not per-batch work. Caller sets
+    * `checkpointLocation` and `start()`s. */
+  def maintainIvfIndex(vecsStream: DataFrame,
+      idx: graft.operators.Similarity.IvfIndex)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val fn: (DataFrame, Long) => Unit = (batch, batchId) => {
+      graft.operators.Similarity.ivfAppendBatch(idx, batch, batchId)
+      ()
+    }
+    vecsStream.writeStream.foreachBatch(fn)
   }
 
   /** Streaming decontamination — the stream-static twin of the batch

@@ -1052,6 +1052,53 @@ class OperatorSpec extends AnyFunSuite {
     assert(r.getString(1) == "<EMAIL> wrote" && r.getLong(2) == 1L)
   }
 
+  test("keepersBy: max-score member wins, ties break to min id, losers listed") {
+    val labeled = Seq(
+      // component 1: clear max score on a non-minimal id
+      (1L, 1L, 10L), (2L, 1L, 30L), (3L, 1L, 20L),
+      // component 4: score TIE between 4 and 6 -> min id 4 keeps
+      (4L, 4L, 50L), (5L, 4L, 10L), (6L, 4L, 50L),
+      // singleton
+      (9L, 9L, 7L)
+    ).toDF("doc_id", "component", "score")
+    val r = graft.operators.Dedup.keepersBy(labeled, "doc_id", "score")
+      .collect().map(x => x.getLong(0) ->
+        (x.getLong(1), x.getLong(2), x.getString(3))).toMap
+    assert(r(2L) == (3L, 2L, "1,3"), s"got $r")   // 2 has max score 30
+    assert(r(4L) == (3L, 2L, "5,6"), s"got $r")   // tie 50/50 -> min id 4
+    assert(r(9L) == (1L, 0L, ""), s"got $r")      // singleton: no losers
+    assert(r.size == 3)
+  }
+
+  test("temperatureRepeatFactor: largest stratum keeps 1 copy, integer p is exact") {
+    // counts 16 ('big'), 4 ('small'): alpha=0.5 -> p = sqrt(16/4) = 2
+    // EXACTLY, so the fractional flag never fires — every small-stratum
+    // doc gets exactly 2 copies, every big-stratum doc exactly 1
+    val df = ((1 to 16).map(i => (i.toLong, "big")) ++
+      (101 to 104).map(i => (i.toLong, "small"))).toDF("id", "lang")
+    val r = TextOps.temperatureRepeatFactor(df, "id", "lang")
+      .groupBy("lang").agg(
+        min("__copies").as("lo"), max("__copies").as("hi"),
+        sum("__copies").as("total"))
+      .collect().map(x => x.getString(0) ->
+        (x.getLong(1), x.getLong(2), x.getLong(3))).toMap
+    assert(r("big") == (1L, 1L, 16L), s"got $r")
+    assert(r("small") == (2L, 2L, 8L), s"got $r")
+    // fractional p: counts 9 vs 4 -> p = 1.5 -> copies in {1, 2} with a
+    // deterministic hash flag; E[total] = 6, and determinism means the
+    // SAME total every run (pin the observed value's bounds, not the RNG)
+    val df2 = ((1 to 9).map(i => (i.toLong, "big")) ++
+      (101 to 104).map(i => (i.toLong, "small"))).toDF("id", "lang")
+    val copies = TextOps.temperatureRepeatFactor(df2, "id", "lang")
+      .where(col("lang") === "small").select("__copies")
+      .collect().map(_.getLong(0)).toSeq
+    assert(copies.forall(c => c == 1L || c == 2L), s"got $copies")
+    val rerun = TextOps.temperatureRepeatFactor(df2, "id", "lang")
+      .where(col("lang") === "small").select("__copies")
+      .collect().map(_.getLong(0)).toSeq
+    assert(copies == rerun, "flag must be deterministic across runs")
+  }
+
   test("append-form operators refuse to clobber existing columns") {
     val df = Seq((1L, "x", 1)).toDF("id", "bucket", "v")
     val e = intercept[IllegalArgumentException](

@@ -183,6 +183,58 @@ class StreamingSpec extends AnyFunSuite {
     assert(Dedup.bandIndexRead(spark, idxPath).count() > before)
     // the maintained index passes the crash-consistency verifier
     assert(Dedup.bandIndexVerify(spark, idxPath, maxBucket = 100).isEmpty)
+    // a REBUILD invalidates the lastbatch marker: a maintenance restart
+    // with a fresh checkpoint restarts batch ids at 0, and batch 0 must
+    // APPLY (a stale marker would silently no-op every append — ingest
+    // loss with no error)
+    Dedup.bandIndexWrite(
+      Dedup.lshBands(Dedup.minHash(
+        Dedup.shingles(Seq(1L -> base).toDF("doc_id", "text"),
+          "text", "doc_id", 1), "doc_id", 8), "doc_id", 8, 4),
+      "doc_id", 4, idxPath, maxBucket = 100)
+    assert(StreamingOps.appendBatchToBandIndex(
+      Seq(50L -> fresh).toDF("doc_id", "text"), 0L, "text", "doc_id",
+      idxPath, maxBucket = 100),
+      "rebuild must clear the lastbatch marker so batch 0 applies")
+  }
+
+  test("streaming IVF maintenance: vector ingested in batch N-1 retrievable in batch N") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    import graft.operators.Similarity
+    val vecs = (0 until 16).map { i =>
+      val base = Array.fill(4)(0.1f)
+      base(i % 4) = 1.0f + (i / 4) * 0.05f
+      (i.toLong, base)
+    }.toDF("vec_id", "embedding")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ivf_stream").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ivf_stream_ckpt").toString
+    graft.cli.Cleanup.deleteOnExit(tmp)
+    graft.cli.Cleanup.deleteOnExit(ckpt)
+    val idx = Similarity.ivfBuild(spark, vecs, "vec_id", "embedding", 4, tmp,
+      centroids = Some(Similarity.seedCentroids(vecs, "vec_id", "embedding", 4)))
+    val qv = vecs.where(org.apache.spark.sql.functions.col("vec_id") === 6)
+      .select(org.apache.spark.sql.functions.col("embedding").cast("array<double>"))
+      .head().getSeq[Double](0).toArray
+    val mem = MemoryStream[(Long, Array[Float])]
+    val q = StreamingOps.maintainIvfIndex(
+        mem.toDF().toDF("vec_id", "embedding"), idx)
+      .option("checkpointLocation", ckpt).start()
+    try {
+      mem.addData((100L, qv.map(_.toFloat))) // batch 0: an exact dup of q6
+      q.processAllAvailable()
+      // the ingested vector routes through the STORED quantizer into the
+      // query's cell and is immediately retrievable — no rebuild
+      val hits = Similarity.ivfSearchIndexed(idx, qv, nprobe = 1, topK = 8)
+        .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      assert(hits.contains((100L, 1.0)),
+        s"vector ingested in batch 0 must be retrievable: ${hits.toSeq}")
+      // at-least-once retry: re-applying the applied batch id is a no-op
+      val before = idx.corpus.count()
+      assert(!Similarity.ivfAppendBatch(idx,
+        Seq((999L, qv.map(_.toFloat))).toDF("vec_id", "embedding"), 0L))
+      assert(idx.corpus.count() == before, "retried batch must append nothing")
+    } finally q.stop()
   }
 
   test("multimodal decode + plane stats run unchanged on a stream") {

@@ -112,6 +112,60 @@ class TemporalSpec extends AnyFunSuite {
       s"batched ${batch.toSeq} vs single ${hits3.toSeq}")
   }
 
+  test("IVF maintenance: replay-guarded append, compaction invariance, drift gauge") {
+    val vecs = (0 until 16).map { i =>
+      val base = Array.fill(4)(0.1f)
+      base(i % 4) = 1.0f + (i / 4) * 0.05f
+      (i.toLong, base)
+    }.toDF("vec_id", "embedding")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ivf_maint").toString
+    graft.cli.Cleanup.deleteOnExit(tmp)
+    val idx = Similarity.ivfBuild(spark, vecs, "vec_id", "embedding", 4, tmp,
+      centroids = Some(Similarity.seedCentroids(vecs, "vec_id", "embedding", 4)))
+    val qv = vecs.where(col("vec_id") === 6)
+      .select(col("embedding").cast("array<double>")).head().getSeq[Double](0).toArray
+
+    // replay guard: batch 0 applies, a RETRY of batch 0 appends nothing,
+    // batch 1 applies again
+    def corpusCount = idx.corpus.count()
+    val b0 = Seq((100L, qv.map(_.toFloat))).toDF("vec_id", "embedding")
+    assert(Similarity.ivfAppendBatch(idx, b0, 0L))
+    val afterB0 = corpusCount
+    assert(!Similarity.ivfAppendBatch(idx, b0, 0L), "retried batch must no-op")
+    assert(corpusCount == afterB0, "retried batch must append nothing")
+    val b1 = Seq((101L, qv.map(_.toFloat))).toDF("vec_id", "embedding")
+    assert(Similarity.ivfAppendBatch(idx, b1, 1L))
+    assert(corpusCount == afterB0 + 1)
+    // a rebuild clears the marker: batch ids restart at 0 and still apply
+    Similarity.ivfBuild(spark, vecs, "vec_id", "embedding", 4, tmp,
+      centroids = Some(Similarity.seedCentroids(vecs, "vec_id", "embedding", 4)))
+    assert(Similarity.ivfAppendBatch(idx, b0, 0L),
+      "rebuild must invalidate the lastbatch marker")
+
+    // fragmentation: per-batch appends accumulate files in the hot cell;
+    // compaction bounds files per cell and search results are IDENTICAL
+    (1L to 6L).foreach { b =>
+      Similarity.ivfAppendBatch(idx,
+        Seq((200L + b, qv.map(_.toFloat))).toDF("vec_id", "embedding"), b)
+    }
+    val hotBefore = Similarity.ivfCellFiles(idx).values.foldLeft(0)(math.max)
+    assert(hotBefore >= 7, s"7 appends must fragment the hot cell: $hotBefore")
+    val before = Similarity.ivfSearchIndexed(idx, qv, nprobe = 1, topK = 8)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val maxFiles = Similarity.ivfCompact(idx, targetRecordsPerFile = 100L)
+    assert(maxFiles <= 2, s"compaction must bound files per cell: $maxFiles")
+    val after = Similarity.ivfSearchIndexed(idx, qv, nprobe = 1, topK = 8)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(after == before, s"search must be identical: $after vs $before")
+
+    // drift gauge: the cell members are all variants on the centroid's
+    // axis, so every stored centroid sits close to its current cell mean
+    val drift = Similarity.ivfDrift(idx, sampleFraction = 1.0)
+      .collect().map(_.getDouble(2))
+    assert(drift.length == 4 && drift.forall(_ < 0.05),
+      s"un-drifted corpus must gauge ~0: ${drift.toSeq}")
+  }
+
   test("Lloyd training improves the quantizer over the seeded init on a clustered corpus") {
     // 3 tight clusters around orthogonal axes; ids 0..2 ALL land in cluster
     // 0 (ids are assigned round-robin-free), so the lowest-id seeded init
