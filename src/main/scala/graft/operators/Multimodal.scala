@@ -8,14 +8,17 @@ import org.apache.spark.sql.types._
   * `binary` columns with typed metadata, processed per-partition in batches.
   *
   * The Spark-side shape (schema, partitioning, per-partition batch
-  * iteration) is real and tested. The decode layer is split: binary PPM
-  * (P6) images decode FOR REAL ([[decodePpm]] — a pure-JVM header parse +
-  * pixel-plane extraction, no codec dependency), and its output feeds
-  * [[featureExtract]] like any other payload; formats that need real
-  * codecs (JPEG/audio/video — not in this container) remain a clearly
-  * marked STUB ([[decodeStub]]) with deterministic fake metadata. Swap
-  * the stub for a real codec (javax.imageio / ffmpeg bindings) without
-  * touching the dataflow.
+  * iteration) is real and tested. The decode layer is real for images:
+  * binary PPM (P6) and uncompressed BMP decode via pure-JVM parsers
+  * ([[decodePpm]]/[[decodeBmp]] — no codec dependency), and PNG/JPEG/GIF
+  * decode via the JDK's own `javax.imageio` ([[imageIoDecodeBytes]] —
+  * still zero external dependencies); [[decodeAny]] routes all five by
+  * magic bytes in one map-only pass, every route emitting the same
+  * normalized top-down RGB plane that feeds [[planeStats]] /
+  * [[featureExtract]] / the ANN operators. Audio/video (containers that
+  * genuinely need ffmpeg-class codecs, absent here) remain a clearly
+  * marked STUB ([[decodeStub]]) with deterministic fake metadata — swap
+  * the stub for a codec binding without touching the dataflow.
   */
 object Multimodal {
 
@@ -322,16 +325,89 @@ object Multimodal {
       .toDF()
   }
 
+  /** ImageIO decode core — real-world compressed formats (PNG, JPEG,
+    * GIF) via the JDK's `javax.imageio`, ZERO new dependencies. Emits
+    * the same normalized top-down interleaved RGB plane as
+    * [[ppmDecodeBytes]]/[[bmpDecodeBytes]]: whatever color model the
+    * codec produces is redrawn onto a TYPE_3BYTE_BGR raster (pure
+    * Java2D, headless-safe) and the channels swapped to RGB. Any codec
+    * failure, zero dimension, or plane past Int range returns None —
+    * the same reject discipline as the hand-rolled decoders. PNG is
+    * lossless, so decode(encodePng(plane)) == plane byte-exact (the
+    * q86 oracle relies on it); JPEG output is decoder-defined, so its
+    * gate is a scalatest against this JVM's own codec, not DuckDB. */
+  def imageIoDecodeBytes(b: Array[Byte]): Option[(Int, Int, Array[Byte])] =
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+      if (img == null || img.getWidth <= 0 || img.getHeight <= 0 ||
+          img.getWidth.toLong * img.getHeight * 3 > Int.MaxValue) None
+      else {
+        val (w, h) = (img.getWidth, img.getHeight)
+        val conv = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+        val g = conv.createGraphics()
+        try g.drawImage(img, 0, 0, null) finally g.dispose()
+        val bgr = conv.getRaster.getDataBuffer
+          .asInstanceOf[java.awt.image.DataBufferByte].getData
+        val out = new Array[Byte](bgr.length)
+        var i = 0
+        while (i < bgr.length) {
+          out(i) = bgr(i + 2)
+          out(i + 1) = bgr(i + 1)
+          out(i + 2) = bgr(i)
+          i += 3
+        }
+        Some((w, h, out))
+      }
+    } catch { case _: Exception => None }
+
+  private def planeToImage(width: Int, height: Int,
+      rgb: Array[Byte]): java.awt.image.BufferedImage = {
+    require(rgb.length == width * height * 3,
+      s"plane must be width*height*3 bytes; got ${rgb.length}")
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    val bgr = img.getRaster.getDataBuffer
+      .asInstanceOf[java.awt.image.DataBufferByte].getData
+    var i = 0
+    while (i < rgb.length) {
+      bgr(i) = rgb(i + 2)
+      bgr(i + 1) = rgb(i + 1)
+      bgr(i + 2) = rgb(i)
+      i += 3
+    }
+    img
+  }
+
+  /** Encode a top-down RGB plane as PNG (lossless — the round-trip
+    * fixture encoder for [[decodeAny]]'s png route). */
+  def encodePng(width: Int, height: Int, rgb: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(planeToImage(width, height, rgb), "png", bos)
+    bos.toByteArray
+  }
+
+  /** Encode a top-down RGB plane as JPEG (LOSSY — decoded pixels are
+    * codec-defined, so JPEG correctness is pinned by scalatest against
+    * this JVM's codec, never by a byte-exact oracle). */
+  def encodeJpeg(width: Int, height: Int, rgb: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(planeToImage(width, height, rgb), "jpg", bos)
+    bos.toByteArray
+  }
+
   /** One decoded row of a MIXED-format corpus ([[decodeAny]]). */
   final case class AnyImage(doc_id: Long, format: String, width: Int,
       height: Int, n_pixel_bytes: Long, pixels: Array[Byte])
 
   /** Format-dispatching decode: routes each payload by its magic bytes
-    * (P6 → PPM, BM → BMP; anything else drops) and emits the NORMALIZED
-    * top-down RGB plane plus a format tag — a mixed-format corpus
-    * decodes in ONE map-only pass, the property that makes the decode
-    * layer a layer rather than per-format pipelines. Dispatch costs two
-    * byte compares before the full header parse runs. */
+    * (P6 → PPM, BM → BMP hand-rolled; \x89PNG → png, \xFF\xD8 → jpeg,
+    * GIF8 → gif via the JDK's ImageIO — anything else drops) and emits
+    * the NORMALIZED top-down RGB plane plus a format tag — a mixed-format
+    * corpus, including real-world compressed formats, decodes in ONE
+    * map-only pass, the property that makes the decode layer a layer
+    * rather than per-format pipelines. Dispatch costs a few byte
+    * compares before the full decode runs. */
   def decodeAny(df: DataFrame, id: String,
       payload: String = "payload"): DataFrame = {
     val enc = org.apache.spark.sql.Encoders.product[AnyImage]
@@ -341,13 +417,26 @@ object Multimodal {
         rows.flatMap { r =>
           val b = r.getAs[Array[Byte]](1)
           val docId = r.getLong(0)
-          if (b.length >= 2 && b(0) == 'P'.toByte && b(1) == '6'.toByte)
+          def m(i: Int, v: Int): Boolean = b.length > i && b(i) == v.toByte
+          if (m(0, 'P') && m(1, '6'))
             ppmDecodeBytes(b).map { case (w, h, _, px) =>
               AnyImage(docId, "ppm", w, h, px.length.toLong, px)
             }
-          else if (b.length >= 2 && b(0) == 'B'.toByte && b(1) == 'M'.toByte)
+          else if (m(0, 'B') && m(1, 'M'))
             bmpDecodeBytes(b).map { case (w, h, px) =>
               AnyImage(docId, "bmp", w, h, px.length.toLong, px)
+            }
+          else if (m(0, 0x89) && m(1, 'P') && m(2, 'N') && m(3, 'G'))
+            imageIoDecodeBytes(b).map { case (w, h, px) =>
+              AnyImage(docId, "png", w, h, px.length.toLong, px)
+            }
+          else if (m(0, 0xff) && m(1, 0xd8))
+            imageIoDecodeBytes(b).map { case (w, h, px) =>
+              AnyImage(docId, "jpeg", w, h, px.length.toLong, px)
+            }
+          else if (m(0, 'G') && m(1, 'I') && m(2, 'F') && m(3, '8'))
+            imageIoDecodeBytes(b).map { case (w, h, px) =>
+              AnyImage(docId, "gif", w, h, px.length.toLong, px)
             }
           else None
         }

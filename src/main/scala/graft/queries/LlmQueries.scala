@@ -762,6 +762,42 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  /** q86 — mixed decode including a REAL compressed codec: doc_id % 3
+    * routes the same logical plane to binary PPM, uncompressed BMP, or
+    * PNG (encoded via the JDK's ImageIO — a real zlib-compressed format,
+    * zero new dependencies); [[Multimodal.decodeAny]] dispatches all
+    * three by magic bytes in ONE map-only pass. PNG is lossless, so the
+    * decoded plane is byte-exact across the codec round-trip and the
+    * DuckDB oracle (plane rebuilt from text, format tagged by mod 3)
+    * gates it like the others. JPEG takes the same ImageIO route but is
+    * LOSSY/decoder-defined, so its gate is OperatorSpec against this
+    * JVM's codec, not the oracle. */
+  def mixedDecodePng(s: SparkSession, d: String): DataFrame = {
+    val npix = "cast((4 + doc_id % 8) * (3 + doc_id % 5) * 3 as int)"
+    val ascii = docs(s, d).where(col("text").isNotNull &&
+      octet_length(encode(col("text"), "UTF-8")) === length(col("text")))
+    val planes = ascii.select(col("doc_id"),
+      (lit(4) + col("doc_id") % 8).cast("int").as("w"),
+      (lit(3) + col("doc_id") % 5).cast("int").as("h"),
+      encode(expr(s"rpad(text, $npix, '.')"), "UTF-8").as("plane"))
+    val enc = org.apache.spark.sql.Encoders.product[IdPayload]
+    val payloads = planes.mapPartitions { rows =>
+      rows.map { r =>
+        val (docId, w, h) = (r.getLong(0), r.getInt(1), r.getInt(2))
+        val plane = r.getAs[Array[Byte]](3)
+        IdPayload(docId, (docId % 3) match {
+          case 0 => s"P6\n$w $h\n255\n".getBytes("US-ASCII") ++ plane
+          case 1 => Multimodal.encodeBmp(w, h, plane)
+          case _ => Multimodal.encodePng(w, h, plane)
+        })
+      }
+    }(enc).toDF()
+    Multimodal.decodeAny(payloads, "doc_id", "payload")
+      .select(col("doc_id"), col("format"), col("width"), col("height"),
+        col("n_pixel_bytes"), hex(col("pixels")).as("pixels_hex"))
+      .orderBy("doc_id")
+  }
+
   /** q74 — features from DECODED pixels: the real-decode output of q71
     * ([[Multimodal.decodePpm]]) feeds [[Multimodal.planeStats]] — per-
     * channel means + 4-bucket histograms computed from the interleaved
@@ -1132,6 +1168,20 @@ object LlmQueries {
         |  WHERE text IS NOT NULL AND octet_length(encode(text)) = length(text))
         |SELECT doc_id,
         |  CASE WHEN doc_id % 2 = 0 THEN 'ppm' ELSE 'bmp' END AS format,
+        |  width, height, n_pixel_bytes,
+        |  hex(encode(rpad(text, n_pixel_bytes::INTEGER, '.'))) AS pixels_hex
+        |FROM d ORDER BY doc_id""".stripMargin,
+
+    "q86_mixed_decode_png" ->
+      """WITH d AS (SELECT doc_id,
+        |    (4 + doc_id % 8)::INTEGER AS width,
+        |    (3 + doc_id % 5)::INTEGER AS height,
+        |    ((4 + doc_id % 8) * (3 + doc_id % 5) * 3)::BIGINT AS n_pixel_bytes,
+        |    text FROM documents
+        |  WHERE text IS NOT NULL AND octet_length(encode(text)) = length(text))
+        |SELECT doc_id,
+        |  CASE doc_id % 3 WHEN 0 THEN 'ppm' WHEN 1 THEN 'bmp'
+        |       ELSE 'png' END AS format,
         |  width, height, n_pixel_bytes,
         |  hex(encode(rpad(text, n_pixel_bytes::INTEGER, '.'))) AS pixels_hex
         |FROM d ORDER BY doc_id""".stripMargin,
@@ -1514,6 +1564,7 @@ object LlmQueries {
     "q80_dedup_keepers" -> dedupKeepers _,
     "q84_dedup_keepers_by" -> dedupKeepersBy _,
     "q81_mixed_decode" -> mixedDecode _,
+    "q86_mixed_decode_png" -> mixedDecodePng _,
     "q57_dedup_capped_verified" -> dedupCappedVerified _,
     "q34_dedup_embed_cosine" -> dedupEmbedCosine _,
     "q35_ann_bruteforce" -> annBruteForce _,

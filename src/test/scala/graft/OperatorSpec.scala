@@ -403,6 +403,65 @@ class OperatorSpec extends AnyFunSuite {
     assert(got(1L)._2 == plane.toSeq && got(2L)._2 == plane.toSeq)
   }
 
+  test("ImageIO routes: PNG round-trips byte-exact, JPEG/GIF shape-pinned, rejects") {
+    val plane = Array.tabulate(3 * 2 * 3)(i => (i * 11 + 5).toByte)
+    // PNG is lossless: decode(encodePng(plane)) == plane, byte for byte
+    assert(Multimodal.imageIoDecodeBytes(Multimodal.encodePng(3, 2, plane))
+      .exists { case (w, h, px) => w == 3 && h == 2 && px.sameElements(plane) })
+    // dispatch: all five magics through ONE decodeAny pass; the PNG plane
+    // is byte-exact; JPEG (DCT) and GIF (the JDK writer quantizes through
+    // a SAMPLED palette even under 256 distinct colors — measured, not
+    // assumed) pin tag + dims with pixels codec-defined; truncated PNG
+    // drops
+    val gifBytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(
+        {
+          val img = new java.awt.image.BufferedImage(
+            3, 2, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+          var i = 0
+          val bgr = img.getRaster.getDataBuffer
+            .asInstanceOf[java.awt.image.DataBufferByte].getData
+          while (i < plane.length) {
+            bgr(i) = plane(i + 2); bgr(i + 1) = plane(i + 1); bgr(i + 2) = plane(i)
+            i += 3
+          }
+          img
+        }, "gif", bos)
+      bos.toByteArray
+    }
+    val png = Multimodal.encodePng(3, 2, plane)
+    val rows = Seq(
+      1L -> png,
+      2L -> Multimodal.encodeJpeg(3, 2, plane),
+      3L -> gifBytes,
+      4L -> png.take(12),                              // truncated png
+      5L -> ("P6\n3 2\n255\n".getBytes("US-ASCII") ++ plane),
+      6L -> Multimodal.encodeBmp(3, 2, plane))
+      .toDF("doc_id", "payload")
+    val got = Multimodal.decodeAny(rows, "doc_id").collect()
+      .map(r => r.getLong(0) ->
+        (r.getString(1), r.getInt(2), r.getInt(3), r.getAs[Array[Byte]](5).toSeq))
+      .toMap
+    assert(got.keySet == Set(1L, 2L, 3L, 5L, 6L), s"got ${got.keySet}")
+    assert(got(1L) == (("png", 3, 2, plane.toSeq)))
+    assert(got(3L)._1 == "gif" && got(3L)._2 == 3 && got(3L)._3 == 2 &&
+      got(3L)._4.length == plane.length)
+    assert(got(5L)._4 == plane.toSeq && got(6L)._4 == plane.toSeq)
+    // JPEG: dims and tag exact; pixels are the codec's business — pin
+    // determinism (same bytes -> same plane) and shape, not values
+    assert(got(2L)._1 == "jpeg" && got(2L)._2 == 3 && got(2L)._3 == 2 &&
+      got(2L)._4.length == plane.length)
+    val again = Multimodal.decodeAny(rows, "doc_id").collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](5).toSeq).toMap
+    assert(again(2L) == got(2L)._4, "JPEG decode must be deterministic in-JVM")
+    // and the JVM codec keeps a smooth plane recognizably close (JPEG is
+    // lossy, not random): mean abs error under 16/255 on this gradient
+    val mae = got(2L)._4.zip(plane.toSeq)
+      .map { case (a, b) => math.abs((a & 0xff) - (b & 0xff)) }.sum.toDouble / plane.length
+    assert(mae < 16.0, s"JPEG mean abs error $mae")
+  }
+
   test("plane stats from decoded pixels: hand-checked channels, feeds ANN") {
     def ppm(header: String, pixels: Array[Byte]): Array[Byte] =
       header.getBytes("US-ASCII") ++ pixels
