@@ -411,6 +411,73 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  /** Executed (AQE-final) plan text for a query, released after. */
+  private def finalPlan(name: String)(check: String => Unit): Unit = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    try {
+      df.collect() // finalize AQE
+      check(df.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head)
+    } finally graft.engine.Checkpoints.release(df)
+  }
+
+  test("q80/q84: keeper audits are one hash-agg over the checkpointed labels") {
+    Seq("q80_dedup_keepers", "q84_dedup_keepers_by").foreach { name =>
+      finalPlan(name) { p =>
+        // the component labels come from the CC checkpoint — the audit
+        // plan never re-derives the LSH/CC pipeline
+        assert(p.contains("Scan ExistingRDD"), s"$name:\n${p.take(1500)}")
+        // exactly ONE row-level shuffle: the component hash aggregate
+        val ex = "Exchange hashpartitioning\\(component".r.findAllIn(p).size
+        assert(ex == 1, s"$name: $ex component exchanges\n${p.take(1500)}")
+        assert(!p.contains("SortMergeJoin"), s"$name joins must broadcast")
+      }
+    }
+    // q84's score join specifically must broadcast the doc-score side,
+    // not shuffle the labels
+    finalPlan("q84_dedup_keepers_by") { p =>
+      assert(p.contains("BroadcastHashJoin"), p.take(1500))
+    }
+  }
+
+  test("q82/q85: temperature thresholds broadcast; the corpus flag stage is map-only") {
+    Seq("q82_temperature_mix", "q85_temperature_repeat").foreach { name =>
+      finalPlan(name) { p =>
+        assert(p.contains("BroadcastHashJoin"), s"$name:\n${p.take(1500)}")
+        assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+          s"$name: threshold join fell off broadcast")
+        // every hash exchange is strata-keyed (the strata-sized count aggs
+        // + the final per-stratum rollup) — no exchange ever carries
+        // doc-level rows, so the per-doc flag is map-side at any corpus size
+        val keys = "Exchange hashpartitioning\\((\\w+)".r
+          .findAllMatchIn(p).map(_.group(1)).toSet
+        assert(keys == Set("lang"), s"$name: exchange keys $keys")
+      }
+    }
+  }
+
+  test("q83: span packing has exactly one window exchange; the fan-out adds none") {
+    finalPlan("q83_pack_spans") { p =>
+      assert("Window \\[".r.findAllIn(p).size == 1, p.take(1500))
+      // ONE hash exchange total: the per-source window partition — the
+      // boundary-straddle explode is a map-side Generate above it
+      val ex = "Exchange hashpartitioning".r.findAllIn(p).size
+      assert(ex == 1, s"$ex hash exchanges\n${p.take(1500)}")
+      assert(p.contains("Generate explode"), p.take(1500))
+    }
+  }
+
+  test("q81/q86: mixed-format decode is map-only — one scan, no pre-sort exchange") {
+    Seq("q81_mixed_decode", "q86_mixed_decode_png").foreach { name =>
+      finalPlan(name) { p =>
+        assert("FileScan parquet".r.findAllIn(p).size == 1,
+          s"$name: decode must be one corpus pass\n${p.take(1500)}")
+        assert("Exchange hashpartitioning".r.findAllIn(p).isEmpty,
+          s"$name: decode path must not shuffle (display sort only)")
+      }
+    }
+  }
+
   test("codegen health: payload/decode pipelines compile clean (no interpreted fallback)") {
     // Regression guard for the round-9 defect class: a `private` encoder
     // case class type-checks but Janino cannot reach its accessors, so
