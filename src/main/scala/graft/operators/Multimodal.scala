@@ -325,6 +325,105 @@ object Multimodal {
       .toDF()
   }
 
+  /** One decoded WAV row ([[decodeWav]]): PCM frames and the first
+    * decoded-domain audio feature (mean sample amplitude). */
+  final case class WavAudio(doc_id: Long, sample_rate: Int, channels: Int,
+      n_frames: Long, mean_amp: Double, pcm: Array[Byte])
+
+  /** Parse a RIFF/WAVE header for 16-bit PCM: returns
+    * `(sampleRate, channels, dataOffset, dataLen)` or None. Walks the
+    * chunk list (a real-world WAV often carries LIST/fact chunks between
+    * fmt and data), accepts only audioFormat 1 (PCM) at 16 bits, and
+    * rejects truncated declarations — the same reject discipline as the
+    * image parsers. */
+  def parseWavHeader(b: Array[Byte]): Option[(Int, Int, Int, Int)] = {
+    def le16(o: Int): Int = (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+    def le32(o: Int): Int = (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) |
+      ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
+    def tag(o: Int): String =
+      if (o + 4 > b.length) "" else new String(b, o, 4, "US-ASCII")
+    if (b.length < 44 || tag(0) != "RIFF" || tag(8) != "WAVE") None
+    else {
+      var off = 12
+      var fmt: Option[(Int, Int, Int)] = None // (audioFormat, channels, rate)
+      var bits = 0
+      var data: Option[(Int, Int)] = None
+      while (data.isEmpty && off + 8 <= b.length) {
+        val id = tag(off)
+        val len = le32(off + 4)
+        if (len < 0 || off + 8 + len > b.length) return None
+        if (id == "fmt " && len >= 16) {
+          fmt = Some((le16(off + 8), le16(off + 10), le32(off + 12)))
+          bits = le16(off + 22)
+        } else if (id == "data") data = Some((off + 8, len))
+        off += 8 + len + (len & 1) // chunks are word-aligned
+      }
+      for {
+        (af, ch, rate) <- fmt
+        (dOff, dLen) <- data
+        if af == 1 && bits == 16 && ch >= 1 && rate > 0 &&
+          dLen % (2 * ch) == 0
+      } yield (rate, ch, dOff, dLen)
+    }
+  }
+
+  /** The JVM decode core of [[decodeWav]]. */
+  def wavDecodeBytes(b: Array[Byte]): Option[WavAudio] =
+    parseWavHeader(b).map { case (rate, ch, off, len) =>
+      val pcm = java.util.Arrays.copyOfRange(b, off, off + len)
+      var sum = 0L
+      var i = 0
+      while (i < pcm.length) {
+        sum += ((pcm(i) & 0xff) | (pcm(i + 1) << 8)).toShort
+        i += 2
+      }
+      val n = pcm.length / 2
+      WavAudio(0L, rate, ch, (n / ch).toLong,
+        if (n == 0) 0.0 else sum.toDouble / n, pcm)
+    }
+
+  /** REAL batch decode of 16-bit PCM WAV payloads — the audio half of the
+    * multimodal layer, pure-JVM like the image parsers (RIFF chunk walk,
+    * no codec dependency; compressed audio stays behind [[decodeStub]]).
+    * Emits frames, sample geometry, the raw PCM plane, and the first
+    * decoded-DOMAIN feature (mean signed-sample amplitude — computed from
+    * decoded int16s, never from raw payload bytes, the q74 discipline).
+    * Malformed payloads drop. Map-only. */
+  def decodeWav(df: DataFrame, id: String,
+      payload: String = "payload"): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.product[WavAudio]
+    df.select(col(id).cast("long"), col(payload))
+      .where(col(payload).isNotNull)
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          wavDecodeBytes(r.getAs[Array[Byte]](1))
+            .map(_.copy(doc_id = r.getLong(0)))
+        }
+      }(enc)
+      .toDF()
+  }
+
+  /** Encode 16-bit PCM as a canonical 44-byte-header WAV (the fixture
+    * counterpart of [[decodeWav]], like [[encodeBmp]] for BMP). */
+  def encodeWav(sampleRate: Int, channels: Int, pcm: Array[Byte]): Array[Byte] = {
+    require(channels >= 1 && pcm.length % (2 * channels) == 0,
+      s"pcm must be whole 16-bit frames of $channels channel(s); got ${pcm.length} bytes")
+    val out = new Array[Byte](44 + pcm.length)
+    def tag(o: Int, s: String): Unit = s.getBytes("US-ASCII").copyToArray(out, o)
+    def le16(o: Int, v: Int): Unit = { out(o) = v.toByte; out(o + 1) = (v >> 8).toByte }
+    def le32(o: Int, v: Int): Unit = {
+      out(o) = v.toByte; out(o + 1) = (v >> 8).toByte
+      out(o + 2) = (v >> 16).toByte; out(o + 3) = (v >> 24).toByte
+    }
+    tag(0, "RIFF"); le32(4, 36 + pcm.length); tag(8, "WAVE")
+    tag(12, "fmt "); le32(16, 16); le16(20, 1); le16(22, channels)
+    le32(24, sampleRate); le32(28, sampleRate * channels * 2)
+    le16(32, channels * 2); le16(34, 16)
+    tag(36, "data"); le32(40, pcm.length)
+    pcm.copyToArray(out, 44)
+    out
+  }
+
   /** ImageIO decode core — real-world compressed formats (PNG, JPEG,
     * GIF) via the JDK's `javax.imageio`, ZERO new dependencies. Emits
     * the same normalized top-down interleaved RGB plane as
@@ -514,5 +613,66 @@ object Multimodal {
         lit(tw).as("width"), lit(th).as("height"),
         least(col("nb"), lit(tw.toLong * th)).as("out_bytes"),
         hex(expr(s"substring(__p, 1, ${tw.toLong * th})")).as("out_hex"))
+  }
+
+  /** One resized row of [[resizePlane]]. */
+  final case class ResizedImage(doc_id: Long, width: Int, height: Int,
+      pixels: Array[Byte])
+
+  /** REAL resize — integer box-filter downscale of a DECODED RGB plane by
+    * `factor`: each output channel byte is the floor-average of its
+    * factor×factor input block; edge remainders (dims not divisible by
+    * `factor`) are cropped, the standard align-to-block policy. The
+    * arithmetic is integer-exact (block sum / factor², no floats), so
+    * the DuckDB oracle replays it bit-for-bit — the actual resampling
+    * [[resizeStub]]'s byte-budget crop stood in for. Runs over decoder
+    * output ([[decodePpm]]/[[decodeBmp]]/[[decodeAny]] planes), map-only,
+    * per-partition batched like the decoders; planes smaller than one
+    * block drop. */
+  def resizePlane(decoded: DataFrame, factor: Int,
+      id: String = "doc_id"): DataFrame = {
+    require(factor >= 1, s"factor must be >= 1; got $factor")
+    val enc = org.apache.spark.sql.Encoders.product[ResizedImage]
+    decoded.select(col(id).cast("long"), col("width"), col("height"),
+        col("pixels"))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val (docId, w, h) = (r.getLong(0), r.getInt(1), r.getInt(2))
+          val px = r.getAs[Array[Byte]](3)
+          val w2 = w / factor
+          val h2 = h / factor
+          if (w2 <= 0 || h2 <= 0 || px.length < w * h * 3) None
+          else {
+            val out = new Array[Byte](w2 * h2 * 3)
+            val f2 = factor * factor
+            var y2 = 0
+            while (y2 < h2) {
+              var x2 = 0
+              while (x2 < w2) {
+                var c = 0
+                while (c < 3) {
+                  var sum = 0
+                  var dy = 0
+                  while (dy < factor) {
+                    var dx = 0
+                    while (dx < factor) {
+                      sum += px(((y2 * factor + dy) * w +
+                        (x2 * factor + dx)) * 3 + c) & 0xff
+                      dx += 1
+                    }
+                    dy += 1
+                  }
+                  out((y2 * w2 + x2) * 3 + c) = (sum / f2).toByte
+                  c += 1
+                }
+                x2 += 1
+              }
+              y2 += 1
+            }
+            Some(ResizedImage(docId, w2, h2, out))
+          }
+        }
+      }(enc)
+      .toDF()
   }
 }

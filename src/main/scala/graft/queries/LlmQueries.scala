@@ -762,6 +762,54 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  /** q87 — REAL WAV (RIFF / 16-bit PCM) decode: the audio half of the
+    * multimodal layer. Each doc's padded text becomes the PCM plane of a
+    * canonical WAV ([[Multimodal.encodeWav]]; frames/channels/rate
+    * derived from doc_id so both mono and stereo and four sample rates
+    * run on every sf dir), and [[Multimodal.decodeWav]] walks the RIFF
+    * chunks back to sample geometry, the byte-exact PCM plane, and the
+    * first decoded-DOMAIN feature — mean signed int16 amplitude, computed
+    * from decoded samples, never raw payload bytes. The oracle rebuilds
+    * the PCM from text and re-derives the mean by assembling each
+    * little-endian sample from character pairs — an independent
+    * formulation of the sample decode. Map-only end to end. */
+  def wavDecode(s: SparkSession, d: String): DataFrame = {
+    val nbytes = "cast((20 + doc_id % 32) * (1 + doc_id % 2) * 2 as int)"
+    val ascii = docs(s, d).where(col("text").isNotNull &&
+      octet_length(encode(col("text"), "UTF-8")) === length(col("text")))
+    val planes = ascii.select(col("doc_id"),
+      (lit(8000) + (col("doc_id") % 4) * 4000).cast("int").as("rate"),
+      (lit(1) + col("doc_id") % 2).cast("int").as("ch"),
+      encode(expr(s"rpad(text, $nbytes, '.')"), "UTF-8").as("pcm"))
+    val enc = org.apache.spark.sql.Encoders.product[IdPayload]
+    val payloads = planes.mapPartitions { rows =>
+      rows.map { r =>
+        IdPayload(r.getLong(0), Multimodal.encodeWav(
+          r.getInt(1), r.getInt(2), r.getAs[Array[Byte]](3)))
+      }
+    }(enc).toDF()
+    Multimodal.decodeWav(payloads, "doc_id", "payload")
+      .select(col("doc_id"), col("sample_rate"), col("channels"),
+        col("n_frames"), round(col("mean_amp"), 6).as("mean_amp"),
+        hex(col("pcm")).as("pcm_hex"))
+      .orderBy("doc_id")
+  }
+
+  /** q88 — REAL resize over decoded pixels ([[Multimodal.resizePlane]]):
+    * 2× integer box-filter downscale of the q71 decoded plane — each
+    * output byte is the floor-average of its 2×2 block, edge remainders
+    * cropped. Integer-exact arithmetic, so the oracle replays every
+    * output byte from the padded-text plane (4 character lookups + one
+    * floor division per byte) and the hex plane matches bit-for-bit.
+    * decode → resize stays map-only — one corpus scan, no exchange
+    * before the display sort. */
+  def resizeHalf(s: SparkSession, d: String): DataFrame =
+    Multimodal.resizePlane(
+        Multimodal.decodePpm(ppmPayloads(s, d), "doc_id", "payload"), 2)
+      .select(col("doc_id"), col("width"), col("height"),
+        hex(col("pixels")).as("pixels_hex"))
+      .orderBy("doc_id")
+
   /** q86 — mixed decode including a REAL compressed codec: doc_id % 3
     * routes the same logical plane to binary PPM, uncompressed BMP, or
     * PNG (encoded via the JDK's ImageIO — a real zlib-compressed format,
@@ -1186,6 +1234,55 @@ object LlmQueries {
         |  hex(encode(rpad(text, n_pixel_bytes::INTEGER, '.'))) AS pixels_hex
         |FROM d ORDER BY doc_id""".stripMargin,
 
+    // max pcm = 51 frames * 2 channels * 2 B = 204 bytes -> 102 samples
+    "q87_wav_decode" ->
+      """WITH d AS (SELECT doc_id,
+        |    (8000 + (doc_id % 4) * 4000)::INTEGER AS sample_rate,
+        |    (1 + doc_id % 2)::INTEGER AS channels,
+        |    (20 + doc_id % 32)::BIGINT AS n_frames,
+        |    ((20 + doc_id % 32) * (1 + doc_id % 2) * 2)::INTEGER AS nbytes,
+        |    text FROM documents
+        |  WHERE text IS NOT NULL AND octet_length(encode(text)) = length(text)),
+        |p AS (SELECT doc_id, sample_rate, channels, n_frames, nbytes,
+        |    rpad(text, nbytes, '.') AS pt FROM d),
+        |s AS (SELECT doc_id,
+        |    ascii(substring(pt, 2*i - 1, 1)) + 256 * ascii(substring(pt, 2*i, 1)) AS u
+        |  FROM p CROSS JOIN generate_series(1, 102) t(i) WHERE 2*i <= nbytes)
+        |SELECT p.doc_id, p.sample_rate, p.channels, p.n_frames,
+        |  round(avg(CASE WHEN u >= 32768 THEN u - 65536 ELSE u END), 6) AS mean_amp,
+        |  hex(encode(pt)) AS pcm_hex
+        |FROM p JOIN s ON s.doc_id = p.doc_id
+        |GROUP BY p.doc_id, p.sample_rate, p.channels, p.n_frames, pt
+        |ORDER BY p.doc_id""".stripMargin,
+
+    // out plane <= (11//2) * (7//2) * 3 = 45 bytes; each byte is the
+    // floor-average of a 2x2 block of the padded-text plane
+    "q88_resize_box" ->
+      """WITH d AS (SELECT doc_id,
+        |    (4 + doc_id % 8)::INTEGER AS w,
+        |    ((4 + doc_id % 8) // 2)::INTEGER AS w2,
+        |    ((3 + doc_id % 5) // 2)::INTEGER AS h2,
+        |    ((4 + doc_id % 8) * (3 + doc_id % 5) * 3)::INTEGER AS npix,
+        |    text FROM documents
+        |  WHERE text IS NOT NULL AND octet_length(encode(text)) = length(text)),
+        |p AS (SELECT doc_id, w, w2, h2, rpad(text, npix, '.') AS pt FROM d),
+        |o AS (SELECT doc_id, w, w2, h2, pt, j,
+        |    (j - 1) // (w2 * 3) AS y2,
+        |    ((j - 1) % (w2 * 3)) // 3 AS x2,
+        |    (j - 1) % 3 AS c
+        |  FROM p CROSS JOIN generate_series(1, 45) t(j)
+        |  WHERE j <= w2 * h2 * 3),
+        |v AS (SELECT doc_id, w2, h2, j,
+        |    ((ascii(substring(pt, ((2*y2) * w + (2*x2)) * 3 + c + 1, 1))
+        |      + ascii(substring(pt, ((2*y2) * w + (2*x2 + 1)) * 3 + c + 1, 1))
+        |      + ascii(substring(pt, ((2*y2 + 1) * w + (2*x2)) * 3 + c + 1, 1))
+        |      + ascii(substring(pt, ((2*y2 + 1) * w + (2*x2 + 1)) * 3 + c + 1, 1))
+        |     ) // 4) AS b
+        |  FROM o)
+        |SELECT doc_id, max(w2) AS width, max(h2) AS height,
+        |  string_agg(lpad(upper(to_hex(b)), 2, '0'), '' ORDER BY j) AS pixels_hex
+        |FROM v GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     "q75_bmp_decode" ->
       """WITH d AS (SELECT doc_id,
         |    (4 + doc_id % 8)::INTEGER AS width,
@@ -1565,6 +1662,8 @@ object LlmQueries {
     "q84_dedup_keepers_by" -> dedupKeepersBy _,
     "q81_mixed_decode" -> mixedDecode _,
     "q86_mixed_decode_png" -> mixedDecodePng _,
+    "q87_wav_decode" -> wavDecode _,
+    "q88_resize_box" -> resizeHalf _,
     "q57_dedup_capped_verified" -> dedupCappedVerified _,
     "q34_dedup_embed_cosine" -> dedupEmbedCosine _,
     "q35_ann_bruteforce" -> annBruteForce _,

@@ -1158,6 +1158,87 @@ class OperatorSpec extends AnyFunSuite {
     assert(copies == rerun, "flag must be deterministic across runs")
   }
 
+  test("WAV decode: hand-authored RIFF bytes, negative samples, chunk walk, rejects") {
+    import graft.operators.Multimodal
+    // hand-checked mono PCM: samples 1000, -1000, 32767, -32768
+    val pcm = Array[Byte](
+      0xE8.toByte, 0x03, // 1000
+      0x18, 0xFC.toByte, // -1000
+      0xFF.toByte, 0x7F, // 32767
+      0x00, 0x80.toByte) // -32768
+    val wav = Multimodal.encodeWav(8000, 1, pcm)
+    val got = Multimodal.wavDecodeBytes(wav).get
+    assert(got.sample_rate == 8000 && got.channels == 1 && got.n_frames == 4)
+    assert(got.pcm.toSeq == pcm.toSeq)
+    // mean over (1000, -1000, 32767, -32768) = -0.25
+    assert(got.mean_amp == -0.25, s"got ${got.mean_amp}")
+    // a LIST chunk between fmt and data must be walked over, not rejected
+    val withList = {
+      val list = "LIST".getBytes("US-ASCII") ++
+        Array[Byte](4, 0, 0, 0) ++ "INFO".getBytes("US-ASCII")
+      val (head, tail) = wav.splitAt(36) // before the data chunk
+      val out = head ++ list ++ tail.drop(0)
+      // fix the RIFF size (offset 4): total - 8
+      val t = out.clone()
+      val sz = t.length - 8
+      t(4) = sz.toByte; t(5) = (sz >> 8).toByte
+      t(6) = (sz >> 16).toByte; t(7) = (sz >> 24).toByte
+      t
+    }
+    assert(Multimodal.wavDecodeBytes(withList).exists(_.pcm.toSeq == pcm.toSeq),
+      "chunk walk must skip LIST and find data")
+    // reject matrix: bad magic, non-PCM audioFormat, 8-bit samples,
+    // truncated data declaration, stereo frame misalignment
+    def mut(o: Int, v: Int): Array[Byte] = {
+      val t = wav.clone(); t(o) = v.toByte; t }
+    assert(Multimodal.wavDecodeBytes("XIFF".getBytes ++ wav.drop(4)).isEmpty)
+    assert(Multimodal.wavDecodeBytes(mut(20, 3)).isEmpty)  // IEEE float fmt
+    assert(Multimodal.wavDecodeBytes(mut(34, 8)).isEmpty)  // 8-bit
+    assert(Multimodal.wavDecodeBytes(mut(40, 99)).isEmpty) // data len > avail
+    assert(Multimodal.wavDecodeBytes(mut(22, 3)).isEmpty)  // 8 B % (2*3ch) != 0
+    // the Spark seam drops garbage and keeps good rows
+    val rows = Seq(1L -> wav, 2L -> "not audio".getBytes("US-ASCII"))
+      .toDF("doc_id", "payload")
+    val decoded = Multimodal.decodeWav(rows, "doc_id").collect()
+    assert(decoded.length == 1 && decoded.head.getLong(0) == 1L)
+  }
+
+  test("resizePlane: hand-checked 2x2 block floor-averages, crop, drop") {
+    import graft.operators.Multimodal
+    // 4x2 plane; channel c of output pixel (x2=0) averages the 2x2 block
+    // rows: pixel (x, y) channel values = 10*(y*4+x) + c
+    val px = Array.tabulate(4 * 2 * 3) { i =>
+      val pix = i / 3; val c = i % 3; (10 * pix + c).toByte
+    }
+    def ppm(w: Int, h: Int, p: Array[Byte]) =
+      s"P6\n$w $h\n255\n".getBytes("US-ASCII") ++ p
+    val rows = Seq(
+      1L -> ppm(4, 2, px),
+      // 5x3 with f=2: crops to 2x1 (x=4 column and y=2 row dropped)
+      2L -> ppm(5, 3, Array.tabulate(5 * 3 * 3)(i => (i % 120).toByte)),
+      // 1x1 with f=2: no full block -> dropped
+      3L -> ppm(1, 1, Array[Byte](1, 2, 3)))
+      .toDF("doc_id", "payload")
+    val out = Multimodal.resizePlane(
+        Multimodal.decodePpm(rows, "doc_id"), 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getAs[Array[Byte]](3).toSeq)).toMap
+    assert(out.keySet == Set(1L, 2L))
+    val (w1, h1, p1) = out(1L)
+    assert(w1 == 2 && h1 == 1)
+    // block for out pixel 0: input pixels 0,1,4,5 -> channel c average
+    // = (0 + 10 + 40 + 50)/4 + c = 25 + c; out pixel 1: pixels 2,3,6,7
+    // -> (20+30+60+70)/4 + c = 45 + c
+    assert(p1 == Seq(25, 26, 27, 45, 46, 47).map(_.toByte), s"got $p1")
+    assert(out(2L)._1 == 2 && out(2L)._2 == 1)
+    // factor 1 is the identity
+    val id1 = Multimodal.resizePlane(
+        Multimodal.decodePpm(Seq(1L -> ppm(4, 2, px)).toDF("doc_id", "payload"),
+          "doc_id"), 1)
+      .head().getAs[Array[Byte]](3)
+    assert(id1.toSeq == px.toSeq)
+  }
+
   test("append-form operators refuse to clobber existing columns") {
     val df = Seq((1L, "x", 1)).toDF("id", "bucket", "v")
     val e = intercept[IllegalArgumentException](
