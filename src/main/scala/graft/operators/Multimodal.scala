@@ -403,6 +403,47 @@ object Multimodal {
       .toDF()
   }
 
+  /** Per-doc features from DECODED audio samples ([[wavFeatures]]). */
+  final case class WavFeats(doc_id: Long, n_samples: Long, rms: Double,
+      zero_crossings: Long, peak: Int)
+
+  /** Audio features computed from the DECODED int16 sample stream
+    * ([[decodeWav]] output) — the audio twin of [[planeStats]]: RMS
+    * level, strict zero crossings (consecutive samples with a negative
+    * product), and peak |amplitude|, all from decoded samples over the
+    * interleaved stream (header bytes never contaminate features; a
+    * per-channel variant partitions the same loop by `i % channels`).
+    * Integer-exact accumulations (sum of squares ≤ n·2³⁰, exact in a
+    * long) with one IEEE sqrt at the end, so the oracle replays the
+    * numbers bit-for-bit. Map-only. */
+  def wavFeatures(decoded: DataFrame, id: String = "doc_id",
+      pcm: String = "pcm"): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.product[WavFeats]
+    decoded.select(col(id).cast("long"), col(pcm))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val b = r.getAs[Array[Byte]](1)
+          val n = b.length / 2
+          var sumSq = 0L
+          var zc = 0L
+          var peak = 0
+          var prev = 0
+          var i = 0
+          while (i < n) {
+            val s: Int = ((b(2 * i) & 0xff) | (b(2 * i + 1) << 8)).toShort
+            sumSq += s.toLong * s
+            if (i > 0 && prev * s < 0) zc += 1
+            if (math.abs(s) > peak) peak = math.abs(s)
+            prev = s
+            i += 1
+          }
+          WavFeats(r.getLong(0), n.toLong,
+            if (n == 0) 0.0 else math.sqrt(sumSq.toDouble / n), zc, peak)
+        }
+      }(enc)
+      .toDF()
+  }
+
   /** Encode 16-bit PCM as a canonical 44-byte-header WAV (the fixture
     * counterpart of [[decodeWav]], like [[encodeBmp]] for BMP). */
   def encodeWav(sampleRate: Int, channels: Int, pcm: Array[Byte]): Array[Byte] = {

@@ -795,6 +795,46 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  /** q89 — audio features from DECODED samples: the audio twin of q74's
+    * decode→features closure. The PCM here is the padded text with every
+    * byte rotated by +192 mod 256 — a map-side transform that makes the
+    * high sample bytes land ≥ 128 for common characters (space, '.',
+    * digits), so the stream is sign-RICH and the signed-int16 assembly,
+    * the zero-crossing product test, and |peak| all exercise both signs
+    * under the oracle (raw ASCII is always positive — q87 covers the
+    * byte-exact plane; this covers the signed arithmetic).
+    * [[Multimodal.wavFeatures]] computes RMS / strict zero crossings /
+    * peak from the DECODED samples; the oracle re-assembles each sample
+    * from rotated character pairs and replays all three with a lag
+    * window. decode → features, map-only, one scan. */
+  def wavFeats(s: SparkSession, d: String): DataFrame = {
+    val nbytes = "cast((20 + doc_id % 32) * (1 + doc_id % 2) * 2 as int)"
+    val ascii = docs(s, d).where(col("text").isNotNull &&
+      octet_length(encode(col("text"), "UTF-8")) === length(col("text")))
+    val planes = ascii.select(col("doc_id"),
+      (lit(8000) + (col("doc_id") % 4) * 4000).cast("int").as("rate"),
+      (lit(1) + col("doc_id") % 2).cast("int").as("ch"),
+      encode(expr(s"rpad(text, $nbytes, '.')"), "UTF-8").as("plane"))
+    val enc = org.apache.spark.sql.Encoders.product[IdPayload]
+    val payloads = planes.mapPartitions { rows =>
+      rows.map { r =>
+        val plane = r.getAs[Array[Byte]](3)
+        val pcm = new Array[Byte](plane.length)
+        var i = 0
+        while (i < plane.length) {
+          pcm(i) = (((plane(i) & 0xff) + 192) & 0xff).toByte
+          i += 1
+        }
+        IdPayload(r.getLong(0), Multimodal.encodeWav(
+          r.getInt(1), r.getInt(2), pcm))
+      }
+    }(enc).toDF()
+    Multimodal.wavFeatures(Multimodal.decodeWav(payloads, "doc_id", "payload"))
+      .select(col("doc_id"), col("n_samples"), round(col("rms"), 6).as("rms"),
+        col("zero_crossings"), col("peak"))
+      .orderBy("doc_id")
+  }
+
   /** q88 — REAL resize over decoded pixels ([[Multimodal.resizePlane]]):
     * 2× integer box-filter downscale of the q71 decoded plane — each
     * output byte is the floor-average of its 2×2 block, edge remainders
@@ -1255,6 +1295,31 @@ object LlmQueries {
         |GROUP BY p.doc_id, p.sample_rate, p.channels, p.n_frames, pt
         |ORDER BY p.doc_id""".stripMargin,
 
+    // samples from +192-rotated bytes: u = t(2i-1) + 256*t(2i) with
+    // t = (ascii + 192) % 256 — signed via the >= 32768 branch; strict
+    // zero crossings via a lag window (prev * v < 0)
+    "q89_wav_features" ->
+      """WITH d AS (SELECT doc_id,
+        |    ((20 + doc_id % 32) * (1 + doc_id % 2) * 2)::INTEGER AS nbytes,
+        |    text FROM documents
+        |  WHERE text IS NOT NULL AND octet_length(encode(text)) = length(text)),
+        |p AS (SELECT doc_id, nbytes, rpad(text, nbytes, '.') AS pt FROM d),
+        |s AS (SELECT doc_id, i,
+        |    ((ascii(substring(pt, 2*i - 1, 1)) + 192) % 256)
+        |      + 256 * ((ascii(substring(pt, 2*i, 1)) + 192) % 256) AS u
+        |  FROM p CROSS JOIN generate_series(1, 102) t(i) WHERE 2*i <= nbytes),
+        |v AS (SELECT doc_id, i,
+        |    CASE WHEN u >= 32768 THEN u - 65536 ELSE u END AS a
+        |  FROM s),
+        |w AS (SELECT doc_id, a,
+        |    lag(a) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+        |  FROM v)
+        |SELECT doc_id, count(*)::BIGINT AS n_samples,
+        |  round(sqrt(sum(a * a)::DOUBLE / count(*)), 6) AS rms,
+        |  (count(*) FILTER (WHERE prev * a < 0))::BIGINT AS zero_crossings,
+        |  max(abs(a))::INTEGER AS peak
+        |FROM w GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     // out plane <= (11//2) * (7//2) * 3 = 45 bytes; each byte is the
     // floor-average of a 2x2 block of the padded-text plane
     "q88_resize_box" ->
@@ -1664,6 +1729,7 @@ object LlmQueries {
     "q86_mixed_decode_png" -> mixedDecodePng _,
     "q87_wav_decode" -> wavDecode _,
     "q88_resize_box" -> resizeHalf _,
+    "q89_wav_features" -> wavFeats _,
     "q57_dedup_capped_verified" -> dedupCappedVerified _,
     "q34_dedup_embed_cosine" -> dedupEmbedCosine _,
     "q35_ann_bruteforce" -> annBruteForce _,

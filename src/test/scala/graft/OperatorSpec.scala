@@ -1201,6 +1201,15 @@ class OperatorSpec extends AnyFunSuite {
       .toDF("doc_id", "payload")
     val decoded = Multimodal.decodeWav(rows, "doc_id").collect()
     assert(decoded.length == 1 && decoded.head.getLong(0) == 1L)
+    // features from the DECODED samples: all three sign transitions
+    // count as strict crossings, peak is |−32768|, rms matches the
+    // hand-summed squares
+    val f = Multimodal.wavFeatures(Multimodal.decodeWav(rows, "doc_id"))
+      .head()
+    assert(f.getLong(1) == 4 && f.getLong(3) == 3 && f.getInt(4) == 32768,
+      s"got $f")
+    val sumSq = 1000L * 1000 * 2 + 32767L * 32767 + 32768L * 32768
+    assert(f.getDouble(2) == math.sqrt(sumSq.toDouble / 4), s"got $f")
   }
 
   test("resizePlane: hand-checked 2x2 block floor-averages, crop, drop") {
