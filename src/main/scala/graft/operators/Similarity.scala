@@ -446,7 +446,7 @@ object Similarity {
       .orderBy(col("pc").desc, col("cell"))
       .limit(nprobe)
       .collect().map(_.get(0))
-    idx.corpus.where(col("cell").isin(cells: _*))
+    idx.corpus.where(col("cell").isin(cells.toIndexedSeq: _*))
       .select(col(idx.id),
         round(dot(col(idx.emb).cast("array<double>"), q) / col("norm") / qn, 4)
           .as("cos"))
@@ -484,7 +484,7 @@ object Similarity {
     val cells = probes.select("cell").distinct().collect().map(_.get(0))
     val wTop = org.apache.spark.sql.expressions.Window
       .partitionBy("q_id").orderBy(col("cos").desc, col(idx.id))
-    idx.corpus.where(col("cell").isin(cells: _*))
+    idx.corpus.where(col("cell").isin(cells.toIndexedSeq: _*))
       .join(broadcast(probes), "cell")
       .select(col("q_id"), col(idx.id),
         round(dot(col(idx.emb).cast("array<double>"), col("qe"))

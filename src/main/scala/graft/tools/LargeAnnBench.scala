@@ -87,7 +87,7 @@ object LargeAnnBench {
     // BATCH paths: the whole query set in one job — brute batch reads the
     // corpus once (vs once per query above), IVF batch reads one pruned
     // scan of the union of probed cells. Same results as the loops.
-    val qDf = vecs.where(col("vec_id").isin(queries.map(_._1): _*))
+    val qDf = vecs.where(col("vec_id").isin(queries.map(_._1).toIndexedSeq: _*))
     def byQuery(rows: Array[org.apache.spark.sql.Row]): Map[Long, Set[Long]] =
       rows.groupBy(_.getLong(0)).map { case (q, rs) =>
         q -> rs.map(_.getLong(1)).toSet }

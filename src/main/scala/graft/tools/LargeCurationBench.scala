@@ -39,7 +39,7 @@ object LargeCurationBench {
 
     val words = Array("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
       "eta", "theta", "iota", "kappa", "lambda", "mu")
-    val wordArr = array(words.map(lit): _*)
+    val wordArr = array(words.map(lit).toIndexedSeq: _*)
     val docs = spark.range(n).select(
       col("id").as("doc_id"),
       concat_ws(" ",

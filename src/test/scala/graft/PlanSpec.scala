@@ -467,8 +467,9 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
-  test("q81/q86: mixed-format decode is map-only — one scan, no pre-sort exchange") {
-    Seq("q81_mixed_decode", "q86_mixed_decode_png").foreach { name =>
+  test("q81/q86-q89: decode/resize/feature pipelines are map-only — one scan, no pre-sort exchange") {
+    Seq("q81_mixed_decode", "q86_mixed_decode_png", "q87_wav_decode",
+        "q88_resize_box", "q89_wav_features").foreach { name =>
       finalPlan(name) { p =>
         assert("FileScan parquet".r.findAllIn(p).size == 1,
           s"$name: decode must be one corpus pass\n${p.take(1500)}")

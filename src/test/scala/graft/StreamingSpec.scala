@@ -264,6 +264,33 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("audio decode + features run unchanged on a stream") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    import graft.operators.Multimodal
+    // same property as the image stream test: decodeWav/wavFeatures are
+    // stateless mapPartitions, so continuous audio ingest featurizes with
+    // the exact batch operators
+    val pcm = Array[Byte](0xE8.toByte, 0x03, 0x18, 0xFC.toByte) // 1000, -1000
+    val mem = MemoryStream[(Long, Array[Byte])]
+    val feats = Multimodal.wavFeatures(Multimodal.decodeWav(
+      mem.toDF().toDF("doc_id", "payload"), "doc_id"))
+    val q = feats.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("wav_stream_out").start()
+    try {
+      mem.addData(1L -> Multimodal.encodeWav(8000, 1, pcm),
+        2L -> "not audio".getBytes("US-ASCII"))
+      q.processAllAvailable()
+      mem.addData(3L -> Multimodal.encodeWav(16000, 1, pcm))
+      q.processAllAvailable()
+      val got = spark.table("wav_stream_out").collect()
+        .map(r => r.getLong(0) -> (r.getDouble(2), r.getLong(3))).toMap
+      assert(got.keySet == Set(1L, 3L), got.toString)
+      // identical PCM across batches -> identical features; one crossing
+      assert(got(1L) == got(3L) && got(1L) == ((1000.0, 1L)))
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState keeps per-key running stats across batches") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
