@@ -570,6 +570,47 @@ object Dedup {
           .as("jaccard"))
   }
 
+  /** EDIT-DISTANCE verification of candidate pairs: Levenshtein similarity
+    * `1 - dist/max(len_a, len_b)` for each `(a, b)`, keeping pairs at
+    * `sim >= minSim` — the character-level verifier for template-ish
+    * near-dups where token-set Jaccard ([[jaccardPairs]]) is blind to
+    * ordering and small in-token edits.
+    *
+    * Scale shape (the DP is O(len_a x len_b) per pair and text bytes must
+    * co-locate to compare, so the join order matters):
+    *
+    *   1. LENGTH-FIRST prune: the pair list joins the 16 B `(id, len)`
+    *      projection for both sides and drops every pair whose length gap
+    *      alone already breaks the threshold (`dist >= |len_a - len_b|`,
+    *      so `|la - lb| > (1 - minSim) * max(la, lb)` can never verify).
+    *      No text bytes move for pruned pairs and no DP runs.
+    *   2. Only survivors fetch text (two equi-joins) and evaluate the
+    *      codegen'd `levenshtein` once per pair.
+    *
+    * Feed it LSH candidates ([[lshCandidatePairsCapped]] — the cap is the
+    * usual mega-bucket guard); never all-pairs. Cross-engine note: Spark
+    * and DuckDB both count Levenshtein in Unicode codepoints, so the
+    * oracle replays this exactly. */
+  def editVerifiedPairs(df: DataFrame, pairs: DataFrame, text: String,
+      id: String, minSim: Double): DataFrame = {
+    val lens = df.where(col(text).isNotNull)
+      .select(col(id), length(col(text)).as("__len"))
+    val pruned = pairs
+      .join(lens.select(col(id).as("a"), col("__len").as("__la")), "a")
+      .join(lens.select(col(id).as("b"), col("__len").as("__lb")), "b")
+      .where(abs(col("__la") - col("__lb")) <=
+        (lit(1.0) - lit(minSim)) * greatest(col("__la"), col("__lb")))
+    val texts = df.where(col(text).isNotNull).select(col(id), col(text))
+    pruned
+      .join(texts.select(col(id).as("a"), col(text).as("__ta")), "a")
+      .join(texts.select(col(id).as("b"), col(text).as("__tb")), "b")
+      .select(col("a"), col("b"),
+        levenshtein(col("__ta"), col("__tb")).cast("long").as("edit_dist"),
+        round(lit(1.0) - levenshtein(col("__ta"), col("__tb")).cast("double") /
+          greatest(col("__la"), col("__lb")), 6).as("edit_sim"))
+      .where(col("edit_sim") >= minSim)
+  }
+
   /** Transitive near-dup clustering: connected components over candidate
     * pairs, so (a,b),(b,c) collapse to ONE keeper — the step every
     * production dedup needs after LSH pair generation. Output:

@@ -48,6 +48,33 @@ object Similarity {
       .limit(k)
   }
 
+  /** Scalar (int8) quantization of the embedding column — the 4x memory
+    * compression that makes a 100 TB vector corpus scan-able: per vector,
+    * `scale = 127 / max|v_i|` and `code_i = floor(v_i * scale + 0.5)` in
+    * [-127, 127] (`floor(x + 0.5)` spelled explicitly because JVM
+    * `Math.round` and SQL `round` disagree on negative half-way values —
+    * this form is IEEE-identical in Spark and DuckDB). A zero vector gets
+    * `scale = 0` and all-zero codes (never an infinity). Output appends
+    * `sq_scale` (the decode factor: `v_i ~ code_i / sq_scale`) and
+    * `sq_code` — map-only, one pass, no shuffle.
+    *
+    * Cosine over codes needs no dequantization (per-vector scales cancel
+    * in the normalized dot product), so an int8 brute-force scan reads a
+    * quarter of the bytes; the codes' dot products are small integers,
+    * exact in double at any accumulation order. Recall loss vs float is
+    * the quantization angle error (measured in OperatorSpec on the
+    * fixture corpus); the production pattern re-ranks the int8 top-(4k)
+    * with float vectors. */
+  def sq8Quantize(vecs: DataFrame, id: String, emb: String): DataFrame = {
+    val maxabs = array_max(transform(col(emb), x => abs(x.cast("double"))))
+    vecs
+      .withColumn("sq_scale",
+        when(maxabs > 0.0, lit(127.0) / maxabs).otherwise(lit(0.0)))
+      .withColumn("sq_code",
+        transform(col(emb), x =>
+          floor(x.cast("double") * col("sq_scale") + 0.5).cast("int")))
+  }
+
   /** Deterministic pseudo-random hyperplane coefficient for (plane, dim):
     * portable-hash derived, uniform in [-1, 1] (1e-3 grid). Reproducible in
     * SQL: ((('0x'||substr(md5('11:'||p||'_'||d),1,15))::BIGINT % 2001) - 1000) / 1000.0 */

@@ -535,4 +535,38 @@ object TextOps {
       .where(col("__rn") === 1)
       .select(col(id), col("w").as("top_term"), round(col("score"), 6).as("score"))
   }
+
+  /** CCNet-style unigram language-model quality score: per-document
+    * cross-entropy under the corpus's own unigram distribution,
+    * `xent = (1/n) * sum over token occurrences of ln(T / c_w)` where
+    * `c_w` is the corpus count of token `w` and `T` the corpus total —
+    * low = stereotypical/common text, high = rare-token (often noisy)
+    * text. The production filter drops by a per-language xent band; this
+    * emits the score (plus the token count) so any band can be applied.
+    *
+    * Scale shape: token occurrences never leave their partition — the
+    * per-doc term frequency `tf` is the FIRST aggregation (map-side
+    * combinable, and its `(id, w, tf)` rows are the distinct per-doc
+    * terms, not occurrences), the model `c_w` is a re-aggregation of
+    * `tf` (vocab-sized — Heaps' law keeps it sublinear in corpus size),
+    * and the scoring join is keyed on the term with the vocab side
+    * eligible for AQE broadcast. The total `T` is a broadcast 1-row
+    * aggregate, never a driver-side action. `tf` is checkpointed once so
+    * the corpus is not re-tokenized for the model branch (same trade as
+    * [[tfidfTopTerm]] — OWNERSHIP: consumers release the returned frame
+    * after the final evaluation; Bench/Verify do). */
+  def unigramXent(df: DataFrame, text: String, id: String): DataFrame = {
+    val tok = df.where(col(text).isNotNull)
+      .select(col(id), explode(tokens(col(text))).as("w"))
+    val tf = graft.engine.Checkpoints.mark(
+      tok.groupBy(col(id), col("w")).agg(count(lit(1)).as("tf")))
+    val cnt = tf.groupBy("w").agg(sum("tf").as("c"))
+    val tot = cnt.agg(sum("c").cast("double").as("__t"))
+    tf.join(cnt, "w")
+      .crossJoin(broadcast(tot))
+      .groupBy(col(id))
+      .agg(sum("tf").as("n_tokens"),
+        round(sum(col("tf").cast("double") * log(col("__t") / col("c")))
+          / sum("tf"), 4).as("xent"))
+  }
 }

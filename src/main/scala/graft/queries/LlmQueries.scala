@@ -973,6 +973,79 @@ object LlmQueries {
         Multimodal.withBinaryPayload(docs(s, d), "text"), "doc_id", "payload", 2)
       .orderBy("doc_id", "frame_idx")
 
+  /** The q90 edit-similarity threshold (on the ROUNDED similarity, so the
+    * Spark and oracle filters compare identical values). */
+  val EditMinSim = 0.8
+
+  /** q90 — EDIT-DISTANCE-verified near-dup pairs
+    * ([[Dedup.editVerifiedPairs]]): the character-level verifier over the
+    * same capped LSH candidates as q57, for the template-dup class where
+    * token-set Jaccard is blind (reordered tokens score 1.0 on Jaccard
+    * but low on edit similarity, and vice versa for dense small edits).
+    * Length-gap pruning runs before any text moves or any O(m*n) DP
+    * evaluates; the oracle replays the capped candidate generation and
+    * DuckDB's own `levenshtein` (both engines count Unicode codepoints). */
+  def dedupEditVerified(s: SparkSession, d: String): DataFrame = {
+    val dd = docs(s, d)
+    val banded = Dedup.lshBands(minhashSigOf(dd), "doc_id", NumHashes, Bands)
+    val (pairs, _) = Dedup.lshCandidatePairsCapped(banded, "doc_id", Bands,
+      maxBucket = 100)
+    Dedup.editVerifiedPairs(dd, pairs, "text", "doc_id", EditMinSim)
+      .orderBy("a", "b")
+  }
+
+  /** q91 — CCNet-style unigram LM quality score
+    * ([[TextOps.unigramXent]]): per-doc cross-entropy under the corpus's
+    * own unigram distribution — the classic statistical quality filter
+    * (low = stereotypical text, high = rare-token noise). The oracle
+    * replays tf -> corpus counts -> total -> weighted-ln average in SQL. */
+  def unigramXentQ(s: SparkSession, d: String): DataFrame =
+    TextOps.unigramXent(docs(s, d), "text", "doc_id").orderBy("doc_id")
+
+  /** q92 — INT8-quantized brute-force ANN ([[Similarity.sq8Quantize]]):
+    * top-20 by cosine over scalar-quantized codes — the quarter-the-bytes
+    * scan shape for corpus-scale retrieval. Quantization is map-only; the
+    * code dot products are small exact integers so the scores (and the
+    * ranking) are IEEE-identical in DuckDB's replay regardless of
+    * accumulation order — this oracle pins the QUANTIZED pipeline
+    * end-to-end, not a float approximation of it. */
+  def annSq8(s: SparkSession, d: String): DataFrame = {
+    val codes = Similarity.sq8Quantize(embs(s, d), "vec_id", "embedding")
+      .select(col("vec_id"), col("sq_code"))
+    val q = broadcast(codes.where(col("vec_id") === 0)
+      .select(col("sq_code").as("qc")))
+    codes.crossJoin(q)
+      .select(col("vec_id"),
+        round(Similarity.cosine(col("sq_code").cast("array<double>"),
+          col("qc").cast("array<double>")), 4).as("qcos"))
+      .orderBy(col("qcos").desc, col("vec_id"))
+      .limit(20)
+  }
+
+  /** Per-directory memo of the documents table exported as JSONL — the
+    * write side of the q94 round-trip, exercised once per session.
+    * Session scratch, removed at JVM exit like the layout/IVF dirs. */
+  private val jsonlCache = new SessionPathMemo("jsonl", (s, d, p) =>
+    graft.sources.Jsonl.write(docs(s, d), p))
+
+  /** q94 — JSONL round-trip ([[graft.sources.Jsonl]]): documents exported
+    * to the LLM interchange format and read back with an EXPLICIT schema
+    * (no inference pass), gated by a per-language audit whose
+    * `text_hash_sum` fingerprints every text byte through the JSON
+    * escape/unescape cycle (hashes folded mod 1e9 so the sum stays in
+    * BIGINT range on both engines). The oracle computes the same audit
+    * directly on the parquet table — any row lost, duplicated, or
+    * corrupted by the round-trip breaks the match. */
+  def jsonlRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val schema = docs(s, d).schema
+    graft.sources.Jsonl.read(s, jsonlCache(s, d), schema)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"),
+        sum(pmod(TextOps.portableHash(col("text"), 5), lit(1000000000L)))
+          .as("text_hash_sum"))
+      .orderBy("lang")
+  }
+
   // ---- DuckDB oracles ----
 
   val sql: Map[String, String] = Map(
@@ -1133,6 +1206,71 @@ object LlmQueries {
          |  LEFT JOIN inter ON inter.a = pr.a AND inter.b = pr.b
          |WHERE round(coalesce(ni, 0)::DOUBLE / (sa.n + sb.n - coalesce(ni, 0)), 6) >= 0.5
          |ORDER BY pr.a, pr.b""".stripMargin
+    },
+
+    "q90_dedup_edit_verify" -> {
+      val ms = (0 until NumHashes).map(i =>
+        s"min(${pHash(i.toString, "shingle")}) AS m$i").mkString(",\n  ")
+      val bandExprs = (0 until Bands).map { b =>
+        val concat = s"m${2 * b}::VARCHAR || '_' || m${2 * b + 1}::VARCHAR"
+        s"${pHash((100 + b).toString, s"($concat)")} AS band$b"
+      }.mkString(",\n  ")
+      val capped = (0 until Bands).map(b =>
+        s"""SELECT x.doc_id AS a, y.doc_id AS b FROM banded x
+           |    JOIN banded y ON x.band$b = y.band$b AND x.doc_id < y.doc_id
+           |    WHERE x.band$b IN (
+           |      SELECT band$b FROM banded GROUP BY band$b HAVING count(*) <= 100)"""
+          .stripMargin).mkString("\n  UNION\n  ")
+      s"""WITH $tokCte,
+         |sig AS (SELECT doc_id, $ms FROM tok GROUP BY doc_id),
+         |banded AS (SELECT doc_id,
+         |  $bandExprs
+         |FROM sig),
+         |pr AS (
+         |  $capped),
+         |tx AS (SELECT doc_id, text, length(text) AS l FROM documents
+         |  WHERE text IS NOT NULL),
+         |sc AS (SELECT pr.a, pr.b,
+         |    levenshtein(ta.text, tb.text)::BIGINT AS edit_dist,
+         |    round(1 - levenshtein(ta.text, tb.text)::DOUBLE
+         |      / greatest(ta.l, tb.l), 6) AS edit_sim
+         |  FROM pr JOIN tx ta ON ta.doc_id = pr.a
+         |    JOIN tx tb ON tb.doc_id = pr.b)
+         |SELECT a, b, edit_dist, edit_sim FROM sc
+         |WHERE edit_sim >= $EditMinSim ORDER BY a, b""".stripMargin
+    },
+
+    "q91_unigram_xent" ->
+      """WITH tok AS (SELECT doc_id,
+        |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+        |  FROM documents WHERE text IS NOT NULL),
+        |tf AS (SELECT doc_id, w, count(*) AS tf FROM tok GROUP BY doc_id, w),
+        |cnt AS (SELECT w, sum(tf) AS c FROM tf GROUP BY w),
+        |tot AS (SELECT sum(c)::DOUBLE AS t FROM cnt)
+        |SELECT doc_id, sum(tf)::BIGINT AS n_tokens,
+        |  round(sum(tf::DOUBLE * ln(t / c)) / sum(tf), 4) AS xent
+        |FROM tf JOIN cnt USING (w) CROSS JOIN tot
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q92_ann_sq8" ->
+      """WITH ex AS (SELECT vec_id, i, embedding[i]::DOUBLE AS v
+        |  FROM embeddings CROSS JOIN generate_series(1, 64) t(i)),
+        |ma AS (SELECT vec_id, max(abs(v)) AS m FROM ex GROUP BY vec_id),
+        |cd AS (SELECT ex.vec_id, i,
+        |    CASE WHEN m > 0 THEN floor(v * (127.0 / m) + 0.5) ELSE 0 END AS c
+        |  FROM ex JOIN ma USING (vec_id)),
+        |q AS (SELECT i, c AS qc FROM cd WHERE vec_id = 0),
+        |sc AS (SELECT cd.vec_id,
+        |    round(sum(cd.c * q.qc) / sqrt(sum(cd.c * cd.c))
+        |      / sqrt(sum(q.qc * q.qc)), 4) AS qcos
+        |  FROM cd JOIN q USING (i) GROUP BY cd.vec_id)
+        |SELECT vec_id, qcos FROM sc ORDER BY qcos DESC, vec_id LIMIT 20""".stripMargin,
+
+    "q94_jsonl_roundtrip" -> {
+      val h = pHash("5", "text")
+      s"""SELECT lang, count(*) AS n_docs, sum(n_chars)::BIGINT AS sum_chars,
+         |  sum($h % 1000000000)::BIGINT AS text_hash_sum
+         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
     },
 
     "q33_dedup_simhash" -> {
@@ -1731,6 +1869,10 @@ object LlmQueries {
     "q88_resize_box" -> resizeHalf _,
     "q89_wav_features" -> wavFeats _,
     "q57_dedup_capped_verified" -> dedupCappedVerified _,
+    "q90_dedup_edit_verify" -> dedupEditVerified _,
+    "q91_unigram_xent" -> unigramXentQ _,
+    "q92_ann_sq8" -> annSq8 _,
+    "q94_jsonl_roundtrip" -> jsonlRoundtrip _,
     "q34_dedup_embed_cosine" -> dedupEmbedCosine _,
     "q35_ann_bruteforce" -> annBruteForce _,
     "q36_ann_lsh_buckets" -> annLshBuckets _,

@@ -178,6 +178,23 @@ object RelationalQueries {
         col("sum_qty"), col("n"))
       .orderBy("rflag", "lstat")
 
+  /** CUBE over (priority, status) — all four grouping sets in ONE pass
+    * (q43's ROLLUP emits only the prefix sets; CUBE adds the
+    * status-only subtotals). Spark plans this as a single scan + Expand
+    * (one input row fans out to its 4 grouping-set rows map-side) + one
+    * hash aggregate — never four scans — and `grouping_id()`
+    * disambiguates subtotal rows from a genuine 'ALL' data value. */
+  def cubeAgg(s: SparkSession, d: String): DataFrame =
+    t(s, d, "orders")
+      .cube("o_orderpriority", "o_orderstatus")
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("spend"),
+        grouping_id().as("gid"))
+      .select(
+        coalesce(col("o_orderpriority"), lit("ALL")).as("prio"),
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        col("gid"), col("n"), col("spend"))
+      .orderBy("prio", "status")
+
   /** Exact interpolated percentiles (median + p90) per group. */
   def percentiles(s: SparkSession, d: String): DataFrame =
     t(s, d, "lineitem")
@@ -344,6 +361,14 @@ object RelationalQueries {
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY rflag, lstat""".stripMargin,
 
+    "q93_cube_agg" ->
+      """SELECT coalesce(o_orderpriority, 'ALL') AS prio,
+        |  coalesce(o_orderstatus, 'ALL') AS status,
+        |  (GROUPING(o_orderpriority) * 2 + GROUPING(o_orderstatus))::BIGINT AS gid,
+        |  count(*) AS n, round(sum(o_totalprice), 2) AS spend
+        |FROM orders GROUP BY CUBE(o_orderpriority, o_orderstatus)
+        |ORDER BY prio, status""".stripMargin,
+
     "q44_percentiles" ->
       """SELECT l_returnflag,
         |  round(quantile_cont(l_extendedprice, 0.5), 4) AS med,
@@ -409,6 +434,7 @@ object RelationalQueries {
     "q42_sessionize" -> sessionize _,
     "q52_streaming_session_window" -> streamingSessionWindow _,
     "q43_rollup" -> rollupAgg _,
+    "q93_cube_agg" -> cubeAgg _,
     "q44_percentiles" -> percentiles _,
     "q45_outer_join" -> outerJoin _,
     "q46_pivot" -> pivotAgg _,

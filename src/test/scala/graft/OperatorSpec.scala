@@ -1257,4 +1257,100 @@ class OperatorSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       TextOps.groupQuota(df2, "id", "v", col("v"), 1))
   }
+
+  test("editVerifiedPairs: hand-checked distances, length-gap prune, threshold") {
+    val corpus = Seq(
+      (1L, "abcdefghij"),            // len 10
+      (2L, "abcdefghix"),            // dist 1 from doc 1 -> sim 0.9
+      (3L, "abcdefghij"),            // identical to doc 1 -> sim 1.0
+      (4L, "abcdefghij" * 3),        // len 30: gap 20 > 0.2*30 -> pruned
+      (5L, "zyxwvutsrq")             // len 10 but dist 10 -> sim 0.0
+    ).toDF("doc_id", "text")
+    val cands = Seq((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L))
+      .toDF("a", "b")
+    val r = Dedup.editVerifiedPairs(corpus, cands, "text", "doc_id", 0.8)
+      .collect().map(x => (x.getLong(0), x.getLong(1)) ->
+        (x.getLong(2), x.getDouble(3))).toMap
+    assert(r((1L, 2L)) == (1L, 0.9), s"got $r")
+    assert(r((1L, 3L)) == (0L, 1.0), s"got $r")
+    assert(r.size == 2, s"(1,4) must be length-pruned and (1,5) sub-threshold: $r")
+    // boundary: dist 2 on len 10 = sim 0.8 is KEPT (filter is >=)
+    val edge = Dedup.editVerifiedPairs(
+      Seq((1L, "abcdefghij"), (2L, "abcdefghxy")).toDF("doc_id", "text"),
+      Seq((1L, 2L)).toDF("a", "b"), "text", "doc_id", 0.8).collect()
+    assert(edge.length == 1 && edge.head.getDouble(3) == 0.8)
+  }
+
+  test("unigramXent: hand-computed corpus cross-entropy") {
+    // counts: a=2, b=2, c=1, T=5
+    val df = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
+    val r = TextOps.unigramXent(df, "text", "doc_id")
+      .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getDouble(2))).toMap
+    // d1: 3 tokens, each with c=2 -> xent = ln(5/2) = 0.9163
+    assert(r(1L) == (3L, 0.9163), s"got $r")
+    // d2: (ln(5/2) + ln(5/1)) / 2 = 1.2629
+    assert(r(2L) == (2L, 1.2629), s"got $r")
+  }
+
+  test("sq8Quantize: floor(x+0.5) convention, zero vector, int8 recall") {
+    val v = Seq(
+      (1L, Array(1.0f, -0.5f, 0.25f, 0.0f)),
+      (2L, Array(0.0f, 0.0f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val q = Similarity.sq8Quantize(v, "vec_id", "embedding")
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(2), r.getSeq[Int](3))).toMap
+    // scale 127; -0.5*127 + 0.5 = -63.0 -> floor -63 (half rounds UP,
+    // the convention both engines replay); 0.25*127 + 0.5 = 32.25 -> 32
+    assert(q(1L)._1 == 127.0 && q(1L)._2 == Seq(127, -63, 32, 0), s"got $q")
+    assert(q(2L)._1 == 0.0 && q(2L)._2 == Seq(0, 0, 0, 0), s"got $q")
+
+    // quantization keeps ranking: top-5 by int8 cosine vs float cosine
+    // on a seeded random corpus — recall@5 >= 4/5
+    val rnd = new scala.util.Random(7)
+    val vecs = (0L until 50L).map(i =>
+      (i, Array.fill(16)(rnd.nextFloat() * 2 - 1))).toDF("vec_id", "embedding")
+    def top5(scored: org.apache.spark.sql.DataFrame): Seq[Long] =
+      scored.orderBy(col("cos").desc, col("vec_id"))
+        .limit(6).collect().map(_.getLong(0)).toSeq.filter(_ != 0L).take(5)
+    val floatTop = top5(vecs.crossJoin(
+        broadcast(vecs.where(col("vec_id") === 0).select(col("embedding").as("qe"))))
+      .select(col("vec_id"), Similarity.cosine(
+        col("embedding").cast("array<double>"), col("qe").cast("array<double>")).as("cos")))
+    val codes = Similarity.sq8Quantize(vecs, "vec_id", "embedding")
+      .select(col("vec_id"), col("sq_code"))
+    val intTop = top5(codes.crossJoin(
+        broadcast(codes.where(col("vec_id") === 0).select(col("sq_code").as("qc"))))
+      .select(col("vec_id"), Similarity.cosine(
+        col("sq_code").cast("array<double>"), col("qc").cast("array<double>")).as("cos")))
+    assert(floatTop.toSet.intersect(intTop.toSet).size >= 4,
+      s"float $floatTop vs int8 $intTop")
+  }
+
+  test("Jsonl round-trip: nulls, escapes, and unicode survive; FAILFAST rejects garbage") {
+    import graft.sources.Jsonl
+    val dir = java.nio.file.Files.createTempDirectory("graft_jsonl_test").toString
+    val df = Seq(
+      (1L, "plain text", "en"),
+      (2L, "quotes \" backslash \\ tab\tnewline\nend", "en"),
+      (3L, null.asInstanceOf[String], "de"),
+      (4L, "unicode é中😀", "fr")
+    ).toDF("doc_id", "text", "lang")
+    Jsonl.write(df, s"$dir/docs")
+    val back = Jsonl.read(spark, s"$dir/docs", df.schema)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+    assert(back(1L) == ("plain text", "en"))
+    assert(back(2L) == ("quotes \" backslash \\ tab\tnewline\nend", "en"))
+    assert(back(3L) == (null, "de"), "omitted null field must read back as NULL")
+    assert(back(4L) == ("unicode é中😀", "fr"))
+    assert(back.size == 4)
+    // a corrupt line: PERMISSIVE yields an all-null row, FAILFAST throws
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/bad.json"),
+      "{\"doc_id\": 1, \"text\": \"ok\"}\nnot json at all\n".getBytes("UTF-8"))
+    val perm = Jsonl.read(spark, s"$dir/bad.json", df.schema).collect()
+    assert(perm.length == 2 && perm.count(_.isNullAt(0)) == 1)
+    intercept[org.apache.spark.SparkException] {
+      Jsonl.read(spark, s"$dir/bad.json", df.schema, failFast = true).collect()
+    }
+  }
 }

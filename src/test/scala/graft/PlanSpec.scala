@@ -479,6 +479,70 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q90: edit verification is all equi-joins — never a cartesian pair blow-up") {
+    finalPlan("q90_dedup_edit_verify") { p =>
+      assert(p.contains("levenshtein"), p.take(1500))
+      assert(!p.contains("CartesianProduct"),
+        s"candidate/verify joins must stay equi-joins\n${p.take(1500)}")
+      // the native per-row MinHash signature means no shingle explode
+      // feeds the band join — no exchange anywhere carries shingle text
+      assert(!p.contains("Generate explode(split"),
+        s"signatures must be per-row, not exploded\n${p.take(1500)}")
+    }
+  }
+
+  test("q91: LM scoring exchanges are keyed on term/doc — text never shuffles") {
+    val df = SparkEntry.queries("q91_unigram_xent")(spark, sf)
+    try {
+      df.collect()
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+      val shuffles = flattenPlan(df.queryExecution.executedPlan)
+        .collect { case s: ShuffleExchangeLike => s }
+      assert(shuffles.nonEmpty)
+      shuffles.foreach { s =>
+        assert(!s.output.exists(_.name == "text"),
+          s"exchange carries document text: ${s.output.mkString(", ")}")
+      }
+      // the corpus total joins as a broadcast single row, never a shuffle
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("BroadcastNestedLoopJoin"), p.take(1500))
+    } finally graft.engine.Checkpoints.release(df)
+  }
+
+  test("q92: int8 ANN is map-only quantize + broadcast + top-k without full sort") {
+    finalPlan("q92_ann_sq8") { p =>
+      assert(p.contains("TakeOrderedAndProject"), p.take(1500))
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"quantized scan must not shuffle\n${p.take(1500)}")
+      // query-side scan prunes to the one probe row at the parquet footer
+      assert(p.contains("PushedFilters: [IsNotNull(vec_id), EqualTo(vec_id,0)]"),
+        p.take(3000))
+    }
+  }
+
+  test("q93: CUBE plans as one scan + Expand + partial/final hash aggregate") {
+    finalPlan("q93_cube_agg") { p =>
+      assert(p.contains("Expand"), p.take(1500))
+      assert("FileScan parquet".r.findAllIn(p).size == 1,
+        s"all four grouping sets must come from ONE scan\n${p.take(1500)}")
+      assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(1500))
+      assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+        s"one shuffle on the expanded keys\n${p.take(1500)}")
+    }
+  }
+
+  test("q94: JSONL read carries the explicit schema; audit is one hash-agg") {
+    finalPlan("q94_jsonl_roundtrip") { p =>
+      assert(p.contains("FileScan json"), p.take(1500))
+      // no inference pass (schema is declared), and column PRUNING reaches
+      // the JSON scan: only the three consumed columns are parsed —
+      // doc_id/source never leave the line parser
+      assert(p.contains("ReadSchema: struct<text:string,lang:string,n_chars:bigint>"),
+        p.take(3000))
+      assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p.take(1500))
+    }
+  }
+
   test("codegen health: payload/decode pipelines compile clean (no interpreted fallback)") {
     // Regression guard for the round-9 defect class: a `private` encoder
     // case class type-checks but Janino cannot reach its accessors, so
