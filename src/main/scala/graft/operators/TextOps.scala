@@ -569,4 +569,42 @@ object TextOps {
         round(sum(col("tf").cast("double") * log(col("__t") / col("c")))
           / sum("tf"), 4).as("xent"))
   }
+
+  /** Corpus unigram counts `(w, c)` — the trainable half of the frozen-LM
+    * scoring path ([[unigramXentAgainst]]). One explode + one map-side-
+    * combinable groupBy; persist the result like any model artifact and
+    * reuse it across scoring runs. */
+  def unigramModel(df: DataFrame, text: String): DataFrame =
+    df.where(col(text).isNotNull)
+      .select(explode(tokens(col(text))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+
+  /** The FROZEN-model form of [[unigramXent]] — the production shape:
+    * train the unigram counts once ([[unigramModel]], typically persisted),
+    * then score any frame against that STATIC model — a later ingest
+    * batch, a different corpus, or a streaming micro-batch (stream-static
+    * join; StreamingSpec pins stream ≡ batch). [[unigramXent]] scores a
+    * corpus against itself (model derived from the same tokenize pass);
+    * this scores against a model the frame never contributed to, which is
+    * what a quality gate in an ingest pipeline actually does.
+    *
+    * Out-of-vocabulary tokens (impossible in the self-scored form) take
+    * count `oovCount` (default 1: as rare as a hapax legomenon) — never
+    * null, never -Infinity. Same scale shape as [[unigramXent]]: per-doc
+    * tf first (occurrences never shuffle), vocab-sized model join (AQE
+    * broadcasts a small model), broadcast 1-row total. */
+  def unigramXentAgainst(df: DataFrame, model: DataFrame, text: String,
+      id: String, oovCount: Long = 1L): DataFrame = {
+    val tot = model.agg(sum("c").cast("double").as("__t"))
+    val tf = df.where(col(text).isNotNull)
+      .select(col(id), explode(tokens(col(text))).as("w"))
+      .groupBy(col(id), col("w")).agg(count(lit(1)).as("tf"))
+    tf.join(model, Seq("w"), "left")
+      .crossJoin(broadcast(tot))
+      .groupBy(col(id))
+      .agg(sum("tf").as("n_tokens"),
+        round(sum(col("tf").cast("double") *
+          log(col("__t") / coalesce(col("c"), lit(oovCount)).cast("double")))
+          / sum("tf"), 4).as("xent"))
+  }
 }

@@ -1002,6 +1002,23 @@ object LlmQueries {
   def unigramXentQ(s: SparkSession, d: String): DataFrame =
     TextOps.unigramXent(docs(s, d), "text", "doc_id").orderBy("doc_id")
 
+  /** q95 — FROZEN-LM scoring ([[TextOps.unigramXentAgainst]]): the
+    * train/apply split q91 folds together — the model is the unigram
+    * counts of the EVEN doc_ids only, and the ODD docs (which never
+    * contributed a count) are scored against it, out-of-vocabulary
+    * tokens backing off to count 1. This is the ingest-gate shape: a
+    * persisted model scoring data it has never seen (streaming twin in
+    * StreamingSpec). The oracle replays the split, the left join, and
+    * the OOV coalesce. */
+  def unigramXentFrozen(s: SparkSession, d: String): DataFrame = {
+    val all = docs(s, d)
+    val model = TextOps.unigramModel(
+      all.where(pmod(col("doc_id"), lit(2)) === 0), "text")
+    TextOps.unigramXentAgainst(
+        all.where(pmod(col("doc_id"), lit(2)) === 1), model, "text", "doc_id")
+      .orderBy("doc_id")
+  }
+
   /** q92 — INT8-quantized brute-force ANN ([[Similarity.sq8Quantize]]):
     * top-20 by cosine over scalar-quantized codes — the quarter-the-bytes
     * scan shape for corpus-scale retrieval. Quantization is map-only; the
@@ -1250,6 +1267,20 @@ object LlmQueries {
         |SELECT doc_id, sum(tf)::BIGINT AS n_tokens,
         |  round(sum(tf::DOUBLE * ln(t / c)) / sum(tf), 4) AS xent
         |FROM tf JOIN cnt USING (w) CROSS JOIN tot
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q95_unigram_xent_frozen" ->
+      """WITH tokm AS (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+        |  FROM documents WHERE text IS NOT NULL AND doc_id % 2 = 0),
+        |cnt AS (SELECT w, count(*) AS c FROM tokm GROUP BY w),
+        |tot AS (SELECT sum(c)::DOUBLE AS t FROM cnt),
+        |toks AS (SELECT doc_id,
+        |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+        |  FROM documents WHERE text IS NOT NULL AND doc_id % 2 = 1),
+        |tf AS (SELECT doc_id, w, count(*) AS tf FROM toks GROUP BY doc_id, w)
+        |SELECT doc_id, sum(tf)::BIGINT AS n_tokens,
+        |  round(sum(tf::DOUBLE * ln(t / coalesce(c, 1))) / sum(tf), 4) AS xent
+        |FROM tf LEFT JOIN cnt USING (w) CROSS JOIN tot
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q92_ann_sq8" ->
@@ -1871,6 +1902,7 @@ object LlmQueries {
     "q57_dedup_capped_verified" -> dedupCappedVerified _,
     "q90_dedup_edit_verify" -> dedupEditVerified _,
     "q91_unigram_xent" -> unigramXentQ _,
+    "q95_unigram_xent_frozen" -> unigramXentFrozen _,
     "q92_ann_sq8" -> annSq8 _,
     "q94_jsonl_roundtrip" -> jsonlRoundtrip _,
     "q34_dedup_embed_cosine" -> dedupEmbedCosine _,

@@ -1292,6 +1292,25 @@ class OperatorSpec extends AnyFunSuite {
     assert(r(2L) == (2L, 1.2629), s"got $r")
   }
 
+  test("unigramXentAgainst: frozen model, OOV backoff, self-scored equivalence") {
+    // model: "a a b" -> a=2, b=1, T=3
+    val model = TextOps.unigramModel(Seq((1L, "a a b")).toDF("doc_id", "text"), "text")
+    // score "a c": a in-vocab (c=2), c OOV -> count 1
+    // xent = (ln(3/2) + ln(3/1)) / 2 = 0.7520
+    val r = TextOps.unigramXentAgainst(
+        Seq((10L, "a c")).toDF("doc_id", "text"), model, "text", "doc_id")
+      .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getDouble(2))).toMap
+    assert(r(10L) == (2L, 0.7520), s"got $r")
+    // scoring a corpus against its OWN model == the self-scored form
+    val corpus = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
+    val self = TextOps.unigramXent(corpus, "text", "doc_id")
+      .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getDouble(2))).toMap
+    val frozen = TextOps.unigramXentAgainst(corpus,
+        TextOps.unigramModel(corpus, "text"), "text", "doc_id")
+      .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getDouble(2))).toMap
+    assert(self == frozen, s"self $self vs frozen $frozen")
+  }
+
   test("sq8Quantize: floor(x+0.5) convention, zero vector, int8 recall") {
     val v = Seq(
       (1L, Array(1.0f, -0.5f, 0.25f, 0.0f)),

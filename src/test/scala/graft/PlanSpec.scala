@@ -509,6 +509,27 @@ class PlanSpec extends AnyFunSuite {
     } finally graft.engine.Checkpoints.release(df)
   }
 
+  test("q95: frozen-LM scoring joins a broadcast model — text never shuffles") {
+    val df = SparkEntry.queries("q95_unigram_xent_frozen")(spark, sf)
+    try {
+      df.collect()
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+      val shuffles = flattenPlan(df.queryExecution.executedPlan)
+        .collect { case s: ShuffleExchangeLike => s }
+      assert(shuffles.nonEmpty)
+      shuffles.foreach { s =>
+        assert(!s.output.exists(_.name == "text"),
+          s"exchange carries document text: ${s.output.mkString(", ")}")
+      }
+      val p = df.queryExecution.executedPlan.toString
+      // the vocab-sized model joins as a broadcast (left outer: OOV backoff)
+      assert(p.contains("BroadcastHashJoin") && p.contains("LeftOuter"),
+        p.take(1500))
+      // the corpus total joins as a broadcast single row, never a shuffle
+      assert(p.contains("BroadcastNestedLoopJoin"), p.take(1500))
+    } finally graft.engine.Checkpoints.release(df)
+  }
+
   test("q92: int8 ANN is map-only quantize + broadcast + top-k without full sort") {
     finalPlan("q92_ann_sq8") { p =>
       assert(p.contains("TakeOrderedAndProject"), p.take(1500))

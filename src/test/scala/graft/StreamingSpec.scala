@@ -382,6 +382,39 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("frozen unigram LM scores a stream identically to batch") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    import graft.operators.TextOps
+    import org.apache.spark.sql.DataFrame
+    // the model is a STATIC artifact (trained once); micro-batches score
+    // against it inside foreachBatch — the ingest-gate shape
+    val corpus = Seq((1L, "a a b"), (2L, "b c d")).toDF("doc_id", "text")
+    val model = TextOps.unigramModel(corpus, "text").cache()
+    val incoming = Seq((10L, "a b zzz"), (11L, "c c"))
+    val batchScores = TextOps.unigramXentAgainst(
+        incoming.toDF("doc_id", "text"), model, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(batchScores.contains(10L), "OOV doc must still score")
+
+    val mem = MemoryStream[(Long, String)]
+    val got = scala.collection.concurrent.TrieMap[Long, (Long, Double)]()
+    val fn: (DataFrame, Long) => Unit = (b, _) => {
+      TextOps.unigramXentAgainst(b.toDF("doc_id", "text"), model,
+          "text", "doc_id")
+        .collect().foreach(r => got(r.getLong(0)) = (r.getLong(1), r.getDouble(2)))
+      ()
+    }
+    val q = mem.toDF().writeStream.foreachBatch(fn).start()
+    try {
+      mem.addData(incoming.head)
+      q.processAllAvailable()
+      mem.addData(incoming(1))
+      q.processAllAvailable()
+      assert(got.toMap == batchScores, s"stream ${got.toMap} vs batch $batchScores")
+    } finally { q.stop(); model.unpersist() }
+  }
+
   test("stateless curation ops (redact, split) apply unchanged to a stream") {
     // the map-only curation operators are column arithmetic, so the SAME
     // operator call works on readStream frames — incremental ingest
