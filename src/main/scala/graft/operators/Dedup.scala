@@ -752,6 +752,106 @@ object Dedup {
     }
   }
 
+  /** Positions of every `w`-token window, hashed map-side: `(id, pos, wh)`
+    * with `pos` 0-based and `wh = xxhash64(window text)`. The window text
+    * itself NEVER leaves the projection — only the 8 B hash and the
+    * position reach any downstream exchange (the q29 shuffle-payload rule
+    * applied to substring dedup). Same `__toks`/`__m` materialization trick
+    * as [[shingles]] so the tokenizing split runs once per doc, not once
+    * per window. Docs shorter than `w` tokens produce no windows. */
+  def spanWindows(df: DataFrame, text: String, id: String, w: Int): DataFrame = {
+    require(w >= 1, s"window width must be >= 1, got $w")
+    val toks = TextOps.tokens(col(text))
+    val parts = (0 until w).map(k =>
+      slice(col("__toks"), lit(k + 1), col("__m")))
+    val sh = parts.reduce((a, b) =>
+      zip_with(a, b, (x, y) => concat(x, lit(" "), y)))
+    df.where(col(text).isNotNull && size(toks) >= w)
+      .select(col(id), toks.as("__toks"))
+      .select(col(id), col("__toks"),
+        (size(col("__toks")) - (w - 1)).as("__m"))
+      .select(col(id), posexplode(sh).as(Seq("pos", "__w")))
+      .select(col(id), col("pos"), xxhash64(col("__w")).as("wh"))
+  }
+
+  /** Exact-substring duplicated spans (the Lee et al. 2022 training-set
+    * op, arXiv:2107.06499): any `w`-token window whose text occurs MORE
+    * THAN ONCE in the corpus (within or across documents) is duplicated;
+    * overlapping or token-adjacent duplicated windows merge into maximal
+    * spans. Output per surviving doc: one row per merged span
+    * `(id, span_start, span_end)` in 0-based token offsets, inclusive.
+    *
+    * Scale shape: two passes over the corpus windows (occurrence count,
+    * then membership join), both keyed on the 8 B window hash — window
+    * text never shuffles; the per-doc merge is ONE window-function pass
+    * partitioned by doc id (a doc's duplicated positions, far smaller
+    * than the doc itself). Reference analogy: none — the reference has no
+    * substring dedup; this is the LLM-pipeline extension surface. */
+  def repeatedSpans(df: DataFrame, text: String, id: String, w: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val win = spanWindows(df, text, id, w)
+    val dup = win.groupBy("wh").agg(count(lit(1)).as("__occ"))
+      .where(col("__occ") > 1).select("wh")
+    val hits = win.join(dup, "wh")
+      .select(col(id), col("pos"), (col("pos") + (w - 1)).as("__e"))
+    // gaps-and-islands: a new span starts where this window's range does
+    // not touch the running max end of everything before it
+    val byPos = Window.partitionBy(col(id)).orderBy(col("pos"))
+    val prevMax = max(col("__e"))
+      .over(byPos.rowsBetween(Window.unboundedPreceding, -1))
+    hits
+      .withColumn("__new",
+        when(prevMax.isNull || col("pos") > prevMax + 1, 1).otherwise(0))
+      .withColumn("__g", sum(col("__new")).over(byPos))
+      .groupBy(col(id), col("__g"))
+      .agg(min(col("pos")).as("span_start"), max(col("__e")).as("span_end"),
+        count(lit(1)).as("n_windows"))
+      .select(col(id), col("span_start"), col("span_end"), col("n_windows"))
+  }
+
+  /** Per-doc substring-duplication report over [[repeatedSpans]]: every doc
+    * (span-free ones included) with its token count, duplicated-window and
+    * merged-span counts, and the fraction of tokens covered by duplicated
+    * spans — the audit a curation run reads before deciding to strip. */
+  def repeatedSpanReport(df: DataFrame, text: String, id: String,
+      w: Int): DataFrame = {
+    val rep = repeatedSpans(df, text, id, w)
+      .groupBy(col(id))
+      .agg(sum("n_windows").as("__nw"), count(lit(1)).as("__ns"),
+        sum(col("span_end") - col("span_start") + 1).as("__dt"))
+    df.where(col(text).isNotNull)
+      .select(col(id), size(TextOps.tokens(col(text))).as("n_tokens"))
+      .join(rep, Seq(id), "left")
+      .select(col(id), col("n_tokens").cast("long").as("n_tokens"),
+        coalesce(col("__nw"), lit(0L)).as("n_dup_windows"),
+        coalesce(col("__ns"), lit(0L)).as("n_spans"),
+        round(coalesce(col("__dt"), lit(0L)).cast("double") /
+          col("n_tokens"), 4).as("dup_frac"))
+  }
+
+  /** Strip every duplicated span from every document (the aggressive form
+    * of Lee et al.'s substring dedup: ALL occurrences go, not all-but-one
+    * — deterministic with no global occurrence ordering). Rebuilds the
+    * text from the tokens outside every merged span; docs that were
+    * entirely duplicated come back empty. The per-doc span list is
+    * bounded by `n_tokens / w` (merged spans are disjoint and at least
+    * `w` long), so the `collect_list` is strictly smaller than the doc's
+    * own token array — never a mega-group. */
+  def stripRepeatedSpans(df: DataFrame, text: String, id: String,
+      w: Int): DataFrame = {
+    val spans = repeatedSpans(df, text, id, w)
+      .groupBy(col(id))
+      .agg(collect_list(struct(col("span_start"), col("span_end"))).as("__spans"))
+    df.join(spans, Seq(id), "left")
+      .withColumn("__toks", TextOps.tokens(col(text)))
+      .withColumn("__kept",
+        when(col("__spans").isNull, col("__toks")).otherwise(
+          filter(col("__toks"), (_, i) => !exists(col("__spans"),
+            s => i >= s("span_start") && i <= s("span_end")))))
+      .withColumn(text, concat_ws(" ", col("__kept")))
+      .drop("__spans", "__toks", "__kept")
+  }
+
   /** Jaccard over consecutive-id pairs — the deterministic demo/benchmark
     * shape: pair (id, id+1), similarity on distinct token sets. */
   def jaccardAdjacent(df: DataFrame, text: String, id: String): DataFrame = {

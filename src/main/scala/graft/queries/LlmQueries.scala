@@ -1019,6 +1019,22 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  /** The q96 substring-dedup window width, in tokens. */
+  val SpanW = 8
+
+  /** q96 — exact-substring duplication audit
+    * ([[Dedup.repeatedSpanReport]], Lee et al. 2022): every doc with the
+    * count of its `SpanW`-token windows whose text occurs more than once
+    * in the corpus, the merged maximal spans they form, and the fraction
+    * of the doc's tokens those spans cover — the evidence a curation run
+    * reads before stripping boilerplate ([[Dedup.stripRepeatedSpans]],
+    * OperatorSpec-gated). Only window hashes and positions ever shuffle;
+    * the oracle groups by the RAW window text (q29 independence rule:
+    * a hash collision mismatches instead of replaying). */
+  def repeatedSpansQ(s: SparkSession, d: String): DataFrame =
+    Dedup.repeatedSpanReport(docs(s, d), "text", "doc_id", SpanW)
+      .orderBy("doc_id")
+
   /** q92 — INT8-quantized brute-force ANN ([[Similarity.sq8Quantize]]):
     * top-20 by cosine over scalar-quantized codes — the quarter-the-bytes
     * scan shape for corpus-scale retrieval. Quantization is map-only; the
@@ -1282,6 +1298,31 @@ object LlmQueries {
         |  round(sum(tf::DOUBLE * ln(t / coalesce(c, 1))) / sum(tf), 4) AS xent
         |FROM tf LEFT JOIN cnt USING (w) CROSS JOIN tot
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q96_repeated_spans" ->
+      """WITH base AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+        |  FROM documents WHERE text IS NOT NULL),
+        |wins AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 7),
+        |    i -> struct_pack(pos := i, wtext := array_to_string(t[i:i+7], ' ')))) AS u
+        |  FROM base WHERE len(t) >= 8),
+        |win AS (SELECT doc_id, u.pos AS pos, u.wtext AS wtext FROM wins),
+        |occ AS (SELECT wtext FROM win GROUP BY wtext HAVING count(*) > 1),
+        |d AS (SELECT doc_id, pos, pos + 7 AS e FROM win JOIN occ USING (wtext)),
+        |m AS (SELECT doc_id, pos, e, max(e) OVER (PARTITION BY doc_id ORDER BY pos
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm FROM d),
+        |isl AS (SELECT doc_id, pos, e,
+        |    sum(CASE WHEN pm IS NULL OR pos > pm + 1 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY doc_id ORDER BY pos) AS g FROM m),
+        |spans AS (SELECT doc_id, g, min(pos) AS s, max(e) AS e2, count(*) AS nw
+        |  FROM isl GROUP BY doc_id, g),
+        |rep AS (SELECT doc_id, sum(nw)::BIGINT AS n_dup_windows,
+        |    count(*)::BIGINT AS n_spans, sum(e2 - s + 1) AS dt
+        |  FROM spans GROUP BY doc_id)
+        |SELECT b.doc_id, len(b.t)::BIGINT AS n_tokens,
+        |  coalesce(n_dup_windows, 0)::BIGINT AS n_dup_windows,
+        |  coalesce(n_spans, 0)::BIGINT AS n_spans,
+        |  round(coalesce(dt, 0)::DOUBLE / len(b.t), 4) AS dup_frac
+        |FROM base b LEFT JOIN rep USING (doc_id) ORDER BY doc_id""".stripMargin,
 
     "q92_ann_sq8" ->
       """WITH ex AS (SELECT vec_id, i, embedding[i]::DOUBLE AS v
@@ -1903,6 +1944,7 @@ object LlmQueries {
     "q90_dedup_edit_verify" -> dedupEditVerified _,
     "q91_unigram_xent" -> unigramXentQ _,
     "q95_unigram_xent_frozen" -> unigramXentFrozen _,
+    "q96_repeated_spans" -> repeatedSpansQ _,
     "q92_ann_sq8" -> annSq8 _,
     "q94_jsonl_roundtrip" -> jsonlRoundtrip _,
     "q34_dedup_embed_cosine" -> dedupEmbedCosine _,

@@ -1311,6 +1311,38 @@ class OperatorSpec extends AnyFunSuite {
     assert(self == frozen, s"self $self vs frozen $frozen")
   }
 
+  test("repeatedSpans: overlap and adjacency merge, within-doc repeats, report, strip") {
+    import graft.operators.Dedup
+    val corpus = Seq(
+      (1L, "a b c d e"),   // "a b","b c","c d" all shared -> one span [0,3]
+      (2L, "x b c d y"),   // dup "b c","c d" only -> span [1,3]
+      (3L, "p q"),          // no duplicated windows
+      (4L, "z z z"),        // within-doc repeat of "z z" -> whole doc [0,2]
+      (5L, "a b c d"),      // all three windows dup -> one span [0,3]
+      (6L, "a b x c d")     // dup at pos 0 and pos 3: two separate spans
+    ).toDF("doc_id", "text")
+    val spans = Dedup.repeatedSpans(corpus, "text", "doc_id", 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+      .toSet
+    assert(spans == Set(
+      (1L, 0, 3, 3L), (2L, 1, 3, 2L), (4L, 0, 2, 2L), (5L, 0, 3, 3L),
+      (6L, 0, 1, 1L), (6L, 3, 4, 1L)),    // gap at token 2 keeps them apart
+      s"got $spans")
+    val rep = Dedup.repeatedSpanReport(corpus, "text", "doc_id", 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(rep(1L) == (5L, 3L, 1L, 0.8), s"got ${rep(1L)}")
+    assert(rep(3L) == (2L, 0L, 0L, 0.0), s"got ${rep(3L)}")
+    assert(rep(4L) == (3L, 2L, 1L, 1.0), s"got ${rep(4L)}")
+    assert(rep(6L) == (5L, 2L, 2L, 0.8), s"got ${rep(6L)}")
+    val stripped = Dedup.stripRepeatedSpans(corpus, "text", "doc_id", 2)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(stripped(3L) == "p q", "span-free doc must come back unchanged")
+    assert(stripped(5L) == "", "entirely-duplicated doc strips to empty")
+    assert(stripped(6L) == "x", s"got '${stripped(6L)}'")
+    assert(stripped(1L) == "e", s"got '${stripped(1L)}'")
+  }
+
   test("sq8Quantize: floor(x+0.5) convention, zero vector, int8 recall") {
     val v = Seq(
       (1L, Array(1.0f, -0.5f, 0.25f, 0.0f)),

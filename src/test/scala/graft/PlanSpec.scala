@@ -530,6 +530,21 @@ class PlanSpec extends AnyFunSuite {
     } finally graft.engine.Checkpoints.release(df)
   }
 
+  test("q96: substring-dedup exchanges carry window hashes — never window text") {
+    val df = SparkEntry.queries("q96_repeated_spans")(spark, sf)
+    df.collect()
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val shuffles = flattenPlan(df.queryExecution.executedPlan)
+      .collect { case s: ShuffleExchangeLike => s }
+    assert(shuffles.nonEmpty)
+    shuffles.foreach { s =>
+      assert(!s.output.exists(a => a.name == "text" || a.name == "__w"),
+        s"exchange carries text: ${s.output.mkString(", ")}")
+    }
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+  }
+
   test("q92: int8 ANN is map-only quantize + broadcast + top-k without full sort") {
     finalPlan("q92_ann_sq8") { p =>
       assert(p.contains("TakeOrderedAndProject"), p.take(1500))
