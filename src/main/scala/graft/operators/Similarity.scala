@@ -605,4 +605,179 @@ object Similarity {
       .select(col("a"), col("b"),
         round(cosine(col("ea").cast("array<double>"),
           col("eb").cast("array<double>")), 4).as("cos"))
+
+  // ---- Product quantization (Jegou et al. 2011, "Product Quantization
+  // for Nearest Neighbor Search") ----
+  //
+  // The memory-bound half of the ANN family: SQ8 (above) keeps one byte
+  // PER DIMENSION; PQ keeps one code per SUBSPACE — m codes per vector
+  // (m=8 here: 64 floats -> 8 small ints, a 32x compression), and search
+  // never touches the original vectors. A query precomputes an m x ksub
+  // table of subspace distances ONCE (driver-side, it is tiny), then every
+  // corpus vector's approximate distance is m table lookups + adds — a
+  // map-only scan over the code column feeding TakeOrderedAndProject. At
+  // 100 TB the scan reads only the code bytes; the float corpus stays on
+  // disk for an optional re-rank of the short-list.
+
+  /** Squared L2 between two array<double> columns: `zip_with` difference
+    * squares folded left-to-right in dimension order — the accumulation
+    * order the DuckDB oracles replay. */
+  def l2sq(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, e) => acc + e)
+
+  /** (id, sub, sve): the corpus exploded into `m` contiguous `dsub`-dim
+    * subvectors — the training-time layout (encode never explodes). */
+  private def subvectors(vecs: DataFrame, id: String, emb: String,
+      m: Int, dsub: Int): DataFrame =
+    vecs.select(col(id),
+      posexplode(transform(sequence(lit(0), lit(m - 1)),
+        s => slice(col(emb).cast("array<double>"), s * dsub + 1, lit(dsub))))
+        .as(Seq("sub", "sve")))
+
+  /** Nearest codebook entry per (id, sub) by squared L2, ties to the
+    * smallest code — broadcast of the (m x ksub)-row codebook against one
+    * scan of the subvector frame, argmin via partial-aggregated `min_by`
+    * (mirrors [[assignCells]]). */
+  private def pqAssign(sv: DataFrame, id: String, books: DataFrame): DataFrame = {
+    val b = broadcast(books
+      .select(col("sub"), col("code").as("__c"), col("ce").as("__ce")))
+    sv.join(b, "sub")
+      .withColumn("__d2", l2sq(col("sve"), col("__ce")))
+      .groupBy(col(id), col("sub"))
+      .agg(min_by(col("__c"), struct(col("__d2"), col("__c"))).as("code"))
+  }
+
+  /** Deterministic per-subspace Lloyd training of the PQ codebooks:
+    * seeded init (subspace `s` of vector `c` seeds code `c` — ids are
+    * data, so the oracle replays it), then `iters` assign/update rounds
+    * over ALL subspaces in one frame — each round is one broadcast-assign
+    * scan plus one per-(sub, code, dim) mean, 6-dp-rounded so DuckDB can
+    * replay training exactly (same discipline as [[kmeansCentroids]],
+    * including the per-round checkpoint truncation — without it round N
+    * re-executes rounds 1..N-1's pipelines). Returns `(sub, code, ce)`,
+    * checkpointed; the caller owns the blocks ([[pqCollect]] releases
+    * them after materializing the codebooks driver-side). */
+  def pqTrain(vecs: DataFrame, id: String, emb: String,
+      m: Int, dsub: Int, ksub: Int, iters: Int): DataFrame = {
+    import graft.engine.Checkpoints
+    val sv = subvectors(vecs, id, emb, m, dsub)
+    var books = Checkpoints.mark(sv.where(col(id) < ksub)
+      .select(col("sub"), col(id).cast("int").as("code"), col("sve").as("ce")))
+    try {
+      for (_ <- 0 until iters) {
+        val asg = pqAssign(sv, id, books)
+        val next = Checkpoints.mark(
+          sv.join(asg, Seq(id, "sub"))
+            .select(col("sub"), col("code"),
+              posexplode(col("sve")).as(Seq("sd", "v")))
+            .groupBy("sub", "code", "sd").agg(round(avg("v"), 6).as("v"))
+            .groupBy("sub", "code")
+            .agg(transform(array_sort(collect_list(struct(col("sd"), col("v")))),
+              x => x("v")).as("ce")))
+        Checkpoints.release(books)
+        books = next
+      }
+      books
+    } catch {
+      case e: Throwable => Checkpoints.release(books); throw e
+    }
+  }
+
+  /** Driver-materialized PQ codebooks: `dense(s)` lists subspace `s`'s
+    * surviving entries sorted by code (Lloyd can empty a code — the dense
+    * list and the parallel `ids(s)` keep encode's argmin aligned with the
+    * ORIGINAL code ids the oracle replays), `distTable` is the per-query
+    * ADC table indexed by code id (absent codes — which no vector can
+    * carry — get +inf). */
+  final case class PqCodebooks(m: Int, dsub: Int, ksub: Int,
+      entries: Seq[(Int, Int, Seq[Double])]) {
+    val dense: Seq[Seq[Seq[Double]]] =
+      (0 until m).map(s => entries.filter(_._1 == s).sortBy(_._2).map(_._3))
+    val ids: Seq[Seq[Int]] =
+      (0 until m).map(s => entries.filter(_._1 == s).sortBy(_._2).map(_._2))
+
+    /** m x ksub squared-L2 table from `q`'s subvectors to every codebook
+      * entry, folded in dimension order (the same accumulation the Spark
+      * and DuckDB sides use). */
+    def distTable(q: Array[Double]): Seq[Seq[Double]] =
+      (0 until m).map { s =>
+        val bySub = entries.filter(_._1 == s).map(e => e._2 -> e._3).toMap
+        (0 until ksub).map { c =>
+          bySub.get(c) match {
+            case Some(ce) =>
+              var acc = 0.0
+              var i = 0
+              while (i < dsub) {
+                val diff = q(s * dsub + i) - ce(i); acc += diff * diff; i += 1
+              }
+              acc
+            case None => Double.MaxValue
+          }
+        }
+      }
+  }
+
+  /** Collect a [[pqTrain]] codebook frame driver-side (m x ksub rows —
+    * bounded, same license as the centroid/probe collects) and release
+    * its checkpoint blocks. */
+  def pqCollect(books: DataFrame, m: Int, dsub: Int, ksub: Int): PqCodebooks = {
+    // Row.getAs hands back a mutable ArraySeq; typedLit's encoder needs
+    // immutable collections, so materialize Vectors all the way down
+    val rows = books.collect().toVector.map(r =>
+      (r.getAs[Int]("sub"), r.getAs[Int]("code"),
+        r.getAs[scala.collection.Seq[Double]]("ce").toVector))
+    graft.engine.Checkpoints.release(books)
+    PqCodebooks(m, dsub, ksub, rows)
+  }
+
+  /** Map-only PQ encode: per subspace, squared L2 to each codebook entry
+    * (codebooks are a plan-time LITERAL — no join, no shuffle, the code
+    * column exists before any exchange), argmin via
+    * `array_position(dists, array_min(dists))` (first occurrence = the
+    * dense list's smallest code on ties, matching the oracle's
+    * `ORDER BY d2, code`), mapped back to the original code id. Emits
+    * `(id, pq_code: array<int>)` — m small ints per vector. */
+  /** Nested literal array columns (`array(lit...)` composition —
+    * `typedLit`'s TypeTag reflection path rejects nested Vectors under
+    * the Spark 4 column converter, the composed form always plans). */
+  private def litArr1d(xs: Seq[Double]): Column = array(xs.map(lit): _*)
+  private def litArr2d(xs: Seq[Seq[Double]]): Column = array(xs.map(litArr1d): _*)
+  private def litArr3d(xs: Seq[Seq[Seq[Double]]]): Column = array(xs.map(litArr2d): _*)
+  private def litArr2i(xs: Seq[Seq[Int]]): Column =
+    array(xs.map(i => array(i.map(lit): _*)): _*)
+
+  def pqEncode(vecs: DataFrame, id: String, emb: String,
+      cb: PqCodebooks): DataFrame = {
+    val bk = litArr3d(cb.dense)
+    val cid = litArr2i(cb.ids)
+    val v = col(emb).cast("array<double>")
+    val codes = transform(sequence(lit(0), lit(cb.m - 1)), s => {
+      val sl = slice(v, s * cb.dsub + 1, lit(cb.dsub))
+      val dists = transform(element_at(bk, s + 1), ce => l2sq(sl, ce))
+      element_at(element_at(cid, s + 1),
+        array_position(dists, array_min(dists)).cast("int"))
+    })
+    vecs.select(col(id), codes.as("pq_code"))
+  }
+
+  /** Asymmetric-distance column over a `pq_code` column: m lookups into
+    * the query's literal distance table + a fold — no join, no shuffle,
+    * the whole search is one scan of the code column. */
+  def pqAdcDistance(codeCol: Column, cb: PqCodebooks,
+      query: Array[Double]): Column = {
+    val dt = litArr2d(cb.distTable(query))
+    aggregate(
+      zip_with(codeCol, sequence(lit(0), lit(cb.m - 1)),
+        (c, s) => element_at(element_at(dt, s + 1), c + 1)),
+      lit(0.0), (acc, e) => acc + e)
+  }
+
+  /** ADC top-k: ascending approximate distance, ties to the smallest id,
+    * via TakeOrderedAndProject (no full sort). */
+  def pqSearchAdc(codes: DataFrame, id: String, cb: PqCodebooks,
+      query: Array[Double], topK: Int): DataFrame =
+    codes.select(col(id), pqAdcDistance(col("pq_code"), cb, query).as("adist"))
+      .orderBy(col("adist").asc, col(id).asc)
+      .limit(topK)
 }

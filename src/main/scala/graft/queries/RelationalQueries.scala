@@ -89,6 +89,42 @@ object RelationalQueries {
     Similarity.assignCells(v, "vec_id", "embedding", cents).orderBy("vec_id")
   }
 
+  /** Per-directory memo of the trained PQ codebooks (m=8 subspaces x
+    * dsub=8 dims x ksub=8 codes, 2 deterministic Lloyd iterations —
+    * [[Similarity.pqTrain]]): training runs once per session; the
+    * collected codebooks (64 tiny rows) parameterize every later encode
+    * and search as plan-time literals. */
+  private val pqCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Similarity.PqCodebooks]()
+
+  private def pqBooks(s: SparkSession, d: String): Similarity.PqCodebooks =
+    pqCache.computeIfAbsent(d, _ =>
+      Similarity.pqCollect(
+        Similarity.pqTrain(t(s, d, "embeddings"), "vec_id", "embedding",
+          m = 8, dsub = 8, ksub = 8, iters = 2),
+        m = 8, dsub = 8, ksub = 8))
+
+  /** Product-quantized ANN (q97): per-subspace Lloyd codebooks (seeded
+    * init, 2 iterations, 6-dp means — the same deterministic-training
+    * discipline as q40, replayed subspace-by-subspace by the oracle),
+    * map-only encode of the corpus to m=8 code ids, then ADC search for
+    * query vec 0 — the approximate distance is 8 lookups into the query's
+    * literal distance table, so the search plan is ONE scan of the code
+    * column ending in TakeOrderedAndProject: no join, no shuffle, and at
+    * 100 TB the scan reads 32x fewer bytes than the float corpus. */
+  def annPq(s: SparkSession, d: String): DataFrame = {
+    val cb = pqBooks(s, d)
+    val v = t(s, d, "embeddings")
+    val qv = v.where(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>"))
+      .head().getSeq[Double](0).toArray
+    Similarity.pqEncode(v, "vec_id", "embedding", cb)
+      .select(col("vec_id"),
+        round(Similarity.pqAdcDistance(col("pq_code"), cb, qv), 4).as("adist"))
+      .orderBy(col("adist").asc, col("vec_id").asc)
+      .limit(10)
+  }
+
   /** CTE chain replaying `kmeansCentroids(k=8, iters=2)` plus the final
     * corpus assignment (`asg3` = the cell column IVF partitions by):
     * `cent0` = seeded init, `simN`/`asgN`/`centN` = iteration N's cosines,
@@ -113,6 +149,39 @@ object RelationalQueries {
       sim(1, "cent0"), asg(1), cent(1),
       sim(2, "cent1"), asg(2), cent(2),
       sim(3, "cent2"), asg(3)
+    ).mkString(",\n")
+  }
+
+  /** CTE chain replaying [[Similarity.pqTrain]] (m=8, dsub=8, ksub=8,
+    * iters=2) and the final corpus encode: `sx` = the subvector layout
+    * (sub = d // 8, sd = d % 8), `bk0` = seeded init (subspace s of
+    * vector c seeds code c), `dN`/`aN`/`bkN` = iteration N's squared
+    * subspace distances, argmin assignment (ties to the smallest code),
+    * and 6-dp-rounded mean update; `a3` = the pq codes
+    * ([[Similarity.pqEncode]] against the trained books). */
+  private def pqCtes: String = {
+    def dist(i: Int, bk: String) =
+      s"""d$i AS (SELECT x.vec_id, x.sub, b.code,
+         |    sum((x.v - b.v) * (x.v - b.v)) AS d2
+         |  FROM sx x JOIN $bk b ON b.sub = x.sub AND b.sd = x.sd
+         |  GROUP BY x.vec_id, x.sub, b.code)""".stripMargin
+    def asg(i: Int) =
+      s"""a$i AS (SELECT vec_id, sub, code FROM (
+         |    SELECT vec_id, sub, code, row_number() OVER (
+         |      PARTITION BY vec_id, sub ORDER BY d2, code) AS rn
+         |    FROM d$i) WHERE rn = 1)""".stripMargin
+    def upd(i: Int) =
+      s"""bk$i AS (SELECT a.sub, a.code, x.sd, round(avg(x.v), 6) AS v
+         |  FROM a$i a JOIN sx x ON x.vec_id = a.vec_id AND x.sub = a.sub
+         |  GROUP BY a.sub, a.code, x.sd)""".stripMargin
+    Seq(
+      """ex AS (SELECT vec_id, i - 1 AS d, embedding[i]::DOUBLE AS v
+        |  FROM embeddings CROSS JOIN generate_series(1, 64) t(i))""".stripMargin,
+      "sx AS (SELECT vec_id, d // 8 AS sub, d % 8 AS sd, v FROM ex)",
+      "bk0 AS (SELECT sub, vec_id::INT AS code, sd, v FROM sx WHERE vec_id < 8)",
+      dist(1, "bk0"), asg(1), upd(1),
+      dist(2, "bk1"), asg(2), upd(2),
+      dist(3, "bk2"), asg(3)
     ).mkString(",\n")
   }
 
@@ -295,6 +364,20 @@ object RelationalQueries {
       s"""WITH $kmeansCtes
          |SELECT vec_id, cell FROM asg3 ORDER BY vec_id""".stripMargin,
 
+    // dt is the query's ADC table (squared subspace distances to every
+    // trained codebook entry); a3 carries each corpus vector's 8 codes, so
+    // the approximate distance is the 8-way sum of table lookups — the
+    // same two-step the Spark side runs with dt/codes as plan literals
+    "q97_ann_pq" ->
+      s"""WITH $pqCtes,
+         |dt AS (SELECT b.sub, b.code, sum((q.v - b.v) * (q.v - b.v)) AS d2
+         |  FROM sx q JOIN bk2 b ON b.sub = q.sub AND b.sd = q.sd
+         |  WHERE q.vec_id = 0 GROUP BY b.sub, b.code),
+         |ad AS (SELECT a.vec_id, round(sum(t.d2), 4) AS adist
+         |  FROM a3 a JOIN dt t ON t.sub = a.sub AND t.code = a.code
+         |  GROUP BY a.vec_id)
+         |SELECT vec_id, adist FROM ad ORDER BY adist, vec_id LIMIT 10""".stripMargin,
+
     "q79_ann_ivf_batch" ->
       s"""WITH $kmeansCtes,
          |qprobes AS (SELECT q_id, cell FROM (
@@ -429,6 +512,7 @@ object RelationalQueries {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_ann_ivf" -> annIvf _,
     "q79_ann_ivf_batch" -> annIvfBatch _,
+    "q97_ann_pq" -> annPq _,
     "q55_kmeans_assign" -> kmeansAssign _,
     "q41_asof_join" -> asofJoin _,
     "q42_sessionize" -> sessionize _,

@@ -1404,4 +1404,67 @@ class OperatorSpec extends AnyFunSuite {
       Jsonl.read(spark, s"$dir/bad.json", df.schema, failFast = true).collect()
     }
   }
+
+  test("PQ: seeded books, encode argmin with ties to smallest code, ADC exact") {
+    // m=2 subspaces x dsub=2 dims, ksub=2, iters=0: the codebooks are
+    // vectors 0 and 1's subvectors verbatim — every assignment is
+    // hand-checkable
+    val corpus = Seq(
+      (0L, Array(0.0f, 0.0f, 10.0f, 10.0f)),
+      (1L, Array(4.0f, 4.0f, 0.0f, 0.0f)),
+      (2L, Array(0.5f, 0.5f, 0.2f, 0.0f)),
+      (3L, Array(2.0f, 2.0f, 5.0f, 5.0f)) // both subspaces equidistant
+    ).toDF("vec_id", "embedding")
+    val cb = Similarity.pqCollect(
+      Similarity.pqTrain(corpus, "vec_id", "embedding",
+        m = 2, dsub = 2, ksub = 2, iters = 0), m = 2, dsub = 2, ksub = 2)
+    val enc = Similarity.pqEncode(corpus, "vec_id", "embedding", cb)
+    val codes = enc.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1).toList).toMap
+    assert(codes(0L) == List(0, 0) && codes(1L) == List(1, 1), s"got $codes")
+    assert(codes(2L) == List(0, 1), s"got $codes")
+    assert(codes(3L) == List(0, 0), s"ties must take the smallest code: $codes")
+
+    // ADC distance on the Spark side == m lookups into the same table
+    // replayed driver-side
+    val q = Array(0.5, 0.5, 0.2, 0.0)
+    val dt = cb.distTable(q)
+    val adc = enc.select(col("vec_id"),
+        Similarity.pqAdcDistance(col("pq_code"), cb, q).as("adist"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    codes.foreach { case (id, cs) =>
+      val want = cs.zipWithIndex.map { case (c, s) => dt(s)(c) }.sum
+      assert(math.abs(adc(id) - want) < 1e-9, s"vec $id: ${adc(id)} vs $want")
+    }
+  }
+
+  test("PQ: trained search recovers the query's cluster (recall vs exact L2)") {
+    // 8 tight clusters x 10 members; seeded init picks one vector per
+    // cluster (ids 0..7 are clusters 0..7), 2 Lloyd rounds refine. Exact
+    // and ADC top-10 must both be the query's own cluster.
+    val rnd = new scala.util.Random(11)
+    val centers = Array.fill(8)(Array.fill(16)(rnd.nextDouble() * 10 - 5))
+    val vecs = (0L until 80L).map { i =>
+      val c = centers((i % 8).toInt)
+      (i, c.map(x => (x + rnd.nextGaussian() * 0.1).toFloat))
+    }.toDF("vec_id", "embedding")
+    val cb = Similarity.pqCollect(
+      Similarity.pqTrain(vecs, "vec_id", "embedding",
+        m = 4, dsub = 4, ksub = 8, iters = 2), m = 4, dsub = 4, ksub = 8)
+    val qv = vecs.where(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>"))
+      .head().getSeq[Double](0).toArray
+    val pqTop = Similarity.pqSearchAdc(
+        Similarity.pqEncode(vecs, "vec_id", "embedding", cb),
+        "vec_id", cb, qv, 10)
+      .collect().map(_.getLong(0)).toSet
+    val exactTop = vecs.select(col("vec_id"),
+        Similarity.l2sq(col("embedding").cast("array<double>"),
+          array(qv.map(lit).toIndexedSeq: _*)).as("d2"))
+      .orderBy(col("d2").asc, col("vec_id").asc).limit(10)
+      .collect().map(_.getLong(0)).toSet
+    assert(exactTop == (0L until 80L by 8).toSet, s"exact top-10 $exactTop")
+    assert(pqTop.intersect(exactTop).size >= 8,
+      s"recall@10 too low: pq $pqTop vs exact $exactTop")
+  }
 }

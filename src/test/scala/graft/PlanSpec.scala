@@ -556,6 +556,19 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q97: PQ search is one scan of the code column, no join, no shuffle") {
+    finalPlan("q97_ann_pq") { p =>
+      // codebooks and the query's ADC table are plan-time literals: the
+      // whole search is encode (projection) + fold + TakeOrderedAndProject
+      assert(p.contains("TakeOrderedAndProject"), p.take(1500))
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"encoded scan must not shuffle\n${p.take(1500)}")
+      assert(!p.contains("Join"), s"ADC search must be join-free\n${p.take(1500)}")
+      assert("FileScan parquet".r.findAllIn(p).size == 1,
+        s"one corpus scan\n${p.take(1500)}")
+    }
+  }
+
   test("q93: CUBE plans as one scan + Expand + partial/final hash aggregate") {
     finalPlan("q93_cube_agg") { p =>
       assert(p.contains("Expand"), p.take(1500))
