@@ -13,13 +13,24 @@ import graft.parser.QueryParser
   */
 object TimeSeriesQueries {
 
-  /** events.parquet stores `ts` as parquet TIMESTAMP(NANOS), which Spark 4
-    * rejects by default; read it as a nanos-since-epoch Long instead. The
-    * conf is runtime-settable so this works in any session (driver's too).
-    */
+  /** events.parquet's `ts` column, normalized to a nanos-since-epoch
+    * Long whatever the file's physical type: TIMESTAMP(NANOS) data (which
+    * Spark 4 rejects by default) reads as a nanos Long under the legacy
+    * conf; TIMESTAMP(MICROS) data reads as a timestamp and is converted
+    * (`unix_micros * 1000`). The NTZ cast interprets wall time in the
+    * session zone — every entry point (Verify/Bench/Explain/CLI) pins
+    * `spark.sql.session.timeZone=UTC`, so the epoch is unambiguous and
+    * matches DuckDB's `epoch_ns(ts)` on the same file. The conf is
+    * runtime-settable so this works in any session (driver's too). */
   def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.read.parquet(s"$dir/events.parquet")
+    val raw = s.read.parquet(s"$dir/events.parquet")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => raw
+      case _ => raw.withColumn("ts",
+        unix_micros(col("ts").cast(org.apache.spark.sql.types.TimestampType))
+          * 1000L)
+    }
   }
 
   /** (t, y) series: t = dense ordinal over event_id (distributed
