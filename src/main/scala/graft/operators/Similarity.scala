@@ -716,6 +716,26 @@ object Similarity {
           }
         }
       }
+
+    /** m x ksub DOT-PRODUCT table from `q`'s subvectors to every codebook
+      * entry — the cosine-family ADC ([[Similarity.ivfPqSearch]]):
+      * `dot(q, v) ≈ Σ_s dot(q_s, ce_{s,code_s})`, folded in dimension
+      * order. Absent codes (which no vector can carry) get -inf so they
+      * can never win a descending rank. */
+    def dotTable(q: Array[Double]): Seq[Seq[Double]] =
+      (0 until m).map { s =>
+        val bySub = entries.filter(_._1 == s).map(e => e._2 -> e._3).toMap
+        (0 until ksub).map { c =>
+          bySub.get(c) match {
+            case Some(ce) =>
+              var acc = 0.0
+              var i = 0
+              while (i < dsub) { acc += q(s * dsub + i) * ce(i); i += 1 }
+              acc
+            case None => Double.MinValue
+          }
+        }
+      }
   }
 
   /** Collect a [[pqTrain]] codebook frame driver-side (m x ksub rows —
@@ -747,19 +767,23 @@ object Similarity {
   private def litArr2i(xs: Seq[Seq[Int]]): Column =
     array(xs.map(i => array(i.map(lit): _*)): _*)
 
-  def pqEncode(vecs: DataFrame, id: String, emb: String,
-      cb: PqCodebooks): DataFrame = {
+  /** The encode EXPRESSION ([[pqEncode]]'s column form — composable into
+    * a wider projection, e.g. [[ivfPqBuild]]'s single build scan). */
+  def pqEncodeCol(emb: Column, cb: PqCodebooks): Column = {
     val bk = litArr3d(cb.dense)
     val cid = litArr2i(cb.ids)
-    val v = col(emb).cast("array<double>")
-    val codes = transform(sequence(lit(0), lit(cb.m - 1)), s => {
+    val v = emb.cast("array<double>")
+    transform(sequence(lit(0), lit(cb.m - 1)), s => {
       val sl = slice(v, s * cb.dsub + 1, lit(cb.dsub))
       val dists = transform(element_at(bk, s + 1), ce => l2sq(sl, ce))
       element_at(element_at(cid, s + 1),
         array_position(dists, array_min(dists)).cast("int"))
     })
-    vecs.select(col(id), codes.as("pq_code"))
   }
+
+  def pqEncode(vecs: DataFrame, id: String, emb: String,
+      cb: PqCodebooks): DataFrame =
+    vecs.select(col(id), pqEncodeCol(col(emb), cb).as("pq_code"))
 
   /** Asymmetric-distance column over a `pq_code` column: m lookups into
     * the query's literal distance table + a fold — no join, no shuffle,
@@ -780,4 +804,105 @@ object Similarity {
     codes.select(col(id), pqAdcDistance(col("pq_code"), cb, query).as("adist"))
       .orderBy(col("adist").asc, col(id).asc)
       .limit(topK)
+
+  /** ADC shortlist + exact re-rank — the standard two-stage PQ retrieval
+    * (Jegou et al. 2011 §V.A): the code scan ranks the WHOLE corpus by
+    * approximate distance (cheap — m byte-ish lookups per row, 32x fewer
+    * bytes read than the float corpus) and only the `shortlist` survivors
+    * are re-scored against their true float vectors. The re-rank join is
+    * a broadcast of the shortlist ids (`shortlist` rows — tiny), so the
+    * float side is one scan with a broadcast hash join, never a shuffle;
+    * at 100 TB the float fetch is the only full-width read and it is
+    * amortized over every query in a batch. Exact metric = squared L2
+    * (the metric ADC approximates — metric-consistent by construction).
+    * Emits `(id, d2)` ascending, ties to the smallest id. */
+  def pqSearchRerank(vecs: DataFrame, id: String, emb: String,
+      cb: PqCodebooks, query: Array[Double],
+      shortlist: Int, topK: Int): DataFrame = {
+    val short = pqSearchAdc(pqEncode(vecs, id, emb, cb), id, cb, query,
+      shortlist).select(col(id))
+    vecs.join(broadcast(short), id)
+      .select(col(id),
+        round(l2sq(col(emb).cast("array<double>"),
+          array(query.toIndexedSeq.map(lit): _*)), 4).as("d2"))
+      .orderBy(col("d2").asc, col(id).asc)
+      .limit(topK)
+  }
+
+  // ---- IVF-PQ (IVFADC, Jegou et al. 2011 §IV) ----
+  //
+  // The production composition of the two indexes: the coarse IVF
+  // quantizer prunes the scan to nprobe cell PARTITIONS and the PQ codes
+  // shrink what that scan reads to m small ints per row. Two knobs, two
+  // axes: nprobe bounds how much of the corpus is touched, m/ksub bound
+  // how many bytes per touched row. Vectors are encoded RAW (FAISS
+  // `by_residual=false`): the same session codebooks serve both the
+  // full-corpus ADC (q97) and the pruned ADC, and the oracle replays one
+  // training chain instead of per-cell residual books. The ranking metric
+  // is the cosine family the IVF index already uses: exact per-vector
+  // norms are stored at build time (like [[ivfBuild]]) and only the DOT
+  // product is PQ-approximated ([[PqCodebooks.dotTable]]), so
+  // `acos = adcDot(q, code) / (norm_v * norm_q)` — cells are probed and
+  // rows ranked under ONE metric.
+
+  /** A materialized IVF-PQ index: `corpus` holds `(id, norm, pq_code)`
+    * partitioned by `cell` (no float vectors — the full-width corpus
+    * stays wherever it lives; re-ranking against it is
+    * [[pqSearchRerank]]'s job), `centroids` the trained coarse quantizer
+    * with norms. */
+  final case class IvfPqIndex(spark: SparkSession, path: String, id: String) {
+    def corpus: DataFrame = spark.read.parquet(s"$path/corpus")
+    def centroids: DataFrame = spark.read.parquet(s"$path/centroids")
+  }
+
+  /** Build and persist the IVF-PQ index: ONE corpus scan computes the
+    * exact self-norm and the PQ encode (both map-only — the codebooks
+    * are plan literals) and joins the cell assignment ([[assignCells]]
+    * against `centroids`, default = [[kmeansCentroids]] training),
+    * written bucketed by `cell`. */
+  def ivfPqBuild(spark: SparkSession, vecs: DataFrame, id: String,
+      emb: String, k: Int, cb: PqCodebooks, path: String,
+      trainIters: Int = 2, centroids: Option[DataFrame] = None): IvfPqIndex = {
+    def dot(x: Column, y: Column): Column = graft.functions.DotProduct.dot_product(x, y)
+    val cents = centroids.map(graft.engine.Checkpoints.mark)
+      .getOrElse(kmeansCentroids(vecs, id, emb, k, trainIters))
+    vecs.select(col(id),
+        sqrt(dot(col(emb).cast("array<double>"), col(emb).cast("array<double>")))
+          .as("norm"),
+        pqEncodeCol(col(emb), cb).as("pq_code"))
+      .join(assignCells(vecs, id, emb, cents), id)
+      .select(col(id), col("norm"), col("pq_code"), col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/corpus")
+    cents.withColumn("cnorm", sqrt(dot(col("ce"), col("ce"))))
+      .write.mode("overwrite").parquet(s"$path/centroids")
+    graft.engine.Checkpoints.release(cents)
+    IvfPqIndex(spark, path, id)
+  }
+
+  /** IVF-PQ search: probe the `nprobe` best cells by EXACT query-centroid
+    * cosine (k-row plan, like [[ivfSearchIndexed]]), then ONE
+    * partition-pruned scan of the probed cells' code column ranks by
+    * `adcDot / (norm * qnorm)` into TakeOrderedAndProject — no join, no
+    * shuffle, and the scan reads m ints + one double per row instead of
+    * the float vector. Emits `(id, acos)` descending. */
+  def ivfPqSearch(idx: IvfPqIndex, cb: PqCodebooks, query: Array[Double],
+      nprobe: Int, topK: Int): DataFrame = {
+    def dot(x: Column, y: Column): Column = graft.functions.DotProduct.dot_product(x, y)
+    val q = lit(query)
+    val qn = math.sqrt(query.map(x => x * x).sum)
+    val cells = idx.centroids
+      .select(col("cell"), (dot(col("ce"), q) / col("cnorm") / qn).as("pc"))
+      .orderBy(col("pc").desc, col("cell"))
+      .limit(nprobe)
+      .collect().map(_.get(0))
+    val dt = litArr2d(cb.dotTable(query))
+    val adcDot = aggregate(
+      zip_with(col("pq_code"), sequence(lit(0), lit(cb.m - 1)),
+        (c, s) => element_at(element_at(dt, s + 1), c + 1)),
+      lit(0.0), (acc, e) => acc + e)
+    idx.corpus.where(col("cell").isin(cells.toIndexedSeq: _*))
+      .select(col(idx.id), round(adcDot / col("norm") / qn, 4).as("acos"))
+      .orderBy(col("acos").desc, col(idx.id).asc)
+      .limit(topK)
+  }
 }

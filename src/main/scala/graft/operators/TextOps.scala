@@ -607,4 +607,64 @@ object TextOps {
           log(col("__t") / coalesce(col("c"), lit(oovCount)).cast("double")))
           / sum("tf"), 4).as("xent"))
   }
+
+  /** The stopword list Gopher's "required words" rule draws from (Rae et
+    * al. 2021, Table A1: a document must contain at least N of these). */
+  val GopherStops: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Gopher-style document quality rules (Rae et al. 2021, "Scaling
+    * Language Models: ... Gopher", Table A1) — the word-count bounds,
+    * mean-word-length window, symbol-to-word ratio (`#` and `...`),
+    * bullet-line / ellipsis-line fractions, alphabetic-word ratio, and
+    * required-stopword count, plus the conjunction `keep` flag. Entirely
+    * map-only column arithmetic over the token/line arrays (no explode,
+    * no shuffle, no UDF); ratios are 4-dp-rounded and `keep` is derived
+    * from the ROUNDED values so any engine replaying the arithmetic
+    * reaches the identical boolean. At 100 TB this is a projection — it
+    * composes into any scan at zero extra passes. */
+  def gopherFlags(df: DataFrame, text: String, id: String,
+      minWords: Int = 50, maxWords: Int = 100000,
+      minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
+      maxSymbolRatio: Double = 0.1, maxBulletRatio: Double = 0.9,
+      maxEllipsisRatio: Double = 0.3, minAlphaRatio: Double = 0.8,
+      minStopwordHits: Int = 2): DataFrame = {
+    val t = col(text)
+    val toks = tokens(t)
+    val nWords = size(toks).cast("double")
+    val meanLen = round(
+      aggregate(transform(toks, w => length(w).cast("long")), lit(0L),
+        (a, e) => a + e).cast("double") / nWords, 4)
+    // '#' occurrences + '...' occurrences (counted non-overlapping, the
+    // replace-and-diff form both engines compute identically)
+    val nHash = length(t) - length(regexp_replace(t, "#", ""))
+    val nEll = (length(t) - length(regexp_replace(t, "\\.\\.\\.", ""))) / 3
+    val symbolRatio = round((nHash + nEll).cast("double") / nWords, 4)
+    // line rules on the RAW text (bullets/ellipses are case-exact)
+    val lines = split(t, "\n")
+    val nLines = size(lines).cast("double")
+    val bulletRatio = round(size(filter(lines, l => {
+      val s = ltrim(l)
+      s.startsWith("- ") || s.startsWith("* ") || s.startsWith("•")
+    })).cast("double") / nLines, 4)
+    val ellipsisRatio = round(size(filter(lines,
+      l => l.endsWith("..."))).cast("double") / nLines, 4)
+    val alphaRatio = round(size(filter(toks,
+      w => w.rlike("[a-z]"))).cast("double") / nWords, 4)
+    val stops = array(GopherStops.map(lit): _*)
+    val stopHits = size(filter(stops, s => array_contains(toks, s)))
+    df.select(col(id),
+        size(toks).as("n_words"), meanLen.as("mean_word_len"),
+        symbolRatio.as("symbol_ratio"), bulletRatio.as("bullet_ratio"),
+        ellipsisRatio.as("ellipsis_ratio"), alphaRatio.as("alpha_ratio"),
+        stopHits.as("stop_hits"))
+      .withColumn("keep",
+        col("n_words").between(minWords, maxWords) &&
+        col("mean_word_len").between(minMeanLen, maxMeanLen) &&
+        col("symbol_ratio") <= maxSymbolRatio &&
+        col("bullet_ratio") <= maxBulletRatio &&
+        col("ellipsis_ratio") <= maxEllipsisRatio &&
+        col("alpha_ratio") >= minAlphaRatio &&
+        col("stop_hits") >= minStopwordHits)
+  }
 }

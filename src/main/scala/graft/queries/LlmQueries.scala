@@ -1002,6 +1002,19 @@ object LlmQueries {
   def unigramXentQ(s: SparkSession, d: String): DataFrame =
     TextOps.unigramXent(docs(s, d), "text", "doc_id").orderBy("doc_id")
 
+  /** q100 — Gopher document-quality rules ([[TextOps.gopherFlags]]): the
+    * published heuristic battery (word-count bounds, mean word length,
+    * symbol ratio, bullet/ellipsis line fractions, alphabetic-word
+    * ratio, required stopwords) as ONE map-only projection. Thresholds
+    * tuned to split this corpus (minWords=40 keeps ~2/3;
+    * minStopwordHits=1 because the synthetic vocabulary carries only
+    * 'the'/'a' from the required list); everything else at the paper's
+    * defaults. The oracle replays every rule token-by-token. */
+  def gopherRulesQ(s: SparkSession, d: String): DataFrame =
+    TextOps.gopherFlags(docs(s, d), "text", "doc_id",
+      minWords = 40, minStopwordHits = 1)
+      .orderBy("doc_id")
+
   /** q95 — FROZEN-LM scoring ([[TextOps.unigramXentAgainst]]): the
     * train/apply split q91 folds together — the model is the unigram
     * counts of the EVEN doc_ids only, and the ODD docs (which never
@@ -1272,6 +1285,44 @@ object LlmQueries {
          |SELECT a, b, edit_dist, edit_sim FROM sc
          |WHERE edit_sim >= $EditMinSim ORDER BY a, b""".stripMargin
     },
+
+    // every rule recomputed token-by-token / line-by-line: a = the
+    // word-level aggregates, li = the line rules, sy = the raw-text
+    // symbol counts ('...' counted non-overlapping via replace-and-diff
+    // like the Spark side), keep = the same conjunction over the same
+    // 4-dp-rounded values
+    "q100_gopher_rules" ->
+      """WITH tok AS (SELECT doc_id,
+        |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+        |  FROM documents),
+        |a AS (SELECT doc_id, count(*)::INT AS n_words,
+        |    round(sum(length(w))::DOUBLE / count(*), 4) AS mean_word_len,
+        |    round(sum(CASE WHEN regexp_matches(w, '[a-z]') THEN 1 ELSE 0 END)::DOUBLE
+        |      / count(*), 4) AS alpha_ratio,
+        |    count(DISTINCT CASE WHEN w IN ('the','be','to','of','and','that',
+        |      'have','with') THEN w END)::INT AS stop_hits
+        |  FROM tok GROUP BY doc_id),
+        |li AS (SELECT doc_id, count(*) AS n_lines,
+        |    sum(CASE WHEN ltrim(l) LIKE '- %' OR ltrim(l) LIKE '* %'
+        |      OR ltrim(l) LIKE '•%' THEN 1 ELSE 0 END) AS n_bullet,
+        |    sum(CASE WHEN l LIKE '%...' THEN 1 ELSE 0 END) AS n_ell
+        |  FROM (SELECT doc_id, unnest(string_split(text, chr(10))) AS l
+        |    FROM documents) GROUP BY doc_id),
+        |sy AS (SELECT doc_id,
+        |    length(text) - length(replace(text, '#', ''))
+        |      + (length(text) - length(replace(text, '...', ''))) // 3 AS n_sym
+        |  FROM documents),
+        |r AS (SELECT a.doc_id, a.n_words, a.mean_word_len,
+        |    round(sy.n_sym::DOUBLE / a.n_words, 4) AS symbol_ratio,
+        |    round(li.n_bullet::DOUBLE / li.n_lines, 4) AS bullet_ratio,
+        |    round(li.n_ell::DOUBLE / li.n_lines, 4) AS ellipsis_ratio,
+        |    a.alpha_ratio, a.stop_hits
+        |  FROM a JOIN li USING (doc_id) JOIN sy USING (doc_id))
+        |SELECT r.*, (n_words BETWEEN 40 AND 100000
+        |  AND mean_word_len BETWEEN 3.0 AND 10.0 AND symbol_ratio <= 0.1
+        |  AND bullet_ratio <= 0.9 AND ellipsis_ratio <= 0.3
+        |  AND alpha_ratio >= 0.8 AND stop_hits >= 1) AS keep
+        |FROM r ORDER BY doc_id""".stripMargin,
 
     "q91_unigram_xent" ->
       """WITH tok AS (SELECT doc_id,
@@ -1943,6 +1994,7 @@ object LlmQueries {
     "q57_dedup_capped_verified" -> dedupCappedVerified _,
     "q90_dedup_edit_verify" -> dedupEditVerified _,
     "q91_unigram_xent" -> unigramXentQ _,
+    "q100_gopher_rules" -> gopherRulesQ _,
     "q95_unigram_xent_frozen" -> unigramXentFrozen _,
     "q96_repeated_spans" -> repeatedSpansQ _,
     "q92_ann_sq8" -> annSq8 _,

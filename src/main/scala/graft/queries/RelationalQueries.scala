@@ -125,12 +125,65 @@ object RelationalQueries {
       .limit(10)
   }
 
+  /** Per-directory memo of the materialized IVF-PQ index: the same
+    * session-trained coarse centroids as [[ivfIndex]] (one Lloyd run
+    * serves both indexes — and the oracle's single `kmeansCtes` replay
+    * covers both) and the same session codebooks as [[pqBooks]]. */
+  private val ivfPqCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Similarity.IvfPqIndex]()
+
+  private def ivfPqIndex(s: SparkSession, d: String): Similarity.IvfPqIndex =
+    ivfPqCache.compute(d, (_, cur) => {
+      if (cur != null && (cur.spark eq s)) cur
+      else {
+        val h = graft.engine.IndexCache.md5Key(d, 8)
+        val path = s"${sys.props("java.io.tmpdir")}/graft_ivfpq_$h"
+        graft.cli.Cleanup.deleteOnExit(path)
+        Similarity.ivfPqBuild(s, t(s, d, "embeddings"), "vec_id", "embedding",
+          k = 8, cb = pqBooks(s, d), path = path,
+          centroids = Some(ivfIndex(s, d).centroids.drop("cnorm")))
+      }
+    })
+
+  /** IVF-PQ search (q98 — IVFADC, the production composition): probe the
+    * 2 best trained cells for query vec 0 by EXACT centroid cosine, then
+    * ONE partition-pruned scan of the probed cells' PQ codes ranks by
+    * `adcDot / (norm · qnorm)` — the dot product is the only approximated
+    * factor (norms are exact build-time columns), so cells are formed,
+    * probed, and rows ranked under one cosine metric. The oracle replays
+    * coarse training + PQ training in a single WITH (shared `ex`). */
+  def annIvfPq(s: SparkSession, d: String): DataFrame = {
+    val idx = ivfPqIndex(s, d)
+    val cb = pqBooks(s, d)
+    val qv = t(s, d, "embeddings").where(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>"))
+      .head().getSeq[Double](0).toArray
+    Similarity.ivfPqSearch(idx, cb, qv, nprobe = 2, topK = 10)
+  }
+
+  /** PQ shortlist + exact re-rank (q99 — the two-stage retrieval): the
+    * ADC code scan shortlists 50 candidates for query vec 0, only those
+    * are re-scored against their true float vectors (broadcast id join —
+    * never a shuffle), exact squared L2, top-10. Metric-consistent:
+    * the re-rank computes exactly what ADC approximates. */
+  def annPqRerank(s: SparkSession, d: String): DataFrame = {
+    val cb = pqBooks(s, d)
+    val v = t(s, d, "embeddings")
+    val qv = v.where(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>"))
+      .head().getSeq[Double](0).toArray
+    Similarity.pqSearchRerank(v, "vec_id", "embedding", cb, qv,
+      shortlist = 50, topK = 10)
+  }
+
   /** CTE chain replaying `kmeansCentroids(k=8, iters=2)` plus the final
     * corpus assignment (`asg3` = the cell column IVF partitions by):
     * `cent0` = seeded init, `simN`/`asgN`/`centN` = iteration N's cosines,
     * argmax assignment, and 6-dp-rounded mean update. Shared by the q40 and
     * q55 oracles. */
-  private def kmeansCtes: String = {
+  private def kmeansCtes: String = exCte + ",\n" + kmeansCtesTail
+
+  private def kmeansCtesTail: String = {
     def sim(i: Int, cent: String) =
       s"""sim$i AS (SELECT e.vec_id, c.cell,
          |    sum(e.v * c.v) / sqrt(sum(e.v * e.v)) / sqrt(sum(c.v * c.v)) AS cs
@@ -143,8 +196,6 @@ object RelationalQueries {
       s"""cent$i AS (SELECT a.cell, e.d, round(avg(e.v), 6) AS v
          |  FROM asg$i a JOIN ex e USING (vec_id) GROUP BY a.cell, e.d)""".stripMargin
     Seq(
-      """ex AS (SELECT vec_id, i - 1 AS d, embedding[i]::DOUBLE AS v
-        |  FROM embeddings CROSS JOIN generate_series(1, 64) t(i))""".stripMargin,
       "cent0 AS (SELECT vec_id AS cell, d, v FROM ex WHERE vec_id < 8)",
       sim(1, "cent0"), asg(1), cent(1),
       sim(2, "cent1"), asg(2), cent(2),
@@ -159,7 +210,7 @@ object RelationalQueries {
     * subspace distances, argmin assignment (ties to the smallest code),
     * and 6-dp-rounded mean update; `a3` = the pq codes
     * ([[Similarity.pqEncode]] against the trained books). */
-  private def pqCtes: String = {
+  private def pqCtesTail: String = {
     def dist(i: Int, bk: String) =
       s"""d$i AS (SELECT x.vec_id, x.sub, b.code,
          |    sum((x.v - b.v) * (x.v - b.v)) AS d2
@@ -175,8 +226,6 @@ object RelationalQueries {
          |  FROM a$i a JOIN sx x ON x.vec_id = a.vec_id AND x.sub = a.sub
          |  GROUP BY a.sub, a.code, x.sd)""".stripMargin
     Seq(
-      """ex AS (SELECT vec_id, i - 1 AS d, embedding[i]::DOUBLE AS v
-        |  FROM embeddings CROSS JOIN generate_series(1, 64) t(i))""".stripMargin,
       "sx AS (SELECT vec_id, d // 8 AS sub, d % 8 AS sd, v FROM ex)",
       "bk0 AS (SELECT sub, vec_id::INT AS code, sd, v FROM sx WHERE vec_id < 8)",
       dist(1, "bk0"), asg(1), upd(1),
@@ -184,6 +233,15 @@ object RelationalQueries {
       dist(3, "bk2"), asg(3)
     ).mkString(",\n")
   }
+
+  /** `ex` — the exploded `(vec_id, d, v)` layout both the k-means and PQ
+    * chains start from (factored out so q98 can compose the two chains in
+    * one WITH without a duplicate CTE name). */
+  private val exCte: String =
+    """ex AS (SELECT vec_id, i - 1 AS d, embedding[i]::DOUBLE AS v
+      |  FROM embeddings CROSS JOIN generate_series(1, 64) t(i))""".stripMargin
+
+  private def pqCtes: String = exCte + ",\n" + pqCtesTail
 
   /** Backward as-of join: each click matched to the user's latest
     * at-or-before error event (inner semantics: unmatched clicks dropped so
@@ -378,6 +436,52 @@ object RelationalQueries {
          |  GROUP BY a.vec_id)
          |SELECT vec_id, adist FROM ad ORDER BY adist, vec_id LIMIT 10""".stripMargin,
 
+    // coarse (kmeans) and PQ training replay side by side off one shared
+    // `ex`; probes = the 2 best cells by exact centroid cosine, dt = the
+    // query's per-(sub, code) DOT table, and the ranked value divides the
+    // ADC dot by the exact vector/query norms — the same three factors
+    // the Spark scan computes from (norm, pq_code)
+    "q98_ann_ivfpq" ->
+      s"""WITH $kmeansCtes,
+         |$pqCtesTail,
+         |qn AS (SELECT sqrt(sum(v * v)) AS n FROM ex WHERE vec_id = 0),
+         |vn AS (SELECT vec_id, sqrt(sum(v * v)) AS n FROM ex GROUP BY vec_id),
+         |probes AS (SELECT cell FROM (
+         |  SELECT c.cell, sum(c.v * q.v) / sqrt(sum(c.v * c.v)) AS dp
+         |  FROM cent2 c JOIN ex q ON q.d = c.d AND q.vec_id = 0
+         |  GROUP BY c.cell ORDER BY dp DESC, cell LIMIT 2)),
+         |dt AS (SELECT b.sub, b.code, sum(q.v * b.v) AS dp
+         |  FROM sx q JOIN bk2 b ON b.sub = q.sub AND b.sd = q.sd
+         |  WHERE q.vec_id = 0 GROUP BY b.sub, b.code),
+         |ad AS (SELECT a.vec_id, sum(t.dp) AS adp
+         |  FROM a3 a JOIN dt t ON t.sub = a.sub AND t.code = a.code
+         |  GROUP BY a.vec_id)
+         |SELECT g.vec_id,
+         |  round(ad.adp / vn.n / (SELECT n FROM qn), 4) AS acos
+         |FROM asg3 g
+         |JOIN ad ON ad.vec_id = g.vec_id
+         |JOIN vn ON vn.vec_id = g.vec_id
+         |WHERE g.cell IN (SELECT cell FROM probes)
+         |ORDER BY acos DESC, g.vec_id LIMIT 10""".stripMargin,
+
+    // short = the ADC top-50 (q97's chain, wider limit); the re-rank
+    // joins only those ids back to the float rows and computes exact
+    // squared L2 in dimension order
+    "q99_ann_pq_rerank" ->
+      s"""WITH $pqCtes,
+         |dt AS (SELECT b.sub, b.code, sum((q.v - b.v) * (q.v - b.v)) AS d2
+         |  FROM sx q JOIN bk2 b ON b.sub = q.sub AND b.sd = q.sd
+         |  WHERE q.vec_id = 0 GROUP BY b.sub, b.code),
+         |ad AS (SELECT a.vec_id, sum(t.d2) AS adist
+         |  FROM a3 a JOIN dt t ON t.sub = a.sub AND t.code = a.code
+         |  GROUP BY a.vec_id),
+         |short AS (SELECT vec_id FROM ad ORDER BY adist, vec_id LIMIT 50),
+         |r AS (SELECT x.vec_id, round(sum((x.v - q.v) * (x.v - q.v)), 4) AS d2
+         |  FROM ex x JOIN short s ON s.vec_id = x.vec_id
+         |  JOIN ex q ON q.d = x.d AND q.vec_id = 0
+         |  GROUP BY x.vec_id)
+         |SELECT vec_id, d2 FROM r ORDER BY d2, vec_id LIMIT 10""".stripMargin,
+
     "q79_ann_ivf_batch" ->
       s"""WITH $kmeansCtes,
          |qprobes AS (SELECT q_id, cell FROM (
@@ -513,6 +617,8 @@ object RelationalQueries {
     "q40_ann_ivf" -> annIvf _,
     "q79_ann_ivf_batch" -> annIvfBatch _,
     "q97_ann_pq" -> annPq _,
+    "q98_ann_ivfpq" -> annIvfPq _,
+    "q99_ann_pq_rerank" -> annPqRerank _,
     "q55_kmeans_assign" -> kmeansAssign _,
     "q41_asof_join" -> asofJoin _,
     "q42_sessionize" -> sessionize _,

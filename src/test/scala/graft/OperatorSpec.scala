@@ -1438,6 +1438,107 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("Gopher rules: every rule fires on its crafted violator") {
+    val good = ("the quick brown fox jumps over with lazy dogs today " * 6).trim
+    val fx = Seq(
+      (1L, good),                                  // 60 words, clean prose
+      (2L, "the end with"),                        // word-count floor
+      (3L, "a # b ... c"),                         // symbols
+      (4L, "- one\n- two\n* three\n• four\nplain"), // 4/5 bullet lines
+      (5L, "first...\nsecond...\nthird"),          // 2/3 ellipsis lines
+      (6L, "aa bb cc"),                            // mean word length 2.0
+      (7L, "123 456 7 8 abc"),                     // alpha ratio 0.2
+      (8L, "the of and extra words")               // 3 required stopwords
+    ).toDF("doc_id", "text")
+    val g = TextOps.gopherFlags(fx, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(g(1L).getAs[Boolean]("keep"), s"good doc must keep: ${g(1L)}")
+    assert(g(1L).getAs[Int]("n_words") == 60)
+    assert(!g(2L).getAs[Boolean]("keep") && g(2L).getAs[Int]("stop_hits") == 2)
+    assert(g(3L).getAs[Double]("symbol_ratio") == 0.4, g(3L).toString) // (1+1)/5
+    assert(g(4L).getAs[Double]("bullet_ratio") == 0.8, g(4L).toString)
+    assert(g(5L).getAs[Double]("ellipsis_ratio") == 0.6667, g(5L).toString)
+    assert(g(6L).getAs[Double]("mean_word_len") == 2.0)
+    assert(g(7L).getAs[Double]("alpha_ratio") == 0.2, g(7L).toString)
+    assert(g(8L).getAs[Int]("stop_hits") == 3)
+  }
+
+  test("IVF-PQ: nprobe=k search equals the full ADC-dot ranking; pruning drops only unprobed cells") {
+    // 4 tight clusters x 8 members in 8 dims; m=2/dsub=4/ksub=4
+    val rnd = new scala.util.Random(7)
+    val centers = Array.fill(4)(Array.fill(8)(rnd.nextDouble() * 10 - 5))
+    val vecs = (0L until 32L).map { i =>
+      val c = centers((i % 4).toInt)
+      (i, c.map(x => (x + rnd.nextGaussian() * 0.1).toFloat))
+    }.toDF("vec_id", "embedding")
+    val cb = Similarity.pqCollect(
+      Similarity.pqTrain(vecs, "vec_id", "embedding",
+        m = 2, dsub = 4, ksub = 4, iters = 2), m = 2, dsub = 4, ksub = 4)
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq").toString
+    val idx = Similarity.ivfPqBuild(spark, vecs, "vec_id", "embedding",
+      k = 4, cb = cb, path = dir)
+    val qv = vecs.where(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>"))
+      .head().getSeq[Double](0).toArray
+    // probing ALL cells = the unpruned ADC-cosine ranking over the corpus
+    val all = Similarity.ivfPqSearch(idx, cb, qv, nprobe = 4, topK = 32)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1))
+    val dt = cb.dotTable(qv)
+    val qn = math.sqrt(qv.map(x => x * x).sum)
+    val norms = vecs.select(col("vec_id"),
+        Similarity.l2sq(col("embedding").cast("array<double>"),
+          array((0 until 8).map(_ => lit(0.0)): _*)).as("n2"))
+      .collect().map(r => r.getLong(0) -> math.sqrt(r.getDouble(1))).toMap
+    val codes = Similarity.pqEncode(vecs, "vec_id", "embedding", cb)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val want = codes.map { case (id, cs) =>
+      id -> BigDecimal(cs.zipWithIndex.map { case (c, s) => dt(s)(c) }.sum
+        / norms(id) / qn).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    all.foreach { case (id, acos) =>
+      assert(math.abs(acos - want(id)) <= 1e-4, s"vec $id: $acos vs ${want(id)}")
+    }
+    // nprobe=1 returns only the query's own cell — a strict subset, led
+    // by the same best hit
+    val pruned = Similarity.ivfPqSearch(idx, cb, qv, nprobe = 1, topK = 32)
+      .collect().map(_.getLong(0)).toSet
+    assert(pruned.subsetOf(all.map(_._1).toSet) && pruned.size < 32)
+    assert(pruned.contains(all.maxBy(_._2)._1),
+      s"best overall hit must live in the probed cell: $pruned")
+  }
+
+  test("PQ re-rank: shortlist=corpus equals exact L2; narrow shortlist stays exact on survivors") {
+    val rnd = new scala.util.Random(13)
+    val vecs = (0L until 40L)
+      .map(i => (i, Array.fill(8)((rnd.nextDouble() * 4 - 2).toFloat)))
+      .toDF("vec_id", "embedding")
+    val cb = Similarity.pqCollect(
+      Similarity.pqTrain(vecs, "vec_id", "embedding",
+        m = 2, dsub = 4, ksub = 4, iters = 1), m = 2, dsub = 4, ksub = 4)
+    val qv = vecs.where(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>"))
+      .head().getSeq[Double](0).toArray
+    // an all-corpus shortlist degenerates to exact L2 top-k
+    val exact = vecs.select(col("vec_id"),
+        round(Similarity.l2sq(col("embedding").cast("array<double>"),
+          array(qv.toIndexedSeq.map(lit): _*)), 4).as("d2"))
+      .orderBy(col("d2").asc, col("vec_id").asc).limit(10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toList
+    val full = Similarity.pqSearchRerank(vecs, "vec_id", "embedding", cb, qv,
+        shortlist = 40, topK = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toList
+    assert(full == exact, s"$full vs $exact")
+    // a narrow shortlist returns exact distances for whatever survives ADC
+    val narrow = Similarity.pqSearchRerank(vecs, "vec_id", "embedding", cb, qv,
+        shortlist = 15, topK = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    val exactAll = exact.toMap
+    narrow.foreach { case (id, d2) =>
+      exactAll.get(id).foreach(e => assert(d2 == e, s"vec $id: $d2 vs $e"))
+    }
+    assert(narrow.contains(0L) && narrow(0L) == 0.0, "self-match must survive")
+  }
+
   test("PQ: trained search recovers the query's cluster (recall vs exact L2)") {
     // 8 tight clusters x 10 members; seeded init picks one vector per
     // cluster (ids 0..7 are clusters 0..7), 2 Lloyd rounds refine. Exact

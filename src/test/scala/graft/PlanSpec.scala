@@ -556,6 +556,49 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q100: Gopher rules are one map-only projection over one scan") {
+    finalPlan("q100_gopher_rules") { p =>
+      assert("FileScan parquet".r.findAllIn(p).size == 1, p.take(1500))
+      assert(!p.contains("Join"), s"rules must not join\n${p.take(1500)}")
+      // only the display sort exchanges; the rules themselves are a
+      // projection (no aggregate, no hash exchange)
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"rules must be map-only\n${p.take(1500)}")
+      assert(!p.contains("HashAggregate"),
+        s"token/line rules fold inside the projection\n${p.take(1500)}")
+    }
+  }
+
+  test("q98: IVF-PQ search partition-prunes to the probed cells, no join, no shuffle") {
+    finalPlan("q98_ann_ivfpq") { p =>
+      // the probe plan collected the 2 best cells as literals — the code
+      // scan reads only those cell partitions
+      assert(p.contains("PartitionFilters: [cell"), p.take(1500))
+      assert(p.contains("TakeOrderedAndProject"), p.take(1500))
+      // ADC dot + stored norms are a projection over the pruned scan:
+      // no join, no exchange anywhere in the search
+      assert(!p.contains("Join"), s"ADC search must be join-free\n${p.take(1500)}")
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"pruned code scan must not shuffle\n${p.take(1500)}")
+      // and the scan reads codes + norm, never the float embedding column
+      assert(!p.contains("embedding"),
+        s"IVF-PQ search must not touch float vectors\n${p.take(1500)}")
+    }
+  }
+
+  test("q99: PQ re-rank fetches the shortlist through a broadcast join, no shuffle") {
+    finalPlan("q99_ann_pq_rerank") { p =>
+      // stage 1: corpus-wide ADC shortlist (TakeOrderedAndProject);
+      // stage 2: float re-rank of the 50 survivors via broadcast id join
+      assert(p.contains("BroadcastHashJoin"), p.take(1500))
+      assert(p.contains("TakeOrderedAndProject"), p.take(1500))
+      assert(!p.contains("SortMergeJoin"),
+        s"shortlist join must broadcast\n${p.take(1500)}")
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"re-rank must not shuffle\n${p.take(1500)}")
+    }
+  }
+
   test("q97: PQ search is one scan of the code column, no join, no shuffle") {
     finalPlan("q97_ann_pq") { p =>
       // codebooks and the query's ADC table are plan-time literals: the
