@@ -608,6 +608,66 @@ object TextOps {
           / sum("tf"), 4).as("xent"))
   }
 
+  /** DSIR importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): per-document
+    * log-likelihood ratio between a TARGET distribution (the data you
+    * want more of — a high-quality subset, a domain) and the RAW pool's
+    * own distribution, over unigram features:
+    * `dsir = Σ_w tf_w · (ln(p_target(w)) − ln(p_raw(w)))`. Selecting
+    * top-weight documents importance-resamples the pool toward the
+    * target. Target-OOV tokens back off to count `oovCount` (the q95
+    * hapax discipline); raw counts are derived from the SAME per-doc tf
+    * frame being scored, so every scored token has a raw count by
+    * construction.
+    *
+    * Shuffle discipline mirrors [[unigramXent]]: per-doc tf is the FIRST
+    * (map-side-combinable) aggregate so document text never shuffles;
+    * the raw model is a vocab-sized re-agg of tf; the target model and
+    * both 1-row totals join as broadcasts. At 100 TB the only
+    * corpus-sized exchanges carry `(id, w, tf)`. */
+  def dsirWeights(raw: DataFrame, target: DataFrame, text: String,
+      id: String, oovCount: Long = 1L): DataFrame = {
+    val tgtModel = unigramModel(target, text)
+    val tTot = tgtModel.agg(sum("c").cast("double").as("__tt"))
+    val tf = raw.where(col(text).isNotNull)
+      .select(col(id), explode(tokens(col(text))).as("w"))
+      .groupBy(col(id), col("w")).agg(count(lit(1)).as("tf"))
+    val rawModel = tf.groupBy("w").agg(sum("tf").as("rc"))
+    val rTot = rawModel.agg(sum("rc").cast("double").as("__rt"))
+    tf.join(broadcast(tgtModel.withColumnRenamed("c", "tc")), Seq("w"), "left")
+      .join(broadcast(rawModel), Seq("w"))
+      .crossJoin(broadcast(tTot))
+      .crossJoin(broadcast(rTot))
+      .groupBy(col(id))
+      .agg(sum("tf").as("n_tokens"),
+        round(sum(col("tf").cast("double") *
+          (log(coalesce(col("tc"), lit(oovCount)).cast("double") / col("__tt"))
+            - log(col("rc").cast("double") / col("__rt")))), 4).as("dsir"))
+  }
+
+  /** Deterministic weighted sampling (Efraimidis & Spirakis 2006,
+    * algorithm A-ES): each row draws `key = -ln(u) / w` where `u ∈ (0,1]`
+    * is a DETERMINISTIC uniform derived from the portable id hash (so the
+    * sample is reproducible and any engine can replay it — the whole
+    * point for an auditable curation pipeline), and the k SMALLEST keys
+    * are a weighted sample without replacement: row i's inclusion
+    * probability is proportional to `w_i` in the sense of successive
+    * weighted draws. Map-only key derivation + TakeOrderedAndProject —
+    * no shuffle, no join; at 100 TB each executor keeps a k-row heap.
+    * Keys are 6-dp-rounded BEFORE ranking so replaying engines rank the
+    * identical values (ties break by id). */
+  def weightedSample(df: DataFrame, id: String, weight: Column, k: Int,
+      seed: Int = 97): DataFrame = {
+    // portableHash ∈ [0, 2^60): u = (h + 1) / 2^60 ∈ (0, 1] — never 0,
+    // so ln(u) is finite; 2^60 as a Long literal is double-exact
+    val u = (portableHash(col(id).cast("string"), seed).cast("double") + 1.0) /
+      lit(1152921504606846976L).cast("double")
+    df.select(col(id), weight.cast("double").as("w"),
+        round(-log(u) / weight.cast("double"), 6).as("es_key"))
+      .orderBy(col("es_key").asc, col(id).asc)
+      .limit(k)
+  }
+
   /** The stopword list Gopher's "required words" rule draws from (Rae et
     * al. 2021, Table A1: a document must contain at least N of these). */
   val GopherStops: Seq[String] =

@@ -1002,6 +1002,28 @@ object LlmQueries {
   def unigramXentQ(s: SparkSession, d: String): DataFrame =
     TextOps.unigramXent(docs(s, d), "text", "doc_id").orderBy("doc_id")
 
+  /** q101 — DSIR importance weights ([[TextOps.dsirWeights]]): every
+    * document scored by how much more likely its unigrams are under the
+    * English-subset distribution than under the raw pool's own — the
+    * importance-resampling signal for steering a 100 TB crawl toward a
+    * target domain. Target = the `lang = 'en'` docs; raw = the whole
+    * corpus; the oracle recomputes both models and every per-token
+    * log-ratio. */
+  def dsirWeightsQ(s: SparkSession, d: String): DataFrame = {
+    val all = docs(s, d)
+    TextOps.dsirWeights(all, all.where(col("lang") === "en"), "text", "doc_id")
+      .orderBy("doc_id")
+  }
+
+  /** q102 — deterministic weighted sample ([[TextOps.weightedSample]]):
+    * 50 docs drawn with probability proportional to length (`n_chars`)
+    * via Efraimidis–Spirakis keys off the portable id hash — the
+    * reproducible subsampling step of a curation pipeline, replayed
+    * key-by-key by the oracle. */
+  def weightedSampleQ(s: SparkSession, d: String): DataFrame =
+    TextOps.weightedSample(docs(s, d), "doc_id", col("n_chars"), k = 50)
+      .orderBy("es_key", "doc_id")
+
   /** q100 — Gopher document-quality rules ([[TextOps.gopherFlags]]): the
     * published heuristic battery (word-count bounds, mean word length,
     * symbol ratio, bullet/ellipsis line fractions, alphabetic-word
@@ -1323,6 +1345,36 @@ object LlmQueries {
         |  AND bullet_ratio <= 0.9 AND ellipsis_ratio <= 0.3
         |  AND alpha_ratio >= 0.8 AND stop_hits >= 1) AS keep
         |FROM r ORDER BY doc_id""".stripMargin,
+
+    // the A-ES key replayed literally: u = (hash + 1) / 2^60, key =
+    // -ln(u)/w rounded to 6 dp BEFORE ranking on both sides
+    "q102_weighted_sample" ->
+      s"""SELECT doc_id, n_chars::DOUBLE AS w,
+         |  round(-ln((${pHash("97", "doc_id::VARCHAR")} + 1)::DOUBLE
+         |    / 1152921504606846976) / n_chars, 6) AS es_key
+         |FROM documents ORDER BY es_key, doc_id LIMIT 50""".stripMargin,
+
+    // tm = target (english) unigram counts, rm = raw-pool counts derived
+    // from the same tf frame being scored (so the inner join is total);
+    // target-OOV tokens coalesce to count 1 — the q95 hapax backoff
+    "q101_dsir_weights" ->
+      """WITH tok AS (SELECT doc_id,
+        |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+        |  FROM documents WHERE text IS NOT NULL),
+        |tf AS (SELECT doc_id, w, count(*) AS tf FROM tok GROUP BY doc_id, w),
+        |tm AS (SELECT w, count(*) AS tc FROM (
+        |    SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+        |    FROM documents WHERE text IS NOT NULL AND lang = 'en')
+        |  GROUP BY w),
+        |rm AS (SELECT w, sum(tf) AS rc FROM tf GROUP BY w),
+        |tt AS (SELECT sum(tc)::DOUBLE AS t FROM tm),
+        |rt AS (SELECT sum(rc)::DOUBLE AS t FROM rm)
+        |SELECT tf.doc_id, sum(tf.tf)::BIGINT AS n_tokens,
+        |  round(sum(tf.tf::DOUBLE * (ln(coalesce(tm.tc, 1)::DOUBLE / tt.t)
+        |    - ln(rm.rc::DOUBLE / rt.t))), 4) AS dsir
+        |FROM tf LEFT JOIN tm USING (w) JOIN rm USING (w)
+        |CROSS JOIN tt CROSS JOIN rt
+        |GROUP BY tf.doc_id ORDER BY doc_id""".stripMargin,
 
     "q91_unigram_xent" ->
       """WITH tok AS (SELECT doc_id,
@@ -1995,6 +2047,8 @@ object LlmQueries {
     "q90_dedup_edit_verify" -> dedupEditVerified _,
     "q91_unigram_xent" -> unigramXentQ _,
     "q100_gopher_rules" -> gopherRulesQ _,
+    "q101_dsir_weights" -> dsirWeightsQ _,
+    "q102_weighted_sample" -> weightedSampleQ _,
     "q95_unigram_xent_frozen" -> unigramXentFrozen _,
     "q96_repeated_spans" -> repeatedSpansQ _,
     "q92_ann_sq8" -> annSq8 _,

@@ -1438,6 +1438,55 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("DSIR: hand-computed log-ratio weights; target-like docs outrank pool-like docs") {
+    // raw pool: doc 1 is target-like ('a a b'), doc 2 is not ('c c d');
+    // target corpus: 'a b a' twice -> counts a=4, b=2, total 6
+    val raw = Seq((1L, "a a b"), (2L, "c c d")).toDF("doc_id", "text")
+    val tgt = Seq((10L, "a b a"), (11L, "a b a")).toDF("doc_id", "text")
+    val got = TextOps.dsirWeights(raw, tgt, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // raw counts over the pool: a=2, b=1, c=2, d=1, total 6
+    def w(tf: Map[String, Long], tc: Map[String, Long], rc: Map[String, Long]) =
+      BigDecimal(tf.map { case (t, n) =>
+        n * (math.log(tc.getOrElse(t, 1L).toDouble / 6.0)
+          - math.log(rc(t).toDouble / 6.0))
+      }.sum).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val tc = Map("a" -> 4L, "b" -> 2L)
+    val rc = Map("a" -> 2L, "b" -> 1L, "c" -> 2L, "d" -> 1L)
+    assert(got(1L)._1 == 3L && got(2L)._1 == 3L)
+    assert(got(1L)._2 == w(Map("a" -> 2L, "b" -> 1L), tc, rc), got.toString)
+    assert(got(2L)._2 == w(Map("c" -> 2L, "d" -> 1L), tc, rc), got.toString)
+    // the target-like doc must carry the higher importance weight
+    assert(got(1L)._2 > got(2L)._2)
+  }
+
+  test("weightedSample: A-ES keys replay from md5, heavier rows win more often") {
+    // expected key for one row, computed independently of the operator
+    def key(id: Long, w: Double): Double = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"97:$id".getBytes("UTF-8"))
+      val hex = md.map("%02x".format(_)).mkString.take(15)
+      val u = (java.lang.Long.parseLong(hex, 16) + 1.0) / math.pow(2, 60)
+      BigDecimal(-math.log(u) / w).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val rows = (1L to 200L).map(i => (i, if (i <= 100) 1000.0 else 1.0))
+    val df = rows.toDF("doc_id", "wt")
+    val got = TextOps.weightedSample(df, "doc_id", col("wt"), k = 20)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    // keys match the independent md5 replay exactly
+    got.foreach { case (id, w, k) =>
+      assert(k == key(id, w), s"doc $id: $k vs ${key(id, w)}")
+    }
+    // the sample is the global 20 smallest keys
+    val wantTop = rows.map { case (i, w) => (key(i, w), i) }.sorted.take(20)
+      .map(_._2).toSet
+    assert(got.map(_._1).toSet == wantTop)
+    // 1000x-weighted rows should dominate the sample
+    val heavy = got.count(_._1 <= 100)
+    assert(heavy >= 18, s"only $heavy/20 heavy rows sampled")
+  }
+
   test("Gopher rules: every rule fires on its crafted violator") {
     val good = ("the quick brown fox jumps over with lazy dogs today " * 6).trim
     val fx = Seq(

@@ -556,6 +556,39 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q101: DSIR exchanges are keyed on term/doc — text never shuffles; models broadcast") {
+    val df = SparkEntry.queries("q101_dsir_weights")(spark, sf)
+    try {
+      df.collect()
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+      val shuffles = flattenPlan(df.queryExecution.executedPlan)
+        .collect { case s: ShuffleExchangeLike => s }
+      assert(shuffles.nonEmpty)
+      shuffles.foreach { s =>
+        assert(!s.output.exists(_.name == "text"),
+          s"exchange carries document text: ${s.output.mkString(", ")}")
+      }
+      val p = df.queryExecution.executedPlan.toString
+      // target model + raw model join as broadcasts; the totals as
+      // broadcast single rows
+      assert(p.contains("BroadcastHashJoin"), p.take(1500))
+      assert(p.contains("BroadcastNestedLoopJoin"), p.take(1500))
+      assert(!p.contains("SortMergeJoin"),
+        s"vocab-sized models must broadcast\n${p.take(1500)}")
+    } finally graft.engine.Checkpoints.release(df)
+  }
+
+  test("q102: weighted sample is map-only key derivation + TakeOrderedAndProject") {
+    finalPlan("q102_weighted_sample") { p =>
+      assert(p.contains("TakeOrderedAndProject"), p.take(1500))
+      assert("FileScan parquet".r.findAllIn(p).size == 1, p.take(1500))
+      assert(!p.contains("Join") && !p.contains("HashAggregate"),
+        s"A-ES keys need no join/agg\n${p.take(1500)}")
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"sampling must not shuffle\n${p.take(1500)}")
+    }
+  }
+
   test("q100: Gopher rules are one map-only projection over one scan") {
     finalPlan("q100_gopher_rules") { p =>
       assert("FileScan parquet".r.findAllIn(p).size == 1, p.take(1500))
