@@ -818,9 +818,20 @@ object Similarity {
     * Emits `(id, d2)` ascending, ties to the smallest id. */
   def pqSearchRerank(vecs: DataFrame, id: String, emb: String,
       cb: PqCodebooks, query: Array[Double],
+      shortlist: Int, topK: Int): DataFrame =
+    pqSearchRerankIndexed(vecs, pqEncode(vecs, id, emb, cb), id, emb, cb,
+      query, shortlist, topK)
+
+  /** [[pqSearchRerank]] against PRE-ENCODED codes — the production
+    * shape: the corpus is encoded ONCE (materialized next to the floats,
+    * like [[IvfPqIndex]]'s corpus) and every query pays only the code
+    * scan + the shortlist float fetch. The inline form re-encodes per
+    * call, which is fine for one-shot queries and pathological for
+    * query batches. */
+  def pqSearchRerankIndexed(vecs: DataFrame, codes: DataFrame, id: String,
+      emb: String, cb: PqCodebooks, query: Array[Double],
       shortlist: Int, topK: Int): DataFrame = {
-    val short = pqSearchAdc(pqEncode(vecs, id, emb, cb), id, cb, query,
-      shortlist).select(col(id))
+    val short = pqSearchAdc(codes, id, cb, query, shortlist).select(col(id))
     vecs.join(broadcast(short), id)
       .select(col(id),
         round(l2sq(col(emb).cast("array<double>"),

@@ -263,6 +263,38 @@ object TextOps {
           .as("rep_ratio"))
   }
 
+  /** The OTHER Gopher repetition statistic ([[repetitionRatio]] is the
+    * duplicate-n-gram fraction): the fraction of the document's
+    * CHARACTERS contained in occurrences of its single most frequent
+    * word n-gram — `count(top gram) · len(top gram) / len(text)`, with
+    * occurrences counted per position (overlaps included, so a litany
+    * like "s s s s" can exceed 1 — a feature for flagging). High
+    * values flag boilerplate/litany documents whose duplication
+    * concentrates in one phrase. Ties break to the lexicographically
+    * LARGEST gram (struct array_max compares count then gram — the
+    * deterministic order any engine can replay).
+    *
+    * Entirely in-array column arithmetic: the gram list, the distinct
+    * list, and the per-distinct-gram occurrence counts all live inside
+    * one projection — no explode, no shuffle, no UDF. Per-doc cost is
+    * O(distinct·total) gram comparisons, bounded by document length —
+    * the map-only trade every 100 TB quality pass wants (vs an
+    * explode + groupBy whose exchange is corpus-sized). */
+  def topNgramCharFraction(df: DataFrame, text: String, id: String,
+      n: Int = 2): DataFrame = {
+    val toks = tokens(col(text))
+    val grams = transform(sequence(lit(1), size(toks) - (n - 1)),
+      i => concat_ws(" ", slice(toks, i, lit(n))))
+    val best = array_max(transform(array_distinct(grams),
+      g => struct(size(filter(grams, x => x === g)).as("c"), g.as("g"))))
+    df.where(col(text).isNotNull && size(toks) >= n)
+      .select(col(id),
+        best.getField("g").as("top_gram"),
+        best.getField("c").as("top_count"),
+        round(best.getField("c") * length(best.getField("g"))
+          / length(col(text)).cast("double"), 6).as("top_frac"))
+  }
+
   /** Sequence packing: assign each document to a fixed-token-budget chunk
     * by exclusive cumulative token count within a partition group — the
     * pretraining step that turns a curated corpus into contiguous

@@ -1024,6 +1024,16 @@ object LlmQueries {
     TextOps.weightedSample(docs(s, d), "doc_id", col("n_chars"), k = 50)
       .orderBy("es_key", "doc_id")
 
+  /** q103 — top-n-gram character fraction
+    * ([[TextOps.topNgramCharFraction]]): the second Gopher repetition
+    * statistic — how much of each document is one repeated phrase. The
+    * whole computation is in-array inside one projection; the oracle
+    * re-derives it the relational way (explode → count → rank) so the
+    * two engines cross-check through entirely different plans. */
+  def topNgramQ(s: SparkSession, d: String): DataFrame =
+    TextOps.topNgramCharFraction(docs(s, d), "text", "doc_id")
+      .orderBy("doc_id")
+
   /** q100 — Gopher document-quality rules ([[TextOps.gopherFlags]]): the
     * published heuristic battery (word-count bounds, mean word length,
     * symbol ratio, bullet/ellipsis line fractions, alphabetic-word
@@ -1345,6 +1355,25 @@ object LlmQueries {
         |  AND bullet_ratio <= 0.9 AND ellipsis_ratio <= 0.3
         |  AND alpha_ratio >= 0.8 AND stop_hits >= 1) AS keep
         |FROM r ORDER BY doc_id""".stripMargin,
+
+    // the relational re-derivation of the in-array Spark plan: explode
+    // 2-grams, count, rank (count desc, gram desc — the struct array_max
+    // tie-break), then the char fraction off the winning gram
+    "q103_top_ngram" ->
+      """WITH tok AS (SELECT doc_id,
+        |    string_split_regex(trim(lower(text)), '\s+') AS ts
+        |  FROM documents WHERE text IS NOT NULL),
+        |g AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(ts) - 1),
+        |    i -> ts[i] || ' ' || ts[i + 1])) AS gram
+        |  FROM tok WHERE len(ts) >= 2),
+        |c AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY doc_id, gram),
+        |b AS (SELECT doc_id, gram, c FROM (SELECT doc_id, gram, c,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY c DESC, gram DESC) AS rn
+        |  FROM c) WHERE rn = 1)
+        |SELECT b.doc_id, b.gram AS top_gram, b.c::INT AS top_count,
+        |  round(b.c * length(b.gram) / length(d.text)::DOUBLE, 6) AS top_frac
+        |FROM b JOIN documents d USING (doc_id) ORDER BY doc_id""".stripMargin,
 
     // the A-ES key replayed literally: u = (hash + 1) / 2^60, key =
     // -ln(u)/w rounded to 6 dp BEFORE ranking on both sides
@@ -2049,6 +2078,7 @@ object LlmQueries {
     "q100_gopher_rules" -> gopherRulesQ _,
     "q101_dsir_weights" -> dsirWeightsQ _,
     "q102_weighted_sample" -> weightedSampleQ _,
+    "q103_top_ngram" -> topNgramQ _,
     "q95_unigram_xent_frozen" -> unigramXentFrozen _,
     "q96_repeated_spans" -> repeatedSpansQ _,
     "q92_ann_sq8" -> annSq8 _,

@@ -1487,6 +1487,24 @@ class OperatorSpec extends AnyFunSuite {
     assert(heavy >= 18, s"only $heavy/20 heavy rows sampled")
   }
 
+  test("topNgramCharFraction: hand-checked counts, deterministic tie-break, short-doc drop") {
+    val fx = Seq(
+      (1L, "a b a b c"),    // "a b" x2 -> 2*3/9
+      (2L, "x y z"),        // all grams count 1 -> tie -> "y z" (lex max)
+      (3L, "w"),            // shorter than n: dropped
+      (4L, "s s s s")       // "s s" x3 overlapping -> 3*3/7
+    ).toDF("doc_id", "text")
+    val got = TextOps.topNgramCharFraction(fx, "text", "doc_id")
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getInt(2), r.getDouble(3))).toMap
+    assert(!got.contains(3L))
+    assert(got(1L) == ("a b", 2, BigDecimal(6.0 / 9)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble), got.toString)
+    assert(got(2L) == ("y z", 1, 0.6), got.toString)
+    assert(got(4L) == ("s s", 3, BigDecimal(9.0 / 7)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble), got.toString)
+  }
+
   test("Gopher rules: every rule fires on its crafted violator") {
     val good = ("the quick brown fox jumps over with lazy dogs today " * 6).trim
     val fx = Seq(

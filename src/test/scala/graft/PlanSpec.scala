@@ -589,6 +589,17 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q103: top-n-gram fraction is in-array — one scan, no explode, no shuffle") {
+    finalPlan("q103_top_ngram") { p =>
+      assert("FileScan parquet".r.findAllIn(p).size == 1, p.take(1500))
+      assert(!p.contains("Generate explode"),
+        s"grams stay in-array\n${p.take(1500)}")
+      assert(!p.contains("Exchange hashpartitioning") &&
+        !p.contains("HashAggregate"),
+        s"per-doc statistic must be map-only\n${p.take(1500)}")
+    }
+  }
+
   test("q100: Gopher rules are one map-only projection over one scan") {
     finalPlan("q100_gopher_rules") { p =>
       assert("FileScan parquet".r.findAllIn(p).size == 1, p.take(1500))
