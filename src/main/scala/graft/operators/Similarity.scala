@@ -768,8 +768,21 @@ object Similarity {
     array(xs.map(i => array(i.map(lit): _*)): _*)
 
   /** The encode EXPRESSION ([[pqEncode]]'s column form — composable into
-    * a wider projection, e.g. [[ivfPqBuild]]'s single build scan). */
-  def pqEncodeCol(emb: Column, cb: PqCodebooks): Column = {
+    * a wider projection, e.g. [[ivfPqBuild]]'s single build scan).
+    * Native codegen kernel ([[graft.functions.PqCodec]], ~10× the HOF
+    * form's throughput on the [[graft.tools.PqBench]] corpus); codes are
+    * bit-identical to [[pqEncodeColHof]] (FunctionsSpec asserts it). */
+  def pqEncodeCol(emb: Column, cb: PqCodebooks): Column =
+    graft.functions.PqCodec.pq_encode(emb.cast("array<double>"),
+      cb.dense, cb.ids, cb.dsub)
+
+  /** The declarative HOF formulation of the encode — the executable
+    * SPEC [[pqEncodeCol]]'s native kernel is verified against (the
+    * cosineHof/lshBucketsHof pattern): per subspace, squared L2 to every
+    * surviving entry, argmin via `array_position(dists,
+    * array_min(dists))` (first occurrence = smallest code on ties),
+    * mapped back to the original code id. */
+  def pqEncodeColHof(emb: Column, cb: PqCodebooks): Column = {
     val bk = litArr3d(cb.dense)
     val cid = litArr2i(cb.ids)
     val v = emb.cast("array<double>")

@@ -131,6 +131,31 @@ class FunctionsSpec extends AnyFunSuite {
     assert(joined.count() == 1000)
   }
 
+  test("pq_encode native kernel is bit-identical to the HOF spec (incl. ties)") {
+    import graft.operators.Similarity
+    val rnd = new scala.util.Random(23)
+    val vecs = ((0L until 50L).map(i =>
+        (i, Array.fill(16)((rnd.nextDouble() * 4 - 2).toFloat))) ++
+      // exact-tie rows: both halves equidistant from seeded entries
+      Seq((50L, Array.fill(16)(0.5f)), (51L, Array.fill(16)(-0.5f))))
+      .toDF("vec_id", "embedding")
+    val cb = Similarity.pqCollect(
+      Similarity.pqTrain(vecs, "vec_id", "embedding",
+        m = 4, dsub = 4, ksub = 4, iters = 1), m = 4, dsub = 4, ksub = 4)
+    val both = vecs.select(col("vec_id"),
+        Similarity.pqEncodeCol(col("embedding"), cb).as("native"),
+        Similarity.pqEncodeColHof(col("embedding"), cb).as("hof"))
+      .collect()
+    both.foreach { r =>
+      assert(r.getSeq[Int](1) == r.getSeq[Int](2),
+        s"vec ${r.getLong(0)}: native ${r.getSeq[Int](1)} vs hof ${r.getSeq[Int](2)}")
+    }
+    // short vector -> null (documented), not a crash
+    val nulls = Seq((99L, Array(1.0f, 2.0f))).toDF("vec_id", "embedding")
+      .select(Similarity.pqEncodeCol(col("embedding"), cb)).collect()
+    assert(nulls.head.isNullAt(0))
+  }
+
   private def withAutoBroadcastOff[A](body: => A): A = {
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")

@@ -439,4 +439,51 @@ class StreamingSpec extends AnyFunSuite {
       assert(got.exists(_.contains("mail <EMAIL> now")))
     } finally q.stop()
   }
+
+  test("Gopher quality gate and PQ encode apply unchanged to a stream") {
+    // both are pure projections (gopherFlags column arithmetic; pqEncode a
+    // native expression over plan-literal codebooks), so the ingest gate
+    // and the index-encode stage run on readStream frames as-is
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    import graft.operators.{Similarity, TextOps}
+    val good = ("the quick brown fox jumps over with lazy dogs today " * 6).trim
+    val docs = Seq((1L, good), (2L, "too short"))
+    val mem = MemoryStream[(Long, String)]
+    val gated = TextOps.gopherFlags(mem.toDF().toDF("doc_id", "text"),
+      "text", "doc_id")
+    assert(gated.isStreaming)
+    val q = gated.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("gopher_out").start()
+    try {
+      mem.addData(docs: _*)
+      q.processAllAvailable()
+      val got = spark.table("gopher_out").collect().map(_.toSeq).toSet
+      val batch = TextOps.gopherFlags(docs.toDF("doc_id", "text"),
+        "text", "doc_id").collect().map(_.toSeq).toSet
+      assert(got == batch, s"stream $got vs batch $batch")
+    } finally q.stop()
+
+    val vecs = Seq((1L, Array.fill(8)(0.5f)), (2L, Array.fill(8)(-1.0f)))
+    val cb = Similarity.pqCollect(
+      Similarity.pqTrain(vecs.toDF("vec_id", "embedding"), "vec_id",
+        "embedding", m = 2, dsub = 4, ksub = 2, iters = 0),
+      m = 2, dsub = 4, ksub = 2)
+    val vmem = MemoryStream[(Long, Array[Float])]
+    val enc = Similarity.pqEncode(vmem.toDF().toDF("vec_id", "embedding"),
+      "vec_id", "embedding", cb)
+    assert(enc.isStreaming)
+    val q2 = enc.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("pq_out").start()
+    try {
+      vmem.addData(vecs: _*)
+      q2.processAllAvailable()
+      val got = spark.table("pq_out").collect()
+        .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+      val batch = Similarity.pqEncode(vecs.toDF("vec_id", "embedding"),
+          "vec_id", "embedding", cb)
+        .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+      assert(got == batch, s"stream $got vs batch $batch")
+    } finally q2.stop()
+  }
 }
