@@ -890,6 +890,10 @@ object Similarity {
     def dot(x: Column, y: Column): Column = graft.functions.DotProduct.dot_product(x, y)
     val cents = centroids.map(graft.engine.Checkpoints.mark)
       .getOrElse(kmeansCentroids(vecs, id, emb, k, trainIters))
+    // a rebuild invalidates the streaming lastbatch marker (ivfBuild's
+    // contract): a fresh maintenance checkpoint restarts batch ids at 0
+    // and a stale marker would silently no-op every future append
+    graft.sources.Markers.delete(spark, s"$path/lastbatch")
     vecs.select(col(id),
         sqrt(dot(col(emb).cast("array<double>"), col(emb).cast("array<double>")))
           .as("norm"),
@@ -901,6 +905,43 @@ object Similarity {
       .write.mode("overwrite").parquet(s"$path/centroids")
     graft.engine.Checkpoints.release(cents)
     IvfPqIndex(spark, path, id)
+  }
+
+  /** Append new vectors to a materialized [[IvfPqIndex]] without
+    * retraining EITHER quantizer: assign against the persisted coarse
+    * centroids and encode against the session codebooks (both map-only
+    * over the batch — the corpus is never rescanned), append into the
+    * cell partitions. Coarse-centroid or codebook drift under a shifting
+    * distribution is a REBUILD decision (the [[ivfDrift]] gauge applies
+    * unchanged — the coarse quantizer is the same `(cell, ce)` table),
+    * never an append decision. A rebuild ([[ivfPqBuild]]) must be
+    * followed by deleting the streaming `lastbatch` marker — it calls
+    * [[graft.sources.Markers.delete]] itself, same as [[ivfBuild]]. */
+  def ivfPqAppend(idx: IvfPqIndex, cb: PqCodebooks, newVecs: DataFrame,
+      emb: String): Unit = {
+    def dot(x: Column, y: Column): Column = graft.functions.DotProduct.dot_product(x, y)
+    val cents = idx.centroids.drop("cnorm")
+    newVecs.select(col(idx.id),
+        sqrt(dot(col(emb).cast("array<double>"), col(emb).cast("array<double>")))
+          .as("norm"),
+        pqEncodeCol(col(emb), cb).as("pq_code"))
+      .join(assignCells(newVecs, idx.id, emb, cents), idx.id)
+      .select(col(idx.id), col("norm"), col("pq_code"), col("cell"))
+      .write.mode("append").partitionBy("cell").parquet(s"${idx.path}/corpus")
+  }
+
+  /** Replay-guarded [[ivfPqAppend]] for at-least-once `foreachBatch`
+    * callers — a retried micro-batch must not double-append
+    * (the [[ivfAppendBatch]] marker discipline). */
+  def ivfPqAppendBatch(idx: IvfPqIndex, cb: PqCodebooks, newVecs: DataFrame,
+      emb: String, batchId: Long): Boolean = {
+    val marker = s"${idx.path}/lastbatch"
+    if (batchId <= graft.sources.Markers.readLastBatch(idx.spark, marker)) false
+    else {
+      ivfPqAppend(idx, cb, newVecs, emb)
+      graft.sources.Markers.writeLastBatch(idx.spark, marker, batchId)
+      true
+    }
   }
 
   /** IVF-PQ search: probe the `nprobe` best cells by EXACT query-centroid

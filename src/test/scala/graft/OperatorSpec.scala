@@ -1574,6 +1574,37 @@ class OperatorSpec extends AnyFunSuite {
       s"best overall hit must live in the probed cell: $pruned")
   }
 
+  test("IVF-PQ append: new vectors searchable without retraining; batch retry no-ops; rebuild clears marker") {
+    val rnd = new scala.util.Random(31)
+    val centers = Array.fill(4)(Array.fill(8)(rnd.nextDouble() * 10 - 5))
+    val base = (0L until 32L).map { i =>
+      (i, centers((i % 4).toInt).map(x => (x + rnd.nextGaussian() * 0.1).toFloat))
+    }
+    val vecs = base.toDF("vec_id", "embedding")
+    val cb = Similarity.pqCollect(
+      Similarity.pqTrain(vecs, "vec_id", "embedding",
+        m = 2, dsub = 4, ksub = 4, iters = 1), m = 2, dsub = 4, ksub = 4)
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_app").toString
+    val idx = Similarity.ivfPqBuild(spark, vecs, "vec_id", "embedding",
+      k = 4, cb = cb, path = dir)
+    // a new vector near cluster 1's center, appended via the guarded path
+    val nv = Seq((100L, centers(1).map(x => (x + 0.05).toFloat)))
+      .toDF("vec_id", "embedding")
+    assert(Similarity.ivfPqAppendBatch(idx, cb, nv, "embedding", batchId = 0L))
+    // the retry must not double-append
+    assert(!Similarity.ivfPqAppendBatch(idx, cb, nv, "embedding", batchId = 0L))
+    assert(idx.corpus.where(col("vec_id") === 100L).count() == 1)
+    // the appended vector is retrieved by a query at cluster 1's center
+    val hits = Similarity.ivfPqSearch(idx, cb,
+        centers(1), nprobe = 1, topK = 5)
+      .collect().map(_.getLong(0)).toSet
+    assert(hits.contains(100L), s"appended vector not retrieved: $hits")
+    // a rebuild resets the marker: batch 0 applies again afterwards
+    Similarity.ivfPqBuild(spark, vecs, "vec_id", "embedding",
+      k = 4, cb = cb, path = dir)
+    assert(Similarity.ivfPqAppendBatch(idx, cb, nv, "embedding", batchId = 0L))
+  }
+
   test("PQ re-rank: shortlist=corpus equals exact L2; narrow shortlist stays exact on survivors") {
     val rnd = new scala.util.Random(13)
     val vecs = (0L until 40L)
