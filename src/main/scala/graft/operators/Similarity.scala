@@ -944,6 +944,63 @@ object Similarity {
     }
   }
 
+  /** The PQ DECODE expression: codes → the concatenated codebook
+    * centroids (the reconstruction ADC distances are computed against).
+    * The decode table is indexed by ORIGINAL code id (absent codes —
+    * which no vector can carry — decode to zeros), attached as a plan
+    * literal: map-only, no join. `dot(q, pqDecodeCol(codes))` computes
+    * exactly [[pqAdcDistance]]'s dot-table sum — the same 64 products,
+    * summed flat instead of per-subspace-then-total, so the two agree to
+    * floating-point summation grouping (indistinguishable at the 4-dp
+    * rounding every query emits). That identity is what lets the BATCH
+    * search run ADC through the native [[graft.functions.DotProduct]]
+    * kernel. */
+  def pqDecodeCol(codeCol: Column, cb: PqCodebooks): Column = {
+    val bySubAll: Seq[Seq[Seq[Double]]] = (0 until cb.m).map { s =>
+      val bySub = cb.entries.filter(_._1 == s).map(e => e._2 -> e._3).toMap
+      (0 until cb.ksub).map(c =>
+        bySub.getOrElse(c, Seq.fill(cb.dsub)(0.0)))
+    }
+    val dt = litArr3d(bySubAll)
+    flatten(zip_with(codeCol, sequence(lit(0), lit(cb.m - 1)),
+      (c, s) => element_at(element_at(dt, s + 1), c + 1)))
+  }
+
+  /** Batched IVF-PQ search — [[ivfSearchIndexedBatch]] re-expressed over
+    * the code index: every query probes its own best-nprobe cells, ONE
+    * partition-pruned scan of the probed-cell union decodes each code
+    * row once and scores it against the queries that probed its cell
+    * (broadcast route join — a corpus row never meets a query that
+    * didn't probe it), per-query top-k via a q_id window. The scan
+    * still reads m ints + a norm per row; the float corpus is never
+    * touched. Output `(q_id, id, acos, rank)`. */
+  def ivfPqSearchIndexedBatch(idx: IvfPqIndex, cb: PqCodebooks,
+      queries: DataFrame, emb: String, nprobe: Int, topK: Int): DataFrame = {
+    def dot(x: Column, y: Column): Column = graft.functions.DotProduct.dot_product(x, y)
+    val q = queries.select(col(idx.id).as("q_id"),
+        col(emb).cast("array<double>").as("qe"))
+      .withColumn("qnorm", sqrt(dot(col("qe"), col("qe"))))
+    val wProbe = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("pc").desc, col("cell"))
+    val probes = q.crossJoin(broadcast(idx.centroids))
+      .select(col("q_id"), col("qe"), col("qnorm"), col("cell"),
+        (dot(col("ce"), col("qe")) / col("cnorm") / col("qnorm")).as("pc"))
+      .withColumn("__pr", row_number().over(wProbe))
+      .where(col("__pr") <= nprobe)
+      .select("q_id", "cell", "qe", "qnorm")
+    val cells = probes.select("cell").distinct().collect().map(_.get(0))
+    val wTop = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("acos").desc, col(idx.id))
+    idx.corpus.where(col("cell").isin(cells.toIndexedSeq: _*))
+      .withColumn("__rec", pqDecodeCol(col("pq_code"), cb))
+      .join(broadcast(probes), "cell")
+      .select(col("q_id"), col(idx.id),
+        round(dot(col("__rec"), col("qe")) / col("norm") / col("qnorm"), 4)
+          .as("acos"))
+      .withColumn("rank", row_number().over(wTop))
+      .where(col("rank") <= topK)
+  }
+
   /** IVF-PQ search: probe the `nprobe` best cells by EXACT query-centroid
     * cosine (k-row plan, like [[ivfSearchIndexed]]), then ONE
     * partition-pruned scan of the probed cells' code column ranks by

@@ -161,6 +161,22 @@ object RelationalQueries {
     Similarity.ivfPqSearch(idx, cb, qv, nprobe = 2, topK = 10)
   }
 
+  /** Batched IVF-PQ search (q104): queries 0–2 each probe their best-2
+    * trained cells; ONE partition-pruned scan of the probed-cell union
+    * decodes each code row once and scores it against the queries that
+    * probed its cell (broadcast routes); per-query top-10 via a q_id
+    * window. The oracle replays coarse + PQ training off one shared
+    * `ex`, per-query probe ranking, and the per-(query, vector)
+    * dot-table sum. */
+  def annIvfPqBatch(s: SparkSession, d: String): DataFrame = {
+    val idx = ivfPqIndex(s, d)
+    val cb = pqBooks(s, d)
+    Similarity.ivfPqSearchIndexedBatch(idx, cb,
+        t(s, d, "embeddings").where(col("vec_id") < 3), "embedding",
+        nprobe = 2, topK = 10)
+      .orderBy("q_id", "rank")
+  }
+
   /** PQ shortlist + exact re-rank (q99 — the two-stage retrieval): the
     * ADC code scan shortlists 50 candidates for query vec 0, only those
     * are re-scored against their true float vectors (broadcast id join —
@@ -464,6 +480,41 @@ object RelationalQueries {
          |WHERE g.cell IN (SELECT cell FROM probes)
          |ORDER BY acos DESC, g.vec_id LIMIT 10""".stripMargin,
 
+    // per-query probe ranking (rank by dot/cnorm — qnorm is constant per
+    // query), per-query dot tables, and the (query, vector) ADC sum
+    // routed through the probed-cell membership join
+    "q104_ann_ivfpq_batch" ->
+      s"""WITH $kmeansCtes,
+         |$pqCtesTail,
+         |qn AS (SELECT vec_id AS q_id, sqrt(sum(v * v)) AS n FROM ex
+         |  WHERE vec_id < 3 GROUP BY vec_id),
+         |vn AS (SELECT vec_id, sqrt(sum(v * v)) AS n FROM ex GROUP BY vec_id),
+         |probes AS (SELECT q_id, cell FROM (
+         |  SELECT q.vec_id AS q_id, c.cell,
+         |    row_number() OVER (PARTITION BY q.vec_id
+         |      ORDER BY sum(c.v * q.v) / sqrt(sum(c.v * c.v)) DESC, c.cell)
+         |      AS rn
+         |  FROM cent2 c JOIN ex q ON q.d = c.d AND q.vec_id < 3
+         |  GROUP BY q.vec_id, c.cell) WHERE rn <= 2),
+         |dt AS (SELECT q.vec_id AS q_id, b.sub, b.code, sum(q.v * b.v) AS dp
+         |  FROM sx q JOIN bk2 b ON b.sub = q.sub AND b.sd = q.sd
+         |  WHERE q.vec_id < 3 GROUP BY q.vec_id, b.sub, b.code),
+         |ad AS (SELECT t.q_id, a.vec_id, sum(t.dp) AS adp
+         |  FROM a3 a JOIN dt t ON t.sub = a.sub AND t.code = a.code
+         |  GROUP BY t.q_id, a.vec_id),
+         |res AS (SELECT ad.q_id, g.vec_id,
+         |    round(ad.adp / vn.n / qn.n, 4) AS acos
+         |  FROM asg3 g
+         |  JOIN ad ON ad.vec_id = g.vec_id
+         |  JOIN probes p ON p.q_id = ad.q_id AND p.cell = g.cell
+         |  JOIN vn ON vn.vec_id = g.vec_id
+         |  JOIN qn ON qn.q_id = ad.q_id),
+         |rk AS (SELECT q_id, vec_id, acos, row_number() OVER (
+         |    PARTITION BY q_id ORDER BY acos DESC, vec_id) AS rank
+         |  FROM res)
+         |SELECT q_id, vec_id, acos, rank::INT AS rank FROM rk
+         |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
+
     // short = the ADC top-50 (q97's chain, wider limit); the re-rank
     // joins only those ids back to the float rows and computes exact
     // squared L2 in dimension order
@@ -619,6 +670,7 @@ object RelationalQueries {
     "q97_ann_pq" -> annPq _,
     "q98_ann_ivfpq" -> annIvfPq _,
     "q99_ann_pq_rerank" -> annPqRerank _,
+    "q104_ann_ivfpq_batch" -> annIvfPqBatch _,
     "q55_kmeans_assign" -> kmeansAssign _,
     "q41_asof_join" -> asofJoin _,
     "q42_sessionize" -> sessionize _,

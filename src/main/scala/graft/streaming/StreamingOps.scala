@@ -186,6 +186,22 @@ object StreamingOps {
     vecsStream.writeStream.foreachBatch(fn)
   }
 
+  /** Streaming IVF-PQ maintenance — [[maintainIvfIndex]] for the code
+    * index: each micro-batch routes through BOTH stored quantizers
+    * (coarse assign + PQ encode, map-only) and appends into the cell
+    * partitions with the `lastbatch` replay guard. The embedding index
+    * stays searchable under continuous ingest without retraining. */
+  def maintainIvfPqIndex(vecsStream: DataFrame,
+      idx: graft.operators.Similarity.IvfPqIndex,
+      cb: graft.operators.Similarity.PqCodebooks, emb: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val fn: (DataFrame, Long) => Unit = (batch, batchId) => {
+      graft.operators.Similarity.ivfPqAppendBatch(idx, cb, batch, emb, batchId)
+      ()
+    }
+    vecsStream.writeStream.foreachBatch(fn)
+  }
+
   /** Streaming decontamination — the stream-static twin of the batch
     * eval-overlap gates (SparkEntry q62/q73): each arriving document
     * explodes to hashed word n-gram rows (map-only, the SAME operators as

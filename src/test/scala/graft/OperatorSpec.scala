@@ -1605,6 +1605,35 @@ class OperatorSpec extends AnyFunSuite {
     assert(Similarity.ivfPqAppendBatch(idx, cb, nv, "embedding", batchId = 0L))
   }
 
+  test("IVF-PQ batch: one pruned scan equals the single-query loop, query by query") {
+    val rnd = new scala.util.Random(41)
+    val centers = Array.fill(4)(Array.fill(8)(rnd.nextDouble() * 10 - 5))
+    val vecs = (0L until 40L).map { i =>
+      (i, centers((i % 4).toInt).map(x => (x + rnd.nextGaussian() * 0.1).toFloat))
+    }.toDF("vec_id", "embedding")
+    val cb = Similarity.pqCollect(
+      Similarity.pqTrain(vecs, "vec_id", "embedding",
+        m = 2, dsub = 4, ksub = 4, iters = 1), m = 2, dsub = 4, ksub = 4)
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_b").toString
+    val idx = Similarity.ivfPqBuild(spark, vecs, "vec_id", "embedding",
+      k = 4, cb = cb, path = dir)
+    val batch = Similarity.ivfPqSearchIndexedBatch(idx, cb,
+        vecs.where(col("vec_id") < 3), "embedding", nprobe = 2, topK = 5)
+      .collect()
+      .groupBy(_.getLong(0))
+      .map { case (q, rows) =>
+        q -> rows.sortBy(_.getInt(3)).map(r => (r.getLong(1), r.getDouble(2))).toList
+      }
+    (0L until 3L).foreach { qid =>
+      val qv = vecs.where(col("vec_id") === qid)
+        .select(col("embedding").cast("array<double>"))
+        .head().getSeq[Double](0).toArray
+      val single = Similarity.ivfPqSearch(idx, cb, qv, nprobe = 2, topK = 5)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toList
+      assert(batch(qid) == single, s"query $qid: ${batch(qid)} vs $single")
+    }
+  }
+
   test("PQ re-rank: shortlist=corpus equals exact L2; narrow shortlist stays exact on survivors") {
     val rnd = new scala.util.Random(13)
     val vecs = (0L until 40L)

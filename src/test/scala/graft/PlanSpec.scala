@@ -613,6 +613,22 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q104: batched IVF-PQ is one pruned code scan with broadcast routes") {
+    finalPlan("q104_ann_ivfpq_batch") { p =>
+      assert(p.contains("PartitionFilters: [cell"), p.take(2000))
+      // routes broadcast onto the pruned scan — never a shuffle join
+      assert(p.contains("BroadcastHashJoin"), p.take(2000))
+      assert(!p.contains("SortMergeJoin"), p.take(2000))
+      // the scan decodes codes; the float embedding column is read only
+      // by the 3-row query side, never by the corpus scan
+      val corpusLines = p.split('\n').filter(_.contains("graft_ivfpq"))
+      assert(corpusLines.nonEmpty, p.take(2000))
+      corpusLines.foreach(l =>
+        assert(!l.contains("embedding"),
+          s"corpus scan must read codes, not floats: $l"))
+    }
+  }
+
   test("q98: IVF-PQ search partition-prunes to the probed cells, no join, no shuffle") {
     finalPlan("q98_ann_ivfpq") { p =>
       // the probe plan collected the 2 best cells as literals — the code

@@ -237,6 +237,44 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming IVF-PQ maintenance: ingested vector routes through both stored quantizers") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    import graft.operators.Similarity
+    val rnd = new scala.util.Random(53)
+    val centers = Array.fill(4)(Array.fill(8)(rnd.nextDouble() * 10 - 5))
+    val vecs = (0L until 32L).map { i =>
+      (i, centers((i % 4).toInt).map(x => (x + rnd.nextGaussian() * 0.1).toFloat))
+    }.toDF("vec_id", "embedding")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ivfpq_stream").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ivfpq_sck").toString
+    graft.cli.Cleanup.deleteOnExit(tmp)
+    graft.cli.Cleanup.deleteOnExit(ckpt)
+    val cb = Similarity.pqCollect(
+      Similarity.pqTrain(vecs, "vec_id", "embedding",
+        m = 2, dsub = 4, ksub = 4, iters = 1), m = 2, dsub = 4, ksub = 4)
+    val idx = Similarity.ivfPqBuild(spark, vecs, "vec_id", "embedding",
+      k = 4, cb = cb, path = tmp)
+    val mem = MemoryStream[(Long, Array[Float])]
+    val q = StreamingOps.maintainIvfPqIndex(
+        mem.toDF().toDF("vec_id", "embedding"), idx, cb, "embedding")
+      .option("checkpointLocation", ckpt).start()
+    try {
+      mem.addData((200L, centers(2).map(x => (x + 0.02).toFloat)))
+      q.processAllAvailable()
+      val hits = Similarity.ivfPqSearch(idx, cb, centers(2), nprobe = 1,
+        topK = 8).collect().map(_.getLong(0)).toSet
+      assert(hits.contains(200L),
+        s"vector ingested in batch 0 must be retrievable: $hits")
+      // at-least-once retry: the applied batch id appends nothing
+      val before = idx.corpus.count()
+      assert(!Similarity.ivfPqAppendBatch(idx, cb,
+        Seq((999L, centers(0).map(_.toFloat))).toDF("vec_id", "embedding"),
+        "embedding", 0L))
+      assert(idx.corpus.count() == before, "retried batch must append nothing")
+    } finally q.stop()
+  }
+
   test("multimodal decode + plane stats run unchanged on a stream") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
