@@ -428,6 +428,45 @@ object Dedup {
     overCap.union(mismatch).union(leak).union(missing).union(under)
   }
 
+  /** Compact the persisted band index's `bands` table: every
+    * [[bandIndexWrite]] append (and every streaming
+    * `appendBatchToBandIndex` micro-batch) adds new parquet files, so
+    * under continuous ingest the index accumulates small files and the
+    * probe join's scan degrades — the same small-files bound
+    * `Similarity.ivfCompact` gives the vector indexes. Rewrites the rows
+    * range-partitioned on `(bi, k)` (bucket rows become contiguous and
+    * file-local) with bounded file sizes, then atomically swaps the
+    * directory. Row content is untouched: candidate pairs are IDENTICAL,
+    * the cap sidecars stay valid, and the streaming `lastbatch` marker
+    * stays valid (compaction is maintenance, not a rebuild). Returns the
+    * compacted table's parquet file count. */
+  def bandIndexCompact(spark: org.apache.spark.sql.SparkSession, path: String,
+      targetRecordsPerFile: Long): Int = {
+    require(targetRecordsPerFile > 0,
+      s"targetRecordsPerFile must be positive; got $targetRecordsPerFile")
+    val bandsP = new org.apache.hadoop.fs.Path(s"$path/bands")
+    val tmp = new org.apache.hadoop.fs.Path(s"$path/bands_compacting")
+    val old = new org.apache.hadoop.fs.Path(s"$path/bands_precompact")
+    val fs = bandsP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val df = spark.read.parquet(bandsP.toString)
+    val n = df.count()
+    val shards = math.max(1L, (n + targetRecordsPerFile - 1) / targetRecordsPerFile)
+    require(shards <= Int.MaxValue,
+      s"$n rows / $targetRecordsPerFile per file = $shards shards exceeds Int range")
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    df.repartitionByRange(shards.toInt, col("bi"), col("k"))
+      .sortWithinPartitions(col("bi"), col("k"))
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", targetRecordsPerFile)
+      .parquet(tmp.toString)
+    if (fs.exists(old)) fs.delete(old, true)
+    require(fs.rename(bandsP, old), s"could not move $bandsP aside")
+    require(fs.rename(tmp, bandsP), s"could not swap $tmp into place")
+    fs.delete(old, true)
+    fs.listStatus(bandsP)
+      .count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+  }
+
   /** Candidate near-dup pairs between a NEW batch and the persisted band
     * index: `(a = indexed id, b = batch id)`, distinct. The only non-map
     * stage is the `(bi, k)` equi-join, whose left side is the index SCAN —

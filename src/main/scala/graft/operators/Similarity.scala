@@ -379,9 +379,16 @@ object Similarity {
     * touched cell, so under continuous ingest a hot cell accumulates
     * small files and probe latency degrades. Driver-side FS listing
     * (O(files) metadata, no data read). */
-  def ivfCellFiles(idx: IvfIndex): Map[String, Int] = {
-    val root = new org.apache.hadoop.fs.Path(s"${idx.path}/corpus")
-    val fs = root.getFileSystem(idx.spark.sparkContext.hadoopConfiguration)
+  def ivfCellFiles(idx: IvfIndex): Map[String, Int] =
+    cellFiles(idx.spark, idx.path)
+
+  /** [[ivfCellFiles]] for the code index — identical layout. */
+  def ivfPqCellFiles(idx: IvfPqIndex): Map[String, Int] =
+    cellFiles(idx.spark, idx.path)
+
+  private def cellFiles(spark: SparkSession, path: String): Map[String, Int] = {
+    val root = new org.apache.hadoop.fs.Path(s"$path/corpus")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) Map.empty
     else fs.listStatus(root).filter(_.isDirectory)
       .map { d =>
@@ -403,22 +410,33 @@ object Similarity {
     * completes — a crash mid-swap loses no data, just needs a manual
     * rename). Search results are IDENTICAL before/after (OperatorSpec
     * pins this). Returns the max files-per-cell after compaction. */
-  def ivfCompact(idx: IvfIndex, targetRecordsPerFile: Long): Int = {
+  def ivfCompact(idx: IvfIndex, targetRecordsPerFile: Long): Int =
+    compactCellCorpus(idx.spark, idx.path, idx.id, targetRecordsPerFile)
+
+  /** [[ivfCompact]] for the code index: the same small-files bound under
+    * continuous [[ivfPqAppend]] — rewrite the cell partitions with
+    * bounded file sizes and an atomic directory swap; search results are
+    * IDENTICAL (row content untouched) and the `lastbatch` marker stays
+    * valid (compaction is not a rebuild). */
+  def ivfPqCompact(idx: IvfPqIndex, targetRecordsPerFile: Long): Int =
+    compactCellCorpus(idx.spark, idx.path, idx.id, targetRecordsPerFile)
+
+  private def compactCellCorpus(spark: SparkSession, path: String,
+      id: String, targetRecordsPerFile: Long): Int = {
     require(targetRecordsPerFile > 0,
       s"targetRecordsPerFile must be positive; got $targetRecordsPerFile")
-    val spark = idx.spark
-    val corpus = new org.apache.hadoop.fs.Path(s"${idx.path}/corpus")
-    val tmp = new org.apache.hadoop.fs.Path(s"${idx.path}/corpus_compacting")
-    val old = new org.apache.hadoop.fs.Path(s"${idx.path}/corpus_precompact")
+    val corpus = new org.apache.hadoop.fs.Path(s"$path/corpus")
+    val tmp = new org.apache.hadoop.fs.Path(s"$path/corpus_compacting")
+    val old = new org.apache.hadoop.fs.Path(s"$path/corpus_precompact")
     val fs = corpus.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val df = idx.corpus
+    val df = spark.read.parquet(corpus.toString)
     val n = df.count()
     val shards = math.max(1L, (n + targetRecordsPerFile - 1) / targetRecordsPerFile)
     require(shards <= Int.MaxValue,
       s"$n rows / $targetRecordsPerFile per file = $shards shards exceeds Int range")
     if (fs.exists(tmp)) fs.delete(tmp, true)
-    df.repartitionByRange(shards.toInt, col("cell"), col(idx.id))
-      .sortWithinPartitions(col("cell"), col(idx.id))
+    df.repartitionByRange(shards.toInt, col("cell"), col(id))
+      .sortWithinPartitions(col("cell"), col(id))
       .write.mode("overwrite")
       .option("maxRecordsPerFile", targetRecordsPerFile)
       .partitionBy("cell").parquet(tmp.toString)
@@ -426,7 +444,7 @@ object Similarity {
     require(fs.rename(corpus, old), s"could not move $corpus aside")
     require(fs.rename(tmp, corpus), s"could not swap $tmp into place")
     fs.delete(old, true)
-    ivfCellFiles(idx).values.foldLeft(0)(math.max)
+    cellFiles(spark, path).values.foldLeft(0)(math.max)
   }
 
   /** Centroid drift gauge — the REBUILD decision [[ivfAppend]]'s scaladoc
@@ -448,6 +466,35 @@ object Similarity {
       else idx.corpus.sample(withReplacement = false, sampleFraction, seed)
     val means = sample
       .select(col("cell"), posexplode(col(idx.emb).cast("array<double>"))
+        .as(Seq("d", "v")))
+      .groupBy("cell", "d").agg(avg("v").as("v"), count(lit(1)).as("n"))
+      .groupBy("cell")
+      .agg(transform(array_sort(collect_list(struct(col("d"), col("v")))),
+          x => x("v")).as("mean"),
+        max("n").as("n_sampled"))
+    idx.centroids.join(means, "cell")
+      .select(col("cell"), col("n_sampled"),
+        round(lit(1.0) - cosine(col("ce"), col("mean")), 6).as("drift"))
+  }
+
+  /** [[ivfDrift]] for the code index: the IVF-PQ corpus stores no float
+    * vectors, so the gauge samples the SOURCE float frame (wherever it
+    * lives), assigns the sample against the STORED coarse centroids
+    * (map-only — same quantizer the index routes appends through), and
+    * compares per-cell sample means to the stored centroids. Same
+    * output/semantics as [[ivfDrift]]; decode-based drift would fold
+    * quantization bias into the signal, so floats are the honest
+    * source. */
+  def ivfPqDrift(idx: IvfPqIndex, vecs: DataFrame, emb: String,
+      sampleFraction: Double = 0.1, seed: Long = 42L): DataFrame = {
+    val sample =
+      if (sampleFraction >= 1.0) vecs
+      else vecs.sample(withReplacement = false, sampleFraction, seed)
+    val assigned = sample
+      .join(assignCells(sample, idx.id, emb, idx.centroids.drop("cnorm")),
+        idx.id)
+    val means = assigned
+      .select(col("cell"), posexplode(col(emb).cast("array<double>"))
         .as(Seq("d", "v")))
       .groupBy("cell", "d").agg(avg("v").as("v"), count(lit(1)).as("n"))
       .groupBy("cell")

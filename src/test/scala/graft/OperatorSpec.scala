@@ -1605,6 +1605,69 @@ class OperatorSpec extends AnyFunSuite {
     assert(Similarity.ivfPqAppendBatch(idx, cb, nv, "embedding", batchId = 0L))
   }
 
+  test("IVF-PQ compact + drift: appends fragment, compaction bounds files with identical results, drift flags a shifted ingest") {
+    val rnd = new scala.util.Random(61)
+    val centers = Array.fill(4)(Array.fill(8)(rnd.nextDouble() * 10 - 5))
+    def mk(ids: Range, shift: Double) = ids.map { i =>
+      (i.toLong, centers(i % 4).map(x => (x + shift + rnd.nextGaussian() * 0.1).toFloat))
+    }
+    val vecs = mk(0 until 32, 0.0).toDF("vec_id", "embedding")
+    val cb = Similarity.pqCollect(
+      Similarity.pqTrain(vecs, "vec_id", "embedding",
+        m = 2, dsub = 4, ksub = 4, iters = 1), m = 2, dsub = 4, ksub = 4)
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_cmp").toString
+    val idx = Similarity.ivfPqBuild(spark, vecs, "vec_id", "embedding",
+      k = 4, cb = cb, path = dir)
+    (0 until 5).foreach { b =>
+      Similarity.ivfPqAppend(idx, cb,
+        mk((100 + b * 4) until (104 + b * 4), 0.0).toDF("vec_id", "embedding"),
+        "embedding")
+    }
+    val fragmented = Similarity.ivfPqCellFiles(idx).values.max
+    assert(fragmented > 1, s"appends should fragment: $fragmented")
+    val before = Similarity.ivfPqSearch(idx, cb, centers(1), nprobe = 4,
+      topK = 20).collect().map(r => (r.getLong(0), r.getDouble(1))).toList
+    val maxFiles = Similarity.ivfPqCompact(idx, targetRecordsPerFile = 1000)
+    assert(maxFiles == 1, s"52 rows at 1000/file must compact to 1: $maxFiles")
+    val after = Similarity.ivfPqSearch(idx, cb, centers(1), nprobe = 4,
+      topK = 20).collect().map(r => (r.getLong(0), r.getDouble(1))).toList
+    assert(after == before, "compaction must not change search results")
+    // drift on the faithful source reads ~0; a shifted ingest reads high
+    val calm = Similarity.ivfPqDrift(idx, vecs, "embedding", 1.0)
+      .agg(max("drift")).head().getDouble(0)
+    val shifted = Similarity.ivfPqDrift(idx,
+        mk(0 until 32, 3.0).toDF("vec_id", "embedding"), "embedding", 1.0)
+      .agg(max("drift")).head().getDouble(0)
+    assert(calm < 0.01, s"un-drifted corpus must read ~0: $calm")
+    assert(shifted > 10 * math.max(calm, 1e-6),
+      s"shifted ingest must separate: $shifted vs $calm")
+  }
+
+  test("bandIndexCompact: fewer files, identical candidates, verify stays green") {
+    import graft.operators.Dedup
+    val mkDocs = (off: Int) => (0 until 8).map(i =>
+      ((off + i).toLong, s"$base token$i extra words here")).toDF("doc_id", "text")
+    def banded(df: org.apache.spark.sql.DataFrame) =
+      Dedup.lshBands(Dedup.minHash(
+        Dedup.shingles(df, "text", "doc_id", 2), "doc_id", 8), "doc_id", 8, 4)
+    val dir = java.nio.file.Files.createTempDirectory("bandcmp").toString
+    Dedup.bandIndexWrite(banded(mkDocs(0)), "doc_id", 4, dir, maxBucket = 100)
+    (1 to 4).foreach(b => Dedup.bandIndexWrite(banded(mkDocs(b * 10)),
+      "doc_id", 4, dir, maxBucket = 100, append = true))
+    val probe = banded(Seq((999L, base)).toDF("doc_id", "text"))
+    val before = Dedup.incrementalPairs(
+        Dedup.bandIndexRead(spark, dir), probe, "doc_id", 4)
+      .collect().map(_.toSeq).toSet
+    val files = Dedup.bandIndexCompact(spark, dir, targetRecordsPerFile = 100000)
+    assert(files >= 1 && files <= 4, s"compacted file count: $files")
+    val after = Dedup.incrementalPairs(
+        Dedup.bandIndexRead(spark, dir), probe, "doc_id", 4)
+      .collect().map(_.toSeq).toSet
+    assert(after == before, "compaction must not change candidates")
+    assert(Dedup.bandIndexVerify(spark, dir, maxBucket = 100).isEmpty,
+      "verify must stay green after compaction")
+  }
+
   test("IVF-PQ batch: one pruned scan equals the single-query loop, query by query") {
     val rnd = new scala.util.Random(41)
     val centers = Array.fill(4)(Array.fill(8)(rnd.nextDouble() * 10 - 5))
