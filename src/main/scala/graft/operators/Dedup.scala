@@ -827,14 +827,20 @@ object Dedup {
     * than the doc itself). Reference analogy: none — the reference has no
     * substring dedup; this is the LLM-pipeline extension surface. */
   def repeatedSpans(df: DataFrame, text: String, id: String, w: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val win = spanWindows(df, text, id, w)
     val dup = win.groupBy("wh").agg(count(lit(1)).as("__occ"))
       .where(col("__occ") > 1).select("wh")
-    val hits = win.join(dup, "wh")
-      .select(col(id), col("pos"), (col("pos") + (w - 1)).as("__e"))
-    // gaps-and-islands: a new span starts where this window's range does
-    // not touch the running max end of everything before it
+    mergeSpanHits(win.join(dup, "wh"), id, w)
+  }
+
+  /** Merge `(id, pos)` window hits into maximal spans — gaps-and-islands:
+    * a new span starts where a window's range does not touch the running
+    * max end of everything before it. ONE window-function pass
+    * partitioned by doc id (a doc's hit positions, far smaller than the
+    * doc). Shared by [[repeatedSpans]] and [[contaminatedSpans]]. */
+  private def mergeSpanHits(winHits: DataFrame, id: String, w: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hits = winHits.select(col(id), col("pos"), (col("pos") + (w - 1)).as("__e"))
     val byPos = Window.partitionBy(col(id)).orderBy(col("pos"))
     val prevMax = max(col("__e"))
       .over(byPos.rowsBetween(Window.unboundedPreceding, -1))
@@ -846,6 +852,47 @@ object Dedup {
       .agg(min(col("pos")).as("span_start"), max(col("__e")).as("span_end"),
         count(lit(1)).as("n_windows"))
       .select(col(id), col("span_start"), col("span_end"), col("n_windows"))
+  }
+
+  /** Span-level eval-set decontamination (the CROSS-SET form of
+    * [[repeatedSpans]], per Lee et al.'s eval-leak audit): every corpus
+    * position whose `w`-token window also occurs anywhere in the EVAL
+    * set is contaminated; overlapping/adjacent contaminated windows
+    * merge into maximal spans per corpus doc. Unlike the doc-level gates
+    * (q62/q73/q76 — does this doc overlap at all / how much), the output
+    * says WHERE the leak sits, which is what makes a surgical strip (or
+    * a manual audit) possible.
+    *
+    * Scale shape: the eval windows reduce to DISTINCT 8 B hashes and
+    * broadcast (eval sets are small by definition); the corpus side is
+    * one map-only window pass + the broadcast membership probe — corpus
+    * window text never shuffles, and the merge is the per-doc
+    * gaps-and-islands pass. */
+  def contaminatedSpans(corpus: DataFrame, evalDf: DataFrame, text: String,
+      id: String, w: Int): DataFrame = {
+    val ew = broadcast(
+      spanWindows(evalDf, text, id, w).select("wh").distinct())
+    mergeSpanHits(spanWindows(corpus, text, id, w).join(ew, "wh"), id, w)
+  }
+
+  /** Per-corpus-doc contamination report over [[contaminatedSpans]]:
+    * every doc (clean ones included) with its token count, contaminated
+    * window/span counts, and the fraction of tokens inside contaminated
+    * spans — the audit before a strip or drop decision. */
+  def contaminationSpanReport(corpus: DataFrame, evalDf: DataFrame,
+      text: String, id: String, w: Int): DataFrame = {
+    val rep = contaminatedSpans(corpus, evalDf, text, id, w)
+      .groupBy(col(id))
+      .agg(sum("n_windows").as("__nw"), count(lit(1)).as("__ns"),
+        sum(col("span_end") - col("span_start") + 1).as("__dt"))
+    corpus.where(col(text).isNotNull)
+      .select(col(id), size(TextOps.tokens(col(text))).as("n_tokens"))
+      .join(rep, Seq(id), "left")
+      .select(col(id), col("n_tokens").cast("long").as("n_tokens"),
+        coalesce(col("__nw"), lit(0L)).as("n_cont_windows"),
+        coalesce(col("__ns"), lit(0L)).as("n_spans"),
+        round(coalesce(col("__dt"), lit(0L)).cast("double") /
+          col("n_tokens"), 4).as("cont_frac"))
   }
 
   /** Per-doc substring-duplication report over [[repeatedSpans]]: every doc

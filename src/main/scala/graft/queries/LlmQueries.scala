@@ -1024,6 +1024,22 @@ object LlmQueries {
     TextOps.weightedSample(docs(s, d), "doc_id", col("n_chars"), k = 50)
       .orderBy("es_key", "doc_id")
 
+  /** q105 — span-level eval-set decontamination
+    * ([[Dedup.contaminationSpanReport]]): the cross-set form of q96 —
+    * every corpus position whose 8-token window also occurs in the eval
+    * split (doc_id % 17 = 0, the q62 convention) is contaminated;
+    * merged spans say WHERE the leak sits, enabling a surgical strip
+    * instead of a doc drop. Eval hashes broadcast; corpus window text
+    * never shuffles. */
+  def contaminationSpansQ(s: SparkSession, d: String): DataFrame = {
+    val all = docs(s, d)
+    Dedup.contaminationSpanReport(
+        all.where(pmod(col("doc_id"), lit(EvalMod)) =!= 0),
+        all.where(pmod(col("doc_id"), lit(EvalMod)) === 0),
+        "text", "doc_id", w = 8)
+      .orderBy("doc_id")
+  }
+
   /** q103 — top-n-gram character fraction
     * ([[TextOps.topNgramCharFraction]]): the second Gopher repetition
     * statistic — how much of each document is one repeated phrase. The
@@ -1430,6 +1446,36 @@ object LlmQueries {
         |  round(sum(tf::DOUBLE * ln(t / coalesce(c, 1))) / sum(tf), 4) AS xent
         |FROM tf LEFT JOIN cnt USING (w) CROSS JOIN tot
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // q96's islands machinery with the duplicate test swapped for EVAL
+    // membership: ew = the eval split's distinct window texts, d = the
+    // corpus positions whose window is in ew; spans/report identical
+    "q105_contamination_spans" ->
+      """WITH base AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+        |  FROM documents WHERE text IS NOT NULL),
+        |wins AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 7),
+        |    i -> struct_pack(pos := i, wtext := array_to_string(t[i:i+7], ' ')))) AS u
+        |  FROM base WHERE len(t) >= 8),
+        |win AS (SELECT doc_id, u.pos AS pos, u.wtext AS wtext FROM wins),
+        |ew AS (SELECT DISTINCT wtext FROM win WHERE doc_id % 17 = 0),
+        |d AS (SELECT doc_id, pos, pos + 7 AS e FROM win JOIN ew USING (wtext)
+        |  WHERE doc_id % 17 <> 0),
+        |m AS (SELECT doc_id, pos, e, max(e) OVER (PARTITION BY doc_id ORDER BY pos
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm FROM d),
+        |isl AS (SELECT doc_id, pos, e,
+        |    sum(CASE WHEN pm IS NULL OR pos > pm + 1 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY doc_id ORDER BY pos) AS g FROM m),
+        |spans AS (SELECT doc_id, g, min(pos) AS s, max(e) AS e2, count(*) AS nw
+        |  FROM isl GROUP BY doc_id, g),
+        |rep AS (SELECT doc_id, sum(nw)::BIGINT AS n_cont_windows,
+        |    count(*)::BIGINT AS n_spans, sum(e2 - s + 1) AS dt
+        |  FROM spans GROUP BY doc_id)
+        |SELECT b.doc_id, len(b.t)::BIGINT AS n_tokens,
+        |  coalesce(n_cont_windows, 0)::BIGINT AS n_cont_windows,
+        |  coalesce(n_spans, 0)::BIGINT AS n_spans,
+        |  round(coalesce(dt, 0)::DOUBLE / len(b.t), 4) AS cont_frac
+        |FROM base b LEFT JOIN rep USING (doc_id)
+        |WHERE b.doc_id % 17 <> 0 ORDER BY doc_id""".stripMargin,
 
     "q96_repeated_spans" ->
       """WITH base AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
@@ -2079,6 +2125,7 @@ object LlmQueries {
     "q101_dsir_weights" -> dsirWeightsQ _,
     "q102_weighted_sample" -> weightedSampleQ _,
     "q103_top_ngram" -> topNgramQ _,
+    "q105_contamination_spans" -> contaminationSpansQ _,
     "q95_unigram_xent_frozen" -> unigramXentFrozen _,
     "q96_repeated_spans" -> repeatedSpansQ _,
     "q92_ann_sq8" -> annSq8 _,

@@ -1505,6 +1505,29 @@ class OperatorSpec extends AnyFunSuite {
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble), got.toString)
   }
 
+  test("contaminatedSpans: cross-set hits merge to maximal spans; clean docs report zero") {
+    // w=4; eval holds "a b c d e" (windows: 'a b c d', 'b c d e')
+    val evalSet = Seq((1000L, "a b c d e")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "x a b c d e y z"),      // overlapping hits at pos 1,2 -> one span 1..5
+      (2L, "p q r s t u v w"),      // clean
+      (3L, "a b c d q q a b c d e") // two disjoint spans: 0..3 and 6..10
+    ).toDF("doc_id", "text")
+    val spans = Dedup.contaminatedSpans(corpus, evalSet, "text", "doc_id", 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+      .toSet
+    assert(spans == Set((1L, 1, 5, 2L), (3L, 0, 3, 1L), (3L, 6, 10, 2L)),
+      spans.toString)
+    val rep = Dedup.contaminationSpanReport(corpus, evalSet, "text", "doc_id", 4)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(rep(1L) == ((8L, 2L, 1L, BigDecimal(5.0 / 8)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)), rep.toString)
+    assert(rep(2L) == ((8L, 0L, 0L, 0.0)), rep.toString)
+    assert(rep(3L) == ((11L, 3L, 2L, BigDecimal(9.0 / 11)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)), rep.toString)
+  }
+
   test("Gopher rules: every rule fires on its crafted violator") {
     val good = ("the quick brown fox jumps over with lazy dogs today " * 6).trim
     val fx = Seq(

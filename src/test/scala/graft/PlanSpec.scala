@@ -589,6 +589,25 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q105: contamination exchanges carry window hashes — never window text; eval side broadcasts") {
+    val df = SparkEntry.queries("q105_contamination_spans")(spark, sf)
+    try {
+      df.collect()
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+      val shuffles = flattenPlan(df.queryExecution.executedPlan)
+        .collect { case s: ShuffleExchangeLike => s }
+      assert(shuffles.nonEmpty)
+      shuffles.foreach { s =>
+        assert(!s.output.exists(a => a.name == "text" || a.name == "__w"),
+          s"exchange carries window text: ${s.output.mkString(", ")}")
+      }
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("BroadcastHashJoin"), p.take(1500))
+      assert(!p.contains("SortMergeJoin"),
+        s"eval membership must broadcast\n${p.take(1500)}")
+    } finally graft.engine.Checkpoints.release(df)
+  }
+
   test("q103: top-n-gram fraction is in-array — one scan, no explode, no shuffle") {
     finalPlan("q103_top_ngram") { p =>
       assert("FileScan parquet".r.findAllIn(p).size == 1, p.take(1500))
