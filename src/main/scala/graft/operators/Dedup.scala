@@ -924,11 +924,32 @@ object Dedup {
     * `w` long), so the `collect_list` is strictly smaller than the doc's
     * own token array — never a mega-group. */
   def stripRepeatedSpans(df: DataFrame, text: String, id: String,
-      w: Int): DataFrame = {
-    val spans = repeatedSpans(df, text, id, w)
+      w: Int): DataFrame =
+    stripSpans(df, repeatedSpans(df, text, id, w), text, id)
+
+  /** Excise every contaminated span from every corpus document — the
+    * surgical decontamination [[contaminationSpanReport]] audits for:
+    * eval-overlapping substrings go, the rest of the document survives
+    * (the doc-level gates can only drop whole documents). Same
+    * span-list bound as [[stripRepeatedSpans]]. */
+  def stripContaminatedSpans(corpus: DataFrame, evalDf: DataFrame,
+      text: String, id: String, w: Int): DataFrame =
+    stripSpans(corpus, contaminatedSpans(corpus, evalDf, text, id, w),
+      text, id)
+
+  /** Rebuild `text` from the tokens outside every span of a
+    * `(id, span_start, span_end)` frame — the shared excision kernel of
+    * [[stripRepeatedSpans]] and [[stripContaminatedSpans]]. Docs that
+    * were entirely covered come back empty. The per-doc span list is
+    * bounded by `n_tokens / w` (merged spans are disjoint and at least
+    * `w` long), so the `collect_list` is strictly smaller than the doc's
+    * own token array — never a mega-group. */
+  def stripSpans(df: DataFrame, spans: DataFrame, text: String,
+      id: String): DataFrame = {
+    val sp = spans
       .groupBy(col(id))
       .agg(collect_list(struct(col("span_start"), col("span_end"))).as("__spans"))
-    df.join(spans, Seq(id), "left")
+    df.join(sp, Seq(id), "left")
       .withColumn("__toks", TextOps.tokens(col(text)))
       .withColumn("__kept",
         when(col("__spans").isNull, col("__toks")).otherwise(

@@ -700,6 +700,47 @@ object TextOps {
       .limit(k)
   }
 
+  /** Per-stratum deterministic weighted sample: [[weightedSample]]'s
+    * A-ES keys ranked WITHIN each stratum — the per-language /
+    * per-source quota draw where each stratum contributes its
+    * `kPerStratum` best keys and inclusion within a stratum is
+    * probability-proportional-to-weight. ONE window shuffle keyed on the
+    * stratum (parallel across strata — never a global sort), key
+    * derivation map-only, keys 6-dp-rounded before ranking (replaying
+    * engines rank identical values; ties break by id). */
+  def weightedSamplePerStratum(df: DataFrame, id: String, strata: String,
+      weight: Column, kPerStratum: Int, seed: Int = 97): DataFrame = {
+    val u = (portableHash(col(id).cast("string"), seed).cast("double") + 1.0) /
+      lit(1152921504606846976L).cast("double")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(strata)).orderBy(col("es_key").asc, col(id).asc)
+    df.select(col(id), col(strata), weight.cast("double").as("w"),
+        round(-log(u) / weight.cast("double"), 6).as("es_key"))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= kPerStratum)
+  }
+
+  /** Curriculum bucketing by a score column (e.g. [[unigramXent]]'s
+    * cross-entropy): bucket 1 = the easiest quantile, `nBuckets` = the
+    * hardest — the ordering curriculum-training pipelines feed batches
+    * by. The SCALE-CORRECT form: exact quantile thresholds from one
+    * (nBuckets−1)-value aggregate, broadcast back, bucket = `1 +
+    * Σ(score > tᵢ)` map-only — never a global sort or single-partition
+    * ntile. Thresholds interpolate the same multiset in both engines, so
+    * the oracle replays them exactly. */
+  def curriculumBuckets(scored: DataFrame, id: String, score: String,
+      nBuckets: Int): DataFrame = {
+    require(nBuckets >= 2, s"need at least 2 buckets, got $nBuckets")
+    val probs = (1 until nBuckets).map(i => i.toDouble / nBuckets)
+    val th = scored.agg(
+      expr(s"percentile($score, array(${probs.mkString(", ")}))").as("__ts"))
+    scored.crossJoin(broadcast(th))
+      .withColumn("bucket",
+        lit(1) + aggregate(col("__ts"), lit(0),
+          (acc, t) => acc + when(col(score) > t, 1).otherwise(0)))
+      .drop("__ts")
+  }
+
   /** The stopword list Gopher's "required words" rule draws from (Rae et
     * al. 2021, Table A1: a document must contain at least N of these). */
   val GopherStops: Seq[String] =

@@ -1024,6 +1024,28 @@ object LlmQueries {
     TextOps.weightedSample(docs(s, d), "doc_id", col("n_chars"), k = 50)
       .orderBy("es_key", "doc_id")
 
+  /** q106 — per-stratum weighted sample
+    * ([[TextOps.weightedSamplePerStratum]]): each language contributes
+    * its 10 best A-ES keys, inclusion within a language proportional to
+    * document length — the per-language quota draw of a multilingual
+    * curation run, replayed key-by-key. */
+  def weightedSampleStrataQ(s: SparkSession, d: String): DataFrame =
+    TextOps.weightedSamplePerStratum(docs(s, d), "doc_id", "lang",
+        col("n_chars"), kPerStratum = 10)
+      .orderBy("lang", "rk")
+
+  /** q107 — curriculum bucketing ([[TextOps.curriculumBuckets]]) by the
+    * corpus's own unigram cross-entropy (q91's score): bucket 1 = most
+    * predictable quartile, 4 = hardest. Thresholds are one broadcast
+    * 3-value exact-percentile aggregate; assignment is map-only — the
+    * scale-correct alternative to a single-partition ntile. */
+  def curriculumQ(s: SparkSession, d: String): DataFrame =
+    TextOps.curriculumBuckets(
+        TextOps.unigramXent(docs(s, d), "text", "doc_id")
+          .select("doc_id", "xent"),
+        "doc_id", "xent", nBuckets = 4)
+      .orderBy("doc_id")
+
   /** q105 — span-level eval-set decontamination
     * ([[Dedup.contaminationSpanReport]]): the cross-set form of q96 —
     * every corpus position whose 8-token window also occurs in the eval
@@ -1390,6 +1412,38 @@ object LlmQueries {
         |SELECT b.doc_id, b.gram AS top_gram, b.c::INT AS top_count,
         |  round(b.c * length(b.gram) / length(d.text)::DOUBLE, 6) AS top_frac
         |FROM b JOIN documents d USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    // the same A-ES key, ranked within each language
+    "q106_weighted_sample_strata" ->
+      s"""SELECT doc_id, lang, w, es_key, rk FROM (
+         |  SELECT doc_id, lang, n_chars::DOUBLE AS w,
+         |    round(-ln((${pHash("97", "doc_id::VARCHAR")} + 1)::DOUBLE
+         |      / 1152921504606846976) / n_chars, 6) AS es_key,
+         |    row_number() OVER (PARTITION BY lang ORDER BY
+         |      round(-ln((${pHash("97", "doc_id::VARCHAR")} + 1)::DOUBLE
+         |        / 1152921504606846976) / n_chars, 6), doc_id) AS rk
+         |  FROM documents)
+         |WHERE rk <= 10 ORDER BY lang, rk""".stripMargin,
+
+    // x = q91's per-doc cross-entropy; th = the three exact quartile
+    // thresholds (quantile_cont interpolates the same rounded multiset
+    // Spark's percentile does); bucket = 1 + #(thresholds beaten)
+    "q107_curriculum" ->
+      """WITH tok AS (SELECT doc_id,
+        |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+        |  FROM documents WHERE text IS NOT NULL),
+        |tf AS (SELECT doc_id, w, count(*) AS tf FROM tok GROUP BY doc_id, w),
+        |cnt AS (SELECT w, sum(tf) AS c FROM tf GROUP BY w),
+        |tot AS (SELECT sum(c)::DOUBLE AS t FROM cnt),
+        |x AS (SELECT doc_id,
+        |    round(sum(tf::DOUBLE * ln(t / c)) / sum(tf), 4) AS xent
+        |  FROM tf JOIN cnt USING (w) CROSS JOIN tot GROUP BY doc_id),
+        |th AS (SELECT quantile_cont(xent, 0.25) AS t1,
+        |    quantile_cont(xent, 0.5) AS t2, quantile_cont(xent, 0.75) AS t3
+        |  FROM x)
+        |SELECT doc_id, xent,
+        |  (1 + (xent > t1)::INT + (xent > t2)::INT + (xent > t3)::INT) AS bucket
+        |FROM x CROSS JOIN th ORDER BY doc_id""".stripMargin,
 
     // the A-ES key replayed literally: u = (hash + 1) / 2^60, key =
     // -ln(u)/w rounded to 6 dp BEFORE ranking on both sides
@@ -2126,6 +2180,8 @@ object LlmQueries {
     "q102_weighted_sample" -> weightedSampleQ _,
     "q103_top_ngram" -> topNgramQ _,
     "q105_contamination_spans" -> contaminationSpansQ _,
+    "q106_weighted_sample_strata" -> weightedSampleStrataQ _,
+    "q107_curriculum" -> curriculumQ _,
     "q95_unigram_xent_frozen" -> unigramXentFrozen _,
     "q96_repeated_spans" -> repeatedSpansQ _,
     "q92_ann_sq8" -> annSq8 _,

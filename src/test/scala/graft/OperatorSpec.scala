@@ -1528,6 +1528,37 @@ class OperatorSpec extends AnyFunSuite {
       .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)), rep.toString)
   }
 
+  test("weightedSamplePerStratum: per-stratum quotas, keys match the global sampler") {
+    val rows = (1L to 60L).map(i => (i, if (i % 2 == 0) "a" else "b", 10.0 + i))
+    val df = rows.toDF("doc_id", "lang", "wt")
+    val got = TextOps.weightedSamplePerStratum(df, "doc_id", "lang",
+        col("wt"), kPerStratum = 5)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(3), r.getInt(4)))
+    assert(got.count(_._2 == "a") == 5 && got.count(_._2 == "b") == 5)
+    // within each stratum the kept keys are that stratum's 5 smallest,
+    // cross-checked against the global sampler restricted to the stratum
+    Seq("a", "b").foreach { lang =>
+      val want = TextOps.weightedSample(df.where(col("lang") === lang),
+          "doc_id", col("wt"), k = 5)
+        .collect().map(r => (r.getLong(0), r.getDouble(2))).toList
+      val mine = got.filter(_._2 == lang).sortBy(_._4).map(t => (t._1, t._3)).toList
+      assert(mine == want, s"$lang: $mine vs $want")
+    }
+  }
+
+  test("curriculumBuckets: quartile thresholds split a known distribution; monotone in score") {
+    // scores 1..100: quartile thresholds 25.75/50.5/75.25 -> 25 each
+    // (score > t semantics on exact interpolated thresholds)
+    val df = (1 to 100).map(i => (i.toLong, i.toDouble)).toDF("doc_id", "s")
+    val got = TextOps.curriculumBuckets(df, "doc_id", "s", nBuckets = 4)
+      .collect().map(r => r.getDouble(1) -> r.getInt(2)).sortBy(_._1)
+    assert((1 to 4).forall(b => got.count(_._2 == b) == 25), got.toString)
+    // monotone: a higher score never lands in a lower bucket
+    got.sliding(2).foreach { case Array((_, b1), (_, b2)) =>
+      assert(b1 <= b2)
+    }
+  }
+
   test("Gopher rules: every rule fires on its crafted violator") {
     val good = ("the quick brown fox jumps over with lazy dogs today " * 6).trim
     val fx = Seq(

@@ -608,6 +608,21 @@ class PlanSpec extends AnyFunSuite {
     } finally graft.engine.Checkpoints.release(df)
   }
 
+  test("q106: per-stratum sample shuffles once on the stratum; q107: thresholds broadcast, no global sort") {
+    finalPlan("q106_weighted_sample_strata") { p =>
+      val ex = "Exchange hashpartitioning\\(lang".r.findAllIn(p).size
+      assert(ex == 1, s"one stratum exchange, got $ex\n${p.take(1500)}")
+      assert(!p.contains("Join"), p.take(1500))
+    }
+    finalPlan("q107_curriculum") { p =>
+      // the 3-value threshold row joins back as a broadcast nested loop;
+      // assignment is a projection — no rangepartitioning-for-ntile
+      assert(p.contains("BroadcastNestedLoopJoin"), p.take(1500))
+      assert(!p.contains("SortMergeJoin"), p.take(1500))
+      assert(!"Window \\[ntile".r.findFirstIn(p).isDefined, p.take(1500))
+    }
+  }
+
   test("q103: top-n-gram fraction is in-array — one scan, no explode, no shuffle") {
     finalPlan("q103_top_ngram") { p =>
       assert("FileScan parquet".r.findAllIn(p).size == 1, p.take(1500))
