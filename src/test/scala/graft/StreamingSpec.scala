@@ -275,6 +275,38 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("span-level contamination audit runs per micro-batch against a static eval set") {
+    // the eval windows are a STATIC broadcast artifact; each arriving
+    // micro-batch is audited span-by-span inside foreachBatch — the
+    // ingest-time eval-leak gate (q105's streaming twin)
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    import graft.operators.Dedup
+    import org.apache.spark.sql.DataFrame
+    val evalSet = Seq((1000L, "a b c d e")).toDF("doc_id", "text").cache()
+    val incoming = Seq((1L, "x a b c d e y z"), (2L, "p q r s t u v w"))
+    val batchRep = Dedup.contaminationSpanReport(
+        incoming.toDF("doc_id", "text"), evalSet, "text", "doc_id", 4)
+      .collect().map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    val mem = MemoryStream[(Long, String)]
+    val got = scala.collection.concurrent.TrieMap[Long, Seq[Any]]()
+    val fn: (DataFrame, Long) => Unit = (b, _) => {
+      Dedup.contaminationSpanReport(b.toDF("doc_id", "text"), evalSet,
+          "text", "doc_id", 4)
+        .collect().foreach(r => got(r.getLong(0)) = r.toSeq.drop(1))
+      ()
+    }
+    val q = mem.toDF().writeStream.foreachBatch(fn).start()
+    try {
+      mem.addData(incoming.head)
+      q.processAllAvailable()
+      mem.addData(incoming(1))
+      q.processAllAvailable()
+      assert(got.toMap == batchRep, s"stream ${got.toMap} vs batch $batchRep")
+      assert(got(1L).head == 8L) // contaminated doc audited on arrival
+    } finally { q.stop(); evalSet.unpersist() }
+  }
+
   test("multimodal decode + plane stats run unchanged on a stream") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
