@@ -741,6 +741,44 @@ object TextOps {
       .drop("__ts")
   }
 
+  /** BM25 document scoring against a fixed term set (Robertson et al.,
+    * the Okapi/Lucene form: `idf = ln(1 + (N − df + 0.5)/(df + 0.5))`,
+    * `tf·(k1+1) / (tf + k1·(1 − b + b·len/avgLen))`) — the standard
+    * lexical retrieval scorer, used in curation to mine target-domain
+    * documents from a crawl by keyword profile.
+    *
+    * Scale shape: tokens are FILTERED to the query terms before anything
+    * aggregates, so the per-doc tf frame is bounded by `|terms| · docs`,
+    * not corpus token count; doc lengths are a map-only column; N/avgLen
+    * are a broadcast 1-row aggregate and the per-term df a broadcast
+    * |terms|-row aggregate. Emits every doc containing ≥ 1 term:
+    * `(id, n_hit_terms, score)`, 4-dp-rounded. */
+  def bm25(df: DataFrame, text: String, id: String, terms: Seq[String],
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "bm25 needs at least one query term")
+    val termArr = array(terms.map(t => lit(t.toLowerCase)): _*)
+    val base = df.where(col(text).isNotNull)
+      .select(col(id), tokens(col(text)).as("__toks"))
+      .select(col(id), size(col("__toks")).cast("double").as("__len"),
+        filter(col("__toks"), t => array_contains(termArr, t)).as("__hits"))
+    val stats = base.agg(count(lit(1)).cast("double").as("__n"),
+      avg(col("__len")).as("__avg"))
+    val tf = base
+      .select(col(id), col("__len"), explode(col("__hits")).as("__t"))
+      .groupBy(col(id), col("__len"), col("__t"))
+      .agg(count(lit(1)).cast("double").as("__tf"))
+    val dfT = tf.groupBy("__t").agg(count(lit(1)).cast("double").as("__df"))
+    tf.join(broadcast(dfT), "__t")
+      .crossJoin(broadcast(stats))
+      .withColumn("__idf",
+        log(lit(1.0) + (col("__n") - col("__df") + 0.5) / (col("__df") + 0.5)))
+      .withColumn("__s",
+        col("__idf") * col("__tf") * (k1 + 1) /
+          (col("__tf") + lit(k1) * (lit(1 - b) + lit(b) * col("__len") / col("__avg"))))
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("n_hit_terms"), round(sum("__s"), 4).as("score"))
+  }
+
   /** The stopword list Gopher's "required words" rule draws from (Rae et
     * al. 2021, Table A1: a document must contain at least N of these). */
   val GopherStops: Seq[String] =

@@ -1024,6 +1024,16 @@ object LlmQueries {
     TextOps.weightedSample(docs(s, d), "doc_id", col("n_chars"), k = 50)
       .orderBy("es_key", "doc_id")
 
+  /** q108 — BM25 keyword mining ([[TextOps.bm25]]): every document
+    * scored against a 3-term keyword profile with the Okapi/Lucene
+    * formula — the lexical retrieval step of mining target-domain docs
+    * from a crawl. The oracle replays idf, length normalization, and
+    * the per-term sum exactly (identical arithmetic order). */
+  def bm25Q(s: SparkSession, d: String): DataFrame =
+    TextOps.bm25(docs(s, d), "text", "doc_id",
+        Seq("spark", "stream", "merge"))
+      .orderBy("doc_id")
+
   /** q106 — per-stratum weighted sample
     * ([[TextOps.weightedSamplePerStratum]]): each language contributes
     * its 10 best A-ES keys, inclusion within a language proportional to
@@ -1412,6 +1422,26 @@ object LlmQueries {
         |SELECT b.doc_id, b.gram AS top_gram, b.c::INT AS top_count,
         |  round(b.c * length(b.gram) / length(d.text)::DOUBLE, 6) AS top_frac
         |FROM b JOIN documents d USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    // idf/length-norm replayed with the same arithmetic order; (1.2 + 1)
+    // is written as the SUM so both engines fold the identical double
+    "q108_bm25" ->
+      """WITH base AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ts
+        |  FROM documents WHERE text IS NOT NULL),
+        |st AS (SELECT count(*)::DOUBLE AS n, avg(len(ts)::DOUBLE) AS avgl
+        |  FROM base),
+        |tf AS (SELECT doc_id, dl, w, count(*)::DOUBLE AS tf FROM (
+        |    SELECT doc_id, len(ts)::DOUBLE AS dl,
+        |      unnest(list_filter(ts, t -> t IN ('spark', 'stream', 'merge'))) AS w
+        |    FROM base)
+        |  GROUP BY doc_id, dl, w),
+        |dfr AS (SELECT w, count(*)::DOUBLE AS dfc FROM tf GROUP BY w)
+        |SELECT t.doc_id, count(*)::BIGINT AS n_hit_terms,
+        |  round(sum(ln(1 + (st.n - d.dfc + 0.5) / (d.dfc + 0.5))
+        |    * t.tf * (1.2 + 1)
+        |    / (t.tf + 1.2 * (1 - 0.75 + 0.75 * t.dl / st.avgl))), 4) AS score
+        |FROM tf t JOIN dfr d USING (w) CROSS JOIN st
+        |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
 
     // the same A-ES key, ranked within each language
     "q106_weighted_sample_strata" ->
@@ -2182,6 +2212,7 @@ object LlmQueries {
     "q105_contamination_spans" -> contaminationSpansQ _,
     "q106_weighted_sample_strata" -> weightedSampleStrataQ _,
     "q107_curriculum" -> curriculumQ _,
+    "q108_bm25" -> bm25Q _,
     "q95_unigram_xent_frozen" -> unigramXentFrozen _,
     "q96_repeated_spans" -> repeatedSpansQ _,
     "q92_ann_sq8" -> annSq8 _,

@@ -1528,6 +1528,29 @@ class OperatorSpec extends AnyFunSuite {
       .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)), rep.toString)
   }
 
+  test("BM25: hand-computed idf/length-norm; rarer terms and shorter docs score higher") {
+    val fx = Seq(
+      (1L, "spark spark query"),      // tf(spark)=2, len 3
+      (2L, "spark table row value"),  // tf(spark)=1, len 4
+      (3L, "merge sort join"),        // tf(merge)=1, len 3
+      (4L, "alpha beta gamma delta")  // no hits -> absent
+    ).toDF("doc_id", "text")
+    val got = TextOps.bm25(fx, "text", "doc_id", Seq("spark", "merge"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(!got.contains(4L))
+    // independent replay: N=4, avgLen=3.5; df(spark)=2, df(merge)=1
+    def idf(dfc: Double) = math.log(1 + (4.0 - dfc + 0.5) / (dfc + 0.5))
+    def s(tf: Double, dl: Double, dfc: Double) =
+      idf(dfc) * tf * (1.2 + 1) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / 3.5))
+    def r4(x: Double) =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(1L) == ((1L, r4(s(2, 3, 2)))), got.toString)
+    assert(got(2L) == ((1L, r4(s(1, 4, 2)))), got.toString)
+    assert(got(3L) == ((1L, r4(s(1, 3, 1)))), got.toString)
+    // the rarer term (merge, df=1) outscores the common one at equal tf/len
+    assert(got(3L)._2 > got(2L)._2 && got(3L)._2 > 0)
+  }
+
   test("weightedSamplePerStratum: per-stratum quotas, keys match the global sampler") {
     val rows = (1L to 60L).map(i => (i, if (i % 2 == 0) "a" else "b", 10.0 + i))
     val df = rows.toDF("doc_id", "lang", "wt")

@@ -623,6 +623,26 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q108: BM25 filters to query terms before exploding; stats join as broadcasts") {
+    val df = SparkEntry.queries("q108_bm25")(spark, sf)
+    try {
+      df.collect()
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+      val shuffles = flattenPlan(df.queryExecution.executedPlan)
+        .collect { case s: ShuffleExchangeLike => s }
+      // document text never shuffles — only (id, len, term-hit) rows
+      shuffles.foreach { s =>
+        assert(!s.output.exists(_.name == "text"),
+          s"exchange carries document text: ${s.output.mkString(", ")}")
+      }
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("BroadcastHashJoin") &&
+        p.contains("BroadcastNestedLoopJoin"), p.take(1500))
+      assert(!p.contains("SortMergeJoin"),
+        s"df/stats must broadcast\n${p.take(1500)}")
+    } finally graft.engine.Checkpoints.release(df)
+  }
+
   test("q103: top-n-gram fraction is in-array — one scan, no explode, no shuffle") {
     finalPlan("q103_top_ngram") { p =>
       assert("FileScan parquet".r.findAllIn(p).size == 1, p.take(1500))
