@@ -1048,7 +1048,10 @@ object LlmQueries {
     * corpus's own unigram cross-entropy (q91's score): bucket 1 = most
     * predictable quartile, 4 = hardest. Thresholds are one broadcast
     * 3-value exact-percentile aggregate; assignment is map-only — the
-    * scale-correct alternative to a single-partition ntile. */
+    * scale-correct alternative to a single-partition ntile. Bench note:
+    * like q80/q84, this standalone oracle query re-derives its input
+    * score (q91's tf chain) — in a real pipeline the buckets share the
+    * scored frame and cost one aggregate + a projection. */
   def curriculumQ(s: SparkSession, d: String): DataFrame =
     TextOps.curriculumBuckets(
         TextOps.unigramXent(docs(s, d), "text", "doc_id")
