@@ -1024,6 +1024,30 @@ object LlmQueries {
     TextOps.weightedSample(docs(s, d), "doc_id", col("n_chars"), k = 50)
       .orderBy("es_key", "doc_id")
 
+  /** q109 — MinHash estimator audit: the signature-agreement Jaccard
+    * ESTIMATE (`#matching minhashes / numHashes` — the unbiased
+    * estimator every LSH banding decision rests on) side by side with
+    * the EXACT adjacent-pair Jaccard (q30), plus the absolute error.
+    * Closes the audit loop on the dedup pipeline's core approximation;
+    * both columns and the error replay exactly in the oracle. Map-only
+    * signatures; the only exchanges are q30's hashed-shingle joins. */
+  def minhashEstimateQ(s: SparkSession, d: String): DataFrame = {
+    val sig = minhashSig(s, d)
+    val matches = (0 until NumHashes)
+      .map(i => when(col(s"a$i") === col(s"b$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    val est = sig.select(col("doc_id").as("a") +:
+        (0 until NumHashes).map(i => col(s"m$i").as(s"a$i")): _*)
+      .join(sig.select((col("doc_id") - 1).as("a") +:
+        (0 until NumHashes).map(i => col(s"m$i").as(s"b$i")): _*), "a")
+      .select(col("a"), (col("a") + 1).as("b"),
+        round(matches.cast("double") / NumHashes, 6).as("est"))
+    est.join(Dedup.jaccardAdjacent(docs(s, d), "text", "doc_id"),
+        Seq("a", "b"))
+      .withColumn("abs_err", round(abs(col("est") - col("jaccard")), 6))
+      .orderBy("a")
+  }
+
   /** q108 — BM25 keyword mining ([[TextOps.bm25]]): every document
     * scored against a 3-term keyword profile with the Okapi/Lucene
     * formula — the lexical retrieval step of mining target-domain docs
@@ -1243,6 +1267,34 @@ object LlmQueries {
          |FROM sizes sa JOIN sizes sb ON sb.doc_id = sa.doc_id + 1
          |LEFT JOIN inter ON inter.a = sa.doc_id
          |ORDER BY a""".stripMargin,
+
+    // sig = q31's signature replay; est = positionwise agreement / 8;
+    // jac = q30's exact replay; abs_err from the two ROUNDED values
+    "q109_minhash_estimate" -> {
+      val ms = (0 until NumHashes).map(i =>
+        s"min(${pHash(i.toString, "shingle")}) AS m$i").mkString(",\n  ")
+      val eq = (0 until NumHashes).map(i =>
+        s"(a.m$i = b.m$i)::INT").mkString(" + ")
+      s"""WITH $tokCte,
+         |sig AS (SELECT doc_id,
+         |  $ms
+         |FROM tok GROUP BY doc_id),
+         |est AS (SELECT a.doc_id AS a, a.doc_id + 1 AS b,
+         |    round(($eq) / 8.0, 6) AS est
+         |  FROM sig a JOIN sig b ON b.doc_id = a.doc_id + 1),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+         |inter AS (SELECT a.doc_id AS a, count(*) AS ni
+         |  FROM tok a JOIN tok b ON b.doc_id = a.doc_id + 1 AND b.shingle = a.shingle
+         |  GROUP BY a.doc_id),
+         |jac AS (SELECT sa.doc_id AS a, sa.doc_id + 1 AS b,
+         |    round(coalesce(ni, 0)::DOUBLE / (sa.n + sb.n - coalesce(ni, 0)), 6)
+         |      AS jaccard
+         |  FROM sizes sa JOIN sizes sb ON sb.doc_id = sa.doc_id + 1
+         |  LEFT JOIN inter ON inter.a = sa.doc_id)
+         |SELECT est.a, est.b, est.est, jac.jaccard,
+         |  round(abs(est.est - jac.jaccard), 6) AS abs_err
+         |FROM est JOIN jac ON jac.a = est.a ORDER BY est.a""".stripMargin
+    },
 
     "q31_dedup_minhash" -> {
       val ms = (0 until NumHashes).map(i =>
@@ -2216,6 +2268,7 @@ object LlmQueries {
     "q106_weighted_sample_strata" -> weightedSampleStrataQ _,
     "q107_curriculum" -> curriculumQ _,
     "q108_bm25" -> bm25Q _,
+    "q109_minhash_estimate" -> minhashEstimateQ _,
     "q95_unigram_xent_frozen" -> unigramXentFrozen _,
     "q96_repeated_spans" -> repeatedSpansQ _,
     "q92_ann_sq8" -> annSq8 _,

@@ -643,6 +643,21 @@ class PlanSpec extends AnyFunSuite {
     } finally graft.engine.Checkpoints.release(df)
   }
 
+  test("q109: estimator audit — signatures map-only, only hashed-shingle exchanges") {
+    val df = SparkEntry.queries("q109_minhash_estimate")(spark, sf)
+    try {
+      df.collect()
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+      val shuffles = flattenPlan(df.queryExecution.executedPlan)
+        .collect { case s: ShuffleExchangeLike => s }
+      shuffles.foreach { s =>
+        assert(!s.output.exists(a => a.name == "text" || a.name == "shingle"),
+          s"exchange carries text: ${s.output.mkString(", ")}")
+      }
+      assert(!df.queryExecution.executedPlan.toString.contains("CartesianProduct"))
+    } finally graft.engine.Checkpoints.release(df)
+  }
+
   test("q103: top-n-gram fraction is in-array — one scan, no explode, no shuffle") {
     finalPlan("q103_top_ngram") { p =>
       assert("FileScan parquet".r.findAllIn(p).size == 1, p.take(1500))
