@@ -653,6 +653,96 @@ object Similarity {
         round(cosine(col("ea").cast("array<double>"),
           col("eb").cast("array<double>")), 4).as("cos"))
 
+  // ---- SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+  // at web-scale through semantic deduplication", arXiv:2303.09540) ----
+  //
+  // Semantic near-duplicates (paraphrases, templated rewrites, the same
+  // passage re-encoded) share embeddings but not shingles, so the MinHash
+  // pipeline never pairs them. SemDeDup makes embedding-space pairwise
+  // tractable the same way IVF makes search tractable: k-means partitions
+  // the corpus, pairwise cosine runs WITHIN each cluster only
+  // (O(Σ|cell|²), never O(n²)), and cross-cluster duplicates are missed
+  // BY DESIGN — that approximation IS the published algorithm, and k is
+  // the knob trading recall against pair fan-out.
+
+  /** Collect a `(cell, ce)` centroid table to the driver: k rows — the
+    * index arity, not data (the [[pqCollect]] bounded-collect
+    * discipline). Sorted by cell so downstream plan literals are
+    * deterministic. */
+  def collectCentroids(cents: DataFrame): Seq[(Long, Seq[Double])] =
+    cents.select(col("cell").cast("long"), col("ce").cast("array<double>"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1))
+      .sortBy(_._1).toSeq
+
+  /** [[assignCells]] with the centroid table as PLAN LITERALS instead of
+    * a broadcast join, plus the cosine TO the winning centroid: one
+    * map-only projection — no crossJoin, no aggregate, no exchange at
+    * all. The k scored structs `(cos, -cell)` are `array_max`'d (struct
+    * comparison is lexicographic, so cosine decides and ties go to the
+    * smallest cell — the [[assignCells]] tie rule; equivalence asserted
+    * in OperatorSpec), and `cent_cos` is rounded to 4 dp (the corpus
+    * cosine discipline). Output: `(id, cell, cent_cos)`. At 100 TB this
+    * is the assignment form a dedup pass wants: the corpus is read once
+    * and nothing moves until something keyed on `cell` has to. */
+  def assignCellsLit(vecs: DataFrame, id: String, emb: String,
+      cents: Seq[(Long, Seq[Double])]): DataFrame = {
+    require(cents.nonEmpty, "empty centroid table")
+    def dot(x: Column, y: Column): Column = graft.functions.DotProduct.dot_product(x, y)
+    val e = col(emb).cast("array<double>")
+    val vn = sqrt(dot(e, e))
+    val scored = cents.map { case (cell, ce) =>
+      // centroid self-norm folded at PLAN TIME in ascending-dim order —
+      // the same left-to-right accumulation DotProduct runs, so the
+      // literal is the value the join formulation computes
+      val cn = math.sqrt(ce.foldLeft(0.0)((acc, x) => acc + x * x))
+      struct((dot(e, litArr1d(ce)) / vn / lit(cn)).as("cos"),
+        lit(-cell).as("negc"))
+    }
+    vecs.select(col(id), array_max(array(scored: _*)).as("__b"))
+      .select(col(id),
+        (-col("__b.negc")).cast("long").as("cell"),
+        round(col("__b.cos"), 4).as("cent_cos"))
+  }
+
+  /** SemDeDup end-to-end: literal-centroid assignment (map-only) →
+    * within-cell candidate pairs (an equi-join on `cell` over the
+    * compact `(id, cell)` table — the k-means partition bounds the
+    * fan-out) → cosine over the pairs ([[cosinePairs]] re-reads only the
+    * embedding column for paired ids) → edges at `cos ≥ tau` on the
+    * 4-dp-ROUNDED value (both engines threshold identical numbers) →
+    * transitive closure via the MinHash pipeline's pointer-jumping
+    * [[Dedup.connectedComponents]] → per component KEEP the member with
+    * the LOWEST cosine to its cluster centroid (the paper's §3 choice —
+    * the most atypical member carries the most information; ranked on
+    * the rounded value, ties to the smallest id). Output per vector:
+    * `(id, cell, cent_cos, component, keep)`.
+    *
+    * Scale notes: the only corpus-width data in any exchange is the
+    * embedding fetch for CANDIDATE pairs (bounded by Σ|cell|² — k grows
+    * with n to hold |cell| flat, the published recipe); assignment adds
+    * zero exchanges; components and the keep window shuffle 8 B labels.
+    * OWNERSHIP: the returned frame keeps the compact assignment
+    * checkpoint as a leaf — release after the final evaluation
+    * ([[graft.engine.Checkpoints.release]] reaches it; Bench/Verify do). */
+  def semDedup(vecs: DataFrame, id: String, emb: String,
+      cents: Seq[(Long, Seq[Double])], tau: Double): DataFrame = {
+    val a = graft.engine.Checkpoints.mark(assignCellsLit(vecs, id, emb, cents))
+    val pairs = a.select(col(id).as("a"), col("cell"))
+      .join(a.select(col(id).as("b"), col("cell")), "cell")
+      .where(col("a") < col("b"))
+      .select("a", "b")
+    val edges = cosinePairs(vecs, pairs, id, emb)
+      .where(col("cos") >= tau)
+      .select("a", "b")
+    val labels = Dedup.connectedComponents(a.select(col(id)), edges, id)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("component").orderBy(col("cent_cos").asc, col(id).asc)
+    a.join(labels, id)
+      .withColumn("keep", row_number().over(w) === 1)
+      .select(col(id), col("cell"), col("cent_cos"), col("component"), col("keep"))
+  }
+
   // ---- Product quantization (Jegou et al. 2011, "Product Quantization
   // for Nearest Neighbor Search") ----
   //

@@ -838,4 +838,40 @@ object TextOps {
         col("alpha_ratio") >= minAlphaRatio &&
         col("stop_hits") >= minStopwordHits)
   }
+
+  /** Hashed-feature linear quality classifier — INFERENCE of a frozen
+    * model (the fastText-style learned filter of the CCNet /
+    * FineWeb-Edu pipelines: training happens offline, the pipeline
+    * ships the weights). Features are hashed token buckets
+    * ([[portableHash]] mod D — the hashing trick, Weinberger et al.
+    * 2009), so the model is a D-vector regardless of vocabulary, and a
+    * linear model over token counts needs no tf vector at all: each
+    * occurrence just adds its bucket's weight, one in-array fold —
+    * `logit = bias + Σ_token w[bucket(token)]`.
+    *
+    * Weights are INTEGER milli-units and the fold accumulates a BIGINT,
+    * so `logit_milli` is EXACT — no float-accumulation-order ambiguity
+    * between engines — and `keep = logit_milli >= 0` (⇔ sigmoid ≥ 0.5)
+    * is decided in integer space. `score` = sigmoid(logit/1000) rounded
+    * to 6 dp is the reported probability (the only float, computed once
+    * from the exact integer). One map-only projection: no explode, no
+    * shuffle, no UDF — at 100 TB the cost is one scan, and the same
+    * expression scores a streaming micro-batch unchanged. */
+  def hashedLogisticScore(df: DataFrame, text: String, id: String,
+      weightsMilli: Seq[Int], biasMilli: Long, seed: Int = 97): DataFrame = {
+    require(weightsMilli.nonEmpty, "empty weight vector")
+    val d = weightsMilli.size
+    val w = array(weightsMilli.map(x => lit(x.toLong)): _*)
+    val toks = tokens(col(text))
+    val logit = aggregate(toks, lit(biasMilli),
+      (acc, t) => acc +
+        element_at(w, pmod(portableHash(t, seed), lit(d.toLong)).cast("int") + 1))
+    df.where(col(text).isNotNull)
+      .select(col(id), size(toks).cast("long").as("n_tokens"),
+        logit.as("logit_milli"))
+      .withColumn("score",
+        round(lit(1.0) / (lit(1.0) +
+          exp(-col("logit_milli").cast("double") / lit(1000.0))), 6))
+      .withColumn("keep", col("logit_milli") >= 0)
+  }
 }

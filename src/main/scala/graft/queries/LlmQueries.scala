@@ -1122,6 +1122,32 @@ object LlmQueries {
       minWords = 40, minStopwordHits = 1)
       .orderBy("doc_id")
 
+  /** The frozen classifier shipped with the q111 quality gate: 64
+    * integer milli-weights from a seeded generator (java.util.Random's
+    * sequence is spec-fixed, so the model is a reproducible constant)
+    * and a zero bias. Real pipelines load this from a model artifact;
+    * the oracle gets the SAME values interpolated as a VALUES table. */
+  private val QualityWeightsMilli: Seq[Int] = {
+    val r = new scala.util.Random(2027)
+    Seq.fill(64)(r.nextInt(2001) - 1000)
+  }
+  private val QualityBiasMilli = 0L
+  private val QualityHashSeed = 97
+
+  /** q111 — hashed-feature logistic quality scoring
+    * ([[TextOps.hashedLogisticScore]]): inference of a FROZEN linear
+    * classifier over hashed token buckets — the model-based quality
+    * filter (fastText-style, as in CCNet / FineWeb-Edu) beside the
+    * heuristic battery (q100) and the generative LM scores (q91/q95).
+    * `logit_milli` accumulates integer milli-weights so the logit and
+    * the keep decision are EXACT in both engines; the oracle joins each
+    * token occurrence to the interpolated weight table and replays the
+    * integer sum. */
+  def qualityLogisticQ(s: SparkSession, d: String): DataFrame =
+    TextOps.hashedLogisticScore(docs(s, d), "text", "doc_id",
+      QualityWeightsMilli, QualityBiasMilli, QualityHashSeed)
+      .orderBy("doc_id")
+
   /** q95 — FROZEN-LM scoring ([[TextOps.unigramXentAgainst]]): the
     * train/apply split q91 folds together — the model is the unigram
     * counts of the EVEN doc_ids only, and the ODD docs (which never
@@ -1458,6 +1484,28 @@ object LlmQueries {
         |  AND bullet_ratio <= 0.9 AND ellipsis_ratio <= 0.3
         |  AND alpha_ratio >= 0.8 AND stop_hits >= 1) AS keep
         |FROM r ORDER BY doc_id""".stripMargin,
+
+    // frozen-classifier inference replay: every token OCCURRENCE joins
+    // its hashed bucket's milli-weight (the interpolated VALUES table IS
+    // the model artifact), the logit is an exact integer sum, and only
+    // the reported sigmoid is float (computed once from the integer)
+    "q111_quality_logistic" -> {
+      val vals = QualityWeightsMilli.zipWithIndex
+        .map { case (v, j) => s"($j, $v)" }.mkString(", ")
+      s"""WITH wt(j, v) AS (VALUES $vals),
+         |tk AS (SELECT doc_id,
+         |    unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+         |  FROM documents WHERE text IS NOT NULL),
+         |lg AS (SELECT t.doc_id, count(*)::BIGINT AS n_tokens,
+         |    ($QualityBiasMilli + sum(wt.v))::BIGINT AS logit_milli
+         |  FROM tk t JOIN wt
+         |    ON wt.j = (${pHash(QualityHashSeed.toString, "t.w")} % ${QualityWeightsMilli.size})
+         |  GROUP BY t.doc_id)
+         |SELECT doc_id, n_tokens, logit_milli,
+         |  round(1.0 / (1.0 + exp(-(logit_milli / 1000.0))), 6) AS score,
+         |  (logit_milli >= 0) AS keep
+         |FROM lg ORDER BY doc_id""".stripMargin
+    },
 
     // the relational re-derivation of the in-array Spark plan: explode
     // 2-grams, count, rank (count desc, gram desc — the struct array_max
@@ -2261,6 +2309,7 @@ object LlmQueries {
     "q90_dedup_edit_verify" -> dedupEditVerified _,
     "q91_unigram_xent" -> unigramXentQ _,
     "q100_gopher_rules" -> gopherRulesQ _,
+    "q111_quality_logistic" -> qualityLogisticQ _,
     "q101_dsir_weights" -> dsirWeightsQ _,
     "q102_weighted_sample" -> weightedSampleQ _,
     "q103_top_ngram" -> topNgramQ _,

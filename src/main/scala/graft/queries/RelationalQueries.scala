@@ -89,6 +89,22 @@ object RelationalQueries {
     Similarity.assignCells(v, "vec_id", "embedding", cents).orderBy("vec_id")
   }
 
+  /** q110 — SemDeDup ([[Similarity.semDedup]], Abbas et al. 2023):
+    * semantic near-dup removal against the session-trained k-means cells
+    * (the SAME trained table the q55 oracle replays — one Lloyd run
+    * serves IVF, IVF-PQ, and the semantic dedup) at tau = 0.4. Pairwise
+    * cosine runs within each trained cell only; duplicate groups close
+    * transitively through the MinHash pipeline's pointer-jumping
+    * components; each group keeps its LOWEST-centroid-cosine member (the
+    * paper's choice). The oracle replays training, assignment, both
+    * cosine tables, the reachability closure, and the keep window. */
+  def semDedupQ(s: SparkSession, d: String): DataFrame = {
+    val cents = Similarity.collectCentroids(ivfIndex(s, d).centroids.drop("cnorm"))
+    Similarity.semDedup(t(s, d, "embeddings"), "vec_id", "embedding",
+        cents, tau = 0.4)
+      .orderBy("vec_id")
+  }
+
   /** Per-directory memo of the trained PQ codebooks (m=8 subspaces x
     * dsub=8 dims x ksub=8 codes, 2 deterministic Lloyd iterations —
     * [[Similarity.pqTrain]]): training runs once per session; the
@@ -438,6 +454,44 @@ object RelationalQueries {
       s"""WITH $kmeansCtes
          |SELECT vec_id, cell FROM asg3 ORDER BY vec_id""".stripMargin,
 
+    // SemDeDup replay: ccos = each vector's cosine to its TRAINED cell
+    // centroid (cent2), sp = within-cell pairwise cosines (the asg3
+    // self-join restricts pairs to shared cells before any embedding
+    // arithmetic — the oracle never scores a cross-cell pair, mirroring
+    // the Spark plan), sreach = transitive closure over the >= tau
+    // edges, and the keep window ranks (cent_cos ASC, vec_id ASC) —
+    // all thresholds/rankings on 4-dp-rounded values so both engines
+    // decide from identical numbers
+    "q110_semdedup" ->
+      s"""WITH RECURSIVE $kmeansCtes,
+         |ccos AS (SELECT e.vec_id, a.cell,
+         |    round(sum(e.v * c.v) / sqrt(sum(e.v * e.v))
+         |      / sqrt(sum(c.v * c.v)), 4) AS cent_cos
+         |  FROM ex e JOIN asg3 a USING (vec_id)
+         |  JOIN cent2 c ON c.cell = a.cell AND c.d = e.d
+         |  GROUP BY e.vec_id, a.cell),
+         |sp AS (SELECT x.vec_id AS a, y.vec_id AS b,
+         |    round(sum(ea.v * eb.v) / sqrt(sum(ea.v * ea.v))
+         |      / sqrt(sum(eb.v * eb.v)), 4) AS cos
+         |  FROM asg3 x JOIN asg3 y ON x.cell = y.cell AND x.vec_id < y.vec_id
+         |  JOIN ex ea ON ea.vec_id = x.vec_id
+         |  JOIN ex eb ON eb.vec_id = y.vec_id AND eb.d = ea.d
+         |  GROUP BY x.vec_id, y.vec_id),
+         |se AS (SELECT a, b FROM sp WHERE cos >= 0.4),
+         |sed AS (SELECT a AS u, b AS v FROM se UNION SELECT b, a FROM se),
+         |sreach(u, r) AS (
+         |  SELECT vec_id, vec_id FROM embeddings
+         |  UNION
+         |  SELECT e.v, sreach.r FROM sreach JOIN sed e ON e.u = sreach.u),
+         |scomp AS (SELECT u AS vec_id, min(r) AS component
+         |  FROM sreach GROUP BY u),
+         |srn AS (SELECT cc.vec_id, cc.cell, cc.cent_cos, sc.component,
+         |    row_number() OVER (PARTITION BY sc.component
+         |      ORDER BY cc.cent_cos ASC, cc.vec_id ASC) AS rn
+         |  FROM scomp sc JOIN ccos cc USING (vec_id))
+         |SELECT vec_id, cell, cent_cos, component, (rn = 1) AS keep
+         |FROM srn ORDER BY vec_id""".stripMargin,
+
     // dt is the query's ADC table (squared subspace distances to every
     // trained codebook entry); a3 carries each corpus vector's 8 codes, so
     // the approximate distance is the 8-way sum of table lookups — the
@@ -672,6 +726,7 @@ object RelationalQueries {
     "q99_ann_pq_rerank" -> annPqRerank _,
     "q104_ann_ivfpq_batch" -> annIvfPqBatch _,
     "q55_kmeans_assign" -> kmeansAssign _,
+    "q110_semdedup" -> semDedupQ _,
     "q41_asof_join" -> asofJoin _,
     "q42_sessionize" -> sessionize _,
     "q52_streaming_session_window" -> streamingSessionWindow _,

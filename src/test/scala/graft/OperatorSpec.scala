@@ -1835,4 +1835,49 @@ class OperatorSpec extends AnyFunSuite {
     assert(pqTop.intersect(exactTop).size >= 8,
       s"recall@10 too low: pq $pqTop vs exact $exactTop")
   }
+
+  test("SemDeDup: within-cell groups close transitively, lowest-centroid-cosine kept, cross-cell dups missed by design") {
+    val cents = Seq(0L -> Seq(1.0, 0.0, 0.0, 0.0), 1L -> Seq(0.0, 1.0, 0.0, 0.0))
+    val vecs = Seq(
+      (10L, Array(1.00, 0.05, 0.0, 0.0)), // cell 0, dup group {10,11,15}
+      (11L, Array(0.99, 0.08, 0.0, 0.0)), //   lowest cent_cos -> the keeper
+      (15L, Array(1.00, 0.02, 0.0, 0.0)),
+      (12L, Array(0.90, 0.40, 0.0, 0.0)), // cell 0 singleton (cos to 10 ~ .92 < tau)
+      (13L, Array(0.05, 1.00, 0.0, 0.0)), // cell 1 pair {13,14}: 14 = 2*13, so
+      (14L, Array(0.10, 2.00, 0.0, 0.0)), //   cent_cos ties EXACTLY -> id 13 kept
+      (16L, Array(0.72, 0.69, 0.0, 0.0)), // cell 0 \ cos(16,17) ~ .999 but split
+      (17L, Array(0.69, 0.72, 0.0, 0.0))  // cell 1 / across cells: NOT deduped
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.semDedup(vecs, "vec_id", "embedding", cents, tau = 0.99)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(3), r.getBoolean(4)))).toMap
+    // transitive group {10,11,15} in cell 0: one component, keeper = 11
+    assert(Set(10L, 11L, 15L).map(out(_)._2).size == 1)
+    assert(!out(10L)._3 && out(11L)._3 && !out(15L)._3,
+      s"keeper must be the lowest-cent_cos member: $out")
+    // {13,14} tie on rounded cent_cos -> smaller id kept
+    assert(out(13L)._2 == out(14L)._2 && out(13L)._3 && !out(14L)._3)
+    // singleton keeps itself
+    assert(out(12L)._3 && out(12L)._2 == 12L)
+    // the published approximation: near-identical vectors assigned to
+    // different cells never pair
+    assert(out(16L)._1 == 0L && out(17L)._1 == 1L)
+    assert(out(16L)._2 != out(17L)._2 && out(16L)._3 && out(17L)._3)
+  }
+
+  test("assignCellsLit: literal-centroid assignment equals the broadcast-join formulation") {
+    val rnd = new scala.util.Random(7)
+    val vecs = (0L until 60L).map(i =>
+      (i, Array.fill(8)(rnd.nextDouble() * 2 - 1))).toDF("vec_id", "embedding")
+    val centsDf = Seq(
+      (0L, Seq.fill(8)(rnd.nextDouble())),
+      (1L, Seq.fill(8)(rnd.nextDouble() - 1)),
+      (2L, Seq.fill(8)(rnd.nextDouble() * 2 - 1))).toDF("cell", "ce")
+    val viaJoin = Similarity.assignCells(vecs, "vec_id", "embedding", centsDf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaLit = Similarity.assignCellsLit(vecs, "vec_id", "embedding",
+        Similarity.collectCentroids(centsDf))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaJoin == viaLit)
+  }
 }

@@ -764,6 +764,48 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q110: SemDeDup — literal assignment is map-only; pairs equi-join on the cell, never a cross join") {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import graft.operators.Similarity
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+    val cents = (0L until 4L).map(c => c -> Seq.tabulate(64)(d =>
+      if (d % 4 == c) 1.0 else 0.0))
+    // 1. assignment: one scan, zero exchanges, zero joins/aggregates —
+    //    the centroid table is plan literals, so nothing moves
+    val asg = Similarity.assignCellsLit(vecs, "vec_id", "embedding", cents)
+    asg.collect()
+    val ap = asg.queryExecution.executedPlan.toString
+    assert("FileScan parquet".r.findAllIn(ap).size == 1, ap.take(1500))
+    assert(!ap.contains("Exchange") && !ap.contains("Join") &&
+      !ap.contains("HashAggregate"),
+      s"literal assignment must be map-only\n${ap.take(1500)}")
+    // 2. candidate pairs: an EQUI-join keyed on the cell (the k-means
+    //    partition bounds fan-out) — never a cartesian product, and the
+    //    pair exchanges carry only (id, cell), never the embedding
+    val pairs = asg.select(col("vec_id").as("a"), col("cell"))
+      .join(asg.select(col("vec_id").as("b"), col("cell")), "cell")
+      .where(col("a") < col("b")).select("a", "b")
+    pairs.collect()
+    val pp = pairs.queryExecution.executedPlan
+    assert(!pp.toString.contains("CartesianProduct"), pp.toString.take(1500))
+    flattenPlan(pp).collect { case s: ShuffleExchangeLike => s }.foreach { s =>
+      assert(!s.output.exists(_.name == "embedding"),
+        s"pair exchange carries vectors: ${s.output.mkString(", ")}") }
+    // 3. end-to-end: the post-components plan (labels are a checkpointed
+    //    leaf) shuffles 8 B labels for the keep window — embeddings never
+    //    appear in any exchange of the final plan
+    val df = SparkEntry.queries("q110_semdedup")(spark, sf)
+    try {
+      df.collect()
+      flattenPlan(df.queryExecution.executedPlan)
+        .collect { case s: ShuffleExchangeLike => s }.foreach { s =>
+          assert(!s.output.exists(_.name == "embedding"),
+            s"label exchange carries vectors: ${s.output.mkString(", ")}") }
+      assert(!df.queryExecution.executedPlan.toString.contains("CartesianProduct"))
+    } finally graft.engine.Checkpoints.release(df)
+  }
+
   test("codegen health: payload/decode pipelines compile clean (no interpreted fallback)") {
     // Regression guard for the round-9 defect class: a `private` encoder
     // case class type-checks but Janino cannot reach its accessors, so
