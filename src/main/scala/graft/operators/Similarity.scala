@@ -743,6 +743,42 @@ object Similarity {
       .select(col(id), col("cell"), col("cent_cos"), col("component"), col("keep"))
   }
 
+  /** SemDeDup recall audit — MEASURES the published approximation
+    * instead of trusting it: `n_pairs_all` = every corpus pair at
+    * cosine ≥ tau by brute force (the ground truth — quadratic BY
+    * DEFINITION, so at 100 TB the audit runs on a sample; it is a
+    * measurement, not a pipeline stage), `n_pairs_within` = the subset
+    * the within-cell restriction can see, `recall` = within/all (1.0
+    * when there is nothing to find). A falling recall is the signal to
+    * retrain with more cells or a better quantizer — the same audit
+    * loop [[graft.queries.LlmQueries]] q109 closes for MinHash.
+    * Thresholds compare 4-dp-rounded cosines (both engines decide from
+    * identical numbers); recall divides two exact counts. */
+  def semDedupRecall(vecs: DataFrame, id: String, emb: String,
+      cents: Seq[(Long, Seq[Double])], tau: Double): DataFrame = {
+    val v = vecs.select(col(id), col(emb).cast("array<double>").as("__e"))
+    val all = v.select(col(id).as("a"), col("__e").as("ea"))
+      .crossJoin(broadcast(v.select(col(id).as("b"), col("__e").as("eb"))))
+      .where(col("a") < col("b") &&
+        round(cosine(col("ea"), col("eb")), 4) >= tau)
+      .agg(count(lit(1)).as("n_pairs_all"))
+    val asg = assignCellsLit(vecs, id, emb, cents)
+    val pairs = asg.select(col(id).as("a"), col("cell"))
+      .join(asg.select(col(id).as("b"), col("cell")), "cell")
+      .where(col("a") < col("b"))
+      .select("a", "b")
+    val within = cosinePairs(vecs, pairs, id, emb)
+      .where(col("cos") >= tau)
+      .agg(count(lit(1)).as("n_pairs_within"))
+    all.crossJoin(within)
+      .select(col("n_pairs_all"), col("n_pairs_within"),
+        (col("n_pairs_all") - col("n_pairs_within")).as("n_pairs_missed"),
+        when(col("n_pairs_all") === 0, lit(1.0))
+          .otherwise(round(
+            col("n_pairs_within").cast("double") / col("n_pairs_all"), 6))
+          .as("recall"))
+  }
+
   // ---- Product quantization (Jegou et al. 2011, "Product Quantization
   // for Nearest Neighbor Search") ----
   //

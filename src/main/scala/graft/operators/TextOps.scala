@@ -874,4 +874,48 @@ object TextOps {
           exp(-col("logit_milli").cast("double") / lit(1000.0))), 6))
       .withColumn("keep", col("logit_milli") >= 0)
   }
+
+  /** Token-budget mixture allocation — the data-mixing recipe every
+    * training run starts from (the Pile / LLaMA / Gopher mixture
+    * tables): given per-stratum AVAILABLE token counts, target mixture
+    * weights, a total token budget, and an epoch cap (repeating a small
+    * source too often hurts — LLaMA caps Wikipedia near 2.4 epochs),
+    * compute what each stratum actually contributes:
+    *
+    *  - `desired   = budget·w/1000`            (the mixture's ask)
+    *  - `epochs_milli = min(cap, desired·1000 // available)` (0 if empty)
+    *  - `allocated = available·epochs_milli // 1000` (≤ desired — the cap
+    *    and the floor only ever round DOWN)
+    *  - `shortfall = desired − allocated`      (what the recipe can't have:
+    *    > 0 means the budget wants more of this stratum than the epoch cap
+    *    allows — the signal to go collect more of it)
+    *
+    * Everything is INTEGER arithmetic (`div` floors), so both engines
+    * compute identical rows; epochs are milli-units (1000 = one pass).
+    * Weight strata with no data emit `available = 0, allocated = 0`
+    * (left join from the TARGET side: the recipe drives the report).
+    * ONE map-side-combinable aggregate over the corpus; the solver
+    * itself runs on a strata-sized frame — at 100 TB this is a report,
+    * not a data pass. */
+  def mixtureAllocation(df: DataFrame, strata: String, tokenCount: Column,
+      targetsMilli: Seq[(String, Int)], budgetTokens: Long,
+      maxEpochsMilli: Long = 1000L): DataFrame = {
+    require(targetsMilli.nonEmpty, "empty target mixture")
+    require(budgetTokens > 0, s"budget must be positive; got $budgetTokens")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val avail = df.groupBy(col(strata).as("stratum"))
+      .agg(sum(tokenCount.cast("long")).as("available"))
+    targetsMilli.toDF("stratum", "w_milli")
+      .join(avail, Seq("stratum"), "left")
+      .withColumn("available", coalesce(col("available"), lit(0L)))
+      .withColumn("desired",
+        expr(s"($budgetTokens * CAST(w_milli AS BIGINT)) div 1000"))
+      .withColumn("epochs_milli",
+        when(col("available") === 0L, lit(0L))
+          .otherwise(least(lit(maxEpochsMilli),
+            expr("(desired * 1000) div available"))))
+      .withColumn("allocated", expr("(available * epochs_milli) div 1000"))
+      .withColumn("shortfall", col("desired") - col("allocated"))
+  }
 }

@@ -1148,6 +1148,21 @@ object LlmQueries {
       QualityWeightsMilli, QualityBiasMilli, QualityHashSeed)
       .orderBy("doc_id")
 
+  /** q112 — token-budget mixture allocation
+    * ([[TextOps.mixtureAllocation]]): the mixing-recipe report — per
+    * language: available tokens, the mixture's desired share of a 20k
+    * budget, epochs under a 2.4-epoch cap (the LLaMA-style repeat
+    * bound), the resulting allocation, and the shortfall. 'ja' carries
+    * target weight but no data (the collect-more-of-this signal). All
+    * integer arithmetic — both engines compute identical rows. */
+  def mixtureAllocationQ(s: SparkSession, d: String): DataFrame =
+    TextOps.mixtureAllocation(docs(s, d), "lang",
+        TextOps.tokenCount(col("text")),
+        Seq("en" -> 400, "zh" -> 150, "es" -> 150, "de" -> 150,
+          "fr" -> 100, "ja" -> 50),
+        budgetTokens = 20000L, maxEpochsMilli = 2400L)
+      .orderBy("stratum")
+
   /** q95 — FROZEN-LM scoring ([[TextOps.unigramXentAgainst]]): the
     * train/apply split q91 folds together — the model is the unigram
     * counts of the EVEN doc_ids only, and the ODD docs (which never
@@ -1506,6 +1521,29 @@ object LlmQueries {
          |  (logit_milli >= 0) AS keep
          |FROM lg ORDER BY doc_id""".stripMargin
     },
+
+    // mixture-recipe replay: the target VALUES table drives (left join),
+    // and every derived column is integer floor-division — identical
+    // rows by construction
+    "q112_mixture_allocation" ->
+      """WITH tgt(stratum, w_milli) AS (VALUES ('en', 400), ('zh', 150),
+        |  ('es', 150), ('de', 150), ('fr', 100), ('ja', 50)),
+        |av AS (SELECT lang AS stratum,
+        |    sum(len(string_split_regex(trim(lower(text)), '\s+')))::BIGINT
+        |      AS available
+        |  FROM documents GROUP BY lang),
+        |j AS (SELECT t.stratum, t.w_milli,
+        |    coalesce(av.available, 0)::BIGINT AS available,
+        |    ((20000 * t.w_milli) // 1000)::BIGINT AS desired
+        |  FROM tgt t LEFT JOIN av USING (stratum)),
+        |e AS (SELECT *, (CASE WHEN available = 0 THEN 0
+        |    ELSE least(2400, (desired * 1000) // available) END)::BIGINT
+        |      AS epochs_milli FROM j),
+        |a AS (SELECT *, ((available * epochs_milli) // 1000)::BIGINT
+        |    AS allocated FROM e)
+        |SELECT stratum, w_milli, available, desired, epochs_milli,
+        |  allocated, (desired - allocated)::BIGINT AS shortfall
+        |FROM a ORDER BY stratum""".stripMargin,
 
     // the relational re-derivation of the in-array Spark plan: explode
     // 2-grams, count, rank (count desc, gram desc — the struct array_max
@@ -2310,6 +2348,7 @@ object LlmQueries {
     "q91_unigram_xent" -> unigramXentQ _,
     "q100_gopher_rules" -> gopherRulesQ _,
     "q111_quality_logistic" -> qualityLogisticQ _,
+    "q112_mixture_allocation" -> mixtureAllocationQ _,
     "q101_dsir_weights" -> dsirWeightsQ _,
     "q102_weighted_sample" -> weightedSampleQ _,
     "q103_top_ngram" -> topNgramQ _,

@@ -105,6 +105,17 @@ object RelationalQueries {
       .orderBy("vec_id")
   }
 
+  /** q113 — SemDeDup recall audit ([[Similarity.semDedupRecall]]): the
+    * q110 approximation MEASURED — brute-force ground-truth pairs at
+    * tau = 0.4 vs the within-cell subset, over the same trained cells.
+    * The oracle recomputes both counts from the exploded layout and the
+    * replayed assignment. */
+  def semDedupRecallQ(s: SparkSession, d: String): DataFrame = {
+    val cents = Similarity.collectCentroids(ivfIndex(s, d).centroids.drop("cnorm"))
+    Similarity.semDedupRecall(t(s, d, "embeddings"), "vec_id", "embedding",
+      cents, tau = 0.4)
+  }
+
   /** Per-directory memo of the trained PQ codebooks (m=8 subspaces x
     * dsub=8 dims x ksub=8 codes, 2 deterministic Lloyd iterations —
     * [[Similarity.pqTrain]]): training runs once per session; the
@@ -492,6 +503,29 @@ object RelationalQueries {
          |SELECT vec_id, cell, cent_cos, component, (rn = 1) AS keep
          |FROM srn ORDER BY vec_id""".stripMargin,
 
+    // recall audit replay: pcs = every unordered pair's 4-dp cosine from
+    // the exploded layout, the within count restricts through the
+    // replayed assignment, recall divides the two exact counts
+    "q113_semdedup_recall" ->
+      s"""WITH $kmeansCtes,
+         |pcs AS (SELECT ea.vec_id AS a, eb.vec_id AS b,
+         |    round(sum(ea.v * eb.v) / sqrt(sum(ea.v * ea.v))
+         |      / sqrt(sum(eb.v * eb.v)), 4) AS cos
+         |  FROM ex ea JOIN ex eb ON eb.d = ea.d AND ea.vec_id < eb.vec_id
+         |  GROUP BY ea.vec_id, eb.vec_id),
+         |ap AS (SELECT count(*)::BIGINT AS n_pairs_all
+         |  FROM pcs WHERE cos >= 0.4),
+         |wp AS (SELECT count(*)::BIGINT AS n_pairs_within
+         |  FROM pcs p
+         |  JOIN asg3 x ON x.vec_id = p.a
+         |  JOIN asg3 y ON y.vec_id = p.b AND y.cell = x.cell
+         |  WHERE p.cos >= 0.4)
+         |SELECT n_pairs_all, n_pairs_within,
+         |  (n_pairs_all - n_pairs_within)::BIGINT AS n_pairs_missed,
+         |  CASE WHEN n_pairs_all = 0 THEN 1.0
+         |    ELSE round(n_pairs_within / n_pairs_all::DOUBLE, 6) END AS recall
+         |FROM ap, wp""".stripMargin,
+
     // dt is the query's ADC table (squared subspace distances to every
     // trained codebook entry); a3 carries each corpus vector's 8 codes, so
     // the approximate distance is the 8-way sum of table lookups — the
@@ -727,6 +761,7 @@ object RelationalQueries {
     "q104_ann_ivfpq_batch" -> annIvfPqBatch _,
     "q55_kmeans_assign" -> kmeansAssign _,
     "q110_semdedup" -> semDedupQ _,
+    "q113_semdedup_recall" -> semDedupRecallQ _,
     "q41_asof_join" -> asofJoin _,
     "q42_sessionize" -> sessionize _,
     "q52_streaming_session_window" -> streamingSessionWindow _,

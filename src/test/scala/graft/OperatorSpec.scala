@@ -1865,6 +1865,78 @@ class OperatorSpec extends AnyFunSuite {
     assert(out(16L)._2 != out(17L)._2 && out(16L)._3 && out(17L)._3)
   }
 
+  test("hashedLogisticScore: hand-computed integer logit, per-occurrence weights, integer keep boundary") {
+    // independent bucket recomputation straight from md5 (the portable
+    // hash contract), not through TextOps
+    def bucket(w: String, seed: Int, d: Int): Int = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"$seed:$w".getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.take(15)
+      (BigInt(hex, 16) % d).toInt
+    }
+    val wts = Seq(5, -7, 11, 13)
+    val in = Seq((1L, "aa bb aa"), (2L, "zz"), (3L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val out = TextOps.hashedLogisticScore(in, "text", "doc_id", wts,
+        biasMilli = 100L, seed = 97)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(4)))).toMap
+    val exp1 = 100L + 2L * wts(bucket("aa", 97, 4)) + wts(bucket("bb", 97, 4))
+    assert(out(1L) == ((3L, exp1, exp1 >= 0)), s"got ${out(1L)}, want logit $exp1")
+    val exp2 = 100L + wts(bucket("zz", 97, 4))
+    assert(out(2L) == ((1L, exp2, exp2 >= 0)))
+    assert(!out.contains(3L), "null text must be dropped")
+    // keep flips exactly at logit_milli = 0 (decided in integer space)
+    val boundary = TextOps.hashedLogisticScore(
+        Seq((9L, "aa")).toDF("doc_id", "text"), "text", "doc_id", wts,
+        biasMilli = -wts(bucket("aa", 97, 4)).toLong, seed = 97)
+      .head()
+    assert(boundary.getLong(2) == 0L && boundary.getBoolean(4) &&
+      boundary.getDouble(3) == 0.5)
+  }
+
+  test("mixtureAllocation: cap binds on scarce strata, downsample is exact, empty stratum reports shortfall") {
+    val in = Seq(
+      ("A", "t1 t2 t3 t4 t5"), ("A", "t1 t2 t3 t4 t5"), // 10 tokens
+      ("B", "u1 u2 u3 u4"),                             // 4 tokens
+      ("D", Seq.fill(100)("w").mkString(" "))           // 100 tokens
+    ).toDF("lang", "text")
+    val out = TextOps.mixtureAllocation(in, "lang",
+        TextOps.tokenCount(col("text")),
+        Seq("A" -> 600, "B" -> 300, "D" -> 50, "C" -> 50),
+        budgetTokens = 100L, maxEpochsMilli = 1500L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))))
+      .toMap
+    // (available, desired, epochs_milli, allocated, shortfall)
+    assert(out("A") == ((10L, 60L, 1500L, 15L, 45L)), s"cap binds: ${out("A")}")
+    assert(out("B") == ((4L, 30L, 1500L, 6L, 24L)))
+    assert(out("D") == ((100L, 5L, 50L, 5L, 0L)), s"exact downsample: ${out("D")}")
+    assert(out("C") == ((0L, 5L, 0L, 0L, 5L)), s"empty stratum: ${out("C")}")
+  }
+
+  test("semDedupRecall: counts the cross-cell misses exactly on the crafted fixture") {
+    val cents = Seq(0L -> Seq(1.0, 0.0, 0.0, 0.0), 1L -> Seq(0.0, 1.0, 0.0, 0.0))
+    val vecs = Seq(
+      (10L, Array(1.00, 0.05, 0.0, 0.0)), (11L, Array(0.99, 0.08, 0.0, 0.0)),
+      (15L, Array(1.00, 0.02, 0.0, 0.0)), (12L, Array(0.90, 0.40, 0.0, 0.0)),
+      (13L, Array(0.05, 1.00, 0.0, 0.0)), (14L, Array(0.10, 2.00, 0.0, 0.0)),
+      (16L, Array(0.72, 0.69, 0.0, 0.0)), (17L, Array(0.69, 0.72, 0.0, 0.0))
+    ).toDF("vec_id", "embedding")
+    // ground truth at tau=.99: {10,11},{10,15},{11,15},{13,14},{16,17} = 5
+    // pairs; the 16-17 pair straddles cells -> within = 4, recall = 0.8
+    val r = Similarity.semDedupRecall(vecs, "vec_id", "embedding", cents,
+      tau = 0.99).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)) ==
+      ((5L, 4L, 1L, 0.8)), s"got $r")
+    // nothing to find -> recall reports 1.0, not a division error
+    val empty = Similarity.semDedupRecall(
+        Seq((1L, Array(1.0, 0.0, 0.0, 0.0)),
+            (2L, Array(0.0, 1.0, 0.0, 0.0))).toDF("vec_id", "embedding"),
+        "vec_id", "embedding", cents, tau = 0.99).head()
+    assert(empty.getLong(0) == 0L && empty.getDouble(3) == 1.0)
+  }
+
   test("assignCellsLit: literal-centroid assignment equals the broadcast-join formulation") {
     val rnd = new scala.util.Random(7)
     val vecs = (0L until 60L).map(i =>

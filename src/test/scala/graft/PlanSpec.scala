@@ -764,6 +764,33 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q111: logistic quality score is one map-only scan — weights are plan literals, tokens stay in-array") {
+    finalPlan("q111_quality_logistic") { p =>
+      assert("FileScan parquet".r.findAllIn(p).size == 1, p.take(1500))
+      assert(!p.contains("Generate explode"),
+        s"occurrences fold in-array\n${p.take(1500)}")
+      assert(!p.contains("Join"), s"the model is literals, not a table\n${p.take(1500)}")
+      assert(!p.contains("Exchange hashpartitioning") && !p.contains("HashAggregate"),
+        s"inference must be map-only\n${p.take(1500)}")
+    }
+  }
+
+  test("q112: mixture solver — one token aggregate, text never shuffles, solver math on the strata frame") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val df = SparkEntry.queries("q112_mixture_allocation")(spark, sf)
+    try {
+      df.collect()
+      val p = df.queryExecution.executedPlan
+      // the only corpus work is the partial+final token-count aggregate;
+      // exchanges carry (lang, count) — never document text
+      flattenPlan(p).collect { case s: ShuffleExchangeLike => s }.foreach { s =>
+        assert(!s.output.exists(_.name == "text"),
+          s"exchange carries text: ${s.output.mkString(", ")}") }
+      val fp = p.toString.split("== Initial Plan ==").head
+      assert("FileScan parquet".r.findAllIn(fp).size == 1, fp.take(1500))
+    } finally graft.engine.Checkpoints.release(df)
+  }
+
   test("q110: SemDeDup — literal assignment is map-only; pairs equi-join on the cell, never a cross join") {
     import org.apache.spark.sql.functions.col
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
