@@ -826,6 +826,53 @@ object Dedup {
     * partitioned by doc id (a doc's duplicated positions, far smaller
     * than the doc itself). Reference analogy: none — the reference has no
     * substring dedup; this is the LLM-pipeline extension surface. */
+  /** Winnowing fingerprints (Schleimer, Wilkerson & Aiken 2003, "Winnowing:
+    * Local Algorithms for Document Fingerprinting" §4 — the MOSS
+    * algorithm): from every window of `w` consecutive token-`k`-gram
+    * hashes, select the MINIMUM (rightmost position on hash ties), and
+    * the distinct selections are the document's fingerprint. The
+    * guarantee that makes this the standard copy-detection sketch: any
+    * shared run of `w + k − 1` tokens shares at least one fingerprint,
+    * while expected density is only 2/(w+1) — a tunable, position-aware
+    * sketch (unlike MinHash, a match carries WHERE). Docs shorter than a
+    * full window degrade to their global minimum (the single truncated
+    * window), never to zero fingerprints.
+    *
+    * Gram hashes are the portable md5-derived [[TextOps.portableHash]]
+    * (the VALUES drive the min selection, so the oracle must reproduce
+    * them exactly — a production deployment can swap in any uniform
+    * 64-bit hash). The windowed min is `min(struct(hash, −pos))`:
+    * lexicographic struct ordering gives smallest-hash-then-rightmost —
+    * the paper's tie rule. Scale shape: grams hash INSIDE the explode
+    * projection, so the ONE window exchange (keyed on the doc) carries
+    * `(id, pos, hash)` — 8 B hashes, never gram text; selection and
+    * dedup are per-doc. */
+  def winnowFingerprints(df: DataFrame, text: String, id: String,
+      k: Int, w: Int, seed: Int = 131): DataFrame = {
+    require(k >= 1, s"gram size must be >= 1, got $k")
+    require(w >= 1, s"window width must be >= 1, got $w")
+    val toks = TextOps.tokens(col(text))
+    val parts = (0 until k).map(j => slice(col("__toks"), lit(j + 1), col("__m")))
+    val grams = parts.reduce((a, b) =>
+      zip_with(a, b, (x, y) => concat(x, lit(" "), y)))
+    val kg = df.where(col(text).isNotNull && size(toks) >= k)
+      .select(col(id), toks.as("__toks"))
+      .select(col(id), col("__toks"), (size(col("__toks")) - (k - 1)).as("__m"))
+      .select(col(id), col("__m"), posexplode(grams).as(Seq("pos", "__g")))
+      .select(col(id), col("__m"), col("pos"),
+        TextOps.portableHash(col("__g"), seed).as("gh"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(id)).orderBy(col("pos"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.currentRow, w - 1)
+    kg.withColumn("__sel", min(struct(col("gh"), (-col("pos")).as("np"))).over(win))
+      // full windows only (s ≤ #grams − w); short docs keep s = 0, whose
+      // truncated window IS the whole doc
+      .where(col("pos") <= greatest(col("__m") - lit(w), lit(0)))
+      .select(col(id), (-col("__sel.np")).cast("int").as("pos"),
+        col("__sel.gh").as("fp"))
+      .distinct()
+  }
+
   def repeatedSpans(df: DataFrame, text: String, id: String, w: Int): DataFrame = {
     val win = spanWindows(df, text, id, w)
     val dup = win.groupBy("wh").agg(count(lit(1)).as("__occ"))

@@ -1155,6 +1155,24 @@ object LlmQueries {
     * bound), the resulting allocation, and the shortfall. 'ja' carries
     * target weight but no data (the collect-more-of-this signal). All
     * integer arithmetic — both engines compute identical rows. */
+  /** q114 — winnowing fingerprints ([[Dedup.winnowFingerprints]],
+    * Schleimer et al. 2003): the MOSS copy-detection sketch — every
+    * 4-window of consecutive 3-gram hashes contributes its rightmost
+    * minimum, so any shared 6-token run shares a fingerprint and a
+    * match says WHERE. The oracle enumerates the windows and replays
+    * the (hash ASC, pos DESC) selection row by row. */
+  def winnowQ(s: SparkSession, d: String): DataFrame =
+    Dedup.winnowFingerprints(docs(s, d), "text", "doc_id", k = 3, w = 4)
+      .orderBy("doc_id", "pos", "fp")
+
+  /** q115 — deterministic training shuffle ([[TextOps.shuffleOrder]]):
+    * the reproducible epoch permutation, seed 11. The oracle is one
+    * row_number over the same portable hash — the DISTRIBUTED two-pass
+    * rank must equal the sequential rank exactly. */
+  def shuffleOrderQ(s: SparkSession, d: String): DataFrame =
+    TextOps.shuffleOrder(docs(s, d), "doc_id", seed = 11)
+      .orderBy("order_idx")
+
   def mixtureAllocationQ(s: SparkSession, d: String): DataFrame =
     TextOps.mixtureAllocation(docs(s, d), "lang",
         TextOps.tokenCount(col("text")),
@@ -1521,6 +1539,41 @@ object LlmQueries {
          |  (logit_milli >= 0) AS keep
          |FROM lg ORDER BY doc_id""".stripMargin
     },
+
+    // winnowing replay: st enumerates every window start (short docs
+    // keep the single truncated window at s = 0), the row_number
+    // ORDER BY (gh ASC, pos DESC) is the paper's rightmost-min tie
+    // rule, and DISTINCT collapses adjacent windows that picked the
+    // same gram
+    "q114_winnow_fingerprints" ->
+      s"""WITH ga AS (SELECT doc_id,
+         |    string_split_regex(trim(lower(text)), '\\s+') AS arr
+         |  FROM documents WHERE text IS NOT NULL),
+         |gr AS (SELECT doc_id, unnest(generate_series(1, len(arr) - 2)) AS i,
+         |    arr FROM ga WHERE len(arr) >= 3),
+         |g AS (SELECT doc_id, i - 1 AS pos,
+         |    ${pHash("131", "(arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2])")}
+         |      AS gh,
+         |    len(arr) - 2 AS m
+         |  FROM gr),
+         |st AS (SELECT doc_id, unnest(generate_series(0, greatest(m - 4, 0)))
+         |    AS s
+         |  FROM (SELECT DISTINCT doc_id, m FROM g)),
+         |sel AS (SELECT st.doc_id, g.pos, g.gh, row_number() OVER (
+         |    PARTITION BY st.doc_id, st.s ORDER BY g.gh ASC, g.pos DESC)
+         |      AS rn
+         |  FROM st JOIN g ON g.doc_id = st.doc_id
+         |    AND g.pos BETWEEN st.s AND st.s + 3)
+         |SELECT DISTINCT doc_id, pos::INT AS pos, gh AS fp
+         |FROM sel WHERE rn = 1 ORDER BY doc_id, pos, fp""".stripMargin,
+
+    // shuffle-order replay: the sequential row_number over (hash, id)
+    // must equal the engine's distributed two-pass rank row for row
+    "q115_shuffle_order" ->
+      s"""SELECT doc_id, h AS shuffle_key,
+         |  row_number() OVER (ORDER BY h, doc_id) AS order_idx
+         |FROM (SELECT doc_id, ${pHash("11", "doc_id")} AS h FROM documents)
+         |ORDER BY order_idx""".stripMargin,
 
     // mixture-recipe replay: the target VALUES table drives (left join),
     // and every derived column is integer floor-division — identical
@@ -2349,6 +2402,8 @@ object LlmQueries {
     "q100_gopher_rules" -> gopherRulesQ _,
     "q111_quality_logistic" -> qualityLogisticQ _,
     "q112_mixture_allocation" -> mixtureAllocationQ _,
+    "q114_winnow_fingerprints" -> winnowQ _,
+    "q115_shuffle_order" -> shuffleOrderQ _,
     "q101_dsir_weights" -> dsirWeightsQ _,
     "q102_weighted_sample" -> weightedSampleQ _,
     "q103_top_ngram" -> topNgramQ _,

@@ -1937,6 +1937,58 @@ class OperatorSpec extends AnyFunSuite {
     assert(empty.getLong(0) == 0L && empty.getDouble(3) == 1.0)
   }
 
+  test("winnowFingerprints: matches an independent brute-force winnower; shared runs share a fingerprint") {
+    // reference implementation straight from the paper: slide the window,
+    // take the rightmost minimum — computed from raw md5, not TextOps
+    def winnowRef(text: String, k: Int, w: Int, seed: Int): Set[(Int, Long)] = {
+      def h(s: String): Long = {
+        val md = java.security.MessageDigest.getInstance("MD5")
+        BigInt(md.digest(s"$seed:$s".getBytes("UTF-8"))
+          .map(b => f"$b%02x").mkString.take(15), 16).toLong
+      }
+      val hs = text.trim.toLowerCase.split("\\s+").toSeq
+        .sliding(k).map(g => h(g.mkString(" "))).toVector
+      (0 to math.max(hs.size - w, 0)).map { s =>
+        val idx = s until math.min(s + w, hs.size)
+        val best = idx.minBy(i => (hs(i), -i))
+        (best, hs(best))
+      }.toSet
+    }
+    val rnd = new scala.util.Random(3)
+    val words = Vector("ka", "lo", "mi", "ne", "os", "pu", "qa", "re", "su", "tu")
+    val longDoc = Seq.fill(40)(words(rnd.nextInt(words.size))).mkString(" ")
+    val shared = "zz yy xx ww vv uu" // 6 tokens = w + k - 1
+    val docA = longDoc + " " + shared
+    val docB = shared + " " + Seq.fill(20)(words(rnd.nextInt(words.size))).mkString(" ")
+    val shortDoc = "aa bb cc dd" // 2 grams < w: one truncated window
+    val in = Seq((1L, docA), (2L, docB), (3L, shortDoc)).toDF("doc_id", "text")
+    val got = Dedup.winnowFingerprints(in, "text", "doc_id", k = 3, w = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).toSet).toMap
+    assert(got(1L) == winnowRef(docA, 3, 4, 131), "doc A vs reference")
+    assert(got(2L) == winnowRef(docB, 3, 4, 131), "doc B vs reference")
+    assert(got(3L) == winnowRef(shortDoc, 3, 4, 131) && got(3L).size == 1,
+      s"short doc keeps its single truncated window: ${got(3L)}")
+    // the paper's guarantee: a shared w+k-1 run shares >= 1 fingerprint HASH
+    val fpsA = got(1L).map(_._2); val fpsB = got(2L).map(_._2)
+    assert(fpsA.intersect(fpsB).nonEmpty, "shared 6-token run must collide")
+  }
+
+  test("shuffleOrder: dense 1..n permutation, reproducible, seed-dependent, actually shuffled") {
+    val in = (0L until 200L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    def order(seed: Int): Seq[Long] =
+      TextOps.shuffleOrder(in, "doc_id", seed)
+        .orderBy("order_idx").collect().map(_.getLong(0)).toSeq
+    val o11 = order(11)
+    assert(o11.sorted == (0L until 200L), "must be a permutation of the ids")
+    assert(order(11) == o11, "same seed must reproduce the identical order")
+    assert(order(12) != o11, "a new seed is a fresh permutation")
+    assert(o11 != (0L until 200L).toSeq, "hash order must not be id order")
+    val idx = TextOps.shuffleOrder(in, "doc_id", 11)
+      .select("order_idx").collect().map(_.getLong(0)).sorted
+    assert(idx.toSeq == (1L to 200L), "ranks must be dense 1..n with no gaps")
+  }
+
   test("assignCellsLit: literal-centroid assignment equals the broadcast-join formulation") {
     val rnd = new scala.util.Random(7)
     val vecs = (0L until 60L).map(i =>

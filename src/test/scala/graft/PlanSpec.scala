@@ -791,6 +791,21 @@ class PlanSpec extends AnyFunSuite {
     } finally graft.engine.Checkpoints.release(df)
   }
 
+  test("q114: winnowing — grams hash inside the explode; the window exchange carries hashes, never gram text") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val df = SparkEntry.queries("q114_winnow_fingerprints")(spark, sf)
+    try {
+      df.collect()
+      val p = df.queryExecution.executedPlan
+      flattenPlan(p).collect { case s: ShuffleExchangeLike => s }.foreach { s =>
+        assert(!s.output.exists(a => a.name == "text" || a.name == "__g" ||
+          a.name == "__toks"),
+          s"exchange carries gram text: ${s.output.mkString(", ")}") }
+      val fp = p.toString.split("== Initial Plan ==").head
+      assert("FileScan parquet".r.findAllIn(fp).size == 1, fp.take(1500))
+    } finally graft.engine.Checkpoints.release(df)
+  }
+
   test("q110: SemDeDup — literal assignment is map-only; pairs equi-join on the cell, never a cross join") {
     import org.apache.spark.sql.functions.col
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike

@@ -556,4 +556,32 @@ class StreamingSpec extends AnyFunSuite {
       assert(got == batch, s"stream $got vs batch $batch")
     } finally q2.stop()
   }
+
+  test("frozen logistic quality gate scores a stream identically to batch") {
+    // hashedLogisticScore is one map-only projection over plan-literal
+    // weights — the model-based ingest gate runs on readStream frames
+    // unchanged, no retrofit
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    import graft.operators.TextOps
+    val wts = Seq(311, -977, 65, -430, 812, -25, 540, -688)
+    val docs = Seq((1L, "alpha beta gamma alpha"), (2L, "delta epsilon"),
+      (3L, "zeta"))
+    val mem = MemoryStream[(Long, String)]
+    val gated = TextOps.hashedLogisticScore(mem.toDF().toDF("doc_id", "text"),
+      "text", "doc_id", wts, biasMilli = 50L)
+    assert(gated.isStreaming)
+    val q = gated.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("logistic_out").start()
+    try {
+      mem.addData(docs: _*)
+      q.processAllAvailable()
+      val got = spark.table("logistic_out").collect().map(_.toSeq).toSet
+      val batch = TextOps.hashedLogisticScore(docs.toDF("doc_id", "text"),
+          "text", "doc_id", wts, biasMilli = 50L)
+        .collect().map(_.toSeq).toSet
+      assert(got == batch, s"stream $got vs batch $batch")
+      assert(got.nonEmpty)
+    } finally q.stop()
+  }
 }
