@@ -686,55 +686,109 @@ object Similarity {
     * is the assignment form a dedup pass wants: the corpus is read once
     * and nothing moves until something keyed on `cell` has to. */
   def assignCellsLit(vecs: DataFrame, id: String, emb: String,
+      cents: Seq[(Long, Seq[Double])]): DataFrame =
+    assignLitWide(vecs, id, emb, cents)
+      .select(col(id), col("cell"), col("cent_cos"))
+
+  /** The assignment projection with the working columns kept:
+    * `(id, __e, __vn, cell, cent_cos)` — [[semDedup]]'s pair stage
+    * reuses the cast embedding and self-norm without a second join.
+    * Assignment is the native [[graft.functions.NearestCentroid]]
+    * kernel: the k-branch `array_max(struct(...))` expression form
+    * blows Janino's 64 KB method limit at k = 64 and falls back to
+    * interpreted evaluation (measured 25.7 s → 1.9 s on a 102k × 64-d
+    * × 64-cell scan, [[graft.tools.LargeSemDedupBench]]); the kernel's
+    * arithmetic and tie rule are bit-identical (FunctionsSpec asserts
+    * equality against the expression spec). */
+  private def assignLitWide(vecs: DataFrame, id: String, emb: String,
       cents: Seq[(Long, Seq[Double])]): DataFrame = {
     require(cents.nonEmpty, "empty centroid table")
     def dot(x: Column, y: Column): Column = graft.functions.DotProduct.dot_product(x, y)
     val e = col(emb).cast("array<double>")
-    val vn = sqrt(dot(e, e))
+    vecs.select(col(id), e.as("__e"))
+      .withColumn("__vn", sqrt(dot(col("__e"), col("__e"))))
+      .withColumn("__b",
+        graft.functions.NearestCentroid.nearest_centroid(col("__e"), cents))
+      .select(col(id), col("__e"), col("__vn"),
+        col("__b.cell").as("cell"),
+        round(col("__b.cos"), 4).as("cent_cos"))
+  }
+
+  /** The composable-expression form of the assignment — kept as the
+    * executable spec the native kernel is tested against (the
+    * [[pqEncodeColHof]] discipline): k literal-array scored structs,
+    * `array_max` argmax, ties to the smallest cell via `(cos, -cell)`
+    * ordering. */
+  def assignCellsLitHof(vecs: DataFrame, id: String, emb: String,
+      cents: Seq[(Long, Seq[Double])]): DataFrame = {
+    require(cents.nonEmpty, "empty centroid table")
+    def dot(x: Column, y: Column): Column = graft.functions.DotProduct.dot_product(x, y)
+    val e = col(emb).cast("array<double>")
     val scored = cents.map { case (cell, ce) =>
       // centroid self-norm folded at PLAN TIME in ascending-dim order —
-      // the same left-to-right accumulation DotProduct runs, so the
-      // literal is the value the join formulation computes
+      // the same left-to-right accumulation DotProduct runs
       val cn = math.sqrt(ce.foldLeft(0.0)((acc, x) => acc + x * x))
-      struct((dot(e, litArr1d(ce)) / vn / lit(cn)).as("cos"),
+      struct((dot(col("__e"), lit(ce.toArray)) / col("__vn") / lit(cn)).as("cos"),
         lit(-cell).as("negc"))
     }
-    vecs.select(col(id), array_max(array(scored: _*)).as("__b"))
+    vecs.select(col(id), e.as("__e"))
+      .withColumn("__vn", sqrt(dot(col("__e"), col("__e"))))
+      .withColumn("__b", array_max(array(scored: _*)))
       .select(col(id),
         (-col("__b.negc")).cast("long").as("cell"),
         round(col("__b.cos"), 4).as("cent_cos"))
   }
 
+  /** The ≥ tau within-cell pairs — [[semDedup]]'s edge set, exposed for
+    * the recall audit. THE scale-critical plan property: both sides of
+    * the cell equi-join carry the embedding, so the corpus crosses the
+    * wire once per side (keyed on the cell) and the Σ|cell|² CANDIDATE
+    * pairs materialize only INSIDE the join, where the tau filter
+    * collapses them before any exchange sees them. (The first-cut
+    * formulation — narrow pairs, then [[cosinePairs]] id-joins — pushed
+    * all 81M candidates of a 100k-row corpus through two shuffle joins:
+    * 164 s vs 14 s end-to-end.) Cosine arithmetic and 4-dp rounding are
+    * identical to [[cosinePairs]], so oracles are unchanged. */
+  def semDedupEdges(vecs: DataFrame, id: String, emb: String,
+      cents: Seq[(Long, Seq[Double])], tau: Double): DataFrame = {
+    def dot(x: Column, y: Column): Column = graft.functions.DotProduct.dot_product(x, y)
+    val aw = assignLitWide(vecs, id, emb, cents)
+    val x = aw.select(col(id).as("a"), col("cell"),
+      col("__e").as("__ea"), col("__vn").as("__na"))
+    val y = aw.select(col(id).as("b"), col("cell"),
+      col("__e").as("__eb"), col("__vn").as("__nb"))
+    x.join(y, Seq("cell"))
+      .where(col("a") < col("b") &&
+        round(dot(col("__ea"), col("__eb")) / col("__na") / col("__nb"), 4)
+          >= tau)
+      .select("a", "b")
+  }
+
   /** SemDeDup end-to-end: literal-centroid assignment (map-only) →
-    * within-cell candidate pairs (an equi-join on `cell` over the
-    * compact `(id, cell)` table — the k-means partition bounds the
-    * fan-out) → cosine over the pairs ([[cosinePairs]] re-reads only the
-    * embedding column for paired ids) → edges at `cos ≥ tau` on the
-    * 4-dp-ROUNDED value (both engines threshold identical numbers) →
-    * transitive closure via the MinHash pipeline's pointer-jumping
+    * within-cell pairwise cosine ([[semDedupEdges]]: ONE cell-keyed
+    * exchange per side, the Σ|cell|² candidates expand and collapse
+    * INSIDE the join) → edges at `cos ≥ tau` on the 4-dp-ROUNDED value
+    * (both engines threshold identical numbers) → transitive closure
+    * via the MinHash pipeline's pointer-jumping
     * [[Dedup.connectedComponents]] → per component KEEP the member with
     * the LOWEST cosine to its cluster centroid (the paper's §3 choice —
     * the most atypical member carries the most information; ranked on
     * the rounded value, ties to the smallest id). Output per vector:
     * `(id, cell, cent_cos, component, keep)`.
     *
-    * Scale notes: the only corpus-width data in any exchange is the
-    * embedding fetch for CANDIDATE pairs (bounded by Σ|cell|² — k grows
-    * with n to hold |cell| flat, the published recipe); assignment adds
-    * zero exchanges; components and the keep window shuffle 8 B labels.
-    * OWNERSHIP: the returned frame keeps the compact assignment
-    * checkpoint as a leaf — release after the final evaluation
+    * Scale notes: the corpus crosses the wire once per join side (keyed
+    * on the cell); candidate pairs never appear in any exchange; pair
+    * work is Σ|cell|² — k grows with n to hold |cell| flat (the
+    * published recipe; a skew-capped variant would mirror
+    * [[Dedup.lshCandidatePairsCapped]] if a mega-cell emerges);
+    * components and the keep window shuffle 8 B labels. OWNERSHIP: the
+    * returned frame keeps the compact assignment checkpoint as a leaf —
+    * release after the final evaluation
     * ([[graft.engine.Checkpoints.release]] reaches it; Bench/Verify do). */
   def semDedup(vecs: DataFrame, id: String, emb: String,
       cents: Seq[(Long, Seq[Double])], tau: Double): DataFrame = {
     val a = graft.engine.Checkpoints.mark(assignCellsLit(vecs, id, emb, cents))
-    val pairs = a.select(col(id).as("a"), col("cell"))
-      .join(a.select(col(id).as("b"), col("cell")), "cell")
-      .where(col("a") < col("b"))
-      .select("a", "b")
-    val edges = cosinePairs(vecs, pairs, id, emb)
-      .where(col("cos") >= tau)
-      .select("a", "b")
+    val edges = semDedupEdges(vecs, id, emb, cents, tau)
     val labels = Dedup.connectedComponents(a.select(col(id)), edges, id)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("component").orderBy(col("cent_cos").asc, col(id).asc)
@@ -762,13 +816,7 @@ object Similarity {
       .where(col("a") < col("b") &&
         round(cosine(col("ea"), col("eb")), 4) >= tau)
       .agg(count(lit(1)).as("n_pairs_all"))
-    val asg = assignCellsLit(vecs, id, emb, cents)
-    val pairs = asg.select(col(id).as("a"), col("cell"))
-      .join(asg.select(col(id).as("b"), col("cell")), "cell")
-      .where(col("a") < col("b"))
-      .select("a", "b")
-    val within = cosinePairs(vecs, pairs, id, emb)
-      .where(col("cos") >= tau)
+    val within = semDedupEdges(vecs, id, emb, cents, tau)
       .agg(count(lit(1)).as("n_pairs_within"))
     all.crossJoin(within)
       .select(col("n_pairs_all"), col("n_pairs_within"),

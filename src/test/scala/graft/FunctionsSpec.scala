@@ -156,6 +156,30 @@ class FunctionsSpec extends AnyFunSuite {
     assert(nulls.head.isNullAt(0))
   }
 
+  test("nearest_centroid native kernel is bit-identical to the array_max spec (incl. ties)") {
+    import graft.operators.Similarity
+    val rnd = new scala.util.Random(29)
+    val cents = (0L until 8L).map(c => c -> Seq.fill(16)(rnd.nextDouble() * 2 - 1))
+    val vecs = (0L until 60L).map(i =>
+        (i, Array.fill(16)(rnd.nextDouble() * 2 - 1)))
+      .toDF("vec_id", "embedding")
+    // exact ties: two IDENTICAL centroids under different ids — every
+    // vector ties exactly, the smaller cell must win in both forms
+    val tied = Seq(3L -> cents(5)._2, 5L -> cents(5)._2)
+    val spec = Similarity.assignCellsLitHof(vecs, "vec_id", "embedding", tied)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val native = Similarity.assignCellsLit(vecs, "vec_id", "embedding", tied)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(native == spec, "tie handling must match the struct-max spec")
+    assert(native.forall(_._2 == 3L),
+      "identical centroids must resolve to the smaller cell")
+    val specF = Similarity.assignCellsLitHof(vecs, "vec_id", "embedding", cents)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val nativeF = Similarity.assignCellsLit(vecs, "vec_id", "embedding", cents)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(nativeF == specF, "full assignment must be bit-identical")
+  }
+
   private def withAutoBroadcastOff[A](body: => A): A = {
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")

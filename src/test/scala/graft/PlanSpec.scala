@@ -822,18 +822,26 @@ class PlanSpec extends AnyFunSuite {
     assert(!ap.contains("Exchange") && !ap.contains("Join") &&
       !ap.contains("HashAggregate"),
       s"literal assignment must be map-only\n${ap.take(1500)}")
-    // 2. candidate pairs: an EQUI-join keyed on the cell (the k-means
-    //    partition bounds fan-out) — never a cartesian product, and the
-    //    pair exchanges carry only (id, cell), never the embedding
-    val pairs = asg.select(col("vec_id").as("a"), col("cell"))
-      .join(asg.select(col("vec_id").as("b"), col("cell")), "cell")
-      .where(col("a") < col("b")).select("a", "b")
-    pairs.collect()
-    val pp = pairs.queryExecution.executedPlan
+    // 2. edges: an EQUI-join keyed on the cell (the k-means partition
+    //    bounds fan-out) — never a cartesian product; every exchange is
+    //    cell-keyed and carries corpus ROWS (one crossing per side) —
+    //    the Σ|cell|² candidate pairs expand only inside the join, so
+    //    no exchange ever sees an (a, b) pair row
+    val edges = Similarity.semDedupEdges(vecs, "vec_id", "embedding",
+      cents, tau = 0.9)
+    edges.collect()
+    val pp = edges.queryExecution.executedPlan
     assert(!pp.toString.contains("CartesianProduct"), pp.toString.take(1500))
+    // the join is keyed on the cell whatever strategy AQE picks (at this
+    // scale it broadcasts; at corpus scale it shuffles cell-keyed)
+    assert("""(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) \[cell"""
+      .r.findFirstIn(pp.toString).isDefined, pp.toString.take(1500))
     flattenPlan(pp).collect { case s: ShuffleExchangeLike => s }.foreach { s =>
-      assert(!s.output.exists(_.name == "embedding"),
-        s"pair exchange carries vectors: ${s.output.mkString(", ")}") }
+      assert(s.outputPartitioning.toString.contains("cell"),
+        s"edge exchange must be cell-keyed: ${s.outputPartitioning}")
+      val names = s.output.map(_.name).toSet
+      assert(!(names.contains("a") && names.contains("b")),
+        s"candidate pairs must never cross an exchange: $names") }
     // 3. end-to-end: the post-components plan (labels are a checkpointed
     //    leaf) shuffles 8 B labels for the keep window — embeddings never
     //    appear in any exchange of the final plan
