@@ -797,6 +797,40 @@ object Similarity {
       .select(col(id), col("cell"), col("cent_cos"), col("component"), col("keep"))
   }
 
+  /** Incremental SemDeDup — the ingest-time form: a new batch checked
+    * against the MATERIALIZED corpus ([[IvfIndex]]) without
+    * re-clustering or re-pairing anything. Each batch vector assigns
+    * against the stored centroids (map-only native kernel), the corpus
+    * scan PARTITION-PRUNES to the batch's cells (collected cell list =
+    * plan literals — the [[ivfSearchIndexedBatch]] probe discipline),
+    * the batch broadcasts onto that pruned scan, and the verdict per
+    * batch vector is the smallest corpus id at cosine ≥ tau (`dup_of`;
+    * null → `keep`). Batch-internal duplicates are [[semDedup]]'s job
+    * on the batch itself; cross-cell misses are q110's documented
+    * approximation. At 100 TB the corpus cost is the probed cells'
+    * bytes, never a corpus pass — the same reason the band index makes
+    * incremental MinHash dedup cheap ([[Dedup.incrementalPairs]]).
+    * Output: `(id, cell, cent_cos, dup_of, keep)`. */
+  def semDedupIncremental(idx: IvfIndex, cents: Seq[(Long, Seq[Double])],
+      newVecs: DataFrame, tau: Double): DataFrame = {
+    def dot(x: Column, y: Column): Column = graft.functions.DotProduct.dot_product(x, y)
+    val nb = assignLitWide(newVecs, idx.id, idx.emb, cents)
+      .select(col(idx.id).as("__nid"), col("cell"), col("cent_cos"),
+        col("__e"), col("__vn"))
+    val cells = nb.select("cell").distinct().collect().map(_.get(0))
+    val hits = idx.corpus.where(col("cell").isin(cells.toIndexedSeq: _*))
+      .select(col(idx.id).as("__cid"), col("cell"),
+        col(idx.emb).cast("array<double>").as("__ce"), col("norm"))
+      .join(broadcast(nb), "cell")
+      .where(round(dot(col("__e"), col("__ce")) / col("__vn") / col("norm"), 4)
+        >= tau)
+      .groupBy(col("__nid")).agg(min(col("__cid")).as("dup_of"))
+    nb.select(col("__nid"), col("cell"), col("cent_cos"))
+      .join(hits, Seq("__nid"), "left")
+      .select(col("__nid").as(idx.id), col("cell"), col("cent_cos"),
+        col("dup_of"), col("dup_of").isNull.as("keep"))
+  }
+
   /** SemDeDup recall audit — MEASURES the published approximation
     * instead of trusting it: `n_pairs_all` = every corpus pair at
     * cosine ≥ tau by brute force (the ground truth — quadratic BY

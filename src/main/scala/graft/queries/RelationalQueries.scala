@@ -105,6 +105,40 @@ object RelationalQueries {
       .orderBy("vec_id")
   }
 
+  /** Per-directory memo of the PARTIAL corpus index (vec_id < 450 in
+    * their trained cells, SAME session quantizer) — the stand-in for an
+    * already-deduped materialized corpus that q116's ingest batch is
+    * checked against. */
+  private val ivfPartialCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Similarity.IvfIndex]()
+
+  private def ivfPartialIndex(s: SparkSession, d: String): Similarity.IvfIndex =
+    ivfPartialCache.compute(d, (_, cur) => {
+      if (cur != null && (cur.spark eq s)) cur
+      else {
+        val h = graft.engine.IndexCache.md5Key(d, 8)
+        val path = s"${sys.props("java.io.tmpdir")}/graft_ivfpart_$h"
+        graft.cli.Cleanup.deleteOnExit(path)
+        Similarity.ivfBuild(s,
+          t(s, d, "embeddings").where(col("vec_id") < 450), "vec_id",
+          "embedding", k = 8, path = path,
+          centroids = Some(ivfIndex(s, d).centroids.drop("cnorm")))
+      }
+    })
+
+  /** q116 — incremental SemDeDup ([[Similarity.semDedupIncremental]]):
+    * vectors 450+ arrive as an ingest batch and are checked against the
+    * materialized corpus of vectors < 450 (same session quantizer, the
+    * partial index) at tau = 0.4 — partition-pruned probe, broadcast
+    * batch, smallest matching corpus id as `dup_of`. The oracle splits
+    * asg3 at 450 and replays the within-cell minimum. */
+  def semDedupIncrementalQ(s: SparkSession, d: String): DataFrame = {
+    val cents = Similarity.collectCentroids(ivfIndex(s, d).centroids.drop("cnorm"))
+    Similarity.semDedupIncremental(ivfPartialIndex(s, d), cents,
+        t(s, d, "embeddings").where(col("vec_id") >= 450), tau = 0.4)
+      .orderBy("vec_id")
+  }
+
   /** q113 — SemDeDup recall audit ([[Similarity.semDedupRecall]]): the
     * q110 approximation MEASURED — brute-force ground-truth pairs at
     * tau = 0.4 vs the within-cell subset, over the same trained cells.
@@ -503,6 +537,34 @@ object RelationalQueries {
          |SELECT vec_id, cell, cent_cos, component, (rn = 1) AS keep
          |FROM srn ORDER BY vec_id""".stripMargin,
 
+    // incremental replay: asg3 split at 450 into corpus and batch, the
+    // batch's cent_cos from the trained centroids, within-cell pairwise
+    // vs the corpus only, smallest matching id wins
+    "q116_semdedup_incremental" ->
+      s"""WITH $kmeansCtes,
+         |nb AS (SELECT vec_id, cell FROM asg3 WHERE vec_id >= 450),
+         |cp AS (SELECT vec_id, cell FROM asg3 WHERE vec_id < 450),
+         |ccos AS (SELECT e.vec_id,
+         |    round(sum(e.v * c.v) / sqrt(sum(e.v * e.v))
+         |      / sqrt(sum(c.v * c.v)), 4) AS cent_cos
+         |  FROM ex e JOIN nb a USING (vec_id)
+         |  JOIN cent2 c ON c.cell = a.cell AND c.d = e.d
+         |  GROUP BY e.vec_id),
+         |pc AS (SELECT n.vec_id AS nid, c.vec_id AS cid,
+         |    round(sum(en.v * ec.v) / sqrt(sum(en.v * en.v))
+         |      / sqrt(sum(ec.v * ec.v)), 4) AS cos
+         |  FROM nb n JOIN cp c ON c.cell = n.cell
+         |  JOIN ex en ON en.vec_id = n.vec_id
+         |  JOIN ex ec ON ec.vec_id = c.vec_id AND ec.d = en.d
+         |  GROUP BY n.vec_id, c.vec_id),
+         |hits AS (SELECT nid, min(cid) AS dup_of FROM pc
+         |  WHERE cos >= 0.4 GROUP BY nid)
+         |SELECT n.vec_id, n.cell, cc.cent_cos, h.dup_of,
+         |  (h.dup_of IS NULL) AS keep
+         |FROM nb n JOIN ccos cc USING (vec_id)
+         |LEFT JOIN hits h ON h.nid = n.vec_id
+         |ORDER BY n.vec_id""".stripMargin,
+
     // recall audit replay: pcs = every unordered pair's 4-dp cosine from
     // the exploded layout, the within count restricts through the
     // replayed assignment, recall divides the two exact counts
@@ -762,6 +824,7 @@ object RelationalQueries {
     "q55_kmeans_assign" -> kmeansAssign _,
     "q110_semdedup" -> semDedupQ _,
     "q113_semdedup_recall" -> semDedupRecallQ _,
+    "q116_semdedup_incremental" -> semDedupIncrementalQ _,
     "q41_asof_join" -> asofJoin _,
     "q42_sessionize" -> sessionize _,
     "q52_streaming_session_window" -> streamingSessionWindow _,

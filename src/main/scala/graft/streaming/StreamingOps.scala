@@ -186,6 +186,36 @@ object StreamingOps {
     vecsStream.writeStream.foreachBatch(fn)
   }
 
+  /** Streaming semantic dedup — the ingest gate and the index
+    * maintenance in ONE foreachBatch: each micro-batch is checked
+    * against the MATERIALIZED corpus
+    * ([[graft.operators.Similarity.semDedupIncremental]]: stored
+    * quantizer, partition-pruned probe, broadcast batch) and only the
+    * SURVIVORS append into the cell partitions — with the `lastbatch`
+    * replay guard, so an at-least-once retry appends nothing. A batch-N
+    * duplicate of a batch-N−1 ingest is flagged because that ingest's
+    * survivors are already in the index. Batch-INTERNAL duplicates are
+    * the caller's call — run `semDedup` on the batch inside `onBatch`
+    * when micro-batches are large enough to care. `onBatch` receives
+    * each batch's full verdict frame `(id, cell, cent_cos, dup_of,
+    * keep)` for the gate's side effects (metrics, a quarantine sink). */
+  def maintainSemDedupIndex(vecsStream: DataFrame,
+      idx: graft.operators.Similarity.IvfIndex,
+      cents: Seq[(Long, Seq[Double])], tau: Double,
+      onBatch: DataFrame => Unit = _ => ())
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val fn: (DataFrame, Long) => Unit = (batch, batchId) => {
+      val verdict = graft.operators.Similarity
+        .semDedupIncremental(idx, cents, batch, tau)
+      onBatch(verdict)
+      val survivors = batch.join(
+        verdict.where(col("keep")).select(col(idx.id)), idx.id)
+      graft.operators.Similarity.ivfAppendBatch(idx, survivors, batchId)
+      ()
+    }
+    vecsStream.writeStream.foreachBatch(fn)
+  }
+
   /** Streaming IVF-PQ maintenance — [[maintainIvfIndex]] for the code
     * index: each micro-batch routes through BOTH stored quantizers
     * (coarse assign + PQ encode, map-only) and appends into the cell

@@ -1989,6 +1989,32 @@ class OperatorSpec extends AnyFunSuite {
     assert(idx.toSeq == (1L to 200L), "ranks must be dense 1..n with no gaps")
   }
 
+  test("semDedupIncremental: batch checked against the materialized corpus, min-id dup_of, empty cells keep") {
+    val cents = Seq(0L -> Seq(1.0, 0.0, 0.0, 0.0), 1L -> Seq(0.0, 1.0, 0.0, 0.0))
+    val centsDf = cents.toDF("cell", "ce")
+    val corpus = Seq(
+      (10L, Array(1.0, 0.0, 0.0, 0.0)),   // cell 0
+      (12L, Array(1.0, 0.001, 0.0, 0.0)), // cell 0 — second match for the dup
+      (11L, Array(0.0, 1.0, 0.0, 0.0))    // cell 1
+    ).toDF("vec_id", "embedding")
+    val path = java.nio.file.Files.createTempDirectory("graft_semdd_inc").toString
+    graft.cli.Cleanup.deleteOnExit(path)
+    val idx = Similarity.ivfBuild(spark, corpus, "vec_id", "embedding",
+      k = 2, path = path, centroids = Some(centsDf))
+    val batch = Seq(
+      (20L, Array(1.0, 0.01, 0.0, 0.0)), // dup of BOTH 10 and 12 -> min 10
+      (21L, Array(0.7, 0.7, 0.0, 0.0)),  // cell 0, cos ~ .71 < tau -> keep
+      (22L, Array(0.0, -1.0, 0.0, 0.0))  // cell 0 (0 > -1), no match -> keep
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.semDedupIncremental(idx,
+        Similarity.collectCentroids(centsDf), batch, tau = 0.99)
+      .collect().map(r => r.getLong(0) ->
+        ((if (r.isNullAt(3)) -1L else r.getLong(3)), r.getBoolean(4))).toMap
+    assert(out(20L) == ((10L, false)), s"min-id dup: ${out(20L)}")
+    assert(out(21L) == ((-1L, true)))
+    assert(out(22L) == ((-1L, true)))
+  }
+
   test("assignCellsLit: literal-centroid assignment equals the broadcast-join formulation") {
     val rnd = new scala.util.Random(7)
     val vecs = (0L until 60L).map(i =>

@@ -791,6 +791,16 @@ class PlanSpec extends AnyFunSuite {
     } finally graft.engine.Checkpoints.release(df)
   }
 
+  test("q116: incremental SemDeDup — corpus scan partition-prunes to the batch's cells; batch broadcasts") {
+    finalPlan("q116_semdedup_incremental") { p =>
+      assert(p.contains("PartitionFilters: [cell"),
+        s"probe must prune to batch cells\n${p.take(2000)}")
+      assert(p.contains("BroadcastHashJoin"), p.take(2000))
+      assert(!p.contains("SortMergeJoin"), p.take(2000))
+      assert(!p.contains("CartesianProduct"), p.take(2000))
+    }
+  }
+
   test("q114: winnowing — grams hash inside the explode; the window exchange carries hashes, never gram text") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
     val df = SparkEntry.queries("q114_winnow_fingerprints")(spark, sf)

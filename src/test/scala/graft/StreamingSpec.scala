@@ -237,6 +237,49 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming semantic dedup: batch-N dup of a batch-N-1 ingest is flagged; survivors append; retry no-ops") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    import graft.operators.Similarity
+    val cents = Seq(0L -> Seq(1.0, 0.0, 0.0, 0.0), 1L -> Seq(0.0, 1.0, 0.0, 0.0))
+    val corpus = Seq((10L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (11L, Array(0.0f, 1.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_semdd_stream").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_semdd_ckpt").toString
+    graft.cli.Cleanup.deleteOnExit(tmp); graft.cli.Cleanup.deleteOnExit(ckpt)
+    val idx = Similarity.ivfBuild(spark, corpus, "vec_id", "embedding", 2, tmp,
+      centroids = Some(cents.toDF("cell", "ce")))
+    val verdicts = scala.collection.mutable.ArrayBuffer[(Long, Boolean)]()
+    val mem = MemoryStream[(Long, Array[Float])]
+    val q = StreamingOps.maintainSemDedupIndex(
+        mem.toDF().toDF("vec_id", "embedding"), idx,
+        Similarity.collectCentroids(cents.toDF("cell", "ce")), tau = 0.99,
+        onBatch = v => verdicts ++= v.collect()
+          .map(r => (r.getLong(0), r.getBoolean(4))))
+      .option("checkpointLocation", ckpt).start()
+    try {
+      // batch 0: a novel vector in cell 1 -> survives, appends
+      mem.addData((20L, Array(0.5f, 1.0f, 0.0f, 0.0f)))
+      q.processAllAvailable()
+      // batch 1: a near-dup of the BATCH-0 ingest (not of the original
+      // corpus) plus a novel vector
+      mem.addData((21L, Array(0.5f, 1.001f, 0.0f, 0.0f)),
+        (22L, Array(-1.0f, 0.2f, 0.0f, 0.0f)))
+      q.processAllAvailable()
+      assert(verdicts.toSet == Set((20L, true), (21L, false), (22L, true)),
+        s"verdicts: $verdicts")
+      val ids = idx.corpus.select("vec_id").collect().map(_.getLong(0)).toSet
+      assert(ids == Set(10L, 11L, 20L, 22L),
+        s"only survivors may append: $ids")
+      // at-least-once retry of an applied batch id appends nothing
+      val before = idx.corpus.count()
+      assert(!Similarity.ivfAppendBatch(idx,
+        Seq((99L, Array(0.5f, 0.5f, 0.0f, 0.0f))).toDF("vec_id", "embedding"), 1L))
+      assert(idx.corpus.count() == before)
+    } finally q.stop()
+  }
+
   test("streaming IVF-PQ maintenance: ingested vector routes through both stored quantizers") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
