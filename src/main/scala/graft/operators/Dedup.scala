@@ -873,6 +873,32 @@ object Dedup {
       .distinct()
   }
 
+  /** Shared-fingerprint candidate pairs — what MOSS does with the
+    * [[winnowFingerprints]] sketch: docs sharing ≥ `minShared` DISTINCT
+    * fingerprints are containment/plagiarism candidates, scored by the
+    * fingerprint-set overlap `n_shared / (|A| + |B| − n_shared)` (a
+    * Jaccard over selected fingerprints — rounded 6 dp from exact
+    * counts). The join is an equi-join on the fingerprint VALUE (the
+    * banded-LSH shape: fan-out bounded by fingerprint popularity, never
+    * all-pairs; a stop-gram-like mega-fingerprint would need the
+    * [[lshCandidatePairsCapped]] cap treatment). Output:
+    * `(a, b, n_shared, overlap)`. */
+  def winnowCandidatePairs(fps: DataFrame, id: String,
+      minShared: Int): DataFrame = {
+    require(minShared >= 1, s"minShared must be >= 1, got $minShared")
+    val sizes = fps.groupBy(col(id)).agg(countDistinct("fp").as("__nf"))
+    val x = fps.select(col("fp"), col(id).as("a")).distinct()
+    val y = fps.select(col("fp"), col(id).as("b")).distinct()
+    x.join(y, "fp").where(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+      .join(sizes.select(col(id).as("a"), col("__nf").as("__na")), "a")
+      .join(sizes.select(col(id).as("b"), col("__nf").as("__nb")), "b")
+      .select(col("a"), col("b"), col("n_shared"),
+        round(col("n_shared").cast("double") /
+          (col("__na") + col("__nb") - col("n_shared")), 6).as("overlap"))
+  }
+
   def repeatedSpans(df: DataFrame, text: String, id: String, w: Int): DataFrame = {
     val win = spanWindows(df, text, id, w)
     val dup = win.groupBy("wh").agg(count(lit(1)).as("__occ"))

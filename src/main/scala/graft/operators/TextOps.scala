@@ -938,4 +938,34 @@ object TextOps {
       .withColumn("allocated", expr("(available * epochs_milli) div 1000"))
       .withColumn("shortfall", col("desired") - col("allocated"))
   }
+
+  /** Materialize a mixture recipe as per-doc copy counts — the step
+    * between [[mixtureAllocation]]'s REPORT and the training corpus: each
+    * stratum's `epochs_milli` becomes `__copies` per document,
+    * `floor(epochs_milli/1000)` whole epochs plus a deterministic
+    * fractional flag (portable-hash bucket in [0,1000) vs
+    * `epochs_milli mod 1000` — content-stable like
+    * [[temperatureRepeatFactor]], so reruns and engines agree row for
+    * row and `E[copies | stratum] = epochs_milli/1000` with the selected
+    * hash-subset independent of doc content/length). The recipe DRIVES:
+    * strata outside the target table drop (inner broadcast join), a
+    * capped stratum contributes `maxEpochs` copies, an over-supplied one
+    * a deterministic sub-epoch subset. Same shape as the solver — one
+    * map-side-combinable token aggregate, the strata-sized allocation
+    * broadcast back, then a map-only flag projection; the caller
+    * materializes repeats with `explode(sequence(1, __copies))`
+    * (map-only fan-out, no shuffle — drop `__copies = 0` rows first). */
+  def mixtureApply(df: DataFrame, id: String, strata: String,
+      tokenCount: Column, targetsMilli: Seq[(String, Int)],
+      budgetTokens: Long, maxEpochsMilli: Long = 1000L,
+      seed: Int = 93): DataFrame = {
+    requireFresh(df, "__copies", "epochs_milli")
+    val alloc = mixtureAllocation(df, strata, tokenCount, targetsMilli,
+        budgetTokens, maxEpochsMilli)
+      .select(col("stratum").as(strata), col("epochs_milli"))
+    df.join(broadcast(alloc), strata)
+      .withColumn("__copies", expr("epochs_milli div 1000") +
+        (pmod(portableHash(col(id).cast("string"), seed), lit(1000L)) <
+          pmod(col("epochs_milli"), lit(1000L))).cast("long"))
+  }
 }

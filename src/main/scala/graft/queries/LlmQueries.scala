@@ -1173,6 +1173,33 @@ object LlmQueries {
     TextOps.shuffleOrder(docs(s, d), "doc_id", seed = 11)
       .orderBy("order_idx")
 
+  /** q118 — winnowing containment pairs
+    * ([[Dedup.winnowCandidatePairs]]): the MOSS match step — docs
+    * sharing any selected fingerprint, scored by fingerprint-set
+    * overlap. minShared = 1 surfaces every candidate on this corpus;
+    * a real screening run raises it to cut noise. */
+  def winnowPairsQ(s: SparkSession, d: String): DataFrame =
+    Dedup.winnowCandidatePairs(
+        Dedup.winnowFingerprints(docs(s, d), "text", "doc_id", k = 3, w = 4),
+        "doc_id", minShared = 1)
+      .orderBy("a", "b")
+
+  /** q117 — the q112 recipe APPLIED ([[TextOps.mixtureApply]]): each
+    * stratum's solved `epochs_milli` becomes a per-doc deterministic copy
+    * count (whole epochs + hash-flagged fractional epoch). Same targets /
+    * budget / cap as q112 so the two rows cross-check: summing q117's
+    * copies × tokens per stratum reproduces q112's `allocated` in
+    * expectation. */
+  def mixtureApplyQ(s: SparkSession, d: String): DataFrame =
+    TextOps.mixtureApply(docs(s, d), "doc_id", "lang",
+        TextOps.tokenCount(col("text")),
+        Seq("en" -> 400, "zh" -> 150, "es" -> 150, "de" -> 150,
+          "fr" -> 100, "ja" -> 50),
+        budgetTokens = 20000L, maxEpochsMilli = 2400L)
+      .select(col("doc_id"), col("lang"), col("epochs_milli"),
+        col("__copies").as("n_copies"))
+      .orderBy("doc_id")
+
   def mixtureAllocationQ(s: SparkSession, d: String): DataFrame =
     TextOps.mixtureAllocation(docs(s, d), "lang",
         TextOps.tokenCount(col("text")),
@@ -1574,6 +1601,68 @@ object LlmQueries {
          |  row_number() OVER (ORDER BY h, doc_id) AS order_idx
          |FROM (SELECT doc_id, ${pHash("11", "doc_id")} AS h FROM documents)
          |ORDER BY order_idx""".stripMargin,
+
+    // containment replay on top of the q114 chain: wfp = each doc's
+    // DISTINCT selected fingerprints, pairs share a value, overlap from
+    // exact counts
+    "q118_winnow_pairs" ->
+      s"""WITH ga AS (SELECT doc_id,
+         |    string_split_regex(trim(lower(text)), '\\s+') AS arr
+         |  FROM documents WHERE text IS NOT NULL),
+         |gr AS (SELECT doc_id, unnest(generate_series(1, len(arr) - 2)) AS i,
+         |    arr FROM ga WHERE len(arr) >= 3),
+         |g AS (SELECT doc_id, i - 1 AS pos,
+         |    ${pHash("131", "(arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2])")}
+         |      AS gh,
+         |    len(arr) - 2 AS m
+         |  FROM gr),
+         |st AS (SELECT doc_id, unnest(generate_series(0, greatest(m - 4, 0)))
+         |    AS s
+         |  FROM (SELECT DISTINCT doc_id, m FROM g)),
+         |sel AS (SELECT st.doc_id, g.gh, row_number() OVER (
+         |    PARTITION BY st.doc_id, st.s ORDER BY g.gh ASC, g.pos DESC)
+         |      AS rn
+         |  FROM st JOIN g ON g.doc_id = st.doc_id
+         |    AND g.pos BETWEEN st.s AND st.s + 3),
+         |wfp AS (SELECT DISTINCT doc_id, gh FROM sel WHERE rn = 1),
+         |sz AS (SELECT doc_id, count(*)::BIGINT AS nf FROM wfp
+         |  GROUP BY doc_id),
+         |pr AS (SELECT x.doc_id AS a, y.doc_id AS b,
+         |    count(*)::BIGINT AS n_shared
+         |  FROM wfp x JOIN wfp y ON y.gh = x.gh AND x.doc_id < y.doc_id
+         |  GROUP BY x.doc_id, y.doc_id
+         |  HAVING count(*) >= 1)
+         |SELECT p.a, p.b, p.n_shared,
+         |  round(p.n_shared / (sa.nf + sb.nf - p.n_shared)::DOUBLE, 6)
+         |    AS overlap
+         |FROM pr p JOIN sz sa ON sa.doc_id = p.a
+         |JOIN sz sb ON sb.doc_id = p.b
+         |ORDER BY a, b""".stripMargin,
+
+    // the recipe applied per doc: replay q112's solver to epochs_milli,
+    // join back onto documents, integer whole-epochs + hash-bucket
+    // fractional flag — all integer arithmetic, identical rows
+    "q117_mixture_apply" ->
+      s"""WITH tgt(stratum, w_milli) AS (VALUES ('en', 400), ('zh', 150),
+         |  ('es', 150), ('de', 150), ('fr', 100), ('ja', 50)),
+         |av AS (SELECT lang AS stratum,
+         |    sum(len(string_split_regex(trim(lower(text)), '\\s+')))::BIGINT
+         |      AS available
+         |  FROM documents GROUP BY lang),
+         |j AS (SELECT t.stratum, coalesce(av.available, 0)::BIGINT
+         |      AS available,
+         |    ((20000 * t.w_milli) // 1000)::BIGINT AS desired
+         |  FROM tgt t LEFT JOIN av USING (stratum)),
+         |e AS (SELECT stratum, (CASE WHEN available = 0 THEN 0
+         |    ELSE least(2400, (desired * 1000) // available) END)::BIGINT
+         |      AS epochs_milli FROM j)
+         |SELECT d.doc_id, d.lang, e.epochs_milli,
+         |  (e.epochs_milli // 1000 + CASE
+         |      WHEN ${pHash("93", "d.doc_id::VARCHAR")} % 1000
+         |        < e.epochs_milli % 1000
+         |      THEN 1 ELSE 0 END)::BIGINT AS n_copies
+         |FROM documents d JOIN e ON e.stratum = d.lang
+         |ORDER BY doc_id""".stripMargin,
 
     // mixture-recipe replay: the target VALUES table drives (left join),
     // and every derived column is integer floor-division — identical
@@ -2402,8 +2491,10 @@ object LlmQueries {
     "q100_gopher_rules" -> gopherRulesQ _,
     "q111_quality_logistic" -> qualityLogisticQ _,
     "q112_mixture_allocation" -> mixtureAllocationQ _,
+    "q117_mixture_apply" -> mixtureApplyQ _,
     "q114_winnow_fingerprints" -> winnowQ _,
     "q115_shuffle_order" -> shuffleOrderQ _,
+    "q118_winnow_pairs" -> winnowPairsQ _,
     "q101_dsir_weights" -> dsirWeightsQ _,
     "q102_weighted_sample" -> weightedSampleQ _,
     "q103_top_ngram" -> topNgramQ _,

@@ -1915,6 +1915,35 @@ class OperatorSpec extends AnyFunSuite {
     assert(out("C") == ((0L, 5L, 0L, 0L, 5L)), s"empty stratum: ${out("C")}")
   }
 
+  test("mixtureApply: whole epochs + md5-derived fractional flag; the recipe drives membership") {
+    val in = Seq(
+      (1L, "a", "w w w w w"), (2L, "a", "w w w w w"), // available = 10
+      (3L, "b", "w w"),                               // available = 2
+      (4L, "c", "w")                                  // not in the recipe
+    ).toDF("doc_id", "lang", "text")
+    // a: desired 15, epochs min(3000, 15000//10) = 1500 -> 1 + frac 500
+    // b: desired 15, epochs min(3000, 15000//2)  = 3000 -> exactly 3
+    val out = TextOps.mixtureApply(in, "doc_id", "lang",
+        TextOps.tokenCount(col("text")), Seq("a" -> 500, "b" -> 500),
+        budgetTokens = 30L, maxEpochsMilli = 3000L)
+      .collect().map(r => r.getLong(r.fieldIndex("doc_id")) ->
+        ((r.getLong(r.fieldIndex("epochs_milli")),
+          r.getLong(r.fieldIndex("__copies"))))).toMap
+    assert(!out.contains(4L), "stratum outside the recipe must drop")
+    assert(out(3L) == ((3000L, 3L)), s"capped stratum: ${out(3L)}")
+    // the fractional flag replayed from raw md5, independent of TextOps
+    def bucket(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      BigInt(md.digest(s"93:$id".getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.take(15), 16).toLong % 1000
+    }
+    for (id <- Seq(1L, 2L)) {
+      assert(out(id)._1 == 1500L, s"doc $id epochs: ${out(id)}")
+      assert(out(id)._2 == 1L + (if (bucket(id) < 500) 1L else 0L),
+        s"doc $id copies must follow the md5 bucket: ${out(id)}")
+    }
+  }
+
   test("semDedupRecall: counts the cross-cell misses exactly on the crafted fixture") {
     val cents = Seq(0L -> Seq(1.0, 0.0, 0.0, 0.0), 1L -> Seq(0.0, 1.0, 0.0, 0.0))
     val vecs = Seq(
@@ -1972,6 +2001,36 @@ class OperatorSpec extends AnyFunSuite {
     // the paper's guarantee: a shared w+k-1 run shares >= 1 fingerprint HASH
     val fpsA = got(1L).map(_._2); val fpsB = got(2L).map(_._2)
     assert(fpsA.intersect(fpsB).nonEmpty, "shared 6-token run must collide")
+  }
+
+  test("winnowCandidatePairs: overlap scored from distinct fingerprint sets; minShared gates") {
+    val rnd = new scala.util.Random(3)
+    val words = Vector("ka", "lo", "mi", "ne", "os", "pu", "qa", "re", "su", "tu")
+    val longDoc = Seq.fill(40)(words(rnd.nextInt(words.size))).mkString(" ")
+    val shared = "zz yy xx ww vv uu" // 6 tokens = w + k - 1: must collide
+    val docA = longDoc + " " + shared
+    val docB = shared + " " + Seq.fill(20)(words(rnd.nextInt(words.size))).mkString(" ")
+    val in = Seq((1L, docA), (2L, docB), (3L, "aa bb cc dd")).toDF("doc_id", "text")
+    val fps = Dedup.winnowFingerprints(in, "text", "doc_id", k = 3, w = 4)
+    // expected from the collected DISTINCT fingerprint-value sets
+    val sets = fps.collect().map(r => (r.getLong(0), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val exp = (for {
+      a <- sets.keys; b <- sets.keys if a < b
+      n = sets(a).intersect(sets(b)).size if n >= 1
+    } yield (a, b, n.toLong,
+      math.rint(n.toDouble / (sets(a).size + sets(b).size - n) * 1e6) / 1e6)).toSet
+    val got = Dedup.winnowCandidatePairs(fps, "doc_id", minShared = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(got == exp, s"got $got vs expected $exp")
+    assert(got.exists(p => p._1 == 1L && p._2 == 2L),
+      "docs sharing a w+k-1-token run must pair")
+    assert(!got.exists(p => p._1 == 3L || p._2 == 3L),
+      "disjoint doc must not pair")
+    // raising minShared above the max shared count empties the result
+    val maxShared = got.map(_._3).max
+    assert(Dedup.winnowCandidatePairs(fps, "doc_id",
+      minShared = maxShared.toInt + 1).isEmpty)
   }
 
   test("shuffleOrder: dense 1..n permutation, reproducible, seed-dependent, actually shuffled") {
