@@ -881,14 +881,20 @@ object Dedup {
     * counts). The join is an equi-join on the fingerprint VALUE (the
     * banded-LSH shape: fan-out bounded by fingerprint popularity, never
     * all-pairs; a stop-gram-like mega-fingerprint would need the
-    * [[lshCandidatePairsCapped]] cap treatment). Output:
+    * [[lshCandidatePairsCapped]] cap treatment). The distinct `(fp, id)`
+    * sketch is materialized ONCE ([[graft.engine.Checkpoints.mark]] —
+    * caller releases via the returned frame, the q54-labels contract):
+    * both pair legs and both size legs read the materialized sketch
+    * instead of re-running the winnow window per leg. Output:
     * `(a, b, n_shared, overlap)`. */
   def winnowCandidatePairs(fps: DataFrame, id: String,
       minShared: Int): DataFrame = {
     require(minShared >= 1, s"minShared must be >= 1, got $minShared")
-    val sizes = fps.groupBy(col(id)).agg(countDistinct("fp").as("__nf"))
-    val x = fps.select(col("fp"), col(id).as("a")).distinct()
-    val y = fps.select(col("fp"), col(id).as("b")).distinct()
+    val sk = graft.engine.Checkpoints.mark(
+      fps.select(col("fp"), col(id)).distinct())
+    val sizes = sk.groupBy(col(id)).agg(count(lit(1)).as("__nf"))
+    val x = sk.select(col("fp"), col(id).as("a"))
+    val y = sk.select(col("fp"), col(id).as("b"))
     x.join(y, "fp").where(col("a") < col("b"))
       .groupBy("a", "b").agg(count(lit(1)).as("n_shared"))
       .where(col("n_shared") >= minShared)

@@ -791,6 +791,49 @@ class PlanSpec extends AnyFunSuite {
     } finally graft.engine.Checkpoints.release(df)
   }
 
+  test("q117: mixture apply — strata allocation broadcasts back; the flag projection joins broadcast, never shuffles docs") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val df = SparkEntry.queries("q117_mixture_apply")(spark, sf)
+    try {
+      df.collect()
+      val p = df.queryExecution.executedPlan
+      // only the token-count aggregate and the display sort shuffle; the
+      // per-doc leg joins the strata-sized allocation via broadcast
+      flattenPlan(p).collect { case s: ShuffleExchangeLike => s }.foreach { s =>
+        assert(!s.output.exists(_.name == "text"),
+          s"exchange carries text: ${s.output.mkString(", ")}") }
+      val fp = p.toString.split("== Initial Plan ==").head
+      assert(fp.contains("BroadcastHashJoin"), fp.take(2000))
+      assert(!fp.contains("SortMergeJoin"), fp.take(2000))
+      assert("Exchange hashpartitioning".r.findAllIn(fp).size == 1,
+        s"only the strata count aggregate may hash-shuffle\n${fp.take(2000)}")
+    } finally graft.engine.Checkpoints.release(df)
+  }
+
+  test("q118: winnow pairs — the fingerprint sketch materializes once; pair fan-out stays in-join") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val df = SparkEntry.queries("q118_winnow_pairs")(spark, sf)
+    try {
+      df.collect()
+      val p = df.queryExecution.executedPlan
+      flattenPlan(p).collect { case s: ShuffleExchangeLike => s }.foreach { s =>
+        assert(!s.output.exists(a => a.name == "text" || a.name == "__g" ||
+          a.name == "__toks"),
+          s"exchange carries gram text: ${s.output.mkString(", ")}") }
+      val fp = p.toString.split("== Initial Plan ==").head
+      // the distinct (fp, id) sketch is materialized once up front: every
+      // leg of the result plan reads the checkpointed RDD — the winnow
+      // window and the parquet scan never re-run per leg
+      assert(!fp.contains("FileScan parquet"),
+        s"legs must read the materialized sketch, not re-scan\n${fp.take(2000)}")
+      assert(!fp.contains("Window"),
+        s"the winnow window must not re-run in the pair plan\n${fp.take(2000)}")
+      assert(fp.contains("ExistingRDD") || fp.contains("Scan ExistingRDD"),
+        s"expected checkpointed-sketch leaves\n${fp.take(2000)}")
+      assert(!fp.contains("CartesianProduct"), fp.take(2000))
+    } finally graft.engine.Checkpoints.release(df)
+  }
+
   test("q116: incremental SemDeDup — corpus scan partition-prunes to the batch's cells; batch broadcasts") {
     finalPlan("q116_semdedup_incremental") { p =>
       assert(p.contains("PartitionFilters: [cell"),
