@@ -137,9 +137,23 @@ object TextOps {
     * append form keeps the split a free map-only column on whatever plan
     * is already running. */
   def withHashSplit(df: DataFrame, id: String,
+      trainPct: Int = 80, valPct: Int = 10, seed: Int = 42): DataFrame =
+    hashSplitBy(df, col(id), trainPct, valPct, seed)
+
+  /** Leakage-safe train/val/test split — [[withHashSplit]] keyed on a
+    * GROUP column instead of the row id: every row sharing `key` (e.g.
+    * the q54 dedup-component label) lands in the SAME split, so a
+    * near-duplicate pair can never straddle the train/test boundary.
+    * A naive per-doc split leaks: with ~10% of a web corpus in dup
+    * clusters, thousands of test docs have a train-side near-copy and
+    * eval loss reads optimistically low. Same map-only arithmetic as
+    * [[hashSplit]] (portable hash of the KEY, percentile buckets), so
+    * on a labels frame it is a free column; the only real cost at
+    * 100 TB is producing the labels, which dedup already paid for. */
+  def hashSplitBy(df: DataFrame, key: Column,
       trainPct: Int = 80, valPct: Int = 10, seed: Int = 42): DataFrame = {
     requireFresh(df, "bucket", "split")
-    val bucket = pmod(portableHash(col(id).cast("string"), seed), lit(100L))
+    val bucket = pmod(portableHash(key.cast("string"), seed), lit(100L))
     df.withColumn("bucket", bucket)
       .withColumn("split",
         when(col("bucket") < trainPct, "train")
@@ -937,6 +951,46 @@ object TextOps {
             expr("(desired * 1000) div available"))))
       .withColumn("allocated", expr("(available * epochs_milli) div 1000"))
       .withColumn("shortfall", col("desired") - col("allocated"))
+  }
+
+  /** Length-bucketed batch assignment — the padding-efficiency step of a
+    * training dataloader: group docs into length buckets (bucket i holds
+    * `boundaries(i-1) < n_tokens ≤ boundaries(i)`, the last bucket is
+    * unbounded), then cut each bucket into fixed-size batches in a
+    * deterministic seeded-shuffle order. A batch's padding waste is
+    * bounded by its bucket width instead of the corpus max length.
+    * Per-bucket ranks WITHOUT a per-bucket window (a handful of buckets
+    * would collapse the corpus onto that many tasks): ONE distributed
+    * two-pass global ordinal over `(bucket, hash, id)`
+    * ([[graft.engine.SeriesOps.withTimeId]] — range-partition +
+    * zipWithIndex, no single-partition sort), then
+    * `rank_in_bucket = ordinal − bucket_start + 1` with the bucket-sized
+    * start-offset table broadcast back. `batch_idx` is integer floor
+    * division; everything replays exactly in the SQL oracle. */
+  def lengthBucketBatches(df: DataFrame, id: String, tokenCount: Column,
+      boundaries: Seq[Long], batchSize: Int, seed: Int = 17): DataFrame = {
+    require(boundaries.nonEmpty && boundaries == boundaries.sorted,
+      s"boundaries must be ascending, got $boundaries")
+    require(batchSize >= 1, s"batchSize must be >= 1, got $batchSize")
+    requireFresh(df, "n_tokens", "bucket", "rank_in_bucket", "batch_idx")
+    val nt = tokenCount.cast("long")
+    val bucket = boundaries.foldLeft(lit(0L)) { (acc, b) =>
+      acc + (nt > b).cast("long") }
+    val base = df.select(col(id), nt.as("n_tokens"),
+      bucket.as("bucket"),
+      portableHash(col(id).cast("string"), seed).as("__k"))
+    // materialize the ordinal once (caller releases via the returned
+    // frame, the q54-labels contract): the offsets leg and the join leg
+    // must not each re-run the two-pass rank
+    val ranked = graft.engine.Checkpoints.mark(
+      graft.engine.SeriesOps.withTimeId(base,
+        Seq(col("bucket"), col("__k"), col(id)), as = "__g"))
+    val offs = ranked.groupBy("bucket").agg(min("__g").as("__off"))
+    ranked.join(broadcast(offs), "bucket")
+      .withColumn("rank_in_bucket", col("__g") - col("__off") + 1)
+      .withColumn("batch_idx", expr(s"(rank_in_bucket - 1) div $batchSize"))
+      .select(col(id), col("n_tokens"), col("bucket"),
+        col("rank_in_bucket"), col("batch_idx"))
   }
 
   /** Materialize a mixture recipe as per-doc copy counts — the step

@@ -145,6 +145,25 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  /** q119 — leakage-safe split ([[TextOps.hashSplitBy]]): the q54
+    * component labels drive the train/val/test assignment, so every
+    * member of a duplicate cluster lands in the same split and no
+    * near-dup pair straddles the eval boundary. Per-doc hashSplit (q58)
+    * is the LEAKY baseline this replaces for deduped corpora. */
+  def leakSafeSplitQ(s: SparkSession, d: String): DataFrame =
+    TextOps.hashSplitBy(dedupComponents(s, d), col("component"))
+      .orderBy("doc_id")
+
+  /** q120 — length-bucketed batching ([[TextOps.lengthBucketBatches]]):
+    * quartile boundaries (32/56/76 tokens on this corpus) cut four
+    * buckets; batches of 16 within each bucket in seeded-shuffle order.
+    * Padding waste per batch is bounded by the bucket width. */
+  def lengthBatchesQ(s: SparkSession, d: String): DataFrame =
+    TextOps.lengthBucketBatches(
+        docs(s, d).where(col("text").isNotNull), "doc_id",
+        TextOps.tokenCount(col("text")), Seq(32L, 56L, 76L), batchSize = 16)
+      .orderBy("doc_id")
+
   /** q80 — the dedup OUTPUT a curation job actually ships: per-component
     * keeper + audit counts over the q54 transitive clusters (`keep_id` =
     * the component's canonical minimum, `n_dropped` = how many near-dups
@@ -1410,6 +1429,43 @@ object LlmQueries {
          |SELECT u AS doc_id, min(r) AS component
          |FROM reach GROUP BY u ORDER BY doc_id""".stripMargin,
 
+    // bucket from the same boundary arithmetic, per-bucket rank as a
+    // window (the oracle's sequential equivalent of the distributed
+    // two-pass ordinal), batch = integer floor division
+    "q120_length_batches" ->
+      s"""WITH t AS (SELECT doc_id,
+         |    len(string_split_regex(trim(lower(text)), '\\s+'))::BIGINT
+         |      AS n_tokens
+         |  FROM documents WHERE text IS NOT NULL),
+         |b AS (SELECT doc_id, n_tokens,
+         |    (CASE WHEN n_tokens > 32 THEN 1 ELSE 0 END +
+         |     CASE WHEN n_tokens > 56 THEN 1 ELSE 0 END +
+         |     CASE WHEN n_tokens > 76 THEN 1 ELSE 0 END)::BIGINT AS bucket,
+         |    ${pHash("17", "doc_id::VARCHAR")} AS k
+         |  FROM t),
+         |r AS (SELECT doc_id, n_tokens, bucket,
+         |    row_number() OVER (PARTITION BY bucket ORDER BY k, doc_id)
+         |      AS rank_in_bucket
+         |  FROM b)
+         |SELECT doc_id, n_tokens, bucket, rank_in_bucket,
+         |  ((rank_in_bucket - 1) // 16)::BIGINT AS batch_idx
+         |FROM r ORDER BY doc_id""".stripMargin,
+
+    // the q54 reachability replay + the split arithmetic keyed on the
+    // component label — every cluster member shares bucket and split
+    "q119_leak_safe_split" ->
+      s"""$cc54With,
+         |comp AS (SELECT u AS doc_id, min(r) AS component
+         |  FROM reach GROUP BY u),
+         |b AS (SELECT doc_id, component,
+         |    ${pHash("42", "component::VARCHAR")} % 100 AS bucket
+         |  FROM comp)
+         |SELECT doc_id, component, bucket,
+         |  CASE WHEN bucket < 80 THEN 'train'
+         |       WHEN bucket < 90 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM b ORDER BY doc_id""".stripMargin,
+
     "q80_dedup_keepers" ->
       s"""$cc54With,
          |comp AS (SELECT u AS doc_id, min(r) AS component
@@ -2478,6 +2534,8 @@ object LlmQueries {
     "q32_dedup_lsh_bands" -> dedupLshBands _,
     "q33_dedup_simhash" -> dedupSimhash _,
     "q54_dedup_components" -> dedupComponents _,
+    "q119_leak_safe_split" -> leakSafeSplitQ _,
+    "q120_length_batches" -> lengthBatchesQ _,
     "q80_dedup_keepers" -> dedupKeepers _,
     "q84_dedup_keepers_by" -> dedupKeepersBy _,
     "q81_mixed_decode" -> mixedDecode _,

@@ -1915,6 +1915,59 @@ class OperatorSpec extends AnyFunSuite {
     assert(out("C") == ((0L, 5L, 0L, 0L, 5L)), s"empty stratum: ${out("C")}")
   }
 
+  test("hashSplitBy: every member of a group shares bucket+split; bucket replays from raw md5 of the KEY") {
+    val labels = Seq((1L, 10L), (2L, 10L), (3L, 10L), (4L, 40L), (5L, 50L))
+      .toDF("doc_id", "component")
+    val out = TextOps.hashSplitBy(labels, col("component")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    out.groupBy(_._2).foreach { case (c, rows) =>
+      assert(rows.map(_._3).distinct.length == 1 &&
+        rows.map(_._4).distinct.length == 1,
+        s"component $c must not straddle splits: ${rows.mkString(", ")}") }
+    def bucket(k: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      BigInt(md.digest(s"42:$k".getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.take(15), 16).toLong % 100
+    }
+    out.foreach { case (id, c, b, s) =>
+      assert(b == bucket(c), s"doc $id bucket keyed on the component")
+      val exp = if (b < 80) "train" else if (b < 90) "val" else "test"
+      assert(s == exp, s"doc $id split from the bucket")
+    }
+  }
+
+  test("lengthBucketBatches: dense per-bucket ranks in md5 order; floor-division batches; partition-invariant") {
+    val in = (1L to 20L).map(i =>
+      (i, Seq.fill((i % 6).toInt + 1)("w").mkString(" "))).toDF("doc_id", "text")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      TextOps.lengthBucketBatches(df, "doc_id",
+          TextOps.tokenCount(col("text")), Seq(2L, 4L), batchSize = 2)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4)))
+    val out = run(in)
+    def h(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      BigInt(md.digest(s"17:$id".getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.take(15), 16).toLong
+    }
+    out.foreach { case (id, n, b, rk, bi) =>
+      assert(n == (id % 6) + 1, s"doc $id token count")
+      assert(b == (if (n > 2) 1L else 0L) + (if (n > 4) 1L else 0L),
+        s"doc $id bucket")
+      assert(bi == (rk - 1) / 2, s"doc $id batch index")
+    }
+    out.groupBy(_._3).foreach { case (b, rows) =>
+      assert(rows.map(_._4).sorted.toSeq == (1L to rows.length),
+        s"bucket $b ranks must be dense 1..n")
+      assert(rows.sortBy(_._4).map(_._1).toSeq ==
+        rows.sortBy(r => (h(r._1), r._1)).map(_._1).toSeq,
+        s"bucket $b order must follow the md5 shuffle key")
+    }
+    assert(run(in.repartition(7)).sortBy(_._1).toSeq == out.sortBy(_._1).toSeq,
+      "assignment must be partition-invariant")
+  }
+
   test("mixtureApply: whole epochs + md5-derived fractional flag; the recipe drives membership") {
     val in = Seq(
       (1L, "a", "w w w w w"), (2L, "a", "w w w w w"), // available = 10
