@@ -627,6 +627,87 @@ object Multimodal {
       .toDF()
   }
 
+  /** One dHash row: four 16-bit bands of the 64-bit difference hash. */
+  final case class DHashRow(doc_id: Long, b0: Long, b1: Long, b2: Long,
+      b3: Long)
+
+  /** Difference hash (dHash) of a decoded RGB plane — the standard
+    * perceptual image fingerprint (64 bits: on an 8×8 brightness grid,
+    * bit = "right neighbor brighter"), robust to re-encoding and mild
+    * edits, the image-side analogue of MinHash. Two deliberate choices
+    * keep it integer-exact and oracle-replayable: grayscale is
+    * `(r+g+b) div 3`, and the 9×8 grid samples NEAREST pixels
+    * (`x_i = i·w div 9`, `y_j = j·h div 8`) instead of box-averaging —
+    * a legitimate dHash variant (sampling ≈ point-resize) with no float
+    * anywhere. Emitted as four 16-bit band longs (rows 2j,2j+1 → band j)
+    * rather than one 64-bit value: band equality IS the hamming-LSH
+    * bucket key (two hashes within hamming distance 3 of each other
+    * share ≥ 1 identical band by pigeonhole), and four 16-bit positives
+    * avoid the sign bit entirely. Same mapPartitions decode-stage pass
+    * as [[planeStats]] — map-only, 32 B/image exchange cost downstream. */
+  def imageDHash(decoded: DataFrame, id: String = "doc_id",
+      pixels: String = "pixels"): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.product[DHashRow]
+    decoded.select(col(id).cast("long"), col("width").cast("int"),
+        col("height").cast("int"), col(pixels))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val w = r.getInt(1); val h = r.getInt(2)
+          val px = r.getAs[Array[Byte]](3)
+          def gray(x: Int, y: Int): Int = {
+            val p = (y * w + x) * 3
+            ((px(p) & 0xff) + (px(p + 1) & 0xff) + (px(p + 2) & 0xff)) / 3
+          }
+          val bands = new Array[Long](4)
+          var j = 0
+          while (j < 8) {
+            val y = j * h / 8
+            var i = 0
+            while (i < 8) {
+              if (gray((i + 1) * w / 9, y) > gray(i * w / 9, y))
+                bands(j / 2) |= 1L << ((j % 2) * 8 + i)
+              i += 1
+            }
+            j += 1
+          }
+          DHashRow(r.getLong(0), bands(0), bands(1), bands(2), bands(3))
+        }
+      }(enc)
+      .toDF()
+  }
+
+  /** Near-duplicate image pairs from [[imageDHash]] bands — banded
+    * hamming LSH: two 64-bit hashes at hamming distance ≤ 3 differ in at
+    * most 3 of the 4 bands, so they SHARE at least one band value
+    * (pigeonhole) and surface in that band's equi-join — never an
+    * all-pairs scan, fan-out bounded by band-bucket population (a flat
+    * band over near-constant images is the mega-bucket case —
+    * [[graft.operators.Dedup.lshCandidatePairsCapped]] treatment if it
+    * bites). Candidates verify EXACTLY: hamming = Σ popcount(band XOR),
+    * kept at ≤ `maxHamming` (> 3 weakens the pigeonhole guarantee to
+    * best-effort, same trade every banded LSH makes). Exchanges carry
+    * `(band_idx, band_value, id)` and the 32 B of hash — never pixels. */
+  def dhashNearDupPairs(hashes: DataFrame, id: String,
+      maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0, s"maxHamming must be >= 0, got $maxHamming")
+    val bandCols = Seq("b0", "b1", "b2", "b3")
+    val banded = hashes.select(
+      explode(array(bandCols.zipWithIndex.map { case (c, i) =>
+        struct(lit(i).as("band"), col(c).as("v")) }: _*)).as("e"),
+      col(id), col("b0"), col("b1"), col("b2"), col("b3"))
+      .select(col("e.band"), col("e.v"), col(id),
+        col("b0"), col("b1"), col("b2"), col("b3"))
+    val x = banded.toDF("band" +: "v" +: "a" +: bandCols.map(_ + "a"): _*)
+    val y = banded.toDF("band" +: "v" +: "b" +: bandCols.map(_ + "b"): _*)
+    val ham = bandCols.map(c =>
+      bit_count(col(c + "a").bitwiseXOR(col(c + "b")))
+    ).reduce(_ + _)
+    x.join(y, Seq("band", "v")).where(col("a") < col("b"))
+      .select(col("a"), col("b"), ham.cast("long").as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+  }
+
   /** [[planeStats]] repacked as the `(id, array<float>)` shape the
     * [[Similarity]] ANN operators consume: 15 dims — the three channel
     * means scaled to [0,1] followed by the per-channel histograms

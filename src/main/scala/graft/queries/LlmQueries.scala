@@ -36,6 +36,27 @@ object LlmQueries {
   private def pHash(seed: String, expr: String): String =
     s"('0x' || substr(md5('$seed:' || $expr), 1, 15))::BIGINT"
 
+  /** The four dHash band expressions over columns `(w, h, pt)` — every
+    * bit of [[graft.operators.Multimodal.imageDHash]] replayed
+    * character-by-character from the padded-text plane (div-3 grayscale,
+    * nearest-sample grid, rightmost-neighbor-brighter bit). */
+  private def dhashBandSql: Seq[String] = {
+    def grayAt(i: Int, j: Int): String = {
+      val x = s"(($i * w) // 9)"
+      val y = s"(($j * h) // 8)"
+      val p = s"((($y) * w + $x) * 3)"
+      s"((ascii(substring(pt, $p + 1, 1)) + ascii(substring(pt, $p + 2, 1))" +
+        s" + ascii(substring(pt, $p + 3, 1))) // 3)"
+    }
+    (0 until 4).map { b =>
+      (for (jj <- 0 until 2; i <- 0 until 8) yield {
+        val j = b * 2 + jj
+        s"(CASE WHEN ${grayAt(i + 1, j)} > ${grayAt(i, j)}" +
+          s" THEN ${1L << (jj * 8 + i)} ELSE 0 END)"
+      }).mkString("(", " + ", s")::BIGINT AS b$b")
+    }
+  }
+
   /** The recursive-CTE chain replaying the q54 transitive-dedup pipeline
     * through reachability (`reach(u, r)`), shared by the q54 and q80
     * oracles. */
@@ -705,6 +726,54 @@ object LlmQueries {
         (lit(3) + col("doc_id") % 5).cast("string"), lit("\n255\n"),
         expr(s"rpad(text, $npix, '.')")), "UTF-8").as("payload"))
   }
+
+  /** The q122 image-dedup corpus: every q71 image three ways — the
+    * original, an exact re-upload (`id + 100000`, byte-identical
+    * payload), and a one-byte-perturbed variant (`id + 200000`, first
+    * plane byte flipped to 'X' — a mild edit). Dims always derive from
+    * the SOURCE doc_id, so a variant keeps its source's geometry (what
+    * makes it a near-dup, not a different image). */
+  private def dhashCorpus(s: SparkSession, d: String): DataFrame = {
+    val npix = "cast((4 + doc_id % 8) * (3 + doc_id % 5) * 3 as int)"
+    val ascii = docs(s, d).where(col("text").isNotNull &&
+      octet_length(encode(col("text"), "UTF-8")) === length(col("text")))
+    def payload(plane: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      encode(concat(
+        lit("P6\n"),
+        (lit(4) + col("doc_id") % 8).cast("string"), lit(" "),
+        (lit(3) + col("doc_id") % 5).cast("string"), lit("\n255\n"),
+        plane), "UTF-8")
+    val padded = expr(s"rpad(text, $npix, '.')")
+    val pert = concat(lit("X"), expr(s"substring(rpad(text, $npix, '.'), 2, $npix)"))
+    ascii.select(col("doc_id"), payload(padded).as("payload"))
+      .unionByName(ascii.select(payload(padded).as("payload"),
+        (col("doc_id") + 100000L).as("doc_id")).select("doc_id", "payload"))
+      .unionByName(ascii.select(payload(pert).as("payload"),
+        (col("doc_id") + 200000L).as("doc_id")).select("doc_id", "payload"))
+  }
+
+  /** q121 — perceptual image fingerprints ([[Multimodal.imageDHash]]):
+    * the 64-bit dHash of every decoded plane as four 16-bit band longs —
+    * the image-side MinHash. Integer-exact (div-3 grayscale,
+    * nearest-sample 9×8 grid), so DuckDB replays every bit from the
+    * padded-text plane. */
+  def imageDHashQ(s: SparkSession, d: String): DataFrame =
+    Multimodal.imageDHash(
+        Multimodal.decodePpm(ppmPayloads(s, d), "doc_id", "payload"))
+      .orderBy("doc_id")
+
+  /** q122 — near-duplicate image pairs
+    * ([[Multimodal.dhashNearDupPairs]]) over [[dhashCorpus]]: banded
+    * hamming LSH on the dHash bands (shared band ⇒ candidate; exact
+    * hamming verify at ≤ 8). Re-uploads pair at hamming 0; the one-byte
+    * edits pair at ≤ 3 (only the y=0 sample rows can flip); unrelated
+    * images almost never share a band AND pass the verify. */
+  def imageNearDupQ(s: SparkSession, d: String): DataFrame =
+    Multimodal.dhashNearDupPairs(
+        Multimodal.imageDHash(
+          Multimodal.decodePpm(dhashCorpus(s, d), "doc_id", "payload")),
+        "doc_id", maxHamming = 8)
+      .orderBy("a", "b")
 
   def ppmDecode(s: SparkSession, d: String): DataFrame = {
     Multimodal.decodePpm(ppmPayloads(s, d), "doc_id", "payload")
@@ -1428,6 +1497,46 @@ object LlmQueries {
       s"""$cc54With
          |SELECT u AS doc_id, min(r) AS component
          |FROM reach GROUP BY u ORDER BY doc_id""".stripMargin,
+
+    // every dHash bit recomputed from the padded-text plane
+    "q121_image_dhash" ->
+      s"""WITH d AS (SELECT doc_id, (4 + doc_id % 8)::INTEGER AS w,
+         |    (3 + doc_id % 5)::INTEGER AS h,
+         |    rpad(text, ((4 + doc_id % 8) * (3 + doc_id % 5) * 3)::INTEGER,
+         |      '.') AS pt
+         |  FROM documents WHERE text IS NOT NULL
+         |    AND octet_length(encode(text)) = length(text))
+         |SELECT doc_id, ${dhashBandSql.mkString(",\n  ")}
+         |FROM d ORDER BY doc_id""".stripMargin,
+
+    // the three-leg corpus (orig / re-upload / one-byte edit), the same
+    // band arithmetic, band-bucket self-join, exact hamming verify
+    "q122_image_neardup" ->
+      s"""WITH base AS (SELECT doc_id, (4 + doc_id % 8)::INTEGER AS w,
+         |    (3 + doc_id % 5)::INTEGER AS h,
+         |    rpad(text, ((4 + doc_id % 8) * (3 + doc_id % 5) * 3)::INTEGER,
+         |      '.') AS pt
+         |  FROM documents WHERE text IS NOT NULL
+         |    AND octet_length(encode(text)) = length(text)),
+         |corpus AS (
+         |  SELECT doc_id, w, h, pt FROM base
+         |  UNION ALL SELECT doc_id + 100000, w, h, pt FROM base
+         |  UNION ALL SELECT doc_id + 200000, w, h,
+         |    'X' || substring(pt, 2) FROM base),
+         |hs AS (SELECT doc_id, ${dhashBandSql.mkString(",\n  ")}
+         |  FROM corpus),
+         |e AS (SELECT doc_id, b0, b1, b2, b3, band,
+         |    CASE band WHEN 0 THEN b0 WHEN 1 THEN b1
+         |      WHEN 2 THEN b2 ELSE b3 END AS v
+         |  FROM hs CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band)),
+         |p AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+         |    (bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1)) +
+         |     bit_count(xor(x.b2, y.b2)) + bit_count(xor(x.b3, y.b3)))::BIGINT
+         |      AS hamming
+         |  FROM e x JOIN e y ON y.band = x.band AND y.v = x.v
+         |    AND x.doc_id < y.doc_id)
+         |SELECT a, b, hamming FROM p WHERE hamming <= 8
+         |ORDER BY a, b""".stripMargin,
 
     // bucket from the same boundary arithmetic, per-bucket rank as a
     // window (the oracle's sequential equivalent of the distributed
@@ -2536,6 +2645,8 @@ object LlmQueries {
     "q54_dedup_components" -> dedupComponents _,
     "q119_leak_safe_split" -> leakSafeSplitQ _,
     "q120_length_batches" -> lengthBatchesQ _,
+    "q121_image_dhash" -> imageDHashQ _,
+    "q122_image_neardup" -> imageNearDupQ _,
     "q80_dedup_keepers" -> dedupKeepers _,
     "q84_dedup_keepers_by" -> dedupKeepersBy _,
     "q81_mixed_decode" -> mixedDecode _,

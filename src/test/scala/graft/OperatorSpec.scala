@@ -1915,6 +1915,44 @@ class OperatorSpec extends AnyFunSuite {
     assert(out("C") == ((0L, 5L, 0L, 0L, 5L)), s"empty stratum: ${out("C")}")
   }
 
+  test("imageDHash: gradient plane sets every bit, flat plane none; 9x8 grid is exact on a 9x8 image") {
+    def plane(w: Int, h: Int)(f: (Int, Int) => Int): Array[Byte] = {
+      val px = new Array[Byte](w * h * 3)
+      for (y <- 0 until h; x <- 0 until w; c <- 0 until 3)
+        px((y * w + x) * 3 + c) = f(x, y).toByte
+      px
+    }
+    val in = Seq(
+      (1L, 9, 8, plane(9, 8)((x, _) => x * 10)),  // brightness rises rightward
+      (2L, 9, 8, plane(9, 8)((_, _) => 77)),      // flat
+      (3L, 9, 8, plane(9, 8)((x, _) => 240 - x * 10)) // falls rightward
+    ).toDF("doc_id", "width", "height", "pixels")
+    val got = Multimodal.imageDHash(in).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // on a 9-wide image the sample grid is the identity: x_i = i, so the
+    // rising gradient compares strictly brighter at every bit
+    assert(got(1L) == ((0xffffL, 0xffffL, 0xffffL, 0xffffL)), s"${got(1L)}")
+    assert(got(2L) == ((0L, 0L, 0L, 0L)), s"flat: ${got(2L)}")
+    assert(got(3L) == ((0L, 0L, 0L, 0L)), s"falling is never brighter: ${got(3L)}")
+  }
+
+  test("dhashNearDupPairs: shared band surfaces the pair, exact hamming verifies, disjoint hashes never pair") {
+    val hs = Seq(
+      (1L, 0xaaaaL, 0x1234L, 0x0f0fL, 0x7777L),
+      (2L, 0xaaaaL, 0x1234L, 0x0f0fL, 0x7777L), // exact re-upload of 1
+      (3L, 0xaaabL, 0x1234L, 0x0f0fL, 0x7777L), // 1 bit off in band 0
+      (4L, 0x5555L, 0x4321L, 0xf0f0L, 0x8888L)  // no band in common
+    ).toDF("doc_id", "b0", "b1", "b2", "b3")
+    val got = Multimodal.dhashNearDupPairs(hs, "doc_id", maxHamming = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((1L, 2L, 0L), (1L, 3L, 1L), (2L, 3L, 1L)), s"$got")
+    // hamming gate: the 1-bit pair disappears at maxHamming = 0
+    val strict = Multimodal.dhashNearDupPairs(hs, "doc_id", maxHamming = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(strict == Set((1L, 2L)), s"$strict")
+  }
+
   test("hashSplitBy: every member of a group shares bucket+split; bucket replays from raw md5 of the KEY") {
     val labels = Seq((1L, 10L), (2L, 10L), (3L, 10L), (4L, 40L), (5L, 50L))
       .toDF("doc_id", "component")
