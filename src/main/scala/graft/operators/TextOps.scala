@@ -953,6 +953,32 @@ object TextOps {
       .withColumn("shortfall", col("desired") - col("allocated"))
   }
 
+  /** Out-of-vocabulary rate against a FROZEN vocabulary — the
+    * tokenizer-coverage / garbled-text gate: a doc whose tokens mostly
+    * miss the vocab is mojibake, the wrong language, or binary junk, and
+    * a tokenizer will shred it into char-level pieces. The vocab is a
+    * MODEL ARTIFACT (plan literals, the q111 frozen-scorer discipline),
+    * so scoring is INFERENCE: one map-only projection, the OOV count an
+    * in-array lambda fold — no explode, no join, no shuffle, streams
+    * unchanged. At real tokenizer sizes (32k+) the vocab side moves to a
+    * broadcast join; the literal form covers probe vocabularies and
+    * rule packs. Output: `(id, n_tokens, n_oov, oov_rate)`. */
+  def oovRate(df: DataFrame, text: String, id: String,
+      vocab: Seq[String]): DataFrame = {
+    require(vocab.nonEmpty, "empty vocabulary")
+    require(vocab.forall(w => !w.contains("'")),
+      s"vocab terms must not contain quotes: $vocab")
+    requireFresh(df, "n_tokens", "n_oov", "oov_rate", "__t")
+    val vsql = vocab.map(w => s"'$w'").mkString("array(", ", ", ")")
+    df.where(col(text).isNotNull)
+      .select(col(id), tokens(col(text)).as("__t"))
+      .select(col(id), size(col("__t")).cast("long").as("n_tokens"),
+        expr(s"cast(size(filter(__t, t -> NOT array_contains($vsql, t)))" +
+          " as bigint)").as("n_oov"))
+      .withColumn("oov_rate",
+        round(col("n_oov").cast("double") / col("n_tokens"), 6))
+  }
+
   /** Length-bucketed batch assignment — the padding-efficiency step of a
     * training dataloader: group docs into length buckets (bucket i holds
     * `boundaries(i-1) < n_tokens ≤ boundaries(i)`, the last bucket is

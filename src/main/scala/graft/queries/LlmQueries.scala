@@ -1288,6 +1288,20 @@ object LlmQueries {
         col("__copies").as("n_copies"))
       .orderBy("doc_id")
 
+  /** The q123 frozen probe vocabulary — a model artifact, mirrored as a
+    * VALUES list in the oracle. 16 of the corpus's ~31 distinct terms,
+    * so OOV rates spread over (0, 1). */
+  val ProbeVocab: Seq[String] = Seq("join", "hash", "row", "batch", "scan",
+    "column", "customer", "filter", "small", "merge", "slow", "order",
+    "vector", "line", "data", "table")
+
+  /** q123 — OOV rate against the frozen [[ProbeVocab]]
+    * ([[TextOps.oovRate]]): tokenizer-coverage gate as map-only
+    * inference, vocab as plan literals. */
+  def oovRateQ(s: SparkSession, d: String): DataFrame =
+    TextOps.oovRate(docs(s, d), "text", "doc_id", ProbeVocab)
+      .orderBy("doc_id")
+
   def mixtureAllocationQ(s: SparkSession, d: String): DataFrame =
     TextOps.mixtureAllocation(docs(s, d), "lang",
         TextOps.tokenCount(col("text")),
@@ -1497,6 +1511,24 @@ object LlmQueries {
       s"""$cc54With
          |SELECT u AS doc_id, min(r) AS component
          |FROM reach GROUP BY u ORDER BY doc_id""".stripMargin,
+
+    // the frozen vocab as a literal list, the OOV count as the same
+    // in-array lambda fold
+    "q123_oov_rate" -> {
+      val vlist = Seq("join", "hash", "row", "batch", "scan", "column",
+        "customer", "filter", "small", "merge", "slow", "order", "vector",
+        "line", "data", "table").map(w => s"'$w'").mkString("[", ", ", "]")
+      s"""WITH t AS (SELECT doc_id,
+         |    string_split_regex(trim(lower(text)), '\\s+') AS ts
+         |  FROM documents WHERE text IS NOT NULL),
+         |c AS (SELECT doc_id, len(ts)::BIGINT AS n_tokens,
+         |    len(list_filter(ts, x -> NOT list_contains($vlist, x)))::BIGINT
+         |      AS n_oov
+         |  FROM t)
+         |SELECT doc_id, n_tokens, n_oov,
+         |  round(n_oov::DOUBLE / n_tokens, 6) AS oov_rate
+         |FROM c ORDER BY doc_id""".stripMargin
+    },
 
     // every dHash bit recomputed from the padded-text plane
     "q121_image_dhash" ->
@@ -2647,6 +2679,7 @@ object LlmQueries {
     "q120_length_batches" -> lengthBatchesQ _,
     "q121_image_dhash" -> imageDHashQ _,
     "q122_image_neardup" -> imageNearDupQ _,
+    "q123_oov_rate" -> oovRateQ _,
     "q80_dedup_keepers" -> dedupKeepers _,
     "q84_dedup_keepers_by" -> dedupKeepersBy _,
     "q81_mixed_decode" -> mixedDecode _,

@@ -1915,6 +1915,22 @@ class OperatorSpec extends AnyFunSuite {
     assert(out("C") == ((0L, 5L, 0L, 0L, 5L)), s"empty stratum: ${out("C")}")
   }
 
+  test("oovRate: hand-computed counts; all-known and all-unknown docs hit the boundaries") {
+    val in = Seq(
+      (1L, "cat dog worm bird"), // vocab {cat,dog}: 2 oov of 4
+      (2L, "cat dog dog"),       // 0 oov
+      (3L, "worm bird"),         // all oov
+      (4L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val out = TextOps.oovRate(in, "text", "doc_id", Seq("cat", "dog"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(1L) == ((4L, 2L, 0.5)), s"${out(1L)}")
+    assert(out(2L) == ((3L, 0L, 0.0)), s"${out(2L)}")
+    assert(out(3L) == ((2L, 2L, 1.0)), s"${out(3L)}")
+    assert(!out.contains(4L), "null text drops")
+  }
+
   test("imageDHash: gradient plane sets every bit, flat plane none; 9x8 grid is exact on a 9x8 image") {
     def plane(w: Int, h: Int)(f: (Int, Int) => Int): Array[Byte] = {
       val px = new Array[Byte](w * h * 3)

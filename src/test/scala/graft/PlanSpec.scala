@@ -834,6 +834,17 @@ class PlanSpec extends AnyFunSuite {
     } finally graft.engine.Checkpoints.release(df)
   }
 
+  test("q123: OOV rate is one map-only scan — the vocab is plan literals, tokens stay in-array") {
+    finalPlan("q123_oov_rate") { p =>
+      assert("FileScan parquet".r.findAllIn(p).size == 1, p.take(1500))
+      assert(!p.contains("Generate explode"),
+        s"the OOV count folds in-array\n${p.take(1500)}")
+      assert(!p.contains("Join"), s"the vocab is literals, not a table\n${p.take(1500)}")
+      assert(!p.contains("HashAggregate"),
+        s"scoring must be map-only\n${p.take(1500)}")
+    }
+  }
+
   test("q116: incremental SemDeDup — corpus scan partition-prunes to the batch's cells; batch broadcasts") {
     finalPlan("q116_semdedup_incremental") { p =>
       assert(p.contains("PartitionFilters: [cell"),
