@@ -639,6 +639,58 @@ object TextOps {
     * null, never -Infinity. Same scale shape as [[unigramXent]]: per-doc
     * tf first (occurrences never shuffle), vocab-sized model join (AQE
     * broadcasts a small model), broadcast 1-row total. */
+  /** Frozen BIGRAM-LM cross-entropy — the next step up from the unigram
+    * gate ([[unigramXentAgainst]]) and the shape of a real perplexity
+    * filter (CCNet's KenLM gate): add-one-smoothed conditional
+    * `p(w_i | w_{i−1}) = (c2(w_{i−1} w_i) + 1) / (c1(w_{i−1}·) + V)`,
+    * `xent = −(1/n) Σ ln p` over a doc's n bigrams. Both model tables
+    * derive from `train` ONLY (the scored frame never contributes —
+    * train on the q58 train split, score everything); `c1` counts
+    * tokens-with-a-successor, so the conditional normalizes exactly;
+    * unseen bigrams/prefixes back off through the +1 / +V smoothing —
+    * never null, never −∞. Docs with < 2 tokens have no bigram and drop.
+    *
+    * Shuffle discipline: bigrams HASH inside the explode projection
+    * (the [[graft.operators.Dedup.winnowFingerprints]] stage shape), so
+    * corpus-sized exchanges carry `(id, bh, ph, tf)` — never gram text
+    * (collision odds ~2⁻⁶⁰/pair, the repetitionRatio discipline); the
+    * per-doc tf aggregate is map-side-combinable; both model tables are
+    * vocab-bounded and AQE-broadcast; V is a 1-row broadcast. */
+  def bigramXentAgainst(df: DataFrame, train: DataFrame, text: String,
+      id: String, seed: Int = 151): DataFrame = {
+    val toks = tokens(col(text))
+    // (keep..., bh, ph) — one row per bigram occurrence, hashed in-stage
+    def bigramHashes(d: DataFrame, keep: Seq[String]): DataFrame = {
+      val m = size(col("__toks")) - 1
+      d.where(col(text).isNotNull && size(toks) >= 2)
+        .select(keep.map(col) :+ toks.as("__toks"): _*)
+        .select(keep.map(col) :+ explode(zip_with(
+          slice(col("__toks"), lit(1), m), slice(col("__toks"), lit(2), m),
+          (x, y) => struct(concat(x, lit(" "), y).as("g"), x.as("p"))))
+          .as("__e"): _*)
+        .select(keep.map(col) :+
+          portableHash(col("__e.g"), seed).as("bh") :+
+          portableHash(col("__e.p"), seed).as("ph"): _*)
+    }
+    val tb = bigramHashes(train, Seq.empty)
+    val bgModel = tb.groupBy("bh").agg(count(lit(1)).as("c2"))
+    val pfModel = tb.groupBy("ph").agg(count(lit(1)).as("c1"))
+    val vocab = train.where(col(text).isNotNull)
+      .select(explode(toks).as("w"))
+      .agg(countDistinct("w").as("__v"))
+    val tf = bigramHashes(df, Seq(id))
+      .groupBy(col(id), col("bh"), col("ph")).agg(count(lit(1)).as("tf"))
+    tf.join(bgModel, Seq("bh"), "left")
+      .join(pfModel, Seq("ph"), "left")
+      .crossJoin(broadcast(vocab))
+      .groupBy(col(id))
+      .agg(sum("tf").as("n_bigrams"),
+        round(-sum(col("tf").cast("double") *
+          log((coalesce(col("c2"), lit(0L)) + 1).cast("double") /
+            (coalesce(col("c1"), lit(0L)) + col("__v")).cast("double")))
+          / sum("tf"), 4).as("xent"))
+  }
+
   def unigramXentAgainst(df: DataFrame, model: DataFrame, text: String,
       id: String, oovCount: Long = 1L): DataFrame = {
     val tot = model.agg(sum("c").cast("double").as("__t"))

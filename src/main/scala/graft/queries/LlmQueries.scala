@@ -1302,6 +1302,18 @@ object LlmQueries {
     TextOps.oovRate(docs(s, d), "text", "doc_id", ProbeVocab)
       .orderBy("doc_id")
 
+  /** q124 — frozen bigram-LM perplexity gate
+    * ([[TextOps.bigramXentAgainst]]): the model trains on the q58 train
+    * split only (seed 42, bucket < 80) and scores EVERY doc — held-out
+    * docs run through genuine unseen-bigram smoothing. */
+  def bigramXentQ(s: SparkSession, d: String): DataFrame = {
+    val all = docs(s, d)
+    val train = TextOps.withHashSplit(all, "doc_id")
+      .where(col("split") === "train").drop("bucket", "split")
+    TextOps.bigramXentAgainst(all, train, "text", "doc_id")
+      .orderBy("doc_id")
+  }
+
   def mixtureAllocationQ(s: SparkSession, d: String): DataFrame =
     TextOps.mixtureAllocation(docs(s, d), "lang",
         TextOps.tokenCount(col("text")),
@@ -1511,6 +1523,38 @@ object LlmQueries {
       s"""$cc54With
          |SELECT u AS doc_id, min(r) AS component
          |FROM reach GROUP BY u ORDER BY doc_id""".stripMargin,
+
+    // train split by the q58 hash gate, both model tables + V rebuilt
+    // relationally, the same add-one conditional, ln summed per doc
+    "q124_bigram_xent" ->
+      s"""WITH d0 AS (SELECT doc_id,
+         |    string_split_regex(trim(lower(text)), '\\s+') AS ts
+         |  FROM documents WHERE text IS NOT NULL),
+         |tr AS (SELECT * FROM d0
+         |  WHERE ${pHash("42", "doc_id::VARCHAR")} % 100 < 80),
+         |tbi AS (SELECT doc_id, unnest(generate_series(1, len(ts) - 1)) AS i,
+         |    ts FROM tr WHERE len(ts) >= 2),
+         |tb AS (SELECT ${pHash("151", "(ts[i] || ' ' || ts[i+1])")} AS bh,
+         |    ${pHash("151", "ts[i]")} AS ph
+         |  FROM tbi),
+         |bg AS (SELECT bh, count(*)::BIGINT AS c2 FROM tb GROUP BY bh),
+         |pf AS (SELECT ph, count(*)::BIGINT AS c1 FROM tb GROUP BY ph),
+         |v AS (SELECT count(DISTINCT w)::BIGINT AS vv
+         |  FROM (SELECT unnest(ts) AS w FROM tr)),
+         |sci AS (SELECT doc_id, unnest(generate_series(1, len(ts) - 1)) AS i,
+         |    ts FROM d0 WHERE len(ts) >= 2),
+         |sc AS (SELECT doc_id,
+         |    ${pHash("151", "(ts[i] || ' ' || ts[i+1])")} AS bh,
+         |    ${pHash("151", "ts[i]")} AS ph
+         |  FROM sci),
+         |tf AS (SELECT doc_id, bh, ph, count(*)::BIGINT AS tf
+         |  FROM sc GROUP BY doc_id, bh, ph)
+         |SELECT doc_id, sum(tf)::BIGINT AS n_bigrams,
+         |  round(-sum(tf * ln((coalesce(c2, 0) + 1)::DOUBLE /
+         |      (coalesce(c1, 0) + vv))) / sum(tf), 4) AS xent
+         |FROM tf LEFT JOIN bg USING (bh) LEFT JOIN pf USING (ph)
+         |CROSS JOIN v
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // the frozen vocab as a literal list, the OOV count as the same
     // in-array lambda fold
@@ -2680,6 +2724,7 @@ object LlmQueries {
     "q121_image_dhash" -> imageDHashQ _,
     "q122_image_neardup" -> imageNearDupQ _,
     "q123_oov_rate" -> oovRateQ _,
+    "q124_bigram_xent" -> bigramXentQ _,
     "q80_dedup_keepers" -> dedupKeepers _,
     "q84_dedup_keepers_by" -> dedupKeepersBy _,
     "q81_mixed_decode" -> mixedDecode _,

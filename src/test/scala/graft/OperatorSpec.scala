@@ -1915,6 +1915,21 @@ class OperatorSpec extends AnyFunSuite {
     assert(out("C") == ((0L, 5L, 0L, 0L, 5L)), s"empty stratum: ${out("C")}")
   }
 
+  test("bigramXentAgainst: hand-computed add-one conditionals; unseen bigram/prefix back off; short docs drop") {
+    // train: bigrams (a b)x2, (a c)x1 -> c1(a)=3; V={a,b,c}=3
+    val train = Seq((10L, "a b"), (11L, "a b"), (12L, "a c"))
+      .toDF("doc_id", "text")
+    // "a b a d": p(a b)=(2+1)/(3+3)=1/2; p(b a)=(0+1)/(0+3)=1/3 (unseen
+    // prefix); p(a d)=(0+1)/(3+3)=1/6 (unseen bigram, seen prefix)
+    // xent = (ln2 + ln3 + ln6)/3 = 1.1945
+    val score = Seq((1L, "a b a d"), (2L, "q")).toDF("doc_id", "text")
+    val out = TextOps.bigramXentAgainst(score, train, "text", "doc_id")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out(1L) == ((3L, 1.1945)), s"${out(1L)}")
+    assert(!out.contains(2L), "a 1-token doc has no bigram")
+  }
+
   test("oovRate: hand-computed counts; all-known and all-unknown docs hit the boundaries") {
     val in = Seq(
       (1L, "cat dog worm bird"), // vocab {cat,dog}: 2 oov of 4
