@@ -752,6 +752,33 @@ object LlmQueries {
         (col("doc_id") + 200000L).as("doc_id")).select("doc_id", "payload"))
   }
 
+  /** The q122/q125 shared oracle chain: three-leg corpus → dHash bands →
+    * band-bucket self-join → exact-hamming pairs, as CTEs ending in `p`. */
+  private lazy val dhashPairCtes: String =
+    s"""base AS (SELECT doc_id, (4 + doc_id % 8)::INTEGER AS w,
+       |    (3 + doc_id % 5)::INTEGER AS h,
+       |    rpad(text, ((4 + doc_id % 8) * (3 + doc_id % 5) * 3)::INTEGER,
+       |      '.') AS pt
+       |  FROM documents WHERE text IS NOT NULL
+       |    AND octet_length(encode(text)) = length(text)),
+       |corpus AS (
+       |  SELECT doc_id, w, h, pt FROM base
+       |  UNION ALL SELECT doc_id + 100000, w, h, pt FROM base
+       |  UNION ALL SELECT doc_id + 200000, w, h,
+       |    'X' || substring(pt, 2) FROM base),
+       |hs AS (SELECT doc_id, ${dhashBandSql.mkString(",\n  ")}
+       |  FROM corpus),
+       |e AS (SELECT doc_id, b0, b1, b2, b3, band,
+       |    CASE band WHEN 0 THEN b0 WHEN 1 THEN b1
+       |      WHEN 2 THEN b2 ELSE b3 END AS v
+       |  FROM hs CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band)),
+       |p AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+       |    (bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1)) +
+       |     bit_count(xor(x.b2, y.b2)) + bit_count(xor(x.b3, y.b3)))::BIGINT
+       |      AS hamming
+       |  FROM e x JOIN e y ON y.band = x.band AND y.v = x.v
+       |    AND x.doc_id < y.doc_id)""".stripMargin
+
   /** q121 — perceptual image fingerprints ([[Multimodal.imageDHash]]):
     * the 64-bit dHash of every decoded plane as four 16-bit band longs —
     * the image-side MinHash. Integer-exact (div-3 grayscale,
@@ -774,6 +801,20 @@ object LlmQueries {
           Multimodal.decodePpm(dhashCorpus(s, d), "doc_id", "payload")),
         "doc_id", maxHamming = 8)
       .orderBy("a", "b")
+
+  /** q125 — image dedup SHIPPED: transitive clusters over the q122
+    * near-dup pairs via the q54 pointer-jumping kernel — a re-upload and
+    * an edit of the same source collapse into one cluster even when not
+    * pairwise inside the hamming gate. Output `(doc_id, component)`,
+    * component = min reachable id; feed [[graft.operators.Dedup.keepersBy]]
+    * for the keeper report. */
+  def imageDedupComponentsQ(s: SparkSession, d: String): DataFrame = {
+    val hashes = Multimodal.imageDHash(
+      Multimodal.decodePpm(dhashCorpus(s, d), "doc_id", "payload"))
+    val pairs = Multimodal.dhashNearDupPairs(hashes, "doc_id", maxHamming = 8)
+    Dedup.connectedComponents(hashes.select("doc_id"), pairs, "doc_id")
+      .orderBy("doc_id")
+  }
 
   def ppmDecode(s: SparkSession, d: String): DataFrame = {
     Multimodal.decodePpm(ppmPayloads(s, d), "doc_id", "payload")
@@ -1588,31 +1629,23 @@ object LlmQueries {
     // the three-leg corpus (orig / re-upload / one-byte edit), the same
     // band arithmetic, band-bucket self-join, exact hamming verify
     "q122_image_neardup" ->
-      s"""WITH base AS (SELECT doc_id, (4 + doc_id % 8)::INTEGER AS w,
-         |    (3 + doc_id % 5)::INTEGER AS h,
-         |    rpad(text, ((4 + doc_id % 8) * (3 + doc_id % 5) * 3)::INTEGER,
-         |      '.') AS pt
-         |  FROM documents WHERE text IS NOT NULL
-         |    AND octet_length(encode(text)) = length(text)),
-         |corpus AS (
-         |  SELECT doc_id, w, h, pt FROM base
-         |  UNION ALL SELECT doc_id + 100000, w, h, pt FROM base
-         |  UNION ALL SELECT doc_id + 200000, w, h,
-         |    'X' || substring(pt, 2) FROM base),
-         |hs AS (SELECT doc_id, ${dhashBandSql.mkString(",\n  ")}
-         |  FROM corpus),
-         |e AS (SELECT doc_id, b0, b1, b2, b3, band,
-         |    CASE band WHEN 0 THEN b0 WHEN 1 THEN b1
-         |      WHEN 2 THEN b2 ELSE b3 END AS v
-         |  FROM hs CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band)),
-         |p AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
-         |    (bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1)) +
-         |     bit_count(xor(x.b2, y.b2)) + bit_count(xor(x.b3, y.b3)))::BIGINT
-         |      AS hamming
-         |  FROM e x JOIN e y ON y.band = x.band AND y.v = x.v
-         |    AND x.doc_id < y.doc_id)
+      s"""WITH $dhashPairCtes
          |SELECT a, b, hamming FROM p WHERE hamming <= 8
          |ORDER BY a, b""".stripMargin,
+
+    // the q122 pair chain + generic reachability closure (the cc54With
+    // recursion shape over dHash edges), component = min reachable id
+    "q125_image_components" ->
+      s"""WITH RECURSIVE $dhashPairCtes,
+         |pr AS (SELECT a, b FROM p WHERE hamming <= 8),
+         |edges AS (SELECT a AS u, b AS v FROM pr
+         |  UNION SELECT b AS u, a AS v FROM pr),
+         |reach(u, r) AS (
+         |  SELECT doc_id, doc_id FROM hs
+         |  UNION
+         |  SELECT e2.v, reach.r FROM reach JOIN edges e2 ON e2.u = reach.u)
+         |SELECT u AS doc_id, min(r) AS component
+         |FROM reach GROUP BY u ORDER BY doc_id""".stripMargin,
 
     // bucket from the same boundary arithmetic, per-bucket rank as a
     // window (the oracle's sequential equivalent of the distributed
@@ -2725,6 +2758,7 @@ object LlmQueries {
     "q122_image_neardup" -> imageNearDupQ _,
     "q123_oov_rate" -> oovRateQ _,
     "q124_bigram_xent" -> bigramXentQ _,
+    "q125_image_components" -> imageDedupComponentsQ _,
     "q80_dedup_keepers" -> dedupKeepers _,
     "q84_dedup_keepers_by" -> dedupKeepersBy _,
     "q81_mixed_decode" -> mixedDecode _,

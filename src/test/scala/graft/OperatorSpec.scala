@@ -1984,6 +1984,19 @@ class OperatorSpec extends AnyFunSuite {
     assert(strict == Set((1L, 2L)), s"$strict")
   }
 
+  test("image dedup components: dHash pairs close transitively; isolated image keeps its own label") {
+    val hs = Seq(
+      (1L, 0xaaaaL, 0x1234L, 0x0f0fL, 0x7777L),
+      (2L, 0xaaaaL, 0x1234L, 0x0f0fL, 0x7777L),
+      (3L, 0xaaabL, 0x1234L, 0x0f0fL, 0x7777L),
+      (4L, 0x5555L, 0x4321L, 0xf0f0L, 0x8888L)
+    ).toDF("doc_id", "b0", "b1", "b2", "b3")
+    val pairs = Multimodal.dhashNearDupPairs(hs, "doc_id", maxHamming = 8)
+    val labels = Dedup.connectedComponents(hs.select("doc_id"), pairs, "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L), s"$labels")
+  }
+
   test("hashSplitBy: every member of a group shares bucket+split; bucket replays from raw md5 of the KEY") {
     val labels = Seq((1L, 10L), (2L, 10L), (3L, 10L), (4L, 40L), (5L, 50L))
       .toDF("doc_id", "component")
