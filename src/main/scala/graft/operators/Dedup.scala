@@ -905,6 +905,54 @@ object Dedup {
           (col("__na") + col("__nb") - col("n_shared")), 6).as("overlap"))
   }
 
+  /** Persist the winnowing sketch as an INDEX — the containment-screen
+    * analogue of [[bandIndexWrite]]: the distinct `(fp, id)` selected
+    * fingerprints plus a per-doc fingerprint-count sidecar (`sizes`),
+    * materialized once ([[graft.engine.Checkpoints.mark]]) so the two
+    * writes share one winnow pass. Sign once, probe per batch —
+    * [[winnowIncrementalPairs]] never re-winnows the corpus. Rebuild by
+    * re-calling (overwrite); the bandIndex append/marker machinery
+    * applies unchanged if continuous ingest needs it. */
+  def winnowIndexWrite(fps: DataFrame, id: String, path: String): Unit = {
+    val sk = graft.engine.Checkpoints.mark(
+      fps.select(col("fp"), col(id)).distinct())
+    try {
+      sk.write.mode("overwrite").parquet(s"$path/fps")
+      sk.groupBy(col(id)).agg(count(lit(1)).as("nf"))
+        .write.mode("overwrite").parquet(s"$path/sizes")
+    } finally graft.engine.Checkpoints.release(sk)
+  }
+
+  /** Containment screen of an incoming batch against a persisted
+    * [[winnowIndexWrite]] index — the q61 incremental shape for the MOSS
+    * sketch: the batch winnows only its own rows, equi-joins the index
+    * SCAN on the fingerprint value, and scores candidates by
+    * fingerprint-set overlap exactly as [[winnowCandidatePairs]]
+    * (`a` = indexed doc, `b` = batch doc). The corpus is never
+    * re-winnowed; index-side set sizes come from the stored sidecar,
+    * batch-side sizes from the batch's own sketch. A batch doc id
+    * already present in the index pairs with itself and is filtered. */
+  def winnowIncrementalPairs(spark: org.apache.spark.sql.SparkSession,
+      path: String, batchFps: DataFrame, id: String,
+      minShared: Int): DataFrame = {
+    require(minShared >= 1, s"minShared must be >= 1, got $minShared")
+    val idx = spark.read.parquet(s"$path/fps")
+    val sizes = spark.read.parquet(s"$path/sizes")
+    val bsk = graft.engine.Checkpoints.mark(
+      batchFps.select(col("fp"), col(id)).distinct())
+    val bsizes = bsk.groupBy(col(id)).agg(count(lit(1)).as("__bnf"))
+    idx.select(col("fp"), col(id).as("a"))
+      .join(bsk.select(col("fp"), col(id).as("b")), "fp")
+      .where(col("a") =!= col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+      .join(sizes.select(col(id).as("a"), col("nf").as("__na")), "a")
+      .join(bsizes.select(col(id).as("b"), col("__bnf").as("__nb")), "b")
+      .select(col("a"), col("b"), col("n_shared"),
+        round(col("n_shared").cast("double") /
+          (col("__na") + col("__nb") - col("n_shared")), 6).as("overlap"))
+  }
+
   def repeatedSpans(df: DataFrame, text: String, id: String, w: Int): DataFrame = {
     val win = spanWindows(df, text, id, w)
     val dup = win.groupBy("wh").agg(count(lit(1)).as("__occ"))

@@ -752,6 +752,31 @@ object LlmQueries {
         (col("doc_id") + 200000L).as("doc_id")).select("doc_id", "payload"))
   }
 
+  /** The winnow-chain CTEs producing `wfp$sfx(doc_id, gh)` — q114's
+    * window-selection replay over documents rows satisfying `pred`,
+    * shared by the q118 and q126 oracles (suffix disambiguates the CTE
+    * names when the chain appears twice in one query). */
+  private def winnowWfpCtes(sfx: String, pred: String): String =
+    s"""ga$sfx AS (SELECT doc_id,
+       |    string_split_regex(trim(lower(text)), '\\s+') AS arr
+       |  FROM documents WHERE text IS NOT NULL AND ($pred)),
+       |gr$sfx AS (SELECT doc_id, unnest(generate_series(1, len(arr) - 2))
+       |    AS i, arr FROM ga$sfx WHERE len(arr) >= 3),
+       |g$sfx AS (SELECT doc_id, i - 1 AS pos,
+       |    ${pHash("131", "(arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2])")}
+       |      AS gh,
+       |    len(arr) - 2 AS m
+       |  FROM gr$sfx),
+       |st$sfx AS (SELECT doc_id,
+       |    unnest(generate_series(0, greatest(m - 4, 0))) AS s
+       |  FROM (SELECT DISTINCT doc_id, m FROM g$sfx)),
+       |sel$sfx AS (SELECT st$sfx.doc_id, g$sfx.gh, row_number() OVER (
+       |    PARTITION BY st$sfx.doc_id, st$sfx.s
+       |    ORDER BY g$sfx.gh ASC, g$sfx.pos DESC) AS rn
+       |  FROM st$sfx JOIN g$sfx ON g$sfx.doc_id = st$sfx.doc_id
+       |    AND g$sfx.pos BETWEEN st$sfx.s AND st$sfx.s + 3),
+       |wfp$sfx AS (SELECT DISTINCT doc_id, gh FROM sel$sfx WHERE rn = 1)""".stripMargin
+
   /** The q122/q125 shared oracle chain: three-leg corpus → dHash bands →
     * band-bucket self-join → exact-hamming pairs, as CTEs ending in `p`. */
   private lazy val dhashPairCtes: String =
@@ -1301,6 +1326,31 @@ object LlmQueries {
   def shuffleOrderQ(s: SparkSession, d: String): DataFrame =
     TextOps.shuffleOrder(docs(s, d), "doc_id", seed = 11)
       .orderBy("order_idx")
+
+  /** Per-directory memo of the persisted winnow-fingerprint index over
+    * the already-ingested corpus ([[Dedup.winnowIndexWrite]]): winnowed
+    * ONCE per session, probed per batch — the q61 sign-once shape for
+    * containment screening. Session scratch, removed at JVM exit. */
+  private val winnowIndexCache = new SessionPathMemo("winnowidx", (s, d, p) => {
+    val old = docs(s, d).where(pmod(col("doc_id"), lit(NewBatchMod)) =!= 0)
+    Dedup.winnowIndexWrite(
+      Dedup.winnowFingerprints(old, "text", "doc_id", k = 3, w = 4),
+      "doc_id", p)
+  })
+
+  /** q126 — incremental containment screening
+    * ([[Dedup.winnowIncrementalPairs]]): the incoming batch winnows only
+    * its own rows and probes the persisted index — the corpus is never
+    * re-winnowed (valid because winnowing's per-doc selection is
+    * corpus-independent, same property as q61's per-row signatures;
+    * the oracle's from-scratch replay re-evidences it). */
+  def winnowIncrementalQ(s: SparkSession, d: String): DataFrame = {
+    val batch = docs(s, d).where(pmod(col("doc_id"), lit(NewBatchMod)) === 0)
+    Dedup.winnowIncrementalPairs(s, winnowIndexCache(s, d),
+        Dedup.winnowFingerprints(batch, "text", "doc_id", k = 3, w = 4),
+        "doc_id", minShared = 1)
+      .orderBy("a", "b")
+  }
 
   /** q118 — winnowing containment pairs
     * ([[Dedup.winnowCandidatePairs]]): the MOSS match step — docs
@@ -1880,25 +1930,7 @@ object LlmQueries {
     // DISTINCT selected fingerprints, pairs share a value, overlap from
     // exact counts
     "q118_winnow_pairs" ->
-      s"""WITH ga AS (SELECT doc_id,
-         |    string_split_regex(trim(lower(text)), '\\s+') AS arr
-         |  FROM documents WHERE text IS NOT NULL),
-         |gr AS (SELECT doc_id, unnest(generate_series(1, len(arr) - 2)) AS i,
-         |    arr FROM ga WHERE len(arr) >= 3),
-         |g AS (SELECT doc_id, i - 1 AS pos,
-         |    ${pHash("131", "(arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2])")}
-         |      AS gh,
-         |    len(arr) - 2 AS m
-         |  FROM gr),
-         |st AS (SELECT doc_id, unnest(generate_series(0, greatest(m - 4, 0)))
-         |    AS s
-         |  FROM (SELECT DISTINCT doc_id, m FROM g)),
-         |sel AS (SELECT st.doc_id, g.gh, row_number() OVER (
-         |    PARTITION BY st.doc_id, st.s ORDER BY g.gh ASC, g.pos DESC)
-         |      AS rn
-         |  FROM st JOIN g ON g.doc_id = st.doc_id
-         |    AND g.pos BETWEEN st.s AND st.s + 3),
-         |wfp AS (SELECT DISTINCT doc_id, gh FROM sel WHERE rn = 1),
+      s"""WITH ${winnowWfpCtes("", "TRUE")},
          |sz AS (SELECT doc_id, count(*)::BIGINT AS nf FROM wfp
          |  GROUP BY doc_id),
          |pr AS (SELECT x.doc_id AS a, y.doc_id AS b,
@@ -1911,6 +1943,30 @@ object LlmQueries {
          |    AS overlap
          |FROM pr p JOIN sz sa ON sa.doc_id = p.a
          |JOIN sz sb ON sb.doc_id = p.b
+         |ORDER BY a, b""".stripMargin,
+
+    // both sides' sketches replayed from scratch across the modulo
+    // split, joined on the fingerprint value — the independent
+    // formulation whose match also evidences winnow-alone ==
+    // winnow-with-corpus (the per-doc selection is corpus-independent)
+    "q126_winnow_incremental" ->
+      s"""WITH ${winnowWfpCtes("o", s"doc_id % $NewBatchMod <> 0")},
+         |${winnowWfpCtes("n", s"doc_id % $NewBatchMod = 0")},
+         |szo AS (SELECT doc_id, count(*)::BIGINT AS nf FROM wfpo
+         |  GROUP BY doc_id),
+         |szn AS (SELECT doc_id, count(*)::BIGINT AS nf FROM wfpn
+         |  GROUP BY doc_id),
+         |pr AS (SELECT x.doc_id AS a, y.doc_id AS b,
+         |    count(*)::BIGINT AS n_shared
+         |  FROM wfpo x JOIN wfpn y ON y.gh = x.gh
+         |    AND x.doc_id <> y.doc_id
+         |  GROUP BY x.doc_id, y.doc_id
+         |  HAVING count(*) >= 1)
+         |SELECT p.a, p.b, p.n_shared,
+         |  round(p.n_shared / (sa.nf + sb.nf - p.n_shared)::DOUBLE, 6)
+         |    AS overlap
+         |FROM pr p JOIN szo sa ON sa.doc_id = p.a
+         |JOIN szn sb ON sb.doc_id = p.b
          |ORDER BY a, b""".stripMargin,
 
     // the recipe applied per doc: replay q112's solver to epochs_milli,
@@ -2776,6 +2832,7 @@ object LlmQueries {
     "q114_winnow_fingerprints" -> winnowQ _,
     "q115_shuffle_order" -> shuffleOrderQ _,
     "q118_winnow_pairs" -> winnowPairsQ _,
+    "q126_winnow_incremental" -> winnowIncrementalQ _,
     "q101_dsir_weights" -> dsirWeightsQ _,
     "q102_weighted_sample" -> weightedSampleQ _,
     "q103_top_ngram" -> topNgramQ _,

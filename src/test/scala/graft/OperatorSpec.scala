@@ -2168,6 +2168,30 @@ class OperatorSpec extends AnyFunSuite {
       minShared = maxShared.toInt + 1).isEmpty)
   }
 
+  test("winnow index: the incremental probe equals the full pair scan restricted to cross-split pairs") {
+    val rnd = new scala.util.Random(3)
+    val words = Vector("ka", "lo", "mi", "ne", "os", "pu", "qa", "re", "su", "tu")
+    val longDoc = Seq.fill(40)(words(rnd.nextInt(words.size))).mkString(" ")
+    val shared = "zz yy xx ww vv uu"
+    val in = Seq(
+      (1L, longDoc + " " + shared),
+      (2L, shared + " " + Seq.fill(20)(words(rnd.nextInt(words.size))).mkString(" ")),
+      (3L, "aa bb cc dd")).toDF("doc_id", "text")
+    def fps(d: org.apache.spark.sql.DataFrame) =
+      Dedup.winnowFingerprints(d, "text", "doc_id", k = 3, w = 4)
+    val full = Dedup.winnowCandidatePairs(fps(in), "doc_id", minShared = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val dir = java.nio.file.Files.createTempDirectory("graft_winidx_t").toString
+    graft.cli.Cleanup.deleteOnExit(dir)
+    Dedup.winnowIndexWrite(fps(in.where(col("doc_id") === 1)), "doc_id", dir)
+    val inc = Dedup.winnowIncrementalPairs(spark, dir,
+        fps(in.where(col("doc_id") =!= 1)), "doc_id", minShared = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val expected = full.filter(p => p._1 == 1L)
+    assert(inc == expected && inc.nonEmpty,
+      s"incremental $inc vs full-restricted $expected")
+  }
+
   test("shuffleOrder: dense 1..n permutation, reproducible, seed-dependent, actually shuffled") {
     val in = (0L until 200L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
     def order(seed: Int): Seq[Long] =

@@ -834,6 +834,42 @@ class PlanSpec extends AnyFunSuite {
     } finally graft.engine.Checkpoints.release(df)
   }
 
+  test("q121: dHash is one decode-stage pass — single scan, no hash exchange before the display sort") {
+    finalPlan("q121_image_dhash") { p =>
+      assert("FileScan parquet".r.findAllIn(p).size == 1, p.take(1500))
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"hashing must ride the decode scan\n${p.take(1500)}")
+      assert(!p.contains("Join"), p.take(1500))
+    }
+  }
+
+  test("q122/q124: corpus exchanges carry hashes and counts — never pixels, payloads, or gram text") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    for (q <- Seq("q122_image_neardup", "q124_bigram_xent")) {
+      val df = SparkEntry.queries(q)(spark, sf)
+      try {
+        df.collect()
+        flattenPlan(df.queryExecution.executedPlan)
+          .collect { case s: ShuffleExchangeLike => s }.foreach { s =>
+            assert(!s.output.exists(a => Seq("pixels", "payload", "text",
+              "__g", "__toks", "__e").contains(a.name)),
+              s"$q exchange carries bulk content: ${s.output.mkString(", ")}")
+          }
+      } finally graft.engine.Checkpoints.release(df)
+    }
+  }
+
+  test("q126: incremental containment — the corpus side is the index SCAN; only the batch winnows") {
+    finalPlan("q126_winnow_incremental") { p =>
+      assert(p.contains("/fps"), s"index parquet must be scanned\n${p.take(2000)}")
+      // exactly one winnow window (the batch's own); the indexed corpus
+      // is never re-winnowed
+      assert("Window \\[min".r.findAllIn(p).size <= 1,
+        s"corpus must not re-winnow\n${p.take(2000)}")
+      assert(!p.contains("CartesianProduct"), p.take(2000))
+    }
+  }
+
   test("q123: OOV rate is one map-only scan — the vocab is plan literals, tokens stay in-array") {
     finalPlan("q123_oov_rate") { p =>
       assert("FileScan parquet".r.findAllIn(p).size == 1, p.take(1500))
