@@ -917,10 +917,60 @@ object Dedup {
     val sk = graft.engine.Checkpoints.mark(
       fps.select(col("fp"), col(id)).distinct())
     try {
+      // a REBUILD invalidates the streaming replay marker (the band-index
+      // lesson: a maintain restart with a fresh checkpoint restarts batch
+      // ids at 0, and a stale marker silently no-ops every append)
+      graft.sources.Markers.delete(fps.sparkSession, s"$path/lastbatch")
       sk.write.mode("overwrite").parquet(s"$path/fps")
       sk.groupBy(col(id)).agg(count(lit(1)).as("nf"))
         .write.mode("overwrite").parquet(s"$path/sizes")
     } finally graft.engine.Checkpoints.release(sk)
+  }
+
+  /** Marker-guarded append of one ingest batch's sketch into a
+    * [[winnowIndexWrite]] index — the [[appendBatchToBandIndex]] replay
+    * discipline: a batch id ≤ the stored `lastbatch` no-ops (retried
+    * micro-batches append nothing), the marker is written AFTER both
+    * appends so a crash between them re-runs the batch (at-least-once —
+    * detectable by [[winnowIndexVerify]], the documented remediation is
+    * verify-then-rebuild). Batch ids are assumed new docs; a re-ingested
+    * id accumulates duplicate rows the verifier will flag. Returns
+    * whether the batch was applied. */
+  def winnowAppendBatch(path: String, batchFps: DataFrame, id: String,
+      batchId: Long): Boolean = {
+    val spark = batchFps.sparkSession
+    val marker = s"$path/lastbatch"
+    if (batchId <= graft.sources.Markers.readLastBatch(spark, marker)) false
+    else {
+      val sk = graft.engine.Checkpoints.mark(
+        batchFps.select(col("fp"), col(id)).distinct())
+      try {
+        sk.write.mode("append").parquet(s"$path/fps")
+        sk.groupBy(col(id)).agg(count(lit(1)).as("nf"))
+          .write.mode("append").parquet(s"$path/sizes")
+        graft.sources.Markers.writeLastBatch(spark, marker, batchId)
+        true
+      } finally graft.engine.Checkpoints.release(sk)
+    }
+  }
+
+  /** Recount-vs-sidecar consistency check of a winnow index — the
+    * [[bandIndexVerify]] twin: per doc, the DISTINCT fingerprint recount
+    * from `fps` must equal the summed stored `nf` (a torn or replayed
+    * append doubles both the rows and the sidecar, so the sum disagrees
+    * with the distinct recount). Empty result = consistent; findings →
+    * rebuild via [[winnowIndexWrite]]. */
+  def winnowIndexVerify(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame = {
+    val fps = spark.read.parquet(s"$path/fps")
+    val idc = fps.schema.fieldNames.filterNot(_ == "fp").head
+    val actual = fps.distinct()
+      .groupBy(col(idc)).agg(count(lit(1)).as("n_actual"))
+    val stored = spark.read.parquet(s"$path/sizes")
+      .groupBy(col(idc)).agg(sum("nf").as("n_stored"))
+    stored.join(actual, Seq(idc), "full")
+      .where(coalesce(col("n_stored"), lit(-1L)) =!=
+        coalesce(col("n_actual"), lit(-2L)))
   }
 
   /** Containment screen of an incoming batch against a persisted

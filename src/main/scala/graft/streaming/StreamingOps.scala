@@ -163,6 +163,28 @@ object StreamingOps {
     docsStream.writeStream.foreachBatch(fn)
   }
 
+  /** Streaming winnow-index maintenance — the containment-screen twin of
+    * [[maintainBandIndex]]: each micro-batch winnows only its own rows
+    * (per-doc selection is corpus-independent, so batch sketches equal
+    * whole-corpus sketches) and appends via the replay-guarded
+    * [[graft.operators.Dedup.winnowAppendBatch]], keeping
+    * [[graft.operators.Dedup.winnowIncrementalPairs]] current under
+    * ingest — a doc arriving in batch N collides with a containment
+    * match ingested in batch N−1 (StreamingSpec pins that, plus retry
+    * idempotence and a green [[graft.operators.Dedup.winnowIndexVerify]]
+    * afterwards). Caller sets `checkpointLocation` and `start()`s. */
+  def maintainWinnowIndex(docsStream: DataFrame, text: String, id: String,
+      path: String, k: Int = 3, w: Int = 4)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val fn: (DataFrame, Long) => Unit = (batch, batchId) => {
+      graft.operators.Dedup.winnowAppendBatch(path,
+        graft.operators.Dedup.winnowFingerprints(batch, text, id, k, w),
+        id, batchId)
+      ()
+    }
+    docsStream.writeStream.foreachBatch(fn)
+  }
+
   /** Streaming IVF maintenance — the embedding-index twin of
     * [[maintainBandIndex]]: each micro-batch of `(id, emb)` vectors is
     * assigned against the index's STORED centroids (map-only — the

@@ -2192,6 +2192,25 @@ class OperatorSpec extends AnyFunSuite {
       s"incremental $inc vs full-restricted $expected")
   }
 
+  test("winnowIndexVerify: green on a clean build, flags a torn append (fps landed, sizes did not)") {
+    val in = Seq((1L, "aa bb cc dd ee ff gg"), (2L, "hh ii jj kk ll mm"))
+      .toDF("doc_id", "text")
+    val fps = Dedup.winnowFingerprints(in, "text", "doc_id", k = 3, w = 4)
+    val dir = java.nio.file.Files.createTempDirectory("graft_winver_t").toString
+    graft.cli.Cleanup.deleteOnExit(dir)
+    Dedup.winnowIndexWrite(fps, "doc_id", dir)
+    assert(Dedup.winnowIndexVerify(spark, dir).isEmpty, "clean build verifies")
+    // simulate the crash window: batch fps rows appended, sizes sidecar not
+    Dedup.winnowFingerprints(
+        Seq((3L, "nn oo pp qq rr ss")).toDF("doc_id", "text"),
+        "text", "doc_id", k = 3, w = 4)
+      .select(col("fp"), col("doc_id"))
+      .write.mode("append").parquet(s"$dir/fps")
+    val torn = Dedup.winnowIndexVerify(spark, dir).collect()
+    assert(torn.map(_.getLong(0)).toSet == Set(3L),
+      s"torn doc must be flagged: ${torn.mkString(", ")}")
+  }
+
   test("shuffleOrder: dense 1..n permutation, reproducible, seed-dependent, actually shuffled") {
     val in = (0L until 200L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
     def order(seed: Int): Seq[Long] =

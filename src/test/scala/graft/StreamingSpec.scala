@@ -135,6 +135,53 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming winnow-index maintenance: containment match against a batch N-1 ingest; retry no-ops; verify green") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    import graft.operators.Dedup
+    val rnd = new scala.util.Random(5)
+    val words = Vector("ka", "lo", "mi", "ne", "os", "pu", "qa", "re", "su", "tu")
+    val filler = Seq.fill(30)(words(rnd.nextInt(words.size))).mkString(" ")
+    val shared = "zz yy xx ww vv uu" // w + k - 1 tokens: must share a fingerprint
+    val idxPath = s"${sys.props("java.io.tmpdir")}/graft_test_winidx_maint"
+    val ckpt = s"${sys.props("java.io.tmpdir")}/graft_test_winidx_maint_ckpt"
+    graft.cli.Cleanup.deleteOnExit(idxPath)
+    graft.cli.Cleanup.deleteOnExit(ckpt)
+    def probe(doc: (Long, String)): Set[(Long, Long)] =
+      Dedup.winnowIncrementalPairs(spark, idxPath,
+          Dedup.winnowFingerprints(Seq(doc).toDF("doc_id", "text"),
+            "text", "doc_id", k = 3, w = 4), "doc_id", minShared = 1)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamingOps.maintainWinnowIndex(mem.toDF().toDF("doc_id", "text"),
+        "text", "doc_id", idxPath)
+      .option("checkpointLocation", ckpt).start()
+    try {
+      mem.addData((1L, filler), (2L, "aa bb cc dd ee")) // batch 0
+      q.processAllAvailable()
+      mem.addData((10L, filler + " " + shared)) // batch 1: new ingest
+      q.processAllAvailable()
+      // a doc arriving AFTER batch 1 contains the run ingested in batch 1
+      val got = probe(20L -> (shared + " pq rs tv"))
+      assert(got.contains((10L, 20L)),
+        s"batch-2 doc must hit the batch-1 ingest: $got")
+      assert(!got.exists(_._1 == 2L), s"unrelated doc must not pair: $got")
+    } finally q.stop()
+    // retry idempotence: an already-applied batch id appends nothing
+    val before = spark.read.parquet(s"$idxPath/fps").count()
+    assert(!Dedup.winnowAppendBatch(idxPath,
+      Dedup.winnowFingerprints(Seq(99L -> filler).toDF("doc_id", "text"),
+        "text", "doc_id", 3, 4), "doc_id", 1L))
+    assert(spark.read.parquet(s"$idxPath/fps").count() == before)
+    assert(Dedup.winnowAppendBatch(idxPath,
+      Dedup.winnowFingerprints(Seq(99L -> filler).toDF("doc_id", "text"),
+        "text", "doc_id", 3, 4), "doc_id", 7L))
+    assert(spark.read.parquet(s"$idxPath/fps").count() > before)
+    // the maintained index passes the recount-vs-sidecar verifier
+    assert(Dedup.winnowIndexVerify(spark, idxPath).isEmpty,
+      "maintained index must verify consistent")
+  }
+
   test("streaming band-index maintenance: batch N collides with batch N-1 ingest") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
