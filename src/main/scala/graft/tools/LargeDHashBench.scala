@@ -1,0 +1,96 @@
+package graft.tools
+
+import org.apache.spark.sql.{Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Large-N evidence run for the image-dedup family (q121/q122 shape):
+  * dHash over a synthetic image corpus orders of magnitude beyond the
+  * testdata, then banded-hamming near-dup pairs. The claims under test:
+  * hashing is a map-only decode-stage pass (linear throughput, nothing
+  * shuffles but the 32 B of bands); the pair stage is bounded by
+  * band-bucket population (candidates ≈ n × mean bucket, never n²); and
+  * the planted near-dups are recovered EXACTLY — a 1-byte edit moves a
+  * dHash ≤ 1 bit, so every planted pair shares ≥ 3 of 4 bands and
+  * nothing random survives the hamming ≤ 3 verify (P ≈ 2⁻⁴⁵ per
+  * candidate).
+  *
+  * Corpus shape: n deterministic 16×16 RGB planes from a splitmix-style
+  * byte generator; doc i ≡ 1 (mod 10) clones doc i−1 and flips one byte
+  * of the first pixel — n/10 planted near-dup pairs, everything else
+  * noise. Deterministic (no RNG): reruns comparable.
+  *
+  * Usage: `SPARK_DRIVER_MEM=32g sbt "runMain graft.tools.LargeDHashBench [n]"`
+  * Default n = 1,000,000 images. Results recorded in BASELINE.md
+  * ("Large-N image-dedup evidence").
+  */
+object LargeDHashBench {
+  final case class Img(doc_id: Long, width: Int, height: Int,
+      pixels: Array[Byte])
+
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toLong).getOrElse(1000000L)
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "64")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    def time[A](name: String)(f: => A): A = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"$name%-34s ${(System.nanoTime() - t0) / 1e9}%9.2f s"); r
+    }
+    val W = 16; val H = 16
+    val imgs = spark.range(n).as(Encoders.LONG).mapPartitions { it =>
+      it.map { boxed =>
+        val i = boxed.longValue
+        val seed = if (i % 10 == 1) i - 1 else i
+        val px = new Array[Byte](W * H * 3)
+        var j = 0
+        while (j < px.length) {
+          // splitmix64 of (seed, j): full-avalanche bytes — a weak (near
+          // -linear) generator makes every image's brightness GRADIENT
+          // seed-independent and collapses the corpus onto a handful of
+          // identical dHashes (observed: 196 distinct bands at n = 10^6)
+          var z = seed * 0x9e3779b97f4a7c15L + j * 0xbf58476d1ce4e5b9L
+          z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+          z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+          px(j) = ((z ^ (z >>> 31)) & 0xff).toByte
+          j += 1
+        }
+        if (i % 10 == 1) px(0) = (px(0) ^ 0x7f).toByte
+        Img(i, W, H, px)
+      }
+    }(Encoders.product[Img]).toDF()
+
+    import graft.operators.Multimodal
+    // 1. map-only hashing throughput; materialize once for the pair legs
+    val hashed = time(s"dHash $n images") {
+      graft.engine.Checkpoints.mark(Multimodal.imageDHash(imgs))
+    }
+    // 2. band-bucket population — the pair stage's fan-out bound
+    val bucketStats = time("band-bucket stats") {
+      hashed.select(explode(array(
+          Seq("b0", "b1", "b2", "b3").zipWithIndex.map { case (c, i) =>
+            struct(lit(i).as("band"), col(c).as("v")) }: _*)).as("e"))
+        .groupBy("e.band", "e.v").agg(count(lit(1)).as("c"))
+        .agg(max("c").as("max"), avg("c").as("mean"), count(lit(1)).as("nb"))
+        .head()
+    }
+    println(s"buckets: max=${bucketStats.getLong(0)} " +
+      f"mean=${bucketStats.getDouble(1)}%.1f distinct=${bucketStats.getLong(2)}")
+    // 3. banded pair scan + exact verify; planted recovery must be exact
+    val pairs = time("near-dup pairs (hamming<=3)") {
+      val p = Multimodal.dhashNearDupPairs(hashed, "doc_id", maxHamming = 3)
+      graft.engine.Checkpoints.mark(p)
+    }
+    val total = pairs.count()
+    val planted = pairs
+      .where(col("a") % 10 === 0 && col("b") === col("a") + 1).count()
+    println(s"pairs=$total planted_recovered=$planted expected=${n / 10}")
+    require(planted == n / 10, s"planted recovery $planted != ${n / 10}")
+    graft.engine.Checkpoints.release(pairs)
+    graft.engine.Checkpoints.release(hashed)
+    spark.stop()
+  }
+}
