@@ -1005,6 +1005,40 @@ object TextOps {
       .withColumn("shortfall", col("desired") - col("allocated"))
   }
 
+  /** Multi-epoch training schedule — [[shuffleOrder]] for EVERY epoch in
+    * one frame: epoch e's permutation is the seeded hash under
+    * `baseSeed + e` (independent permutations, reproducible — the
+    * training-restart contract: resuming epoch 3 re-derives the exact
+    * order without replaying 1–2), and ALL epochs rank in ONE
+    * distributed two-pass ordinal over `(epoch, key, id)` (the
+    * [[lengthBucketBatches]] offset trick: per-epoch
+    * `order_idx = global − epoch_start + 1`, epoch-count-sized offset
+    * table broadcast back) — not E separate rank passes. The epoch
+    * fan-out is a map-only `explode(sequence)`. Output:
+    * `(id, epoch, order_idx)` with `order_idx` dense 1..n per epoch;
+    * write range-sharded by `(epoch, order_idx)` and the loader streams
+    * the whole run sequentially. */
+  def epochSchedule(df: DataFrame, id: String, epochs: Int,
+      baseSeed: Int = 23): DataFrame = {
+    require(epochs >= 1, s"epochs must be >= 1, got $epochs")
+    requireFresh(df, "epoch", "order_idx", "__k", "__g", "__off")
+    val base = df.select(col(id),
+        explode(expr(s"sequence(1, $epochs)")).as("epoch"))
+      // the seeded-hash construction inlined so epoch e's key IS
+      // portableHash(id, baseSeed + e): epoch e's slice equals the
+      // single-epoch [[shuffleOrder]] under that seed, row for row
+      .withColumn("__k", conv(substring(md5(
+        concat((col("epoch") + lit(baseSeed)).cast("string"), lit(":"),
+          col(id).cast("string"))), 1, 15), 16, 10).cast(LongType))
+    val ranked = graft.engine.Checkpoints.mark(
+      graft.engine.SeriesOps.withTimeId(base,
+        Seq(col("epoch"), col("__k"), col(id)), as = "__g"))
+    val offs = ranked.groupBy("epoch").agg(min("__g").as("__off"))
+    ranked.join(broadcast(offs), "epoch")
+      .select(col(id), col("epoch").cast("long").as("epoch"),
+        (col("__g") - col("__off") + 1).as("order_idx"))
+  }
+
   /** Out-of-vocabulary rate against a FROZEN vocabulary — the
     * tokenizer-coverage / garbled-text gate: a doc whose tokens mostly
     * miss the vocab is mojibake, the wrong language, or binary junk, and

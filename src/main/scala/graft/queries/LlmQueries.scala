@@ -1405,6 +1405,13 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  /** q127 — the 3-epoch training schedule ([[TextOps.epochSchedule]]):
+    * three independent reproducible permutations ranked in ONE
+    * distributed ordinal pass. */
+  def epochScheduleQ(s: SparkSession, d: String): DataFrame =
+    TextOps.epochSchedule(docs(s, d), "doc_id", epochs = 3)
+      .orderBy("epoch", "order_idx")
+
   def mixtureAllocationQ(s: SparkSession, d: String): DataFrame =
     TextOps.mixtureAllocation(docs(s, d), "lang",
         TextOps.tokenCount(col("text")),
@@ -1614,6 +1621,20 @@ object LlmQueries {
       s"""$cc54With
          |SELECT u AS doc_id, min(r) AS component
          |FROM reach GROUP BY u ORDER BY doc_id""".stripMargin,
+
+    // per-epoch row_number over the same seeded hash — the sequential
+    // equivalent of the single distributed ordinal + offset subtraction
+    "q127_epoch_schedule" ->
+      s"""WITH e AS (SELECT doc_id, unnest(generate_series(1, 3)) AS epoch
+         |  FROM documents),
+         |k AS (SELECT doc_id, epoch::BIGINT AS epoch,
+         |    ('0x' || substr(md5((epoch + 23)::VARCHAR || ':' ||
+         |      doc_id::VARCHAR), 1, 15))::BIGINT AS h
+         |  FROM e)
+         |SELECT doc_id, epoch,
+         |  row_number() OVER (PARTITION BY epoch ORDER BY h, doc_id)
+         |    AS order_idx
+         |FROM k ORDER BY epoch, order_idx""".stripMargin,
 
     // train split by the q58 hash gate, both model tables + V rebuilt
     // relationally, the same add-one conditional, ln summed per doc
@@ -2831,6 +2852,7 @@ object LlmQueries {
     "q117_mixture_apply" -> mixtureApplyQ _,
     "q114_winnow_fingerprints" -> winnowQ _,
     "q115_shuffle_order" -> shuffleOrderQ _,
+    "q127_epoch_schedule" -> epochScheduleQ _,
     "q118_winnow_pairs" -> winnowPairsQ _,
     "q126_winnow_incremental" -> winnowIncrementalQ _,
     "q101_dsir_weights" -> dsirWeightsQ _,

@@ -2211,6 +2211,22 @@ class OperatorSpec extends AnyFunSuite {
       s"torn doc must be flagged: ${torn.mkString(", ")}")
   }
 
+  test("epochSchedule: each epoch equals the single-epoch shuffle under seed base+e; epochs differ") {
+    val in = (0L until 100L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val sched = TextOps.epochSchedule(in, "doc_id", epochs = 3, baseSeed = 23)
+      .collect().map(r => (r.getLong(1), r.getLong(2)) -> r.getLong(0)).toMap
+    def epochOrder(e: Long): Seq[Long] =
+      (1L to 100L).map(rk => sched((e, rk)))
+    for (e <- 1 to 3) {
+      val single = TextOps.shuffleOrder(in, "doc_id", seed = 23 + e)
+        .orderBy("order_idx").collect().map(_.getLong(0)).toSeq
+      assert(epochOrder(e) == single,
+        s"epoch $e must equal shuffleOrder(seed=${23 + e})")
+    }
+    assert(epochOrder(1) != epochOrder(2) && epochOrder(2) != epochOrder(3),
+      "epochs must be independent permutations")
+  }
+
   test("shuffleOrder: dense 1..n permutation, reproducible, seed-dependent, actually shuffled") {
     val in = (0L until 200L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
     def order(seed: Int): Seq[Long] =
