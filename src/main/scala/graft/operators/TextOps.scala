@@ -1039,6 +1039,24 @@ object TextOps {
         (col("__g") - col("__off") + 1).as("order_idx"))
   }
 
+  /** Padding-efficiency report over [[lengthBucketBatches]] output — the
+    * metric length bucketing exists to optimize, MEASURED: per batch
+    * under pad-to-longest (dynamic padding), `padded = n_docs × max`,
+    * `waste = padded − Σ tokens`, `waste_milli` the per-mille fraction
+    * (integer floor — engine-exact). One map-side-combinable aggregate
+    * over `(bucket, batch_idx)`; at 100 TB this is a report riding the
+    * schedule frame, not a data pass. Compare the per-bucket waste
+    * against a single global bucket to see what the bucketing bought. */
+  def packingEfficiency(batches: DataFrame, tokens: String = "n_tokens",
+      bucket: String = "bucket", batch: String = "batch_idx"): DataFrame =
+    batches.groupBy(col(bucket), col(batch))
+      .agg(count(lit(1)).as("n_docs"),
+        max(col(tokens)).as("max_tokens"),
+        sum(col(tokens)).as("sum_tokens"))
+      .withColumn("padded", col("n_docs") * col("max_tokens"))
+      .withColumn("waste_milli",
+        expr("((padded - sum_tokens) * 1000) div padded"))
+
   /** Out-of-vocabulary rate against a FROZEN vocabulary — the
     * tokenizer-coverage / garbled-text gate: a doc whose tokens mostly
     * miss the vocab is mojibake, the wrong language, or binary junk, and

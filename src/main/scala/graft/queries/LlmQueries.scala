@@ -185,6 +185,16 @@ object LlmQueries {
         TextOps.tokenCount(col("text")), Seq(32L, 56L, 76L), batchSize = 16)
       .orderBy("doc_id")
 
+  /** q128 — padding-waste report ([[TextOps.packingEfficiency]]) over
+    * the q120 schedule: per batch under pad-to-longest, how many token
+    * slots the bucketing actually wastes. */
+  def packingEfficiencyQ(s: SparkSession, d: String): DataFrame =
+    TextOps.packingEfficiency(
+        TextOps.lengthBucketBatches(
+          docs(s, d).where(col("text").isNotNull), "doc_id",
+          TextOps.tokenCount(col("text")), Seq(32L, 56L, 76L), batchSize = 16))
+      .orderBy("bucket", "batch_idx")
+
   /** q80 — the dedup OUTPUT a curation job actually ships: per-component
     * keeper + audit counts over the q54 transitive clusters (`keep_id` =
     * the component's canonical minimum, `n_dropped` = how many near-dups
@@ -1718,6 +1728,34 @@ object LlmQueries {
          |SELECT u AS doc_id, min(r) AS component
          |FROM reach GROUP BY u ORDER BY doc_id""".stripMargin,
 
+    // the q120 chain + the per-batch pad-to-longest arithmetic, all
+    // integer floor division
+    "q128_packing_efficiency" ->
+      s"""WITH t AS (SELECT doc_id,
+         |    len(string_split_regex(trim(lower(text)), '\\s+'))::BIGINT
+         |      AS n_tokens
+         |  FROM documents WHERE text IS NOT NULL),
+         |b AS (SELECT doc_id, n_tokens,
+         |    (CASE WHEN n_tokens > 32 THEN 1 ELSE 0 END +
+         |     CASE WHEN n_tokens > 56 THEN 1 ELSE 0 END +
+         |     CASE WHEN n_tokens > 76 THEN 1 ELSE 0 END)::BIGINT AS bucket,
+         |    ${pHash("17", "doc_id::VARCHAR")} AS k
+         |  FROM t),
+         |r AS (SELECT doc_id, n_tokens, bucket,
+         |    row_number() OVER (PARTITION BY bucket ORDER BY k, doc_id)
+         |      AS rank_in_bucket
+         |  FROM b),
+         |g AS (SELECT bucket, ((rank_in_bucket - 1) // 16)::BIGINT
+         |      AS batch_idx,
+         |    count(*)::BIGINT AS n_docs, max(n_tokens) AS max_tokens,
+         |    sum(n_tokens)::BIGINT AS sum_tokens
+         |  FROM r GROUP BY 1, 2)
+         |SELECT bucket, batch_idx, n_docs, max_tokens, sum_tokens,
+         |  (n_docs * max_tokens)::BIGINT AS padded,
+         |  (((n_docs * max_tokens) - sum_tokens) * 1000
+         |    // (n_docs * max_tokens))::BIGINT AS waste_milli
+         |FROM g ORDER BY bucket, batch_idx""".stripMargin,
+
     // bucket from the same boundary arithmetic, per-bucket rank as a
     // window (the oracle's sequential equivalent of the distributed
     // two-pass ordinal), batch = integer floor division
@@ -2831,6 +2869,7 @@ object LlmQueries {
     "q54_dedup_components" -> dedupComponents _,
     "q119_leak_safe_split" -> leakSafeSplitQ _,
     "q120_length_batches" -> lengthBatchesQ _,
+    "q128_packing_efficiency" -> packingEfficiencyQ _,
     "q121_image_dhash" -> imageDHashQ _,
     "q122_image_neardup" -> imageNearDupQ _,
     "q123_oov_rate" -> oovRateQ _,

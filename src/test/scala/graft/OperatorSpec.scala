@@ -2211,6 +2211,21 @@ class OperatorSpec extends AnyFunSuite {
       s"torn doc must be flagged: ${torn.mkString(", ")}")
   }
 
+  test("packingEfficiency: pad-to-longest waste, hand-computed; zero-waste batches report 0") {
+    val in = Seq(
+      (1L, 2L, 0L, 0L), (2L, 4L, 0L, 0L), // padded 8, waste 2 -> 250 milli
+      (3L, 3L, 0L, 1L),                   // singleton: zero waste
+      (4L, 5L, 1L, 0L), (5L, 5L, 1L, 0L)  // equal lengths: zero waste
+    ).toDF("doc_id", "n_tokens", "bucket", "batch_idx")
+    val out = TextOps.packingEfficiency(in).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6)))).toMap
+    assert(out((0L, 0L)) == ((2L, 4L, 6L, 8L, 250L)), s"${out((0L, 0L))}")
+    assert(out((0L, 1L)) == ((1L, 3L, 3L, 3L, 0L)))
+    assert(out((1L, 0L)) == ((2L, 5L, 10L, 10L, 0L)))
+  }
+
   test("epochSchedule: each epoch equals the single-epoch shuffle under seed base+e; epochs differ") {
     val in = (0L until 100L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
     val sched = TextOps.epochSchedule(in, "doc_id", epochs = 3, baseSeed = 23)
