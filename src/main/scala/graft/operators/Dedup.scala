@@ -1003,6 +1003,31 @@ object Dedup {
           (col("__na") + col("__nb") - col("n_shared")), 6).as("overlap"))
   }
 
+  /** Per-doc span-leakage RATE of `probe` against `reference` — the
+    * memorization/leakage audit: for every probe doc, the fraction of
+    * its `w`-token windows that ALSO occur anywhere in the reference
+    * side. Run with probe = test split / reference = train split and
+    * this measures exactly what a naive per-doc split leaks (the number
+    * [[graft.operators.TextOps.hashSplitBy]] drives to zero by splitting
+    * on dedup components); run with reference = an eval set and it is
+    * the rate-summary companion of [[contaminationSpanReport]]. Window
+    * text never shuffles ([[spanWindows]] hashes map-side); the
+    * reference side fuses to DISTINCT 8 B hashes (broadcast when small —
+    * past the threshold the Bloom form of q76 applies); the per-doc
+    * aggregate is map-side-combinable. Output:
+    * `(id, n_spans, n_leaked, leak_milli)`, integer-exact. */
+  def spanLeakageRate(probe: DataFrame, reference: DataFrame, text: String,
+      id: String, w: Int): DataFrame = {
+    val ref = spanWindows(reference, text, id, w)
+      .select(col("wh")).distinct()
+    spanWindows(probe, text, id, w)
+      .join(ref.withColumn("__hit", lit(1L)), Seq("wh"), "left")
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_leaked"))
+      .withColumn("leak_milli", expr("(n_leaked * 1000) div n_spans"))
+  }
+
   def repeatedSpans(df: DataFrame, text: String, id: String, w: Int): DataFrame = {
     val win = spanWindows(df, text, id, w)
     val dup = win.groupBy("wh").agg(count(lit(1)).as("__occ"))

@@ -1247,6 +1247,20 @@ object LlmQueries {
         "doc_id", "xent", nBuckets = 4)
       .orderBy("doc_id")
 
+  /** q129 — split-leakage audit ([[Dedup.spanLeakageRate]]): for every
+    * doc the naive q58 hash split puts in TEST, the fraction of its
+    * 8-token spans that also occur in a TRAIN doc — the measurement of
+    * exactly what q119's component-keyed split prevents (a dup pair
+    * straddling the naive boundary reads leak_milli = 1000 here). */
+  def splitLeakageQ(s: SparkSession, d: String): DataFrame = {
+    val all = TextOps.withHashSplit(docs(s, d), "doc_id")
+    Dedup.spanLeakageRate(
+        all.where(col("split") === "test"),
+        all.where(col("split") === "train"),
+        "text", "doc_id", w = 8)
+      .orderBy("doc_id")
+  }
+
   /** q105 — span-level eval-set decontamination
     * ([[Dedup.contaminationSpanReport]]): the cross-set form of q96 —
     * every corpus position whose 8-token window also occurs in the eval
@@ -2233,6 +2247,27 @@ object LlmQueries {
         |FROM base b LEFT JOIN rep USING (doc_id)
         |WHERE b.doc_id % 17 <> 0 ORDER BY doc_id""".stripMargin,
 
+    // split replay + window-TEXT join (hash equality ⟺ text equality,
+    // the q96 oracle convention), integer leak rate
+    "q129_split_leakage" ->
+      s"""WITH base AS (SELECT doc_id,
+         |    string_split_regex(trim(lower(text)), '\\s+') AS t,
+         |    ${pHash("42", "doc_id::VARCHAR")} % 100 AS bucket
+         |  FROM documents WHERE text IS NOT NULL),
+         |wins AS (SELECT doc_id, bucket,
+         |    unnest(list_transform(generate_series(1, len(t) - 7),
+         |      i -> array_to_string(t[i:i+7], ' '))) AS wtext
+         |  FROM base WHERE len(t) >= 8),
+         |ref AS (SELECT DISTINCT wtext FROM wins WHERE bucket < 80),
+         |probe AS (SELECT doc_id, wtext FROM wins WHERE bucket >= 90),
+         |j AS (SELECT p.doc_id,
+         |    CASE WHEN r.wtext IS NOT NULL THEN 1 ELSE 0 END AS hit
+         |  FROM probe p LEFT JOIN ref r USING (wtext))
+         |SELECT doc_id, count(*)::BIGINT AS n_spans,
+         |  sum(hit)::BIGINT AS n_leaked,
+         |  ((sum(hit) * 1000) // count(*))::BIGINT AS leak_milli
+         |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     "q96_repeated_spans" ->
       """WITH base AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
         |  FROM documents WHERE text IS NOT NULL),
@@ -2898,6 +2933,7 @@ object LlmQueries {
     "q102_weighted_sample" -> weightedSampleQ _,
     "q103_top_ngram" -> topNgramQ _,
     "q105_contamination_spans" -> contaminationSpansQ _,
+    "q129_split_leakage" -> splitLeakageQ _,
     "q106_weighted_sample_strata" -> weightedSampleStrataQ _,
     "q107_curriculum" -> curriculumQ _,
     "q108_bm25" -> bm25Q _,

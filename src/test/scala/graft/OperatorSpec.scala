@@ -2211,6 +2211,23 @@ class OperatorSpec extends AnyFunSuite {
       s"torn doc must be flagged: ${torn.mkString(", ")}")
   }
 
+  test("spanLeakageRate: planted straddling dup reads 1000 milli; fresh doc reads 0") {
+    val run = (1 to 12).map(i => s"t$i").mkString(" ") // 12 tokens: 5 windows
+    val train = Seq((1L, run), (2L, "u1 u2 u3 u4 u5 u6 u7 u8 u9"))
+      .toDF("doc_id", "text")
+    val probe = Seq(
+      (10L, run),                                        // exact dup: all spans leak
+      (11L, "v1 v2 v3 v4 " + run.split(" ").take(8).mkString(" ")), // 1 of 5 leaks
+      (12L, (1 to 9).map(i => s"z$i").mkString(" "))     // fresh: 0
+    ).toDF("doc_id", "text")
+    val out = Dedup.spanLeakageRate(probe, train, "text", "doc_id", w = 8)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(10L) == ((5L, 5L, 1000L)), s"${out(10L)}")
+    assert(out(11L) == ((5L, 1L, 200L)), s"${out(11L)}")
+    assert(out(12L) == ((2L, 0L, 0L)), s"${out(12L)}")
+  }
+
   test("packingEfficiency: pad-to-longest waste, hand-computed; zero-waste batches report 0") {
     val in = Seq(
       (1L, 2L, 0L, 0L), (2L, 4L, 0L, 0L), // padded 8, waste 2 -> 250 milli
