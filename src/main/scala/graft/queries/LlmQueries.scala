@@ -1261,6 +1261,30 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  /** q130 — the q129 audit over the CONTENT-keyed split: same
+    * [[Dedup.spanLeakageRate]], but train/test assigned by
+    * `hashSplitBy(text)` — identical texts hash identically, so EXACT
+    * re-uploads can never straddle the boundary (the q129 docs at
+    * leak_milli = 1000 are structurally impossible here). The residue
+    * this audit still shows (3 docs on this corpus, one fully contained
+    * in a train doc) is the NEAR-dup tail — edits with different
+    * content hashes —
+    * which is what q119's component-keyed split closes. The full
+    * gradient: naive id split (q129, leaks both) → content split (q130,
+    * exact-dup-proof) → component split (q119, near-dup-proof; on THIS
+    * corpus the LSH transitive closure chains 499/500 docs into one
+    * component, so its split is degenerate — the honest trade the three
+    * queries make visible side by side). */
+  def splitLeakageSafeQ(s: SparkSession, d: String): DataFrame = {
+    val all = TextOps.hashSplitBy(
+      docs(s, d).where(col("text").isNotNull), col("text"))
+    Dedup.spanLeakageRate(
+        all.where(col("split") === "test"),
+        all.where(col("split") === "train"),
+        "text", "doc_id", w = 8)
+      .orderBy("doc_id")
+  }
+
   /** q105 — span-level eval-set decontamination
     * ([[Dedup.contaminationSpanReport]]): the cross-set form of q96 —
     * every corpus position whose 8-token window also occurs in the eval
@@ -2247,6 +2271,27 @@ object LlmQueries {
         |FROM base b LEFT JOIN rep USING (doc_id)
         |WHERE b.doc_id % 17 <> 0 ORDER BY doc_id""".stripMargin,
 
+    // the content hash drives the split; then the same window-TEXT
+    // leakage join as q129
+    "q130_split_leakage_safe" ->
+      s"""WITH base AS (SELECT doc_id,
+         |    string_split_regex(trim(lower(text)), '\\s+') AS t,
+         |    ${pHash("42", "text")} % 100 AS bucket
+         |  FROM documents WHERE text IS NOT NULL),
+         |wins AS (SELECT doc_id, bucket,
+         |    unnest(list_transform(generate_series(1, len(t) - 7),
+         |      i -> array_to_string(t[i:i+7], ' '))) AS wtext
+         |  FROM base WHERE len(t) >= 8),
+         |ref AS (SELECT DISTINCT wtext FROM wins WHERE bucket < 80),
+         |probe AS (SELECT doc_id, wtext FROM wins WHERE bucket >= 90),
+         |j AS (SELECT p.doc_id,
+         |    CASE WHEN r.wtext IS NOT NULL THEN 1 ELSE 0 END AS hit
+         |  FROM probe p LEFT JOIN ref r USING (wtext))
+         |SELECT doc_id, count(*)::BIGINT AS n_spans,
+         |  sum(hit)::BIGINT AS n_leaked,
+         |  ((sum(hit) * 1000) // count(*))::BIGINT AS leak_milli
+         |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     // split replay + window-TEXT join (hash equality ⟺ text equality,
     // the q96 oracle convention), integer leak rate
     "q129_split_leakage" ->
@@ -2934,6 +2979,7 @@ object LlmQueries {
     "q103_top_ngram" -> topNgramQ _,
     "q105_contamination_spans" -> contaminationSpansQ _,
     "q129_split_leakage" -> splitLeakageQ _,
+    "q130_split_leakage_safe" -> splitLeakageSafeQ _,
     "q106_weighted_sample_strata" -> weightedSampleStrataQ _,
     "q107_curriculum" -> curriculumQ _,
     "q108_bm25" -> bm25Q _,
