@@ -687,23 +687,76 @@ object Multimodal {
     * kept at ≤ `maxHamming` (> 3 weakens the pigeonhole guarantee to
     * best-effort, same trade every banded LSH makes). Exchanges carry
     * `(band_idx, band_value, id)` and the 32 B of hash — never pixels. */
-  def dhashNearDupPairs(hashes: DataFrame, id: String,
-      maxHamming: Int): DataFrame = {
-    require(maxHamming >= 0, s"maxHamming must be >= 0, got $maxHamming")
-    val bandCols = Seq("b0", "b1", "b2", "b3")
-    val banded = hashes.select(
-      explode(array(bandCols.zipWithIndex.map { case (c, i) =>
+  private val DHashBandCols = Seq("b0", "b1", "b2", "b3")
+
+  /** The band explosion behind every dHash join: one row per (band,
+    * value) with the full hash carried for the exact verify. */
+  private def dhashBanded(hashes: DataFrame, id: String): DataFrame =
+    hashes.select(
+      explode(array(DHashBandCols.zipWithIndex.map { case (c, i) =>
         struct(lit(i).as("band"), col(c).as("v")) }: _*)).as("e"),
       col(id), col("b0"), col("b1"), col("b2"), col("b3"))
       .select(col("e.band"), col("e.v"), col(id),
         col("b0"), col("b1"), col("b2"), col("b3"))
-    val x = banded.toDF("band" +: "v" +: "a" +: bandCols.map(_ + "a"): _*)
-    val y = banded.toDF("band" +: "v" +: "b" +: bandCols.map(_ + "b"): _*)
-    val ham = bandCols.map(c =>
-      bit_count(col(c + "a").bitwiseXOR(col(c + "b")))
-    ).reduce(_ + _)
+
+  private def dhashHamming: org.apache.spark.sql.Column =
+    DHashBandCols.map(c =>
+      bit_count(col(c + "a").bitwiseXOR(col(c + "b")))).reduce(_ + _)
+
+  def dhashNearDupPairs(hashes: DataFrame, id: String,
+      maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0, s"maxHamming must be >= 0, got $maxHamming")
+    val banded = dhashBanded(hashes, id)
+    val x = banded.toDF("band" +: "v" +: "a" +: DHashBandCols.map(_ + "a"): _*)
+    val y = banded.toDF("band" +: "v" +: "b" +: DHashBandCols.map(_ + "b"): _*)
     x.join(y, Seq("band", "v")).where(col("a") < col("b"))
-      .select(col("a"), col("b"), ham.cast("long").as("hamming"))
+      .select(col("a"), col("b"), dhashHamming.cast("long").as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+  }
+
+  /** Persist dHash fingerprints as an INDEX — the image-side analogue of
+    * the band/winnow indexes: 32 B per image, rebuild deletes the
+    * streaming replay marker (the shared index-rebuild contract). */
+  def dhashIndexWrite(hashes: DataFrame, id: String, path: String): Unit = {
+    graft.sources.Markers.delete(hashes.sparkSession, s"$path/lastbatch")
+    hashes.select(col(id) +: DHashBandCols.map(col): _*)
+      .write.mode("overwrite").parquet(s"$path/hashes")
+  }
+
+  /** Marker-guarded append of one ingest batch's hashes — the
+    * [[graft.operators.Dedup.winnowAppendBatch]] replay discipline
+    * (batch id ≤ stored marker no-ops; marker written after the append).
+    * Returns whether the batch was applied. */
+  def dhashAppendBatch(path: String, batchHashes: DataFrame, id: String,
+      batchId: Long): Boolean = {
+    val spark = batchHashes.sparkSession
+    val marker = s"$path/lastbatch"
+    if (batchId <= graft.sources.Markers.readLastBatch(spark, marker)) false
+    else {
+      batchHashes.select(col(id) +: DHashBandCols.map(col): _*)
+        .write.mode("append").parquet(s"$path/hashes")
+      graft.sources.Markers.writeLastBatch(spark, marker, batchId)
+      true
+    }
+  }
+
+  /** Incremental image dedup of an ingest batch against a persisted
+    * [[dhashIndexWrite]] index — the q61/q126 sign-once shape for
+    * images: the batch hashes only its own rows and band-joins the
+    * index SCAN (`a` = indexed image, `b` = batch image), with the same
+    * exact-hamming verify as [[dhashNearDupPairs]]. The corpus is never
+    * re-decoded or re-hashed; the probe moves 32 B per indexed image. */
+  def dhashIncrementalPairs(spark: org.apache.spark.sql.SparkSession,
+      path: String, batchHashes: DataFrame, id: String,
+      maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0, s"maxHamming must be >= 0, got $maxHamming")
+    val x = dhashBanded(spark.read.parquet(s"$path/hashes"), id)
+      .toDF("band" +: "v" +: "a" +: DHashBandCols.map(_ + "a"): _*)
+    val y = dhashBanded(batchHashes, id)
+      .toDF("band" +: "v" +: "b" +: DHashBandCols.map(_ + "b"): _*)
+    x.join(y, Seq("band", "v")).where(col("a") =!= col("b"))
+      .select(col("a"), col("b"), dhashHamming.cast("long").as("hamming"))
       .distinct()
       .where(col("hamming") <= maxHamming)
   }

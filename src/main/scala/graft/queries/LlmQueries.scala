@@ -814,6 +814,31 @@ object LlmQueries {
        |  FROM e x JOIN e y ON y.band = x.band AND y.v = x.v
        |    AND x.doc_id < y.doc_id)""".stripMargin
 
+  /** Per-directory memo of the persisted dHash index over the ingested
+    * image corpus (the orig + re-upload legs of [[dhashCorpus]]) —
+    * hashed ONCE per session, probed per batch. */
+  private val dhashIndexCache = new SessionPathMemo("dhashidx", (s, d, p) => {
+    Multimodal.dhashIndexWrite(
+      Multimodal.imageDHash(Multimodal.decodePpm(
+        dhashCorpus(s, d).where(col("doc_id") < 200000L),
+        "doc_id", "payload")),
+      "doc_id", p)
+  })
+
+  /** q131 — incremental image dedup
+    * ([[Multimodal.dhashIncrementalPairs]]): the perturbed-variant leg
+    * plays the ingest batch, probing the persisted index of the
+    * orig + re-upload legs — each batch image pairs with its source and
+    * the source's re-upload at hamming ≤ 3, the corpus never re-decoded
+    * or re-hashed. */
+  def imageDedupIncrementalQ(s: SparkSession, d: String): DataFrame =
+    Multimodal.dhashIncrementalPairs(s, dhashIndexCache(s, d),
+        Multimodal.imageDHash(Multimodal.decodePpm(
+          dhashCorpus(s, d).where(col("doc_id") >= 200000L),
+          "doc_id", "payload")),
+        "doc_id", maxHamming = 8)
+      .orderBy("a", "b")
+
   /** q121 — perceptual image fingerprints ([[Multimodal.imageDHash]]):
     * the 64-bit dHash of every decoded plane as four 16-bit band longs —
     * the image-side MinHash. Integer-exact (div-3 grayscale,
@@ -1750,6 +1775,19 @@ object LlmQueries {
     "q122_image_neardup" ->
       s"""WITH $dhashPairCtes
          |SELECT a, b, hamming FROM p WHERE hamming <= 8
+         |ORDER BY a, b""".stripMargin,
+
+    // same chain, the band join split across the ingest boundary
+    // (index legs < 200000, batch leg >= 200000)
+    "q131_image_dedup_incremental" ->
+      s"""WITH $dhashPairCtes,
+         |p2 AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+         |    (bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1)) +
+         |     bit_count(xor(x.b2, y.b2)) + bit_count(xor(x.b3, y.b3)))::BIGINT
+         |      AS hamming
+         |  FROM e x JOIN e y ON y.band = x.band AND y.v = x.v
+         |    AND x.doc_id < 200000 AND y.doc_id >= 200000)
+         |SELECT a, b, hamming FROM p2 WHERE hamming <= 8
          |ORDER BY a, b""".stripMargin,
 
     // the q122 pair chain + generic reachability closure (the cc54With
@@ -2955,6 +2993,7 @@ object LlmQueries {
     "q123_oov_rate" -> oovRateQ _,
     "q124_bigram_xent" -> bigramXentQ _,
     "q125_image_components" -> imageDedupComponentsQ _,
+    "q131_image_dedup_incremental" -> imageDedupIncrementalQ _,
     "q80_dedup_keepers" -> dedupKeepers _,
     "q84_dedup_keepers_by" -> dedupKeepersBy _,
     "q81_mixed_decode" -> mixedDecode _,

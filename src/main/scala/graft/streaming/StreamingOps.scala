@@ -185,6 +185,26 @@ object StreamingOps {
     docsStream.writeStream.foreachBatch(fn)
   }
 
+  /** Streaming dHash-index maintenance — the image-ingest twin of
+    * [[maintainWinnowIndex]]: each micro-batch of `(id, payload)` rows
+    * decodes (PPM here; swap the decoder for other formats), hashes
+    * map-only, and appends via the replay-guarded
+    * [[graft.operators.Multimodal.dhashAppendBatch]], keeping
+    * [[graft.operators.Multimodal.dhashIncrementalPairs]] current under
+    * ingest. Caller sets `checkpointLocation` and `start()`s. */
+  def maintainDHashIndex(payloadStream: DataFrame, id: String,
+      payload: String, path: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val fn: (DataFrame, Long) => Unit = (batch, batchId) => {
+      graft.operators.Multimodal.dhashAppendBatch(path,
+        graft.operators.Multimodal.imageDHash(
+          graft.operators.Multimodal.decodePpm(batch, id, payload)),
+        id, batchId)
+      ()
+    }
+    payloadStream.writeStream.foreachBatch(fn)
+  }
+
   /** Streaming IVF maintenance — the embedding-index twin of
     * [[maintainBandIndex]]: each micro-batch of `(id, emb)` vectors is
     * assigned against the index's STORED centroids (map-only — the

@@ -1997,6 +1997,26 @@ class OperatorSpec extends AnyFunSuite {
     assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L), s"$labels")
   }
 
+  test("dhash index: incremental probe equals the full pair scan restricted to index-vs-batch pairs") {
+    val hs = Seq(
+      (1L, 0xaaaaL, 0x1234L, 0x0f0fL, 0x7777L),
+      (2L, 0xaaaaL, 0x1234L, 0x0f0fL, 0x7777L),
+      (3L, 0xaaabL, 0x1234L, 0x0f0fL, 0x7777L),
+      (4L, 0x5555L, 0x4321L, 0xf0f0L, 0x8888L)
+    ).toDF("doc_id", "b0", "b1", "b2", "b3")
+    val full = Multimodal.dhashNearDupPairs(hs, "doc_id", maxHamming = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val dir = java.nio.file.Files.createTempDirectory("graft_dhidx_t").toString
+    graft.cli.Cleanup.deleteOnExit(dir)
+    Multimodal.dhashIndexWrite(hs.where(col("doc_id") <= 2), "doc_id", dir)
+    val inc = Multimodal.dhashIncrementalPairs(spark, dir,
+        hs.where(col("doc_id") > 2), "doc_id", maxHamming = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val expected = full.filter(p => p._1 <= 2 && p._2 > 2)
+    assert(inc == expected && inc.nonEmpty,
+      s"incremental $inc vs full-restricted $expected")
+  }
+
   test("hashSplitBy: every member of a group shares bucket+split; bucket replays from raw md5 of the KEY") {
     val labels = Seq((1L, 10L), (2L, 10L), (3L, 10L), (4L, 40L), (5L, 50L))
       .toDF("doc_id", "component")

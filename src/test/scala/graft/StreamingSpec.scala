@@ -182,6 +182,52 @@ class StreamingSpec extends AnyFunSuite {
       "maintained index must verify consistent")
   }
 
+  test("streaming dHash-index maintenance: a re-encoded image hits the batch N-1 ingest; retry no-ops") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    import graft.operators.Multimodal
+    def plane(f: (Int, Int) => Int): Array[Byte] = {
+      val px = new Array[Byte](9 * 8 * 3)
+      for (y <- 0 until 8; x <- 0 until 9; c <- 0 until 3)
+        px((y * 9 + x) * 3 + c) = f(x, y).toByte
+      px
+    }
+    def ppm(px: Array[Byte]): Array[Byte] =
+      "P6\n9 8\n255\n".getBytes("US-ASCII") ++ px
+    val gradient = ppm(plane((x, _) => x * 10))
+    val flat = ppm(plane((_, _) => 77))
+    val idxPath = s"${sys.props("java.io.tmpdir")}/graft_test_dhidx_maint"
+    val ckpt = s"${sys.props("java.io.tmpdir")}/graft_test_dhidx_maint_ckpt"
+    graft.cli.Cleanup.deleteOnExit(idxPath)
+    graft.cli.Cleanup.deleteOnExit(ckpt)
+    val mem = MemoryStream[(Long, Array[Byte])]
+    val q = StreamingOps.maintainDHashIndex(
+        mem.toDF().toDF("doc_id", "payload"), "doc_id", "payload", idxPath)
+      .option("checkpointLocation", ckpt).start()
+    try {
+      mem.addData((1L, flat)) // batch 0
+      q.processAllAvailable()
+      mem.addData((10L, gradient)) // batch 1: new ingest
+      q.processAllAvailable()
+      // a re-encoded copy arriving after batch 1 hits the batch-1 ingest
+      val got = Multimodal.dhashIncrementalPairs(spark, idxPath,
+          Multimodal.imageDHash(Multimodal.decodePpm(
+            Seq((20L, gradient)).toDF("doc_id", "payload"),
+            "doc_id", "payload")),
+          "doc_id", maxHamming = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == Set((10L, 20L, 0L)),
+        s"copy must hit the batch-1 ingest and not the flat image: $got")
+    } finally q.stop()
+    // retry idempotence
+    val before = spark.read.parquet(s"$idxPath/hashes").count()
+    assert(!Multimodal.dhashAppendBatch(idxPath,
+      Multimodal.imageDHash(Multimodal.decodePpm(
+        Seq((99L, flat)).toDF("doc_id", "payload"), "doc_id", "payload")),
+      "doc_id", 1L))
+    assert(spark.read.parquet(s"$idxPath/hashes").count() == before)
+  }
+
   test("streaming band-index maintenance: batch N collides with batch N-1 ingest") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
