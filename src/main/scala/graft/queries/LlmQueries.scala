@@ -743,7 +743,8 @@ object LlmQueries {
     * plane byte flipped to 'X' — a mild edit). Dims always derive from
     * the SOURCE doc_id, so a variant keeps its source's geometry (what
     * makes it a near-dup, not a different image). */
-  private def dhashCorpus(s: SparkSession, d: String): DataFrame = {
+  private def dhashCorpusLegs(s: SparkSession, d: String)
+      : (DataFrame, DataFrame, DataFrame) = {
     val npix = "cast((4 + doc_id % 8) * (3 + doc_id % 5) * 3 as int)"
     val ascii = docs(s, d).where(col("text").isNotNull &&
       octet_length(encode(col("text"), "UTF-8")) === length(col("text")))
@@ -755,11 +756,16 @@ object LlmQueries {
         plane), "UTF-8")
     val padded = expr(s"rpad(text, $npix, '.')")
     val pert = concat(lit("X"), expr(s"substring(rpad(text, $npix, '.'), 2, $npix)"))
-    ascii.select(col("doc_id"), payload(padded).as("payload"))
-      .unionByName(ascii.select(payload(padded).as("payload"),
-        (col("doc_id") + 100000L).as("doc_id")).select("doc_id", "payload"))
-      .unionByName(ascii.select(payload(pert).as("payload"),
+    (ascii.select(col("doc_id"), payload(padded).as("payload")),
+      ascii.select(payload(padded).as("payload"),
+        (col("doc_id") + 100000L).as("doc_id")).select("doc_id", "payload"),
+      ascii.select(payload(pert).as("payload"),
         (col("doc_id") + 200000L).as("doc_id")).select("doc_id", "payload"))
+  }
+
+  private def dhashCorpus(s: SparkSession, d: String): DataFrame = {
+    val (orig, copy, pert) = dhashCorpusLegs(s, d)
+    orig.unionByName(copy).unionByName(pert)
   }
 
   /** The winnow-chain CTEs producing `wfp$sfx(doc_id, gh)` — q114's
@@ -818,10 +824,10 @@ object LlmQueries {
     * image corpus (the orig + re-upload legs of [[dhashCorpus]]) —
     * hashed ONCE per session, probed per batch. */
   private val dhashIndexCache = new SessionPathMemo("dhashidx", (s, d, p) => {
+    val (orig, copy, _) = dhashCorpusLegs(s, d)
     Multimodal.dhashIndexWrite(
       Multimodal.imageDHash(Multimodal.decodePpm(
-        dhashCorpus(s, d).where(col("doc_id") < 200000L),
-        "doc_id", "payload")),
+        orig.unionByName(copy), "doc_id", "payload")),
       "doc_id", p)
   })
 
@@ -834,8 +840,7 @@ object LlmQueries {
   def imageDedupIncrementalQ(s: SparkSession, d: String): DataFrame =
     Multimodal.dhashIncrementalPairs(s, dhashIndexCache(s, d),
         Multimodal.imageDHash(Multimodal.decodePpm(
-          dhashCorpus(s, d).where(col("doc_id") >= 200000L),
-          "doc_id", "payload")),
+          dhashCorpusLegs(s, d)._3, "doc_id", "payload")),
         "doc_id", maxHamming = 8)
       .orderBy("a", "b")
 

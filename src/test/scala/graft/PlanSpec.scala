@@ -870,6 +870,16 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q131: incremental image dedup — the corpus side is the index SCAN; only the batch decodes") {
+    finalPlan("q131_image_dedup_incremental") { p =>
+      assert(p.contains("/hashes"), s"index parquet must be scanned\n${p.take(2000)}")
+      val docScans = "documents.parquet".r.findAllIn(p).size
+      assert(docScans <= 1,
+        s"only the batch leg may read documents (got $docScans scans)\n${p.take(2000)}")
+      assert(!p.contains("CartesianProduct"), p.take(2000))
+    }
+  }
+
   test("q123: OOV rate is one map-only scan — the vocab is plan literals, tokens stay in-array") {
     finalPlan("q123_oov_rate") { p =>
       assert("FileScan parquet".r.findAllIn(p).size == 1, p.take(1500))
