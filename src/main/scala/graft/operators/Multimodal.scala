@@ -687,6 +687,45 @@ object Multimodal {
     * kept at ≤ `maxHamming` (> 3 weakens the pigeonhole guarantee to
     * best-effort, same trade every banded LSH makes). Exchanges carry
     * `(band_idx, band_value, id)` and the 32 B of hash — never pixels. */
+  /** Audio envelope fingerprint — the time-domain cousin of
+    * [[imageDHash]], same 64-bit difference-hash idea over the signal's
+    * AMPLITUDE ENVELOPE: 65 nearest-sample points of |amp| across the
+    * clip (`x_j = j·n div 65`), bit j = "next envelope point louder".
+    * Robust to re-encoding and level-preserving edits the way dHash is
+    * to image re-encodes (a real deployment fingerprints spectral bands
+    * — Shazam-family — but the banded-hamming PLUMBING is identical,
+    * and this variant is integer-exact and oracle-replayable). Emitted
+    * as the same four 16-bit band longs as [[DHashRow]], so the WHOLE
+    * dHash family applies unchanged: [[dhashNearDupPairs]],
+    * [[dhashIndexWrite]] / [[dhashAppendBatch]] /
+    * [[dhashIncrementalPairs]], and the streaming maintenance — one
+    * banded-hamming machine across modalities. Input: [[decodeWav]]
+    * output (signed little-endian int16 `pcm`); map-only. */
+  def audioFingerprint(decoded: DataFrame, id: String = "doc_id",
+      pcm: String = "pcm"): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.product[DHashRow]
+    decoded.select(col(id).cast("long"), col(pcm))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val b = r.getAs[Array[Byte]](1)
+          val n = b.length / 2
+          def amp(k: Int): Int = {
+            val u = (b(2 * k) & 0xff) | ((b(2 * k + 1) & 0xff) << 8)
+            math.abs(if (u >= 32768) u - 65536 else u)
+          }
+          val bands = new Array[Long](4)
+          var j = 0
+          while (j < 64) {
+            if (amp((j + 1) * n / 65) > amp(j * n / 65))
+              bands(j / 16) |= 1L << (j % 16)
+            j += 1
+          }
+          DHashRow(r.getLong(0), bands(0), bands(1), bands(2), bands(3))
+        }
+      }(enc)
+      .toDF()
+  }
+
   private val DHashBandCols = Seq("b0", "b1", "b2", "b3")
 
   /** The band explosion behind every dHash join: one row per (band,

@@ -793,6 +793,46 @@ object LlmQueries {
        |    AND g$sfx.pos BETWEEN st$sfx.s AND st$sfx.s + 3),
        |wfp$sfx AS (SELECT DISTINCT doc_id, gh FROM sel$sfx WHERE rn = 1)""".stripMargin
 
+  /** The four audio-fingerprint band expressions over columns `(n, arr)`
+    * — `arr` the 1-based |amp| list in sample order; every bit of
+    * [[graft.operators.Multimodal.audioFingerprint]] replayed. */
+  private def audioBandSql: Seq[String] = {
+    def ampAt(j: Int): String = s"arr[(($j * n) // 65) + 1]"
+    (0 until 4).map { k =>
+      (0 until 16).map { m =>
+        val j = 16 * k + m
+        s"(CASE WHEN ${ampAt(j + 1)} > ${ampAt(j)} THEN ${1L << m} ELSE 0 END)"
+      }.mkString("(", " + ", s")::BIGINT AS b$k")
+    }
+  }
+
+  /** The q89 sample-extraction chain for one wav leg, ending in
+    * `sarr$sfx(doc_id, n, arr)`; `flip` applies the q133 first-byte
+    * edit to sample 1's low byte. */
+  private def wavEnvCtes(sfx: String, flip: Boolean): String = {
+    val lowByte = "((ascii(substring(pt, 2*i - 1, 1)) + 192) % 256)"
+    val lowExpr =
+      if (flip) s"(CASE WHEN i = 1 THEN xor($lowByte, 127) ELSE $lowByte END)"
+      else lowByte
+    s"""d$sfx AS (SELECT doc_id,
+       |    ((20 + doc_id % 32) * (1 + doc_id % 2) * 2)::INTEGER AS nbytes,
+       |    text FROM documents
+       |  WHERE text IS NOT NULL AND octet_length(encode(text)) = length(text)),
+       |p$sfx AS (SELECT doc_id, nbytes, rpad(text, nbytes, '.') AS pt
+       |  FROM d$sfx),
+       |s$sfx AS (SELECT doc_id, i,
+       |    $lowExpr
+       |      + 256 * ((ascii(substring(pt, 2*i, 1)) + 192) % 256) AS u
+       |  FROM p$sfx CROSS JOIN generate_series(1, 102) t(i)
+       |  WHERE 2*i <= nbytes),
+       |v$sfx AS (SELECT doc_id, i,
+       |    abs(CASE WHEN u >= 32768 THEN u - 65536 ELSE u END) AS a
+       |  FROM s$sfx),
+       |sarr$sfx AS (SELECT doc_id, count(*)::INTEGER AS n,
+       |    list(a ORDER BY i) AS arr
+       |  FROM v$sfx GROUP BY doc_id)""".stripMargin
+  }
+
   /** The q122/q125 shared oracle chain: three-leg corpus → dHash bands →
     * band-bucket self-join → exact-hamming pairs, as CTEs ending in `p`. */
   private lazy val dhashPairCtes: String =
@@ -1001,6 +1041,58 @@ object LlmQueries {
     * peak from the DECODED samples; the oracle re-assembles each sample
     * from rotated character pairs and replays all three with a lag
     * window. decode → features, map-only, one scan. */
+  /** Rows of (doc_id, WAV payload) with the q89 rotated-byte PCM —
+    * `idOffset`/`flipFirst` build the q133 near-dup legs (a one-byte
+    * edit of the same clip under a fresh id). */
+  private def wavRotatedPayloads(s: SparkSession, d: String,
+      idOffset: Long = 0L, flipFirst: Boolean = false): DataFrame = {
+    val nbytes = "cast((20 + doc_id % 32) * (1 + doc_id % 2) * 2 as int)"
+    val ascii = docs(s, d).where(col("text").isNotNull &&
+      octet_length(encode(col("text"), "UTF-8")) === length(col("text")))
+    val planes = ascii.select(col("doc_id"),
+      (lit(8000) + (col("doc_id") % 4) * 4000).cast("int").as("rate"),
+      (lit(1) + col("doc_id") % 2).cast("int").as("ch"),
+      encode(expr(s"rpad(text, $nbytes, '.')"), "UTF-8").as("plane"))
+    val enc = org.apache.spark.sql.Encoders.product[IdPayload]
+    planes.mapPartitions { rows =>
+      rows.map { r =>
+        val plane = r.getAs[Array[Byte]](3)
+        val pcm = new Array[Byte](plane.length)
+        var i = 0
+        while (i < plane.length) {
+          pcm(i) = (((plane(i) & 0xff) + 192) & 0xff).toByte
+          i += 1
+        }
+        if (flipFirst) pcm(0) = (pcm(0) ^ 0x7f).toByte
+        IdPayload(r.getLong(0) + idOffset, Multimodal.encodeWav(
+          r.getInt(1), r.getInt(2), pcm))
+      }
+    }(enc).toDF()
+  }
+
+  /** q132 — audio envelope fingerprints
+    * ([[Multimodal.audioFingerprint]]): the 64-bit amplitude-envelope
+    * difference hash of every decoded clip as four 16-bit band longs —
+    * the audio member of the banded-hamming family. Integer-exact, so
+    * DuckDB replays every bit from the rotated sample values. */
+  def audioFingerprintQ(s: SparkSession, d: String): DataFrame =
+    Multimodal.audioFingerprint(
+        Multimodal.decodeWav(wavRotatedPayloads(s, d), "doc_id", "payload"))
+      .orderBy("doc_id")
+
+  /** q133 — near-duplicate audio ([[Multimodal.dhashNearDupPairs]] over
+    * the AUDIO fingerprints — the identical banded machine): the
+    * one-byte-edited twin of every clip (`id + 300000`) pairs with its
+    * source at small hamming; exact-dup texts pair at 0. */
+  def audioNearDupQ(s: SparkSession, d: String): DataFrame =
+    Multimodal.dhashNearDupPairs(
+        Multimodal.audioFingerprint(Multimodal.decodeWav(
+          wavRotatedPayloads(s, d).unionByName(
+            wavRotatedPayloads(s, d, idOffset = 300000L, flipFirst = true)),
+          "doc_id", "payload")),
+        "doc_id", maxHamming = 8)
+      .orderBy("a", "b")
+
   def wavFeats(s: SparkSession, d: String): DataFrame = {
     val nbytes = "cast((20 + doc_id % 32) * (1 + doc_id % 2) * 2 as int)"
     val ascii = docs(s, d).where(col("text").isNotNull &&
@@ -1779,6 +1871,36 @@ object LlmQueries {
     // band arithmetic, band-bucket self-join, exact hamming verify
     "q122_image_neardup" ->
       s"""WITH $dhashPairCtes
+         |SELECT a, b, hamming FROM p WHERE hamming <= 8
+         |ORDER BY a, b""".stripMargin,
+
+    // every envelope bit recomputed from the rotated sample values
+    "q132_audio_fingerprint" ->
+      s"""WITH ${wavEnvCtes("", flip = false)}
+         |SELECT doc_id, ${audioBandSql.mkString(",\n  ")}
+         |FROM sarr ORDER BY doc_id""".stripMargin,
+
+    // two-leg corpus (orig / one-byte edit under id+300000), the same
+    // band arithmetic, band-bucket self-join, exact hamming verify
+    "q133_audio_neardup" ->
+      s"""WITH ${wavEnvCtes("_o", flip = false)},
+         |${wavEnvCtes("_n", flip = true)},
+         |hso AS (SELECT doc_id, ${audioBandSql.mkString(",\n  ")}
+         |  FROM sarr_o),
+         |hsn AS (SELECT doc_id + 300000 AS doc_id,
+         |  ${audioBandSql.mkString(",\n  ")}
+         |  FROM sarr_n),
+         |hs AS (SELECT * FROM hso UNION ALL SELECT * FROM hsn),
+         |e AS (SELECT doc_id, b0, b1, b2, b3, band,
+         |    CASE band WHEN 0 THEN b0 WHEN 1 THEN b1
+         |      WHEN 2 THEN b2 ELSE b3 END AS v
+         |  FROM hs CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band)),
+         |p AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+         |    (bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1)) +
+         |     bit_count(xor(x.b2, y.b2)) + bit_count(xor(x.b3, y.b3)))::BIGINT
+         |      AS hamming
+         |  FROM e x JOIN e y ON y.band = x.band AND y.v = x.v
+         |    AND x.doc_id < y.doc_id)
          |SELECT a, b, hamming FROM p WHERE hamming <= 8
          |ORDER BY a, b""".stripMargin,
 
@@ -2999,6 +3121,8 @@ object LlmQueries {
     "q124_bigram_xent" -> bigramXentQ _,
     "q125_image_components" -> imageDedupComponentsQ _,
     "q131_image_dedup_incremental" -> imageDedupIncrementalQ _,
+    "q132_audio_fingerprint" -> audioFingerprintQ _,
+    "q133_audio_neardup" -> audioNearDupQ _,
     "q80_dedup_keepers" -> dedupKeepers _,
     "q84_dedup_keepers_by" -> dedupKeepersBy _,
     "q81_mixed_decode" -> mixedDecode _,

@@ -1997,6 +1997,27 @@ class OperatorSpec extends AnyFunSuite {
     assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L), s"$labels")
   }
 
+  test("audioFingerprint: rising envelope sets every bit, flat none; stride is exact at n=130") {
+    def pcm(f: Int => Int): Array[Byte] = {
+      val b = new Array[Byte](130 * 2)
+      for (k <- 0 until 130) {
+        val v = f(k)
+        b(2 * k) = (v & 0xff).toByte; b(2 * k + 1) = ((v >> 8) & 0xff).toByte
+      }
+      b
+    }
+    // n = 130 makes the sample grid the exact stride-2 sequence, so a
+    // strictly rising |amp| compares greater at every one of the 64 bits
+    val in = Seq((1L, pcm(k => k * 10)), (2L, pcm(_ => 500)),
+      (3L, pcm(k => (129 - k) * 10))).toDF("doc_id", "pcm")
+    val got = Multimodal.audioFingerprint(in).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got(1L) == ((0xffffL, 0xffffL, 0xffffL, 0xffffL)), s"${got(1L)}")
+    assert(got(2L) == ((0L, 0L, 0L, 0L)), s"flat: ${got(2L)}")
+    assert(got(3L) == ((0L, 0L, 0L, 0L)), s"falling never louder: ${got(3L)}")
+  }
+
   test("dhash index: incremental probe equals the full pair scan restricted to index-vs-batch pairs") {
     val hs = Seq(
       (1L, 0xaaaaL, 0x1234L, 0x0f0fL, 0x7777L),
