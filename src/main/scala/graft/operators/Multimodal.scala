@@ -659,16 +659,20 @@ object Multimodal {
             ((px(p) & 0xff) + (px(p + 1) & 0xff) + (px(p + 2) & 0xff)) / 3
           }
           val bands = new Array[Long](4)
-          var j = 0
-          while (j < 8) {
-            val y = j * h / 8
-            var i = 0
-            while (i < 8) {
-              if (gray((i + 1) * w / 9, y) > gray(i * w / 9, y))
-                bands(j / 2) |= 1L << ((j % 2) * 8 + i)
-              i += 1
+          // a degenerate 0×N plane hashes as blank (all-zero bands)
+          // instead of crashing the partition
+          if (w > 0 && h > 0) {
+            var j = 0
+            while (j < 8) {
+              val y = j * h / 8
+              var i = 0
+              while (i < 8) {
+                if (gray((i + 1) * w / 9, y) > gray(i * w / 9, y))
+                  bands(j / 2) |= 1L << ((j % 2) * 8 + i)
+                i += 1
+              }
+              j += 1
             }
-            j += 1
           }
           DHashRow(r.getLong(0), bands(0), bands(1), bands(2), bands(3))
         }
@@ -714,11 +718,15 @@ object Multimodal {
             math.abs(if (u >= 32768) u - 65536 else u)
           }
           val bands = new Array[Long](4)
-          var j = 0
-          while (j < 64) {
-            if (amp((j + 1) * n / 65) > amp(j * n / 65))
-              bands(j / 16) |= 1L << (j % 16)
-            j += 1
+          // an empty clip (0-sample data chunk) fingerprints as silence
+          // (all-zero bands) instead of crashing the partition
+          if (n > 0) {
+            var j = 0
+            while (j < 64) {
+              if (amp((j + 1) * n / 65) > amp(j * n / 65))
+                bands(j / 16) |= 1L << (j % 16)
+              j += 1
+            }
           }
           DHashRow(r.getLong(0), bands(0), bands(1), bands(2), bands(3))
         }
@@ -766,6 +774,11 @@ object Multimodal {
   /** Marker-guarded append of one ingest batch's hashes — the
     * [[graft.operators.Dedup.winnowAppendBatch]] replay discipline
     * (batch id ≤ stored marker no-ops; marker written after the append).
+    * A crash between the append and the marker re-applies the batch on
+    * restart; the duplicate index rows are BENIGN for
+    * [[dhashIncrementalPairs]] — its `distinct()` collapses the
+    * duplicated candidates, so probe results are replay-idempotent (no
+    * sidecar/verifier needed, unlike the count-sensitive winnow index).
     * Returns whether the batch was applied. */
   def dhashAppendBatch(path: String, batchHashes: DataFrame, id: String,
       batchId: Long): Boolean = {

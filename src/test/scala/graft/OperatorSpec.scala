@@ -2016,6 +2016,11 @@ class OperatorSpec extends AnyFunSuite {
     assert(got(1L) == ((0xffffL, 0xffffL, 0xffffL, 0xffffL)), s"${got(1L)}")
     assert(got(2L) == ((0L, 0L, 0L, 0L)), s"flat: ${got(2L)}")
     assert(got(3L) == ((0L, 0L, 0L, 0L)), s"falling never louder: ${got(3L)}")
+    // an empty clip fingerprints as silence, never an index crash
+    val empty = Multimodal.audioFingerprint(
+      Seq((9L, Array.empty[Byte])).toDF("doc_id", "pcm")).head()
+    assert((empty.getLong(1), empty.getLong(2), empty.getLong(3),
+      empty.getLong(4)) == ((0L, 0L, 0L, 0L)))
   }
 
   test("dhash index: incremental probe equals the full pair scan restricted to index-vs-batch pairs") {
