@@ -964,13 +964,19 @@ object Dedup {
       path: String): DataFrame = {
     val fps = spark.read.parquet(s"$path/fps")
     val idc = fps.schema.fieldNames.filterNot(_ == "fp").head
-    val actual = fps.distinct()
-      .groupBy(col(idc)).agg(count(lit(1)).as("n_actual"))
+    // n_raw alongside the distinct recount: a replayed append duplicates
+    // rows EXACTLY, which the distinct-vs-sidecar compare alone cannot
+    // see — raw ≠ distinct flags it
+    val actual = fps
+      .groupBy(col(idc), col("fp")).agg(count(lit(1)).as("__c"))
+      .groupBy(col(idc)).agg(count(lit(1)).as("n_actual"),
+        sum("__c").as("n_raw"))
     val stored = spark.read.parquet(s"$path/sizes")
       .groupBy(col(idc)).agg(sum("nf").as("n_stored"))
     stored.join(actual, Seq(idc), "full")
       .where(coalesce(col("n_stored"), lit(-1L)) =!=
-        coalesce(col("n_actual"), lit(-2L)))
+        coalesce(col("n_actual"), lit(-2L)) ||
+        col("n_raw") =!= col("n_actual"))
   }
 
   /** Containment screen of an incoming batch against a persisted
@@ -986,7 +992,12 @@ object Dedup {
       path: String, batchFps: DataFrame, id: String,
       minShared: Int): DataFrame = {
     require(minShared >= 1, s"minShared must be >= 1, got $minShared")
-    val idx = spark.read.parquet(s"$path/fps")
+    // distinct BEFORE counting: a replayed append (the documented
+    // at-least-once window) duplicates fps rows exactly, and a raw count
+    // would silently double n_shared — the one corruption the recount
+    // verifier cannot see, since the distinct recount still matches the
+    // once-written sidecar
+    val idx = spark.read.parquet(s"$path/fps").distinct()
     val sizes = spark.read.parquet(s"$path/sizes")
     val bsk = graft.engine.Checkpoints.mark(
       batchFps.select(col("fp"), col(id)).distinct())

@@ -680,17 +680,6 @@ object Multimodal {
       .toDF()
   }
 
-  /** Near-duplicate image pairs from [[imageDHash]] bands — banded
-    * hamming LSH: two 64-bit hashes at hamming distance ≤ 3 differ in at
-    * most 3 of the 4 bands, so they SHARE at least one band value
-    * (pigeonhole) and surface in that band's equi-join — never an
-    * all-pairs scan, fan-out bounded by band-bucket population (a flat
-    * band over near-constant images is the mega-bucket case —
-    * [[graft.operators.Dedup.lshCandidatePairsCapped]] treatment if it
-    * bites). Candidates verify EXACTLY: hamming = Σ popcount(band XOR),
-    * kept at ≤ `maxHamming` (> 3 weakens the pigeonhole guarantee to
-    * best-effort, same trade every banded LSH makes). Exchanges carry
-    * `(band_idx, band_value, id)` and the 32 B of hash — never pixels. */
   /** Audio envelope fingerprint — the time-domain cousin of
     * [[imageDHash]], same 64-bit difference-hash idea over the signal's
     * AMPLITUDE ENVELOPE: 65 nearest-sample points of |amp| across the
@@ -750,10 +739,27 @@ object Multimodal {
     DHashBandCols.map(c =>
       bit_count(col(c + "a").bitwiseXOR(col(c + "b")))).reduce(_ + _)
 
+  /** Near-duplicate image pairs from [[imageDHash]] bands — banded
+    * hamming LSH: two 64-bit hashes at hamming distance ≤ 3 differ in at
+    * most 3 of the 4 bands, so they SHARE at least one band value
+    * (pigeonhole) and surface in that band's equi-join — never an
+    * all-pairs scan, fan-out bounded by band-bucket population (a flat
+    * band over near-constant images is the mega-bucket case —
+    * [[graft.operators.Dedup.lshCandidatePairsCapped]] treatment if it
+    * bites). Candidates verify EXACTLY: hamming = Σ popcount(band XOR),
+    * kept at ≤ `maxHamming` (> 3 weakens the pigeonhole guarantee to
+    * best-effort, same trade every banded LSH makes). Exchanges carry
+    * `(band_idx, band_value, id)` and the 32 B of hash — never pixels.
+    * The hashes materialize ONCE ([[graft.engine.Checkpoints.mark]] —
+    * caller releases via the returned frame, the q54-labels contract):
+    * the self-join's two legs read the 32 B rows, never re-running the
+    * upstream decode+hash pipeline per leg. */
   def dhashNearDupPairs(hashes: DataFrame, id: String,
       maxHamming: Int): DataFrame = {
     require(maxHamming >= 0, s"maxHamming must be >= 0, got $maxHamming")
-    val banded = dhashBanded(hashes, id)
+    val hs = graft.engine.Checkpoints.mark(
+      hashes.select(col(id) +: DHashBandCols.map(col): _*))
+    val banded = dhashBanded(hs, id)
     val x = banded.toDF("band" +: "v" +: "a" +: DHashBandCols.map(_ + "a"): _*)
     val y = banded.toDF("band" +: "v" +: "b" +: DHashBandCols.map(_ + "b"): _*)
     x.join(y, Seq("band", "v")).where(col("a") < col("b"))

@@ -639,6 +639,21 @@ object TextOps {
     * null, never -Infinity. Same scale shape as [[unigramXent]]: per-doc
     * tf first (occurrences never shuffle), vocab-sized model join (AQE
     * broadcasts a small model), broadcast 1-row total. */
+  def unigramXentAgainst(df: DataFrame, model: DataFrame, text: String,
+      id: String, oovCount: Long = 1L): DataFrame = {
+    val tot = model.agg(sum("c").cast("double").as("__t"))
+    val tf = df.where(col(text).isNotNull)
+      .select(col(id), explode(tokens(col(text))).as("w"))
+      .groupBy(col(id), col("w")).agg(count(lit(1)).as("tf"))
+    tf.join(model, Seq("w"), "left")
+      .crossJoin(broadcast(tot))
+      .groupBy(col(id))
+      .agg(sum("tf").as("n_tokens"),
+        round(sum(col("tf").cast("double") *
+          log(col("__t") / coalesce(col("c"), lit(oovCount)).cast("double")))
+          / sum("tf"), 4).as("xent"))
+  }
+
   /** Frozen BIGRAM-LM cross-entropy — the next step up from the unigram
     * gate ([[unigramXentAgainst]]) and the shape of a real perplexity
     * filter (CCNet's KenLM gate): add-one-smoothed conditional
@@ -688,21 +703,6 @@ object TextOps {
         round(-sum(col("tf").cast("double") *
           log((coalesce(col("c2"), lit(0L)) + 1).cast("double") /
             (coalesce(col("c1"), lit(0L)) + col("__v")).cast("double")))
-          / sum("tf"), 4).as("xent"))
-  }
-
-  def unigramXentAgainst(df: DataFrame, model: DataFrame, text: String,
-      id: String, oovCount: Long = 1L): DataFrame = {
-    val tot = model.agg(sum("c").cast("double").as("__t"))
-    val tf = df.where(col(text).isNotNull)
-      .select(col(id), explode(tokens(col(text))).as("w"))
-      .groupBy(col(id), col("w")).agg(count(lit(1)).as("tf"))
-    tf.join(model, Seq("w"), "left")
-      .crossJoin(broadcast(tot))
-      .groupBy(col(id))
-      .agg(sum("tf").as("n_tokens"),
-        round(sum(col("tf").cast("double") *
-          log(col("__t") / coalesce(col("c"), lit(oovCount)).cast("double")))
           / sum("tf"), 4).as("xent"))
   }
 
@@ -1070,8 +1070,8 @@ object TextOps {
   def oovRate(df: DataFrame, text: String, id: String,
       vocab: Seq[String]): DataFrame = {
     require(vocab.nonEmpty, "empty vocabulary")
-    require(vocab.forall(w => !w.contains("'")),
-      s"vocab terms must not contain quotes: $vocab")
+    require(vocab.forall(w => !w.contains("'") && !w.contains("\\")),
+      s"vocab terms must not contain quotes or backslashes: $vocab")
     requireFresh(df, "n_tokens", "n_oov", "oov_rate", "__t")
     val vsql = vocab.map(w => s"'$w'").mkString("array(", ", ", ")")
     df.where(col(text).isNotNull)
@@ -1099,8 +1099,9 @@ object TextOps {
     * division; everything replays exactly in the SQL oracle. */
   def lengthBucketBatches(df: DataFrame, id: String, tokenCount: Column,
       boundaries: Seq[Long], batchSize: Int, seed: Int = 17): DataFrame = {
-    require(boundaries.nonEmpty && boundaries == boundaries.sorted,
-      s"boundaries must be ascending, got $boundaries")
+    require(boundaries.nonEmpty &&
+      boundaries.zip(boundaries.tail).forall { case (a, b) => a < b },
+      s"boundaries must be strictly ascending, got $boundaries")
     require(batchSize >= 1, s"batchSize must be >= 1, got $batchSize")
     requireFresh(df, "n_tokens", "bucket", "rank_in_bucket", "batch_idx")
     val nt = tokenCount.cast("long")

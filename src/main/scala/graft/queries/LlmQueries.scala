@@ -917,8 +917,12 @@ object LlmQueries {
     val hashes = Multimodal.imageDHash(
       Multimodal.decodePpm(dhashCorpus(s, d), "doc_id", "payload"))
     val pairs = Multimodal.dhashNearDupPairs(hashes, "doc_id", maxHamming = 8)
-    Dedup.connectedComponents(hashes.select("doc_id"), pairs, "doc_id")
+    // connectedComponents evaluates its edge input eagerly and re-roots
+    // the labels on its own checkpoints, so the pair pipeline's internal
+    // hash checkpoint would otherwise be orphaned — release it here
+    try Dedup.connectedComponents(hashes.select("doc_id"), pairs, "doc_id")
       .orderBy("doc_id")
+    finally graft.engine.Checkpoints.release(pairs)
   }
 
   def ppmDecode(s: SparkSession, d: String): DataFrame = {
@@ -1093,33 +1097,12 @@ object LlmQueries {
         "doc_id", maxHamming = 8)
       .orderBy("a", "b")
 
-  def wavFeats(s: SparkSession, d: String): DataFrame = {
-    val nbytes = "cast((20 + doc_id % 32) * (1 + doc_id % 2) * 2 as int)"
-    val ascii = docs(s, d).where(col("text").isNotNull &&
-      octet_length(encode(col("text"), "UTF-8")) === length(col("text")))
-    val planes = ascii.select(col("doc_id"),
-      (lit(8000) + (col("doc_id") % 4) * 4000).cast("int").as("rate"),
-      (lit(1) + col("doc_id") % 2).cast("int").as("ch"),
-      encode(expr(s"rpad(text, $nbytes, '.')"), "UTF-8").as("plane"))
-    val enc = org.apache.spark.sql.Encoders.product[IdPayload]
-    val payloads = planes.mapPartitions { rows =>
-      rows.map { r =>
-        val plane = r.getAs[Array[Byte]](3)
-        val pcm = new Array[Byte](plane.length)
-        var i = 0
-        while (i < plane.length) {
-          pcm(i) = (((plane(i) & 0xff) + 192) & 0xff).toByte
-          i += 1
-        }
-        IdPayload(r.getLong(0), Multimodal.encodeWav(
-          r.getInt(1), r.getInt(2), pcm))
-      }
-    }(enc).toDF()
-    Multimodal.wavFeatures(Multimodal.decodeWav(payloads, "doc_id", "payload"))
+  def wavFeats(s: SparkSession, d: String): DataFrame =
+    Multimodal.wavFeatures(Multimodal.decodeWav(
+        wavRotatedPayloads(s, d), "doc_id", "payload"))
       .select(col("doc_id"), col("n_samples"), round(col("rms"), 6).as("rms"),
         col("zero_crossings"), col("peak"))
       .orderBy("doc_id")
-  }
 
   /** q88 — REAL resize over decoded pixels ([[Multimodal.resizePlane]]):
     * 2× integer box-filter downscale of the q71 decoded plane — each
@@ -1841,9 +1824,9 @@ object LlmQueries {
     // the frozen vocab as a literal list, the OOV count as the same
     // in-array lambda fold
     "q123_oov_rate" -> {
-      val vlist = Seq("join", "hash", "row", "batch", "scan", "column",
-        "customer", "filter", "small", "merge", "slow", "order", "vector",
-        "line", "data", "table").map(w => s"'$w'").mkString("[", ", ", "]")
+      // derived from the SAME ProbeVocab val the engine side uses — the
+      // two sides cannot drift
+      val vlist = ProbeVocab.map(w => s"'$w'").mkString("[", ", ", "]")
       s"""WITH t AS (SELECT doc_id,
          |    string_split_regex(trim(lower(text)), '\\s+') AS ts
          |  FROM documents WHERE text IS NOT NULL),

@@ -2305,6 +2305,33 @@ class OperatorSpec extends AnyFunSuite {
       "epochs must be independent permutations")
   }
 
+  test("winnow index: a replayed append neither inflates n_shared nor hides from the verifier") {
+    val in = Seq((1L, "aa bb cc dd ee ff gg hh ii")).toDF("doc_id", "text")
+    val batch = Seq((50L, "cc dd ee ff gg hh zz ww")).toDF("doc_id", "text")
+    def fps(d: org.apache.spark.sql.DataFrame) =
+      Dedup.winnowFingerprints(d, "text", "doc_id", k = 3, w = 4)
+    val dir = java.nio.file.Files.createTempDirectory("graft_winrep_t").toString
+    graft.cli.Cleanup.deleteOnExit(dir)
+    Dedup.winnowIndexWrite(fps(in), "doc_id", dir)
+    assert(Dedup.winnowAppendBatch(dir, fps(batch), "doc_id", 0L))
+    def probe = Dedup.winnowIncrementalPairs(spark, dir,
+        fps(Seq((99L, "cc dd ee ff gg hh qq")).toDF("doc_id", "text")),
+        "doc_id", minShared = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val before = probe
+    assert(before.nonEmpty)
+    // crash-replay simulation: the batch's fps land AGAIN (the marker
+    // blocks the API path, so write raw — the exact torn window)
+    fps(batch).select(col("fp"), col("doc_id"))
+      .write.mode("append").parquet(s"$dir/fps")
+    assert(probe == before,
+      "duplicated index rows must not change probe counts")
+    val flagged = Dedup.winnowIndexVerify(spark, dir).collect()
+      .map(_.getLong(0)).toSet
+    assert(flagged == Set(50L),
+      s"the replayed doc must be flagged raw != distinct: $flagged")
+  }
+
   test("shuffleOrder: dense 1..n permutation, reproducible, seed-dependent, actually shuffled") {
     val in = (0L until 200L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
     def order(seed: Int): Seq[Long] =
