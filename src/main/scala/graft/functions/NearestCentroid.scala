@@ -30,7 +30,11 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType, St
   * a strict `>` comparison (= `array_max` over `(cos, -cell)` structs:
   * ties keep the smallest cell). Null array → null; null elements
   * contribute 0 (the [[DotProduct]] convention); dims beyond the
-  * shorter operand are ignored.
+  * shorter operand are ignored. A ZERO-NORM input (degenerate all-zero
+  * embedding) makes every cosine `0/0 = NaN`; both forms return
+  * `(smallest cell, NaN)` — the expression spec because `array_max`
+  * orders NaN largest and ties go to the smallest cell, the kernel by
+  * an explicit guard (FunctionsSpec pins the equivalence).
   */
 case class NearestCentroid(child: Expression, cents: Array[Array[Double]],
     cellIds: Array[Long], cnorms: Array[Double]) extends UnaryExpression {
@@ -85,6 +89,13 @@ object NearestCentroidRuntime {
       i += 1
     }
     val vn = math.sqrt(vv)
+    // zero-norm guard: dot/0 is NaN for every centroid, and the
+    // expression spec's array_max orders NaN largest with the (cos,
+    // -cell) tie rule picking the smallest cell — return exactly that
+    // (cell = cellIds(0): ids are sorted ascending by construction).
+    // Without this the strict > below never fires and the kernel would
+    // emit cos = -Infinity where the spec emits NaN.
+    if (vn == 0.0) return InternalRow(cellIds(0), Double.NaN)
     var bestCell = cellIds(0)
     var bestCos = Double.NegativeInfinity
     var c = 0

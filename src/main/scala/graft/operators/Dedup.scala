@@ -998,7 +998,14 @@ object Dedup {
     // verifier cannot see, since the distinct recount still matches the
     // once-written sidecar
     val idx = spark.read.parquet(s"$path/fps").distinct()
+    // sizes read DEFENSIVELY too: a crash between the sizes append and
+    // the marker write followed by a retry doubles a doc's sidecar rows
+    // (winnowIndexVerify flags the state, but until rebuild the join on
+    // `a` would emit each affected pair once per duplicate row) — the
+    // max collapses exact replay duplicates the same way the fps
+    // distinct() does
     val sizes = spark.read.parquet(s"$path/sizes")
+      .groupBy(col(id)).agg(max("nf").as("nf"))
     val bsk = graft.engine.Checkpoints.mark(
       batchFps.select(col("fp"), col(id)).distinct())
     val bsizes = bsk.groupBy(col(id)).agg(count(lit(1)).as("__bnf"))

@@ -728,7 +728,14 @@ object Similarity {
       // centroid self-norm folded at PLAN TIME in ascending-dim order —
       // the same left-to-right accumulation DotProduct runs
       val cn = math.sqrt(ce.foldLeft(0.0)((acc, x) => acc + x * x))
-      struct((dot(col("__e"), lit(ce.toArray)) / col("__vn") / lit(cn)).as("cos"),
+      // zero-norm guard: ANSI mode turns /0 into DIVIDE_BY_ZERO even for
+      // doubles, so the degenerate all-zero embedding is given a DEFINED
+      // score instead — cos = NaN for every centroid, which array_max
+      // orders largest with ties to the smallest cell; the native kernel
+      // returns the identical (smallest cell, NaN) by explicit guard
+      struct(when(col("__vn") === 0.0, lit(Double.NaN))
+          .otherwise(dot(col("__e"), lit(ce.toArray)) / col("__vn") / lit(cn))
+          .as("cos"),
         lit(-cell).as("negc"))
     }
     vecs.select(col(id), e.as("__e"))
@@ -822,6 +829,11 @@ object Similarity {
       .select(col(idx.id).as("__cid"), col("cell"),
         col(idx.emb).cast("array<double>").as("__ce"), col("norm"))
       .join(broadcast(nb), "cell")
+      // self-pair guard (the winnowIncrementalPairs/dhashIncrementalPairs
+      // discipline): a batch vector whose id is already indexed — the
+      // at-least-once foreachBatch retry after a committed append — matches
+      // itself at cosine 1.0 and would report dup_of = its own id
+      .where(col("__cid") =!= col("__nid"))
       .where(round(dot(col("__e"), col("__ce")) / col("__vn") / col("norm"), 4)
         >= tau)
       .groupBy(col("__nid")).agg(min(col("__cid")).as("dup_of"))

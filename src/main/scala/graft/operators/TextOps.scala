@@ -941,6 +941,26 @@ object TextOps {
       .withColumn("keep", col("logit_milli") >= 0)
   }
 
+  /** Deterministic training shuffle order — the epoch dataloader's
+    * permutation, computed ONCE as data: a seeded pseudo-random GLOBAL
+    * rank for every row, reproducible across runs and engines (the
+    * property training reproducibility rests on — re-running the job
+    * must feed batches in the identical order). The key is the portable
+    * [[portableHash]] of the id under `seed` (a new seed = a fresh
+    * independent epoch permutation; ties impossible in practice but
+    * broken by id anyway), and the RANK is assigned by the distributed
+    * two-pass ordinal ([[graft.engine.SeriesOps.withTimeId]]:
+    * range-partition + per-partition count + zipWithIndex) — no global
+    * window, no single-partition sort, holds at 10⁹+ rows. Output:
+    * `(id, shuffle_key, order_idx)` with `order_idx` dense 1..n; write
+    * the corpus range-sharded by `order_idx` ([[graft.sources.Layout]])
+    * and the dataloader streams shards sequentially. */
+  def shuffleOrder(df: DataFrame, id: String, seed: Int): DataFrame =
+    graft.engine.SeriesOps.withTimeId(
+      df.select(col(id),
+        portableHash(col(id).cast("string"), seed).as("shuffle_key")),
+      Seq(col("shuffle_key"), col(id)), as = "order_idx")
+
   /** Token-budget mixture allocation — the data-mixing recipe every
     * training run starts from (the Pile / LLaMA / Gopher mixture
     * tables): given per-stratum AVAILABLE token counts, target mixture
@@ -963,26 +983,6 @@ object TextOps {
     * ONE map-side-combinable aggregate over the corpus; the solver
     * itself runs on a strata-sized frame — at 100 TB this is a report,
     * not a data pass. */
-  /** Deterministic training shuffle order — the epoch dataloader's
-    * permutation, computed ONCE as data: a seeded pseudo-random GLOBAL
-    * rank for every row, reproducible across runs and engines (the
-    * property training reproducibility rests on — re-running the job
-    * must feed batches in the identical order). The key is the portable
-    * [[portableHash]] of the id under `seed` (a new seed = a fresh
-    * independent epoch permutation; ties impossible in practice but
-    * broken by id anyway), and the RANK is assigned by the distributed
-    * two-pass ordinal ([[graft.engine.SeriesOps.withTimeId]]:
-    * range-partition + per-partition count + zipWithIndex) — no global
-    * window, no single-partition sort, holds at 10⁹+ rows. Output:
-    * `(id, shuffle_key, order_idx)` with `order_idx` dense 1..n; write
-    * the corpus range-sharded by `order_idx` ([[graft.sources.Layout]])
-    * and the dataloader streams shards sequentially. */
-  def shuffleOrder(df: DataFrame, id: String, seed: Int): DataFrame =
-    graft.engine.SeriesOps.withTimeId(
-      df.select(col(id),
-        portableHash(col(id).cast("string"), seed).as("shuffle_key")),
-      Seq(col("shuffle_key"), col(id)), as = "order_idx")
-
   def mixtureAllocation(df: DataFrame, strata: String, tokenCount: Column,
       targetsMilli: Seq[(String, Int)], budgetTokens: Long,
       maxEpochsMilli: Long = 1000L): DataFrame = {

@@ -1455,13 +1455,6 @@ object LlmQueries {
       QualityWeightsMilli, QualityBiasMilli, QualityHashSeed)
       .orderBy("doc_id")
 
-  /** q112 — token-budget mixture allocation
-    * ([[TextOps.mixtureAllocation]]): the mixing-recipe report — per
-    * language: available tokens, the mixture's desired share of a 20k
-    * budget, epochs under a 2.4-epoch cap (the LLaMA-style repeat
-    * bound), the resulting allocation, and the shortfall. 'ja' carries
-    * target weight but no data (the collect-more-of-this signal). All
-    * integer arithmetic — both engines compute identical rows. */
   /** q114 — winnowing fingerprints ([[Dedup.winnowFingerprints]],
     * Schleimer et al. 2003): the MOSS copy-detection sketch — every
     * 4-window of consecutive 3-gram hashes contributes its rightmost
@@ -1565,6 +1558,13 @@ object LlmQueries {
     TextOps.epochSchedule(docs(s, d), "doc_id", epochs = 3)
       .orderBy("epoch", "order_idx")
 
+  /** q112 — token-budget mixture allocation
+    * ([[TextOps.mixtureAllocation]]): the mixing-recipe report — per
+    * language: available tokens, the mixture's desired share of a 20k
+    * budget, epochs under a 2.4-epoch cap (the LLaMA-style repeat
+    * bound), the resulting allocation, and the shortfall. 'ja' carries
+    * target weight but no data (the collect-more-of-this signal). All
+    * integer arithmetic — both engines compute identical rows. */
   def mixtureAllocationQ(s: SparkSession, d: String): DataFrame =
     TextOps.mixtureAllocation(docs(s, d), "lang",
         TextOps.tokenCount(col("text")),

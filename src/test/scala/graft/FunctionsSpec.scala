@@ -180,6 +180,23 @@ class FunctionsSpec extends AnyFunSuite {
     assert(nativeF == specF, "full assignment must be bit-identical")
   }
 
+  test("nearest_centroid: zero-norm input matches the spec (smallest cell, NaN) in both forms") {
+    import graft.operators.Similarity
+    val cents = Seq(7L -> Seq(1.0, 0.0), 3L -> Seq(0.0, 1.0))
+    val vecs = Seq((1L, Array(0.0, 0.0))).toDF("vec_id", "embedding")
+    def one(df: org.apache.spark.sql.DataFrame): (Long, Long, Double) = {
+      val r = df.collect().head
+      (r.getLong(0), r.getLong(1), r.getDouble(2))
+    }
+    val spec = one(Similarity.assignCellsLitHof(vecs, "vec_id", "embedding", cents))
+    val native = one(Similarity.assignCellsLit(vecs, "vec_id", "embedding", cents))
+    assert(spec._2 == 3L && spec._3.isNaN,
+      s"spec form must yield (smallest cell, NaN): $spec")
+    assert(native._2 == spec._2 &&
+      (native._3.isNaN == spec._3.isNaN),
+      s"kernel must match the spec on degenerate vectors: $native vs $spec")
+  }
+
   private def withAutoBroadcastOff[A](body: => A): A = {
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")

@@ -2326,6 +2326,18 @@ class OperatorSpec extends AnyFunSuite {
       .write.mode("append").parquet(s"$dir/fps")
     assert(probe == before,
       "duplicated index rows must not change probe counts")
+    // the OTHER torn window: crash between the sizes append and the marker
+    // write, then retry — the sizes sidecar rows double; the defensive
+    // max-aggregate must keep the probe emitting each pair exactly once
+    fps(batch).select(col("fp"), col("doc_id")).distinct()
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("nf"))
+      .write.mode("append").parquet(s"$dir/sizes")
+    val probeRows = Dedup.winnowIncrementalPairs(spark, dir,
+        fps(Seq((99L, "cc dd ee ff gg hh qq")).toDF("doc_id", "text")),
+        "doc_id", minShared = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(probeRows.toSet == before && probeRows.length == before.size,
+      s"doubled sizes rows must not duplicate probe pairs: ${probeRows.toSeq}")
     val flagged = Dedup.winnowIndexVerify(spark, dir).collect()
       .map(_.getLong(0)).toSet
     assert(flagged == Set(50L),
@@ -2371,6 +2383,19 @@ class OperatorSpec extends AnyFunSuite {
     assert(out(20L) == ((10L, false)), s"min-id dup: ${out(20L)}")
     assert(out(21L) == ((-1L, true)))
     assert(out(22L) == ((-1L, true)))
+    // self-pair guard: a batch vector whose id is ALREADY indexed (the
+    // at-least-once foreachBatch retry after a committed append) must not
+    // report itself as its own duplicate at cosine 1.0
+    val replay = Seq((10L, Array(1.0, 0.0, 0.0, 0.0)),
+      (11L, Array(0.0, 1.0, 0.0, 0.0))).toDF("vec_id", "embedding")
+    val rp = Similarity.semDedupIncremental(idx,
+        Similarity.collectCentroids(centsDf), replay, tau = 0.99)
+      .collect().map(r => r.getLong(0) ->
+        ((if (r.isNullAt(3)) -1L else r.getLong(3)), r.getBoolean(4))).toMap
+    assert(rp(10L) == ((12L, false)),
+      s"replayed 10 must dup against 12, never itself: ${rp(10L)}")
+    assert(rp(11L) == ((-1L, true)),
+      s"replayed 11 has no OTHER match and must keep: ${rp(11L)}")
   }
 
   test("assignCellsLit: literal-centroid assignment equals the broadcast-join formulation") {
