@@ -757,9 +757,17 @@ object Similarity {
     * 164 s vs 14 s end-to-end.) Cosine arithmetic and 4-dp rounding are
     * identical to [[cosinePairs]], so oracles are unchanged. */
   def semDedupEdges(vecs: DataFrame, id: String, emb: String,
-      cents: Seq[(Long, Seq[Double])], tau: Double): DataFrame = {
+      cents: Seq[(Long, Seq[Double])], tau: Double): DataFrame =
+    edgesFromWide(assignLitWide(vecs, id, emb, cents), id, tau)
+
+  /** The within-cell edge join over an ALREADY-ASSIGNED wide frame
+    * (`(id, __e, __vn, cell, …)`) — both legs derive from the same input
+    * frame, so when the caller passes a checkpoint ([[semDedup]] does)
+    * the corpus is scanned and the assignment kernel run exactly ONCE
+    * for the whole dedup, not once per join leg. */
+  private def edgesFromWide(aw: DataFrame, id: String,
+      tau: Double): DataFrame = {
     def dot(x: Column, y: Column): Column = graft.functions.DotProduct.dot_product(x, y)
-    val aw = assignLitWide(vecs, id, emb, cents)
     val x = aw.select(col(id).as("a"), col("cell"),
       col("__e").as("__ea"), col("__vn").as("__na"))
     val y = aw.select(col(id).as("b"), col("cell"),
@@ -788,14 +796,24 @@ object Similarity {
     * work is Σ|cell|² — k grows with n to hold |cell| flat (the
     * published recipe; a skew-capped variant would mirror
     * [[Dedup.lshCandidatePairsCapped]] if a mega-cell emerges);
-    * components and the keep window shuffle 8 B labels. OWNERSHIP: the
-    * returned frame keeps the compact assignment checkpoint as a leaf —
-    * release after the final evaluation
+    * components and the keep window shuffle 8 B labels.
+    *
+    * SINGLE CORPUS SCAN: the WIDE assignment (`id, __e, __vn, cell,
+    * cent_cos`) is checkpointed once and feeds the narrow output AND
+    * both edge-join legs — the corpus is read and the
+    * [[graft.functions.NearestCentroid]] kernel run exactly once per
+    * dedup (the first cut re-derived the assignment scan per edge leg:
+    * ~2 extra corpus passes for free at 100 TB). The checkpoint carries
+    * the cast embedding (wider than narrow id/cell rows) — the
+    * deliberate trade: one materialized pass vs three executed ones.
+    * OWNERSHIP: the returned frame keeps that assignment checkpoint as
+    * a leaf — release after the final evaluation
     * ([[graft.engine.Checkpoints.release]] reaches it; Bench/Verify do). */
   def semDedup(vecs: DataFrame, id: String, emb: String,
       cents: Seq[(Long, Seq[Double])], tau: Double): DataFrame = {
-    val a = graft.engine.Checkpoints.mark(assignCellsLit(vecs, id, emb, cents))
-    val edges = semDedupEdges(vecs, id, emb, cents, tau)
+    val aw = graft.engine.Checkpoints.mark(assignLitWide(vecs, id, emb, cents))
+    val a = aw.select(col(id), col("cell"), col("cent_cos"))
+    val edges = edgesFromWide(aw, id, tau)
     val labels = Dedup.connectedComponents(a.select(col(id)), edges, id)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("component").orderBy(col("cent_cos").asc, col(id).asc)

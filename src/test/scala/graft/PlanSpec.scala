@@ -966,6 +966,47 @@ class PlanSpec extends AnyFunSuite {
     } finally graft.engine.Checkpoints.release(df)
   }
 
+  test("q110: the whole dedup scans the embeddings corpus exactly once (wide checkpoint feeds narrow + both edge legs)") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.QueryExecution
+    import org.apache.spark.sql.util.QueryExecutionListener
+    // warm the session IVF memo first: index build/training scans are a
+    // one-time per-session cost, not part of the dedup under test
+    graft.engine.Checkpoints.release {
+      val warm = SparkEntry.queries("q110_semdedup")(spark, sf)
+      warm.collect(); warm
+    }
+    val scans = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new QueryExecutionListener {
+      private def count(qe: QueryExecution): Unit =
+        scans.addAndGet(flattenPlan(qe.executedPlan).count {
+          case f: FileSourceScanExec =>
+            f.relation.location.rootPaths.exists(_.toString.contains("embeddings"))
+          case _ => false
+        })
+      override def onSuccess(funcName: String, qe: QueryExecution,
+          durationNs: Long): Unit = count(qe)
+      override def onFailure(funcName: String, qe: QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val df = SparkEntry.queries("q110_semdedup")(spark, sf)
+      try df.collect() finally graft.engine.Checkpoints.release(df)
+      // the listener bus is async — wait for the count to go quiet
+      var last = -1
+      var stable = 0
+      var waited = 0
+      while (stable < 5 && waited < 100) {
+        Thread.sleep(200); waited += 1
+        val now = scans.get()
+        if (now == last) stable += 1 else { stable = 0; last = now }
+      }
+      assert(scans.get() == 1,
+        s"semDedup must scan the embeddings corpus exactly once, saw ${scans.get()}")
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("codegen health: payload/decode pipelines compile clean (no interpreted fallback)") {
     // Regression guard for the round-9 defect class: a `private` encoder
     // case class type-checks but Janino cannot reach its accessors, so
