@@ -722,6 +722,33 @@ object Dedup {
         array_join(array_remove(col("__all"), col("keep_id")), ",")
           .as("dropped_ids"))
 
+  /** Cluster-size audit over component labels — the report to read
+    * BEFORE keying anything on the component (a leakage-safe split, a
+    * per-cluster quota): one row of integer facts about the cluster
+    * structure. `frac_largest_milli` is the operative number: when the
+    * largest component holds most of the corpus, a component-keyed
+    * split ([[graft.operators.TextOps.hashSplitBy]] on the label)
+    * degrades to ALL-OR-NOTHING — the whole mega-cluster lands in one
+    * split and the others starve. Documented threshold: treat
+    * `frac_largest_milli >= 500` (half the corpus in one cluster) as
+    * split-degenerate and fix the upstream banding (more rows per LSH
+    * band → fewer chance collisions → smaller clusters) before
+    * splitting; q119/q138/q139 demonstrate exactly that loop. Integer
+    * arithmetic throughout (`div` floors), so both engines compute the
+    * identical row. Two hash aggregates over 8 B labels — at 100 TB
+    * this is a report over dedup output the pipeline already paid for. */
+  def componentSizeProfile(labels: DataFrame): DataFrame =
+    labels.groupBy("component").agg(count(lit(1)).as("sz"))
+      .agg(
+        coalesce(sum("sz"), lit(0L)).as("n_docs"),
+        count(lit(1)).as("n_components"),
+        coalesce(max("sz"), lit(0L)).as("max_size"),
+        coalesce(sum(when(col("sz") === 1, 1L).otherwise(0L)), lit(0L))
+          .as("n_singletons"))
+      .withColumn("frac_largest_milli",
+        when(col("n_docs") === 0, lit(0L))
+          .otherwise(expr("(max_size * 1000) div n_docs")))
+
   /** [[connectedComponents]] plus convergence observability: the iteration
     * count and whether the fixpoint was actually reached. `converged` =
     * false means `maxIter` rounds ran without the label sum stabilizing —

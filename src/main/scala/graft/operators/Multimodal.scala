@@ -768,14 +768,116 @@ object Multimodal {
       .where(col("hamming") <= maxHamming)
   }
 
+  /** [[dhashNearDupPairs]] with a per-bucket size cap — the
+    * [[graft.operators.Dedup.lshCandidatePairsCapped]] treatment for the
+    * banded-hamming family. The band self-join's fan-out is |bucket|²,
+    * and degenerate bands are COMMON in the wild (flat or letterboxed
+    * images, silence-heavy audio — a near-constant plane hashes to the
+    * same band value corpus-wide); measured at 10⁶ synthetic images the
+    * flat-band regime collapsed to 196 distinct band values with a
+    * 137k-member mega-bucket, whose uncapped self-join is ~1.9×10¹⁰
+    * candidate rows (`bench/large_dhash.txt`). Buckets larger than
+    * `maxBucket` are excluded from pair generation — members still pair
+    * through any OTHER band under the cap, but a pair whose only shared
+    * band is over-cap is lost (the bounded-coverage trade, replayed
+    * identically by the oracles as a HAVING on bucket size). Returns
+    * `(pairs, skipped)`; `skipped` lists the excluded
+    * `(band_idx, key, size)` buckets and callers MUST surface it (a
+    * silent cap would read as full coverage when it is not). Both frames
+    * share ONE hash checkpoint — evaluate both, then release once via
+    * either (`pairs` reaches the shared leaf). */
+  def dhashNearDupPairsCapped(hashes: DataFrame, id: String,
+      maxHamming: Int, maxBucket: Int): (DataFrame, DataFrame) = {
+    require(maxHamming >= 0, s"maxHamming must be >= 0, got $maxHamming")
+    require(maxBucket >= 1, s"maxBucket must be >= 1, got $maxBucket")
+    val hs = graft.engine.Checkpoints.mark(
+      hashes.select(col(id) +: DHashBandCols.map(col): _*))
+    val banded = dhashBanded(hs, id)
+    val sizes = banded.groupBy("band", "v").agg(count(lit(1)).as("size"))
+    val kept = banded.join(
+      sizes.where(col("size") <= maxBucket).select("band", "v"),
+      Seq("band", "v"))
+    val x = kept.toDF("band" +: "v" +: "a" +: DHashBandCols.map(_ + "a"): _*)
+    val y = kept.toDF("band" +: "v" +: "b" +: DHashBandCols.map(_ + "b"): _*)
+    val pairs = x.join(y, Seq("band", "v")).where(col("a") < col("b"))
+      .select(col("a"), col("b"), dhashHamming.cast("long").as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+    val skipped = sizes.where(col("size") > maxBucket)
+      .select(col("band").as("band_idx"), col("v").as("key"), col("size"))
+    (pairs, skipped)
+  }
+
   /** Persist dHash fingerprints as an INDEX — the image-side analogue of
     * the band/winnow indexes: 32 B per image, rebuild deletes the
-    * streaming replay marker (the shared index-rebuild contract). */
-  def dhashIndexWrite(hashes: DataFrame, id: String, path: String): Unit = {
-    graft.sources.Markers.delete(hashes.sparkSession, s"$path/lastbatch")
-    hashes.select(col(id) +: DHashBandCols.map(col): _*)
-      .write.mode("overwrite").parquet(s"$path/hashes")
+    * streaming replay marker (the shared index-rebuild contract).
+    *
+    * `maxBucket` applies the banded-machine quadratic-blowup guard AT
+    * INDEX TIME, the [[graft.operators.Dedup.bandIndexWrite]] contract
+    * adapted to this index's layout: the FULL 32 B hash rows are always
+    * stored (an image in one over-cap bucket still probes through its
+    * other three bands, and the row is the exact-verify payload), so the
+    * cap is metadata — `<path>/skipped` records the over-cap
+    * `(band_idx, key, size)` buckets, which [[dhashIncrementalPairs]]
+    * excludes from BOTH probe legs, and `<path>/bandsizes` holds the
+    * admitted buckets' sizes so appends size their touched buckets
+    * without re-scanning the index ([[dhashAppendBatch]] decides the cap
+    * over the COMBINED total; once a bucket crosses the cap it stays
+    * excluded). Surface `<path>/skipped` ([[dhashIndexSkipped]]) — it is
+    * the record that probe coverage was bounded. Write order within one
+    * call is `hashes` → `skipped` → `bandsizes` → marker and is NOT
+    * atomic; a torn append is replay-safe by construction (decisions
+    * read the once-written sidecars, probe `distinct()`s the hash rows)
+    * but detectable only by [[dhashIndexVerify]] — run it on index open
+    * after a crash. */
+  def dhashIndexWrite(hashes: DataFrame, id: String, path: String,
+      maxBucket: Int = Int.MaxValue): Unit = {
+    require(maxBucket >= 1, s"maxBucket must be >= 1, got $maxBucket")
+    val spark = hashes.sparkSession
+    graft.sources.Markers.delete(spark, s"$path/lastbatch")
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hs = hashes.select(col(id) +: DHashBandCols.map(col): _*)
+    if (maxBucket == Int.MaxValue) {
+      hs.write.mode("overwrite").parquet(s"$path/hashes")
+      // an uncapped REBUILD drops stale cap sidecars: left behind, the
+      // probe would keep excluding buckets of the discarded index
+      Seq("bandsizes", "skipped").foreach { name =>
+        val p = new org.apache.hadoop.fs.Path(s"$path/$name")
+        if (fs.exists(p)) fs.delete(p, true)
+      }
+    } else {
+      val marked = graft.engine.Checkpoints.mark(hs)
+      try {
+        marked.write.mode("overwrite").parquet(s"$path/hashes")
+        val sizes = dhashBanded(marked, id)
+          .groupBy("band", "v").agg(count(lit(1)).as("size"))
+        sizes.where(col("size") > maxBucket)
+          .select(col("band").as("band_idx"), col("v").as("key"), col("size"))
+          .write.mode("overwrite").parquet(s"$path/skipped")
+        sizes.where(col("size") <= maxBucket)
+          .select(col("band"), col("v"), col("size").as("n"))
+          .write.mode("overwrite").parquet(s"$path/bandsizes")
+      } finally graft.engine.Checkpoints.release(marked)
+    }
   }
+
+  /** The `(band_idx, key, size)` buckets a capped [[dhashIndexWrite]]
+    * excluded from pairing; empty for an uncapped index. A bucket re-hit
+    * by several appends has one sidecar row per append; this returns the
+    * current (max) total per bucket — the
+    * [[graft.operators.Dedup.bandIndexSkipped]] read discipline. */
+  def dhashIndexSkipped(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame =
+    try spark.read.parquet(s"$path/skipped")
+      .groupBy("band_idx", "key").agg(max("size").as("size"))
+    catch { case _: org.apache.spark.sql.AnalysisException =>
+      spark.emptyDataFrame
+        .withColumn("band_idx", lit(0))
+        .withColumn("key", lit(0L))
+        .withColumn("size", lit(0L))
+        .limit(0)
+    }
 
   /** Marker-guarded append of one ingest batch's hashes — the
     * [[graft.operators.Dedup.winnowAppendBatch]] replay discipline
@@ -783,20 +885,144 @@ object Multimodal {
     * A crash between the append and the marker re-applies the batch on
     * restart; the duplicate index rows are BENIGN for
     * [[dhashIncrementalPairs]] — its `distinct()` collapses the
-    * duplicated candidates, so probe results are replay-idempotent (no
-    * sidecar/verifier needed, unlike the count-sensitive winnow index).
+    * duplicated candidates, so probe results are replay-idempotent.
+    *
+    * On a CAPPED index pass the index's `maxBucket`: the cap is decided
+    * over the COMBINED bucket total (admitted rows from the `bandsizes`
+    * sidecar — bucket-count reads, never an index scan — plus any
+    * previously-skipped total plus this batch), so a bucket that
+    * straddles appends can never silently exceed the cap and a skipped
+    * bucket stays excluded ([[graft.operators.Dedup.bandIndexWrite]]'s
+    * append invariant). The batch's HASH rows are always appended (the
+    * cap is pairing metadata, not row exclusion — see
+    * [[dhashIndexWrite]]); cap decisions read only the once-written
+    * sidecars, so a torn-append retry re-decides identically. An
+    * uncapped append onto a capped index is refused (stale sidecars
+    * would silently under-exclude); a capped append onto an uncapped
+    * build sizes its touched buckets by one distinct recount of the
+    * compact 32 B rows and maintains `skipped` only (the
+    * [[graft.operators.Dedup.bandIndexWrite]] partial-sidecar rule).
     * Returns whether the batch was applied. */
   def dhashAppendBatch(path: String, batchHashes: DataFrame, id: String,
-      batchId: Long): Boolean = {
+      batchId: Long, maxBucket: Int = Int.MaxValue): Boolean = {
+    require(maxBucket >= 1, s"maxBucket must be >= 1, got $maxBucket")
     val spark = batchHashes.sparkSession
     val marker = s"$path/lastbatch"
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def sidecar(name: String): Boolean =
+      fs.exists(new org.apache.hadoop.fs.Path(s"$path/$name"))
     if (batchId <= graft.sources.Markers.readLastBatch(spark, marker)) false
-    else {
+    else if (maxBucket == Int.MaxValue) {
+      require(!(sidecar("bandsizes") || sidecar("skipped")),
+        s"$path is a capped dHash index; appending without maxBucket would " +
+          "break the bucket-cap invariant — pass the index's maxBucket")
       batchHashes.select(col(id) +: DHashBandCols.map(col): _*)
         .write.mode("append").parquet(s"$path/hashes")
       graft.sources.Markers.writeLastBatch(spark, marker, batchId)
       true
+    } else {
+      val batch = graft.engine.Checkpoints.mark(
+        batchHashes.select(col(id) +: DHashBandCols.map(col): _*))
+      try {
+        val stacked = dhashBanded(batch, id).select("band", "v")
+        val touched = stacked.distinct()
+        val sizesExist = sidecar("bandsizes")
+        val oldSizes =
+          if (sizesExist)
+            spark.read.parquet(s"$path/bandsizes")
+              .join(touched, Seq("band", "v"), "left_semi")
+              .groupBy("band", "v").agg(max("n").as("__old"))
+          else
+            // distinct BEFORE counting: replayed hash rows duplicate
+            // exactly, and a raw recount would double bucket totals
+            dhashBanded(spark.read.parquet(s"$path/hashes").distinct(), id)
+              .select("band", "v")
+              .join(touched, Seq("band", "v"), "left_semi")
+              .groupBy("band", "v").agg(count(lit(1)).as("__old"))
+        val oldSkipped = dhashIndexSkipped(spark, path)
+          .select(col("band_idx").as("band"), col("key").as("v"),
+            col("size").as("__oldskip"))
+        val sizes = stacked.groupBy("band", "v").agg(count(lit(1)).as("__add"))
+          .join(oldSizes, Seq("band", "v"), "left")
+          .join(oldSkipped, Seq("band", "v"), "left")
+          .select(col("band"), col("v"),
+            // hash rows are never routed away, so the total-so-far of a
+            // pre-skipped bucket is its skipped total (which already
+            // counts every member) — never skip+old
+            (coalesce(col("__oldskip"), coalesce(col("__old"), lit(0L))) +
+              col("__add")).as("size"),
+            col("__oldskip").isNotNull.as("__preskipped"))
+        val decided = graft.engine.Checkpoints.mark(sizes)
+        try {
+          batch.write.mode("append").parquet(s"$path/hashes")
+          decided.where(col("__preskipped") || col("size") > maxBucket)
+            .select(col("band").as("band_idx"), col("v").as("key"),
+              col("size"))
+            .write.mode("append").parquet(s"$path/skipped")
+          if (sizesExist)
+            decided.where(!col("__preskipped") && col("size") <= maxBucket)
+              .select(col("band"), col("v"), col("size").as("n"))
+              .write.mode("append").parquet(s"$path/bandsizes")
+        } finally graft.engine.Checkpoints.release(decided)
+        graft.sources.Markers.writeLastBatch(spark, marker, batchId)
+        true
+      } finally graft.engine.Checkpoints.release(batch)
     }
+  }
+
+  /** Recount-vs-sidecar consistency check of a CAPPED dHash index — the
+    * [[graft.operators.Dedup.bandIndexVerify]] twin for this index's
+    * metadata-cap layout: per-bucket DISTINCT recount of the banded hash
+    * rows (replayed appends duplicate rows exactly; distinct undoes
+    * them) cross-checked against the `bandsizes`/`skipped` sidecars.
+    * Empty result = consistent; findings → rebuild. Issues:
+    * `size_mismatch` (admitted bucket whose sidecar size differs from
+    * the recount), `missing_size` (bucket present in the hashes but in
+    * neither sidecar, on the bandsizes lineage), `skipped_undercount`
+    * (a skipped bucket with more members than its recorded total). */
+  def dhashIndexVerify(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame = {
+    val hs = spark.read.parquet(s"$path/hashes").distinct()
+    val idc = hs.schema.fieldNames.filterNot(DHashBandCols.contains).head
+    val actual = dhashBanded(hs, idc).groupBy("band", "v")
+      .agg(count(lit(1)).as("actual"))
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val sizesExist =
+      fs.exists(new org.apache.hadoop.fs.Path(s"$path/bandsizes"))
+    val sizes =
+      if (sizesExist)
+        spark.read.parquet(s"$path/bandsizes")
+          .groupBy("band", "v").agg(max("n").as("expected"))
+      else spark.emptyDataFrame.withColumn("band", lit(0))
+        .withColumn("v", lit(0L)).withColumn("expected", lit(0L)).limit(0)
+    val skip = dhashIndexSkipped(spark, path)
+      .select(col("band_idx").as("band"), col("key").as("v"),
+        col("size").as("__skip"))
+    val j = actual.join(sizes, Seq("band", "v"), "full")
+      .join(skip, Seq("band", "v"), "left")
+      .select(col("band"), col("v"),
+        coalesce(col("actual"), lit(0L)).as("actual"),
+        col("expected"), col("__skip"))
+    def finding(df: DataFrame, issue: String,
+        expected: org.apache.spark.sql.Column): DataFrame =
+      df.select(col("band"), col("v"), lit(issue).as("issue"),
+        expected.cast("long").as("expected"), col("actual"))
+    val mismatch = finding(
+      j.where(col("__skip").isNull && col("expected").isNotNull &&
+        col("expected") =!= col("actual")),
+      "size_mismatch", col("expected"))
+    val missing =
+      if (!sizesExist) finding(j, "missing_size", lit(0L)).limit(0)
+      else finding(
+        j.where(col("expected").isNull && col("__skip").isNull &&
+          col("actual") > 0),
+        "missing_size", lit(null))
+    val under = finding(
+      j.where(col("__skip").isNotNull && col("actual") > col("__skip")),
+      "skipped_undercount", col("__skip"))
+    mismatch.unionByName(missing).unionByName(under)
   }
 
   /** Incremental image dedup of an ingest batch against a persisted
@@ -804,14 +1030,22 @@ object Multimodal {
     * images: the batch hashes only its own rows and band-joins the
     * index SCAN (`a` = indexed image, `b` = batch image), with the same
     * exact-hamming verify as [[dhashNearDupPairs]]. The corpus is never
-    * re-decoded or re-hashed; the probe moves 32 B per indexed image. */
+    * re-decoded or re-hashed; the probe moves 32 B per indexed image.
+    * On a CAPPED index ([[dhashIndexWrite]] `maxBucket`) the buckets in
+    * `<path>/skipped` are excluded from BOTH probe legs — every batch
+    * query is bounded by construction, the reason the cap lives in the
+    * index; surface [[dhashIndexSkipped]] alongside probe results. */
   def dhashIncrementalPairs(spark: org.apache.spark.sql.SparkSession,
       path: String, batchHashes: DataFrame, id: String,
       maxHamming: Int): DataFrame = {
     require(maxHamming >= 0, s"maxHamming must be >= 0, got $maxHamming")
-    val x = dhashBanded(spark.read.parquet(s"$path/hashes"), id)
+    val skipped = dhashIndexSkipped(spark, path)
+      .select(col("band_idx").as("band"), col("key").as("v"))
+    def dropSkipped(banded: DataFrame): DataFrame =
+      banded.join(skipped, Seq("band", "v"), "left_anti")
+    val x = dropSkipped(dhashBanded(spark.read.parquet(s"$path/hashes"), id))
       .toDF("band" +: "v" +: "a" +: DHashBandCols.map(_ + "a"): _*)
-    val y = dhashBanded(batchHashes, id)
+    val y = dropSkipped(dhashBanded(batchHashes, id))
       .toDF("band" +: "v" +: "b" +: DHashBandCols.map(_ + "b"): _*)
     x.join(y, Seq("band", "v")).where(col("a") =!= col("b"))
       .select(col("a"), col("b"), dhashHamming.cast("long").as("hamming"))

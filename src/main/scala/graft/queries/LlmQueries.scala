@@ -59,8 +59,11 @@ object LlmQueries {
 
   /** The recursive-CTE chain replaying the q54 transitive-dedup pipeline
     * through reachability (`reach(u, r)`), shared by the q54 and q80
-    * oracles. */
-  private lazy val cc54With: String = {
+    * oracles. Parameterized by the shingle source (`tokCte`/unigrams for
+    * the default chain, `tok3Cte`/word-3-grams for the q119/q139 TUNED
+    * chain — the shingle size is the similarity DEFINITION, and 3-grams
+    * are what kill chance collisions on a small-vocabulary corpus). */
+  private def cc54Chain(tokSql: String, tokName: String): String = {
     val ms = (0 until NumHashes).map(i =>
       s"min(${pHash(i.toString, "shingle")}) AS m$i").mkString(",\n  ")
     val bandExprs = (0 until Bands).map { b =>
@@ -71,8 +74,8 @@ object LlmQueries {
       s"SELECT x.doc_id AS a, y.doc_id AS b FROM banded x " +
         s"JOIN banded y ON x.band$b = y.band$b AND x.doc_id < y.doc_id")
       .mkString("\n  UNION\n  ")
-    s"""WITH RECURSIVE $tokCte,
-       |sig AS (SELECT doc_id, $ms FROM tok GROUP BY doc_id),
+    s"""WITH RECURSIVE $tokSql,
+       |sig AS (SELECT doc_id, $ms FROM $tokName GROUP BY doc_id),
        |banded AS (SELECT doc_id,
        |  $bandExprs
        |FROM sig),
@@ -85,6 +88,9 @@ object LlmQueries {
        |  UNION
        |  SELECT e.v, reach.r FROM reach JOIN edges e ON e.u = reach.u)""".stripMargin
   }
+
+  private lazy val cc54With: String = cc54Chain(tokCte, "tok")
+  private lazy val cc54With3g: String = cc54Chain(tok3Cte, "tok3")
 
   // ---- Spark-side queries ----
 
@@ -159,21 +165,67 @@ object LlmQueries {
     * independent reachability implementation over a different (but
     * connectivity-equivalent) edge set, so the match is evidence both of
     * pipeline correctness and of the star/clique equivalence. */
-  def dedupComponents(s: SparkSession, d: String): DataFrame = {
-    val banded = Dedup.lshBands(minhashSig(s, d), "doc_id", NumHashes, Bands)
+  /** The q54 pipeline at caller-chosen SHINGLE SIZE — the similarity
+    * definition itself: unigram MinHash (the default chain, n = 1,
+    * native per-row signature kernel) estimates VOCABULARY overlap,
+    * which on a small-vocabulary corpus chains nearly everything;
+    * word-3-gram MinHash (n = 3, the grouped formulation over
+    * [[Dedup.shingles]]) estimates shared PHRASING, and chance
+    * collisions vanish. Banding (8 hashes × 4 bands) is identical in
+    * both — the knob that matters here is the shingle. */
+  private def dedupComponentsWith(s: SparkSession, d: String,
+      shingleN: Int): DataFrame = {
+    val src = docs(s, d)
+    val sig =
+      if (shingleN == 1) minhashSigOf(src)
+      else Dedup.minHash(
+        Dedup.shingles(src.where(col("text").isNotNull), "text", "doc_id",
+          shingleN, dedup = false),
+        "doc_id", NumHashes)
+    val banded = Dedup.lshBands(sig, "doc_id", NumHashes, Bands)
     val pairs = Dedup.lshStarEdges(banded, "doc_id", Bands)
-    Dedup.connectedComponents(docs(s, d).select("doc_id"), pairs, "doc_id")
-      .orderBy("doc_id")
+    Dedup.connectedComponents(src.select("doc_id"), pairs, "doc_id")
   }
 
-  /** q119 — leakage-safe split ([[TextOps.hashSplitBy]]): the q54
+  def dedupComponents(s: SparkSession, d: String): DataFrame =
+    dedupComponentsWith(s, d, 1).orderBy("doc_id")
+
+  /** The q119/q139 TUNED similarity: word-3-gram shingles — the setting
+    * the q138 profile told us to use. Under the default unigram chain
+    * the q54 closure chains ~499/500 docs into one cluster
+    * (`frac_largest_milli` ≈ 998, far over [[graft.operators.Dedup
+    * .componentSizeProfile]]'s documented 500 threshold), so a
+    * component-keyed split was all-or-nothing; under 3-grams the
+    * measured profile is healthy at both scales (sf0.1: 4495 components,
+    * max 19 of 5000 docs) and the split is demonstrably non-trivial. */
+  val TunedShingleN = 3
+
+  /** q119 — leakage-safe split ([[TextOps.hashSplitBy]]): dedup
     * component labels drive the train/val/test assignment, so every
     * member of a duplicate cluster lands in the same split and no
     * near-dup pair straddles the eval boundary. Per-doc hashSplit (q58)
-    * is the LEAKY baseline this replaces for deduped corpora. */
+    * is the LEAKY baseline this replaces for deduped corpora. Runs on
+    * the [[TunedShingleN]] closure: the q138 profile shows the DEFAULT
+    * unigram chain is split-degenerate on this corpus (one cluster
+    * holds nearly everything), and q139's profile certifies the tuned
+    * labels healthy — profile-then-split is the shipped discipline. */
   def leakSafeSplitQ(s: SparkSession, d: String): DataFrame =
-    TextOps.hashSplitBy(dedupComponents(s, d), col("component"))
+    TextOps.hashSplitBy(dedupComponentsWith(s, d, TunedShingleN),
+        col("component"))
       .orderBy("doc_id")
+
+  /** q138 — cluster-size audit ([[Dedup.componentSizeProfile]]) of the
+    * DEFAULT q54 closure: the report that WARNS before a component-keyed
+    * split — on this corpus it reads `frac_largest_milli` ≈ 998, far
+    * over the documented 500 degeneracy threshold. */
+  def componentProfileQ(s: SparkSession, d: String): DataFrame =
+    Dedup.componentSizeProfile(dedupComponentsWith(s, d, 1))
+
+  /** q139 — the same audit over the [[TunedShingleN]] closure q119
+    * splits on: the after picture — the profile that certifies the
+    * split non-degenerate. */
+  def componentProfileTunedQ(s: SparkSession, d: String): DataFrame =
+    Dedup.componentSizeProfile(dedupComponentsWith(s, d, TunedShingleN))
 
   /** q120 — length-bucketed batching ([[TextOps.lengthBucketBatches]]):
     * quartile boundaries (32/56/76 tokens on this corpus) cut four
@@ -833,9 +885,20 @@ object LlmQueries {
        |  FROM v$sfx GROUP BY doc_id)""".stripMargin
   }
 
-  /** The q122/q125 shared oracle chain: three-leg corpus → dHash bands →
-    * band-bucket self-join → exact-hamming pairs, as CTEs ending in `p`. */
-  private lazy val dhashPairCtes: String =
+  /** The q122/q125/q134/q137 shared oracle chain: three-leg corpus →
+    * dHash bands → band-bucket self-join → exact-hamming pairs, as CTEs
+    * ending in `p`. `cap` (q134/q137) re-derives the per-bucket size cap
+    * as a HAVING on bucket size — an independent formulation of
+    * [[Multimodal.dhashNearDupPairsCapped]]'s exclusion (the q57
+    * pattern): only sub-cap buckets feed the self-join. */
+  private def dhashPairCtesWith(cap: Option[Int]): String = {
+    val capped = cap.map { c =>
+      s""",
+         |bs AS (SELECT band, v FROM e GROUP BY band, v
+         |  HAVING count(*) <= $c),
+         |ek AS (SELECT e.* FROM e JOIN bs USING (band, v))""".stripMargin
+    }.getOrElse("")
+    val src = if (cap.isDefined) "ek" else "e"
     s"""base AS (SELECT doc_id, (4 + doc_id % 8)::INTEGER AS w,
        |    (3 + doc_id % 5)::INTEGER AS h,
        |    rpad(text, ((4 + doc_id % 8) * (3 + doc_id % 5) * 3)::INTEGER,
@@ -852,31 +915,45 @@ object LlmQueries {
        |e AS (SELECT doc_id, b0, b1, b2, b3, band,
        |    CASE band WHEN 0 THEN b0 WHEN 1 THEN b1
        |      WHEN 2 THEN b2 ELSE b3 END AS v
-       |  FROM hs CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band)),
+       |  FROM hs CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band))$capped,
        |p AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
        |    (bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1)) +
        |     bit_count(xor(x.b2, y.b2)) + bit_count(xor(x.b3, y.b3)))::BIGINT
        |      AS hamming
-       |  FROM e x JOIN e y ON y.band = x.band AND y.v = x.v
+       |  FROM $src x JOIN $src y ON y.band = x.band AND y.v = x.v
        |    AND x.doc_id < y.doc_id)""".stripMargin
+  }
+
+  private lazy val dhashPairCtes: String = dhashPairCtesWith(None)
+
+  /** The q131 index-side cap — sized to the TWO-leg index corpus (orig +
+    * re-upload: largest bucket 78 at sf0.01, 786 at sf0.1), so the
+    * build-time exclusion is exercised at both scales. */
+  val DHashIndexCap = 70
 
   /** Per-directory memo of the persisted dHash index over the ingested
     * image corpus (the orig + re-upload legs of [[dhashCorpus]]) —
-    * hashed ONCE per session, probed per batch. */
+    * hashed ONCE per session, probed per batch. CAPPED at build time
+    * ([[DHashIndexCap]]): over-cap band buckets live in the index's
+    * `skipped` sidecar and every future batch probe is bounded by
+    * construction ([[Multimodal.dhashIndexWrite]]). */
   private val dhashIndexCache = new SessionPathMemo("dhashidx", (s, d, p) => {
     val (orig, copy, _) = dhashCorpusLegs(s, d)
     Multimodal.dhashIndexWrite(
       Multimodal.imageDHash(Multimodal.decodePpm(
         orig.unionByName(copy), "doc_id", "payload")),
-      "doc_id", p)
+      "doc_id", p, maxBucket = DHashIndexCap)
   })
 
   /** q131 — incremental image dedup
     * ([[Multimodal.dhashIncrementalPairs]]): the perturbed-variant leg
-    * plays the ingest batch, probing the persisted index of the
+    * plays the ingest batch, probing the persisted CAPPED index of the
     * orig + re-upload legs — each batch image pairs with its source and
-    * the source's re-upload at hamming ≤ 3, the corpus never re-decoded
-    * or re-hashed. */
+    * the source's re-upload at hamming ≤ 3 through any sub-cap shared
+    * band, the corpus never re-decoded or re-hashed. Buckets the build
+    * excluded ([[DHashIndexCap]]) are out of BOTH probe legs; the
+    * oracle re-derives the exclusion as a HAVING on index-side bucket
+    * size — the q61 build-time-cap replay, one operator family over. */
   def imageDedupIncrementalQ(s: SparkSession, d: String): DataFrame =
     Multimodal.dhashIncrementalPairs(s, dhashIndexCache(s, d),
         Multimodal.imageDHash(Multimodal.decodePpm(
@@ -923,6 +1000,99 @@ object LlmQueries {
     try Dedup.connectedComponents(hashes.select("doc_id"), pairs, "doc_id")
       .orderBy("doc_id")
     finally graft.engine.Checkpoints.release(pairs)
+  }
+
+  /** The q134/q135/q137 per-bucket cap — mega-buckets are REAL on this
+    * corpus (the padded-'.' planes are the flat-image regime: at sf0.1
+    * the largest band bucket holds 1190 of 13k images, whose uncapped
+    * self-join alone is ~700k candidate rows), so the cap excludes
+    * actual buckets at both scales and the oracles replay the exclusion. */
+  val DHashPairCap = 100
+
+  /** q134 — CAPPED near-duplicate image pairs
+    * ([[Multimodal.dhashNearDupPairsCapped]]): q122 with the
+    * quadratic-blowup guard wired — band buckets over [[DHashPairCap]]
+    * are excluded from pair generation (members still pair through
+    * their other, sub-cap bands). As with q57, the cap is part of THIS
+    * query's spec and the oracle replays it as a HAVING on bucket size,
+    * so the `skipped` frame is deliberately dropped here — q135 is the
+    * query that surfaces it (the operator's surface-the-exclusions
+    * contract, split across the pair/report queries). */
+  def imageNearDupCappedQ(s: SparkSession, d: String): DataFrame =
+    Multimodal.dhashNearDupPairsCapped(
+        Multimodal.imageDHash(
+          Multimodal.decodePpm(dhashCorpus(s, d), "doc_id", "payload")),
+        "doc_id", maxHamming = 8, maxBucket = DHashPairCap)
+      ._1.orderBy("a", "b")
+
+  /** q135 — the q134 cap's EXCLUSION REPORT
+    * ([[Multimodal.dhashNearDupPairsCapped]]'s `skipped` frame): the
+    * over-cap `(band_idx, key, size)` buckets — the record that q134's
+    * coverage was bounded, and the queryable signal that those bands'
+    * members belong on a different path (a flat-band triage, the
+    * [[graft.operators.Dedup.lshStarEdges]] analogue). Oracle: the same
+    * bucket sizes with the HAVING inverted. */
+  def imageBandSkippedQ(s: SparkSession, d: String): DataFrame =
+    Multimodal.dhashNearDupPairsCapped(
+        Multimodal.imageDHash(
+          Multimodal.decodePpm(dhashCorpus(s, d), "doc_id", "payload")),
+        "doc_id", maxHamming = 8, maxBucket = DHashPairCap)
+      ._2.orderBy("band_idx", "key")
+
+  /** The q136 audio cap — the silence-analogue flat band is measured
+    * here too (band 3 of the envelope hash holds 650 of 1.3k clips at
+    * sf0.1, value 0: quiet tails compare equal), so the cap bites at
+    * both scales. */
+  val AudioPairCap = 40
+
+  /** q136 — CAPPED near-duplicate audio: q133 through the identical
+    * capped banded machine ([[Multimodal.dhashNearDupPairsCapped]] over
+    * [[Multimodal.audioFingerprint]] rows) — one guard across
+    * modalities, cap replayed by the oracle as a HAVING on bucket size. */
+  def audioNearDupCappedQ(s: SparkSession, d: String): DataFrame =
+    Multimodal.dhashNearDupPairsCapped(
+        Multimodal.audioFingerprint(Multimodal.decodeWav(
+          wavRotatedPayloads(s, d).unionByName(
+            wavRotatedPayloads(s, d, idOffset = 300000L, flipFirst = true)),
+          "doc_id", "payload")),
+        "doc_id", maxHamming = 8, maxBucket = AudioPairCap)
+      ._1.orderBy("a", "b")
+
+  /** q137 — the end-to-end IMAGE curation pipeline (the q67 pattern for
+    * the multimodal family): decode → dHash fingerprint → CAPPED banded
+    * pairs ([[DHashPairCap]]) → transitive components (q54's
+    * pointer-jumping kernel) → per-cluster keeper by decoded pixel mass
+    * (width×height, ties to the smallest id — the image-side quality
+    * proxy; here every leg of a cluster shares its source's geometry,
+    * so the original wins) → leakage-safe component-keyed split
+    * ([[TextOps.hashSplitBy]] on the component label: a near-dup pair
+    * can never straddle train/test). Every leg is gated elsewhere on
+    * its own oracle (q71/q121/q134/q125/q84/q119); this gates their
+    * COMPOSITION. Output per image:
+    * `(doc_id, component, keep, bucket, split)`. */
+  def imageCurationQ(s: SparkSession, d: String): DataFrame = {
+    val decoded = Multimodal.decodePpm(dhashCorpus(s, d), "doc_id", "payload")
+    val hashes = Multimodal.imageDHash(decoded)
+    val (pairs, _) = Multimodal.dhashNearDupPairsCapped(hashes, "doc_id",
+      maxHamming = 8, maxBucket = DHashPairCap)
+    // connectedComponents evaluates edges eagerly onto its own
+    // checkpoints — release the pair machine's shared hash checkpoint
+    // here (the q125 discipline)
+    val labels =
+      try Dedup.connectedComponents(hashes.select("doc_id"), pairs, "doc_id")
+      finally graft.engine.Checkpoints.release(pairs)
+    val scored = labels.join(
+      decoded.select(col("doc_id"),
+        (col("width") * col("height")).cast("long").as("__score")),
+      "doc_id")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("component")
+      .orderBy(col("__score").desc, col("doc_id").asc)
+    TextOps.hashSplitBy(
+        scored.withColumn("keep", row_number().over(w) === 1)
+          .select("doc_id", "component", "keep"),
+        col("component"))
+      .orderBy("doc_id")
   }
 
   def ppmDecode(s: SparkSession, d: String): DataFrame = {
@@ -1888,17 +2058,94 @@ object LlmQueries {
          |ORDER BY a, b""".stripMargin,
 
     // same chain, the band join split across the ingest boundary
-    // (index legs < 200000, batch leg >= 200000)
+    // (index legs < 200000, batch leg >= 200000); the build-time bucket
+    // cap re-derived as a HAVING on INDEX-side bucket size (the q61
+    // replay) — excluded buckets pair through neither leg
     "q131_image_dedup_incremental" ->
       s"""WITH $dhashPairCtes,
+         |xb AS (SELECT band, v FROM e WHERE doc_id < 200000
+         |  GROUP BY band, v HAVING count(*) > $DHashIndexCap),
          |p2 AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
          |    (bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1)) +
          |     bit_count(xor(x.b2, y.b2)) + bit_count(xor(x.b3, y.b3)))::BIGINT
          |      AS hamming
          |  FROM e x JOIN e y ON y.band = x.band AND y.v = x.v
-         |    AND x.doc_id < 200000 AND y.doc_id >= 200000)
+         |    AND x.doc_id < 200000 AND y.doc_id >= 200000
+         |  LEFT JOIN xb ON xb.band = x.band AND xb.v = x.v
+         |  WHERE xb.band IS NULL)
          |SELECT a, b, hamming FROM p2 WHERE hamming <= 8
          |ORDER BY a, b""".stripMargin,
+
+    // the q122 chain with the cap replayed as a HAVING on bucket size:
+    // only sub-cap buckets feed the self-join
+    "q134_image_neardup_capped" ->
+      s"""WITH ${dhashPairCtesWith(Some(DHashPairCap))}
+         |SELECT a, b, hamming FROM p WHERE hamming <= 8
+         |ORDER BY a, b""".stripMargin,
+
+    // the inverted HAVING: the over-cap buckets themselves — q134's
+    // exclusion report
+    "q135_image_band_skipped" ->
+      s"""WITH $dhashPairCtes
+         |SELECT band AS band_idx, v AS key, count(*)::BIGINT AS size
+         |FROM e GROUP BY band, v HAVING count(*) > $DHashPairCap
+         |ORDER BY band_idx, key""".stripMargin,
+
+    // q133's two-leg chain with the audio cap replayed as the same
+    // HAVING — one capped machine across modalities
+    "q136_audio_neardup_capped" ->
+      s"""WITH ${wavEnvCtes("_o", flip = false)},
+         |${wavEnvCtes("_n", flip = true)},
+         |hso AS (SELECT doc_id, ${audioBandSql.mkString(",\n  ")}
+         |  FROM sarr_o),
+         |hsn AS (SELECT doc_id + 300000 AS doc_id,
+         |  ${audioBandSql.mkString(",\n  ")}
+         |  FROM sarr_n),
+         |hs AS (SELECT * FROM hso UNION ALL SELECT * FROM hsn),
+         |e AS (SELECT doc_id, b0, b1, b2, b3, band,
+         |    CASE band WHEN 0 THEN b0 WHEN 1 THEN b1
+         |      WHEN 2 THEN b2 ELSE b3 END AS v
+         |  FROM hs CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band)),
+         |bs AS (SELECT band, v FROM e GROUP BY band, v
+         |  HAVING count(*) <= $AudioPairCap),
+         |ek AS (SELECT e.* FROM e JOIN bs USING (band, v)),
+         |p AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+         |    (bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1)) +
+         |     bit_count(xor(x.b2, y.b2)) + bit_count(xor(x.b3, y.b3)))::BIGINT
+         |      AS hamming
+         |  FROM ek x JOIN ek y ON y.band = x.band AND y.v = x.v
+         |    AND x.doc_id < y.doc_id)
+         |SELECT a, b, hamming FROM p WHERE hamming <= 8
+         |ORDER BY a, b""".stripMargin,
+
+    // the composed image-curation replay: capped pairs → reachability
+    // closure → pixel-mass keeper → component-keyed split arithmetic
+    "q137_image_curation" ->
+      s"""WITH RECURSIVE ${dhashPairCtesWith(Some(DHashPairCap))},
+         |pr AS (SELECT a, b FROM p WHERE hamming <= 8),
+         |edges AS (SELECT a AS u, b AS v FROM pr
+         |  UNION SELECT b AS u, a AS v FROM pr),
+         |reach(u, r) AS (
+         |  SELECT doc_id, doc_id FROM hs
+         |  UNION
+         |  SELECT e2.v, reach.r FROM reach JOIN edges e2 ON e2.u = reach.u),
+         |comp AS (SELECT u AS doc_id, min(r) AS component
+         |  FROM reach GROUP BY u),
+         |scored AS (SELECT c.doc_id, c.component,
+         |    (corpus.w * corpus.h)::BIGINT AS score
+         |  FROM comp c JOIN corpus ON corpus.doc_id = c.doc_id),
+         |rn AS (SELECT doc_id, component,
+         |    row_number() OVER (PARTITION BY component
+         |      ORDER BY score DESC, doc_id ASC) AS rn
+         |  FROM scored),
+         |b2 AS (SELECT doc_id, component, (rn = 1) AS keep,
+         |    ${pHash("42", "component::VARCHAR")} % 100 AS bucket
+         |  FROM rn)
+         |SELECT doc_id, component, keep, bucket,
+         |  CASE WHEN bucket < 80 THEN 'train'
+         |       WHEN bucket < 90 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM b2 ORDER BY doc_id""".stripMargin,
 
     // the q122 pair chain + generic reachability closure (the cc54With
     // recursion shape over dHash edges), component = min reachable id
@@ -1964,10 +2211,12 @@ object LlmQueries {
          |  ((rank_in_bucket - 1) // 16)::BIGINT AS batch_idx
          |FROM r ORDER BY doc_id""".stripMargin,
 
-    // the q54 reachability replay + the split arithmetic keyed on the
-    // component label — every cluster member shares bucket and split
+    // the q54 reachability replay AT THE TUNED BANDING (2 bands x 4
+    // rows) + the split arithmetic keyed on the component label — every
+    // cluster member shares bucket and split, and the clusters are
+    // small enough that the split is non-degenerate (q139 certifies)
     "q119_leak_safe_split" ->
-      s"""$cc54With,
+      s"""${cc54With3g},
          |comp AS (SELECT u AS doc_id, min(r) AS component
          |  FROM reach GROUP BY u),
          |b AS (SELECT doc_id, component,
@@ -1978,6 +2227,33 @@ object LlmQueries {
          |       WHEN bucket < 90 THEN 'val'
          |       ELSE 'test' END AS split
          |FROM b ORDER BY doc_id""".stripMargin,
+
+    // cluster-size audit over the DEFAULT closure: the degeneracy
+    // warning (frac_largest_milli ~ 998 on this corpus)
+    "q138_component_profile" ->
+      s"""$cc54With,
+         |comp AS (SELECT u AS doc_id, min(r) AS component
+         |  FROM reach GROUP BY u),
+         |cs AS (SELECT component, count(*) AS sz FROM comp
+         |  GROUP BY component)
+         |SELECT sum(sz)::BIGINT AS n_docs, count(*)::BIGINT AS n_components,
+         |  max(sz)::BIGINT AS max_size,
+         |  sum(CASE WHEN sz = 1 THEN 1 ELSE 0 END)::BIGINT AS n_singletons,
+         |  ((max(sz) * 1000) // sum(sz))::BIGINT AS frac_largest_milli
+         |FROM cs""".stripMargin,
+
+    // the same audit over the tuned closure q119 splits on
+    "q139_component_profile_tuned" ->
+      s"""${cc54With3g},
+         |comp AS (SELECT u AS doc_id, min(r) AS component
+         |  FROM reach GROUP BY u),
+         |cs AS (SELECT component, count(*) AS sz FROM comp
+         |  GROUP BY component)
+         |SELECT sum(sz)::BIGINT AS n_docs, count(*)::BIGINT AS n_components,
+         |  max(sz)::BIGINT AS max_size,
+         |  sum(CASE WHEN sz = 1 THEN 1 ELSE 0 END)::BIGINT AS n_singletons,
+         |  ((max(sz) * 1000) // sum(sz))::BIGINT AS frac_largest_milli
+         |FROM cs""".stripMargin,
 
     "q80_dedup_keepers" ->
       s"""$cc54With,
@@ -3106,6 +3382,12 @@ object LlmQueries {
     "q131_image_dedup_incremental" -> imageDedupIncrementalQ _,
     "q132_audio_fingerprint" -> audioFingerprintQ _,
     "q133_audio_neardup" -> audioNearDupQ _,
+    "q134_image_neardup_capped" -> imageNearDupCappedQ _,
+    "q135_image_band_skipped" -> imageBandSkippedQ _,
+    "q136_audio_neardup_capped" -> audioNearDupCappedQ _,
+    "q137_image_curation" -> imageCurationQ _,
+    "q138_component_profile" -> componentProfileQ _,
+    "q139_component_profile_tuned" -> componentProfileTunedQ _,
     "q80_dedup_keepers" -> dedupKeepers _,
     "q84_dedup_keepers_by" -> dedupKeepersBy _,
     "q81_mixed_decode" -> mixedDecode _,

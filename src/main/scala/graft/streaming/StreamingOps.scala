@@ -191,15 +191,18 @@ object StreamingOps {
     * map-only, and appends via the replay-guarded
     * [[graft.operators.Multimodal.dhashAppendBatch]], keeping
     * [[graft.operators.Multimodal.dhashIncrementalPairs]] current under
-    * ingest. Caller sets `checkpointLocation` and `start()`s. */
+    * ingest. On a CAPPED index pass the index's `maxBucket` so every
+    * batch append keeps the combined-size bucket invariant (an uncapped
+    * append onto a capped index is refused by the operator). Caller sets
+    * `checkpointLocation` and `start()`s. */
   def maintainDHashIndex(payloadStream: DataFrame, id: String,
-      payload: String, path: String)
+      payload: String, path: String, maxBucket: Int = Int.MaxValue)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     val fn: (DataFrame, Long) => Unit = (batch, batchId) => {
       graft.operators.Multimodal.dhashAppendBatch(path,
         graft.operators.Multimodal.imageDHash(
           graft.operators.Multimodal.decodePpm(batch, id, payload)),
-        id, batchId)
+        id, batchId, maxBucket)
       ()
     }
     payloadStream.writeStream.foreachBatch(fn)

@@ -19,9 +19,23 @@ import org.apache.spark.sql.functions._
   * of the first pixel — n/10 planted near-dup pairs, everything else
   * noise. Deterministic (no RNG): reruns comparable.
   *
-  * Usage: `SPARK_DRIVER_MEM=32g sbt "runMain graft.tools.LargeDHashBench [n]"`
+  * Usage: `SPARK_DRIVER_MEM=32g sbt "runMain graft.tools.LargeDHashBench [n] [flat]"`
   * Default n = 1,000,000 images. Results recorded in BASELINE.md
   * ("Large-N image-dedup evidence").
+  *
+  * `flat` switches the generator to the NEAR-LINEAR byte function that
+  * was this bench's recorded failed first attempt — the mega-bucket
+  * regime (brightness gradients mostly seed-independent, the corpus
+  * collapses onto a handful of band values; the real-world analogue is
+  * flat/letterboxed images and silence-heavy audio). In that mode the
+  * UNCAPPED self-join's candidate count (Σ|bucket|², computed from the
+  * bucket sizes, never materialized) is printed next to what
+  * [[graft.operators.Multimodal.dhashNearDupPairsCapped]] actually
+  * generates under a 1000-member bucket cap — the bounded-coverage
+  * evidence, with the skipped buckets and their would-be candidate mass
+  * reported alongside (partial planted recovery is the documented trade
+  * in this regime: those members belong on a triage path, not in a
+  * verified-pair join).
   */
 object LargeDHashBench {
   final case class Img(doc_id: Long, width: Int, height: Int,
@@ -29,6 +43,7 @@ object LargeDHashBench {
 
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toLong).getOrElse(1000000L)
+    val flatMode = args.contains("flat")
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "64")
@@ -48,14 +63,20 @@ object LargeDHashBench {
         val px = new Array[Byte](W * H * 3)
         var j = 0
         while (j < px.length) {
-          // splitmix64 of (seed, j): full-avalanche bytes — a weak (near
-          // -linear) generator makes every image's brightness GRADIENT
-          // seed-independent and collapses the corpus onto a handful of
-          // identical dHashes (observed: 196 distinct bands at n = 10^6)
-          var z = seed * 0x9e3779b97f4a7c15L + j * 0xbf58476d1ce4e5b9L
-          z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-          z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-          px(j) = ((z ^ (z >>> 31)) & 0xff).toByte
+          if (flatMode) {
+            // the recorded failed first attempt, kept ON PURPOSE as the
+            // mega-bucket generator: near-linear in (seed, j), so every
+            // image's brightness GRADIENT is mostly seed-independent and
+            // the corpus collapses onto a handful of identical dHashes
+            px(j) = (((seed * 31 + j * 167) >>> 3) & 0xff).toByte
+          } else {
+            // splitmix64 of (seed, j): full-avalanche bytes — a realistic
+            // hash distribution (distinct buckets, bounded populations)
+            var z = seed * 0x9e3779b97f4a7c15L + j * 0xbf58476d1ce4e5b9L
+            z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+            z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+            px(j) = ((z ^ (z >>> 31)) & 0xff).toByte
+          }
           j += 1
         }
         if (i % 10 == 1) px(0) = (px(0) ^ 0x7f).toByte
@@ -79,17 +100,53 @@ object LargeDHashBench {
     }
     println(s"buckets: max=${bucketStats.getLong(0)} " +
       f"mean=${bucketStats.getDouble(1)}%.1f distinct=${bucketStats.getLong(2)}")
-    // 3. banded pair scan + exact verify; planted recovery must be exact
-    val pairs = time("near-dup pairs (hamming<=3)") {
-      val p = Multimodal.dhashNearDupPairs(hashed, "doc_id", maxHamming = 3)
-      graft.engine.Checkpoints.mark(p)
+    if (flatMode) {
+      // 3-flat. the mega-bucket regime: quote the UNCAPPED candidate mass
+      // (Σ|bucket|² over the sizes — never materialized), then run the
+      // CAPPED machine and show candidates are bounded by construction
+      val sizes = hashed.select(explode(array(
+          Seq("b0", "b1", "b2", "b3").zipWithIndex.map { case (c, i) =>
+            struct(lit(i).as("band"), col(c).as("v")) }: _*)).as("e"))
+        .groupBy("e.band", "e.v").agg(count(lit(1)).as("c"))
+      val cap = 1000
+      val half = expr("(c * (c - 1)) div 2")
+      val mass = sizes.agg(
+          sum(half).as("uncapped"),
+          sum(when(col("c") <= cap, half).otherwise(lit(0L))).as("capped"),
+          sum(when(col("c") > cap, lit(1L)).otherwise(0L)).as("nskip"))
+        .head()
+      println(s"uncapped candidates=${mass.getLong(0)} " +
+        s"capped(<=$cap) candidates=${mass.getLong(1)} " +
+        s"skipped buckets=${mass.getLong(2)}")
+      val (p, sk) = Multimodal.dhashNearDupPairsCapped(hashed, "doc_id",
+        maxHamming = 3, maxBucket = cap)
+      val pairs = time(s"CAPPED near-dup pairs (bucket<=$cap)") {
+        graft.engine.Checkpoints.mark(p)
+      }
+      val total = pairs.count()
+      val planted = pairs
+        .where(col("a") % 10 === 0 && col("b") === col("a") + 1).count()
+      val skRows = sk.agg(count(lit(1)).as("n"),
+        coalesce(sum("size"), lit(0L)).as("members")).head()
+      println(s"pairs=$total planted_recovered=$planted " +
+        s"expected_planted=${n / 10} (partial recovery is the documented " +
+        "bounded-coverage trade in this regime)")
+      println(s"skipped: ${skRows.getLong(0)} buckets, " +
+        s"${skRows.getLong(1)} member rows excluded (surfaced, not silent)")
+      graft.engine.Checkpoints.release(pairs)
+    } else {
+      // 3. banded pair scan + exact verify; planted recovery must be exact
+      val pairs = time("near-dup pairs (hamming<=3)") {
+        val p = Multimodal.dhashNearDupPairs(hashed, "doc_id", maxHamming = 3)
+        graft.engine.Checkpoints.mark(p)
+      }
+      val total = pairs.count()
+      val planted = pairs
+        .where(col("a") % 10 === 0 && col("b") === col("a") + 1).count()
+      println(s"pairs=$total planted_recovered=$planted expected=${n / 10}")
+      require(planted == n / 10, s"planted recovery $planted != ${n / 10}")
+      graft.engine.Checkpoints.release(pairs)
     }
-    val total = pairs.count()
-    val planted = pairs
-      .where(col("a") % 10 === 0 && col("b") === col("a") + 1).count()
-    println(s"pairs=$total planted_recovered=$planted expected=${n / 10}")
-    require(planted == n / 10, s"planted recovery $planted != ${n / 10}")
-    graft.engine.Checkpoints.release(pairs)
     graft.engine.Checkpoints.release(hashed)
     spark.stop()
   }

@@ -2043,6 +2043,89 @@ class OperatorSpec extends AnyFunSuite {
       s"incremental $inc vs full-restricted $expected")
   }
 
+  test("dhashNearDupPairsCapped: mega-bucket excluded from pairing, sub-cap bands still pair, skipped surfaced") {
+    // ids 1..5 all share band 0 (a 5-member mega-bucket — the flat-image
+    // regime); only 1 and 2 also share band 1 (sub-cap). All other band
+    // values are unique per id.
+    val hs = (1L to 5L).map { i =>
+      (i, 0x1111L, if (i <= 2) 0x2222L else 0x2220L + i,
+        0x3300L + i, 0x4400L + i)
+    }.toDF("doc_id", "b0", "b1", "b2", "b3")
+    val uncapped = Multimodal.dhashNearDupPairs(hs, "doc_id", maxHamming = 64)
+    try assert(uncapped.count() == 10, "uncapped: all 10 pairs via the mega-bucket")
+    finally graft.engine.Checkpoints.release(uncapped)
+    val (pairs, skipped) =
+      Multimodal.dhashNearDupPairsCapped(hs, "doc_id", maxHamming = 64,
+        maxBucket = 4)
+    try {
+      val got = pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == Set((1L, 2L)),
+        s"only the sub-cap band-1 bucket may pair: $got")
+      val sk = skipped.collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+      assert(sk == Set((0, 0x1111L, 5L)), s"skipped must be surfaced: $sk")
+    } finally graft.engine.Checkpoints.release(pairs)
+  }
+
+  test("capped dhash index: combined-size cap across appends, probe exclusion, refuse uncapped append, replay-safe") {
+    def row(i: Long, b0: Long, b1: Long) = (i, b0, b1, 0x3300L + i, 0x4400L + i)
+    val dir = java.nio.file.Files.createTempDirectory("graft_dhcap_t").toString
+    graft.cli.Cleanup.deleteOnExit(dir)
+    // build: bucket (0, 0x1111) holds ids 1,2 — under the cap of 3
+    Multimodal.dhashIndexWrite(
+      Seq(row(1L, 0x1111L, 0x2221L), row(2L, 0x1111L, 0x2222L))
+        .toDF("doc_id", "b0", "b1", "b2", "b3"),
+      "doc_id", dir, maxBucket = 3)
+    // append ids 3,4 in the same band-0 bucket: combined 4 > 3 — the
+    // straddle append must move the bucket to skipped (total-seen 4)
+    val batch1 = Seq(row(3L, 0x1111L, 0x2223L), row(4L, 0x1111L, 0x2224L))
+      .toDF("doc_id", "b0", "b1", "b2", "b3")
+    assert(Multimodal.dhashAppendBatch(dir, batch1, "doc_id", 0L, maxBucket = 3))
+    val sk1 = Multimodal.dhashIndexSkipped(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    assert(sk1 == Set((0, 0x1111L, 4L)), s"straddle bucket must skip: $sk1")
+    // probe a batch image that shares ONLY the skipped band: no pairs
+    val probeFlat = Multimodal.dhashIncrementalPairs(spark, dir,
+      Seq(row(90L, 0x1111L, 0x9999L)).toDF("doc_id", "b0", "b1", "b2", "b3"),
+      "doc_id", maxHamming = 64)
+    assert(probeFlat.count() == 0, "skipped bucket must not pair")
+    // a batch image sharing a sub-cap band (id 2's b1) still pairs
+    val probeOk = Multimodal.dhashIncrementalPairs(spark, dir,
+      Seq(row(91L, 0x7777L, 0x2222L)).toDF("doc_id", "b0", "b1", "b2", "b3"),
+      "doc_id", maxHamming = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(probeOk == Set((2L, 91L)), s"sub-cap bands must still pair: $probeOk")
+    // pre-skipped bucket stays skipped; total keeps growing
+    assert(Multimodal.dhashAppendBatch(dir,
+      Seq(row(5L, 0x1111L, 0x2225L)).toDF("doc_id", "b0", "b1", "b2", "b3"),
+      "doc_id", 1L, maxBucket = 3))
+    val sk2 = Multimodal.dhashIndexSkipped(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    assert(sk2 == Set((0, 0x1111L, 5L)), s"pre-skipped total must grow: $sk2")
+    // uncapped append onto a capped index is refused outright
+    intercept[IllegalArgumentException] {
+      Multimodal.dhashAppendBatch(dir,
+        Seq(row(6L, 0x6666L, 0x2226L)).toDF("doc_id", "b0", "b1", "b2", "b3"),
+        "doc_id", 2L)
+    }
+    // metadata is consistent, and a torn-append replay (hash rows landing
+    // twice) neither changes probe results nor trips the verifier
+    assert(Multimodal.dhashIndexVerify(spark, dir).count() == 0,
+      "verifier must be clean after normal build+appends")
+    val before = Multimodal.dhashIncrementalPairs(spark, dir,
+      Seq(row(91L, 0x7777L, 0x2222L)).toDF("doc_id", "b0", "b1", "b2", "b3"),
+      "doc_id", maxHamming = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    batch1.write.mode("append").parquet(s"$dir/hashes")
+    val after = Multimodal.dhashIncrementalPairs(spark, dir,
+      Seq(row(91L, 0x7777L, 0x2222L)).toDF("doc_id", "b0", "b1", "b2", "b3"),
+      "doc_id", maxHamming = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(after == before, "replayed hash rows must not change the probe")
+    assert(Multimodal.dhashIndexVerify(spark, dir).count() == 0,
+      "exact replay duplicates must not trip the distinct recount")
+  }
+
   test("hashSplitBy: every member of a group shares bucket+split; bucket replays from raw md5 of the KEY") {
     val labels = Seq((1L, 10L), (2L, 10L), (3L, 10L), (4L, 40L), (5L, 50L))
       .toDF("doc_id", "component")
