@@ -43,6 +43,24 @@ object TextOps {
   def tokenCountBpeish(text: Column): Column =
     size(regexp_extract_all(lower(text), lit(BpeishPattern), lit(0)))
 
+  /** The REAL subword tokens of a text column under a FROZEN vocabulary
+    * ([[graft.functions.SubwordTokenize]]): greedy longest-match per
+    * whitespace word with a single-codepoint fallback — the
+    * tokenizer-apply inference a training pipeline runs, deterministic
+    * and oracle-replayable (the vocab is the model artifact; the walk
+    * has no ties). Map-only native expression: at 100 TB this is a free
+    * column on the scan, like [[tokens]]. */
+  def bpeTokens(text: Column, vocab: Seq[String]): Column =
+    graft.functions.SubwordTokenize.subword_tokens(text, vocab)
+
+  /** Subword token COUNT under the frozen vocab — the drop-in
+    * replacement for [[tokenCount]] wherever budgets/packing/batching
+    * should count TOKENIZER tokens instead of whitespace words
+    * (q64/q69/q112/q120 all take the count as a `Column`, so this
+    * plugs straight in; q142 gates that composition). */
+  def tokenCountBpe(text: Column, vocab: Seq[String]): Column =
+    size(bpeTokens(text, vocab))
+
   /** Quality-scoring features: length, alpha/digit/punct/space ratios and
     * mean token length — the standard cheap pre-filters for corpus curation.
     */

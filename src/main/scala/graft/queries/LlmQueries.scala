@@ -1695,6 +1695,95 @@ object LlmQueries {
         col("__copies").as("n_copies"))
       .orderBy("doc_id")
 
+  /** The q140/q141/q142 FROZEN subword vocabulary — the trained-tokenizer
+    * model artifact ([[graft.functions.SubwordTokenize]] applies it;
+    * the oracles regenerate their longest-prefix CASE from this same
+    * literal). Chosen so the corpus tokenizes non-trivially: some full
+    * words ("scan"/"row"/"key"), most words decomposing into 2–4
+    * subwords ("table" → tab·le, "window" → w·in·dow), and genuine
+    * single-codepoint fallbacks (the "w" above). */
+  val BpeVocab: Seq[String] = Seq(
+    "scan",
+    "row", "key", "agg", "the", "tab", "val", "ord", "dow", "ery",
+    "le", "ue", "er", "in", "qu", "st", "re", "am", "at", "gr", "ou",
+    "so", "rt", "sp", "ar", "us", "om", "il", "ge", "ne",
+    "a", "o", "e")
+
+  /** The longest-vocab-prefix length of `rest` as a generated CASE —
+    * greedy longest-match, lengths descending, single-codepoint
+    * fallback as ELSE 1 (`substring`/`length` count codepoints in
+    * DuckDB, matching the kernel's codepoint fallback). */
+  private def bpeStepLenSql: String = {
+    val whens = BpeVocab.groupBy(_.length).toSeq.sortBy(-_._1)
+      .map { case (l, ts) =>
+        val in = ts.sorted.map(t => s"'$t'").mkString(", ")
+        s"WHEN substring(rest, 1, $l) IN ($in) THEN $l"
+      }.mkString("\n      ")
+    s"CASE $whens ELSE 1 END"
+  }
+
+  /** The recursive merge-walk CTEs replaying
+    * [[graft.operators.TextOps.bpeTokens]] over documents satisfying
+    * `pred`, ending in `toks(doc_id, wi, ti, tok)` — each step consumes
+    * the longest vocab prefix (or one codepoint) off the word
+    * remainder. */
+  private def bpeWalkCtes(pred: String): String =
+    s"""ga AS (SELECT doc_id,
+       |    string_split_regex(trim(lower(text)), '\\s+') AS arr
+       |  FROM documents WHERE text IS NOT NULL AND ($pred)),
+       |wr AS (SELECT doc_id, unnest(generate_series(1, len(arr))) AS wi,
+       |    arr FROM ga),
+       |wd AS (SELECT doc_id, wi, arr[wi] AS word FROM wr
+       |  WHERE length(arr[wi]) > 0),
+       |walk(doc_id, wi, rest, ti, tok) AS (
+       |  SELECT doc_id, wi, word, 0, CAST(NULL AS VARCHAR) FROM wd
+       |  UNION ALL
+       |  SELECT doc_id, wi, substring(rest, L + 1), ti + 1,
+       |    substring(rest, 1, L)
+       |  FROM (SELECT doc_id, wi, rest, ti, $bpeStepLenSql AS L
+       |        FROM walk WHERE length(rest) > 0) s),
+       |toks AS (SELECT doc_id, wi, ti, tok FROM walk
+       |  WHERE tok IS NOT NULL)""".stripMargin
+
+  /** q140 — frozen-tokenizer APPLY ([[TextOps.bpeTokens]]): the subword
+    * token stream itself (1-based `token_idx` in walk order) for a
+    * deterministic 1-in-7 document sample — the oracle replays the
+    * greedy merge walk as a recursive CTE generated from the SAME
+    * [[BpeVocab]] literal, so every emitted subword is gated. */
+  def bpeTokensQ(s: SparkSession, d: String): DataFrame =
+    docs(s, d).where(col("text").isNotNull &&
+        pmod(col("doc_id"), lit(7)) === 0)
+      .select(col("doc_id"),
+        posexplode(TextOps.bpeTokens(col("text"), BpeVocab))
+          .as(Seq("__i", "token")))
+      .select(col("doc_id"),
+        (col("__i") + lit(1)).cast("long").as("token_idx"), col("token"))
+      .orderBy("doc_id", "token_idx")
+
+  /** q141 — subword token counts ([[TextOps.tokenCountBpe]]) beside the
+    * whitespace word count: the REAL tokens-per-document number a
+    * mixture/budget/packing pipeline should budget in (vs the
+    * whitespace proxy it replaces). */
+  def tokenCountBpeQ(s: SparkSession, d: String): DataFrame =
+    docs(s, d).where(col("text").isNotNull)
+      .select(col("doc_id"),
+        TextOps.tokenCount(col("text")).cast("long").as("n_words"),
+        TextOps.tokenCountBpe(col("text"), BpeVocab).cast("long")
+          .as("n_tokens_bpe"))
+      .orderBy("doc_id")
+
+  /** q142 — length-bucketed batching IN TOKENIZER TOKENS: q120's
+    * operator with [[TextOps.tokenCountBpe]] plugged in as the count
+    * column (boundaries rescaled to the subword distribution) — the
+    * composition that makes the dataloader's padding arithmetic real,
+    * gated end-to-end (walk → bucket → rank → batch). */
+  def lengthBatchesBpeQ(s: SparkSession, d: String): DataFrame =
+    TextOps.lengthBucketBatches(
+        docs(s, d).where(col("text").isNotNull), "doc_id",
+        TextOps.tokenCountBpe(col("text"), BpeVocab),
+        Seq(75L, 130L, 180L), batchSize = 16)
+      .orderBy("doc_id")
+
   /** The q123 frozen probe vocabulary — a model artifact, mirrored as a
     * VALUES list in the oracle. 16 of the corpus's ~31 distinct terms,
     * so OOV rates spread over (0, 1). */
@@ -2227,6 +2316,46 @@ object LlmQueries {
          |       WHEN bucket < 90 THEN 'val'
          |       ELSE 'test' END AS split
          |FROM b ORDER BY doc_id""".stripMargin,
+
+    // the greedy merge walk replayed as a recursive CTE whose
+    // longest-prefix CASE is generated from the same BpeVocab literal
+    "q140_bpe_tokens" ->
+      s"""WITH RECURSIVE ${bpeWalkCtes("doc_id % 7 = 0")}
+         |SELECT doc_id,
+         |  row_number() OVER (PARTITION BY doc_id ORDER BY wi, ti)
+         |    AS token_idx,
+         |  tok AS token
+         |FROM toks ORDER BY doc_id, token_idx""".stripMargin,
+
+    // the walk aggregated to per-doc counts beside the whitespace count
+    "q141_token_count_bpe" ->
+      s"""WITH RECURSIVE ${bpeWalkCtes("TRUE")},
+         |cnt AS (SELECT doc_id, count(*)::BIGINT AS n_tokens_bpe
+         |  FROM toks GROUP BY doc_id)
+         |SELECT g.doc_id, len(g.arr)::BIGINT AS n_words,
+         |  coalesce(cnt.n_tokens_bpe, 0)::BIGINT AS n_tokens_bpe
+         |FROM ga g LEFT JOIN cnt ON cnt.doc_id = g.doc_id
+         |ORDER BY g.doc_id""".stripMargin,
+
+    // the q120 bucket/rank/batch arithmetic over the walk's counts
+    "q142_length_batches_bpe" ->
+      s"""WITH RECURSIVE ${bpeWalkCtes("TRUE")},
+         |t AS (SELECT g.doc_id, coalesce(c.n, 0)::BIGINT AS n_tokens
+         |  FROM ga g LEFT JOIN (SELECT doc_id, count(*) AS n FROM toks
+         |    GROUP BY doc_id) c ON c.doc_id = g.doc_id),
+         |b AS (SELECT doc_id, n_tokens,
+         |    (CASE WHEN n_tokens > 75 THEN 1 ELSE 0 END +
+         |     CASE WHEN n_tokens > 130 THEN 1 ELSE 0 END +
+         |     CASE WHEN n_tokens > 180 THEN 1 ELSE 0 END)::BIGINT AS bucket,
+         |    ${pHash("17", "doc_id::VARCHAR")} AS k
+         |  FROM t),
+         |r AS (SELECT doc_id, n_tokens, bucket,
+         |    row_number() OVER (PARTITION BY bucket ORDER BY k, doc_id)
+         |      AS rank_in_bucket
+         |  FROM b)
+         |SELECT doc_id, n_tokens, bucket, rank_in_bucket,
+         |  ((rank_in_bucket - 1) // 16)::BIGINT AS batch_idx
+         |FROM r ORDER BY doc_id""".stripMargin,
 
     // cluster-size audit over the DEFAULT closure: the degeneracy
     // warning (frac_largest_milli ~ 998 on this corpus)
@@ -3388,6 +3517,9 @@ object LlmQueries {
     "q137_image_curation" -> imageCurationQ _,
     "q138_component_profile" -> componentProfileQ _,
     "q139_component_profile_tuned" -> componentProfileTunedQ _,
+    "q140_bpe_tokens" -> bpeTokensQ _,
+    "q141_token_count_bpe" -> tokenCountBpeQ _,
+    "q142_length_batches_bpe" -> lengthBatchesBpeQ _,
     "q80_dedup_keepers" -> dedupKeepers _,
     "q84_dedup_keepers_by" -> dedupKeepersBy _,
     "q81_mixed_decode" -> mixedDecode _,

@@ -2126,6 +2126,42 @@ class OperatorSpec extends AnyFunSuite {
       "exact replay duplicates must not trip the distinct recount")
   }
 
+  test("bpeTokens: greedy longest-match, codepoint fallback never splits surrogate pairs, count composes") {
+    def toks(text: String, vocab: Seq[String]): Seq[String] =
+      Seq(Tuple1(text)).toDF("text")
+        .select(TextOps.bpeTokens(col("text"), vocab).as("t"))
+        .head().getSeq[String](0)
+    // greedy longest-match: "abc" beats "ab" beats "a"; unmatched chars
+    // fall back one at a time
+    assert(toks("abcab xyz", Seq("a", "ab", "abc")) ==
+      Seq("abc", "ab", "x", "y", "z"))
+    // normalization matches tokens(): trim + lower before the walk
+    assert(toks("  ABCab  ", Seq("abc", "ab")) == Seq("abc", "ab"))
+    // MULTI-BYTE boundaries: a 2-byte BMP char (é) and a 4-byte astral
+    // char (U+1D11E, a surrogate PAIR in the JVM) each fall back as ONE
+    // codepoint token — the DuckDB substring/length semantics the oracle
+    // replays; splitting the pair would emit two broken halves
+    assert(toks("café", Seq("caf")) == Seq("caf", "é"))
+    val astral = new String(Character.toChars(0x1D11E))
+    assert(toks(s"ab${astral}ab c", Seq("ab")) ==
+      Seq("ab", astral, "ab", "c"))
+    // a vocab entry never matches ACROSS the astral char
+    assert(toks(s"a${astral}b", Seq("ab")) == Seq("a", astral, "b"))
+    // count = size of the token array
+    val n = Seq(Tuple1("abcab")).toDF("text")
+      .select(TextOps.tokenCountBpe(col("text"), Seq("a", "ab", "abc"))
+        .cast("long")).head().getLong(0)
+    assert(n == 2L)
+    // the walk stays codegen-healthy (native expression, no fallback)
+    graft.tools.CodegenGuard.reset()
+    val big = (0L until 200L).map(i => (i, s"value table window $i"))
+      .toDF("doc_id", "text")
+      .select(TextOps.bpeTokens(col("text"),
+        graft.queries.LlmQueries.BpeVocab).as("t"))
+    big.collect()
+    graft.tools.CodegenGuard.assertHealthy("bpeTokens pipeline")
+  }
+
   test("hashSplitBy: every member of a group shares bucket+split; bucket replays from raw md5 of the KEY") {
     val labels = Seq((1L, 10L), (2L, 10L), (3L, 10L), (4L, 40L), (5L, 50L))
       .toDF("doc_id", "component")
