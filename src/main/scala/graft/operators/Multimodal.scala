@@ -723,6 +723,96 @@ object Multimodal {
       .toDF()
   }
 
+  /** The fixed-point DFT tables behind [[audioSpectralFingerprint]]:
+    * `cos`/`sin` at `2π·(k+1)·j/16` for frequency rows k = 0..7 and
+    * frame positions j = 0..15, scaled by 2¹³ and rounded — integer
+    * Fourier bases the oracle embeds as a VALUES table generated from
+    * THESE arrays (one artifact, two engines). `StrictMath` so the
+    * doubles (and hence the rounded literals) are identical on every
+    * JVM. */
+  object SpectralTables {
+    val Scale = 8192L
+    val FrameLen = 16
+    val Freqs = 8
+    val cos: Array[Array[Long]] = Array.tabulate(Freqs, FrameLen)((k, j) =>
+      StrictMath.round(
+        StrictMath.cos(2.0 * StrictMath.PI * (k + 1) * j / FrameLen) * Scale))
+    val sin: Array[Array[Long]] = Array.tabulate(Freqs, FrameLen)((k, j) =>
+      StrictMath.round(
+        StrictMath.sin(2.0 * StrictMath.PI * (k + 1) * j / FrameLen) * Scale))
+  }
+
+  /** SPECTRAL audio fingerprint — the frequency-domain member of the
+    * banded-hamming family, closing [[audioFingerprint]]'s documented
+    * envelope-only gap: a Shazam-family spectrogram difference hash,
+    * integer-exact end to end. The clip's SIGNED samples resample to
+    * 9 × 16 nearest points (`idx_m = m·n div 144` — the dHash
+    * nearest-sample discipline), each 16-point frame gets 8 fixed-point
+    * DFT band energies (`C = Σ p·cos`, `S = Σ p·sin` over the
+    * [[SpectralTables]] integer bases; `E = (C >> 13)² + (S >> 13)²`,
+    * arithmetic-shift floor keeping everything in 64-bit), and bit
+    * (k, f) = "band k louder in frame f+1 than f" — 8 freqs × 8 frame
+    * steps = 64 bits, emitted as the same four 16-bit [[DHashRow]]
+    * bands, so the WHOLE capped/index/streaming machine applies
+    * unchanged. Energies AGGREGATE 16 samples where the envelope hash
+    * compares single sampled points, so a level edit (gain change with
+    * integer rounding) that flips many near-tie envelope bits barely
+    * moves the spectral comparisons — the robustness q144 gates and
+    * OperatorSpec pins. Map-only; the oracle replays every bit from the
+    * sample values. */
+  def audioSpectralFingerprint(decoded: DataFrame, id: String = "doc_id",
+      pcm: String = "pcm"): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.product[DHashRow]
+    val ct = SpectralTables.cos
+    val st = SpectralTables.sin
+    decoded.select(col(id).cast("long"), col(pcm))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val b = r.getAs[Array[Byte]](1)
+          val n = b.length / 2
+          val bands = new Array[Long](4)
+          // an empty clip (0-sample data chunk) fingerprints as silence
+          if (n > 0) {
+            val p = new Array[Long](144)
+            var m = 0
+            while (m < 144) {
+              val k2 = (m * n) / 144
+              val u = (b(2 * k2) & 0xff) | ((b(2 * k2 + 1) & 0xff) << 8)
+              p(m) = if (u >= 32768) u - 65536 else u
+              m += 1
+            }
+            var k = 0
+            while (k < 8) {
+              val e = new Array[Long](9)
+              var f = 0
+              while (f < 9) {
+                var cs = 0L; var ss = 0L
+                var j = 0
+                while (j < 16) {
+                  cs += p(16 * f + j) * ct(k)(j)
+                  ss += p(16 * f + j) * st(k)(j)
+                  j += 1
+                }
+                e(f) = (cs >> 13) * (cs >> 13) + (ss >> 13) * (ss >> 13)
+                f += 1
+              }
+              f = 0
+              while (f < 8) {
+                if (e(f + 1) > e(f)) {
+                  val bit = k * 8 + f
+                  bands(bit / 16) |= 1L << (bit % 16)
+                }
+                f += 1
+              }
+              k += 1
+            }
+          }
+          DHashRow(r.getLong(0), bands(0), bands(1), bands(2), bands(3))
+        }
+      }(enc)
+      .toDF()
+  }
+
   private val DHashBandCols = Seq("b0", "b1", "b2", "b3")
 
   /** The band explosion behind every dHash join: one row per (band,

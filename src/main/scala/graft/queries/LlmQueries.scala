@@ -858,6 +858,103 @@ object LlmQueries {
     }
   }
 
+  /** The q143/q144 SIGNED-sample chain for one wav leg, ending in
+    * `sarr$sfx(doc_id, n, arr)` with `arr` the 1-based SIGNED sample
+    * list ([[wavEnvCtes]]'s twin without the abs — the spectral hash
+    * needs phase); `halfGain` applies the q144 level edit
+    * (trunc-toward-zero integer halving, matching Java's `/ 2`). */
+  private def wavSigCtes(sfx: String, halfGain: Boolean): String = {
+    val sv = "(CASE WHEN u >= 32768 THEN u - 65536 ELSE u END)"
+    val sample = if (halfGain) s"trunc($sv / 2.0)::INTEGER" else sv
+    s"""d$sfx AS (SELECT doc_id,
+       |    ((20 + doc_id % 32) * (1 + doc_id % 2) * 2)::INTEGER AS nbytes,
+       |    text FROM documents
+       |  WHERE text IS NOT NULL AND octet_length(encode(text)) = length(text)),
+       |p$sfx AS (SELECT doc_id, nbytes, rpad(text, nbytes, '.') AS pt
+       |  FROM d$sfx),
+       |s$sfx AS (SELECT doc_id, i,
+       |    ((ascii(substring(pt, 2*i - 1, 1)) + 192) % 256)
+       |      + 256 * ((ascii(substring(pt, 2*i, 1)) + 192) % 256) AS u
+       |  FROM p$sfx CROSS JOIN generate_series(1, 102) t(i)
+       |  WHERE 2*i <= nbytes),
+       |v$sfx AS (SELECT doc_id, i, $sample AS sv FROM s$sfx),
+       |sarr$sfx AS (SELECT doc_id, count(*)::INTEGER AS n,
+       |    list(sv ORDER BY i) AS arr
+       |  FROM v$sfx GROUP BY doc_id)""".stripMargin
+  }
+
+  /** The fixed-point DFT basis as a VALUES table `tab(k, j, c, s2)` —
+    * generated from [[Multimodal.SpectralTables]], so the oracle's
+    * integer cosines are the SAME artifact the kernel multiplies by. */
+  private lazy val spectralTabCte: String = {
+    val rows = for (k <- 0 until 8; j <- 0 until 16) yield
+      s"($k, $j, ${Multimodal.SpectralTables.cos(k)(j)}, " +
+        s"${Multimodal.SpectralTables.sin(k)(j)})"
+    s"""tab AS (SELECT * FROM (VALUES ${rows.mkString(", ")})
+       |  t(k, j, c, s2))""".stripMargin
+  }
+
+  /** The spectral-fingerprint chain over one `sarr$sfx` leg, ending in
+    * `hb$sfx(doc_id, b0..b3)`: nearest-resample to 9×16 points, integer
+    * DFT energies per (freq, frame) with the `>> 13` floor replayed as
+    * `floor(c / 8192.0)`, louder-next-frame bits packed into the four
+    * 16-bit bands — [[Multimodal.audioSpectralFingerprint]] bit by bit.
+    * `idShift` relabels the leg (the q144 ingest-twin convention). */
+  private def spectralHashCtes(sfx: String, idShift: Long = 0L): String = {
+    val shift = if (idShift == 0L) "doc_id" else s"doc_id + $idShift"
+    def bandSum(b: Int) =
+      s"sum(CASE WHEN band = $b THEN val ELSE 0 END)::BIGINT AS b$b"
+    s"""rs$sfx AS (SELECT doc_id, arr[((m * n) // 144) + 1] AS p,
+       |    (m // 16) AS f, (m % 16) AS j
+       |  FROM sarr$sfx CROSS JOIN generate_series(0, 143) t(m)),
+       |cs$sfx AS (SELECT doc_id, tab.k, rs.f,
+       |    sum(rs.p * tab.c) AS c, sum(rs.p * tab.s2) AS s
+       |  FROM rs$sfx rs JOIN tab ON tab.j = rs.j
+       |  GROUP BY doc_id, tab.k, rs.f),
+       |e$sfx AS (SELECT doc_id, k, f,
+       |    (floor(c / 8192.0)::BIGINT * floor(c / 8192.0)::BIGINT
+       |     + floor(s / 8192.0)::BIGINT * floor(s / 8192.0)::BIGINT) AS en
+       |  FROM cs$sfx),
+       |bt$sfx AS (SELECT e1.doc_id, e1.k, e1.f,
+       |    CASE WHEN e2.en > e1.en
+       |      THEN (1::BIGINT << ((e1.k * 8 + e1.f) % 16)) ELSE 0 END AS val,
+       |    ((e1.k * 8 + e1.f) // 16) AS band
+       |  FROM e$sfx e1 JOIN e$sfx e2 ON e2.doc_id = e1.doc_id
+       |    AND e2.k = e1.k AND e2.f = e1.f + 1
+       |  WHERE e1.f < 8),
+       |hb$sfx AS (SELECT $shift AS doc_id,
+       |  ${(0 until 4).map(bandSum).mkString(",\n  ")}
+       |  FROM bt$sfx GROUP BY doc_id)""".stripMargin
+  }
+
+  /** q143 — SPECTRAL audio fingerprints
+    * ([[Multimodal.audioSpectralFingerprint]]): integer-DFT spectrogram
+    * difference hash of every decoded clip as the same four 16-bit band
+    * longs — the frequency-domain member of the banded family, closing
+    * the envelope hash's documented level-edit gap (OperatorSpec pins
+    * the quiet-clip separation). Integer-exact, so DuckDB replays every
+    * bit from the rotated sample values and the shared basis table. */
+  def audioSpectralQ(s: SparkSession, d: String): DataFrame =
+    Multimodal.audioSpectralFingerprint(
+        Multimodal.decodeWav(wavRotatedPayloads(s, d), "doc_id", "payload"))
+      .orderBy("doc_id")
+
+  /** q144 — GAIN-ROBUST near-duplicate audio: every clip's
+    * integer-half-gain re-export (`id + 400000`) pairs with its source
+    * through the spectral fingerprints and the CAPPED banded machine —
+    * the level edit a re-encode applies, survived by design (energies
+    * aggregate 16 samples; the envelope hash's single-point probes are
+    * the fragile alternative, OperatorSpec-pinned). Cap replayed by the
+    * oracle as the same HAVING on bucket size. */
+  def audioSpectralNearDupQ(s: SparkSession, d: String): DataFrame =
+    Multimodal.dhashNearDupPairsCapped(
+        Multimodal.audioSpectralFingerprint(Multimodal.decodeWav(
+          wavRotatedPayloads(s, d).unionByName(
+            wavRotatedPayloads(s, d, idOffset = 400000L, halfGain = true)),
+          "doc_id", "payload")),
+        "doc_id", maxHamming = 8, maxBucket = AudioPairCap)
+      ._1.orderBy("a", "b")
+
   /** The q89 sample-extraction chain for one wav leg, ending in
     * `sarr$sfx(doc_id, n, arr)`; `flip` applies the q133 first-byte
     * edit to sample 1's low byte. */
@@ -1217,9 +1314,13 @@ object LlmQueries {
     * window. decode → features, map-only, one scan. */
   /** Rows of (doc_id, WAV payload) with the q89 rotated-byte PCM —
     * `idOffset`/`flipFirst` build the q133 near-dup legs (a one-byte
-    * edit of the same clip under a fresh id). */
+    * edit of the same clip under a fresh id); `halfGain` builds the
+    * q144 LEVEL edit (every signed sample integer-halved, trunc toward
+    * zero, then re-encoded — the re-export-at-lower-volume a spectral
+    * fingerprint must survive and the envelope hash does not). */
   private def wavRotatedPayloads(s: SparkSession, d: String,
-      idOffset: Long = 0L, flipFirst: Boolean = false): DataFrame = {
+      idOffset: Long = 0L, flipFirst: Boolean = false,
+      halfGain: Boolean = false): DataFrame = {
     val nbytes = "cast((20 + doc_id % 32) * (1 + doc_id % 2) * 2 as int)"
     val ascii = docs(s, d).where(col("text").isNotNull &&
       octet_length(encode(col("text"), "UTF-8")) === length(col("text")))
@@ -1238,6 +1339,17 @@ object LlmQueries {
           i += 1
         }
         if (flipFirst) pcm(0) = (pcm(0) ^ 0x7f).toByte
+        if (halfGain) {
+          var k = 0
+          while (k + 1 < pcm.length) {
+            val u = (pcm(k) & 0xff) | ((pcm(k + 1) & 0xff) << 8)
+            val s0 = if (u >= 32768) u - 65536 else u
+            val h = s0 / 2 // Java int division: trunc toward zero
+            pcm(k) = (h & 0xff).toByte
+            pcm(k + 1) = ((h >> 8) & 0xff).toByte
+            k += 2
+          }
+        }
         IdPayload(r.getLong(0) + idOffset, Multimodal.encodeWav(
           r.getInt(1), r.getInt(2), pcm))
       }
@@ -2316,6 +2428,40 @@ object LlmQueries {
          |       WHEN bucket < 90 THEN 'val'
          |       ELSE 'test' END AS split
          |FROM b ORDER BY doc_id""".stripMargin,
+
+    // every spectral bit recomputed from the signed samples and the
+    // shared fixed-point DFT basis table
+    "q143_audio_spectral" ->
+      s"""WITH ${wavSigCtes("", halfGain = false)},
+         |$spectralTabCte,
+         |${spectralHashCtes("")}
+         |SELECT doc_id, b0, b1, b2, b3 FROM hb
+         |ORDER BY doc_id""".stripMargin,
+
+    // two legs (orig / integer-half-gain re-export under id+400000),
+    // the same spectral chain, capped band self-join, exact hamming
+    "q144_audio_spectral_neardup" ->
+      s"""WITH ${wavSigCtes("_o", halfGain = false)},
+         |${wavSigCtes("_h", halfGain = true)},
+         |$spectralTabCte,
+         |${spectralHashCtes("_o")},
+         |${spectralHashCtes("_h", 400000L)},
+         |hs AS (SELECT * FROM hb_o UNION ALL SELECT * FROM hb_h),
+         |e AS (SELECT doc_id, b0, b1, b2, b3, band,
+         |    CASE band WHEN 0 THEN b0 WHEN 1 THEN b1
+         |      WHEN 2 THEN b2 ELSE b3 END AS v
+         |  FROM hs CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band)),
+         |bs AS (SELECT band, v FROM e GROUP BY band, v
+         |  HAVING count(*) <= $AudioPairCap),
+         |ek AS (SELECT e.* FROM e JOIN bs USING (band, v)),
+         |p AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+         |    (bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1)) +
+         |     bit_count(xor(x.b2, y.b2)) + bit_count(xor(x.b3, y.b3)))::BIGINT
+         |      AS hamming
+         |  FROM ek x JOIN ek y ON y.band = x.band AND y.v = x.v
+         |    AND x.doc_id < y.doc_id)
+         |SELECT a, b, hamming FROM p WHERE hamming <= 8
+         |ORDER BY a, b""".stripMargin,
 
     // the greedy merge walk replayed as a recursive CTE whose
     // longest-prefix CASE is generated from the same BpeVocab literal
@@ -3520,6 +3666,8 @@ object LlmQueries {
     "q140_bpe_tokens" -> bpeTokensQ _,
     "q141_token_count_bpe" -> tokenCountBpeQ _,
     "q142_length_batches_bpe" -> lengthBatchesBpeQ _,
+    "q143_audio_spectral" -> audioSpectralQ _,
+    "q144_audio_spectral_neardup" -> audioSpectralNearDupQ _,
     "q80_dedup_keepers" -> dedupKeepers _,
     "q84_dedup_keepers_by" -> dedupKeepersBy _,
     "q81_mixed_decode" -> mixedDecode _,

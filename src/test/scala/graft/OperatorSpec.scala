@@ -2023,6 +2023,52 @@ class OperatorSpec extends AnyFunSuite {
       empty.getLong(4)) == ((0L, 0L, 0L, 0L)))
   }
 
+  test("audioSpectralFingerprint: integer DFT bands; survives the quiet-clip gain edit the envelope hash misses") {
+    def pcm(f: Int => Int): Array[Byte] = {
+      val b = new Array[Byte](160 * 2)
+      for (k <- 0 until 160) {
+        val v = f(k) & 0xffff
+        b(2 * k) = (v & 0xff).toByte; b(2 * k + 1) = ((v >> 8) & 0xff).toByte
+      }
+      b
+    }
+    // a QUIET clip — a slowly growing tone at frame-frequency 4 over a
+    // small noise floor: the regime where level edits break the envelope
+    // hash (probed |amp| points are small; halving collapses near-ties
+    // and flips strict-> comparisons en masse) while the spectral hash
+    // holds (the tone's band energy dominates each frame and just scales
+    // by ~1/4, preserving the adjacent-frame comparisons)
+    val p4 = Array(0, 1, 0, -1)
+    def quiet(k: Int): Int =
+      p4(k % 4) * ((16 + 5 * k) / 8) + 2 * ((k % 2) - 1)
+    val in = Seq(
+      (1L, pcm(quiet)),                 // original quiet clip
+      (2L, pcm(k => quiet(k) / 2))      // the same clip at half gain
+    ).toDF("doc_id", "pcm")
+    def hamming(fps: Map[Long, (Long, Long, Long, Long)]): Int = {
+      val (a, b) = (fps(1L), fps(2L))
+      java.lang.Long.bitCount(a._1 ^ b._1) + java.lang.Long.bitCount(a._2 ^ b._2) +
+        java.lang.Long.bitCount(a._3 ^ b._3) + java.lang.Long.bitCount(a._4 ^ b._4)
+    }
+    def collect(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val env = hamming(collect(Multimodal.audioFingerprint(in)))
+    val spec = hamming(collect(Multimodal.audioSpectralFingerprint(in)))
+    assert(env > 8, s"the envelope hash must break on the quiet gain edit: $env")
+    assert(spec <= 2, s"the spectral hash must survive it: $spec")
+    // an empty clip fingerprints as silence, never a crash
+    val empty = Multimodal.audioSpectralFingerprint(
+      Seq((9L, Array.empty[Byte])).toDF("doc_id", "pcm")).head()
+    assert((empty.getLong(1), empty.getLong(2), empty.getLong(3),
+      empty.getLong(4)) == ((0L, 0L, 0L, 0L)))
+    // the fixed-point tables are the documented StrictMath artifact
+    import graft.operators.Multimodal.SpectralTables
+    assert(SpectralTables.cos(0)(0) == 8192L && SpectralTables.sin(0)(0) == 0L)
+    assert(SpectralTables.cos(0)(4) == 0L && SpectralTables.sin(0)(4) == 8192L,
+      s"k=1,j=4 is the quarter period: ${SpectralTables.cos(0)(4)}")
+  }
+
   test("dhash index: incremental probe equals the full pair scan restricted to index-vs-batch pairs") {
     val hs = Seq(
       (1L, 0xaaaaL, 0x1234L, 0x0f0fL, 0x7777L),
