@@ -51,12 +51,33 @@ object Bench {
     // steady-state number. Passes are whole-suite sweeps (pinned order),
     // so cross-query interference is identical in every pass.
     val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
+    // machine-health snapshots: a degraded co-tenant window should be
+    // self-labeling in the artifact (round 10 burned three re-runs proving
+    // what one loadavg field would have shown). load captured before and
+    // after the timed passes; per-pass WALL totals expose drift across the
+    // run (an idle machine runs the passes within a few percent of each
+    // other); max heap catches the 8g-default-vs-32g driver-memory mistake
+    // that uniformly inflates every query ~1.4x.
+    val os = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    val loadStart = os.getSystemLoadAverage
+    val passWalls = scala.collection.mutable.ArrayBuffer.empty[Double]
     val samples = (1 to passes).map { _ =>
-      names.map { name =>
+      val p0 = System.nanoTime()
+      val m = names.map { name =>
         val t0 = System.nanoTime()
         try runOnce(name) catch { case _: Throwable => -1L }
         name -> (System.nanoTime() - t0) / 1e9
       }.toMap
+      passWalls += (System.nanoTime() - p0) / 1e9
+      m
+    }
+    val loadEnd = os.getSystemLoadAverage
+    val healthJson = {
+      val walls = passWalls.map(w => f"$w%.2f").mkString("[", ",", "]")
+      val heapGb = Runtime.getRuntime.maxMemory / (1024.0 * 1024 * 1024)
+      s""""health":{"load_start":$loadStart,"load_end":$loadEnd,""" +
+        s""""ncpu":${os.getAvailableProcessors},""" +
+        f""""max_heap_gb":$heapGb%.1f,"pass_walls":$walls}"""
     }
     val results = names.map { name =>
       val ts = samples.map(_(name)).sorted
@@ -78,7 +99,7 @@ object Bench {
     }.mkString("{", ",", "}")
     val fileJson =
       s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir",""" +
-        s""""passes":$passes,"queries":$qs,"spread":$spreads}"""
+        s""""passes":$passes,$healthJson,"queries":$qs,"spread":$spreads}"""
     val outPath = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_JSON", "bench/bench_latest.json"))
     try {

@@ -1007,6 +1007,82 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.listenerManager.unregister(listener)
   }
 
+  /** Drive `name` to completion and hand every shuffle exchange of the
+    * FINAL plan to `check` (plus the whole plan string for global
+    * assertions). Releases the query's checkpoints. */
+  private def withExecuted(name: String)(
+      check: (String, Seq[Set[String]]) => Unit): Unit = {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val df = SparkEntry.queries(name)(spark, sf)
+    try {
+      df.collect()
+      val p = df.queryExecution.executedPlan
+      val ex = flattenPlan(p).collect { case s: ShuffleExchangeLike =>
+        s.output.map(_.name).toSet }
+      check(p.toString, ex)
+    } finally graft.engine.Checkpoints.release(df)
+  }
+
+  test("q122/q125/q134: image banded closure — no cartesian; exchanges never carry pixels/payload bytes") {
+    // the pair stage itself: both self-join legs read the 32 B hash
+    // checkpoint; candidates verify and collapse before anything wide
+    // could move (the dhashNearDupPairs contract)
+    Seq("q122_image_neardup", "q134_image_neardup_capped",
+        "q125_image_components", "q137_image_curation").foreach { name =>
+      withExecuted(name) { (p, ex) =>
+        assert(!p.contains("CartesianProduct"), s"$name: ${p.take(1500)}")
+        ex.foreach { names =>
+          assert(!names.exists(Set("pixels", "payload", "pt", "text")),
+            s"$name exchange carries decode bytes: $names")
+        }
+      }
+    }
+  }
+
+  test("q120/q127: distributed ordinal — no single-partition exchange; text never shuffles") {
+    // the rank comes from the two-pass ordinal (range partition +
+    // per-partition counts + zipWithIndex, offsets broadcast) — a global
+    // window would print `Exchange SinglePartition` and serialize the
+    // whole corpus through one task
+    Seq("q120_length_batches", "q127_epoch_schedule").foreach { name =>
+      withExecuted(name) { (p, ex) =>
+        assert(!p.contains("SinglePartition"),
+          s"$name must not funnel through one partition: ${p.take(1500)}")
+        ex.foreach { names =>
+          assert(!names.contains("text"), s"$name exchange carries text: $names")
+        }
+      }
+    }
+  }
+
+  test("q129/q130: decontamination-split audits — window text never crosses an exchange") {
+    // the reference side fuses to hashes before any join; the corpus
+    // side's token windows hash inside the explode — every exchange
+    // carries 8 B hashes and labels, never window text
+    Seq("q129_split_leakage", "q130_split_leakage_safe").foreach { name =>
+      withExecuted(name) { (p, ex) =>
+        ex.foreach { names =>
+          assert(!names.exists(n => n == "text" || n.contains("__w") ||
+              n.contains("__g")),
+            s"$name exchange carries window text: $names")
+        }
+      }
+    }
+  }
+
+  test("q132/q133/q143/q144: audio banded machine — exchanges carry the 32 B band rows, never pcm/payload") {
+    Seq("q132_audio_fingerprint", "q133_audio_neardup",
+        "q143_audio_spectral", "q144_audio_spectral_neardup").foreach { name =>
+      withExecuted(name) { (p, ex) =>
+        assert(!p.contains("CartesianProduct"), s"$name: ${p.take(1500)}")
+        ex.foreach { names =>
+          assert(!names.exists(Set("pcm", "payload", "text", "pt")),
+            s"$name exchange carries audio bytes: $names")
+        }
+      }
+    }
+  }
+
   test("codegen health: payload/decode pipelines compile clean (no interpreted fallback)") {
     // Regression guard for the round-9 defect class: a `private` encoder
     // case class type-checks but Janino cannot reach its accessors, so
