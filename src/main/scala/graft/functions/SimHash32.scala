@@ -81,6 +81,35 @@ object SimHashKernel extends Serializable {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(mins)
   }
 
+  /** [[minhash]] over word n-gram shingles — `Dedup.minHash(shingles(n),
+    * k)`'s grouped mins folded into one per-row pass (min is
+    * order-independent and duplicate-insensitive, so neither the explode
+    * nor the distinct is needed). The caller must DROP docs with fewer
+    * than `n` tokens before banding (the grouped form emits no signature
+    * row for them; an all-MaxValue signature would band every short doc
+    * into one bogus mega-bucket). */
+  def minhashN(s: UTF8String, k: Int, n: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    if (n <= 1) return minhash(s, k)
+    val toks = Ws.split(s.toLowerCase.trim.toString, -1)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val mins = Array.fill(k)(Long.MaxValue)
+    var i = 0
+    while (i + n <= toks.length) {
+      val sb = new java.lang.StringBuilder(toks(i))
+      var j = 1
+      while (j < n) { sb.append(' ').append(toks(i + j)); j += 1 }
+      val t = sb.toString
+      var q = 0
+      while (q < k) {
+        val h = hash60(md, q.toString + ":" + t)
+        if (h < mins(q)) mins(q) = h
+        q += 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(mins)
+  }
+
   /** Bag-of-words fingerprint: sum over ALL tokens (multiset, not
     * distinct) of `portableHash(token, 7) mod 1000003`, mod 1000003 — an
     * order-independent integer sum, identical to
@@ -141,9 +170,15 @@ object SimHash32 {
   * document, per row — the same order-independence argument as
   * [[SimHash32]] (each signature element is a min), so the shingle
   * explode + k-way min groupBy folds into one map-only pass with
-  * signatures identical to [[graft.operators.Dedup.minHash]] over n=1
-  * shingles (asserted in OperatorSpec). */
-case class MinHashSig(child: Expression, numHashes: Int) extends UnaryExpression {
+  * signatures identical to [[graft.operators.Dedup.minHash]] over
+  * `ngram`-shingles (asserted in OperatorSpec; n = 1 is the original
+  * unigram path). CALLER CONTRACT for n > 1: filter out docs with fewer
+  * than `ngram` tokens first — the grouped spec emits no row for them
+  * (see [[SimHashKernel.minhashN]]). */
+case class MinHashSig(child: Expression, numHashes: Int, ngram: Int = 1)
+    extends UnaryExpression {
+
+  require(ngram >= 1, s"ngram must be >= 1, got $ngram")
 
   override def dataType: DataType =
     org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
@@ -154,13 +189,13 @@ case class MinHashSig(child: Expression, numHashes: Int) extends UnaryExpression
       s"minhash_sig expects STRING, got ${child.dataType.simpleString}")
 
   override def nullSafeEval(input: Any): Any =
-    SimHashKernel.minhash(input.asInstanceOf[UTF8String], numHashes)
+    SimHashKernel.minhashN(input.asInstanceOf[UTF8String], numHashes, ngram)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c => {
       val kernel = ctx.addReferenceObj("minhashKernel", SimHashKernel,
         "graft.functions.SimHashKernel$")
-      s"${ev.value} = $kernel.minhash($c, $numHashes);"
+      s"${ev.value} = $kernel.minhashN($c, $numHashes, $ngram);"
     })
 
   override protected def withNewChildInternal(newChild: Expression): MinHashSig =
@@ -168,9 +203,10 @@ case class MinHashSig(child: Expression, numHashes: Int) extends UnaryExpression
 }
 
 object MinHashSig {
-  /** Column API. */
-  def minhash_sig(c: Column, numHashes: Int): Column =
-    GraftShims.column(MinHashSig(GraftShims.expression(c), numHashes))
+  /** Column API; `ngram` > 1 switches to word n-gram shingles (drop
+    * docs shorter than `ngram` tokens first — the caller contract). */
+  def minhash_sig(c: Column, numHashes: Int, ngram: Int = 1): Column =
+    GraftShims.column(MinHashSig(GraftShims.expression(c), numHashes, ngram))
 }
 
 /** Native Catalyst expression: bag-of-words document fingerprint per row —

@@ -1023,13 +1023,17 @@ object Multimodal {
             spark.read.parquet(s"$path/bandsizes")
               .join(touched, Seq("band", "v"), "left_semi")
               .groupBy("band", "v").agg(max("n").as("__old"))
-          else
+          else if (fs.exists(new org.apache.hadoop.fs.Path(s"$path/hashes")))
             // distinct BEFORE counting: replayed hash rows duplicate
             // exactly, and a raw recount would double bucket totals
             dhashBanded(spark.read.parquet(s"$path/hashes").distinct(), id)
               .select("band", "v")
               .join(touched, Seq("band", "v"), "left_semi")
               .groupBy("band", "v").agg(count(lit(1)).as("__old"))
+          else
+            // first capped append into a fresh dir (streaming maintenance
+            // with no prior build): nothing indexed yet
+            touched.limit(0).withColumn("__old", lit(0L))
         val oldSkipped = dhashIndexSkipped(spark, path)
           .select(col("band_idx").as("band"), col("key").as("v"),
             col("size").as("__oldskip"))

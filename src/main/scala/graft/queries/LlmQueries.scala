@@ -176,12 +176,23 @@ object LlmQueries {
   private def dedupComponentsWith(s: SparkSession, d: String,
       shingleN: Int): DataFrame = {
     val src = docs(s, d)
+    // per-row native signature kernel for ANY shingle size (map-only, no
+    // explode/shuffle — at 2x the grouped form was the q119 bench
+    // regression); the short-doc filter is the kernel's caller contract:
+    // the grouped spec emits no signature for docs under n tokens, and
+    // an unfiltered all-MaxValue signature would band every short doc
+    // into one bogus mega-bucket
     val sig =
       if (shingleN == 1) minhashSigOf(src)
-      else Dedup.minHash(
-        Dedup.shingles(src.where(col("text").isNotNull), "text", "doc_id",
-          shingleN, dedup = false),
-        "doc_id", NumHashes)
+      else {
+        val base = src.where(col("text").isNotNull &&
+          TextOps.tokenCount(col("text")) >= shingleN)
+        base.select(col("doc_id"),
+            graft.functions.MinHashSig.minhash_sig(col("text"), NumHashes,
+              shingleN).as("__sig"))
+          .select(col("doc_id") +: (0 until NumHashes).map(i =>
+            element_at(col("__sig"), i + 1).as(s"m$i")): _*)
+      }
     val banded = Dedup.lshBands(sig, "doc_id", NumHashes, Bands)
     val pairs = Dedup.lshStarEdges(banded, "doc_id", Bands)
     Dedup.connectedComponents(src.select("doc_id"), pairs, "doc_id")

@@ -530,6 +530,21 @@ class OperatorSpec extends AnyFunSuite {
         graft.functions.MinHashSig.minhash_sig(col("text"), 8))
       .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
     assert(native == grouped)
+    // n-gram form: the per-row kernel folds the 3-gram explode+groupBy
+    // with IDENTICAL signatures; the caller contract drops docs shorter
+    // than n tokens (the grouped spec emits no row for them)
+    val grouped3 = Dedup.minHash(Dedup.shingles(docs, "text", "doc_id", 3), "doc_id", 8)
+      .collect().map(r => r.getLong(0) -> (1 to 8).map(r.getLong).toSeq).toMap
+    val native3 = docs
+      .where(TextOps.tokenCount(col("text")) >= 3)
+      .select(col("doc_id"),
+        graft.functions.MinHashSig.minhash_sig(col("text"), 8, ngram = 3))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
+    assert(native3 == grouped3)
+    // a 2-token doc is OUT of both forms
+    val short = Seq((99L, "two words")).toDF("doc_id", "text")
+    assert(Dedup.minHash(Dedup.shingles(short, "text", "doc_id", 3),
+      "doc_id", 8).count() == 0)
   }
 
   test("shuffle-free LSH buckets equal the exploded-groupBy formulation") {

@@ -228,6 +228,61 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$idxPath/hashes").count() == before)
   }
 
+  test("streaming dHash maintenance honors the bucket cap: over-cap buckets skip, probes stay bounded") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    import graft.operators.Multimodal
+    def plane(f: (Int, Int) => Int): Array[Byte] = {
+      val px = new Array[Byte](9 * 8 * 3)
+      for (y <- 0 until 8; x <- 0 until 9; c <- 0 until 3)
+        px((y * 9 + x) * 3 + c) = f(x, y).toByte
+      px
+    }
+    def ppm(px: Array[Byte]): Array[Byte] =
+      "P6\n9 8\n255\n".getBytes("US-ASCII") ++ px
+    val flat = ppm(plane((_, _) => 77))
+    val gradient = ppm(plane((x, _) => x * 10))
+    val idxPath = s"${sys.props("java.io.tmpdir")}/graft_test_dhcap_maint"
+    val ckpt = s"${sys.props("java.io.tmpdir")}/graft_test_dhcap_maint_ckpt"
+    Seq(idxPath, ckpt).foreach { p =>
+      val f = new java.io.File(p)
+      if (f.exists) { org.apache.commons.io.FileUtils.deleteDirectory(f) }
+      graft.cli.Cleanup.deleteOnExit(p)
+    }
+    val mem = MemoryStream[(Long, Array[Byte])]
+    val q = StreamingOps.maintainDHashIndex(
+        mem.toDF().toDF("doc_id", "payload"), "doc_id", "payload", idxPath,
+        maxBucket = 2)
+      .option("checkpointLocation", ckpt).start()
+    try {
+      mem.addData((1L, flat), (2L, flat)) // batch 0: bucket at the cap
+      q.processAllAvailable()
+      mem.addData((3L, flat), (10L, gradient)) // batch 1: flat crosses cap
+      q.processAllAvailable()
+    } finally q.stop()
+    // the flat images' (identical) band buckets crossed the cap on the
+    // straddle append — all four recorded skipped at total-seen 3
+    val sk = Multimodal.dhashIndexSkipped(spark, idxPath).collect()
+      .map(r => (r.getInt(0), r.getLong(2))).toMap
+    assert(sk.keySet == Set(0, 1, 2, 3) && sk.values.forall(_ == 3L),
+      s"flat buckets must skip with total-seen 3: $sk")
+    // a new flat image probes to NOTHING (bounded by construction)...
+    val flatProbe = Multimodal.dhashIncrementalPairs(spark, idxPath,
+      Multimodal.imageDHash(Multimodal.decodePpm(
+        Seq((90L, flat)).toDF("doc_id", "payload"), "doc_id", "payload")),
+      "doc_id", maxHamming = 3)
+    assert(flatProbe.count() == 0, "over-cap bucket must not pair")
+    // ...while the gradient ingest still pairs through its sub-cap bands
+    val got = Multimodal.dhashIncrementalPairs(spark, idxPath,
+        Multimodal.imageDHash(Multimodal.decodePpm(
+          Seq((91L, gradient)).toDF("doc_id", "payload"), "doc_id", "payload")),
+        "doc_id", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((10L, 91L)), s"sub-cap ingest must still pair: $got")
+    assert(Multimodal.dhashIndexVerify(spark, idxPath).count() == 0,
+      "maintained capped index must verify consistent")
+  }
+
   test("streaming band-index maintenance: batch N collides with batch N-1 ingest") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
