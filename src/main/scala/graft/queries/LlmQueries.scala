@@ -869,12 +869,19 @@ object LlmQueries {
     }
   }
 
-  /** The q143/q144 SIGNED-sample chain for one wav leg, ending in
-    * `sarr$sfx(doc_id, n, arr)` with `arr` the 1-based SIGNED sample
+  /** The q143/q144/q145/q146 SIGNED-sample chain for one wav leg, ending
+    * in `sarr$sfx(doc_id, n, arr)` with `arr` the 1-based SIGNED sample
     * list ([[wavEnvCtes]]'s twin without the abs — the spectral hash
     * needs phase); `halfGain` applies the q144 level edit
-    * (trunc-toward-zero integer halving, matching Java's `/ 2`). */
-  private def wavSigCtes(sfx: String, halfGain: Boolean): String = {
+    * (trunc-toward-zero integer halving, matching Java's `/ 2`); `flip`
+    * the q133 first-byte edit (sample 1's low byte XOR 127, applied
+    * BEFORE any gain). */
+  private def wavSigCtes(sfx: String, halfGain: Boolean,
+      flip: Boolean = false): String = {
+    val lowByte = "((ascii(substring(pt, 2*i - 1, 1)) + 192) % 256)"
+    val lowExpr =
+      if (flip) s"(CASE WHEN i = 1 THEN xor($lowByte, 127) ELSE $lowByte END)"
+      else lowByte
     val sv = "(CASE WHEN u >= 32768 THEN u - 65536 ELSE u END)"
     val sample = if (halfGain) s"trunc($sv / 2.0)::INTEGER" else sv
     s"""d$sfx AS (SELECT doc_id,
@@ -884,7 +891,7 @@ object LlmQueries {
        |p$sfx AS (SELECT doc_id, nbytes, rpad(text, nbytes, '.') AS pt
        |  FROM d$sfx),
        |s$sfx AS (SELECT doc_id, i,
-       |    ((ascii(substring(pt, 2*i - 1, 1)) + 192) % 256)
+       |    $lowExpr
        |      + 256 * ((ascii(substring(pt, 2*i, 1)) + 192) % 256) AS u
        |  FROM p$sfx CROSS JOIN generate_series(1, 102) t(i)
        |  WHERE 2*i <= nbytes),
@@ -965,6 +972,70 @@ object LlmQueries {
           "doc_id", "payload")),
         "doc_id", maxHamming = 8, maxBucket = AudioPairCap)
       ._1.orderBy("a", "b")
+
+  /** q145 — the end-to-end AUDIO curation pipeline (the q137 twin —
+    * together they close the q67 pattern across modalities): decode →
+    * SPECTRAL fingerprint → CAPPED banded pairs → transitive components
+    * → per-cluster keeper by PEAK amplitude (the integer audio quality
+    * proxy: the original out-ranks its half-gain re-export; ties to the
+    * smallest id) → leakage-safe component-keyed split. Three corpus
+    * legs (orig / one-byte edit +300000 / half-gain +400000); every leg
+    * operator oracle-gated elsewhere (q87/q143/q144/q125/q84/q119),
+    * this gates the COMPOSITION. Output per clip:
+    * `(doc_id, component, keep, bucket, split)`. */
+  def audioCurationQ(s: SparkSession, d: String): DataFrame = {
+    val corpus = wavRotatedPayloads(s, d)
+      .unionByName(wavRotatedPayloads(s, d, idOffset = 300000L,
+        flipFirst = true))
+      .unionByName(wavRotatedPayloads(s, d, idOffset = 400000L,
+        halfGain = true))
+    val decoded = Multimodal.decodeWav(corpus, "doc_id", "payload")
+    val hashes = Multimodal.audioSpectralFingerprint(decoded)
+    val (pairs, _) = Multimodal.dhashNearDupPairsCapped(hashes, "doc_id",
+      maxHamming = 8, maxBucket = AudioPairCap)
+    val labels =
+      try Dedup.connectedComponents(hashes.select("doc_id"), pairs, "doc_id")
+      finally graft.engine.Checkpoints.release(pairs)
+    val scored = labels.join(
+      Multimodal.wavFeatures(decoded)
+        .select(col("doc_id"), col("peak").cast("long").as("__score")),
+      "doc_id")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("component")
+      .orderBy(col("__score").desc, col("doc_id").asc)
+    TextOps.hashSplitBy(
+        scored.withColumn("keep", row_number().over(w) === 1)
+          .select("doc_id", "component", "keep"),
+        col("component"))
+      .orderBy("doc_id")
+  }
+
+  /** Per-directory memo of the persisted SPECTRAL-fingerprint index over
+    * the ingested audio corpus (the orig leg) — the same capped dHash
+    * index machine, fingerprints hashed once per session, probed per
+    * batch ([[Multimodal.dhashIndexWrite]] at [[AudioPairCap]]). */
+  private val spectralIndexCache = new SessionPathMemo("specidx", (s, d, p) => {
+    Multimodal.dhashIndexWrite(
+      Multimodal.audioSpectralFingerprint(Multimodal.decodeWav(
+        wavRotatedPayloads(s, d), "doc_id", "payload")),
+      "doc_id", p, maxBucket = AudioPairCap)
+  })
+
+  /** q146 — incremental audio dedup over the SPECTRAL index
+    * ([[Multimodal.dhashIncrementalPairs]]): the half-gain re-export leg
+    * plays the ingest batch against the persisted capped index of the
+    * original clips — each re-export pairs with its source through the
+    * gain-robust fingerprints, the corpus never re-decoded, excluded
+    * buckets out of both legs. The SAME index/probe/maintenance machine
+    * as images (q131): one banded family across modalities, now
+    * including its persisted form for audio. */
+  def audioSpectralIncrementalQ(s: SparkSession, d: String): DataFrame =
+    Multimodal.dhashIncrementalPairs(s, spectralIndexCache(s, d),
+        Multimodal.audioSpectralFingerprint(Multimodal.decodeWav(
+          wavRotatedPayloads(s, d, idOffset = 400000L, halfGain = true),
+          "doc_id", "payload")),
+        "doc_id", maxHamming = 8)
+      .orderBy("a", "b")
 
   /** The q89 sample-extraction chain for one wav leg, ending in
     * `sarr$sfx(doc_id, n, arr)`; `flip` applies the q133 first-byte
@@ -2474,6 +2545,86 @@ object LlmQueries {
          |SELECT a, b, hamming FROM p WHERE hamming <= 8
          |ORDER BY a, b""".stripMargin,
 
+    // the three-leg spectral chain -> capped pairs -> reachability
+    // closure -> peak-amplitude keeper -> component-keyed split
+    "q145_audio_curation" ->
+      s"""WITH RECURSIVE ${wavSigCtes("_o", halfGain = false)},
+         |${wavSigCtes("_f", halfGain = false, flip = true)},
+         |${wavSigCtes("_h", halfGain = true)},
+         |$spectralTabCte,
+         |${spectralHashCtes("_o")},
+         |${spectralHashCtes("_f", 300000L)},
+         |${spectralHashCtes("_h", 400000L)},
+         |hs AS (SELECT * FROM hb_o UNION ALL SELECT * FROM hb_f
+         |  UNION ALL SELECT * FROM hb_h),
+         |e AS (SELECT doc_id, b0, b1, b2, b3, band,
+         |    CASE band WHEN 0 THEN b0 WHEN 1 THEN b1
+         |      WHEN 2 THEN b2 ELSE b3 END AS v
+         |  FROM hs CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band)),
+         |bs AS (SELECT band, v FROM e GROUP BY band, v
+         |  HAVING count(*) <= $AudioPairCap),
+         |ek AS (SELECT e.* FROM e JOIN bs USING (band, v)),
+         |p AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+         |    (bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1)) +
+         |     bit_count(xor(x.b2, y.b2)) + bit_count(xor(x.b3, y.b3)))::BIGINT
+         |      AS hamming
+         |  FROM ek x JOIN ek y ON y.band = x.band AND y.v = x.v
+         |    AND x.doc_id < y.doc_id),
+         |pr AS (SELECT a, b FROM p WHERE hamming <= 8),
+         |edges AS (SELECT a AS u, b AS v FROM pr
+         |  UNION SELECT b AS u, a AS v FROM pr),
+         |reach(u, r) AS (
+         |  SELECT doc_id, doc_id FROM hs
+         |  UNION
+         |  SELECT e2.v, reach.r FROM reach JOIN edges e2 ON e2.u = reach.u),
+         |comp AS (SELECT u AS doc_id, min(r) AS component
+         |  FROM reach GROUP BY u),
+         |pk AS (SELECT doc_id, max(abs(sv))::BIGINT AS score
+         |    FROM v_o GROUP BY doc_id
+         |  UNION ALL SELECT doc_id + 300000, max(abs(sv))::BIGINT
+         |    FROM v_f GROUP BY doc_id
+         |  UNION ALL SELECT doc_id + 400000, max(abs(sv))::BIGINT
+         |    FROM v_h GROUP BY doc_id),
+         |rn AS (SELECT c.doc_id, c.component,
+         |    row_number() OVER (PARTITION BY c.component
+         |      ORDER BY pk.score DESC, c.doc_id ASC) AS rn
+         |  FROM comp c JOIN pk ON pk.doc_id = c.doc_id),
+         |b2 AS (SELECT doc_id, component, (rn = 1) AS keep,
+         |    ${pHash("42", "component::VARCHAR")} % 100 AS bucket
+         |  FROM rn)
+         |SELECT doc_id, component, keep, bucket,
+         |  CASE WHEN bucket < 80 THEN 'train'
+         |       WHEN bucket < 90 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM b2 ORDER BY doc_id""".stripMargin,
+
+    // the spectral chain split across the ingest boundary (index leg
+    // < 400000, batch leg >= 400000) with the build-time bucket cap
+    // re-derived as HAVING on index-side bucket size (the q131 replay)
+    "q146_audio_spectral_incremental" ->
+      s"""WITH ${wavSigCtes("_o", halfGain = false)},
+         |${wavSigCtes("_h", halfGain = true)},
+         |$spectralTabCte,
+         |${spectralHashCtes("_o")},
+         |${spectralHashCtes("_h", 400000L)},
+         |hs AS (SELECT * FROM hb_o UNION ALL SELECT * FROM hb_h),
+         |e AS (SELECT doc_id, b0, b1, b2, b3, band,
+         |    CASE band WHEN 0 THEN b0 WHEN 1 THEN b1
+         |      WHEN 2 THEN b2 ELSE b3 END AS v
+         |  FROM hs CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band)),
+         |xb AS (SELECT band, v FROM e WHERE doc_id < 400000
+         |  GROUP BY band, v HAVING count(*) > $AudioPairCap),
+         |p2 AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+         |    (bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1)) +
+         |     bit_count(xor(x.b2, y.b2)) + bit_count(xor(x.b3, y.b3)))::BIGINT
+         |      AS hamming
+         |  FROM e x JOIN e y ON y.band = x.band AND y.v = x.v
+         |    AND x.doc_id < 400000 AND y.doc_id >= 400000
+         |  LEFT JOIN xb ON xb.band = x.band AND xb.v = x.v
+         |  WHERE xb.band IS NULL)
+         |SELECT a, b, hamming FROM p2 WHERE hamming <= 8
+         |ORDER BY a, b""".stripMargin,
+
     // the greedy merge walk replayed as a recursive CTE whose
     // longest-prefix CASE is generated from the same BpeVocab literal
     "q140_bpe_tokens" ->
@@ -3679,6 +3830,8 @@ object LlmQueries {
     "q142_length_batches_bpe" -> lengthBatchesBpeQ _,
     "q143_audio_spectral" -> audioSpectralQ _,
     "q144_audio_spectral_neardup" -> audioSpectralNearDupQ _,
+    "q145_audio_curation" -> audioCurationQ _,
+    "q146_audio_spectral_incremental" -> audioSpectralIncrementalQ _,
     "q80_dedup_keepers" -> dedupKeepers _,
     "q84_dedup_keepers_by" -> dedupKeepersBy _,
     "q81_mixed_decode" -> mixedDecode _,
