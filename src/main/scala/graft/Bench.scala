@@ -73,11 +73,15 @@ object Bench {
     }
     val loadEnd = os.getSystemLoadAverage
     val healthJson = {
-      val walls = passWalls.map(w => f"$w%.2f").mkString("[", ",", "]")
-      val heapGb = Runtime.getRuntime.maxMemory / (1024.0 * 1024 * 1024)
+      // locale-independent rounding: an f-interpolator uses the default
+      // locale's decimal separator, and a comma there is invalid JSON
+      def r2(x: Double): Double = math.round(x * 100) / 100.0
+      val walls = passWalls.map(w => r2(w).toString).mkString("[", ",", "]")
+      val heapGb =
+        math.round(Runtime.getRuntime.maxMemory / (1024.0 * 1024 * 1024) * 10) / 10.0
       s""""health":{"load_start":$loadStart,"load_end":$loadEnd,""" +
         s""""ncpu":${os.getAvailableProcessors},""" +
-        f""""max_heap_gb":$heapGb%.1f,"pass_walls":$walls}"""
+        s""""max_heap_gb":$heapGb,"pass_walls":$walls}"""
     }
     val results = names.map { name =>
       val ts = samples.map(_(name)).sorted

@@ -87,12 +87,16 @@ final class SubwordMatcher(vocab: Array[String]) extends Serializable {
 }
 
 object SubwordTokenizeRuntime {
+  // precompiled: String.split(regex) recompiles the pattern per call,
+  // a per-row tax on this hot path (the SimHashKernel.Ws discipline)
+  private val Ws = java.util.regex.Pattern.compile("\\s+")
+
   /** Greedy longest-match walk over one pre-normalized text: whitespace
     * words in order, each consumed left-to-right. Shared verbatim by the
     * interpreted and codegen paths. */
   def tokenize(text: String, m: SubwordMatcher): GenericArrayData = {
     val out = scala.collection.mutable.ArrayBuffer.empty[UTF8String]
-    val words = text.split("\\s+")
+    val words = Ws.split(text, -1)
     var wi = 0
     while (wi < words.length) {
       val w = words(wi)

@@ -645,6 +645,32 @@ object Multimodal {
     * share ≥ 1 identical band by pigeonhole), and four 16-bit positives
     * avoid the sign bit entirely. Same mapPartitions decode-stage pass
     * as [[planeStats]] — map-only, 32 B/image exchange cost downstream. */
+  /** The dHash band kernel over one decoded plane — shared by
+    * [[imageDHash]] and [[imageDHashDims]]. A degenerate 0×N plane
+    * hashes as blank (all-zero bands) instead of crashing the
+    * partition. */
+  private def dhashBandsOf(w: Int, h: Int, px: Array[Byte]): Array[Long] = {
+    def gray(x: Int, y: Int): Int = {
+      val p = (y * w + x) * 3
+      ((px(p) & 0xff) + (px(p + 1) & 0xff) + (px(p + 2) & 0xff)) / 3
+    }
+    val bands = new Array[Long](4)
+    if (w > 0 && h > 0) {
+      var j = 0
+      while (j < 8) {
+        val y = j * h / 8
+        var i = 0
+        while (i < 8) {
+          if (gray((i + 1) * w / 9, y) > gray(i * w / 9, y))
+            bands(j / 2) |= 1L << ((j % 2) * 8 + i)
+          i += 1
+        }
+        j += 1
+      }
+    }
+    bands
+  }
+
   def imageDHash(decoded: DataFrame, id: String = "doc_id",
       pixels: String = "pixels"): DataFrame = {
     val enc = org.apache.spark.sql.Encoders.product[DHashRow]
@@ -652,29 +678,36 @@ object Multimodal {
         col("height").cast("int"), col(pixels))
       .mapPartitions { rows =>
         rows.map { r =>
-          val w = r.getInt(1); val h = r.getInt(2)
-          val px = r.getAs[Array[Byte]](3)
-          def gray(x: Int, y: Int): Int = {
-            val p = (y * w + x) * 3
-            ((px(p) & 0xff) + (px(p + 1) & 0xff) + (px(p + 2) & 0xff)) / 3
-          }
-          val bands = new Array[Long](4)
-          // a degenerate 0×N plane hashes as blank (all-zero bands)
-          // instead of crashing the partition
-          if (w > 0 && h > 0) {
-            var j = 0
-            while (j < 8) {
-              val y = j * h / 8
-              var i = 0
-              while (i < 8) {
-                if (gray((i + 1) * w / 9, y) > gray(i * w / 9, y))
-                  bands(j / 2) |= 1L << ((j % 2) * 8 + i)
-                i += 1
-              }
-              j += 1
-            }
-          }
+          val bands = dhashBandsOf(r.getInt(1), r.getInt(2),
+            r.getAs[Array[Byte]](3))
           DHashRow(r.getLong(0), bands(0), bands(1), bands(2), bands(3))
+        }
+      }(enc)
+      .toDF()
+  }
+
+  /** [[DHashRow]] plus the decoded dimensions — the one-pass shape the
+    * image-curation pipeline wants: fingerprint AND quality score
+    * derive from a single decode ([[imageDHashDims]]). */
+  final case class DHashRowDims(doc_id: Long, b0: Long, b1: Long,
+      b2: Long, b3: Long, width: Int, height: Int)
+
+  /** [[imageDHash]] with the plane dimensions carried through — same
+    * hash loop, same pass; lets a curation pipeline checkpoint ONE
+    * compact frame and derive both the banded pair machine's input and
+    * the pixel-mass keeper score from it, instead of decoding the
+    * corpus once per consumer (the semDedup single-scan discipline). */
+  def imageDHashDims(decoded: DataFrame, id: String = "doc_id",
+      pixels: String = "pixels"): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.product[DHashRowDims]
+    decoded.select(col(id).cast("long"), col("width").cast("int"),
+        col("height").cast("int"), col(pixels))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val w = r.getInt(1); val h = r.getInt(2)
+          val bands = dhashBandsOf(w, h, r.getAs[Array[Byte]](3))
+          DHashRowDims(r.getLong(0), bands(0), bands(1), bands(2),
+            bands(3), w, h)
         }
       }(enc)
       .toDF()
@@ -760,54 +793,91 @@ object Multimodal {
     * moves the spectral comparisons — the robustness q144 gates and
     * OperatorSpec pins. Map-only; the oracle replays every bit from the
     * sample values. */
+  /** The spectral band kernel over one clip's PCM bytes — shared by
+    * [[audioSpectralFingerprint]] and [[audioSpectralFingerprintPeak]].
+    * An empty clip (0-sample data chunk) fingerprints as silence. */
+  private def spectralBandsOf(b: Array[Byte]): Array[Long] = {
+    val ct = SpectralTables.cos
+    val st = SpectralTables.sin
+    val n = b.length / 2
+    val bands = new Array[Long](4)
+    if (n > 0) {
+      val p = new Array[Long](144)
+      var m = 0
+      while (m < 144) {
+        val k2 = (m * n) / 144
+        val u = (b(2 * k2) & 0xff) | ((b(2 * k2 + 1) & 0xff) << 8)
+        p(m) = if (u >= 32768) u - 65536 else u
+        m += 1
+      }
+      var k = 0
+      while (k < 8) {
+        val e = new Array[Long](9)
+        var f = 0
+        while (f < 9) {
+          var cs = 0L; var ss = 0L
+          var j = 0
+          while (j < 16) {
+            cs += p(16 * f + j) * ct(k)(j)
+            ss += p(16 * f + j) * st(k)(j)
+            j += 1
+          }
+          e(f) = (cs >> 13) * (cs >> 13) + (ss >> 13) * (ss >> 13)
+          f += 1
+        }
+        f = 0
+        while (f < 8) {
+          if (e(f + 1) > e(f)) {
+            val bit = k * 8 + f
+            bands(bit / 16) |= 1L << (bit % 16)
+          }
+          f += 1
+        }
+        k += 1
+      }
+    }
+    bands
+  }
+
   def audioSpectralFingerprint(decoded: DataFrame, id: String = "doc_id",
       pcm: String = "pcm"): DataFrame = {
     val enc = org.apache.spark.sql.Encoders.product[DHashRow]
-    val ct = SpectralTables.cos
-    val st = SpectralTables.sin
+    decoded.select(col(id).cast("long"), col(pcm))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val bands = spectralBandsOf(r.getAs[Array[Byte]](1))
+          DHashRow(r.getLong(0), bands(0), bands(1), bands(2), bands(3))
+        }
+      }(enc)
+      .toDF()
+  }
+
+  /** [[DHashRow]] plus the clip's PEAK |amplitude| — the one-pass shape
+    * the audio-curation pipeline wants ([[imageDHashDims]]'s twin):
+    * fingerprint and quality score from a single decode. `peak` is the
+    * max |signed int16| over ALL samples, exactly [[wavFeatures]]'s
+    * peak. */
+  final case class DHashRowPeak(doc_id: Long, b0: Long, b1: Long,
+      b2: Long, b3: Long, peak: Int)
+
+  def audioSpectralFingerprintPeak(decoded: DataFrame,
+      id: String = "doc_id", pcm: String = "pcm"): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.product[DHashRowPeak]
     decoded.select(col(id).cast("long"), col(pcm))
       .mapPartitions { rows =>
         rows.map { r =>
           val b = r.getAs[Array[Byte]](1)
+          val bands = spectralBandsOf(b)
           val n = b.length / 2
-          val bands = new Array[Long](4)
-          // an empty clip (0-sample data chunk) fingerprints as silence
-          if (n > 0) {
-            val p = new Array[Long](144)
-            var m = 0
-            while (m < 144) {
-              val k2 = (m * n) / 144
-              val u = (b(2 * k2) & 0xff) | ((b(2 * k2 + 1) & 0xff) << 8)
-              p(m) = if (u >= 32768) u - 65536 else u
-              m += 1
-            }
-            var k = 0
-            while (k < 8) {
-              val e = new Array[Long](9)
-              var f = 0
-              while (f < 9) {
-                var cs = 0L; var ss = 0L
-                var j = 0
-                while (j < 16) {
-                  cs += p(16 * f + j) * ct(k)(j)
-                  ss += p(16 * f + j) * st(k)(j)
-                  j += 1
-                }
-                e(f) = (cs >> 13) * (cs >> 13) + (ss >> 13) * (ss >> 13)
-                f += 1
-              }
-              f = 0
-              while (f < 8) {
-                if (e(f + 1) > e(f)) {
-                  val bit = k * 8 + f
-                  bands(bit / 16) |= 1L << (bit % 16)
-                }
-                f += 1
-              }
-              k += 1
-            }
+          var peak = 0
+          var i = 0
+          while (i < n) {
+            val s: Int = ((b(2 * i) & 0xff) | (b(2 * i + 1) << 8)).toShort
+            if (math.abs(s) > peak) peak = math.abs(s)
+            i += 1
           }
-          DHashRow(r.getLong(0), bands(0), bands(1), bands(2), bands(3))
+          DHashRowPeak(r.getLong(0), bands(0), bands(1), bands(2),
+            bands(3), peak)
         }
       }(enc)
       .toDF()
@@ -914,12 +984,18 @@ object Multimodal {
     * without re-scanning the index ([[dhashAppendBatch]] decides the cap
     * over the COMBINED total; once a bucket crosses the cap it stays
     * excluded). Surface `<path>/skipped` ([[dhashIndexSkipped]]) — it is
-    * the record that probe coverage was bounded. Write order within one
-    * call is `hashes` → `skipped` → `bandsizes` → marker and is NOT
-    * atomic; a torn append is replay-safe by construction (decisions
-    * read the once-written sidecars, probe `distinct()`s the hash rows)
-    * but detectable only by [[dhashIndexVerify]] — run it on index open
-    * after a crash. */
+    * the record that probe coverage was bounded. WRITE-ORDER CONTRACT:
+    * within one call the writes land `hashes` → `skipped` → `bandsizes`
+    * → marker and are NOT atomic, but a torn-append RETRY is idempotent
+    * BY CONSTRUCTION: sidecar rows carry the writing batch id
+    * (`__batch`, -1 for build rows), the retry's base reads EXCLUDE its
+    * own id's rows (so a crash that landed a sidecar write cannot make
+    * the retry double-count the batch), duplicate sidecar rows collapse
+    * under the readers' per-bucket max, and duplicate hash rows under
+    * the probe/verifier `distinct()`. [[dhashIndexVerify]] remains the
+    * defense-in-depth for corruption outside the crash-retry model
+    * (lost files, manual edits, re-ingested ids) — run it on index open
+    * after an unclean shutdown, rebuild on findings. */
   def dhashIndexWrite(hashes: DataFrame, id: String, path: String,
       maxBucket: Int = Int.MaxValue): Unit = {
     require(maxBucket >= 1, s"maxBucket must be >= 1, got $maxBucket")
@@ -942,11 +1018,15 @@ object Multimodal {
         marked.write.mode("overwrite").parquet(s"$path/hashes")
         val sizes = dhashBanded(marked, id)
           .groupBy("band", "v").agg(count(lit(1)).as("size"))
+        // __batch = -1 marks build-time rows; append rows carry their
+        // batch id so a torn-append RETRY can exclude its own writes
         sizes.where(col("size") > maxBucket)
-          .select(col("band").as("band_idx"), col("v").as("key"), col("size"))
+          .select(col("band").as("band_idx"), col("v").as("key"),
+            col("size"), lit(-1L).as("__batch"))
           .write.mode("overwrite").parquet(s"$path/skipped")
         sizes.where(col("size") <= maxBucket)
-          .select(col("band"), col("v"), col("size").as("n"))
+          .select(col("band"), col("v"), col("size").as("n"),
+            lit(-1L).as("__batch"))
           .write.mode("overwrite").parquet(s"$path/bandsizes")
       } finally graft.engine.Checkpoints.release(marked)
     }
@@ -985,8 +1065,10 @@ object Multimodal {
     * bucket stays excluded ([[graft.operators.Dedup.bandIndexWrite]]'s
     * append invariant). The batch's HASH rows are always appended (the
     * cap is pairing metadata, not row exclusion — see
-    * [[dhashIndexWrite]]); cap decisions read only the once-written
-    * sidecars, so a torn-append retry re-decides identically. An
+    * [[dhashIndexWrite]], including the write-order contract: batch-id-
+    * tagged sidecar rows make a torn-append retry idempotent by
+    * construction — the retry's base reads exclude its own torn
+    * writes). An
     * uncapped append onto a capped index is refused (stale sidecars
     * would silently under-exclude); a capped append onto an uncapped
     * build sizes its touched buckets by one distinct recount of the
@@ -1018,9 +1100,17 @@ object Multimodal {
         val stacked = dhashBanded(batch, id).select("band", "v")
         val touched = stacked.distinct()
         val sizesExist = sidecar("bandsizes")
+        // TORN-RETRY IDEMPOTENCE: base reads exclude rows THIS batch id
+        // already wrote — a retry after a crash that landed a sidecar
+        // write would otherwise read its own torn rows as the base and
+        // double-count the batch (inflated totals silently excluding
+        // sub-cap buckets). With the exclusion the retry re-derives the
+        // identical decisions; the duplicate rows it appends collapse
+        // under the readers' max.
         val oldSizes =
           if (sizesExist)
             spark.read.parquet(s"$path/bandsizes")
+              .where(col("__batch") =!= batchId)
               .join(touched, Seq("band", "v"), "left_semi")
               .groupBy("band", "v").agg(max("n").as("__old"))
           else if (fs.exists(new org.apache.hadoop.fs.Path(s"$path/hashes")))
@@ -1034,9 +1124,14 @@ object Multimodal {
             // first capped append into a fresh dir (streaming maintenance
             // with no prior build): nothing indexed yet
             touched.limit(0).withColumn("__old", lit(0L))
-        val oldSkipped = dhashIndexSkipped(spark, path)
-          .select(col("band_idx").as("band"), col("key").as("v"),
-            col("size").as("__oldskip"))
+        val oldSkipped =
+          if (sidecar("skipped"))
+            spark.read.parquet(s"$path/skipped")
+              .where(col("__batch") =!= batchId)
+              .groupBy("band_idx", "key").agg(max("size").as("size"))
+              .select(col("band_idx").as("band"), col("key").as("v"),
+                col("size").as("__oldskip"))
+          else touched.limit(0).withColumn("__oldskip", lit(0L))
         val sizes = stacked.groupBy("band", "v").agg(count(lit(1)).as("__add"))
           .join(oldSizes, Seq("band", "v"), "left")
           .join(oldSkipped, Seq("band", "v"), "left")
@@ -1052,11 +1147,12 @@ object Multimodal {
           batch.write.mode("append").parquet(s"$path/hashes")
           decided.where(col("__preskipped") || col("size") > maxBucket)
             .select(col("band").as("band_idx"), col("v").as("key"),
-              col("size"))
+              col("size"), lit(batchId).as("__batch"))
             .write.mode("append").parquet(s"$path/skipped")
           if (sizesExist)
             decided.where(!col("__preskipped") && col("size") <= maxBucket)
-              .select(col("band"), col("v"), col("size").as("n"))
+              .select(col("band"), col("v"), col("size").as("n"),
+                lit(batchId).as("__batch"))
               .write.mode("append").parquet(s"$path/bandsizes")
         } finally graft.engine.Checkpoints.release(decided)
         graft.sources.Markers.writeLastBatch(spark, marker, batchId)
@@ -1073,8 +1169,16 @@ object Multimodal {
     * Empty result = consistent; findings → rebuild. Issues:
     * `size_mismatch` (admitted bucket whose sidecar size differs from
     * the recount), `missing_size` (bucket present in the hashes but in
-    * neither sidecar, on the bandsizes lineage), `skipped_undercount`
-    * (a skipped bucket with more members than its recorded total). */
+    * neither sidecar, on the bandsizes lineage), `skipped_leak` (a
+    * skipped bucket whose recorded total differs from the distinct
+    * recount in EITHER direction — hash rows are never routed away in
+    * this layout, so the skipped total must EQUAL the recount; an
+    * INFLATED sidecar is the torn-retry signature and as much a finding
+    * as lost rows). Assumes append batches carry fresh ids (the shared
+    * index-family contract): a re-ingest of an already-indexed id
+    * legitimately inflates totals over the distinct recount — that
+    * state reads as a finding, and rebuilding is the right response to
+    * it too. */
   def dhashIndexVerify(spark: org.apache.spark.sql.SparkSession,
       path: String): DataFrame = {
     val hs = spark.read.parquet(s"$path/hashes").distinct()
@@ -1113,10 +1217,10 @@ object Multimodal {
         j.where(col("expected").isNull && col("__skip").isNull &&
           col("actual") > 0),
         "missing_size", lit(null))
-    val under = finding(
-      j.where(col("__skip").isNotNull && col("actual") > col("__skip")),
-      "skipped_undercount", col("__skip"))
-    mismatch.unionByName(missing).unionByName(under)
+    val leak = finding(
+      j.where(col("__skip").isNotNull && col("actual") =!= col("__skip")),
+      "skipped_leak", col("__skip"))
+    mismatch.unionByName(missing).unionByName(leak)
   }
 
   /** Incremental image dedup of an ingest batch against a persisted

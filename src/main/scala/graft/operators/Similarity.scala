@@ -764,13 +764,23 @@ object Similarity {
     * (`(id, __e, __vn, cell, …)`) — both legs derive from the same input
     * frame, so when the caller passes a checkpoint ([[semDedup]] does)
     * the corpus is scanned and the assignment kernel run exactly ONCE
-    * for the whole dedup, not once per join leg. */
+    * for the whole dedup, not once per join leg.
+    *
+    * ZERO-NORM rows never edge: their cosine to anything is `0/0 = NaN`,
+    * and Spark orders NaN above every number, so an unguarded
+    * `NaN >= tau` would be TRUE — one degenerate all-zero embedding
+    * would edge to its whole cell and collapse it into a single dedup
+    * component (silent mass over-deletion). The convention matches the
+    * assignment's defined zero-norm result (cell kept, `cent_cos` NaN):
+    * an undefined similarity is NOT a duplicate of anything — the row
+    * keeps. */
   private def edgesFromWide(aw: DataFrame, id: String,
       tau: Double): DataFrame = {
     def dot(x: Column, y: Column): Column = graft.functions.DotProduct.dot_product(x, y)
-    val x = aw.select(col(id).as("a"), col("cell"),
+    val nz = aw.where(col("__vn") =!= 0.0)
+    val x = nz.select(col(id).as("a"), col("cell"),
       col("__e").as("__ea"), col("__vn").as("__na"))
-    val y = aw.select(col(id).as("b"), col("cell"),
+    val y = nz.select(col(id).as("b"), col("cell"),
       col("__e").as("__eb"), col("__vn").as("__nb"))
     x.join(y, Seq("cell"))
       .where(col("a") < col("b") &&
@@ -846,7 +856,11 @@ object Similarity {
     val hits = idx.corpus.where(col("cell").isin(cells.toIndexedSeq: _*))
       .select(col(idx.id).as("__cid"), col("cell"),
         col(idx.emb).cast("array<double>").as("__ce"), col("norm"))
-      .join(broadcast(nb), "cell")
+      // zero-norm guard on BOTH sides (the edgesFromWide convention): an
+      // undefined NaN cosine orders above tau in Spark and would report a
+      // degenerate batch vector as dup_of an arbitrary indexed id
+      .where(col("norm") =!= 0.0)
+      .join(broadcast(nb.where(col("__vn") =!= 0.0)), "cell")
       // self-pair guard (the winnowIncrementalPairs/dhashIncrementalPairs
       // discipline): a batch vector whose id is already indexed — the
       // at-least-once foreachBatch retry after a committed append — matches

@@ -989,16 +989,18 @@ object LlmQueries {
         flipFirst = true))
       .unionByName(wavRotatedPayloads(s, d, idOffset = 400000L,
         halfGain = true))
-    val decoded = Multimodal.decodeWav(corpus, "doc_id", "payload")
-    val hashes = Multimodal.audioSpectralFingerprint(decoded)
-    val (pairs, _) = Multimodal.dhashNearDupPairsCapped(hashes, "doc_id",
+    // ONE decode pass (the q137 discipline): fingerprint + peak off a
+    // single compact checkpoint; ownership as in q137
+    val hs = graft.engine.Checkpoints.mark(
+      Multimodal.audioSpectralFingerprintPeak(
+        Multimodal.decodeWav(corpus, "doc_id", "payload")))
+    val (pairs, _) = Multimodal.dhashNearDupPairsCapped(hs, "doc_id",
       maxHamming = 8, maxBucket = AudioPairCap)
     val labels =
-      try Dedup.connectedComponents(hashes.select("doc_id"), pairs, "doc_id")
+      try Dedup.connectedComponents(hs.select("doc_id"), pairs, "doc_id")
       finally graft.engine.Checkpoints.release(pairs)
     val scored = labels.join(
-      Multimodal.wavFeatures(decoded)
-        .select(col("doc_id"), col("peak").cast("long").as("__score")),
+      hs.select(col("doc_id"), col("peak").cast("long").as("__score")),
       "doc_id")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("component")
@@ -1250,18 +1252,25 @@ object LlmQueries {
     * COMPOSITION. Output per image:
     * `(doc_id, component, keep, bucket, split)`. */
   def imageCurationQ(s: SparkSession, d: String): DataFrame = {
-    val decoded = Multimodal.decodePpm(dhashCorpus(s, d), "doc_id", "payload")
-    val hashes = Multimodal.imageDHash(decoded)
-    val (pairs, _) = Multimodal.dhashNearDupPairsCapped(hashes, "doc_id",
+    // ONE decode pass (the semDedup single-scan discipline): the compact
+    // fingerprint+dims frame is checkpointed once and feeds BOTH the
+    // banded pair machine and the pixel-mass keeper score — a lazy
+    // `decoded` referenced by two consumers re-ran the full corpus
+    // decode per consumer. OWNERSHIP: the checkpoint stays a leaf of
+    // the returned frame; consumers release after the final evaluation
+    // (Verify/Bench/PlanSpec do).
+    val hs = graft.engine.Checkpoints.mark(Multimodal.imageDHashDims(
+      Multimodal.decodePpm(dhashCorpus(s, d), "doc_id", "payload")))
+    val (pairs, _) = Multimodal.dhashNearDupPairsCapped(hs, "doc_id",
       maxHamming = 8, maxBucket = DHashPairCap)
     // connectedComponents evaluates edges eagerly onto its own
-    // checkpoints — release the pair machine's shared hash checkpoint
+    // checkpoints — release the pair machine's internal hash checkpoint
     // here (the q125 discipline)
     val labels =
-      try Dedup.connectedComponents(hashes.select("doc_id"), pairs, "doc_id")
+      try Dedup.connectedComponents(hs.select("doc_id"), pairs, "doc_id")
       finally graft.engine.Checkpoints.release(pairs)
     val scored = labels.join(
-      decoded.select(col("doc_id"),
+      hs.select(col("doc_id"),
         (col("width") * col("height")).cast("long").as("__score")),
       "doc_id")
     val w = org.apache.spark.sql.expressions.Window
@@ -2494,8 +2503,9 @@ object LlmQueries {
          |  ((rank_in_bucket - 1) // 16)::BIGINT AS batch_idx
          |FROM r ORDER BY doc_id""".stripMargin,
 
-    // the q54 reachability replay AT THE TUNED BANDING (2 bands x 4
-    // rows) + the split arithmetic keyed on the component label — every
+    // the q54 reachability replay AT THE TUNED 3-GRAM SIMILARITY
+    // (banding unchanged: 8 hashes x 4 bands — the shingle is the knob)
+    // + the split arithmetic keyed on the component label — every
     // cluster member shares bucket and split, and the clusters are
     // small enough that the split is non-degenerate (q139 certifies)
     "q119_leak_safe_split" ->

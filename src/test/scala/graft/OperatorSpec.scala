@@ -2145,6 +2145,18 @@ class OperatorSpec extends AnyFunSuite {
     val sk1 = Multimodal.dhashIndexSkipped(spark, dir).collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
     assert(sk1 == Set((0, 0x1111L, 4L)), s"straddle bucket must skip: $sk1")
+    // torn-append RETRY: crash landed the sidecar writes but not the
+    // marker — delete the marker and re-apply the SAME batch id; the
+    // batch-tagged base exclusion must re-derive identical totals
+    // instead of reading its own torn rows and double-counting
+    graft.sources.Markers.delete(spark, s"$dir/lastbatch")
+    assert(Multimodal.dhashAppendBatch(dir, batch1, "doc_id", 0L, maxBucket = 3))
+    val skR = Multimodal.dhashIndexSkipped(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    assert(skR == Set((0, 0x1111L, 4L)),
+      s"torn retry must not double-count the batch: $skR")
+    assert(Multimodal.dhashIndexVerify(spark, dir).count() == 0,
+      "index must verify consistent after the torn retry")
     // probe a batch image that shares ONLY the skipped band: no pairs
     val probeFlat = Multimodal.dhashIncrementalPairs(spark, dir,
       Seq(row(90L, 0x1111L, 0x9999L)).toDF("doc_id", "b0", "b1", "b2", "b3"),
@@ -2576,6 +2588,41 @@ class OperatorSpec extends AnyFunSuite {
       s"replayed 10 must dup against 12, never itself: ${rp(10L)}")
     assert(rp(11L) == ((-1L, true)),
       s"replayed 11 has no OTHER match and must keep: ${rp(11L)}")
+  }
+
+  test("semDedup: a zero-norm embedding never edges (NaN >= tau must not collapse its cell)") {
+    val cents = Seq(0L -> Seq(1.0, 0.0))
+    val vecs = Seq(
+      (1L, Array(1.0, 0.0)),   // cell 0
+      (2L, Array(1.0, 1e-9)),  // near-dup of 1, cell 0
+      (3L, Array(5.0, 0.3)),   // cell 0, NOT a dup of 1/2 at tau=0.999
+      (4L, Array(0.0, 0.0))    // degenerate zero-norm, lands in cell 0
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.semDedup(vecs, "vec_id", "embedding", cents,
+      tau = 0.999)
+    try {
+      val rows = out.collect()
+        .map(r => r.getLong(0) -> ((r.getLong(3), r.getBoolean(4)))).toMap
+      // without the guard, 4's NaN cosine orders >= tau against EVERY
+      // cell member and the whole cell collapses into one component
+      assert(rows(1L)._1 == rows(2L)._1, "the real dup pair must merge")
+      assert(rows(3L)._1 != rows(1L)._1,
+        s"3 is not a duplicate and must keep its own component: $rows")
+      assert(rows(4L) == ((4L, true)),
+        s"the zero-norm row must keep as its own component: ${rows(4L)}")
+    } finally graft.engine.Checkpoints.release(out)
+    // incremental form: a zero-norm BATCH vector keeps (never dup_of)
+    val path = java.nio.file.Files.createTempDirectory("graft_semdd_zn").toString
+    graft.cli.Cleanup.deleteOnExit(path)
+    val idx = Similarity.ivfBuild(spark,
+      vecs.where(col("vec_id") <= 3L), "vec_id", "embedding",
+      k = 1, path = path, centroids = Some(cents.toDF("cell", "ce")))
+    val inc = Similarity.semDedupIncremental(idx,
+        Similarity.collectCentroids(cents.toDF("cell", "ce")),
+        Seq((9L, Array(0.0, 0.0))).toDF("vec_id", "embedding"), tau = 0.999)
+      .collect().head
+    assert(inc.isNullAt(3) && inc.getBoolean(4),
+      s"zero-norm batch vector must keep: $inc")
   }
 
   test("assignCellsLit: literal-centroid assignment equals the broadcast-join formulation") {
