@@ -92,6 +92,22 @@ object LlmQueries {
   private lazy val cc54With: String = cc54Chain(tokCte, "tok")
   private lazy val cc54With3g: String = cc54Chain(tok3Cte, "tok3")
 
+  /** The q33/q147 shared SimHash replay: per-token seed-3 hashes voted
+    * bit-by-bit, ending in `sh(doc_id, simhash)`. */
+  private lazy val simhashCtes: String = {
+    val sTerms = (0 until 32).map(b =>
+      s"sum((((h >> $b) & 1) * 2) - 1) AS s$b").mkString(",\n  ")
+    val bTerms = (0 until 32).map(b =>
+      s"CASE WHEN s$b > 0 THEN (1::BIGINT << $b) ELSE 0::BIGINT END")
+      .mkString(" + ")
+    s"""$tokCte,
+       |h AS (SELECT doc_id, ${pHash("3", "shingle")} AS h FROM tok),
+       |s AS (SELECT doc_id,
+       |  $sTerms
+       |FROM h GROUP BY doc_id),
+       |sh AS (SELECT doc_id, $bTerms AS simhash FROM s)""".stripMargin
+  }
+
   // ---- Spark-side queries ----
 
   def textTokens(s: SparkSession, d: String): DataFrame =
@@ -153,6 +169,41 @@ object LlmQueries {
     docs(s, d).where(col("text").isNotNull).select(col("doc_id"),
         graft.functions.SimHash32.simhash32(col("text")).as("simhash"))
       .orderBy("doc_id")
+
+  /** The q147 per-bucket cap — on this similar-vocabulary corpus the
+    * mega-bucket regime is TEXT-real: SimHashes of near-identical
+    * bag-of-words cluster so tightly that the largest byte band bucket
+    * holds 2760 of 5000 docs at sf0.1 (6.6M uncapped candidate pairs,
+    * 1.86M of them under hamming 3 — a dedup answer nobody wants
+    * verbatim). Cap 50 bounds the pair machine and exercises exclusion
+    * at both scales (10 / 50 skipped buckets). */
+  val SimHashPairCap = 50
+
+  /** q147 — SimHash near-duplicate pairs through the SHARED capped
+    * banded-hamming machine ([[Multimodal.dhashNearDupPairsCapped]] —
+    * generic over any 4-band fingerprint frame): the 32-bit per-row
+    * simhash splits into four byte bands (hamming ≤ 3 ⇒ ≥ 1 identical
+    * band by pigeonhole, the exact q122 guarantee at 32 bits), bucket
+    * equi-join, exact popcount verify. Completes the fingerprint
+    * quartet through ONE machine: dHash (q134), audio envelope (q136),
+    * audio spectral (q144), and now SimHash — and the cap earns its
+    * keep here most of all (see [[SimHashPairCap]]). As with q57/q134
+    * the cap is part of this query's spec (oracle replays the HAVING);
+    * the skipped report is [[Multimodal.dhashNearDupPairsCapped]]'s
+    * second frame, surfaced by the q135 pattern when needed. */
+  def simhashNearDupQ(s: SparkSession, d: String): DataFrame = {
+    val bands = docs(s, d).where(col("text").isNotNull)
+      .select(col("doc_id"),
+        graft.functions.SimHash32.simhash32(col("text")).as("__sh"))
+      .select(col("doc_id"),
+        col("__sh").bitwiseAND(255).as("b0"),
+        shiftright(col("__sh"), 8).bitwiseAND(255).as("b1"),
+        shiftright(col("__sh"), 16).bitwiseAND(255).as("b2"),
+        shiftright(col("__sh"), 24).bitwiseAND(255).as("b3"))
+    Multimodal.dhashNearDupPairsCapped(bands, "doc_id",
+        maxHamming = 3, maxBucket = SimHashPairCap)
+      ._1.orderBy("a", "b")
+  }
 
   /** q54 — the composed transitive dedup pipeline: MinHash signatures ->
     * LSH band buckets -> star edges -> connected components, so near-dup
@@ -1987,6 +2038,22 @@ object LlmQueries {
         Seq(75L, 130L, 180L), batchSize = 16)
       .orderBy("doc_id")
 
+  /** q148 — the q112 mixing recipe budgeted in REAL tokenizer tokens
+    * ([[TextOps.mixtureAllocation]] with [[TextOps.tokenCountBpe]] as
+    * the count column — the composition the tokenizer-apply operator
+    * exists for): per language, available SUBWORD tokens, the mixture's
+    * desired share of a 40k budget (rescaled: subword counts run ~2.3×
+    * the whitespace counts), epochs under the 2.4-epoch cap, allocation
+    * and shortfall — all integer arithmetic, the oracle re-deriving the
+    * availability from the recursive merge walk. */
+  def mixtureAllocationBpeQ(s: SparkSession, d: String): DataFrame =
+    TextOps.mixtureAllocation(docs(s, d), "lang",
+        TextOps.tokenCountBpe(col("text"), BpeVocab),
+        Seq("en" -> 400, "zh" -> 150, "es" -> 150, "de" -> 150,
+          "fr" -> 100, "ja" -> 50),
+        budgetTokens = 40000L, maxEpochsMilli = 2400L)
+      .orderBy("stratum")
+
   /** The q123 frozen probe vocabulary — a model artifact, mirrored as a
     * VALUES list in the oracle. 16 of the corpus's ~31 distinct terms,
     * so OOV rates spread over (0, 1). */
@@ -2635,6 +2702,30 @@ object LlmQueries {
          |SELECT a, b, hamming FROM p2 WHERE hamming <= 8
          |ORDER BY a, b""".stripMargin,
 
+    // the q112 solver arithmetic over availability from the merge walk
+    "q148_mixture_bpe" ->
+      s"""WITH RECURSIVE ${bpeWalkCtes("TRUE")},
+         |cnt AS (SELECT g.doc_id, coalesce(c.n, 0)::BIGINT AS n
+         |  FROM ga g LEFT JOIN (SELECT doc_id, count(*) AS n FROM toks
+         |    GROUP BY doc_id) c ON c.doc_id = g.doc_id),
+         |tgt(stratum, w_milli) AS (VALUES ('en', 400), ('zh', 150),
+         |  ('es', 150), ('de', 150), ('fr', 100), ('ja', 50)),
+         |av AS (SELECT d.lang AS stratum, sum(cnt.n)::BIGINT AS available
+         |  FROM documents d JOIN cnt ON cnt.doc_id = d.doc_id
+         |  GROUP BY d.lang),
+         |j AS (SELECT t.stratum, t.w_milli,
+         |    coalesce(av.available, 0)::BIGINT AS available,
+         |    ((40000 * t.w_milli) // 1000)::BIGINT AS desired
+         |  FROM tgt t LEFT JOIN av USING (stratum)),
+         |e AS (SELECT *, (CASE WHEN available = 0 THEN 0
+         |    ELSE least(2400, (desired * 1000) // available) END)::BIGINT
+         |      AS epochs_milli FROM j),
+         |a AS (SELECT *, ((available * epochs_milli) // 1000)::BIGINT
+         |    AS allocated FROM e)
+         |SELECT stratum, w_milli, available, desired, epochs_milli,
+         |  allocated, (desired - allocated)::BIGINT AS shortfall
+         |FROM a ORDER BY stratum""".stripMargin,
+
     // the greedy merge walk replayed as a recursive CTE whose
     // longest-prefix CASE is generated from the same BpeVocab literal
     "q140_bpe_tokens" ->
@@ -3230,19 +3321,37 @@ object LlmQueries {
          |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
     },
 
-    "q33_dedup_simhash" -> {
-      val sTerms = (0 until 32).map(b =>
-        s"sum((((h >> $b) & 1) * 2) - 1) AS s$b").mkString(",\n  ")
-      val bTerms = (0 until 32).map(b =>
-        s"CASE WHEN s$b > 0 THEN (1::BIGINT << $b) ELSE 0::BIGINT END")
-        .mkString(" + ")
-      s"""WITH $tokCte,
-         |h AS (SELECT doc_id, ${pHash("3", "shingle")} AS h FROM tok),
-         |s AS (SELECT doc_id,
-         |  $sTerms
-         |FROM h GROUP BY doc_id)
-         |SELECT doc_id, $bTerms AS simhash FROM s ORDER BY doc_id""".stripMargin
-    },
+    "q33_dedup_simhash" ->
+      s"""WITH $simhashCtes
+         |SELECT doc_id, simhash FROM sh ORDER BY doc_id""".stripMargin,
+
+    // the 32-bit simhash split into four byte bands through the SAME
+    // capped banded-hamming machine as dHash/audio (hamming <= 3 over
+    // 32 bits => >= 1 identical byte band, pigeonhole); cap replayed as
+    // the HAVING on bucket size — on this similar-vocabulary corpus the
+    // mega-bucket regime is TEXT-real (largest byte bucket holds 2760
+    // of 5000 docs at sf0.1; uncapped, 6.6M candidate pairs)
+    "q147_simhash_neardup" ->
+      s"""WITH $simhashCtes,
+         |bnd AS (SELECT doc_id,
+         |    (simhash >> 0) & 255 AS b0, (simhash >> 8) & 255 AS b1,
+         |    (simhash >> 16) & 255 AS b2, (simhash >> 24) & 255 AS b3
+         |  FROM sh),
+         |e AS (SELECT doc_id, b0, b1, b2, b3, band,
+         |    CASE band WHEN 0 THEN b0 WHEN 1 THEN b1
+         |      WHEN 2 THEN b2 ELSE b3 END AS v
+         |  FROM bnd CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band)),
+         |bs AS (SELECT band, v FROM e GROUP BY band, v
+         |  HAVING count(*) <= $SimHashPairCap),
+         |ek AS (SELECT e.* FROM e JOIN bs USING (band, v)),
+         |p AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+         |    (bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1)) +
+         |     bit_count(xor(x.b2, y.b2)) + bit_count(xor(x.b3, y.b3)))::BIGINT
+         |      AS hamming
+         |  FROM ek x JOIN ek y ON y.band = x.band AND y.v = x.v
+         |    AND x.doc_id < y.doc_id)
+         |SELECT a, b, hamming FROM p WHERE hamming <= 3
+         |ORDER BY a, b""".stripMargin,
 
     "q34_dedup_embed_cosine" ->
       """WITH pr AS (SELECT a.vec_id AS a, b2.vec_id AS b,
@@ -3842,6 +3951,8 @@ object LlmQueries {
     "q144_audio_spectral_neardup" -> audioSpectralNearDupQ _,
     "q145_audio_curation" -> audioCurationQ _,
     "q146_audio_spectral_incremental" -> audioSpectralIncrementalQ _,
+    "q147_simhash_neardup" -> simhashNearDupQ _,
+    "q148_mixture_bpe" -> mixtureAllocationBpeQ _,
     "q80_dedup_keepers" -> dedupKeepers _,
     "q84_dedup_keepers_by" -> dedupKeepersBy _,
     "q81_mixed_decode" -> mixedDecode _,
