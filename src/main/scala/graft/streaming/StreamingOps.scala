@@ -208,6 +208,29 @@ object StreamingOps {
     payloadStream.writeStream.foreachBatch(fn)
   }
 
+  /** Streaming SPECTRAL-index maintenance — the audio twin of
+    * [[maintainDHashIndex]]: each micro-batch of `(id, wavPayload)` rows
+    * decodes ([[graft.operators.Multimodal.decodeWav]]), fingerprints
+    * map-only ([[graft.operators.Multimodal.audioSpectralFingerprint]] —
+    * the gain-robust spectral hash), and appends via the replay-guarded
+    * [[graft.operators.Multimodal.dhashAppendBatch]], keeping
+    * [[graft.operators.Multimodal.dhashIncrementalPairs]] current under
+    * ingest — the q146 probe against a live index. On a CAPPED index
+    * pass the index's `maxBucket` (the [[maintainDHashIndex]] contract).
+    * Caller sets `checkpointLocation` and `start()`s. */
+  def maintainSpectralIndex(payloadStream: DataFrame, id: String,
+      payload: String, path: String, maxBucket: Int = Int.MaxValue)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val fn: (DataFrame, Long) => Unit = (batch, batchId) => {
+      graft.operators.Multimodal.dhashAppendBatch(path,
+        graft.operators.Multimodal.audioSpectralFingerprint(
+          graft.operators.Multimodal.decodeWav(batch, id, payload)),
+        id, batchId, maxBucket)
+      ()
+    }
+    payloadStream.writeStream.foreachBatch(fn)
+  }
+
   /** Streaming IVF maintenance — the embedding-index twin of
     * [[maintainBandIndex]]: each micro-batch of `(id, emb)` vectors is
     * assigned against the index's STORED centroids (map-only — the

@@ -283,6 +283,59 @@ class StreamingSpec extends AnyFunSuite {
       "maintained capped index must verify consistent")
   }
 
+  test("streaming spectral-index maintenance: a half-gain re-export hits the earlier ingest; retry no-ops") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    import graft.operators.Multimodal
+    def pcm(f: Int => Int): Array[Byte] = {
+      val b = new Array[Byte](160 * 2)
+      for (k <- 0 until 160) {
+        val v = f(k) & 0xffff
+        b(2 * k) = (v & 0xff).toByte; b(2 * k + 1) = ((v >> 8) & 0xff).toByte
+      }
+      b
+    }
+    val p4 = Array(0, 1, 0, -1)
+    def toneA(k: Int): Int = p4(k % 4) * (200 + 5 * k)
+    def toneB(k: Int): Int = (if (k % 8 < 4) 1 else -1) * (900 - 3 * k)
+    def wav(f: Int => Int): Array[Byte] = Multimodal.encodeWav(8000, 1, pcm(f))
+    val idxPath = s"${sys.props("java.io.tmpdir")}/graft_test_spec_maint"
+    val ckpt = s"${sys.props("java.io.tmpdir")}/graft_test_spec_maint_ckpt"
+    Seq(idxPath, ckpt).foreach { p =>
+      val f = new java.io.File(p)
+      if (f.exists) org.apache.commons.io.FileUtils.deleteDirectory(f)
+      graft.cli.Cleanup.deleteOnExit(p)
+    }
+    val mem = MemoryStream[(Long, Array[Byte])]
+    val q = StreamingOps.maintainSpectralIndex(
+        mem.toDF().toDF("doc_id", "payload"), "doc_id", "payload", idxPath)
+      .option("checkpointLocation", ckpt).start()
+    try {
+      mem.addData((1L, wav(toneA))) // batch 0
+      q.processAllAvailable()
+      mem.addData((2L, wav(toneB))) // batch 1
+      q.processAllAvailable()
+    } finally q.stop()
+    // the half-gain RE-EXPORT of clip 1 (the q144 level edit) probes to
+    // its source through the gain-robust spectral fingerprints
+    val got = Multimodal.dhashIncrementalPairs(spark, idxPath,
+        Multimodal.audioSpectralFingerprint(Multimodal.decodeWav(
+          Seq((90L, wav(k => toneA(k) / 2))).toDF("doc_id", "payload"),
+          "doc_id", "payload")),
+        "doc_id", maxHamming = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 90L)),
+      s"half-gain re-export must hit clip 1, not clip 2: $got")
+    // retry idempotence: a replayed batch id appends nothing
+    val before = spark.read.parquet(s"$idxPath/hashes").count()
+    assert(!Multimodal.dhashAppendBatch(idxPath,
+      Multimodal.audioSpectralFingerprint(Multimodal.decodeWav(
+        Seq((99L, wav(toneB))).toDF("doc_id", "payload"),
+        "doc_id", "payload")),
+      "doc_id", 1L))
+    assert(spark.read.parquet(s"$idxPath/hashes").count() == before)
+  }
+
   test("streaming band-index maintenance: batch N collides with batch N-1 ingest") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
