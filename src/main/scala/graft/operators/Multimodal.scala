@@ -175,6 +175,54 @@ object Multimodal {
       .toDF()
   }
 
+  /** One decoded frame of a multi-frame container ([[decodePpmFrames]]). */
+  final case class PpmFrame(doc_id: Long, frame_idx: Int, width: Int,
+      height: Int, pixels: Array[Byte])
+
+  /** VIDEO-side frame extraction — REAL container parsing through the
+    * same per-partition decode seam: a payload of CONCATENATED binary
+    * PPM (P6) frames (the moral equivalent of an intra-only container;
+    * real codecs need ffmpeg-class libraries, absent here — the
+    * CONTAINER WALK is the genuine part) is walked header by header,
+    * each frame's dims/plane parsed by the full [[parsePpmHeader]]
+    * validation, emitting one `(id, frame_idx, width, height, pixels)`
+    * row per frame. Frames may differ in geometry mid-container. A
+    * malformed tail stops the walk and keeps the frames already parsed
+    * (the decoder family's drop-don't-crash contract). Map-only; the
+    * per-frame remainder slice is linear in container size per frame —
+    * fine at bounded frame counts (a production parser tracks offsets).
+    * Downstream the frame rows feed the EXISTING image machinery
+    * unchanged: per-frame dHash → the capped banded machine → video
+    * near-dup via shared frames (q150). */
+  def decodePpmFrames(df: DataFrame, id: String,
+      payload: String = "payload"): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.product[PpmFrame]
+    df.select(col(id).cast("long"), col(payload))
+      .where(col(payload).isNotNull)
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val b = r.getAs[Array[Byte]](1)
+          val out = scala.collection.mutable.ArrayBuffer.empty[PpmFrame]
+          var pos = 0
+          var ok = true
+          while (ok && pos < b.length) {
+            val slice =
+              if (pos == 0) b else java.util.Arrays.copyOfRange(b, pos, b.length)
+            ppmDecodeBytes(slice) match {
+              case Some((w, h, _, px)) =>
+                out += PpmFrame(r.getLong(0), out.length, w, h, px)
+                // advance past this frame: header offset + plane length
+                val off = parsePpmHeader(slice).get._4
+                pos += off + px.length
+              case None => ok = false
+            }
+          }
+          out
+        }
+      }(enc)
+      .toDF()
+  }
+
   /** Feature-extraction stub: a deterministic 16-dim float feature vector
     * per payload (normalized 16-bucket byte histogram — the stand-in for a
     * real image/audio embedding model). The plumbing is the production

@@ -1158,6 +1158,21 @@ object LlmQueries {
 
   private lazy val dhashPairCtes: String = dhashPairCtesWith(None)
 
+  /** The q149/q150 frame chain: every video's frames rebuilt from text
+    * (frame f = the text shifted by f characters, padded/truncated to
+    * the q71 dims), ending in `fr(doc_id, f, w, h, pt)`. */
+  private lazy val videoFrameCtes: String =
+    s"""base AS (SELECT doc_id, (4 + doc_id % 8)::INTEGER AS w,
+       |    (3 + doc_id % 5)::INTEGER AS h,
+       |    ((4 + doc_id % 8) * (3 + doc_id % 5) * 3)::INTEGER AS npix,
+       |    text
+       |  FROM documents WHERE text IS NOT NULL
+       |    AND octet_length(encode(text)) = length(text)),
+       |fr AS (SELECT doc_id, f, w, h,
+       |    rpad(substring(text, f + 1), npix, '.') AS pt
+       |  FROM base CROSS JOIN generate_series(0, 3) t(f)
+       |  WHERE f < 2 + doc_id % 3)""".stripMargin
+
   /** The q131 index-side cap — sized to the TWO-leg index corpus (orig +
     * re-upload: largest bucket 78 at sf0.01, 786 at sf0.1), so the
     * build-time exclusion is exercised at both scales. */
@@ -1332,6 +1347,82 @@ object LlmQueries {
           .select("doc_id", "component", "keep"),
         col("component"))
       .orderBy("doc_id")
+  }
+
+  /** Rows of (doc_id, multi-frame PPM container): each ASCII doc becomes
+    * a "video" of `F = 2 + doc_id % 3` frames, frame f's plane the text
+    * SHIFTED by f characters (then padded/truncated to the q71 dims) —
+    * deterministic, so DuckDB rebuilds every frame from text.
+    * `dropFirst` builds the q150 re-encode leg: the same video missing
+    * its first frame — the classic hard case frame-level matching
+    * exists for (a whole-container hash misses it; any shared frame
+    * still pairs). */
+  private def videoPayloads(s: SparkSession, d: String,
+      idOffset: Long = 0L, dropFirst: Boolean = false): DataFrame = {
+    val ascii = docs(s, d).where(col("text").isNotNull &&
+      octet_length(encode(col("text"), "UTF-8")) === length(col("text")))
+    val rows = ascii.select(col("doc_id"),
+      (lit(4) + col("doc_id") % 8).cast("int").as("w"),
+      (lit(3) + col("doc_id") % 5).cast("int").as("h"),
+      col("text"))
+    val enc = org.apache.spark.sql.Encoders.product[IdPayload]
+    rows.mapPartitions { it =>
+      it.map { r =>
+        val (docId, w, h) = (r.getLong(0), r.getInt(1), r.getInt(2))
+        val text = r.getString(3)
+        val npix = w * h * 3
+        val nFrames = (2 + docId % 3).toInt
+        val bos = new java.io.ByteArrayOutputStream()
+        var f = if (dropFirst) 1 else 0
+        while (f < nFrames) {
+          val shifted = text.substring(math.min(f, text.length))
+          val plane = (if (shifted.length >= npix) shifted.substring(0, npix)
+            else shifted + "." * (npix - shifted.length)).getBytes("US-ASCII")
+          bos.write(s"P6\n$w $h\n255\n".getBytes("US-ASCII"))
+          bos.write(plane)
+          f += 1
+        }
+        IdPayload(docId + idOffset, bos.toByteArray)
+      }
+    }(enc).toDF()
+  }
+
+  /** q149 — VIDEO frame extraction ([[Multimodal.decodePpmFrames]]):
+    * the multi-frame container walked header by header, one row per
+    * decoded frame with its own validated geometry and plane — the
+    * frame-sampling seam a video pipeline plugs into, feeding the
+    * EXISTING image machinery unchanged. The oracle rebuilds every
+    * frame's shifted plane from text independently. */
+  def videoFramesQ(s: SparkSession, d: String): DataFrame =
+    Multimodal.decodePpmFrames(videoPayloads(s, d), "doc_id", "payload")
+      .select(col("doc_id"), col("frame_idx"), col("width"), col("height"),
+        hex(col("pixels")).as("pixels_hex"))
+      .orderBy("doc_id", "frame_idx")
+
+  /** q150 — VIDEO near-dup via SHARED FRAMES: per-frame dHash through
+    * the capped banded machine at hamming 0 (exact frame-hash match),
+    * lifted to video pairs — the re-encode leg (`id + 600000`) drops
+    * each video's FIRST frame, the edit a whole-container hash misses
+    * entirely, and every remaining frame still matches its source
+    * frame. Frame ids pack as `video·16 + frame_idx`; output per
+    * cross-leg video pair: `(a, b, n_frame_matches)`. One machine from
+    * image stills to video frames. */
+  def videoNearDupQ(s: SparkSession, d: String): DataFrame = {
+    val frames = Multimodal.decodePpmFrames(
+      videoPayloads(s, d).unionByName(
+        videoPayloads(s, d, idOffset = 600000L, dropFirst = true)),
+      "doc_id", "payload")
+    val hashes = Multimodal.imageDHash(
+      frames.select((col("doc_id") * 16 + col("frame_idx")).as("fid"),
+        col("width"), col("height"), col("pixels")),
+      "fid")
+    Multimodal.dhashNearDupPairsCapped(hashes, "doc_id",
+        maxHamming = 0, maxBucket = DHashPairCap)
+      ._1
+      .where(expr("a div 16") < 600000L && expr("b div 16") >= 600000L)
+      .select(expr("a div 16").as("a"), expr("b div 16").as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("n_frame_matches"))
+      .orderBy("a", "b")
   }
 
   def ppmDecode(s: SparkSession, d: String): DataFrame = {
@@ -2702,6 +2793,43 @@ object LlmQueries {
          |SELECT a, b, hamming FROM p2 WHERE hamming <= 8
          |ORDER BY a, b""".stripMargin,
 
+    // every frame's shifted plane rebuilt from text independently of the
+    // container walk (decode-vs-construction symmetry, the q71 pattern)
+    "q149_video_frames" ->
+      s"""WITH $videoFrameCtes
+         |SELECT doc_id, f::INTEGER AS frame_idx, w AS width, h AS height,
+         |  hex(encode(pt)) AS pixels_hex
+         |FROM fr ORDER BY doc_id, frame_idx""".stripMargin,
+
+    // frame ids packed video*16+idx, the q122 band arithmetic per frame,
+    // capped band join at hamming 0, lifted to cross-leg video pairs
+    "q150_video_neardup" ->
+      s"""WITH $videoFrameCtes,
+         |fa AS (SELECT doc_id * 16 + f AS doc_id, w, h, pt FROM fr),
+         |fb AS (SELECT (600000 + doc_id) * 16 + (f - 1) AS doc_id,
+         |    w, h, pt FROM fr WHERE f >= 1),
+         |allf AS (SELECT * FROM fa UNION ALL SELECT * FROM fb),
+         |hs AS (SELECT doc_id, ${dhashBandSql.mkString(",\n  ")}
+         |  FROM allf),
+         |e AS (SELECT doc_id, b0, b1, b2, b3, band,
+         |    CASE band WHEN 0 THEN b0 WHEN 1 THEN b1
+         |      WHEN 2 THEN b2 ELSE b3 END AS v
+         |  FROM hs CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band)),
+         |bs AS (SELECT band, v FROM e GROUP BY band, v
+         |  HAVING count(*) <= $DHashPairCap),
+         |ek AS (SELECT e.* FROM e JOIN bs USING (band, v)),
+         |p AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+         |    (bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1)) +
+         |     bit_count(xor(x.b2, y.b2)) + bit_count(xor(x.b3, y.b3)))::BIGINT
+         |      AS hamming
+         |  FROM ek x JOIN ek y ON y.band = x.band AND y.v = x.v
+         |    AND x.doc_id < y.doc_id)
+         |SELECT (a // 16)::BIGINT AS a, (b // 16)::BIGINT AS b,
+         |  count(*)::BIGINT AS n_frame_matches
+         |FROM p WHERE hamming <= 0
+         |  AND (a // 16) < 600000 AND (b // 16) >= 600000
+         |GROUP BY 1, 2 ORDER BY a, b""".stripMargin,
+
     // the q112 solver arithmetic over availability from the merge walk
     "q148_mixture_bpe" ->
       s"""WITH RECURSIVE ${bpeWalkCtes("TRUE")},
@@ -3953,6 +4081,8 @@ object LlmQueries {
     "q146_audio_spectral_incremental" -> audioSpectralIncrementalQ _,
     "q147_simhash_neardup" -> simhashNearDupQ _,
     "q148_mixture_bpe" -> mixtureAllocationBpeQ _,
+    "q149_video_frames" -> videoFramesQ _,
+    "q150_video_neardup" -> videoNearDupQ _,
     "q80_dedup_keepers" -> dedupKeepers _,
     "q84_dedup_keepers_by" -> dedupKeepersBy _,
     "q81_mixed_decode" -> mixedDecode _,

@@ -2104,6 +2104,32 @@ class OperatorSpec extends AnyFunSuite {
       s"incremental $inc vs full-restricted $expected")
   }
 
+  test("decodePpmFrames: container walk parses every frame, mixed geometry, malformed tail drops cleanly") {
+    def ppm(w: Int, h: Int, fill: Byte): Array[Byte] = {
+      val px = Array.fill(w * h * 3)(fill)
+      s"P6\n$w $h\n255\n".getBytes("US-ASCII") ++ px
+    }
+    // three frames with DIFFERENT geometry back to back
+    val good = ppm(2, 2, 10) ++ ppm(3, 1, 20) ++ ppm(1, 4, 30)
+    // two good frames then a malformed header: parsed frames survive
+    val torn = ppm(2, 2, 40) ++ ppm(2, 2, 50) ++ "PX garbage".getBytes("US-ASCII")
+    val out = Multimodal.decodePpmFrames(
+        Seq((1L, good), (2L, torn)).toDF("doc_id", "payload"),
+        "doc_id", "payload")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1)) ->
+        ((r.getInt(2), r.getInt(3), r.getAs[Array[Byte]](4).distinct.toSeq)))
+      .toMap
+    assert(out.keySet == Set((1L, 0), (1L, 1), (1L, 2), (2L, 0), (2L, 1)),
+      s"frame set: ${out.keySet}")
+    assert(out((1L, 0)) == ((2, 2, Seq(10.toByte))))
+    assert(out((1L, 1)) == ((3, 1, Seq(20.toByte))),
+      "geometry may change mid-container")
+    assert(out((1L, 2)) == ((1, 4, Seq(30.toByte))))
+    assert(out((2L, 1)) == ((2, 2, Seq(50.toByte))),
+      "frames before the malformed tail must survive")
+  }
+
   test("dhashNearDupPairsCapped: mega-bucket excluded from pairing, sub-cap bands still pair, skipped surfaced") {
     // ids 1..5 all share band 0 (a 5-member mega-bucket — the flat-image
     // regime); only 1 and 2 also share band 1 (sub-cap). All other band
