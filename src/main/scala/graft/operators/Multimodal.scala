@@ -188,12 +188,16 @@ object Multimodal {
     * validation, emitting one `(id, frame_idx, width, height, pixels)`
     * row per frame. Frames may differ in geometry mid-container. A
     * malformed tail stops the walk and keeps the frames already parsed
-    * (the decoder family's drop-don't-crash contract). Map-only; the
-    * per-frame remainder slice is linear in container size per frame —
-    * fine at bounded frame counts (a production parser tracks offsets).
-    * Downstream the frame rows feed the EXISTING image machinery
-    * unchanged: per-frame dHash → the capped banded machine → video
-    * near-dup via shared frames (q150). */
+    * (the decoder family's drop-don't-crash contract). Map-only and
+    * O(container): each step parses the header once off a bounded
+    * 256-byte prefix slice (comment runs longer than that are dropped
+    * as malformed — headers are ~15 bytes without comments; a
+    * truncated-mid-header prefix can only FAIL the parse, never
+    * mis-parse, because the validator requires whitespace after every
+    * field) and copies exactly the frame's plane bytes. Downstream the
+    * frame rows feed the EXISTING image machinery unchanged: per-frame
+    * dHash → the capped banded machine → video near-dup via shared
+    * frames (q150). */
   def decodePpmFrames(df: DataFrame, id: String,
       payload: String = "payload"): DataFrame = {
     val enc = org.apache.spark.sql.Encoders.product[PpmFrame]
@@ -206,14 +210,19 @@ object Multimodal {
           var pos = 0
           var ok = true
           while (ok && pos < b.length) {
-            val slice =
-              if (pos == 0) b else java.util.Arrays.copyOfRange(b, pos, b.length)
-            ppmDecodeBytes(slice) match {
-              case Some((w, h, _, px)) =>
-                out += PpmFrame(r.getLong(0), out.length, w, h, px)
-                // advance past this frame: header offset + plane length
-                val off = parsePpmHeader(slice).get._4
-                pos += off + px.length
+            val head = java.util.Arrays.copyOfRange(b, pos,
+              math.min(b.length, pos + 256))
+            parsePpmHeader(head) match {
+              case Some((w, h, _, off)) =>
+                val n = w.toLong * h * 3
+                if (n > Int.MaxValue - off || b.length - pos - off < n)
+                  ok = false // truncated plane: drop the tail
+                else {
+                  out += PpmFrame(r.getLong(0), out.length, w, h,
+                    java.util.Arrays.copyOfRange(b, pos + off,
+                      pos + off + n.toInt))
+                  pos += off + n.toInt
+                }
               case None => ok = false
             }
           }

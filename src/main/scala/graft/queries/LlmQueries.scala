@@ -1123,7 +1123,14 @@ object LlmQueries {
     * as a HAVING on bucket size — an independent formulation of
     * [[Multimodal.dhashNearDupPairsCapped]]'s exclusion (the q57
     * pattern): only sub-cap buckets feed the self-join. */
-  private def dhashPairCtesWith(cap: Option[Int]): String = {
+  /** The banded-hamming pair chain over an existing `hs(doc_id,
+    * b0..b3)` CTE — the ONE SQL formulation of the band machine that
+    * every fingerprint family's oracle appends (image dHash, audio
+    * envelope, audio spectral, SimHash bytes, video frames): band
+    * explode, optional per-bucket HAVING cap (the exclusion replay),
+    * band self-join, exact popcount verify — ending in
+    * `p(a, b, hamming)`. */
+  private def bandPairCtes(cap: Option[Int]): String = {
     val capped = cap.map { c =>
       s""",
          |bs AS (SELECT band, v FROM e GROUP BY band, v
@@ -1131,6 +1138,19 @@ object LlmQueries {
          |ek AS (SELECT e.* FROM e JOIN bs USING (band, v))""".stripMargin
     }.getOrElse("")
     val src = if (cap.isDefined) "ek" else "e"
+    s"""e AS (SELECT doc_id, b0, b1, b2, b3, band,
+       |    CASE band WHEN 0 THEN b0 WHEN 1 THEN b1
+       |      WHEN 2 THEN b2 ELSE b3 END AS v
+       |  FROM hs CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band))$capped,
+       |p AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+       |    (bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1)) +
+       |     bit_count(xor(x.b2, y.b2)) + bit_count(xor(x.b3, y.b3)))::BIGINT
+       |      AS hamming
+       |  FROM $src x JOIN $src y ON y.band = x.band AND y.v = x.v
+       |    AND x.doc_id < y.doc_id)""".stripMargin
+  }
+
+  private def dhashPairCtesWith(cap: Option[Int]): String =
     s"""base AS (SELECT doc_id, (4 + doc_id % 8)::INTEGER AS w,
        |    (3 + doc_id % 5)::INTEGER AS h,
        |    rpad(text, ((4 + doc_id % 8) * (3 + doc_id % 5) * 3)::INTEGER,
@@ -1144,17 +1164,7 @@ object LlmQueries {
        |    'X' || substring(pt, 2) FROM base),
        |hs AS (SELECT doc_id, ${dhashBandSql.mkString(",\n  ")}
        |  FROM corpus),
-       |e AS (SELECT doc_id, b0, b1, b2, b3, band,
-       |    CASE band WHEN 0 THEN b0 WHEN 1 THEN b1
-       |      WHEN 2 THEN b2 ELSE b3 END AS v
-       |  FROM hs CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band))$capped,
-       |p AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
-       |    (bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1)) +
-       |     bit_count(xor(x.b2, y.b2)) + bit_count(xor(x.b3, y.b3)))::BIGINT
-       |      AS hamming
-       |  FROM $src x JOIN $src y ON y.band = x.band AND y.v = x.v
-       |    AND x.doc_id < y.doc_id)""".stripMargin
-  }
+       |${bandPairCtes(cap)}""".stripMargin
 
   private lazy val dhashPairCtes: String = dhashPairCtesWith(None)
 
@@ -2494,16 +2504,7 @@ object LlmQueries {
          |  ${audioBandSql.mkString(",\n  ")}
          |  FROM sarr_n),
          |hs AS (SELECT * FROM hso UNION ALL SELECT * FROM hsn),
-         |e AS (SELECT doc_id, b0, b1, b2, b3, band,
-         |    CASE band WHEN 0 THEN b0 WHEN 1 THEN b1
-         |      WHEN 2 THEN b2 ELSE b3 END AS v
-         |  FROM hs CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band)),
-         |p AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
-         |    (bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1)) +
-         |     bit_count(xor(x.b2, y.b2)) + bit_count(xor(x.b3, y.b3)))::BIGINT
-         |      AS hamming
-         |  FROM e x JOIN e y ON y.band = x.band AND y.v = x.v
-         |    AND x.doc_id < y.doc_id)
+         |${bandPairCtes(None)}
          |SELECT a, b, hamming FROM p WHERE hamming <= 8
          |ORDER BY a, b""".stripMargin,
 
@@ -2552,19 +2553,7 @@ object LlmQueries {
          |  ${audioBandSql.mkString(",\n  ")}
          |  FROM sarr_n),
          |hs AS (SELECT * FROM hso UNION ALL SELECT * FROM hsn),
-         |e AS (SELECT doc_id, b0, b1, b2, b3, band,
-         |    CASE band WHEN 0 THEN b0 WHEN 1 THEN b1
-         |      WHEN 2 THEN b2 ELSE b3 END AS v
-         |  FROM hs CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band)),
-         |bs AS (SELECT band, v FROM e GROUP BY band, v
-         |  HAVING count(*) <= $AudioPairCap),
-         |ek AS (SELECT e.* FROM e JOIN bs USING (band, v)),
-         |p AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
-         |    (bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1)) +
-         |     bit_count(xor(x.b2, y.b2)) + bit_count(xor(x.b3, y.b3)))::BIGINT
-         |      AS hamming
-         |  FROM ek x JOIN ek y ON y.band = x.band AND y.v = x.v
-         |    AND x.doc_id < y.doc_id)
+         |${bandPairCtes(Some(AudioPairCap))}
          |SELECT a, b, hamming FROM p WHERE hamming <= 8
          |ORDER BY a, b""".stripMargin,
 
@@ -2697,19 +2686,7 @@ object LlmQueries {
          |${spectralHashCtes("_o")},
          |${spectralHashCtes("_h", 400000L)},
          |hs AS (SELECT * FROM hb_o UNION ALL SELECT * FROM hb_h),
-         |e AS (SELECT doc_id, b0, b1, b2, b3, band,
-         |    CASE band WHEN 0 THEN b0 WHEN 1 THEN b1
-         |      WHEN 2 THEN b2 ELSE b3 END AS v
-         |  FROM hs CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band)),
-         |bs AS (SELECT band, v FROM e GROUP BY band, v
-         |  HAVING count(*) <= $AudioPairCap),
-         |ek AS (SELECT e.* FROM e JOIN bs USING (band, v)),
-         |p AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
-         |    (bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1)) +
-         |     bit_count(xor(x.b2, y.b2)) + bit_count(xor(x.b3, y.b3)))::BIGINT
-         |      AS hamming
-         |  FROM ek x JOIN ek y ON y.band = x.band AND y.v = x.v
-         |    AND x.doc_id < y.doc_id)
+         |${bandPairCtes(Some(AudioPairCap))}
          |SELECT a, b, hamming FROM p WHERE hamming <= 8
          |ORDER BY a, b""".stripMargin,
 
@@ -2725,19 +2702,7 @@ object LlmQueries {
          |${spectralHashCtes("_h", 400000L)},
          |hs AS (SELECT * FROM hb_o UNION ALL SELECT * FROM hb_f
          |  UNION ALL SELECT * FROM hb_h),
-         |e AS (SELECT doc_id, b0, b1, b2, b3, band,
-         |    CASE band WHEN 0 THEN b0 WHEN 1 THEN b1
-         |      WHEN 2 THEN b2 ELSE b3 END AS v
-         |  FROM hs CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band)),
-         |bs AS (SELECT band, v FROM e GROUP BY band, v
-         |  HAVING count(*) <= $AudioPairCap),
-         |ek AS (SELECT e.* FROM e JOIN bs USING (band, v)),
-         |p AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
-         |    (bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1)) +
-         |     bit_count(xor(x.b2, y.b2)) + bit_count(xor(x.b3, y.b3)))::BIGINT
-         |      AS hamming
-         |  FROM ek x JOIN ek y ON y.band = x.band AND y.v = x.v
-         |    AND x.doc_id < y.doc_id),
+         |${bandPairCtes(Some(AudioPairCap))},
          |pr AS (SELECT a, b FROM p WHERE hamming <= 8),
          |edges AS (SELECT a AS u, b AS v FROM pr
          |  UNION SELECT b AS u, a AS v FROM pr),
@@ -2811,19 +2776,7 @@ object LlmQueries {
          |allf AS (SELECT * FROM fa UNION ALL SELECT * FROM fb),
          |hs AS (SELECT doc_id, ${dhashBandSql.mkString(",\n  ")}
          |  FROM allf),
-         |e AS (SELECT doc_id, b0, b1, b2, b3, band,
-         |    CASE band WHEN 0 THEN b0 WHEN 1 THEN b1
-         |      WHEN 2 THEN b2 ELSE b3 END AS v
-         |  FROM hs CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band)),
-         |bs AS (SELECT band, v FROM e GROUP BY band, v
-         |  HAVING count(*) <= $DHashPairCap),
-         |ek AS (SELECT e.* FROM e JOIN bs USING (band, v)),
-         |p AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
-         |    (bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1)) +
-         |     bit_count(xor(x.b2, y.b2)) + bit_count(xor(x.b3, y.b3)))::BIGINT
-         |      AS hamming
-         |  FROM ek x JOIN ek y ON y.band = x.band AND y.v = x.v
-         |    AND x.doc_id < y.doc_id)
+         |${bandPairCtes(Some(DHashPairCap))}
          |SELECT (a // 16)::BIGINT AS a, (b // 16)::BIGINT AS b,
          |  count(*)::BIGINT AS n_frame_matches
          |FROM p WHERE hamming <= 0
@@ -3461,23 +3414,11 @@ object LlmQueries {
     // of 5000 docs at sf0.1; uncapped, 6.6M candidate pairs)
     "q147_simhash_neardup" ->
       s"""WITH $simhashCtes,
-         |bnd AS (SELECT doc_id,
+         |hs AS (SELECT doc_id,
          |    (simhash >> 0) & 255 AS b0, (simhash >> 8) & 255 AS b1,
          |    (simhash >> 16) & 255 AS b2, (simhash >> 24) & 255 AS b3
          |  FROM sh),
-         |e AS (SELECT doc_id, b0, b1, b2, b3, band,
-         |    CASE band WHEN 0 THEN b0 WHEN 1 THEN b1
-         |      WHEN 2 THEN b2 ELSE b3 END AS v
-         |  FROM bnd CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band)),
-         |bs AS (SELECT band, v FROM e GROUP BY band, v
-         |  HAVING count(*) <= $SimHashPairCap),
-         |ek AS (SELECT e.* FROM e JOIN bs USING (band, v)),
-         |p AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
-         |    (bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1)) +
-         |     bit_count(xor(x.b2, y.b2)) + bit_count(xor(x.b3, y.b3)))::BIGINT
-         |      AS hamming
-         |  FROM ek x JOIN ek y ON y.band = x.band AND y.v = x.v
-         |    AND x.doc_id < y.doc_id)
+         |${bandPairCtes(Some(SimHashPairCap))}
          |SELECT a, b, hamming FROM p WHERE hamming <= 3
          |ORDER BY a, b""".stripMargin,
 

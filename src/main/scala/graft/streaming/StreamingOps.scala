@@ -185,6 +185,25 @@ object StreamingOps {
     docsStream.writeStream.foreachBatch(fn)
   }
 
+  /** The one foreachBatch shape behind the banded-fingerprint index
+    * maintenance pair ([[maintainDHashIndex]]/[[maintainSpectralIndex]]):
+    * per batch, run the caller's decode→fingerprint stage and append via
+    * the replay-guarded [[graft.operators.Multimodal.dhashAppendBatch]].
+    * The fingerprint stage emits the DHashRow shape whose id column is
+    * `doc_id` REGARDLESS of the stream's id column name (the case-class
+    * encoder renames) — the append is keyed on that, not on the caller's
+    * name. */
+  private def maintainBandedIndex(payloadStream: DataFrame, path: String,
+      maxBucket: Int)(fingerprint: DataFrame => DataFrame)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val fn: (DataFrame, Long) => Unit = (batch, batchId) => {
+      graft.operators.Multimodal.dhashAppendBatch(path,
+        fingerprint(batch), "doc_id", batchId, maxBucket)
+      ()
+    }
+    payloadStream.writeStream.foreachBatch(fn)
+  }
+
   /** Streaming dHash-index maintenance — the image-ingest twin of
     * [[maintainWinnowIndex]]: each micro-batch of `(id, payload)` rows
     * decodes (PPM here; swap the decoder for other formats), hashes
@@ -197,16 +216,11 @@ object StreamingOps {
     * `checkpointLocation` and `start()`s. */
   def maintainDHashIndex(payloadStream: DataFrame, id: String,
       payload: String, path: String, maxBucket: Int = Int.MaxValue)
-      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
-    val fn: (DataFrame, Long) => Unit = (batch, batchId) => {
-      graft.operators.Multimodal.dhashAppendBatch(path,
-        graft.operators.Multimodal.imageDHash(
-          graft.operators.Multimodal.decodePpm(batch, id, payload)),
-        id, batchId, maxBucket)
-      ()
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    maintainBandedIndex(payloadStream, path, maxBucket) { batch =>
+      graft.operators.Multimodal.imageDHash(
+        graft.operators.Multimodal.decodePpm(batch, id, payload))
     }
-    payloadStream.writeStream.foreachBatch(fn)
-  }
 
   /** Streaming SPECTRAL-index maintenance — the audio twin of
     * [[maintainDHashIndex]]: each micro-batch of `(id, wavPayload)` rows
@@ -220,16 +234,11 @@ object StreamingOps {
     * Caller sets `checkpointLocation` and `start()`s. */
   def maintainSpectralIndex(payloadStream: DataFrame, id: String,
       payload: String, path: String, maxBucket: Int = Int.MaxValue)
-      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
-    val fn: (DataFrame, Long) => Unit = (batch, batchId) => {
-      graft.operators.Multimodal.dhashAppendBatch(path,
-        graft.operators.Multimodal.audioSpectralFingerprint(
-          graft.operators.Multimodal.decodeWav(batch, id, payload)),
-        id, batchId, maxBucket)
-      ()
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    maintainBandedIndex(payloadStream, path, maxBucket) { batch =>
+      graft.operators.Multimodal.audioSpectralFingerprint(
+        graft.operators.Multimodal.decodeWav(batch, id, payload))
     }
-    payloadStream.writeStream.foreachBatch(fn)
-  }
 
   /** Streaming IVF maintenance — the embedding-index twin of
     * [[maintainBandIndex]]: each micro-batch of `(id, emb)` vectors is

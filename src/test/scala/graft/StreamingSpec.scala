@@ -307,8 +307,11 @@ class StreamingSpec extends AnyFunSuite {
       graft.cli.Cleanup.deleteOnExit(p)
     }
     val mem = MemoryStream[(Long, Array[Byte])]
+    // a NON-doc_id id column: the fingerprint stage renames to the
+    // DHashRow shape, and the append must key on THAT, not the
+    // caller's name (the regression this pin exists for)
     val q = StreamingOps.maintainSpectralIndex(
-        mem.toDF().toDF("doc_id", "payload"), "doc_id", "payload", idxPath)
+        mem.toDF().toDF("clip_id", "wav"), "clip_id", "wav", idxPath)
       .option("checkpointLocation", ckpt).start()
     try {
       mem.addData((1L, wav(toneA))) // batch 0
