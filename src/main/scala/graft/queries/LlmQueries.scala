@@ -1228,12 +1228,19 @@ object LlmQueries {
         Multimodal.decodePpm(ppmPayloads(s, d), "doc_id", "payload"))
       .orderBy("doc_id")
 
-  /** q122 — near-duplicate image pairs
+  /** q122 — near-duplicate image pairs, UNCAPPED BASELINE
     * ([[Multimodal.dhashNearDupPairs]]) over [[dhashCorpus]]: banded
     * hamming LSH on the dHash bands (shared band ⇒ candidate; exact
     * hamming verify at ≤ 8). Re-uploads pair at hamming 0; the one-byte
     * edits pair at ≤ 3 (only the y=0 sample rows can flip); unrelated
-    * images almost never share a band AND pass the verify. */
+    * images almost never share a band AND pass the verify.
+    *
+    * BASELINE, NOT THE SHIPPED PATH: the band self-join here has no
+    * bucket-size guard, so a flat-band mega-bucket makes it |bucket|²
+    * — this query is retained as the uncapped ground truth the capped
+    * q134 is audited against (their diff is exactly the pairs whose
+    * every shared band is over-cap). Production pipelines use
+    * [[Multimodal.dhashNearDupPairsCapped]] (q134/q125/q137). */
   def imageNearDupQ(s: SparkSession, d: String): DataFrame =
     Multimodal.dhashNearDupPairs(
         Multimodal.imageDHash(
@@ -1241,16 +1248,22 @@ object LlmQueries {
         "doc_id", maxHamming = 8)
       .orderBy("a", "b")
 
-  /** q125 — image dedup SHIPPED: transitive clusters over the q122
-    * near-dup pairs via the q54 pointer-jumping kernel — a re-upload and
-    * an edit of the same source collapse into one cluster even when not
-    * pairwise inside the hamming gate. Output `(doc_id, component)`,
-    * component = min reachable id; feed [[graft.operators.Dedup.keepersBy]]
-    * for the keeper report. */
+  /** q125 — image dedup SHIPPED: transitive clusters over the CAPPED
+    * near-dup pairs (q134's [[Multimodal.dhashNearDupPairsCapped]],
+    * [[DHashPairCap]] — the quadratic-blowup guard is part of the
+    * shipped path, not an opt-in) via the q54 pointer-jumping kernel —
+    * a re-upload and an edit of the same source collapse into one
+    * cluster even when not pairwise inside the hamming gate. Output
+    * `(doc_id, component)`, component = min reachable id; feed
+    * [[graft.operators.Dedup.keepersBy]] for the keeper report, q135
+    * for the cap's exclusion report (surfacing `skipped` is the capped
+    * machine's contract; here the pair frame alone feeds the closure).
+    * The uncapped baseline pairs remain gated as q122. */
   def imageDedupComponentsQ(s: SparkSession, d: String): DataFrame = {
     val hashes = Multimodal.imageDHash(
       Multimodal.decodePpm(dhashCorpus(s, d), "doc_id", "payload"))
-    val pairs = Multimodal.dhashNearDupPairs(hashes, "doc_id", maxHamming = 8)
+    val pairs = Multimodal.dhashNearDupPairsCapped(hashes, "doc_id",
+      maxHamming = 8, maxBucket = DHashPairCap)._1
     // connectedComponents evaluates its edge input eagerly and re-roots
     // the labels on its own checkpoints, so the pair pipeline's internal
     // hash checkpoint would otherwise be orphaned — release it here
@@ -2588,8 +2601,10 @@ object LlmQueries {
 
     // the q122 pair chain + generic reachability closure (the cc54With
     // recursion shape over dHash edges), component = min reachable id
+    // the q134 capped band machine (HAVING on bucket size) feeding the
+    // q54 reachability replay — the shipped image-dedup path is capped
     "q125_image_components" ->
-      s"""WITH RECURSIVE $dhashPairCtes,
+      s"""WITH RECURSIVE ${dhashPairCtesWith(Some(DHashPairCap))},
          |pr AS (SELECT a, b FROM p WHERE hamming <= 8),
          |edges AS (SELECT a AS u, b AS v FROM pr
          |  UNION SELECT b AS u, a AS v FROM pr),
