@@ -61,6 +61,100 @@ object TextOps {
   def tokenCountBpe(text: Column, vocab: Seq[String]): Column =
     size(bpeTokens(text, vocab))
 
+  /** One learned BPE merge: at `merge_rank` (1-based, training order) the
+    * adjacent symbol pair `(left_sym, right_sym)` — the corpus's most
+    * frequent at that round — fused into `merged`, with the weighted
+    * occurrence count that won the round. */
+  final case class BpeMerge(merge_rank: Long, left_sym: String,
+      right_sym: String, merged: String, pair_count: Long)
+
+  /** A trained BPE tokenizer model: the ordered merge table plus the
+    * sample alphabet. `vocab` (alphabet ∪ merged tokens) feeds the
+    * greedy longest-match apply path ([[bpeTokens]]) — the learned
+    * replacement for a hand-frozen vocabulary. */
+  final case class BpeModel(merges: Seq[BpeMerge], alphabet: Seq[String]) {
+    def vocab: Seq[String] = alphabet ++ merges.map(_.merged)
+  }
+
+  /** BPE tokenizer TRAINING (Sennrich, Haddow & Birch 2016, "Neural
+    * Machine Translation of Rare Words with Subword Units" §3.2 — the
+    * pair-count merge loop): start from the per-codepoint segmentation
+    * of a word-frequency table, and for `nMerges` rounds count every
+    * adjacent symbol pair (weighted by word frequency, overlapping
+    * occurrences counted), fuse the winner everywhere (left-to-right,
+    * non-overlapping), repeat. DETERMINISTIC by a total tie-break —
+    * (count DESC, left ASC, right ASC, codepoint order) — so the DuckDB
+    * oracle replays every round as one unrolled CTE trio (pair count →
+    * ORDER/LIMIT 1 winner → delimited-string `replace`) and the merge
+    * tables match row for row.
+    *
+    * Scale shape (how HuggingFace/SentencePiece train at corpus scale):
+    * the ONLY full-data pass is the word-frequency aggregate (map-side
+    * combinable groupBy); the merge loop runs on the top-`sampleWords`
+    * rows of that histogram — a deterministically capped MODEL-FIT
+    * sample (count DESC, word ASC), collected like the k-row centroid
+    * lists, never the corpus. At 100 TB the histogram pass is the cost;
+    * the loop is O(sampleWords · maxWordLen · nMerges) driver work.
+    * Words are segmented at CODEPOINTS (never UTF-16 units), matching
+    * the [[graft.functions.SubwordTokenize]] fallback. Stops early when
+    * no pair remains (every sampled word fused to one symbol). */
+  def bpeTrainModel(df: DataFrame, text: String, nMerges: Int,
+      sampleWords: Int): BpeModel = {
+    require(nMerges >= 1, s"nMerges must be >= 1, got $nMerges")
+    require(sampleWords >= 1, s"sampleWords must be >= 1, got $sampleWords")
+    val hist = df.where(col(text).isNotNull)
+      .select(explode(tokens(col(text))).as("__w"))
+      .where(col("__w") =!= "")
+      .groupBy("__w").agg(count(lit(1)).as("__c"))
+      .orderBy(col("__c").desc, col("__w").asc)
+      .limit(sampleWords)
+      .collect()  // bounded: exactly min(sampleWords, |vocab|) rows
+      .map(r => (r.getString(0), r.getLong(1)))
+    def codepoints(w: String): Array[String] =
+      w.codePoints().toArray.map(cp => new String(Character.toChars(cp)))
+    var segs: Array[(Array[String], Long)] =
+      hist.map { case (w, c) => (codepoints(w), c) }
+    val alphabet = segs.iterator.flatMap(_._1).toSeq.distinct.sorted
+    val merges = Seq.newBuilder[BpeMerge]
+    var rank = 1
+    var exhausted = false
+    while (rank <= nMerges && !exhausted) {
+      val counts = scala.collection.mutable.HashMap
+        .empty[(String, String), Long]
+      for ((syms, c) <- segs; i <- 0 until syms.length - 1) {
+        val p = (syms(i), syms(i + 1))
+        counts(p) = counts.getOrElse(p, 0L) + c
+      }
+      if (counts.isEmpty) exhausted = true
+      else {
+        val ((l, r), c) = counts.minBy { case ((l, r), c) => (-c, l, r) }
+        merges += BpeMerge(rank.toLong, l, r, l + r, c)
+        segs = segs.map { case (syms, cnt) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+              out += l + r; i += 2
+            } else { out += syms(i); i += 1 }
+          }
+          (out.toArray, cnt)
+        }
+        rank += 1
+      }
+    }
+    BpeModel(merges.result(), alphabet)
+  }
+
+  /** [[bpeTrainModel]]'s merge table as a DataFrame —
+    * `(merge_rank, left_sym, right_sym, merged, pair_count)` in training
+    * order, the artifact a tokenizer ships. */
+  def bpeTrain(df: DataFrame, text: String, nMerges: Int,
+      sampleWords: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    bpeTrainModel(df, text, nMerges, sampleWords).merges.toDF()
+  }
+
   /** Quality-scoring features: length, alpha/digit/punct/space ratios and
     * mean token length — the standard cheap pre-filters for corpus curation.
     */

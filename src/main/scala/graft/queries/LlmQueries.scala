@@ -2063,13 +2063,51 @@ object LlmQueries {
         col("__copies").as("n_copies"))
       .orderBy("doc_id")
 
-  /** The q140/q141/q142 FROZEN subword vocabulary — the trained-tokenizer
+  /** q151/q140's training hyperparameters: 30 merge rounds over the
+    * top-25 words of the frequency histogram. The corpus holds 31
+    * distinct words, so the 25-word cap BITES (6 tail words are outside
+    * the model-fit sample at every scale) and the oracle replays the
+    * capped histogram (`ORDER BY count DESC, word LIMIT 25`) before its
+    * unrolled merge rounds. */
+  val BpeTrainNMerges = 30
+  val BpeTrainSampleWords = 25
+
+  /** Per-directory memo of the LEARNED tokenizer
+    * ([[TextOps.bpeTrainModel]]): trained once per session per dataset —
+    * the train-once/apply-everywhere shape — so q140's apply and q151's
+    * merge-table dump share one model fit. Deterministic per directory,
+    * so memoization is invisible to results. */
+  private val bpeModelMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, TextOps.BpeModel]()
+  private def learnedBpe(s: SparkSession, d: String): TextOps.BpeModel =
+    bpeModelMemo.computeIfAbsent(d, _ =>
+      TextOps.bpeTrainModel(docs(s, d), "text",
+        BpeTrainNMerges, BpeTrainSampleWords))
+
+  /** q151 — BPE tokenizer TRAINING ([[TextOps.bpeTrain]]): the learned
+    * merge table itself, every round gated — the oracle re-derives the
+    * capped word histogram and replays all 30 merge rounds as unrolled
+    * CTE trios (adjacent-pair count over the delimited segmentations →
+    * (count DESC, left, right) winner → non-overlapping left-to-right
+    * `replace`), so pair arithmetic, tie-breaks, and merge application
+    * all match row for row. The missing half of the round-11 tokenizer:
+    * q140 now APPLIES this table's vocab instead of a hand-frozen one. */
+  def bpeTrainQ(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    learnedBpe(s, d).merges.toDF().orderBy("merge_rank")
+  }
+
+  /** The q141/q142/q148 FROZEN subword vocabulary — the trained-tokenizer
     * model artifact ([[graft.functions.SubwordTokenize]] applies it;
     * the oracles regenerate their longest-prefix CASE from this same
     * literal). Chosen so the corpus tokenizes non-trivially: some full
     * words ("scan"/"row"/"key"), most words decomposing into 2–4
     * subwords ("table" → tab·le, "window" → w·in·dow), and genuine
-    * single-codepoint fallbacks (the "w" above). */
+    * single-codepoint fallbacks (the "w" above). q140 gates the same
+    * apply kernel under the LEARNED [[learnedBpe]] vocab; the frozen
+    * literal stays the model artifact for the count/batch/mixture
+    * compositions (their oracles generate the longest-prefix CASE from
+    * it directly). */
   val BpeVocab: Seq[String] = Seq(
     "scan",
     "row", "key", "agg", "the", "tab", "val", "ord", "dow", "ery",
@@ -2113,16 +2151,80 @@ object LlmQueries {
        |toks AS (SELECT doc_id, wi, ti, tok FROM walk
        |  WHERE tok IS NOT NULL)""".stripMargin
 
-  /** q140 — frozen-tokenizer APPLY ([[TextOps.bpeTokens]]): the subword
-    * token stream itself (1-based `token_idx` in walk order) for a
-    * deterministic 1-in-7 document sample — the oracle replays the
-    * greedy merge walk as a recursive CTE generated from the SAME
-    * [[BpeVocab]] literal, so every emitted subword is gated. */
+  /** Segmentation delimiter for the training-replay CTEs: each symbol
+    * rides as `•sym•`, so the winning pair `(l, r)` occurs exactly as
+    * the substring `•l••r•` and one non-overlapping left-to-right
+    * `replace` IS the merge application (symbols are fully delimited —
+    * a symbol that suffixes another can never false-match across a
+    * boundary; the corpus text is a–z only, so '•' never collides). */
+  private val BpeSegD = "•"
+
+  /** The unrolled training-replay CTEs: capped word histogram `hw`,
+    * per-codepoint segmentation `s0`, then per round r a pair-count
+    * `p_r` (adjacent symbols, weighted by word count), the winner `m_r`
+    * (count DESC, left, right — [[TextOps.bpeTrainModel]]'s total
+    * tie-break), and the merged segmentation `s_{r+1}` (LEFT JOIN so an
+    * exhausted round — no pairs left — passes segments through
+    * unchanged). MATERIALIZED is load-bearing: DuckDB inlines plain
+    * CTEs, and a 30-round chain would otherwise expand the scan tree
+    * exponentially. */
+  private def bpeTrainCtes: String = {
+    val d = BpeSegD
+    val b = new StringBuilder
+    b ++= s"""hw AS (SELECT w, count(*)::BIGINT AS c FROM (
+       |    SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+       |    FROM documents WHERE text IS NOT NULL)
+       |  WHERE w <> '' GROUP BY w
+       |  ORDER BY c DESC, w ASC LIMIT $BpeTrainSampleWords),
+       |s0 AS MATERIALIZED (SELECT w, c,
+       |    '$d' || string_agg(ch, '$d$d' ORDER BY i) || '$d' AS seg
+       |  FROM (SELECT w, c, unnest(generate_series(1, length(w))) AS i,
+       |      substring(w, unnest(generate_series(1, length(w))), 1) AS ch
+       |    FROM hw)
+       |  GROUP BY w, c)""".stripMargin
+    for (r <- 0 until BpeTrainNMerges) {
+      b ++= s""",
+         |p$r AS MATERIALIZED (SELECT a, b, sum(c)::BIGINT AS pc FROM (
+         |    SELECT c, arr[i] AS a, arr[i+1] AS b FROM (
+         |      SELECT c, string_split(trim(seg, '$d'), '$d$d') AS arr
+         |      FROM s$r) t,
+         |    LATERAL (SELECT unnest(generate_series(1, len(arr) - 1)) AS i) g
+         |    WHERE len(arr) > 1) q GROUP BY a, b),
+         |m$r AS MATERIALIZED (SELECT ${r + 1}::BIGINT AS merge_rank, a, b,
+         |    a || b AS merged, pc
+         |  FROM p$r ORDER BY pc DESC, a ASC, b ASC LIMIT 1),
+         |s${r + 1} AS MATERIALIZED (SELECT w, c,
+         |    CASE WHEN m.a IS NULL THEN seg
+         |         ELSE replace(seg, '$d' || m.a || '$d$d' || m.b || '$d',
+         |                      '$d' || m.a || m.b || '$d') END AS seg
+         |  FROM s$r LEFT JOIN m$r m ON TRUE)""".stripMargin
+    }
+    b.result()
+  }
+
+  /** The learned merge table as one UNION ALL over the per-round winner
+    * CTEs (exhausted rounds contribute no row, matching the trainer's
+    * early stop). */
+  private def bpeMergeUnion: String =
+    (0 until BpeTrainNMerges).map(r =>
+      s"SELECT merge_rank, a AS left_sym, b AS right_sym, merged," +
+        s" pc AS pair_count FROM m$r")
+      .mkString("\n  UNION ALL\n  ")
+
+  /** q140 — LEARNED-tokenizer APPLY ([[TextOps.bpeTokens]] under the
+    * [[learnedBpe]] vocab — alphabet ∪ merged tokens from q151's
+    * training): the subword token stream itself (1-based `token_idx` in
+    * walk order) for a deterministic 1-in-7 document sample. The oracle
+    * re-derives the vocabulary from the SAME unrolled training replay
+    * q151 gates, precomputes each distinct word's longest-match length
+    * table, and walks the greedy segmentation as a recursive CTE — so
+    * training AND apply are gated end-to-end with no frozen literal
+    * anywhere in this chain. */
   def bpeTokensQ(s: SparkSession, d: String): DataFrame =
     docs(s, d).where(col("text").isNotNull &&
         pmod(col("doc_id"), lit(7)) === 0)
       .select(col("doc_id"),
-        posexplode(TextOps.bpeTokens(col("text"), BpeVocab))
+        posexplode(TextOps.bpeTokens(col("text"), learnedBpe(s, d).vocab))
           .as(Seq("__i", "token")))
       .select(col("doc_id"),
         (col("__i") + lit(1)).cast("long").as("token_idx"), col("token"))
@@ -2824,13 +2926,56 @@ object LlmQueries {
 
     // the greedy merge walk replayed as a recursive CTE whose
     // longest-prefix CASE is generated from the same BpeVocab literal
+    // training replayed end-to-end (the q151 chain), the vocabulary
+    // DERIVED from it (merged tokens ∪ sample alphabet), each distinct
+    // word's longest-match length precomputed per position (a bounded
+    // words × positions × vocab prefix join), and the greedy walk run
+    // per DISTINCT word then joined back to word occurrences — no
+    // frozen vocab literal anywhere
     "q140_bpe_tokens" ->
-      s"""WITH RECURSIVE ${bpeWalkCtes("doc_id % 7 = 0")}
+      s"""WITH RECURSIVE $bpeTrainCtes,
+         |mt AS ($bpeMergeUnion),
+         |voc AS MATERIALIZED (SELECT merged AS tok FROM mt
+         |  UNION SELECT DISTINCT substring(w, i, 1) AS tok
+         |  FROM (SELECT w, unnest(generate_series(1, length(w))) AS i
+         |        FROM hw)),
+         |ga AS (SELECT doc_id,
+         |    string_split_regex(trim(lower(text)), '\\s+') AS arr
+         |  FROM documents WHERE text IS NOT NULL AND doc_id % 7 = 0),
+         |wd AS (SELECT doc_id, wi, arr[wi] AS word
+         |  FROM (SELECT doc_id, unnest(generate_series(1, len(arr))) AS wi,
+         |        arr FROM ga)
+         |  WHERE length(arr[wi]) > 0),
+         |dw AS MATERIALIZED (SELECT DISTINCT word FROM wd),
+         |wp AS (SELECT word, unnest(generate_series(1, length(word))) AS p
+         |  FROM dw),
+         |lm AS MATERIALIZED (SELECT wp.word, wp.p, max(length(v.tok)) AS L
+         |  FROM wp JOIN voc v
+         |    ON substring(wp.word, wp.p, length(v.tok)) = v.tok
+         |  GROUP BY wp.word, wp.p),
+         |wwalk(word, pos, ti, tok) AS (
+         |  SELECT word, 1, 0, CAST(NULL AS VARCHAR) FROM dw
+         |  UNION ALL
+         |  SELECT ww.word, ww.pos + coalesce(lm.L, 1), ww.ti + 1,
+         |    substring(ww.word, ww.pos, coalesce(lm.L, 1))
+         |  FROM wwalk ww LEFT JOIN lm ON lm.word = ww.word AND lm.p = ww.pos
+         |  WHERE ww.pos <= length(ww.word)),
+         |wtoks AS (SELECT word, ti, tok FROM wwalk WHERE tok IS NOT NULL)
          |SELECT doc_id,
          |  row_number() OVER (PARTITION BY doc_id ORDER BY wi, ti)
          |    AS token_idx,
          |  tok AS token
-         |FROM toks ORDER BY doc_id, token_idx""".stripMargin,
+         |FROM wd JOIN wtoks USING (word)
+         |ORDER BY doc_id, token_idx""".stripMargin,
+
+    // every merge round replayed: pair counts over the delimited
+    // segmentations, the (count DESC, left, right) winner, the
+    // non-overlapping replace — row-for-row against the trainer
+    "q151_bpe_train" ->
+      s"""WITH $bpeTrainCtes,
+         |mt AS ($bpeMergeUnion)
+         |SELECT merge_rank, left_sym, right_sym, merged, pair_count
+         |FROM mt ORDER BY merge_rank""".stripMargin,
 
     // the walk aggregated to per-doc counts beside the whitespace count
     "q141_token_count_bpe" ->
@@ -4029,6 +4174,7 @@ object LlmQueries {
     "q138_component_profile" -> componentProfileQ _,
     "q139_component_profile_tuned" -> componentProfileTunedQ _,
     "q140_bpe_tokens" -> bpeTokensQ _,
+    "q151_bpe_train" -> bpeTrainQ _,
     "q141_token_count_bpe" -> tokenCountBpeQ _,
     "q142_length_batches_bpe" -> lengthBatchesBpeQ _,
     "q143_audio_spectral" -> audioSpectralQ _,

@@ -2261,6 +2261,37 @@ class OperatorSpec extends AnyFunSuite {
     graft.tools.CodegenGuard.assertHealthy("bpeTokens pipeline")
   }
 
+  test("bpeTrainModel: tie-break by (count DESC, left, right); merges apply left-to-right non-overlapping; cap bites deterministically") {
+    // "ab" x3 and "cd" x3 tie on pair count: ('a','b') < ('c','d') under
+    // the (left, right) order, so rank 1 MUST be a+b. Rank 2 is then c+d.
+    val tied = Seq.fill(3)("ab cd").mkString(" ")
+    val m1 = TextOps.bpeTrainModel(
+      Seq(Tuple1(tied)).toDF("text"), "text", 2, 10)
+    assert(m1.merges.map(m => (m.merge_rank, m.left_sym, m.right_sym,
+      m.merged)) == Seq((1L, "a", "b", "ab"), (2L, "c", "d", "cd")))
+    assert(m1.merges.forall(_.pair_count == 3L))
+    // overlapping-pair application: "aaa" under merge (a,a) fuses
+    // LEFT-TO-RIGHT non-overlapping -> [aa, a]; the pair count that wins
+    // the round still counts BOTH overlapping occurrences (2 per word,
+    // the Sennrich convention) — so round 1 sees count 2, and round 2's
+    // segmentation [aa, a] yields pair (aa, a)
+    val m2 = TextOps.bpeTrainModel(
+      Seq(Tuple1("aaa")).toDF("text"), "text", 2, 10)
+    assert(m2.merges.map(m => (m.merged, m.pair_count)) ==
+      Seq(("aa", 2L), ("aaa", 1L)))
+    // histogram cap: top-sampleWords by (count DESC, word ASC) — with
+    // cap 1 only the most frequent word trains, so the learned merges
+    // never mention the dropped word's letters
+    val m3 = TextOps.bpeTrainModel(
+      Seq(Tuple1("xy xy zq")).toDF("text"), "text", 5, 1)
+    assert(m3.merges.map(_.merged) == Seq("xy"), s"got ${m3.merges}")
+    assert(m3.alphabet == Seq("x", "y"))
+    // early stop: every sampled word fused to one symbol -> no pairs left
+    assert(m3.merges.size == 1)
+    // vocab = alphabet ++ merged, the greedy-apply model artifact
+    assert(m3.vocab == Seq("x", "y", "xy"))
+  }
+
   test("hashSplitBy: every member of a group shares bucket+split; bucket replays from raw md5 of the KEY") {
     val labels = Seq((1L, 10L), (2L, 10L), (3L, 10L), (4L, 40L), (5L, 50L))
       .toDF("doc_id", "component")
