@@ -653,6 +653,44 @@ object Similarity {
         round(cosine(col("ea").cast("array<double>"),
           col("eb").cast("array<double>")), 4).as("cos"))
 
+  /** Paired-modality ALIGNMENT score — the caption↔image agreement
+    * number behind LAION-style filtering (Schuhmann et al. 2021,
+    * arXiv:2111.02114: keep a (text, image) pair iff the CLIP cosine
+    * between its two embeddings clears a threshold). Input is ONE frame
+    * that already carries both embedding columns (the join that built
+    * the pair is the caller's — pairs are stored together in practice);
+    * this step is a pure map-only projection, so at 100 TB it rides the
+    * pair scan: no exchange is introduced, and no exchange carries
+    * anything wider than the pair row itself. `align_cos` is rounded to
+    * 4 dp (the oracle-parity discipline of [[cosinePairs]]). */
+  def alignmentScore(pairs: DataFrame, embA: String, embB: String): DataFrame =
+    pairs.withColumn("align_cos",
+      round(cosine(col(embA).cast("array<double>"),
+        col(embB).cast("array<double>")), 4))
+
+  /** [[alignmentScore]] + the absolute-threshold gate: `keep` =
+    * `align_cos ≥ tau` — the fixed-τ form of the LAION filter (their
+    * released subsets are exactly "CLIP cosine ≥ 0.28/0.3"). Map-only. */
+  def alignmentFilter(pairs: DataFrame, embA: String, embB: String,
+      tau: Double): DataFrame =
+    alignmentScore(pairs, embA, embB)
+      .withColumn("keep", col("align_cos") >= tau)
+
+  /** The distribution-relative variant: keep a pair iff its alignment
+    * clears its STRATUM's q-quantile (per-language / per-source bars,
+    * so one modality mix doesn't set another's threshold) — the
+    * [[graft.operators.TextOps.quantileKeep]] gate applied to
+    * `align_cos`. Same scale shape: one map-side-combinable quantile
+    * pass, strata-sized threshold frame broadcast back, corpus side
+    * map-only. Output columns are quantileKeep's
+    * `(id, strata, value, thresh, kept)` with `value` = the alignment
+    * cosine. */
+  def alignmentQuantileKeep(pairs: DataFrame, id: String, strata: String,
+      embA: String, embB: String, q: Double,
+      exact: Boolean = true): DataFrame =
+    TextOps.quantileKeep(alignmentScore(pairs, embA, embB), id, strata,
+      col("align_cos"), q, exact)
+
   // ---- SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
   // at web-scale through semantic deduplication", arXiv:2303.09540) ----
   //

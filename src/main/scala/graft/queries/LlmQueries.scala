@@ -591,6 +591,65 @@ object LlmQueries {
         planes = 8, dims = 64, minCos = 0.2)
       .orderBy("a", "b")
 
+  /** q152's absolute threshold — misaligned pairs land in
+    * [−0.41, 0.47] on this corpus while aligned pairs sit at ≈ 0.995,
+    * so 0.9 is a clean CLIP-style gate (LAION ships cos ≥ 0.28 against
+    * real CLIP geometry; the separation SHAPE is the same). */
+  val AlignTau = 0.9
+
+  /** The q152/q153 caption↔image PAIR fixture: the embeddings table
+    * plays the TEXT tower's output, and the paired IMAGE tower's output
+    * is a deterministic mix transform of the same row
+    * (`img[i] = emb[i] + 0.1·emb[(i+1) mod 64]`, the simulated
+    * encoder — a real deployment feeds two learned towers into this
+    * exact frame, and [[Multimodal.featureExtract]] is the
+    * bytes→embedding seam an image tower plugs into). Planted
+    * MIS-CAPTIONED legs: every `vec_id % 10 = 0` caption pairs with the
+    * NEXT row's image — embeddings across rows are near-orthogonal, so
+    * the mismatch is exactly the low-cosine junk an alignment gate
+    * exists to drop. One pair-sized equi-join builds the frame; both
+    * embedding columns ride the pair row (nothing wider ever
+    * exchanges). */
+  private[graft] def alignmentPairs(s: SparkSession, d: String): DataFrame = {
+    val e = embs(s, d)
+    val img = e.select(col("vec_id").as("img_id"),
+      expr("transform(sequence(1, 64), i -> " +
+        "CAST(embedding[i - 1] AS DOUBLE) + " +
+        "CAST(0.1 AS DOUBLE) * CAST(embedding[i % 64] AS DOUBLE))")
+        .as("img_emb"))
+    e.select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("cap_emb"))
+      .withColumn("img_id",
+        when(pmod(col("vec_id"), lit(10)) === 0, col("vec_id") + 1)
+          .otherwise(col("vec_id")))
+      .join(img, "img_id")
+  }
+
+  /** q152 — paired-modality ALIGNMENT gate
+    * ([[Similarity.alignmentFilter]]): cosine between each pair's
+    * caption and image embeddings, keep = `align_cos ≥` [[AlignTau]] —
+    * the single most common multimodal-curation step (the LAION
+    * filter). Map-only on top of the pair frame (PlanSpec pins that the
+    * gate adds ZERO exchanges); the oracle replays the mix transform,
+    * the mis-captioned pairing, and the cosine from the raw embeddings
+    * table. */
+  def alignmentFilterQ(s: SparkSession, d: String): DataFrame =
+    Similarity.alignmentFilter(alignmentPairs(s, d), "cap_emb", "img_emb",
+        tau = AlignTau)
+      .select(col("vec_id"), col("img_id"), col("align_cos"), col("keep"))
+      .orderBy("vec_id")
+
+  /** q153 — the DISTRIBUTION-RELATIVE alignment gate
+    * ([[Similarity.alignmentQuantileKeep]]): keep a pair iff its
+    * alignment cosine clears its LABEL stratum's 25th percentile — the
+    * per-source bar variant (one source's encoder drift must not set
+    * another's threshold), q65's quantile machinery applied to the
+    * alignment score. */
+  def alignmentQuantileQ(s: SparkSession, d: String): DataFrame =
+    Similarity.alignmentQuantileKeep(alignmentPairs(s, d), "vec_id",
+        "label", "cap_emb", "img_emb", q = 0.25)
+      .orderBy("vec_id")
+
   def annBruteForce(s: SparkSession, d: String): DataFrame = {
     val v = embs(s, d)
     val q = broadcast(v.where(col("vec_id") === 0)
@@ -3593,6 +3652,48 @@ object LlmQueries {
         |FROM pr CROSS JOIN generate_series(1, 64) t(i)
         |GROUP BY a, b ORDER BY a""".stripMargin,
 
+    // the mix transform, the mis-captioned pairing, and the cosine all
+    // replayed from the raw embeddings table; 0.1::DOUBLE matches the
+    // engine's CAST(0.1 AS DOUBLE) bit for bit
+    "q152_alignment_filter" ->
+      s"""WITH ex AS (SELECT vec_id, i, embedding[i]::DOUBLE AS v,
+         |    (embedding[i]::DOUBLE
+         |     + 0.1::DOUBLE * embedding[1 + (i % 64)]::DOUBLE) AS mv
+         |  FROM embeddings CROSS JOIN generate_series(1, 64) t(i)),
+         |pr AS (SELECT vec_id,
+         |    CASE WHEN vec_id % 10 = 0 THEN vec_id + 1 ELSE vec_id END
+         |      AS img_id, i, v
+         |  FROM ex),
+         |sc AS (SELECT p.vec_id, p.img_id,
+         |    round(sum(p.v * m.mv) / sqrt(sum(p.v * p.v))
+         |      / sqrt(sum(m.mv * m.mv)), 4) AS align_cos
+         |  FROM pr p JOIN ex m ON m.vec_id = p.img_id AND m.i = p.i
+         |  GROUP BY p.vec_id, p.img_id)
+         |SELECT vec_id, img_id, align_cos, (align_cos >= $AlignTau) AS keep
+         |FROM sc ORDER BY vec_id""".stripMargin,
+
+    // the same alignment scores fed through the q65 per-stratum
+    // quantile replay, stratified by the embeddings' label column
+    "q153_alignment_quantile" ->
+      s"""WITH ex AS (SELECT vec_id, label, i, embedding[i]::DOUBLE AS v,
+         |    (embedding[i]::DOUBLE
+         |     + 0.1::DOUBLE * embedding[1 + (i % 64)]::DOUBLE) AS mv
+         |  FROM embeddings CROSS JOIN generate_series(1, 64) t(i)),
+         |pr AS (SELECT vec_id, label,
+         |    CASE WHEN vec_id % 10 = 0 THEN vec_id + 1 ELSE vec_id END
+         |      AS img_id, i, v
+         |  FROM ex),
+         |sc AS (SELECT p.vec_id, p.label,
+         |    round(sum(p.v * m.mv) / sqrt(sum(p.v * p.v))
+         |      / sqrt(sum(m.mv * m.mv)), 4)::DOUBLE AS value
+         |  FROM pr p JOIN ex m ON m.vec_id = p.img_id AND m.i = p.i
+         |  GROUP BY p.vec_id, p.label),
+         |th AS (SELECT label, round(quantile_cont(value, 0.25), 6) AS thresh
+         |  FROM sc GROUP BY label)
+         |SELECT vec_id, sc.label, value, thresh,
+         |  (CASE WHEN value >= thresh THEN 1 ELSE 0 END)::INTEGER AS kept
+         |FROM sc JOIN th USING (label) ORDER BY vec_id""".stripMargin,
+
     "q35_ann_bruteforce" ->
       """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
         |c AS (SELECT e.vec_id,
@@ -4175,6 +4276,8 @@ object LlmQueries {
     "q139_component_profile_tuned" -> componentProfileTunedQ _,
     "q140_bpe_tokens" -> bpeTokensQ _,
     "q151_bpe_train" -> bpeTrainQ _,
+    "q152_alignment_filter" -> alignmentFilterQ _,
+    "q153_alignment_quantile" -> alignmentQuantileQ _,
     "q141_token_count_bpe" -> tokenCountBpeQ _,
     "q142_length_batches_bpe" -> lengthBatchesBpeQ _,
     "q143_audio_spectral" -> audioSpectralQ _,

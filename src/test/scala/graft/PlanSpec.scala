@@ -1083,6 +1083,35 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q152: alignment gate is map-only — zero exchanges added over the pair frame, none wider than the pair row") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    def shuffles(df: org.apache.spark.sql.DataFrame) =
+      flattenPlan(df.queryExecution.executedPlan)
+        .collect { case s: ShuffleExchangeLike => s }
+    val pairs = graft.queries.LlmQueries.alignmentPairs(spark, sf)
+    val gated = graft.operators.Similarity.alignmentFilter(
+      pairs, "cap_emb", "img_emb", 0.9)
+    // the gate (cosine + threshold) is a projection: whatever exchanges
+    // the PAIR build needs, the gate adds none
+    assert(shuffles(gated).size == shuffles(pairs).size,
+      s"gate added exchanges: ${shuffles(gated).size} vs ${shuffles(pairs).size}")
+    // and no exchange output is wider than the pair row itself — the
+    // embedding arrays cross only inside the pair-sized equi-join
+    val pairWidth = pairs.schema.fieldNames.length
+    shuffles(gated).foreach { s =>
+      assert(s.output.length <= pairWidth,
+        s"exchange wider than the pair row: ${s.output.mkString(", ")}")
+    }
+    // the quantile variant's only ADDED exchange is the strata-sized
+    // threshold aggregate (broadcast back), never a corpus re-shuffle
+    val quant = graft.operators.Similarity.alignmentQuantileKeep(
+      pairs, "vec_id", "label", "cap_emb", "img_emb", 0.25)
+    quant.collect()
+    val qp = quant.queryExecution.executedPlan.toString
+    assert(qp.contains("BroadcastHashJoin") ||
+      qp.contains("BroadcastNestedLoopJoin"), qp.take(3000))
+  }
+
   test("codegen health: payload/decode pipelines compile clean (no interpreted fallback)") {
     // Regression guard for the round-9 defect class: a `private` encoder
     // case class type-checks but Janino cannot reach its accessors, so
