@@ -1435,12 +1435,20 @@ object LlmQueries {
     * a "video" of `F = 2 + doc_id % 3` frames, frame f's plane the text
     * SHIFTED by f characters (then padded/truncated to the q71 dims) —
     * deterministic, so DuckDB rebuilds every frame from text.
-    * `dropFirst` builds the q150 re-encode leg: the same video missing
-    * its first frame — the classic hard case frame-level matching
-    * exists for (a whole-container hash misses it; any shared frame
-    * still pairs). */
+    * `trim` builds the trimmed-clip legs (q150 re-encode drops the
+    * first frame, q154's winnow leg the first `trim`): the same video
+    * missing its leading frames — the classic hard case frame-level
+    * matching exists for (a whole-container hash misses it; any shared
+    * frame still pairs). `lumaNoise` adds the per-frame RE-ENCODE noise
+    * on top: every pixel's first two channels shift (+1, −1), so the
+    * payload BYTES differ everywhere but the integer luma
+    * `(r+g+b) div 3` — and therefore the dHash — is exactly preserved
+    * (chroma noise under a luma-preserving transform, the perturbation
+    * class perceptual hashing exists to absorb; OperatorSpec pins the
+    * invariance). */
   private def videoPayloads(s: SparkSession, d: String,
-      idOffset: Long = 0L, dropFirst: Boolean = false): DataFrame = {
+      idOffset: Long = 0L, trim: Int = 0,
+      lumaNoise: Boolean = false): DataFrame = {
     val ascii = docs(s, d).where(col("text").isNotNull &&
       octet_length(encode(col("text"), "UTF-8")) === length(col("text")))
     val rows = ascii.select(col("doc_id"),
@@ -1455,11 +1463,23 @@ object LlmQueries {
         val npix = w * h * 3
         val nFrames = (2 + docId % 3).toInt
         val bos = new java.io.ByteArrayOutputStream()
-        var f = if (dropFirst) 1 else 0
+        var f = trim
         while (f < nFrames) {
           val shifted = text.substring(math.min(f, text.length))
           val plane = (if (shifted.length >= npix) shifted.substring(0, npix)
             else shifted + "." * (npix - shifted.length)).getBytes("US-ASCII")
+          if (lumaNoise) {
+            var p = 0
+            while (p + 1 < plane.length) {
+              // chroma-style (+1, −1): the 3-byte sum is untouched, so
+              // the div-3 luma and every dHash bit are invariant
+              if (plane(p) < 127 && plane(p + 1) > 0) {
+                plane(p) = (plane(p) + 1).toByte
+                plane(p + 1) = (plane(p + 1) - 1).toByte
+              }
+              p += 3
+            }
+          }
           bos.write(s"P6\n$w $h\n255\n".getBytes("US-ASCII"))
           bos.write(plane)
           f += 1
@@ -1492,7 +1512,7 @@ object LlmQueries {
   def videoNearDupQ(s: SparkSession, d: String): DataFrame = {
     val frames = Multimodal.decodePpmFrames(
       videoPayloads(s, d).unionByName(
-        videoPayloads(s, d, idOffset = 600000L, dropFirst = true)),
+        videoPayloads(s, d, idOffset = 600000L, trim = 1)),
       "doc_id", "payload")
     val hashes = Multimodal.imageDHash(
       frames.select((col("doc_id") * 16 + col("frame_idx")).as("fid"),
@@ -1504,6 +1524,47 @@ object LlmQueries {
       .where(expr("a div 16") < 600000L && expr("b div 16") >= 600000L)
       .select(expr("a div 16").as("a"), expr("b div 16").as("b"))
       .groupBy("a", "b").agg(count(lit(1)).as("n_frame_matches"))
+      .orderBy("a", "b")
+  }
+
+  /** q154 — TEMPORAL video containment
+    * ([[graft.operators.Dedup.winnowFingerprints]] over the per-frame
+    * fingerprint SEQUENCE): each video's ordered frame dHashes become a
+    * token string, winnowed (k = 2 frame-bigrams, window w = 2) into a
+    * position-aware sketch, and videos sharing a fingerprint are
+    * containment candidates scored by sketch overlap
+    * ([[graft.operators.Dedup.winnowCandidatePairs]]). This is what
+    * q150's bag-of-frames matching cannot say: the re-encode leg here
+    * (`id + 700000`) is TRIMMED (first frame cut) and carries per-frame
+    * chroma noise (bytes differ everywhere, luma — and so each frame's
+    * dHash — preserved), and the winnow guarantee makes recovery
+    * structural: any shared run of w + k − 1 = 3 frames shares a
+    * fingerprint, so every 4-frame video's trimmed clip is recovered BY
+    * CONSTRUCTION (OperatorSpec pins exactly that), with the overlap
+    * score grading the containment. Exchanges carry 32 B frame hashes
+    * and 8 B gram fingerprints — never pixels. Output per cross-leg
+    * pair: `(a, b, n_shared, overlap)`. */
+  def videoWinnowQ(s: SparkSession, d: String): DataFrame = {
+    val frames = Multimodal.decodePpmFrames(
+      videoPayloads(s, d).unionByName(
+        videoPayloads(s, d, idOffset = 700000L, trim = 1, lumaNoise = true)),
+      "doc_id", "payload")
+    val hashes = Multimodal.imageDHash(
+      frames.select((col("doc_id") * 16 + col("frame_idx")).as("fid"),
+        col("width"), col("height"), col("pixels")),
+      "fid")
+    val seqs = hashes.select(expr("doc_id div 16").as("vid"),
+        pmod(col("doc_id"), lit(16)).as("fi"),
+        concat_ws("_", col("b0"), col("b1"), col("b2"), col("b3")).as("tok"))
+      .groupBy("vid")
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("fi"), col("tok")))),
+          x => x.getField("tok")), " ").as("fseq"))
+    val pairs = Dedup.winnowCandidatePairs(
+      Dedup.winnowFingerprints(seqs, "fseq", "vid", k = 2, w = 2),
+      "vid", minShared = 1)
+    pairs.where(col("a") < 700000L && col("b") >= 700000L)
+      .select(col("a"), col("b"), col("n_shared"), col("overlap"))
       .orderBy("a", "b")
   }
 
@@ -2959,6 +3020,56 @@ object LlmQueries {
          |  AND (a // 16) < 600000 AND (b // 16) >= 600000
          |GROUP BY 1, 2 ORDER BY a, b""".stripMargin,
 
+    // the trimmed leg reuses the SOURCE frame planes (f >= 1, re-indexed
+    // from 0): the chroma noise the engine's payloads carry is
+    // luma-invariant by construction, so every per-frame dHash — and
+    // everything downstream of it — is identical (OperatorSpec pins the
+    // invariance on the actual bytes); then per-frame band arithmetic,
+    // the ordered hash sequence, and the full q114 winnow replay at
+    // k = 2, w = 2 over frame-hash tokens, paired cross-leg
+    "q154_video_winnow" ->
+      s"""WITH $videoFrameCtes,
+         |fb AS (SELECT doc_id + 700000 AS doc_id, f - 1 AS f, w, h, pt
+         |  FROM fr WHERE f >= 1),
+         |allf AS (SELECT doc_id, f, w, h, pt FROM fr
+         |  UNION ALL SELECT * FROM fb),
+         |hf AS (SELECT doc_id, f, ${dhashBandSql.mkString(",\n  ")}
+         |  FROM allf),
+         |sq AS (SELECT doc_id,
+         |    string_agg(b0::VARCHAR || '_' || b1::VARCHAR || '_' ||
+         |               b2::VARCHAR || '_' || b3::VARCHAR, ' ' ORDER BY f)
+         |      AS fseq
+         |  FROM hf GROUP BY doc_id),
+         |sa AS (SELECT doc_id, string_split(fseq, ' ') AS arr FROM sq),
+         |gr AS (SELECT doc_id, unnest(generate_series(1, len(arr) - 1)) AS i,
+         |    arr FROM sa WHERE len(arr) >= 2),
+         |g AS (SELECT doc_id, i - 1 AS pos,
+         |    ${pHash("131", "(arr[i] || ' ' || arr[i+1])")} AS gh,
+         |    len(arr) - 1 AS m
+         |  FROM gr),
+         |st AS (SELECT doc_id,
+         |    unnest(generate_series(0, greatest(m - 2, 0))) AS s
+         |  FROM (SELECT DISTINCT doc_id, m FROM g)),
+         |sel AS (SELECT st.doc_id, g.pos, g.gh, row_number() OVER (
+         |    PARTITION BY st.doc_id, st.s ORDER BY g.gh ASC, g.pos DESC)
+         |      AS rn
+         |  FROM st JOIN g ON g.doc_id = st.doc_id
+         |    AND g.pos BETWEEN st.s AND st.s + 1),
+         |wfp AS (SELECT DISTINCT doc_id, gh FROM sel WHERE rn = 1),
+         |sz AS (SELECT doc_id, count(*)::BIGINT AS nf FROM wfp
+         |  GROUP BY doc_id),
+         |pr AS (SELECT x.doc_id AS a, y.doc_id AS b,
+         |    count(*)::BIGINT AS n_shared
+         |  FROM wfp x JOIN wfp y ON y.gh = x.gh
+         |    AND x.doc_id < 700000 AND y.doc_id >= 700000
+         |  GROUP BY x.doc_id, y.doc_id)
+         |SELECT p.a, p.b, p.n_shared,
+         |  round(p.n_shared / (za.nf + zb.nf - p.n_shared)::DOUBLE, 6)
+         |    AS overlap
+         |FROM pr p JOIN sz za ON za.doc_id = p.a
+         |JOIN sz zb ON zb.doc_id = p.b
+         |ORDER BY a, b""".stripMargin,
+
     // the q112 solver arithmetic over availability from the merge walk
     "q148_mixture_bpe" ->
       s"""WITH RECURSIVE ${bpeWalkCtes("TRUE")},
@@ -4288,6 +4399,7 @@ object LlmQueries {
     "q148_mixture_bpe" -> mixtureAllocationBpeQ _,
     "q149_video_frames" -> videoFramesQ _,
     "q150_video_neardup" -> videoNearDupQ _,
+    "q154_video_winnow" -> videoWinnowQ _,
     "q80_dedup_keepers" -> dedupKeepers _,
     "q84_dedup_keepers_by" -> dedupKeepersBy _,
     "q81_mixed_decode" -> mixedDecode _,

@@ -2292,6 +2292,51 @@ class OperatorSpec extends AnyFunSuite {
     assert(m3.vocab == Seq("x", "y", "xy"))
   }
 
+  test("video winnow: chroma (+1,-1) noise flips payload bytes but never a dHash bit; every 4-frame trimmed clip is recovered") {
+    // (a) luma invariance on actual bytes: same plane, chroma-shifted
+    val w = 6; val h = 4; val npix = w * h * 3
+    val text = ("the quick brown fox jumps over the lazy dog padding" * 3)
+      .substring(0, npix)
+    def ppm(plane: Array[Byte]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bos.write(s"P6\n$w $h\n255\n".getBytes("US-ASCII"))
+      bos.write(plane); bos.toByteArray
+    }
+    val clean = text.getBytes("US-ASCII")
+    val noisy = clean.clone()
+    var p = 0
+    while (p + 1 < noisy.length) {
+      if (noisy(p) < 127 && noisy(p + 1) > 0) {
+        noisy(p) = (noisy(p) + 1).toByte
+        noisy(p + 1) = (noisy(p + 1) - 1).toByte
+      }
+      p += 3
+    }
+    assert(!java.util.Arrays.equals(clean, noisy),
+      "noise must actually change the payload")
+    val hashes = Multimodal.imageDHash(Multimodal.decodePpm(
+        Seq((1L, ppm(clean)), (2L, ppm(noisy))).toDF("doc_id", "payload"),
+        "doc_id", "payload"))
+      .collect().map(r => (r.getLong(0),
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(hashes(1L) == hashes(2L),
+      s"luma-preserving noise must not move the dHash: $hashes")
+    // (b) the winnow guarantee, structurally: a shared run of
+    // w + k - 1 = 3 frame hashes shares >= 1 fingerprint, so every
+    // 4-frame video (doc_id % 3 == 2) MUST pair with its trimmed+noisy
+    // re-encode leg in q154
+    val got = graft.queries.LlmQueries.queries("q154_video_winnow")(
+        spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val docs001 = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .where("text IS NOT NULL AND doc_id % 3 = 2")
+      .select("doc_id").collect().map(_.getLong(0))
+    assert(docs001.nonEmpty)
+    val missing = docs001.filterNot(i => got.contains((i, i + 700000L)))
+    assert(missing.isEmpty,
+      s"4-frame trimmed clips not recovered: ${missing.take(10).toSeq}")
+  }
+
   test("hashSplitBy: every member of a group shares bucket+split; bucket replays from raw md5 of the KEY") {
     val labels = Seq((1L, 10L), (2L, 10L), (3L, 10L), (4L, 40L), (5L, 50L))
       .toDF("doc_id", "component")
