@@ -40,10 +40,17 @@ object Dedup {
       .select("keep_id", "copies")
 
   /** Word shingles (n-grams of tokens) as exploded rows (id, shingle),
-    * distinct. n=1 -> token set. */
+    * distinct. n=1 -> token set. `normalize` runs
+    * [[graft.operators.TextOps.normalizeForMatch]] (casefold /
+    * punct-strip / whitespace-collapse) before tokenizing — the
+    * eval-harness n-gram definition, so a punctuation-perturbed copy
+    * still shares shingles with its source (q156 gates exactly that);
+    * it CHANGES the similarity definition, so it is opt-in. */
   def shingles(df: DataFrame, text: String, id: String, n: Int,
-      dedup: Boolean = true): DataFrame = {
-    val toks = TextOps.tokens(col(text))
+      dedup: Boolean = true, normalize: Boolean = false): DataFrame = {
+    val src = if (normalize) TextOps.normalizeForMatch(col(text))
+      else col(text)
+    val toks = TextOps.tokens(src)
     // dedup = false keeps the raw occurrence rows MAP-ONLY (no shuffle):
     // the right input when the consumer's semantics ignore duplicates
     // anyway (a membership join) or need occurrence counts
@@ -825,9 +832,11 @@ object Dedup {
     * applied to substring dedup). Same `__toks`/`__m` materialization trick
     * as [[shingles]] so the tokenizing split runs once per doc, not once
     * per window. Docs shorter than `w` tokens produce no windows. */
-  def spanWindows(df: DataFrame, text: String, id: String, w: Int): DataFrame = {
+  def spanWindows(df: DataFrame, text: String, id: String, w: Int,
+      normalize: Boolean = false): DataFrame = {
     require(w >= 1, s"window width must be >= 1, got $w")
-    val toks = TextOps.tokens(col(text))
+    val toks = TextOps.tokens(
+      if (normalize) TextOps.normalizeForMatch(col(text)) else col(text))
     val parts = (0 until w).map(k =>
       slice(col("__toks"), lit(k + 1), col("__m")))
     val sh = parts.reduce((a, b) =>
@@ -1116,10 +1125,11 @@ object Dedup {
     * window text never shuffles, and the merge is the per-doc
     * gaps-and-islands pass. */
   def contaminatedSpans(corpus: DataFrame, evalDf: DataFrame, text: String,
-      id: String, w: Int): DataFrame = {
+      id: String, w: Int, normalize: Boolean = false): DataFrame = {
     val ew = broadcast(
-      spanWindows(evalDf, text, id, w).select("wh").distinct())
-    mergeSpanHits(spanWindows(corpus, text, id, w).join(ew, "wh"), id, w)
+      spanWindows(evalDf, text, id, w, normalize).select("wh").distinct())
+    mergeSpanHits(
+      spanWindows(corpus, text, id, w, normalize).join(ew, "wh"), id, w)
   }
 
   /** Per-corpus-doc contamination report over [[contaminatedSpans]]:

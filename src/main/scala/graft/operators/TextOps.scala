@@ -26,6 +26,21 @@ object TextOps {
   /** Whitespace token count. */
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  /** Casefold / punctuation-strip / whitespace-collapse normalizer for
+    * n-gram MATCHING — the normalization real eval harnesses apply
+    * before their contamination n-grams (lm-eval-harness style:
+    * lowercase, strip everything outside `[a-z0-9\s]` to a space,
+    * collapse runs of whitespace), so `"Word, word."` and `"word word"`
+    * share n-grams. ASCII-alnum by design (the harness convention);
+    * codegen'd regexp chain, map-only, and replayed verbatim in the
+    * oracle as the same two `regexp_replace` calls. Compose with
+    * [[tokens]] / [[graft.operators.Dedup.shingles]]' `normalize`
+    * option — matching under normalization is a DIFFERENT similarity
+    * definition, so it is an explicit opt-in, never the default. */
+  def normalizeForMatch(c: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(c), "[^a-z0-9\\s]", " "), "\\s+", " "))
+
   /** Guard for the append-form operators (withColumn replaces by name, so
     * a pre-existing column of the same name would be SILENTLY clobbered —
     * fail loud instead, since these ops are made for mid-pipeline use). */

@@ -36,6 +36,24 @@ object LlmQueries {
   private def pHash(seed: String, expr: String): String =
     s"('0x' || substr(md5('$seed:' || $expr), 1, 15))::BIGINT"
 
+  /** [[tok3Cte]] generalized to any source CTE and text expression —
+    * q156 builds four (corpus/eval × exact/normalized). */
+  private def tok3From(src: String, out: String, textExpr: String): String =
+    s"""raw_$out AS (SELECT doc_id,
+       |  unnest(generate_series(1, len(arr) - 2)) AS i, arr
+       |  FROM (SELECT doc_id,
+       |        string_split_regex(trim(lower($textExpr)), '\\s+') AS arr
+       |        FROM $src)
+       |  WHERE len(arr) >= 3),
+       |$out AS (SELECT DISTINCT doc_id,
+       |  arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] AS shingle
+       |  FROM raw_$out)""".stripMargin
+
+  /** [[graft.operators.TextOps.normalizeForMatch]] replayed in SQL. */
+  private val normMatchSql =
+    "trim(regexp_replace(regexp_replace(lower(text)," +
+      " '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g'))"
+
   /** The four dHash band expressions over columns `(w, h, pt)` — every
     * bit of [[graft.operators.Multimodal.imageDHash]] replayed
     * character-by-character from the padded-text plane (div-3 grayscale,
@@ -498,6 +516,48 @@ object LlmQueries {
       .join(hit, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("contaminated"), lit(0L)).as("contaminated"))
+      .orderBy("doc_id")
+  }
+
+  /** q156's plant modulus: every 41st doc becomes the eval set, as a
+    * PUNCTUATION-PERTURBED copy (`' '` → `', '`, trailing `'.'`) — the
+    * real-world shape where the benchmark text was typeset differently
+    * than the crawl that contains it. */
+  val NormEvalMod = 41
+
+  /** q156 — NORMALIZED n-gram decontamination
+    * ([[graft.operators.Dedup.shingles]] with `normalize = true`, i.e.
+    * [[TextOps.normalizeForMatch]]'s casefold/punct-strip/ws-collapse —
+    * the lm-eval-harness n-gram definition): the q62 doc-level gate run
+    * under BOTH similarity definitions side by side. The eval set is a
+    * punctuation-perturbed copy of every 41st document, so the EXACT
+    * 3-gram gate scores zero contamination everywhere ("word," never
+    * equals "word") while the NORMALIZED gate recovers the overlap —
+    * the planted miss that makes normalization a correctness feature,
+    * not a nicety. Same scale shape as q62: eval hashes broadcast,
+    * corpus side map-only, one distinct per flag. */
+  def decontaminateNormalizedQ(s: SparkSession, d: String): DataFrame = {
+    val all = docs(s, d).where(col("text").isNotNull)
+    val evalDf = all.where(pmod(col("doc_id"), lit(NormEvalMod)) === 0)
+      .select(col("doc_id"),
+        concat(regexp_replace(col("text"), " ", ", "), lit(".")).as("text"))
+    val corpus = all.where(pmod(col("doc_id"), lit(NormEvalMod)) =!= 0)
+    def flag(normalize: Boolean, as: String): DataFrame = {
+      val ev = Dedup.hashShingles(Dedup.shingles(evalDf, "text", "doc_id",
+          3, dedup = false, normalize = normalize), "doc_id")
+        .select("sh_h").distinct()
+      Dedup.hashShingles(Dedup.shingles(corpus, "text", "doc_id", 3,
+          dedup = false, normalize = normalize), "doc_id")
+        .join(broadcast(ev), "sh_h")
+        .select("doc_id").distinct()
+        .withColumn(as, lit(1L))
+    }
+    corpus.select("doc_id")
+      .join(flag(normalize = false, "__x"), Seq("doc_id"), "left")
+      .join(flag(normalize = true, "__n"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("__x"), lit(0L)).as("contaminated_exact"),
+        coalesce(col("__n"), lit(0L)).as("contaminated_norm"))
       .orderBy("doc_id")
   }
 
@@ -2374,6 +2434,29 @@ object LlmQueries {
         Seq(75L, 130L, 180L), batchSize = 16)
       .orderBy("doc_id")
 
+  /** The q155 chunk budget IN SUBWORD TOKENS: the frozen-vocab counts
+    * run ≈ 2.3× the whitespace counts this corpus packs at 256 in q64,
+    * so 512 keeps per-chunk populations comparable — the context-window
+    * size a trainer actually packs to is defined in tokenizer tokens. */
+  val ChunkTokensBpe = 512
+
+  /** q155 — sequence packing budgeted in TOKENIZER tokens
+    * ([[TextOps.packChunks]] with [[TextOps.tokenCountBpe]] as the
+    * count column): q64's greedy cumsum pack, but the budget counts
+    * what the trainer's context window counts — subword tokens, not
+    * whitespace words. The last piece of the BPE composition set
+    * (q141 counts, q142 batches, q148 mixes, q155 PACKS); the oracle
+    * re-derives every document's subword count from the recursive merge
+    * walk, then replays the per-source cumsum and floor-division chunk
+    * arithmetic exactly. `dropInvalid` exercises the operator's
+    * zero-count escape hatch (a tokenizer can emit 0 tokens where the
+    * whitespace count never does). */
+  def packChunksBpeQ(s: SparkSession, d: String): DataFrame =
+    TextOps.packChunks(docs(s, d).where(col("text").isNotNull), "doc_id",
+        Seq("source"), TextOps.tokenCountBpe(col("text"), BpeVocab),
+        ChunkTokensBpe, dropInvalid = true)
+      .orderBy("doc_id")
+
   /** q148 — the q112 mixing recipe budgeted in REAL tokenizer tokens
     * ([[TextOps.mixtureAllocation]] with [[TextOps.tokenCountBpe]] as
     * the count column — the composition the tokenizer-apply operator
@@ -3069,6 +3152,26 @@ object LlmQueries {
          |FROM pr p JOIN sz za ON za.doc_id = p.a
          |JOIN sz zb ON zb.doc_id = p.b
          |ORDER BY a, b""".stripMargin,
+
+    // the q64 cumsum/floor-division pack replay, with the token counts
+    // re-derived from the recursive merge walk instead of whitespace
+    "q155_pack_chunks_bpe" ->
+      s"""WITH RECURSIVE ${bpeWalkCtes("TRUE")},
+         |cnt AS (SELECT g.doc_id, coalesce(c.n, 0)::BIGINT AS n
+         |  FROM ga g LEFT JOIN (SELECT doc_id, count(*) AS n FROM toks
+         |    GROUP BY doc_id) c ON c.doc_id = g.doc_id),
+         |t AS (SELECT d.doc_id, d.source, cnt.n AS n_tokens
+         |  FROM documents d JOIN cnt ON cnt.doc_id = d.doc_id
+         |  WHERE cnt.n > 0),
+         |c2 AS (SELECT doc_id, source, n_tokens,
+         |    coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS tok_before
+         |  FROM t)
+         |SELECT doc_id, source, n_tokens,
+         |  (tok_before // $ChunkTokensBpe)::BIGINT AS chunk_id,
+         |  (tok_before % $ChunkTokensBpe)::BIGINT AS chunk_offset
+         |FROM c2 ORDER BY doc_id""".stripMargin,
 
     // the q112 solver arithmetic over availability from the merge walk
     "q148_mixture_bpe" ->
@@ -4128,6 +4231,33 @@ object LlmQueries {
     // expected false-flag count at any test sf is ~1e-4 (bound measured in
     // OperatorSpec) — a hash-mismatch here would mean a real fp landed,
     // which at this fpp indicates a build/probe bug, not bad luck
+    // both similarity definitions replayed over the perturbed-eval
+    // plant: the exact gate MUST come out all-zero, the normalized gate
+    // recovers the overlap through the regexp_replace normalizer chain
+    "q156_decontaminate_norm" ->
+      s"""WITH ev0 AS (SELECT doc_id,
+         |    regexp_replace(text, ' ', ', ', 'g') || '.' AS text
+         |  FROM documents
+         |  WHERE text IS NOT NULL AND doc_id % $NormEvalMod = 0),
+         |co0 AS (SELECT doc_id, text FROM documents
+         |  WHERE text IS NOT NULL AND doc_id % $NormEvalMod <> 0),
+         |${tok3From("ev0", "evx", "text")},
+         |${tok3From("co0", "cox", "text")},
+         |${tok3From("ev0", "evn", normMatchSql)},
+         |${tok3From("co0", "con3", normMatchSql)},
+         |hx AS (SELECT DISTINCT c.doc_id FROM cox c
+         |  JOIN (SELECT DISTINCT shingle FROM evx) e USING (shingle)),
+         |hn AS (SELECT DISTINCT c.doc_id FROM con3 c
+         |  JOIN (SELECT DISTINCT shingle FROM evn) e USING (shingle))
+         |SELECT d.doc_id,
+         |  (CASE WHEN hx.doc_id IS NULL THEN 0 ELSE 1 END)::BIGINT
+         |    AS contaminated_exact,
+         |  (CASE WHEN hn.doc_id IS NULL THEN 0 ELSE 1 END)::BIGINT
+         |    AS contaminated_norm
+         |FROM co0 d LEFT JOIN hx ON hx.doc_id = d.doc_id
+         |LEFT JOIN hn ON hn.doc_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
+
     "q76_decontaminate_bloom" ->
       s"""WITH $tok3Cte,
          |ev AS (SELECT DISTINCT shingle FROM tok3 WHERE doc_id % $EvalMod = 0),
@@ -4397,6 +4527,7 @@ object LlmQueries {
     "q146_audio_spectral_incremental" -> audioSpectralIncrementalQ _,
     "q147_simhash_neardup" -> simhashNearDupQ _,
     "q148_mixture_bpe" -> mixtureAllocationBpeQ _,
+    "q155_pack_chunks_bpe" -> packChunksBpeQ _,
     "q149_video_frames" -> videoFramesQ _,
     "q150_video_neardup" -> videoNearDupQ _,
     "q154_video_winnow" -> videoWinnowQ _,
@@ -4450,6 +4581,7 @@ object LlmQueries {
     "q58_hash_split" -> corpusHashSplit _,
     "q61_dedup_incremental" -> dedupIncremental _,
     "q62_decontaminate" -> decontaminate _,
+    "q156_decontaminate_norm" -> decontaminateNormalizedQ _,
     "q73_decontaminate_frac" -> decontaminateFrac _,
     "q76_decontaminate_bloom" -> decontaminateBloom _,
     "q63_repetition" -> textRepetition _,
