@@ -2506,6 +2506,48 @@ object LlmQueries {
     TextOps.epochSchedule(docs(s, d), "doc_id", epochs = 3)
       .orderBy("epoch", "order_idx")
 
+  /** q157 — multi-epoch DATALOADER DETERMINISM audit: the composed
+    * batch stream ([[TextOps.epochSchedule]] × seeded-shuffle
+    * [[TextOps.lengthBucketBatches]], joined per doc) is built TWICE as
+    * two independent physical executions, reduced to per-batch
+    * checksums (`member_sum` folds each member's
+    * `doc_id:epoch:order_idx:rank_in_bucket` hash), and compared batch
+    * by batch — `runs_equal` is the reproducibility property trainers
+    * rely on (resume epoch 3 without replaying 1–2, re-derive the exact
+    * stream on a new cluster). The distributed two-pass ordinal is
+    * deterministic BY CONSTRUCTION (range partition + zipWithIndex,
+    * never a sampled sort); this query makes that an executed,
+    * oracle-gated claim: the oracle replays one run with sequential
+    * row_numbers and asserts `runs_equal` TRUE, so a nondeterministic
+    * rank on either execution hash-fails the gate. Both runs are
+    * map-only + hash-keyed (PlanSpec: no SinglePartition). */
+  def dataloaderDeterminismQ(s: SparkSession, d: String): DataFrame = {
+    def stream(): DataFrame = {
+      val base = docs(s, d).where(col("text").isNotNull)
+      val sched = TextOps.epochSchedule(base, "doc_id", epochs = 2)
+      val batches = TextOps.lengthBucketBatches(base, "doc_id",
+        TextOps.tokenCount(col("text")), Seq(32L, 56L, 76L), batchSize = 16)
+      sched.join(batches, "doc_id")
+        .groupBy("epoch", "bucket", "batch_idx")
+        .agg(count(lit(1)).as("n_docs"),
+          // 60-bit hashes folded mod 1e9+7 before the sum: 16 members
+          // × 2^60 would overflow the BIGINT sum (ANSI mode faults it)
+          sum(TextOps.portableHash(
+            concat_ws(":", col("doc_id"), col("epoch"), col("order_idx"),
+              col("rank_in_bucket")), 71) % lit(1000000007L))
+            .as("member_sum"))
+    }
+    stream()
+      .join(stream().withColumnRenamed("n_docs", "__n2")
+          .withColumnRenamed("member_sum", "__m2"),
+        Seq("epoch", "bucket", "batch_idx"))
+      .select(col("epoch"), col("bucket"), col("batch_idx"), col("n_docs"),
+        col("member_sum"),
+        (col("n_docs") === col("__n2") &&
+          col("member_sum") === col("__m2")).as("runs_equal"))
+      .orderBy("epoch", "bucket", "batch_idx")
+  }
+
   /** q112 — token-budget mixture allocation
     * ([[TextOps.mixtureAllocation]]): the mixing-recipe report — per
     * language: available tokens, the mixture's desired share of a 20k
@@ -3498,6 +3540,48 @@ object LlmQueries {
          |  row_number() OVER (ORDER BY h, doc_id) AS order_idx
          |FROM (SELECT doc_id, ${pHash("11", "doc_id")} AS h FROM documents)
          |ORDER BY order_idx""".stripMargin,
+
+    // ONE run replayed with sequential row_numbers (the q115/q120/q128
+    // rank disciplines composed), checksummed per batch; runs_equal is
+    // asserted TRUE — a nondeterministic rank in EITHER of the engine's
+    // two executions lands a different member_sum and hash-fails
+    "q157_dataloader_determinism" ->
+      s"""WITH t AS (SELECT doc_id,
+         |    len(string_split_regex(trim(lower(text)), '\\s+'))::BIGINT
+         |      AS n_tokens
+         |  FROM documents WHERE text IS NOT NULL),
+         |b AS (SELECT doc_id, n_tokens,
+         |    (CASE WHEN n_tokens > 32 THEN 1 ELSE 0 END +
+         |     CASE WHEN n_tokens > 56 THEN 1 ELSE 0 END +
+         |     CASE WHEN n_tokens > 76 THEN 1 ELSE 0 END)::BIGINT AS bucket,
+         |    ${pHash("17", "doc_id::VARCHAR")} AS k
+         |  FROM t),
+         |r AS (SELECT doc_id, bucket,
+         |    row_number() OVER (PARTITION BY bucket ORDER BY k, doc_id)
+         |      AS rank_in_bucket
+         |  FROM b),
+         |g AS (SELECT doc_id, bucket, rank_in_bucket,
+         |    ((rank_in_bucket - 1) // 16)::BIGINT AS batch_idx FROM r),
+         |e AS (SELECT doc_id, epoch,
+         |    ('0x' || substr(md5((epoch + 23)::VARCHAR || ':'
+         |      || doc_id::VARCHAR), 1, 15))::BIGINT AS k2
+         |  FROM t CROSS JOIN (SELECT unnest([1, 2]) AS epoch)),
+         |o AS (SELECT doc_id, epoch::BIGINT AS epoch,
+         |    row_number() OVER (PARTITION BY epoch ORDER BY k2, doc_id)
+         |      ::BIGINT AS order_idx
+         |  FROM e),
+         |st AS (SELECT o.epoch, g.bucket, g.batch_idx, o.doc_id,
+         |    o.order_idx, g.rank_in_bucket
+         |  FROM o JOIN g USING (doc_id))
+         |SELECT epoch, bucket, batch_idx, count(*)::BIGINT AS n_docs,
+         |  sum(${pHash("71",
+            "(doc_id::VARCHAR || ':' || epoch::VARCHAR || ':' || " +
+            "order_idx::VARCHAR || ':' || rank_in_bucket::VARCHAR)")}
+         |    % 1000000007)::BIGINT
+         |    AS member_sum,
+         |  TRUE AS runs_equal
+         |FROM st GROUP BY 1, 2, 3
+         |ORDER BY epoch, bucket, batch_idx""".stripMargin,
 
     // containment replay on top of the q114 chain: wfp = each doc's
     // DISTINCT selected fingerprints, pairs share a value, overlap from
@@ -4548,6 +4632,7 @@ object LlmQueries {
     "q114_winnow_fingerprints" -> winnowQ _,
     "q115_shuffle_order" -> shuffleOrderQ _,
     "q127_epoch_schedule" -> epochScheduleQ _,
+    "q157_dataloader_determinism" -> dataloaderDeterminismQ _,
     "q118_winnow_pairs" -> winnowPairsQ _,
     "q126_winnow_incremental" -> winnowIncrementalQ _,
     "q101_dsir_weights" -> dsirWeightsQ _,

@@ -1044,7 +1044,8 @@ class PlanSpec extends AnyFunSuite {
     // per-partition counts + zipWithIndex, offsets broadcast) — a global
     // window would print `Exchange SinglePartition` and serialize the
     // whole corpus through one task
-    Seq("q120_length_batches", "q127_epoch_schedule").foreach { name =>
+    Seq("q120_length_batches", "q127_epoch_schedule",
+        "q157_dataloader_determinism").foreach { name =>
       withExecuted(name) { (p, ex) =>
         assert(!p.contains("SinglePartition"),
           s"$name must not funnel through one partition: ${p.take(1500)}")
