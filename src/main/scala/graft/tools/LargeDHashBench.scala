@@ -23,6 +23,18 @@ import org.apache.spark.sql.functions._
   * Default n = 1,000,000 images. Results recorded in BASELINE.md
   * ("Large-N image-dedup evidence").
   *
+  * `pipeline` (implies `flat`) runs the FULL q137 curation shape on the
+  * MIXED corpus a real crawl looks like: 80% avalanche images carrying
+  * the planted near-dups (doc ids ≡ 0,1 mod 10 — never flat, so their
+  * recovery through the cap must be EXACT and is `require`d), 20% flat
+  * images (ids ≡ 8,9 mod 10) collapsing onto mega-buckets the cap
+  * excludes. Stages: capped pairs → pointer-jump closure → per-cluster
+  * keeper (pixel mass, ties to the smallest id) → component-keyed
+  * leak-safe split — the end-to-end wall the cap exists to bound, with
+  * the keeper/split invariants asserted exactly (one keeper per
+  * cluster = the minimum id at tied mass; a cluster never straddles
+  * splits).
+  *
   * `flat` switches the generator to the NEAR-LINEAR byte function that
   * was this bench's recorded failed first attempt — the mega-bucket
   * regime (brightness gradients mostly seed-independent, the corpus
@@ -43,7 +55,8 @@ object LargeDHashBench {
 
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toLong).getOrElse(1000000L)
-    val flatMode = args.contains("flat")
+    val pipelineMode = args.contains("pipeline")
+    val flatMode = args.contains("flat") || pipelineMode
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "64")
@@ -60,10 +73,15 @@ object LargeDHashBench {
       it.map { boxed =>
         val i = boxed.longValue
         val seed = if (i % 10 == 1) i - 1 else i
+        // pipeline mode mixes the regimes: flat mega-bucket images are
+        // the ids ≡ 8,9 (mod 10), disjoint from the planted clone pairs
+        // at ids ≡ 0,1 — the cap must exclude the former and not cost
+        // one planted pair of the latter
+        val flatImg = flatMode && (!pipelineMode || i % 10 >= 8)
         val px = new Array[Byte](W * H * 3)
         var j = 0
         while (j < px.length) {
-          if (flatMode) {
+          if (flatImg) {
             // the recorded failed first attempt, kept ON PURPOSE as the
             // mega-bucket generator: near-linear in (seed, j), so every
             // image's brightness GRADIENT is mostly seed-independent and
@@ -128,11 +146,62 @@ object LargeDHashBench {
         .where(col("a") % 10 === 0 && col("b") === col("a") + 1).count()
       val skRows = sk.agg(count(lit(1)).as("n"),
         coalesce(sum("size"), lit(0L)).as("members")).head()
-      println(s"pairs=$total planted_recovered=$planted " +
-        s"expected_planted=${n / 10} (partial recovery is the documented " +
-        "bounded-coverage trade in this regime)")
+      if (pipelineMode) {
+        println(s"pairs=$total planted_recovered=$planted " +
+          s"expected_planted=${n / 10}")
+        require(planted == n / 10,
+          s"planted recovery under the cap must be exact: $planted != ${n / 10}")
+      } else
+        println(s"pairs=$total planted_recovered=$planted " +
+          s"expected_planted=${n / 10} (partial recovery is the documented " +
+          "bounded-coverage trade in this regime)")
       println(s"skipped: ${skRows.getLong(0)} buckets, " +
         s"${skRows.getLong(1)} member rows excluded (surfaced, not silent)")
+      if (pipelineMode) {
+        // q137 end-to-end on the mega-bucket corpus: the capped pairs
+        // feed closure → keeper → split, and the invariants that make
+        // the output SHIPPABLE are asserted exactly
+        import graft.operators.{Dedup, TextOps}
+        val labels = time("pointer-jump closure") {
+          graft.engine.Checkpoints.mark(Dedup.connectedComponents(
+            hashed.select("doc_id"), pairs, "doc_id"))
+        }
+        val curated = time("keeper + leak-safe split") {
+          // every synthetic image is 16×16, so pixel mass ties and the
+          // keeper MUST be each cluster's minimum id — an exact oracle
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy("component")
+            .orderBy(col("__score").desc, col("doc_id").asc)
+          val cur = TextOps.hashSplitBy(
+            labels.withColumn("__score", lit(W.toLong * H))
+              .withColumn("keep", row_number().over(w) === 1)
+              .select("doc_id", "component", "keep"),
+            col("component"))
+          graft.engine.Checkpoints.mark(cur)
+        }
+        val stats = curated.groupBy("component").agg(
+            count(lit(1)).as("sz"),
+            sum(when(col("keep"), 1L).otherwise(0L)).as("nk"),
+            min("doc_id").as("mn"),
+            min(when(col("keep"), col("doc_id"))).as("kid"),
+            countDistinct("split").as("nsplit"))
+          .agg(count(lit(1)).as("ncomp"),
+            sum(when(col("nk") =!= 1L, 1L).otherwise(0L)).as("badk"),
+            sum(when(col("kid") =!= col("mn"), 1L).otherwise(0L)).as("badmin"),
+            sum(when(col("nsplit") =!= 1L, 1L).otherwise(0L)).as("badsplit"),
+            max("sz").as("maxsz"))
+          .head()
+        println(s"components=${stats.getLong(0)} " +
+          s"largest=${stats.getLong(4)} " +
+          s"bad_keeper_count=${stats.getLong(1)} " +
+          s"keeper_not_min=${stats.getLong(2)} " +
+          s"split_straddles=${stats.getLong(3)}")
+        require(stats.getLong(1) == 0 && stats.getLong(2) == 0 &&
+          stats.getLong(3) == 0,
+          "keeper/split invariants violated")
+        graft.engine.Checkpoints.release(curated)
+        graft.engine.Checkpoints.release(labels)
+      }
       graft.engine.Checkpoints.release(pairs)
     } else {
       // 3. banded pair scan + exact verify; planted recovery must be exact
