@@ -121,6 +121,49 @@ object SubwordTokenizeRuntime {
     }
     new GenericArrayData(out.toArray[Any])
   }
+
+  /** Merge-order walk over one pre-normalized text: each whitespace word
+    * starts as its codepoint segmentation (never splitting a surrogate
+    * pair — the [[tokenize]] fallback discipline), then every learned
+    * merge fires in training order, left-to-right non-overlapping —
+    * exactly the trainer's application loop, so train → apply round-trips
+    * bit-identically. Shared by the interpreted and codegen paths. */
+  def applyMerges(text: String, t: BpeMergeTable): GenericArrayData = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[UTF8String]
+    val words = Ws.split(text, -1)
+    var wi = 0
+    while (wi < words.length) {
+      val w = words(wi)
+      if (w.nonEmpty) {
+        var syms = {
+          val b = scala.collection.mutable.ArrayBuffer.empty[String]
+          var pos = 0
+          while (pos < w.length) {
+            val n = Character.charCount(w.codePointAt(pos))
+            b += w.substring(pos, pos + n)
+            pos += n
+          }
+          b
+        }
+        var mi = 0
+        while (mi < t.pairs.length) {
+          val l = t.pairs(mi)(0); val r = t.pairs(mi)(1)
+          val next = scala.collection.mutable.ArrayBuffer.empty[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+              next += l + r; i += 2
+            } else { next += syms(i); i += 1 }
+          }
+          syms = next
+          mi += 1
+        }
+        syms.foreach(s => out += UTF8String.fromString(s))
+      }
+      wi += 1
+    }
+    new GenericArrayData(out.toArray[Any])
+  }
 }
 
 object SubwordTokenize {
@@ -130,4 +173,68 @@ object SubwordTokenize {
   def subword_tokens(c: Column, vocab: Seq[String]): Column =
     GraftShims.column(SubwordTokenize(
       GraftShims.expression(lower(trim(c))), vocab.toArray))
+
+  /** Column API for the MERGE-ORDER apply ([[BpeMergeApply]]): same
+    * normalization and word split, tokens produced by replaying the
+    * learned merge table in training order. */
+  def subword_tokens_merge_order(c: Column,
+      merges: Seq[(String, String)]): Column =
+    GraftShims.column(BpeMergeApply(
+      GraftShims.expression(lower(trim(c))),
+      merges.map(p => Array(p._1, p._2)).toArray))
 }
+
+/** MERGE-ORDER subword apply — the ORIGINAL BPE inference (Sennrich et
+  * al. 2016 §3.2: replay the learned merge table in training order over
+  * each word's codepoint segmentation), as a second native map-only
+  * expression beside the greedy longest-match [[SubwordTokenize]]. The
+  * two apply disciplines AGREE on most words but are NOT the same
+  * function — e.g. merges [(b,c), (a,b)] segment "abc" as `a·bc`
+  * (rank 1 fires first) where greedy longest-match over the same
+  * vocabulary picks `ab·c` — and real tokenizer stacks ship both
+  * (SentencePiece BPE replays merges; WordPiece inference is greedy),
+  * so the engine gates both (q140 greedy on the learned vocab, q158
+  * merge-order on the learned table). Merges ride the plan as a
+  * reference object; per word the cost is O(nMerges · len) scans, all
+  * integer/array work, no regex beyond the shared whitespace split. */
+case class BpeMergeApply(child: Expression, merges: Array[Array[String]])
+    extends UnaryExpression {
+
+  require(merges.forall(m => m.length == 2 && m.forall(_.nonEmpty)),
+    "merges must be (left, right) non-empty pairs")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"subword_tokens_merge_order expects string, got ${t.simpleString}")
+  }
+
+  @transient private lazy val table = new BpeMergeTable(merges)
+
+  override def nullSafeEval(input: Any): Any =
+    SubwordTokenizeRuntime.applyMerges(
+      input.asInstanceOf[UTF8String].toString, table)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val t = ctx.addReferenceObj("bpeMerges", table,
+      classOf[BpeMergeTable].getName)
+    nullSafeCodeGen(ctx, ev, v => {
+      s"""
+         |${ev.value} = graft.functions.SubwordTokenizeRuntime.applyMerges(
+         |  $v.toString(), $t);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BpeMergeApply =
+    copy(child = newChild)
+}
+
+/** The learned merge table in training order, plan-attached like
+  * [[SubwordMatcher]]. */
+final class BpeMergeTable(val pairs: Array[Array[String]])
+    extends Serializable

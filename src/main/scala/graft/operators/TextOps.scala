@@ -76,6 +76,17 @@ object TextOps {
   def tokenCountBpe(text: Column, vocab: Seq[String]): Column =
     size(bpeTokens(text, vocab))
 
+  /** MERGE-ORDER subword tokens
+    * ([[graft.functions.BpeMergeApply]]) — the original Sennrich BPE
+    * inference: replay a learned merge table in training order over each
+    * word. The second apply discipline beside the greedy longest-match
+    * [[bpeTokens]] (real stacks ship both: SentencePiece-BPE replays
+    * merges, WordPiece infers greedily), and the one that round-trips
+    * [[bpeTrainModel]] bit-identically. Map-only native expression. */
+  def bpeTokensMergeOrder(text: Column,
+      merges: Seq[(String, String)]): Column =
+    graft.functions.SubwordTokenize.subword_tokens_merge_order(text, merges)
+
   /** One learned BPE merge: at `merge_rank` (1-based, training order) the
     * adjacent symbol pair `(left_sym, right_sym)` — the corpus's most
     * frequent at that round — fused into `merged`, with the weighted

@@ -2277,6 +2277,28 @@ object LlmQueries {
     learnedBpe(s, d).merges.toDF().orderBy("merge_rank")
   }
 
+  /** q158 — MERGE-ORDER tokenizer apply
+    * ([[TextOps.bpeTokensMergeOrder]] over the q151 learned merge
+    * table): the ORIGINAL BPE inference — replay the merges in training
+    * order — beside q140's greedy longest-match over the same model.
+    * The two disciplines genuinely differ (OperatorSpec pins a
+    * diverging word), and this one round-trips training bit-identically
+    * (a sampled word's q158 tokens ARE its final training
+    * segmentation). Deterministic 1-in-5 document sample; the oracle
+    * extends the q151 training replay with 30 more per-round `replace`
+    * CTEs over the sample's distinct words, then joins tokens back to
+    * word occurrences. */
+  def bpeTokensMergeOrderQ(s: SparkSession, d: String): DataFrame =
+    docs(s, d).where(col("text").isNotNull &&
+        pmod(col("doc_id"), lit(5)) === 0)
+      .select(col("doc_id"),
+        posexplode(TextOps.bpeTokensMergeOrder(col("text"),
+          learnedBpe(s, d).merges.map(m => (m.left_sym, m.right_sym))))
+          .as(Seq("__i", "token")))
+      .select(col("doc_id"),
+        (col("__i") + lit(1)).cast("long").as("token_idx"), col("token"))
+      .orderBy("doc_id", "token_idx")
+
   /** The q141/q142/q148 FROZEN subword vocabulary — the trained-tokenizer
     * model artifact ([[graft.functions.SubwordTokenize]] applies it;
     * the oracles regenerate their longest-prefix CASE from this same
@@ -2378,6 +2400,33 @@ object LlmQueries {
          |         ELSE replace(seg, '$d' || m.a || '$d$d' || m.b || '$d',
          |                      '$d' || m.a || m.b || '$d') END AS seg
          |  FROM s$r LEFT JOIN m$r m ON TRUE)""".stripMargin
+    }
+    b.result()
+  }
+
+  /** The q158 merge-order apply chain: the sample's distinct words as
+    * delimited codepoint segmentations (`d0`), then one `replace` CTE
+    * per training round against that round's winner `m_r` (LEFT JOIN so
+    * exhausted rounds pass through) — the exact trainer application
+    * replayed over DOCUMENT words, ending in `d{N}(word, seg)`. */
+  private def bpeApplyChainCtes: String = {
+    val d = BpeSegD
+    val b = new StringBuilder
+    b ++= s"""dw AS MATERIALIZED (SELECT DISTINCT word FROM wd),
+       |d0 AS MATERIALIZED (SELECT word,
+       |    '$d' || string_agg(ch, '$d$d' ORDER BY i) || '$d' AS seg
+       |  FROM (SELECT word, unnest(generate_series(1, length(word))) AS i,
+       |      substring(word, unnest(generate_series(1, length(word))), 1)
+       |        AS ch
+       |    FROM dw)
+       |  GROUP BY word)""".stripMargin
+    for (r <- 0 until BpeTrainNMerges) {
+      b ++= s""",
+         |d${r + 1} AS MATERIALIZED (SELECT word,
+         |    CASE WHEN m.a IS NULL THEN seg
+         |         ELSE replace(seg, '$d' || m.a || '$d$d' || m.b || '$d',
+         |                      '$d' || m.a || m.b || '$d') END AS seg
+         |  FROM d$r LEFT JOIN m$r m ON TRUE)""".stripMargin
     }
     b.result()
   }
@@ -3276,6 +3325,33 @@ object LlmQueries {
          |  FROM wwalk ww LEFT JOIN lm ON lm.word = ww.word AND lm.p = ww.pos
          |  WHERE ww.pos <= length(ww.word)),
          |wtoks AS (SELECT word, ti, tok FROM wwalk WHERE tok IS NOT NULL)
+         |SELECT doc_id,
+         |  row_number() OVER (PARTITION BY doc_id ORDER BY wi, ti)
+         |    AS token_idx,
+         |  tok AS token
+         |FROM wd JOIN wtoks USING (word)
+         |ORDER BY doc_id, token_idx""".stripMargin,
+
+    // the q151 training chain + 30 per-round replace CTEs over the
+    // sample's distinct words — the trainer's application loop replayed
+    // over DOCUMENT words, tokens joined back to occurrences
+    "q158_bpe_apply_merge_order" ->
+      s"""WITH $bpeTrainCtes,
+         |ga AS (SELECT doc_id,
+         |    string_split_regex(trim(lower(text)), '\\s+') AS arr
+         |  FROM documents WHERE text IS NOT NULL AND doc_id % 5 = 0),
+         |wd AS (SELECT doc_id, wi, arr[wi] AS word
+         |  FROM (SELECT doc_id, unnest(generate_series(1, len(arr))) AS wi,
+         |        arr FROM ga)
+         |  WHERE length(arr[wi]) > 0),
+         |$bpeApplyChainCtes,
+         |wt AS (SELECT word, unnest(generate_series(1, len(tarr))) AS ti,
+         |    tarr
+         |  FROM (SELECT word,
+         |      string_split(trim(seg, '$BpeSegD'), '$BpeSegD$BpeSegD')
+         |        AS tarr
+         |    FROM d$BpeTrainNMerges) x),
+         |wtoks AS (SELECT word, ti, tarr[ti] AS tok FROM wt)
          |SELECT doc_id,
          |  row_number() OVER (PARTITION BY doc_id ORDER BY wi, ti)
          |    AS token_idx,
@@ -4601,6 +4677,7 @@ object LlmQueries {
     "q139_component_profile_tuned" -> componentProfileTunedQ _,
     "q140_bpe_tokens" -> bpeTokensQ _,
     "q151_bpe_train" -> bpeTrainQ _,
+    "q158_bpe_apply_merge_order" -> bpeTokensMergeOrderQ _,
     "q152_alignment_filter" -> alignmentFilterQ _,
     "q153_alignment_quantile" -> alignmentQuantileQ _,
     "q141_token_count_bpe" -> tokenCountBpeQ _,

@@ -349,6 +349,19 @@ object StreamingOps {
     graft.operators.TextOps.applyThresholds(
       docsStream, thresholds, id, strata, value)
 
+  /** Paired-modality alignment gate ON A STREAM — the ingest form of
+    * the batch LAION filter ([[graft.operators.Similarity.alignmentFilter]],
+    * SparkEntry q152): cosine between each incoming pair's caption and
+    * image embedding columns, keep = `align_cos ≥ tau`. The score is a
+    * pure projection, so the stream side is STATELESS map-only — no
+    * shuffle, no watermark, no state store; it composes with
+    * [[quantileGate]] for the distribution-relative variant (static
+    * per-stratum thresholds over the already-ingested corpus, refreshed
+    * on corpus drift). Same output schema as the batch gate. */
+  def alignmentGate(pairsStream: DataFrame, embA: String, embB: String,
+      tau: Double): DataFrame =
+    graft.operators.Similarity.alignmentFilter(pairsStream, embA, embB, tau)
+
   /** Custom keyed state via mapGroupsWithState: per-user running
     * count/sum/max — state the built-in aggregations would re-shuffle for,
     * kept incrementally per key. State size is O(keys), partitioned by key

@@ -2261,6 +2261,42 @@ class OperatorSpec extends AnyFunSuite {
     graft.tools.CodegenGuard.assertHealthy("bpeTokens pipeline")
   }
 
+  test("bpeTokensMergeOrder: training-order replay — diverges from greedy longest-match where ranks demand it") {
+    def mo(text: String, merges: Seq[(String, String)]): Seq[String] =
+      Seq(Tuple1(text)).toDF("text")
+        .select(TextOps.bpeTokensMergeOrder(col("text"), merges).as("t"))
+        .head().getSeq[String](0)
+    // merges [(b,c), (a,b)]: rank 1 fires first, so "abc" -> a·bc —
+    // while GREEDY longest-match over the same learned vocabulary
+    // {a,b,c,ab,bc} picks ab·c. The two apply disciplines are NOT the
+    // same function; the engine gates both (q140 greedy, q158 merge
+    // order)
+    assert(mo("abc", Seq("b" -> "c", "a" -> "b")) == Seq("a", "bc"))
+    val greedy = Seq(Tuple1("abc")).toDF("text")
+      .select(TextOps.bpeTokens(col("text"),
+        Seq("a", "b", "c", "ab", "bc")).as("t"))
+      .head().getSeq[String](0)
+    assert(greedy == Seq("ab", "c"))
+    // merge chaining through earlier products: [(a,b), (ab,c)] fuses the
+    // whole word
+    assert(mo("abc", Seq("a" -> "b", "ab" -> "c")) == Seq("abc"))
+    // left-to-right non-overlapping application (the trainer's loop)
+    assert(mo("aaa", Seq("a" -> "a")) == Seq("aa", "a"))
+    // train -> merge-order apply round-trips: a sampled word's tokens ARE
+    // its final training segmentation ("abab" under 2 merges -> [abab])
+    val m = TextOps.bpeTrainModel(
+      Seq(Tuple1("abab abab")).toDF("text"), "text", 2, 10)
+    assert(mo("abab", m.merges.map(x => (x.left_sym, x.right_sym))) ==
+      Seq("abab"))
+    // codegen-healthy (native expression, no interpreted fallback)
+    graft.tools.CodegenGuard.reset()
+    (0L until 100L).map(i => (i, s"table window $i")).toDF("doc_id", "text")
+      .select(TextOps.bpeTokensMergeOrder(col("text"),
+        Seq("t" -> "a", "ta" -> "b")).as("t"))
+      .collect()
+    graft.tools.CodegenGuard.assertHealthy("bpeTokensMergeOrder pipeline")
+  }
+
   test("bpeTrainModel: tie-break by (count DESC, left, right); merges apply left-to-right non-overlapping; cap bites deterministically") {
     // "ab" x3 and "cd" x3 tie on pair count: ('a','b') < ('c','d') under
     // the (left, right) order, so rank 1 MUST be a+b. Rank 2 is then c+d.

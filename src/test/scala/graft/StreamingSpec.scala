@@ -94,6 +94,32 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming alignment gate: map-only pair filter, mis-captioned pairs dropped at ingest") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Long, Array[Double], Array[Double])]
+    val gated = StreamingOps.alignmentGate(
+      mem.toDF().toDF("pair_id", "cap_emb", "img_emb"),
+      "cap_emb", "img_emb", tau = 0.9)
+    val q = gated.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("align_out").start()
+    try {
+      mem.addData(
+        (1L, Array(1.0, 0.0, 0.0), Array(0.99, 0.1, 0.0)),  // aligned
+        (2L, Array(1.0, 0.0, 0.0), Array(0.0, 1.0, 0.0)),   // orthogonal
+        (3L, Array(0.0, 1.0, 0.0), Array(0.0, 0.98, 0.05))) // aligned
+      q.processAllAvailable()
+      val rows = spark.table("align_out").orderBy("pair_id")
+        .select("pair_id", "keep").collect()
+        .map(r => (r.getLong(0), r.getBoolean(1))).toSeq
+      assert(rows == Seq((1L, true), (2L, false), (3L, true)))
+      // stateless map-only: the micro-batch plan has no state store and
+      // no exchange — the scale contract of an ingest-time gate
+      val plan = spark.table("align_out").queryExecution.analyzed.toString
+      assert(!plan.contains("StateStore"), plan.take(1000))
+    } finally q.stop()
+  }
+
   test("stream-static near-dup candidates against a persisted band index") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
