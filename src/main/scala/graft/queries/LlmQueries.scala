@@ -1491,6 +1491,52 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  /** q159 — PAIRED-MODALITY curation pipeline: the LAION flow end to
+    * end (the q137 pattern for caption↔image PAIRS, and the composition
+    * the q152 gate exists for): alignment filter (τ = [[AlignTau]]) →
+    * kept pairs' images decode + dHash in ONE pass → CAPPED banded
+    * near-dup pairs → transitive components → per-cluster keeper by
+    * pixel mass (ties to the smallest id — an original out-ranks its
+    * byte-identical re-upload) → component-keyed leak-safe split. Pair
+    * legs: every KEPT caption's original image (`pair id = v`) plus its
+    * exact re-upload (`v + 100000`) — the re-upload INHERITS the
+    * alignment verdict (same caption, byte-identical image: recomputing
+    * the cosine would be the same arithmetic twice), then collapses
+    * into its original's cluster at hamming 0 and loses the keeper
+    * race, and a cluster never straddles the split. Every leg is gated
+    * on its own oracle (q152/q71/q121/q134/q125/q119); this gates their
+    * composition ACROSS the modality seam — mis-captioned junk never
+    * reaches the dedup stage at all. */
+  def pairCurationQ(s: SparkSession, d: String): DataFrame = {
+    val kept = Similarity.alignmentFilter(alignmentPairs(s, d),
+        "cap_emb", "img_emb", tau = AlignTau)
+      .where(col("keep")).select(col("vec_id"))
+    val legs = dhashCorpus(s, d)
+      .where(col("doc_id") < 200000L)
+      .join(broadcast(kept),
+        pmod(col("doc_id"), lit(100000L)) === col("vec_id"))
+      .select("doc_id", "payload")
+    val hs = graft.engine.Checkpoints.mark(Multimodal.imageDHashDims(
+      Multimodal.decodePpm(legs, "doc_id", "payload")))
+    val (pairs, _) = Multimodal.dhashNearDupPairsCapped(hs, "doc_id",
+      maxHamming = 8, maxBucket = DHashPairCap)
+    val labels =
+      try Dedup.connectedComponents(hs.select("doc_id"), pairs, "doc_id")
+      finally graft.engine.Checkpoints.release(pairs)
+    val scored = labels.join(
+      hs.select(col("doc_id"),
+        (col("width") * col("height")).cast("long").as("__score")),
+      "doc_id")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("component")
+      .orderBy(col("__score").desc, col("doc_id").asc)
+    TextOps.hashSplitBy(
+        scored.withColumn("keep", row_number().over(w) === 1)
+          .select("doc_id", "component", "keep"),
+        col("component"))
+      .orderBy("doc_id")
+  }
+
   /** Rows of (doc_id, multi-frame PPM container): each ASCII doc becomes
     * a "video" of `F = 2 + doc_id % 3` frames, frame f's plane the text
     * SHIFTED by f characters (then padded/truncated to the q71 dims) —
@@ -2970,6 +3016,61 @@ object LlmQueries {
     // closure → pixel-mass keeper → component-keyed split arithmetic
     "q137_image_curation" ->
       s"""WITH RECURSIVE ${dhashPairCtesWith(Some(DHashPairCap))},
+         |pr AS (SELECT a, b FROM p WHERE hamming <= 8),
+         |edges AS (SELECT a AS u, b AS v FROM pr
+         |  UNION SELECT b AS u, a AS v FROM pr),
+         |reach(u, r) AS (
+         |  SELECT doc_id, doc_id FROM hs
+         |  UNION
+         |  SELECT e2.v, reach.r FROM reach JOIN edges e2 ON e2.u = reach.u),
+         |comp AS (SELECT u AS doc_id, min(r) AS component
+         |  FROM reach GROUP BY u),
+         |scored AS (SELECT c.doc_id, c.component,
+         |    (corpus.w * corpus.h)::BIGINT AS score
+         |  FROM comp c JOIN corpus ON corpus.doc_id = c.doc_id),
+         |rn AS (SELECT doc_id, component,
+         |    row_number() OVER (PARTITION BY component
+         |      ORDER BY score DESC, doc_id ASC) AS rn
+         |  FROM scored),
+         |b2 AS (SELECT doc_id, component, (rn = 1) AS keep,
+         |    ${pHash("42", "component::VARCHAR")} % 100 AS bucket
+         |  FROM rn)
+         |SELECT doc_id, component, keep, bucket,
+         |  CASE WHEN bucket < 80 THEN 'train'
+         |       WHEN bucket < 90 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM b2 ORDER BY doc_id""".stripMargin,
+
+    // the q152 alignment chain gates which pairs' images even enter the
+    // (restricted two-leg) capped dHash chain; then the q137 closure /
+    // keeper / split replay — the full cross-modality composition
+    "q159_pair_curation" ->
+      s"""WITH RECURSIVE ex AS (SELECT vec_id, i, embedding[i]::DOUBLE AS v,
+         |    (embedding[i]::DOUBLE
+         |     + 0.1::DOUBLE * embedding[1 + (i % 64)]::DOUBLE) AS mv
+         |  FROM embeddings CROSS JOIN generate_series(1, 64) t(i)),
+         |pra AS (SELECT vec_id,
+         |    CASE WHEN vec_id % 10 = 0 THEN vec_id + 1 ELSE vec_id END
+         |      AS img_id, i, v
+         |  FROM ex),
+         |sc AS (SELECT p.vec_id,
+         |    round(sum(p.v * m.mv) / sqrt(sum(p.v * p.v))
+         |      / sqrt(sum(m.mv * m.mv)), 4) AS align_cos
+         |  FROM pra p JOIN ex m ON m.vec_id = p.img_id AND m.i = p.i
+         |  GROUP BY p.vec_id, p.img_id),
+         |k AS (SELECT vec_id FROM sc WHERE align_cos >= $AlignTau),
+         |base AS (SELECT doc_id, (4 + doc_id % 8)::INTEGER AS w,
+         |    (3 + doc_id % 5)::INTEGER AS h,
+         |    rpad(text, ((4 + doc_id % 8) * (3 + doc_id % 5) * 3)::INTEGER,
+         |      '.') AS pt
+         |  FROM documents JOIN k ON k.vec_id = documents.doc_id
+         |  WHERE text IS NOT NULL
+         |    AND octet_length(encode(text)) = length(text)),
+         |corpus AS (SELECT doc_id, w, h, pt FROM base
+         |  UNION ALL SELECT doc_id + 100000, w, h, pt FROM base),
+         |hs AS (SELECT doc_id, ${dhashBandSql.mkString(",\n  ")}
+         |  FROM corpus),
+         |${bandPairCtes(Some(DHashPairCap))},
          |pr AS (SELECT a, b FROM p WHERE hamming <= 8),
          |edges AS (SELECT a AS u, b AS v FROM pr
          |  UNION SELECT b AS u, a AS v FROM pr),
@@ -4680,6 +4781,7 @@ object LlmQueries {
     "q158_bpe_apply_merge_order" -> bpeTokensMergeOrderQ _,
     "q152_alignment_filter" -> alignmentFilterQ _,
     "q153_alignment_quantile" -> alignmentQuantileQ _,
+    "q159_pair_curation" -> pairCurationQ _,
     "q141_token_count_bpe" -> tokenCountBpeQ _,
     "q142_length_batches_bpe" -> lengthBatchesBpeQ _,
     "q143_audio_spectral" -> audioSpectralQ _,
