@@ -1039,6 +1039,25 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q154/q159/q156: round-12 pipelines — no cartesian; exchanges never carry pixels/payloads/text") {
+    // q154: frame hashes (32 B) and gram fingerprints (8 B) are the only
+    // per-frame data that moves; q159: the alignment verdict collapses
+    // to a broadcast id list before any image decodes, so the dedup legs
+    // shuffle hashes only; q156: both shingle definitions fuse to 8 B
+    // hashes before their broadcast membership joins
+    Seq("q154_video_winnow", "q159_pair_curation",
+        "q156_decontaminate_norm").foreach { name =>
+      withExecuted(name) { (p, ex) =>
+        assert(!p.contains("CartesianProduct"), s"$name: ${p.take(1500)}")
+        ex.foreach { names =>
+          assert(!names.exists(Set("pixels", "payload", "pt", "text",
+              "fseq")),
+            s"$name exchange carries wide bytes: $names")
+        }
+      }
+    }
+  }
+
   test("q120/q127: distributed ordinal — no single-partition exchange; text never shuffles") {
     // the rank comes from the two-pass ordinal (range partition +
     // per-partition counts + zipWithIndex, offsets broadcast) — a global
