@@ -663,18 +663,39 @@ object Similarity {
     * pair scan: no exchange is introduced, and no exchange carries
     * anything wider than the pair row itself. `align_cos` is rounded to
     * 4 dp (the oracle-parity discipline of [[cosinePairs]]). */
-  def alignmentScore(pairs: DataFrame, embA: String, embB: String): DataFrame =
+  def alignmentScore(pairs: DataFrame, embA: String, embB: String): DataFrame = {
+    def dot(x: Column, y: Column): Column =
+      graft.functions.DotProduct.dot_product(x, y)
+    val a = col(embA).cast("array<double>")
+    val b = col(embB).cast("array<double>")
+    // guard the zero-norm row EXPLICITLY: under ANSI mode (Spark 4's
+    // default) a dead encoder's zero vector would otherwise fault the
+    // whole job with DIVIDE_BY_ZERO — one garbage row must not kill a
+    // 100 TB pass. The branch is a per-row CaseWhen (only the taken arm
+    // evaluates), scoring such rows NaN; [[alignmentFilter]] drops them
     pairs.withColumn("align_cos",
-      round(cosine(col(embA).cast("array<double>"),
-        col(embB).cast("array<double>")), 4))
+      round(when(sqrt(dot(a, a)) === 0.0 || sqrt(dot(b, b)) === 0.0,
+          lit(Double.NaN))
+        .otherwise(dot(a, b) / sqrt(dot(a, a)) / sqrt(dot(b, b))), 4))
+  }
 
   /** [[alignmentScore]] + the absolute-threshold gate: `keep` =
     * `align_cos ≥ tau` — the fixed-τ form of the LAION filter (their
-    * released subsets are exactly "CLIP cosine ≥ 0.28/0.3"). Map-only. */
+    * released subsets are exactly "CLIP cosine ≥ 0.28/0.3"). Map-only.
+    *
+    * DEGENERATE EMBEDDINGS DROP: a zero-norm vector makes the cosine
+    * NaN, and Spark's SQL ordering ranks NaN ABOVE every number — a
+    * bare `align_cos >= tau` would therefore KEEP exactly the garbage
+    * rows (a dead encoder emitting zeros sails through the gate). The
+    * guard makes NaN and null score `keep = false` explicitly
+    * (OperatorSpec pins it); the score column still carries the NaN so
+    * the caller can count/quarantine dead-encoder rows. */
   def alignmentFilter(pairs: DataFrame, embA: String, embB: String,
       tau: Double): DataFrame =
     alignmentScore(pairs, embA, embB)
-      .withColumn("keep", col("align_cos") >= tau)
+      .withColumn("keep",
+        coalesce(!isnan(col("align_cos")) && col("align_cos") >= tau,
+          lit(false)))
 
   /** The distribution-relative variant: keep a pair iff its alignment
     * clears its STRATUM's q-quantile (per-language / per-source bars,

@@ -2261,6 +2261,26 @@ class OperatorSpec extends AnyFunSuite {
     graft.tools.CodegenGuard.assertHealthy("bpeTokens pipeline")
   }
 
+  test("alignmentFilter: zero-norm (NaN-cosine) and null embeddings are DROPPED, not kept by NaN-orders-last") {
+    // Spark orders NaN above every double, so a bare `cos >= tau` keeps
+    // exactly the dead-encoder rows — the guard must drop them
+    val pairs = Seq(
+      (1L, Array(1.0, 0.0), Array(0.99, 0.1)),      // aligned
+      (2L, Array(0.0, 0.0), Array(1.0, 0.0)),       // zero-norm caption
+      (3L, Array(1.0, 0.0), Array(0.0, 0.0)),       // zero-norm image
+      (4L, null.asInstanceOf[Array[Double]], Array(1.0, 0.0)) // null
+    ).toDF("id", "ea", "eb")
+    val got = Similarity.alignmentFilter(pairs, "ea", "eb", 0.9)
+      .select("id", "keep").orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getBoolean(1))).toSeq
+    assert(got == Seq((1L, true), (2L, false), (3L, false), (4L, false)),
+      s"got $got")
+    // the NaN rides the score column so callers can quarantine it
+    val sc = Similarity.alignmentScore(pairs, "ea", "eb")
+      .where(col("id") === 2).select("align_cos").head()
+    assert(sc.getDouble(0).isNaN)
+  }
+
   test("bpeTokensMergeOrder: training-order replay — diverges from greedy longest-match where ranks demand it") {
     def mo(text: String, merges: Seq[(String, String)]): Seq[String] =
       Seq(Tuple1(text)).toDF("text")
