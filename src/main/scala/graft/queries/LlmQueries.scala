@@ -1302,6 +1302,53 @@ object LlmQueries {
        |  FROM base CROSS JOIN generate_series(0, 3) t(f)
        |  WHERE f < 2 + doc_id % 3)""".stripMargin
 
+  /** The q154/q160 shared oracle: frame-chain band arithmetic +
+    * ordered hash sequences + the full winnow replay, paired cross-leg
+    * (both queries emit exactly these rows). */
+  private lazy val videoWinnowOracleSql: String =
+    s"""WITH $videoFrameCtes,
+         |fb AS (SELECT doc_id + 700000 AS doc_id, f - 1 AS f, w, h, pt
+         |  FROM fr WHERE f >= 1),
+         |allf AS (SELECT doc_id, f, w, h, pt FROM fr
+         |  UNION ALL SELECT * FROM fb),
+         |hf AS (SELECT doc_id, f, ${dhashBandSql.mkString(",\n  ")}
+         |  FROM allf),
+         |sq AS (SELECT doc_id,
+         |    string_agg(b0::VARCHAR || '_' || b1::VARCHAR || '_' ||
+         |               b2::VARCHAR || '_' || b3::VARCHAR, ' ' ORDER BY f)
+         |      AS fseq
+         |  FROM hf GROUP BY doc_id),
+         |sa AS (SELECT doc_id, string_split(fseq, ' ') AS arr FROM sq),
+         |gr AS (SELECT doc_id, unnest(generate_series(1, len(arr) - 1)) AS i,
+         |    arr FROM sa WHERE len(arr) >= 2),
+         |g AS (SELECT doc_id, i - 1 AS pos,
+         |    ${pHash("131", "(arr[i] || ' ' || arr[i+1])")} AS gh,
+         |    len(arr) - 1 AS m
+         |  FROM gr),
+         |st AS (SELECT doc_id,
+         |    unnest(generate_series(0, greatest(m - 2, 0))) AS s
+         |  FROM (SELECT DISTINCT doc_id, m FROM g)),
+         |sel AS (SELECT st.doc_id, g.pos, g.gh, row_number() OVER (
+         |    PARTITION BY st.doc_id, st.s ORDER BY g.gh ASC, g.pos DESC)
+         |      AS rn
+         |  FROM st JOIN g ON g.doc_id = st.doc_id
+         |    AND g.pos BETWEEN st.s AND st.s + 1),
+         |wfp AS (SELECT DISTINCT doc_id, gh FROM sel WHERE rn = 1),
+         |sz AS (SELECT doc_id, count(*)::BIGINT AS nf FROM wfp
+         |  GROUP BY doc_id),
+         |pr AS (SELECT x.doc_id AS a, y.doc_id AS b,
+         |    count(*)::BIGINT AS n_shared
+         |  FROM wfp x JOIN wfp y ON y.gh = x.gh
+         |    AND x.doc_id < 700000 AND y.doc_id >= 700000
+         |  GROUP BY x.doc_id, y.doc_id)
+         |SELECT p.a, p.b, p.n_shared,
+         |  round(p.n_shared / (za.nf + zb.nf - p.n_shared)::DOUBLE, 6)
+         |    AS overlap
+         |FROM pr p JOIN sz za ON za.doc_id = p.a
+         |JOIN sz zb ON zb.doc_id = p.b
+         |ORDER BY a, b""".stripMargin
+
+
   /** The q131 index-side cap — sized to the TWO-leg index corpus (orig +
     * re-upload: largest bucket 78 at sf0.01, 786 at sf0.1), so the
     * build-time exclusion is exercised at both scales. */
@@ -1651,21 +1698,9 @@ object LlmQueries {
     * and 8 B gram fingerprints — never pixels. Output per cross-leg
     * pair: `(a, b, n_shared, overlap)`. */
   def videoWinnowQ(s: SparkSession, d: String): DataFrame = {
-    val frames = Multimodal.decodePpmFrames(
+    val seqs = videoFrameSeqs(
       videoPayloads(s, d).unionByName(
-        videoPayloads(s, d, idOffset = 700000L, trim = 1, lumaNoise = true)),
-      "doc_id", "payload")
-    val hashes = Multimodal.imageDHash(
-      frames.select((col("doc_id") * 16 + col("frame_idx")).as("fid"),
-        col("width"), col("height"), col("pixels")),
-      "fid")
-    val seqs = hashes.select(expr("doc_id div 16").as("vid"),
-        pmod(col("doc_id"), lit(16)).as("fi"),
-        concat_ws("_", col("b0"), col("b1"), col("b2"), col("b3")).as("tok"))
-      .groupBy("vid")
-      .agg(array_join(
-        transform(array_sort(collect_list(struct(col("fi"), col("tok")))),
-          x => x.getField("tok")), " ").as("fseq"))
+        videoPayloads(s, d, idOffset = 700000L, trim = 1, lumaNoise = true)))
     val pairs = Dedup.winnowCandidatePairs(
       Dedup.winnowFingerprints(seqs, "fseq", "vid", k = 2, w = 2),
       "vid", minShared = 1)
@@ -1673,6 +1708,58 @@ object LlmQueries {
       .select(col("a"), col("b"), col("n_shared"), col("overlap"))
       .orderBy("a", "b")
   }
+
+  /** One payload leg reduced to per-video ordered frame-hash token
+    * sequences `(vid, fseq)` — the q154/q160 shared stage: decode →
+    * per-frame dHash (`video·16 + frame_idx` packing) → tokens joined
+    * in frame order. Map-only to the one bounded per-video collect
+    * (≤ 15 frames by the packing arithmetic). */
+  private def videoFrameSeqs(payloads: DataFrame): DataFrame = {
+    val frames = Multimodal.decodePpmFrames(payloads, "doc_id", "payload")
+    val hashes = Multimodal.imageDHash(
+      frames.select((col("doc_id") * 16 + col("frame_idx")).as("fid"),
+        col("width"), col("height"), col("pixels")),
+      "fid")
+    hashes.select(expr("doc_id div 16").as("vid"),
+        pmod(col("doc_id"), lit(16)).as("fi"),
+        concat_ws("_", col("b0"), col("b1"), col("b2"), col("b3")).as("tok"))
+      .groupBy("vid")
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("fi"), col("tok")))),
+          x => x.getField("tok")), " ").as("fseq"))
+  }
+
+  /** Per-directory memo of the persisted winnow index over the SOURCE
+    * videos' frame-sequence fingerprints ([[Dedup.winnowIndexWrite]]):
+    * decoded, hashed, and winnowed ONCE per session — the sign-once
+    * shape, now for temporal video containment. */
+  private val videoWinnowIndexCache =
+    new SessionPathMemo("vidwinnowidx", (s, d, p) => {
+      Dedup.winnowIndexWrite(
+        Dedup.winnowFingerprints(videoFrameSeqs(videoPayloads(s, d)),
+          "fseq", "vid", k = 2, w = 2),
+        "vid", p)
+    })
+
+  /** q160 — INCREMENTAL temporal video containment
+    * ([[Dedup.winnowIncrementalPairs]] over [[videoWinnowIndexCache]]):
+    * the q154 screen at INGEST — the source corpus's frame-sequence
+    * sketch persists once (8 B fingerprints, never frames), and an
+    * incoming batch of trimmed + chroma-noised re-encodes decodes,
+    * hashes, and winnows only ITS OWN rows before probing the index
+    * scan. Output ≡ q154's cross-leg pairs exactly (the q126
+    * incremental-equals-full-restricted property, valid because
+    * winnowing's per-video selection is corpus-independent) — the
+    * oracle replays both sides from scratch, so the gate re-evidences
+    * that equivalence per scale. */
+  def videoWinnowIncrementalQ(s: SparkSession, d: String): DataFrame =
+    Dedup.winnowIncrementalPairs(s, videoWinnowIndexCache(s, d),
+        Dedup.winnowFingerprints(
+          videoFrameSeqs(videoPayloads(s, d, idOffset = 700000L,
+            trim = 1, lumaNoise = true)),
+          "fseq", "vid", k = 2, w = 2),
+        "vid", minShared = 1)
+      .orderBy("a", "b")
 
   def ppmDecode(s: SparkSession, d: String): DataFrame = {
     Multimodal.decodePpm(ppmPayloads(s, d), "doc_id", "payload")
@@ -3302,48 +3389,12 @@ object LlmQueries {
     // invariance on the actual bytes); then per-frame band arithmetic,
     // the ordered hash sequence, and the full q114 winnow replay at
     // k = 2, w = 2 over frame-hash tokens, paired cross-leg
-    "q154_video_winnow" ->
-      s"""WITH $videoFrameCtes,
-         |fb AS (SELECT doc_id + 700000 AS doc_id, f - 1 AS f, w, h, pt
-         |  FROM fr WHERE f >= 1),
-         |allf AS (SELECT doc_id, f, w, h, pt FROM fr
-         |  UNION ALL SELECT * FROM fb),
-         |hf AS (SELECT doc_id, f, ${dhashBandSql.mkString(",\n  ")}
-         |  FROM allf),
-         |sq AS (SELECT doc_id,
-         |    string_agg(b0::VARCHAR || '_' || b1::VARCHAR || '_' ||
-         |               b2::VARCHAR || '_' || b3::VARCHAR, ' ' ORDER BY f)
-         |      AS fseq
-         |  FROM hf GROUP BY doc_id),
-         |sa AS (SELECT doc_id, string_split(fseq, ' ') AS arr FROM sq),
-         |gr AS (SELECT doc_id, unnest(generate_series(1, len(arr) - 1)) AS i,
-         |    arr FROM sa WHERE len(arr) >= 2),
-         |g AS (SELECT doc_id, i - 1 AS pos,
-         |    ${pHash("131", "(arr[i] || ' ' || arr[i+1])")} AS gh,
-         |    len(arr) - 1 AS m
-         |  FROM gr),
-         |st AS (SELECT doc_id,
-         |    unnest(generate_series(0, greatest(m - 2, 0))) AS s
-         |  FROM (SELECT DISTINCT doc_id, m FROM g)),
-         |sel AS (SELECT st.doc_id, g.pos, g.gh, row_number() OVER (
-         |    PARTITION BY st.doc_id, st.s ORDER BY g.gh ASC, g.pos DESC)
-         |      AS rn
-         |  FROM st JOIN g ON g.doc_id = st.doc_id
-         |    AND g.pos BETWEEN st.s AND st.s + 1),
-         |wfp AS (SELECT DISTINCT doc_id, gh FROM sel WHERE rn = 1),
-         |sz AS (SELECT doc_id, count(*)::BIGINT AS nf FROM wfp
-         |  GROUP BY doc_id),
-         |pr AS (SELECT x.doc_id AS a, y.doc_id AS b,
-         |    count(*)::BIGINT AS n_shared
-         |  FROM wfp x JOIN wfp y ON y.gh = x.gh
-         |    AND x.doc_id < 700000 AND y.doc_id >= 700000
-         |  GROUP BY x.doc_id, y.doc_id)
-         |SELECT p.a, p.b, p.n_shared,
-         |  round(p.n_shared / (za.nf + zb.nf - p.n_shared)::DOUBLE, 6)
-         |    AS overlap
-         |FROM pr p JOIN sz za ON za.doc_id = p.a
-         |JOIN sz zb ON zb.doc_id = p.b
-         |ORDER BY a, b""".stripMargin,
+    "q154_video_winnow" -> videoWinnowOracleSql,
+
+    // identical output BY DESIGN (incremental == full restricted to the
+    // cross-leg pairs, the q126 property): the oracle replays both
+    // sides from scratch, so the gate re-evidences the equivalence
+    "q160_video_winnow_incremental" -> videoWinnowOracleSql,
 
     // the q64 cumsum/floor-division pack replay, with the token counts
     // re-derived from the recursive merge walk instead of whitespace
@@ -4794,6 +4845,7 @@ object LlmQueries {
     "q149_video_frames" -> videoFramesQ _,
     "q150_video_neardup" -> videoNearDupQ _,
     "q154_video_winnow" -> videoWinnowQ _,
+    "q160_video_winnow_incremental" -> videoWinnowIncrementalQ _,
     "q80_dedup_keepers" -> dedupKeepers _,
     "q84_dedup_keepers_by" -> dedupKeepersBy _,
     "q81_mixed_decode" -> mixedDecode _,
