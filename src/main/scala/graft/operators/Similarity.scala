@@ -20,7 +20,17 @@ object Similarity {
     * primitive loop instead of the zip_with/aggregate lambda pipeline. The
     * accumulation order (left-to-right fold) is identical, so results are
     * bit-equal to [[cosineHof]] (asserted in FunctionsSpec) and the DuckDB
-    * oracles are unchanged. */
+    * oracles are unchanged.
+    *
+    * ZERO-NORM CONTRACT (deliberate, and different from the alignment
+    * gate): a zero vector here FAULTS the job under Spark's ANSI default
+    * (DIVIDE_BY_ZERO) — in the ANN/SemDeDup paths a zero embedding is
+    * corrupt input, and failing loudly beats a NaN that Spark's ordering
+    * would rank ABOVE every real neighbor (NaN sorts greatest, so a dead
+    * row would top every top-k). Pair data where degenerate rows are
+    * EXPECTED (multimodal encoder output) goes through
+    * [[alignmentScore]]/[[alignmentFilter]] instead, which branch
+    * zero-norm rows to NaN per row and drop them explicitly. */
   def cosine(a: Column, b: Column): Column = {
     def dot(x: Column, y: Column): Column =
       graft.functions.DotProduct.dot_product(x, y)
