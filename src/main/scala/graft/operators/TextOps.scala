@@ -181,6 +181,35 @@ object TextOps {
     bpeTrainModel(df, text, nMerges, sampleWords).merges.toDF()
   }
 
+  /** Persist a trained tokenizer — the train-once/apply-forever shape
+    * every other model artifact here already has (band/winnow/IVF/dHash
+    * indexes, quantile thresholds): the ordered merge table plus the
+    * alphabet sidecar as parquet. Rebuild by re-calling (overwrite);
+    * apply-side sessions/streams [[bpeModelRead]] it back and feed
+    * [[bpeTokens]]/[[bpeTokensMergeOrder]] without retraining. */
+  def bpeModelWrite(model: BpeModel,
+      spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+    import spark.implicits._
+    model.merges.toDF().write.mode("overwrite").parquet(s"$path/merges")
+    model.alphabet.toDF("sym").write.mode("overwrite")
+      .parquet(s"$path/alphabet")
+  }
+
+  /** Read a persisted tokenizer back — bounded collects (the model
+    * arity: nMerges + |alphabet| rows, never data). Merge ORDER is the
+    * model: restored by the stored `merge_rank`. */
+  def bpeModelRead(spark: org.apache.spark.sql.SparkSession,
+      path: String): BpeModel = {
+    val merges = spark.read.parquet(s"$path/merges")
+      .orderBy("merge_rank").collect()
+      .map(r => BpeMerge(r.getAs[Long]("merge_rank"),
+        r.getAs[String]("left_sym"), r.getAs[String]("right_sym"),
+        r.getAs[String]("merged"), r.getAs[Long]("pair_count")))
+    val alphabet = spark.read.parquet(s"$path/alphabet")
+      .orderBy("sym").collect().map(_.getString(0))
+    BpeModel(merges.toSeq, alphabet.toSeq)
+  }
+
   /** Quality-scoring features: length, alpha/digit/punct/space ratios and
     * mean token length — the standard cheap pre-filters for corpus curation.
     */

@@ -2281,6 +2281,26 @@ class OperatorSpec extends AnyFunSuite {
     assert(sc.getDouble(0).isNaN)
   }
 
+  test("bpeModelWrite/Read: the trained tokenizer round-trips parquet — merge order, alphabet, and both apply paths intact") {
+    val corpus = Seq(Tuple1("abab abab cdcd cd ab")).toDF("text")
+    val m = TextOps.bpeTrainModel(corpus, "text", 4, 10)
+    assert(m.merges.nonEmpty)
+    val dir = java.nio.file.Files.createTempDirectory("bpe_model").toString
+    TextOps.bpeModelWrite(m, spark, dir)
+    val back = TextOps.bpeModelRead(spark, dir)
+    assert(back == m, s"model must round-trip exactly:\n$m\n$back")
+    // and the restored artifact drives both apply kernels identically
+    val probe = Seq(Tuple1("ababcd xyz")).toDF("text")
+    def run(v: Seq[String]) = probe
+      .select(TextOps.bpeTokens(col("text"), v)).head().getSeq[String](0)
+    assert(run(back.vocab) == run(m.vocab))
+    def runMo(ms: Seq[(String, String)]) = probe
+      .select(TextOps.bpeTokensMergeOrder(col("text"), ms))
+      .head().getSeq[String](0)
+    assert(runMo(back.merges.map(x => (x.left_sym, x.right_sym))) ==
+      runMo(m.merges.map(x => (x.left_sym, x.right_sym))))
+  }
+
   test("bpeTokensMergeOrder: training-order replay — diverges from greedy longest-match where ranks demand it") {
     def mo(text: String, merges: Seq[(String, String)]): Seq[String] =
       Seq(Tuple1(text)).toDF("text")

@@ -3,6 +3,7 @@ package graft
 import java.sql.Timestamp
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.OutputMode
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -91,6 +92,40 @@ class StreamingSpec extends AnyFunSuite {
       // the FIRST occurrence of each key is the one kept
       assert(rows.map(r => (r.getLong(1), r.getString(2), r.getDouble(3))).toSeq
         == Seq((1L, "click", 1.0), (1L, "view", 5.0), (2L, "view", 3.0)))
+    } finally q.stop()
+  }
+
+  test("streaming tokenizer apply: a persisted trained model counts subword tokens on a stream, stateless map-only") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    // train + persist once (batch side), apply on the stream (ingest side)
+    val model = graft.operators.TextOps.bpeTrainModel(
+      Seq(Tuple1("abab abab cdcd cd")).toDF("text"), "text", 3, 10)
+    val dir = java.nio.file.Files.createTempDirectory("bpe_stream").toString
+    graft.operators.TextOps.bpeModelWrite(model, spark, dir)
+    val vocab = graft.operators.TextOps.bpeModelRead(spark, dir).vocab
+    val mem = MemoryStream[(Long, String)]
+    val counted = mem.toDF().toDF("doc_id", "text")
+      .select(col("doc_id"),
+        graft.operators.TextOps.tokenCountBpe(col("text"), vocab)
+          .cast("long").as("n_tokens_bpe"))
+    val q = counted.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("bpe_stream_out").start()
+    try {
+      mem.addData((1L, "abab cd"), (2L, "zz abab abab"))
+      q.processAllAvailable()
+      val rows = spark.table("bpe_stream_out").orderBy("doc_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      // batch-side counts must agree exactly (same kernel, same vocab)
+      val batch = Seq((1L, "abab cd"), (2L, "zz abab abab"))
+        .toDF("doc_id", "text")
+        .select(col("doc_id"),
+          graft.operators.TextOps.tokenCountBpe(col("text"), vocab)
+            .cast("long"))
+        .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(rows == batch.toSeq, s"stream $rows vs batch ${batch.toSeq}")
+      val plan = spark.table("bpe_stream_out").queryExecution.analyzed.toString
+      assert(!plan.contains("StateStore"), plan.take(1000))
     } finally q.stop()
   }
 
