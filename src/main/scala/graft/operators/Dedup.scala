@@ -1124,6 +1124,12 @@ object Dedup {
     * one map-only window pass + the broadcast membership probe — corpus
     * window text never shuffles, and the merge is the per-doc
     * gaps-and-islands pass. */
+  /** COORDINATE CAVEAT for `normalize = true`: span offsets are
+    * positions in the NORMALIZED token stream, which punctuation
+    * splitting shifts relative to the raw text's tokens — a caller
+    * excising spans from the raw document must normalize it first (or
+    * use the doc-level gates, q156's shape, where no offset survives).
+    * The raw-tokenization default keeps offsets directly raw-indexable. */
   def contaminatedSpans(corpus: DataFrame, evalDf: DataFrame, text: String,
       id: String, w: Int, normalize: Boolean = false): DataFrame = {
     val ew = broadcast(

@@ -682,11 +682,19 @@ object Similarity {
     // default) a dead encoder's zero vector would otherwise fault the
     // whole job with DIVIDE_BY_ZERO — one garbage row must not kill a
     // 100 TB pass. The branch is a per-row CaseWhen (only the taken arm
-    // evaluates), scoring such rows NaN; [[alignmentFilter]] drops them
-    pairs.withColumn("align_cos",
-      round(when(sqrt(dot(a, a)) === 0.0 || sqrt(dot(b, b)) === 0.0,
-          lit(Double.NaN))
-        .otherwise(dot(a, b) / sqrt(dot(a, a)) / sqrt(dot(b, b))), 4))
+    // evaluates), scoring such rows NaN; [[alignmentFilter]] drops them.
+    // Norms project ONCE (the assignCellsLitHof discipline): inlining
+    // sqrt(dot(·,·)) into both the guard and the quotient would run the
+    // 64-element dot loop up to 5× per row — on the pass this operator
+    // calls its 100 TB map stage
+    pairs
+      .withColumn("__align_na", sqrt(dot(a, a)))
+      .withColumn("__align_nb", sqrt(dot(b, b)))
+      .withColumn("align_cos",
+        round(when(col("__align_na") === 0.0 || col("__align_nb") === 0.0,
+            lit(Double.NaN))
+          .otherwise(dot(a, b) / col("__align_na") / col("__align_nb")), 4))
+      .drop("__align_na", "__align_nb")
   }
 
   /** [[alignmentScore]] + the absolute-threshold gate: `keep` =
@@ -719,8 +727,19 @@ object Similarity {
   def alignmentQuantileKeep(pairs: DataFrame, id: String, strata: String,
       embA: String, embB: String, q: Double,
       exact: Boolean = true): DataFrame =
-    TextOps.quantileKeep(alignmentScore(pairs, embA, embB), id, strata,
-      col("align_cos"), q, exact)
+    // NaN (zero-norm) pairs are EXCLUDED before the quantile pass — the
+    // same dead-encoder drop [[alignmentFilter]] makes explicit, needed
+    // doubly here: Spark ranks NaN above every double, so an unguarded
+    // NaN row would both pass `value >= thresh` AND pollute the
+    // percentile itself. Count/quarantine such rows upstream via
+    // [[alignmentScore]]; they never reach the distribution or the
+    // output
+    TextOps.quantileKeep(
+      alignmentScore(pairs, embA, embB)
+        // isnan(NULL) is false in Spark, so null scores (null embedding
+        // columns) need their own leg of the guard
+        .where(col("align_cos").isNotNull && !isnan(col("align_cos"))),
+      id, strata, col("align_cos"), q, exact)
 
   // ---- SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
   // at web-scale through semantic deduplication", arXiv:2303.09540) ----

@@ -140,7 +140,17 @@ object TextOps {
       w.codePoints().toArray.map(cp => new String(Character.toChars(cp)))
     var segs: Array[(Array[String], Long)] =
       hist.map { case (w, c) => (codepoints(w), c) }
-    val alphabet = segs.iterator.flatMap(_._1).toSeq.distinct.sorted
+    // CODEPOINT (= unsigned UTF-8 byte) string order everywhere a symbol
+    // comparison decides the model: Java's compareTo is UTF-16 code-unit
+    // order, which ranks a supplementary-plane symbol (surrogate lead
+    // 0xD800) BELOW U+E000..U+FFFF — diverging from both the scaladoc
+    // contract and the oracle's binary UTF-8 collation on exactly the
+    // tie-breaks that define the merge table
+    implicit val cpOrd: Ordering[String] = (x: String, y: String) =>
+      java.util.Arrays.compareUnsigned(
+        x.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        y.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val alphabet = segs.iterator.flatMap(_._1).toSeq.distinct.sorted(cpOrd)
     val merges = Seq.newBuilder[BpeMerge]
     var rank = 1
     var exhausted = false
@@ -187,27 +197,57 @@ object TextOps {
     * alphabet sidecar as parquet. Rebuild by re-calling (overwrite);
     * apply-side sessions/streams [[bpeModelRead]] it back and feed
     * [[bpeTokens]]/[[bpeTokensMergeOrder]] without retraining. */
+  /** Content fingerprint of a model — written into BOTH parquet sides so
+    * [[bpeModelRead]] can detect a torn rebuild (the two-directory
+    * overwrite is not atomic; the marker-discipline lesson of the index
+    * family applied to the tokenizer artifact). */
+  private def bpeModelId(model: BpeModel): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (model.merges.map(m =>
+      s"${m.merge_rank}${m.left_sym}${m.right_sym}") ++
+      model.alphabet).foreach { s =>
+      md.update(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      md.update(0.toByte)
+    }
+    md.digest().map("%02x".format(_)).mkString
+  }
+
   def bpeModelWrite(model: BpeModel,
       spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
     import spark.implicits._
-    model.merges.toDF().write.mode("overwrite").parquet(s"$path/merges")
-    model.alphabet.toDF("sym").write.mode("overwrite")
-      .parquet(s"$path/alphabet")
+    val id = bpeModelId(model)
+    model.merges.toDF().withColumn("model_id", lit(id))
+      .write.mode("overwrite").parquet(s"$path/merges")
+    model.alphabet.toDF("sym").withColumn("model_id", lit(id))
+      .write.mode("overwrite").parquet(s"$path/alphabet")
   }
 
   /** Read a persisted tokenizer back — bounded collects (the model
     * arity: nMerges + |alphabet| rows, never data). Merge ORDER is the
-    * model: restored by the stored `merge_rank`. */
+    * model: restored by the stored `merge_rank`. FAILS FAST on a torn
+    * rebuild: both sides carry the writing model's content fingerprint,
+    * and a crash between the two overwrites leaves them disagreeing —
+    * assembling new merges with an old alphabet would tokenize silently
+    * wrong forever after. Remediation: re-run [[bpeModelWrite]]. */
   def bpeModelRead(spark: org.apache.spark.sql.SparkSession,
       path: String): BpeModel = {
-    val merges = spark.read.parquet(s"$path/merges")
-      .orderBy("merge_rank").collect()
-      .map(r => BpeMerge(r.getAs[Long]("merge_rank"),
+    val mdf = spark.read.parquet(s"$path/merges").orderBy("merge_rank")
+      .collect()
+    val adf = spark.read.parquet(s"$path/alphabet").orderBy("sym").collect()
+    val ids = (mdf.map(_.getAs[String]("model_id")) ++
+      adf.map(_.getAs[String]("model_id"))).distinct
+    require(ids.length <= 1,
+      s"torn tokenizer model at $path (merge/alphabet fingerprints " +
+        s"disagree: ${ids.mkString(", ")}) — rebuild with bpeModelWrite")
+    val model = BpeModel(
+      mdf.map(r => BpeMerge(r.getAs[Long]("merge_rank"),
         r.getAs[String]("left_sym"), r.getAs[String]("right_sym"),
-        r.getAs[String]("merged"), r.getAs[Long]("pair_count")))
-    val alphabet = spark.read.parquet(s"$path/alphabet")
-      .orderBy("sym").collect().map(_.getString(0))
-    BpeModel(merges.toSeq, alphabet.toSeq)
+        r.getAs[String]("merged"), r.getAs[Long]("pair_count"))).toSeq,
+      adf.map(_.getAs[String]("sym")).toSeq)
+    require(ids.headOption.forall(_ == bpeModelId(model)),
+      s"tokenizer model at $path fails its content fingerprint — " +
+        "partial/corrupt parquet, rebuild with bpeModelWrite")
+    model
   }
 
   /** Quality-scoring features: length, alpha/digit/punct/space ratios and

@@ -2279,6 +2279,15 @@ class OperatorSpec extends AnyFunSuite {
     val sc = Similarity.alignmentScore(pairs, "ea", "eb")
       .where(col("id") === 2).select("align_cos").head()
     assert(sc.getDouble(0).isNaN)
+    // the QUANTILE variant excludes the dead rows too — unguarded, a NaN
+    // would both rank above every threshold AND pollute the percentile
+    val strat = pairs.withColumn("src", lit("s"))
+    val qk = Similarity.alignmentQuantileKeep(strat, "id", "src",
+        "ea", "eb", 0.25)
+      .collect().map(r => (r.getLong(0), r.getInt(4))).toMap
+    assert(qk.keySet == Set(1L),
+      s"NaN/null pairs must not reach the quantile gate: $qk")
+    assert(qk(1L) == 1)
   }
 
   test("bpeModelWrite/Read: the trained tokenizer round-trips parquet — merge order, alphabet, and both apply paths intact") {
@@ -2299,6 +2308,19 @@ class OperatorSpec extends AnyFunSuite {
       .head().getSeq[String](0)
     assert(runMo(back.merges.map(x => (x.left_sym, x.right_sym))) ==
       runMo(m.merges.map(x => (x.left_sym, x.right_sym))))
+    // torn rebuild detection: a crash between the two overwrites leaves
+    // one side from a DIFFERENT model — the read must fail fast, never
+    // assemble new merges with an old alphabet
+    val other = TextOps.bpeTrainModel(
+      Seq(Tuple1("xyxy xy zz")).toDF("text"), "text", 2, 10)
+    val dir2 = java.nio.file.Files.createTempDirectory("bpe_model2").toString
+    TextOps.bpeModelWrite(other, spark, dir2)
+    spark.read.parquet(s"$dir2/merges")
+      .write.mode("overwrite").parquet(s"$dir/merges")
+    val e = intercept[IllegalArgumentException] {
+      TextOps.bpeModelRead(spark, dir)
+    }
+    assert(e.getMessage.contains("torn"), e.getMessage)
   }
 
   test("bpeTokensMergeOrder: training-order replay — diverges from greedy longest-match where ranks demand it") {
@@ -2366,6 +2388,17 @@ class OperatorSpec extends AnyFunSuite {
     assert(m3.merges.size == 1)
     // vocab = alphabet ++ merged, the greedy-apply model artifact
     assert(m3.vocab == Seq("x", "y", "xy"))
+    // tie-breaks compare symbols in CODEPOINT order (= the oracle's
+    // binary UTF-8 collation), never UTF-16 code units: an astral
+    // symbol (U+1D11E, surrogate lead 0xD834) must rank ABOVE a BMP
+    // U+F901 — Java's compareTo would invert that and flip the winner
+    val astral = new String(Character.toChars(0x1D11E))
+    val bmp = "\uF901"
+    val m4 = TextOps.bpeTrainModel(
+      Seq(Tuple1(s"${astral}a ${bmp}a")).toDF("text"), "text", 1, 10)
+    assert(m4.merges.head.left_sym == bmp,
+      s"codepoint order must win the tie: ${m4.merges.head}")
+    assert(m4.alphabet == Seq("a", bmp, astral))
   }
 
   test("video winnow: chroma (+1,-1) noise flips payload bytes but never a dHash bit; every 4-frame trimmed clip is recovered") {
