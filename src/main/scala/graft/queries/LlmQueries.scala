@@ -710,6 +710,27 @@ object LlmQueries {
         "label", "cap_emb", "img_emb", q = 0.25)
       .orderBy("vec_id")
 
+  /** q161 — CROSS-MODAL retrieval: caption queries against the IMAGE
+    * tower's vectors ([[Similarity.bruteForceTopKBatch]] across the
+    * modality seam — the "find the image for this caption" lookup a
+    * paired-embedding space exists for, and the q78 batched-retrieval
+    * shape unchanged: ONE corpus scan for all queries, per-query rank
+    * window, never a global sort). Each caption's own image ranks
+    * first (the aligned pair, cos ≈ 0.995 under the mix transform)
+    * with the rest of the corpus far behind — the retrieval-side
+    * evidence of the q152 geometry. */
+  def crossModalRetrievalQ(s: SparkSession, d: String): DataFrame = {
+    val img = embs(s, d).select(col("vec_id"),
+      expr("transform(sequence(1, 64), i -> " +
+        "CAST(embedding[i - 1] AS DOUBLE) + " +
+        "CAST(0.1 AS DOUBLE) * CAST(embedding[i % 64] AS DOUBLE))")
+        .as("embedding"))
+    val queries = embs(s, d).where(col("vec_id") < 3)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+    Similarity.bruteForceTopKBatch(img, queries, "vec_id", "embedding", 5)
+      .orderBy("q_id", "rank")
+  }
+
   def annBruteForce(s: SparkSession, d: String): DataFrame = {
     val v = embs(s, d)
     val q = broadcast(v.where(col("vec_id") === 0)
@@ -4245,6 +4266,25 @@ object LlmQueries {
         |SELECT q_id, vec_id, cos, rank FROM r WHERE rank <= 5
         |ORDER BY q_id, rank""".stripMargin,
 
+    // caption vectors raw, corpus = the image tower's mix transform —
+    // otherwise the q78 batched-retrieval replay verbatim
+    "q161_cross_modal_retrieval" ->
+      """WITH ex AS (SELECT vec_id, i, embedding[i]::DOUBLE AS v,
+        |    (embedding[i]::DOUBLE
+        |     + 0.1::DOUBLE * embedding[1 + (i % 64)]::DOUBLE) AS mv
+        |  FROM embeddings CROSS JOIN generate_series(1, 64) t(i)),
+        |q AS (SELECT vec_id AS q_id, i, v AS qv FROM ex WHERE vec_id < 3),
+        |sc AS (SELECT q.q_id, e.vec_id,
+        |    round(sum(e.mv * q.qv) / sqrt(sum(e.mv * e.mv))
+        |      / sqrt(sum(q.qv * q.qv)), 4) AS cos
+        |  FROM ex e JOIN q ON q.i = e.i GROUP BY q.q_id, e.vec_id),
+        |r AS (SELECT q_id, vec_id, cos,
+        |    row_number() OVER (PARTITION BY q_id
+        |      ORDER BY cos DESC, vec_id)::INTEGER AS rank
+        |  FROM sc)
+        |SELECT q_id, vec_id, cos, rank FROM r WHERE rank <= 5
+        |ORDER BY q_id, rank""".stripMargin,
+
     "q36_ann_lsh_buckets" ->
       s"""WITH ex AS (SELECT vec_id, i - 1 AS d, embedding[i]::DOUBLE AS v
          |  FROM embeddings CROSS JOIN generate_series(1, 64) t(i)),
@@ -4833,6 +4873,7 @@ object LlmQueries {
     "q152_alignment_filter" -> alignmentFilterQ _,
     "q153_alignment_quantile" -> alignmentQuantileQ _,
     "q159_pair_curation" -> pairCurationQ _,
+    "q161_cross_modal_retrieval" -> crossModalRetrievalQ _,
     "q141_token_count_bpe" -> tokenCountBpeQ _,
     "q142_length_batches_bpe" -> lengthBatchesBpeQ _,
     "q143_audio_spectral" -> audioSpectralQ _,
