@@ -46,6 +46,48 @@ object RelationalQueries {
       }
     })
 
+  /** Per-directory memo of the CROSS-MODAL IVF index: the image tower's
+    * transformed vectors (the q152 mix transform) trained and
+    * partitioned exactly like [[ivfIndex]] — the scale path for q161's
+    * brute-force cross-modal retrieval (at corpus scale a caption query
+    * must not scan every image vector; it probes its best cells of the
+    * IMAGE index). */
+  private val ivfXmCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Similarity.IvfIndex]()
+
+  private def ivfXmIndex(s: SparkSession, d: String): Similarity.IvfIndex =
+    ivfXmCache.compute(d, (_, cur) => {
+      if (cur != null && (cur.spark eq s)) cur
+      else {
+        val h = graft.engine.IndexCache.md5Key(d, 8)
+        val path = s"${sys.props("java.io.tmpdir")}/graft_ivfxm_$h"
+        graft.cli.Cleanup.deleteOnExit(path)
+        val imgTower = t(s, d, "embeddings").select(col("vec_id"),
+          expr("transform(sequence(1, 64), i -> " +
+            "CAST(embedding[i - 1] AS DOUBLE) + " +
+            "CAST(0.1 AS DOUBLE) * CAST(embedding[i % 64] AS DOUBLE))")
+            .as("embedding"))
+        Similarity.ivfBuild(s, imgTower, "vec_id", "embedding",
+          k = 8, path = path)
+      }
+    })
+
+  /** q162 — cross-modal retrieval AT SCALE
+    * ([[Similarity.ivfSearchIndexedBatch]] over [[ivfXmIndex]]): q161's
+    * caption→image lookup through the partition-pruned IVF path — the
+    * captions probe their best-2 cells of the IMAGE tower's trained
+    * index, one pruned scan scores all queries, per-query top-10. The
+    * oracle replays the Lloyd training over the TRANSFORMED vectors
+    * (the parameterized k-means chain), ranks probes by raw-caption ×
+    * trained-centroid cosine, and scores through the membership join —
+    * brute force (q161) is the recall baseline, this is the 100 TB
+    * plan. */
+  def crossModalIvfBatch(s: SparkSession, d: String): DataFrame =
+    Similarity.ivfSearchIndexedBatch(ivfXmIndex(s, d),
+        t(s, d, "embeddings").where(col("vec_id") < 3),
+        nprobe = 2, topK = 10)
+      .orderBy("q_id", "rank")
+
   /** IVF ANN: k=8 Lloyd-trained coarse cells (2 deterministic iterations
     * from the seeded lowest-id init — [[Similarity.kmeansCentroids]]),
     * probe the best 2 for query vec 0, top-10. Runs against the
@@ -260,25 +302,39 @@ object RelationalQueries {
     * q55 oracles. */
   private def kmeansCtes: String = exCte + ",\n" + kmeansCtesTail
 
-  private def kmeansCtesTail: String = {
+  private def kmeansCtesTail: String = kmeansCtesTailFrom("ex")
+
+  /** The Lloyd replay parameterized by its vector source CTE — `ex` for
+    * the raw embeddings (q40/q55/q79/q110...), `exm` for the image
+    * tower's transformed vectors (q162's cross-modal index). */
+  private def kmeansCtesTailFrom(src: String): String = {
     def sim(i: Int, cent: String) =
       s"""sim$i AS (SELECT e.vec_id, c.cell,
          |    sum(e.v * c.v) / sqrt(sum(e.v * e.v)) / sqrt(sum(c.v * c.v)) AS cs
-         |  FROM ex e JOIN $cent c USING (d) GROUP BY e.vec_id, c.cell)""".stripMargin
+         |  FROM $src e JOIN $cent c USING (d) GROUP BY e.vec_id, c.cell)""".stripMargin
     def asg(i: Int) =
       s"""asg$i AS (SELECT vec_id, cell FROM (
          |    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
          |      ORDER BY cs DESC, cell) AS rn FROM sim$i) WHERE rn = 1)""".stripMargin
     def cent(i: Int) =
       s"""cent$i AS (SELECT a.cell, e.d, round(avg(e.v), 6) AS v
-         |  FROM asg$i a JOIN ex e USING (vec_id) GROUP BY a.cell, e.d)""".stripMargin
+         |  FROM asg$i a JOIN $src e USING (vec_id) GROUP BY a.cell, e.d)""".stripMargin
     Seq(
-      "cent0 AS (SELECT vec_id AS cell, d, v FROM ex WHERE vec_id < 8)",
+      s"cent0 AS (SELECT vec_id AS cell, d, v FROM $src WHERE vec_id < 8)",
       sim(1, "cent0"), asg(1), cent(1),
       sim(2, "cent1"), asg(2), cent(2),
       sim(3, "cent2"), asg(3)
     ).mkString(",\n")
   }
+
+  /** The q152/q161 image-tower mix transform replayed over the
+    * embeddings table as a 0-based `(vec_id, d, v)` value CTE — the
+    * corpus side of the cross-modal IVF replay. */
+  private val exmCte: String =
+    """exm AS (SELECT vec_id, i - 1 AS d,
+      |    (embedding[i]::DOUBLE
+      |     + 0.1::DOUBLE * embedding[1 + (i % 64)]::DOUBLE) AS v
+      |  FROM embeddings CROSS JOIN generate_series(1, 64) t(i))""".stripMargin
 
   /** CTE chain replaying [[Similarity.pqTrain]] (m=8, dsub=8, ksub=8,
     * iters=2) and the final corpus encode: `sx` = the subvector layout
@@ -705,6 +761,38 @@ object RelationalQueries {
          |SELECT q_id, vec_id, cos, rank FROM r WHERE rank <= 10
          |ORDER BY q_id, rank""".stripMargin,
 
+    // the q79 replay with the k-means chain re-sourced to the
+    // transformed image-tower vectors; probes rank by RAW-caption ×
+    // trained-centroid cosine, corpus scoring over exm
+    "q162_cross_modal_ivf" ->
+      s"""WITH $exCte,
+         |$exmCte,
+         |${kmeansCtesTailFrom("exm")},
+         |simq AS (SELECT q.vec_id AS q_id, c.cell,
+         |    sum(q.v * c.v) / sqrt(sum(q.v * q.v)) / sqrt(sum(c.v * c.v))
+         |      AS cs
+         |  FROM ex q JOIN cent2 c USING (d)
+         |  WHERE q.vec_id < 3 GROUP BY q.vec_id, c.cell),
+         |qprobes AS (SELECT q_id, cell FROM (
+         |    SELECT q_id, cell, row_number() OVER (PARTITION BY q_id
+         |      ORDER BY cs DESC, cell) AS pr
+         |    FROM simq) WHERE pr <= 2),
+         |q AS (SELECT vec_id AS q_id, d, v FROM ex WHERE vec_id < 3),
+         |scored AS (SELECT q.q_id, e.vec_id,
+         |    round(sum(e.v * q.v) / sqrt(sum(e.v * e.v))
+         |      / sqrt(sum(q.v * q.v)), 4) AS cos
+         |  FROM exm e
+         |  JOIN q ON q.d = e.d
+         |  JOIN asg3 a ON a.vec_id = e.vec_id
+         |  JOIN qprobes p ON p.q_id = q.q_id AND p.cell = a.cell
+         |  GROUP BY q.q_id, e.vec_id),
+         |r AS (SELECT q_id, vec_id, cos,
+         |    row_number() OVER (PARTITION BY q_id
+         |      ORDER BY cos DESC, vec_id)::INTEGER AS rank
+         |  FROM scored)
+         |SELECT q_id, vec_id, cos, rank FROM r WHERE rank <= 10
+         |ORDER BY q_id, rank""".stripMargin,
+
     // independent implementation: DuckDB's native ASOF JOIN vs our
     // union+last-ignoreNulls operator
     "q41_asof_join" ->
@@ -817,6 +905,7 @@ object RelationalQueries {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_ann_ivf" -> annIvf _,
     "q79_ann_ivf_batch" -> annIvfBatch _,
+    "q162_cross_modal_ivf" -> crossModalIvfBatch _,
     "q97_ann_pq" -> annPq _,
     "q98_ann_ivfpq" -> annIvfPq _,
     "q99_ann_pq_rerank" -> annPqRerank _,
