@@ -1360,4 +1360,48 @@ object TextOps {
         (pmod(portableHash(col(id).cast("string"), seed), lit(1000L)) <
           pmod(col("epochs_milli"), lit(1000L))).cast("long"))
   }
+
+  /** Per-stratum unigram-distribution drift against the whole corpus —
+    * the snapshot monitor a pipeline runs when a new crawl / source lands:
+    * KL(P_stratum ‖ P_corpus) in bits, both distributions add-one smoothed
+    * over the CORPUS vocabulary (so a stratum missing a corpus-common term
+    * is charged for it, and the divergence is always finite). Output per
+    * stratum: token count, how many corpus terms the stratum actually
+    * uses, and the divergence — a drifted snapshot (vocabulary shift,
+    * topic shift, spam burst) shows up as a `kl_bits` outlier before any
+    * model ever trains on it.
+    *
+    * Scale shape: ONE tokenize pass; the per-(stratum, token) counts are
+    * a map-side-combinable hash aggregate, corpus totals RE-AGGREGATE
+    * those counts (never a second corpus scan), and the full
+    * stratum × vocab grid — the smoothing requires a row for corpus
+    * terms the stratum lacks — is vocab-keyed with the stratum totals
+    * broadcast (strata cardinality ~sources, vocab ≪ corpus). Token text
+    * leaves the map side only as the (stratum, token) count rows — never
+    * per-occurrence. Every division is one IEEE double op on integer
+    * inputs, so only the final vocab-sized sum's accumulation order
+    * differs between engines; `round(·, 6)` absorbs it. */
+  def unigramDrift(df: DataFrame, text: String, strata: String): DataFrame = {
+    val counts = df.where(col(text).isNotNull)
+      .select(col(strata).as("__s"), explode(tokens(col(text))).as("__w"))
+      .groupBy("__s", "__w").agg(count(lit(1)).as("c_s"))
+    val vocab = counts.groupBy("__w").agg(sum("c_s").as("c"))
+    val totals = counts.groupBy("__s").agg(sum("c_s").as("n_s"),
+      count(lit(1)).as("terms_used"))
+    val corpus = vocab.agg(sum("c").as("n"), count(lit(1)).as("v"))
+    val grid = vocab.crossJoin(broadcast(corpus))
+      .crossJoin(broadcast(totals))
+      .join(counts, Seq("__s", "__w"), "left")
+      .withColumn("__p", (coalesce(col("c_s"), lit(0L)) + 1).cast("double") /
+        (col("n_s") + col("v")).cast("double"))
+      .withColumn("__q", (col("c") + 1).cast("double") /
+        (col("n") + col("v")).cast("double"))
+    grid.groupBy(col("__s"))
+      .agg(first(col("n_s")).as("n_tokens"),
+        first(col("terms_used")).as("terms_used"),
+        round(sum(col("__p") * log2(col("__p") / col("__q"))), 6)
+          .as("kl_bits"))
+      .select(col("__s").as(strata), col("n_tokens"), col("terms_used"),
+        col("kl_bits"))
+  }
 }

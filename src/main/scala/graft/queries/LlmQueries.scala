@@ -2799,6 +2799,69 @@ object LlmQueries {
     Dedup.repeatedSpanReport(docs(s, d), "text", "doc_id", SpanW)
       .orderBy("doc_id")
 
+  /** q163 — boilerplate strip ([[Dedup.stripRepeatedSpans]]): the
+    * REWRITE q96 audits for — every `SpanW`-token window occurring more
+    * than once in the corpus is excised from every document (all
+    * occurrences go — Lee et al. 2022's aggressive form, deterministic
+    * with no occurrence ordering), and the doc is rebuilt from the
+    * surviving tokens. Output: per-doc before/after token counts and a
+    * portable hash of the REBUILT TEXT — the oracle re-derives the
+    * windows, the gaps-and-islands span merge, the token excision, and
+    * the reassembled string character-by-character, so the gate pins the
+    * exact rewritten corpus, not just its size. Only window hashes and
+    * positions shuffle; the rebuild is one per-doc span list join. */
+  def stripRepeatedQ(s: SparkSession, d: String): DataFrame = {
+    val all = docs(s, d).where(col("text").isNotNull)
+      .withColumn("n_tokens_before",
+        size(TextOps.tokens(col("text"))).cast("long"))
+    Dedup.stripRepeatedSpans(all, "text", "doc_id", SpanW)
+      .select(col("doc_id"), col("n_tokens_before"),
+        when(col("text") === "", lit(0L))
+          .otherwise(size(TextOps.tokens(col("text"))).cast("long"))
+          .as("n_tokens_after"),
+        pmod(TextOps.portableHash(col("text"), 7), lit(1000000000L))
+          .as("text_hash"))
+      .orderBy("doc_id")
+  }
+
+  /** q164 — surgical eval-set decontamination
+    * ([[Dedup.stripContaminatedSpans]]): the REWRITE q105 audits for —
+    * every corpus position whose `SpanW`-token window also occurs in the
+    * eval split (doc_id % 17 = 0, the q62 convention) is excised and the
+    * corpus doc rebuilt, so eval-overlapping substrings go while the
+    * rest of the document survives (the doc-level gates q62/q73/q76 can
+    * only drop whole documents). Same gate discipline as q163: the
+    * oracle rebuilds every corpus doc and the portable text hash pins
+    * the exact rewritten string. Eval window hashes broadcast; corpus
+    * window text never shuffles. */
+  def stripContaminatedQ(s: SparkSession, d: String): DataFrame = {
+    val all = docs(s, d).where(col("text").isNotNull)
+    val corpus = all.where(pmod(col("doc_id"), lit(EvalMod)) =!= 0)
+      .withColumn("n_tokens_before",
+        size(TextOps.tokens(col("text"))).cast("long"))
+    val evalDf = all.where(pmod(col("doc_id"), lit(EvalMod)) === 0)
+    Dedup.stripContaminatedSpans(corpus, evalDf, "text", "doc_id", SpanW)
+      .select(col("doc_id"), col("n_tokens_before"),
+        when(col("text") === "", lit(0L))
+          .otherwise(size(TextOps.tokens(col("text"))).cast("long"))
+          .as("n_tokens_after"),
+        pmod(TextOps.portableHash(col("text"), 7), lit(1000000000L))
+          .as("text_hash"))
+      .orderBy("doc_id")
+  }
+
+  /** q165 — per-source unigram drift ([[TextOps.unigramDrift]]): the
+    * snapshot monitor — KL(P_source ‖ P_corpus) in bits with add-one
+    * smoothing over the corpus vocabulary, per source. A drifted crawl
+    * (vocabulary shift, spam burst) is a `kl_bits` outlier before any
+    * model trains on it. One tokenize pass; corpus totals re-aggregate
+    * the per-source counts; the smoothing grid is vocab-keyed with
+    * source totals broadcast. The oracle recomputes every smoothed
+    * probability and the vocab-sized sum in SQL. */
+  def sourceDriftQ(s: SparkSession, d: String): DataFrame =
+    TextOps.unigramDrift(docs(s, d), "text", "source")
+      .orderBy("source")
+
   /** q92 — INT8-quantized brute-force ANN ([[Similarity.sq8Quantize]]):
     * top-20 by cosine over scalar-quantized codes — the quarter-the-bytes
     * scan shape for corpus-scale retrieval. Quantization is map-only; the
@@ -4147,6 +4210,81 @@ object LlmQueries {
         |  round(coalesce(dt, 0)::DOUBLE / len(b.t), 4) AS dup_frac
         |FROM base b LEFT JOIN rep USING (doc_id) ORDER BY doc_id""".stripMargin,
 
+    "q163_strip_repeated" ->
+      s"""WITH base AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+        |  FROM documents WHERE text IS NOT NULL),
+        |wins AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 7),
+        |    i -> struct_pack(pos := i, wtext := array_to_string(t[i:i+7], ' ')))) AS u
+        |  FROM base WHERE len(t) >= 8),
+        |win AS (SELECT doc_id, u.pos AS pos, u.wtext AS wtext FROM wins),
+        |occ AS (SELECT wtext FROM win GROUP BY wtext HAVING count(*) > 1),
+        |d AS (SELECT doc_id, pos, pos + 7 AS e FROM win JOIN occ USING (wtext)),
+        |m AS (SELECT doc_id, pos, e, max(e) OVER (PARTITION BY doc_id ORDER BY pos
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm FROM d),
+        |isl AS (SELECT doc_id, pos, e,
+        |    sum(CASE WHEN pm IS NULL OR pos > pm + 1 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY doc_id ORDER BY pos) AS g FROM m),
+        |spans AS (SELECT doc_id, min(pos) AS sp, max(e) AS ep FROM isl GROUP BY doc_id, g),
+        |tok AS (SELECT doc_id, unnest(generate_series(1, len(t))) AS i, t FROM base),
+        |kept AS (SELECT k.doc_id, k.i, k.t[k.i] AS w
+        |  FROM tok k LEFT JOIN spans sp ON sp.doc_id = k.doc_id AND k.i BETWEEN sp.sp AND sp.ep
+        |  WHERE sp.doc_id IS NULL),
+        |reb AS (SELECT b.doc_id,
+        |    coalesce(string_agg(k.w, ' ' ORDER BY k.i), '') AS ntext,
+        |    count(k.i)::BIGINT AS n_after
+        |  FROM base b LEFT JOIN kept k USING (doc_id) GROUP BY b.doc_id)
+        |SELECT r.doc_id, len(b.t)::BIGINT AS n_tokens_before, r.n_after AS n_tokens_after,
+        |  ${pHash("7", "r.ntext")} % 1000000000 AS text_hash
+        |FROM reb r JOIN base b USING (doc_id) ORDER BY r.doc_id""".stripMargin,
+
+    "q164_strip_contaminated" ->
+      s"""WITH base AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+        |  FROM documents WHERE text IS NOT NULL),
+        |wins AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 7),
+        |    i -> struct_pack(pos := i, wtext := array_to_string(t[i:i+7], ' ')))) AS u
+        |  FROM base WHERE len(t) >= 8),
+        |win AS (SELECT doc_id, u.pos AS pos, u.wtext AS wtext FROM wins),
+        |ew AS (SELECT DISTINCT wtext FROM win WHERE doc_id % 17 = 0),
+        |d AS (SELECT doc_id, pos, pos + 7 AS e FROM win JOIN ew USING (wtext)
+        |  WHERE doc_id % 17 <> 0),
+        |m AS (SELECT doc_id, pos, e, max(e) OVER (PARTITION BY doc_id ORDER BY pos
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm FROM d),
+        |isl AS (SELECT doc_id, pos, e,
+        |    sum(CASE WHEN pm IS NULL OR pos > pm + 1 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY doc_id ORDER BY pos) AS g FROM m),
+        |spans AS (SELECT doc_id, min(pos) AS sp, max(e) AS ep FROM isl GROUP BY doc_id, g),
+        |tok AS (SELECT doc_id, unnest(generate_series(1, len(t))) AS i, t FROM base
+        |  WHERE doc_id % 17 <> 0),
+        |kept AS (SELECT k.doc_id, k.i, k.t[k.i] AS w
+        |  FROM tok k LEFT JOIN spans sp ON sp.doc_id = k.doc_id AND k.i BETWEEN sp.sp AND sp.ep
+        |  WHERE sp.doc_id IS NULL),
+        |reb AS (SELECT b.doc_id,
+        |    coalesce(string_agg(k.w, ' ' ORDER BY k.i), '') AS ntext,
+        |    count(k.i)::BIGINT AS n_after
+        |  FROM base b LEFT JOIN kept k USING (doc_id)
+        |  WHERE b.doc_id % 17 <> 0 GROUP BY b.doc_id)
+        |SELECT r.doc_id, len(b.t)::BIGINT AS n_tokens_before, r.n_after AS n_tokens_after,
+        |  ${pHash("7", "r.ntext")} % 1000000000 AS text_hash
+        |FROM reb r JOIN base b USING (doc_id) ORDER BY r.doc_id""".stripMargin,
+
+    "q165_source_drift" ->
+      """WITH tokc AS (SELECT source AS s, w, count(*)::BIGINT AS c_s
+        |  FROM (SELECT source, unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+        |        FROM documents WHERE text IS NOT NULL)
+        |  GROUP BY source, w),
+        |vocab AS (SELECT w, sum(c_s)::BIGINT AS c FROM tokc GROUP BY w),
+        |totals AS (SELECT s, sum(c_s)::BIGINT AS n_s, count(*)::BIGINT AS terms_used
+        |  FROM tokc GROUP BY s),
+        |corpus AS (SELECT sum(c)::BIGINT AS n, count(*)::BIGINT AS v FROM vocab),
+        |grid AS (SELECT t.s, vb.w, vb.c, t.n_s, t.terms_used, cp.n, cp.v,
+        |    coalesce(tc.c_s, 0) AS c_s
+        |  FROM vocab vb CROSS JOIN corpus cp CROSS JOIN totals t
+        |  LEFT JOIN tokc tc ON tc.s = t.s AND tc.w = vb.w)
+        |SELECT s AS source, any_value(n_s) AS n_tokens, any_value(terms_used) AS terms_used,
+        |  round(sum(((c_s + 1)::DOUBLE / (n_s + v)) *
+        |    log2(((c_s + 1)::DOUBLE / (n_s + v)) / ((c + 1)::DOUBLE / (n + v)))), 6) AS kl_bits
+        |FROM grid GROUP BY s ORDER BY s""".stripMargin,
+
     "q92_ann_sq8" ->
       """WITH ex AS (SELECT vec_id, i, embedding[i]::DOUBLE AS v
         |  FROM embeddings CROSS JOIN generate_series(1, 64) t(i)),
@@ -4920,6 +5058,9 @@ object LlmQueries {
     "q95_unigram_xent_frozen" -> unigramXentFrozen _,
     "q96_repeated_spans" -> repeatedSpansQ _,
     "q92_ann_sq8" -> annSq8 _,
+    "q163_strip_repeated" -> stripRepeatedQ _,
+    "q164_strip_contaminated" -> stripContaminatedQ _,
+    "q165_source_drift" -> sourceDriftQ _,
     "q94_jsonl_roundtrip" -> jsonlRoundtrip _,
     "q34_dedup_embed_cosine" -> dedupEmbedCosine _,
     "q35_ann_bruteforce" -> annBruteForce _,

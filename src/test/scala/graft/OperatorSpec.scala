@@ -2836,6 +2836,38 @@ class OperatorSpec extends AnyFunSuite {
       s"zero-norm batch vector must keep: $inc")
   }
 
+  test("unigramDrift: hand-checked KL, identical stratum at zero, missing-term smoothing") {
+    // corpus: A = "x x y", B = "x y z"; vocab {x,y,z}, N=6, V=3
+    val df = Seq(("A", "x x y"), ("B", "x y z")).toDF("src", "text")
+    val out = TextOps.unigramDrift(df, "text", "src")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    def kl(cs: Map[String, Int], ns: Int): Double = {
+      val tot = Map("x" -> 3, "y" -> 2, "z" -> 1)
+      val (nn, v) = (6, 3)
+      val bits = tot.keys.toSeq.sorted.map { w =>
+        val p = (cs.getOrElse(w, 0) + 1).toDouble / (ns + v)
+        val q = (tot(w) + 1).toDouble / (nn + v)
+        p * (math.log(p / q) / math.log(2.0))
+      }.sum
+      BigDecimal(bits).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    assert(out("A") == ((3L, 2L, kl(Map("x" -> 2, "y" -> 1), 3))),
+      s"got ${out("A")}")
+    assert(out("B") == ((3L, 3L, kl(Map("x" -> 1, "y" -> 1, "z" -> 1), 3))),
+      s"got ${out("B")}")
+    // a stratum identical to the corpus distribution has zero drift
+    val same = Seq(("A", "x y"), ("B", "x y")).toDF("src", "text")
+    val z = TextOps.unigramDrift(same, "text", "src")
+      .collect().map(_.getDouble(3))
+    assert(z.forall(_ == 0.0), s"identical strata must be at 0: ${z.toSeq}")
+    // terms_used counts only the stratum's own vocabulary (B lacks z)
+    val out2 = TextOps.unigramDrift(
+        Seq(("A", "x z"), ("B", "x x")).toDF("src", "text"), "text", "src")
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(out2 == Map("A" -> 2L, "B" -> 1L), s"got $out2")
+  }
+
   test("assignCellsLit: literal-centroid assignment equals the broadcast-join formulation") {
     val rnd = new scala.util.Random(7)
     val vecs = (0L until 60L).map(i =>
