@@ -545,6 +545,53 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p.take(1500))
   }
 
+  test("q163: strip exchanges — window machinery ships hashes; text shuffles ONCE (the rebuild join)") {
+    val df = SparkEntry.queries("q163_strip_repeated")(spark, sf)
+    df.collect()
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val shuffles = flattenPlan(df.queryExecution.executedPlan)
+      .collect { case s: ShuffleExchangeLike => s }
+    assert(shuffles.nonEmpty)
+    // window text never enters an exchange — the span machinery ships
+    // (id, pos, wh) 8 B hashes exactly like q96
+    shuffles.foreach { s =>
+      assert(!s.output.exists(_.name == "__w"),
+        s"exchange carries window text: ${s.output.mkString(", ")}")
+    }
+    // the corpus text crosses the wire AT MOST once: the rebuild join
+    // co-locating each doc with its span list (a second text exchange
+    // would mean the strip re-shuffled the corpus somewhere it didn't
+    // need to). AQE may instead broadcast the span side, leaving zero.
+    val textShuffles = shuffles.count(_.output.exists(a =>
+      a.name == "text" || a.name == "n_tokens_before"))
+    assert(textShuffles <= 1,
+      s"corpus rows must shuffle at most once, found $textShuffles")
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+  }
+
+  test("q165: drift exchanges carry (stratum, token, count) rows — never document text; totals broadcast") {
+    val df = SparkEntry.queries("q165_source_drift")(spark, sf)
+    df.collect()
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val shuffles = flattenPlan(df.queryExecution.executedPlan)
+      .collect { case s: ShuffleExchangeLike => s }
+    assert(shuffles.nonEmpty)
+    // per-occurrence token rows reduce map-side (partial hash agg) before
+    // any exchange; document text never ships
+    shuffles.foreach { s =>
+      assert(!s.output.exists(_.name == "text"),
+        s"exchange carries text: ${s.output.mkString(", ")}")
+    }
+    val p = df.queryExecution.executedPlan.toString
+    // the 1-row corpus frame and the strata-sized totals join in as
+    // broadcasts (BroadcastNestedLoopJoin for the grid cross joins);
+    // the corpus never cartesians against itself
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+  }
+
   test("q92: int8 ANN is map-only quantize + broadcast + top-k without full sort") {
     finalPlan("q92_ann_sq8") { p =>
       assert(p.contains("TakeOrderedAndProject"), p.take(1500))
