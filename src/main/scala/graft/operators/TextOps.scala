@@ -1404,4 +1404,48 @@ object TextOps {
       .select(col("__s").as(strata), col("n_tokens"), col("terms_used"),
         col("kl_bits"))
   }
+
+  /** The FROZEN-model form of [[unigramDrift]] — the production monitor
+    * shape (the [[unigramXentAgainst]] discipline): the reference
+    * distribution comes from a persisted [[unigramModel]] `(w, c)` the
+    * scored frame never contributed to, so a NEW snapshot / ingest batch
+    * / streaming micro-batch is measured against the last known-good
+    * corpus rather than against itself. KL(P_stratum ‖ P_model) in bits,
+    * add-one smoothed over the UNION vocabulary (model ∪ batch — both
+    * supports covered, so novel terms are charged against the model's
+    * smoothing floor and the divergence stays finite in both
+    * directions).
+    *
+    * Scale shape: one tokenize pass over the scored frame; the model is
+    * vocab-bounded (AQE broadcasts it); the union vocab, model total,
+    * vocab size, and stratum totals are all vocab- or strata-sized;
+    * token text exchanges only as count rows. */
+  def unigramDriftAgainst(df: DataFrame, model: DataFrame, text: String,
+      strata: String): DataFrame = {
+    val counts = df.where(col(text).isNotNull)
+      .select(col(strata).as("__s"), explode(tokens(col(text))).as("__w"))
+      .groupBy("__s", "__w").agg(count(lit(1)).as("c_s"))
+    val m = model.select(col("w").as("__w"), col("c").as("c_m"))
+    val vocab = counts.select("__w").distinct()
+      .unionByName(m.select("__w")).distinct()
+    val totals = counts.groupBy("__s").agg(sum("c_s").as("n_s"),
+      count(lit(1)).as("terms_used"))
+    val mTot = m.agg(sum("c_m").as("n_m"))
+    val vSize = vocab.agg(count(lit(1)).as("v"))
+    val grid = vocab.crossJoin(broadcast(mTot)).crossJoin(broadcast(vSize))
+      .crossJoin(broadcast(totals))
+      .join(counts, Seq("__s", "__w"), "left")
+      .join(m, Seq("__w"), "left")
+      .withColumn("__p", (coalesce(col("c_s"), lit(0L)) + 1).cast("double") /
+        (col("n_s") + col("v")).cast("double"))
+      .withColumn("__q", (coalesce(col("c_m"), lit(0L)) + 1).cast("double") /
+        (col("n_m") + col("v")).cast("double"))
+    grid.groupBy(col("__s"))
+      .agg(first(col("n_s")).as("n_tokens"),
+        first(col("terms_used")).as("terms_used"),
+        round(sum(col("__p") * log2(col("__p") / col("__q"))), 6)
+          .as("kl_bits"))
+      .select(col("__s").as(strata), col("n_tokens"), col("terms_used"),
+        col("kl_bits"))
+  }
 }

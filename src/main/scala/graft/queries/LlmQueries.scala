@@ -410,6 +410,42 @@ object LlmQueries {
       .orderBy("a", "b")
   }
 
+  /** q166 — cross-source duplication attribution: q57's verified
+    * near-dup pairs lifted to SOURCE pairs — for each canonical
+    * (src_a ≤ src_b) source combination, how many verified duplicate
+    * pairs cross it and how many distinct documents are involved. This
+    * is the audit a curation run reads to learn WHICH crawls copy WHICH
+    * (a mirror site, a scraped aggregator, a re-crawled snapshot) —
+    * doc-level pair lists (q57) can't answer that without the lift, and
+    * the answer drives source-level decisions (drop the mirror, dedup
+    * one side only) that per-pair keeper logic never sees.
+    *
+    * Scale shape: everything q57 already pins (capped buckets, hash-only
+    * exchanges), then two source-pair aggregates over the verified-pair
+    * frame — pairs ≪ corpus, and the (doc_id, source) lookup joins by
+    * id. The verified frame is checkpointed once and feeds both the
+    * pair-count and the distinct-doc branches. */
+  def sourceAttributionQ(s: SparkSession, d: String): DataFrame = {
+    import graft.engine.Checkpoints
+    val pairs = Checkpoints.mark(dedupCappedVerified(s, d).select("a", "b"))
+    val src = docs(s, d).select(col("doc_id"), col("source"))
+    val withSrc = pairs
+      .join(src.select(col("doc_id").as("a"), col("source").as("__sa")), "a")
+      .join(src.select(col("doc_id").as("b"), col("source").as("__sb")), "b")
+      .select(least(col("__sa"), col("__sb")).as("src_a"),
+        greatest(col("__sa"), col("__sb")).as("src_b"),
+        col("a"), col("b"))
+    val byPair = withSrc.groupBy("src_a", "src_b")
+      .agg(count(lit(1)).as("n_pairs"))
+    val docsInvolved = withSrc
+      .select(col("src_a"), col("src_b"),
+        explode(array(col("a"), col("b"))).as("__m"))
+      .distinct()
+      .groupBy("src_a", "src_b").agg(count(lit(1)).as("n_docs"))
+    byPair.join(docsInvolved, Seq("src_a", "src_b"))
+      .orderBy("src_a", "src_b")
+  }
+
   /** Every 5th doc plays the "incoming batch"; the rest are the already-
     * ingested corpus the band index covers. Modulo (not a threshold) so
     * both sides are non-empty at every scale factor. */
@@ -2862,6 +2898,25 @@ object LlmQueries {
     TextOps.unigramDrift(docs(s, d), "text", "source")
       .orderBy("source")
 
+  /** q167 — frozen-model drift ([[TextOps.unigramDriftAgainst]]): the
+    * production monitor shape — the even-docs half trains a persisted
+    * [[TextOps.unigramModel]] (the q95 frozen-LM convention) and the
+    * odd-docs half is the "incoming snapshot", scored per source against
+    * that static reference over the union vocabulary. q165 measures
+    * internal skew (source vs its own corpus); this measures an ingest
+    * batch against the last known-good corpus — the KL feed the
+    * streaming [[graft.streaming.StreamingOps.driftMonitor]] appends at
+    * ingest. */
+  def sourceDriftFrozenQ(s: SparkSession, d: String): DataFrame = {
+    val all = docs(s, d)
+    val model = TextOps.unigramModel(
+      all.where(pmod(col("doc_id"), lit(2)) === 0), "text")
+    TextOps.unigramDriftAgainst(
+        all.where(pmod(col("doc_id"), lit(2)) === 1), model,
+        "text", "source")
+      .orderBy("source")
+  }
+
   /** q92 — INT8-quantized brute-force ANN ([[Similarity.sq8Quantize]]):
     * top-20 by cosine over scalar-quantized codes — the quarter-the-bytes
     * scan shape for corpus-scale retrieval. Quantization is map-only; the
@@ -3726,6 +3781,53 @@ object LlmQueries {
          |ORDER BY pr.a, pr.b""".stripMargin
     },
 
+    "q166_source_attribution" -> {
+      // the q57 verified-pair chain verbatim, then the source-pair lift
+      val ms = (0 until NumHashes).map(i =>
+        s"min(${pHash(i.toString, "shingle")}) AS m$i").mkString(",\n  ")
+      val bandExprs = (0 until Bands).map { b =>
+        val concat = s"m${2 * b}::VARCHAR || '_' || m${2 * b + 1}::VARCHAR"
+        s"${pHash((100 + b).toString, s"($concat)")} AS band$b"
+      }.mkString(",\n  ")
+      val capped = (0 until Bands).map(b =>
+        s"""SELECT x.doc_id AS a, y.doc_id AS b FROM banded x
+           |    JOIN banded y ON x.band$b = y.band$b AND x.doc_id < y.doc_id
+           |    WHERE x.band$b IN (
+           |      SELECT band$b FROM banded GROUP BY band$b HAVING count(*) <= 100)"""
+          .stripMargin).mkString("\n  UNION\n  ")
+      s"""WITH $tokCte,
+         |sig AS (SELECT doc_id, $ms FROM tok GROUP BY doc_id),
+         |banded AS (SELECT doc_id,
+         |  $bandExprs
+         |FROM sig),
+         |pr AS (
+         |  $capped),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+         |inter AS (SELECT pr.a, pr.b, count(*) AS ni
+         |  FROM pr JOIN tok ta ON ta.doc_id = pr.a
+         |    JOIN tok tb ON tb.doc_id = pr.b AND tb.shingle = ta.shingle
+         |  GROUP BY pr.a, pr.b),
+         |vp AS (SELECT pr.a, pr.b
+         |  FROM pr JOIN sizes sa ON sa.doc_id = pr.a
+         |    JOIN sizes sb ON sb.doc_id = pr.b
+         |    LEFT JOIN inter ON inter.a = pr.a AND inter.b = pr.b
+         |  WHERE round(coalesce(ni, 0)::DOUBLE / (sa.n + sb.n - coalesce(ni, 0)), 6) >= 0.5),
+         |ws AS (SELECT least(sa.source, sb.source) AS src_a,
+         |    greatest(sa.source, sb.source) AS src_b, vp.a, vp.b
+         |  FROM vp JOIN documents sa ON sa.doc_id = vp.a
+         |    JOIN documents sb ON sb.doc_id = vp.b),
+         |np AS (SELECT src_a, src_b, count(*)::BIGINT AS n_pairs
+         |  FROM ws GROUP BY src_a, src_b),
+         |nd AS (SELECT src_a, src_b, count(*)::BIGINT AS n_docs FROM (
+         |  SELECT DISTINCT src_a, src_b, m FROM (
+         |    SELECT src_a, src_b, a AS m FROM ws
+         |    UNION ALL SELECT src_a, src_b, b AS m FROM ws))
+         |  GROUP BY src_a, src_b)
+         |SELECT np.src_a, np.src_b, np.n_pairs, nd.n_docs
+         |FROM np JOIN nd USING (src_a, src_b)
+         |ORDER BY np.src_a, np.src_b""".stripMargin
+    },
+
     "q90_dedup_edit_verify" -> {
       val ms = (0 until NumHashes).map(i =>
         s"min(${pHash(i.toString, "shingle")}) AS m$i").mkString(",\n  ")
@@ -4283,6 +4385,30 @@ object LlmQueries {
         |SELECT s AS source, any_value(n_s) AS n_tokens, any_value(terms_used) AS terms_used,
         |  round(sum(((c_s + 1)::DOUBLE / (n_s + v)) *
         |    log2(((c_s + 1)::DOUBLE / (n_s + v)) / ((c + 1)::DOUBLE / (n + v)))), 6) AS kl_bits
+        |FROM grid GROUP BY s ORDER BY s""".stripMargin,
+
+    "q167_source_drift_frozen" ->
+      """WITH mc AS (SELECT w, count(*)::BIGINT AS c_m
+        |  FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+        |        FROM documents WHERE text IS NOT NULL AND doc_id % 2 = 0)
+        |  GROUP BY w),
+        |tokc AS (SELECT source AS s, w, count(*)::BIGINT AS c_s
+        |  FROM (SELECT source, unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+        |        FROM documents WHERE text IS NOT NULL AND doc_id % 2 = 1)
+        |  GROUP BY source, w),
+        |vocab AS (SELECT DISTINCT w FROM (SELECT w FROM tokc UNION ALL SELECT w FROM mc)),
+        |totals AS (SELECT s, sum(c_s)::BIGINT AS n_s, count(*)::BIGINT AS terms_used
+        |  FROM tokc GROUP BY s),
+        |mt AS (SELECT sum(c_m)::BIGINT AS n_m FROM mc),
+        |vs AS (SELECT count(*)::BIGINT AS v FROM vocab),
+        |grid AS (SELECT t.s, vb.w, t.n_s, t.terms_used, mt.n_m, vs.v,
+        |    coalesce(tc.c_s, 0) AS c_s, coalesce(mc.c_m, 0) AS c_m
+        |  FROM vocab vb CROSS JOIN mt CROSS JOIN vs CROSS JOIN totals t
+        |  LEFT JOIN tokc tc ON tc.s = t.s AND tc.w = vb.w
+        |  LEFT JOIN mc ON mc.w = vb.w)
+        |SELECT s AS source, any_value(n_s) AS n_tokens, any_value(terms_used) AS terms_used,
+        |  round(sum(((c_s + 1)::DOUBLE / (n_s + v)) *
+        |    log2(((c_s + 1)::DOUBLE / (n_s + v)) / ((c_m + 1)::DOUBLE / (n_m + v)))), 6) AS kl_bits
         |FROM grid GROUP BY s ORDER BY s""".stripMargin,
 
     "q92_ann_sq8" ->
@@ -5061,6 +5187,8 @@ object LlmQueries {
     "q163_strip_repeated" -> stripRepeatedQ _,
     "q164_strip_contaminated" -> stripContaminatedQ _,
     "q165_source_drift" -> sourceDriftQ _,
+    "q166_source_attribution" -> sourceAttributionQ _,
+    "q167_source_drift_frozen" -> sourceDriftFrozenQ _,
     "q94_jsonl_roundtrip" -> jsonlRoundtrip _,
     "q34_dedup_embed_cosine" -> dedupEmbedCosine _,
     "q35_ann_bruteforce" -> annBruteForce _,

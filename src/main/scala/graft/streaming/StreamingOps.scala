@@ -349,6 +349,33 @@ object StreamingOps {
     graft.operators.TextOps.applyThresholds(
       docsStream, thresholds, id, strata, value)
 
+  /** Distribution-drift monitor ON A STREAM — the ingest form of the
+    * batch frozen-model drift
+    * ([[graft.operators.TextOps.unigramDriftAgainst]], SparkEntry q167):
+    * each micro-batch's per-stratum unigram distribution is measured
+    * against a STATIC [[graft.operators.TextOps.unigramModel]] `(w, c)`
+    * (the last known-good corpus, refreshed on whatever cadence it
+    * drifts), and `(batch_id, stratum, n_tokens, terms_used, kl_bits)`
+    * rows append to `path` — the alert feed an ingest pipeline tails for
+    * a spam burst or topic shift BEFORE the batch joins the corpus. A KL
+    * over an unbounded stream is ill-defined (like the quantile in
+    * [[quantileGate]]), so the aggregate runs per micro-batch inside
+    * foreachBatch — the same one-batch-one-append discipline as the
+    * index-maintenance family; the batch-local KL is exactly the batch
+    * operator's output (StreamingSpec pins stream ≡ batch). Caller sets
+    * `checkpointLocation` and `start()`s. */
+  def driftMonitor(docsStream: DataFrame, model: DataFrame, text: String,
+      strata: String, path: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val fn: (DataFrame, Long) => Unit = (batch, batchId) => {
+      graft.operators.TextOps.unigramDriftAgainst(batch, model, text, strata)
+        .withColumn("batch_id", lit(batchId))
+        .write.mode("append").parquet(path)
+      ()
+    }
+    docsStream.writeStream.foreachBatch(fn)
+  }
+
   /** Paired-modality alignment gate ON A STREAM — the ingest form of
     * the batch LAION filter ([[graft.operators.Similarity.alignmentFilter]],
     * SparkEntry q152): cosine between each incoming pair's caption and

@@ -2868,6 +2868,31 @@ class OperatorSpec extends AnyFunSuite {
     assert(out2 == Map("A" -> 2L, "B" -> 1L), s"got $out2")
   }
 
+  test("unigramDriftAgainst: frozen reference, union-vocab smoothing, novel-term charge") {
+    import graft.operators.TextOps
+    val model = TextOps.unigramModel(
+      Seq((1L, "x x y")).toDF("doc_id", "text"), "text")
+    // a batch with the model's exact distribution and size diverges zero
+    val z = TextOps.unigramDriftAgainst(
+        Seq(("A", "x x y")).toDF("src", "text"), model, "text", "src")
+      .collect().head
+    assert(z.getDouble(3) == 0.0, s"identical batch must be at 0: $z")
+    // a novel term enters the union vocab: charged against the model's
+    // smoothing floor, finite, and positive
+    val drifted = TextOps.unigramDriftAgainst(
+        Seq(("B", "zzz zzz x")).toDF("src", "text"), model, "text", "src")
+      .collect().head
+    assert(drifted.getLong(1) == 3L && drifted.getLong(2) == 2L, s"$drifted")
+    assert(!drifted.getDouble(3).isNaN && !drifted.getDouble(3).isInfinite
+      && drifted.getDouble(3) > 0.0, s"$drifted")
+    // hand-check: vocab {x,y,zzz} V=3, model n=3; batch B n=3
+    val p = Seq("x" -> 1, "y" -> 0, "zzz" -> 2).map { case (_, c) => (c + 1).toDouble / 6 }
+    val q = Seq("x" -> 2, "y" -> 1, "zzz" -> 0).map { case (_, c) => (c + 1).toDouble / 6 }
+    val kl = p.zip(q).map { case (pi, qi) => pi * (math.log(pi / qi) / math.log(2.0)) }.sum
+    val expect = BigDecimal(kl).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(drifted.getDouble(3) == expect, s"${drifted.getDouble(3)} vs $expect")
+  }
+
   test("assignCellsLit: literal-centroid assignment equals the broadcast-join formulation") {
     val rnd = new scala.util.Random(7)
     val vecs = (0L until 60L).map(i =>

@@ -793,6 +793,49 @@ class StreamingSpec extends AnyFunSuite {
     } finally { q.stop(); model.unpersist() }
   }
 
+  test("drift monitor: per-batch KL against a frozen model, stream ≡ batch, appended with batch ids") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    import graft.operators.TextOps
+    // last known-good corpus trains the static reference model
+    val corpus = Seq((1L, "a a b"), (2L, "b c d")).toDF("doc_id", "text")
+    val model = TextOps.unigramModel(corpus, "text").cache()
+    // batch 0 looks like the corpus; batch 1 is a drifted snapshot
+    val b0 = Seq(("srcA", "a b c"), ("srcA", "a d"))
+    val b1 = Seq(("srcB", "zzz zzz zzz qqq"))
+    val expect0 = TextOps.unigramDriftAgainst(
+        b0.toDF("source", "text"), model, "text", "source")
+      .collect().map(r => (r.getString(0),
+        r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val expect1 = TextOps.unigramDriftAgainst(
+        b1.toDF("source", "text"), model, "text", "source")
+      .collect().map(r => (r.getString(0),
+        r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val path = java.nio.file.Files.createTempDirectory("graft_drift").toString
+    graft.cli.Cleanup.deleteOnExit(path)
+    val mem = MemoryStream[(String, String)]
+    val q = graft.streaming.StreamingOps.driftMonitor(
+        mem.toDF().toDF("source", "text"), model, "text", "source",
+        s"$path/out")
+      .option("checkpointLocation", s"$path/ckpt").start()
+    try {
+      mem.addData(b0: _*)
+      q.processAllAvailable()
+      mem.addData(b1: _*)
+      q.processAllAvailable()
+      val rows = spark.read.parquet(s"$path/out")
+        .collect().map(r => r.getLong(r.fieldIndex("batch_id")) ->
+          ((r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))))
+      val byBatch = rows.groupBy(_._1).map { case (b, rs) => b -> rs.map(_._2).toSet }
+      assert(byBatch(0L) == expect0, s"batch 0: ${byBatch(0L)} vs $expect0")
+      assert(byBatch(1L) == expect1, s"batch 1: ${byBatch(1L)} vs $expect1")
+      // the drifted snapshot reads as the outlier the monitor exists for
+      val kl0 = expect0.head._4
+      val kl1 = expect1.head._4
+      assert(kl1 > kl0, s"drifted batch must out-diverge: $kl1 vs $kl0")
+    } finally { q.stop(); model.unpersist() }
+  }
+
   test("stateless curation ops (redact, split) apply unchanged to a stream") {
     // the map-only curation operators are column arithmetic, so the SAME
     // operator call works on readStream frames — incremental ingest
