@@ -376,6 +376,30 @@ object StreamingOps {
     docsStream.writeStream.foreachBatch(fn)
   }
 
+  /** Surgical eval decontamination AT INGEST — the streaming form of
+    * the batch strip ([[graft.operators.Dedup.stripContaminatedSpans]],
+    * SparkEntry q164): each micro-batch's docs are rebuilt with every
+    * eval-overlapping span excised, and the cleaned rows append to
+    * `path` tagged with the batch id. Contamination is defined against
+    * the STATIC eval set only (a batch window is contaminated iff its
+    * text occurs in the eval set — batch-local ≡ corpus-global, no
+    * cross-batch coupling), but the span merge is a window-function
+    * pass, which a streaming plan can't host — so the batch operator
+    * runs unchanged per micro-batch inside foreachBatch (the
+    * [[driftMonitor]] discipline; StreamingSpec pins stream ≡ batch).
+    * Caller sets `checkpointLocation` and `start()`s. */
+  def stripContaminatedStream(docsStream: DataFrame, evalDf: DataFrame,
+      text: String, id: String, w: Int, path: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val fn: (DataFrame, Long) => Unit = (batch, batchId) => {
+      graft.operators.Dedup.stripContaminatedSpans(batch, evalDf, text, id, w)
+        .withColumn("batch_id", lit(batchId))
+        .write.mode("append").parquet(path)
+      ()
+    }
+    docsStream.writeStream.foreachBatch(fn)
+  }
+
   /** Paired-modality alignment gate ON A STREAM — the ingest form of
     * the batch LAION filter ([[graft.operators.Similarity.alignmentFilter]],
     * SparkEntry q152): cosine between each incoming pair's caption and

@@ -93,6 +93,27 @@ object SpanBench {
       }.sum
     println(f"window rows: $winRows%,d; total shuffle wire ${shuffled / 1e6}%.1f MB " +
       f"= ${shuffled.toDouble / winRows}%.1f B/window-row (hash+pos, never text)")
+
+    // the STRIP (q163's shape) at the same n: excise every duplicated
+    // span and rebuild — carriers must come back as exactly their 28
+    // unique tokens (litany gone, nothing else touched), non-carriers
+    // verbatim. One agg audits the whole rebuilt corpus.
+    val (audit, _) = time(s"stripRepeatedSpans w=$w (excise + rebuild + audit)")(
+      Dedup.stripRepeatedSpans(docs, "text", "doc_id", w)
+        .agg(
+          sum(when(pmod(col("doc_id"), lit(10)) === 0 &&
+            size(graft.operators.TextOps.tokens(col("text"))) === 28 &&
+            instr(col("text"), "lit") === 0, 1L).otherwise(0L))
+            .as("carriers_ok"),
+          sum(when(pmod(col("doc_id"), lit(10)) =!= 0 &&
+            size(graft.operators.TextOps.tokens(col("text"))) === 40, 1L)
+            .otherwise(0L)).as("clean_ok"))
+        .head())
+    println(s"strip audit: carriers rebuilt litany-free ${audit.getLong(0)} " +
+      s"(expect ${n / 10}); non-carriers verbatim ${audit.getLong(1)} " +
+      s"(expect ${n - n / 10})")
+    require(audit.getLong(0) == n / 10 && audit.getLong(1) == n - n / 10,
+      "strip audit failed")
     spark.stop()
   }
 }

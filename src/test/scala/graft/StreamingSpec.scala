@@ -836,6 +836,45 @@ class StreamingSpec extends AnyFunSuite {
     } finally { q.stop(); model.unpersist() }
   }
 
+  test("surgical strip at ingest: eval-overlapping spans excised per micro-batch, stream ≡ batch") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    import graft.operators.Dedup
+    // static eval set; w = 2 so "leak one leak two" is contaminated
+    val evalDf = Seq((100L, "leak one leak two")).toDF("doc_id", "text")
+    val b0 = Seq((1L, "clean doc here"), (2L, "prefix leak one leak two suffix"))
+    val b1 = Seq((3L, "leak one leak two"))    // entirely contaminated
+    def batchStrip(rows: Seq[(Long, String)]) =
+      Dedup.stripContaminatedSpans(rows.toDF("doc_id", "text"), evalDf,
+          "text", "doc_id", w = 2)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val path = java.nio.file.Files.createTempDirectory("graft_strip").toString
+    graft.cli.Cleanup.deleteOnExit(path)
+    val mem = MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamingOps.stripContaminatedStream(
+        mem.toDF().toDF("doc_id", "text"), evalDf, "text", "doc_id",
+        w = 2, s"$path/out")
+      .option("checkpointLocation", s"$path/ckpt").start()
+    try {
+      mem.addData(b0: _*)
+      q.processAllAvailable()
+      mem.addData(b1: _*)
+      q.processAllAvailable()
+      val got = spark.read.parquet(s"$path/out").collect()
+        .map(r => r.getLong(r.fieldIndex("doc_id")) ->
+          ((r.getLong(r.fieldIndex("batch_id")),
+            r.getString(r.fieldIndex("text"))))).toMap
+      val exp0 = batchStrip(b0)
+      val exp1 = batchStrip(b1)
+      assert(got(1L) == ((0L, exp0(1L))) && got(2L) == ((0L, exp0(2L))),
+        s"$got vs $exp0")
+      assert(got(3L) == ((1L, exp1(3L))), s"$got vs $exp1")
+      assert(got(1L)._2 == "clean doc here", "clean doc must survive verbatim")
+      assert(got(2L)._2 == "prefix suffix", s"surgical excision: ${got(2L)}")
+      assert(got(3L)._2 == "", "fully contaminated doc strips to empty")
+    } finally q.stop()
+  }
+
   test("stateless curation ops (redact, split) apply unchanged to a stream") {
     // the map-only curation operators are column arithmetic, so the SAME
     // operator call works on readStream frames — incremental ingest
