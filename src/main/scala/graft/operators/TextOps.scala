@@ -1448,4 +1448,55 @@ object TextOps {
       .select(col("__s").as(strata), col("n_tokens"), col("terms_used"),
         col("kl_bits"))
   }
+
+  /** Population stability index — the NUMERIC-feature drift monitor
+    * beside the vocabulary one ([[unigramDriftAgainst]]): the industry
+    * metric for "has this feature's distribution moved since the
+    * reference snapshot" (model-monitoring standard; PSI ≳ 0.2 is the
+    * conventional investigate threshold). Bin edges are the REFERENCE
+    * frame's exact `1/bins … (bins−1)/bins` quantiles (the q44
+    * `percentile` ≡ `quantile_cont` equivalence, so the oracle replays
+    * the edges bit-for-bit); each row bins by counting edges strictly
+    * below its value; `PSI = Σ_bins (p − q) · ln(p/q)` per stratum with
+    * add-one smoothing on both sides (an empty bin anywhere stays
+    * finite — the [[unigramDrift]] convention).
+    *
+    * Scale shape: the edge vector is ONE bounded aggregate broadcast
+    * back; binning is map-only; the per-(stratum, bin) counts are a
+    * map-side-combinable hash aggregate and every downstream total
+    * re-aggregates those counts (never a second scan of either frame);
+    * the PSI grid is bins × strata rows. `value` must be a numeric
+    * column present in BOTH frames. */
+  def psiDrift(scored: DataFrame, reference: DataFrame, value: String,
+      strata: String, bins: Int = 5): DataFrame = {
+    require(bins >= 2, s"bins must be >= 2, got $bins")
+    val qs = (1 until bins).map(i => i.toDouble / bins)
+    val edges = reference.agg(
+      expr(s"percentile($value, array(${qs.mkString(", ")}))").as("__edges"))
+    def binOf(v: Column): Column =
+      aggregate(col("__edges"), lit(0),
+        (acc, e) => acc + when(v > e, 1).otherwise(0))
+    val rc = reference.crossJoin(broadcast(edges))
+      .select(binOf(col(value)).as("__b"))
+      .groupBy("__b").agg(count(lit(1)).as("c_r"))
+    val nr = rc.agg(sum("c_r").as("n_r"))
+    val scnt = scored.crossJoin(broadcast(edges))
+      .select(col(strata).as("__s"), binOf(col(value)).as("__b"))
+      .groupBy("__s", "__b").agg(count(lit(1)).as("c_s"))
+    val tot = scnt.groupBy("__s").agg(sum("c_s").as("n_s"))
+    val grid = scored.sparkSession.range(bins)
+      .select(col("id").cast("int").as("__b"))
+      .crossJoin(broadcast(nr)).crossJoin(broadcast(tot))
+      .join(scnt, Seq("__s", "__b"), "left")
+      .join(rc, Seq("__b"), "left")
+      .withColumn("__p", (coalesce(col("c_s"), lit(0L)) + 1).cast("double") /
+        (col("n_s") + bins).cast("double"))
+      .withColumn("__q", (coalesce(col("c_r"), lit(0L)) + 1).cast("double") /
+        (col("n_r") + bins).cast("double"))
+    grid.groupBy(col("__s"))
+      .agg(first(col("n_s")).as("n_docs"),
+        round(sum((col("__p") - col("__q")) * log(col("__p") / col("__q"))), 6)
+          .as("psi"))
+      .select(col("__s").as(strata), col("n_docs"), col("psi"))
+  }
 }

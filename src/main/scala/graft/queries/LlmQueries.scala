@@ -427,7 +427,13 @@ object LlmQueries {
     * pair-count and the distinct-doc branches. */
   def sourceAttributionQ(s: SparkSession, d: String): DataFrame = {
     import graft.engine.Checkpoints
-    val pairs = Checkpoints.mark(dedupCappedVerified(s, d).select("a", "b"))
+    // the outer mark truncates lineage, so q57's INTERNAL checkpoints
+    // (pairs/sh — leaves of `verified`, owned here once we re-mark)
+    // must be released now or their blocks leak for the session
+    val verified = dedupCappedVerified(s, d).select("a", "b")
+    val pairs =
+      try Checkpoints.mark(verified)
+      finally Checkpoints.release(verified)
     val src = docs(s, d).select(col("doc_id"), col("source"))
     val withSrc = pairs
       .join(src.select(col("doc_id").as("a"), col("source").as("__sa")), "a")
@@ -2917,6 +2923,25 @@ object LlmQueries {
       .orderBy("source")
   }
 
+  /** q168 — PSI numeric-feature drift ([[TextOps.psiDrift]]): the
+    * population stability index of per-doc token COUNT, per source,
+    * against the even-docs reference snapshot (the q167 split) — the
+    * model-monitoring standard for "has this feature's distribution
+    * moved", complementing q167's vocabulary KL. Reference quintile
+    * edges (exact `percentile`, the q44 ≡ `quantile_cont` equivalence),
+    * strict-greater bin assignment, add-one-smoothed
+    * `Σ (p − q) ln(p/q)`. */
+  def psiDriftQ(s: SparkSession, d: String): DataFrame = {
+    val all = docs(s, d).where(col("text").isNotNull)
+      .select(col("doc_id"), col("source"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n_tok"))
+    TextOps.psiDrift(
+        all.where(pmod(col("doc_id"), lit(2)) === 1),
+        all.where(pmod(col("doc_id"), lit(2)) === 0),
+        "n_tok", "source")
+      .orderBy("source")
+  }
+
   /** q92 — INT8-quantized brute-force ANN ([[Similarity.sq8Quantize]]):
     * top-20 by cosine over scalar-quantized codes — the quarter-the-bytes
     * scan shape for corpus-scale retrieval. Quantization is map-only; the
@@ -4411,6 +4436,33 @@ object LlmQueries {
         |    log2(((c_s + 1)::DOUBLE / (n_s + v)) / ((c_m + 1)::DOUBLE / (n_m + v)))), 6) AS kl_bits
         |FROM grid GROUP BY s ORDER BY s""".stripMargin,
 
+    "q168_psi_drift" ->
+      """WITH ref AS (SELECT len(string_split_regex(trim(lower(text)), '\s+')) AS v
+        |  FROM documents WHERE text IS NOT NULL AND doc_id % 2 = 0),
+        |ed AS (SELECT quantile_cont(v, 0.2) AS e1, quantile_cont(v, 0.4) AS e2,
+        |    quantile_cont(v, 0.6) AS e3, quantile_cont(v, 0.8) AS e4 FROM ref),
+        |rb AS (SELECT ((v > e1)::INT + (v > e2)::INT + (v > e3)::INT + (v > e4)::INT) AS b
+        |  FROM ref CROSS JOIN ed),
+        |rc AS (SELECT b, count(*)::BIGINT AS c_r FROM rb GROUP BY b),
+        |nr AS (SELECT sum(c_r)::BIGINT AS n_r FROM rc),
+        |sc0 AS (SELECT source AS s,
+        |    len(string_split_regex(trim(lower(text)), '\s+')) AS v
+        |  FROM documents WHERE text IS NOT NULL AND doc_id % 2 = 1),
+        |sb AS (SELECT s, ((v > e1)::INT + (v > e2)::INT + (v > e3)::INT + (v > e4)::INT) AS b
+        |  FROM sc0 CROSS JOIN ed),
+        |scnt AS (SELECT s, b, count(*)::BIGINT AS c_s FROM sb GROUP BY s, b),
+        |tot AS (SELECT s, sum(c_s)::BIGINT AS n_s FROM scnt GROUP BY s),
+        |bins AS (SELECT unnest(generate_series(0, 4)) AS b),
+        |grid AS (SELECT t.s, bins.b, t.n_s, nr.n_r,
+        |    coalesce(scnt.c_s, 0) AS c_s, coalesce(rc.c_r, 0) AS c_r
+        |  FROM bins CROSS JOIN nr CROSS JOIN tot t
+        |  LEFT JOIN scnt ON scnt.s = t.s AND scnt.b = bins.b
+        |  LEFT JOIN rc ON rc.b = bins.b)
+        |SELECT s AS source, any_value(n_s) AS n_docs,
+        |  round(sum(((c_s + 1)::DOUBLE / (n_s + 5) - (c_r + 1)::DOUBLE / (n_r + 5)) *
+        |    ln(((c_s + 1)::DOUBLE / (n_s + 5)) / ((c_r + 1)::DOUBLE / (n_r + 5)))), 6) AS psi
+        |FROM grid GROUP BY s ORDER BY s""".stripMargin,
+
     "q92_ann_sq8" ->
       """WITH ex AS (SELECT vec_id, i, embedding[i]::DOUBLE AS v
         |  FROM embeddings CROSS JOIN generate_series(1, 64) t(i)),
@@ -5189,6 +5241,7 @@ object LlmQueries {
     "q165_source_drift" -> sourceDriftQ _,
     "q166_source_attribution" -> sourceAttributionQ _,
     "q167_source_drift_frozen" -> sourceDriftFrozenQ _,
+    "q168_psi_drift" -> psiDriftQ _,
     "q94_jsonl_roundtrip" -> jsonlRoundtrip _,
     "q34_dedup_embed_cosine" -> dedupEmbedCosine _,
     "q35_ann_bruteforce" -> annBruteForce _,

@@ -376,6 +376,28 @@ object StreamingOps {
     docsStream.writeStream.foreachBatch(fn)
   }
 
+  /** PSI drift monitor ON A STREAM — the numeric-feature twin of
+    * [[driftMonitor]] (the q168 batch operator,
+    * [[graft.operators.TextOps.psiDrift]]): each micro-batch's
+    * per-stratum value distribution is binned against the STATIC
+    * reference frame's quantile edges and
+    * `(batch_id, stratum, n_docs, psi)` rows append to `path`. The
+    * reference (and so the edges) is frozen like [[quantileGate]]'s
+    * thresholds — refresh it on corpus cadence; the per-batch PSI is
+    * exactly the batch operator's output (stream ≡ batch by
+    * construction). Caller sets `checkpointLocation` and `start()`s. */
+  def psiMonitor(docsStream: DataFrame, reference: DataFrame,
+      value: String, strata: String, path: String, bins: Int = 5)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val fn: (DataFrame, Long) => Unit = (batch, batchId) => {
+      graft.operators.TextOps.psiDrift(batch, reference, value, strata, bins)
+        .withColumn("batch_id", lit(batchId))
+        .write.mode("append").parquet(path)
+      ()
+    }
+    docsStream.writeStream.foreachBatch(fn)
+  }
+
   /** Surgical eval decontamination AT INGEST — the streaming form of
     * the batch strip ([[graft.operators.Dedup.stripContaminatedSpans]],
     * SparkEntry q164): each micro-batch's docs are rebuilt with every

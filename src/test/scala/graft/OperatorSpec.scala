@@ -2893,6 +2893,39 @@ class OperatorSpec extends AnyFunSuite {
     assert(drifted.getDouble(3) == expect, s"${drifted.getDouble(3)} vs $expect")
   }
 
+  test("psiDrift: hand-checked bins and PSI, identical stratum at zero, tie goes low") {
+    import graft.operators.TextOps
+    // reference [1,2,3,4]: bins=2 edge = quantile_cont(0.5) = 2.5
+    val ref = Seq(1L, 2L, 3L, 4L).map(v => ("r", v)).toDF("src", "v")
+    // A sits entirely below the edge, B entirely above, C mirrors ref
+    val scored = Seq(("A", 1L), ("A", 2L), ("B", 3L), ("B", 4L),
+      ("C", 1L), ("C", 2L), ("C", 3L), ("C", 4L)).toDF("src", "v")
+    val out = TextOps.psiDrift(scored, ref, "v", "src", bins = 2)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    def psi(cs: Seq[Int], cr: Seq[Int]): Double = {
+      val (ns, nr, b) = (cs.sum, cr.sum, cs.length)
+      val x = cs.zip(cr).map { case (c, r0) =>
+        val p = (c + 1).toDouble / (ns + b); val q = (r0 + 1).toDouble / (nr + b)
+        (p - q) * math.log(p / q)
+      }.sum
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    assert(out("A") == ((2L, psi(Seq(2, 0), Seq(2, 2)))), s"got ${out("A")}")
+    assert(out("B") == ((2L, psi(Seq(0, 2), Seq(2, 2)))), s"got ${out("B")}")
+    // C matches the reference distribution AND size: exactly zero
+    assert(out("C") == ((4L, 0.0)), s"got ${out("C")}")
+    assert(out("A")._2 > 0.2 && out("B")._2 > 0.2,
+      "a fully shifted stratum must clear the conventional 0.2 bar")
+    // tie rule: a value EQUAL to an edge bins low (strictly-greater count)
+    val tied = TextOps.psiDrift(
+        Seq(("T", 25L)).toDF("src", "v"),
+        Seq(10L, 20L, 30L, 40L).map(v => ("r", v)).toDF("src", "v"),
+        "v", "src", bins = 2)
+      .collect().head
+    // edge = 25.0; 25 > 25 is false -> bin 0; PSI of (1,0) vs (2,2)
+    assert(tied.getDouble(2) == psi(Seq(1, 0), Seq(2, 2)), s"$tied")
+  }
+
   test("assignCellsLit: literal-centroid assignment equals the broadcast-join formulation") {
     val rnd = new scala.util.Random(7)
     val vecs = (0L until 60L).map(i =>

@@ -836,6 +836,38 @@ class StreamingSpec extends AnyFunSuite {
     } finally { q.stop(); model.unpersist() }
   }
 
+  test("PSI monitor: per-batch numeric drift against frozen reference edges, stream ≡ batch") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    import graft.operators.TextOps
+    val ref = Seq(1L, 2L, 3L, 4L).map(v => ("r", v)).toDF("src", "v").cache()
+    val b0 = Seq(("A", 1L), ("A", 4L))          // mirrors the reference
+    val b1 = Seq(("B", 100L), ("B", 200L))      // everything in the top bin
+    def batchPsi(rows: Seq[(String, Long)]) =
+      TextOps.psiDrift(rows.toDF("src", "v"), ref, "v", "src", bins = 2)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    val path = java.nio.file.Files.createTempDirectory("graft_psi").toString
+    graft.cli.Cleanup.deleteOnExit(path)
+    val mem = MemoryStream[(String, Long)]
+    val q = graft.streaming.StreamingOps.psiMonitor(
+        mem.toDF().toDF("src", "v"), ref, "v", "src", s"$path/out", bins = 2)
+      .option("checkpointLocation", s"$path/ckpt").start()
+    try {
+      mem.addData(b0: _*)
+      q.processAllAvailable()
+      mem.addData(b1: _*)
+      q.processAllAvailable()
+      val got = spark.read.parquet(s"$path/out").collect()
+        .map(r => r.getLong(r.fieldIndex("batch_id")) ->
+          ((r.getString(0), r.getLong(1), r.getDouble(2))))
+      val byBatch = got.groupBy(_._1).map { case (b, rs) => b -> rs.map(_._2).toSet }
+      assert(byBatch(0L) == batchPsi(b0), s"${byBatch(0L)} vs ${batchPsi(b0)}")
+      assert(byBatch(1L) == batchPsi(b1), s"${byBatch(1L)} vs ${batchPsi(b1)}")
+      val psi1 = byBatch(1L).head._3
+      assert(psi1 > 0.2, s"shifted batch must clear the 0.2 bar: $psi1")
+    } finally { q.stop(); ref.unpersist() }
+  }
+
   test("surgical strip at ingest: eval-overlapping spans excised per micro-batch, stream ≡ batch") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
