@@ -8,6 +8,16 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class CliSpec extends AnyFunSuite {
 
+  test("driver contract: queries and oracleSql are the SAME key set (no silent rows-only downgrades)") {
+    // a query registered without an oracle silently downgrades the
+    // driver's gate to rows-only; an oracle without a query is dead SQL
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    assert(q == o, s"queries-only: ${(q -- o).toSeq.sorted.mkString(", ")}; " +
+      s"oracle-only: ${(o -- q).toSeq.sorted.mkString(", ")}")
+    assert(q.size >= 168, s"coverage regressed: ${q.size} registered queries")
+  }
+
   // must mirror build.sbt's jdk17AddOpens (Spark 4 on JDK 17 outside
   // spark-submit)
   private val addOpens = Seq(
