@@ -36,6 +36,44 @@ object LlmQueries {
   private def pHash(seed: String, expr: String): String =
     s"('0x' || substr(md5('$seed:' || $expr), 1, 15))::BIGINT"
 
+  /** The q57 verified-pair chain (tok → MinHash sig → banded → capped
+    * candidate pairs → Jaccard ≥ 0.5 verified `vp(a, b)`) as a
+    * `WITH …, vp AS (…)` fragment — the SAME replay q57/q90 inline,
+    * shared by the q166 (source-pair lift) and q169 (report-card
+    * near-dup-involvement leg) oracles. */
+  private lazy val verifiedPairChainSql: String = {
+    val ms = (0 until NumHashes).map(i =>
+      s"min(${pHash(i.toString, "shingle")}) AS m$i").mkString(",\n  ")
+    val bandExprs = (0 until Bands).map { b =>
+      val concat = s"m${2 * b}::VARCHAR || '_' || m${2 * b + 1}::VARCHAR"
+      s"${pHash((100 + b).toString, s"($concat)")} AS band$b"
+    }.mkString(",\n  ")
+    val capped = (0 until Bands).map(b =>
+      s"""SELECT x.doc_id AS a, y.doc_id AS b FROM banded x
+         |    JOIN banded y ON x.band$b = y.band$b AND x.doc_id < y.doc_id
+         |    WHERE x.band$b IN (
+         |      SELECT band$b FROM banded GROUP BY band$b HAVING count(*) <= 100)"""
+        .stripMargin).mkString("\n  UNION\n  ")
+    s"""WITH $tokCte,
+       |sig AS (SELECT doc_id, $ms FROM tok GROUP BY doc_id),
+       |banded AS (SELECT doc_id,
+       |  $bandExprs
+       |FROM sig),
+       |pr AS (
+       |  $capped),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+       |inter AS (SELECT pr.a, pr.b, count(*) AS ni
+       |  FROM pr JOIN tok ta ON ta.doc_id = pr.a
+       |    JOIN tok tb ON tb.doc_id = pr.b AND tb.shingle = ta.shingle
+       |  GROUP BY pr.a, pr.b),
+       |vp AS (SELECT pr.a, pr.b
+       |  FROM pr JOIN sizes sa ON sa.doc_id = pr.a
+       |    JOIN sizes sb ON sb.doc_id = pr.b
+       |    LEFT JOIN inter ON inter.a = pr.a AND inter.b = pr.b
+       |  WHERE round(coalesce(ni, 0)::DOUBLE / (sa.n + sb.n - coalesce(ni, 0)), 6) >= 0.5)"""
+      .stripMargin
+  }
+
   /** [[tok3Cte]] generalized to any source CTE and text expression —
     * q156 builds four (corpus/eval × exact/normalized). */
   private def tok3From(src: String, out: String, textExpr: String): String =
@@ -2942,6 +2980,49 @@ object LlmQueries {
       .orderBy("source")
   }
 
+  /** q169 — the per-source REPORT CARD: the one-row-per-source summary a
+    * curation team reads before touching a crawl — volume (doc count,
+    * mean tokens), contamination by duplication (fraction of the
+    * source's docs appearing in ≥1 VERIFIED near-dup pair, the q57
+    * chain), prose quality (mean stopword ratio), and distribution
+    * drift (the q165 KL). Every leg is an already-gated operator; the
+    * composition is what makes it a deliverable instead of five
+    * dashboards.
+    *
+    * Scale shape: the q57 chain as pinned there; the card itself is one
+    * map pass over the corpus + an id-keyed membership join against the
+    * pair frame (pairs ≪ corpus) + a source-keyed aggregate; the KL leg
+    * re-aggregates the same tokenize (vocab-keyed grid, broadcast
+    * totals). */
+  def sourceReportQ(s: SparkSession, d: String): DataFrame = {
+    import graft.engine.Checkpoints
+    val all = docs(s, d).where(col("text").isNotNull)
+    // own q57's internal checkpoints through the re-mark (the q166 rule)
+    val verified = dedupCappedVerified(s, d).select("a", "b")
+    val pairs =
+      try Checkpoints.mark(verified)
+      finally Checkpoints.release(verified)
+    val members = pairs
+      .select(explode(array(col("a"), col("b"))).as("doc_id")).distinct()
+      .withColumn("__nd", lit(1))
+    val stops = array(TextOps.Stopwords.map(lit): _*)
+    val toks = TextOps.tokens(col("text"))
+    val card = all.select(col("doc_id"), col("source"),
+        size(toks).cast("long").as("__nt"),
+        round(size(filter(toks, t => array_contains(stops, t))).cast("double") /
+          size(toks).cast("double"), 6).as("__sr"))
+      .join(members, Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg(col("__nt")), 4).as("avg_tokens"),
+        round(avg(coalesce(col("__nd"), lit(0)).cast("double")), 6)
+          .as("near_dup_rate"),
+        round(avg(col("__sr")), 6).as("avg_stop_ratio"))
+    card.join(TextOps.unigramDrift(all, "text", "source")
+        .select(col("source"), col("kl_bits")), "source")
+      .orderBy("source")
+  }
+
   /** q92 — INT8-quantized brute-force ANN ([[Similarity.sq8Quantize]]):
     * top-20 by cosine over scalar-quantized codes — the quarter-the-bytes
     * scan shape for corpus-scale retrieval. Quantization is map-only; the
@@ -3807,36 +3888,7 @@ object LlmQueries {
     },
 
     "q166_source_attribution" -> {
-      // the q57 verified-pair chain verbatim, then the source-pair lift
-      val ms = (0 until NumHashes).map(i =>
-        s"min(${pHash(i.toString, "shingle")}) AS m$i").mkString(",\n  ")
-      val bandExprs = (0 until Bands).map { b =>
-        val concat = s"m${2 * b}::VARCHAR || '_' || m${2 * b + 1}::VARCHAR"
-        s"${pHash((100 + b).toString, s"($concat)")} AS band$b"
-      }.mkString(",\n  ")
-      val capped = (0 until Bands).map(b =>
-        s"""SELECT x.doc_id AS a, y.doc_id AS b FROM banded x
-           |    JOIN banded y ON x.band$b = y.band$b AND x.doc_id < y.doc_id
-           |    WHERE x.band$b IN (
-           |      SELECT band$b FROM banded GROUP BY band$b HAVING count(*) <= 100)"""
-          .stripMargin).mkString("\n  UNION\n  ")
-      s"""WITH $tokCte,
-         |sig AS (SELECT doc_id, $ms FROM tok GROUP BY doc_id),
-         |banded AS (SELECT doc_id,
-         |  $bandExprs
-         |FROM sig),
-         |pr AS (
-         |  $capped),
-         |sizes AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
-         |inter AS (SELECT pr.a, pr.b, count(*) AS ni
-         |  FROM pr JOIN tok ta ON ta.doc_id = pr.a
-         |    JOIN tok tb ON tb.doc_id = pr.b AND tb.shingle = ta.shingle
-         |  GROUP BY pr.a, pr.b),
-         |vp AS (SELECT pr.a, pr.b
-         |  FROM pr JOIN sizes sa ON sa.doc_id = pr.a
-         |    JOIN sizes sb ON sb.doc_id = pr.b
-         |    LEFT JOIN inter ON inter.a = pr.a AND inter.b = pr.b
-         |  WHERE round(coalesce(ni, 0)::DOUBLE / (sa.n + sb.n - coalesce(ni, 0)), 6) >= 0.5),
+      s"""$verifiedPairChainSql,
          |ws AS (SELECT least(sa.source, sb.source) AS src_a,
          |    greatest(sa.source, sb.source) AS src_b, vp.a, vp.b
          |  FROM vp JOIN documents sa ON sa.doc_id = vp.a
@@ -4435,6 +4487,39 @@ object LlmQueries {
         |  round(sum(((c_s + 1)::DOUBLE / (n_s + v)) *
         |    log2(((c_s + 1)::DOUBLE / (n_s + v)) / ((c_m + 1)::DOUBLE / (n_m + v)))), 6) AS kl_bits
         |FROM grid GROUP BY s ORDER BY s""".stripMargin,
+
+    "q169_source_report" -> {
+      s"""$verifiedPairChainSql,
+        |mem AS (SELECT DISTINCT m AS doc_id FROM (
+        |  SELECT a AS m FROM vp UNION ALL SELECT b AS m FROM vp)),
+        |per AS (SELECT doc_id, source,
+        |    len(string_split_regex(trim(lower(text)), '\\s+')) AS nt,
+        |    round(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+        |        x -> list_contains(['the', 'and', 'of', 'to', 'in', 'is', 'a'], x)))::DOUBLE
+        |      / len(string_split_regex(trim(lower(text)), '\\s+')), 6) AS sr
+        |  FROM documents WHERE text IS NOT NULL),
+        |card AS (SELECT p.source, count(*)::BIGINT AS n_docs,
+        |    round(avg(p.nt), 4) AS avg_tokens,
+        |    round(avg(CASE WHEN mem.doc_id IS NULL THEN 0 ELSE 1 END), 6) AS near_dup_rate,
+        |    round(avg(p.sr), 6) AS avg_stop_ratio
+        |  FROM per p LEFT JOIN mem ON mem.doc_id = p.doc_id GROUP BY p.source),
+        |tokc AS (SELECT source AS s, w, count(*)::BIGINT AS c_s
+        |  FROM (SELECT source, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+        |        FROM documents WHERE text IS NOT NULL)
+        |  GROUP BY source, w),
+        |vocab AS (SELECT w, sum(c_s)::BIGINT AS c FROM tokc GROUP BY w),
+        |totals AS (SELECT s, sum(c_s)::BIGINT AS n_s FROM tokc GROUP BY s),
+        |corpus AS (SELECT sum(c)::BIGINT AS n, count(*)::BIGINT AS v FROM vocab),
+        |grid AS (SELECT t.s, vb.c, t.n_s, cp.n, cp.v, coalesce(tc.c_s, 0) AS c_s
+        |  FROM vocab vb CROSS JOIN corpus cp CROSS JOIN totals t
+        |  LEFT JOIN tokc tc ON tc.s = t.s AND tc.w = vb.w),
+        |kl AS (SELECT s AS source,
+        |    round(sum(((c_s + 1)::DOUBLE / (n_s + v)) *
+        |      log2(((c_s + 1)::DOUBLE / (n_s + v)) / ((c + 1)::DOUBLE / (n + v)))), 6) AS kl_bits
+        |  FROM grid GROUP BY s)
+        |SELECT card.source, n_docs, avg_tokens, near_dup_rate, avg_stop_ratio, kl_bits
+        |FROM card JOIN kl USING (source) ORDER BY card.source""".stripMargin
+    },
 
     "q168_psi_drift" ->
       """WITH ref AS (SELECT len(string_split_regex(trim(lower(text)), '\s+')) AS v
@@ -5242,6 +5327,7 @@ object LlmQueries {
     "q166_source_attribution" -> sourceAttributionQ _,
     "q167_source_drift_frozen" -> sourceDriftFrozenQ _,
     "q168_psi_drift" -> psiDriftQ _,
+    "q169_source_report" -> sourceReportQ _,
     "q94_jsonl_roundtrip" -> jsonlRoundtrip _,
     "q34_dedup_embed_cosine" -> dedupEmbedCosine _,
     "q35_ann_bruteforce" -> annBruteForce _,
