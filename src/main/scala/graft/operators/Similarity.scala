@@ -654,6 +654,82 @@ object Similarity {
       .where(col("rank") <= k)
   }
 
+  /** Matryoshka-truncation retrieval audit (Kusupati et al. 2022,
+    * arXiv:2205.13147): recall@k of brute-force retrieval under the
+    * FIRST `dim` embedding dimensions against the full-dimension
+    * ranking — the number that decides whether a corpus can serve ANN
+    * from a prefix slice (4× less scan at dim 16 of 64). Both rankings
+    * use the [[bruteForceTopKBatch]] tie discipline (rounded cosine
+    * DESC, id), so the intersection is deterministic; queries whose
+    * truncated top-k shares nothing with the full top-k still get a
+    * row (recall 0).
+    *
+    * Scale shape: two batched corpus scans (full + sliced — the slice
+    * is a map-only projection, no exchange added) and a k×queries-sized
+    * intersection join. */
+  def matryoshkaRecall(vecs: DataFrame, queries: DataFrame, id: String,
+      emb: String, dim: Int, k: Int): DataFrame = {
+    require(dim >= 1, s"dim must be >= 1, got $dim")
+    def cut(df: DataFrame) = df.withColumn(emb, slice(col(emb), 1, dim))
+    val full = bruteForceTopKBatch(vecs, queries, id, emb, k)
+      .select(col("q_id"), col(id))
+    val trunc = bruteForceTopKBatch(cut(vecs), cut(queries), id, emb, k)
+      .select(col("q_id"), col(id))
+    val hits = trunc.join(full, Seq("q_id", id))
+      .groupBy("q_id").agg(count(lit(1)).as("hits"))
+    queries.select(col(id).as("q_id")).join(hits, Seq("q_id"), "left")
+      .select(col("q_id"), coalesce(col("hits"), lit(0L)).as("hits"),
+        round(coalesce(col("hits"), lit(0L)).cast("double") / k, 4)
+          .as("recall"))
+  }
+
+  /** 1-bit binary quantization: the sign bit of every dimension packed
+    * into ONE 64-bit word (supports dims ≤ 64; this corpus is exactly
+    * 64) — the 32-bytes-to-8-bytes memory tier below SQ8 (q92) and PQ
+    * (q97) that vector stores scan first. `v > 0` maps to bit `i`;
+    * zeros and negatives clear it. Map-only; the packed word is the
+    * only thing a BQ scan reads. */
+  def bqQuantize(df: DataFrame, id: String, emb: String): DataFrame =
+    df.select(col(id), expr(
+      s"aggregate(zip_with($emb, sequence(0, size($emb) - 1), " +
+        "(v, i) -> IF(v > 0D, shiftleft(1L, cast(i AS int)), 0L)), " +
+        "0L, (acc, x) -> acc + x)").as("bq_code"))
+
+  /** BQ search with exact re-rank — the two-phase shape every
+    * binary-quantized store runs: phase 1 scans ONLY the 8 B packed
+    * codes and shortlists by hamming distance (`bit_count(a XOR q)`,
+    * one codegen'd instruction pair per candidate; ties by id); phase 2
+    * fetches the shortlist's float vectors THROUGH A JOIN (the q99
+    * PQ-re-rank discipline — the corpus float column is never scanned,
+    * AQE broadcasts the shortlist×queries-sized frame) and re-ranks by
+    * exact cosine. Output `(q_id, id, ham, cos, rank)`, rank 1..k. */
+  def bqSearchRerank(vecs: DataFrame, queries: DataFrame, id: String,
+      emb: String, shortlist: Int, k: Int): DataFrame = {
+    require(shortlist >= k, s"shortlist $shortlist must cover k=$k")
+    val codes = bqQuantize(vecs, id, emb)
+    val qc = bqQuantize(queries, id, emb)
+      .select(col(id).as("q_id"), col("bq_code").as("__qc"))
+    val wH = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("ham"), col(id))
+    val short = codes.crossJoin(broadcast(qc))
+      .select(col("q_id"), col(id),
+        expr("bit_count(bq_code ^ __qc)").cast("long").as("ham"))
+      .withColumn("__hrank", row_number().over(wH))
+      .where(col("__hrank") <= shortlist)
+      .drop("__hrank")
+    val wC = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("cos").desc, col(id))
+    short
+      .join(vecs.select(col(id), col(emb)), id)
+      .join(broadcast(queries.select(col(id).as("q_id"), col(emb).as("__qe"))),
+        "q_id")
+      .select(col("q_id"), col(id), col("ham"),
+        round(cosine(col(emb).cast("array<double>"),
+          col("__qe").cast("array<double>")), 4).as("cos"))
+      .withColumn("rank", row_number().over(wC))
+      .where(col("rank") <= k)
+  }
+
   /** Embedding-cosine near-dup over candidate pairs (a, b). */
   def cosinePairs(vecs: DataFrame, pairs: DataFrame, id: String, emb: String): DataFrame =
     pairs

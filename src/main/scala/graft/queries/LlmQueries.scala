@@ -839,6 +839,34 @@ object LlmQueries {
       .orderBy("q_id", "rank")
   }
 
+  /** q170 — matryoshka-truncation retrieval audit
+    * ([[Similarity.matryoshkaRecall]]): recall@10 of a 16-of-64-dim
+    * prefix-slice retrieval against the full-dimension ranking, per
+    * query — the number that decides whether the corpus can serve ANN
+    * from a quarter of the scan bytes. These synthetic embeddings are
+    * NOT matryoshka-trained, so the audit reports the (low) truth —
+    * exactly what it exists to measure; the oracle replays BOTH
+    * rankings and the intersection. */
+  def annMatryoshka(s: SparkSession, d: String): DataFrame = {
+    val v = embs(s, d)
+    Similarity.matryoshkaRecall(v, v.where(col("vec_id") < 5),
+        "vec_id", "embedding", dim = 16, k = 10)
+      .orderBy("q_id")
+  }
+
+  /** q171 — binary-quantized search + exact re-rank
+    * ([[Similarity.bqSearchRerank]]): the 8-bytes-per-vector memory
+    * tier below SQ8/PQ — hamming over packed sign bits shortlists 50,
+    * exact cosine re-ranks to 10; the float column is fetched only for
+    * the shortlist (the q99 join discipline). The oracle replays bit
+    * extraction, hamming, the (ham, id) shortlist cut, and the re-rank. */
+  def annBq(s: SparkSession, d: String): DataFrame = {
+    val v = embs(s, d)
+    Similarity.bqSearchRerank(v, v.where(col("vec_id") < 5),
+        "vec_id", "embedding", shortlist = 50, k = 10)
+      .orderBy("q_id", "rank")
+  }
+
   def textStopwords(s: SparkSession, d: String): DataFrame =
     TextOps.stopwordRatio(docs(s, d), "text", "doc_id").orderBy("doc_id")
 
@@ -4521,6 +4549,50 @@ object LlmQueries {
         |FROM card JOIN kl USING (source) ORDER BY card.source""".stripMargin
     },
 
+    "q170_ann_matryoshka" ->
+      """WITH ex AS (SELECT vec_id, i, embedding[i]::DOUBLE AS v
+        |  FROM embeddings CROSS JOIN generate_series(1, 64) t(i)),
+        |q AS (SELECT vec_id AS q_id, i, v AS qv FROM ex WHERE vec_id < 5),
+        |scf AS (SELECT q.q_id, e.vec_id,
+        |    round(sum(e.v * q.qv) / sqrt(sum(e.v * e.v)) / sqrt(sum(q.qv * q.qv)), 4) AS cos
+        |  FROM ex e JOIN q ON q.i = e.i GROUP BY q.q_id, e.vec_id),
+        |rf AS (SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
+        |    ORDER BY cos DESC, vec_id) AS rank FROM scf),
+        |sct AS (SELECT q.q_id, e.vec_id,
+        |    round(sum(e.v * q.qv) / sqrt(sum(e.v * e.v)) / sqrt(sum(q.qv * q.qv)), 4) AS cos
+        |  FROM ex e JOIN q ON q.i = e.i WHERE e.i <= 16 AND q.i <= 16
+        |  GROUP BY q.q_id, e.vec_id),
+        |rt AS (SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
+        |    ORDER BY cos DESC, vec_id) AS rank FROM sct),
+        |hits AS (SELECT rf.q_id, count(*)::BIGINT AS hits
+        |  FROM rf JOIN rt ON rt.q_id = rf.q_id AND rt.vec_id = rf.vec_id
+        |  WHERE rf.rank <= 10 AND rt.rank <= 10 GROUP BY rf.q_id),
+        |ql AS (SELECT DISTINCT vec_id AS q_id FROM embeddings WHERE vec_id < 5)
+        |SELECT ql.q_id, coalesce(hits, 0)::BIGINT AS hits,
+        |  round(coalesce(hits, 0)::DOUBLE / 10, 4) AS recall
+        |FROM ql LEFT JOIN hits USING (q_id) ORDER BY ql.q_id""".stripMargin,
+
+    "q171_ann_bq_rerank" ->
+      """WITH ex AS (SELECT vec_id, i, embedding[i]::DOUBLE AS v
+        |  FROM embeddings CROSS JOIN generate_series(1, 64) t(i)),
+        |bits AS (SELECT vec_id, i, (v > 0)::INT AS b FROM ex),
+        |qb AS (SELECT vec_id AS q_id, i, b AS qbit FROM bits WHERE vec_id < 5),
+        |ham AS (SELECT qb.q_id, bits.vec_id,
+        |    sum(CASE WHEN bits.b <> qb.qbit THEN 1 ELSE 0 END)::BIGINT AS ham
+        |  FROM bits JOIN qb ON qb.i = bits.i GROUP BY qb.q_id, bits.vec_id),
+        |short AS (SELECT q_id, vec_id, ham, row_number() OVER (PARTITION BY q_id
+        |    ORDER BY ham, vec_id) AS hrank FROM ham),
+        |q AS (SELECT vec_id AS q_id, i, v AS qv FROM ex WHERE vec_id < 5),
+        |sc AS (SELECT s.q_id, s.vec_id, s.ham,
+        |    round(sum(e.v * q.qv) / sqrt(sum(e.v * e.v)) / sqrt(sum(q.qv * q.qv)), 4) AS cos
+        |  FROM short s JOIN ex e ON e.vec_id = s.vec_id
+        |    JOIN q ON q.q_id = s.q_id AND q.i = e.i
+        |  WHERE s.hrank <= 50 GROUP BY s.q_id, s.vec_id, s.ham),
+        |r AS (SELECT q_id, vec_id, ham, cos, row_number() OVER (PARTITION BY q_id
+        |    ORDER BY cos DESC, vec_id)::INTEGER AS rank FROM sc)
+        |SELECT q_id, vec_id, ham, cos, rank FROM r WHERE rank <= 10
+        |ORDER BY q_id, rank""".stripMargin,
+
     "q168_psi_drift" ->
       """WITH ref AS (SELECT len(string_split_regex(trim(lower(text)), '\s+')) AS v
         |  FROM documents WHERE text IS NOT NULL AND doc_id % 2 = 0),
@@ -5328,6 +5400,8 @@ object LlmQueries {
     "q167_source_drift_frozen" -> sourceDriftFrozenQ _,
     "q168_psi_drift" -> psiDriftQ _,
     "q169_source_report" -> sourceReportQ _,
+    "q170_ann_matryoshka" -> annMatryoshka _,
+    "q171_ann_bq_rerank" -> annBq _,
     "q94_jsonl_roundtrip" -> jsonlRoundtrip _,
     "q34_dedup_embed_cosine" -> dedupEmbedCosine _,
     "q35_ann_bruteforce" -> annBruteForce _,

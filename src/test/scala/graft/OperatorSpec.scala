@@ -2926,6 +2926,59 @@ class OperatorSpec extends AnyFunSuite {
     assert(tied.getDouble(2) == psi(Seq(1, 0), Seq(2, 2)), s"$tied")
   }
 
+  test("bqQuantize: sign-bit packing incl. bit 63; search ranks the query itself at hamming 0") {
+    // 4-dim: bits at dims 0 and 3 (zero and negative clear) -> 0b1001
+    val small = Seq((1L, Array(1.0f, -1.0f, 0.0f, 0.5f))).toDF("vec_id", "embedding")
+    val code = Similarity.bqQuantize(small, "vec_id", "embedding")
+      .collect().head.getLong(1)
+    assert(code == 9L, s"expected 0b1001, got $code")
+    // dim 63 set -> the sign bit of the packed long (negative value)
+    val hi = Seq((2L, Array.tabulate(64)(i => if (i == 63) 1.0f else -1.0f)))
+      .toDF("vec_id", "embedding")
+    val hiCode = Similarity.bqQuantize(hi, "vec_id", "embedding")
+      .collect().head.getLong(1)
+    assert(hiCode == Long.MinValue, s"got $hiCode")
+    // end-to-end: the query vector itself is hamming 0 and cosine 1 at rank 1
+    val rnd = new scala.util.Random(11)
+    val vecs = (0L until 80L).map(i =>
+      (i, Array.fill(64)(rnd.nextFloat() * 2 - 1))).toDF("vec_id", "embedding")
+    val out = Similarity.bqSearchRerank(vecs, vecs.where(col("vec_id") === 3L),
+        "vec_id", "embedding", shortlist = 20, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getInt(4)))
+    assert(out.length == 5)
+    assert(out.head == ((3L, 3L, 0L, 1.0, 1)), s"got ${out.head}")
+    assert(out.forall(_._1 == 3L))
+  }
+
+  test("matryoshkaRecall: full-dim truncation is recall 1; a planted tail-flip drops it") {
+    // 2 dims; query [1, 0]: full ranking prefers 10 (aligned), but the
+    // FIRST-dim truncation sees only dim 0 where 11 ties ahead by id
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f)),
+      (10L, Array(0.9f, 0.1f)),
+      (11L, Array(0.9f, -2.0f))
+    ).toDF("vec_id", "embedding")
+    val q = vecs.where(col("vec_id") === 1L)
+    val full = Similarity.matryoshkaRecall(vecs, q, "vec_id", "embedding",
+        dim = 2, k = 2).collect().head
+    assert(full.getLong(1) == 2L && full.getDouble(2) == 1.0, s"$full")
+    val cut = Similarity.matryoshkaRecall(vecs, q, "vec_id", "embedding",
+        dim = 1, k = 2).collect().head
+    // dim-1 cosines all tie at 1.0 -> top-2 by id = {1, 10}; full top-2
+    // = {1, 10} too... assert against the independently computed truth
+    val fullTop = Similarity.bruteForceTopKBatch(vecs, q, "vec_id", "embedding", 2)
+      .collect().map(_.getLong(1)).toSet
+    val truncTop = Similarity.bruteForceTopKBatch(
+        vecs.withColumn("embedding", slice(col("embedding"), 1, 1)),
+        q.withColumn("embedding", slice(col("embedding"), 1, 1)),
+        "vec_id", "embedding", 2)
+      .collect().map(_.getLong(1)).toSet
+    val expect = (fullTop & truncTop).size
+    assert(cut.getLong(1) == expect.toLong &&
+      cut.getDouble(2) == expect / 2.0, s"$cut vs overlap $expect")
+  }
+
   test("assignCellsLit: literal-centroid assignment equals the broadcast-join formulation") {
     val rnd = new scala.util.Random(7)
     val vecs = (0L until 60L).map(i =>
