@@ -704,9 +704,19 @@ object Similarity {
     * AQE broadcasts the shortlist×queries-sized frame) and re-ranks by
     * exact cosine. Output `(q_id, id, ham, cos, rank)`, rank 1..k. */
   def bqSearchRerank(vecs: DataFrame, queries: DataFrame, id: String,
-      emb: String, shortlist: Int, k: Int): DataFrame = {
+      emb: String, shortlist: Int, k: Int): DataFrame =
+    bqSearchRerankCodes(bqQuantize(vecs, id, emb), vecs, queries, id, emb,
+      shortlist, k)
+
+  /** [[bqSearchRerank]] over a PERSISTED code table — the production
+    * tier shape: `codes` is [[bqQuantize]]'s `(id, bq_code)` output
+    * written once (8 B/vector; the parquet the hamming phase scans
+    * INSTEAD of the 256 B float column), `vecs` supplies floats only
+    * for the shortlist fetch join. */
+  def bqSearchRerankCodes(codes: DataFrame, vecs: DataFrame,
+      queries: DataFrame, id: String, emb: String, shortlist: Int,
+      k: Int): DataFrame = {
     require(shortlist >= k, s"shortlist $shortlist must cover k=$k")
-    val codes = bqQuantize(vecs, id, emb)
     val qc = bqQuantize(queries, id, emb)
       .select(col(id).as("q_id"), col("bq_code").as("__qc"))
     val wH = org.apache.spark.sql.expressions.Window

@@ -104,6 +104,32 @@ object LargeAnnBench {
       (exact(qid) intersect ib.getOrElse(qid, Set())).size }.sum
     println(f"  recall@$k = ${hitB.toDouble / (nq * k)}%.3f, " +
       f"${tBrute / tIvfB}%.1f x faster than the brute loop")
+
+    // BINARY-QUANTIZED tier (q171's shape): persist the 8 B/vector sign
+    // codes once, shortlist by hamming over the code column only, exact
+    // re-rank on the fetched shortlist. The code scan is 32x smaller
+    // than the float scan; recall measured against the same exact truth.
+    val codePath = s"${sys.props("java.io.tmpdir")}/graft_large_ann_bq"
+    graft.cli.Cleanup.deleteOnExit(codePath)
+    val (_, tCode) = time("bqQuantize + persist codes (8 B/vector)")({
+      Similarity.bqQuantize(vecs, "vec_id", "embedding")
+        .write.mode("overwrite").parquet(codePath)
+    })
+    val codes = spark.read.parquet(codePath)
+    // sign codes COLLAPSE a planted cluster into one hamming plateau
+    // (center dominates the 0.25 noise in every dimension's sign), so
+    // the shortlist must cover the plateau: measure the degenerate
+    // geometry honestly at 100 and the plateau-covering 2% of corpus
+    Seq(100, (n / 50).toInt).foreach { sl =>
+      val (bq, tBq) = time(s"BQ shortlist=$sl + exact re-rank BATCH, $nq queries")(
+        byQuery(Similarity.bqSearchRerankCodes(codes, vecs, qDf, "vec_id",
+            "embedding", shortlist = sl, k = k).collect()))
+      val hitBq = queries.map { case (qid, _) =>
+        (exact(qid) intersect bq.getOrElse(qid, Set())).size }.sum
+      println(f"  recall@$k = ${hitBq.toDouble / (nq * k)}%.3f, " +
+        f"${tBrute / tBq}%.1f x vs the brute loop " +
+        f"(code persist ${tCode}%.2f s once)")
+    }
     spark.stop()
   }
 }

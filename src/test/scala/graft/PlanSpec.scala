@@ -592,6 +592,22 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p.take(1500))
   }
 
+  test("q170/q171: query sides broadcast, shortlist fetch is a join, never a cartesian") {
+    val p170 = plan("q170_ann_matryoshka")
+    assert(p170.contains("BroadcastNestedLoopJoin") ||
+      p170.contains("BroadcastHashJoin"), p170.take(2000))
+    assert(!p170.contains("CartesianProduct"), p170.take(1500))
+    val df = SparkEntry.queries("q171_ann_bq_rerank")(spark, sf)
+    df.collect()
+    val p171 = df.queryExecution.executedPlan.toString
+    // phase 1: the broadcast cross against the tiny query-code frame;
+    // phase 2: the shortlist fetches floats through equi-joins — never
+    // a cartesian anywhere
+    assert(p171.contains("BroadcastNestedLoopJoin"), p171.take(2000))
+    assert(p171.contains("BroadcastHashJoin"), p171.take(2000))
+    assert(!p171.contains("CartesianProduct"), p171.take(1500))
+  }
+
   test("q92: int8 ANN is map-only quantize + broadcast + top-k without full sort") {
     finalPlan("q92_ann_sq8") { p =>
       assert(p.contains("TakeOrderedAndProject"), p.take(1500))
