@@ -690,10 +690,16 @@ object Similarity {
     * zeros and negatives clear it. Map-only; the packed word is the
     * only thing a BQ scan reads. */
   def bqQuantize(df: DataFrame, id: String, emb: String): DataFrame =
+    // >64 dims would WRAP shiftleft silently (Java shifts are mod 64)
+    // and alias distant dimensions into the same bit — fault loudly
+    // instead (the zero-norm cosine contract: corrupt input never
+    // degrades quietly)
     df.select(col(id), expr(
-      s"aggregate(zip_with($emb, sequence(0, size($emb) - 1), " +
+      s"IF(size($emb) > 64, raise_error('bqQuantize: embedding has ' " +
+        s"|| size($emb) || ' dims; one 64-bit word holds at most 64'), " +
+        s"aggregate(zip_with($emb, sequence(0, size($emb) - 1), " +
         "(v, i) -> IF(v > 0D, shiftleft(1L, cast(i AS int)), 0L)), " +
-        "0L, (acc, x) -> acc + x)").as("bq_code"))
+        "0L, (acc, x) -> acc + x))").as("bq_code"))
 
   /** BQ search with exact re-rank — the two-phase shape every
     * binary-quantized store runs: phase 1 scans ONLY the 8 B packed

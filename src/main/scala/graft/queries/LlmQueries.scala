@@ -3008,6 +3008,34 @@ object LlmQueries {
       .orderBy("source")
   }
 
+  /** q172 — n-gram novelty rate: per source, the fraction of the
+    * incoming half's DISTINCT word 3-grams absent from the reference
+    * half (even docs, the q167 split) — contamination's complement: a
+    * re-crawl or mirror scores near zero, fresh content scores high,
+    * and the two numbers together (novelty here, overlap in q62/q105)
+    * bracket what a new snapshot actually adds. Spark counts distinct
+    * 8 B gram HASHES per source (the q29 discipline — gram text never
+    * shuffles); the oracle counts distinct gram TEXTS, so a hash
+    * collision mismatches instead of replaying. */
+  def ngramNoveltyQ(s: SparkSession, d: String): DataFrame = {
+    val all = docs(s, d).where(col("text").isNotNull)
+    def grams(df: DataFrame) = Dedup.hashShingles(
+      Dedup.shingles(df, "text", "doc_id", 3, dedup = false), "doc_id")
+    val seen = grams(all.where(pmod(col("doc_id"), lit(2)) === 0))
+      .select("sh_h").distinct().withColumn("__seen", lit(1))
+    grams(all.where(pmod(col("doc_id"), lit(2)) === 1))
+      .join(all.select(col("doc_id"), col("source")), "doc_id")
+      .select("source", "sh_h").distinct()
+      .join(seen, Seq("sh_h"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("__seen").isNull, 1L).otherwise(0L)).as("n_novel"))
+      .select(col("source"), col("n_grams"), col("n_novel"),
+        round(col("n_novel").cast("double") / col("n_grams"), 6)
+          .as("novelty_rate"))
+      .orderBy("source")
+  }
+
   /** q169 — the per-source REPORT CARD: the one-row-per-source summary a
     * curation team reads before touching a crawl — volume (doc count,
     * mean tokens), contamination by duplication (fraction of the
@@ -4549,6 +4577,26 @@ object LlmQueries {
         |FROM card JOIN kl USING (source) ORDER BY card.source""".stripMargin
     },
 
+    "q172_ngram_novelty" -> {
+      val ev = tok3From(
+        "(SELECT doc_id, text FROM documents WHERE text IS NOT NULL AND doc_id % 2 = 0)",
+        "ev", "text")
+      val nw = tok3From(
+        "(SELECT doc_id, text FROM documents WHERE text IS NOT NULL AND doc_id % 2 = 1)",
+        "nw", "text")
+      s"""WITH $ev,
+         |$nw,
+         |seen AS (SELECT DISTINCT shingle FROM ev),
+         |per AS (SELECT DISTINCT d.source, n.shingle
+         |  FROM nw n JOIN documents d USING (doc_id)),
+         |agg AS (SELECT source, count(*)::BIGINT AS n_grams,
+         |    sum(CASE WHEN seen.shingle IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_novel
+         |  FROM per LEFT JOIN seen USING (shingle) GROUP BY source)
+         |SELECT source, n_grams, n_novel,
+         |  round(n_novel::DOUBLE / n_grams, 6) AS novelty_rate
+         |FROM agg ORDER BY source""".stripMargin
+    },
+
     "q170_ann_matryoshka" ->
       """WITH ex AS (SELECT vec_id, i, embedding[i]::DOUBLE AS v
         |  FROM embeddings CROSS JOIN generate_series(1, 64) t(i)),
@@ -5402,6 +5450,7 @@ object LlmQueries {
     "q169_source_report" -> sourceReportQ _,
     "q170_ann_matryoshka" -> annMatryoshka _,
     "q171_ann_bq_rerank" -> annBq _,
+    "q172_ngram_novelty" -> ngramNoveltyQ _,
     "q94_jsonl_roundtrip" -> jsonlRoundtrip _,
     "q34_dedup_embed_cosine" -> dedupEmbedCosine _,
     "q35_ann_bruteforce" -> annBruteForce _,

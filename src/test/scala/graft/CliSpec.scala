@@ -15,7 +15,7 @@ class CliSpec extends AnyFunSuite {
     val o = SparkEntry.oracleSql.keySet
     assert(q == o, s"queries-only: ${(q -- o).toSeq.sorted.mkString(", ")}; " +
       s"oracle-only: ${(o -- q).toSeq.sorted.mkString(", ")}")
-    assert(q.size >= 171, s"coverage regressed: ${q.size} registered queries")
+    assert(q.size >= 172, s"coverage regressed: ${q.size} registered queries")
   }
 
   // must mirror build.sbt's jdk17AddOpens (Spark 4 on JDK 17 outside

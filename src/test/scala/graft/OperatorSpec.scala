@@ -2949,6 +2949,15 @@ class OperatorSpec extends AnyFunSuite {
     assert(out.length == 5)
     assert(out.head == ((3L, 3L, 0L, 1.0, 1)), s"got ${out.head}")
     assert(out.forall(_._1 == 3L))
+    // >64 dims would silently alias bits (Java shift is mod 64) — the
+    // operator must fault loudly instead
+    val wide = Seq((9L, Array.fill(65)(1.0f))).toDF("vec_id", "embedding")
+    val err = intercept[Exception](
+      Similarity.bqQuantize(wide, "vec_id", "embedding").collect())
+    assert(err.getMessage != null &&
+      (err.getMessage.contains("bqQuantize") ||
+        Option(err.getCause).exists(_.getMessage.contains("bqQuantize"))),
+      s"expected the loud 64-dim fault, got: ${err.getMessage}")
   }
 
   test("matryoshkaRecall: full-dim truncation is recall 1; a planted tail-flip drops it") {
