@@ -670,10 +670,28 @@ object Similarity {
   def matryoshkaRecall(vecs: DataFrame, queries: DataFrame, id: String,
       emb: String, dim: Int, k: Int): DataFrame = {
     require(dim >= 1, s"dim must be >= 1, got $dim")
-    def cut(df: DataFrame) = df.withColumn(emb, slice(col(emb), 1, dim))
+    // slice() would silently CLAMP an oversized dim to the full vector,
+    // making a misconfigured truncation audit report a trivially perfect
+    // recall = 1.0 — fault loudly instead (the bqQuantize >64-dim
+    // convention: corrupt configuration never degrades quietly)
+    def cut(df: DataFrame) = df.withColumn(emb, expr(
+      s"IF(size($emb) < $dim, raise_error(concat('matryoshkaRecall: " +
+        s"dim=$dim exceeds embedding length ', cast(size($emb) AS string)" +
+        s")), slice($emb, 1, $dim))"))
+    // a valid full-dimension vector whose first `dim` components are all
+    // zero has no direction under truncation: it cannot be RANKED by a
+    // prefix-only store, and under the ANSI zero-norm cosine contract it
+    // would fault the whole audit. Drop such rows from the TRUNCATED
+    // ranking only (honest: the prefix store could never return them);
+    // a zero-prefix QUERY keeps its output row with recall 0 through the
+    // left join below.
+    def nonZeroPrefix(df: DataFrame) = df.where(
+      graft.functions.DotProduct.dot_product(
+        col(emb).cast("array<double>"), col(emb).cast("array<double>")) > 0)
     val full = bruteForceTopKBatch(vecs, queries, id, emb, k)
       .select(col("q_id"), col(id))
-    val trunc = bruteForceTopKBatch(cut(vecs), cut(queries), id, emb, k)
+    val trunc = bruteForceTopKBatch(
+        nonZeroPrefix(cut(vecs)), nonZeroPrefix(cut(queries)), id, emb, k)
       .select(col("q_id"), col(id))
     val hits = trunc.join(full, Seq("q_id", id))
       .groupBy("q_id").agg(count(lit(1)).as("hits"))
@@ -766,6 +784,12 @@ object Similarity {
     * anything wider than the pair row itself. `align_cos` is rounded to
     * 4 dp (the oracle-parity discipline of [[cosinePairs]]). */
   def alignmentScore(pairs: DataFrame, embA: String, embB: String): DataFrame = {
+    // the TextOps requireFresh convention: withColumn REPLACES by name,
+    // so a same-named caller column would be silently clobbered by the
+    // norm temporaries (and then dropped) — fail loud instead
+    Seq("__align_na", "__align_nb").foreach(n =>
+      require(!pairs.columns.contains(n),
+        s"input already has a '$n' column — rename it before scoring"))
     def dot(x: Column, y: Column): Column =
       graft.functions.DotProduct.dot_product(x, y)
     val a = col(embA).cast("array<double>")

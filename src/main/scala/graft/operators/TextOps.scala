@@ -1399,11 +1399,23 @@ object TextOps {
     grid.groupBy(col("__s"))
       .agg(first(col("n_s")).as("n_tokens"),
         first(col("terms_used")).as("terms_used"),
-        round(sum(col("__p") * log2(col("__p") / col("__q"))), 6)
-          .as("kl_bits"))
+        klBitsNano(col("__p"), col("__q")))
       .select(col("__s").as(strata), col("n_tokens"), col("terms_used"),
         col("kl_bits"))
   }
+
+  /** The KL sum in DETERMINISTIC integer nano-units (the `logit_milli`
+    * discipline applied to the drift monitors): each grid term rounds to
+    * an integer number of nano-bits FIRST, the aggregate sums BIGINTs —
+    * order-independent and identical across engines — and only the final
+    * reported number divides back to float. A plain float sum over the
+    * vocab-sized grid depends on accumulation order, which Spark and
+    * DuckDB pick differently; relying on round(·, 6) to absorb that is
+    * probabilistic (a sum near a 6 dp boundary transiently hash-fails
+    * the gate — the round-12 advisor's observed one-offs). */
+  private def klBitsNano(p: Column, q: Column): Column =
+    round(sum(round(p * log2(p / q) * 1e9).cast(LongType))
+      .cast("double") / 1e9, 6).as("kl_bits")
 
   /** The FROZEN-model form of [[unigramDrift]] — the production monitor
     * shape (the [[unigramXentAgainst]] discipline): the reference
@@ -1443,8 +1455,7 @@ object TextOps {
     grid.groupBy(col("__s"))
       .agg(first(col("n_s")).as("n_tokens"),
         first(col("terms_used")).as("terms_used"),
-        round(sum(col("__p") * log2(col("__p") / col("__q"))), 6)
-          .as("kl_bits"))
+        klBitsNano(col("__p"), col("__q")))
       .select(col("__s").as(strata), col("n_tokens"), col("terms_used"),
         col("kl_bits"))
   }
@@ -1495,8 +1506,10 @@ object TextOps {
         (col("n_r") + bins).cast("double"))
     grid.groupBy(col("__s"))
       .agg(first(col("n_s")).as("n_docs"),
-        round(sum((col("__p") - col("__q")) * log(col("__p") / col("__q"))), 6)
-          .as("psi"))
+        // nano-unit integer accumulation — see [[klBitsNano]]
+        round(sum(round((col("__p") - col("__q")) *
+            log(col("__p") / col("__q")) * 1e9).cast(LongType))
+          .cast("double") / 1e9, 6).as("psi"))
       .select(col("__s").as(strata), col("n_docs"), col("psi"))
   }
 }

@@ -4516,8 +4516,9 @@ object LlmQueries {
         |  FROM vocab vb CROSS JOIN corpus cp CROSS JOIN totals t
         |  LEFT JOIN tokc tc ON tc.s = t.s AND tc.w = vb.w)
         |SELECT s AS source, any_value(n_s) AS n_tokens, any_value(terms_used) AS terms_used,
-        |  round(sum(((c_s + 1)::DOUBLE / (n_s + v)) *
-        |    log2(((c_s + 1)::DOUBLE / (n_s + v)) / ((c + 1)::DOUBLE / (n + v)))), 6) AS kl_bits
+        |  round(sum(round(((c_s + 1)::DOUBLE / (n_s + v)) *
+        |      log2(((c_s + 1)::DOUBLE / (n_s + v)) / ((c + 1)::DOUBLE / (n + v)))
+        |      * 1e9)::BIGINT)::DOUBLE / 1e9, 6) AS kl_bits
         |FROM grid GROUP BY s ORDER BY s""".stripMargin,
 
     "q167_source_drift_frozen" ->
@@ -4540,8 +4541,9 @@ object LlmQueries {
         |  LEFT JOIN tokc tc ON tc.s = t.s AND tc.w = vb.w
         |  LEFT JOIN mc ON mc.w = vb.w)
         |SELECT s AS source, any_value(n_s) AS n_tokens, any_value(terms_used) AS terms_used,
-        |  round(sum(((c_s + 1)::DOUBLE / (n_s + v)) *
-        |    log2(((c_s + 1)::DOUBLE / (n_s + v)) / ((c_m + 1)::DOUBLE / (n_m + v)))), 6) AS kl_bits
+        |  round(sum(round(((c_s + 1)::DOUBLE / (n_s + v)) *
+        |      log2(((c_s + 1)::DOUBLE / (n_s + v)) / ((c_m + 1)::DOUBLE / (n_m + v)))
+        |      * 1e9)::BIGINT)::DOUBLE / 1e9, 6) AS kl_bits
         |FROM grid GROUP BY s ORDER BY s""".stripMargin,
 
     "q169_source_report" -> {
@@ -4570,8 +4572,9 @@ object LlmQueries {
         |  FROM vocab vb CROSS JOIN corpus cp CROSS JOIN totals t
         |  LEFT JOIN tokc tc ON tc.s = t.s AND tc.w = vb.w),
         |kl AS (SELECT s AS source,
-        |    round(sum(((c_s + 1)::DOUBLE / (n_s + v)) *
-        |      log2(((c_s + 1)::DOUBLE / (n_s + v)) / ((c + 1)::DOUBLE / (n + v)))), 6) AS kl_bits
+        |    round(sum(round(((c_s + 1)::DOUBLE / (n_s + v)) *
+        |        log2(((c_s + 1)::DOUBLE / (n_s + v)) / ((c + 1)::DOUBLE / (n + v)))
+        |        * 1e9)::BIGINT)::DOUBLE / 1e9, 6) AS kl_bits
         |  FROM grid GROUP BY s)
         |SELECT card.source, n_docs, avg_tokens, near_dup_rate, avg_stop_ratio, kl_bits
         |FROM card JOIN kl USING (source) ORDER BY card.source""".stripMargin
@@ -4664,8 +4667,9 @@ object LlmQueries {
         |  LEFT JOIN scnt ON scnt.s = t.s AND scnt.b = bins.b
         |  LEFT JOIN rc ON rc.b = bins.b)
         |SELECT s AS source, any_value(n_s) AS n_docs,
-        |  round(sum(((c_s + 1)::DOUBLE / (n_s + 5) - (c_r + 1)::DOUBLE / (n_r + 5)) *
-        |    ln(((c_s + 1)::DOUBLE / (n_s + 5)) / ((c_r + 1)::DOUBLE / (n_r + 5)))), 6) AS psi
+        |  round(sum(round(((c_s + 1)::DOUBLE / (n_s + 5) - (c_r + 1)::DOUBLE / (n_r + 5)) *
+        |      ln(((c_s + 1)::DOUBLE / (n_s + 5)) / ((c_r + 1)::DOUBLE / (n_r + 5)))
+        |      * 1e9)::BIGINT)::DOUBLE / 1e9, 6) AS psi
         |FROM grid GROUP BY s ORDER BY s""".stripMargin,
 
     "q92_ann_sq8" ->

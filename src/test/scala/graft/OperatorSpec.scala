@@ -2988,6 +2988,49 @@ class OperatorSpec extends AnyFunSuite {
       cut.getDouble(2) == expect / 2.0, s"$cut vs overlap $expect")
   }
 
+  test("matryoshkaRecall: oversized dim faults loudly instead of clamping to recall 1") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.5f, 0.5f))
+    ).toDF("vec_id", "embedding")
+    val q = vecs.where(col("vec_id") === 1L)
+    val err = intercept[Exception](
+      Similarity.matryoshkaRecall(vecs, q, "vec_id", "embedding",
+        dim = 3, k = 1).collect())
+    assert(err.getMessage != null &&
+      (err.getMessage.contains("matryoshkaRecall") ||
+        Option(err.getCause).exists(_.getMessage.contains("matryoshkaRecall"))),
+      s"expected the loud oversized-dim fault, got: ${err.getMessage}")
+  }
+
+  test("matryoshkaRecall: a zero prefix drops from the truncated ranking instead of faulting") {
+    // vec 9's first dim is zero: valid at full dimension, directionless
+    // under dim-1 truncation — it must neither fault the job (ANSI
+    // divide-by-zero) nor be retrievable by the prefix store
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f)),
+      (2L, Array(0.8f, 0.1f)),
+      (9L, Array(0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val q = vecs.where(col("vec_id") === 1L)
+    val out = Similarity.matryoshkaRecall(vecs, q, "vec_id", "embedding",
+      dim = 1, k = 2).collect()
+    assert(out.length == 1 && out.head.getLong(1) == 2L,
+      s"truncated top-2 should be {1, 2} (9 dropped): ${out.toSeq}")
+    // a zero-prefix QUERY keeps its row with recall 0
+    val qz = vecs.where(col("vec_id") === 9L)
+    val zq = Similarity.matryoshkaRecall(vecs, qz, "vec_id", "embedding",
+      dim = 1, k = 2).collect().head
+    assert(zq.getLong(1) == 0L && zq.getDouble(2) == 0.0, s"$zq")
+  }
+
+  test("alignmentScore: a caller column colliding with a norm temporary fails loudly") {
+    val pairs = Seq((1L, Array(1.0f), Array(1.0f), "x"))
+      .toDF("id", "ea", "eb", "__align_na")
+    val err = intercept[IllegalArgumentException](
+      Similarity.alignmentScore(pairs, "ea", "eb"))
+    assert(err.getMessage.contains("__align_na"), err.getMessage)
+  }
+
   test("assignCellsLit: literal-centroid assignment equals the broadcast-join formulation") {
     val rnd = new scala.util.Random(7)
     val vecs = (0L until 60L).map(i =>
