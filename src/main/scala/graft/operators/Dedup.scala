@@ -45,10 +45,23 @@ object Dedup {
     * punct-strip / whitespace-collapse) before tokenizing — the
     * eval-harness n-gram definition, so a punctuation-perturbed copy
     * still shares shingles with its source (q156 gates exactly that);
-    * it CHANGES the similarity definition, so it is opt-in. */
+    * it CHANGES the similarity definition, so it is opt-in. `segment`
+    * runs [[graft.operators.TextOps.segmentScripts]] first, so an
+    * unsegmented CJK line shingles at codepoints instead of collapsing
+    * to one giant token (q173 gates a near-dup the whitespace mode is
+    * blind to); also opt-in, and mutually exclusive with `normalize`
+    * (which is ASCII-alnum by design and would delete the CJK). */
   def shingles(df: DataFrame, text: String, id: String, n: Int,
-      dedup: Boolean = true, normalize: Boolean = false): DataFrame = {
+      dedup: Boolean = true, normalize: Boolean = false,
+      segment: Boolean = false): DataFrame = {
+    // the ASCII-alnum normalizer strips every CJK codepoint to a space,
+    // so composing it with script-aware segmentation silently yields the
+    // empty-shingle set — a misconfiguration, not a similarity definition
+    require(!(normalize && segment),
+      "normalize (ASCII n-gram matching) and segment (CJK codepoint " +
+        "tokens) are mutually exclusive — the normalizer deletes CJK")
     val src = if (normalize) TextOps.normalizeForMatch(col(text))
+      else if (segment) TextOps.segmentScripts(col(text))
       else col(text)
     val toks = TextOps.tokens(src)
     // dedup = false keeps the raw occurrence rows MAP-ONLY (no shuffle):

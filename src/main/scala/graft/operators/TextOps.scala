@@ -13,8 +13,47 @@ import org.apache.spark.sql.types.LongType
   */
 object TextOps {
 
-  /** Lowercased whitespace tokens. */
+  /** Lowercased whitespace tokens.
+    *
+    * CAVEAT (the round-12 coarsening gap): on non-space-delimited
+    * scripts (CJK, kana, hangul) a whole line is one "word", silently
+    * coarsening every token-derived operator — shingle dedup, quality
+    * ratios, drift KL, OOV, decontamination. For mixed-script corpora
+    * use [[tokensScriptAware]] (or the `segment` option threaded
+    * through [[graft.operators.Dedup.shingles]] / [[oovRate]] /
+    * [[unigramDrift]] / [[unigramDriftAgainst]]), which splits those
+    * scripts at codepoints while keeping whitespace for Latin. */
   def tokens(c: Column): Column = split(trim(lower(c)), "\\s+")
+
+  /** Codepoint class of the major unsegmented scripts — Hiragana,
+    * Katakana, CJK ext-A, CJK Unified, Hangul syllables, CJK compat,
+    * and the supplementary-plane CJK ext-B. `\x{...}` syntax parses
+    * identically in Java regex (Spark) and RE2 (DuckDB), and both treat
+    * the ext-B range as CODEPOINTS (a surrogate pair is one match, never
+    * split — OperatorSpec pins it). */
+  val CjkCodepointClass: String =
+    "[\\x{3040}-\\x{30FF}\\x{3400}-\\x{4DBF}\\x{4E00}-\\x{9FFF}" +
+      "\\x{AC00}-\\x{D7AF}\\x{F900}-\\x{FAFF}\\x{20000}-\\x{2A6DF}]"
+
+  /** Script-aware segmentation pre-pass: space out every
+    * [[CjkCodepointClass]] codepoint so downstream whitespace
+    * tokenization sees CJK as per-codepoint tokens (the
+    * regex-expressible, oracle-replayable approximation of a word
+    * segmenter — character unigrams/n-grams are the standard IR
+    * fallback for unsegmented scripts) while Latin keeps its word
+    * boundaries. Map-only; composes in front of ANY text operator:
+    * `df.withColumn("text", segmentScripts(col("text")))` makes the
+    * whole family script-aware at the root. */
+  def segmentScripts(c: Column): Column =
+    regexp_replace(c, s"($CjkCodepointClass)", " $1 ")
+
+  /** [[tokens]] under [[segmentScripts]] — whitespace words for Latin,
+    * per-codepoint tokens for CJK/kana/hangul. */
+  def tokensScriptAware(c: Column): Column = tokens(segmentScripts(c))
+
+  /** The tokenizer-mode switch the `segment` options thread through. */
+  private[operators] def tokensMode(c: Column, segment: Boolean): Column =
+    if (segment) tokensScriptAware(c) else tokens(c)
 
   /** Portable 60-bit hash: first 15 hex chars of md5, as a Long. Seeded by
     * prefixing the input — h_i(w) = portableHash(i || ':' || w). Identical
@@ -1275,14 +1314,14 @@ object TextOps {
     * broadcast join; the literal form covers probe vocabularies and
     * rule packs. Output: `(id, n_tokens, n_oov, oov_rate)`. */
   def oovRate(df: DataFrame, text: String, id: String,
-      vocab: Seq[String]): DataFrame = {
+      vocab: Seq[String], segment: Boolean = false): DataFrame = {
     require(vocab.nonEmpty, "empty vocabulary")
     require(vocab.forall(w => !w.contains("'") && !w.contains("\\")),
       s"vocab terms must not contain quotes or backslashes: $vocab")
     requireFresh(df, "n_tokens", "n_oov", "oov_rate", "__t")
     val vsql = vocab.map(w => s"'$w'").mkString("array(", ", ", ")")
     df.where(col(text).isNotNull)
-      .select(col(id), tokens(col(text)).as("__t"))
+      .select(col(id), tokensMode(col(text), segment).as("__t"))
       .select(col(id), size(col("__t")).cast("long").as("n_tokens"),
         expr(s"cast(size(filter(__t, t -> NOT array_contains($vsql, t)))" +
           " as bigint)").as("n_oov"))
@@ -1381,9 +1420,11 @@ object TextOps {
     * per-occurrence. Every division is one IEEE double op on integer
     * inputs, so only the final vocab-sized sum's accumulation order
     * differs between engines; `round(·, 6)` absorbs it. */
-  def unigramDrift(df: DataFrame, text: String, strata: String): DataFrame = {
+  def unigramDrift(df: DataFrame, text: String, strata: String,
+      segment: Boolean = false): DataFrame = {
     val counts = df.where(col(text).isNotNull)
-      .select(col(strata).as("__s"), explode(tokens(col(text))).as("__w"))
+      .select(col(strata).as("__s"),
+        explode(tokensMode(col(text), segment)).as("__w"))
       .groupBy("__s", "__w").agg(count(lit(1)).as("c_s"))
     val vocab = counts.groupBy("__w").agg(sum("c_s").as("c"))
     val totals = counts.groupBy("__s").agg(sum("c_s").as("n_s"),
@@ -1433,9 +1474,10 @@ object TextOps {
     * vocab size, and stratum totals are all vocab- or strata-sized;
     * token text exchanges only as count rows. */
   def unigramDriftAgainst(df: DataFrame, model: DataFrame, text: String,
-      strata: String): DataFrame = {
+      strata: String, segment: Boolean = false): DataFrame = {
     val counts = df.where(col(text).isNotNull)
-      .select(col(strata).as("__s"), explode(tokens(col(text))).as("__w"))
+      .select(col(strata).as("__s"),
+        explode(tokensMode(col(text), segment)).as("__w"))
       .groupBy("__s", "__w").agg(count(lit(1)).as("c_s"))
     val m = model.select(col("w").as("__w"), col("c").as("c_m"))
     val vocab = counts.select("__w").distinct()

@@ -3036,6 +3036,65 @@ object LlmQueries {
       .orderBy("source")
   }
 
+  /** q173 hyperparameters: the planted mixed-script corpus renders each
+    * document's word sequence as UNSEGMENTED CJK (each word maps to one
+    * Han codepoint via the portable hash — an alphabet of 128 starting
+    * at U+4E00 — concatenated with NO spaces, the way CJK text actually
+    * arrives), so the near-dup structure of the original corpus carries
+    * over verbatim but whitespace tokenization sees one giant token per
+    * document. Pair generation is the n-gram-Jaccard shape with a
+    * document-frequency cap on the join key (a shingle in more than
+    * `CjkDfCap` docs is a stop-shingle and generates no candidates —
+    * the bound that keeps the equi-join linear in corpus size at scale;
+    * max df here is 14, so the cap is an idle guard at gate scale). */
+  val CjkAlphabetSize = 128
+  val CjkHashSeed = 41
+  val CjkDfCap = 50
+  val CjkMinShared = 10
+  private val CjkAlphabet: String =
+    (0 until CjkAlphabetSize).map(i => (0x4E00 + i).toChar).mkString
+
+  /** q173 — script-aware segmentation vs the whitespace tokenizer on an
+    * unsegmented-CJK rendering of the corpus ([[TextOps.segmentScripts]]
+    * threaded through [[Dedup.shingles]]' `segment` option): the
+    * round-12 defect-shaped gap made measurable. Both modes run the
+    * SAME df-capped shared-3-gram near-dup count; the whitespace mode
+    * is structurally blind (a no-space document is one token — zero
+    * 3-grams, zero docs, zero pairs) while the per-codepoint mode
+    * recovers the corpus's real near-dup pairs. Engine joins 8 B gram
+    * hashes (the q29 discipline); the oracle counts gram TEXTS, so a
+    * hash collision mismatches instead of replaying (the q172 rule). */
+  def cjkDedupQ(s: SparkSession, d: String): DataFrame = {
+    val base = docs(s, d).where(col("text").isNotNull)
+    val cjk = base.select(col("doc_id"),
+      array_join(transform(TextOps.tokens(col("text")),
+        w => lit(CjkAlphabet).substr(
+          pmod(TextOps.portableHash(w, CjkHashSeed),
+            lit(CjkAlphabetSize.toLong)).cast("int") + lit(1),
+          lit(1))), "").as("cjk_text"))
+    def leg(mode: String, segment: Boolean): DataFrame = {
+      val grams = Dedup.hashShingles(
+        Dedup.shingles(cjk, "cjk_text", "doc_id", 3,
+          dedup = true, segment = segment), "doc_id")
+      val kept = grams.join(
+        grams.groupBy("sh_h").agg(count(lit(1)).as("__df"))
+          .where(col("__df") <= CjkDfCap).select("sh_h"),
+        "sh_h")
+      val pairs = kept.select(col("sh_h"), col("doc_id").as("a"))
+        .join(kept.select(col("sh_h"), col("doc_id").as("b")), "sh_h")
+        .where(col("a") < col("b"))
+        .groupBy("a", "b").agg(count(lit(1)).as("shared"))
+        .where(col("shared") >= CjkMinShared)
+      grams.agg(countDistinct(col("doc_id")).as("docs_with_grams"))
+        .crossJoin(pairs.agg(count(lit(1)).as("near_dup_pairs")))
+        .select(lit(mode).as("mode"), col("docs_with_grams"),
+          col("near_dup_pairs"))
+    }
+    leg("script_aware", segment = true)
+      .unionByName(leg("whitespace", segment = false))
+      .orderBy("mode")
+  }
+
   /** q169 — the per-source REPORT CARD: the one-row-per-source summary a
     * curation team reads before touching a crawl — volume (doc count,
     * mean tokens), contamination by duplication (fraction of the
@@ -4600,6 +4659,59 @@ object LlmQueries {
          |FROM agg ORDER BY source""".stripMargin
     },
 
+    // both tokenizer modes replayed over the same derived unsegmented-CJK
+    // corpus: word -> Han codepoint via the portable hash into the same
+    // 128-char alphabet literal, concatenated with no spaces; the
+    // script-aware leg re-runs the engine's segmentation regex (RE2's
+    // \x{...} classes match Java's, incl. the supplementary plane), the
+    // whitespace leg shows the structural blindness (one token per doc ->
+    // zero grams); shingle texts join where the engine joins hashes
+    "q173_cjk_dedup" -> {
+      val h = pHash(CjkHashSeed.toString, "w")
+      val cls = TextOps.CjkCodepointClass
+      s"""WITH cj AS MATERIALIZED (SELECT doc_id,
+         |    list_aggregate(list_transform(
+         |      string_split_regex(trim(lower(text)), '\\s+'),
+         |      w -> substr('$CjkAlphabet', ($h % $CjkAlphabetSize)::INT + 1, 1)),
+         |      'string_agg', '') AS cjk_text
+         |  FROM documents WHERE text IS NOT NULL),
+         |sa AS (SELECT doc_id, string_split_regex(trim(lower(
+         |    regexp_replace(cjk_text, '($cls)', ' \\1 ', 'g'))), '\\s+') AS arr
+         |  FROM cj),
+         |ws AS (SELECT doc_id, string_split_regex(trim(lower(cjk_text)), '\\s+') AS arr
+         |  FROM cj),
+         |g_sa AS MATERIALIZED (SELECT DISTINCT doc_id,
+         |    arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] AS shingle
+         |  FROM (SELECT doc_id, unnest(generate_series(1, len(arr) - 2)) AS i, arr
+         |        FROM sa WHERE len(arr) >= 3)),
+         |g_ws AS MATERIALIZED (SELECT DISTINCT doc_id,
+         |    arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] AS shingle
+         |  FROM (SELECT doc_id, unnest(generate_series(1, len(arr) - 2)) AS i, arr
+         |        FROM ws WHERE len(arr) >= 3)),
+         |k_sa AS MATERIALIZED (SELECT g.doc_id, g.shingle FROM g_sa g
+         |  JOIN (SELECT shingle FROM g_sa GROUP BY shingle
+         |        HAVING count(*) <= $CjkDfCap) d USING (shingle)),
+         |k_ws AS MATERIALIZED (SELECT g.doc_id, g.shingle FROM g_ws g
+         |  JOIN (SELECT shingle FROM g_ws GROUP BY shingle
+         |        HAVING count(*) <= $CjkDfCap) d USING (shingle)),
+         |p_sa AS (SELECT count(*)::BIGINT AS near_dup_pairs FROM (
+         |  SELECT x.doc_id AS a, y.doc_id AS b FROM k_sa x JOIN k_sa y USING (shingle)
+         |  WHERE x.doc_id < y.doc_id GROUP BY 1, 2
+         |  HAVING count(*) >= $CjkMinShared)),
+         |p_ws AS (SELECT count(*)::BIGINT AS near_dup_pairs FROM (
+         |  SELECT x.doc_id AS a, y.doc_id AS b FROM k_ws x JOIN k_ws y USING (shingle)
+         |  WHERE x.doc_id < y.doc_id GROUP BY 1, 2
+         |  HAVING count(*) >= $CjkMinShared))
+         |SELECT 'script_aware' AS mode,
+         |  (SELECT count(DISTINCT doc_id) FROM g_sa)::BIGINT AS docs_with_grams,
+         |  (SELECT near_dup_pairs FROM p_sa) AS near_dup_pairs
+         |UNION ALL
+         |SELECT 'whitespace' AS mode,
+         |  (SELECT count(DISTINCT doc_id) FROM g_ws)::BIGINT AS docs_with_grams,
+         |  (SELECT near_dup_pairs FROM p_ws) AS near_dup_pairs
+         |ORDER BY mode""".stripMargin
+    },
+
     "q170_ann_matryoshka" ->
       """WITH ex AS (SELECT vec_id, i, embedding[i]::DOUBLE AS v
         |  FROM embeddings CROSS JOIN generate_series(1, 64) t(i)),
@@ -5455,6 +5567,7 @@ object LlmQueries {
     "q170_ann_matryoshka" -> annMatryoshka _,
     "q171_ann_bq_rerank" -> annBq _,
     "q172_ngram_novelty" -> ngramNoveltyQ _,
+    "q173_cjk_dedup" -> cjkDedupQ _,
     "q94_jsonl_roundtrip" -> jsonlRoundtrip _,
     "q34_dedup_embed_cosine" -> dedupEmbedCosine _,
     "q35_ann_bruteforce" -> annBruteForce _,

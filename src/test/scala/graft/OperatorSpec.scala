@@ -3046,4 +3046,46 @@ class OperatorSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(viaJoin == viaLit)
   }
+
+  test("tokensScriptAware: per-codepoint CJK, surrogate pairs stay whole, Latin keeps word boundaries") {
+    // U+20000 (CJK ext-B) is a surrogate PAIR in UTF-16 — the codepoint
+    // class must match it as ONE token, never split the surrogates
+    val extB = new String(Character.toChars(0x20000))
+    val df = Seq((1L, s"abc$extB def漢字 x")).toDF("id", "text")
+    val got = df.select(TextOps.tokensScriptAware(col("text")))
+      .collect().head.getSeq[String](0)
+    assert(got == Seq("abc", extB, "def", "漢", "字", "x"), got)
+    // hangul + kana segment too; plain Latin is untouched
+    val got2 = Seq((1L, "한글とカナ plain words")).toDF("id", "text")
+      .select(TextOps.tokensScriptAware(col("text")))
+      .collect().head.getSeq[String](0)
+    assert(got2 == Seq("한", "글", "と", "カ", "ナ", "plain", "words"), got2)
+    // the whitespace tokenizer sees the same CJK run as ONE token — the
+    // coarsening q173 makes measurable
+    val ws = Seq((1L, "한글とカナ")).toDF("id", "text")
+      .select(TextOps.tokens(col("text"))).collect().head.getSeq[String](0)
+    assert(ws == Seq("한글とカナ"), ws)
+  }
+
+  test("shingles(segment): catches an unsegmented-CJK near-dup the whitespace mode cannot see") {
+    val df = Seq(
+      (1L, "漢字一二三四五"),
+      (2L, "漢字一二三四八"),   // shares 4 of 5 codepoint 3-grams with 1
+      (3L, "九十百千万億兆")
+    ).toDF("doc_id", "text")
+    val sa = Dedup.shingles(df, "text", "doc_id", 3, segment = true)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(sa.count(_._1 == 1L) == 5, sa)
+    val shared = sa.filter(_._1 == 1L).map(_._2) &
+      sa.filter(_._1 == 2L).map(_._2)
+    assert(shared.size == 4, shared)
+    // whitespace mode: each doc is one token -> no 3-grams at all
+    val ws = Dedup.shingles(df, "text", "doc_id", 3)
+    assert(ws.count() == 0L)
+    // normalize would silently delete the CJK — composing is a loud error
+    val err = intercept[IllegalArgumentException](
+      Dedup.shingles(df, "text", "doc_id", 3,
+        normalize = true, segment = true))
+    assert(err.getMessage.contains("mutually exclusive"), err.getMessage)
+  }
 }
