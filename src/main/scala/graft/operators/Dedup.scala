@@ -39,6 +39,22 @@ object Dedup {
       .agg(min(col(id)).as("keep_id"), count(lit(1)).as("copies"))
       .select("keep_id", "copies")
 
+  /** URL-keyed dedup — the crawl pipeline's stage ZERO: collapse rows
+    * whose URLs canonicalize to the same resource
+    * ([[TextOps.canonicalUrl]]: scheme/host case, default port,
+    * trailing slash, fragment, query order) before any content is
+    * compared. Same exchange discipline as [[exact]]: the group key is
+    * the 60-bit portable hash of the canonical URL, computed map-side,
+    * so the shuffle carries 8 B per row — never the URL string (PlanSpec
+    * pins it on q174). A 60-bit collision merges two URLs' groups with
+    * odds ~2⁻⁶⁰ per pair — immaterial against crawl-scale shuffle bytes
+    * (the [[jaccardPairs]] rationale). Output:
+    * `(url_h, keep_id, copies)`, smallest id kept per canonical URL. */
+  def urlDedup(df: DataFrame, url: String, id: String): DataFrame =
+    df.groupBy(TextOps.portableHash(TextOps.canonicalUrl(col(url)), 23)
+        .as("url_h"))
+      .agg(min(col(id)).as("keep_id"), count(lit(1)).as("copies"))
+
   /** Word shingles (n-grams of tokens) as exploded rows (id, shingle),
     * distinct. n=1 -> token set. `normalize` runs
     * [[graft.operators.TextOps.normalizeForMatch]] (casefold /

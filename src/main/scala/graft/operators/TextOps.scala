@@ -777,6 +777,48 @@ object TextOps {
     * the audit trail. Pure `regexp_replace`/`regexp_extract_all` column
     * arithmetic — map-only, codegen'd, a free pass over the scan at any
     * corpus scale. */
+  /** URL canonicalization — the key of the FIRST dedup stage of every
+    * crawl pipeline (cheaper than any content dedup: the same page
+    * re-crawled under a cosmetically different URL collapses before a
+    * single byte of content is compared). Normalizations, each a
+    * published crawler convention (RFC 3986 §6 syntax-based
+    * normalization):
+    *
+    *  - scheme and host lowercase (case-insensitive per RFC);
+    *    path/query keep their case (significant);
+    *  - default port stripped (`:80` for http, `:443` for https; any
+    *    other port is kept);
+    *  - fragment stripped entirely (never sent to the server);
+    *  - trailing slashes stripped from the path (root `/` collapses to
+    *    the empty path — `http://a.com/` ≡ `http://a.com`);
+    *  - query parameters sorted bytewise and rejoined (`?b=2&a=1` ≡
+    *    `?a=1&b=2`); empty params dropped.
+    *
+    * Pure regexp/array column arithmetic (codegen'd, map-only) and
+    * every step replays in DuckDB (anchored patterns, so Spark's
+    * always-global regexp_replace and DuckDB's first-match default
+    * agree). A string without a `scheme://` prefix passes through as
+    * `trim(url)` — not this operator's job to guess. */
+  def canonicalUrl(u: Column): Column = {
+    val s = trim(u)
+    val schemeRe = "^([A-Za-z][A-Za-z0-9+.\\-]*)://"
+    val scheme = lower(regexp_extract(s, schemeRe, 1))
+    val noFrag = regexp_replace(regexp_replace(s, schemeRe, ""), "#.*$", "")
+    val hostport0 = lower(regexp_extract(noFrag, "^([^/?]*)", 1))
+    val hostport = when(scheme === "http",
+        regexp_replace(hostport0, ":80$", ""))
+      .when(scheme === "https", regexp_replace(hostport0, ":443$", ""))
+      .otherwise(hostport0)
+    val pathq = regexp_replace(noFrag, "^[^/?]*", "")
+    val path = regexp_replace(regexp_extract(pathq, "^([^?]*)", 1), "/+$", "")
+    val query = regexp_replace(pathq, "^[^?]*\\??", "")
+    val qSorted = array_join(
+      array_sort(filter(split(query, "&"), x => x =!= "")), "&")
+    when(scheme === "", s).otherwise(concat(
+      scheme, lit("://"), hostport, path,
+      when(qSorted === "", lit("")).otherwise(concat(lit("?"), qSorted))))
+  }
+
   def redactPii(df: DataFrame, text: String, id: String): DataFrame = {
     val t = col(text)
     // each count runs on the PREVIOUS stage's output (emails gone before

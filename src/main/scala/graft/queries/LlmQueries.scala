@@ -3095,6 +3095,33 @@ object LlmQueries {
       .orderBy("mode")
   }
 
+  /** q174 — URL-keyed dedup ([[Dedup.urlDedup]] over
+    * [[TextOps.canonicalUrl]]): stage ZERO of a crawl pipeline, absent
+    * until round 13. The corpus carries no URL column, so the plant
+    * derives one per doc: four variants per canonical group (doc_id/4),
+    * three of which differ only cosmetically — host/scheme case,
+    * explicit default port, trailing slash, query order, fragment —
+    * and one (the `/other` path, https with `:443` and mixed-case
+    * host) genuinely distinct. Canonicalization must collapse exactly
+    * the cosmetic three: 250 keepers from 500 rows, 125 groups of 3 +
+    * 125 singletons. The exchange carries the 8 B canonical hash, never
+    * the URL string (PlanSpec pins the shuffle payload); the oracle
+    * replays every normalization step and the hash. */
+  def urlDedupQ(s: SparkSession, d: String): DataFrame = {
+    val g = floor(col("doc_id") / 4).cast("long").cast("string")
+    val v = pmod(col("doc_id"), lit(4))
+    val urls = docs(s, d).select(col("doc_id"),
+      when(v === 0, concat(lit("http://example.com/site"), g,
+          lit("/page?a=1&b=2")))
+        .when(v === 1, concat(lit("HTTP://EXAMPLE.COM:80/site"), g,
+          lit("/page/?b=2&a=1")))
+        .when(v === 2, concat(lit("http://example.com/site"), g,
+          lit("/page?b=2&a=1#frag")))
+        .otherwise(concat(lit("https://Example.COM:443/site"), g,
+          lit("/other?a=1"))).as("url"))
+    Dedup.urlDedup(urls, "url", "doc_id").orderBy("keep_id")
+  }
+
   /** q169 — the per-source REPORT CARD: the one-row-per-source summary a
     * curation team reads before touching a crawl — volume (doc count,
     * mean tokens), contamination by duplication (fraction of the
@@ -4712,6 +4739,46 @@ object LlmQueries {
          |ORDER BY mode""".stripMargin
     },
 
+    // the planted URL variants, RFC 3986 §6 canonicalization (scheme/host
+    // case, default port, fragment, trailing slash, query order), and the
+    // 60-bit canonical hash all replayed step by step; anchored patterns
+    // keep Spark's always-global regexp_replace and DuckDB's first-match
+    // default equivalent
+    "q174_url_dedup" -> {
+      val h = pHash("23", "cu")
+      s"""WITH u AS (SELECT doc_id,
+         |  CASE doc_id % 4
+         |    WHEN 0 THEN 'http://example.com/site' || (doc_id // 4)::VARCHAR || '/page?a=1&b=2'
+         |    WHEN 1 THEN 'HTTP://EXAMPLE.COM:80/site' || (doc_id // 4)::VARCHAR || '/page/?b=2&a=1'
+         |    WHEN 2 THEN 'http://example.com/site' || (doc_id // 4)::VARCHAR || '/page?b=2&a=1#frag'
+         |    ELSE 'https://Example.COM:443/site' || (doc_id // 4)::VARCHAR || '/other?a=1'
+         |  END AS url FROM documents),
+         |c1 AS (SELECT doc_id, trim(url) AS s,
+         |    lower(regexp_extract(trim(url), '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+         |    regexp_replace(regexp_replace(trim(url),
+         |      '^[A-Za-z][A-Za-z0-9+.-]*://', ''), '#.*$$', '') AS nofrag
+         |  FROM u),
+         |c2 AS (SELECT doc_id, s, scheme,
+         |    lower(regexp_extract(nofrag, '^([^/?]*)', 1)) AS hp0,
+         |    regexp_replace(nofrag, '^[^/?]*', '') AS pathq
+         |  FROM c1),
+         |c3 AS (SELECT doc_id, s, scheme,
+         |    CASE WHEN scheme = 'http' THEN regexp_replace(hp0, ':80$$', '')
+         |         WHEN scheme = 'https' THEN regexp_replace(hp0, ':443$$', '')
+         |         ELSE hp0 END AS hostport,
+         |    regexp_replace(regexp_extract(pathq, '^([^?]*)', 1), '/+$$', '') AS path,
+         |    coalesce(list_aggregate(list_sort(list_filter(
+         |      string_split(regexp_replace(pathq, '^[^?]*\\??', ''), '&'),
+         |      x -> x <> '')), 'string_agg', '&'), '') AS q
+         |  FROM c2),
+         |canon AS (SELECT doc_id, CASE WHEN scheme = '' THEN s ELSE
+         |    scheme || '://' || hostport || path ||
+         |    CASE WHEN q = '' THEN '' ELSE '?' || q END END AS cu
+         |  FROM c3)
+         |SELECT $h AS url_h, min(doc_id) AS keep_id, count(*)::BIGINT AS copies
+         |FROM canon GROUP BY 1 ORDER BY keep_id""".stripMargin
+    },
+
     "q170_ann_matryoshka" ->
       """WITH ex AS (SELECT vec_id, i, embedding[i]::DOUBLE AS v
         |  FROM embeddings CROSS JOIN generate_series(1, 64) t(i)),
@@ -5568,6 +5635,7 @@ object LlmQueries {
     "q171_ann_bq_rerank" -> annBq _,
     "q172_ngram_novelty" -> ngramNoveltyQ _,
     "q173_cjk_dedup" -> cjkDedupQ _,
+    "q174_url_dedup" -> urlDedupQ _,
     "q94_jsonl_roundtrip" -> jsonlRoundtrip _,
     "q34_dedup_embed_cosine" -> dedupEmbedCosine _,
     "q35_ann_bruteforce" -> annBruteForce _,

@@ -3047,6 +3047,34 @@ class OperatorSpec extends AnyFunSuite {
     assert(viaJoin == viaLit)
   }
 
+  test("canonicalUrl: RFC 3986 cosmetic variants collapse, genuine differences survive") {
+    def canon(u: String): String =
+      Seq(Tuple1(u)).toDF("u")
+        .select(TextOps.canonicalUrl(col("u"))).collect().head.getString(0)
+    // case, default port, trailing slash, query order, fragment
+    assert(canon("HTTP://Example.COM:80/a/b/?y=2&x=1#frag") ==
+      "http://example.com/a/b?x=1&y=2")
+    assert(canon("https://example.com:443/a") == "https://example.com/a")
+    assert(canon("http://example.com/") == "http://example.com")
+    assert(canon("http://example.com/?") == "http://example.com")
+    // non-default port, path case, and a different path are significant
+    assert(canon("http://example.com:8080/A") == "http://example.com:8080/A")
+    assert(canon("http://example.com/a") != canon("http://example.com/b"))
+    // https default-port stripping is scheme-aware
+    assert(canon("http://example.com:443/a") == "http://example.com:443/a")
+    // no scheme: pass through trimmed, untouched
+    assert(canon("  not a url  ") == "not a url")
+    // urlDedup collapses exactly the cosmetic variants
+    val df = Seq(
+      (1L, "http://a.com/x?p=1&q=2"),
+      (2L, "HTTP://A.COM:80/x/?q=2&p=1"),
+      (3L, "http://a.com/y?p=1&q=2")
+    ).toDF("doc_id", "url")
+    val got = Dedup.urlDedup(df, "url", "doc_id")
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((1L, 2L), (3L, 1L)), got)
+  }
+
   test("tokensScriptAware: per-codepoint CJK, surrogate pairs stay whole, Latin keeps word boundaries") {
     // U+20000 (CJK ext-B) is a surrogate PAIR in UTF-16 — the codepoint
     // class must match it as ONE token, never split the surrogates

@@ -188,6 +188,23 @@ class PlanSpec extends AnyFunSuite {
     assert("partitioning\\(text".r.findFirstIn(p).isEmpty, p.take(3000))
   }
 
+  test("q174: URL-dedup exchanges carry the 8B canonical hash, never the URL string") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val df = SparkEntry.queries("q174_url_dedup")(spark, sf)
+    df.collect()
+    val shuffles = flattenPlan(df.queryExecution.executedPlan)
+      .collect { case s: ShuffleExchangeLike => s }
+    assert(shuffles.nonEmpty)
+    // the canonicalized URL and its hash are computed MAP-SIDE (the q29
+    // discipline): the agg shuffle payload is (url_h, partial min,
+    // partial count) — a url column here would ship every crawl URL's
+    // bytes through the exchange
+    shuffles.foreach { s =>
+      assert(!s.output.exists(_.name == "url"),
+        s"exchange payload carries the URL string: ${s.output.mkString(", ")}")
+    }
+  }
+
   test("q30/q57/q63: no exchange carries shingle text — shingle ops shuffle 8B hashes") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
     Seq("q30_dedup_jaccard", "q57_dedup_capped_verified",
