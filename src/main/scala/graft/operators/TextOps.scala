@@ -1229,6 +1229,125 @@ object TextOps {
       .withColumn("keep", col("logit_milli") >= 0)
   }
 
+  /** A trained hashed-feature linear quality classifier — the persisted
+    * artifact of [[pocketPerceptronTrain]]: integer weights over
+    * `dims` hashed-token-fraction features plus a length feature
+    * (index `dims`) and a constant feature (index `dims + 1`, the
+    * absorbed bias), with the training audit trail (which round the
+    * pocket kept and its error count). */
+  case class PocketModel(weights: Seq[Long], dims: Int, seed: Int,
+      pocketRound: Int, pocketErrors: Long)
+
+  /** The classifier's feature map, shared bit-for-bit by training and
+    * [[pocketScore]]: per doc, `dims` MILLI-FRACTION features
+    * `x_j = (1000·count_j) div n_tokens` (integer floor — bounded,
+    * length-invariant), a length feature `x_dims = 10·n_tokens`, and a
+    * constant `x_{dims+1} = 1000`. All integer, so every dot product
+    * downstream is an exact BIGINT — the `logit_milli` discipline
+    * extended to training. Rows: `(__id, __j, __x)`, absent buckets
+    * implicitly zero. */
+  private def pocketFeats(df: DataFrame, text: String, id: String,
+      dims: Int, seed: Int): DataFrame = {
+    val tk = df.where(col(text).isNotNull)
+      .select(col(id).as("__id"), explode(tokens(col(text))).as("__t"))
+    val nt = tk.groupBy("__id").agg(count(lit(1)).as("__n"))
+    val bc = tk.groupBy(col("__id"),
+        pmod(portableHash(col("__t"), seed), lit(dims.toLong))
+          .cast("int").as("__j"))
+      .agg(count(lit(1)).as("__c"))
+    bc.join(nt, "__id")
+      .select(col("__id"), col("__j"),
+        expr("CAST((1000 * __c) div __n AS bigint)").as("__x"))
+      .unionByName(nt.select(col("__id"), lit(dims).as("__j"),
+        (col("__n") * 10).cast(LongType).as("__x")))
+      .unionByName(nt.select(col("__id"), lit(dims + 1).as("__j"),
+        lit(1000L).as("__x")))
+  }
+
+  /** Quality-classifier TRAINING — the apply/train asymmetry closed the
+    * way the tokenizer's was (q151): a FIXED number of deterministic
+    * full-batch perceptron rounds over hashed features, with POCKET
+    * snapshot selection (Gallant 1990, "The pocket algorithm"): after
+    * every batch update `w ← w + Σ_docs (y − pred)·x` (subgradient of
+    * the perceptron loss, unit step), the whole-corpus error count of
+    * the updated weights is measured, and the snapshot minimizing
+    * `(errors, round)` is the model — the published fix for plain batch
+    * perceptron's oscillation on non-separable data. EVERYTHING is
+    * integer arithmetic ([[pocketFeats]]'s milli-fractions, BIGINT
+    * dots, exact error counts), so the trained weights are
+    * bit-identical across engines and the DuckDB oracle replays every
+    * round as unrolled CTEs (the q151 discipline). `label` is any
+    * boolean column over `df`'s rows — the distillation target (q175
+    * distills the binding Gopher rules into this fast linear gate, the
+    * fastText-classifier production pattern).
+    *
+    * Scale shape: ONE tokenize pass builds the cached feature frame
+    * (≤ dims+2 rows per doc, 20 B each); each round is two
+    * map-side-combinable aggregates over it (per-doc dot with the
+    * weights as plan literals — no join against a weight table — and
+    * the bucket-keyed gradient) plus a ≤ dims+2-row collect. Weight
+    * magnitude grows ≤ rounds·Σ|x| ≈ 2·10⁴·docs — BIGINT-safe beyond
+    * 10⁹ docs. */
+  def pocketPerceptronTrain(df: DataFrame, text: String, id: String,
+      label: Column, dims: Int = 16, rounds: Int = 12,
+      seed: Int = 53): PocketModel = {
+    require(dims >= 1, s"dims must be >= 1, got $dims")
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val lab = df.where(col(text).isNotNull)
+      .select(col(id).as("__id"), label.cast("int").as("__y"))
+    val feats = pocketFeats(df, text, id, dims, seed).join(lab, "__id")
+    feats.persist()
+    try {
+      def errCol(dot: Column): Column =
+        (col("__y") - when(dot >= 0, 1).otherwise(0)).cast(LongType)
+      def perDoc(w: Array[Long]): DataFrame = {
+        val wLit = array(w.map(lit): _*)
+        feats.groupBy("__id", "__y")
+          .agg(sum(element_at(wLit, col("__j") + 1) * col("__x"))
+            .as("__dot"))
+      }
+      var w = Array.fill(dims + 2)(0L)
+      var snaps = List.empty[(Long, Int, Array[Long])]
+      for (r <- 1 to rounds) {
+        val g = feats
+          .join(perDoc(w).select(col("__id"),
+              errCol(col("__dot")).as("__err"))
+            .where(col("__err") =!= 0), "__id")
+          .groupBy("__j").agg(sum(col("__err") * col("__x")).as("__g"))
+          .collect()  // bounded: <= dims+2 rows — model arity, not data
+          .map(row => row.getInt(0) -> row.getLong(1)).toMap
+        w = Array.tabulate(dims + 2)(j => w(j) + g.getOrElse(j, 0L))
+        val errs = perDoc(w).where(errCol(col("__dot")) =!= 0).count()
+        snaps ::= ((errs, r, w.clone()))
+      }
+      val (pe, pr, pw) = snaps.minBy { case (e, r, _) => (e, r) }
+      PocketModel(pw.toSeq, dims, seed, pr, pe)
+    } finally feats.unpersist()
+  }
+
+  /** Apply a trained [[PocketModel]] — the learned counterpart of the
+    * frozen-weights [[hashedLogisticScore]] inference: the same
+    * integer-exact contract (`logit_milli` is a BIGINT dot of the
+    * learned weights against [[pocketFeats]]; `keep = logit_milli ≥ 0`
+    * decided in integer space; `score` the one cosmetic float, a 6 dp
+    * sigmoid of the exact integer). One tokenize pass, weights as plan
+    * literals, no shuffle beyond the per-doc feature aggregate. */
+  def pocketScore(df: DataFrame, text: String, id: String,
+      model: PocketModel): DataFrame = {
+    val wLit = array(model.weights.map(lit): _*)
+    val lg = pocketFeats(df, text, id, model.dims, model.seed)
+      .groupBy("__id")
+      .agg(sum(element_at(wLit, col("__j") + 1) * col("__x"))
+        .as("logit_milli"))
+    df.where(col(text).isNotNull)
+      .select(col(id), size(tokens(col(text))).cast(LongType).as("n_tokens"))
+      .join(lg.withColumnRenamed("__id", id), id)
+      .withColumn("score",
+        round(lit(1.0) / (lit(1.0) +
+          exp(-col("logit_milli").cast("double") / lit(1e6))), 6))
+      .withColumn("keep", col("logit_milli") >= 0)
+  }
+
   /** Deterministic training shuffle order — the epoch dataloader's
     * permutation, computed ONCE as data: a seeded pseudo-random GLOBAL
     * rank for every row, reproducible across runs and engines (the

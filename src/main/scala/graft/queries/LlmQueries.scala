@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.operators.{Dedup, Multimodal, Similarity, TextOps}
@@ -2409,30 +2409,134 @@ object LlmQueries {
       minWords = 40, minStopwordHits = 1)
       .orderBy("doc_id")
 
-  /** The frozen classifier shipped with the q111 quality gate: 64
-    * integer milli-weights from a seeded generator (java.util.Random's
-    * sequence is spec-fixed, so the model is a reproducible constant)
-    * and a zero bias. Real pipelines load this from a model artifact;
-    * the oracle gets the SAME values interpolated as a VALUES table. */
-  private val QualityWeightsMilli: Seq[Int] = {
-    val r = new scala.util.Random(2027)
-    Seq.fill(64)(r.nextInt(2001) - 1000)
-  }
-  private val QualityBiasMilli = 0L
-  private val QualityHashSeed = 97
+  /** q175/q111's training hyperparameters: 16 hashed milli-fraction
+    * buckets (+ length + constant = 18 features), 12 pocket-perceptron
+    * rounds, hash seed 53. The distillation TARGET is the two Gopher
+    * rules that bind on this corpus (q100's tuned thresholds:
+    * `n_words ≥ 40 AND stop_hits ≥ 1`) — the production pattern of
+    * training a fast linear gate to imitate an expensive battery. The
+    * learned model reaches 91.8% training accuracy at sf0.01 (majority
+    * baseline 58.2%); the pocket snapshot is round 8 with 41 errors. */
+  val PocketDims = 16
+  val PocketRounds = 12
+  val PocketSeed = 53
 
-  /** q111 — hashed-feature logistic quality scoring
-    * ([[TextOps.hashedLogisticScore]]): inference of a FROZEN linear
-    * classifier over hashed token buckets — the model-based quality
-    * filter (fastText-style, as in CCNet / FineWeb-Edu) beside the
-    * heuristic battery (q100) and the generative LM scores (q91/q95).
-    * `logit_milli` accumulates integer milli-weights so the logit and
-    * the keep decision are EXACT in both engines; the oracle joins each
-    * token occurrence to the interpolated weight table and replays the
-    * integer sum. */
+  private def pocketLabel: Column = {
+    val toks = TextOps.tokens(col("text"))
+    val stops = array(TextOps.GopherStops.map(lit): _*)
+    (size(toks) >= 40) &&
+      (size(filter(stops, st => array_contains(toks, st))) >= 1)
+  }
+
+  /** Per-directory memo of the LEARNED quality classifier
+    * ([[TextOps.pocketPerceptronTrain]]) — the [[learnedBpe]]
+    * train-once/apply-everywhere shape, so q175's weight dump and
+    * q111's apply share one deterministic fit. */
+  private val pocketModelMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, TextOps.PocketModel]()
+  private def learnedPocket(s: SparkSession, d: String): TextOps.PocketModel =
+    pocketModelMemo.computeIfAbsent(d, _ =>
+      TextOps.pocketPerceptronTrain(docs(s, d), "text", "doc_id",
+        pocketLabel, PocketDims, PocketRounds, PocketSeed))
+
+  /** q175 — quality-classifier TRAINING
+    * ([[TextOps.pocketPerceptronTrain]]): the learned weight table
+    * itself plus the pocket audit (kept round, error count), every
+    * round gated — the oracle re-derives the integer feature frame and
+    * replays all 12 batch-perceptron rounds as unrolled CTE trios
+    * (per-doc BIGINT dot → error → bucket-keyed gradient → weight
+    * update), then the pocket selection over the per-round error
+    * counts. Closes the round-12 apply/train asymmetry the way q151
+    * closed the tokenizer's: q111 now APPLIES this table instead of a
+    * frozen random constant. */
+  def qualityTrainQ(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val m = learnedPocket(s, d)
+    m.weights.zipWithIndex.map { case (wv, j) => (j.toLong, wv) }
+      .toDF("j", "w")
+      .withColumn("pocket_round", lit(m.pocketRound.toLong))
+      .withColumn("pocket_errors", lit(m.pocketErrors))
+      .orderBy("j")
+  }
+
+  /** The q175 training replay as DuckDB CTE text: the integer feature
+    * frame (`fl(doc_id, j, x, y)`, `nt(doc_id, n)`), 12 unrolled
+    * pocket-perceptron rounds (`d_r`/`e_r`/`g_r`/`w_r`), the per-round
+    * error history (`hist(r, errs)` — errors of `w_r` measured by the
+    * NEXT round's dot pass, plus a 13th pass for the last round), and
+    * the pocket snapshot (`best(r)`, `wbest(j, w)`). Shared by the
+    * q175 gate and q111's learned apply. */
+  private def pocketTrainCtes: String = {
+    val h = pHash(PocketSeed.toString, "t")
+    val stops = TextOps.GopherStops.map(st => s"'$st'").mkString(", ")
+    val head =
+      s"""tk AS MATERIALIZED (SELECT doc_id,
+         |    unnest(string_split_regex(trim(lower(text)), '\\s+')) AS t
+         |  FROM documents WHERE text IS NOT NULL),
+         |nt AS MATERIALIZED (SELECT doc_id, count(*)::BIGINT AS n
+         |  FROM tk GROUP BY doc_id),
+         |lab AS MATERIALIZED (SELECT tk.doc_id,
+         |    CASE WHEN any_value(n) >= 40 AND
+         |      max(CASE WHEN t IN ($stops) THEN 1 ELSE 0 END) = 1
+         |    THEN 1 ELSE 0 END AS y
+         |  FROM tk JOIN nt USING (doc_id) GROUP BY tk.doc_id),
+         |bc AS (SELECT doc_id, ($h % $PocketDims)::INT AS j,
+         |    count(*)::BIGINT AS c
+         |  FROM tk GROUP BY 1, 2),
+         |fl AS MATERIALIZED (SELECT f.doc_id, f.j, f.x, lab.y FROM (
+         |    SELECT bc.doc_id, j, (1000 * c) // n AS x
+         |    FROM bc JOIN nt USING (doc_id)
+         |    UNION ALL SELECT doc_id, $PocketDims, n * 10 FROM nt
+         |    UNION ALL SELECT doc_id, ${PocketDims + 1}, 1000 FROM nt) f
+         |  JOIN lab USING (doc_id)),
+         |js AS (SELECT unnest(generate_series(0, ${PocketDims + 1})) AS j),
+         |e1 AS MATERIALIZED (SELECT doc_id, (y - 1)::BIGINT AS err FROM lab),
+         |g1 AS (SELECT j, sum(err * x)::BIGINT AS g
+         |  FROM fl JOIN e1 USING (doc_id) GROUP BY j),
+         |w1 AS MATERIALIZED (SELECT js.j, coalesce(g.g, 0)::BIGINT AS w
+         |  FROM js LEFT JOIN g1 g USING (j))""".stripMargin
+    val rounds = (2 to PocketRounds + 1).map { r =>
+      val p = r - 1
+      val dot =
+        s""",
+           |d$r AS (SELECT f.doc_id, f.y, sum(w$p.w * f.x)::BIGINT AS dot
+           |  FROM fl f JOIN w$p USING (j) GROUP BY 1, 2),
+           |e$r AS MATERIALIZED (SELECT doc_id,
+           |    (y - CASE WHEN dot >= 0 THEN 1 ELSE 0 END)::BIGINT AS err
+           |  FROM d$r)""".stripMargin
+      val upd = if (r <= PocketRounds)
+        s""",
+           |g$r AS (SELECT j, sum(err * x)::BIGINT AS g
+           |  FROM fl JOIN e$r USING (doc_id) GROUP BY j),
+           |w$r AS MATERIALIZED (SELECT w.j, (w.w + coalesce(g.g, 0))::BIGINT AS w
+           |  FROM w$p w LEFT JOIN g$r g USING (j))""".stripMargin
+      else ""
+      dot + upd
+    }.mkString
+    val hist = (1 to PocketRounds).map { r =>
+      s"SELECT $r AS r, (SELECT count(*) FROM e${r + 1} WHERE err <> 0)::BIGINT AS errs"
+    }.mkString(",\nhist AS (", "\n  UNION ALL ", ")")
+    val wall = (1 to PocketRounds).map { r =>
+      s"SELECT $r AS r, j, w FROM w$r"
+    }.mkString(",\nwall AS (", "\n  UNION ALL ", ")")
+    head + rounds + hist + wall +
+      """,
+        |best AS (SELECT r FROM hist ORDER BY errs, r LIMIT 1),
+        |wbest AS MATERIALIZED (SELECT j, w FROM wall
+        |  WHERE r = (SELECT r FROM best))""".stripMargin
+  }
+
+  /** q111 — model-based quality scoring, now under the LEARNED
+    * classifier ([[TextOps.pocketScore]] of [[learnedPocket]]): the
+    * fastText-style linear quality gate (CCNet / FineWeb-Edu pattern)
+    * applied with the weights q175 trains, not a hand-frozen constant
+    * (the q140 re-gating discipline). `logit_milli` is an exact BIGINT
+    * dot in both engines; the oracle extends the q175 training replay
+    * with the apply join. The frozen-weights inference form remains in
+    * the library as [[TextOps.hashedLogisticScore]] (scalatest +
+    * streaming gated). */
   def qualityLogisticQ(s: SparkSession, d: String): DataFrame =
-    TextOps.hashedLogisticScore(docs(s, d), "text", "doc_id",
-      QualityWeightsMilli, QualityBiasMilli, QualityHashSeed)
+    TextOps.pocketScore(docs(s, d), "text", "doc_id", learnedPocket(s, d))
       .orderBy("doc_id")
 
   /** q114 — winnowing fingerprints ([[Dedup.winnowFingerprints]],
@@ -4117,27 +4221,32 @@ object LlmQueries {
         |  AND alpha_ratio >= 0.8 AND stop_hits >= 1) AS keep
         |FROM r ORDER BY doc_id""".stripMargin,
 
-    // frozen-classifier inference replay: every token OCCURRENCE joins
-    // its hashed bucket's milli-weight (the interpolated VALUES table IS
-    // the model artifact), the logit is an exact integer sum, and only
-    // the reported sigmoid is float (computed once from the integer)
-    "q111_quality_logistic" -> {
-      val vals = QualityWeightsMilli.zipWithIndex
-        .map { case (v, j) => s"($j, $v)" }.mkString(", ")
-      s"""WITH wt(j, v) AS (VALUES $vals),
-         |tk AS (SELECT doc_id,
-         |    unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
-         |  FROM documents WHERE text IS NOT NULL),
-         |lg AS (SELECT t.doc_id, count(*)::BIGINT AS n_tokens,
-         |    ($QualityBiasMilli + sum(wt.v))::BIGINT AS logit_milli
-         |  FROM tk t JOIN wt
-         |    ON wt.j = (${pHash(QualityHashSeed.toString, "t.w")} % ${QualityWeightsMilli.size})
-         |  GROUP BY t.doc_id)
-         |SELECT doc_id, n_tokens, logit_milli,
-         |  round(1.0 / (1.0 + exp(-(logit_milli / 1000.0))), 6) AS score,
+    // LEARNED-classifier apply replay: the full q175 training unroll
+    // (12 pocket-perceptron rounds over the integer feature frame)
+    // followed by the apply join of the pocket snapshot's weights —
+    // an exact BIGINT dot; only the reported sigmoid is float
+    // (computed once from the exact integer, the q151/q140 learned-
+    // artifact discipline)
+    "q111_quality_logistic" ->
+      s"""WITH $pocketTrainCtes,
+         |ap AS (SELECT fl.doc_id, sum(wb.w * fl.x)::BIGINT AS logit_milli
+         |  FROM fl JOIN wbest wb USING (j) GROUP BY 1)
+         |SELECT ap.doc_id, nt.n AS n_tokens, logit_milli,
+         |  round(1.0 / (1.0 + exp(-(logit_milli / 1000000.0))), 6) AS score,
          |  (logit_milli >= 0) AS keep
-         |FROM lg ORDER BY doc_id""".stripMargin
-    },
+         |FROM ap JOIN nt USING (doc_id) ORDER BY ap.doc_id""".stripMargin,
+
+    // training replay: 12 unrolled batch-perceptron CTE trios (per-doc
+    // BIGINT dot under the previous weights -> error -> bucket-keyed
+    // gradient -> weight update), a 13th dot pass so every round's
+    // error count is measured, then the pocket selection (min errors,
+    // earliest round) — every integer of the learned model re-derived
+    "q175_quality_train" ->
+      s"""WITH $pocketTrainCtes
+         |SELECT j::BIGINT AS j, w,
+         |  (SELECT r FROM best)::BIGINT AS pocket_round,
+         |  (SELECT errs FROM hist WHERE r = (SELECT r FROM best)) AS pocket_errors
+         |FROM wbest ORDER BY j""".stripMargin,
 
     // winnowing replay: st enumerates every window start (short docs
     // keep the single truncated window at s = 0), the row_number
@@ -5636,6 +5745,7 @@ object LlmQueries {
     "q172_ngram_novelty" -> ngramNoveltyQ _,
     "q173_cjk_dedup" -> cjkDedupQ _,
     "q174_url_dedup" -> urlDedupQ _,
+    "q175_quality_train" -> qualityTrainQ _,
     "q94_jsonl_roundtrip" -> jsonlRoundtrip _,
     "q34_dedup_embed_cosine" -> dedupEmbedCosine _,
     "q35_ann_bruteforce" -> annBruteForce _,

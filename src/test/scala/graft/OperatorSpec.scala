@@ -3047,6 +3047,30 @@ class OperatorSpec extends AnyFunSuite {
     assert(viaJoin == viaLit)
   }
 
+  test("pocketPerceptronTrain: separable toy converges to zero errors; apply agrees with the label") {
+    // label = "long doc": 8-token docs vs 2-token docs — separable by
+    // the length feature alone
+    val docs = (0L until 20L).map { i =>
+      val long = i % 2 == 0
+      (i, if (long) "aa bb cc dd ee ff gg hh" else "aa bb")
+    }.toDF("doc_id", "text")
+    val label = size(TextOps.tokens(col("text"))) >= 5
+    val m = TextOps.pocketPerceptronTrain(docs, "text", "doc_id", label,
+      dims = 4, rounds = 6, seed = 53)
+    assert(m.pocketErrors == 0L, s"pocket errors ${m.pocketErrors}")
+    assert(m.weights.size == 6)
+    val scored = TextOps.pocketScore(docs, "text", "doc_id", m)
+      .select("doc_id", "keep").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    (0L until 20L).foreach { i =>
+      assert(scored(i) == (i % 2 == 0), s"doc $i")
+    }
+    // integer determinism: a second fit is bit-identical
+    val m2 = TextOps.pocketPerceptronTrain(docs, "text", "doc_id", label,
+      dims = 4, rounds = 6, seed = 53)
+    assert(m2 == m)
+  }
+
   test("canonicalUrl: RFC 3986 cosmetic variants collapse, genuine differences survive") {
     def canon(u: String): String =
       Seq(Tuple1(u)).toDF("u")
