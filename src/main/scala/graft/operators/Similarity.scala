@@ -707,17 +707,19 @@ object Similarity {
     * (q97) that vector stores scan first. `v > 0` maps to bit `i`;
     * zeros and negatives clear it. Map-only; the packed word is the
     * only thing a BQ scan reads. */
-  def bqQuantize(df: DataFrame, id: String, emb: String): DataFrame =
+  def bqQuantize(df: DataFrame, id: String, emb: String,
+      keep: Seq[String] = Nil): DataFrame =
     // >64 dims would WRAP shiftleft silently (Java shifts are mod 64)
     // and alias distant dimensions into the same bit — fault loudly
     // instead (the zero-norm cosine contract: corrupt input never
-    // degrades quietly)
-    df.select(col(id), expr(
+    // degrades quietly). `keep` carries extra columns (e.g. the IVF
+    // cell) through the projection so callers don't re-scan for them.
+    df.select(col(id) +: keep.map(col) :+ expr(
       s"IF(size($emb) > 64, raise_error('bqQuantize: embedding has ' " +
         s"|| size($emb) || ' dims; one 64-bit word holds at most 64'), " +
         s"aggregate(zip_with($emb, sequence(0, size($emb) - 1), " +
         "(v, i) -> IF(v > 0D, shiftleft(1L, cast(i AS int)), 0L)), " +
-        "0L, (acc, x) -> acc + x))").as("bq_code"))
+        "0L, (acc, x) -> acc + x))").as("bq_code"): _*)
 
   /** BQ search with exact re-rank — the two-phase shape every
     * binary-quantized store runs: phase 1 scans ONLY the 8 B packed
@@ -759,6 +761,115 @@ object Similarity {
         "q_id")
       .select(col("q_id"), col(id), col("ham"),
         round(cosine(col(emb).cast("array<double>"),
+          col("__qe").cast("array<double>")), 4).as("cos"))
+      .withColumn("rank", row_number().over(wC))
+      .where(col("rank") <= k)
+  }
+
+  /** A materialized BQ-over-IVF code index — the PRODUCTION BQ tier
+    * (the round-12 verdict's missing tier): the 8 B packed codes
+    * written `partitionBy("cell")` under the float index's trained
+    * coarse quantizer, so a batch's hamming phase scans nprobe/k of
+    * the CODE BYTES instead of the full code table (which itself is
+    * 32× less than the floats). Centroids are copied alongside —
+    * the index is self-contained for probe planning and appends. */
+  final case class BqIvfIndex(spark: SparkSession, path: String,
+      id: String, emb: String) {
+    def codes: DataFrame = spark.read.parquet(s"$path/corpus")
+    def centroids: DataFrame = spark.read.parquet(s"$path/centroids")
+  }
+
+  /** Derive the BQ code tier FROM a materialized [[IvfIndex]]: one scan
+    * of the already-partitioned float corpus quantizes and re-partitions
+    * the codes by the SAME cell column — no re-training, no
+    * re-assignment, cells identical by construction (the production
+    * story: the code tier is a projection of the float index). The
+    * streaming `lastbatch` marker is reset like [[ivfBuild]]'s. */
+  def bqIvfBuild(idx: IvfIndex, path: String): BqIvfIndex = {
+    graft.sources.Markers.delete(idx.spark, s"$path/lastbatch")
+    bqQuantize(idx.corpus, idx.id, idx.emb, keep = Seq("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/corpus")
+    idx.centroids.write.mode("overwrite").parquet(s"$path/centroids")
+    BqIvfIndex(idx.spark, path, idx.id, idx.emb)
+  }
+
+  /** Append new vectors' CODES to a materialized [[BqIvfIndex]] — the
+    * ingest path that keeps the 8 B tier current: assign against the
+    * persisted centroids (map-only over the batch, the quantizer never
+    * moves — the [[ivfAppend]] contract) and append into the cell
+    * partitions. */
+  def bqIvfAppend(idx: BqIvfIndex, newVecs: DataFrame): Unit =
+    bqQuantize(newVecs, idx.id, idx.emb)
+      .join(assignCells(newVecs, idx.id, idx.emb,
+        idx.centroids.drop("cnorm")), idx.id)
+      .write.mode("append").partitionBy("cell").parquet(s"${idx.path}/corpus")
+
+  /** Replay-guarded [[bqIvfAppend]] for at-least-once callers
+    * (`foreachBatch`) — the [[ivfAppendBatch]]/dhashIndexWrite batch-tag
+    * protocol: skip batches at or below the `lastbatch` marker, record
+    * AFTER the append. Returns true iff the batch was applied. */
+  def bqIvfAppendBatch(idx: BqIvfIndex, newVecs: DataFrame,
+      batchId: Long): Boolean = {
+    val marker = s"${idx.path}/lastbatch"
+    if (batchId <= graft.sources.Markers.readLastBatch(idx.spark, marker))
+      false
+    else {
+      bqIvfAppend(idx, newVecs)
+      graft.sources.Markers.writeLastBatch(idx.spark, marker, batchId)
+      true
+    }
+  }
+
+  /** Batched BQ search through the IVF-pruned code tier — the composed
+    * production shape ([[bqSearchRerankCodes]]'s two phases with phase 1
+    * partition-pruned): every query ranks cells on the k-row centroid
+    * table, the distinct probed cells drive PartitionFilters on the
+    * CODE scan (PlanSpec pins it), hamming shortlists within the probed
+    * cells only, and the shortlist fetches floats THROUGH A JOIN
+    * against `vecs` for the exact re-rank — the corpus float column is
+    * never scanned, the code scan reads nprobe/k of 8 B/vector. Like
+    * every IVF path, recall is bounded by the probes: a true neighbor
+    * in an unprobed cell is missed BY DESIGN (nprobe is the knob).
+    * Output `(q_id, id, ham, cos, rank)`, rank 1..k per query. */
+  def bqIvfSearchBatch(idx: BqIvfIndex, vecs: DataFrame,
+      queries: DataFrame, nprobe: Int, shortlist: Int, k: Int): DataFrame = {
+    require(shortlist >= k, s"shortlist $shortlist must cover k=$k")
+    def dot(x: Column, y: Column): Column =
+      graft.functions.DotProduct.dot_product(x, y)
+    val q = queries.select(col(idx.id).as("q_id"),
+        col(idx.emb).cast("array<double>").as("qe"))
+      .withColumn("qnorm", sqrt(dot(col("qe"), col("qe"))))
+    val wProbe = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("pc").desc, col("cell"))
+    val probes = q.crossJoin(broadcast(idx.centroids))
+      .select(col("q_id"), col("cell"),
+        (dot(col("ce"), col("qe")) / col("cnorm") / col("qnorm")).as("pc"))
+      .withColumn("__pr", row_number().over(wProbe))
+      .where(col("__pr") <= nprobe)
+      .select("q_id", "cell")
+    // the distinct probed cells are the probe PLAN (≤ k values) —
+    // literals so the code scan partition-prunes
+    val cells = probes.select("cell").distinct().collect().map(_.get(0))
+    val routes = probes.join(
+      bqQuantize(queries, idx.id, idx.emb)
+        .select(col(idx.id).as("q_id"), col("bq_code").as("__qc")), "q_id")
+    val wH = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("ham"), col(idx.id))
+    val short = idx.codes.where(col("cell").isin(cells.toIndexedSeq: _*))
+      .join(broadcast(routes), "cell")
+      .select(col("q_id"), col(idx.id),
+        expr("bit_count(bq_code ^ __qc)").cast("long").as("ham"))
+      .withColumn("__hrank", row_number().over(wH))
+      .where(col("__hrank") <= shortlist)
+      .drop("__hrank")
+    val wC = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("cos").desc, col(idx.id))
+    short
+      .join(vecs.select(col(idx.id), col(idx.emb)), idx.id)
+      .join(broadcast(queries.select(col(idx.id).as("q_id"),
+        col(idx.emb).as("__qe"))), "q_id")
+      .select(col("q_id"), col(idx.id), col("ham"),
+        round(cosine(col(idx.emb).cast("array<double>"),
           col("__qe").cast("array<double>")), 4).as("cos"))
       .withColumn("rank", row_number().over(wC))
       .where(col("rank") <= k)

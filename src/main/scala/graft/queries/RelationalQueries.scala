@@ -101,6 +101,90 @@ object RelationalQueries {
     Similarity.ivfSearchIndexed(idx, qv, nprobe = 2, topK = 10)
   }
 
+  /** Per-directory memo of the BQ code tier DERIVED from [[ivfIndex]]
+    * ([[Similarity.bqIvfBuild]]): the 8 B packed codes re-partitioned by
+    * the float index's trained cells — built once per session, probed
+    * per batch. Session scratch, removed at JVM exit. */
+  private val bqIvfCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Similarity.BqIvfIndex]()
+
+  private def bqIvfIndex(s: SparkSession, d: String): Similarity.BqIvfIndex =
+    bqIvfCache.compute(d, (_, cur) => {
+      if (cur != null && (cur.spark eq s)) cur
+      else {
+        val h = graft.engine.IndexCache.md5Key(d, 8)
+        val path = s"${sys.props("java.io.tmpdir")}/graft_bqivf_$h"
+        graft.cli.Cleanup.deleteOnExit(path)
+        Similarity.bqIvfBuild(ivfIndex(s, d), path)
+      }
+    })
+
+  /** q176 — the IVF-PRUNED BQ tier ([[Similarity.bqIvfSearchBatch]]):
+    * the round-12 verdict's missing production shape, composing the two
+    * pieces the repo already had — queries 0–2 rank the trained
+    * centroids, the probed cells partition-prune the 8 B CODE scan
+    * (PlanSpec pins PartitionFilters on it), hamming shortlists
+    * within those cells, exact cosine re-ranks the shortlist through a
+    * float fetch join. q171 is the full-code-scan baseline; this reads
+    * nprobe/k of the code bytes. The oracle replays Lloyd training,
+    * probe ranking, the membership-restricted per-bit hamming, and
+    * both rank windows. */
+  def annBqIvf(s: SparkSession, d: String): DataFrame =
+    Similarity.bqIvfSearchBatch(bqIvfIndex(s, d), t(s, d, "embeddings"),
+        t(s, d, "embeddings").where(col("vec_id") < 3),
+        nprobe = 2, shortlist = 30, k = 10)
+      .orderBy("q_id", "rank")
+
+  /** Per-directory memo of the INCREMENTAL BQ tier: the float IVF index
+    * trained on the already-ingested corpus only (`vec_id % 5 ≠ 0`, the
+    * q61 old/new split), the code tier derived from it, and the NEW
+    * batch's codes appended through the replay-guarded protocol
+    * ([[Similarity.bqIvfAppendBatch]] — the quantizer never moves, the
+    * batch assigns against the persisted centroids). The at-least-once
+    * guard is exercised IN-GATE: a replay of the applied batch id must
+    * no-op, else the doubled code rows would change the hamming
+    * shortlist and hash-fail q177. */
+  private val bqIvfIncCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Similarity.BqIvfIndex]()
+
+  private def bqIvfIncIndex(s: SparkSession, d: String): Similarity.BqIvfIndex =
+    bqIvfIncCache.compute(d, (_, cur) => {
+      if (cur != null && (cur.spark eq s)) cur
+      else {
+        val h = graft.engine.IndexCache.md5Key(d, 8)
+        val flPath = s"${sys.props("java.io.tmpdir")}/graft_bqivffl_$h"
+        val path = s"${sys.props("java.io.tmpdir")}/graft_bqivfinc_$h"
+        graft.cli.Cleanup.deleteOnExit(flPath)
+        graft.cli.Cleanup.deleteOnExit(path)
+        val vecs = t(s, d, "embeddings")
+        val old = vecs.where(pmod(col("vec_id"), lit(5)) =!= 0)
+        val fl = Similarity.ivfBuild(s, old, "vec_id", "embedding",
+          k = 8, path = flPath)
+        val bq = Similarity.bqIvfBuild(fl, path)
+        val fresh = vecs.where(pmod(col("vec_id"), lit(5)) === 0)
+        require(Similarity.bqIvfAppendBatch(bq, fresh, batchId = 1L),
+          "first append batch must apply")
+        require(!Similarity.bqIvfAppendBatch(bq, fresh, batchId = 1L),
+          "replayed batch id must no-op")
+        bq
+      }
+    })
+
+  /** q177 — the BQ code tier UNDER INGEST ([[bqIvfIncIndex]] +
+    * [[Similarity.bqIvfSearchBatch]]): the q176 search over a code
+    * table whose newest fifth arrived through the streaming append
+    * path — proving the 8 B tier stays current (and exactly-once)
+    * without rebuilding the float index. The oracle re-derives BOTH
+    * populations: Lloyd training and assignment over the old corpus,
+    * the batch's map-only assignment against the TRAINED (persisted)
+    * centroids, and the same probe/hamming/re-rank chain over their
+    * union. */
+  def annBqIvfIncremental(s: SparkSession, d: String): DataFrame =
+    Similarity.bqIvfSearchBatch(bqIvfIncIndex(s, d), t(s, d, "embeddings"),
+        t(s, d, "embeddings").where(col("vec_id") < 3),
+        nprobe = 2, shortlist = 30, k = 10)
+      .orderBy("q_id", "rank")
+
   /** q79 — BATCHED IVF search ([[Similarity.ivfSearchIndexedBatch]]):
     * queries 0–2 each probe their best-2 trained cells, one pruned scan
     * of the union of probed partitions scores all three, per-query
@@ -739,6 +823,87 @@ object RelationalQueries {
          |  GROUP BY x.vec_id)
          |SELECT vec_id, d2 FROM r ORDER BY d2, vec_id LIMIT 10""".stripMargin,
 
+    // the IVF-pruned BQ tier replayed end to end: Lloyd training and the
+    // probe ranking from the shared k-means chain, sign-bit hamming
+    // restricted to the probed (query, cell) memberships, the shortlist
+    // window, and the exact-cosine re-rank window
+    "q176_ann_bq_ivf" ->
+      s"""WITH $kmeansCtes,
+         |qprobes AS (SELECT q_id, cell FROM (
+         |    SELECT vec_id AS q_id, cell, row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY cs DESC, cell) AS pr
+         |    FROM sim3 WHERE vec_id < 3) WHERE pr <= 2),
+         |bits AS (SELECT vec_id, d, (v > 0)::INT AS b FROM ex),
+         |qb AS (SELECT vec_id AS q_id, d, b AS qbit FROM bits WHERE vec_id < 3),
+         |ham AS (SELECT qb.q_id, bits.vec_id,
+         |    sum(CASE WHEN bits.b <> qb.qbit THEN 1 ELSE 0 END)::BIGINT AS ham
+         |  FROM bits JOIN qb ON qb.d = bits.d
+         |  JOIN asg3 a ON a.vec_id = bits.vec_id
+         |  JOIN qprobes p ON p.q_id = qb.q_id AND p.cell = a.cell
+         |  GROUP BY qb.q_id, bits.vec_id),
+         |short AS (SELECT q_id, vec_id, ham, row_number() OVER (PARTITION BY q_id
+         |    ORDER BY ham, vec_id) AS hrank FROM ham),
+         |q AS (SELECT vec_id AS q_id, d, v FROM ex WHERE vec_id < 3),
+         |sc AS (SELECT s.q_id, s.vec_id, s.ham,
+         |    round(sum(e.v * q.v) / sqrt(sum(e.v * e.v))
+         |      / sqrt(sum(q.v * q.v)), 4) AS cos
+         |  FROM short s JOIN ex e ON e.vec_id = s.vec_id
+         |    JOIN q ON q.q_id = s.q_id AND q.d = e.d
+         |  WHERE s.hrank <= 30 GROUP BY s.q_id, s.vec_id, s.ham),
+         |r AS (SELECT q_id, vec_id, ham, cos, row_number() OVER (PARTITION BY q_id
+         |    ORDER BY cos DESC, vec_id)::INTEGER AS rank FROM sc)
+         |SELECT q_id, vec_id, ham, cos, rank FROM r WHERE rank <= 10
+         |ORDER BY q_id, rank""".stripMargin,
+
+    // the incremental tier replayed over BOTH populations: training +
+    // assignment on the old corpus only (exo), the new batch's map-only
+    // assignment against the TRAINED centroids (cent2 — the append
+    // contract: the quantizer never moves), then the q176 chain over
+    // the union of old and appended codes
+    "q177_ann_bq_ivf_incremental" -> {
+      val trainOld = kmeansCtesTailFrom("exo")
+      s"""WITH $exCte,
+         |exo AS (SELECT * FROM ex WHERE vec_id % 5 <> 0),
+         |exn AS (SELECT * FROM ex WHERE vec_id % 5 = 0),
+         |$trainOld,
+         |simn AS (SELECT e.vec_id, c.cell,
+         |    sum(e.v * c.v) / sqrt(sum(e.v * e.v)) / sqrt(sum(c.v * c.v)) AS cs
+         |  FROM exn e JOIN cent2 c USING (d) GROUP BY e.vec_id, c.cell),
+         |asgn AS (SELECT vec_id, cell FROM (
+         |    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY cs DESC, cell) AS rn FROM simn) WHERE rn = 1),
+         |alls AS (SELECT vec_id, cell FROM asg3
+         |  UNION ALL SELECT vec_id, cell FROM asgn),
+         |qsim AS (SELECT e.vec_id AS q_id, c.cell,
+         |    sum(e.v * c.v) / sqrt(sum(e.v * e.v)) / sqrt(sum(c.v * c.v)) AS cs
+         |  FROM ex e JOIN cent2 c USING (d) WHERE e.vec_id < 3
+         |  GROUP BY 1, 2),
+         |qprobes AS (SELECT q_id, cell FROM (
+         |    SELECT q_id, cell, row_number() OVER (PARTITION BY q_id
+         |      ORDER BY cs DESC, cell) AS pr FROM qsim) WHERE pr <= 2),
+         |bits AS (SELECT vec_id, d, (v > 0)::INT AS b FROM ex),
+         |qb AS (SELECT vec_id AS q_id, d, b AS qbit FROM bits WHERE vec_id < 3),
+         |ham AS (SELECT qb.q_id, bits.vec_id,
+         |    sum(CASE WHEN bits.b <> qb.qbit THEN 1 ELSE 0 END)::BIGINT AS ham
+         |  FROM bits JOIN qb ON qb.d = bits.d
+         |  JOIN alls a ON a.vec_id = bits.vec_id
+         |  JOIN qprobes p ON p.q_id = qb.q_id AND p.cell = a.cell
+         |  GROUP BY qb.q_id, bits.vec_id),
+         |short AS (SELECT q_id, vec_id, ham, row_number() OVER (PARTITION BY q_id
+         |    ORDER BY ham, vec_id) AS hrank FROM ham),
+         |q AS (SELECT vec_id AS q_id, d, v FROM ex WHERE vec_id < 3),
+         |sc AS (SELECT s.q_id, s.vec_id, s.ham,
+         |    round(sum(e.v * q.v) / sqrt(sum(e.v * e.v))
+         |      / sqrt(sum(q.v * q.v)), 4) AS cos
+         |  FROM short s JOIN ex e ON e.vec_id = s.vec_id
+         |    JOIN q ON q.q_id = s.q_id AND q.d = e.d
+         |  WHERE s.hrank <= 30 GROUP BY s.q_id, s.vec_id, s.ham),
+         |r AS (SELECT q_id, vec_id, ham, cos, row_number() OVER (PARTITION BY q_id
+         |    ORDER BY cos DESC, vec_id)::INTEGER AS rank FROM sc)
+         |SELECT q_id, vec_id, ham, cos, rank FROM r WHERE rank <= 10
+         |ORDER BY q_id, rank""".stripMargin
+    },
+
     "q79_ann_ivf_batch" ->
       s"""WITH $kmeansCtes,
          |qprobes AS (SELECT q_id, cell FROM (
@@ -905,6 +1070,8 @@ object RelationalQueries {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_ann_ivf" -> annIvf _,
     "q79_ann_ivf_batch" -> annIvfBatch _,
+    "q176_ann_bq_ivf" -> annBqIvf _,
+    "q177_ann_bq_ivf_incremental" -> annBqIvfIncremental _,
     "q162_cross_modal_ivf" -> crossModalIvfBatch _,
     "q97_ann_pq" -> annPq _,
     "q98_ann_ivfpq" -> annIvfPq _,

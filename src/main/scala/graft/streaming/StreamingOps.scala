@@ -263,6 +263,25 @@ object StreamingOps {
     vecsStream.writeStream.foreachBatch(fn)
   }
 
+  /** Streaming maintenance of the BQ CODE tier
+    * ([[graft.operators.Similarity.BqIvfIndex]]): each micro-batch's
+    * vectors are assigned against the persisted centroids, sign-bit
+    * quantized, and their 8 B codes appended into the cell partitions —
+    * so the tier q176 scans stays current under ingest without ever
+    * touching the float index. Same `lastbatch` replay guard as
+    * [[maintainIvfIndex]] (an at-least-once retry appends nothing);
+    * same rebuild contract (a [[graft.operators.Similarity.bqIvfBuild]]
+    * resets the marker). */
+  def maintainBqIvfIndex(vecsStream: DataFrame,
+      idx: graft.operators.Similarity.BqIvfIndex)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val fn: (DataFrame, Long) => Unit = (batch, batchId) => {
+      graft.operators.Similarity.bqIvfAppendBatch(idx, batch, batchId)
+      ()
+    }
+    vecsStream.writeStream.foreachBatch(fn)
+  }
+
   /** Streaming semantic dedup — the ingest gate and the index
     * maintenance in ONE foreachBatch: each micro-batch is checked
     * against the MATERIALIZED corpus

@@ -86,6 +86,22 @@ class PlanSpec extends AnyFunSuite {
       p.contains("cell IN"), p.take(3000))
   }
 
+  test("q176: BQ code scan partition-prunes to the probed cells; floats fetched by join, not scanned") {
+    val df = SparkEntry.queries("q176_ann_bq_ivf")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // the 8B code scan carries PartitionFilters on cell (directory
+    // pruning to the probed cells) — the tier's whole point
+    assert(p.contains("PartitionFilters: [cell"), p.take(3000))
+    // phase 2 fetches shortlist floats through joins (broadcast routes +
+    // shortlist), never a corpus-wide shuffle join or cartesian
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      p.take(3000))
+    // per-query windows shuffle by q_id — batch size = parallelism
+    assert(p.contains("hashpartitioning(q_id"), p.take(3000))
+  }
+
   test("q79: batched IVF scan partition-prunes to the probed cells, ranks per query") {
     val df = SparkEntry.queries("q79_ann_ivf_batch")(spark, sf)
     df.collect()

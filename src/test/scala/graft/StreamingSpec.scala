@@ -502,6 +502,61 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming BQ code maintenance: ingested codes land in the right cell and are searchable; retry no-ops") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    import graft.operators.Similarity
+    val vecs = (0 until 16).map { i =>
+      val base = Array.fill(4)(0.1f)
+      base(i % 4) = 1.0f + (i / 4) * 0.05f
+      (i.toLong, base)
+    }.toDF("vec_id", "embedding")
+    val flTmp = java.nio.file.Files.createTempDirectory("graft_bqivf_fl").toString
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bqivf_stream").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_bqivf_ckpt").toString
+    Seq(flTmp, tmp, ckpt).foreach(graft.cli.Cleanup.deleteOnExit)
+    val fl = Similarity.ivfBuild(spark, vecs, "vec_id", "embedding", 4, flTmp,
+      centroids = Some(Similarity.seedCentroids(vecs, "vec_id", "embedding", 4)))
+    val idx = Similarity.bqIvfBuild(fl, tmp)
+    assert(idx.codes.count() == 16)
+    val mem = MemoryStream[(Long, Array[Float])]
+    val q = StreamingOps.maintainBqIvfIndex(
+        mem.toDF().toDF("vec_id", "embedding"), idx)
+      .option("checkpointLocation", ckpt).start()
+    try {
+      // batch 0: a new vector aligned with vec 6's direction
+      val qv = vecs.where(col("vec_id") === 6)
+        .select(col("embedding").cast("array<double>"))
+        .head().getSeq[Double](0).toArray
+      mem.addData((100L, qv.map(_.toFloat)))
+      q.processAllAvailable()
+      // its CODE routed through the stored quantizer into vec 6's cell...
+      val cellOf = idx.codes.select("vec_id", "cell")
+        .collect().map(r => r.getLong(0) -> r.get(1).toString).toMap
+      assert(cellOf.size == 17 && cellOf(100L) == cellOf(6L),
+        s"ingested code must land in the query's cell: $cellOf")
+      // ...with the same packed word as the identical vector's
+      val codeOf = idx.codes.select("vec_id", "bq_code")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(codeOf(100L) == codeOf(6L))
+      // ...and is immediately retrievable through the pruned search
+      val queries = vecs.where(col("vec_id") === 6)
+      val hits = Similarity.bqIvfSearchBatch(
+          idx, vecs.unionByName(Seq((100L, qv.map(_.toFloat)))
+            .toDF("vec_id", "embedding")),
+          queries, nprobe = 1, shortlist = 8, k = 8)
+        .collect().map(r => (r.getLong(1), r.getLong(2)))
+      assert(hits.contains((100L, 0L)),
+        s"ingested code must be retrievable at hamming 0: ${hits.toSeq}")
+      // at-least-once retry: re-applying the applied batch id is a no-op
+      val before = idx.codes.count()
+      assert(!Similarity.bqIvfAppendBatch(idx,
+        Seq((999L, qv.map(_.toFloat))).toDF("vec_id", "embedding"), 0L))
+      assert(idx.codes.count() == before, "retried batch must append nothing")
+    } finally q.stop()
+  }
+
   test("streaming semantic dedup: batch-N dup of a batch-N-1 ingest is flagged; survivors append; retry no-ops") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
