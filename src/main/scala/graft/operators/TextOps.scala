@@ -622,6 +622,117 @@ object TextOps {
       .drop("__before")
   }
 
+  /** The shared whole-document bin-packing fold: a SQL `aggregate` over
+    * the group's item array with state `(loads, asg)` — bin loads and
+    * the assignment so far. `bestFit = true` places each item in the
+    * FULLEST bin that still fits (ties to the lowest bin index — the
+    * classic best-fit rule); `false` is NEXT-FIT (the greedy-FIFO
+    * baseline: last bin if it fits, else a new one). An item larger
+    * than the budget fits no bin and opens its own overfull singleton
+    * (standard bin-packing behavior — loud in the load report, never
+    * silently split). Only the taken IF arm evaluates, so the best-fit
+    * selection never probes an empty candidate list. */
+  private def packBinsFold(itemsCol: String, budget: Int,
+      bestFit: Boolean): String = {
+    val fits = s"filter(transform(st.loads, (l, ix) -> " +
+      s"named_struct('l', l, 'ix', ix)), c -> c.l + it.t <= $budget)"
+    val bestIx = s"element_at(array_sort(transform($fits, c -> " +
+      "named_struct('negl', -c.l, 'ix', c.ix))), 1).ix"
+    val step =
+      if (bestFit)
+        s"""IF(size($fits) = 0,
+           |  named_struct('loads', concat(st.loads, array(it.t)),
+           |    'asg', concat(st.asg, array(named_struct(
+           |      'i', it.i, 'b', size(st.loads), 't', it.t)))),
+           |  named_struct(
+           |    'loads', transform(st.loads, (l, ix) ->
+           |      IF(ix = $bestIx, l + it.t, l)),
+           |    'asg', concat(st.asg, array(named_struct(
+           |      'i', it.i, 'b', $bestIx, 't', it.t)))))""".stripMargin
+      else
+        s"""IF(size(st.loads) > 0 AND
+           |    element_at(st.loads, -1) + it.t <= $budget,
+           |  named_struct(
+           |    'loads', concat(slice(st.loads, 1, size(st.loads) - 1),
+           |      array(element_at(st.loads, -1) + it.t)),
+           |    'asg', concat(st.asg, array(named_struct(
+           |      'i', it.i, 'b', size(st.loads) - 1, 't', it.t)))),
+           |  named_struct('loads', concat(st.loads, array(it.t)),
+           |    'asg', concat(st.asg, array(named_struct(
+           |      'i', it.i, 'b', size(st.loads), 't', it.t)))))""".stripMargin
+    s"""aggregate($itemsCol,
+       |  named_struct('loads', CAST(array() AS array<bigint>),
+       |    'asg', CAST(array() AS array<struct<i:bigint,b:int,t:bigint>>)),
+       |  (st, it) -> $step,
+       |  st -> st.asg)""".stripMargin
+  }
+
+  private def packBins(df: DataFrame, id: String, partCols: Seq[String],
+      tokens: Column, chunkTokens: Int, dropInvalid: Boolean,
+      bestFit: Boolean): DataFrame = {
+    require(partCols.nonEmpty, "partCols must be non-empty — a global " +
+      "bin-pack is a one-task bottleneck by construction")
+    requireFresh(df, "n_tokens", "chunk_id", "__items", "__a")
+    val tok = tokens.cast(LongType)
+    val invalid = tok.isNull || tok <= 0
+    val base = if (dropInvalid) df.where(!invalid) else df
+    val checked =
+      if (dropInvalid) tok
+      else when(invalid,
+        raise_error(concat(
+          lit("packBins: every row needs a positive token count; got "),
+          coalesce(tok.cast("string"), lit("null"))))).otherwise(tok)
+    // BFD iterates items by (tokens DESC, id); next-fit by id — encoded
+    // in the sort-struct's leading field
+    val sortKey =
+      if (bestFit) struct((-checked).as("d"), col(id).as("i"), checked.as("t"))
+      else struct(col(id).as("i"), checked.as("t"))
+    base
+      .groupBy(partCols.map(col): _*)
+      .agg(array_sort(collect_list(sortKey)).as("__items"))
+      .select(partCols.map(col) :+
+        explode(expr(packBinsFold("__items", chunkTokens, bestFit)))
+          .as("__a"): _*)
+      .select(col("__a.i").as(id) +: partCols.map(col) :+
+        col("__a.t").as("n_tokens") :+
+        col("__a.b").cast(LongType).as("chunk_id"): _*)
+  }
+
+  /** Whole-document BEST-FIT-DECREASING packing — the discipline real
+    * shard builders run when documents must stay intact (no span
+    * splitting): items descend by token count, each goes to the fullest
+    * bin that still fits (ties to the lowest bin index), else opens a
+    * new bin; an over-budget document gets an overfull singleton. BFD
+    * packs within 11/9·OPT + 6/9 bins (Dósa 2007, the tight FFD/BFD
+    * bound) and typically recovers several percent of capacity over the
+    * greedy-FIFO baseline ([[packBinsNextFit]]; q179 reports the
+    * measured gap). Output `(id, partCols…, n_tokens, chunk_id)` with
+    * `chunk_id` = 0-based bin.
+    *
+    * Scale shape: the fold is inherently sequential, so it runs PER
+    * GROUP over a collected item array — group populations must be
+    * shard-bounded (compose `partCols` with a hash-shard key for huge
+    * groups, the [[packText]] caveat; packing quality is local to a
+    * shard anyway, which is exactly how production packers buffer).
+    * One shuffle (the groupBy), no further exchange; the fold state is
+    * O(bins) and integer-exact, so the DuckDB oracle replays it as a
+    * recursive CTE step for step. */
+  def packBinsBfd(df: DataFrame, id: String, partCols: Seq[String],
+      tokens: Column, chunkTokens: Int = 256,
+      dropInvalid: Boolean = false): DataFrame =
+    packBins(df, id, partCols, tokens, chunkTokens, dropInvalid,
+      bestFit = true)
+
+  /** Whole-document NEXT-FIT packing in id order — the greedy-FIFO
+    * baseline [[packBinsBfd]] is measured against: each document lands
+    * in the CURRENT bin if it fits, else opens a new one. Same output
+    * shape and preconditions as BFD. */
+  def packBinsNextFit(df: DataFrame, id: String, partCols: Seq[String],
+      tokens: Column, chunkTokens: Int = 256,
+      dropInvalid: Boolean = false): DataFrame =
+    packBins(df, id, partCols, tokens, chunkTokens, dropInvalid,
+      bestFit = false)
+
   /** Span-level sequence packing: unlike [[packChunks]] (whole-doc chunk
     * assignment), real training shards SPLIT a document that straddles a
     * chunk boundary — each doc emits one row per chunk it overlaps, with

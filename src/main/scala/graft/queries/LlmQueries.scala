@@ -944,6 +944,93 @@ object LlmQueries {
         TextOps.tokenCount(col("text")), ChunkTokens)
       .orderBy("doc_id")
 
+  /** q178 — whole-document BEST-FIT-DECREASING packing
+    * ([[TextOps.packBinsBfd]], budget [[ChunkTokens]], per source): the
+    * round-12 verdict's missing packing discipline — q64's greedy
+    * cumsum splits documents across chunk boundaries; when documents
+    * must stay intact, BFD is what shard builders run. The oracle
+    * replays the sequential fold as a recursive CTE (bin loads as a
+    * LIST column, the best-fit argmax as a zip/filter/sort step) —
+    * integer-exact, so every assignment matches row for row. */
+  def packBinsBfdQ(s: SparkSession, d: String): DataFrame =
+    TextOps.packBinsBfd(docs(s, d), "doc_id", Seq("source"),
+        TextOps.tokenCount(col("text")), ChunkTokens)
+      .orderBy("doc_id")
+
+  /** q179 — packing-discipline report: per source, bins and wasted
+    * capacity (milli, the q128 integer convention) under
+    * [[TextOps.packBinsBfd]] vs the greedy-FIFO baseline
+    * ([[TextOps.packBinsNextFit]]) at the same [[ChunkTokens]] budget —
+    * the measured answer to "what does BFD actually buy here". The
+    * oracle replays BOTH sequential folds as prefixed recursive-CTE
+    * chains and aggregates each. */
+  def packBinsCompareQ(s: SparkSession, d: String): DataFrame = {
+    def report(df: DataFrame, mode: String): DataFrame =
+      df.groupBy("source")
+        .agg(countDistinct(col("chunk_id")).as("n_bins"),
+          sum(col("n_tokens")).as("sum_tokens"))
+        .withColumn("discipline", lit(mode))
+        .withColumn("capacity", col("n_bins") * ChunkTokens)
+        .withColumn("waste_milli",
+          expr("((capacity - sum_tokens) * 1000) div capacity"))
+        .select("source", "discipline", "n_bins", "sum_tokens",
+          "capacity", "waste_milli")
+    val toks = TextOps.tokenCount(col("text"))
+    report(TextOps.packBinsBfd(docs(s, d), "doc_id", Seq("source"),
+        toks, ChunkTokens), "best_fit_decreasing")
+      .unionByName(report(TextOps.packBinsNextFit(docs(s, d), "doc_id",
+        Seq("source"), toks, ChunkTokens), "next_fit"))
+      .orderBy("source", "discipline")
+  }
+
+  /** The q178/q179 oracle replay of one [[TextOps.packBins]] fold as a
+    * prefixed recursive-CTE chain ending in `<pfx>out(source, doc_id,
+    * n_tokens, chunk_id)`: items ranked in the discipline's order, the
+    * step carries `(loads, asg)` LIST state, and the best-fit argmax is
+    * the same zip/filter/sort-first selection the engine's lambda
+    * computes (list_zip structs are unnamed in DuckDB — numeric field
+    * access). */
+  private def packBinsOracleCtes(pfx: String, bestFit: Boolean): String = {
+    val b = ChunkTokens
+    val order = if (bestFit) "n_tokens DESC, doc_id" else "doc_id"
+    val fit = "list_sort(list_transform(list_filter(list_zip(s.loads, " +
+      s"generate_series(1, len(s.loads))), z -> z[1] + x.n_tokens <= $b), " +
+      "z -> {'negl': -z[1], 'ix': z[2]}))[1].ix"
+    val step =
+      if (bestFit)
+        s"""CASE WHEN $fit IS NULL THEN list_append(s.loads, x.n_tokens)
+           |      ELSE list_transform(list_zip(s.loads, generate_series(1, len(s.loads))),
+           |        z -> CASE WHEN z[2] = $fit THEN z[1] + x.n_tokens ELSE z[1] END) END,
+           |    list_append(s.asg, {'i': x.doc_id,
+           |      'b': (coalesce($fit - 1, len(s.loads)))::INTEGER, 't': x.n_tokens})""".stripMargin
+      else
+        s"""CASE WHEN len(s.loads) > 0 AND s.loads[-1] + x.n_tokens <= $b
+           |      THEN list_append(s.loads[1:len(s.loads) - 1], s.loads[-1] + x.n_tokens)
+           |      ELSE list_append(s.loads, x.n_tokens) END,
+           |    list_append(s.asg, {'i': x.doc_id,
+           |      'b': (CASE WHEN len(s.loads) > 0 AND s.loads[-1] + x.n_tokens <= $b
+           |            THEN len(s.loads) - 1 ELSE len(s.loads) END)::INTEGER,
+           |      't': x.n_tokens})""".stripMargin
+    s"""${pfx}t AS (SELECT doc_id, source,
+       |    len(string_split_regex(trim(lower(text)), '\\s+'))::BIGINT AS n_tokens
+       |  FROM documents),
+       |${pfx}it AS (SELECT doc_id, source, n_tokens,
+       |    row_number() OVER (PARTITION BY source ORDER BY $order) AS rn
+       |  FROM ${pfx}t),
+       |${pfx}g AS (SELECT source, count(*)::BIGINT AS m FROM ${pfx}it GROUP BY source),
+       |${pfx}step AS (
+       |  SELECT source, 0::BIGINT AS rn, CAST([] AS BIGINT[]) AS loads,
+       |    CAST([] AS STRUCT(i BIGINT, b INTEGER, t BIGINT)[]) AS asg
+       |  FROM ${pfx}g
+       |  UNION ALL
+       |  SELECT s.source, s.rn + 1, $step
+       |  FROM ${pfx}step s JOIN ${pfx}it x ON x.source = s.source AND x.rn = s.rn + 1),
+       |${pfx}ux AS (SELECT source, unnest(asg) AS u
+       |  FROM ${pfx}step s JOIN ${pfx}g g USING (source) WHERE s.rn = g.m),
+       |${pfx}out AS (SELECT source, u.i AS doc_id, u.t AS n_tokens,
+       |    u.b::BIGINT AS chunk_id FROM ${pfx}ux)""".stripMargin
+  }
+
   /** q83 — span-level packing ([[TextOps.packSpans]]): documents that
     * straddle a chunk boundary split into per-chunk token spans — the
     * form a training shard actually stores. Integer-exact throughout,
@@ -4888,6 +4975,29 @@ object LlmQueries {
          |FROM canon GROUP BY 1 ORDER BY keep_id""".stripMargin
     },
 
+    "q178_pack_bins_bfd" ->
+      s"""WITH RECURSIVE ${packBinsOracleCtes("b", bestFit = true)}
+         |SELECT doc_id, source, n_tokens, chunk_id FROM bout
+         |ORDER BY doc_id""".stripMargin,
+
+    "q179_pack_discipline_report" ->
+      s"""WITH RECURSIVE ${packBinsOracleCtes("b", bestFit = true)},
+         |${packBinsOracleCtes("f", bestFit = false)},
+         |rb AS (SELECT source, 'best_fit_decreasing' AS discipline,
+         |    count(DISTINCT chunk_id)::BIGINT AS n_bins,
+         |    sum(n_tokens)::BIGINT AS sum_tokens
+         |  FROM bout GROUP BY source),
+         |rf AS (SELECT source, 'next_fit' AS discipline,
+         |    count(DISTINCT chunk_id)::BIGINT AS n_bins,
+         |    sum(n_tokens)::BIGINT AS sum_tokens
+         |  FROM fout GROUP BY source),
+         |u AS (SELECT * FROM rb UNION ALL SELECT * FROM rf)
+         |SELECT source, discipline, n_bins, sum_tokens,
+         |  (n_bins * $ChunkTokens)::BIGINT AS capacity,
+         |  ((n_bins * $ChunkTokens - sum_tokens) * 1000) // (n_bins * $ChunkTokens)
+         |    AS waste_milli
+         |FROM u ORDER BY source, discipline""".stripMargin,
+
     "q170_ann_matryoshka" ->
       """WITH ex AS (SELECT vec_id, i, embedding[i]::DOUBLE AS v
         |  FROM embeddings CROSS JOIN generate_series(1, 64) t(i)),
@@ -5746,6 +5856,8 @@ object LlmQueries {
     "q173_cjk_dedup" -> cjkDedupQ _,
     "q174_url_dedup" -> urlDedupQ _,
     "q175_quality_train" -> qualityTrainQ _,
+    "q178_pack_bins_bfd" -> packBinsBfdQ _,
+    "q179_pack_discipline_report" -> packBinsCompareQ _,
     "q94_jsonl_roundtrip" -> jsonlRoundtrip _,
     "q34_dedup_embed_cosine" -> dedupEmbedCosine _,
     "q35_ann_bruteforce" -> annBruteForce _,

@@ -3047,6 +3047,35 @@ class OperatorSpec extends AnyFunSuite {
     assert(viaJoin == viaLit)
   }
 
+  test("packBinsBfd: hand-checked best-fit-decreasing; next-fit baseline uses more bins; oversized doc isolates") {
+    // budget 10; sizes desc: 6(a) 5(b) 4(c) 3(d) 2(e)
+    // BFD: a->bin0(6); b->bin1(5); c->bin0? 6+4=10 fits -> bin0(10);
+    //      d->bin1(5+3=8); e->bin1(8+2=10). Bins: 2.
+    val df = Seq((1L, 6L), (2L, 5L), (3L, 4L), (4L, 3L), (5L, 2L))
+      .toDF("id", "tok").withColumn("g", lit("x"))
+    val bfd = TextOps.packBinsBfd(df, "id", Seq("g"), col("tok"), 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(bfd == Map(1L -> 0L, 2L -> 1L, 3L -> 0L, 4L -> 1L, 5L -> 1L), bfd)
+    // next-fit in id order: 6 -> b0; 5 doesn't fit b0 -> b1; 4 doesn't
+    // fit b1(5+4=9 fits!) -> b1; 3 doesn't fit b1(9+3) -> b2; 2 -> b2.
+    val nf = TextOps.packBinsNextFit(df, "id", Seq("g"), col("tok"), 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(nf == Map(1L -> 0L, 2L -> 1L, 3L -> 1L, 4L -> 2L, 5L -> 2L), nf)
+    assert(bfd.values.toSet.size <= nf.values.toSet.size)
+    // an over-budget document opens its own overfull singleton
+    val big = TextOps.packBinsBfd(
+        Seq((1L, 25L), (2L, 5L)).toDF("id", "tok").withColumn("g", lit("x")),
+        "id", Seq("g"), col("tok"), 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(big(1L) != big(2L), big)
+    // the packChunks precondition holds here too
+    val err = intercept[Exception](TextOps.packBinsBfd(
+      Seq((1L, 0L)).toDF("id", "tok").withColumn("g", lit("x")),
+      "id", Seq("g"), col("tok"), 10).collect())
+    assert(err.getMessage != null && (err.getMessage.contains("packBins") ||
+      Option(err.getCause).exists(_.getMessage.contains("packBins"))))
+  }
+
   test("pocketPerceptronTrain: separable toy converges to zero errors; apply agrees with the label") {
     // label = "long doc": 8-token docs vs 2-token docs — separable by
     // the length feature alone
