@@ -130,6 +130,65 @@ object LargeAnnBench {
         f"${tBrute / tBq}%.1f x vs the brute loop " +
         f"(code persist ${tCode}%.2f s once)")
     }
+
+    // IVF-PRUNED BQ tier (q176's shape, round 13): the codes
+    // re-partitioned by the float index's trained cells, so the hamming
+    // phase scans only the PROBED cells' code bytes — the scan-bytes
+    // row below is the tier's whole claim, measured from the parquet
+    // layout itself (probed cell partitions vs full code table vs the
+    // float corpus).
+    val bqIvfPath = s"${sys.props("java.io.tmpdir")}/graft_large_ann_bqivf"
+    graft.cli.Cleanup.deleteOnExit(bqIvfPath)
+    val (bqIdx, _) = time("bqIvfBuild (codes partitioned by cell)")(
+      Similarity.bqIvfBuild(idx, bqIvfPath))
+    val sl2 = (n / 50).toInt
+    val (bi, tBqIvf) = time(s"BQ-IVF nprobe=8 shortlist=$sl2 BATCH")(
+      byQuery(Similarity.bqIvfSearchBatch(bqIdx, vecs, qDf,
+        nprobe = 8, shortlist = sl2, k = k).collect()))
+    val hitBi = queries.map { case (qid, _) =>
+      (exact(qid) intersect bi.getOrElse(qid, Set())).size }.sum
+    println(f"  recall@$k = ${hitBi.toDouble / (nq * k)}%.3f, " +
+      f"${tBrute / tBqIvf}%.1f x vs the brute loop")
+    // scan bytes: union of probed cells (re-derived with the same probe
+    // rule: top-8 centroid cosine per query, distinct) vs everything
+    def dot(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
+      graft.functions.DotProduct.dot_product(x, y)
+    val probed = qDf.select(col("vec_id").as("q_id"),
+        col("embedding").cast("array<double>").as("qe"))
+      .crossJoin(broadcast(bqIdx.centroids))
+      .select(col("q_id"), col("cell"),
+        (dot(col("ce"), col("qe")) / col("cnorm") /
+          sqrt(dot(col("qe"), col("qe")))).as("pc"))
+      .withColumn("r", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("q_id")
+          .orderBy(col("pc").desc, col("cell"))))
+      .where(col("r") <= 8).select("cell").distinct()
+      .collect().map(_.get(0).toString).toSet
+    def bytesUnder(p: String, cells: Option[Set[String]]): Long = {
+      val root = new org.apache.hadoop.fs.Path(p)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      def walk(d: org.apache.hadoop.fs.Path): Long =
+        fs.listStatus(d).map { st =>
+          if (st.isDirectory) walk(st.getPath)
+          else if (st.getPath.getName.endsWith(".parquet")) st.getLen
+          else 0L
+        }.sum
+      cells match {
+        case None => walk(root)
+        case Some(cs) => fs.listStatus(root)
+          .filter(st => st.isDirectory &&
+            cs.exists(c => st.getPath.getName == s"cell=$c"))
+          .map(st => walk(st.getPath)).sum
+      }
+    }
+    val floatBytes = bytesUnder(s"$ivfPath/corpus", None)
+    val codeBytes = bytesUnder(s"$bqIvfPath/corpus", None)
+    val probedBytes = bytesUnder(s"$bqIvfPath/corpus", Some(probed))
+    println(f"  scan bytes: float corpus ${floatBytes / 1e6}%.1f MB; " +
+      f"full code table ${codeBytes / 1e6}%.1f MB " +
+      f"(${floatBytes.toDouble / codeBytes}%.1f x smaller); " +
+      f"probed ${probed.size}/32 cells ${probedBytes / 1e6}%.1f MB " +
+      f"(${floatBytes.toDouble / probedBytes}%.1f x less than the float scan)")
     spark.stop()
   }
 }
