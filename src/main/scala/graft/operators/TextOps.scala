@@ -930,6 +930,52 @@ object TextOps {
       when(qSorted === "", lit("")).otherwise(concat(lit("?"), qSorted))))
   }
 
+  /** CCNet/RefinedWeb-style LINE-LEVEL boilerplate removal: a line whose
+    * document frequency (number of DISTINCT documents containing it
+    * verbatim) reaches `minDf` is boilerplate — navigation chrome,
+    * cookie banners, share buttons, footers, the single highest-volume
+    * junk class in any web crawl — and every occurrence is dropped from
+    * every document; each document's surviving lines re-join in their
+    * original order. Appends `text_clean`, `n_lines`, `n_removed`
+    * (extension; line-wise filtering per CCNet, Wenzek 2019 §4.1, and
+    * RefinedWeb, Penedo 2023 §3.3).
+    *
+    * Scale shape: line STRINGS never leave their document's row — the
+    * frequency pass explodes the per-line HASH array (8 B rows, deduped
+    * in-doc by `array_distinct` so an internally repeated line counts
+    * once), the heavy set (df ≥ minDf — the Zipf head, small by
+    * construction) broadcasts back onto that hash stream, and the only
+    * exchange carrying document text is the final id-keyed join that
+    * delivers the rewrite — one corpus pass, which any rewriting
+    * operator pays. The rewrite itself is map-side array arithmetic
+    * (`filter` + `array_join`) over the document's own line array
+    * against its (tiny) per-document heavy-hash set. */
+  def dropBoilerplateLines(df: DataFrame, text: String, id: String,
+      minDf: Int, seed: Int = 31): DataFrame = {
+    require(minDf >= 2, s"minDf must be >= 2, got $minDf")
+    requireFresh(df, "text_clean", "n_lines", "n_removed", "__lh", "__heavy")
+    val lines = split(col(text), "\n")
+    // per-doc DISTINCT line hashes: document frequency, not term frequency
+    val lh = df.select(col(id),
+      explode(array_distinct(transform(lines, l => portableHash(l, seed))))
+        .as("__lh"))
+    val heavy = lh.groupBy("__lh").agg(count(lit(1)).as("__df"))
+      .where(col("__df") >= minDf).select("__lh")
+    val docHeavy = lh.join(broadcast(heavy), "__lh")
+      .groupBy(col(id)).agg(collect_set(col("__lh")).as("__heavy"))
+    val kept = filter(lines,
+      l => !array_contains(col("__heavy"), portableHash(l, seed)))
+    df.join(docHeavy, Seq(id), "left")
+      .withColumn("text_clean",
+        when(col("__heavy").isNull, col(text))
+          .otherwise(array_join(kept, "\n")))
+      .withColumn("n_lines", size(lines).cast(LongType))
+      .withColumn("n_removed",
+        when(col("__heavy").isNull, lit(0L))
+          .otherwise((size(lines) - size(kept)).cast(LongType)))
+      .drop("__heavy")
+  }
+
   def redactPii(df: DataFrame, text: String, id: String): DataFrame = {
     val t = col(text)
     // each count runs on the PREVIOUS stage's output (emails gone before

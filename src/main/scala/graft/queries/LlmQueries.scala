@@ -3313,6 +3313,31 @@ object LlmQueries {
     Dedup.urlDedup(urls, "url", "doc_id").orderBy("keep_id")
   }
 
+  /** q180 — LINE-LEVEL boilerplate removal
+    * ([[TextOps.dropBoilerplateLines]], CCNet/RefinedWeb line-wise
+    * filtering): the corpus re-laid-out as a crawl page — body text plus
+    * a PLANTED per-language footer (df = the language's doc count,
+    * 64–218), a per-source footer (df = 25), and a per-document unique
+    * line (df = 1). At minDf = 5 the two footers are boilerplate and
+    * the unique line plus every body line must survive — the df gate
+    * exercised in both directions on one corpus. Output:
+    * per-doc line counts + the portable hash of the rewritten text, so
+    * the oracle pins the exact reassembly (order + separator), not just
+    * the counts. */
+  def lineDedupQ(s: SparkSession, d: String): DataFrame = {
+    val planted = docs(s, d).where(col("text").isNotNull)
+      .select(col("doc_id"),
+        concat(col("text"),
+          lit("\nread more articles in "), col("lang"),
+          lit("\nvisit the "), col("source"), lit(" homepage"),
+          lit("\nunique line for document "),
+          col("doc_id").cast("string")).as("text"))
+    TextOps.dropBoilerplateLines(planted, "text", "doc_id", minDf = 5)
+      .select(col("doc_id"), col("n_lines"), col("n_removed"),
+        TextOps.portableHash(col("text_clean"), 7).as("clean_h"))
+      .orderBy("doc_id")
+  }
+
   /** q169 — the per-source REPORT CARD: the one-row-per-source summary a
     * curation team reads before touching a crawl — volume (doc count,
     * mean tokens), contamination by duplication (fraction of the
@@ -4975,6 +5000,33 @@ object LlmQueries {
          |FROM canon GROUP BY 1 ORDER BY keep_id""".stripMargin
     },
 
+    // the planted page layout, line split, df count, heavy set, and
+    // ordered reassembly all replayed; string_agg(... ORDER BY i)
+    // pins the rewrite byte-for-byte via the portable hash
+    "q180_line_dedup" ->
+      s"""WITH base AS MATERIALIZED (SELECT doc_id,
+         |    text || chr(10) || 'read more articles in ' || lang
+         |         || chr(10) || 'visit the ' || source || ' homepage'
+         |         || chr(10) || 'unique line for document ' || doc_id::VARCHAR AS t
+         |  FROM documents WHERE text IS NOT NULL),
+         |arr AS MATERIALIZED (SELECT doc_id, string_split(t, chr(10)) AS a FROM base),
+         |lh AS MATERIALIZED (SELECT DISTINCT doc_id, ${pHash("31", "x")} AS lhash
+         |  FROM (SELECT doc_id, unnest(a) AS x FROM arr)),
+         |heavy AS MATERIALIZED (SELECT lhash FROM lh GROUP BY lhash
+         |  HAVING count(*) >= 5),
+         |pos AS (SELECT doc_id, i, a[i] AS line
+         |  FROM (SELECT doc_id, unnest(generate_series(1, len(a))) AS i, a FROM arr)),
+         |kept AS (SELECT doc_id, i, line FROM pos
+         |  WHERE ${pHash("31", "line")} NOT IN (SELECT lhash FROM heavy)),
+         |clean AS (SELECT doc_id, count(*)::BIGINT AS n_kept,
+         |    string_agg(line, chr(10) ORDER BY i) AS tc
+         |  FROM kept GROUP BY doc_id)
+         |SELECT a.doc_id, len(a.a)::BIGINT AS n_lines,
+         |  (len(a.a) - coalesce(c.n_kept, 0))::BIGINT AS n_removed,
+         |  ${pHash("7", "coalesce(c.tc, '')")} AS clean_h
+         |FROM arr a LEFT JOIN clean c USING (doc_id)
+         |ORDER BY a.doc_id""".stripMargin,
+
     "q178_pack_bins_bfd" ->
       s"""WITH RECURSIVE ${packBinsOracleCtes("b", bestFit = true)}
          |SELECT doc_id, source, n_tokens, chunk_id FROM bout
@@ -5855,6 +5907,7 @@ object LlmQueries {
     "q172_ngram_novelty" -> ngramNoveltyQ _,
     "q173_cjk_dedup" -> cjkDedupQ _,
     "q174_url_dedup" -> urlDedupQ _,
+    "q180_line_dedup" -> lineDedupQ _,
     "q175_quality_train" -> qualityTrainQ _,
     "q178_pack_bins_bfd" -> packBinsBfdQ _,
     "q179_pack_discipline_report" -> packBinsCompareQ _,

@@ -1103,6 +1103,40 @@ class OperatorSpec extends AnyFunSuite {
     assert(r == Map(1L -> 400L, 2L -> 900L), s"got $r")
   }
 
+  test("dropBoilerplateLines: df>=minDf lines go, order survives, in-doc repeats count once") {
+    val df = Seq(
+      (1L, "alpha body one\nshared footer\nunique to one"),
+      (2L, "beta body two\nshared footer\nunique to two"),
+      (3L, "gamma body three\nshared footer"),
+      // doc 4 repeats the footer INTERNALLY: df still counts it once per
+      // doc, and the rewrite drops BOTH occurrences
+      (4L, "shared footer\ndelta body four\nshared footer"),
+      (5L, "epsilon body five\nno footer here")
+    ).toDF("doc_id", "text")
+    val r = TextOps.dropBoilerplateLines(df, "text", "doc_id", minDf = 4)
+      .select("doc_id", "text_clean", "n_lines", "n_removed")
+      .collect().map(x => x.getLong(0) ->
+        ((x.getString(1), x.getLong(2), x.getLong(3)))).toMap
+    // footer df = 4 (docs 1-4) >= minDf; every other line df <= 1
+    assert(r(1L) == (("alpha body one\nunique to one", 3L, 1L)))
+    assert(r(2L) == (("beta body two\nunique to two", 3L, 1L)))
+    assert(r(3L) == (("gamma body three", 2L, 1L)))
+    assert(r(4L) == (("delta body four", 3L, 2L)))
+    assert(r(5L) == (("epsilon body five\nno footer here", 2L, 0L)))
+    // below the bar: df = 4 < minDf = 5 keeps everything byte-identical
+    val keep = TextOps.dropBoilerplateLines(df, "text", "doc_id", minDf = 5)
+      .select("doc_id", "text_clean", "n_removed").collect()
+    assert(keep.forall(_.getLong(2) == 0L))
+    assert(keep.map(x => x.getLong(0) -> x.getString(1)).toMap ==
+      df.collect().map(x => x.getLong(0) -> x.getString(1)).toMap)
+    // a document that is ALL boilerplate rewrites to the empty string
+    val all = Seq((1L, "only line"), (2L, "only line"), (3L, "only line"))
+      .toDF("doc_id", "text")
+    val gone = TextOps.dropBoilerplateLines(all, "text", "doc_id", minDf = 2)
+      .select("text_clean", "n_removed").collect()
+    assert(gone.forall(x => x.getString(0) == "" && x.getLong(1) == 1L))
+  }
+
   test("redactPii: emails, IPv4, long digit runs; short runs survive") {
     val df = Seq(
       (1L, "mail a.b+c@x-corp.io and d@e.org stay out"),

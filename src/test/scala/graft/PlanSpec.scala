@@ -221,6 +221,31 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q180: line-dedup frequency exchanges carry 8B hashes; document text moves at most once") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+    def stringy(t: DataType): Boolean = t match {
+      case StringType => true
+      case ArrayType(e, _) => stringy(e)
+      case _ => false
+    }
+    val df = SparkEntry.queries("q180_line_dedup")(spark, sf)
+    df.collect()
+    val shuffles = flattenPlan(df.queryExecution.executedPlan)
+      .collect { case s: ShuffleExchangeLike => s }
+    assert(shuffles.nonEmpty)
+    // line strings never leave their document's row: the line-frequency
+    // path exchanges only the 8B hash stream; the document text itself
+    // (string or pre-split array) crosses at most ONE exchange — the
+    // id-keyed join delivering the rewrite (zero when AQE broadcasts it)
+    assert(shuffles.count(_.output.exists(a => stringy(a.dataType))) <= 1,
+      shuffles.map(_.output.mkString(", ")).mkString("\n"))
+    shuffles.filter(_.output.exists(_.name == "__lh")).foreach { s =>
+      assert(!s.output.exists(a => stringy(a.dataType)),
+        s"hash-path exchange carries line text: ${s.output.mkString(", ")}")
+    }
+  }
+
   test("q30/q57/q63: no exchange carries shingle text — shingle ops shuffle 8B hashes") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
     Seq("q30_dedup_jaccard", "q57_dedup_capped_verified",
