@@ -597,6 +597,27 @@ object RelationalQueries {
         round(col("sum_qty_raw"), 2).as("sum_qty"), col("n"), col("max_price"))
       .orderBy("l_returnflag")
 
+  /** q181 — bucket CO-LOCATED join ([[graft.sources.Bucketed]]): both
+    * fact tables written bucket-sorted on their order keys, so the
+    * sort-merge join plans with ZERO shuffle exchanges — the layout the
+    * 100 TB plan uses when a join key recurs query after query (pay the
+    * shuffle once at write time, never at read time; PlanSpec pins the
+    * exchange-free executed join). `hint("merge")` keeps the plan on
+    * the sort-merge path so the pin demonstrates bucket co-location,
+    * not a broadcast that would also be exchange-free at test scale.
+    * The aggregate is integral (count + integer-valued quantity sum) so
+    * the oracle comparison is order-insensitive. */
+  def bucketedJoin(s: SparkSession, d: String): DataFrame = {
+    val (li, ord) = graft.sources.Bucketed.ensureOrderTables(s, d)
+    s.table(li).hint("merge")
+      .join(s.table(ord).hint("merge"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_quantity")).cast("long").as("sum_qty"))
+      .orderBy("o_orderpriority")
+  }
+
   /** Sketch aggregates gated by tolerance: HLL++ distinct count and the
     * approximate percentile must land within 5% of the exact values the
     * oracle recomputes (both sketches are merge-order-insensitive enough
@@ -1055,6 +1076,14 @@ object RelationalQueries {
         |  count(*) AS n, max(l_extendedprice) AS max_price
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
+    // the bucketed layout changes the PLAN, never the answer: the oracle
+    // is the plain join aggregate over the raw parquet
+    "q181_bucketed_join" ->
+      """SELECT o_orderpriority, count(*)::BIGINT AS n_items,
+        |  sum(l_quantity)::BIGINT AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
     // the oracle recomputes the exact values and asserts the Spark-side
     // sketches landed within tolerance (literal true columns)
     "q49_sketch_tolerance" ->
@@ -1091,6 +1120,7 @@ object RelationalQueries {
     "q46_pivot" -> pivotAgg _,
     "q47_cp_multiseries" -> cpMultiSeries _,
     "q48_skew_salted_agg" -> skewSaltedAgg _,
+    "q181_bucketed_join" -> bucketedJoin _,
     "q49_sketch_tolerance" -> sketchTolerance _,
   )
 }

@@ -1103,6 +1103,22 @@ class OperatorSpec extends AnyFunSuite {
     assert(r == Map(1L -> 400L, 2L -> 900L), s"got $r")
   }
 
+  test("Bucketed.writeBucketed: one file per bucket, read-back exact") {
+    val df = (1L to 100L).map(i => (i, s"v$i")).toDF("k", "v")
+    val path = java.nio.file.Files.createTempDirectory("bkt_spec").toString
+    graft.sources.Bucketed.writeBucketed(spark, df, "bkt_spec_t",
+      s"$path/t", buckets = 4, key = "k")
+    // one file per bucket is what lets sorted-bucket metadata feed the
+    // join without a per-query sort
+    val files = new java.io.File(s"$path/t").listFiles
+      .filter(_.getName.endsWith(".parquet"))
+    assert(files.length == 4, files.map(_.getName).mkString(", "))
+    val back = spark.table("bkt_spec_t")
+    assert(back.count() == 100L)
+    assert(back.agg(sum("k")).head().getLong(0) == 5050L)
+    spark.sql("DROP TABLE bkt_spec_t")
+  }
+
   test("dropBoilerplateLines: df>=minDf lines go, order survives, in-doc repeats count once") {
     val df = Seq(
       (1L, "alpha body one\nshared footer\nunique to one"),

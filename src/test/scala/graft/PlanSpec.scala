@@ -246,6 +246,26 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q181: bucketed co-located join — the executed join runs with ZERO shuffle exchanges") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val df = SparkEntry.queries("q181_bucketed_join")(spark, sf)
+    df.collect()
+    val plan = flattenPlan(df.queryExecution.executedPlan)
+    val shuffles = plan.collect { case s: ShuffleExchangeLike => s }
+    // the join keys are delivered co-located by the bucket-sorted
+    // layout — the only permissible exchange is the 5-row final
+    // aggregate on o_orderpriority
+    shuffles.foreach { s =>
+      assert(!s.output.exists(a =>
+          a.name == "l_orderkey" || a.name == "o_orderkey"),
+        s"join shuffled despite the bucketed layout: ${s.output.mkString(", ")}")
+    }
+    assert(plan.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.joins.SortMergeJoinExec]))
+    val rendered = df.queryExecution.executedPlan.toString
+    assert(rendered.contains("Bucketed: true"), rendered.take(4000))
+  }
+
   test("q30/q57/q63: no exchange carries shingle text — shingle ops shuffle 8B hashes") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
     Seq("q30_dedup_jaccard", "q57_dedup_capped_verified",
