@@ -1134,6 +1134,30 @@ object Similarity {
     * OWNERSHIP: the returned frame keeps that assignment checkpoint as
     * a leaf — release after the final evaluation
     * ([[graft.engine.Checkpoints.release]] reaches it; Bench/Verify do). */
+  /** CLUSTER-BALANCED sampling cap (extension; the cluster-pruning /
+    * topic-rebalance step of embedding-curated pipelines, DataComp
+    * Gadre 2023 / SemDeDup Abbas 2023 §5): assign every vector to its
+    * TRAINED cell and keep at most `cap` members per cell —
+    * deterministic, lowest ids win — so a dense topic cluster cannot
+    * dominate the training mixture. Appends `cell` and a `kept` flag
+    * (compositional: the caller filters, reports, or joins the verdict
+    * back to the documents).
+    *
+    * Scale shape: assignment is the broadcast-centroid map pass
+    * ([[assignCells]] — no exchange wider than (id, cell)); the cap is
+    * a per-cell row_number window over 12 B rows. Cells are
+    * Lloyd-balanced by training, so the window partitions are ~n/k; if
+    * a mega-cell emerges the discipline is the capped-machine one
+    * ([[Dedup.lshCandidatePairsCapped]]): grow k, not the window. */
+  def clusterBalancedSample(vecs: DataFrame, id: String, emb: String,
+      cents: DataFrame, cap: Int): DataFrame = {
+    require(cap >= 1, s"cap must be >= 1, got $cap")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cell")).orderBy(col(id))
+    assignCells(vecs, id, emb, cents)
+      .withColumn("kept", row_number().over(w) <= cap)
+  }
+
   def semDedup(vecs: DataFrame, id: String, emb: String,
       cents: Seq[(Long, Seq[Double])], tau: Double): DataFrame = {
     val aw = graft.engine.Checkpoints.mark(assignLitWide(vecs, id, emb, cents))

@@ -215,6 +215,23 @@ object RelationalQueries {
     Similarity.assignCells(v, "vec_id", "embedding", cents).orderBy("vec_id")
   }
 
+  /** q182 — cluster-balanced sampling cap
+    * ([[Similarity.clusterBalancedSample]]): at most 40 vectors per
+    * trained cell, lowest ids win. Output is the per-cell balance
+    * sheet; `kept_id_sum` pins the EXACT kept set (not just its size)
+    * against the oracle's replay of training + assignment + the cap
+    * window. */
+  def clusterBalanceQ(s: SparkSession, d: String): DataFrame = {
+    val cents = ivfIndex(s, d).centroids.drop("cnorm")
+    Similarity.clusterBalancedSample(t(s, d, "embeddings"),
+        "vec_id", "embedding", cents, cap = 40)
+      .groupBy("cell")
+      .agg(count(lit(1)).as("n_total"),
+        sum(col("kept").cast("long")).as("n_kept"),
+        sum(when(col("kept"), col("vec_id")).otherwise(0L)).as("kept_id_sum"))
+      .orderBy("cell")
+  }
+
   /** q110 — SemDeDup ([[Similarity.semDedup]], Abbas et al. 2023):
     * semantic near-dup removal against the session-trained k-means cells
     * (the SAME trained table the q55 oracle replays — one Lloyd run
@@ -659,6 +676,17 @@ object RelationalQueries {
     "q55_kmeans_assign" ->
       s"""WITH $kmeansCtes
          |SELECT vec_id, cell FROM asg3 ORDER BY vec_id""".stripMargin,
+
+    // the cap window replayed over the same trained assignment; the
+    // kept-id checksum pins the exact kept set
+    "q182_cluster_balance" ->
+      s"""WITH $kmeansCtes,
+         |r AS (SELECT vec_id, cell, row_number() OVER (PARTITION BY cell
+         |    ORDER BY vec_id) AS rn FROM asg3)
+         |SELECT cell, count(*)::BIGINT AS n_total,
+         |  sum(CASE WHEN rn <= 40 THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+         |  sum(CASE WHEN rn <= 40 THEN vec_id ELSE 0 END)::BIGINT AS kept_id_sum
+         |FROM r GROUP BY cell ORDER BY cell""".stripMargin,
 
     // SemDeDup replay: ccos = each vector's cosine to its TRAINED cell
     // centroid (cent2), sp = within-cell pairwise cosines (the asg3
@@ -1107,6 +1135,7 @@ object RelationalQueries {
     "q99_ann_pq_rerank" -> annPqRerank _,
     "q104_ann_ivfpq_batch" -> annIvfPqBatch _,
     "q55_kmeans_assign" -> kmeansAssign _,
+    "q182_cluster_balance" -> clusterBalanceQ _,
     "q110_semdedup" -> semDedupQ _,
     "q113_semdedup_recall" -> semDedupRecallQ _,
     "q116_semdedup_incremental" -> semDedupIncrementalQ _,

@@ -1103,6 +1103,23 @@ class OperatorSpec extends AnyFunSuite {
     assert(r == Map(1L -> 400L, 2L -> 900L), s"got $r")
   }
 
+  test("clusterBalancedSample: at most cap per cell, lowest ids win, small cells intact") {
+    val cents = Seq((0L, Seq(1.0, 0.0)), (1L, Seq(0.0, 1.0))).toDF("cell", "ce")
+    // cell 0: ids 1,2,3,4 (x-axis); cell 1: ids 10,11 (y-axis)
+    val vecs = Seq(
+      (1L, Seq(0.9, 0.1)), (2L, Seq(0.8, 0.2)), (3L, Seq(0.95, 0.05)),
+      (4L, Seq(0.7, 0.3)), (10L, Seq(0.1, 0.9)), (11L, Seq(0.2, 0.8))
+    ).toDF("vec_id", "embedding")
+    val r = graft.operators.Similarity
+      .clusterBalancedSample(vecs, "vec_id", "embedding", cents, cap = 2)
+      .collect().map(x => x.getLong(0) -> ((x.getLong(1), x.getBoolean(2))))
+      .toMap
+    assert(r.values.map(_._1).toSet == Set(0L, 1L))
+    // cell 0 keeps ids 1 and 2 (lowest), drops 3 and 4; cell 1 under cap
+    assert(r(1L)._2 && r(2L)._2 && !r(3L)._2 && !r(4L)._2)
+    assert(r(10L)._2 && r(11L)._2)
+  }
+
   test("Bucketed.writeBucketed: one file per bucket, read-back exact") {
     val df = (1L to 100L).map(i => (i, s"v$i")).toDF("k", "v")
     val path = java.nio.file.Files.createTempDirectory("bkt_spec").toString
