@@ -55,6 +55,37 @@ object Dedup {
         .as("url_h"))
       .agg(min(col(id)).as("keep_id"), count(lit(1)).as("copies"))
 
+  /** Append one ingest batch's URL keys to the persisted URL-key index
+    * at `path`: the 8 B canonical hash ([[TextOps.canonicalUrl]], same
+    * seed as [[urlDedup]]) computed map-side, URL strings never
+    * persisted or exchanged. Idempotent under micro-batch retry via the
+    * `lastbatch` marker (the [[graft.streaming.StreamingOps]] append
+    * discipline); returns false for an already-applied batch id. */
+  def urlIndexAppendBatch(path: String, batch: DataFrame, url: String,
+      id: String, batchId: Long): Boolean = {
+    val spark = batch.sparkSession
+    val last = graft.sources.Markers.readLastBatch(spark, s"$path/lastbatch")
+    if (batchId <= last) false
+    else {
+      batch.select(
+          TextOps.portableHash(TextOps.canonicalUrl(col(url)), 23).as("url_h"),
+          col(id).cast("long").as("doc_id"))
+        .write.mode("append").parquet(s"$path/keys")
+      graft.sources.Markers.writeLastBatch(spark, s"$path/lastbatch", batchId)
+      true
+    }
+  }
+
+  /** The [[urlDedup]] verdict `(url_h, keep_id, copies)` over the
+    * MAINTAINED index: computed entirely from the persisted 8 B key
+    * rows — a URL ingested in batch N collapses with its canonical
+    * twin from batch N−1 without any content re-read. */
+  def urlIndexDuplicates(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame =
+    spark.read.parquet(s"$path/keys")
+      .groupBy("url_h")
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("copies"))
+
   /** Word shingles (n-grams of tokens) as exploded rows (id, shingle),
     * distinct. n=1 -> token set. `normalize` runs
     * [[graft.operators.TextOps.normalizeForMatch]] (casefold /

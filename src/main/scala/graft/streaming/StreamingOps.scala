@@ -163,6 +163,25 @@ object StreamingOps {
     docsStream.writeStream.foreachBatch(fn)
   }
 
+  /** Streaming URL-key index maintenance — the crawl pipeline's stage
+    * ZERO kept current under ingest: each micro-batch's canonical 8 B
+    * URL hashes append idempotently
+    * ([[graft.operators.Dedup.urlIndexAppendBatch]]), so
+    * [[graft.operators.Dedup.urlIndexDuplicates]] answers "has this
+    * resource been crawled before, under ANY cosmetic URL variant?"
+    * against everything ingested so far — before a single content byte
+    * is compared. Retried batches are no-ops via the `lastbatch`
+    * marker. Caller sets `checkpointLocation` and `start()`s. */
+  def maintainUrlIndex(docsStream: DataFrame, url: String, id: String,
+      path: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val fn: (DataFrame, Long) => Unit = (batch, batchId) => {
+      graft.operators.Dedup.urlIndexAppendBatch(path, batch, url, id, batchId)
+      ()
+    }
+    docsStream.writeStream.foreachBatch(fn)
+  }
+
   /** Streaming winnow-index maintenance — the containment-screen twin of
     * [[maintainBandIndex]]: each micro-batch winnows only its own rows
     * (per-doc selection is corpus-independent, so batch sketches equal

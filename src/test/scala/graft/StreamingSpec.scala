@@ -196,6 +196,39 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming URL-index maintenance: a cosmetic variant collapses onto the batch N-1 ingest; retry no-ops") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    import graft.operators.Dedup
+    val idxPath = s"${sys.props("java.io.tmpdir")}/graft_test_urlidx_maint"
+    val ckpt = s"${sys.props("java.io.tmpdir")}/graft_test_urlidx_maint_ckpt"
+    graft.cli.Cleanup.deleteOnExit(idxPath)
+    graft.cli.Cleanup.deleteOnExit(ckpt)
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamingOps.maintainUrlIndex(mem.toDF().toDF("doc_id", "url"),
+        "url", "doc_id", idxPath)
+      .option("checkpointLocation", ckpt).start()
+    try {
+      mem.addData((1L, "http://a.com/x?p=1&q=2"), (2L, "http://b.com/y"))
+      q.processAllAvailable() // batch 0
+      mem.addData((10L, "HTTP://A.COM:80/x/?q=2&p=1"), (11L, "http://c.com/z"))
+      q.processAllAvailable() // batch 1: a cosmetic variant of doc 1's URL
+    } finally q.stop()
+    val dups = Dedup.urlIndexDuplicates(spark, idxPath).collect()
+      .map(r => (r.getLong(1), r.getLong(2)))
+    // batch 1's variant canonicalized onto batch 0's resource: keeper 1, copies 2
+    assert(dups.contains((1L, 2L)), dups.mkString(", "))
+    assert(dups.count(_._2 == 1L) == 2, dups.mkString(", "))
+    // retry idempotence: an already-applied batch id appends nothing
+    val before = spark.read.parquet(s"$idxPath/keys").count()
+    assert(!Dedup.urlIndexAppendBatch(idxPath,
+      Seq(99L -> "http://d.com/w").toDF("doc_id", "url"), "url", "doc_id", 1L))
+    assert(spark.read.parquet(s"$idxPath/keys").count() == before)
+    assert(Dedup.urlIndexAppendBatch(idxPath,
+      Seq(99L -> "http://d.com/w").toDF("doc_id", "url"), "url", "doc_id", 5L))
+    assert(spark.read.parquet(s"$idxPath/keys").count() == before + 1)
+  }
+
   test("streaming winnow-index maintenance: containment match against a batch N-1 ingest; retry no-ops; verify green") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
