@@ -289,6 +289,215 @@ object TextOps {
     model
   }
 
+  /** One trained unigram-LM piece: the sub-word string, its final-round
+    * hard-EM usage count, and the fixed-point log-probability
+    * `floor(ln(cnt/total)·10⁴ + 0.5)` (BIGINT nats·10⁻⁴) the Viterbi
+    * decode scores with. Fixed-point is the determinism contract: every
+    * decode comparison downstream is exact integer arithmetic, so the
+    * kernel and the DuckDB oracle agree even on tied paths. */
+  final case class UnigramPiece(piece: String, cnt: Long, lp: Long)
+
+  /** A trained unigram-LM tokenizer model (Kudo 2018, "Subword
+    * Regularization" — the SentencePiece default family): scored pieces
+    * in codepoint (unsigned UTF-8 byte) order plus the
+    * out-of-vocabulary codepoint penalty, fixed one e-fold (10⁴
+    * fixed-point nats) below the worst trained piece so unk steps are
+    * always a last resort yet never −∞. */
+  final case class UnigramLmModel(pieces: Seq[UnigramPiece], lpUnk: Long) {
+    /** The plan-attached vocabulary [[graft.functions.UnigramTokenize]]
+      * decodes with. */
+    def vocab: graft.functions.UnigramVocab =
+      new graft.functions.UnigramVocab(
+        pieces.map(p => (p.piece, p.lp)).toArray, lpUnk)
+  }
+
+  /** Fixed-point log-probability: `floor(ln(cnt/total)·10⁴ + 0.5)` —
+    * floor(x+0.5) EXACTLY (not half-even, not half-away-from-zero), the
+    * one rounding rule Java and DuckDB spell identically, so the only
+    * cross-engine float exposure is the final ulp of `ln` itself. */
+  private def unigramLp(cnt: Long, total: Long): Long =
+    Math.floor(Math.log(cnt.toDouble / total.toDouble) * 10000.0 + 0.5)
+      .toLong
+
+  /** UNIGRAM-LM tokenizer TRAINING (Kudo 2018 §3.2's EM loop in its
+    * deterministic hard-EM/Viterbi form — each round segments with the
+    * current scores' exact argmax instead of accumulating posterior
+    * expectations, the variant whose every step is integer-exact and
+    * oracle-replayable): seed the vocabulary with ALL codepoint
+    * substrings of length 1..`maxPieceLen` of a capped word-frequency
+    * histogram (occurrence-weighted, overlapping counted), then for
+    * `iters` rounds (1) Viterbi-decode each histogram word under the
+    * current fixed-point scores — the same total argmax
+    * `(score DESC, n_pieces ASC, seg-string ASC by UTF-8 bytes)` the
+    * apply kernel [[graft.functions.UnigramTokenize]] implements — and
+    * (2) re-estimate: a piece's new count is its frequency-weighted
+    * usage in the decoded segmentations, unused pieces are PRUNED, and
+    * single codepoints are floored at count 1 (never pruned — the Kudo
+    * invariant that keeps every string decodable). The DuckDB oracle
+    * replays every round as unrolled CTEs: the same capped histogram,
+    * a precomputed (word, pos, piece) step table, brute-force path
+    * enumeration as a recursive walk, one window for the argmax, and
+    * the same floor(·+0.5) fixed-point re-score — so seed counts,
+    * per-round segmentations, pruning, and final scores all match row
+    * for row.
+    *
+    * Scale shape (same as [[bpeTrainModel]], how SentencePiece trains
+    * at corpus scale): the ONLY full-data pass is the word-frequency
+    * aggregate (map-side combinable groupBy); the EM loop runs on the
+    * top-`sampleWords` histogram rows — a deterministically capped
+    * (count DESC, word ASC) MODEL-FIT sample collected like the k-row
+    * centroid lists, never the corpus. At 100 TB the histogram pass is
+    * the cost; the loop is O(sampleWords · maxWordLen · maxPieceLen ·
+    * iters) driver work. Pieces are CODEPOINT substrings (never split
+    * UTF-16 units), matching the kernel's fallback discipline. */
+  def unigramTrainModel(df: DataFrame, text: String, maxPieceLen: Int,
+      sampleWords: Int, iters: Int): UnigramLmModel = {
+    require(maxPieceLen >= 1, s"maxPieceLen must be >= 1, got $maxPieceLen")
+    require(sampleWords >= 1, s"sampleWords must be >= 1, got $sampleWords")
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val hist = df.where(col(text).isNotNull)
+      .select(explode(tokens(col(text))).as("__w"))
+      .where(col("__w") =!= "")
+      .groupBy("__w").agg(count(lit(1)).as("__c"))
+      .orderBy(col("__c").desc, col("__w").asc)
+      .limit(sampleWords)
+      .collect()  // bounded: exactly min(sampleWords, |vocab|) rows
+      .map(r => (r.getString(0), r.getLong(1)))
+    require(hist.nonEmpty, "empty word histogram — nothing to train on")
+    def codepoints(w: String): Array[String] =
+      w.codePoints().toArray.map(cp => new String(Character.toChars(cp)))
+    implicit val cpOrd: Ordering[String] = (x: String, y: String) =>
+      java.util.Arrays.compareUnsigned(
+        x.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        y.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // seed: every codepoint substring, occurrence-weighted
+    val seed = scala.collection.mutable.HashMap.empty[String, Long]
+    val singles = scala.collection.mutable.HashSet.empty[String]
+    for ((w, c) <- hist) {
+      val cps = codepoints(w)
+      for (i <- cps.indices; l <- 1 to maxPieceLen if i + l <= cps.length) {
+        val p = cps.slice(i, i + l).mkString
+        seed(p) = seed.getOrElse(p, 0L) + c
+        if (l == 1) singles += p
+      }
+    }
+    var counts: Map[String, Long] = seed.toMap
+    var lp: Map[String, Long] = {
+      val t = counts.valuesIterator.sum
+      counts.map { case (p, c) => p -> unigramLp(c, t) }
+    }
+    for (_ <- 1 to iters) {
+      // all single codepoints are in-vocab every round, so the decode's
+      // unk step can never fire during training — the penalty is inert
+      val vocab = new graft.functions.UnigramVocab(
+        lp.iterator.map { case (p, s) => (p, s) }.toArray, -10000000L)
+      val usage = scala.collection.mutable.HashMap.empty[String, Long]
+      for ((w, c) <- hist) {
+        val seg = graft.functions.UnigramTokenizeRuntime.decodeWord(w, vocab)
+        var start = 0
+        var i = 0
+        while (i <= seg.length) {
+          if (i == seg.length ||
+              seg.charAt(i) == graft.functions.UnigramTokenizeRuntime.Sep) {
+            val p = seg.substring(start, i)
+            usage(p) = usage.getOrElse(p, 0L) + c
+            start = i + 1
+          }
+          i += 1
+        }
+      }
+      counts = usage.toMap ++
+        singles.iterator.filterNot(usage.contains).map(_ -> 1L)
+      val t = counts.valuesIterator.sum
+      lp = counts.map { case (p, c) => p -> unigramLp(c, t) }
+    }
+    val pieces = counts.keysIterator.toSeq.sorted(cpOrd)
+      .map(p => UnigramPiece(p, counts(p), lp(p)))
+    UnigramLmModel(pieces, pieces.iterator.map(_.lp).min - 10000L)
+  }
+
+  /** [[unigramTrainModel]]'s scored vocabulary as a DataFrame —
+    * `(piece, cnt, lp)` in codepoint order, the artifact a tokenizer
+    * ships (and the q183 gate surface: counts AND scores both replay). */
+  def unigramTrain(df: DataFrame, text: String, maxPieceLen: Int,
+      sampleWords: Int, iters: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    unigramTrainModel(df, text, maxPieceLen, sampleWords, iters)
+      .pieces.toDF()
+  }
+
+  /** Unigram-LM subword tokens under a trained model
+    * ([[graft.functions.UnigramTokenize]]): Viterbi decode per
+    * whitespace word — the THIRD apply discipline beside the greedy
+    * longest-match [[bpeTokens]] and the merge-order
+    * [[bpeTokensMergeOrder]], completing the tokenizer families real
+    * stacks ship. Map-only native expression: a free column on the
+    * scan at 100 TB. */
+  def unigramTokens(text: Column, model: UnigramLmModel): Column =
+    graft.functions.UnigramTokenize.unigram_tokens(text, model.vocab)
+
+  /** Content fingerprint of a unigram model — written into both parquet
+    * sides so [[unigramModelRead]] detects a torn rebuild, the
+    * [[bpeModelWrite]] marker discipline applied to the second
+    * tokenizer-model artifact. */
+  private def unigramModelId(model: UnigramLmModel): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (model.pieces.map(p => s"${p.piece}:${p.cnt}:${p.lp}") :+
+      model.lpUnk.toString).foreach { s =>
+      md.update(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      md.update(0.toByte)
+    }
+    md.digest().map("%02x".format(_)).mkString
+  }
+
+  /** Persist a trained unigram-LM tokenizer — scored pieces plus a
+    * one-row sidecar carrying `lpUnk`, both stamped with the model
+    * fingerprint. Rebuild by re-calling (overwrite); apply-side
+    * sessions/streams [[unigramModelRead]] it back and feed
+    * [[unigramTokens]] without retraining. */
+  def unigramModelWrite(model: UnigramLmModel,
+      spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+    import spark.implicits._
+    val id = unigramModelId(model)
+    model.pieces.toDF().withColumn("model_id", lit(id))
+      .write.mode("overwrite").parquet(s"$path/pieces")
+    Seq(Tuple1(model.lpUnk)).toDF("lp_unk").withColumn("model_id", lit(id))
+      .write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Read a persisted unigram model back — bounded collects (model
+    * arity, never data); piece ORDER restored by codepoint sort (the
+    * canonical model order — parquet row order is not part of the
+    * contract). FAILS FAST on a torn rebuild or corrupt parquet via the
+    * two-sided fingerprint, exactly like [[bpeModelRead]]. Remediation:
+    * re-run [[unigramModelWrite]]. */
+  def unigramModelRead(spark: org.apache.spark.sql.SparkSession,
+      path: String): UnigramLmModel = {
+    implicit val cpOrd: Ordering[String] = (x: String, y: String) =>
+      java.util.Arrays.compareUnsigned(
+        x.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        y.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val pdf = spark.read.parquet(s"$path/pieces").collect()
+    val mdf = spark.read.parquet(s"$path/meta").collect()
+    require(mdf.length == 1,
+      s"unigram model at $path: expected one meta row, got ${mdf.length}")
+    val ids = (pdf.map(_.getAs[String]("model_id")) ++
+      mdf.map(_.getAs[String]("model_id"))).distinct
+    require(ids.length <= 1,
+      s"torn unigram model at $path (piece/meta fingerprints disagree: " +
+        s"${ids.mkString(", ")}) — rebuild with unigramModelWrite")
+    val model = UnigramLmModel(
+      pdf.map(r => UnigramPiece(r.getAs[String]("piece"),
+          r.getAs[Long]("cnt"), r.getAs[Long]("lp")))
+        .sortBy(_.piece)(cpOrd).toSeq,
+      mdf.head.getAs[Long]("lp_unk"))
+    require(ids.headOption.forall(_ == unigramModelId(model)),
+      s"unigram model at $path fails its content fingerprint — " +
+        "partial/corrupt parquet, rebuild with unigramModelWrite")
+    model
+  }
+
   /** Quality-scoring features: length, alpha/digit/punct/space ratios and
     * mean token length — the standard cheap pre-filters for corpus curation.
     */
@@ -1485,20 +1694,40 @@ object TextOps {
   /** Apply a trained [[PocketModel]] — the learned counterpart of the
     * frozen-weights [[hashedLogisticScore]] inference: the same
     * integer-exact contract (`logit_milli` is a BIGINT dot of the
-    * learned weights against [[pocketFeats]]; `keep = logit_milli ≥ 0`
-    * decided in integer space; `score` the one cosmetic float, a 6 dp
-    * sigmoid of the exact integer). One tokenize pass, weights as plan
-    * literals, no shuffle beyond the per-doc feature aggregate. */
+    * learned weights against [[pocketFeats]]'s feature map;
+    * `keep = logit_milli ≥ 0` decided in integer space; `score` the one
+    * cosmetic float, a 6 dp sigmoid of the exact integer).
+    *
+    * MAP-ONLY: the feature map is re-evaluated per ROW, in-array —
+    * per-bucket token counts via filter HOFs, the milli-fraction floor
+    * `(1000·c_j) div n` as exact integer arithmetic (`(a − a mod n)/n`
+    * — an exact-multiple double division, lossless at these
+    * magnitudes), the dot folded over a `dims`-long literal sequence —
+    * bit-identical to the grouped [[pocketFeats]] frame but with NO
+    * feature-frame shuffle and NO join on the apply path. Apply is the
+    * hot path (training fits once on a sample; apply scans the full
+    * 100 TB corpus), so it must be one scan with the weights as plan
+    * literals — PlanSpec pins exactly that. Cost per row:
+    * O(dims · n_tokens) hash probes inside codegen'd HOFs. */
   def pocketScore(df: DataFrame, text: String, id: String,
       model: PocketModel): DataFrame = {
     val wLit = array(model.weights.map(lit): _*)
-    val lg = pocketFeats(df, text, id, model.dims, model.seed)
-      .groupBy("__id")
-      .agg(sum(element_at(wLit, col("__j") + 1) * col("__x"))
-        .as("logit_milli"))
+    val toks = tokens(col(text))
+    val n = size(toks).cast(LongType)
+    def bucket(t: Column): Column =
+      pmod(portableHash(t, model.seed), lit(model.dims.toLong)).cast("int")
+    def milliFrac(c: Column): Column = {
+      val a = lit(1000L) * c
+      ((a - pmod(a, n)) / n).cast(LongType)
+    }
+    val dot = aggregate(sequence(lit(0), lit(model.dims - 1)), lit(0L),
+      (acc, j) => acc + element_at(wLit, j + 1) *
+        milliFrac(size(filter(toks, t => bucket(t) === j)).cast(LongType)))
+    val logit = dot +
+      element_at(wLit, lit(model.dims + 1)) * (n * lit(10L)) +
+      element_at(wLit, lit(model.dims + 2)) * lit(1000L)
     df.where(col(text).isNotNull)
-      .select(col(id), size(tokens(col(text))).cast(LongType).as("n_tokens"))
-      .join(lg.withColumnRenamed("__id", id), id)
+      .select(col(id), n.as("n_tokens"), logit.as("logit_milli"))
       .withColumn("score",
         round(lit(1.0) / (lit(1.0) +
           exp(-col("logit_milli").cast("double") / lit(1e6))), 6))

@@ -2752,6 +2752,136 @@ object LlmQueries {
         (col("__i") + lit(1)).cast("long").as("token_idx"), col("token"))
       .orderBy("doc_id", "token_idx")
 
+  /** q183/q184's training hyperparameters: 3 hard-EM rounds over every
+    * codepoint substring (length ≤ 4) of the top-25 word histogram —
+    * the same 25-word cap as BPE training, which BITES (31 distinct
+    * corpus words), so the oracle replays the capped histogram
+    * (`ORDER BY count DESC, word LIMIT 25`) before its unrolled EM
+    * rounds, and the 6 tail words exercise the apply kernel on text the
+    * trainer never saw. */
+  val UniTrainIters = 3
+  val UniTrainMaxPieceLen = 4
+  val UniTrainSampleWords = 25
+
+  /** Per-directory memo of the LEARNED unigram-LM tokenizer
+    * ([[TextOps.unigramTrainModel]]) — the same train-once /
+    * apply-everywhere shape as [[learnedBpe]], so q183's model dump and
+    * q184's apply share one fit. Deterministic per directory, so
+    * memoization is invisible to results. */
+  private val uniModelMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, TextOps.UnigramLmModel]()
+  private def learnedUnigram(s: SparkSession, d: String): TextOps.UnigramLmModel =
+    uniModelMemo.computeIfAbsent(d, _ =>
+      TextOps.unigramTrainModel(docs(s, d), "text",
+        UniTrainMaxPieceLen, UniTrainSampleWords, UniTrainIters))
+
+  /** q183 — UNIGRAM-LM tokenizer TRAINING ([[TextOps.unigramTrain]]):
+    * the scored vocabulary itself, every hard-EM round gated — the
+    * oracle re-derives the capped histogram and seed substring counts,
+    * replays each round as unrolled CTEs (precomputed step table →
+    * recursive path-enumeration walk → one-window Viterbi argmax with
+    * the kernel's exact `(score DESC, n_pieces ASC, seg ASC)` tie-break
+    * → usage re-count with the single-codepoint floor → fixed-point
+    * re-score), so seeding, decoding, pruning, and scoring all match
+    * row for row. The Kudo counterpart to q151's Sennrich loop: the
+    * SECOND tokenizer-training family real stacks ship. */
+  def unigramTrainQ(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    learnedUnigram(s, d).pieces.toDF().orderBy("piece")
+  }
+
+  /** q184 — unigram-LM tokenizer APPLY ([[TextOps.unigramTokens]] under
+    * the q183 learned model): the Viterbi token stream (1-based
+    * `token_idx` in decode order) for a deterministic 1-in-5 document
+    * sample — the third apply discipline beside q140's greedy
+    * longest-match and q158's merge-order replay. The oracle extends
+    * the q183 training replay with an apply walk over DOCUMENT words
+    * whose step table adds the unk arm (single codepoints outside the
+    * learned vocabulary at the model's `lpUnk` penalty — precomputed,
+    * never a correlated probe inside the recursion), so training AND
+    * apply gate end-to-end with no frozen literal in the chain. */
+  def unigramTokensQ(s: SparkSession, d: String): DataFrame =
+    docs(s, d).where(col("text").isNotNull &&
+        pmod(col("doc_id"), lit(5)) === 1)
+      .select(col("doc_id"),
+        posexplode(TextOps.unigramTokens(col("text"), learnedUnigram(s, d)))
+          .as(Seq("__i", "token")))
+      .select(col("doc_id"),
+        (col("__i") + lit(1)).cast("long").as("token_idx"), col("token"))
+      .orderBy("doc_id", "token_idx")
+
+  /** The unrolled unigram-training replay CTEs: capped histogram `hw`
+    * (shared shape with the BPE replay), seed substring counts `usp`
+    * (every codepoint substring ≤ [[UniTrainMaxPieceLen]], occurrence-
+    * weighted), the single-codepoint floor set `ucp1`, seed scores
+    * `uv0`, then per round r a precomputed (word, pos, piece) step
+    * table `ustp_r`, the recursive path-enumeration walk `uwalk_r`
+    * (complete segmentations only), the one-window argmax `ubest_r`
+    * ([[graft.functions.UnigramTokenize]]'s exact tie-break — equal
+    * score and piece count force equal seg length, so binary-collation
+    * `seg ASC` is the kernel's UTF-8 comparison), usage counts `uu_r`,
+    * floored counts `un_r`, and fixed-point re-scores `uv_{r+1}`. The
+    * `floor(ln(·)·10⁴ + 0.5)` spelling matches
+    * [[TextOps.unigramTrainModel]] exactly — floor(x+0.5) is the one
+    * rounding rule both engines share, leaving the final ulp of `ln`
+    * as the only cross-engine float exposure. MATERIALIZED is
+    * load-bearing, as in the BPE chain. */
+  private def uniTrainCtes: String = {
+    val b = new StringBuilder
+    b ++= s"""hw AS MATERIALIZED (SELECT w, count(*)::BIGINT AS c FROM (
+       |    SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+       |    FROM documents WHERE text IS NOT NULL)
+       |  WHERE w <> '' GROUP BY w
+       |  ORDER BY c DESC, w ASC LIMIT $UniTrainSampleWords),
+       |usp AS MATERIALIZED (SELECT substring(w, i, l) AS piece,
+       |    sum(c)::BIGINT AS cnt
+       |  FROM hw,
+       |  LATERAL (SELECT unnest(generate_series(1, length(w))) AS i) gi,
+       |  LATERAL (SELECT unnest(generate_series(1, $UniTrainMaxPieceLen))
+       |    AS l) gl
+       |  WHERE i + l - 1 <= length(w)
+       |  GROUP BY piece),
+       |ucp1 AS MATERIALIZED (SELECT piece FROM usp WHERE length(piece) = 1),
+       |uwp AS MATERIALIZED (SELECT w,
+       |    unnest(generate_series(1, length(w))) AS p FROM hw),
+       |uv0 AS MATERIALIZED (SELECT piece,
+       |    CAST(floor(ln(cnt::DOUBLE / (SELECT sum(cnt) FROM usp))
+       |      * 10000 + 0.5) AS BIGINT) AS lp
+       |  FROM usp)""".stripMargin
+    for (r <- 0 until UniTrainIters) {
+      b ++= s""",
+         |ustp$r AS MATERIALIZED (SELECT wp.w, wp.p, v.piece, v.lp,
+         |    length(v.piece) AS pl
+         |  FROM uwp wp JOIN uv$r v
+         |    ON wp.p + length(v.piece) <= length(wp.w) + 1
+         |   AND substring(wp.w, wp.p, length(v.piece)) = v.piece),
+         |uwalk$r(w, c, pos, np, seg, score) AS (
+         |  SELECT w, c, 1, 0, '', 0::BIGINT FROM hw
+         |  UNION ALL
+         |  SELECT k.w, k.c, k.pos + s.pl, k.np + 1,
+         |    CASE WHEN k.seg = '' THEN s.piece
+         |         ELSE k.seg || chr(1) || s.piece END,
+         |    k.score + s.lp
+         |  FROM uwalk$r k JOIN ustp$r s ON s.w = k.w AND s.p = k.pos),
+         |ubest$r AS MATERIALIZED (SELECT w, c, seg FROM (
+         |    SELECT w, c, seg, row_number() OVER (PARTITION BY w
+         |      ORDER BY score DESC, np ASC, seg ASC) AS rn
+         |    FROM uwalk$r WHERE pos = length(w) + 1) t WHERE rn = 1),
+         |uu$r AS MATERIALIZED (SELECT piece, sum(c)::BIGINT AS cnt FROM (
+         |    SELECT c, unnest(string_split(seg, chr(1))) AS piece
+         |    FROM ubest$r) t GROUP BY piece),
+         |un$r AS MATERIALIZED (SELECT piece, cnt FROM uu$r
+         |  UNION ALL
+         |  SELECT piece, 1::BIGINT FROM ucp1
+         |  WHERE piece NOT IN (SELECT piece FROM uu$r)),
+         |uv${r + 1} AS MATERIALIZED (SELECT piece,
+         |    CAST(floor(ln(cnt::DOUBLE / (SELECT sum(cnt) FROM un$r))
+         |      * 10000 + 0.5) AS BIGINT) AS lp
+         |  FROM un$r)""".stripMargin
+    }
+    b.result()
+  }
+
   /** The q141/q142/q148 FROZEN subword vocabulary — the trained-tokenizer
     * model artifact ([[graft.functions.SubwordTokenize]] applies it;
     * the oracles regenerate their longest-prefix CASE from this same
@@ -4122,6 +4252,68 @@ object LlmQueries {
          |mt AS ($bpeMergeUnion)
          |SELECT merge_rank, left_sym, right_sym, merged, pair_count
          |FROM mt ORDER BY merge_rank""".stripMargin,
+
+    // every hard-EM round replayed: step table, path-enumeration walk,
+    // one-window Viterbi argmax, usage re-count with the single-
+    // codepoint floor, fixed-point re-score — the final model is the
+    // last round's counts joined to the last re-score
+    "q183_unigram_train" ->
+      s"""WITH RECURSIVE $uniTrainCtes
+         |SELECT n.piece, n.cnt, v.lp
+         |FROM un${UniTrainIters - 1} n
+         |JOIN uv$UniTrainIters v USING (piece)
+         |ORDER BY piece""".stripMargin,
+
+    // the q183 training chain + one apply walk over DOCUMENT words:
+    // the step table adds the unk arm (codepoints outside the learned
+    // vocabulary at lpUnk = min(lp) - 10000), tokens join back to word
+    // occurrences in decode order
+    "q184_unigram_tokens" ->
+      s"""WITH RECURSIVE $uniTrainCtes,
+         |ga AS (SELECT doc_id,
+         |    string_split_regex(trim(lower(text)), '\\s+') AS arr
+         |  FROM documents WHERE text IS NOT NULL AND doc_id % 5 = 1),
+         |wd AS (SELECT doc_id, wi, arr[wi] AS word
+         |  FROM (SELECT doc_id, unnest(generate_series(1, len(arr))) AS wi,
+         |        arr FROM ga)
+         |  WHERE length(arr[wi]) > 0),
+         |dw AS MATERIALIZED (SELECT DISTINCT word FROM wd),
+         |uvf AS MATERIALIZED (SELECT piece, lp FROM uv$UniTrainIters),
+         |ulpu AS MATERIALIZED (SELECT min(lp) - 10000 AS lpunk FROM uvf),
+         |dwp AS MATERIALIZED (SELECT word,
+         |    unnest(generate_series(1, length(word))) AS p FROM dw),
+         |astp AS MATERIALIZED (
+         |  SELECT wp.word, wp.p, v.piece, v.lp, length(v.piece) AS pl
+         |  FROM dwp wp JOIN uvf v
+         |    ON wp.p + length(v.piece) <= length(wp.word) + 1
+         |   AND substring(wp.word, wp.p, length(v.piece)) = v.piece
+         |  UNION ALL
+         |  SELECT wp.word, wp.p, substring(wp.word, wp.p, 1),
+         |    (SELECT lpunk FROM ulpu), 1
+         |  FROM dwp wp
+         |  WHERE substring(wp.word, wp.p, 1) NOT IN
+         |    (SELECT piece FROM uvf)),
+         |awalk(word, pos, np, seg, score) AS (
+         |  SELECT word, 1, 0, '', 0::BIGINT FROM dw
+         |  UNION ALL
+         |  SELECT k.word, k.pos + s.pl, k.np + 1,
+         |    CASE WHEN k.seg = '' THEN s.piece
+         |         ELSE k.seg || chr(1) || s.piece END,
+         |    k.score + s.lp
+         |  FROM awalk k JOIN astp s ON s.word = k.word AND s.p = k.pos),
+         |abest AS MATERIALIZED (SELECT word, seg FROM (
+         |    SELECT word, seg, row_number() OVER (PARTITION BY word
+         |      ORDER BY score DESC, np ASC, seg ASC) AS rn
+         |    FROM awalk WHERE pos = length(word) + 1) t WHERE rn = 1),
+         |atk AS (SELECT word, i AS pi, arr[i] AS token FROM (
+         |    SELECT word, string_split(seg, chr(1)) AS arr FROM abest) t,
+         |  LATERAL (SELECT unnest(generate_series(1, len(arr))) AS i) g)
+         |SELECT doc_id,
+         |  row_number() OVER (PARTITION BY doc_id ORDER BY wi, pi)
+         |    AS token_idx,
+         |  token
+         |FROM wd JOIN atk USING (word)
+         |ORDER BY doc_id, token_idx""".stripMargin,
 
     // the walk aggregated to per-doc counts beside the whitespace count
     "q141_token_count_bpe" ->
@@ -5845,6 +6037,8 @@ object LlmQueries {
     "q140_bpe_tokens" -> bpeTokensQ _,
     "q151_bpe_train" -> bpeTrainQ _,
     "q158_bpe_apply_merge_order" -> bpeTokensMergeOrderQ _,
+    "q183_unigram_train" -> unigramTrainQ _,
+    "q184_unigram_tokens" -> unigramTokensQ _,
     "q152_alignment_filter" -> alignmentFilterQ _,
     "q153_alignment_quantile" -> alignmentQuantileQ _,
     "q159_pair_curation" -> pairCurationQ _,

@@ -2426,6 +2426,94 @@ class OperatorSpec extends AnyFunSuite {
     graft.tools.CodegenGuard.assertHealthy("bpeTokensMergeOrder pipeline")
   }
 
+  test("unigramTokens: Viterbi argmax — score beats greed, ties prefer fewer pieces then byte-lexicographic seg; unk steps whole codepoints") {
+    import graft.operators.TextOps.{UnigramLmModel, UnigramPiece}
+    def model(lpUnk: Long, ps: (String, Long)*): UnigramLmModel =
+      UnigramLmModel(ps.map { case (p, lp) => UnigramPiece(p, 1L, lp) },
+        lpUnk)
+    def toks(text: String, m: UnigramLmModel): Seq[String] =
+      Seq(Tuple1(text)).toDF("text")
+        .select(TextOps.unigramTokens(col("text"), m).as("t"))
+        .head().getSeq[String](0)
+    // VITERBI beats greedy: longest-match would take "abc" (lp -100000),
+    // the decode takes ab·c (-20000) — the discipline that separates
+    // this kernel from bpeTokens
+    assert(toks("abc", model(-500000L,
+      "ab" -> -10000L, "abc" -> -100000L, "c" -> -10000L)) ==
+      Seq("ab", "c"))
+    // equal score -> FEWER pieces wins: a·b and ab both sum to -20000
+    assert(toks("ab", model(-500000L,
+      "a" -> -10000L, "b" -> -10000L, "ab" -> -20000L)) == Seq("ab"))
+    // full (score, n_pieces) tie -> byte-lexicographic smallest SEG
+    // string: seg(a.bc) < seg(ab.c) (the U+0001 separator sorts
+    // below every printable byte), so a·bc must win
+    assert(toks("abc", model(-500000L, "ab" -> -10000L, "c" -> -10000L,
+      "a" -> -10000L, "bc" -> -10000L)) == Seq("a", "bc"))
+    // normalization matches tokens(): trim + lower before the decode;
+    // whitespace words decode independently
+    assert(toks("  AB ab  ", model(-500000L, "ab" -> -10000L)) ==
+      Seq("ab", "ab"))
+    // unk steps ONE codepoint at lpUnk — and only where the single
+    // codepoint is out-of-vocabulary (never preferred over a piece)
+    assert(toks("za", model(-500000L, "a" -> -10000L)) == Seq("z", "a"))
+    // a surrogate PAIR unk-steps as one codepoint, never a broken half,
+    // and pieces never match across it
+    val astral = new String(Character.toChars(0x1D11E))
+    assert(toks(s"ab${astral}ab", model(-500000L, "ab" -> -10000L)) ==
+      Seq("ab", astral, "ab"))
+    assert(toks(s"a${astral}b", model(-500000L, "ab" -> -10000L,
+      "a" -> -10000L, "b" -> -10000L)) == Seq("a", astral, "b"))
+    // the unk penalty participates in the argmax: a path with one
+    // in-vocab piece + one unk beats all-unk when lpUnk is harsh
+    assert(toks("zab", model(-500000L, "ab" -> -10000L, "za" -> -600000L,
+      "b" -> -10000L)) == Seq("z", "ab"))
+    // codegen-healthy (native expression, no interpreted fallback)
+    graft.tools.CodegenGuard.reset()
+    val m = model(-500000L, "ta" -> -10000L, "b" -> -20000L,
+      "t" -> -30000L, "a" -> -30000L, "l" -> -30000L, "e" -> -30000L)
+    (0L until 200L).map(i => (i, s"table $i")).toDF("doc_id", "text")
+      .select(TextOps.unigramTokens(col("text"), m).as("t"))
+      .collect()
+    graft.tools.CodegenGuard.assertHealthy("unigramTokens pipeline")
+  }
+
+  test("unigramTrainModel: seed substring counts, hard-EM pruning, single-codepoint floor, fixed-point scores, apply round-trip") {
+    // corpus: "abab" x2, "ab" x1. Seed counts (maxPieceLen 4):
+    // a:5 b:5 ab:5 ba:2 aba:2 bab:2 abab:2, total 23. Round 1 decodes
+    // abab -> [abab] (ln(2/23) beats 2*ln(5/23)) and ab -> [ab], so
+    // usage prunes ba/aba/bab and floors the unused singles at 1.
+    val m = TextOps.unigramTrainModel(
+      Seq(Tuple1("abab abab ab")).toDF("text"), "text",
+      maxPieceLen = 4, sampleWords = 10, iters = 2)
+    assert(m.pieces.map(p => (p.piece, p.cnt)) ==
+      Seq(("a", 1L), ("ab", 1L), ("abab", 2L), ("b", 1L)),
+      s"pruning + floor must leave exactly the used pieces and floored " +
+        s"singles in codepoint order: ${m.pieces}")
+    // fixed-point score law: floor(ln(cnt/total)*1e4 + 0.5), total 5
+    def lp(c: Long) =
+      Math.floor(Math.log(c.toDouble / 5.0) * 10000.0 + 0.5).toLong
+    assert(m.pieces.map(_.lp) == Seq(lp(1), lp(1), lp(2), lp(1)))
+    // lpUnk: one e-fold (10^4 fixed-point nats) below the worst piece
+    assert(m.lpUnk == m.pieces.map(_.lp).min - 10000L)
+    // train -> apply round-trips: a sampled word's tokens ARE its final
+    // training segmentation
+    val got = Seq(Tuple1("abab ab")).toDF("text")
+      .select(TextOps.unigramTokens(col("text"), m).as("t"))
+      .head().getSeq[String](0)
+    assert(got == Seq("abab", "ab"))
+    // determinism: retraining yields the identical model
+    val m2 = TextOps.unigramTrainModel(
+      Seq(Tuple1("abab abab ab")).toDF("text"), "text", 4, 10, 2)
+    assert(m2 == m)
+    // the cap bites deterministically: sampleWords = 1 keeps only the
+    // most frequent word ("abab"), whose decode uses no "ab" piece —
+    // so "ab" is PRUNED and the model is just {abab} + floored singles
+    val capped = TextOps.unigramTrainModel(
+      Seq(Tuple1("abab abab ab")).toDF("text"), "text", 4, 1, 2)
+    assert(capped.pieces.map(p => (p.piece, p.cnt)) ==
+      Seq(("a", 1L), ("abab", 2L), ("b", 1L)))
+  }
+
   test("bpeTrainModel: tie-break by (count DESC, left, right); merges apply left-to-right non-overlapping; cap bites deterministically") {
     // "ab" x3 and "cd" x3 tie on pair count: ('a','b') < ('c','d') under
     // the (left, right) order, so rank 1 MUST be a+b. Rank 2 is then c+d.

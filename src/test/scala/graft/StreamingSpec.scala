@@ -129,6 +129,60 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming unigram apply: a persisted Viterbi model tokenizes a stream, torn rebuild fails fast, stateless map-only") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    // train + persist once (batch side), restore + apply on the stream
+    val model = graft.operators.TextOps.unigramTrainModel(
+      Seq(Tuple1("abab abab ab")).toDF("text"), "text",
+      maxPieceLen = 4, sampleWords = 10, iters = 2)
+    val dir = java.nio.file.Files.createTempDirectory("uni_stream").toString
+    graft.operators.TextOps.unigramModelWrite(model, spark, dir)
+    val restored = graft.operators.TextOps.unigramModelRead(spark, dir)
+    // round-trip is exact: pieces, counts, scores, unk penalty
+    assert(restored == model)
+    val mem = MemoryStream[(Long, String)]
+    val toks = mem.toDF().toDF("doc_id", "text")
+      .select(col("doc_id"),
+        graft.operators.TextOps.unigramTokens(col("text"), restored)
+          .as("tokens"))
+    val q = toks.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("uni_stream_out").start()
+    try {
+      mem.addData((1L, "abab ab"), (2L, "zz abab"))
+      q.processAllAvailable()
+      val rows = spark.table("uni_stream_out").orderBy("doc_id")
+        .collect().map(r => (r.getLong(0), r.getSeq[String](1))).toSeq
+      // the decode under the restored model: trained words segment as
+      // trained; the unseen "zz" unk-steps per codepoint
+      assert(rows == Seq(
+        (1L, Seq("abab", "ab")), (2L, Seq("z", "z", "abab"))),
+        rows.toString)
+      val plan = spark.table("uni_stream_out").queryExecution.analyzed
+        .toString
+      assert(!plan.contains("StateStore"), plan.take(1000))
+    } finally q.stop()
+    // torn rebuild fails fast: overwrite ONE side with a different model
+    val other = graft.operators.TextOps.unigramTrainModel(
+      Seq(Tuple1("cd cd cd")).toDF("text"), "text", 2, 10, 1)
+    graft.operators.TextOps.unigramModelWrite(other, spark, dir)
+    import org.apache.spark.sql.functions.lit
+    spark.read.parquet(s"$dir/meta").drop("model_id")
+      .withColumn("model_id", lit("deadbeef"))
+      .write.mode("overwrite").parquet(s"$dir/meta2")
+    // simulate the tear by pointing meta at the stale fingerprint
+    val fs = new java.io.File(s"$dir/meta")
+    def deleteRec(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(deleteRec)); f.delete()
+    }
+    deleteRec(fs)
+    new java.io.File(s"$dir/meta2").renameTo(fs)
+    val torn = intercept[IllegalArgumentException] {
+      graft.operators.TextOps.unigramModelRead(spark, dir)
+    }
+    assert(torn.getMessage.contains("torn unigram model"))
+  }
+
   test("streaming alignment gate: map-only pair filter, mis-captioned pairs dropped at ingest") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
