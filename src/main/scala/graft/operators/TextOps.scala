@@ -289,6 +289,118 @@ object TextOps {
     model
   }
 
+  /** One learned WordPiece merge: at `merge_rank` the pair
+    * `(left_sym, right_sym)` maximizing the LIKELIHOOD-GAIN score —
+    * `pair_count / (count(left)·count(right))`, carried as the exact
+    * scaled integer `score_scaled = floor(pair_count·10¹⁸ /
+    * (count(left)·count(right)))` that DEFINES the argmax (not an
+    * approximation of it: both engines compute the same integer, so the
+    * winner is deterministic even where the scaling collides). */
+  final case class WordPieceMerge(merge_rank: Long, left_sym: String,
+      right_sym: String, merged: String, pair_count: Long,
+      score_scaled: Long)
+
+  /** A trained WordPiece tokenizer model: the ordered merge table plus
+    * the sample alphabet. Inference is greedy longest-match over
+    * `vocab` — [[bpeTokens]] IS the WordPiece apply discipline, so the
+    * learned vocabulary plugs straight into the existing kernel. */
+  final case class WordPieceModel(merges: Seq[WordPieceMerge],
+      alphabet: Seq[String]) {
+    def vocab: Seq[String] = alphabet ++ merges.map(_.merged)
+  }
+
+  /** WORDPIECE tokenizer TRAINING (Schuster & Nakajima 2012, "Japanese
+    * and Korean voice search" §4 — the likelihood objective): the
+    * [[bpeTrainModel]] merge loop with the winner chosen by LIKELIHOOD
+    * GAIN instead of raw frequency — each round fuses the adjacent pair
+    * maximizing `p(lr) / (p(l)·p(r))`, i.e. the merge that most
+    * increases a unigram LM's corpus likelihood — so a rare-but-
+    * predictive pair beats a merely frequent one (the property that
+    * separates the three training families; OperatorSpec pins a corpus
+    * where WordPiece and BPE genuinely diverge at rank 1).
+    *
+    * DETERMINISM: the score is the exact integer
+    * `floor(pc·10¹⁸/(cl·cr))` (BigInt here, HUGEINT in the oracle —
+    * `pc ≤ min(cl, cr)` bounds it by 10¹⁸, BIGINT-safe), totally
+    * ordered by `(score DESC, left ASC, right ASC, codepoint order)`,
+    * so the DuckDB oracle replays every round as unrolled CTEs (symbol
+    * count → pair count → scored winner → delimited replace) and the
+    * merge tables match row for row. Scale shape identical to
+    * [[bpeTrainModel]]: one map-side-combinable histogram pass, then
+    * driver work on the capped sample. */
+  def wordPieceTrainModel(df: DataFrame, text: String, nMerges: Int,
+      sampleWords: Int): WordPieceModel = {
+    require(nMerges >= 1, s"nMerges must be >= 1, got $nMerges")
+    require(sampleWords >= 1, s"sampleWords must be >= 1, got $sampleWords")
+    val hist = df.where(col(text).isNotNull)
+      .select(explode(tokens(col(text))).as("__w"))
+      .where(col("__w") =!= "")
+      .groupBy("__w").agg(count(lit(1)).as("__c"))
+      .orderBy(col("__c").desc, col("__w").asc)
+      .limit(sampleWords)
+      .collect()  // bounded: exactly min(sampleWords, |vocab|) rows
+      .map(r => (r.getString(0), r.getLong(1)))
+    def codepoints(w: String): Array[String] =
+      w.codePoints().toArray.map(cp => new String(Character.toChars(cp)))
+    var segs: Array[(Array[String], Long)] =
+      hist.map { case (w, c) => (codepoints(w), c) }
+    implicit val cpOrd: Ordering[String] = (x: String, y: String) =>
+      java.util.Arrays.compareUnsigned(
+        x.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        y.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val alphabet = segs.iterator.flatMap(_._1).toSeq.distinct.sorted(cpOrd)
+    val Scale = BigInt(10).pow(18)
+    val merges = Seq.newBuilder[WordPieceMerge]
+    var rank = 1
+    var exhausted = false
+    while (rank <= nMerges && !exhausted) {
+      val pairCnt = scala.collection.mutable.HashMap
+        .empty[(String, String), Long]
+      val symCnt = scala.collection.mutable.HashMap.empty[String, Long]
+      for ((syms, c) <- segs) {
+        syms.foreach(s => symCnt(s) = symCnt.getOrElse(s, 0L) + c)
+        for (i <- 0 until syms.length - 1) {
+          val p = (syms(i), syms(i + 1))
+          pairCnt(p) = pairCnt.getOrElse(p, 0L) + c
+        }
+      }
+      if (pairCnt.isEmpty) exhausted = true
+      else {
+        def score(l: String, r: String, pc: Long): Long =
+          (BigInt(pc) * Scale / (BigInt(symCnt(l)) * BigInt(symCnt(r))))
+            .toLong
+        val ((l, r), pc) = pairCnt.minBy { case ((l, r), pc) =>
+          (-score(l, r, pc), l, r) }
+        merges += WordPieceMerge(rank.toLong, l, r, l + r, pc,
+          score(l, r, pc))
+        segs = segs.map { case (syms, cnt) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+              out += l + r; i += 2
+            } else { out += syms(i); i += 1 }
+          }
+          (out.toArray, cnt)
+        }
+        rank += 1
+      }
+    }
+    WordPieceModel(merges.result(), alphabet)
+  }
+
+  /** [[wordPieceTrainModel]]'s merge table as a DataFrame —
+    * `(merge_rank, left_sym, right_sym, merged, pair_count,
+    * score_scaled)` in training order, the artifact a tokenizer ships
+    * (and the q185 gate surface: the likelihood arithmetic itself
+    * replays, not just the winners). */
+  def wordPieceTrain(df: DataFrame, text: String, nMerges: Int,
+      sampleWords: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    wordPieceTrainModel(df, text, nMerges, sampleWords).merges.toDF()
+  }
+
   /** One trained unigram-LM piece: the sub-word string, its final-round
     * hard-EM usage count, and the fixed-point log-probability
     * `floor(ln(cnt/total)·10⁴ + 0.5)` (BIGINT nats·10⁻⁴) the Viterbi

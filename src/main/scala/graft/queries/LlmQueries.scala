@@ -2882,6 +2882,114 @@ object LlmQueries {
     b.result()
   }
 
+  /** q185/q186's training hyperparameters — same 30-round/25-word shape
+    * as the BPE trainer, so the two families differ ONLY in the merge
+    * objective and every divergence in the gated tables is the
+    * likelihood scoring at work. */
+  val WpTrainNMerges = 30
+  val WpTrainSampleWords = 25
+
+  /** Per-directory memo of the LEARNED WordPiece tokenizer
+    * ([[TextOps.wordPieceTrainModel]]) — the [[learnedBpe]]
+    * train-once/apply-everywhere shape for the third training family. */
+  private val wpModelMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, TextOps.WordPieceModel]()
+  private def learnedWordPiece(s: SparkSession,
+      d: String): TextOps.WordPieceModel =
+    wpModelMemo.computeIfAbsent(d, _ =>
+      TextOps.wordPieceTrainModel(docs(s, d), "text",
+        WpTrainNMerges, WpTrainSampleWords))
+
+  /** q185 — WORDPIECE tokenizer TRAINING ([[TextOps.wordPieceTrain]]):
+    * the learned merge table with its exact scaled likelihood scores,
+    * every round gated — the oracle replays each round as unrolled CTEs
+    * (symbol counts → pair counts → HUGEINT-scored winner →
+    * non-overlapping replace), so the likelihood arithmetic, tie-breaks,
+    * and merge application all match row for row. Completes the
+    * training trio (q151 Sennrich frequency, q183 Kudo hard-EM, this
+    * the Schuster–Nakajima likelihood gain); the three genuinely
+    * diverge on this corpus — the gated tables differ from q151's from
+    * the first rare-but-predictive pair on. */
+  def wordPieceTrainQ(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    learnedWordPiece(s, d).merges.toDF().orderBy("merge_rank")
+  }
+
+  /** q186 — WordPiece APPLY ([[TextOps.bpeTokens]] under the q185
+    * learned vocabulary — WordPiece inference IS greedy longest-match,
+    * so the learned model plugs into the existing native kernel): the
+    * token stream for a deterministic 1-in-5 document sample, oracled
+    * by the q185 training replay + the precomputed longest-match walk
+    * (the q140 chain under the OTHER objective's vocabulary) — no
+    * frozen literal anywhere. */
+  def wordPieceTokensQ(s: SparkSession, d: String): DataFrame =
+    docs(s, d).where(col("text").isNotNull &&
+        pmod(col("doc_id"), lit(5)) === 2)
+      .select(col("doc_id"),
+        posexplode(TextOps.bpeTokens(col("text"),
+          learnedWordPiece(s, d).vocab))
+          .as(Seq("__i", "token")))
+      .select(col("doc_id"),
+        (col("__i") + lit(1)).cast("long").as("token_idx"), col("token"))
+      .orderBy("doc_id", "token_idx")
+
+  /** The unrolled WordPiece training-replay CTEs — the [[bpeTrainCtes]]
+    * machinery with the likelihood winner: per round r the symbol
+    * counts `wsy_r` over the current segmentations, the adjacent-pair
+    * counts `wpp_r`, the winner `wm_r` by the exact scaled score
+    * `(pc·10¹⁸) // (cl·cr)` (HUGEINT — the same integer
+    * [[TextOps.wordPieceTrainModel]] computes with BigInt, so the
+    * argmax agrees even where the scaling collides), and the delimited
+    * `replace`. */
+  private def wpTrainCtes: String = {
+    val d = BpeSegD
+    val b = new StringBuilder
+    b ++= s"""whw AS (SELECT w, count(*)::BIGINT AS c FROM (
+       |    SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+       |    FROM documents WHERE text IS NOT NULL)
+       |  WHERE w <> '' GROUP BY w
+       |  ORDER BY c DESC, w ASC LIMIT $WpTrainSampleWords),
+       |ws0 AS MATERIALIZED (SELECT w, c,
+       |    '$d' || string_agg(ch, '$d$d' ORDER BY i) || '$d' AS seg
+       |  FROM (SELECT w, c, unnest(generate_series(1, length(w))) AS i,
+       |      substring(w, unnest(generate_series(1, length(w))), 1) AS ch
+       |    FROM whw)
+       |  GROUP BY w, c)""".stripMargin
+    for (r <- 0 until WpTrainNMerges) {
+      b ++= s""",
+         |wsy$r AS MATERIALIZED (SELECT sym, sum(c)::BIGINT AS sc FROM (
+         |    SELECT c, unnest(string_split(trim(seg, '$d'), '$d$d')) AS sym
+         |    FROM ws$r) t GROUP BY sym),
+         |wpp$r AS MATERIALIZED (SELECT a, b, sum(c)::BIGINT AS pc FROM (
+         |    SELECT c, arr[i] AS a, arr[i+1] AS b FROM (
+         |      SELECT c, string_split(trim(seg, '$d'), '$d$d') AS arr
+         |      FROM ws$r) t,
+         |    LATERAL (SELECT unnest(generate_series(1, len(arr) - 1)) AS i) g
+         |    WHERE len(arr) > 1) q GROUP BY a, b),
+         |wm$r AS MATERIALIZED (SELECT ${r + 1}::BIGINT AS merge_rank, a, b,
+         |    a || b AS merged, pc,
+         |    CAST((pc::HUGEINT * 1000000000000000000)
+         |      // (l.sc::HUGEINT * r2.sc) AS BIGINT) AS score_scaled
+         |  FROM wpp$r p JOIN wsy$r l ON l.sym = p.a
+         |  JOIN wsy$r r2 ON r2.sym = p.b
+         |  ORDER BY score_scaled DESC, a ASC, b ASC LIMIT 1),
+         |ws${r + 1} AS MATERIALIZED (SELECT w, c,
+         |    CASE WHEN m.a IS NULL THEN seg
+         |         ELSE replace(seg, '$d' || m.a || '$d$d' || m.b || '$d',
+         |                      '$d' || m.a || m.b || '$d') END AS seg
+         |  FROM ws$r LEFT JOIN wm$r m ON TRUE)""".stripMargin
+    }
+    b.result()
+  }
+
+  /** The learned WordPiece merge table as one UNION ALL over the
+    * per-round winners (exhausted rounds contribute no row). */
+  private def wpMergeUnion: String =
+    (0 until WpTrainNMerges).map(r =>
+      s"SELECT merge_rank, a AS left_sym, b AS right_sym, merged," +
+        s" pc AS pair_count, score_scaled FROM wm$r")
+      .mkString("\n  UNION ALL\n  ")
+
   /** The q141/q142/q148 FROZEN subword vocabulary — the trained-tokenizer
     * model artifact ([[graft.functions.SubwordTokenize]] applies it;
     * the oracles regenerate their longest-prefix CASE from this same
@@ -4252,6 +4360,55 @@ object LlmQueries {
          |mt AS ($bpeMergeUnion)
          |SELECT merge_rank, left_sym, right_sym, merged, pair_count
          |FROM mt ORDER BY merge_rank""".stripMargin,
+
+    // every likelihood round replayed: symbol counts, pair counts, the
+    // HUGEINT-scored winner, the non-overlapping replace — row-for-row
+    // against the trainer including the exact scaled scores
+    "q185_wordpiece_train" ->
+      s"""WITH $wpTrainCtes,
+         |wmt AS ($wpMergeUnion)
+         |SELECT merge_rank, left_sym, right_sym, merged, pair_count,
+         |  score_scaled
+         |FROM wmt ORDER BY merge_rank""".stripMargin,
+
+    // the q185 training chain + the greedy longest-match walk (the q140
+    // apply oracle shape) under the likelihood-learned vocabulary
+    "q186_wordpiece_tokens" ->
+      s"""WITH RECURSIVE $wpTrainCtes,
+         |wmt AS ($wpMergeUnion),
+         |wvoc AS MATERIALIZED (SELECT merged AS tok FROM wmt
+         |  UNION SELECT DISTINCT substring(w, i, 1) AS tok
+         |  FROM (SELECT w, unnest(generate_series(1, length(w))) AS i
+         |        FROM whw)),
+         |wga AS (SELECT doc_id,
+         |    string_split_regex(trim(lower(text)), '\\s+') AS arr
+         |  FROM documents WHERE text IS NOT NULL AND doc_id % 5 = 2),
+         |wwd AS (SELECT doc_id, wi, arr[wi] AS word
+         |  FROM (SELECT doc_id, unnest(generate_series(1, len(arr))) AS wi,
+         |        arr FROM wga)
+         |  WHERE length(arr[wi]) > 0),
+         |wdw AS MATERIALIZED (SELECT DISTINCT word FROM wwd),
+         |wwp AS (SELECT word, unnest(generate_series(1, length(word))) AS p
+         |  FROM wdw),
+         |wlm AS MATERIALIZED (SELECT wwp.word, wwp.p, max(length(v.tok)) AS L
+         |  FROM wwp JOIN wvoc v
+         |    ON substring(wwp.word, wwp.p, length(v.tok)) = v.tok
+         |  GROUP BY wwp.word, wwp.p),
+         |wpwalk(word, pos, ti, tok) AS (
+         |  SELECT word, 1, 0, CAST(NULL AS VARCHAR) FROM wdw
+         |  UNION ALL
+         |  SELECT ww.word, ww.pos + coalesce(wlm.L, 1), ww.ti + 1,
+         |    substring(ww.word, ww.pos, coalesce(wlm.L, 1))
+         |  FROM wpwalk ww LEFT JOIN wlm
+         |    ON wlm.word = ww.word AND wlm.p = ww.pos
+         |  WHERE ww.pos <= length(ww.word)),
+         |wtoks AS (SELECT word, ti, tok FROM wpwalk WHERE tok IS NOT NULL)
+         |SELECT doc_id,
+         |  row_number() OVER (PARTITION BY doc_id ORDER BY wi, ti)
+         |    AS token_idx,
+         |  tok AS token
+         |FROM wwd JOIN wtoks USING (word)
+         |ORDER BY doc_id, token_idx""".stripMargin,
 
     // every hard-EM round replayed: step table, path-enumeration walk,
     // one-window Viterbi argmax, usage re-count with the single-
@@ -6039,6 +6196,8 @@ object LlmQueries {
     "q158_bpe_apply_merge_order" -> bpeTokensMergeOrderQ _,
     "q183_unigram_train" -> unigramTrainQ _,
     "q184_unigram_tokens" -> unigramTokensQ _,
+    "q185_wordpiece_train" -> wordPieceTrainQ _,
+    "q186_wordpiece_tokens" -> wordPieceTokensQ _,
     "q152_alignment_filter" -> alignmentFilterQ _,
     "q153_alignment_quantile" -> alignmentQuantileQ _,
     "q159_pair_curation" -> pairCurationQ _,

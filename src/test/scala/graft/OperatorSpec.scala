@@ -2426,6 +2426,34 @@ class OperatorSpec extends AnyFunSuite {
     graft.tools.CodegenGuard.assertHealthy("bpeTokensMergeOrder pipeline")
   }
 
+  test("wordPieceTrainModel: likelihood-gain argmax diverges from BPE's frequency argmax; exact scaled scores; ties fall to (left, right); learned vocab plugs into the greedy kernel") {
+    // pair (a,b) is the most FREQUENT (4) but its symbols are common
+    // (count(a) = count(b) = 10), while (c,d) is rarer (3) yet fully
+    // predictive (count(c) = count(d) = 3): score(c,d) = 3/9 beats
+    // score(a,b) = 4/100 — WordPiece merges cd first, BPE merges ab
+    val corpus = Seq(Tuple1((Seq.fill(4)("ab") ++ Seq.fill(3)("aa") ++
+      Seq.fill(3)("bb") ++ Seq.fill(3)("cd")).mkString(" "))).toDF("text")
+    val wp = TextOps.wordPieceTrainModel(corpus, "text", 1, 10)
+    assert(wp.merges.map(m => (m.merge_rank, m.left_sym, m.right_sym,
+      m.merged, m.pair_count, m.score_scaled)) ==
+      Seq((1L, "c", "d", "cd", 3L, 333333333333333333L)),
+      wp.merges.toString)
+    val bpe = TextOps.bpeTrainModel(corpus, "text", 1, 10)
+    assert(bpe.merges.head.merged == "ab",
+      "the frequency objective must pick the other pair")
+    // equal scaled scores fall to (left, right) codepoint order
+    val wt = TextOps.wordPieceTrainModel(
+      Seq(Tuple1("ab ab cd cd")).toDF("text"), "text", 2, 10)
+    assert(wt.merges.map(m => (m.merged, m.score_scaled)) ==
+      Seq(("ab", 500000000000000000L), ("cd", 500000000000000000L)))
+    // apply is greedy longest-match over the learned vocabulary — the
+    // existing kernel, new model
+    val toks = Seq(Tuple1("cd ab")).toDF("text")
+      .select(TextOps.bpeTokens(col("text"), wp.vocab).as("t"))
+      .head().getSeq[String](0)
+    assert(toks == Seq("cd", "a", "b"))
+  }
+
   test("unigramTokens: Viterbi argmax — score beats greed, ties prefer fewer pieces then byte-lexicographic seg; unk steps whole codepoints") {
     import graft.operators.TextOps.{UnigramLmModel, UnigramPiece}
     def model(lpUnk: Long, ps: (String, Long)*): UnigramLmModel =
