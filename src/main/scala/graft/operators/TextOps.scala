@@ -1251,6 +1251,48 @@ object TextOps {
       when(qSorted === "", lit("")).otherwise(concat(lit("?"), qSorted))))
   }
 
+  /** The canonical HOST of a URL — the [[canonicalUrl]] host rules
+    * alone (lowercase, default port stripped): the aggregation key of
+    * domain-level curation. Empty string when the input has no
+    * `scheme://` prefix (not a URL this operator can parse — callers
+    * filter or report the empty host as its own row). */
+  def urlHost(u: Column): Column =
+    regexp_extract(canonicalUrl(u), "^[a-z][a-z0-9+.\\-]*://([^/?]*)", 1)
+
+  /** HOST-LEVEL report card + reputation gate — the domain-filter stage
+    * every crawl pipeline runs between URL dedup and content dedup
+    * (C4/RefinedWeb drop whole domains before reading a byte of
+    * content): per canonical host, document volume, DISTINCT canonical
+    * pages, the milli-share of URL-duplicate documents, the milli-token
+    * mean length, and the verdict `keep = url_dup_milli ≤ maxDupMilli`
+    * (a host whose URLs mostly collapse to few pages is a crawler trap
+    * / mirror farm). All INTEGER arithmetic (`(1000·a) div b` as exact
+    * `(x − x mod b)/b`), so the gate hashes exactly.
+    *
+    * Scale: one map pass computes `(host, url-hash, token count)`; the
+    * aggregates exchange only those — tens of bytes per doc, never the
+    * URL string or the text. Output rows are |hosts|, driver-safe. */
+  def hostReport(df: DataFrame, url: String, text: String,
+      maxDupMilli: Long): DataFrame = {
+    def milli(num: Column, den: Column): Column = {
+      val a = lit(1000L) * num
+      ((a - pmod(a, den)) / den).cast(LongType)
+    }
+    df.where(col(text).isNotNull)
+      .select(urlHost(col(url)).as("host"),
+        portableHash(canonicalUrl(col(url)), 23).as("__uh"),
+        size(tokens(col(text))).cast(LongType).as("__nt"))
+      .groupBy("host")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("__uh")).as("n_pages"),
+        sum(col("__nt")).as("__st"))
+      .select(col("host"), col("n_docs"), col("n_pages"),
+        milli(col("n_docs") - col("n_pages"), col("n_docs"))
+          .as("url_dup_milli"),
+        milli(col("__st"), col("n_docs")).as("mean_tokens_milli"))
+      .withColumn("keep", col("url_dup_milli") <= lit(maxDupMilli))
+  }
+
   /** CCNet/RefinedWeb-style LINE-LEVEL boilerplate removal: a line whose
     * document frequency (number of DISTINCT documents containing it
     * verbatim) reaches `minDf` is boilerplate — navigation chrome,

@@ -36,6 +36,34 @@ object LlmQueries {
   private def pHash(seed: String, expr: String): String =
     s"('0x' || substr(md5('$seed:' || $expr), 1, 15))::BIGINT"
 
+  /** The [[TextOps.canonicalUrl]] replay as CTE text `c1..c3, canon` —
+    * expects a CTE `u(doc_id, url)` in scope, ends with
+    * `canon(doc_id, cu)`. Shared by the q174 (URL dedup) and q187
+    * (host report) oracles. */
+  private def urlCanonChain: String =
+    s"""c1 AS (SELECT doc_id, trim(url) AS s,
+       |    lower(regexp_extract(trim(url), '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+       |    regexp_replace(regexp_replace(trim(url),
+       |      '^[A-Za-z][A-Za-z0-9+.-]*://', ''), '#.*$$', '') AS nofrag
+       |  FROM u),
+       |c2 AS (SELECT doc_id, s, scheme,
+       |    lower(regexp_extract(nofrag, '^([^/?]*)', 1)) AS hp0,
+       |    regexp_replace(nofrag, '^[^/?]*', '') AS pathq
+       |  FROM c1),
+       |c3 AS (SELECT doc_id, s, scheme,
+       |    CASE WHEN scheme = 'http' THEN regexp_replace(hp0, ':80$$', '')
+       |         WHEN scheme = 'https' THEN regexp_replace(hp0, ':443$$', '')
+       |         ELSE hp0 END AS hostport,
+       |    regexp_replace(regexp_extract(pathq, '^([^?]*)', 1), '/+$$', '') AS path,
+       |    coalesce(list_aggregate(list_sort(list_filter(
+       |      string_split(regexp_replace(pathq, '^[^?]*\\??', ''), '&'),
+       |      x -> x <> '')), 'string_agg', '&'), '') AS q
+       |  FROM c2),
+       |canon AS (SELECT doc_id, CASE WHEN scheme = '' THEN s ELSE
+       |    scheme || '://' || hostport || path ||
+       |    CASE WHEN q = '' THEN '' ELSE '?' || q END END AS cu
+       |  FROM c3)""".stripMargin
+
   /** The q57 verified-pair chain (tok → MinHash sig → banded → capped
     * candidate pairs → Jaccard ≥ 0.5 verified `vp(a, b)`) as a
     * `WITH …, vp AS (…)` fragment — the SAME replay q57/q90 inline,
@@ -2882,6 +2910,30 @@ object LlmQueries {
     b.result()
   }
 
+  /** q187 — HOST-level report card + reputation gate
+    * ([[TextOps.hostReport]]): the domain-filter stage between URL
+    * dedup (q174) and content dedup. URLs are planted per source —
+    * two cosmetic variants (case/port/trailing-slash/query-order) per
+    * page so canonicalization must collapse them BEFORE the page
+    * count, and sources src0–src4 get a crawler-trap layout (4 docs
+    * per page → url_dup_milli 720 > the 500 gate → dropped) while the
+    * rest stay unique-paged (0 → kept). Volume, distinct pages, and
+    * both milli metrics replay as exact integer arithmetic. */
+  def hostReportQ(s: SparkSession, d: String): DataFrame = {
+    val g = floor(col("doc_id") / lit(20)).cast("long")
+    val dupy = pmod(col("doc_id"), lit(20)) <= 4
+    val page = when(dupy, floor(g / lit(4))).otherwise(g).cast("long")
+    val v = pmod(col("doc_id"), lit(2))
+    val urls = docs(s, d).select(col("doc_id"), col("text"),
+      when(v === 0, concat(lit("http://"), col("source"),
+          lit(".example.com/p/"), page.cast("string"), lit("?a=1&b=2")))
+        .otherwise(concat(lit("HTTP://"), upper(col("source")),
+          lit(".EXAMPLE.COM:80/p/"), page.cast("string"), lit("/?b=2&a=1")))
+        .as("url"))
+    TextOps.hostReport(urls, "url", "text", maxDupMilli = 500L)
+      .orderBy("host")
+  }
+
   /** q185/q186's training hyperparameters — same 30-round/25-word shape
     * as the BPE trainer, so the two families differ ONLY in the merge
     * objective and every divergence in the gated tables is the
@@ -5323,30 +5375,42 @@ object LlmQueries {
          |    WHEN 2 THEN 'http://example.com/site' || (doc_id // 4)::VARCHAR || '/page?b=2&a=1#frag'
          |    ELSE 'https://Example.COM:443/site' || (doc_id // 4)::VARCHAR || '/other?a=1'
          |  END AS url FROM documents),
-         |c1 AS (SELECT doc_id, trim(url) AS s,
-         |    lower(regexp_extract(trim(url), '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
-         |    regexp_replace(regexp_replace(trim(url),
-         |      '^[A-Za-z][A-Za-z0-9+.-]*://', ''), '#.*$$', '') AS nofrag
-         |  FROM u),
-         |c2 AS (SELECT doc_id, s, scheme,
-         |    lower(regexp_extract(nofrag, '^([^/?]*)', 1)) AS hp0,
-         |    regexp_replace(nofrag, '^[^/?]*', '') AS pathq
-         |  FROM c1),
-         |c3 AS (SELECT doc_id, s, scheme,
-         |    CASE WHEN scheme = 'http' THEN regexp_replace(hp0, ':80$$', '')
-         |         WHEN scheme = 'https' THEN regexp_replace(hp0, ':443$$', '')
-         |         ELSE hp0 END AS hostport,
-         |    regexp_replace(regexp_extract(pathq, '^([^?]*)', 1), '/+$$', '') AS path,
-         |    coalesce(list_aggregate(list_sort(list_filter(
-         |      string_split(regexp_replace(pathq, '^[^?]*\\??', ''), '&'),
-         |      x -> x <> '')), 'string_agg', '&'), '') AS q
-         |  FROM c2),
-         |canon AS (SELECT doc_id, CASE WHEN scheme = '' THEN s ELSE
-         |    scheme || '://' || hostport || path ||
-         |    CASE WHEN q = '' THEN '' ELSE '?' || q END END AS cu
-         |  FROM c3)
+         |$urlCanonChain
          |SELECT $h AS url_h, min(doc_id) AS keep_id, count(*)::BIGINT AS copies
          |FROM canon GROUP BY 1 ORDER BY keep_id""".stripMargin
+    },
+
+    // the planted multi-host layout, the full canonicalization chain,
+    // and the exact integer milli arithmetic replayed; the two URL
+    // variants of a page must collapse BEFORE the page count
+    "q187_host_report" -> {
+      val h = pHash("23", "cu")
+      s"""WITH u AS (SELECT doc_id,
+         |    CASE doc_id % 2
+         |      WHEN 0 THEN 'http://src' || (doc_id % 20)::VARCHAR ||
+         |        '.example.com/p/' || pg::VARCHAR || '?a=1&b=2'
+         |      ELSE 'HTTP://' || upper('src' || (doc_id % 20)::VARCHAR) ||
+         |        '.EXAMPLE.COM:80/p/' || pg::VARCHAR || '/?b=2&a=1'
+         |    END AS url
+         |  FROM (SELECT doc_id,
+         |      CASE WHEN doc_id % 20 <= 4 THEN (doc_id // 20) // 4
+         |           ELSE doc_id // 20 END AS pg
+         |    FROM documents WHERE text IS NOT NULL) t),
+         |$urlCanonChain,
+         |hh AS (SELECT c.doc_id,
+         |    regexp_extract(cu, '^[a-z][a-z0-9+.-]*://([^/?]*)', 1) AS host,
+         |    $h AS uh,
+         |    len(string_split_regex(trim(lower(d.text)), '\\s+'))::BIGINT
+         |      AS nt
+         |  FROM canon c JOIN documents d USING (doc_id))
+         |SELECT host, count(*)::BIGINT AS n_docs,
+         |  count(DISTINCT uh)::BIGINT AS n_pages,
+         |  ((1000 * (count(*) - count(DISTINCT uh))) // count(*))::BIGINT
+         |    AS url_dup_milli,
+         |  ((1000 * sum(nt)) // count(*))::BIGINT AS mean_tokens_milli,
+         |  ((1000 * (count(*) - count(DISTINCT uh))) // count(*)) <= 500
+         |    AS keep
+         |FROM hh GROUP BY host ORDER BY host""".stripMargin
     },
 
     // the planted page layout, line split, df count, heavy set, and
@@ -6198,6 +6262,7 @@ object LlmQueries {
     "q184_unigram_tokens" -> unigramTokensQ _,
     "q185_wordpiece_train" -> wordPieceTrainQ _,
     "q186_wordpiece_tokens" -> wordPieceTokensQ _,
+    "q187_host_report" -> hostReportQ _,
     "q152_alignment_filter" -> alignmentFilterQ _,
     "q153_alignment_quantile" -> alignmentQuantileQ _,
     "q159_pair_curation" -> pairCurationQ _,

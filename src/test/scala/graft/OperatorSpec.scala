@@ -2426,6 +2426,27 @@ class OperatorSpec extends AnyFunSuite {
     graft.tools.CodegenGuard.assertHealthy("bpeTokensMergeOrder pipeline")
   }
 
+  test("hostReport: canonical variants collapse before the page count; exact milli arithmetic; non-URLs land under the empty host") {
+    val rows = Seq(
+      (1L, "http://A.com:80/x/?b=2&a=1", "w w w"),
+      (2L, "HTTP://a.com/x?a=1&b=2", "w w w w"), // same canonical page as 1
+      (3L, "https://a.com:443/y", "w w"),
+      (4L, "not a url", "w")
+    ).toDF("doc_id", "url", "text")
+    val got = TextOps.hostReport(rows, "url", "text", maxDupMilli = 300L)
+      .orderBy("host").collect()
+    assert(got.map(_.getString(0)).toSeq == Seq("", "a.com"),
+      "unparseable URLs must report under the empty host, not vanish")
+    val acom = got(1)
+    // 3 docs, 2 canonical pages (case/port/slash/query-order collapse),
+    // dup share floor(1000/3) = 333, mean tokens floor(9000/3) = 3000
+    assert((acom.getLong(1), acom.getLong(2)) == (3L, 2L))
+    assert(acom.getLong(3) == 333L)
+    assert(acom.getLong(4) == 3000L)
+    assert(!acom.getBoolean(5), "333 > 300 must drop the host")
+    assert(got(0).getLong(1) == 1L && got(0).getBoolean(5))
+  }
+
   test("wordPieceTrainModel: likelihood-gain argmax diverges from BPE's frequency argmax; exact scaled scores; ties fall to (left, right); learned vocab plugs into the greedy kernel") {
     // pair (a,b) is the most FREQUENT (4) but its symbols are common
     // (count(a) = count(b) = 10), while (c,d) is rarer (3) yet fully
