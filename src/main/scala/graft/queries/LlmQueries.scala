@@ -2854,14 +2854,22 @@ object LlmQueries {
     * rounding rule both engines share, leaving the final ulp of `ln`
     * as the only cross-engine float exposure. MATERIALIZED is
     * load-bearing, as in the BPE chain. */
-  private def uniTrainCtes: String = {
+  private def uniTrainCtes: String = uniTrainCtes(includeHist = true)
+
+  /** `includeHist = false` omits the leading `hw` histogram CTE for
+    * composition with a chain that already defines an IDENTICAL `hw`
+    * (the BPE replay's — same histogram SQL, same 25-word cap), as the
+    * q188 combined oracle does. */
+  private def uniTrainCtes(includeHist: Boolean): String = {
     val b = new StringBuilder
-    b ++= s"""hw AS MATERIALIZED (SELECT w, count(*)::BIGINT AS c FROM (
-       |    SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
-       |    FROM documents WHERE text IS NOT NULL)
-       |  WHERE w <> '' GROUP BY w
-       |  ORDER BY c DESC, w ASC LIMIT $UniTrainSampleWords),
-       |usp AS MATERIALIZED (SELECT substring(w, i, l) AS piece,
+    if (includeHist)
+      b ++= s"""hw AS MATERIALIZED (SELECT w, count(*)::BIGINT AS c FROM (
+         |    SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+         |    FROM documents WHERE text IS NOT NULL)
+         |  WHERE w <> '' GROUP BY w
+         |  ORDER BY c DESC, w ASC LIMIT $UniTrainSampleWords),
+         |""".stripMargin
+    b ++= s"""usp AS MATERIALIZED (SELECT substring(w, i, l) AS piece,
        |    sum(c)::BIGINT AS cnt
        |  FROM hw,
        |  LATERAL (SELECT unnest(generate_series(1, length(w))) AS i) gi,
@@ -3041,6 +3049,46 @@ object LlmQueries {
       s"SELECT merge_rank, a AS left_sym, b AS right_sym, merged," +
         s" pc AS pair_count, score_scaled FROM wm$r")
       .mkString("\n  UNION ALL\n  ")
+
+  /** q188 — tokenizer FERTILITY report (the standard tokenizer-eval
+    * table): per language, corpus token counts and the exact
+    * milli-fertility (tokens per whitespace word, `(1000·n_tok) div
+    * n_words`) under all THREE learned tokenizers — q151's BPE vocab by
+    * greedy longest-match, q185's WordPiece vocab by the same kernel,
+    * q183's unigram LM by Viterbi. The comparison a team runs before
+    * freezing a tokenizer: lower fertility = fewer tokens for the same
+    * text = cheaper training. One corpus scan computes all three token
+    * counts map-side (three native kernels on the same row); the
+    * aggregate exchanges five longs per doc. The oracle replays ALL
+    * THREE training loops (30 BPE rounds + 30 WordPiece rounds + 3
+    * hard-EM rounds) plus three apply walks in one query — no frozen
+    * literal anywhere in any chain. */
+  def tokenizerFertilityQ(s: SparkSession, d: String): DataFrame = {
+    def milli(num: Column, den: Column): Column = {
+      val a = lit(1000L) * num
+      ((a - pmod(a, den)) / den).cast("long")
+    }
+    docs(s, d).where(col("text").isNotNull)
+      .select(col("lang"),
+        size(filter(TextOps.tokens(col("text")), t => t =!= ""))
+          .cast("long").as("__nw"),
+        size(TextOps.bpeTokens(col("text"), learnedBpe(s, d).vocab))
+          .cast("long").as("__nb"),
+        size(TextOps.bpeTokens(col("text"), learnedWordPiece(s, d).vocab))
+          .cast("long").as("__np"),
+        size(TextOps.unigramTokens(col("text"), learnedUnigram(s, d)))
+          .cast("long").as("__nu"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("__nw").as("n_words"),
+        sum("__nb").as("n_tok_bpe"), sum("__np").as("n_tok_wp"),
+        sum("__nu").as("n_tok_uni"))
+      .select(col("lang"), col("n_docs"), col("n_words"),
+        col("n_tok_bpe"), col("n_tok_wp"), col("n_tok_uni"),
+        milli(col("n_tok_bpe"), col("n_words")).as("fert_bpe_milli"),
+        milli(col("n_tok_wp"), col("n_words")).as("fert_wp_milli"),
+        milli(col("n_tok_uni"), col("n_words")).as("fert_uni_milli"))
+      .orderBy("lang")
+  }
 
   /** The q141/q142/q148 FROZEN subword vocabulary — the trained-tokenizer
     * model artifact ([[graft.functions.SubwordTokenize]] applies it;
@@ -4461,6 +4509,101 @@ object LlmQueries {
          |  tok AS token
          |FROM wwd JOIN wtoks USING (word)
          |ORDER BY doc_id, token_idx""".stripMargin,
+
+    // all three training loops replayed in ONE query (BPE merge rounds,
+    // WordPiece likelihood rounds, unigram hard-EM rounds — the unigram
+    // chain shares the BPE chain's identical histogram CTE), plus three
+    // apply walks over the document words: greedy longest-match under
+    // each learned vocabulary, Viterbi (count-only argmax: at equal
+    // (score, n_pieces) the seg tie-break cannot change the count)
+    // under the learned unigram model with the unk arm
+    "q188_tokenizer_fertility" ->
+      s"""WITH RECURSIVE $bpeTrainCtes,
+         |mt AS ($bpeMergeUnion),
+         |${uniTrainCtes(includeHist = false)},
+         |$wpTrainCtes,
+         |wmt AS ($wpMergeUnion),
+         |fga AS (SELECT doc_id, lang,
+         |    string_split_regex(trim(lower(text)), '\\s+') AS arr
+         |  FROM documents WHERE text IS NOT NULL),
+         |fwd AS (SELECT doc_id, lang, arr[wi] AS word
+         |  FROM (SELECT doc_id, lang, unnest(generate_series(1, len(arr)))
+         |        AS wi, arr FROM fga)
+         |  WHERE length(arr[wi]) > 0),
+         |fdw AS MATERIALIZED (SELECT DISTINCT word FROM fwd),
+         |fdwp AS MATERIALIZED (SELECT word,
+         |    unnest(generate_series(1, length(word))) AS p FROM fdw),
+         |fvocb AS MATERIALIZED (SELECT merged AS tok FROM mt
+         |  UNION SELECT DISTINCT substring(w, i, 1) AS tok
+         |  FROM (SELECT w, unnest(generate_series(1, length(w))) AS i
+         |        FROM hw)),
+         |flmb AS MATERIALIZED (SELECT wp_.word, wp_.p,
+         |    max(length(v.tok)) AS L
+         |  FROM fdwp wp_ JOIN fvocb v
+         |    ON substring(wp_.word, wp_.p, length(v.tok)) = v.tok
+         |  GROUP BY wp_.word, wp_.p),
+         |fwalkb(word, pos, n) AS (
+         |  SELECT word, 1, 0 FROM fdw
+         |  UNION ALL
+         |  SELECT k.word, k.pos + coalesce(l.L, 1), k.n + 1
+         |  FROM fwalkb k LEFT JOIN flmb l
+         |    ON l.word = k.word AND l.p = k.pos
+         |  WHERE k.pos <= length(k.word)),
+         |fcb AS MATERIALIZED (SELECT word, n FROM fwalkb
+         |  WHERE pos = length(word) + 1),
+         |fvocw AS MATERIALIZED (SELECT merged AS tok FROM wmt
+         |  UNION SELECT DISTINCT substring(w, i, 1) AS tok
+         |  FROM (SELECT w, unnest(generate_series(1, length(w))) AS i
+         |        FROM whw)),
+         |flmw AS MATERIALIZED (SELECT wp_.word, wp_.p,
+         |    max(length(v.tok)) AS L
+         |  FROM fdwp wp_ JOIN fvocw v
+         |    ON substring(wp_.word, wp_.p, length(v.tok)) = v.tok
+         |  GROUP BY wp_.word, wp_.p),
+         |fwalkw(word, pos, n) AS (
+         |  SELECT word, 1, 0 FROM fdw
+         |  UNION ALL
+         |  SELECT k.word, k.pos + coalesce(l.L, 1), k.n + 1
+         |  FROM fwalkw k LEFT JOIN flmw l
+         |    ON l.word = k.word AND l.p = k.pos
+         |  WHERE k.pos <= length(k.word)),
+         |fcw AS MATERIALIZED (SELECT word, n FROM fwalkw
+         |  WHERE pos = length(word) + 1),
+         |fuvf AS MATERIALIZED (SELECT piece, lp FROM uv$UniTrainIters),
+         |fulp AS MATERIALIZED (SELECT min(lp) - 10000 AS lpunk FROM fuvf),
+         |fstp AS MATERIALIZED (
+         |  SELECT wp_.word, wp_.p, v.lp, length(v.piece) AS pl
+         |  FROM fdwp wp_ JOIN fuvf v
+         |    ON wp_.p + length(v.piece) <= length(wp_.word) + 1
+         |   AND substring(wp_.word, wp_.p, length(v.piece)) = v.piece
+         |  UNION ALL
+         |  SELECT wp_.word, wp_.p, (SELECT lpunk FROM fulp), 1
+         |  FROM fdwp wp_
+         |  WHERE substring(wp_.word, wp_.p, 1) NOT IN
+         |    (SELECT piece FROM fuvf)),
+         |fuwalk(word, pos, np, score) AS (
+         |  SELECT word, 1, 0, 0::BIGINT FROM fdw
+         |  UNION ALL
+         |  SELECT k.word, k.pos + s.pl, k.np + 1, k.score + s.lp
+         |  FROM fuwalk k JOIN fstp s ON s.word = k.word AND s.p = k.pos),
+         |fcu AS MATERIALIZED (SELECT word, np AS n FROM (
+         |    SELECT word, np, row_number() OVER (PARTITION BY word
+         |      ORDER BY score DESC, np ASC) AS rn
+         |    FROM fuwalk WHERE pos = length(word) + 1) t WHERE rn = 1),
+         |fagg AS (SELECT lang, count(*)::BIGINT AS n_words,
+         |    sum(b.n)::BIGINT AS n_tok_bpe, sum(pw.n)::BIGINT AS n_tok_wp,
+         |    sum(u.n)::BIGINT AS n_tok_uni
+         |  FROM fwd JOIN fcb b USING (word) JOIN fcw pw USING (word)
+         |  JOIN fcu u USING (word)
+         |  GROUP BY lang),
+         |fdocs AS (SELECT lang, count(*)::BIGINT AS n_docs FROM fga
+         |  GROUP BY lang)
+         |SELECT lang, n_docs, n_words, n_tok_bpe, n_tok_wp, n_tok_uni,
+         |  ((1000 * n_tok_bpe) // n_words)::BIGINT AS fert_bpe_milli,
+         |  ((1000 * n_tok_wp) // n_words)::BIGINT AS fert_wp_milli,
+         |  ((1000 * n_tok_uni) // n_words)::BIGINT AS fert_uni_milli
+         |FROM fdocs JOIN fagg USING (lang)
+         |ORDER BY lang""".stripMargin,
 
     // every hard-EM round replayed: step table, path-enumeration walk,
     // one-window Viterbi argmax, usage re-count with the single-
@@ -6263,6 +6406,7 @@ object LlmQueries {
     "q185_wordpiece_train" -> wordPieceTrainQ _,
     "q186_wordpiece_tokens" -> wordPieceTokensQ _,
     "q187_host_report" -> hostReportQ _,
+    "q188_tokenizer_fertility" -> tokenizerFertilityQ _,
     "q152_alignment_filter" -> alignmentFilterQ _,
     "q153_alignment_quantile" -> alignmentQuantileQ _,
     "q159_pair_curation" -> pairCurationQ _,
