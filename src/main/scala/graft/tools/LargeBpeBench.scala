@@ -111,7 +111,44 @@ object LargeBpeBench {
       "(the two applies are different functions — q158's documented fact)")
     require(greedyTok > 0 && moTok > 0 && greedyTok <= nWords * 12 &&
       moTok <= nWords * 12, "token counts out of plausible range")
+
+    // 4. WORDPIECE: likelihood training (same bounded-loop shape) +
+    // greedy apply under the likelihood-learned vocabulary — the q185/
+    // q186 pair at corpus scale
+    val (wpModel, tWpTrain) = time("wordPieceTrainModel (200, cap 800)") {
+      TextOps.wordPieceTrainModel(docs, "text", nMerges = 200,
+        sampleWords = 800)
+    }
+    println(s"learned: ${wpModel.merges.size} merges, " +
+      s"vocab ${wpModel.vocab.size}")
+    val (wpTok, tWp) = time("greedy apply (wordpiece vocab)") {
+      docs.select(sum(size(TextOps.bpeTokens(col("text"), wpModel.vocab))
+          .cast("long")))
+        .head().getLong(0)
+    }
+    println(f"wordpiece: $wpTok tokens, ${wpTok / tWp / 1e6}%.1f M tokens/s")
+
+    // 5. UNIGRAM-LM: hard-EM training (one corpus aggregate + a bounded
+    // EM loop) + VITERBI apply — the q183/q184 pair at corpus scale;
+    // the DP costs O(len · maxPieceLen) hash probes per word, so the
+    // claim is same-order throughput as the greedy walk
+    val (uniModel, tUniTrain) = time("unigramTrainModel (len<=4, cap 800, 3 EM)") {
+      TextOps.unigramTrainModel(docs, "text", maxPieceLen = 4,
+        sampleWords = 800, iters = 3)
+    }
+    println(s"learned: ${uniModel.pieces.size} pieces, " +
+      s"lpUnk ${uniModel.lpUnk}")
+    val (uniTok, tUni) = time("viterbi apply (unigramTokens)") {
+      docs.select(sum(size(TextOps.unigramTokens(col("text"), uniModel))
+          .cast("long")))
+        .head().getLong(0)
+    }
+    println(f"viterbi: $uniTok tokens, ${uniTok / tUni / 1e6}%.1f M tokens/s")
+    require(wpTok > 0 && uniTok > 0 && wpTok <= nWords * 12 &&
+      uniTok <= nWords * 12, "token counts out of plausible range")
+    require(uniTok >= nWords,
+      "viterbi must emit at least one token per running word")
     spark.stop()
-    val _ = (tTrain, nWords)
+    val _ = (tTrain, tWpTrain, tUniTrain, nWords)
   }
 }
