@@ -1863,29 +1863,73 @@ object TextOps {
     * 100 TB corpus), so it must be one scan with the weights as plan
     * literals — PlanSpec pins exactly that. Cost per row:
     * O(dims · n_tokens) hash probes inside codegen'd HOFs. */
-  def pocketScore(df: DataFrame, text: String, id: String,
-      model: PocketModel): DataFrame = {
+  /** The learned model's exact BIGINT logit of a text column — the
+    * in-array feature-map dot [[pocketScore]] and [[pocketCalibration]]
+    * share (one definition, two report surfaces). */
+  def pocketLogit(t: Column, model: PocketModel): Column = {
     val wLit = array(model.weights.map(lit): _*)
-    val toks = tokens(col(text))
+    val toks = tokens(t)
     val n = size(toks).cast(LongType)
-    def bucket(t: Column): Column =
-      pmod(portableHash(t, model.seed), lit(model.dims.toLong)).cast("int")
+    def bucket(tok: Column): Column =
+      pmod(portableHash(tok, model.seed), lit(model.dims.toLong)).cast("int")
     def milliFrac(c: Column): Column = {
       val a = lit(1000L) * c
       ((a - pmod(a, n)) / n).cast(LongType)
     }
     val dot = aggregate(sequence(lit(0), lit(model.dims - 1)), lit(0L),
       (acc, j) => acc + element_at(wLit, j + 1) *
-        milliFrac(size(filter(toks, t => bucket(t) === j)).cast(LongType)))
-    val logit = dot +
+        milliFrac(size(filter(toks, tok => bucket(tok) === j))
+          .cast(LongType)))
+    dot +
       element_at(wLit, lit(model.dims + 1)) * (n * lit(10L)) +
       element_at(wLit, lit(model.dims + 2)) * lit(1000L)
+  }
+
+  def pocketScore(df: DataFrame, text: String, id: String,
+      model: PocketModel): DataFrame =
     df.where(col(text).isNotNull)
-      .select(col(id), n.as("n_tokens"), logit.as("logit_milli"))
+      .select(col(id),
+        size(tokens(col(text))).cast(LongType).as("n_tokens"),
+        pocketLogit(col(text), model).as("logit_milli"))
       .withColumn("score",
         round(lit(1.0) / (lit(1.0) +
           exp(-col("logit_milli").cast("double") / lit(1e6))), 6))
       .withColumn("keep", col("logit_milli") >= 0)
+
+  /** CALIBRATION table of a trained classifier — the decile report a
+    * team reads before freezing a keep threshold: rank every doc by
+    * `(logit DESC, id ASC)`, cut into ten equal-rank bins
+    * (`decile = ((rank−1)·10) div n`, integer-exact), and per decile
+    * report volume, label-positive count and milli-rate, and the logit
+    * range — a well-calibrated distillation shows the positive rate
+    * falling monotonically down the deciles, and the [lo, hi] column
+    * is the threshold menu. `label` is the distillation target (any
+    * boolean over `df`'s rows), evaluated on the SAME map-only scan as
+    * the logit — no join back to the corpus.
+    *
+    * Scale: the global rank is the distributed two-pass ordinal
+    * ([[graft.engine.SeriesOps.withTimeId]] — range partition +
+    * zipWithIndex, no global window); the total is a one-row broadcast;
+    * everything downstream is one hash aggregate to 10 rows. */
+  def pocketCalibration(df: DataFrame, text: String, id: String,
+      model: PocketModel, label: Column): DataFrame = {
+    def idiv(num: Column, den: Column): Column =
+      ((num - pmod(num, den)) / den).cast(LongType)
+    val base = df.where(col(text).isNotNull)
+      .select(col(id), pocketLogit(col(text), model).as("logit_milli"),
+        when(label, lit(1L)).otherwise(lit(0L)).as("__y"))
+    val ranked = graft.engine.SeriesOps.withTimeId(base,
+      Seq(col("logit_milli") * lit(-1L), col(id)), as = "__rk")
+    val tot = ranked.agg(count(lit(1)).cast(LongType).as("__n"))
+    ranked.crossJoin(broadcast(tot))
+      .withColumn("decile", idiv((col("__rk") - 1) * lit(10L), col("__n")))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_docs"), sum(col("__y")).as("n_pos"),
+        min(col("logit_milli")).as("logit_lo"),
+        max(col("logit_milli")).as("logit_hi"))
+      .select(col("decile"), col("n_docs"), col("n_pos"),
+        idiv(lit(1000L) * col("n_pos"), col("n_docs")).as("pos_milli"),
+        col("logit_lo"), col("logit_hi"))
   }
 
   /** Deterministic training shuffle order — the epoch dataloader's

@@ -2654,6 +2654,17 @@ object LlmQueries {
     TextOps.pocketScore(docs(s, d), "text", "doc_id", learnedPocket(s, d))
       .orderBy("doc_id")
 
+  /** q189 — classifier CALIBRATION report
+    * ([[TextOps.pocketCalibration]] of the q175 learned model against
+    * its own distillation target): the logit-ranked decile table —
+    * volume, label-positive milli-rate, logit range per decile — the
+    * report every classifier team reads before freezing a threshold.
+    * The oracle extends the q175 training replay + q111 apply dot with
+    * one rank window and the same exact integer decile cut. */
+  def pocketCalibrationQ(s: SparkSession, d: String): DataFrame =
+    TextOps.pocketCalibration(docs(s, d), "text", "doc_id",
+      learnedPocket(s, d), pocketLabel).orderBy("decile")
+
   /** q114 — winnowing fingerprints ([[Dedup.winnowFingerprints]],
     * Schleimer et al. 2003): the MOSS copy-detection sketch — every
     * 4-window of consecutive 3-gram hashes contributes its rightmost
@@ -4892,6 +4903,26 @@ object LlmQueries {
          |  (logit_milli >= 0) AS keep
          |FROM ap JOIN nt USING (doc_id) ORDER BY ap.doc_id""".stripMargin,
 
+    // the q175 training replay + the q111 apply dot, then one rank
+    // window (logit DESC, doc_id ASC) and the exact integer decile cut
+    // — volume, positive milli-rate, and logit range per decile
+    "q189_quality_calibration" ->
+      s"""WITH $pocketTrainCtes,
+         |ap AS (SELECT fl.doc_id, sum(wb.w * fl.x)::BIGINT AS logit_milli
+         |  FROM fl JOIN wbest wb USING (j) GROUP BY 1),
+         |rk AS (SELECT ap.doc_id, logit_milli, lab.y,
+         |    row_number() OVER (ORDER BY logit_milli DESC, ap.doc_id ASC)
+         |      AS r,
+         |    count(*) OVER () AS n
+         |  FROM ap JOIN lab USING (doc_id)),
+         |dc AS (SELECT ((r - 1) * 10) // n AS decile, logit_milli, y
+         |  FROM rk)
+         |SELECT decile::BIGINT AS decile, count(*)::BIGINT AS n_docs,
+         |  sum(y)::BIGINT AS n_pos,
+         |  ((1000 * sum(y)) // count(*))::BIGINT AS pos_milli,
+         |  min(logit_milli) AS logit_lo, max(logit_milli) AS logit_hi
+         |FROM dc GROUP BY decile ORDER BY decile""".stripMargin,
+
     // training replay: 12 unrolled batch-perceptron CTE trios (per-doc
     // BIGINT dot under the previous weights -> error -> bucket-keyed
     // gradient -> weight update), a 13th dot pass so every round's
@@ -6407,6 +6438,7 @@ object LlmQueries {
     "q186_wordpiece_tokens" -> wordPieceTokensQ _,
     "q187_host_report" -> hostReportQ _,
     "q188_tokenizer_fertility" -> tokenizerFertilityQ _,
+    "q189_quality_calibration" -> pocketCalibrationQ _,
     "q152_alignment_filter" -> alignmentFilterQ _,
     "q153_alignment_quantile" -> alignmentQuantileQ _,
     "q159_pair_curation" -> pairCurationQ _,

@@ -246,6 +246,39 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q187: host report — exchanges carry the host key and integer stats, never the URL or the text") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val df = SparkEntry.queries("q187_host_report")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan
+    flattenPlan(p).collect { case s: ShuffleExchangeLike => s }.foreach { s =>
+      assert(!s.output.exists(a => a.name == "url" || a.name == "text"),
+        s"exchange carries raw URL/text: ${s.output.mkString(", ")}")
+    }
+    val fp = p.toString.split("== Initial Plan ==").head
+    assert("FileScan parquet".r.findAllIn(fp).size == 1, fp.take(1500))
+  }
+
+  test("q188: fertility — ONE corpus scan computes all three learned tokenizers' counts map-side; exchanges carry the lang key and longs only") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+    def stringy(t: DataType): Boolean = t match {
+      case StringType => true
+      case ArrayType(e, _) => stringy(e)
+      case _ => false
+    }
+    val df = SparkEntry.queries("q188_tokenizer_fertility")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan
+    flattenPlan(p).collect { case s: ShuffleExchangeLike => s }.foreach { s =>
+      assert(s.output.filter(a => stringy(a.dataType))
+          .forall(_.name == "lang"),
+        s"exchange carries text/token arrays: ${s.output.mkString(", ")}")
+    }
+    val fp = p.toString.split("== Initial Plan ==").head
+    assert("FileScan parquet".r.findAllIn(fp).size == 1, fp.take(1500))
+  }
+
   test("q181: bucketed co-located join — the executed join runs with ZERO shuffle exchanges") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
     val df = SparkEntry.queries("q181_bucketed_join")(spark, sf)
