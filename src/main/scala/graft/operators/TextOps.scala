@@ -1293,6 +1293,52 @@ object TextOps {
       .withColumn("keep", col("url_dup_milli") <= lit(maxDupMilli))
   }
 
+  /** VOCABULARY-GROWTH audit (the Heap's-law curve): cumulative
+    * distinct-word count at `bins` equal-rank corpus checkpoints, with
+    * the document and running-word volume at each — natural text grows
+    * its vocabulary as a power of corpus size (Heaps 1978,
+    * `V ≈ K·n^β`, β ≈ 0.4–0.6); a curve that flattens early flags
+    * template/boilerplate-heavy or synthetic data, one that stays
+    * near-linear flags OCR noise or mixed encodings. Checkpoints are
+    * exact: docs ranked by `id` ASC (the distributed two-pass ordinal
+    * — no global window), bin `((rank−1)·bins) div n`, checkpoint =
+    * the bin's max id; a word's first appearance is `min(id)` over its
+    * occurrences (one hash-keyed aggregate); the cumulative counts are
+    * ≤-joins against the broadcast `bins`-row checkpoint frame — the
+    * corpus is scanned, never re-shuffled, per checkpoint. Output:
+    * `(bin, cut_id, docs_cum, words_cum, vocab_cum)`. */
+  def vocabGrowth(df: DataFrame, text: String, id: String,
+      bins: Int = 10): DataFrame = {
+    require(bins >= 1, s"bins must be >= 1, got $bins")
+    def idiv(num: Column, den: Column): Column =
+      ((num - pmod(num, den)) / den).cast(LongType)
+    val dd = df.where(col(text).isNotNull)
+    val perDoc = dd.select(col(id),
+      size(filter(tokens(col(text)), t => t =!= ""))
+        .cast(LongType).as("__nt"))
+    val ranked = graft.engine.SeriesOps.withTimeId(perDoc,
+      Seq(col(id)), as = "__rk")
+    val tot = ranked.agg(count(lit(1)).cast(LongType).as("__n"))
+    val cuts = ranked.crossJoin(broadcast(tot))
+      .withColumn("bin",
+        idiv((col("__rk") - 1) * lit(bins.toLong), col("__n")))
+      .groupBy("bin").agg(max(col(id)).as("cut_id"))
+    val firstSeen = dd
+      .select(col(id), explode(tokens(col(text))).as("__w"))
+      .where(col("__w") =!= "")
+      .groupBy("__w").agg(min(col(id)).as("__fd"))
+    val vocabCum = firstSeen
+      .join(broadcast(cuts), col("__fd") <= col("cut_id"))
+      .groupBy("bin", "cut_id").agg(count(lit(1)).as("vocab_cum"))
+    val volCum = perDoc
+      .join(broadcast(cuts), col(id) <= col("cut_id"))
+      .groupBy("bin", "cut_id")
+      .agg(count(lit(1)).as("docs_cum"), sum(col("__nt")).as("words_cum"))
+    volCum.join(vocabCum, Seq("bin", "cut_id"))
+      .select(col("bin"), col("cut_id"), col("docs_cum"),
+        col("words_cum"), col("vocab_cum"))
+  }
+
   /** CCNet/RefinedWeb-style LINE-LEVEL boilerplate removal: a line whose
     * document frequency (number of DISTINCT documents containing it
     * verbatim) reaches `minDf` is boilerplate — navigation chrome,

@@ -2665,6 +2665,16 @@ object LlmQueries {
     TextOps.pocketCalibration(docs(s, d), "text", "doc_id",
       learnedPocket(s, d), pocketLabel).orderBy("decile")
 
+  /** q190 — vocabulary-growth audit ([[TextOps.vocabGrowth]], Heap's
+    * law): cumulative distinct vocabulary at ten exact corpus
+    * checkpoints beside document and running-word volume — the curve a
+    * corpus team plots to flag template-heavy or synthetic data. The
+    * oracle replays the rank window, the integer bin cut, the
+    * first-appearance aggregate, and both ≤-joins. */
+  def vocabGrowthQ(s: SparkSession, d: String): DataFrame =
+    TextOps.vocabGrowth(docs(s, d), "text", "doc_id", bins = 10)
+      .orderBy("bin")
+
   /** q114 — winnowing fingerprints ([[Dedup.winnowFingerprints]],
     * Schleimer et al. 2003): the MOSS copy-detection sketch — every
     * 4-window of consecutive 3-gram hashes contributes its rightmost
@@ -4903,6 +4913,35 @@ object LlmQueries {
          |  (logit_milli >= 0) AS keep
          |FROM ap JOIN nt USING (doc_id) ORDER BY ap.doc_id""".stripMargin,
 
+    // rank window + exact integer bin cut, first-appearance aggregate,
+    // cumulative <=-joins against the 10-row checkpoint frame
+    "q190_vocab_growth" ->
+      s"""WITH dd AS (SELECT doc_id, text FROM documents
+         |  WHERE text IS NOT NULL),
+         |pd AS (SELECT doc_id,
+         |    len(list_filter(string_split_regex(trim(lower(text)),
+         |      '\\s+'), x -> x <> ''))::BIGINT AS nt
+         |  FROM dd),
+         |rk AS (SELECT doc_id, nt,
+         |    row_number() OVER (ORDER BY doc_id) AS r,
+         |    count(*) OVER () AS n FROM pd),
+         |cuts AS (SELECT ((r - 1) * 10) // n AS bin,
+         |    max(doc_id) AS cut_id
+         |  FROM rk GROUP BY 1),
+         |fw AS (SELECT w, min(doc_id) AS fd FROM (
+         |    SELECT doc_id,
+         |      unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+         |    FROM dd) t
+         |  WHERE w <> '' GROUP BY w),
+         |vc AS (SELECT bin, cut_id, count(*)::BIGINT AS vocab_cum
+         |  FROM fw JOIN cuts ON fd <= cut_id GROUP BY 1, 2),
+         |vol AS (SELECT bin, cut_id, count(*)::BIGINT AS docs_cum,
+         |    sum(nt)::BIGINT AS words_cum
+         |  FROM pd JOIN cuts ON doc_id <= cut_id GROUP BY 1, 2)
+         |SELECT bin::BIGINT AS bin, cut_id, docs_cum, words_cum, vocab_cum
+         |FROM vol JOIN vc USING (bin, cut_id)
+         |ORDER BY bin""".stripMargin,
+
     // the q175 training replay + the q111 apply dot, then one rank
     // window (logit DESC, doc_id ASC) and the exact integer decile cut
     // — volume, positive milli-rate, and logit range per decile
@@ -6439,6 +6478,7 @@ object LlmQueries {
     "q187_host_report" -> hostReportQ _,
     "q188_tokenizer_fertility" -> tokenizerFertilityQ _,
     "q189_quality_calibration" -> pocketCalibrationQ _,
+    "q190_vocab_growth" -> vocabGrowthQ _,
     "q152_alignment_filter" -> alignmentFilterQ _,
     "q153_alignment_quantile" -> alignmentQuantileQ _,
     "q159_pair_curation" -> pairCurationQ _,

@@ -2426,6 +2426,21 @@ class OperatorSpec extends AnyFunSuite {
     graft.tools.CodegenGuard.assertHealthy("bpeTokensMergeOrder pipeline")
   }
 
+  test("vocabGrowth: exact equal-rank checkpoints, first-appearance counting, the curve flattens when vocabulary stops growing") {
+    // docs 0-4 introduce two fresh words each; docs 5-9 only repeat —
+    // the Heap's curve must flatten at 10 from bin 2 on
+    val dd = (0L until 10L)
+      .map(i => (i, if (i < 5) s"w$i x$i" else "w0 x0"))
+      .toDF("doc_id", "text")
+    val got = TextOps.vocabGrowth(dd, "text", "doc_id", bins = 5)
+      .orderBy("bin").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got == Seq(
+      (0L, 1L, 2L, 4L, 4L), (1L, 3L, 4L, 8L, 8L), (2L, 5L, 6L, 12L, 10L),
+      (3L, 7L, 8L, 16L, 10L), (4L, 9L, 10L, 20L, 10L)), got.toString)
+  }
+
   test("hostReport: canonical variants collapse before the page count; exact milli arithmetic; non-URLs land under the empty host") {
     val rows = Seq(
       (1L, "http://A.com:80/x/?b=2&a=1", "w w w"),
