@@ -1916,16 +1916,18 @@ object TextOps {
     val wLit = array(model.weights.map(lit): _*)
     val toks = tokens(t)
     val n = size(toks).cast(LongType)
-    def bucket(tok: Column): Column =
-      pmod(portableHash(tok, model.seed), lit(model.dims.toLong)).cast("int")
+    // hash each token ONCE into its bucket; the per-bucket counts are
+    // then dims × n integer compares, not dims × n re-hashes
+    val buckets = transform(toks, tok =>
+      pmod(portableHash(tok, model.seed), lit(model.dims.toLong))
+        .cast("int"))
     def milliFrac(c: Column): Column = {
       val a = lit(1000L) * c
       ((a - pmod(a, n)) / n).cast(LongType)
     }
     val dot = aggregate(sequence(lit(0), lit(model.dims - 1)), lit(0L),
       (acc, j) => acc + element_at(wLit, j + 1) *
-        milliFrac(size(filter(toks, tok => bucket(tok) === j))
-          .cast(LongType)))
+        milliFrac(size(filter(buckets, b => b === j)).cast(LongType)))
     dot +
       element_at(wLit, lit(model.dims + 1)) * (n * lit(10L)) +
       element_at(wLit, lit(model.dims + 2)) * lit(1000L)
@@ -1955,15 +1957,23 @@ object TextOps {
     *
     * Scale: the global rank is the distributed two-pass ordinal
     * ([[graft.engine.SeriesOps.withTimeId]] — range partition +
-    * zipWithIndex, no global window); the total is a one-row broadcast;
-    * everything downstream is one hash aggregate to 10 rows. */
+    * zipWithIndex, no global window); the scored frame is
+    * localCheckpointed FIRST ([[graft.engine.Checkpoints.mark]] — 17 B
+    * per doc), because the ordinal's range-sampling, shuffle, and
+    * zipWithIndex passes each re-execute their child and the logit HOFs
+    * are the one expensive expression in this family (measured 26 s →
+    * sub-second at sf0.1 for exactly this reason). Caller releases via
+    * [[graft.engine.Checkpoints.release]] on the result. The total is
+    * a one-row broadcast; everything downstream is one hash aggregate
+    * to 10 rows. */
   def pocketCalibration(df: DataFrame, text: String, id: String,
       model: PocketModel, label: Column): DataFrame = {
     def idiv(num: Column, den: Column): Column =
       ((num - pmod(num, den)) / den).cast(LongType)
-    val base = df.where(col(text).isNotNull)
-      .select(col(id), pocketLogit(col(text), model).as("logit_milli"),
-        when(label, lit(1L)).otherwise(lit(0L)).as("__y"))
+    val base = graft.engine.Checkpoints.mark(
+      df.where(col(text).isNotNull)
+        .select(col(id), pocketLogit(col(text), model).as("logit_milli"),
+          when(label, lit(1L)).otherwise(lit(0L)).as("__y")))
     val ranked = graft.engine.SeriesOps.withTimeId(base,
       Seq(col("logit_milli") * lit(-1L), col(id)), as = "__rk")
     val tot = ranked.agg(count(lit(1)).cast(LongType).as("__n"))
