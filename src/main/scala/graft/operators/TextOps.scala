@@ -1898,21 +1898,35 @@ object TextOps {
     * `keep = logit_milli ≥ 0` decided in integer space; `score` the one
     * cosmetic float, a 6 dp sigmoid of the exact integer).
     *
-    * MAP-ONLY: the feature map is re-evaluated per ROW, in-array —
-    * per-bucket token counts via filter HOFs, the milli-fraction floor
-    * `(1000·c_j) div n` as exact integer arithmetic (`(a − a mod n)/n`
-    * — an exact-multiple double division, lossless at these
-    * magnitudes), the dot folded over a `dims`-long literal sequence —
-    * bit-identical to the grouped [[pocketFeats]] frame but with NO
-    * feature-frame shuffle and NO join on the apply path. Apply is the
-    * hot path (training fits once on a sample; apply scans the full
-    * 100 TB corpus), so it must be one scan with the weights as plan
-    * literals — PlanSpec pins exactly that. Cost per row:
-    * O(dims · n_tokens) hash probes inside codegen'd HOFs. */
+    * MAP-ONLY: the feature map is evaluated per ROW by the native
+    * codegen kernel ([[pocketLogit]] →
+    * [[graft.functions.PocketLogit]]) — bit-identical to the grouped
+    * [[pocketFeats]] frame (and to the [[pocketLogitHof]] executable
+    * spec) but with NO feature-frame shuffle and NO join on the apply
+    * path. Apply is the hot path (training fits once on a sample;
+    * apply scans the full 100 TB corpus), so it must be one scan with
+    * the weights riding the plan — PlanSpec pins exactly that. Cost
+    * per row: O(n_tokens) hash probes + O(dims) integer ops inside
+    * whole-stage codegen. */
   /** The learned model's exact BIGINT logit of a text column — the
-    * in-array feature-map dot [[pocketScore]] and [[pocketCalibration]]
-    * share (one definition, two report surfaces). */
-  def pocketLogit(t: Column, model: PocketModel): Column = {
+    * native codegen kernel ([[graft.functions.PocketLogit]])
+    * [[pocketScore]] and [[pocketCalibration]] share. Microseconds per
+    * row; the HOF form below ([[pocketLogitHof]]) is the executable
+    * spec it is pinned bit-identical against. */
+  def pocketLogit(t: Column, model: PocketModel): Column =
+    graft.functions.PocketLogit.pocket_logit(t,
+      new graft.functions.PocketWeights(model.weights.toArray,
+        model.dims, model.seed))
+
+  /** EXECUTABLE SPEC of [[pocketLogit]]: the same feature-map dot as
+    * declarative array HOFs — bucket counts via filter over the
+    * hashed-bucket array, milli-fraction floors as exact integer
+    * arithmetic, the dot folded over a literal sequence. Pinned
+    * bit-identical to the native kernel in OperatorSpec (the *Hof twin
+    * discipline); NOT the production path — Spark's array HOFs
+    * evaluate interpreted (~3 ms/row), which is why the kernel
+    * exists. */
+  def pocketLogitHof(t: Column, model: PocketModel): Column = {
     val wLit = array(model.weights.map(lit): _*)
     val toks = tokens(t)
     val n = size(toks).cast(LongType)
@@ -1960,9 +1974,9 @@ object TextOps {
     * zipWithIndex, no global window); the scored frame is
     * localCheckpointed FIRST ([[graft.engine.Checkpoints.mark]] — 17 B
     * per doc), because the ordinal's range-sampling, shuffle, and
-    * zipWithIndex passes each re-execute their child and the logit HOFs
-    * are the one expensive expression in this family (measured 26 s →
-    * sub-second at sf0.1 for exactly this reason). Caller releases via
+    * zipWithIndex passes each re-execute their child — the score
+    * should be computed once, not three times, however cheap the
+    * kernel. Caller releases via
     * [[graft.engine.Checkpoints.release]] on the result. The total is
     * a one-row broadcast; everything downstream is one hash aggregate
     * to 10 rows. */

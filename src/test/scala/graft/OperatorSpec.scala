@@ -2426,6 +2426,39 @@ class OperatorSpec extends AnyFunSuite {
     graft.tools.CodegenGuard.assertHealthy("bpeTokensMergeOrder pipeline")
   }
 
+  test("pocketLogit: native kernel pinned bit-identical to the HOF executable spec; codegen-healthy") {
+    import graft.operators.TextOps
+    val m = TextOps.PocketModel(
+      Seq(7L, -3L, 11L, -5L, 2L, 9L, -1L, 4L, 13L, -8L, 6L, -2L, 5L,
+        -7L, 3L, 10L, 17L, -23L), dims = 16, seed = 53,
+      pocketRound = 1, pocketErrors = 0L)
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "  MIXED Case   And   Runs  of Spaces ",
+      "single",
+      "a b c d e f g h i j k l m n o p q r s t u v w x y z",
+      "café naïve über",      // multi-byte
+      "" // empty text: one empty token, n = 1 — both forms must agree
+    ).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val df = texts.toDF("id", "text")
+    val both = df.select(col("id"),
+        TextOps.pocketLogit(col("text"), m).as("native"),
+        TextOps.pocketLogitHof(col("text"), m).as("hof"))
+      .collect()
+    both.foreach { r =>
+      assert(r.getLong(1) == r.getLong(2),
+        s"native/HOF divergence at id ${r.getLong(0)}: " +
+          s"${r.getLong(1)} vs ${r.getLong(2)}")
+    }
+    // the native kernel stays inside whole-stage codegen
+    graft.tools.CodegenGuard.reset()
+    (0L until 200L).map(i => (i, s"table window value $i"))
+      .toDF("doc_id", "text")
+      .select(TextOps.pocketLogit(col("text"), m).as("l"))
+      .collect()
+    graft.tools.CodegenGuard.assertHealthy("pocketLogit pipeline")
+  }
+
   test("vocabGrowth: exact equal-rank checkpoints, first-appearance counting, the curve flattens when vocabulary stops growing") {
     // docs 0-4 introduce two fresh words each; docs 5-9 only repeat —
     // the Heap's curve must flatten at 10 from bin 2 on
