@@ -3616,16 +3616,24 @@ object LlmQueries {
     * hash collision mismatches instead of replaying (the q172 rule). */
   def cjkDedupQ(s: SparkSession, d: String): DataFrame = {
     val base = docs(s, d).where(col("text").isNotNull)
-    val cjk = base.select(col("doc_id"),
+    // the CJK rendering is a TEST PLANT (per-word md5 via an array HOF
+    // — interpreted, ~ms/row) referenced by both legs and by several
+    // stages within each: localCheckpoint it so the plant renders
+    // exactly once, not six times (the q189 native-kernel lesson
+    // applied to harness code — plants may stay HOFs, but only behind
+    // a checkpoint)
+    val cjk = graft.engine.Checkpoints.mark(base.select(col("doc_id"),
       array_join(transform(TextOps.tokens(col("text")),
         w => lit(CjkAlphabet).substr(
           pmod(TextOps.portableHash(w, CjkHashSeed),
             lit(CjkAlphabetSize.toLong)).cast("int") + lit(1),
-          lit(1))), "").as("cjk_text"))
+          lit(1))), "").as("cjk_text")))
     def leg(mode: String, segment: Boolean): DataFrame = {
-      val grams = Dedup.hashShingles(
+      // grams feeds the df-cap, both pair sides, and the doc count —
+      // materialize the explode+hash once per leg
+      val grams = graft.engine.Checkpoints.mark(Dedup.hashShingles(
         Dedup.shingles(cjk, "cjk_text", "doc_id", 3,
-          dedup = true, segment = segment), "doc_id")
+          dedup = true, segment = segment), "doc_id"))
       val kept = grams.join(
         grams.groupBy("sh_h").agg(count(lit(1)).as("__df"))
           .where(col("__df") <= CjkDfCap).select("sh_h"),
