@@ -401,6 +401,55 @@ object TextOps {
     wordPieceTrainModel(df, text, nMerges, sampleWords).merges.toDF()
   }
 
+  private def wordPieceModelId(model: WordPieceModel): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (model.merges.map(m => s"${m.merge_rank}${m.left_sym}${m.right_sym}" +
+      s"${m.pair_count}:${m.score_scaled}") ++
+      model.alphabet).foreach { s =>
+      md.update(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      md.update(0.toByte)
+    }
+    md.digest().map("%02x".format(_)).mkString
+  }
+
+  /** Persist a trained WordPiece tokenizer — the [[bpeModelWrite]]
+    * two-sided fingerprint discipline applied to the third model
+    * artifact (merge table with scores + alphabet sidecar). */
+  def wordPieceModelWrite(model: WordPieceModel,
+      spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+    import spark.implicits._
+    val id = wordPieceModelId(model)
+    model.merges.toDF().withColumn("model_id", lit(id))
+      .write.mode("overwrite").parquet(s"$path/merges")
+    model.alphabet.toDF("sym").withColumn("model_id", lit(id))
+      .write.mode("overwrite").parquet(s"$path/alphabet")
+  }
+
+  /** Read a persisted WordPiece model back — bounded collects, order
+    * restored by `merge_rank`, FAILS FAST on a torn rebuild or corrupt
+    * parquet exactly like [[bpeModelRead]]. */
+  def wordPieceModelRead(spark: org.apache.spark.sql.SparkSession,
+      path: String): WordPieceModel = {
+    val mdf = spark.read.parquet(s"$path/merges").orderBy("merge_rank")
+      .collect()
+    val adf = spark.read.parquet(s"$path/alphabet").orderBy("sym").collect()
+    val ids = (mdf.map(_.getAs[String]("model_id")) ++
+      adf.map(_.getAs[String]("model_id"))).distinct
+    require(ids.length <= 1,
+      s"torn wordpiece model at $path (merge/alphabet fingerprints " +
+        s"disagree: ${ids.mkString(", ")}) — rebuild with wordPieceModelWrite")
+    val model = WordPieceModel(
+      mdf.map(r => WordPieceMerge(r.getAs[Long]("merge_rank"),
+        r.getAs[String]("left_sym"), r.getAs[String]("right_sym"),
+        r.getAs[String]("merged"), r.getAs[Long]("pair_count"),
+        r.getAs[Long]("score_scaled"))).toSeq,
+      adf.map(_.getAs[String]("sym")).toSeq)
+    require(ids.headOption.forall(_ == wordPieceModelId(model)),
+      s"wordpiece model at $path fails its content fingerprint — " +
+        "partial/corrupt parquet, rebuild with wordPieceModelWrite")
+    model
+  }
+
   /** One trained unigram-LM piece: the sub-word string, its final-round
     * hard-EM usage count, and the fixed-point log-probability
     * `floor(ln(cnt/total)·10⁴ + 0.5)` (BIGINT nats·10⁻⁴) the Viterbi

@@ -2523,6 +2523,29 @@ class OperatorSpec extends AnyFunSuite {
     assert(toks == Seq("cd", "a", "b"))
   }
 
+  test("wordPieceModelWrite/Read: exact round-trip including scores; torn rebuild fails fast") {
+    val m = TextOps.wordPieceTrainModel(
+      Seq(Tuple1("abab abab cd cd cd")).toDF("text"), "text", 3, 10)
+    val dir = java.nio.file.Files.createTempDirectory("wp_model").toString
+    TextOps.wordPieceModelWrite(m, spark, dir)
+    assert(TextOps.wordPieceModelRead(spark, dir) == m)
+    // tear: alphabet side overwritten by a different model's write
+    val other = TextOps.wordPieceTrainModel(
+      Seq(Tuple1("xy xy")).toDF("text"), "text", 1, 10)
+    TextOps.wordPieceModelWrite(other, spark, s"$dir-other")
+    val src = new java.io.File(s"$dir-other/alphabet")
+    val dst = new java.io.File(s"$dir/alphabet")
+    def deleteRec(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(deleteRec)); f.delete()
+    }
+    deleteRec(dst)
+    assert(src.renameTo(dst))
+    val torn = intercept[IllegalArgumentException] {
+      TextOps.wordPieceModelRead(spark, dir)
+    }
+    assert(torn.getMessage.contains("torn wordpiece model"))
+  }
+
   test("unigramTokens: Viterbi argmax — score beats greed, ties prefer fewer pieces then byte-lexicographic seg; unk steps whole codepoints") {
     import graft.operators.TextOps.{UnigramLmModel, UnigramPiece}
     def model(lpUnk: Long, ps: (String, Long)*): UnigramLmModel =
