@@ -2315,6 +2315,29 @@ object LlmQueries {
   private def compactedDocs(s: SparkSession, d: String): String =
     s"${layoutCache(s, d)}/sorted"
 
+  /** Per-directory memo of the NUMBERED-SHARD export of the documents
+    * table ([[graft.sources.Layout.writeNumberedShards]], 128 rows per
+    * shard in doc_id order): exported once per session, manifested per
+    * query — the release-once/verify-everywhere shape. */
+  private val shardCache = new SessionPathMemo("shards", (s, d, p) =>
+    graft.sources.Layout.writeNumberedShards(
+      docs(s, d).select("doc_id", "lang", "n_chars"),
+      s"$p/export", Seq("doc_id"), rowsPerShard = 128))
+
+  /** q191 — export MANIFEST ([[graft.sources.Layout.shardManifest]]
+    * over a reproducible numbered-shard export): per shard, the row
+    * count, key range, and order-invariant bounded-hash checksum — the
+    * integrity sidecar a dataset release ships. The deterministic shard
+    * rule (ordinal div 128, not sampled range splits) is what lets the
+    * oracle recompute the ENTIRE manifest from the source table: any
+    * row lost, duplicated, or corrupted by the write path flips a
+    * checksum, so this gates the export end-to-end the way q72 gates
+    * compaction. */
+  def shardManifestQ(s: SparkSession, d: String): DataFrame =
+    graft.sources.Layout.shardManifest(s, s"${shardCache(s, d)}/export",
+      "doc_id", Seq("doc_id", "lang", "n_chars"))
+      .orderBy("shard_id")
+
   /** q72 — layout round-trip: documents land as unsorted small files,
     * [[graft.sources.Layout.compact]] rewrites them into doc_id-sorted
     * range shards, and the query is a key-range read + per-language audit
@@ -5945,6 +5968,22 @@ object LlmQueries {
         |FROM documents WHERE doc_id BETWEEN 100 AND 400
         |GROUP BY lang ORDER BY lang""".stripMargin,
 
+    // the deterministic shard rule + the bounded row hash recomputed
+    // from the source table: the write path gated checksum-for-checksum
+    "q191_shard_manifest" -> {
+      val h = pHash("17",
+        "doc_id::VARCHAR || chr(1) || lang || chr(1) || n_chars::VARCHAR")
+      s"""WITH r AS (SELECT doc_id, lang, n_chars,
+         |    row_number() OVER (ORDER BY doc_id) AS rk FROM documents),
+         |hh AS (SELECT (rk - 1) // 128 AS shard_id, doc_id,
+         |    ($h % 1048576) AS h
+         |  FROM r)
+         |SELECT shard_id::BIGINT AS shard_id, count(*)::BIGINT AS n_rows,
+         |  min(doc_id) AS min_key, max(doc_id) AS max_key,
+         |  sum(h)::BIGINT AS content_sum
+         |FROM hh GROUP BY shard_id ORDER BY shard_id""".stripMargin
+    },
+
     "q71_ppm_decode" ->
       """WITH d AS (SELECT doc_id,
         |    (4 + doc_id % 8)::INTEGER AS width,
@@ -6487,6 +6526,7 @@ object LlmQueries {
     "q188_tokenizer_fertility" -> tokenizerFertilityQ _,
     "q189_quality_calibration" -> pocketCalibrationQ _,
     "q190_vocab_growth" -> vocabGrowthQ _,
+    "q191_shard_manifest" -> shardManifestQ _,
     "q152_alignment_filter" -> alignmentFilterQ _,
     "q153_alignment_quantile" -> alignmentQuantileQ _,
     "q159_pair_curation" -> pairCurationQ _,

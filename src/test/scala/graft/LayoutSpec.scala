@@ -73,4 +73,41 @@ class LayoutSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got == df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
   }
+
+  test("writeNumberedShards + shardManifest: deterministic shard rule, re-export manifests identically, tamper flips a checksum") {
+    import graft.sources.Layout
+    val df = (0L until 300L).map(i => (i, s"lang${i % 3}", i * 7))
+      .toDF("doc_id", "lang", "n_chars")
+    val out = tmpDir("graft_shards_a")
+    Layout.writeNumberedShards(df, s"$out/e1", Seq("doc_id"), 128)
+    val m1 = Layout.shardManifest(spark, s"$out/e1", "doc_id",
+      Seq("doc_id", "lang", "n_chars")).orderBy("shard_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    // fixed-size numbered shards: 128, 128, 44; contiguous key ranges
+    assert(m1.map(x => (x._1, x._2)) ==
+      Seq((0L, 128L), (1L, 128L), (2L, 44L)))
+    assert(m1.map(x => (x._3, x._4)) ==
+      Seq((0L, 127L), (128L, 255L), (256L, 299L)))
+    // the shard rule is a pure function of the data: a re-export (even
+    // from a differently-partitioned frame) manifests IDENTICALLY
+    Layout.writeNumberedShards(df.repartition(7), s"$out/e2",
+      Seq("doc_id"), 128)
+    val m2 = Layout.shardManifest(spark, s"$out/e2", "doc_id",
+      Seq("doc_id", "lang", "n_chars")).orderBy("shard_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(m2 == m1, "re-export must manifest byte-identically")
+    // a single corrupted row flips exactly its shard's checksum
+    val tampered = df.withColumn("n_chars",
+      when(col("doc_id") === 200L, lit(999999L)).otherwise(col("n_chars")))
+    Layout.writeNumberedShards(tampered, s"$out/e3", Seq("doc_id"), 128)
+    val m3 = Layout.shardManifest(spark, s"$out/e3", "doc_id",
+      Seq("doc_id", "lang", "n_chars")).orderBy("shard_id").collect()
+      .map(r => (r.getLong(0), r.getLong(4))).toSeq
+    assert(m3(0)._2 == m1(0)._5 && m3(2)._2 == m1(2)._5,
+      "untouched shards must keep their checksums")
+    assert(m3(1)._2 != m1(1)._5,
+      "the tampered row's shard must flip its checksum")
+  }
 }
