@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Multimodal, Similarity, TextOps}
+import graft.operators.{Dedup, Multimodal, Similarity, Sketch, TextOps}
 
 /** Training-data pipeline queries (dedup / similarity / text analysis /
   * multimodal) over the `documents` and `embeddings` testdata tables, with
@@ -2337,6 +2337,86 @@ object LlmQueries {
     graft.sources.Layout.shardManifest(s, s"${shardCache(s, d)}/export",
       "doc_id", Seq("doc_id", "lang", "n_chars"))
       .orderBy("shard_id")
+
+  /** Count-min sketch shape shared by q192/q193: 4 hash rows × 16
+    * counters — DELIBERATELY undersized (the testdata vocabulary is
+    * ~31 words, so ~2 words share every counter) so the q192 audit
+    * exercises the interesting regime: estimates that genuinely
+    * overcount, with the row-MIN visibly tightening them. Production
+    * width is a free parameter; the 100 TB claim (fixed depth×width
+    * state) is width-independent. */
+  val CmDepth = 4
+  val CmWidth = 16
+
+  /** One row per word OCCURRENCE (not distinct) — the stream a
+    * frequency sketch consumes. */
+  private def wordStream(s: SparkSession, d: String) =
+    docs(s, d).select(explode(TextOps.tokens(col("text"))).as("w"))
+
+  /** q192 — count-min heavy-hitter audit ([[graft.operators.Sketch]]):
+    * sketch the corpus word stream into 4×1024 counters, point-estimate
+    * the exact top-20 words, and report each word's overcount
+    * (estimate − truth, provably ≥ 0). This is the bounded-memory
+    * answer to q103's exact top-n-gram at scales where the tail
+    * histogram itself is the problem: the sketch is 4096 cells no
+    * matter the corpus. Portable hashing makes the whole sketch — not
+    * just its guarantees — reproducible in the oracle. */
+  def countMinWordsQ(s: SparkSession, d: String): DataFrame = {
+    val toks = wordStream(s, d)
+    val cells = Sketch.countMinCells(toks, "w", CmDepth, CmWidth)
+    val top = toks.groupBy("w").agg(count(lit(1)).as("n_true"))
+      .orderBy(desc("n_true"), asc("w")).limit(20)
+    Sketch.cmEstimate(cells, top, "w", CmDepth, CmWidth)
+      .join(top, "w")
+      .select(col("w"), col("n_true"), col("n_cm"),
+        (col("n_cm") - col("n_true")).as("overcount"))
+      .orderBy(desc("n_true"), col("w"))
+  }
+
+  /** q193 — sketch MERGE distributivity ([[Sketch.cmMerge]]): sketch
+    * the even-doc and odd-doc halves of the corpus separately, merge
+    * cell-wise, and emit every cell. The oracle builds ONE sketch over
+    * the whole corpus — hash equality IS the proof that per-shard
+    * sketches sum to the corpus sketch, the property that lets 100 TB
+    * be sketched one ingest batch at a time and never rescanned. */
+  def countMinMergeQ(s: SparkSession, d: String): DataFrame = {
+    val dd = docs(s, d)
+    def half(p: Int) = Sketch.countMinCells(
+      dd.where(pmod(col("doc_id"), lit(2)) === p)
+        .select(explode(TextOps.tokens(col("text"))).as("w")),
+      "w", CmDepth, CmWidth)
+    Sketch.cmMerge(half(0), half(1)).orderBy("d", "cell")
+  }
+
+  /** The Z-ordered events layout (memoized per session):
+    * [[graft.sources.Layout.writeZOrdered]] on (user_id, ts_us) —
+    * nanos truncated to µs FIRST so both engines bucket identical
+    * values (the q41 convention). */
+  private val zorderCache = new SessionPathMemo("zorder", (s, d, p) =>
+    graft.sources.Layout.writeZOrdered(
+      TimeSeriesQueries.events(s, d)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          expr("ts div 1000").as("ts_us")),
+      s"$p/z", "user_id", "ts_us", nRanges = 8))
+
+  /** q194 — Z-order layout + quadrant box read: the 2-D clustering
+    * write path ([[graft.sources.Layout.zorderKey]]) gated end-to-end.
+    * The box "xb < 64 AND yb < 64" is EXACTLY `zkey < 4096` (the top
+    * interleaved bits are the two coordinates' top bits), so the 2-D
+    * box becomes a 1-D key-range scan that the range-partitioned
+    * sorted layout prunes from footer stats alone (PlanSpec pins the
+    * decode skip). The oracle re-derives bucket + interleave from the
+    * raw events table in pure integer SQL; the multiplicative zkey mix
+    * keeps per-row interleave errors from cancelling in the sum. */
+  def zorderBoxQ(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(s"${zorderCache(s, d)}/z")
+      .where(col("zkey") < 4096)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("user_id").as("sum_uid"),
+        min("zkey").as("min_zkey"), max("zkey").as("max_zkey"),
+        sum(pmod(col("zkey") * lit(2654435761L), lit(1000003L)))
+          .as("zkey_mix"))
+      .orderBy("event_type")
 
   /** q72 — layout round-trip: documents land as unsorted small files,
     * [[graft.sources.Layout.compact]] rewrites them into doc_id-sorted
@@ -5984,6 +6064,62 @@ object LlmQueries {
          |FROM hh GROUP BY shard_id ORDER BY shard_id""".stripMargin
     },
 
+    // the identical 4x1024 sketch rebuilt cell-for-cell from raw rows:
+    // portable hashing makes the estimates deterministic, not just bounded
+    "q192_countmin_words" -> {
+      val cellH = pHash("61", "g.d::VARCHAR || ':' || w.w")
+      val probeH = pHash("61", "g.d::VARCHAR || ':' || t.w")
+      s"""WITH w AS (SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+         |    FROM documents),
+         |cells AS (SELECT g.d, ($cellH % $CmWidth) AS cell, count(*)::BIGINT AS cnt
+         |  FROM w CROSS JOIN generate_series(0, 3) g(d) GROUP BY 1, 2),
+         |exact AS (SELECT w, count(*)::BIGINT AS n_true FROM w GROUP BY w),
+         |top AS (SELECT w, n_true FROM exact ORDER BY n_true DESC, w LIMIT 20),
+         |probe AS (SELECT t.w, t.n_true, min(c.cnt) AS n_cm
+         |  FROM top t CROSS JOIN generate_series(0, 3) g(d)
+         |  JOIN cells c ON c.d = g.d AND c.cell = ($probeH % $CmWidth)
+         |  GROUP BY t.w, t.n_true)
+         |SELECT w, n_true, n_cm, (n_cm - n_true)::BIGINT AS overcount
+         |FROM probe ORDER BY n_true DESC, w""".stripMargin
+    },
+
+    // ONE whole-corpus sketch vs Spark's merge of two half-corpus
+    // sketches: hash equality is the distributivity proof
+    "q193_countmin_merge" -> {
+      val cellH = pHash("61", "g.d::VARCHAR || ':' || w.w")
+      s"""WITH w AS (SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+         |    FROM documents)
+         |SELECT g.d::BIGINT AS d, ($cellH % $CmWidth) AS cell,
+         |  count(*)::BIGINT AS cnt
+         |FROM w CROSS JOIN generate_series(0, 3) g(d)
+         |GROUP BY 1, 2 ORDER BY d, cell""".stripMargin
+    },
+
+    // bucket + Morton interleave re-derived from the raw events table in
+    // pure integer SQL (// floors like Spark's pmod-subtract division);
+    // zkey < 4096 <=> xb < 64 AND yb < 64
+    "q194_zorder_box" ->
+      """WITH e AS (SELECT event_id, user_id, event_type,
+        |    epoch_us(ts) AS ts_us FROM events),
+        |b AS (SELECT min(user_id) AS xlo, max(user_id) AS xhi,
+        |    min(ts_us) AS ylo, max(ts_us) AS yhi FROM e),
+        |c AS (SELECT event_type, user_id,
+        |    ((user_id - xlo) * 256) // (xhi - xlo + 1) AS xb,
+        |    ((ts_us - ylo) * 256) // (yhi - ylo + 1) AS yb
+        |  FROM e CROSS JOIN b),
+        |s1 AS (SELECT event_type, user_id,
+        |    (xb | (xb << 4)) & 3855 AS x1, (yb | (yb << 4)) & 3855 AS y1 FROM c),
+        |s2 AS (SELECT event_type, user_id,
+        |    (x1 | (x1 << 2)) & 13107 AS x2, (y1 | (y1 << 2)) & 13107 AS y2 FROM s1),
+        |z AS (SELECT event_type, user_id,
+        |    ((x2 | (x2 << 1)) & 21845) | ((((y2 | (y2 << 1)) & 21845)) << 1) AS zkey
+        |  FROM s2)
+        |SELECT event_type, count(*)::BIGINT AS n, sum(user_id)::BIGINT AS sum_uid,
+        |  min(zkey)::BIGINT AS min_zkey, max(zkey)::BIGINT AS max_zkey,
+        |  sum((zkey * 2654435761) % 1000003)::BIGINT AS zkey_mix
+        |FROM z WHERE zkey < 4096
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
     "q71_ppm_decode" ->
       """WITH d AS (SELECT doc_id,
         |    (4 + doc_id % 8)::INTEGER AS width,
@@ -6527,6 +6663,9 @@ object LlmQueries {
     "q189_quality_calibration" -> pocketCalibrationQ _,
     "q190_vocab_growth" -> vocabGrowthQ _,
     "q191_shard_manifest" -> shardManifestQ _,
+    "q192_countmin_words" -> countMinWordsQ _,
+    "q193_countmin_merge" -> countMinMergeQ _,
+    "q194_zorder_box" -> zorderBoxQ _,
     "q152_alignment_filter" -> alignmentFilterQ _,
     "q153_alignment_quantile" -> alignmentQuantileQ _,
     "q159_pair_curation" -> pairCurationQ _,

@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Output-layout operators: the write side of a training-data pipeline.
@@ -73,6 +73,59 @@ object Layout {
       .agg(count(lit(1)).as("n_rows"),
         min(col(keyCol)).as("min_key"), max(col(keyCol)).as("max_key"),
         sum(h).as("content_sum"))
+  }
+
+  /** Interleave the low 8 bits of `c` into the even bit positions
+    * (Morton "Part1By1", 8→16 bits): three shift-or-mask steps, pure
+    * integer column arithmetic — codegen'd in Spark, and the identical
+    * `<<`/`&`/`|` chain replays in DuckDB for the oracle. */
+  private def spread8(c: Column): Column = {
+    val a = c.bitwiseOR(shiftleft(c, 4)).bitwiseAND(lit(0x0F0FL))
+    val b = a.bitwiseOR(shiftleft(a, 2)).bitwiseAND(lit(0x3333L))
+    b.bitwiseOR(shiftleft(b, 1)).bitwiseAND(lit(0x5555L))
+  }
+
+  /** 16-bit Morton (Z-order) key of two 8-bit cell coordinates: bit i of
+    * `xb` lands at position 2i, bit i of `yb` at 2i+1. Sorting by this
+    * key clusters rows that are close in BOTH dimensions, so parquet
+    * footer min/max stats on the RAW columns prune a 2-D box query —
+    * the property a single-column sort can only give one dimension
+    * (Delta/Iceberg `OPTIMIZE ZORDER BY` is this exact construction). */
+  def zorderKey(xb: Column, yb: Column): Column =
+    spread8(xb).bitwiseOR(shiftleft(spread8(yb), 1))
+
+  /** Equal-width 256-cell bucket of `c` over the CLOSED integer range
+    * [lo, hi] — exact integer floor division (no float rounding to
+    * diverge from the oracle's `//`). */
+  def bucket256(c: Column, lo: Long, hi: Long): Column = {
+    require(hi >= lo, s"empty bucket range [$lo, $hi]")
+    val num = (c.cast("long") - lit(lo)) * lit(256L)
+    val den = lit(hi - lo + 1L)
+    ((num - pmod(num, den)) / den).cast("long")
+  }
+
+  /** Write `df` Z-order-clustered on two integer columns: bucket each to
+    * 8 bits over its global range (one bounded min/max aggregate — two
+    * rows to the driver), interleave to a 16-bit `zkey`, then
+    * range-partition + sort by it. The written files carry the zkey
+    * column (so the oracle can gate the interleave arithmetic
+    * end-to-end) and — the point — tight per-file min/max footer stats
+    * on BOTH raw columns, so a 2-D box read decodes only the files whose
+    * z-curve segment crosses the box. Returns (xlo, xhi, ylo, yhi) so a
+    * caller can reproduce the bucketing. */
+  def writeZOrdered(df: DataFrame, path: String, xCol: String, yCol: String,
+      nRanges: Int): (Long, Long, Long, Long) = {
+    val Array(r) = df.agg(
+      min(col(xCol).cast("long")), max(col(xCol).cast("long")),
+      min(col(yCol).cast("long")), max(col(yCol).cast("long"))).collect()
+    val (xlo, xhi, ylo, yhi) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    val keyed = df.withColumn("zkey", zorderKey(
+      bucket256(col(xCol).cast("long"), xlo, xhi),
+      bucket256(col(yCol).cast("long"), ylo, yhi)))
+    keyed.repartitionByRange(nRanges, col("zkey"))
+      .sortWithinPartitions(col("zkey"))
+      .write.mode("overwrite").parquet(path)
+    (xlo, xhi, ylo, yhi)
   }
 
   /** Rewrite a parquet directory into ~`targetRecordsPerFile`-row sorted

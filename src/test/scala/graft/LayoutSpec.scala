@@ -74,6 +74,59 @@ class LayoutSpec extends AnyFunSuite {
     assert(got == df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
   }
 
+  test("zorderKey: known Morton vectors; bucket256: exact integer buckets") {
+    val df = Seq((0L, 0L), (255L, 255L), (3L, 5L), (170L, 85L)).toDF("x", "y")
+    val got = df.select(Layout.zorderKey(col("x"), col("y")).as("z"))
+      .collect().map(_.getLong(0)).toSeq
+    // hand-interleaved: bit i of x -> 2i, bit i of y -> 2i+1
+    assert(got == Seq(0L, 65535L, 39L, 26214L), got)
+    val b = (0L to 1023L).toDF("k")
+      .select(Layout.bucket256(col("k"), 0L, 1023L).as("b"))
+      .collect().map(_.getLong(0))
+    assert(b.toSeq == (0L to 1023L).map(_ / 4), "floor(k*256/1024) = k/4")
+    assert(b.min == 0L && b.max == 255L)
+  }
+
+  test("writeZOrdered: a one-dimension band read decodes a fraction — the dimension a single-column sort cannot serve") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    // 200x200 grid; the probe is a narrow band in y ONLY. An x-sorted
+    // layout's files all span the full y range (footer stats can never
+    // exclude one); z-ordered files cover compact curve segments whose
+    // y extent is bounded, so the same filter skips most row groups.
+    val n = 40000L
+    val df = spark.range(n).select(
+      (col("id") % 200).as("x"), (col("id") / 200).cast("long").as("y"))
+    val zPath = tmpDir("graft_layout_zorder")
+    val xPath = tmpDir("graft_layout_xsorted")
+    val (xlo, xhi, ylo, yhi) = Layout.writeZOrdered(df, zPath, "x", "y", nRanges = 16)
+    assert((xlo, xhi, ylo, yhi) == (0L, 199L, 0L, 199L))
+    Layout.writeSorted(df, xPath, Seq("x"), nRanges = 16)
+
+    def decoded(path: String): Long = {
+      val q = spark.read.parquet(path).where(col("y").between(16, 39))
+      assert(q.count() == 24 * 200)
+      q.collect()
+      flattenPlan(q.queryExecution.executedPlan)
+        .collect { case s: FileSourceScanExec => s }
+        .map(_.metrics("numOutputRows").value).sum
+    }
+    val zRows = decoded(zPath)
+    val xRows = decoded(xPath)
+    assert(xRows == n, s"x-sorted layout cannot prune a y band: $xRows")
+    assert(zRows <= n / 2, s"z-ordered layout must skip most row groups: $zRows")
+    // and the quadrant identity the q194 oracle leans on:
+    // zkey < 4096 <=> xb < 64 AND yb < 64
+    val z = spark.read.parquet(zPath)
+    val viaKey = z.where(col("zkey") < 4096).count()
+    val viaBox = z.where(Layout.bucket256(col("x"), xlo, xhi) < 64 &&
+      Layout.bucket256(col("y"), ylo, yhi) < 64).count()
+    assert(viaKey == viaBox && viaKey > 0, s"$viaKey vs $viaBox")
+  }
+
+  private def flattenPlan(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] =
+    graft.plans.PlanWalk.flatten(p)
+
   test("writeNumberedShards + shardManifest: deterministic shard rule, re-export manifests identically, tamper flips a checksum") {
     import graft.sources.Layout
     val df = (0L until 300L).map(i => (i, s"lang${i % 3}", i * 7))

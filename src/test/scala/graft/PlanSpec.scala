@@ -259,6 +259,19 @@ class PlanSpec extends AnyFunSuite {
     assert("FileScan parquet".r.findAllIn(fp).size == 1, fp.take(1500))
   }
 
+  test("q192: the sketch side of the estimate join is broadcast — estimating is map-only over the keys") {
+    val p = plan("q192_countmin_words")
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+  }
+
+  test("q194: the quadrant box is a pushed zkey range on the z-ordered scan") {
+    val df = SparkEntry.queries("q194_zorder_box")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters: [IsNotNull(zkey), LessThan(zkey,4096)]"),
+      p.take(3000))
+  }
+
   test("q188: fertility — ONE corpus scan computes all three learned tokenizers' counts map-side; exchanges carry the lang key and longs only") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
     import org.apache.spark.sql.types.{ArrayType, DataType, StringType}

@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Sketch
+
+/** The count-min guarantees, checked against an independent JVM-side
+  * reimplementation of the portable hash (MessageDigest md5, not Spark's):
+  * estimates never undercount, wide sketches are exact, merge is
+  * distributive cell-for-cell, and the cell function is the documented
+  * md5 derivation. */
+class SketchSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** Independent replay of [[graft.operators.TextOps.portableHash]] +
+    * cell bucketing: md5 hex via java.security, first 15 chars as a
+    * long, mod width. */
+  private def refCell(d: Long, token: String, width: Int): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"${Sketch.CmSeed}:$d:$token".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.take(15), 16) % width
+  }
+
+  private def refSketch(toks: Seq[String], depth: Int,
+      width: Int): Map[(Long, Long), Long] =
+    (for (t <- toks; d <- 0L until depth.toLong)
+      yield (d, refCell(d, t, width))).groupBy(identity)
+      .map { case (k, v) => k -> v.size.toLong }
+
+  private val words =
+    Seq.fill(30)("alpha") ++ Seq.fill(20)("beta") ++ Seq.fill(7)("gamma") ++
+      Seq("delta", "epsilon", "zeta", "eta", "theta")
+
+  test("cmCell matches an independent md5 reimplementation") {
+    val got = Seq(("alpha", 0L), ("alpha", 3L), ("zeta", 1L))
+      .toDF("t", "d")
+      .select(Sketch.cmCell(col("d"), col("t"), 16).as("c"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(refCell(0, "alpha", 16), refCell(3, "alpha", 16),
+      refCell(1, "zeta", 16)))
+  }
+
+  test("countMinCells equals the reference sketch cell-for-cell; estimates never undercount and a wide sketch is exact") {
+    val df = words.toDF("w")
+    val cells = Sketch.countMinCells(df, "w", depth = 4, width = 8)
+    val got = cells.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == refSketch(words, 4, 8))
+
+    val truth = words.groupBy(identity).map { case (w, v) => w -> v.size.toLong }
+    val keys = truth.keys.toSeq.toDF("w")
+    val est8 = Sketch.cmEstimate(cells, keys, "w", 4, 8)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    truth.foreach { case (w, n) =>
+      assert(est8(w) >= n, s"$w undercounted: ${est8(w)} < $n")
+    }
+    // 5 distinct words in 4x4096 cells: no collisions, estimates exact
+    val wide = Sketch.countMinCells(df, "w", depth = 4, width = 4096)
+    val estW = Sketch.cmEstimate(wide, keys, "w", 4, 4096)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(estW == truth)
+  }
+
+  test("cmMerge of disjoint halves equals the whole-corpus sketch") {
+    val (a, b) = words.splitAt(words.size / 3)
+    def cellsOf(ws: Seq[String]) =
+      Sketch.countMinCells(ws.toDF("w"), "w", depth = 4, width = 8)
+    val merged = Sketch.cmMerge(cellsOf(a), cellsOf(b)).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val whole = cellsOf(words).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(merged == whole)
+  }
+
+  test("an unseen key's estimate is bounded by its cells (zero when any cell is empty)") {
+    val cells = Sketch.countMinCells(words.toDF("w"), "w", depth = 4, width = 8)
+    val ref = refSketch(words, 4, 8)
+    val unseen = "never-in-corpus"
+    val expected = (0L until 4L)
+      .map(d => ref.getOrElse((d, refCell(d, unseen, 8)), 0L)).min
+    val got = Sketch.cmEstimate(cells, Seq(unseen).toDF("w"), "w", 4, 8)
+      .collect().map(_.getLong(1)).head
+    assert(got == expected)
+  }
+}
