@@ -81,4 +81,118 @@ object Sketch {
     a.unionByName(b)
       .groupBy("d", "cell")
       .agg(sum("cnt").as("cnt"))
+
+  // --- HyperLogLog (Flajolet et al. 2007): mergeable distinct-count ---
+  // Count-min answers "how often"; HLL answers "how many distinct" in the
+  // same fixed-state, distributive-merge shape: m registers, register j
+  // holding the max rank (leading-zero run + 1) of any hash that landed
+  // there. Register-wise MAX of per-shard sketches IS the union's sketch
+  // — duplicates are free (max is idempotent), which is the whole trick.
+
+  /** HLL hash seed (fresh vs CmSeed 61 and every other seeded family). */
+  val HllSeed = 67
+
+  /** Register count m = 2^6. With the 60-bit portable hash: low 6 bits
+    * pick the register, the remaining 54 bits feed the rank. */
+  val HllM = 64
+  private val HllSuffixBits = 54
+
+  /** Register index of a token: the hash's low 6 bits. */
+  def hllIdx(token: Column): Column =
+    pmod(TextOps.portableHash(token, HllSeed), lit(HllM.toLong))
+
+  /** Rank of a token: leading zeros of its 54-bit hash suffix + 1,
+    * computed as `55 − bitlength(suffix)` where bitlength is the BINARY
+    * STRING length (`length(bin(x))` = ⌊log₂x⌋+1) — exact integer
+    * arithmetic in both engines, no float log anywhere. An all-zero
+    * suffix ranks 55. */
+  def hllRank(token: Column): Column = {
+    val suffix = shiftright(TextOps.portableHash(token, HllSeed), 6)
+    when(suffix === 0L, lit(HllSuffixBits + 1L))
+      .otherwise(lit(HllSuffixBits + 1L) - length(bin(suffix)))
+  }
+
+  /** Per-`by`-group HLL registers over a token stream: at most m
+    * non-empty `(by…, idx, rank)` rows per group however large the
+    * stream (absent registers are implicitly rank 0). Map-side combine
+    * bounds every partition's shuffle contribution to groups × m rows;
+    * duplicate tokens never change a register. */
+  def hllRegisters(df: DataFrame, token: String, by: Seq[String]): DataFrame =
+    df.groupBy(by.map(col) :+ hllIdx(col(token)).as("idx"): _*)
+      .agg(max(hllRank(col(token))).as("rank"))
+
+  /** Register-wise max over any number of stacked register sets — the
+    * union's exact sketch (the distributive merge; q196 gates it
+    * against a directly-built sketch). Works across shards AND across
+    * `by` regroupings: collapsing per-source sketches with `by = Nil`
+    * yields the global sketch. */
+  def hllMergeAll(stacked: DataFrame, by: Seq[String]): DataFrame =
+    stacked
+      .groupBy(by.map(col) :+ col("idx"): _*)
+      .agg(max("rank").as("rank"))
+
+  /** Binary form of [[hllMergeAll]]. */
+  def hllMerge(a: DataFrame, b: DataFrame, by: Seq[String]): DataFrame =
+    hllMergeAll(a.unionByName(b), by)
+
+  // --- persisted maintenance (the index-family batch-tag discipline) ---
+
+  /** Append one micro-batch's PARTIAL sketch (count-min cells or HLL
+    * registers — any mergeable row shape) to a persisted sketch
+    * directory, replay-guarded: `foreachBatch` is at-least-once, and a
+    * retried batch would otherwise double-count CMS cells (HLL's max
+    * would shrug, but the guard is the family contract). The marker is
+    * written AFTER the append — a crash between them re-runs the batch,
+    * never skips one. Returns false for an already-applied batch id. */
+  def sketchAppendBatch(path: String, partial: DataFrame,
+      batchId: Long): Boolean = {
+    val spark = partial.sparkSession
+    val last = graft.sources.Markers.readLastBatch(spark, s"$path/lastbatch")
+    if (batchId <= last) false
+    else {
+      partial.write.mode("append").parquet(s"$path/parts")
+      graft.sources.Markers.writeLastBatch(spark, s"$path/lastbatch", batchId)
+      true
+    }
+  }
+
+  /** The CURRENT count-min sketch under a maintained path: cell-wise sum
+    * of every appended per-batch partial — exact by q193's
+    * distributivity, over at most batches × depth × width stored rows
+    * (compact by rewriting the merged frame if that ever matters). */
+  def cmRead(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    spark.read.parquet(s"$path/parts")
+      .groupBy("d", "cell").agg(sum("cnt").as("cnt"))
+
+  /** The CURRENT HLL registers under a maintained path: register-wise
+    * max of every appended partial (q196's merge). */
+  def hllRead(spark: org.apache.spark.sql.SparkSession, path: String,
+      by: Seq[String]): DataFrame =
+    hllMergeAll(spark.read.parquet(s"$path/parts"), by)
+
+  /** The HLL cardinality estimate per `by` group. The harmonic sum is
+    * kept EXACT in integers scaled by 2⁵⁵ (absent registers contribute
+    * 2⁵⁵ each; max rank 55 contributes 1 — a BIGINT sum bounded by
+    * m·2⁵⁵ ≈ 2.3e18), so the only float ops are the final division and
+    * the small-range linear-counting branch (m·ln(m/V) when the raw
+    * estimate ≤ 2.5m and empty registers remain — Flajolet's standard
+    * correction, without which small cardinalities bias high). */
+  def hllEstimate(regs: DataFrame, by: Seq[String]): DataFrame = {
+    val m = HllM.toDouble
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    val keys = if (by.isEmpty) Seq(lit(1).as("__g")) else by.map(col)
+    val g = regs
+      .groupBy(keys: _*)
+      .agg(count(lit(1)).as("nonzero"),
+        sum(expr("shiftleft(cast(1 as bigint), cast(55 - rank as int))"))
+          .as("present_sum"))
+      .withColumn("v", lit(HllM.toLong) - col("nonzero"))
+      .withColumn("harmonic_scaled",
+        col("present_sum") + col("v") * lit(1L << HllSuffixBits << 1))
+    val raw = lit(alpha * m * m * math.pow(2.0, 55)) / col("harmonic_scaled")
+    val est = when(raw <= 2.5 * m && col("v") > 0,
+      lit(m) * log(lit(m) / col("v"))).otherwise(raw)
+    g.select((if (by.isEmpty) Seq.empty[Column] else by.map(col)) ++
+      Seq(col("v"), col("harmonic_scaled"), est.as("estimate")): _*)
+  }
 }

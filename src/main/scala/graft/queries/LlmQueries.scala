@@ -2388,6 +2388,38 @@ object LlmQueries {
     Sketch.cmMerge(half(0), half(1)).orderBy("d", "cell")
   }
 
+  /** q195 — per-source HyperLogLog registers ([[Sketch.hllRegisters]]):
+    * the distinct-vocabulary sketch, ≤ 64 exact integer rows per source
+    * however large the corpus. The register content — not just the
+    * estimate it implies — is the gated artifact: rank arithmetic is
+    * pure integer bit-length (`55 − length(bin(suffix))`), so the
+    * oracle rebuilds every register from the raw rows. The float
+    * estimator ([[Sketch.hllEstimate]]) is SketchSpec's to audit;
+    * gating it would hang corpus equality on cross-engine libm. */
+  def hllRegistersQ(s: SparkSession, d: String): DataFrame =
+    Sketch.hllRegisters(
+      docs(s, d).select(col("source"),
+        explode(TextOps.tokens(col("text"))).as("w")),
+      "w", Seq("source"))
+      .orderBy("source", "idx")
+
+  /** q196 — HLL merge distributivity ([[Sketch.hllMerge]]): the global
+    * sketch obtained by register-wise-MAXing the per-source sketches
+    * must equal the sketch built directly over the whole stream — the
+    * property that makes per-shard distinct-count sketches combinable
+    * without rescan (q193's proof shape, for the idempotent-max
+    * monoid instead of the additive one). Spark merges q195's
+    * per-source registers down to `by = Nil`; the oracle builds the
+    * global registers directly. */
+  def hllMergeQ(s: SparkSession, d: String): DataFrame = {
+    val perSource = Sketch.hllRegisters(
+      docs(s, d).select(col("source"),
+        explode(TextOps.tokens(col("text"))).as("w")),
+      "w", Seq("source"))
+    Sketch.hllMergeAll(perSource.select("idx", "rank"), Nil)
+      .orderBy("idx")
+  }
+
   /** The Z-ordered events layout (memoized per session):
     * [[graft.sources.Layout.writeZOrdered]] on (user_id, ts_us) —
     * nanos truncated to µs FIRST so both engines bucket identical
@@ -6095,6 +6127,40 @@ object LlmQueries {
          |GROUP BY 1, 2 ORDER BY d, cell""".stripMargin
     },
 
+    // every register rebuilt from the raw rows: rank = 55 - bitlength of
+    // the 54-bit hash suffix, via the binary STRING length (exact
+    // integer arithmetic, no float log in either engine)
+    "q195_hll_registers" -> {
+      val h = pHash("67", "w")
+      s"""WITH w AS (SELECT source,
+         |    unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+         |  FROM documents),
+         |hh AS (SELECT source, ($h % 64) AS idx, ($h >> 6) AS suffix FROM w),
+         |r AS (SELECT source, idx,
+         |    CASE WHEN suffix = 0 THEN 55
+         |         ELSE 55 - length(bin(suffix)) END AS rank
+         |  FROM hh)
+         |SELECT source, idx::BIGINT AS idx, max(rank)::BIGINT AS rank
+         |FROM r GROUP BY source, idx ORDER BY source, idx""".stripMargin
+    },
+
+    // the oracle builds the GLOBAL sketch directly; Spark gets there by
+    // register-wise-maxing the per-source sketches — equality is the
+    // distributive-merge proof for the max monoid
+    "q196_hll_merge" -> {
+      val h = pHash("67", "w")
+      s"""WITH w AS (SELECT
+         |    unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+         |  FROM documents),
+         |hh AS (SELECT ($h % 64) AS idx, ($h >> 6) AS suffix FROM w),
+         |r AS (SELECT idx,
+         |    CASE WHEN suffix = 0 THEN 55
+         |         ELSE 55 - length(bin(suffix)) END AS rank
+         |  FROM hh)
+         |SELECT idx::BIGINT AS idx, max(rank)::BIGINT AS rank
+         |FROM r GROUP BY idx ORDER BY idx""".stripMargin
+    },
+
     // bucket + Morton interleave re-derived from the raw events table in
     // pure integer SQL (// floors like Spark's pmod-subtract division);
     // zkey < 4096 <=> xb < 64 AND yb < 64
@@ -6666,6 +6732,8 @@ object LlmQueries {
     "q192_countmin_words" -> countMinWordsQ _,
     "q193_countmin_merge" -> countMinMergeQ _,
     "q194_zorder_box" -> zorderBoxQ _,
+    "q195_hll_registers" -> hllRegistersQ _,
+    "q196_hll_merge" -> hllMergeQ _,
     "q152_alignment_filter" -> alignmentFilterQ _,
     "q153_alignment_quantile" -> alignmentQuantileQ _,
     "q159_pair_curation" -> pairCurationQ _,

@@ -460,6 +460,44 @@ object StreamingOps {
     docsStream.writeStream.foreachBatch(fn)
   }
 
+  /** Streaming count-min maintenance — the frequency sketch kept
+    * current under ingest: each micro-batch is sketched ALONE (a
+    * bounded ≤ depth×width partial, however large the batch) and
+    * appended replay-guarded ([[graft.operators.Sketch.sketchAppendBatch]]);
+    * the mergeable-sketch property (SparkEntry q193) makes the
+    * read-time cell-wise sum ([[graft.operators.Sketch.cmRead]])
+    * EXACTLY the sketch of everything ingested so far — heavy-hitter
+    * estimates stay live without ever rescanning history. Caller sets
+    * `checkpointLocation` and `start()`s. */
+  def maintainCountMin(tokStream: DataFrame, token: String, path: String,
+      depth: Int, width: Int)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val fn: (DataFrame, Long) => Unit = (batch, batchId) => {
+      graft.operators.Sketch.sketchAppendBatch(path,
+        graft.operators.Sketch.countMinCells(batch, token, depth, width),
+        batchId)
+      ()
+    }
+    tokStream.writeStream.foreachBatch(fn)
+  }
+
+  /** Streaming HLL maintenance — the distinct-count twin of
+    * [[maintainCountMin]]: per-batch registers appended, read-time
+    * register-wise max ([[graft.operators.Sketch.hllRead]]) equals the
+    * directly-built sketch (SparkEntry q196), so "how many distinct
+    * URLs/tokens so far?" is answerable from ≤ batches × m stored rows.
+    * Caller sets `checkpointLocation` and `start()`s. */
+  def maintainHll(tokStream: DataFrame, token: String, path: String,
+      by: Seq[String] = Nil)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val fn: (DataFrame, Long) => Unit = (batch, batchId) => {
+      graft.operators.Sketch.sketchAppendBatch(path,
+        graft.operators.Sketch.hllRegisters(batch, token, by), batchId)
+      ()
+    }
+    tokStream.writeStream.foreachBatch(fn)
+  }
+
   /** Paired-modality alignment gate ON A STREAM — the ingest form of
     * the batch LAION filter ([[graft.operators.Similarity.alignmentFilter]],
     * SparkEntry q152): cosine between each incoming pair's caption and

@@ -330,6 +330,52 @@ class StreamingSpec extends AnyFunSuite {
       "maintained index must verify consistent")
   }
 
+  test("streaming sketch maintenance: read-time merge equals the whole-stream sketch; retry no-ops") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    import graft.operators.Sketch
+    val cmPath = s"${sys.props("java.io.tmpdir")}/graft_test_cm_maint"
+    val hllPath = s"${sys.props("java.io.tmpdir")}/graft_test_hll_maint"
+    val ckpt1 = s"${sys.props("java.io.tmpdir")}/graft_test_cm_maint_ckpt"
+    val ckpt2 = s"${sys.props("java.io.tmpdir")}/graft_test_hll_maint_ckpt"
+    Seq(cmPath, hllPath, ckpt1, ckpt2).foreach(graft.cli.Cleanup.deleteOnExit)
+    val b0 = Seq("alpha", "beta", "alpha", "gamma")
+    val b1 = Seq("alpha", "delta", "delta", "epsilon", "beta")
+    val memC = MemoryStream[String]
+    val memH = MemoryStream[String]
+    val qc = StreamingOps.maintainCountMin(memC.toDF().toDF("w"), "w",
+      cmPath, depth = 4, width = 8).option("checkpointLocation", ckpt1).start()
+    val qh = StreamingOps.maintainHll(memH.toDF().toDF("w"), "w", hllPath)
+      .option("checkpointLocation", ckpt2).start()
+    try {
+      memC.addData(b0); memH.addData(b0)
+      qc.processAllAvailable(); qh.processAllAvailable() // batch 0
+      memC.addData(b1); memH.addData(b1)
+      qc.processAllAvailable(); qh.processAllAvailable() // batch 1
+    } finally { qc.stop(); qh.stop() }
+    def asMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // maintained CMS == the sketch of everything ingested so far
+    val whole = (b0 ++ b1).toDF("w")
+    assert(asMap(Sketch.cmRead(spark, cmPath)) ==
+      asMap(Sketch.countMinCells(whole, "w", 4, 8)))
+    // maintained HLL registers == the directly-built registers
+    def regMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(regMap(Sketch.hllRead(spark, hllPath, Nil)) ==
+      regMap(Sketch.hllRegisters(whole, "w", Nil)))
+    // retry idempotence: an already-applied batch id appends nothing —
+    // for CMS a silent double-append would DOUBLE-COUNT, so this is the
+    // property that keeps the maintained sketch exact
+    val before = Sketch.cmRead(spark, cmPath).collect().map(_.getLong(2)).sum
+    assert(!Sketch.sketchAppendBatch(cmPath,
+      Sketch.countMinCells(Seq("zz").toDF("w"), "w", 4, 8), 1L))
+    assert(Sketch.cmRead(spark, cmPath).collect().map(_.getLong(2)).sum == before)
+    assert(Sketch.sketchAppendBatch(cmPath,
+      Sketch.countMinCells(Seq("zz").toDF("w"), "w", 4, 8), 5L))
+    assert(Sketch.cmRead(spark, cmPath).collect().map(_.getLong(2)).sum == before + 4)
+  }
+
   test("streaming dHash-index maintenance: a re-encoded image hits the batch N-1 ingest; retry no-ops") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
