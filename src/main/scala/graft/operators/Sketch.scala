@@ -36,10 +36,17 @@ object Sketch {
 
   /** The counter cell a token lands in on hash row `d`:
     * `pmod(portableHash(d || ':' || token, CmSeed), width)`. One md5 per
-    * (row, occurrence), codegen'd, identical in DuckDB. */
-  def cmCell(d: Column, token: Column, width: Int): Column =
-    pmod(TextOps.portableHash(
-      concat(d.cast("string"), lit(":"), token), CmSeed), lit(width.toLong))
+    * (row, occurrence), codegen'd, identical in DuckDB. `portable =
+    * false` swaps in xxhash64 over the same input — the production hash
+    * (≈20× the md5 throughput; every CMS guarantee is hash-agnostic),
+    * kept out of the gated queries because DuckDB can't replay it. */
+  def cmCell(d: Column, token: Column, width: Int,
+      portable: Boolean = true): Column = {
+    val input = concat(d.cast("string"), lit(":"), token)
+    val h = if (portable) TextOps.portableHash(input, CmSeed)
+      else xxhash64(lit(CmSeed), input)
+    pmod(h, lit(width.toLong))
+  }
 
   /** Build the sketch over a token-occurrence stream (one row per
     * occurrence): explode `depth` hash rows per occurrence, map each to
@@ -47,11 +54,11 @@ object Sketch {
     * rows regardless of input size (the partial aggregate bounds every
     * partition's shuffle contribution to the same ceiling). */
   def countMinCells(df: DataFrame, token: String,
-      depth: Int, width: Int): DataFrame = {
+      depth: Int, width: Int, portable: Boolean = true): DataFrame = {
     require(depth >= 1 && width >= 1, s"need depth,width >= 1; got $depth,$width")
     df.select(explode(sequence(lit(0L), lit((depth - 1).toLong))).as("d"),
         col(token).as("__t"))
-      .groupBy(col("d"), cmCell(col("d"), col("__t"), width).as("cell"))
+      .groupBy(col("d"), cmCell(col("d"), col("__t"), width, portable).as("cell"))
       .agg(count(lit(1)).as("cnt"))
   }
 
@@ -61,11 +68,11 @@ object Sketch {
     * Join build side is the sketch itself (≤ depth×width rows,
     * broadcast), so estimating is map-only over the keys. */
   def cmEstimate(cells: DataFrame, keys: DataFrame, key: String,
-      depth: Int, width: Int): DataFrame = {
+      depth: Int, width: Int, portable: Boolean = true): DataFrame = {
     val probes = keys
       .select(col(key),
         explode(sequence(lit(0L), lit((depth - 1).toLong))).as("d"))
-      .withColumn("cell", cmCell(col("d"), col(key), width))
+      .withColumn("cell", cmCell(col("d"), col(key), width, portable))
     probes
       .join(broadcast(cells), Seq("d", "cell"), "left")
       .groupBy(col(key))

@@ -2450,6 +2450,31 @@ object LlmQueries {
           .as("zkey_mix"))
       .orderBy("event_type")
 
+  /** The q197 cell box — deliberately NON-aligned edges (40/171/24/87):
+    * its exact z-interval cover is 38 ranges, not one quadrant. */
+  val ZBox = (40L, 171L, 24L, 87L)
+
+  /** q197 — GENERAL z-order box read ([[graft.sources.Layout.zIntervals]]):
+    * q194 handled the quadrant whose cover is ONE zkey range; a real box
+    * decomposes into a bounded OR-of-ranges (litmax/bigmin quadtree
+    * recursion, exact cover — zkey membership ⟺ box membership, no
+    * residual raw-column filter). The Spark side touches ONLY the zkey
+    * column with 38 pushed ranges (PlanSpec pins the Or filter tree);
+    * the oracle recomputes the buckets from the RAW events columns and
+    * filters the box directly — equality proves the decomposition
+    * exact, not just covering. */
+  def zorderBoxGeneralQ(s: SparkSession, d: String): DataFrame = {
+    val (xlo, xhi, ylo, yhi) = ZBox
+    s.read.parquet(s"${zorderCache(s, d)}/z")
+      .where(graft.sources.Layout.zBoxPredicate(col("zkey"), xlo, xhi, ylo, yhi))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("user_id").as("sum_uid"),
+        min("zkey").as("min_zkey"), max("zkey").as("max_zkey"),
+        sum(pmod(col("zkey") * lit(2654435761L), lit(1000003L)))
+          .as("zkey_mix"))
+      .orderBy("event_type")
+  }
+
   /** q72 — layout round-trip: documents land as unsorted small files,
     * [[graft.sources.Layout.compact]] rewrites them into doc_id-sorted
     * range shards, and the query is a key-range read + per-language audit
@@ -6186,6 +6211,34 @@ object LlmQueries {
         |FROM z WHERE zkey < 4096
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
+    // the oracle filters the box on RAW-column buckets; the Spark side
+    // touched only zkey through 38 pushed ranges — equality proves the
+    // litmax/bigmin interval cover exact (membership ⟺ box)
+    "q197_zorder_box_general" -> {
+      val (xlo, xhi, ylo, yhi) = ZBox
+      s"""WITH e AS (SELECT event_id, user_id, event_type,
+         |    epoch_us(ts) AS ts_us FROM events),
+         |b AS (SELECT min(user_id) AS blo, max(user_id) AS bhi,
+         |    min(ts_us) AS tlo, max(ts_us) AS thi FROM e),
+         |c AS (SELECT event_type, user_id,
+         |    ((user_id - blo) * 256) // (bhi - blo + 1) AS xb,
+         |    ((ts_us - tlo) * 256) // (thi - tlo + 1) AS yb
+         |  FROM e CROSS JOIN b),
+         |f AS (SELECT * FROM c
+         |  WHERE xb BETWEEN $xlo AND $xhi AND yb BETWEEN $ylo AND $yhi),
+         |s1 AS (SELECT event_type, user_id,
+         |    (xb | (xb << 4)) & 3855 AS x1, (yb | (yb << 4)) & 3855 AS y1 FROM f),
+         |s2 AS (SELECT event_type, user_id,
+         |    (x1 | (x1 << 2)) & 13107 AS x2, (y1 | (y1 << 2)) & 13107 AS y2 FROM s1),
+         |z AS (SELECT event_type, user_id,
+         |    ((x2 | (x2 << 1)) & 21845) | ((((y2 | (y2 << 1)) & 21845)) << 1) AS zkey
+         |  FROM s2)
+         |SELECT event_type, count(*)::BIGINT AS n, sum(user_id)::BIGINT AS sum_uid,
+         |  min(zkey)::BIGINT AS min_zkey, max(zkey)::BIGINT AS max_zkey,
+         |  sum((zkey * 2654435761) % 1000003)::BIGINT AS zkey_mix
+         |FROM z GROUP BY event_type ORDER BY event_type""".stripMargin
+    },
+
     "q71_ppm_decode" ->
       """WITH d AS (SELECT doc_id,
         |    (4 + doc_id % 8)::INTEGER AS width,
@@ -6734,6 +6787,7 @@ object LlmQueries {
     "q194_zorder_box" -> zorderBoxQ _,
     "q195_hll_registers" -> hllRegistersQ _,
     "q196_hll_merge" -> hllMergeQ _,
+    "q197_zorder_box_general" -> zorderBoxGeneralQ _,
     "q152_alignment_filter" -> alignmentFilterQ _,
     "q153_alignment_quantile" -> alignmentQuantileQ _,
     "q159_pair_curation" -> pairCurationQ _,

@@ -104,6 +104,61 @@ object Layout {
     ((num - pmod(num, den)) / den).cast("long")
   }
 
+  /** Driver-side mirror of [[zorderKey]] for one 8-bit coordinate. */
+  private def spread8L(x: Long): Long = {
+    val a = (x | (x << 4)) & 0x0F0FL
+    val b = (a | (a << 2)) & 0x3333L
+    (b | (b << 1)) & 0x5555L
+  }
+
+  /** Driver-side [[zorderKey]]: the same interleave as plain Scala, for
+    * bounded driver-side set computations and spec cross-checks. */
+  def zorderKeyL(xb: Long, yb: Long): Long =
+    spread8L(xb) | (spread8L(yb) << 1)
+
+  /** EXACT z-interval cover of the cell box `[xlo,xhi] × [ylo,yhi]`
+    * (8-bit coordinates) — the litmax/bigmin decomposition that turns an
+    * ARBITRARY 2-D box into a union of 1-D zkey ranges (q194's quadrant
+    * is the one-interval special case). Quadtree recursion: a node
+    * wholly inside the box emits its whole z-range, wholly outside
+    * prunes, partial splits; adjacent intervals merge. Intervals =
+    * O(box perimeter) — a bounded driver-side list the scan's pushed
+    * OR-of-ranges filter is built from. Exactness means zkey membership
+    * ⟺ box membership: NO residual raw-column filter is needed, and
+    * q197 gates exactly that equivalence against the raw-column oracle. */
+  def zIntervals(xlo: Long, xhi: Long, ylo: Long, yhi: Long): Seq[(Long, Long)] = {
+    require(0 <= xlo && xlo <= xhi && xhi <= 255 &&
+      0 <= ylo && ylo <= yhi && yhi <= 255, s"bad box [$xlo,$xhi]x[$ylo,$yhi]")
+    val out = scala.collection.mutable.ListBuffer.empty[(Long, Long)]
+    def rec(x0: Long, y0: Long, size: Long, zbase: Long): Unit = {
+      val x1 = x0 + size - 1; val y1 = y0 + size - 1
+      if (x1 < xlo || x0 > xhi || y1 < ylo || y0 > yhi) ()
+      else if (x0 >= xlo && x1 <= xhi && y0 >= ylo && y1 <= yhi)
+        out += ((zbase, zbase + size * size - 1))
+      else {
+        val h = size / 2
+        // child (dx, dy) holds the node's z sub-range (2*dy + dx)·h²
+        // (the interleave puts y's bit above x's)
+        for (dy <- 0L to 1L; dx <- 0L to 1L)
+          rec(x0 + dx * h, y0 + dy * h, h, zbase + (2 * dy + dx) * h * h)
+      }
+    }
+    rec(0L, 0L, 256L, 0L)
+    out.toList.sortBy(_._1)
+      .foldLeft(List.empty[(Long, Long)]) {
+        case ((a, b) :: t, (c, d)) if c == b + 1 => (a, d) :: t
+        case (acc, iv) => iv :: acc
+      }.reverse
+  }
+
+  /** The zkey-range predicate for [[zIntervals]] of a box: a bounded
+    * OR-of-BETWEENs the parquet scan pushes as one Or filter tree. */
+  def zBoxPredicate(zkey: Column, xlo: Long, xhi: Long,
+      ylo: Long, yhi: Long): Column =
+    zIntervals(xlo, xhi, ylo, yhi)
+      .map { case (a, b) => zkey.between(a, b) }
+      .reduce(_ || _)
+
   /** Write `df` Z-order-clustered on two integer columns: bucket each to
     * 8 bits over its global range (one bounded min/max aggregate — two
     * rows to the driver), interleave to a 16-bit `zkey`, then

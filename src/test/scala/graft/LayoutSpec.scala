@@ -87,6 +87,30 @@ class LayoutSpec extends AnyFunSuite {
     assert(b.min == 0L && b.max == 255L)
   }
 
+  test("zIntervals: exact cover — zkey membership <=> box membership over the full 256x256 grid; column and driver interleaves agree") {
+    // driver interleave == column interleave on a sample
+    val sample = Seq((0L, 0L), (255L, 255L), (40L, 87L), (171L, 24L), (13L, 200L))
+    val colKeys = sample.toDF("x", "y")
+      .select(Layout.zorderKey(col("x"), col("y"))).collect().map(_.getLong(0))
+    assert(colKeys.toSeq == sample.map { case (x, y) => Layout.zorderKeyL(x, y) })
+    // brute-force equivalence for a non-aligned box (the q197 box) and
+    // a degenerate one-cell box
+    for ((xlo, xhi, ylo, yhi) <- Seq((40L, 171L, 24L, 87L), (7L, 7L, 250L, 250L))) {
+      val ivs = Layout.zIntervals(xlo, xhi, ylo, yhi)
+      assert(ivs == ivs.sortBy(_._1) &&
+        ivs.sliding(2).forall {
+          case Seq((_, b), (c, _)) => c > b + 1
+          case _ => true
+        }, s"intervals must be sorted, disjoint, maximally merged: $ivs")
+      def covered(z: Long) = ivs.exists { case (a, b) => a <= z && z <= b }
+      for (x <- 0L to 255L; y <- 0L to 255L) {
+        val inBox = x >= xlo && x <= xhi && y >= ylo && y <= yhi
+        assert(covered(Layout.zorderKeyL(x, y)) == inBox,
+          s"($x,$y) box=$inBox cover=${!inBox}")
+      }
+    }
+  }
+
   test("writeZOrdered: a one-dimension band read decodes a fraction — the dimension a single-column sort cannot serve") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     // 200x200 grid; the probe is a narrow band in y ONLY. An x-sorted

@@ -272,6 +272,21 @@ class PlanSpec extends AnyFunSuite {
       p.take(3000))
   }
 
+  test("q197: the general box is a pushed Or tree of zkey ranges — never a post-scan filter over raw columns") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val df = SparkEntry.queries("q197_zorder_box_general")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan
+    assert(p.toString.contains("PushedFilters: [Or(Or("), p.toString.take(3000))
+    // every scan-level filter references ONLY zkey — the box never
+    // touches the raw columns Spark-side (exact cover, no residual)
+    val scans = flattenPlan(p).collect { case s: FileSourceScanExec => s }
+    assert(scans.nonEmpty)
+    val filterRefs = scans.flatMap(_.dataFilters)
+      .flatMap(_.references.toSeq.map(_.name)).toSet
+    assert(filterRefs == Set("zkey"), s"scan filters touch: $filterRefs")
+  }
+
   test("q188: fertility — ONE corpus scan computes all three learned tokenizers' counts map-side; exchanges carry the lang key and longs only") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
     import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
