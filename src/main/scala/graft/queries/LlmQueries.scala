@@ -2363,7 +2363,12 @@ object LlmQueries {
     * just its guarantees — reproducible in the oracle. */
   def countMinWordsQ(s: SparkSession, d: String): DataFrame = {
     val toks = wordStream(s, d)
-    val cells = Sketch.countMinCells(toks, "w", CmDepth, CmWidth)
+    cmTopWordAudit(toks, Sketch.countMinCells(toks, "w", CmDepth, CmWidth))
+  }
+
+  /** The q192/q198 audit tail: exact top-20 words point-estimated
+    * against `cells`, overcount (≥ 0) reported per word. */
+  private def cmTopWordAudit(toks: DataFrame, cells: DataFrame): DataFrame = {
     val top = toks.groupBy("w").agg(count(lit(1)).as("n_true"))
       .orderBy(desc("n_true"), asc("w")).limit(20)
     Sketch.cmEstimate(cells, top, "w", CmDepth, CmWidth)
@@ -2372,6 +2377,34 @@ object LlmQueries {
         (col("n_cm") - col("n_true")).as("overcount"))
       .orderBy(desc("n_true"), col("w"))
   }
+
+  /** Per-directory memo of the MAINTAINED count-min sketch: the corpus
+    * word stream split into two ingest batches by doc parity, each
+    * appended replay-guarded ([[Sketch.sketchAppendBatch]]); the
+    * at-least-once guard is exercised IN-GATE (the q177 discipline) — a
+    * replayed batch id must no-op, else the doubled cells would inflate
+    * every q198 estimate and hash-fail the gate. */
+  private val cmMaintCache = new SessionPathMemo("cmsketch", (s, d, p) => {
+    val dd = docs(s, d)
+    def half(par: Int) = Sketch.countMinCells(
+      dd.where(pmod(col("doc_id"), lit(2)) === par)
+        .select(explode(TextOps.tokens(col("text"))).as("w")),
+      "w", CmDepth, CmWidth)
+    require(Sketch.sketchAppendBatch(p, half(0), 0L), "batch 0 must apply")
+    require(Sketch.sketchAppendBatch(p, half(1), 1L), "batch 1 must apply")
+    require(!Sketch.sketchAppendBatch(p, half(1), 1L),
+      "replayed batch id must no-op (a double-append would change every estimate)")
+  })
+
+  /** q198 — heavy hitters from the MAINTAINED sketch: the q192 audit
+    * with cells read back through [[Sketch.cmRead]] over the persisted
+    * two-batch append path ([[cmMaintCache]]) instead of a direct
+    * build. The oracle is q192's whole-corpus SQL VERBATIM — matching
+    * it proves maintained ≡ direct through the oracle (q193's
+    * distributivity realized by the ingest protocol), with the replay
+    * no-op required in-gate. */
+  def countMinMaintainedQ(s: SparkSession, d: String): DataFrame =
+    cmTopWordAudit(wordStream(s, d), Sketch.cmRead(s, cmMaintCache(s, d)))
 
   /** q193 — sketch MERGE distributivity ([[Sketch.cmMerge]]): sketch
     * the even-doc and odd-doc halves of the corpus separately, merge
@@ -2449,6 +2482,25 @@ object LlmQueries {
         sum(pmod(col("zkey") * lit(2654435761L), lit(1000003L)))
           .as("zkey_mix"))
       .orderBy("event_type")
+
+  /** The q192/q198 oracle: the 4×16 count-min sketch rebuilt
+    * cell-for-cell from raw rows, exact top-20, row-MIN probe. */
+  private lazy val cmWordsOracleSql: String = {
+    val cellH = pHash("61", "g.d::VARCHAR || ':' || w.w")
+    val probeH = pHash("61", "g.d::VARCHAR || ':' || t.w")
+    s"""WITH w AS (SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+       |    FROM documents),
+       |cells AS (SELECT g.d, ($cellH % $CmWidth) AS cell, count(*)::BIGINT AS cnt
+       |  FROM w CROSS JOIN generate_series(0, 3) g(d) GROUP BY 1, 2),
+       |exact AS (SELECT w, count(*)::BIGINT AS n_true FROM w GROUP BY w),
+       |top AS (SELECT w, n_true FROM exact ORDER BY n_true DESC, w LIMIT 20),
+       |probe AS (SELECT t.w, t.n_true, min(c.cnt) AS n_cm
+       |  FROM top t CROSS JOIN generate_series(0, 3) g(d)
+       |  JOIN cells c ON c.d = g.d AND c.cell = ($probeH % $CmWidth)
+       |  GROUP BY t.w, t.n_true)
+       |SELECT w, n_true, n_cm, (n_cm - n_true)::BIGINT AS overcount
+       |FROM probe ORDER BY n_true DESC, w""".stripMargin
+  }
 
   /** The q197 cell box — deliberately NON-aligned edges (40/171/24/87):
     * its exact z-interval cover is 38 ranges, not one quadrant. */
@@ -6121,24 +6173,14 @@ object LlmQueries {
          |FROM hh GROUP BY shard_id ORDER BY shard_id""".stripMargin
     },
 
-    // the identical 4x1024 sketch rebuilt cell-for-cell from raw rows:
+    // the identical 4x16 sketch rebuilt cell-for-cell from raw rows:
     // portable hashing makes the estimates deterministic, not just bounded
-    "q192_countmin_words" -> {
-      val cellH = pHash("61", "g.d::VARCHAR || ':' || w.w")
-      val probeH = pHash("61", "g.d::VARCHAR || ':' || t.w")
-      s"""WITH w AS (SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
-         |    FROM documents),
-         |cells AS (SELECT g.d, ($cellH % $CmWidth) AS cell, count(*)::BIGINT AS cnt
-         |  FROM w CROSS JOIN generate_series(0, 3) g(d) GROUP BY 1, 2),
-         |exact AS (SELECT w, count(*)::BIGINT AS n_true FROM w GROUP BY w),
-         |top AS (SELECT w, n_true FROM exact ORDER BY n_true DESC, w LIMIT 20),
-         |probe AS (SELECT t.w, t.n_true, min(c.cnt) AS n_cm
-         |  FROM top t CROSS JOIN generate_series(0, 3) g(d)
-         |  JOIN cells c ON c.d = g.d AND c.cell = ($probeH % $CmWidth)
-         |  GROUP BY t.w, t.n_true)
-         |SELECT w, n_true, n_cm, (n_cm - n_true)::BIGINT AS overcount
-         |FROM probe ORDER BY n_true DESC, w""".stripMargin
-    },
+    "q192_countmin_words" -> cmWordsOracleSql,
+
+    // VERBATIM the q192 oracle: the Spark side reads its cells back from
+    // the persisted two-batch append path — matching the whole-corpus
+    // rebuild proves maintained == direct through the oracle
+    "q198_countmin_maintained" -> cmWordsOracleSql,
 
     // ONE whole-corpus sketch vs Spark's merge of two half-corpus
     // sketches: hash equality is the distributivity proof
@@ -6788,6 +6830,7 @@ object LlmQueries {
     "q195_hll_registers" -> hllRegistersQ _,
     "q196_hll_merge" -> hllMergeQ _,
     "q197_zorder_box_general" -> zorderBoxGeneralQ _,
+    "q198_countmin_maintained" -> countMinMaintainedQ _,
     "q152_alignment_filter" -> alignmentFilterQ _,
     "q153_alignment_quantile" -> alignmentQuantileQ _,
     "q159_pair_curation" -> pairCurationQ _,
