@@ -124,9 +124,15 @@ object Sketch {
     * stream (absent registers are implicitly rank 0). Map-side combine
     * bounds every partition's shuffle contribution to groups × m rows;
     * duplicate tokens never change a register. */
-  def hllRegisters(df: DataFrame, token: String, by: Seq[String]): DataFrame =
+  def hllRegisters(df: DataFrame, token: String, by: Seq[String]): DataFrame = {
+    // the output grows idx/rank next to `by` — a grouping column of
+    // either name would emit a duplicate-named frame (fail loud, the
+    // requireFresh convention)
+    require(!by.contains("idx") && !by.contains("rank"),
+      s"grouping columns $by collide with the register columns idx/rank")
     df.groupBy(by.map(col) :+ hllIdx(col(token)).as("idx"): _*)
       .agg(max(hllRank(col(token))).as("rank"))
+  }
 
   /** Register-wise max over any number of stacked register sets — the
     * union's exact sketch (the distributive merge; q196 gates it
@@ -149,33 +155,48 @@ object Sketch {
     * directory, replay-guarded: `foreachBatch` is at-least-once, and a
     * retried batch would otherwise double-count CMS cells (HLL's max
     * would shrug, but the guard is the family contract). The marker is
-    * written AFTER the append — a crash between them re-runs the batch,
-    * never skips one. Returns false for an already-applied batch id. */
+    * written AFTER the append, so a crash between them re-runs the
+    * batch — and because a replayed deterministic partial is
+    * ROW-IDENTICAL, the stored rows carry their batch id and the read
+    * side dedupes on `(batch_id, row)`: even the torn-state replay
+    * cannot double-count (SketchSpec pins it). Returns false for an
+    * already-applied batch id. */
   def sketchAppendBatch(path: String, partial: DataFrame,
       batchId: Long): Boolean = {
     val spark = partial.sparkSession
+    require(!partial.columns.contains("batch_id"),
+      "partial already has a 'batch_id' column — the append path owns it")
     val last = graft.sources.Markers.readLastBatch(spark, s"$path/lastbatch")
     if (batchId <= last) false
     else {
-      partial.write.mode("append").parquet(s"$path/parts")
+      partial.withColumn("batch_id", lit(batchId))
+        .write.mode("append").parquet(s"$path/parts")
       graft.sources.Markers.writeLastBatch(spark, s"$path/lastbatch", batchId)
       true
     }
   }
+
+  /** Every appended partial, torn-state replays collapsed: a batch that
+    * was appended twice (crash between append and marker) wrote
+    * byte-identical rows, so distinct-by-(batch_id, row) restores
+    * exactly-once semantics for the additive merge. */
+  private def readParts(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame =
+    spark.read.parquet(s"$path/parts").dropDuplicates()
 
   /** The CURRENT count-min sketch under a maintained path: cell-wise sum
     * of every appended per-batch partial — exact by q193's
     * distributivity, over at most batches × depth × width stored rows
     * (compact by rewriting the merged frame if that ever matters). */
   def cmRead(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
-    spark.read.parquet(s"$path/parts")
+    readParts(spark, path)
       .groupBy("d", "cell").agg(sum("cnt").as("cnt"))
 
   /** The CURRENT HLL registers under a maintained path: register-wise
     * max of every appended partial (q196's merge). */
   def hllRead(spark: org.apache.spark.sql.SparkSession, path: String,
       by: Seq[String]): DataFrame =
-    hllMergeAll(spark.read.parquet(s"$path/parts"), by)
+    hllMergeAll(readParts(spark, path).drop("batch_id"), by)
 
   /** The HLL cardinality estimate per `by` group. The harmonic sum is
     * kept EXACT in integers scaled by 2⁵⁵ (absent registers contribute

@@ -2406,6 +2406,31 @@ object LlmQueries {
   def countMinMaintainedQ(s: SparkSession, d: String): DataFrame =
     cmTopWordAudit(wordStream(s, d), Sketch.cmRead(s, cmMaintCache(s, d)))
 
+  /** Per-directory memo of the MAINTAINED HLL registers — the q198
+    * protocol for the distinct-count twin: two parity ingest batches,
+    * replay guard exercised in-gate (harmless for max, but the family
+    * contract is uniform). */
+  private val hllMaintCache = new SessionPathMemo("hllsketch", (s, d, p) => {
+    val dd = docs(s, d)
+    def half(par: Int) = Sketch.hllRegisters(
+      dd.where(pmod(col("doc_id"), lit(2)) === par)
+        .select(explode(TextOps.tokens(col("text"))).as("w")),
+      "w", Nil)
+    require(Sketch.sketchAppendBatch(p, half(0), 0L), "batch 0 must apply")
+    require(Sketch.sketchAppendBatch(p, half(1), 1L), "batch 1 must apply")
+    require(!Sketch.sketchAppendBatch(p, half(1), 1L),
+      "replayed batch id must no-op")
+  })
+
+  /** q199 — the MAINTAINED HLL registers ([[Sketch.hllRead]] over the
+    * persisted two-batch append path) against q196's directly-built
+    * global oracle VERBATIM: the ingest protocol realizes the
+    * register-max merge exactly, so "distinct words so far" stays
+    * answerable from ≤ batches × 64 stored rows under continuous
+    * ingest. */
+  def hllMaintainedQ(s: SparkSession, d: String): DataFrame =
+    Sketch.hllRead(s, hllMaintCache(s, d), Nil).orderBy("idx")
+
   /** q193 — sketch MERGE distributivity ([[Sketch.cmMerge]]): sketch
     * the even-doc and odd-doc halves of the corpus separately, merge
     * cell-wise, and emit every cell. The oracle builds ONE sketch over
@@ -2482,6 +2507,22 @@ object LlmQueries {
         sum(pmod(col("zkey") * lit(2654435761L), lit(1000003L)))
           .as("zkey_mix"))
       .orderBy("event_type")
+
+  /** The q196/q199 oracle: the GLOBAL HLL registers built directly
+    * from the whole word stream. */
+  private lazy val hllGlobalOracleSql: String = {
+    val h = pHash("67", "w")
+    s"""WITH w AS (SELECT
+       |    unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+       |  FROM documents),
+       |hh AS (SELECT ($h % 64) AS idx, ($h >> 6) AS suffix FROM w),
+       |r AS (SELECT idx,
+       |    CASE WHEN suffix = 0 THEN 55
+       |         ELSE 55 - length(bin(suffix)) END AS rank
+       |  FROM hh)
+       |SELECT idx::BIGINT AS idx, max(rank)::BIGINT AS rank
+       |FROM r GROUP BY idx ORDER BY idx""".stripMargin
+  }
 
   /** The q192/q198 oracle: the 4×16 count-min sketch rebuilt
     * cell-for-cell from raw rows, exact top-20, row-MIN probe. */
@@ -6214,19 +6255,12 @@ object LlmQueries {
     // the oracle builds the GLOBAL sketch directly; Spark gets there by
     // register-wise-maxing the per-source sketches — equality is the
     // distributive-merge proof for the max monoid
-    "q196_hll_merge" -> {
-      val h = pHash("67", "w")
-      s"""WITH w AS (SELECT
-         |    unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
-         |  FROM documents),
-         |hh AS (SELECT ($h % 64) AS idx, ($h >> 6) AS suffix FROM w),
-         |r AS (SELECT idx,
-         |    CASE WHEN suffix = 0 THEN 55
-         |         ELSE 55 - length(bin(suffix)) END AS rank
-         |  FROM hh)
-         |SELECT idx::BIGINT AS idx, max(rank)::BIGINT AS rank
-         |FROM r GROUP BY idx ORDER BY idx""".stripMargin
-    },
+    "q196_hll_merge" -> hllGlobalOracleSql,
+
+    // VERBATIM the q196 oracle: the Spark side reads its registers back
+    // from the persisted two-batch append path — maintained == direct
+    // through the gate
+    "q199_hll_maintained" -> hllGlobalOracleSql,
 
     // bucket + Morton interleave re-derived from the raw events table in
     // pure integer SQL (// floors like Spark's pmod-subtract division);
@@ -6831,6 +6865,7 @@ object LlmQueries {
     "q196_hll_merge" -> hllMergeQ _,
     "q197_zorder_box_general" -> zorderBoxGeneralQ _,
     "q198_countmin_maintained" -> countMinMaintainedQ _,
+    "q199_hll_maintained" -> hllMaintainedQ _,
     "q152_alignment_filter" -> alignmentFilterQ _,
     "q153_alignment_quantile" -> alignmentQuantileQ _,
     "q159_pair_curation" -> pairCurationQ _,

@@ -99,6 +99,11 @@ object Layout {
     * diverge from the oracle's `//`). */
   def bucket256(c: Column, lo: Long, hi: Long): Column = {
     require(hi >= lo, s"empty bucket range [$lo, $hi]")
+    // (x − lo) · 256 must stay in Long for every in-range x — fail loud
+    // here rather than let an overflowed product bucket silently wrong
+    // (keys wider than 2^55 need a pre-scale, not a silent wrap)
+    require(hi - lo <= Long.MaxValue / 256,
+      s"bucket range [$lo, $hi] too wide for exact 256x integer bucketing")
     val num = (c.cast("long") - lit(lo)) * lit(256L)
     val den = lit(hi - lo + 1L)
     ((num - pmod(num, den)) / den).cast("long")
@@ -170,9 +175,14 @@ object Layout {
     * caller can reproduce the bucketing. */
   def writeZOrdered(df: DataFrame, path: String, xCol: String, yCol: String,
       nRanges: Int): (Long, Long, Long, Long) = {
+    // withColumn would silently clobber a caller's zkey (requireFresh)
+    require(!df.columns.contains("zkey"),
+      "input already has a 'zkey' column — rename it before z-ordering")
     val Array(r) = df.agg(
       min(col(xCol).cast("long")), max(col(xCol).cast("long")),
       min(col(yCol).cast("long")), max(col(yCol).cast("long"))).collect()
+    require(!r.isNullAt(0) && !r.isNullAt(2),
+      s"cannot z-order an empty frame or all-null $xCol/$yCol")
     val (xlo, xhi, ylo, yhi) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
     val keyed = df.withColumn("zkey", zorderKey(
       bucket256(col(xCol).cast("long"), xlo, xhi),

@@ -136,6 +136,24 @@ class SketchSpec extends AnyFunSuite {
     assert(math.abs(es - 5.0) / 5.0 < 0.25, s"estimate $es for 5")
   }
 
+  test("torn-state replay cannot double-count: a batch appended twice dedupes at read time") {
+    val path = java.nio.file.Files.createTempDirectory("graft_sketch_torn").toString
+    graft.cli.Cleanup.deleteOnExit(path)
+    val cells = Sketch.countMinCells(words.toDF("w"), "w", depth = 4, width = 8)
+    assert(Sketch.sketchAppendBatch(path, cells, 0L))
+    // simulate a crash between parquet append and marker write: the
+    // marker vanishes, the batch re-runs and appends the SAME rows again
+    graft.sources.Markers.delete(spark, s"$path/lastbatch")
+    assert(Sketch.sketchAppendBatch(path, cells, 0L))
+    assert(spark.read.parquet(s"$path/parts").count() ==
+      2 * cells.count(), "the torn replay really did double-append")
+    val got = Sketch.cmRead(spark, path).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val direct = cells.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == direct, "read-side dedup must restore exactly-once counts")
+  }
+
   test("an unseen key's estimate is bounded by its cells (zero when any cell is empty)") {
     val cells = Sketch.countMinCells(words.toDF("w"), "w", depth = 4, width = 8)
     val ref = refSketch(words, 4, 8)
