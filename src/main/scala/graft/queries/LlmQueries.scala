@@ -2508,6 +2508,30 @@ object LlmQueries {
           .as("zkey_mix"))
       .orderBy("event_type")
 
+  /** The q194/q200 oracle: bucket + Morton interleave re-derived from
+    * the raw events table in pure integer SQL, quadrant aggregates. */
+  private lazy val zorderQuadrantOracleSql: String =
+    """WITH e AS (SELECT event_id, user_id, event_type,
+      |    epoch_us(ts) AS ts_us FROM events),
+      |b AS (SELECT min(user_id) AS xlo, max(user_id) AS xhi,
+      |    min(ts_us) AS ylo, max(ts_us) AS yhi FROM e),
+      |c AS (SELECT event_type, user_id,
+      |    ((user_id - xlo) * 256) // (xhi - xlo + 1) AS xb,
+      |    ((ts_us - ylo) * 256) // (yhi - ylo + 1) AS yb
+      |  FROM e CROSS JOIN b),
+      |s1 AS (SELECT event_type, user_id,
+      |    (xb | (xb << 4)) & 3855 AS x1, (yb | (yb << 4)) & 3855 AS y1 FROM c),
+      |s2 AS (SELECT event_type, user_id,
+      |    (x1 | (x1 << 2)) & 13107 AS x2, (y1 | (y1 << 2)) & 13107 AS y2 FROM s1),
+      |z AS (SELECT event_type, user_id,
+      |    ((x2 | (x2 << 1)) & 21845) | ((((y2 | (y2 << 1)) & 21845)) << 1) AS zkey
+      |  FROM s2)
+      |SELECT event_type, count(*)::BIGINT AS n, sum(user_id)::BIGINT AS sum_uid,
+      |  min(zkey)::BIGINT AS min_zkey, max(zkey)::BIGINT AS max_zkey,
+      |  sum((zkey * 2654435761) % 1000003)::BIGINT AS zkey_mix
+      |FROM z WHERE zkey < 4096
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   /** The q196/q199 oracle: the GLOBAL HLL registers built directly
     * from the whole word stream. */
   private lazy val hllGlobalOracleSql: String = {
@@ -2567,6 +2591,35 @@ object LlmQueries {
           .as("zkey_mix"))
       .orderBy("event_type")
   }
+
+  /** The q200 memo: events land as 16 UNSORTED hash-partitioned small
+    * files (the incremental-ingest end state), then
+    * [[graft.sources.Layout.compactZOrdered]] re-clusters them. */
+  private val zorderCompactCache = new SessionPathMemo("zordercomp", (s, d, p) => {
+    TimeSeriesQueries.events(s, d)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        expr("ts div 1000").as("ts_us"))
+      .repartition(16)
+      .write.mode("overwrite").parquet(s"$p/raw")
+    graft.sources.Layout.compactZOrdered(s, s"$p/raw", s"$p/z",
+      "user_id", "ts_us", nRanges = 8)
+  })
+
+  /** q200 — Z-order COMPACTION gated end-to-end: the q194 quadrant read
+    * over a layout REBUILT from unsorted small files
+    * ([[zorderCompactCache]]) against q194's oracle VERBATIM — no row
+    * lost, duplicated, or mis-keyed in the re-cluster (the q72
+    * discipline for the 2-D layout; the maintained-sketch q198/q199
+    * shape applied to storage). */
+  def zorderCompactedQ(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(s"${zorderCompactCache(s, d)}/z")
+      .where(col("zkey") < 4096)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("user_id").as("sum_uid"),
+        min("zkey").as("min_zkey"), max("zkey").as("max_zkey"),
+        sum(pmod(col("zkey") * lit(2654435761L), lit(1000003L)))
+          .as("zkey_mix"))
+      .orderBy("event_type")
 
   /** q72 — layout round-trip: documents land as unsorted small files,
     * [[graft.sources.Layout.compact]] rewrites them into doc_id-sorted
@@ -6265,27 +6318,11 @@ object LlmQueries {
     // bucket + Morton interleave re-derived from the raw events table in
     // pure integer SQL (// floors like Spark's pmod-subtract division);
     // zkey < 4096 <=> xb < 64 AND yb < 64
-    "q194_zorder_box" ->
-      """WITH e AS (SELECT event_id, user_id, event_type,
-        |    epoch_us(ts) AS ts_us FROM events),
-        |b AS (SELECT min(user_id) AS xlo, max(user_id) AS xhi,
-        |    min(ts_us) AS ylo, max(ts_us) AS yhi FROM e),
-        |c AS (SELECT event_type, user_id,
-        |    ((user_id - xlo) * 256) // (xhi - xlo + 1) AS xb,
-        |    ((ts_us - ylo) * 256) // (yhi - ylo + 1) AS yb
-        |  FROM e CROSS JOIN b),
-        |s1 AS (SELECT event_type, user_id,
-        |    (xb | (xb << 4)) & 3855 AS x1, (yb | (yb << 4)) & 3855 AS y1 FROM c),
-        |s2 AS (SELECT event_type, user_id,
-        |    (x1 | (x1 << 2)) & 13107 AS x2, (y1 | (y1 << 2)) & 13107 AS y2 FROM s1),
-        |z AS (SELECT event_type, user_id,
-        |    ((x2 | (x2 << 1)) & 21845) | ((((y2 | (y2 << 1)) & 21845)) << 1) AS zkey
-        |  FROM s2)
-        |SELECT event_type, count(*)::BIGINT AS n, sum(user_id)::BIGINT AS sum_uid,
-        |  min(zkey)::BIGINT AS min_zkey, max(zkey)::BIGINT AS max_zkey,
-        |  sum((zkey * 2654435761) % 1000003)::BIGINT AS zkey_mix
-        |FROM z WHERE zkey < 4096
-        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q194_zorder_box" -> zorderQuadrantOracleSql,
+
+    // VERBATIM the q194 oracle: the Spark side reads a layout REBUILT
+    // from unsorted small files — no row lost or mis-keyed in compaction
+    "q200_zorder_compacted" -> zorderQuadrantOracleSql,
 
     // the oracle filters the box on RAW-column buckets; the Spark side
     // touched only zkey through 38 pushed ranges — equality proves the
@@ -6866,6 +6903,7 @@ object LlmQueries {
     "q197_zorder_box_general" -> zorderBoxGeneralQ _,
     "q198_countmin_maintained" -> countMinMaintainedQ _,
     "q199_hll_maintained" -> hllMaintainedQ _,
+    "q200_zorder_compacted" -> zorderCompactedQ _,
     "q152_alignment_filter" -> alignmentFilterQ _,
     "q153_alignment_quantile" -> alignmentQuantileQ _,
     "q159_pair_curation" -> pairCurationQ _,

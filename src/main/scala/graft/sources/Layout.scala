@@ -193,6 +193,19 @@ object Layout {
     (xlo, xhi, ylo, yhi)
   }
 
+  /** Re-cluster a parquet directory into a Z-ordered layout — the
+    * compaction pass for a 2-D-clustered table under incremental
+    * ingest: new batches land unsorted (no footer-stat locality),
+    * periodic re-clustering restores the pruning [[writeZOrdered]]
+    * promised. Any existing zkey column is dropped and re-derived —
+    * appended batches may or may not carry one, and the global ranges
+    * may have moved since the last clustering. Returns the bucket
+    * ranges used. */
+  def compactZOrdered(spark: SparkSession, inPath: String, outPath: String,
+      xCol: String, yCol: String, nRanges: Int): (Long, Long, Long, Long) =
+    writeZOrdered(spark.read.parquet(inPath).drop("zkey"),
+      outPath, xCol, yCol, nRanges)
+
   /** Rewrite a parquet directory into ~`targetRecordsPerFile`-row sorted
     * shards: the small-file compaction pass run behind incremental
     * ingest. One count to size the job, then one range-shuffle write —

@@ -151,6 +151,33 @@ class LayoutSpec extends AnyFunSuite {
       : Seq[org.apache.spark.sql.execution.SparkPlan] =
     graft.plans.PlanWalk.flatten(p)
 
+  test("compactZOrdered: unsorted small files re-cluster content-identically and the band pruning comes back") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val n = 40000L
+    val df = spark.range(n).select(
+      (col("id") % 200).as("x"), (col("id") / 200).cast("long").as("y"))
+    val rawPath = tmpDir("graft_layout_zc_raw")
+    val zPath = tmpDir("graft_layout_zc_z")
+    df.repartition(16).write.mode("overwrite").parquet(rawPath)
+    val bounds = Layout.compactZOrdered(spark, rawPath, zPath, "x", "y", 16)
+    assert(bounds == (0L, 199L, 0L, 199L))
+    // content-identical (no row lost/duplicated in the re-cluster)
+    val got = spark.read.parquet(zPath).select("x", "y").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(got.length == n &&
+      got.sameElements(df.collect().map(r => (r.getLong(0), r.getLong(1))).sorted))
+    // the y-band skip the unsorted files cannot give is back
+    def decoded(path: String): Long = {
+      val q = spark.read.parquet(path).where(col("y").between(16, 39))
+      q.collect()
+      flattenPlan(q.queryExecution.executedPlan)
+        .collect { case s: FileSourceScanExec => s }
+        .map(_.metrics("numOutputRows").value).sum
+    }
+    assert(decoded(rawPath) == n, "hash-partitioned files cannot prune")
+    assert(decoded(zPath) <= n / 2, "re-clustered layout must skip most row groups")
+  }
+
   test("writeNumberedShards + shardManifest: deterministic shard rule, re-export manifests identically, tamper flips a checksum") {
     import graft.sources.Layout
     val df = (0L until 300L).map(i => (i, s"lang${i % 3}", i * 7))
