@@ -2478,6 +2478,24 @@ object LlmQueries {
       .orderBy("idx")
   }
 
+  /** q201 — the HLL ESTIMATOR's integer core gated exactly: per source,
+    * the empty-register count `v` and the 2⁵⁵-scaled harmonic sum
+    * ([[Sketch.hllEstimate]]'s `harmonic_scaled`) — every input to the
+    * cardinality formula except the final division and the
+    * linear-counting ln. q195 gates the registers; this gates the
+    * ARITHMETIC the estimate is computed from, leaving only
+    * cross-engine libm outside the oracle (SketchSpec audits that
+    * last step). */
+  def hllHarmonicQ(s: SparkSession, d: String): DataFrame =
+    Sketch.hllEstimate(
+      Sketch.hllRegisters(
+        docs(s, d).select(col("source"),
+          explode(TextOps.tokens(col("text"))).as("w")),
+        "w", Seq("source")),
+      Seq("source"))
+      .select(col("source"), col("v"), col("harmonic_scaled"))
+      .orderBy("source")
+
   /** The Z-ordered events layout (memoized per session):
     * [[graft.sources.Layout.writeZOrdered]] on (user_id, ts_us) —
     * nanos truncated to µs FIRST so both engines bucket identical
@@ -6315,6 +6333,26 @@ object LlmQueries {
     // through the gate
     "q199_hll_maintained" -> hllGlobalOracleSql,
 
+    // the estimator's integer core: empty-register count + the
+    // 2^55-scaled harmonic sum, exact BIGINTs in both engines
+    "q201_hll_harmonic" -> {
+      val h = pHash("67", "w")
+      s"""WITH w AS (SELECT source,
+         |    unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+         |  FROM documents),
+         |hh AS (SELECT source, ($h % 64) AS idx, ($h >> 6) AS suffix FROM w),
+         |r AS (SELECT source, idx,
+         |    CASE WHEN suffix = 0 THEN 55
+         |         ELSE 55 - length(bin(suffix)) END AS rank
+         |  FROM hh),
+         |regs AS (SELECT source, idx, max(rank) AS rank
+         |  FROM r GROUP BY source, idx)
+         |SELECT source, (64 - count(*))::BIGINT AS v,
+         |  (sum(1::BIGINT << (55 - rank)::INTEGER)
+         |    + (64 - count(*)) * (1::BIGINT << 55))::BIGINT AS harmonic_scaled
+         |FROM regs GROUP BY source ORDER BY source""".stripMargin
+    },
+
     // bucket + Morton interleave re-derived from the raw events table in
     // pure integer SQL (// floors like Spark's pmod-subtract division);
     // zkey < 4096 <=> xb < 64 AND yb < 64
@@ -6904,6 +6942,7 @@ object LlmQueries {
     "q198_countmin_maintained" -> countMinMaintainedQ _,
     "q199_hll_maintained" -> hllMaintainedQ _,
     "q200_zorder_compacted" -> zorderCompactedQ _,
+    "q201_hll_harmonic" -> hllHarmonicQ _,
     "q152_alignment_filter" -> alignmentFilterQ _,
     "q153_alignment_quantile" -> alignmentQuantileQ _,
     "q159_pair_curation" -> pairCurationQ _,
