@@ -89,6 +89,22 @@ object Sketch {
       .groupBy("d", "cell")
       .agg(sum("cnt").as("cnt"))
 
+  /** Inner-product (equi-JOIN SIZE) estimate from two sketches built
+    * with the same (depth, width, seed): est = min over hash rows of
+    * Σ_cell a_d[cell]·b_d[cell] (Cormode & Muthukrishnan §4.2). Never
+    * undercounts the true Σ_key f_a(key)·f_b(key) — the join
+    * cardinality — and overshoots by ≤ 2·N_a·N_b/width in expectation
+    * per row, min-reduced across rows. This is the cardinality
+    * estimate a join planner wants BEFORE committing to a shuffle at
+    * 100 TB, priced at one ≤ depth×width-row join of two already-built
+    * sketches — no data touched. */
+  def cmInnerProduct(a: DataFrame, b: DataFrame): DataFrame =
+    a.select(col("d"), col("cell"), col("cnt").as("__a"))
+      .join(b.select(col("d"), col("cell"), col("cnt").as("__b")),
+        Seq("d", "cell"))
+      .groupBy(col("d")).agg(sum(col("__a") * col("__b")).as("__ip"))
+      .agg(min("__ip").as("join_size_cm"))
+
   // --- HyperLogLog (Flajolet et al. 2007): mergeable distinct-count ---
   // Count-min answers "how often"; HLL answers "how many distinct" in the
   // same fixed-state, distributive-merge shape: m registers, register j

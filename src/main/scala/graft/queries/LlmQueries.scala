@@ -2478,6 +2478,29 @@ object LlmQueries {
       .orderBy("idx")
   }
 
+  /** q202 — JOIN-SIZE estimation from sketches
+    * ([[Sketch.cmInnerProduct]]): the equi-join cardinality of the
+    * even-doc and odd-doc word streams (Σ_w f_even(w)·f_odd(w)),
+    * estimated from the two 4×16 sketches alone and audited against
+    * the exact size — the number a join planner prices a shuffle with
+    * BEFORE touching data. Overestimate-only (the gate carries the
+    * exact overcount); the oracle replays both sketches, the row-MIN
+    * inner product, and the exact histogram join in SQL. */
+  def countMinJoinSizeQ(s: SparkSession, d: String): DataFrame = {
+    val dd = docs(s, d)
+    def toks(par: Int) = dd.where(pmod(col("doc_id"), lit(2)) === par)
+      .select(explode(TextOps.tokens(col("text"))).as("w"))
+    val est = Sketch.cmInnerProduct(
+      Sketch.countMinCells(toks(0), "w", CmDepth, CmWidth),
+      Sketch.countMinCells(toks(1), "w", CmDepth, CmWidth))
+    val truth = toks(0).groupBy("w").agg(count(lit(1)).as("__na"))
+      .join(toks(1).groupBy("w").agg(count(lit(1)).as("__nb")), "w")
+      .agg(sum(col("__na") * col("__nb")).as("join_size_true"))
+    truth.crossJoin(est)
+      .select(col("join_size_true"), col("join_size_cm"),
+        (col("join_size_cm") - col("join_size_true")).as("overcount"))
+  }
+
   /** q201 — the HLL ESTIMATOR's integer core gated exactly: per source,
     * the empty-register count `v` and the 2⁵⁵-scaled harmonic sum
     * ([[Sketch.hllEstimate]]'s `harmonic_scaled`) — every input to the
@@ -6333,6 +6356,31 @@ object LlmQueries {
     // through the gate
     "q199_hll_maintained" -> hllGlobalOracleSql,
 
+    // both sketches, the row-MIN inner product, and the exact
+    // histogram join replayed in SQL — overestimate-only, integer-exact
+    "q202_countmin_join_size" -> {
+      val cellH = pHash("61", "g.d::VARCHAR || ':' || w.w")
+      s"""WITH we AS (SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+         |    FROM documents WHERE doc_id % 2 = 0),
+         |wo AS (SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+         |    FROM documents WHERE doc_id % 2 = 1),
+         |ca AS (SELECT g.d, ($cellH % $CmWidth) AS cell, count(*)::BIGINT AS cnt
+         |  FROM we w CROSS JOIN generate_series(0, 3) g(d) GROUP BY 1, 2),
+         |cb AS (SELECT g.d, ($cellH % $CmWidth) AS cell, count(*)::BIGINT AS cnt
+         |  FROM wo w CROSS JOIN generate_series(0, 3) g(d) GROUP BY 1, 2),
+         |ip AS (SELECT ca.d, sum(ca.cnt * cb.cnt) AS ip
+         |  FROM ca JOIN cb ON ca.d = cb.d AND ca.cell = cb.cell
+         |  GROUP BY ca.d),
+         |est AS (SELECT min(ip)::BIGINT AS join_size_cm FROM ip),
+         |tru AS (SELECT sum(a.na * b.nb)::BIGINT AS join_size_true
+         |  FROM (SELECT w, count(*)::BIGINT AS na FROM we GROUP BY w) a
+         |  JOIN (SELECT w, count(*)::BIGINT AS nb FROM wo GROUP BY w) b
+         |  USING (w))
+         |SELECT join_size_true, join_size_cm,
+         |  (join_size_cm - join_size_true)::BIGINT AS overcount
+         |FROM tru CROSS JOIN est""".stripMargin
+    },
+
     // the estimator's integer core: empty-register count + the
     // 2^55-scaled harmonic sum, exact BIGINTs in both engines
     "q201_hll_harmonic" -> {
@@ -6943,6 +6991,7 @@ object LlmQueries {
     "q199_hll_maintained" -> hllMaintainedQ _,
     "q200_zorder_compacted" -> zorderCompactedQ _,
     "q201_hll_harmonic" -> hllHarmonicQ _,
+    "q202_countmin_join_size" -> countMinJoinSizeQ _,
     "q152_alignment_filter" -> alignmentFilterQ _,
     "q153_alignment_quantile" -> alignmentQuantileQ _,
     "q159_pair_curation" -> pairCurationQ _,

@@ -76,6 +76,22 @@ class SketchSpec extends AnyFunSuite {
     assert(merged == whole)
   }
 
+  test("cmInnerProduct never undercounts the true join size; a wide sketch is exact") {
+    val a = words
+    val b = words.drop(15) ++ Seq("alpha", "alpha", "zeta", "omega")
+    val truthMap = a.groupBy(identity).map { case (w, v) => w -> v.size.toLong }
+    val truth = b.groupBy(identity).toSeq
+      .map { case (w, v) => truthMap.getOrElse(w, 0L) * v.size }.sum
+    def cellsOf(ws: Seq[String], width: Int) =
+      Sketch.countMinCells(ws.toDF("w"), "w", depth = 4, width = width)
+    def est(width: Int): Long =
+      Sketch.cmInnerProduct(cellsOf(a, width), cellsOf(b, width))
+        .collect().head.getLong(0)
+    assert(est(8) >= truth, s"undercounted: ${est(8)} < $truth")
+    // 9 distinct words in 4x4096 cells: no collisions, exact
+    assert(est(4096) == truth)
+  }
+
   // --- HLL ---
 
   /** Independent (idx, rank): java Long bit ops over the md5 hash. */
