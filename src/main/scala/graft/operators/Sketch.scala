@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Mergeable frequency sketches — the fixed-size answer to "what are the
@@ -213,6 +214,127 @@ object Sketch {
   def hllRead(spark: org.apache.spark.sql.SparkSession, path: String,
       by: Seq[String]): DataFrame =
     hllMergeAll(readParts(spark, path).drop("batch_id"), by)
+
+  // --- KMV / bottom-k (Bar-Yossef et al. 2002; Beyer et al. 2007) ---
+  // The third sketch family closes the one gap the first two leave: SET
+  // OPERATIONS. Count-min estimates frequencies, HLL estimates union
+  // cardinalities (register-max IS union), but neither can estimate an
+  // INTERSECTION — "how much does source A's vocabulary overlap source
+  // B's?" is the question a dedup/mixture planner asks before pricing a
+  // cross-source dedup pass. KMV can: the sketch is the k smallest
+  // distinct hash values of the set, a UNIFORM SAMPLE of the distinct
+  // elements below a data-derived threshold θ (the kth minimum). Two
+  // sketches' samples are comparable because they hash identically, so
+  // |A∩B| ≈ (|S_A ∩ S_B ∩ [0,θ_∪)| / k) · ((k−1)·2^60/θ_∪). Everything
+  // except the final division is exact integer arithmetic over at most
+  // k rows per set — gated per the q201 integer-core discipline; the
+  // float estimate itself is SketchSpec's to audit.
+
+  /** KMV hash seed (fresh vs CmSeed 61, HllSeed 67, and every other
+    * seeded family). */
+  val KmvSeed = 71
+
+  /** Sketch size k. 16 keeps the gated artifacts small while the
+    * testdata vocabulary (~31 words) still exercises the sub-k exact
+    * regime AND the thresholded regime across source pairs. */
+  val KmvK = 16
+
+  /** Fan-out of the first exact top-k phase ([[kmvSketch]]). */
+  private val KmvBuckets = 32L
+
+  /** The element hash a KMV sketch samples by: the 60-bit portable
+    * hash, so the DuckDB oracle rebuilds the identical sample. */
+  def kmvHash(token: Column): Column = TextOps.portableHash(token, KmvSeed)
+
+  /** Per-`by`-group KMV sketch over a token column: the `k` smallest
+    * DISTINCT hash values, positions attached — `(by…, pos, h)`,
+    * `pos ∈ [1, k]`, at most k rows per group however large the stream.
+    *
+    * Exact bottom-k WITHOUT a per-group global sort of the distinct
+    * values: phase 1 takes the per-(group, h mod 32) bottom-k — 32
+    * independent 1/32-size sorts whose outputs are ≤ 32·k rows per
+    * group (any value in the true bottom-k is trivially in its own
+    * bucket's bottom-k) — and phase 2 re-ranks those survivors. The
+    * unbounded work is the DISTINCT, which is map-side combinable; both
+    * windows sort bounded shards. Same result as the one-window form,
+    * gated identical in the oracle (which uses the direct form — the
+    * equality IS part of what the gate proves). */
+  def kmvSketch(df: DataFrame, token: String, by: Seq[String],
+      k: Int = KmvK): DataFrame = {
+    require(k >= 2, s"need k >= 2 (the estimator uses k-1); got $k")
+    require(!by.contains("pos") && !by.contains("h"),
+      s"grouping columns $by collide with the sketch columns pos/h")
+    val dist = df.select(by.map(col) :+ kmvHash(col(token)).as("h"): _*)
+      .distinct()
+    kmvMinK(dist, by, k)
+  }
+
+  /** Bottom-k of an already-hashed `(by…, h)` frame (dedups `h` within
+    * each group first) — the merge primitive: stacking any number of
+    * KMV samples and taking [[kmvMinK]] yields exactly the union's
+    * sketch, because the union's k minima are all minima of some input
+    * (q206 gates the equality against a directly-built sketch). */
+  def kmvMinK(hashed: DataFrame, by: Seq[String], k: Int = KmvK): DataFrame = {
+    val dist = hashed
+      .select(by.map(col) :+ col("h"): _*)
+      .distinct()
+      .withColumn("__b", pmod(col("h"), lit(KmvBuckets)))
+    val grp = if (by.isEmpty) Seq(lit(1)) else by.map(col)
+    val w1 = Window.partitionBy(grp :+ col("__b"): _*).orderBy("h")
+    val survivors = dist
+      .withColumn("__r", row_number().over(w1))
+      .where(col("__r") <= k)
+      .drop("__r", "__b")
+    val w2 = Window.partitionBy(grp: _*).orderBy("h")
+    survivors
+      .withColumn("pos", row_number().over(w2))
+      .where(col("pos") <= k)
+      .select(by.map(col) ++ Seq(col("pos"), col("h")): _*)
+  }
+
+  /** Pairwise distinct-INTERSECTION integer core from per-group KMV
+    * samples: for every group pair (a < b), the union threshold
+    * `theta` (the kth minimum of the two samples' union — the union's
+    * own max sample value when it has fewer than k distinct hashes) and
+    * `n_inter`, the number of hash values in BOTH samples below-or-at
+    * theta. The float estimate is `n_inter/k · (k−1)·2^60/theta`
+    * (exact-regime `n_inter` when the union is sub-k); this returns the
+    * integers it is computed from. Cost: the samples are ≤ k rows per
+    * group, so the pair grid is a broadcast-scale self-join — the whole
+    * point is pricing cross-source overlap WITHOUT touching the data
+    * again. */
+  def kmvIntersect(samples: DataFrame, by: String, k: Int = KmvK): DataFrame = {
+    val pairs = samples.select(col(by).as("ga")).distinct()
+      .crossJoin(broadcast(samples.select(col(by).as("gb")).distinct()))
+      .where(col("ga") < col("gb"))
+    val a = samples.select(col(by).as("ga"), col("h"))
+    val b = samples.select(col(by).as("gb"), col("h"))
+    val union = pairs.join(a, "ga").select(col("ga"), col("gb"), col("h"))
+      .unionByName(pairs.join(b, "gb").select(col("ga"), col("gb"), col("h")))
+      .distinct()
+    val w = Window.partitionBy("ga", "gb").orderBy("h")
+    val theta = union
+      .withColumn("__r", row_number().over(w))
+      .where(col("__r") <= k)
+      .groupBy("ga", "gb")
+      .agg(max("h").as("theta"), count(lit(1)).as("k_u"))
+    val common = a.join(b, "h").select(col("ga"), col("gb"), col("h"))
+    theta
+      .join(common, Seq("ga", "gb"), "left")
+      .groupBy(col("ga"), col("gb"), col("theta"), col("k_u"))
+      .agg(sum(when(col("h").isNotNull && col("h") <= col("theta"), 1L)
+        .otherwise(0L)).as("n_inter"))
+  }
+
+  /** The CURRENT KMV sample under a maintained path ([[sketchAppendBatch]]
+    * appends per-batch `(by…, pos, h)` partials): bottom-k of every
+    * appended sample — exact by q206's merge property; duplicates
+    * across batches are free (min-k is idempotent), so at-least-once
+    * ingest needs no further care beyond the family's batch-tag
+    * dedupe. */
+  def kmvRead(spark: org.apache.spark.sql.SparkSession, path: String,
+      by: Seq[String], k: Int = KmvK): DataFrame =
+    kmvMinK(readParts(spark, path).drop("batch_id", "pos"), by, k)
 
   /** The HLL cardinality estimate per `by` group. The harmonic sum is
     * kept EXACT in integers scaled by 2⁵⁵ (absent registers contribute

@@ -2519,6 +2519,174 @@ object LlmQueries {
       .select(col("source"), col("v"), col("harmonic_scaled"))
       .orderBy("source")
 
+  // --- link-graph authority (q203/q204) ---
+
+  /** PageRank iteration count for the gated queries — 5 rounds, each
+    * replayed as one unrolled CTE triple in the oracle (the q151
+    * fixed-round discipline). */
+  val PrIters = 5
+
+  /** The planted host-link graph: every document emits ONE out-link
+    * from its own host (= its source) to a slot-mapped target host.
+    * The slot map is deliberately skewed — 40% of links point at src0,
+    * 25% at src1, 15% at src2, the rest spread by `slot mod 20` — so
+    * the rank vector separates hubs from tail and the gate exercises
+    * non-trivial flow, not a uniform fixed point. Multi-links collapse
+    * into integer edge weights; every host has out-links (each source
+    * has documents), so the dangling-drop semantics of
+    * [[graft.operators.Graph.pageRank]] never engage here. Replayed in
+    * the oracle as the same integer slot arithmetic. */
+  private def hostEdges(s: SparkSession, d: String): DataFrame = {
+    val slot = pmod(col("doc_id") * 37 + 11, lit(100))
+    docs(s, d).select(col("source").as("src"),
+        when(slot < 40, lit("src0"))
+          .when(slot < 65, lit("src1"))
+          .when(slot < 80, lit("src2"))
+          .otherwise(concat(lit("src"), pmod(slot, lit(20)).cast("string")))
+          .as("dst"))
+      .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+  }
+
+  /** q203 — integer PageRank over the planted host graph
+    * ([[graft.operators.Graph.pageRank]]): 5 damped-flow rounds in
+    * fixed-point 10^12 arithmetic, every digit gated — the oracle
+    * unrolls each round as (damp → contrib → rank) CTEs over the same
+    * integral divisions, so the iteration order, the overflow-safe
+    * per-edge split, and the tie-free final ranking all replay exactly.
+    * This is the authority signal a crawl pipeline computes before
+    * domain filtering; per round the plan is one hash join + one
+    * map-side-combinable aggregation, the canonical distributed
+    * PageRank shape. */
+  def pageRankHostsQ(s: SparkSession, d: String): DataFrame =
+    graft.operators.Graph.pageRank(hostEdges(s, d), "src", "dst", "w", PrIters)
+      .orderBy(desc("pr"), col("node"))
+
+  /** q204 — AUTHORITY-PROPORTIONAL sampling quota, the apply stage:
+    * each host's document budget is `(pr · N_total) div Σpr` (exact
+    * integers — Σpr ≤ 10^12 and N·pr stays far inside BIGINT), and the
+    * kept sample is the budget-prefix of the host's documents in
+    * doc_id order (deterministic; production would hash-order, same
+    * shape). Hub hosts keep everything (budget ≥ n_docs, capped by
+    * what exists); tail hosts are down-sampled in proportion to rank.
+    * Gated: the rank, the budget, and the applied keep-set checksum
+    * per host. */
+  def authorityQuotaQ(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val idiv = graft.operators.Graph.idiv _
+    val pr = graft.operators.Graph
+      .pageRank(hostEdges(s, d), "src", "dst", "w", PrIters)
+      .select(col("node"), col("pr"))
+    val dd = docs(s, d)
+    val tot = dd.agg(count(lit(1)).as("__N"))
+    val sumPr = pr.agg(sum("pr").as("__S"))
+    val budgets = pr.crossJoin(broadcast(tot)).crossJoin(broadcast(sumPr))
+      .select(col("node"), col("pr"),
+        idiv(col("pr") * col("__N"), col("__S")).as("budget"))
+    val ranked = dd.select(col("source"), col("doc_id"))
+      .withColumn("__rn",
+        row_number().over(w.partitionBy("source").orderBy("doc_id")))
+    val kept = ranked
+      .join(budgets.withColumnRenamed("node", "source"), "source")
+      .where(col("__rn") <= col("budget"))
+      .groupBy(col("source").as("node"))
+      .agg(count(lit(1)).as("n_kept"), sum("doc_id").as("kept_sum"))
+    val perHost = dd.groupBy(col("source").as("node"))
+      .agg(count(lit(1)).as("n_docs"))
+    perHost
+      .join(budgets, "node")
+      .join(kept, Seq("node"), "left")
+      .select(col("node"), col("n_docs"), col("pr"), col("budget"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("kept_sum"), lit(0L)).as("kept_sum"))
+      .orderBy("node")
+  }
+
+  // --- KMV bottom-k sketch (q205-q208) ---
+
+  /** q205 — per-source KMV sketch ([[Sketch.kmvSketch]]): the 16
+    * smallest distinct word hashes per source, position-indexed — at
+    * most 16 exact integer rows per source however large the corpus.
+    * The SAMPLE is the gated artifact (the q195 register discipline);
+    * the cardinality estimate it implies is SketchSpec's float audit.
+    * The oracle rebuilds the sample with one direct window — matching
+    * Spark's two-phase bucketed bottom-k proves the phases exact. */
+  def kmvSketchQ(s: SparkSession, d: String): DataFrame =
+    Sketch.kmvSketch(
+      docs(s, d).select(col("source"),
+        explode(TextOps.tokens(col("text"))).as("w")),
+      "w", Seq("source"))
+      .select(col("source"), col("pos").cast("long").as("pos"), col("h"))
+      .orderBy("source", "pos")
+
+  /** q206 — KMV merge distributivity ([[Sketch.kmvMinK]] over stacked
+    * per-source samples): the global bottom-k recovered from the 20
+    * per-source bottom-k's must equal the sketch built directly over
+    * the whole stream (every global minimum is some source's minimum)
+    * — q193/q196's proof shape for the min-k monoid, the property that
+    * lets per-shard samples combine without rescan. */
+  def kmvMergeQ(s: SparkSession, d: String): DataFrame = {
+    val perSource = Sketch.kmvSketch(
+      docs(s, d).select(col("source"),
+        explode(TextOps.tokens(col("text"))).as("w")),
+      "w", Seq("source"))
+    Sketch.kmvMinK(perSource.select("h"), Nil)
+      .select(col("pos").cast("long").as("pos"), col("h"))
+      .orderBy("pos")
+  }
+
+  /** q207 — cross-source vocabulary OVERLAP from sketches alone
+    * ([[Sketch.kmvIntersect]]): for every source pair, the union
+    * threshold theta, the union sample size, and the count of shared
+    * sample hashes at-or-below theta — the integer core of the KMV
+    * intersection estimate (the set operation HLL structurally cannot
+    * do), audited against the EXACT distinct-word intersection of the
+    * pair. The estimate prices a cross-source dedup pass from ≤ 16
+    * rows per source; the exact column is the audit, not the product. */
+  def kmvOverlapQ(s: SparkSession, d: String): DataFrame = {
+    val words = docs(s, d).select(col("source"),
+      explode(TextOps.tokens(col("text"))).as("w"))
+    val samples = Sketch.kmvSketch(words, "w", Seq("source"))
+    val est = Sketch.kmvIntersect(samples, "source")
+    val vocab = words.select("source", "w").distinct()
+    val truth = vocab.select(col("source").as("ga"), col("w"))
+      .join(vocab.select(col("source").as("gb"), col("w")), "w")
+      .where(col("ga") < col("gb"))
+      .groupBy("ga", "gb")
+      .agg(count(lit(1)).as("true_inter"))
+    est.join(truth, Seq("ga", "gb"), "left")
+      .select(col("ga"), col("gb"), col("theta"), col("k_u"),
+        col("n_inter"), coalesce(col("true_inter"), lit(0L)).as("true_inter"))
+      .orderBy("ga", "gb")
+  }
+
+  /** Per-directory memo of the MAINTAINED KMV samples — the q198/q199
+    * ingest protocol for the bottom-k family: two parity batches, each
+    * appending its per-source sample replay-guarded, the no-op replay
+    * required in-gate (harmless for min-k, but the family contract is
+    * uniform). */
+  private val kmvMaintCache = new SessionPathMemo("kmvsketch", (s, d, p) => {
+    val dd = docs(s, d)
+    def half(par: Int) = Sketch.kmvSketch(
+      dd.where(pmod(col("doc_id"), lit(2)) === par)
+        .select(col("source"), explode(TextOps.tokens(col("text"))).as("w")),
+      "w", Seq("source"))
+    require(Sketch.sketchAppendBatch(p, half(0), 0L), "batch 0 must apply")
+    require(Sketch.sketchAppendBatch(p, half(1), 1L), "batch 1 must apply")
+    require(!Sketch.sketchAppendBatch(p, half(1), 1L),
+      "replayed batch id must no-op")
+  })
+
+  /** q208 — the MAINTAINED per-source KMV samples ([[Sketch.kmvRead]]
+    * over the persisted two-batch append path) against q205's
+    * directly-built oracle VERBATIM: the ingest protocol realizes the
+    * min-k merge exactly, so cross-source overlap stays answerable
+    * from ≤ batches × 16 stored rows per source under continuous
+    * ingest. */
+  def kmvMaintainedQ(s: SparkSession, d: String): DataFrame =
+    Sketch.kmvRead(s, kmvMaintCache(s, d), Seq("source"))
+      .select(col("source"), col("pos").cast("long").as("pos"), col("h"))
+      .orderBy("source", "pos")
+
   /** The Z-ordered events layout (memoized per session):
     * [[graft.sources.Layout.writeZOrdered]] on (user_id, ts_us) —
     * nanos truncated to µs FIRST so both engines bucket identical
@@ -2548,6 +2716,66 @@ object LlmQueries {
         sum(pmod(col("zkey") * lit(2654435761L), lit(1000003L)))
           .as("zkey_mix"))
       .orderBy("event_type")
+
+  /** The q203/q204 oracle chain: the planted host graph, degrees, and
+    * [[PrIters]] unrolled PageRank rounds in the same fixed-point
+    * integer arithmetic as [[graft.operators.Graph.pageRank]] — damp =
+    * (pr·85)//100, per-edge contribution via the overflow-safe
+    * (damp//W)·w + ((damp%W)·w)//W split, teleport =
+    * ((10^12·15)//100)//n. Ends with `pr$PrIters(node, pr)` and
+    * `deg(node, out_w, in_w)` in scope. */
+  private lazy val pageRankCtes: String = {
+    val scale = graft.operators.Graph.PrScale
+    val b = new StringBuilder
+    b ++= s"""e0 AS (SELECT source AS src,
+       |    CASE WHEN slot < 40 THEN 'src0' WHEN slot < 65 THEN 'src1'
+       |         WHEN slot < 80 THEN 'src2'
+       |         ELSE 'src' || (slot % 20)::VARCHAR END AS dst
+       |  FROM (SELECT source, (doc_id * 37 + 11) % 100 AS slot FROM documents) t),
+       |e AS MATERIALIZED (SELECT src, dst, count(*)::BIGINT AS w
+       |  FROM e0 GROUP BY 1, 2),
+       |nodes AS (SELECT DISTINCT node FROM (
+       |    SELECT src AS node FROM e UNION ALL SELECT dst FROM e) t),
+       |nn AS (SELECT count(*)::BIGINT AS n FROM nodes),
+       |ow AS (SELECT src AS node, sum(w)::BIGINT AS out_w FROM e GROUP BY 1),
+       |iw AS (SELECT dst AS node, sum(w)::BIGINT AS in_w FROM e GROUP BY 1),
+       |deg AS MATERIALIZED (SELECT n.node,
+       |    coalesce(ow.out_w, 0)::BIGINT AS out_w,
+       |    coalesce(iw.in_w, 0)::BIGINT AS in_w
+       |  FROM nodes n LEFT JOIN ow USING (node) LEFT JOIN iw USING (node)),
+       |pr0 AS (SELECT node, ($scale // (SELECT n FROM nn))::BIGINT AS pr
+       |  FROM deg)""".stripMargin
+    for (r <- 1 to PrIters) {
+      b ++= s""",
+       |damp$r AS (SELECT p.node AS src, ((p.pr * 85) // 100)::BIGINT AS damp,
+       |    d.out_w AS wt
+       |  FROM pr${r - 1} p JOIN deg d USING (node) WHERE d.out_w > 0),
+       |c$r AS (SELECT e.dst AS node,
+       |    sum((t.damp // t.wt) * e.w
+       |        + ((t.damp % t.wt) * e.w) // t.wt)::BIGINT AS cin
+       |  FROM e JOIN damp$r t ON e.src = t.src GROUP BY 1),
+       |pr$r AS MATERIALIZED (SELECT d.node,
+       |    ((($scale * 15) // 100) // (SELECT n FROM nn)
+       |      + coalesce(c.cin, 0))::BIGINT AS pr
+       |  FROM deg d LEFT JOIN c$r c USING (node))""".stripMargin
+    }
+    b.result()
+  }
+
+  /** The q205/q208 oracle: the per-source bottom-16 distinct word
+    * hashes rebuilt with one direct window. */
+  private lazy val kmvPerSourceOracleSql: String = {
+    val h = pHash("71", "w")
+    s"""WITH w AS (SELECT DISTINCT source, ($h) AS h
+       |  FROM (SELECT source,
+       |      unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+       |    FROM documents) t),
+       |r AS (SELECT source, h,
+       |    row_number() OVER (PARTITION BY source ORDER BY h) AS pos
+       |  FROM w)
+       |SELECT source, pos::BIGINT AS pos, h FROM r
+       |WHERE pos <= ${Sketch.KmvK} ORDER BY source, pos""".stripMargin
+  }
 
   /** The q194/q200 oracle: bucket + Morton interleave re-derived from
     * the raw events table in pure integer SQL, quadrant aggregates. */
@@ -6401,6 +6629,108 @@ object LlmQueries {
          |FROM regs GROUP BY source ORDER BY source""".stripMargin
     },
 
+    // every round replayed as (damp -> contrib -> rank) CTEs over the
+    // same integral divisions: iteration order, the overflow-safe
+    // per-edge split, and the final ranking all match digit for digit
+    "q203_pagerank_hosts" ->
+      s"""WITH $pageRankCtes
+         |SELECT d.node, d.out_w, d.in_w, p.pr
+         |FROM deg d JOIN pr$PrIters p USING (node)
+         |ORDER BY p.pr DESC, d.node""".stripMargin,
+
+    // the rank chain verbatim, then budget = (pr * N) // sum(pr) and the
+    // budget-prefix keep-set per host — rank, quota, and applied
+    // checksum in one gated row per host
+    "q204_authority_quota" ->
+      s"""WITH $pageRankCtes,
+         |sp AS (SELECT sum(pr)::BIGINT AS s FROM pr$PrIters),
+         |tot AS (SELECT count(*)::BIGINT AS n FROM documents),
+         |bud AS (SELECT p.node, p.pr,
+         |    ((p.pr * (SELECT n FROM tot)) // (SELECT s FROM sp))::BIGINT AS budget
+         |  FROM pr$PrIters p),
+         |rk AS (SELECT source, doc_id,
+         |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+         |  FROM documents),
+         |kept AS (SELECT r.source AS node, count(*)::BIGINT AS n_kept,
+         |    sum(r.doc_id)::BIGINT AS kept_sum
+         |  FROM rk r JOIN bud b ON r.source = b.node
+         |  WHERE r.rn <= b.budget GROUP BY 1),
+         |ph AS (SELECT source AS node, count(*)::BIGINT AS n_docs
+         |  FROM documents GROUP BY 1)
+         |SELECT ph.node, ph.n_docs, b.pr, b.budget,
+         |  coalesce(k.n_kept, 0)::BIGINT AS n_kept,
+         |  coalesce(k.kept_sum, 0)::BIGINT AS kept_sum
+         |FROM ph JOIN bud b USING (node) LEFT JOIN kept k USING (node)
+         |ORDER BY node""".stripMargin,
+
+    // the sample rebuilt with ONE direct window over the distinct
+    // hashes — matching Spark's two-phase bucketed bottom-k proves the
+    // phase split exact, not just plausible
+    "q205_kmv_sketch" -> kmvPerSourceOracleSql,
+
+    // VERBATIM the q205 oracle: the Spark side reads its samples back
+    // from the persisted two-batch append path — maintained == direct
+    // through the gate (min-k shrugs at replays; the batch-tag dedupe
+    // is still exercised, the family contract)
+    "q208_kmv_maintained" -> kmvPerSourceOracleSql,
+
+    // the oracle builds the GLOBAL bottom-k directly; Spark gets there
+    // by re-min-k-ing the 20 per-source samples — equality is the
+    // distributive-merge proof for the min-k monoid
+    "q206_kmv_merge" -> {
+      val h = pHash("71", "w")
+      s"""WITH w AS (SELECT DISTINCT ($h) AS h
+         |  FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+         |        FROM documents)),
+         |r AS (SELECT h, row_number() OVER (ORDER BY h) AS pos FROM w)
+         |SELECT pos::BIGINT AS pos, h FROM r
+         |WHERE pos <= ${Sketch.KmvK} ORDER BY pos""".stripMargin
+    },
+
+    // per-pair union threshold + shared-sample count (the intersection
+    // estimate's integer core) audited against the exact distinct-word
+    // intersection — all from <= 16 rows per source
+    "q207_kmv_overlap" -> {
+      val h = pHash("71", "w")
+      val k = Sketch.KmvK
+      s"""WITH words AS (SELECT source,
+         |    unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+         |  FROM documents),
+         |vh AS (SELECT DISTINCT source, ($h) AS h FROM words),
+         |smp AS (SELECT source, h FROM (
+         |    SELECT source, h,
+         |      row_number() OVER (PARTITION BY source ORDER BY h) AS pos
+         |    FROM vh) t WHERE pos <= $k),
+         |srcs AS (SELECT DISTINCT source FROM smp),
+         |pairs AS (SELECT a.source AS ga, b.source AS gb
+         |  FROM srcs a CROSS JOIN srcs b WHERE a.source < b.source),
+         |un AS (SELECT DISTINCT ga, gb, h FROM (
+         |    SELECT p.ga, p.gb, s.h FROM pairs p JOIN smp s ON s.source = p.ga
+         |    UNION ALL
+         |    SELECT p.ga, p.gb, s.h FROM pairs p JOIN smp s ON s.source = p.gb) t),
+         |th AS (SELECT ga, gb, max(h) AS theta, count(*)::BIGINT AS k_u FROM (
+         |    SELECT ga, gb, h,
+         |      row_number() OVER (PARTITION BY ga, gb ORDER BY h) AS r
+         |    FROM un) t WHERE r <= $k GROUP BY ga, gb),
+         |com AS (SELECT a.source AS ga, b.source AS gb, a.h
+         |  FROM smp a JOIN smp b ON a.h = b.h AND a.source < b.source),
+         |ni AS (SELECT t.ga, t.gb, t.theta, t.k_u,
+         |    sum(CASE WHEN c.h IS NOT NULL AND c.h <= t.theta
+         |        THEN 1 ELSE 0 END)::BIGINT AS n_inter
+         |  FROM th t LEFT JOIN com c ON c.ga = t.ga AND c.gb = t.gb
+         |  GROUP BY 1, 2, 3, 4),
+         |tru AS (SELECT a.source AS ga, b.source AS gb,
+         |    count(*)::BIGINT AS true_inter
+         |  FROM (SELECT DISTINCT source, w FROM words) a
+         |  JOIN (SELECT DISTINCT source, w FROM words) b
+         |    ON a.w = b.w AND a.source < b.source
+         |  GROUP BY 1, 2)
+         |SELECT n.ga, n.gb, n.theta, n.k_u, n.n_inter,
+         |  coalesce(t.true_inter, 0)::BIGINT AS true_inter
+         |FROM ni n LEFT JOIN tru t ON t.ga = n.ga AND t.gb = n.gb
+         |ORDER BY n.ga, n.gb""".stripMargin
+    },
+
     // bucket + Morton interleave re-derived from the raw events table in
     // pure integer SQL (// floors like Spark's pmod-subtract division);
     // zkey < 4096 <=> xb < 64 AND yb < 64
@@ -6992,6 +7322,12 @@ object LlmQueries {
     "q200_zorder_compacted" -> zorderCompactedQ _,
     "q201_hll_harmonic" -> hllHarmonicQ _,
     "q202_countmin_join_size" -> countMinJoinSizeQ _,
+    "q203_pagerank_hosts" -> pageRankHostsQ _,
+    "q204_authority_quota" -> authorityQuotaQ _,
+    "q205_kmv_sketch" -> kmvSketchQ _,
+    "q206_kmv_merge" -> kmvMergeQ _,
+    "q207_kmv_overlap" -> kmvOverlapQ _,
+    "q208_kmv_maintained" -> kmvMaintainedQ _,
     "q152_alignment_filter" -> alignmentFilterQ _,
     "q153_alignment_quantile" -> alignmentQuantileQ _,
     "q159_pair_curation" -> pairCurationQ _,

@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Graph
+
+/** The integer-PageRank contracts: exact hand-computed flow for one
+  * round, the uniform fixed point on a regular cycle, dangling mass
+  * shed (never invented), the global mass ceiling, and partitioning
+  * invariance (the sums are integer, so layout can't change a digit).
+  */
+class GraphSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ranks(edges: Seq[(String, String, Long)],
+      iters: Int): Map[String, (Long, Long, Long)] =
+    Graph.pageRank(edges.toDF("src", "dst", "w"), "src", "dst", "w", iters)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+
+  test("one round matches the hand-computed integer flow") {
+    // A -(2)-> B, A -(1)-> C, B -(1)-> C, C -(1)-> A; n = 3
+    // pr0 = 10^12 div 3 = 333333333333; damp = (pr0*85) div 100 =
+    // 283333333333; teleport = (15*10^10) div 3 = 50000000000
+    // A (W=3): to B (damp div 3)*2 + ((damp mod 3)*2) div 3 = 188888888888
+    //          to C (damp div 3)*1 = 94444444444
+    // B (W=1): to C damp = 283333333333;  C (W=1): to A damp
+    val got = ranks(
+      Seq(("A", "B", 2L), ("A", "C", 1L), ("B", "C", 1L), ("C", "A", 1L)),
+      iters = 1)
+    assert(got("A") == ((3L, 1L, 50000000000L + 283333333333L)))
+    assert(got("B") == ((1L, 2L, 50000000000L + 188888888888L)))
+    assert(got("C") == ((1L, 2L, 50000000000L + 94444444444L + 283333333333L)))
+  }
+
+  test("a regular cycle is the uniform fixed point at any depth") {
+    val cycle = Seq(("A", "B", 1L), ("B", "C", 1L), ("C", "A", 1L))
+    val got = ranks(cycle, iters = 5)
+    // pr stays at the uniform start: teleport + damp(pr) = pr exactly
+    // for pr = 10^12 div 3 (50000000000 + 283333333333 = 333333333333)
+    got.values.foreach { case (_, _, pr) => assert(pr == 333333333333L) }
+  }
+
+  test("dangling nodes absorb mass; nothing is invented") {
+    // A -> B, B dangling: B's damp share leaves the system
+    val got = ranks(Seq(("A", "B", 1L)), iters = 1)
+    // n = 2: pr0 = 500000000000, teleport = 75000000000
+    assert(got("A") == ((1L, 0L, 75000000000L)))
+    assert(got("B") == ((0L, 1L, 75000000000L + 425000000000L)))
+    val total = got.values.map(_._3).sum
+    assert(total < Graph.PrScale, "dangling mass must shed, not conserve")
+  }
+
+  test("total mass never exceeds the scale (floors only shed)") {
+    val edges = for {
+      i <- 0 until 40
+      j <- Seq((i * 7 + 3) % 40, (i * 13 + 5) % 40) if j != i
+    } yield (s"n$i", s"n$j", (i % 3 + 1).toLong)
+    for (it <- Seq(1, 3, 6)) {
+      val total = ranks(edges, it).values.map(_._3).sum
+      assert(total <= Graph.PrScale, s"iters=$it: mass $total > scale")
+      assert(total > Graph.PrScale * 9L / 10L,
+        s"iters=$it: implausible shed (no dangling nodes here): $total")
+    }
+  }
+
+  test("result is invariant to input partitioning (integer sums)") {
+    val edges = (for {
+      i <- 0 until 25
+      j <- Seq((i * 11 + 2) % 25, (i * 3 + 7) % 25) if j != i
+    } yield (s"h$i", s"h$j", ((i * j) % 5 + 1).toLong)).toDF("src", "dst", "w")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Graph.pageRank(df, "src", "dst", "w", 4)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSet
+    assert(run(edges.repartition(7)) == run(edges.coalesce(1)))
+  }
+
+  test("multi-edge rows pre-sum into one weighted edge") {
+    // (A,B) listed twice must equal (A,B) with the summed weight
+    val split = ranks(Seq(("A", "B", 1L), ("A", "B", 1L), ("B", "A", 2L)), 2)
+    val merged = ranks(Seq(("A", "B", 2L), ("B", "A", 2L)), 2)
+    assert(split == merged)
+  }
+}

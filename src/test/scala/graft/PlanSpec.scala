@@ -1348,4 +1348,39 @@ class PlanSpec extends AnyFunSuite {
     }
     graft.tools.CodegenGuard.assertHealthy("q75/q81/q71/q74 pipelines")
   }
+
+  test("q203: five PageRank rounds — no cartesian product, scans pruned to (doc_id, source)") {
+    val df = SparkEntry.queries("q203_pagerank_hosts")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // the only nested-loop is the broadcast of the 1-row node count;
+    // rank flow must stay hash-joined on the node key all five rounds
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    // column pruning survives the iterative lineage: every documents
+    // scan reads exactly the two columns the edge derivation needs
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val scans = flattenPlan(df.queryExecution.executedPlan)
+      .collect { case s: FileSourceScanExec => s }
+    assert(scans.nonEmpty)
+    scans.foreach { s =>
+      assert(s.output.map(_.name).toSet.subsetOf(Set("doc_id", "source")),
+        s"scan reads more than the edge columns: ${s.output.mkString(", ")}")
+    }
+  }
+
+  test("q205: KMV exchanges carry the 8-byte hash, never the word") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val df = SparkEntry.queries("q205_kmv_sketch")(spark, sf)
+    df.collect()
+    val plan = flattenPlan(df.queryExecution.executedPlan)
+    val shuffles = plan.collect { case s: ShuffleExchangeLike => s }
+    assert(shuffles.nonEmpty)
+    shuffles.foreach { s =>
+      assert(!s.output.exists(a => a.name == "w" || a.name == "text"),
+        s"exchange carries raw words: ${s.output.mkString(", ")}")
+    }
+    val fp = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert("FileScan parquet".r.findAllIn(fp).size == 1, fp.take(1500))
+  }
 }

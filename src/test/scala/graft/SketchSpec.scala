@@ -180,4 +180,103 @@ class SketchSpec extends AnyFunSuite {
       .collect().map(_.getLong(1)).head
     assert(got == expected)
   }
+
+  // --- KMV bottom-k ---
+
+  /** Independent replay of the KMV hash (seed 71). */
+  private def refKmvHash(token: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"${Sketch.KmvSeed}:$token".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.take(15), 16)
+  }
+
+  private def refKmv(toks: Seq[String], k: Int): Seq[Long] =
+    toks.map(refKmvHash).distinct.sorted.take(k)
+
+  test("kmvSketch's two-phase bottom-k equals the independent md5 sample, per group") {
+    val rows = (words.map(("g1", _)) ++
+      words.drop(10).map(w => ("g2", w + "x"))).toDF("g", "w")
+    val got = Sketch.kmvSketch(rows, "w", Seq("g"), k = 4)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+      .groupBy(_._1)
+      .map { case (g, v) => g -> v.sortBy(_._2).map(_._3).toSeq }
+    assert(got("g1") == refKmv(words, 4))
+    assert(got("g2") == refKmv(words.drop(10).map(_ + "x"), 4))
+    // positions are 1..k with no gaps
+    assert(Sketch.kmvSketch(rows, "w", Seq("g"), k = 4)
+      .groupBy("g").agg(min("pos"), max("pos"), count(lit(1)))
+      .collect().forall(r => r.getInt(1) == 1 && r.getInt(2) == 4 &&
+        r.getLong(3) == 4L))
+  }
+
+  test("kmvMinK is idempotent and merges per-shard samples into the union's sample") {
+    val (a, b) = words.splitAt(words.size / 3)
+    def sample(ws: Seq[String]) =
+      Sketch.kmvSketch(ws.toDF("w"), "w", Nil, k = 6)
+    val direct = sample(words).collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toSet
+    val merged = Sketch
+      .kmvMinK(sample(a).unionByName(sample(b)).select("h"), Nil, k = 6)
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+    assert(merged == direct)
+    val again = Sketch.kmvMinK(sample(words).select("h"), Nil, k = 6)
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+    assert(again == direct, "min-k of a sample is the sample")
+  }
+
+  test("the KMV cardinality estimate lands within the k-sized error band") {
+    val n = 5000
+    val vals = (0 until n).map(i => s"item_$i").toDF("w")
+    val k = 64
+    val sk = Sketch.kmvSketch(vals, "w", Nil, k = k)
+    val theta = sk.agg(max("h")).collect().head.getLong(0)
+    val est = (k - 1).toDouble * math.pow(2.0, 60) / theta.toDouble
+    assert(math.abs(est - n) / n < 0.4,
+      s"estimate $est vs true $n off by more than 40% at k=$k")
+  }
+
+  test("kmvIntersect: exact in the sub-k regime, estimate tracks true overlap beyond it") {
+    // sub-k: two tiny sets, union smaller than k -> theta is the union
+    // max and n_inter IS the exact sample intersection
+    val small = (Seq("a", "b", "c", "d").map(("A", _)) ++
+      Seq("c", "d", "e").map(("B", _))).toDF("g", "w")
+    val smp = Sketch.kmvSketch(small, "w", Seq("g"), k = 16)
+    val row = Sketch.kmvIntersect(smp, "g", k = 16).collect().head
+    assert(row.getAs[Long]("k_u") == 5L) // |union| = 5 distinct
+    assert(row.getAs[Long]("n_inter") == 2L) // {c, d}
+    assert(row.getAs[Long]("theta") ==
+      refKmv(Seq("a", "b", "c", "d", "e"), 16).last)
+
+    // beyond k: planted 30% overlap between two 3000-element sets
+    val big = ((0 until 3000).map(i => ("A", s"v$i")) ++
+      (2100 until 5100).map(i => ("B", s"v$i"))).toDF("g", "w")
+    val k = 64
+    val bs = Sketch.kmvSketch(big, "w", Seq("g"), k = k)
+    val r = Sketch.kmvIntersect(bs, "g", k = k).collect().head
+    val unionEst =
+      (r.getAs[Long]("k_u") - 1).toDouble * math.pow(2.0, 60) /
+        r.getAs[Long]("theta").toDouble
+    val interEst =
+      r.getAs[Long]("n_inter").toDouble / r.getAs[Long]("k_u") * unionEst
+    assert(math.abs(interEst - 900.0) / 900.0 < 0.6,
+      s"intersection estimate $interEst vs true 900")
+  }
+
+  test("maintained KMV: replayed batches are free for min-k, read equals direct") {
+    val path =
+      java.nio.file.Files.createTempDirectory("graft_kmv_maint").toString
+    graft.cli.Cleanup.deleteOnExit(path)
+    val (a, b) = words.splitAt(words.size / 2)
+    def sample(ws: Seq[String]) =
+      Sketch.kmvSketch(ws.toDF("w"), "w", Nil, k = 6)
+    assert(Sketch.sketchAppendBatch(path, sample(a), 0L))
+    assert(Sketch.sketchAppendBatch(path, sample(b), 1L))
+    assert(!Sketch.sketchAppendBatch(path, sample(b), 1L))
+    val got = Sketch.kmvRead(spark, path, Nil, k = 6)
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+    val direct = sample(words).collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toSet
+    assert(got == direct)
+  }
 }
