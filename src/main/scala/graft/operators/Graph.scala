@@ -93,6 +93,38 @@ object Graph {
     * contract holds either way. */
   def pageRank(edges: DataFrame, src: String, dst: String, w: String,
       iters: Int): DataFrame = {
+    val teleport = idiv(
+      idiv(lit(PrScale * (PrDampDen - PrDampNum)), lit(PrDampDen)), col("__n"))
+    prCore(edges, src, dst, w, iters,
+      init = idiv(lit(PrScale), col("__n")), teleport = teleport)
+  }
+
+  /** PERSONALIZED PageRank: all teleport mass returns to one `seed`
+    * node instead of spreading uniformly — the rank vector becomes
+    * "affinity to the seed through the link structure", the signal a
+    * topical crawler prioritizes its frontier with (and the random-walk
+    * form of the seed-expansion heuristics used for curation allow/deny
+    * list growth). Identical per-round plan and integer arithmetic as
+    * [[pageRank]]; only the start vector (all mass at the seed) and the
+    * teleport target differ. The seed must be a node of the graph —
+    * checked lazily by construction (a missing seed yields an all-zero
+    * teleport column, caught by the q210 gate's nonzero assertion
+    * upstream in GraphSpec). */
+  def personalizedPageRank(edges: DataFrame, src: String, dst: String,
+      w: String, iters: Int, seed: String): DataFrame = {
+    val atSeed = col("node") === lit(seed)
+    prCore(edges, src, dst, w, iters,
+      init = when(atSeed, lit(PrScale)).otherwise(lit(0L)),
+      teleport = when(atSeed,
+        idiv(lit(PrScale * (PrDampDen - PrDampNum)), lit(PrDampDen)))
+        .otherwise(lit(0L)))
+  }
+
+  /** The shared damped-flow iteration. `init` and `teleport` are
+    * per-node integer columns that may reference `node` and the in-plan
+    * node count `__n`. */
+  private def prCore(edges: DataFrame, src: String, dst: String, w: String,
+      iters: Int, init: Column, teleport: Column): DataFrame = {
     require(iters >= 1, s"need iters >= 1; got $iters")
     val e = edges
       .groupBy(col(src).as("__src"), col(dst).as("__dst"))
@@ -102,11 +134,9 @@ object Graph {
       .distinct()
     val outW = e.groupBy(col("__src").as("node")).agg(sum("__w").as("out_w"))
     val inW = e.groupBy(col("__dst").as("node")).agg(sum("__w").as("in_w"))
-    // n (and with it the per-round teleport share) derived in-plan from
-    // a 1-row aggregate — no driver-side collect
+    // n (and with it any per-round uniform teleport share) derived
+    // in-plan from a 1-row aggregate — no driver-side collect
     val nDf = nodes.agg(count(lit(1)).as("__n"))
-    val teleport = idiv(
-      idiv(lit(PrScale * (PrDampDen - PrDampNum)), lit(PrDampDen)), col("__n"))
     var pr = nodes
       .join(outW, Seq("node"), "left")
       .join(inW, Seq("node"), "left")
@@ -114,7 +144,7 @@ object Graph {
         coalesce(col("out_w"), lit(0L)).as("out_w"),
         coalesce(col("in_w"), lit(0L)).as("in_w"))
       .crossJoin(broadcast(nDf))
-      .withColumn("pr", idiv(lit(PrScale), col("__n")))
+      .withColumn("pr", init)
     for (_ <- 1 to iters) {
       // alias-qualified refs: each round re-joins `e` against a frame
       // whose lineage already contains `e` (ranks descend from degrees),

@@ -1434,6 +1434,53 @@ object TextOps {
       .drop("__heavy")
   }
 
+  /** Card-number candidate pattern: a plain 16-digit run. Deliberately
+    * lookaround-free — Spark regexes are java.util.regex but DuckDB's
+    * are RE2 (no lookbehind), and the oracle must scan with the
+    * IDENTICAL pattern; both engines' regexp_extract_all walk
+    * non-overlapping left-to-right matches, so the extracted candidate
+    * lists agree exactly. */
+  val CardRe = "[0-9]{16}"
+
+  /** Luhn checksum validity (ISO/IEC 7812) of a pure-digit string:
+    * from the RIGHT, double every second digit (subtracting 9 when the
+    * double exceeds 9) and require the total ≡ 0 mod 10. Pure integer
+    * higher-order-function arithmetic — `aggregate` over the position
+    * sequence, codegen-friendly, zero UDFs — replayed in the oracle as
+    * the identical `list_sum(list_transform(...))`. */
+  def luhnValid(digits: Column): Column = {
+    val n = length(digits)
+    val total = aggregate(sequence(lit(1), n), lit(0L), (acc, p) => {
+      val dig = (ascii(digits.substr(n - p + lit(1), lit(1))) - lit(48))
+        .cast(LongType)
+      val dbl = dig * 2
+      acc + when(pmod(p, lit(2)) === 0,
+        when(dbl > 9, dbl - 9).otherwise(dbl)).otherwise(dig)
+    })
+    pmod(total, lit(10)) === 0
+  }
+
+  /** CHECKSUM-VALIDATED card redaction — the false-positive control
+    * production PII scrubbers rely on: a 16-digit run is only PII when
+    * its Luhn checksum verifies (1 in 10 random digit runs passes by
+    * chance; order numbers, hashes, and timestamps overwhelmingly
+    * don't), so redacting on the raw regex (q66's `<ID>` tier) would
+    * mangle benign identifiers while the validated tier removes
+    * exactly the plausible card numbers. Map-only like the rest of the
+    * PII family: extract candidates, filter through [[luhnValid]],
+    * fold the survivors into `replace`-redactions — no exchange, no
+    * UDF, the whole row pipeline inside one codegen stage. Returns
+    * `(id, n_candidates, n_valid, text_redacted)`. */
+  def redactCards(df: DataFrame, text: String, id: String): DataFrame = {
+    val cands = regexp_extract_all(col(text), lit(CardRe), lit(0))
+    val valid = filter(cands, c => luhnValid(c))
+    df.select(col(id),
+      size(cands).cast(LongType).as("n_candidates"),
+      size(valid).cast(LongType).as("n_valid"),
+      aggregate(valid, col(text),
+        (acc, c) => replace(acc, c, lit("<CARD>"))).as("text_redacted"))
+  }
+
   def redactPii(df: DataFrame, text: String, id: String): DataFrame = {
     val t = col(text)
     // each count runs on the PREVIOUS stage's output (emails gone before

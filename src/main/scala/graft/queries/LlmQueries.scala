@@ -1095,6 +1095,40 @@ object LlmQueries {
     TextOps.redactPii(withPii, "text", "doc_id").orderBy("doc_id")
   }
 
+  /** q209 — CHECKSUM-VALIDATED card redaction ([[TextOps.redactCards]]),
+    * the false-positive tier q66's raw digit-run redaction lacks: docs
+    * ≡ 3 (mod 10) are planted with a Luhn-VALID 16-digit card, docs ≡ 7
+    * with the same payload under a check digit shifted by 5 — same
+    * length, same shape, guaranteed-failing checksum. The gate proves
+    * the validator separates them (n_valid 1 vs 0 at n_candidates 1
+    * for both plants) and that redaction rewrites exactly the valid
+    * plants. The check digit is DERIVED in-plan from the payload by the
+    * same integer higher-order-function arithmetic in both engines, so
+    * the oracle doesn't trust the plant — it recomputes it. */
+  def cardRedactQ(s: SparkSession, d: String): DataFrame = {
+    val payload = lpad(((col("doc_id") * col("doc_id") * 7 + col("doc_id"))
+      % 1000000000000000L).cast("string"), 15, "0")
+    // Luhn sum of the 15-digit payload as it will sit LEFT of the check
+    // digit: payload position q from the right lands at card position
+    // q+1, so q ODD doubles
+    val sSum = aggregate(sequence(lit(1), lit(15)), lit(0L), (acc, q) => {
+      val dig = (ascii(payload.substr(lit(16) - q, lit(1))) - lit(48))
+        .cast("long")
+      val dbl = dig * 2
+      acc + when(pmod(q, lit(2)) === 1,
+        when(dbl > 9, dbl - 9).otherwise(dbl)).otherwise(dig)
+    })
+    val check = pmod(lit(10) - pmod(sSum, lit(10)), lit(10))
+    val planted = docs(s, d).select(col("doc_id"),
+      when(pmod(col("doc_id"), lit(10)) === 3,
+        concat(col("text"), lit(" card "), payload, check.cast("string")))
+        .when(pmod(col("doc_id"), lit(10)) === 7,
+          concat(col("text"), lit(" card "), payload,
+            pmod(check + 5, lit(10)).cast("string")))
+        .otherwise(col("text")).as("text"))
+    TextOps.redactCards(planted, "text", "doc_id").orderBy("doc_id")
+  }
+
   /** q67 token-count keep band (active filter on this corpus: tokens run
     * 10-99, so both tails drop). Repetition/dedup legs pass everything
     * here (500 distinct texts, near-zero 3-gram repetition) but stay in
@@ -2601,6 +2635,19 @@ object LlmQueries {
       .orderBy("node")
   }
 
+  /** q210 — PERSONALIZED PageRank from seed src0 over the q203 graph
+    * ([[graft.operators.Graph.personalizedPageRank]]): all teleport
+    * mass returns to the seed, so the gated vector is link-structure
+    * affinity TO src0 — the frontier-prioritization signal of a topical
+    * crawler. Same unrolled integer replay as q203 with only the start
+    * vector and teleport target changed; hosts unreachable from the
+    * seed gate at exactly 0, the structural zero the float formulation
+    * can't promise. */
+  def pprSeedQ(s: SparkSession, d: String): DataFrame =
+    graft.operators.Graph.personalizedPageRank(
+      hostEdges(s, d), "src", "dst", "w", PrIters, "src0")
+      .orderBy(desc("pr"), col("node"))
+
   // --- KMV bottom-k sketch (q205-q208) ---
 
   /** q205 — per-source KMV sketch ([[Sketch.kmvSketch]]): the 16
@@ -2723,8 +2770,10 @@ object LlmQueries {
     * (pr·85)//100, per-edge contribution via the overflow-safe
     * (damp//W)·w + ((damp%W)·w)//W split, teleport =
     * ((10^12·15)//100)//n. Ends with `pr$PrIters(node, pr)` and
-    * `deg(node, out_w, in_w)` in scope. */
-  private lazy val pageRankCtes: String = {
+    * `deg(node, out_w, in_w)` in scope. `seed = Some(host)` swaps in
+    * the personalized form: all start mass and all teleport mass at the
+    * seed (q210). */
+  private def pageRankCtes(seed: Option[String] = None): String = {
     val scale = graft.operators.Graph.PrScale
     val b = new StringBuilder
     b ++= s"""e0 AS (SELECT source AS src,
@@ -2743,8 +2792,16 @@ object LlmQueries {
        |    coalesce(ow.out_w, 0)::BIGINT AS out_w,
        |    coalesce(iw.in_w, 0)::BIGINT AS in_w
        |  FROM nodes n LEFT JOIN ow USING (node) LEFT JOIN iw USING (node)),
-       |pr0 AS (SELECT node, ($scale // (SELECT n FROM nn))::BIGINT AS pr
+       |pr0 AS (SELECT node, ${seed match {
+         case None => s"($scale // (SELECT n FROM nn))::BIGINT"
+         case Some(h) => s"(CASE WHEN node = '$h' THEN $scale ELSE 0 END)::BIGINT"
+       }} AS pr
        |  FROM deg)""".stripMargin
+    val teleportSql = seed match {
+      case None => s"(($scale * 15) // 100) // (SELECT n FROM nn)"
+      case Some(h) =>
+        s"(CASE WHEN d.node = '$h' THEN ($scale * 15) // 100 ELSE 0 END)"
+    }
     for (r <- 1 to PrIters) {
       b ++= s""",
        |damp$r AS (SELECT p.node AS src, ((p.pr * 85) // 100)::BIGINT AS damp,
@@ -2755,7 +2812,7 @@ object LlmQueries {
        |        + ((t.damp % t.wt) * e.w) // t.wt)::BIGINT AS cin
        |  FROM e JOIN damp$r t ON e.src = t.src GROUP BY 1),
        |pr$r AS MATERIALIZED (SELECT d.node,
-       |    ((($scale * 15) // 100) // (SELECT n FROM nn)
+       |    ($teleportSql
        |      + coalesce(c.cin, 0))::BIGINT AS pr
        |  FROM deg d LEFT JOIN c$r c USING (node))""".stripMargin
     }
@@ -6633,7 +6690,15 @@ object LlmQueries {
     // same integral divisions: iteration order, the overflow-safe
     // per-edge split, and the final ranking all match digit for digit
     "q203_pagerank_hosts" ->
-      s"""WITH $pageRankCtes
+      s"""WITH ${pageRankCtes()}
+         |SELECT d.node, d.out_w, d.in_w, p.pr
+         |FROM deg d JOIN pr$PrIters p USING (node)
+         |ORDER BY p.pr DESC, d.node""".stripMargin,
+
+    // the q203 chain with the start vector and teleport target moved to
+    // the seed — affinity to src0, structural zeros exact
+    "q210_ppr_seed" ->
+      s"""WITH ${pageRankCtes(seed = Some("src0"))}
          |SELECT d.node, d.out_w, d.in_w, p.pr
          |FROM deg d JOIN pr$PrIters p USING (node)
          |ORDER BY p.pr DESC, d.node""".stripMargin,
@@ -6642,7 +6707,7 @@ object LlmQueries {
     // budget-prefix keep-set per host — rank, quota, and applied
     // checksum in one gated row per host
     "q204_authority_quota" ->
-      s"""WITH $pageRankCtes,
+      s"""WITH ${pageRankCtes()},
          |sp AS (SELECT sum(pr)::BIGINT AS s FROM pr$PrIters),
          |tot AS (SELECT count(*)::BIGINT AS n FROM documents),
          |bud AS (SELECT p.node, p.pr,
@@ -7213,6 +7278,49 @@ object LlmQueries {
         |  (CASE WHEN value >= thresh THEN 1 ELSE 0 END)::INTEGER AS kept
         |FROM t JOIN th USING (lang) ORDER BY doc_id""".stripMargin,
 
+    // the check digit recomputed from the payload, the Luhn filter
+    // replayed as list_sum(list_transform(...)), and the redaction fold
+    // as list_reduce — the oracle re-derives the plant, never trusts it
+    "q209_card_redact" ->
+      """WITH pay AS (SELECT doc_id, text,
+        |    lpad(((doc_id * doc_id * 7 + doc_id) % 1000000000000000)::VARCHAR,
+        |      15, '0') AS payload
+        |  FROM documents),
+        |chk AS (SELECT doc_id, text, payload,
+        |    (10 - (list_sum(list_transform(generate_series(1, 15), q ->
+        |      CASE WHEN q % 2 = 1 THEN
+        |        CASE WHEN 2*(ascii(substring(payload, 16 - q, 1)) - 48) > 9
+        |             THEN 2*(ascii(substring(payload, 16 - q, 1)) - 48) - 9
+        |             ELSE 2*(ascii(substring(payload, 16 - q, 1)) - 48) END
+        |      ELSE ascii(substring(payload, 16 - q, 1)) - 48 END)) % 10)) % 10
+        |      AS c
+        |  FROM pay),
+        |planted AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 10 = 3
+        |           THEN text || ' card ' || payload || c::VARCHAR
+        |         WHEN doc_id % 10 = 7
+        |           THEN text || ' card ' || payload || ((c + 5) % 10)::VARCHAR
+        |         ELSE text END AS text
+        |  FROM chk),
+        |ext AS (SELECT doc_id, text,
+        |    regexp_extract_all(text, '[0-9]{16}') AS cands
+        |  FROM planted),
+        |vf AS (SELECT doc_id, text, cands,
+        |    list_filter(cands, cc ->
+        |      list_sum(list_transform(generate_series(1, length(cc)), p ->
+        |        CASE WHEN p % 2 = 0 THEN
+        |          CASE WHEN 2*(ascii(substring(cc, length(cc)-p+1, 1)) - 48) > 9
+        |               THEN 2*(ascii(substring(cc, length(cc)-p+1, 1)) - 48) - 9
+        |               ELSE 2*(ascii(substring(cc, length(cc)-p+1, 1)) - 48) END
+        |        ELSE ascii(substring(cc, length(cc)-p+1, 1)) - 48 END)) % 10 = 0)
+        |      AS valid
+        |  FROM ext)
+        |SELECT doc_id, len(cands)::BIGINT AS n_candidates,
+        |  len(valid)::BIGINT AS n_valid,
+        |  list_reduce(list_prepend(text, valid),
+        |    (acc, cc) -> replace(acc, cc, '<CARD>')) AS text_redacted
+        |FROM vf ORDER BY doc_id""".stripMargin,
+
     "q66_pii_redact" -> {
       // same regexes as TextOps (Java-regex/RE2-common subset); DuckDB
       // regexp_replace needs the explicit 'g' flag Spark implies
@@ -7324,6 +7432,7 @@ object LlmQueries {
     "q202_countmin_join_size" -> countMinJoinSizeQ _,
     "q203_pagerank_hosts" -> pageRankHostsQ _,
     "q204_authority_quota" -> authorityQuotaQ _,
+    "q210_ppr_seed" -> pprSeedQ _,
     "q205_kmv_sketch" -> kmvSketchQ _,
     "q206_kmv_merge" -> kmvMergeQ _,
     "q207_kmv_overlap" -> kmvOverlapQ _,
@@ -7424,6 +7533,7 @@ object LlmQueries {
     "q83_pack_spans" -> packSpansQ _,
     "q65_quantile_filter" -> quantileFilter _,
     "q66_pii_redact" -> piiRedact _,
+    "q209_card_redact" -> cardRedactQ _,
     "q67_curation_pipeline" -> curationPipeline _,
     "q68_source_quota" -> sourceQuota _,
     "q69_token_budget" -> tokenBudget _,

@@ -80,6 +80,31 @@ class GraphSpec extends AnyFunSuite {
     assert(run(edges.repartition(7)) == run(edges.coalesce(1)))
   }
 
+  test("personalized PageRank: one hand-computed seeded round") {
+    // same graph as the first test, all mass starting at seed A:
+    // damp(A) = (10^12*85) div 100 = 850000000000, W = 3
+    //   to B: (damp div 3)*2 + ((damp mod 3)*2) div 3 = 566666666666
+    //   to C: damp div 3 = 283333333333
+    // B and C start at 0 and contribute nothing; teleport 15e10 at A only
+    val got = Graph.personalizedPageRank(
+      Seq(("A", "B", 2L), ("A", "C", 1L), ("B", "C", 1L), ("C", "A", 1L))
+        .toDF("src", "dst", "w"),
+      "src", "dst", "w", iters = 1, seed = "A")
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(got("A") == 150000000000L)
+    assert(got("B") == 566666666666L)
+    assert(got("C") == 283333333333L)
+  }
+
+  test("personalized PageRank: hosts unreachable from the seed rank exactly 0") {
+    val got = Graph.personalizedPageRank(
+      Seq(("A", "B", 1L), ("C", "A", 1L)).toDF("src", "dst", "w"),
+      "src", "dst", "w", iters = 3, seed = "A")
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(got("C") == 0L, "C has no in-path from A: structural zero")
+    assert(got("A") > 0L && got("B") > 0L)
+  }
+
   test("multi-edge rows pre-sum into one weighted edge") {
     // (A,B) listed twice must equal (A,B) with the summed weight
     val split = ranks(Seq(("A", "B", 1L), ("A", "B", 1L), ("B", "A", 2L)), 2)

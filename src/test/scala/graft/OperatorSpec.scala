@@ -1193,6 +1193,38 @@ class OperatorSpec extends AnyFunSuite {
     assert(r.getString(1) == "<EMAIL> wrote" && r.getLong(2) == 1L)
   }
 
+  test("luhnValid: known-valid and check-digit-perturbed numbers separate") {
+    import org.apache.spark.sql.functions.col
+    // 4532015112830366 is Luhn-valid; each single check-digit change fails
+    val rows = ("4532015112830366" +:
+      (0 to 9).filter(_ != 6).map(d => s"453201511283036$d")).zipWithIndex
+      .map { case (s, i) => (i.toLong, s) }
+    val got = rows.toDF("i", "s")
+      .select(col("i"), TextOps.luhnValid(col("s")).as("ok"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(got(0L))
+    (1L to 9L).foreach(i => assert(!got(i), s"row $i must fail Luhn"))
+  }
+
+  test("redactCards: only checksum-valid candidates redact; multiple per doc all fold") {
+    val df = Seq(
+      // one valid, one invalid in the same doc
+      (1L, "pay 4532015112830366 not 1234567812345678 thanks"),
+      // two valid cards both redact (the fold, not a single replace)
+      (2L, "a 4532015112830366 b 4716108999716531 c"),
+      // 15 digits: no candidate at all
+      (3L, "order 453201511283036 shipped"),
+      (4L, "no digits here")
+    ).toDF("doc_id", "text")
+    val r = TextOps.redactCards(df, "text", "doc_id")
+      .collect().map(x => x.getLong(0) ->
+        ((x.getLong(1), x.getLong(2), x.getString(3)))).toMap
+    assert(r(1L) == ((2L, 1L, "pay <CARD> not 1234567812345678 thanks")))
+    assert(r(2L) == ((2L, 2L, "a <CARD> b <CARD> c")))
+    assert(r(3L) == ((0L, 0L, "order 453201511283036 shipped")))
+    assert(r(4L) == ((0L, 0L, "no digits here")))
+  }
+
   test("keepersBy: max-score member wins, ties break to min id, losers listed") {
     val labeled = Seq(
       // component 1: clear max score on a non-minimal id
