@@ -1,0 +1,83 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Large-N evidence run for the graph family (`operators.Graph` —
+  * q203/q204/q210): integer PageRank over a deterministic synthetic
+  * link graph at node/edge counts the sf testdata can't reach.
+  *
+  * Graph: `n` nodes, 4 out-edges per node (4n edge rows). 10% of all
+  * edges point at the planted hub (node 0); the rest spread
+  * xxhash64-uniformly over the full node range. Every node has
+  * out-degree 4, so no dangling mass leaves the system beyond floor
+  * shed.
+  *
+  * Claims under test:
+  *  - the per-round plan is one hash join + one map-side-combinable
+  *    aggregation — 5 rounds over 4M edges complete in seconds on one
+  *    box, and nothing in the plan is node-count-bounded memory;
+  *  - the planted hub is recovered as the top-ranked node with a rank
+  *    far above uniform (require-gated);
+  *  - total mass stays ≤ PrScale after every round (the floors-only-
+  *    shed invariant, require-gated at this n);
+  *  - personalized PageRank from the hub concentrates: the seed's own
+  *    rank dominates the uniform share (require-gated).
+  *
+  * Usage: `sbt "runMain graft.tools.GraphBench [nNodes]"` (default
+  * 1_000_000). Results recorded in BASELINE.md and
+  * `bench/large_graph.txt`.
+  */
+object GraphBench {
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toLong).getOrElse(1000000L)
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "64")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    def time[A](name: String)(f: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val r = f
+      val s = (System.nanoTime() - t0) / 1e9
+      println(f"$name%-52s $s%9.2f s"); (r, s)
+    }
+    import graft.operators.Graph
+
+    println(s"n = $n nodes, ${4 * n} edges, hub share 10%, 5 rounds")
+    val edges = spark.range(4 * n).select(
+      (col("id") / 4).cast("long").as("src"),
+      when(pmod(xxhash64(col("id")), lit(10)) === 0, lit(0L))
+        .otherwise(pmod(xxhash64(col("id") * 31 + 7), lit(n))).as("dst"),
+      lit(1L).as("w"))
+
+    val (ranked, tPr) = time("pageRank: 5 rounds, 4M weighted edges") {
+      val pr = Graph.pageRank(edges, "src", "dst", "w", iters = 5)
+      pr.orderBy(desc("pr"), col("node")).limit(5).collect()
+    }
+    val (mass, _) = time("mass audit (full aggregate)") {
+      Graph.pageRank(edges, "src", "dst", "w", iters = 5)
+        .agg(sum("pr")).collect().head.getLong(0)
+    }
+    val uniform = Graph.PrScale / n
+    println(f"top-5: ${ranked.map(r => s"${r.getLong(0)}:${r.getLong(3)}").mkString(", ")}")
+    println(f"mass = $mass (scale ${Graph.PrScale}), uniform share = $uniform")
+    require(ranked.head.getLong(0) == 0L, "planted hub must rank #1")
+    require(ranked.head.getLong(3) > 20L * uniform,
+      s"hub rank ${ranked.head.getLong(3)} not far above uniform $uniform")
+    require(mass <= Graph.PrScale, s"mass $mass exceeds the scale")
+    require(mass > Graph.PrScale * 9L / 10L, s"implausible shed: $mass")
+
+    val (seedTop, tPpr) = time("personalizedPageRank from the hub") {
+      Graph.personalizedPageRank(edges, "src", "dst", "w", 5, seed = "0")
+        .orderBy(desc("pr")).limit(1).collect().head
+    }
+    println(s"ppr top: node ${seedTop.getLong(0)} pr ${seedTop.getLong(3)}")
+    require(seedTop.getLong(0) == 0L && seedTop.getLong(3) > 20L * uniform,
+      "seed must dominate its own affinity vector")
+
+    println(f"TOTAL pagerank $tPr%.2f s, ppr $tPpr%.2f s at n=$n")
+    spark.stop()
+  }
+}
