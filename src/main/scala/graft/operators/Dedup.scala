@@ -1310,4 +1310,48 @@ object Dedup {
           (col("na") + col("nb") - coalesce(col("n_inter"), lit(0))), 6)
           .as("jaccard"))
   }
+  /** Snapshot DIFF — corpus version accounting between two ingests of a
+    * continuously refreshed crawl: which documents were ADDED, REMOVED,
+    * CHANGED (same id, different content), or UNCHANGED, summarized per
+    * `by` group. This is the bookkeeping stage every refresh pipeline
+    * runs before incremental dedup (q61) and index maintenance — it
+    * decides what re-enters those pipelines at all.
+    *
+    * Scale shape: each snapshot reduces to `(id, by…, 8-byte content
+    * hash)` map-side, so the one exchange of the full-outer join on the
+    * id carries ~24 B/row however wide the documents are (the q29
+    * shuffle-payload discipline); the status classification and the
+    * group rollup are then a map + one bounded aggregate. Content
+    * equality is the portable md5-derived hash (seed [[SnapDiffSeed]]),
+    * so the DuckDB oracle replays the diff bit for bit; collision odds
+    * ~2^-60 per pair, the family's standard trade.
+    *
+    * Returns one row per `(by…, status)`:
+    * `(by…, status, n, id_sum)` — `id_sum` is the keyed checksum that
+    * makes the gate sensitive to WHICH documents carry each status, not
+    * just how many. Group columns come from the side that still exists
+    * (new wins for changed/unchanged — a changed doc may have MOVED
+    * groups; the diff reports its current home). */
+  def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame, id: String,
+      text: String, by: Seq[String]): DataFrame = {
+    val a = oldSnap.select(Seq(col(id)) ++
+      by.map(c => col(c).as(s"__a_$c")) :+
+      TextOps.portableHash(col(text), SnapDiffSeed).as("__ha"): _*)
+    val b = newSnap.select(Seq(col(id)) ++
+      by.map(c => col(c).as(s"__b_$c")) :+
+      TextOps.portableHash(col(text), SnapDiffSeed).as("__hb"): _*)
+    val status = when(col("__ha").isNull, lit("added"))
+      .when(col("__hb").isNull, lit("removed"))
+      .when(col("__ha") =!= col("__hb"), lit("changed"))
+      .otherwise(lit("unchanged"))
+    a.join(b, Seq(id), "full_outer")
+      .select(Seq(col(id), status.as("status")) ++
+        by.map(c => coalesce(col(s"__b_$c"), col(s"__a_$c")).as(c)): _*)
+      .groupBy(by.map(col) :+ col("status"): _*)
+      .agg(count(lit(1)).as("n"), sum(col(id)).as("id_sum"))
+  }
+
+  /** Hash seed of the snapshot-diff family (fresh vs Dedup 1–13, CJK 41,
+    * Pocket 53, CM 61, HLL 67, KMV 71). */
+  val SnapDiffSeed = 73
 }

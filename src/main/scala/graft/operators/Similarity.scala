@@ -654,6 +654,31 @@ object Similarity {
       .where(col("rank") <= k)
   }
 
+  /** HARD-NEGATIVE mining for contrastive training (the FaceNet/triplet
+    * discipline, Schroff et al. 2015, arXiv:1503.03832; the in-batch
+    * negative selection every embedding-model pipeline runs at corpus
+    * scale): per query, the top-k most-similar corpus vectors with a
+    * DIFFERENT label — the semantically closest non-matches, the pairs
+    * that carry the most gradient. Identical one-scan batched shape as
+    * [[bruteForceTopKBatch]] (broadcast queries, per-query rank window,
+    * never a global sort) with the label anti-filter applied BEFORE the
+    * cosine so mismatched rows never reach the window. At 100 TB the
+    * brute-force scan swaps for the IVF probe ([[ivfSearchIndexedBatch]])
+    * with the same label filter; the mining semantics don't change. */
+  def hardNegatives(vecs: DataFrame, queries: DataFrame, id: String,
+      emb: String, label: String, k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("cos").desc, col(id))
+    vecs.crossJoin(broadcast(queries.select(col(id).as("q_id"),
+        col(emb).as("qe"), col(label).as("q_label"))))
+      .where(col(label) =!= col("q_label"))
+      .select(col("q_id"), col(id), col(label),
+        round(cosine(col(emb).cast("array<double>"),
+          col("qe").cast("array<double>")), 4).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+  }
+
   /** Matryoshka-truncation retrieval audit (Kusupati et al. 2022,
     * arXiv:2205.13147): recall@k of brute-force retrieval under the
     * FIRST `dim` embedding dimensions against the full-dimension

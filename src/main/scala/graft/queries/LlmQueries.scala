@@ -2734,6 +2734,40 @@ object LlmQueries {
       .select(col("source"), col("pos").cast("long").as("pos"), col("h"))
       .orderBy("source", "pos")
 
+  /** q211 — snapshot DIFF between two crawl ingests
+    * ([[Dedup.snapshotDiff]]): v1 is the corpus minus every 7th doc
+    * with every 5th doc's text at an older revision; v2 is the corpus
+    * minus doc_id ≡ 3 (mod 11) — so all four statuses occur (added =
+    * the 7ths that are in v2, removed = the 11-drops that were in v1,
+    * changed = the 5ths present in both, unchanged = the rest), and the
+    * per-source `(n, id_sum)` rollup gates WHICH docs carry each
+    * status. The one exchange carries (id, source, 8 B content hash);
+    * the oracle replays hash, full-outer join, and classification. */
+  def snapshotDiffQ(s: SparkSession, d: String): DataFrame = {
+    val dd = docs(s, d)
+    val v1 = dd.where(pmod(col("doc_id"), lit(7)) =!= 0)
+      .select(col("doc_id"), col("source"),
+        when(pmod(col("doc_id"), lit(5)) === 0,
+          concat(col("text"), lit(" v1"))).otherwise(col("text")).as("text"))
+    val v2 = dd.where(pmod(col("doc_id"), lit(11)) =!= 3)
+      .select(col("doc_id"), col("source"), col("text"))
+    Dedup.snapshotDiff(v1, v2, "doc_id", "text", Seq("source"))
+      .orderBy("source", "status")
+  }
+
+  /** q212 — HARD-NEGATIVE mining ([[Similarity.hardNegatives]]): for
+    * each of three query vectors, the exact top-5 most-cosine-similar
+    * corpus vectors with a DIFFERENT label — the contrastive-training
+    * pair miner (closest non-matches carry the most gradient). One
+    * corpus scan, label filter before the per-query rank window; the
+    * oracle replays score, filter, and window. */
+  def hardNegativesQ(s: SparkSession, d: String): DataFrame = {
+    val v = embs(s, d)
+    Similarity.hardNegatives(v, v.where(col("vec_id") < 3),
+        "vec_id", "embedding", "label", 5)
+      .orderBy("q_id", "rank")
+  }
+
   /** The Z-ordered events layout (memoized per session):
     * [[graft.sources.Layout.writeZOrdered]] on (user_id, ts_us) —
     * nanos truncated to µs FIRST so both engines bucket identical
@@ -6728,6 +6762,48 @@ object LlmQueries {
          |FROM ph JOIN bud b USING (node) LEFT JOIN kept k USING (node)
          |ORDER BY node""".stripMargin,
 
+    // hash, full-outer join, and status classification replayed — the
+    // per-source (n, id_sum) rollup is sensitive to WHICH docs changed
+    "q211_snapshot_diff" -> {
+      val h1 = pHash("73", "text")
+      s"""WITH v1 AS (SELECT doc_id, source,
+         |    CASE WHEN doc_id % 5 = 0 THEN text || ' v1' ELSE text END AS text
+         |  FROM documents WHERE doc_id % 7 <> 0),
+         |v2 AS (SELECT doc_id, source, text
+         |  FROM documents WHERE doc_id % 11 <> 3),
+         |a AS (SELECT doc_id, source, ($h1) AS ha FROM v1),
+         |b AS (SELECT doc_id, source, ($h1) AS hb FROM v2),
+         |j AS (SELECT coalesce(b.source, a.source) AS source,
+         |    coalesce(a.doc_id, b.doc_id) AS doc_id,
+         |    CASE WHEN a.ha IS NULL THEN 'added'
+         |         WHEN b.hb IS NULL THEN 'removed'
+         |         WHEN a.ha <> b.hb THEN 'changed'
+         |         ELSE 'unchanged' END AS status
+         |  FROM a FULL JOIN b ON a.doc_id = b.doc_id)
+         |SELECT source, status, count(*)::BIGINT AS n,
+         |  sum(doc_id)::BIGINT AS id_sum
+         |FROM j GROUP BY 1, 2 ORDER BY source, status""".stripMargin
+    },
+
+    // the q78 batched-retrieval replay with the different-label filter
+    // applied before the rank window — closest non-matches, exact
+    "q212_hard_negatives" ->
+      """WITH ex AS (SELECT vec_id, label, i, embedding[i]::DOUBLE AS v
+        |  FROM embeddings CROSS JOIN generate_series(1, 64) t(i)),
+        |q AS (SELECT vec_id AS q_id, label AS q_label, i, v AS qv
+        |  FROM ex WHERE vec_id < 3),
+        |sc AS (SELECT q.q_id, e.vec_id, e.label,
+        |    round(sum(e.v * q.qv) / sqrt(sum(e.v * e.v))
+        |      / sqrt(sum(q.qv * q.qv)), 4) AS cos
+        |  FROM ex e JOIN q ON q.i = e.i AND e.label <> q.q_label
+        |  GROUP BY q.q_id, e.vec_id, e.label),
+        |r AS (SELECT q_id, vec_id, label, cos,
+        |    row_number() OVER (PARTITION BY q_id
+        |      ORDER BY cos DESC, vec_id)::INTEGER AS rank
+        |  FROM sc)
+        |SELECT q_id, vec_id, label, cos, rank FROM r WHERE rank <= 5
+        |ORDER BY q_id, rank""".stripMargin,
+
     // the sample rebuilt with ONE direct window over the distinct
     // hashes — matching Spark's two-phase bucketed bottom-k proves the
     // phase split exact, not just plausible
@@ -7433,6 +7509,8 @@ object LlmQueries {
     "q203_pagerank_hosts" -> pageRankHostsQ _,
     "q204_authority_quota" -> authorityQuotaQ _,
     "q210_ppr_seed" -> pprSeedQ _,
+    "q211_snapshot_diff" -> snapshotDiffQ _,
+    "q212_hard_negatives" -> hardNegativesQ _,
     "q205_kmv_sketch" -> kmvSketchQ _,
     "q206_kmv_merge" -> kmvMergeQ _,
     "q207_kmv_overlap" -> kmvOverlapQ _,

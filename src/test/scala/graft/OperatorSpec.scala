@@ -1225,6 +1225,45 @@ class OperatorSpec extends AnyFunSuite {
     assert(r(4L) == ((0L, 0L, "no digits here")))
   }
 
+  test("snapshotDiff: all four statuses classify; a changed doc reports its NEW group") {
+    val v1 = Seq(
+      (1L, "g1", "same"), (2L, "g1", "old text"), (3L, "g2", "gone"),
+      (5L, "g1", "moved body")
+    ).toDF("id", "g", "text")
+    val v2 = Seq(
+      (1L, "g1", "same"), (2L, "g1", "new text"), (4L, "g2", "fresh"),
+      (5L, "g2", "moved body CHANGED")
+    ).toDF("id", "g", "text")
+    val r = graft.operators.Dedup.snapshotDiff(v1, v2, "id", "text", Seq("g"))
+      .collect().map(x => (x.getString(0), x.getString(1)) ->
+        ((x.getLong(2), x.getLong(3)))).toMap
+    assert(r(("g1", "unchanged")) == ((1L, 1L)))
+    assert(r(("g1", "changed")) == ((1L, 2L)))
+    assert(r(("g2", "removed")) == ((1L, 3L)))
+    assert(r(("g2", "added")) == ((1L, 4L)))
+    // doc 5 changed AND moved g1 -> g2: reported under its current home
+    assert(r(("g2", "changed")) == ((1L, 5L)))
+    assert(r.size == 5)
+  }
+
+  test("hardNegatives: only different-label vectors rank; order by cosine") {
+    // query 0 (label 0) along axis-1; same-label near-twin must be
+    // EXCLUDED even though it is the most similar vector in the corpus
+    val rows = Seq(
+      (0L, Seq(1f, 0f, 0f), 0),
+      (1L, Seq(1f, 0.01f, 0f), 0),  // same label: excluded
+      (2L, Seq(1f, 1f, 0f), 1),     // cos ~0.7071
+      (3L, Seq(0.9f, 0.1f, 0f), 2), // cos ~0.9939 -> top negative
+      (4L, Seq(0f, 1f, 0f), 1)      // cos 0
+    ).toDF("vec_id", "embedding", "label")
+    val got = graft.operators.Similarity.hardNegatives(
+      rows, rows.where($"vec_id" === 0), "vec_id", "embedding", "label", 3)
+      .orderBy("rank")
+      .collect().map(r => (r.getLong(1), r.getInt(2), r.getInt(4)))
+    assert(got.toSeq == Seq((3L, 2, 1), (2L, 1, 2), (4L, 1, 3)),
+      s"got ${got.toSeq}")
+  }
+
   test("keepersBy: max-score member wins, ties break to min id, losers listed") {
     val labeled = Seq(
       // component 1: clear max score on a non-minimal id
