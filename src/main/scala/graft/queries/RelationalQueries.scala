@@ -614,6 +614,28 @@ object RelationalQueries {
         round(col("sum_qty_raw"), 2).as("sum_qty"), col("n"), col("max_price"))
       .orderBy("l_returnflag")
 
+  /** q213 — BLOOM-REDUCED selective join ([[Skew.bloomReducedJoin]]):
+    * lineitem ⋈ part on the part key, with the dimension filtered to
+    * p_size = 1 (~2% of parts) — the regime where pruning the fact
+    * exchange pays. The fact side is projected to the three needed
+    * columns BEFORE the prefilter (the typed filter is a pushdown
+    * boundary; the projection keeps the scan narrow). Result is gated
+    * against the plain SQL join — the filter must change the plan,
+    * never the answer; SkewSpec measures the fact-exchange reduction
+    * with broadcast disabled. */
+  def bloomJoin(s: SparkSession, d: String): DataFrame = {
+    val fact = t(s, d, "lineitem")
+      .select("l_partkey", "l_quantity", "l_extendedprice")
+    val dim = t(s, d, "part").where(col("p_size") === 1)
+      .select("p_partkey", "p_brand")
+    Skew.bloomReducedJoin(fact, dim, "l_partkey", "p_partkey")
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n_items"),
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_price"))
+      .orderBy("p_brand")
+  }
+
   /** q181 — bucket CO-LOCATED join ([[graft.sources.Bucketed]]): both
     * fact tables written bucket-sorted on their order keys, so the
     * sort-merge join plans with ZERO shuffle exchanges — the layout the
@@ -1104,6 +1126,16 @@ object RelationalQueries {
         |  count(*) AS n, max(l_extendedprice) AS max_price
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
+    // the bloom prefilter changes the PLAN (the fact exchange), never
+    // the answer: the oracle is the plain selective join
+    "q213_bloom_join" ->
+      """SELECT p_brand, count(*)::BIGINT AS n_items,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_price
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_size = 1
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+
     // the bucketed layout changes the PLAN, never the answer: the oracle
     // is the plain join aggregate over the raw parquet
     "q181_bucketed_join" ->
@@ -1149,6 +1181,7 @@ object RelationalQueries {
     "q46_pivot" -> pivotAgg _,
     "q47_cp_multiseries" -> cpMultiSeries _,
     "q48_skew_salted_agg" -> skewSaltedAgg _,
+    "q213_bloom_join" -> bloomJoin _,
     "q181_bucketed_join" -> bucketedJoin _,
     "q49_sketch_tolerance" -> sketchTolerance _,
   )

@@ -37,4 +37,58 @@ class SkewSpec extends AnyFunSuite {
       .agg(count(lit(1)), sum("v")).head()
     assert(salted == plain)
   }
+
+  test("bloomReducedJoin equals the plain join and shrinks the fact exchange by the dim's selectivity") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    // 50k fact rows over 5k keys; dim holds 2% of the key space as a
+    // LITERAL key list — a key-predicate-derived dim would let
+    // InferFiltersFromConstraints push the selection through the join
+    // onto the fact statically (measured: both plans then shuffle the
+    // same 1000 rows), which is exactly what a real dimension table's
+    // non-key filter (q213's p_size = 1) cannot do
+    val bigFact = spark.range(50000).select(
+      pmod(col("id") * 31 + 7, lit(5000)).as("fk"),
+      (col("id") % 100).cast("double").as("v"))
+    val dim = (0 until 100)
+      .map(i => ((i.toLong * i * 37 + i) % 5000, s"g${i % 7}"))
+      .distinct.toDF("dk", "g")
+    // runs the aggregated frame once, returning both the answer map and
+    // the summed dataSize of every exchange that carries the fact key
+    def run(df: org.apache.spark.sql.DataFrame)
+        : (Map[String, (Long, Double)], Long) = {
+      val m = df.collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+      val bytes = graft.plans.PlanWalk.flatten(df.queryExecution.executedPlan)
+        .collect { case s: ShuffleExchangeLike
+          if s.output.exists(_.name == "fk") => s }
+        .map(_.metrics.get("dataSize").map(_.value).getOrElse(0L)).sum
+      (m, bytes)
+    }
+    // the baseline must be the UNFILTERED shuffle: Spark's own runtime
+    // bloom filter also prunes this join at test scale (measured —
+    // without disabling it, plain and reduced both shuffle the same
+    // 1000 survivor rows). The explicit operator exists for the regime
+    // the built-in abandons: its filter is silently clamped to
+    // runtime.bloomFilter.maxNumBits (2^26), useless past ~10^7 dim
+    // keys (tools.BloomBench), while the sketch-API build sizes itself.
+    val conf = spark.conf
+    val prevB = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val rfKey = "spark.sql.optimizer.runtime.bloomFilter.enabled"
+    val prevRf = conf.get(rfKey)
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set(rfKey, "false")
+      val (rm, rb) = run(Skew.bloomReducedJoin(bigFact, dim, "fk", "dk")
+        .groupBy("g").agg(count(lit(1)).as("n"), sum("v").as("sv")))
+      val (pm, pb) = run(bigFact.join(dim, bigFact("fk") === dim("dk"))
+        .groupBy("g").agg(count(lit(1)).as("n"), sum("v").as("sv")))
+      assert(rm == pm, "prefilter must not change the answer")
+      assert(pb > 0, "plain join must shuffle the fact side under -1 threshold")
+      assert(rb < pb / 4,
+        s"bloom prefilter shed too little: reduced $rb vs plain $pb bytes")
+    } finally {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", prevB)
+      conf.set(rfKey, prevRf)
+    }
+  }
 }
