@@ -46,6 +46,36 @@ object Skew {
     pruned.join(dim, pruned(factKey) === dim(dimKey))
   }
 
+  /** SKETCH-DRIVEN salting plan — the decision [[saltedAgg]] needs,
+    * priced from fixed sketch state instead of a full scan: for each
+    * candidate key, its count-min estimate and the number of salts that
+    * keeps any single reducer's share of that key under one balanced
+    * partition's worth, `salts = min(ceil(est / T), parts)` with
+    * `T = ceil(total / parts)`. Everything is exact integer arithmetic
+    * over the (≤ depth×width)-row sketch plus one count — at 100 TB the
+    * planner reads ~4 KB of maintained sketch (q198) and a running
+    * total, touches no data, and emits the per-key salt factors before
+    * committing to the shuffle. Count-min never undercounts, so a salt
+    * factor is never too small for a true hot key — estimates can only
+    * over-salt, which costs a few extra partials, not a hot reducer.
+    *
+    * Returns `(key, n_cm, salts)` for every candidate key. Candidates
+    * come from the caller (exact vocabulary at test scale; the
+    * maintained heavy-hitter probe at corpus scale — q192's shape). */
+  def saltPlanFromSketch(cells: DataFrame, keys: DataFrame, key: String,
+      depth: Int, width: Int, parts: Int): DataFrame = {
+    require(parts >= 1, s"need parts >= 1, got $parts")
+    val total = cells.where(col("d") === 0).agg(sum("cnt").as("__total"))
+    val est = graft.operators.Sketch.cmEstimate(cells, keys, key, depth, width)
+    val t = graft.operators.Graph.idiv(
+      col("__total") + lit(parts - 1), lit(parts.toLong))
+    est.crossJoin(broadcast(total))
+      .select(col(key),
+        col("n_cm"),
+        least(graft.operators.Graph.idiv(col("n_cm") + t - 1, t),
+          lit(parts.toLong)).as("salts"))
+  }
+
   /** One aggregate in a salted two-phase plan: `partial` runs per
     * (key, salt), `fin` recombines partials per key — e.g. sum/sum,
     * count/sum, max/max. */

@@ -1434,6 +1434,35 @@ object TextOps {
       .drop("__heavy")
   }
 
+  /** HTML tag pattern — lookaround-free (RE2-common subset, the
+    * [[CardRe]] rule) so the oracle scans with the identical regex. */
+  val HtmlTagRe = "<[^>]*>"
+
+  /** HTML STRIP — the text-extraction stage between raw crawl payloads
+    * and every text operator in this file (tokenize/quality/dedup all
+    * assume plain text; run on raw HTML they'd count tag soup as
+    * vocabulary). Tags become single spaces (so `a</p><p>b` cannot fuse
+    * into one token), the five standard entities plus `&nbsp;` decode
+    * (in `&amp;`-LAST order — decoding it first would double-decode
+    * `&amp;lt;`, the classic bug), and whitespace collapses. Map-only
+    * codegen'd regexp/replace chain, zero UDFs, replayed verbatim in
+    * the oracle. Returns `(id, n_tags, text_clean)`. A full parser this
+    * is not (CDATA, comments, script bodies survive as text) — it is
+    * the regex tier production pipelines run BEFORE a DOM-based
+    * boilerplate pass ([[dropBoilerplateLines]] is that next tier
+    * here). */
+  def stripHtml(df: DataFrame, text: String, id: String): DataFrame = {
+    val t = col(text)
+    val noTags = regexp_replace(t, HtmlTagRe, " ")
+    val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (ent, ch)) => replace(c, lit(ent), lit(ch)) }
+    df.select(col(id),
+      size(regexp_extract_all(t, lit(HtmlTagRe), lit(0))).cast(LongType)
+        .as("n_tags"),
+      trim(regexp_replace(decoded, "\\s+", " ")).as("text_clean"))
+  }
+
   /** Card-number candidate pattern: a plain 16-digit run. Deliberately
     * lookaround-free — Spark regexes are java.util.regex but DuckDB's
     * are RE2 (no lookbehind), and the oracle must scan with the

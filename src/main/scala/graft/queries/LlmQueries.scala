@@ -1129,6 +1129,25 @@ object LlmQueries {
     TextOps.redactCards(planted, "text", "doc_id").orderBy("doc_id")
   }
 
+  /** q215 — HTML strip ([[TextOps.stripHtml]]), the extraction stage
+    * before any text operator sees a crawl payload: a third of the
+    * docs are planted inside a tag wrapper with entity-escaped
+    * punctuation, a third get a stray `&nbsp;`, a third stay plain —
+    * the gate proves tags become token boundaries (not fusions), the
+    * entity chain decodes in the `&amp;`-last order (so `&amp;` in
+    * source text can't double-decode an escaped `&lt;`), and clean
+    * docs pass through byte-identical modulo whitespace collapse. */
+  def htmlStripQ(s: SparkSession, d: String): DataFrame = {
+    val planted = docs(s, d).select(col("doc_id"),
+      when(pmod(col("doc_id"), lit(3)) === 0,
+        concat(lit("<div class=\"x\"><p>"), col("text"),
+          lit("</p> &amp; more &lt;raw&gt;</div>")))
+        .when(pmod(col("doc_id"), lit(3)) === 1,
+          concat(col("text"), lit(" &nbsp;ok")))
+        .otherwise(col("text")).as("text"))
+    TextOps.stripHtml(planted, "text", "doc_id").orderBy("doc_id")
+  }
+
   /** q67 token-count keep band (active filter on this corpus: tokens run
     * 10-99, so both tails drop). Repetition/dedup legs pass everything
     * here (500 distinct texts, near-zero 3-gram repetition) but stay in
@@ -2464,6 +2483,24 @@ object LlmQueries {
     * ingest. */
   def hllMaintainedQ(s: SparkSession, d: String): DataFrame =
     Sketch.hllRead(s, hllMaintCache(s, d), Nil).orderBy("idx")
+
+  /** q214 — SKETCH-DRIVEN salting plan ([[graft.operators.Skew
+    * .saltPlanFromSketch]]): the q48 salted-aggregation decision priced
+    * from the q192 sketch instead of a scan — per word, the count-min
+    * estimate and `min(ceil(est/T), 32)` salts with `T = ceil(total/32)`
+    * (one balanced partition's share). All integer arithmetic over the
+    * 64-cell sketch plus one counter, replayed exactly; over-estimates
+    * can only over-salt (count-min never undercounts), so no true hot
+    * key is ever under-split. Candidates here are the exact vocabulary;
+    * at corpus scale they come from the maintained heavy-hitter probe
+    * (q198) and the plan still touches no data. */
+  def saltPlanQ(s: SparkSession, d: String): DataFrame = {
+    val toks = wordStream(s, d)
+    val cells = Sketch.countMinCells(toks, "w", CmDepth, CmWidth)
+    graft.operators.Skew.saltPlanFromSketch(
+        cells, toks.select("w").distinct(), "w", CmDepth, CmWidth, parts = 32)
+      .orderBy(desc("n_cm"), col("w"))
+  }
 
   /** q193 — sketch MERGE distributivity ([[Sketch.cmMerge]]): sketch
     * the even-doc and odd-doc halves of the corpus separately, merge
@@ -6631,6 +6668,51 @@ object LlmQueries {
     // portable hashing makes the estimates deterministic, not just bounded
     "q192_countmin_words" -> cmWordsOracleSql,
 
+    // sketch + total + integer ceil-divisions replayed: the salt plan a
+    // 100 TB shuffle is priced with, from 64 cells and one counter
+    "q214_salt_plan" -> {
+      val cellH = pHash("61", "g.d::VARCHAR || ':' || w.w")
+      val probeH = pHash("61", "g.d::VARCHAR || ':' || k.w")
+      s"""WITH w AS (SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+         |    FROM documents),
+         |cells AS (SELECT g.d, ($cellH % $CmWidth) AS cell,
+         |    count(*)::BIGINT AS cnt
+         |  FROM w CROSS JOIN generate_series(0, 3) g(d) GROUP BY 1, 2),
+         |tot AS (SELECT sum(cnt)::BIGINT AS total FROM cells WHERE d = 0),
+         |keys AS (SELECT DISTINCT w FROM w),
+         |probes AS (SELECT k.w, g.d, ($probeH % $CmWidth) AS cell
+         |  FROM keys k CROSS JOIN generate_series(0, 3) g(d)),
+         |est AS (SELECT p.w, min(coalesce(c.cnt, 0))::BIGINT AS n_cm
+         |  FROM probes p LEFT JOIN cells c ON c.d = p.d AND c.cell = p.cell
+         |  GROUP BY p.w),
+         |tt AS (SELECT ((total + 31) // 32) AS t FROM tot)
+         |SELECT e.w, e.n_cm, least((e.n_cm + t - 1) // t, 32)::BIGINT AS salts
+         |FROM est e CROSS JOIN tt ORDER BY e.n_cm DESC, e.w""".stripMargin
+    },
+
+    // tag regex, entity chain (same &amp;-last order), and whitespace
+    // collapse replayed verbatim; DuckDB regexp_replace needs the 'g'
+    // flag Spark implies
+    "q215_html_strip" ->
+      """WITH p AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN '<div class="x"><p>' || text ||
+        |           '</p> &amp; more &lt;raw&gt;</div>'
+        |         WHEN doc_id % 3 = 1 THEN text || ' &nbsp;ok'
+        |         ELSE text END AS t
+        |  FROM documents),
+        |s1 AS (SELECT doc_id,
+        |    len(regexp_extract_all(t, '<[^>]*>'))::BIGINT AS n_tags,
+        |    regexp_replace(t, '<[^>]*>', ' ', 'g') AS c
+        |  FROM p),
+        |s2 AS (SELECT doc_id, n_tags,
+        |    replace(replace(replace(replace(replace(replace(c,
+        |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+        |      '&nbsp;', ' '), '&amp;', '&') AS c2
+        |  FROM s1)
+        |SELECT doc_id, n_tags,
+        |  trim(regexp_replace(c2, '\s+', ' ', 'g')) AS text_clean
+        |FROM s2 ORDER BY doc_id""".stripMargin,
+
     // VERBATIM the q192 oracle: the Spark side reads its cells back from
     // the persisted two-batch append path — matching the whole-corpus
     // rebuild proves maintained == direct through the oracle
@@ -7511,6 +7593,8 @@ object LlmQueries {
     "q210_ppr_seed" -> pprSeedQ _,
     "q211_snapshot_diff" -> snapshotDiffQ _,
     "q212_hard_negatives" -> hardNegativesQ _,
+    "q214_salt_plan" -> saltPlanQ _,
+    "q215_html_strip" -> htmlStripQ _,
     "q205_kmv_sketch" -> kmvSketchQ _,
     "q206_kmv_merge" -> kmvMergeQ _,
     "q207_kmv_overlap" -> kmvOverlapQ _,

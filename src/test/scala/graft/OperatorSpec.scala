@@ -1193,6 +1193,21 @@ class OperatorSpec extends AnyFunSuite {
     assert(r.getString(1) == "<EMAIL> wrote" && r.getLong(2) == 1L)
   }
 
+  test("stripHtml: tags become boundaries, entities decode amp-last, clean text passes through") {
+    val df = Seq(
+      (1L, "<p>a</p><p>b</p>"),             // tags must NOT fuse a and b
+      (2L, "x &amp;lt; y"),                  // literal "&lt;" in source: ONE decode
+      (3L, "<a href=\"u\">link</a> &quot;q&quot; &#39;s&#39;"),
+      (4L, "plain  text   here")             // only whitespace collapse
+    ).toDF("doc_id", "text")
+    val r = TextOps.stripHtml(df, "text", "doc_id")
+      .collect().map(x => x.getLong(0) -> ((x.getLong(1), x.getString(2)))).toMap
+    assert(r(1L) == ((4L, "a b")))
+    assert(r(2L) == ((0L, "x &lt; y")), "amp-last decode must not cascade")
+    assert(r(3L) == ((2L, "link \"q\" 's'")))
+    assert(r(4L) == ((0L, "plain text here")))
+  }
+
   test("luhnValid: known-valid and check-digit-perturbed numbers separate") {
     import org.apache.spark.sql.functions.col
     // 4532015112830366 is Luhn-valid; each single check-digit change fails

@@ -38,6 +38,28 @@ class SkewSpec extends AnyFunSuite {
     assert(salted == plain)
   }
 
+  test("saltPlanFromSketch: hand-computed salts in the exact (wide-sketch) regime") {
+    import graft.operators.Sketch
+    // 80 hot + 16 mid + 4 tail = 100 occurrences; wide sketch -> exact
+    // estimates; parts = 10 -> T = ceil(100/10) = 10
+    val toks = (Seq.fill(80)("hot") ++ Seq.fill(16)("mid") ++
+      Seq.fill(4)("tail")).toDF("w")
+    val cells = Sketch.countMinCells(toks, "w", depth = 4, width = 4096)
+    val plan = Skew.saltPlanFromSketch(cells, toks.select("w").distinct(),
+        "w", 4, 4096, parts = 10)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(plan("hot") == ((80L, 8L)))   // ceil(80/10) = 8
+    assert(plan("mid") == ((16L, 2L)))   // ceil(16/10) = 2
+    assert(plan("tail") == ((4L, 1L)))   // ceil(4/10)  = 1, never 0
+    // the parts cap engages when one key IS the whole stream
+    val one = Seq.fill(50)("only").toDF("w")
+    val c1 = Sketch.countMinCells(one, "w", 4, 4096)
+    val p1 = Skew.saltPlanFromSketch(c1, one.distinct(), "w", 4, 4096, 10)
+      .collect().head
+    assert(p1.getLong(2) == 10L, "salts must cap at parts")
+  }
+
   test("bloomReducedJoin equals the plain join and shrinks the fact exchange by the dim's selectivity") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
     // 50k fact rows over 5k keys; dim holds 2% of the key space as a
