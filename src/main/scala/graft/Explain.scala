@@ -82,7 +82,11 @@ object Explain {
       "q188_tokenizer_fertility", "q189_quality_calibration",
       "q190_vocab_growth", "q191_shard_manifest",
       "q192_countmin_words", "q194_zorder_box",
-      "q195_hll_registers", "q197_zorder_box_general")
+      "q195_hll_registers", "q197_zorder_box_general",
+      "q203_pagerank_hosts", "q204_authority_quota", "q205_kmv_sketch",
+      "q207_kmv_overlap", "q209_card_redact", "q210_ppr_seed",
+      "q211_snapshot_diff", "q212_hard_negatives", "q213_bloom_join",
+      "q214_salt_plan", "q215_html_strip")
     val sb = new StringBuilder(
       s"# PLANS — physical plans of headline queries ($sfDir)\n\n" +
         "Generated by `runMain graft.Explain`. The properties PlanSpec pins\n" +
