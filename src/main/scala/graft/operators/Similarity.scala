@@ -654,6 +654,44 @@ object Similarity {
       .where(col("rank") <= k)
   }
 
+  /** RRF fixed-point scale: contributions are `RrfScale div (K + rank)`
+    * — 10^9 keeps ~7 significant digits of the 1/(60+r) curve while a
+    * sum over any plausible number of fused lists stays far inside
+    * BIGINT. */
+  val RrfScale = 1000000000L
+
+  /** The standard RRF smoothing constant (Cormack et al. 2009). */
+  val RrfK = 60
+
+  /** RECIPROCAL-RANK FUSION (Cormack, Clarke & Buettcher, SIGIR 2009)
+    * — the standard way hybrid retrieval combines rankings that score
+    * on incomparable scales (lexical BM25 vs embedding cosine, or a
+    * cheap coarse tier vs the full-precision tier): fused score =
+    * Σ over input rankings of 1/(K + rank), needing only RANKS, never
+    * scores. Computed in integer fixed point (`RrfScale div (K+rank)`,
+    * ties to the smaller id) so the oracle replays every digit — no
+    * float accumulation-order hazard across lists.
+    *
+    * Input: stacked ranking rows `(q, id, rank)` from any number of
+    * rankers (tag column optional, unused — RRF is ranker-anonymous by
+    * design). Scale shape: one map-side-combinable aggregation over
+    * rows that number (#rankers × k × #queries), then a per-query rank
+    * window — nothing corpus-sized. Returns
+    * `(q, id, rrf_scaled, n_lists, fused_rank ≤ topK)`. */
+  def rrfFuse(rankings: DataFrame, q: String, id: String, rank: String,
+      topK: Int, kConst: Int = RrfK): DataFrame = {
+    require(topK >= 1 && kConst >= 0, s"bad topK=$topK / kConst=$kConst")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(q).orderBy(col("rrf_scaled").desc, col(id))
+    rankings
+      .groupBy(col(q), col(id))
+      .agg(sum(graft.operators.Graph.idiv(lit(RrfScale),
+          lit(kConst.toLong) + col(rank))).as("rrf_scaled"),
+        count(lit(1)).as("n_lists"))
+      .withColumn("fused_rank", row_number().over(w))
+      .where(col("fused_rank") <= topK)
+  }
+
   /** HARD-NEGATIVE mining for contrastive training (the FaceNet/triplet
     * discipline, Schroff et al. 2015, arXiv:1503.03832; the in-batch
     * negative selection every embedding-model pipeline runs at corpus

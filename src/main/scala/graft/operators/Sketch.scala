@@ -201,13 +201,22 @@ object Sketch {
       path: String): DataFrame =
     spark.read.parquet(s"$path/parts").dropDuplicates()
 
+  /** The CURRENT additive aggregate under a maintained path, for ANY
+    * `(keys…, value)` partial row shape whose merge is a keyed sum —
+    * count-min cells, weighted edge lists (q217), any distributive
+    * counter family. Exact because per-batch partials partition the
+    * underlying rows. */
+  def sumRead(spark: org.apache.spark.sql.SparkSession, path: String,
+      keys: Seq[String], value: String): DataFrame =
+    readParts(spark, path)
+      .groupBy(keys.map(col): _*).agg(sum(value).as(value))
+
   /** The CURRENT count-min sketch under a maintained path: cell-wise sum
     * of every appended per-batch partial — exact by q193's
     * distributivity, over at most batches × depth × width stored rows
     * (compact by rewriting the merged frame if that ever matters). */
   def cmRead(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
-    readParts(spark, path)
-      .groupBy("d", "cell").agg(sum("cnt").as("cnt"))
+    sumRead(spark, path, Seq("d", "cell"), "cnt")
 
   /** The CURRENT HLL registers under a maintained path: register-wise
     * max of every appended partial (q196's merge). */

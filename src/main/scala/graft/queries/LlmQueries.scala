@@ -2685,6 +2685,30 @@ object LlmQueries {
       hostEdges(s, d), "src", "dst", "w", PrIters, "src0")
       .orderBy(desc("pr"), col("node"))
 
+  /** q216 — RECIPROCAL-RANK FUSION ([[Similarity.rrfFuse]]) of the two
+    * retrieval tiers the engine already serves: the full-64-dim cosine
+    * top-10 (q78's ranking) and the 16-dim matryoshka-prefix top-10
+    * (q170's coarse tier, a quarter of the scan bytes). RRF needs only
+    * the RANKS — the tiers' scores are incomparable by construction —
+    * and the fixed-point `10^9 div (60 + rank)` contributions replay
+    * exactly; vectors that both tiers rank fuse above single-tier
+    * hits (n_lists gates the overlap). This is the hybrid-retrieval
+    * shape RAG pipelines run (lexical + dense fuse identically — only
+    * the input rankings change). */
+  def rrfFusionQ(s: SparkSession, d: String): DataFrame = {
+    val v = embs(s, d)
+    val qs = v.where(col("vec_id") < 3)
+    def sliced(df: DataFrame) =
+      df.select(col("vec_id"), slice(col("embedding"), 1, 16).as("emb16"))
+    val full = Similarity.bruteForceTopKBatch(v, qs, "vec_id", "embedding", 10)
+    val coarse = Similarity.bruteForceTopKBatch(
+      sliced(v), sliced(qs), "vec_id", "emb16", 10)
+    val stacked = full.select(col("q_id"), col("vec_id"), col("rank"))
+      .unionByName(coarse.select(col("q_id"), col("vec_id"), col("rank")))
+    Similarity.rrfFuse(stacked, "q_id", "vec_id", "rank", topK = 10)
+      .orderBy("q_id", "fused_rank")
+  }
+
   // --- KMV bottom-k sketch (q205-q208) ---
 
   /** q205 — per-source KMV sketch ([[Sketch.kmvSketch]]): the 16
@@ -2804,6 +2828,44 @@ object LlmQueries {
         "vec_id", "embedding", "label", 5)
       .orderBy("q_id", "rank")
   }
+
+  /** Per-directory memo of the MAINTAINED host-edge list — the graph
+    * family's under-ingest form, completing its family contract: each
+    * parity batch appends its PARTIAL weighted edge aggregate
+    * replay-guarded ([[Sketch.sketchAppendBatch]] — edge weights are an
+    * additive partial exactly like count-min cells, so the same
+    * batch-tag discipline applies and a replayed batch must no-op or
+    * every weight doubles and the rank chain diverges). */
+  private val edgeMaintCache = new SessionPathMemo("pgedges", (s, d, p) => {
+    def half(par: Int): DataFrame = {
+      val dd = docs(s, d).where(pmod(col("doc_id"), lit(2)) === par)
+      val slot = pmod(col("doc_id") * 37 + 11, lit(100))
+      dd.select(col("source").as("src"),
+          when(slot < 40, lit("src0"))
+            .when(slot < 65, lit("src1"))
+            .when(slot < 80, lit("src2"))
+            .otherwise(concat(lit("src"), pmod(slot, lit(20)).cast("string")))
+            .as("dst"))
+        .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+    }
+    require(Sketch.sketchAppendBatch(p, half(0), 0L), "batch 0 must apply")
+    require(Sketch.sketchAppendBatch(p, half(1), 1L), "batch 1 must apply")
+    require(!Sketch.sketchAppendBatch(p, half(1), 1L),
+      "replayed batch id must no-op")
+  })
+
+  /** q217 — PageRank from the MAINTAINED edge list ([[Sketch.sumRead]]
+    * over the persisted two-batch append path) against q203's oracle
+    * VERBATIM: per-batch edge partials sum to the whole graph's
+    * weights (the additive-merge proof, realized by the ingest
+    * protocol), so host authority stays recomputable under continuous
+    * ingest without ever rescanning old batches — the iteration reads
+    * batches × |hosts|² bounded stored rows, not documents. */
+  def pageRankMaintainedQ(s: SparkSession, d: String): DataFrame =
+    graft.operators.Graph.pageRank(
+      Sketch.sumRead(s, edgeMaintCache(s, d), Seq("src", "dst"), "w"),
+      "src", "dst", "w", PrIters)
+      .orderBy(desc("pr"), col("node"))
 
   /** The Z-ordered events layout (memoized per session):
     * [[graft.sources.Layout.writeZOrdered]] on (user_id, ts_us) —
@@ -6811,6 +6873,50 @@ object LlmQueries {
          |FROM deg d JOIN pr$PrIters p USING (node)
          |ORDER BY p.pr DESC, d.node""".stripMargin,
 
+    // VERBATIM the q203 oracle: the Spark side iterates over the edge
+    // list read back from the persisted two-batch append path —
+    // maintained == direct through the gate (additive edge partials,
+    // the count-min distributivity realized for graphs)
+    "q217_pagerank_maintained" ->
+      s"""WITH ${pageRankCtes()}
+         |SELECT d.node, d.out_w, d.in_w, p.pr
+         |FROM deg d JOIN pr$PrIters p USING (node)
+         |ORDER BY p.pr DESC, d.node""".stripMargin,
+
+    // both tier rankings replayed (q78's full cosine + the 16-dim
+    // prefix tier), then the integer 10^9 // (60 + rank) fusion and the
+    // fused window — every digit of the hybrid ranking deterministic
+    "q216_rrf_fusion" ->
+      """WITH ex AS (SELECT vec_id, i, embedding[i]::DOUBLE AS v
+        |  FROM embeddings CROSS JOIN generate_series(1, 64) t(i)),
+        |q AS (SELECT vec_id AS q_id, i, v AS qv FROM ex WHERE vec_id < 3),
+        |scf AS (SELECT q.q_id, e.vec_id,
+        |    round(sum(e.v * q.qv) / sqrt(sum(e.v * e.v))
+        |      / sqrt(sum(q.qv * q.qv)), 4) AS cos
+        |  FROM ex e JOIN q ON q.i = e.i GROUP BY q.q_id, e.vec_id),
+        |rf AS (SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
+        |    ORDER BY cos DESC, vec_id) AS rank FROM scf),
+        |sct AS (SELECT q.q_id, e.vec_id,
+        |    round(sum(e.v * q.qv) / sqrt(sum(e.v * e.v))
+        |      / sqrt(sum(q.qv * q.qv)), 4) AS cos
+        |  FROM ex e JOIN q ON q.i = e.i WHERE e.i <= 16 AND q.i <= 16
+        |  GROUP BY q.q_id, e.vec_id),
+        |rt AS (SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
+        |    ORDER BY cos DESC, vec_id) AS rank FROM sct),
+        |u AS (SELECT q_id, vec_id, rank FROM rf WHERE rank <= 10
+        |  UNION ALL
+        |  SELECT q_id, vec_id, rank FROM rt WHERE rank <= 10),
+        |f AS (SELECT q_id, vec_id,
+        |    sum(1000000000 // (60 + rank))::BIGINT AS rrf_scaled,
+        |    count(*)::BIGINT AS n_lists
+        |  FROM u GROUP BY 1, 2),
+        |r AS (SELECT q_id, vec_id, rrf_scaled, n_lists,
+        |    row_number() OVER (PARTITION BY q_id
+        |      ORDER BY rrf_scaled DESC, vec_id)::INTEGER AS fused_rank
+        |  FROM f)
+        |SELECT q_id, vec_id, rrf_scaled, n_lists, fused_rank
+        |FROM r WHERE fused_rank <= 10 ORDER BY q_id, fused_rank""".stripMargin,
+
     // the q203 chain with the start vector and teleport target moved to
     // the seed — affinity to src0, structural zeros exact
     "q210_ppr_seed" ->
@@ -7595,6 +7701,8 @@ object LlmQueries {
     "q212_hard_negatives" -> hardNegativesQ _,
     "q214_salt_plan" -> saltPlanQ _,
     "q215_html_strip" -> htmlStripQ _,
+    "q216_rrf_fusion" -> rrfFusionQ _,
+    "q217_pagerank_maintained" -> pageRankMaintainedQ _,
     "q205_kmv_sketch" -> kmvSketchQ _,
     "q206_kmv_merge" -> kmvMergeQ _,
     "q207_kmv_overlap" -> kmvOverlapQ _,

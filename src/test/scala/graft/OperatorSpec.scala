@@ -1261,6 +1261,22 @@ class OperatorSpec extends AnyFunSuite {
     assert(r.size == 5)
   }
 
+  test("rrfFuse: hand-computed integer fusion, overlap outranks single-tier hits") {
+    // tier A ranks (x,1),(y,2); tier B ranks (y,1),(z,2)
+    // y: 10^9//62 + 10^9//61 = 16129032 + 16393442 = 32522474 (2 lists)
+    // x: 10^9//61 = 16393442;  z: 10^9//62 = 16129032
+    val rankings = Seq(
+      (1L, "x", 1), (1L, "y", 2), (1L, "y", 1), (1L, "z", 2)
+    ).toDF("q_id", "id", "rank")
+    val got = graft.operators.Similarity
+      .rrfFuse(rankings, "q_id", "id", "rank", topK = 10)
+      .orderBy("fused_rank")
+      .collect().map(r => (r.getString(1), r.getLong(2), r.getLong(3),
+        r.getInt(4)))
+    assert(got.toSeq == Seq(("y", 32522474L, 2L, 1), ("x", 16393442L, 1L, 2),
+      ("z", 16129032L, 1L, 3)), s"got ${got.toSeq}")
+  }
+
   test("hardNegatives: only different-label vectors rank; order by cosine") {
     // query 0 (label 0) along axis-1; same-label near-twin must be
     // EXCLUDED even though it is the most similar vector in the corpus
