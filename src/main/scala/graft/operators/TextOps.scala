@@ -1308,6 +1308,104 @@ object TextOps {
   def urlHost(u: Column): Column =
     regexp_extract(canonicalUrl(u), "^[a-z][a-z0-9+.\\-]*://([^/?]*)", 1)
 
+  /** The suffix chain of a dotted host — `a.b.c → [a.b.c, b.c, c]` —
+    * the indexable form of "domain OR any subdomain" matching. */
+  private def hostSuffixChain(host: Column): Column = {
+    val parts = split(host, "\\.")
+    transform(sequence(lit(1), size(parts)),
+      i => array_join(slice(parts, i, size(parts)), "."))
+  }
+
+  /** The segment-boundary prefix chain of `host/path` —
+    * `h/p/1/x → [h, h/p, h/p/1, h/p/1/x]` — so a `path_prefix` rule
+    * `h/p/1` matches `/p/1` and `/p/1/…` but never `/p/10`. */
+  private def pathPrefixChain(hostPath: Column): Column = {
+    val parts = split(hostPath, "/")
+    transform(sequence(lit(1), size(parts)),
+      i => array_join(slice(parts, lit(1), i), "/"))
+  }
+
+  /** URL BLOCKLIST filter — crawl stage zero alongside URL dedup (q174)
+    * and host reputation (q187): classify every document against a
+    * curated deny list of the three rule kinds real blocklists (UT1 and
+    * kin) use — `host` (exact canonical host), `host_suffix` (the
+    * domain and every subdomain), `path_prefix` (a canonical
+    * `host/path` subtree at segment boundaries).
+    *
+    * The scale move: suffix and prefix rules are NOT evaluated as
+    * `endsWith`/`startsWith` against a broadcast list (a nested-loop
+    * over |rules| per row) — each URL explodes into its bounded suffix
+    * chain (|labels| ≤ ~6) and segment-prefix chain (path depth), and
+    * matching becomes hash EQUI-joins against the broadcast rule table:
+    * O(depth) per row however many rules, the inverted form every
+    * production URL filter uses. Precedence host > host_suffix >
+    * path_prefix labels the match deterministically.
+    *
+    * Returns `(id, host, blocked, block_kind)` — block_kind "" when
+    * kept. Canonicalization is [[canonicalUrl]], so cosmetic variants
+    * of a blocked URL cannot slip past the filter. */
+  def urlBlocklist(df: DataFrame, url: String, id: String,
+      rules: DataFrame): DataFrame = {
+    val host = urlHost(col(url))
+    val path = regexp_extract(canonicalUrl(col(url)),
+      "^[a-z][a-z0-9+.\\-]*://[^/?]*([^?]*)", 1)
+    val base = df.select(col(id), host.as("host"),
+      concat(host, path).as("__hp"))
+    def pats(kind: String) = broadcast(
+      rules.where(col("kind") === kind).select(col("pattern").as("key")))
+    def hit(subject: DataFrame, kind: String, flag: String) =
+      subject.join(pats(kind), "key").select(col(id)).distinct()
+        .withColumn(flag, lit(true))
+    val h = hit(base.select(col(id), col("host").as("key")), "host", "__h")
+    val sfx = hit(base.select(col(id),
+      explode(hostSuffixChain(col("host"))).as("key")), "host_suffix", "__s")
+    val pfx = hit(base.select(col(id),
+      explode(pathPrefixChain(col("__hp"))).as("key")), "path_prefix", "__p")
+    base.join(h, Seq(id), "left").join(sfx, Seq(id), "left")
+      .join(pfx, Seq(id), "left")
+      .select(col(id), col("host"),
+        coalesce(col("__h"), col("__s"), col("__p"), lit(false))
+          .as("blocked"),
+        when(col("__h"), lit("host"))
+          .when(col("__s"), lit("host_suffix"))
+          .when(col("__p"), lit("path_prefix"))
+          .otherwise(lit("")).as("block_kind"))
+  }
+
+  /** Everything [[scriptProfile]]'s named classes DON'T cover: not
+    * Latin, not digit, not whitespace, not [[CjkCodepointClass]] —
+    * punctuation, other scripts, symbols. Derived from the CJK class so
+    * the two can never drift apart. */
+  val OtherCharClass: String =
+    "[^A-Za-z0-9\\s" +
+      CjkCodepointClass.stripPrefix("[").stripSuffix("]") + "]"
+
+  /** Per-document SCRIPT-MIX profile — the routing signal in front of
+    * per-language pipelines (and the q173 segmentation switch): counts
+    * of Latin letters, [[CjkCodepointClass]] codepoints, digits, and
+    * other non-space characters, plus the dominant script under the
+    * deterministic precedence cjk > latin > digit > other. Every count
+    * is `regexp_extract_all` over a codepoint class — NEVER `length()`
+    * arithmetic, which counts UTF-16 units in the JVM but characters in
+    * DuckDB and would silently disagree on every supplementary-plane
+    * codepoint. Map-only, one row per document. */
+  def scriptProfile(df: DataFrame, text: String, id: String): DataFrame = {
+    val t = col(text)
+    def n(cls: String) =
+      size(regexp_extract_all(t, lit(cls), lit(0))).cast(LongType)
+    val latin = n("[A-Za-z]")
+    val cjk = n(CjkCodepointClass)
+    val digit = n("[0-9]")
+    val other = n(OtherCharClass)
+    df.select(col(id),
+      latin.as("n_latin"), cjk.as("n_cjk"), digit.as("n_digit"),
+      other.as("n_other"),
+      when(cjk >= latin && cjk >= digit && cjk >= other, lit("cjk"))
+        .when(latin >= digit && latin >= other, lit("latin"))
+        .when(digit >= other, lit("digit"))
+        .otherwise(lit("other")).as("main_script"))
+  }
+
   /** HOST-LEVEL report card + reputation gate — the domain-filter stage
     * every crawl pipeline runs between URL dedup and content dedup
     * (C4/RefinedWeb drop whole domains before reading a byte of

@@ -4445,6 +4445,58 @@ object LlmQueries {
     Dedup.urlDedup(urls, "url", "doc_id").orderBy("keep_id")
   }
 
+  /** q218 — URL BLOCKLIST filter ([[TextOps.urlBlocklist]]), the deny
+    * list every crawl applies at stage zero: planted URLs exercise all
+    * three rule kinds — an exact-host block (src3), a domain-suffix
+    * block catching every `*.badnet.example` mirror subdomain, a
+    * segment-boundary path-prefix block where `/p/1/…` is blocked but
+    * `/p/10` is NOT (the boundary bug the prefix-chain form exists to
+    * prevent), and an upper-cased default-port variant that only
+    * canonicalization keeps out. Suffix/prefix matching is exploded
+    * chains + broadcast equi-joins, never per-rule string scans. */
+  def urlFilterQ(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val g = floor(col("doc_id") / lit(20)).cast("long").cast("string")
+    val v = pmod(col("doc_id"), lit(5))
+    val urls = docs(s, d).select(col("doc_id"),
+      when(v === 0, concat(lit("http://src3.example.com/p/"), g))
+        .when(v === 1, concat(lit("http://m"),
+          pmod(col("doc_id"), lit(3)).cast("string"),
+          lit(".mirror.badnet.example/p/"), g))
+        .when(v === 2, concat(lit("https://src1.example.com/p/1/"), g))
+        .when(v === 3, lit("http://src1.example.com/p/10"))
+        .otherwise(concat(lit("HTTP://SRC0.EXAMPLE.COM:80/ok/"), g))
+        .as("url"))
+    val rules = Seq(
+      ("host", "src3.example.com"),
+      ("host_suffix", "badnet.example"),
+      ("path_prefix", "src1.example.com/p/1")).toDF("kind", "pattern")
+    TextOps.urlBlocklist(urls, "url", "doc_id", rules).orderBy("doc_id")
+  }
+
+  /** q219 — per-document SCRIPT-MIX profile ([[TextOps.scriptProfile]]):
+    * an eighth of the corpus re-rendered as pure CJK (alphabet-slice
+    * plant, the q173 device), an eighth appended with a CJK run (mixed,
+    * Latin still dominant), a quarter appended with a digit run, the
+    * rest untouched — so all four counters move and the dominant-script
+    * precedence (cjk > latin > digit > other) is exercised on both
+    * sides of each tie. Counts are codepoint-class extractions, never
+    * `length()` arithmetic (UTF-16 units vs characters — the
+    * supplementary-plane disagreement the operator scaladoc pins). */
+  def scriptProfileQ(s: SparkSession, d: String): DataFrame = {
+    val cjkSlice = lit(CjkAlphabet).substr(
+      pmod(col("doc_id"), lit(60)).cast("int") + lit(1),
+      (lit(5) + pmod(col("doc_id"), lit(7))).cast("int"))
+    val planted = docs(s, d).select(col("doc_id"),
+      when(pmod(col("doc_id"), lit(8)) === 0, cjkSlice)
+        .when(pmod(col("doc_id"), lit(8)) === 4,
+          concat(col("text"), lit(" "), cjkSlice))
+        .when(pmod(col("doc_id"), lit(4)) === 2,
+          concat(col("text"), lit(" 1234509876")))
+        .otherwise(col("text")).as("text"))
+    TextOps.scriptProfile(planted, "text", "doc_id").orderBy("doc_id")
+  }
+
   /** q180 — LINE-LEVEL boilerplate removal
     * ([[TextOps.dropBoilerplateLines]], CCNet/RefinedWeb line-wise
     * filtering): the corpus re-laid-out as a crawl page — body text plus
@@ -6950,6 +7002,87 @@ object LlmQueries {
          |FROM ph JOIN bud b USING (node) LEFT JOIN kept k USING (node)
          |ORDER BY node""".stripMargin,
 
+    // canonical chain verbatim, then the same suffix/prefix chains as
+    // equi-joins against the VALUES rule table — segment-boundary
+    // semantics exact (/p/1 blocks /p/1/7, never /p/10)
+    "q218_url_filter" ->
+      s"""WITH u AS (SELECT doc_id,
+         |    CASE WHEN doc_id % 5 = 0
+         |           THEN 'http://src3.example.com/p/' || (doc_id // 20)
+         |         WHEN doc_id % 5 = 1
+         |           THEN 'http://m' || (doc_id % 3) ||
+         |             '.mirror.badnet.example/p/' || (doc_id // 20)
+         |         WHEN doc_id % 5 = 2
+         |           THEN 'https://src1.example.com/p/1/' || (doc_id // 20)
+         |         WHEN doc_id % 5 = 3 THEN 'http://src1.example.com/p/10'
+         |         ELSE 'HTTP://SRC0.EXAMPLE.COM:80/ok/' || (doc_id // 20)
+         |    END AS url
+         |  FROM documents),
+         |$urlCanonChain,
+         |b AS (SELECT doc_id,
+         |    regexp_extract(cu, '^[a-z][a-z0-9+.\\-]*://([^/?]*)', 1) AS host,
+         |    regexp_extract(cu, '^[a-z][a-z0-9+.\\-]*://([^/?]*)', 1) ||
+         |      regexp_extract(cu, '^[a-z][a-z0-9+.\\-]*://[^/?]*([^?]*)', 1)
+         |      AS hp
+         |  FROM canon),
+         |rules(kind, pattern) AS (VALUES
+         |  ('host', 'src3.example.com'),
+         |  ('host_suffix', 'badnet.example'),
+         |  ('path_prefix', 'src1.example.com/p/1')),
+         |hh AS (SELECT DISTINCT b.doc_id FROM b
+         |  JOIN rules r ON r.kind = 'host' AND r.pattern = b.host),
+         |sp AS (SELECT doc_id, string_split(host, '.') AS p FROM b),
+         |sc AS (SELECT doc_id, array_to_string(p[i:len(p)], '.') AS key
+         |  FROM sp CROSS JOIN generate_series(1, 8) t(i) WHERE i <= len(p)),
+         |sh AS (SELECT DISTINCT sc.doc_id FROM sc
+         |  JOIN rules r ON r.kind = 'host_suffix' AND r.pattern = sc.key),
+         |pp AS (SELECT doc_id, string_split(hp, '/') AS p FROM b),
+         |pc AS (SELECT doc_id, array_to_string(p[1:i], '/') AS key
+         |  FROM pp CROSS JOIN generate_series(1, 8) t(i) WHERE i <= len(p)),
+         |ph AS (SELECT DISTINCT pc.doc_id FROM pc
+         |  JOIN rules r ON r.kind = 'path_prefix' AND r.pattern = pc.key)
+         |SELECT b.doc_id, b.host,
+         |  (hh.doc_id IS NOT NULL OR sh.doc_id IS NOT NULL
+         |    OR ph.doc_id IS NOT NULL) AS blocked,
+         |  CASE WHEN hh.doc_id IS NOT NULL THEN 'host'
+         |       WHEN sh.doc_id IS NOT NULL THEN 'host_suffix'
+         |       WHEN ph.doc_id IS NOT NULL THEN 'path_prefix'
+         |       ELSE '' END AS block_kind
+         |FROM b LEFT JOIN hh USING (doc_id) LEFT JOIN sh USING (doc_id)
+         |LEFT JOIN ph USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+
+    // codepoint-class extraction counts + the same precedence CASE —
+    // never length() (UTF-16 units vs characters would disagree on
+    // every supplementary-plane codepoint)
+    "q219_script_profile" -> {
+      val cjkCls = TextOps.CjkCodepointClass
+      val otherCls = TextOps.OtherCharClass
+      s"""WITH p AS (SELECT doc_id,
+         |    CASE WHEN doc_id % 8 = 0
+         |           THEN substr('$CjkAlphabet', (doc_id % 60)::INT + 1,
+         |             (5 + doc_id % 7)::INT)
+         |         WHEN doc_id % 8 = 4
+         |           THEN text || ' ' || substr('$CjkAlphabet',
+         |             (doc_id % 60)::INT + 1, (5 + doc_id % 7)::INT)
+         |         WHEN doc_id % 4 = 2 THEN text || ' 1234509876'
+         |         ELSE text END AS t
+         |  FROM documents),
+         |c AS (SELECT doc_id,
+         |    len(regexp_extract_all(t, '[A-Za-z]'))::BIGINT AS n_latin,
+         |    len(regexp_extract_all(t, '$cjkCls'))::BIGINT AS n_cjk,
+         |    len(regexp_extract_all(t, '[0-9]'))::BIGINT AS n_digit,
+         |    len(regexp_extract_all(t, '$otherCls'))::BIGINT AS n_other
+         |  FROM p)
+         |SELECT doc_id, n_latin, n_cjk, n_digit, n_other,
+         |  CASE WHEN n_cjk >= n_latin AND n_cjk >= n_digit
+         |         AND n_cjk >= n_other THEN 'cjk'
+         |       WHEN n_latin >= n_digit AND n_latin >= n_other THEN 'latin'
+         |       WHEN n_digit >= n_other THEN 'digit'
+         |       ELSE 'other' END AS main_script
+         |FROM c ORDER BY doc_id""".stripMargin
+    },
+
     // hash, full-outer join, and status classification replayed — the
     // per-source (n, id_sum) rollup is sensitive to WHICH docs changed
     "q211_snapshot_diff" -> {
@@ -7703,6 +7836,8 @@ object LlmQueries {
     "q215_html_strip" -> htmlStripQ _,
     "q216_rrf_fusion" -> rrfFusionQ _,
     "q217_pagerank_maintained" -> pageRankMaintainedQ _,
+    "q218_url_filter" -> urlFilterQ _,
+    "q219_script_profile" -> scriptProfileQ _,
     "q205_kmv_sketch" -> kmvSketchQ _,
     "q206_kmv_merge" -> kmvMergeQ _,
     "q207_kmv_overlap" -> kmvOverlapQ _,

@@ -1193,6 +1193,54 @@ class OperatorSpec extends AnyFunSuite {
     assert(r.getString(1) == "<EMAIL> wrote" && r.getLong(2) == 1L)
   }
 
+  test("urlBlocklist: segment boundaries, subdomain suffixes, precedence, canonicalization") {
+    val rules = Seq(
+      ("host", "bad.com"),
+      ("host_suffix", "evil.net"),
+      ("path_prefix", "ok.com/p/1")).toDF("kind", "pattern")
+    val urls = Seq(
+      (1L, "http://bad.com/x"),            // host-exact
+      (2L, "http://BAD.COM:80/y"),         // canonicalization catches it
+      (3L, "http://a.b.evil.net/z"),       // deep subdomain via suffix
+      (4L, "http://evil.net/z"),           // the domain itself via suffix
+      (5L, "http://notevil.net/z"),        // NOT a label boundary: kept
+      (6L, "https://ok.com/p/1/deep"),     // prefix subtree
+      (7L, "https://ok.com/p/10"),         // /p/10 != /p/1: kept
+      (8L, "http://bad.com/p/1")           // host wins precedence
+    ).toDF("doc_id", "url")
+    val r = TextOps.urlBlocklist(urls, "url", "doc_id", rules)
+      .collect().map(x => x.getLong(0) -> ((x.getBoolean(2), x.getString(3))))
+      .toMap
+    assert(r(1L) == ((true, "host")))
+    assert(r(2L) == ((true, "host")))
+    assert(r(3L) == ((true, "host_suffix")))
+    assert(r(4L) == ((true, "host_suffix")))
+    assert(r(5L) == ((false, "")), "suffix must respect label boundaries")
+    assert(r(6L) == ((true, "path_prefix")))
+    assert(r(7L) == ((false, "")), "prefix must respect segment boundaries")
+    assert(r(8L) == ((true, "host")), "host outranks path_prefix")
+  }
+
+  test("scriptProfile: codepoint counts (surrogate pairs = 1), deterministic dominance") {
+    // U+20001 is CJK ext-B: a surrogate PAIR in the JVM, one codepoint
+    val extB = new String(Character.toChars(0x20001))
+    val df = Seq(
+      (1L, s"ab $extB$extB$extB 12"),   // 3 cjk codepoints, not 6
+      (2L, "abc 123"),                   // latin ties digit? 3 vs 3: latin wins
+      (3L, "!!! ??"),                    // other only
+      (4L, "一丁 ab")            // cjk ties latin: cjk wins
+    ).toDF("doc_id", "text")
+    val r = TextOps.scriptProfile(df, "text", "doc_id")
+      .collect().map(x => x.getLong(0) ->
+        ((x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4),
+          x.getString(5)))).toMap
+    assert(r(1L) == ((2L, 3L, 2L, 0L, "cjk")),
+      s"ext-B must count as codepoints: ${r(1L)}")
+    assert(r(2L) == ((3L, 0L, 3L, 0L, "latin")))
+    assert(r(3L) == ((0L, 0L, 0L, 5L, "other")))
+    assert(r(4L) == ((2L, 2L, 0L, 0L, "cjk")))
+  }
+
   test("stripHtml: tags become boundaries, entities decode amp-last, clean text passes through") {
     val df = Seq(
       (1L, "<p>a</p><p>b</p>"),             // tags must NOT fuse a and b
