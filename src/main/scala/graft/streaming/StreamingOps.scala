@@ -498,6 +498,46 @@ object StreamingOps {
     tokStream.writeStream.foreachBatch(fn)
   }
 
+  /** Streaming KMV maintenance — the bottom-k sample kept current under
+    * ingest: each micro-batch's per-group sample (≤ k rows per group)
+    * appends replay-guarded; read-time min-k
+    * ([[graft.operators.Sketch.kmvRead]]) equals the directly-built
+    * sketch by the min-k merge property (SparkEntry q206), so distinct
+    * counts AND cross-group intersections stay answerable from
+    * ≤ batches × k stored rows per group. Caller sets
+    * `checkpointLocation` and `start()`s. */
+  def maintainKmv(tokStream: DataFrame, token: String, path: String,
+      by: Seq[String] = Nil, k: Int = graft.operators.Sketch.KmvK)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val fn: (DataFrame, Long) => Unit = (batch, batchId) => {
+      graft.operators.Sketch.sketchAppendBatch(path,
+        graft.operators.Sketch.kmvSketch(batch, token, by, k), batchId)
+      ()
+    }
+    tokStream.writeStream.foreachBatch(fn)
+  }
+
+  /** Streaming host-graph edge maintenance — the link graph kept
+    * current under crawl ingest: each micro-batch's weighted edge
+    * aggregate (an additive partial, exactly the count-min shape)
+    * appends replay-guarded; read-time keyed sum
+    * ([[graft.operators.Sketch.sumRead]]) is exactly the whole-history
+    * edge list, so PageRank/authority (SparkEntry q203/q217) stays
+    * recomputable without rescanning old batches. The stream rows are
+    * `(src, dst)` link observations; weights are the batch counts.
+    * Caller sets `checkpointLocation` and `start()`s. */
+  def maintainEdges(linkStream: DataFrame, src: String, dst: String,
+      path: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val fn: (DataFrame, Long) => Unit = (batch, batchId) => {
+      graft.operators.Sketch.sketchAppendBatch(path,
+        batch.groupBy(col(src).as("src"), col(dst).as("dst"))
+          .agg(count(lit(1)).as("w")), batchId)
+      ()
+    }
+    linkStream.writeStream.foreachBatch(fn)
+  }
+
   /** Paired-modality alignment gate ON A STREAM — the ingest form of
     * the batch LAION filter ([[graft.operators.Similarity.alignmentFilter]],
     * SparkEntry q152): cosine between each incoming pair's caption and

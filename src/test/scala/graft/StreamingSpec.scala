@@ -376,6 +376,53 @@ class StreamingSpec extends AnyFunSuite {
     assert(Sketch.cmRead(spark, cmPath).collect().map(_.getLong(2)).sum == before + 4)
   }
 
+  test("streaming KMV + edge maintenance: read-time merge equals the whole-stream build") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    import graft.operators.{Graph, Sketch}
+    val kmvPath = s"${sys.props("java.io.tmpdir")}/graft_test_kmv_maint"
+    val edgePath = s"${sys.props("java.io.tmpdir")}/graft_test_edge_maint"
+    val ck1 = s"${sys.props("java.io.tmpdir")}/graft_test_kmv_maint_ckpt"
+    val ck2 = s"${sys.props("java.io.tmpdir")}/graft_test_edge_maint_ckpt"
+    Seq(kmvPath, edgePath, ck1, ck2).foreach(graft.cli.Cleanup.deleteOnExit)
+    val w0 = Seq("alpha", "beta", "alpha", "gamma", "delta")
+    val w1 = Seq("alpha", "epsilon", "zeta", "beta", "eta")
+    val e0 = Seq(("A", "B"), ("A", "B"), ("B", "C"))
+    val e1 = Seq(("A", "B"), ("C", "A"))
+    val memK = MemoryStream[String]
+    val memE = MemoryStream[(String, String)]
+    val qk = StreamingOps.maintainKmv(memK.toDF().toDF("w"), "w", kmvPath,
+      Nil, k = 4).option("checkpointLocation", ck1).start()
+    val qe = StreamingOps.maintainEdges(memE.toDF().toDF("s", "t"), "s", "t",
+      edgePath).option("checkpointLocation", ck2).start()
+    try {
+      memK.addData(w0); memE.addData(e0)
+      qk.processAllAvailable(); qe.processAllAvailable()
+      memK.addData(w1); memE.addData(e1)
+      qk.processAllAvailable(); qe.processAllAvailable()
+    } finally { qk.stop(); qe.stop() }
+    // maintained KMV == the direct whole-stream bottom-k
+    val direct = Sketch.kmvSketch((w0 ++ w1).toDF("w"), "w", Nil, k = 4)
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+    val got = Sketch.kmvRead(spark, kmvPath, Nil, k = 4)
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+    assert(got == direct)
+    // maintained edges == the whole-history weighted list, and PageRank
+    // over them == PageRank over the direct edges
+    val edges = Sketch.sumRead(spark, edgePath, Seq("src", "dst"), "w")
+    val em = edges.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(em == Map(("A", "B") -> 3L, ("B", "C") -> 1L, ("C", "A") -> 1L))
+    def pr(df: org.apache.spark.sql.DataFrame) =
+      Graph.pageRank(df, "src", "dst", "w", 3).collect()
+        .map(r => r.getString(0) -> r.getLong(3)).toMap
+    val directEdges = (e0 ++ e1).toDF("src", "dst")
+      .groupBy("src", "dst")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("w"))
+    assert(pr(edges) == pr(directEdges))
+  }
+
   test("streaming dHash-index maintenance: a re-encoded image hits the batch N-1 ingest; retry no-ops") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
