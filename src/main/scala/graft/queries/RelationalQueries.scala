@@ -636,6 +636,42 @@ object RelationalQueries {
       .orderBy("p_brand")
   }
 
+  /** q220 — planner COLUMN STATISTICS ([[graft.operators.Stats
+    * .columnStats]]): the ANALYZE pass in one scan — row count, nulls,
+    * exact NDV, min/max for six lineitem columns (integers, a flag
+    * string, a date — the types whose string casts agree byte-for-byte
+    * across engines). The multi-distinct aggregate plans as one Expand
+    * with map-side partials; output is |columns| rows. */
+  def columnStatsQ(s: SparkSession, d: String): DataFrame =
+    graft.operators.Stats.columnStats(t(s, d, "lineitem"),
+        Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+          "l_returnflag", "l_shipdate"))
+      .orderBy("col_name")
+
+  /** q221 — the System-R UNIFORMITY-assumption join estimate, audited
+    * where it breaks: the lineitem-partkey SELF-join sized as
+    * `n² div ndv` (every textbook's |A⋈B| = |A|·|B|/max(ndv)) against
+    * the exact Σ cnt² — on a skewed key the estimate undershoots
+    * (Σc² ≥ n²/ndv by Cauchy–Schwarz, equality iff uniform), and the
+    * signed error is the gated artifact. This is the stats-tier
+    * companion to q202's sketch-tier estimate: stats are cheaper and
+    * blind to skew; sketches see skew — a planner wants both, and now
+    * both are gated. */
+  def statsJoinEstimateQ(s: SparkSession, d: String): DataFrame = {
+    val li = t(s, d, "lineitem")
+    val stats = li.agg(count(lit(1)).as("n"),
+      countDistinct(col("l_partkey")).as("ndv"))
+    val truth = li.groupBy("l_partkey").agg(count(lit(1)).as("__c"))
+      .agg(sum(col("__c") * col("__c")).as("true_join"))
+    stats.crossJoin(broadcast(truth))
+      .select(col("n"), col("ndv"),
+        graft.operators.Graph.idiv(col("n") * col("n"), col("ndv"))
+          .as("est_join"),
+        col("true_join"),
+        (graft.operators.Graph.idiv(col("n") * col("n"), col("ndv"))
+          - col("true_join")).as("err"))
+  }
+
   /** q181 — bucket CO-LOCATED join ([[graft.sources.Bucketed]]): both
     * fact tables written bucket-sorted on their order keys, so the
     * sort-merge join plans with ZERO shuffle exchanges — the layout the
@@ -1126,6 +1162,35 @@ object RelationalQueries {
         |  count(*) AS n, max(l_extendedprice) AS max_price
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
+    // one UNION ALL branch per profiled column — count/nulls/NDV/min/max
+    // recomputed independently; string casts agree byte-for-byte on the
+    // integer/flag/date columns profiled
+    "q220_column_stats" -> {
+      def branch(c: String) =
+        s"""SELECT '$c' AS col_name, count(*)::BIGINT AS n,
+           |  (count(*) - count($c))::BIGINT AS n_null,
+           |  count(DISTINCT $c)::BIGINT AS n_distinct,
+           |  min($c)::VARCHAR AS min_s, max($c)::VARCHAR AS max_s
+           |FROM lineitem""".stripMargin
+      Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_returnflag", "l_shipdate")
+        .map(branch).mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+    },
+
+    // n² // ndv vs the exact sum of squared key counts — the signed
+    // error IS the uniformity-assumption audit (Cauchy-Schwarz makes it
+    // <= 0, equality iff the key is uniform)
+    "q221_stats_join_estimate" ->
+      """WITH s AS (SELECT count(*)::BIGINT AS n,
+        |    count(DISTINCT l_partkey)::BIGINT AS ndv FROM lineitem),
+        |tru AS (SELECT sum(c * c)::BIGINT AS true_join FROM (
+        |    SELECT count(*)::BIGINT AS c FROM lineitem
+        |    GROUP BY l_partkey) t)
+        |SELECT s.n, s.ndv, ((s.n * s.n) // s.ndv)::BIGINT AS est_join,
+        |  tru.true_join,
+        |  (((s.n * s.n) // s.ndv) - tru.true_join)::BIGINT AS err
+        |FROM s CROSS JOIN tru""".stripMargin,
+
     // the bloom prefilter changes the PLAN (the fact exchange), never
     // the answer: the oracle is the plain selective join
     "q213_bloom_join" ->
@@ -1182,6 +1247,8 @@ object RelationalQueries {
     "q47_cp_multiseries" -> cpMultiSeries _,
     "q48_skew_salted_agg" -> skewSaltedAgg _,
     "q213_bloom_join" -> bloomJoin _,
+    "q220_column_stats" -> columnStatsQ _,
+    "q221_stats_join_estimate" -> statsJoinEstimateQ _,
     "q181_bucketed_join" -> bucketedJoin _,
     "q49_sketch_tolerance" -> sketchTolerance _,
   )

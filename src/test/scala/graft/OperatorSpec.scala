@@ -1193,6 +1193,18 @@ class OperatorSpec extends AnyFunSuite {
     assert(r.getString(1) == "<EMAIL> wrote" && r.getLong(2) == 1L)
   }
 
+  test("columnStats: nulls, NDV, and min/max in one long-form pass") {
+    val df = Seq(
+      (1L, Some("b")), (2L, None), (3L, Some("a")), (3L, Some("a"))
+    ).toDF("k", "v")
+    val r = graft.operators.Stats.columnStats(df, Seq("k", "v"))
+      .collect().map(x => x.getString(0) ->
+        ((x.getLong(1), x.getLong(2), x.getLong(3), x.getString(4),
+          x.getString(5)))).toMap
+    assert(r("k") == ((4L, 0L, 3L, "1", "3")))
+    assert(r("v") == ((4L, 1L, 2L, "a", "b")))
+  }
+
   test("urlBlocklist: segment boundaries, subdomain suffixes, precedence, canonicalization") {
     val rules = Seq(
       ("host", "bad.com"),
