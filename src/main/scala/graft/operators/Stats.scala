@@ -48,4 +48,73 @@ object Stats {
     }
     row.select(explode(array(entries: _*)).as("s")).select("s.*")
   }
+
+  private def idiv(a: org.apache.spark.sql.Column,
+      b: org.apache.spark.sql.Column) = Graph.idiv(a, b)
+
+  /** EQUI-WIDTH histogram of an integer column, `nBuckets` buckets over
+    * the data-derived [min, max] span: one row per non-empty bucket —
+    * `(bucket, b_lo, b_hi, cnt)` with the exact integer bounds the
+    * bucket covers (`bucket(v) = (v−min)·B div span`, so bucket k is
+    * `[min + ceil(k·span/B), min + ceil((k+1)·span/B) − 1]`). No global
+    * sort anywhere: min/max is a 1-row broadcast aggregate and the
+    * bucket map is a map-side-combinable groupBy — the same shape at
+    * any scale (equi-DEPTH would need a quantile pass; equi-width is
+    * what the selectivity use case needs and stays integer-exact). */
+  def histogram(df: DataFrame, c: String, nBuckets: Int): DataFrame = {
+    require(nBuckets >= 1, s"need nBuckets >= 1, got $nBuckets")
+    val b = lit(nBuckets.toLong)
+    val bounds = df.agg(min(col(c)).as("__lo"), max(col(c)).as("__hi"))
+    val span = col("__hi") - col("__lo") + lit(1L)
+    df.select(col(c).as("__v")).crossJoin(broadcast(bounds))
+      .select(idiv((col("__v") - col("__lo")) * b, span).as("bucket"),
+        col("__lo"), span.as("__span"))
+      .groupBy("bucket", "__lo", "__span")
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("bucket"),
+        (col("__lo") + idiv(col("bucket") * col("__span") + b - 1, b))
+          .as("b_lo"),
+        (col("__lo") +
+          idiv((col("bucket") + 1) * col("__span") + b - 1, b) - 1)
+          .as("b_hi"),
+        col("cnt"))
+  }
+
+  /** Range-COUNT estimate from an equi-width [[histogram]], under the
+    * uniform-within-bucket assumption: each bucket contributes
+    * `cnt · overlap div width` for its overlap with `[lo, hi]` —
+    * integer arithmetic end to end, so the estimate (and its signed
+    * error vs truth, the caller's audit) replays exactly. This is the
+    * range-predicate tier of the planner story: stats (q221) price
+    * equi-joins, sketches (q202) see frequency skew, histograms price
+    * RANGE predicates — within-bucket skew is exactly what the
+    * estimate's gated error measures. */
+  def histogramRangeEstimate(hist: DataFrame,
+      lo: org.apache.spark.sql.Column,
+      hi: org.apache.spark.sql.Column): DataFrame = {
+    val ovLo = greatest(col("b_lo"), lo)
+    val ovHi = least(col("b_hi"), hi)
+    hist.select(
+        when(ovHi >= ovLo,
+          idiv(col("cnt") * (ovHi - ovLo + 1),
+            col("b_hi") - col("b_lo") + 1)).otherwise(lit(0L)).as("__c"))
+      .agg(sum("__c").as("est_count"))
+  }
+
+  /** K-ANONYMOUS rollup — release hygiene for aggregate exports: group
+    * counts where every group smaller than `k` is SUPPRESSED into one
+    * `<other>` bucket (its keys erased), so no published row ever
+    * isolates fewer than k records. Two bounded aggregations (the
+    * second over |groups| rows); the `<other>` row carries the
+    * suppressed total so the release still sums to the corpus. */
+  def suppressSmallGroups(df: DataFrame, keys: Seq[String],
+      k: Long): DataFrame = {
+    require(k >= 1, s"need k >= 1, got $k")
+    val grouped = df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("n"))
+    val relabeled = keys.foldLeft(grouped) { (g, c) =>
+      g.withColumn(c,
+        when(col("n") >= k, col(c)).otherwise(lit("<other>")))
+    }
+    relabeled.groupBy(keys.map(col): _*).agg(sum("n").as("n"))
+  }
 }

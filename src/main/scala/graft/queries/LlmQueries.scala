@@ -4497,6 +4497,19 @@ object LlmQueries {
     TextOps.scriptProfile(planted, "text", "doc_id").orderBy("doc_id")
   }
 
+  /** q223 — K-ANONYMOUS rollup ([[graft.operators.Stats
+    * .suppressSmallGroups]]), the release-hygiene gate on aggregate
+    * exports: (lang, source) counts with every group under k = 7
+    * suppressed into one `<other>` bucket whose total keeps the
+    * release summing to the corpus. The testdata's group sizes span
+    * 1–16, so both branches carry real rows; no published row isolates
+    * fewer than 7 documents (OperatorSpec pins the guarantee and the
+    * mass conservation). */
+  def kanonRollupQ(s: SparkSession, d: String): DataFrame =
+    graft.operators.Stats.suppressSmallGroups(
+        docs(s, d), Seq("lang", "source"), k = 7)
+      .orderBy("lang", "source")
+
   /** q180 — LINE-LEVEL boilerplate removal
     * ([[TextOps.dropBoilerplateLines]], CCNet/RefinedWeb line-wise
     * filtering): the corpus re-laid-out as a crawl page — body text plus
@@ -7002,6 +7015,18 @@ object LlmQueries {
          |FROM ph JOIN bud b USING (node) LEFT JOIN kept k USING (node)
          |ORDER BY node""".stripMargin,
 
+    // group counts, the under-k relabel, and the re-aggregation
+    // replayed — every published row has n >= 7 or is the <other> sum
+    "q223_kanon_rollup" ->
+      """WITH g AS (SELECT lang, source, count(*)::BIGINT AS n
+        |  FROM documents GROUP BY 1, 2),
+        |rl AS (SELECT
+        |    CASE WHEN n >= 7 THEN lang ELSE '<other>' END AS lang,
+        |    CASE WHEN n >= 7 THEN source ELSE '<other>' END AS source, n
+        |  FROM g)
+        |SELECT lang, source, sum(n)::BIGINT AS n
+        |FROM rl GROUP BY 1, 2 ORDER BY lang, source""".stripMargin,
+
     // canonical chain verbatim, then the same suffix/prefix chains as
     // equi-joins against the VALUES rule table — segment-boundary
     // semantics exact (/p/1 blocks /p/1/7, never /p/10)
@@ -7838,6 +7863,7 @@ object LlmQueries {
     "q217_pagerank_maintained" -> pageRankMaintainedQ _,
     "q218_url_filter" -> urlFilterQ _,
     "q219_script_profile" -> scriptProfileQ _,
+    "q223_kanon_rollup" -> kanonRollupQ _,
     "q205_kmv_sketch" -> kmvSketchQ _,
     "q206_kmv_merge" -> kmvMergeQ _,
     "q207_kmv_overlap" -> kmvOverlapQ _,

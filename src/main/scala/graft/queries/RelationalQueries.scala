@@ -672,6 +672,37 @@ object RelationalQueries {
           - col("true_join")).as("err"))
   }
 
+  /** q222 — equi-width HISTOGRAM + range-selectivity audit
+    * ([[graft.operators.Stats.histogram]] /
+    * [[Stats.histogramRangeEstimate]]): 16 integer-exact buckets over
+    * l_orderkey (no global sort — min/max broadcasts, the bucket map
+    * combines map-side), then the uniform-within-bucket COUNT estimate
+    * for a data-derived range (37%–61% of the span, so the range cuts
+    * two partial buckets at any SF) against the exact count. The
+    * signed error is the within-bucket-skew audit — the range tier of
+    * the planner story next to q221 (equi-join stats) and q202
+    * (frequency sketches). */
+  def histogramSelectivityQ(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.{Graph, Stats}
+    val li = t(s, d, "lineitem").select(col("l_orderkey"))
+    val hist = Stats.histogram(li, "l_orderkey", 16)
+    val rdf = li.agg(min("l_orderkey").as("lo"), max("l_orderkey").as("hi"))
+      .select(
+        (col("lo") + Graph.idiv((col("hi") - col("lo") + 1) * 37, lit(100L)))
+          .as("range_lo"),
+        (col("lo") + Graph.idiv((col("hi") - col("lo") + 1) * 61, lit(100L)))
+          .as("range_hi"))
+    val est = Stats.histogramRangeEstimate(
+      hist.crossJoin(broadcast(rdf)), col("range_lo"), col("range_hi"))
+    val truth = li.crossJoin(broadcast(rdf))
+      .where(col("l_orderkey").between(col("range_lo"), col("range_hi")))
+      .agg(count(lit(1)).as("true_count"))
+    rdf.crossJoin(est).crossJoin(truth)
+      .select(col("range_lo"), col("range_hi"), col("est_count"),
+        col("true_count"),
+        (col("est_count") - col("true_count")).as("err"))
+  }
+
   /** q181 — bucket CO-LOCATED join ([[graft.sources.Bucketed]]): both
     * fact tables written bucket-sorted on their order keys, so the
     * sort-merge join plans with ZERO shuffle exchanges — the layout the
@@ -1191,6 +1222,34 @@ object RelationalQueries {
         |  (((s.n * s.n) // s.ndv) - tru.true_join)::BIGINT AS err
         |FROM s CROSS JOIN tru""".stripMargin,
 
+    // bucket map, integer bucket bounds, overlap interpolation, and the
+    // exact range count all replayed — the signed error is the
+    // within-bucket-skew audit
+    "q222_histogram_selectivity" ->
+      """WITH b AS (SELECT min(l_orderkey) AS lo, max(l_orderkey) AS hi
+        |  FROM lineitem),
+        |r AS (SELECT lo + ((hi - lo + 1) * 37) // 100 AS range_lo,
+        |    lo + ((hi - lo + 1) * 61) // 100 AS range_hi FROM b),
+        |h0 AS (SELECT ((l_orderkey - lo) * 16) // (hi - lo + 1) AS bucket,
+        |    lo, (hi - lo + 1) AS span
+        |  FROM lineitem CROSS JOIN b),
+        |h AS (SELECT bucket, lo + (bucket * span + 15) // 16 AS b_lo,
+        |    lo + ((bucket + 1) * span + 15) // 16 - 1 AS b_hi,
+        |    count(*)::BIGINT AS cnt
+        |  FROM h0 GROUP BY bucket, lo, span),
+        |e AS (SELECT sum(CASE
+        |      WHEN least(b_hi, range_hi) >= greatest(b_lo, range_lo)
+        |      THEN (cnt * (least(b_hi, range_hi) - greatest(b_lo, range_lo)
+        |        + 1)) // (b_hi - b_lo + 1)
+        |      ELSE 0 END)::BIGINT AS est_count
+        |  FROM h CROSS JOIN r),
+        |t AS (SELECT count(*)::BIGINT AS true_count
+        |  FROM lineitem CROSS JOIN r
+        |  WHERE l_orderkey BETWEEN range_lo AND range_hi)
+        |SELECT r.range_lo, r.range_hi, e.est_count, t.true_count,
+        |  (e.est_count - t.true_count)::BIGINT AS err
+        |FROM r CROSS JOIN e CROSS JOIN t""".stripMargin,
+
     // the bloom prefilter changes the PLAN (the fact exchange), never
     // the answer: the oracle is the plain selective join
     "q213_bloom_join" ->
@@ -1249,6 +1308,7 @@ object RelationalQueries {
     "q213_bloom_join" -> bloomJoin _,
     "q220_column_stats" -> columnStatsQ _,
     "q221_stats_join_estimate" -> statsJoinEstimateQ _,
+    "q222_histogram_selectivity" -> histogramSelectivityQ _,
     "q181_bucketed_join" -> bucketedJoin _,
     "q49_sketch_tolerance" -> sketchTolerance _,
   )

@@ -1205,6 +1205,38 @@ class OperatorSpec extends AnyFunSuite {
     assert(r("v") == ((4L, 1L, 2L, "a", "b")))
   }
 
+  test("histogram: bucket bounds partition the span; counts conserve; uniform estimate is exact") {
+    import graft.operators.Stats
+    // values 0..99, 4 buckets of exactly 25
+    val df = (0L until 100L).toDF("v")
+    val h = Stats.histogram(df, "v", 4).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(h == Map(0L -> ((0L, 24L, 25L)), 1L -> ((25L, 49L, 25L)),
+      2L -> ((50L, 74L, 25L)), 3L -> ((75L, 99L, 25L))))
+    // a mid-bucket range on uniform data estimates exactly
+    val est = Stats.histogramRangeEstimate(
+      Stats.histogram(df, "v", 4), lit(30L), lit(69L))
+      .collect().head.getLong(0)
+    assert(est == 40L)
+  }
+
+  test("suppressSmallGroups: no published group under k; mass conserves") {
+    import graft.operators.Stats
+    val df = (Seq.fill(9)(("en", "a")) ++ Seq.fill(3)(("en", "b")) ++
+      Seq.fill(2)(("fr", "a")) ++ Seq.fill(7)(("de", "c")))
+      .toDF("lang", "source")
+    val r = Stats.suppressSmallGroups(df, Seq("lang", "source"), k = 5)
+      .collect().map(x => (x.getString(0), x.getString(1)) -> x.getLong(2))
+      .toMap
+    assert(r == Map(("en", "a") -> 9L, ("de", "c") -> 7L,
+      ("<other>", "<other>") -> 5L))
+    assert(r.values.sum == 21L, "release must still sum to the corpus")
+    r.foreach { case (k2, n) =>
+      assert(n >= 5 || k2 == (("<other>", "<other>")), s"$k2 isolates $n < k")
+    }
+  }
+
   test("urlBlocklist: segment boundaries, subdomain suffixes, precedence, canonicalization") {
     val rules = Seq(
       ("host", "bad.com"),
