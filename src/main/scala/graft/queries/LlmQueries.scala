@@ -4497,6 +4497,57 @@ object LlmQueries {
     TextOps.scriptProfile(planted, "text", "doc_id").orderBy("doc_id")
   }
 
+  /** q224 — behavior-SEQUENCE export: each user's time-ordered event
+    * stream chunked into fixed-length training sequences (length 8,
+    * the dataloader's max-context discipline applied to behavioral
+    * data — recommender / agent-trajectory pretraining's input shape).
+    * Order inside a chunk is (ts, event_id) — the unique tiebreak that
+    * makes the export deterministic under any partitioning; the chunk
+    * assignment is a per-user window (independent users, so the window
+    * partitions — never a global sort) and the sequence itself is a
+    * sort_array(collect_list(struct))-rebuild, replayed as DuckDB's
+    * ordered string_agg. */
+  def eventSequencesQ(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts", "event_id")
+    TimeSeriesQueries.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("chunk",
+        graft.operators.Graph.idiv(row_number().over(w) - 1, lit(8L)))
+      .groupBy("user_id", "chunk")
+      .agg(count(lit(1)).as("n_events"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("ts"), col("event_id"),
+            col("event_type")))),
+          x => x.getField("event_type")), ",").as("seq"))
+      .orderBy("user_id", "chunk")
+  }
+
+  /** q225 — event-type TRANSITION MATRIX (the first-order Markov
+    * profile of user behavior — the baseline for sequence-model
+    * sanity checks and for anomaly screens on behavioral training
+    * data): per (from, to) consecutive-event pair, the count and the
+    * exact milli-probability within the from-row (integer
+    * `(1000·n) div row_total`, the q187 milli discipline). Lag window
+    * per user; pair counts combine map-side. */
+  def transitionMatrixQ(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts", "event_id")
+    val pairs = TimeSeriesQueries.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("__next", lead("event_type", 1).over(w))
+      .where(col("__next").isNotNull)
+      .groupBy(col("event_type").as("from_type"),
+        col("__next").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = pairs.groupBy("from_type").agg(sum("n").as("__tot"))
+    pairs.join(totals, "from_type")
+      .select(col("from_type"), col("to_type"), col("n"),
+        graft.operators.Graph.idiv(col("n") * 1000, col("__tot"))
+          .as("milli"))
+      .orderBy("from_type", "to_type")
+  }
+
   /** q223 — K-ANONYMOUS rollup ([[graft.operators.Stats
     * .suppressSmallGroups]]), the release-hygiene gate on aggregate
     * exports: (lang, source) counts with every group under k = 7
@@ -7015,6 +7066,34 @@ object LlmQueries {
          |FROM ph JOIN bud b USING (node) LEFT JOIN kept k USING (node)
          |ORDER BY node""".stripMargin,
 
+    // per-user ordered chunking + the ordered string_agg rebuild —
+    // (ts, event_id) is the unique tiebreak that makes the export
+    // deterministic; nanos vs timestamp only affects ORDER, identically
+    "q224_event_sequences" ->
+      """WITH r AS (SELECT user_id, ts, event_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS rn
+        |  FROM events)
+        |SELECT user_id, (rn - 1) // 8 AS chunk, count(*)::BIGINT AS n_events,
+        |  string_agg(event_type, ',' ORDER BY ts, event_id) AS seq
+        |FROM r GROUP BY user_id, (rn - 1) // 8
+        |ORDER BY user_id, chunk""".stripMargin,
+
+    // lead window, pair counts, and the integer milli-probability all
+    // replayed — the exact first-order Markov profile
+    "q225_transition_matrix" ->
+      """WITH p AS (SELECT event_type AS from_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS to_type
+        |  FROM events),
+        |c AS (SELECT from_type, to_type, count(*)::BIGINT AS n
+        |  FROM p WHERE to_type IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT from_type, sum(n)::BIGINT AS tot FROM c GROUP BY 1)
+        |SELECT c.from_type, c.to_type, c.n,
+        |  ((c.n * 1000) // t.tot)::BIGINT AS milli
+        |FROM c JOIN t USING (from_type)
+        |ORDER BY c.from_type, c.to_type""".stripMargin,
+
     // group counts, the under-k relabel, and the re-aggregation
     // replayed — every published row has n >= 7 or is the <other> sum
     "q223_kanon_rollup" ->
@@ -7864,6 +7943,8 @@ object LlmQueries {
     "q218_url_filter" -> urlFilterQ _,
     "q219_script_profile" -> scriptProfileQ _,
     "q223_kanon_rollup" -> kanonRollupQ _,
+    "q224_event_sequences" -> eventSequencesQ _,
+    "q225_transition_matrix" -> transitionMatrixQ _,
     "q205_kmv_sketch" -> kmvSketchQ _,
     "q206_kmv_merge" -> kmvMergeQ _,
     "q207_kmv_overlap" -> kmvOverlapQ _,
