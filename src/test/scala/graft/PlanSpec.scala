@@ -1368,6 +1368,52 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q211: snapshot-diff exchanges carry (id, hash, source) — never document text") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val df = SparkEntry.queries("q211_snapshot_diff")(spark, sf)
+    df.collect()
+    val shuffles = flattenPlan(df.queryExecution.executedPlan)
+      .collect { case s: ShuffleExchangeLike => s }
+    assert(shuffles.nonEmpty)
+    shuffles.foreach { s =>
+      assert(!s.output.exists(_.name == "text"),
+        s"exchange carries document text: ${s.output.mkString(", ")}")
+    }
+  }
+
+  test("q212/q216: retrieval rank windows partition by q_id — no single-partition window exchange") {
+    Seq("q212_hard_negatives", "q216_rrf_fusion").foreach { name =>
+      val df = SparkEntry.queries(name)(spark, sf)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      // the only SinglePartition exchange allowed is the final display
+      // sort of a <= 30-row result; the rank windows must not be one
+      assert(!p.contains("Exchange SinglePartition"), s"$name:\n${p.take(3000)}")
+    }
+  }
+
+  test("q220: the whole statistics pass reads the table once") {
+    val df = SparkEntry.queries("q220_column_stats")(spark, sf)
+    df.collect()
+    val fp = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert("FileScan parquet".r.findAllIn(fp).size == 1, fp.take(1500))
+  }
+
+  test("q222: the histogram build is aggregation-only — no sort, no window anywhere") {
+    val df = SparkEntry.queries("q222_histogram_selectivity")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // equi-width was chosen over equi-depth precisely so the build is a
+    // hash aggregate: a Sort or Window here means the quantile pass
+    // crept back in (the 1-row bound aggregates legitimately finish on
+    // a SinglePartition exchange; sorts do not appear at all)
+    assert(!p.contains("WindowExec") && !p.contains(") Window") &&
+      !p.contains("Sort "), p.take(3000))
+  }
+
   test("q205: KMV exchanges carry the 8-byte hash, never the word") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
     val df = SparkEntry.queries("q205_kmv_sketch")(spark, sf)
