@@ -196,10 +196,15 @@ object Sketch {
   /** Every appended partial, torn-state replays collapsed: a batch that
     * was appended twice (crash between append and marker) wrote
     * byte-identical rows, so distinct-by-(batch_id, row) restores
-    * exactly-once semantics for the additive merge. */
-  private def readParts(spark: org.apache.spark.sql.SparkSession,
+    * exactly-once semantics for the additive merge. Public so sibling
+    * families with non-sum merges ([[Stats.statsRead]]'s min/max
+    * columns) reuse the same replay discipline. */
+  def dedupedParts(spark: org.apache.spark.sql.SparkSession,
       path: String): DataFrame =
     spark.read.parquet(s"$path/parts").dropDuplicates()
+
+  private def readParts(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame = dedupedParts(spark, path)
 
   /** The CURRENT additive aggregate under a maintained path, for ANY
     * `(keys…, value)` partial row shape whose merge is a keyed sum —

@@ -52,6 +52,50 @@ object Stats {
   private def idiv(a: org.apache.spark.sql.Column,
       b: org.apache.spark.sql.Column) = Graph.idiv(a, b)
 
+  /** The MERGEABLE partial of [[columnStats]] — one WIDE typed row per
+    * call: total count, per-column non-null counts and typed min/max.
+    * NDV is deliberately absent (distinct does not merge additively —
+    * the HLL registers are the maintained answer to NDV; q195/q199).
+    * Min/max stay TYPED here, not cast to string: partial-merging
+    * lexicographic strings would mis-order integers of different digit
+    * widths — the cast happens once, after the merge, in
+    * [[statsRead]]. */
+  def columnStatsPartial(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "need at least one column to profile")
+    val aggs = cols.flatMap { c =>
+      Seq(count(col(c)).as(s"__nn_$c"),
+        min(col(c)).as(s"__mn_$c"),
+        max(col(c)).as(s"__mx_$c"))
+    }
+    df.agg(count(lit(1)).as("__n"), aggs: _*)
+  }
+
+  /** The CURRENT statistics under a maintained path
+    * ([[Sketch.sketchAppendBatch]] appends [[columnStatsPartial]] rows):
+    * counts sum, typed mins min, typed maxes max across every appended
+    * batch — exact because batches partition the rows — then the same
+    * long-form explode as [[columnStats]] (minus NDV). The planner's
+    * row counts and bounds stay current under ingest from one stored
+    * row per batch. */
+  def statsRead(spark: org.apache.spark.sql.SparkSession, path: String,
+      cols: Seq[String]): DataFrame = {
+    val merged = Sketch.dedupedParts(spark, path).agg(
+      sum("__n").as("__n"),
+      cols.flatMap { c =>
+        Seq(sum(s"__nn_$c").as(s"__nn_$c"),
+          min(s"__mn_$c").as(s"__mn_$c"),
+          max(s"__mx_$c").as(s"__mx_$c"))
+      }: _*)
+    val entries = cols.map { c =>
+      struct(lit(c).as("col_name"),
+        col("__n").as("n"),
+        (col("__n") - col(s"__nn_$c")).as("n_null"),
+        col(s"__mn_$c").cast("string").as("min_s"),
+        col(s"__mx_$c").cast("string").as("max_s"))
+    }
+    merged.select(explode(array(entries: _*)).as("s")).select("s.*")
+  }
+
   /** EQUI-WIDTH histogram of an integer column, `nBuckets` buckets over
     * the data-derived [min, max] span: one row per non-empty bucket —
     * `(bucket, b_lo, b_hi, cnt)` with the exact integer bounds the

@@ -4497,6 +4497,29 @@ object LlmQueries {
     TextOps.scriptProfile(planted, "text", "doc_id").orderBy("doc_id")
   }
 
+  /** q226 — language-ID CONFUSION matrix: the q27 marker-ratio
+    * classifier evaluated against the corpus's labeled `lang` column —
+    * per (true, predicted) cell, the count and the exact milli-share of
+    * the true language's row. This is the eval discipline every
+    * heuristic filter owes its users: q27 gates that the classifier
+    * computes what it claims; this gates HOW OFTEN what it claims is
+    * right, so a marker-list regression shows up as a moved cell, not a
+    * silent quality drift. */
+  def langIdConfusionQ(s: SparkSession, d: String): DataFrame = {
+    val pred = TextOps.languageId(docs(s, d), "text", "doc_id")
+      .select(col("doc_id"), col("lang_pred"))
+    val cells = docs(s, d).select(col("doc_id"), col("lang").as("lang_true"))
+      .join(pred, "doc_id")
+      .groupBy("lang_true", "lang_pred")
+      .agg(count(lit(1)).as("n"))
+    val totals = cells.groupBy("lang_true").agg(sum("n").as("__tot"))
+    cells.join(totals, "lang_true")
+      .select(col("lang_true"), col("lang_pred"), col("n"),
+        graft.operators.Graph.idiv(col("n") * 1000, col("__tot"))
+          .as("milli"))
+      .orderBy("lang_true", "lang_pred")
+  }
+
   /** q224 — behavior-SEQUENCE export: each user's time-ordered event
     * stream chunked into fixed-length training sequences (length 8,
     * the dataloader's max-context discipline applied to behavioral
@@ -7066,6 +7089,31 @@ object LlmQueries {
          |FROM ph JOIN bud b USING (node) LEFT JOIN kept k USING (node)
          |ORDER BY node""".stripMargin,
 
+    // the q27 scoring CTE verbatim, joined to the labeled lang — cells,
+    // counts, and integer milli-shares all replayed
+    "q226_langid_confusion" -> {
+      val scores = TextOps.langMarkers.map { case (l, re) =>
+        s"len(regexp_extract_all(lower(text), '$re'))::DOUBLE" +
+          s" / len(string_split_regex(trim(lower(text)), '\\s+')) AS score_$l"
+      }.mkString(",\n  ")
+      val names = TextOps.langMarkers.map(_._1)
+      val g = names.map(l => s"score_$l").mkString("greatest(", ", ", ")")
+      val pred = names.map(l =>
+        s"WHEN score_$l = $g THEN '$l'").mkString(
+        s"CASE WHEN $g = 0 THEN 'und' ", " ", " ELSE 'und' END")
+      s"""WITH sc AS (SELECT doc_id, lang,
+         |  $scores
+         |FROM documents),
+         |p AS (SELECT doc_id, lang AS lang_true, $pred AS lang_pred FROM sc),
+         |c AS (SELECT lang_true, lang_pred, count(*)::BIGINT AS n
+         |  FROM p GROUP BY 1, 2),
+         |t AS (SELECT lang_true, sum(n)::BIGINT AS tot FROM c GROUP BY 1)
+         |SELECT c.lang_true, c.lang_pred, c.n,
+         |  ((c.n * 1000) // t.tot)::BIGINT AS milli
+         |FROM c JOIN t USING (lang_true)
+         |ORDER BY c.lang_true, c.lang_pred""".stripMargin
+    },
+
     // per-user ordered chunking + the ordered string_agg rebuild —
     // (ts, event_id) is the unique tiebreak that makes the export
     // deterministic; nanos vs timestamp only affects ORDER, identically
@@ -7945,6 +7993,7 @@ object LlmQueries {
     "q223_kanon_rollup" -> kanonRollupQ _,
     "q224_event_sequences" -> eventSequencesQ _,
     "q225_transition_matrix" -> transitionMatrixQ _,
+    "q226_langid_confusion" -> langIdConfusionQ _,
     "q205_kmv_sketch" -> kmvSketchQ _,
     "q206_kmv_merge" -> kmvMergeQ _,
     "q207_kmv_overlap" -> kmvOverlapQ _,

@@ -703,6 +703,47 @@ object RelationalQueries {
         (col("est_count") - col("true_count")).as("err"))
   }
 
+  /** Per-directory memo of the MAINTAINED lineitem statistics — the
+    * stats family's under-ingest form: two order-parity batches, each
+    * appending its one-row typed partial
+    * ([[graft.operators.Stats.columnStatsPartial]]) replay-guarded via
+    * the sketch families' batch-tag protocol. */
+  private val statsMaintCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (SparkSession, String)]()
+  private val StatsCols =
+    Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+      "l_returnflag", "l_shipdate")
+  private def statsMaintPath(s: SparkSession, d: String): String =
+    statsMaintCache.compute(d, (_, cur) => {
+      if (cur != null && (cur._1 eq s)) cur
+      else {
+        val p = s"${sys.props("java.io.tmpdir")}/graft_statsmaint_" +
+          graft.engine.IndexCache.md5Key(d, 8)
+        graft.cli.Cleanup.deleteOnExit(p)
+        import graft.operators.{Sketch, Stats}
+        def half(par: Int) = Stats.columnStatsPartial(
+          t(s, d, "lineitem").where(pmod(col("l_orderkey"), lit(2)) === par),
+          StatsCols)
+        require(Sketch.sketchAppendBatch(p, half(0), 0L), "batch 0 must apply")
+        require(Sketch.sketchAppendBatch(p, half(1), 1L), "batch 1 must apply")
+        require(!Sketch.sketchAppendBatch(p, half(1), 1L),
+          "replayed batch id must no-op")
+        (s, p)
+      }
+    })._2
+
+  /** q227 — column statistics from the MAINTAINED partials
+    * ([[graft.operators.Stats.statsRead]] over the persisted two-batch
+    * append path): counts sum, typed mins/maxes merge, and the result
+    * must equal the direct whole-table profile (the oracle recomputes
+    * it from raw rows) — so the planner's row counts and bounds stay
+    * current under ingest from ONE stored row per batch. NDV is
+    * deliberately absent from the maintained tier (distinct doesn't
+    * merge; the HLL registers are its maintained form — q199). */
+  def statsMaintainedQ(s: SparkSession, d: String): DataFrame =
+    graft.operators.Stats.statsRead(s, statsMaintPath(s, d), StatsCols)
+      .orderBy("col_name")
+
   /** q181 — bucket CO-LOCATED join ([[graft.sources.Bucketed]]): both
     * fact tables written bucket-sorted on their order keys, so the
     * sort-merge join plans with ZERO shuffle exchanges — the layout the
@@ -1222,6 +1263,20 @@ object RelationalQueries {
         |  (((s.n * s.n) // s.ndv) - tru.true_join)::BIGINT AS err
         |FROM s CROSS JOIN tru""".stripMargin,
 
+    // the direct whole-table profile recomputed from raw rows — the
+    // Spark side read one merged row per batch instead (no NDV: the
+    // maintained tier's distinct answer is the HLL family)
+    "q227_stats_maintained" -> {
+      def branch(c: String) =
+        s"""SELECT '$c' AS col_name, count(*)::BIGINT AS n,
+           |  (count(*) - count($c))::BIGINT AS n_null,
+           |  min($c)::VARCHAR AS min_s, max($c)::VARCHAR AS max_s
+           |FROM lineitem""".stripMargin
+      Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_returnflag", "l_shipdate")
+        .map(branch).mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+    },
+
     // bucket map, integer bucket bounds, overlap interpolation, and the
     // exact range count all replayed — the signed error is the
     // within-bucket-skew audit
@@ -1309,6 +1364,7 @@ object RelationalQueries {
     "q220_column_stats" -> columnStatsQ _,
     "q221_stats_join_estimate" -> statsJoinEstimateQ _,
     "q222_histogram_selectivity" -> histogramSelectivityQ _,
+    "q227_stats_maintained" -> statsMaintainedQ _,
     "q181_bucketed_join" -> bucketedJoin _,
     "q49_sketch_tolerance" -> sketchTolerance _,
   )
