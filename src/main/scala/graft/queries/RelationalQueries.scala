@@ -744,6 +744,67 @@ object RelationalQueries {
     graft.operators.Stats.statsRead(s, statsMaintPath(s, d), StatsCols)
       .orderBy("col_name")
 
+  /** q228 — SKETCH-NDV statistics, the production ANALYZE path: exact
+    * NDV (q220) costs a multi-distinct Expand over the fact table;
+    * engines actually profile NDV with HLL. Per key column, the HLL
+    * estimator's integer core over the column's value stream
+    * ([[graft.operators.Sketch.hllRegisters]] on the decimal string of
+    * the key — the same cast both engines print identically for
+    * integers) plus the exact NDV as the audit column. The q201
+    * discipline applied to ANALYZE: everything but the final float
+    * division is gated. */
+  def statsNdvSketchQ(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.Sketch
+    val li = t(s, d, "lineitem")
+    def core(c: String) = Sketch.hllEstimate(
+      Sketch.hllRegisters(
+        li.select(lit(c).as("col_name"), col(c).cast("string").as("__v")),
+        "__v", Seq("col_name")),
+      Seq("col_name"))
+      .select(col("col_name"), col("v"), col("harmonic_scaled"))
+    val exact = li.agg(
+      countDistinct(col("l_orderkey")).as("l_orderkey"),
+      countDistinct(col("l_partkey")).as("l_partkey"))
+      .select(explode(array(
+        struct(lit("l_orderkey").as("col_name"),
+          col("l_orderkey").as("exact_ndv")),
+        struct(lit("l_partkey").as("col_name"),
+          col("l_partkey").as("exact_ndv")))).as("s"))
+      .select("s.*")
+    core("l_orderkey").unionByName(core("l_partkey"))
+      .join(exact, "col_name")
+      .orderBy("col_name")
+  }
+
+  /** q229 — REFERENTIAL-INTEGRITY audit, the ingest QA gate a fact
+    * table passes before anything joins it: per foreign key, row count,
+    * orphan count (keys with no dimension partner — a left anti join,
+    * exchanges carrying only the key), and the orphan-key checksum that
+    * makes the gate sensitive to WHICH keys dangle. Orphans are PLANTED
+    * (every 97th order's partkey shifted past the dimension's range) so
+    * both branches carry real rows; the clean foreign key audits 0. */
+  def riAuditQ(s: SparkSession, d: String): DataFrame = {
+    val li = t(s, d, "lineitem")
+    val planted = li.select(col("l_orderkey"),
+      when(pmod(col("l_orderkey"), lit(97)) === 0,
+        col("l_partkey") + lit(10000000L)).otherwise(col("l_partkey"))
+        .as("l_partkey"))
+    def audit(fact: DataFrame, fk: String, dim: DataFrame,
+        pk: String, name: String) = {
+      val orphans = fact.join(dim, fact(fk) === dim(pk), "left_anti")
+      fact.agg(count(lit(1)).as("n_rows")).crossJoin(broadcast(
+        orphans.agg(count(lit(1)).as("n_orphans"),
+          coalesce(sum(col(fk)), lit(0L)).as("orphan_key_sum"))))
+        .select(lit(name).as("fk_name"), col("n_rows"), col("n_orphans"),
+          col("orphan_key_sum"))
+    }
+    audit(planted, "l_partkey", t(s, d, "part"), "p_partkey",
+        "lineitem.l_partkey->part")
+      .unionByName(audit(li.select("l_orderkey"), "l_orderkey",
+        t(s, d, "orders"), "o_orderkey", "lineitem.l_orderkey->orders"))
+      .orderBy("fk_name")
+  }
+
   /** q181 — bucket CO-LOCATED join ([[graft.sources.Bucketed]]): both
     * fact tables written bucket-sorted on their order keys, so the
     * sort-merge join plans with ZERO shuffle exchanges — the layout the
@@ -1263,6 +1324,63 @@ object RelationalQueries {
         |  (((s.n * s.n) // s.ndv) - tru.true_join)::BIGINT AS err
         |FROM s CROSS JOIN tru""".stripMargin,
 
+    // registers rebuilt from the key's decimal string, the 2^55-scaled
+    // harmonic core, and the exact NDV audit — ANALYZE without the
+    // multi-distinct Expand, gated to the last integer
+    "q228_stats_ndv_sketch" -> {
+      val h = "('0x' || substr(md5('67:' || v), 1, 15))::BIGINT"
+      s"""WITH vals AS (
+         |  SELECT 'l_orderkey' AS col_name, l_orderkey::VARCHAR AS v
+         |    FROM lineitem
+         |  UNION ALL
+         |  SELECT 'l_partkey', l_partkey::VARCHAR FROM lineitem),
+         |hh AS (SELECT col_name, (h % 64) AS idx, (h >> 6) AS suffix
+         |  FROM (SELECT col_name, $h AS h FROM vals) t),
+         |r AS (SELECT col_name, idx,
+         |    CASE WHEN suffix = 0 THEN 55
+         |         ELSE 55 - length(bin(suffix)) END AS rank
+         |  FROM hh),
+         |regs AS (SELECT col_name, idx, max(rank) AS rank
+         |  FROM r GROUP BY 1, 2),
+         |core AS (SELECT col_name, (64 - count(*))::BIGINT AS v,
+         |    (sum(1::BIGINT << (55 - rank)::INTEGER)
+         |      + (64 - count(*)) * (1::BIGINT << 55))::BIGINT
+         |      AS harmonic_scaled
+         |  FROM regs GROUP BY col_name),
+         |ex AS (
+         |  SELECT 'l_orderkey' AS col_name,
+         |    count(DISTINCT l_orderkey)::BIGINT AS exact_ndv FROM lineitem
+         |  UNION ALL
+         |  SELECT 'l_partkey', count(DISTINCT l_partkey)::BIGINT
+         |    FROM lineitem)
+         |SELECT c.col_name, c.v, c.harmonic_scaled, e.exact_ndv
+         |FROM core c JOIN ex e USING (col_name) ORDER BY col_name""".stripMargin
+    },
+
+    // anti-join counts + orphan-key checksums, orphans planted on one
+    // foreign key so both branches carry real rows
+    "q229_ri_audit" ->
+      """WITH planted AS (SELECT l_orderkey,
+        |    CASE WHEN l_orderkey % 97 = 0 THEN l_partkey + 10000000
+        |         ELSE l_partkey END AS l_partkey
+        |  FROM lineitem),
+        |o1 AS (SELECT count(*)::BIGINT AS n_orphans,
+        |    coalesce(sum(l_partkey), 0)::BIGINT AS orphan_key_sum
+        |  FROM planted
+        |  WHERE l_partkey NOT IN (SELECT p_partkey FROM part)),
+        |a1 AS (SELECT 'lineitem.l_partkey->part' AS fk_name,
+        |    (SELECT count(*) FROM planted)::BIGINT AS n_rows,
+        |    n_orphans, orphan_key_sum FROM o1),
+        |o2 AS (SELECT count(*)::BIGINT AS n_orphans,
+        |    coalesce(sum(l_orderkey), 0)::BIGINT AS orphan_key_sum
+        |  FROM lineitem
+        |  WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)),
+        |a2 AS (SELECT 'lineitem.l_orderkey->orders',
+        |    (SELECT count(*) FROM lineitem)::BIGINT,
+        |    n_orphans, orphan_key_sum FROM o2)
+        |SELECT * FROM (SELECT * FROM a1 UNION ALL SELECT * FROM a2) t
+        |ORDER BY fk_name""".stripMargin,
+
     // the direct whole-table profile recomputed from raw rows — the
     // Spark side read one merged row per batch instead (no NDV: the
     // maintained tier's distinct answer is the HLL family)
@@ -1365,6 +1483,8 @@ object RelationalQueries {
     "q221_stats_join_estimate" -> statsJoinEstimateQ _,
     "q222_histogram_selectivity" -> histogramSelectivityQ _,
     "q227_stats_maintained" -> statsMaintainedQ _,
+    "q228_stats_ndv_sketch" -> statsNdvSketchQ _,
+    "q229_ri_audit" -> riAuditQ _,
     "q181_bucketed_join" -> bucketedJoin _,
     "q49_sketch_tolerance" -> sketchTolerance _,
   )
