@@ -86,7 +86,12 @@ object Explain {
       "q203_pagerank_hosts", "q204_authority_quota", "q205_kmv_sketch",
       "q207_kmv_overlap", "q209_card_redact", "q210_ppr_seed",
       "q211_snapshot_diff", "q212_hard_negatives", "q213_bloom_join",
-      "q214_salt_plan", "q215_html_strip")
+      "q214_salt_plan", "q215_html_strip", "q216_rrf_fusion",
+      "q218_url_filter", "q219_script_profile", "q220_column_stats",
+      "q221_stats_join_estimate", "q222_histogram_selectivity",
+      "q223_kanon_rollup", "q224_event_sequences",
+      "q225_transition_matrix", "q226_langid_confusion",
+      "q228_stats_ndv_sketch", "q229_ri_audit")
     val sb = new StringBuilder(
       s"# PLANS — physical plans of headline queries ($sfDir)\n\n" +
         "Generated by `runMain graft.Explain`. The properties PlanSpec pins\n" +
