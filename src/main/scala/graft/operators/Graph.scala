@@ -126,9 +126,18 @@ object Graph {
   private def prCore(edges: DataFrame, src: String, dst: String, w: String,
       iters: Int, init: Column, teleport: Column): DataFrame = {
     require(iters >= 1, s"need iters >= 1; got $iters")
+    // fail loud on a non-positive merged weight: the floor-division
+    // flow split assumes w >= 1, and a zero/negative weight would
+    // silently corrupt every downstream rank (the repo's raise_error
+    // convention — one codegen'd branch per distinct edge)
     val e = edges
       .groupBy(col(src).as("__src"), col(dst).as("__dst"))
-      .agg(sum(col(w)).as("__w"))
+      .agg(sum(col(w)).as("__w0"))
+      .withColumn("__w", when(col("__w0") <= 0,
+        raise_error(concat(lit("pageRank: non-positive edge weight for "),
+          col("__src"), lit("->"), col("__dst"))))
+        .otherwise(col("__w0")))
+      .drop("__w0")
     val nodes = e.select(col("__src").as("node"))
       .unionByName(e.select(col("__dst").as("node")))
       .distinct()

@@ -1346,6 +1346,16 @@ object TextOps {
     * of a blocked URL cannot slip past the filter. */
   def urlBlocklist(df: DataFrame, url: String, id: String,
       rules: DataFrame): DataFrame = {
+    // fail loud on a typo'd rule kind — a silently ignored deny rule is
+    // the worst failure mode a blocklist can have. Bounded action: the
+    // rule table is small by contract (it broadcasts), and this reads
+    // at most one bad row.
+    val badKind = rules
+      .where(!col("kind").isin("host", "host_suffix", "path_prefix"))
+      .select("kind").limit(1).collect()
+    require(badKind.isEmpty,
+      s"unknown blocklist rule kind '${badKind.headOption.map(_.getString(0))
+        .getOrElse("")}' — supported: host, host_suffix, path_prefix")
     val host = urlHost(col(url))
     val path = regexp_extract(canonicalUrl(col(url)),
       "^[a-z][a-z0-9+.\\-]*://[^/?]*([^?]*)", 1)
@@ -1584,7 +1594,10 @@ object TextOps {
       acc + when(pmod(p, lit(2)) === 0,
         when(dbl > 9, dbl - 9).otherwise(dbl)).otherwise(dig)
     })
-    pmod(total, lit(10)) === 0
+    // the empty sum is 0 ≡ 0 (mod 10): without the length guard an
+    // empty string would validate — unreachable through [[CardRe]]'s
+    // fixed-width candidates, but this is a public predicate
+    n > 0 && pmod(total, lit(10)) === 0
   }
 
   /** CHECKSUM-VALIDATED card redaction — the false-positive control

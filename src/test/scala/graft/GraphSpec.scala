@@ -105,6 +105,18 @@ class GraphSpec extends AnyFunSuite {
     assert(got("A") > 0L && got("B") > 0L)
   }
 
+  test("non-positive edge weights fail loud, not silently corrupt") {
+    val bad = Seq(("A", "B", 0L), ("B", "A", 1L)).toDF("src", "dst", "w")
+    val e = intercept[Exception] {
+      Graph.pageRank(bad, "src", "dst", "w", 1).collect()
+    }
+    assert(e.getMessage != null &&
+      (e.getMessage.contains("non-positive edge weight") ||
+        Option(e.getCause).exists(
+          _.getMessage.contains("non-positive edge weight"))),
+      s"got: ${e.getMessage}")
+  }
+
   test("multi-edge rows pre-sum into one weighted edge") {
     // (A,B) listed twice must equal (A,B) with the summed weight
     val split = ranks(Seq(("A", "B", 1L), ("A", "B", 1L), ("B", "A", 2L)), 2)

@@ -1237,6 +1237,19 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("urlBlocklist rejects unknown rule kinds; luhnValid rejects the empty string") {
+    val bad = Seq(("host", "x.com"), ("host_sufix", "typo.net"))
+      .toDF("kind", "pattern")
+    val urls = Seq((1L, "http://x.com/a")).toDF("doc_id", "url")
+    val e = intercept[IllegalArgumentException] {
+      TextOps.urlBlocklist(urls, "url", "doc_id", bad)
+    }
+    assert(e.getMessage.contains("host_sufix"))
+    val empty = Seq((1L, "")).toDF("i", "s")
+      .select(TextOps.luhnValid($"s")).collect().head.getBoolean(0)
+    assert(!empty, "the empty string must not validate (0 = 0 mod 10)")
+  }
+
   test("urlBlocklist: segment boundaries, subdomain suffixes, precedence, canonicalization") {
     val rules = Seq(
       ("host", "bad.com"),
