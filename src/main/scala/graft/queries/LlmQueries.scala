@@ -2502,6 +2502,62 @@ object LlmQueries {
       .orderBy(desc("n_cm"), col("w"))
   }
 
+  /** Per-directory memo of the DELETION-maintained count-min path:
+    * batch 0 appends the full-corpus sketch; batch 1 appends the
+    * NEGATED sketch of the delete set (doc_id ≡ 0 mod 53). Count-min
+    * is a LINEAR sketch, so subtraction IS deletion, exactly — the
+    * operation HLL's max registers and the KMV sample structurally
+    * cannot perform (deletes there mean rebuild; scaladoc'd on both).
+    * The replay guard is exercised in-gate with extra force here: a
+    * replayed NEGATIVE batch would delete twice and drive counters
+    * negative. */
+  private val cmDeleteCache = new SessionPathMemo("cmdelete", (s, d, p) => {
+    val dd = docs(s, d)
+    def cells(df: DataFrame) = Sketch.countMinCells(
+      df.select(explode(TextOps.tokens(col("text"))).as("w")),
+      "w", CmDepth, CmWidth)
+    require(Sketch.sketchAppendBatch(p, cells(dd), 0L), "batch 0 must apply")
+    val neg = cells(dd.where(pmod(col("doc_id"), lit(53)) === 0))
+      .withColumn("cnt", -col("cnt"))
+    require(Sketch.sketchAppendBatch(p, neg, 1L), "delete batch must apply")
+    require(!Sketch.sketchAppendBatch(p, neg, 1L),
+      "replayed delete batch must no-op (it would delete twice)")
+  })
+
+  /** q230 — right-to-be-forgotten through the MAINTAINED sketch: the
+    * full-corpus sketch plus one NEGATIVE partial for the delete set,
+    * read back and audited against the exact top-20 of the KEPT corpus
+    * — the oracle rebuilds the kept-corpus sketch directly, so hash
+    * equality proves the subtraction exact (count-min linearity,
+    * realized by the same append protocol that does ingest). Frequency
+    * state honors a deletion request with no rescan of history. */
+  def countMinDeleteQ(s: SparkSession, d: String): DataFrame = {
+    val kept = docs(s, d).where(pmod(col("doc_id"), lit(53)) =!= 0)
+      .select(explode(TextOps.tokens(col("text"))).as("w"))
+    cmTopWordAudit(kept, Sketch.cmRead(s, cmDeleteCache(s, d)))
+  }
+
+  /** Per-directory memo of the SWEPT export: the q191 numbered-shard
+    * release REBUILT from the kept corpus after the deletion sweep
+    * (doc_id ≡ 0 mod 53 removed). */
+  private val sweptShardCache = new SessionPathMemo("shardswept", (s, d, p) =>
+    graft.sources.Layout.writeNumberedShards(
+      docs(s, d).where(pmod(col("doc_id"), lit(53)) =!= 0)
+        .select("doc_id", "lang", "n_chars"),
+      s"$p/export", Seq("doc_id"), rowsPerShard = 128))
+
+  /** q231 — the deletion SWEEP propagated into a persisted release:
+    * the shard export rebuilt from the kept corpus, gated by the same
+    * total-manifest recomputation as q191 over `documents` MINUS the
+    * delete set. Every deleted row's absence moves a shard checksum
+    * (and shifts every subsequent ordinal), so a single leaked record
+    * anywhere in the export hash-fails the gate — the verifiable
+    * artifact a right-to-be-forgotten pass must produce. */
+  def deletionSweepQ(s: SparkSession, d: String): DataFrame =
+    graft.sources.Layout.shardManifest(s, s"${sweptShardCache(s, d)}/export",
+      "doc_id", Seq("doc_id", "lang", "n_chars"))
+      .orderBy("shard_id")
+
   /** q193 — sketch MERGE distributivity ([[Sketch.cmMerge]]): sketch
     * the even-doc and odd-doc halves of the corpus separately, merge
     * cell-wise, and emit every cell. The oracle builds ONE sketch over
@@ -3009,11 +3065,15 @@ object LlmQueries {
 
   /** The q192/q198 oracle: the 4×16 count-min sketch rebuilt
     * cell-for-cell from raw rows, exact top-20, row-MIN probe. */
-  private lazy val cmWordsOracleSql: String = {
+  private lazy val cmWordsOracleSql: String = cmWordsOracle("")
+
+  /** The q192/q198/q230 oracle, parameterized by a WHERE clause on the
+    * documents scan (q230 gates the kept corpus after deletion). */
+  private def cmWordsOracle(where: String): String = {
     val cellH = pHash("61", "g.d::VARCHAR || ':' || w.w")
     val probeH = pHash("61", "g.d::VARCHAR || ':' || t.w")
     s"""WITH w AS (SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
-       |    FROM documents),
+       |    FROM documents$where),
        |cells AS (SELECT g.d, ($cellH % $CmWidth) AS cell, count(*)::BIGINT AS cnt
        |  FROM w CROSS JOIN generate_series(0, 3) g(d) GROUP BY 1, 2),
        |exact AS (SELECT w, count(*)::BIGINT AS n_true FROM w GROUP BY w),
@@ -6869,6 +6929,29 @@ object LlmQueries {
     // portable hashing makes the estimates deterministic, not just bounded
     "q192_countmin_words" -> cmWordsOracleSql,
 
+    // the KEPT corpus's sketch rebuilt directly — matching the Spark
+    // side's (full + negative-delete) read-back proves count-min
+    // linearity realized by the append protocol
+    "q230_countmin_delete" -> cmWordsOracle(" WHERE doc_id % 53 <> 0"),
+
+    // the q191 total-manifest recomputation over documents MINUS the
+    // delete set: one leaked row anywhere flips a checksum and shifts
+    // every subsequent ordinal
+    "q231_deletion_sweep" -> {
+      val h = pHash("17",
+        "doc_id::VARCHAR || chr(1) || lang || chr(1) || n_chars::VARCHAR")
+      s"""WITH r AS (SELECT doc_id, lang, n_chars,
+         |    row_number() OVER (ORDER BY doc_id) AS rk FROM documents
+         |    WHERE doc_id % 53 <> 0),
+         |hh AS (SELECT (rk - 1) // 128 AS shard_id, doc_id,
+         |    ($h % 1048576) AS h
+         |  FROM r)
+         |SELECT shard_id::BIGINT AS shard_id, count(*)::BIGINT AS n_rows,
+         |  min(doc_id) AS min_key, max(doc_id) AS max_key,
+         |  sum(h)::BIGINT AS content_sum
+         |FROM hh GROUP BY shard_id ORDER BY shard_id""".stripMargin
+    },
+
     // sketch + total + integer ceil-divisions replayed: the salt plan a
     // 100 TB shuffle is priced with, from 64 cells and one counter
     "q214_salt_plan" -> {
@@ -7994,6 +8077,8 @@ object LlmQueries {
     "q224_event_sequences" -> eventSequencesQ _,
     "q225_transition_matrix" -> transitionMatrixQ _,
     "q226_langid_confusion" -> langIdConfusionQ _,
+    "q230_countmin_delete" -> countMinDeleteQ _,
+    "q231_deletion_sweep" -> deletionSweepQ _,
     "q205_kmv_sketch" -> kmvSketchQ _,
     "q206_kmv_merge" -> kmvMergeQ _,
     "q207_kmv_overlap" -> kmvOverlapQ _,

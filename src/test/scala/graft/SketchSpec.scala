@@ -181,6 +181,28 @@ class SketchSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("count-min is linear: a negative partial deletes exactly; a replayed delete would corrupt") {
+    val (deleted, kept) = words.splitAt(words.size / 4)
+    def cells(ws: Seq[String]) =
+      Sketch.countMinCells(ws.toDF("w"), "w", depth = 4, width = 8)
+    val path =
+      java.nio.file.Files.createTempDirectory("graft_cm_delete").toString
+    graft.cli.Cleanup.deleteOnExit(path)
+    assert(Sketch.sketchAppendBatch(path, cells(words), 0L))
+    assert(Sketch.sketchAppendBatch(path,
+      cells(deleted).withColumn("cnt", -col("cnt")), 1L))
+    def cellMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      .filter(_._2 != 0L) // full-minus-deleted leaves exact-zero cells
+    assert(cellMap(Sketch.cmRead(spark, path)) == cellMap(cells(kept)),
+      "full + negative-delete must equal the kept-corpus sketch")
+    // the replay guard is what stands between a retry and a DOUBLE
+    // delete: the second identical delete batch must refuse
+    assert(!Sketch.sketchAppendBatch(path,
+      cells(deleted).withColumn("cnt", -col("cnt")), 1L))
+    assert(cellMap(Sketch.cmRead(spark, path)) == cellMap(cells(kept)))
+  }
+
   // --- KMV bottom-k ---
 
   /** Independent replay of the KMV hash (seed 71). */
