@@ -1414,6 +1414,16 @@ class PlanSpec extends AnyFunSuite {
       !p.contains("Sort "), p.take(3000))
   }
 
+  test("q224/q225: behavior-sequence windows partition by user_id — never a single partition") {
+    Seq("q224_event_sequences", "q225_transition_matrix").foreach { name =>
+      val df = SparkEntry.queries(name)(spark, sf)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      assert(!p.contains("Exchange SinglePartition"), s"$name:\n${p.take(3000)}")
+    }
+  }
+
   test("q205: KMV exchanges carry the 8-byte hash, never the word") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
     val df = SparkEntry.queries("q205_kmv_sketch")(spark, sf)
