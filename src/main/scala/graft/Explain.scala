@@ -91,7 +91,8 @@ object Explain {
       "q221_stats_join_estimate", "q222_histogram_selectivity",
       "q223_kanon_rollup", "q224_event_sequences",
       "q225_transition_matrix", "q226_langid_confusion",
-      "q228_stats_ndv_sketch", "q229_ri_audit")
+      "q228_stats_ndv_sketch", "q229_ri_audit",
+      "q230_countmin_delete", "q231_deletion_sweep")
     val sb = new StringBuilder(
       s"# PLANS — physical plans of headline queries ($sfDir)\n\n" +
         "Generated by `runMain graft.Explain`. The properties PlanSpec pins\n" +
