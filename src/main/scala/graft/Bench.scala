@@ -59,19 +59,50 @@ object Bench {
     // other); max heap catches the 8g-default-vs-32g driver-memory mistake
     // that uniformly inflates every query ~1.4x.
     val os = java.lang.management.ManagementFactory.getOperatingSystemMXBean
-    val loadStart = os.getSystemLoadAverage
-    val passWalls = scala.collection.mutable.ArrayBuffer.empty[Double]
-    val samples = (1 to passes).map { _ =>
-      val p0 = System.nanoTime()
-      val m = names.map { name =>
-        val t0 = System.nanoTime()
-        try runOnce(name) catch { case _: Throwable => -1L }
-        name -> (System.nanoTime() - t0) / 1e9
-      }.toMap
-      passWalls += (System.nanoTime() - p0) / 1e9
-      m
+    // one timed window = `passes` whole-suite sweeps; returns
+    // (per-pass query timings, pass walls, load before/after)
+    def timedWindow(): (Seq[Map[String, Double]], Seq[Double], Double, Double) = {
+      val l0 = os.getSystemLoadAverage
+      val walls = scala.collection.mutable.ArrayBuffer.empty[Double]
+      val s = (1 to passes).map { _ =>
+        val p0 = System.nanoTime()
+        val m = names.map { name =>
+          val t0 = System.nanoTime()
+          try runOnce(name) catch { case _: Throwable => -1L }
+          name -> (System.nanoTime() - t0) / 1e9
+        }.toMap
+        walls += (System.nanoTime() - p0) / 1e9
+        m
+      }
+      (s, walls.toSeq, l0, os.getSystemLoadAverage)
     }
-    val loadEnd = os.getSystemLoadAverage
+    // Window-quality promotion policy (round-13 verdict ask 1): a window is
+    // DEGRADED when its own health data says the machine was contended —
+    // pass-wall spread >10% (an idle machine runs the sweeps within a few
+    // percent of each other) or elevated load BEFORE the first timed pass
+    // (anything this JVM caused is already drained by the warmup). Round 13
+    // committed a self-labeled degraded window (0.762 vs clean 0.650 s/q)
+    // because the health data existed but no policy acted on it.
+    def wallSpread(walls: Seq[Double]): Double =
+      if (walls.isEmpty || walls.min <= 0) 0.0 else (walls.max - walls.min) / walls.min
+    def isDegraded(walls: Seq[Double], l0: Double): Boolean =
+      wallSpread(walls) > 0.10 || l0 > os.getAvailableProcessors / 4.0
+    var (samples, passWallsSeq, loadStart, loadEnd) = timedWindow()
+    var window = "primary"
+    if (isDegraded(passWallsSeq, loadStart) && passes > 1) {
+      // auto-rerun once: one retry window, promote whichever is healthier
+      System.err.println(
+        f"[graft] degraded window (wall spread ${wallSpread(passWallsSeq) * 100}%.1f%%, " +
+          f"load_start $loadStart%.2f) — auto-rerunning once")
+      val (s2, w2, l2a, l2b) = timedWindow()
+      val keepRetry = wallSpread(w2) < wallSpread(passWallsSeq) && l2a <= loadStart.max(1.0)
+      if (keepRetry) {
+        samples = s2; passWallsSeq = w2; loadStart = l2a; loadEnd = l2b
+        window = "retry"
+      }
+    }
+    val degraded = isDegraded(passWallsSeq, loadStart)
+    val passWalls = passWallsSeq
     val healthJson = {
       // locale-independent rounding: an f-interpolator uses the default
       // locale's decimal separator, and a comma there is invalid JSON
@@ -81,7 +112,8 @@ object Bench {
         math.round(Runtime.getRuntime.maxMemory / (1024.0 * 1024 * 1024) * 10) / 10.0
       s""""health":{"load_start":$loadStart,"load_end":$loadEnd,""" +
         s""""ncpu":${os.getAvailableProcessors},""" +
-        s""""max_heap_gb":$heapGb,"pass_walls":$walls}"""
+        s""""max_heap_gb":$heapGb,"pass_walls":$walls,""" +
+        s""""window":"$window","degraded":$degraded}"""
     }
     val results = names.map { name =>
       val ts = samples.map(_(name)).sorted
@@ -104,8 +136,19 @@ object Bench {
     val fileJson =
       s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir",""" +
         s""""passes":$passes,$healthJson,"queries":$qs,"spread":$spreads}"""
+    // refuse to promote a degraded window: if BOTH windows failed the health
+    // gate, the artifact goes to `<path>.degraded.json` (data kept, canonical
+    // promotion path untouched) unless SPARK_GRAFT_BENCH_FORCE=1 explicitly
+    // overrides. stdout JSON is always printed — the driver contract.
+    val basePath = sys.env.getOrElse("SPARK_GRAFT_BENCH_JSON", "bench/bench_latest.json")
+    val force = sys.env.get("SPARK_GRAFT_BENCH_FORCE").contains("1")
     val outPath = java.nio.file.Paths.get(
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_JSON", "bench/bench_latest.json"))
+      if (degraded && !force) {
+        System.err.println(
+          s"[graft] degraded window after retry — writing $basePath.degraded.json " +
+            "(set SPARK_GRAFT_BENCH_FORCE=1 to promote anyway)")
+        basePath + ".degraded.json"
+      } else basePath)
     try {
       Option(outPath.getParent).foreach(java.nio.file.Files.createDirectories(_))
       java.nio.file.Files.write(outPath,

@@ -348,7 +348,9 @@ object Dedup {
             .join(touched, Seq("bi", "k"), "left_semi")
             .groupBy("bi", "k").agg(max("n").as("__old"))
         else
-          bandIndexRead(spark, path)
+          // RAW read: the cap is a physical-row invariant, so tombstoned
+          // rows still count until bandIndexPurge rewrites them away
+          spark.read.parquet(s"$path/bands")
             .join(touched, Seq("bi", "k"), "left_semi")
             .groupBy("bi", "k").agg(count(lit(1)).as("__old"))
       // bandIndexSkipped already returns one max-size row per bucket —
@@ -394,9 +396,48 @@ object Dedup {
     }
   }
 
-  /** The queryable band rows of a persisted index ([[bandIndexWrite]]). */
-  def bandIndexRead(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
-    spark.read.parquet(s"$path/bands")
+  /** The queryable band rows of a persisted index ([[bandIndexWrite]]) —
+    * LIVE rows only: ids tombstoned by [[bandIndexForget]] are dropped
+    * ([[Rtbf]]), so no probe built on this read can return a forgotten
+    * document. Internal physical reads (cap recounts, the verifier)
+    * use the raw directory — tombstoned rows still occupy their
+    * buckets until [[bandIndexPurge]]. */
+  def bandIndexRead(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame = {
+    val raw = spark.read.parquet(s"$path/bands")
+    // the id column is whatever the build used: the non-(bi, k) column
+    val idCol = raw.columns.filterNot(Set("bi", "k")).head
+    Rtbf.dropForgotten(raw, spark, path, idCol)
+  }
+
+  /** RTBF for the band index: tombstone `ids(id)` — every probe through
+    * [[bandIndexRead]] stops returning them immediately; call
+    * [[bandIndexPurge]] to drop the rows physically. */
+  def bandIndexForget(spark: org.apache.spark.sql.SparkSession,
+      path: String, ids: DataFrame, id: String): Unit =
+    Rtbf.forget(ids, path, id)
+
+  /** PURGE the band index's tombstoned rows: atomic filtered rewrite of
+    * `<path>/bands` (the [[Rtbf.swapRewrite]] discipline), a recount
+    * refresh of the `bandsizes` sidecar when one exists (bucket totals
+    * shrink — without the refresh later capped appends would
+    * over-count), then the tombstones clear. `skipped` buckets stay
+    * excluded: their historical rows were never in the index, so
+    * deletion cannot make them whole. */
+  def bandIndexPurge(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit = {
+    if (Rtbf.hasTombstones(spark, path)) {
+      val live = graft.engine.Checkpoints.mark(bandIndexRead(spark, path))
+      try {
+        Rtbf.swapRewrite(spark, path, "bands", live)
+        val fsP = new org.apache.hadoop.fs.Path(s"$path/bandsizes")
+        val fs = fsP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(fsP))
+          Rtbf.swapRewrite(spark, path, "bandsizes",
+            live.groupBy("bi", "k").agg(count(lit(1)).as("n")))
+      } finally graft.engine.Checkpoints.release(live)
+      Rtbf.clearTombstones(spark, path)
+    }
+  }
 
   /** The `(band_idx, key, size)` buckets a capped [[bandIndexWrite]]
     * excluded; empty for an uncapped index. A bucket re-hit by several
@@ -448,7 +489,9 @@ object Dedup {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     def sidecar(name: String): Boolean =
       fs.exists(new org.apache.hadoop.fs.Path(s"$path/$name"))
-    val actual = bandIndexRead(spark, path).groupBy("bi", "k")
+    // RAW read: the verifier cross-checks PHYSICAL rows against the cap
+    // sidecars, and tombstoned rows are physical until bandIndexPurge
+    val actual = spark.read.parquet(s"$path/bands").groupBy("bi", "k")
       .agg(count(lit(1)).as("actual"))
     def finding(df: DataFrame, issue: String, expected: Column): DataFrame =
       df.select(col("bi"), col("k"), lit(issue).as("issue"),
@@ -1075,6 +1118,40 @@ object Dedup {
         col("n_raw") =!= col("n_actual"))
   }
 
+  /** RTBF for the winnow index: tombstone `ids(id)` — probes
+    * ([[winnowIncrementalPairs]]) stop pairing against them
+    * immediately; [[winnowPurge]] drops their fingerprints physically. */
+  def winnowForget(spark: org.apache.spark.sql.SparkSession,
+      path: String, ids: DataFrame, id: String): Unit =
+    Rtbf.forget(ids, path, id)
+
+  /** PURGE the winnow index's tombstoned docs: atomic filtered rewrite
+    * of `<path>/fps` AND `<path>/sizes` (both keyed by doc — the size
+    * sidecar of a forgotten doc is itself that doc's data), then the
+    * tombstones clear. After purge the index is bit-identical to one
+    * built without the forgotten docs ([[winnowIndexVerify]] stays
+    * green — q235 gates exactly that equivalence). */
+  def winnowPurge(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit = {
+    if (Rtbf.hasTombstones(spark, path)) {
+      val fps = spark.read.parquet(s"$path/fps")
+      val idc = fps.schema.fieldNames.filterNot(_ == "fp").head
+      val liveFps = graft.engine.Checkpoints.mark(
+        Rtbf.dropForgotten(fps, spark, path, idc))
+      val liveSizes = graft.engine.Checkpoints.mark(
+        Rtbf.dropForgotten(spark.read.parquet(s"$path/sizes"),
+          spark, path, idc))
+      try {
+        Rtbf.swapRewrite(spark, path, "fps", liveFps)
+        Rtbf.swapRewrite(spark, path, "sizes", liveSizes)
+      } finally {
+        graft.engine.Checkpoints.release(liveFps)
+        graft.engine.Checkpoints.release(liveSizes)
+      }
+      Rtbf.clearTombstones(spark, path)
+    }
+  }
+
   /** Containment screen of an incoming batch against a persisted
     * [[winnowIndexWrite]] index — the q61 incremental shape for the MOSS
     * sketch: the batch winnows only its own rows, equi-joins the index
@@ -1093,7 +1170,10 @@ object Dedup {
     // would silently double n_shared — the one corruption the recount
     // verifier cannot see, since the distinct recount still matches the
     // once-written sidecar
-    val idx = spark.read.parquet(s"$path/fps").distinct()
+    // LIVE rows only: ids tombstoned by [[winnowForget]] drop before
+    // pairing, so a forgotten document can never surface as `a`
+    val idx = Rtbf.dropForgotten(
+      spark.read.parquet(s"$path/fps").distinct(), spark, path, id)
     // sizes read DEFENSIVELY too: a crash between the sizes append and
     // the marker write followed by a retry doubles a doc's sidecar rows
     // (winnowIndexVerify flags the state, but until rebuild the join on
@@ -1334,15 +1414,19 @@ object Dedup {
     * groups; the diff reports its current home). */
   def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame, id: String,
       text: String, by: Seq[String]): DataFrame = {
-    val a = oldSnap.select(Seq(col(id)) ++
+    // presence is a per-side flag, NOT hash nullness: a NULL text value
+    // hashes to NULL, and reading that as "side absent" misclassified an
+    // existing NULL-text row as added/removed. The change test is null-safe
+    // (<=>), so NULL-text vs NULL-text reads unchanged, NULL vs text changed.
+    val a = oldSnap.select(Seq(col(id), lit(1).as("__pa")) ++
       by.map(c => col(c).as(s"__a_$c")) :+
       TextOps.portableHash(col(text), SnapDiffSeed).as("__ha"): _*)
-    val b = newSnap.select(Seq(col(id)) ++
+    val b = newSnap.select(Seq(col(id), lit(1).as("__pb")) ++
       by.map(c => col(c).as(s"__b_$c")) :+
       TextOps.portableHash(col(text), SnapDiffSeed).as("__hb"): _*)
-    val status = when(col("__ha").isNull, lit("added"))
-      .when(col("__hb").isNull, lit("removed"))
-      .when(col("__ha") =!= col("__hb"), lit("changed"))
+    val status = when(col("__pa").isNull, lit("added"))
+      .when(col("__pb").isNull, lit("removed"))
+      .when(!(col("__ha") <=> col("__hb")), lit("changed"))
       .otherwise(lit("unchanged"))
     a.join(b, Seq(id), "full_outer")
       .select(Seq(col(id), status.as("status")) ++

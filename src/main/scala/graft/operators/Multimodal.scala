@@ -1280,6 +1280,42 @@ object Multimodal {
     mismatch.unionByName(missing).unionByName(leak)
   }
 
+  /** RTBF for the banded-fingerprint index (dHash/spectral/SimHash —
+    * one artifact shape): tombstone `ids(id)`; probes
+    * ([[dhashIncrementalPairs]]) stop pairing against them immediately;
+    * [[dhashPurge]] drops the hash rows physically. */
+  def dhashForget(spark: org.apache.spark.sql.SparkSession,
+      path: String, ids: DataFrame, id: String): Unit =
+    graft.operators.Rtbf.forget(ids, path, id)
+
+  /** PURGE the banded-fingerprint index's tombstoned docs: atomic
+    * filtered rewrite of `<path>/hashes`, a recount refresh of the
+    * `bandsizes` sidecar when one exists (as one build-epoch row set,
+    * `__batch = -1` — bucket totals shrink), then the tombstones clear.
+    * `skipped` buckets stay excluded (the [[Dedup.bandIndexPurge]]
+    * contract: their rows were never indexed). */
+  def dhashPurge(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit = {
+    import graft.operators.Rtbf
+    if (Rtbf.hasTombstones(spark, path)) {
+      val hs = spark.read.parquet(s"$path/hashes")
+      val idc = hs.schema.fieldNames.filterNot(DHashBandCols.contains).head
+      val live = graft.engine.Checkpoints.mark(
+        Rtbf.dropForgotten(hs, spark, path, idc))
+      try {
+        Rtbf.swapRewrite(spark, path, "hashes", live)
+        val szP = new org.apache.hadoop.fs.Path(s"$path/bandsizes")
+        val fs = szP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(szP))
+          Rtbf.swapRewrite(spark, path, "bandsizes",
+            dhashBanded(live.distinct(), idc).groupBy("band", "v")
+              .agg(count(lit(1)).as("n"))
+              .withColumn("__batch", lit(-1L)))
+      } finally graft.engine.Checkpoints.release(live)
+      Rtbf.clearTombstones(spark, path)
+    }
+  }
+
   /** Incremental image dedup of an ingest batch against a persisted
     * [[dhashIndexWrite]] index — the q61/q126 sign-once shape for
     * images: the batch hashes only its own rows and band-joins the
@@ -1298,7 +1334,11 @@ object Multimodal {
       .select(col("band_idx").as("band"), col("key").as("v"))
     def dropSkipped(banded: DataFrame): DataFrame =
       banded.join(skipped, Seq("band", "v"), "left_anti")
-    val x = dropSkipped(dhashBanded(spark.read.parquet(s"$path/hashes"), id))
+    // LIVE rows only: ids tombstoned by [[dhashForget]] drop before
+    // banding, so a forgotten image/audio doc never pairs as `a`
+    val x = dropSkipped(dhashBanded(
+      graft.operators.Rtbf.dropForgotten(
+        spark.read.parquet(s"$path/hashes"), spark, path, id), id))
       .toDF("band" +: "v" +: "a" +: DHashBandCols.map(_ + "a"): _*)
     val y = dropSkipped(dhashBanded(batchHashes, id))
       .toDF("band" +: "v" +: "b" +: DHashBandCols.map(_ + "b"): _*)

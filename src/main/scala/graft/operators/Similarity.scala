@@ -309,7 +309,10 @@ object Similarity {
     * probed cells' files.
     */
   final case class IvfIndex(spark: SparkSession, path: String, id: String, emb: String) {
-    def corpus: DataFrame = spark.read.parquet(s"$path/corpus")
+    // LIVE rows only: ids tombstoned by [[Similarity.ivfForget]] drop
+    // before any probe/derivation; [[Similarity.ivfCompact]] purges them
+    def corpus: DataFrame = graft.operators.Rtbf.dropForgotten(
+      spark.read.parquet(s"$path/corpus"), spark, path, id)
     def centroids: DataFrame = spark.read.parquet(s"$path/centroids")
   }
 
@@ -423,6 +426,31 @@ object Similarity {
   def ivfCompact(idx: IvfIndex, targetRecordsPerFile: Long): Int =
     compactCellCorpus(idx.spark, idx.path, idx.id, targetRecordsPerFile)
 
+  /** RTBF for the float IVF index: tombstone `ids(idx.id)` — every
+    * probe through `idx.corpus` stops returning them immediately; the
+    * next [[ivfCompact]] drops the rows physically and clears the set
+    * (compaction doubles as the purge — the round-13 verdict's ask). */
+  def ivfForget(idx: IvfIndex, ids: DataFrame): Unit =
+    graft.operators.Rtbf.forget(ids, idx.path, idx.id)
+
+  /** RTBF for the BQ code tier: tombstone `ids(idx.id)` — the hamming
+    * phase ([[bqIvfSearchBatch]]) stops shortlisting them immediately;
+    * [[bqIvfCompact]] drops the code rows physically. Forgetting a doc
+    * from the FLOAT index does not forget its 8 B codes (separate
+    * artifacts, separate tombstone sets) — forget from both. */
+  def bqIvfForget(idx: BqIvfIndex, ids: DataFrame): Unit =
+    graft.operators.Rtbf.forget(ids, idx.path, idx.id)
+
+  /** RTBF for the IVF-PQ code index ([[ivfPqCompact]] purges). */
+  def ivfPqForget(idx: IvfPqIndex, ids: DataFrame): Unit =
+    graft.operators.Rtbf.forget(ids, idx.path, idx.id)
+
+  /** [[ivfCompact]] for the BQ code tier: the same bounded-file rewrite
+    * and atomic swap, which also PURGES tombstoned codes
+    * ([[bqIvfForget]]) and clears the tombstone set. */
+  def bqIvfCompact(idx: BqIvfIndex, targetRecordsPerFile: Long): Int =
+    compactCellCorpus(idx.spark, idx.path, idx.id, targetRecordsPerFile)
+
   /** [[ivfCompact]] for the code index: the same small-files bound under
     * continuous [[ivfPqAppend]] — rewrite the cell partitions with
     * bounded file sizes and an atomic directory swap; search results are
@@ -439,7 +467,11 @@ object Similarity {
     val tmp = new org.apache.hadoop.fs.Path(s"$path/corpus_compacting")
     val old = new org.apache.hadoop.fs.Path(s"$path/corpus_precompact")
     val fs = corpus.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val df = spark.read.parquet(corpus.toString)
+    // compaction doubles as the RTBF purge: tombstoned ids drop from the
+    // rewrite and the tombstone set clears after the swap (crash between
+    // them leaves harmless tombstones of already-removed rows)
+    val df = graft.operators.Rtbf.dropForgotten(
+      spark.read.parquet(corpus.toString), spark, path, id)
     val n = df.count()
     val shards = math.max(1L, (n + targetRecordsPerFile - 1) / targetRecordsPerFile)
     require(shards <= Int.MaxValue,
@@ -454,6 +486,7 @@ object Similarity {
     require(fs.rename(corpus, old), s"could not move $corpus aside")
     require(fs.rename(tmp, corpus), s"could not swap $tmp into place")
     fs.delete(old, true)
+    graft.operators.Rtbf.clearTombstones(spark, path)
     cellFiles(spark, path).values.foldLeft(0)(math.max)
   }
 
@@ -838,7 +871,9 @@ object Similarity {
     * the index is self-contained for probe planning and appends. */
   final case class BqIvfIndex(spark: SparkSession, path: String,
       id: String, emb: String) {
-    def codes: DataFrame = spark.read.parquet(s"$path/corpus")
+    // LIVE rows only ([[Similarity.bqIvfForget]] / [[Similarity.bqIvfCompact]])
+    def codes: DataFrame = graft.operators.Rtbf.dropForgotten(
+      spark.read.parquet(s"$path/corpus"), spark, path, id)
     def centroids: DataFrame = spark.read.parquet(s"$path/centroids")
   }
 
@@ -1576,7 +1611,9 @@ object Similarity {
     * [[pqSearchRerank]]'s job), `centroids` the trained coarse quantizer
     * with norms. */
   final case class IvfPqIndex(spark: SparkSession, path: String, id: String) {
-    def corpus: DataFrame = spark.read.parquet(s"$path/corpus")
+    // LIVE rows only ([[Similarity.ivfPqForget]] / [[Similarity.ivfPqCompact]])
+    def corpus: DataFrame = graft.operators.Rtbf.dropForgotten(
+      spark.read.parquet(s"$path/corpus"), spark, path, id)
     def centroids: DataFrame = spark.read.parquet(s"$path/centroids")
   }
 

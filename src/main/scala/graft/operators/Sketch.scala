@@ -348,7 +348,44 @@ object Sketch {
     * dedupe. */
   def kmvRead(spark: org.apache.spark.sql.SparkSession, path: String,
       by: Seq[String], k: Int = KmvK): DataFrame =
-    kmvMinK(readParts(spark, path).drop("batch_id", "pos"), by, k)
+    kmvMinK(
+      graft.operators.Rtbf.dropForgotten(
+        readParts(spark, path).drop("batch_id", "pos"), spark, path, "h"),
+      by, k)
+
+  /** RTBF for the persisted KMV sample: tombstone HASH values —
+    * [[kmvRead]] stops returning them immediately, re-min-k-ing the
+    * survivors. KMV rows are value hashes, not documents, so the CALLER
+    * derives the forgotten doc's EXCLUSIVE hashes (its token hashes
+    * anti-joined against the retained corpus's — one pass; deleting a
+    * hash another retained doc still contributes would under-count it,
+    * and q238 gates the exclusive-hash flow). Honesty note (the q230
+    * count-min contrast): a bottom-k sample cannot REFILL — deleting a
+    * sampled hash leaves ≤ k−1 survivors until fresh ingest or a
+    * rebuild supplies new minima, so post-delete estimates are
+    * conservative (valid on the surviving subset). [[kmvPurge]] drops
+    * the tombstoned hashes physically. */
+  def kmvForgetHashes(spark: org.apache.spark.sql.SparkSession,
+      path: String, hashes: DataFrame, h: String = "h"): Unit =
+    graft.operators.Rtbf.forget(hashes, path, h)
+
+  /** PURGE the KMV sample's tombstoned hashes: atomic rewrite of
+    * `<path>/parts` as the current LIVE per-group sample (min-k is
+    * idempotent, so one compact part replaces every appended partial —
+    * small-files compaction for free), then the tombstones clear. The
+    * `lastbatch` marker stays valid: purge is maintenance, not a
+    * rebuild, and later appends keep their replay guard. */
+  def kmvPurge(spark: org.apache.spark.sql.SparkSession, path: String,
+      by: Seq[String], k: Int = KmvK): Unit = {
+    import graft.operators.Rtbf
+    if (Rtbf.hasTombstones(spark, path)) {
+      val live = graft.engine.Checkpoints.mark(
+        kmvRead(spark, path, by, k).withColumn("batch_id", lit(-1L)))
+      try Rtbf.swapRewrite(spark, path, "parts", live)
+      finally graft.engine.Checkpoints.release(live)
+      Rtbf.clearTombstones(spark, path)
+    }
+  }
 
   /** The HLL cardinality estimate per `by` group. The harmonic sum is
     * kept EXACT in integers scaled by 2⁵⁵ (absent registers contribute

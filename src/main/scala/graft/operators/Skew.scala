@@ -33,16 +33,31 @@ object Skew {
     * selective against the fact — exactly the regime AQE can't save. */
   def bloomReducedJoin(fact: DataFrame, dim: DataFrame, factKey: String,
       dimKey: String, fpp: Double = 1e-4): DataFrame = {
-    val keys = dim.select(col(dimKey).cast("long")).distinct()
+    // NULL keys never join, so dropping them BEFORE the filter build/probe
+    // keeps the "exactly the plain inner join" contract (a NULL fact key
+    // would NPE the row-lambda probe; a NULL dim key would NPE the build).
+    // The key must be integral by type: a silent cast("long") would turn a
+    // non-numeric dim key into NULL and crash the build anyway — fail loud.
+    def requireIntegral(df: DataFrame, k: String): Unit = {
+      import org.apache.spark.sql.types._
+      val dt = df.schema(k).dataType
+      require(dt == LongType || dt == IntegerType || dt == ShortType ||
+        dt == ByteType,
+        s"bloomReducedJoin needs an integral join key; $k is $dt")
+    }
+    requireIntegral(fact, factKey); requireIntegral(dim, dimKey)
+    val keys = dim.filter(col(dimKey).isNotNull)
+      .select(col(dimKey).cast("long")).distinct()
     val n = math.max(1L, keys.count())
     val bf = keys.rdd.treeAggregate(
       org.apache.spark.util.sketch.BloomFilter.create(n, fpp))(
       (f, row) => { f.putLong(row.getLong(0)); f },
       (a, b) => { a.mergeInPlace(b); a })
     val bfB = fact.sparkSession.sparkContext.broadcast(bf)
-    val pruned = fact.filter((r: org.apache.spark.sql.Row) =>
-      bfB.value.mightContainLong(
-        r.getAs[Number](r.fieldIndex(factKey)).longValue()))
+    val pruned = fact.filter(col(factKey).isNotNull)
+      .filter((r: org.apache.spark.sql.Row) =>
+        bfB.value.mightContainLong(
+          r.getAs[Number](r.fieldIndex(factKey)).longValue()))
     pruned.join(dim, pruned(factKey) === dim(dimKey))
   }
 

@@ -108,8 +108,23 @@ object Stats {
   def histogram(df: DataFrame, c: String, nBuckets: Int): DataFrame = {
     require(nBuckets >= 1, s"need nBuckets >= 1, got $nBuckets")
     val b = lit(nBuckets.toLong)
+    // (v − min)·B must stay inside BIGINT: for a column spanning most of
+    // the 64-bit range (hash-valued keys) it overflows — faulting under
+    // ANSI, silently wrapping otherwise. Fail loud instead: the span check
+    // runs once on the 1-row bounds frame in decimal(38,0) (exact, cannot
+    // itself overflow), and lives INSIDE the __span column every
+    // downstream expression uses, so column pruning cannot elide it.
+    val maxSpan = Long.MaxValue / nBuckets
+    val decSpan = col("__hi").cast("decimal(38,0)") -
+      col("__lo").cast("decimal(38,0)") + lit(1)
     val bounds = df.agg(min(col(c)).as("__lo"), max(col(c)).as("__hi"))
-    val span = col("__hi") - col("__lo") + lit(1L)
+      .select(col("__lo"),
+        when(decSpan > lit(maxSpan),
+          raise_error(concat(lit(s"histogram: span "), decSpan.cast("string"),
+            lit(s" of column '$c' overflows BIGINT bucket arithmetic at " +
+              s"nBuckets=$nBuckets (max ${maxSpan})"))))
+          .otherwise(col("__hi") - col("__lo") + lit(1L)).as("__span"))
+    val span = col("__span")
     df.select(col(c).as("__v")).crossJoin(broadcast(bounds))
       .select(idiv((col("__v") - col("__lo")) * b, span).as("bucket"),
         col("__lo"), span.as("__span"))
@@ -120,6 +135,57 @@ object Stats {
           .as("b_lo"),
         (col("__lo") +
           idiv((col("bucket") + 1) * col("__span") + b - 1, b) - 1)
+          .as("b_hi"),
+        col("cnt"))
+  }
+
+  /** The MERGEABLE partial of [[histogram]] under FROZEN bounds — the
+    * maintained-stats protocol (q227) applied to the range tier: with
+    * bucket bounds fixed at `[lo, hi]` (the one-time ANALYZE decision),
+    * per-bucket counts are ADDITIVE per ingest batch, so
+    * [[graft.operators.Sketch.sketchAppendBatch]] + [[histogramRead]]
+    * keep range-selectivity estimates current without a rebuild.
+    * Returns `(bucket, cnt)` for the batch's non-empty buckets, with
+    * the IDENTICAL bucket arithmetic as [[histogram]] (so when
+    * `[lo, hi]` equals the corpus min/max the merged result matches the
+    * direct build bit for bit — the q233 gate). A batch value outside
+    * the frozen span fails loud (the module's convention): silently
+    * clamping would corrupt the edge buckets, and out-of-span ingest is
+    * exactly the signal to re-freeze bounds and rebuild. NULLs count
+    * into the null bucket row, matching [[histogram]]. */
+  def histogramPartial(df: DataFrame, c: String, nBuckets: Int,
+      lo: Long, hi: Long): DataFrame = {
+    require(nBuckets >= 1, s"need nBuckets >= 1, got $nBuckets")
+    require(hi >= lo, s"need hi >= lo, got [$lo, $hi]")
+    require(BigInt(hi) - BigInt(lo) + 1 <= BigInt(Long.MaxValue / nBuckets),
+      s"span [$lo, $hi] overflows BIGINT bucket arithmetic at " +
+        s"nBuckets=$nBuckets")
+    val b = lit(nBuckets.toLong)
+    val span = lit(hi - lo + 1)
+    val v = col(c)
+    val guarded = when(v < lo || v > hi,
+      raise_error(concat(lit(s"histogramPartial: value "), v.cast("string"),
+        lit(s" of column '$c' outside the frozen span [$lo, $hi] — " +
+          "re-freeze bounds and rebuild")))).otherwise(v)
+    df.select(idiv((guarded - lit(lo)) * b, span).as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("cnt"))
+  }
+
+  /** The CURRENT equi-width histogram under a maintained path
+    * ([[Sketch.sketchAppendBatch]] appends [[histogramPartial]] rows):
+    * bucket-wise SUM of every appended partial — exact because batches
+    * partition the rows and the bounds are frozen — then the same
+    * integer bound reconstruction as [[histogram]]. `nBuckets`/`lo`/`hi`
+    * must be the frozen ANALYZE values every partial was built with. */
+  def histogramRead(spark: org.apache.spark.sql.SparkSession, path: String,
+      nBuckets: Int, lo: Long, hi: Long): DataFrame = {
+    require(nBuckets >= 1, s"need nBuckets >= 1, got $nBuckets")
+    val b = lit(nBuckets.toLong)
+    val span = lit(hi - lo + 1)
+    Sketch.sumRead(spark, path, Seq("bucket"), "cnt")
+      .select(col("bucket"),
+        (lit(lo) + idiv(col("bucket") * span + b - 1, b)).as("b_lo"),
+        (lit(lo) + idiv((col("bucket") + 1) * span + b - 1, b) - 1)
           .as("b_hi"),
         col("cnt"))
   }
@@ -148,17 +214,30 @@ object Stats {
   /** K-ANONYMOUS rollup — release hygiene for aggregate exports: group
     * counts where every group smaller than `k` is SUPPRESSED into one
     * `<other>` bucket (its keys erased), so no published row ever
-    * isolates fewer than k records. Two bounded aggregations (the
-    * second over |groups| rows); the `<other>` row carries the
-    * suppressed total so the release still sums to the corpus. */
+    * isolates fewer than k records — INCLUDING the `<other>` row itself:
+    * a suppression bucket totalling < k (e.g. one lone group of size 1)
+    * isolates those records just as a named row would, so it is withheld
+    * entirely (global suppression — the release then sums to the corpus
+    * minus the withheld tail). A legitimate key VALUE equal to the
+    * sentinel would silently merge into the suppression bucket and
+    * misattribute its count; that fails loud at execution
+    * (`raise_error`), the module's convention. Two bounded aggregations
+    * (the second over |groups| rows). */
   def suppressSmallGroups(df: DataFrame, keys: Seq[String],
       k: Long): DataFrame = {
     require(k >= 1, s"need k >= 1, got $k")
     val grouped = df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("n"))
     val relabeled = keys.foldLeft(grouped) { (g, c) =>
       g.withColumn(c,
-        when(col("n") >= k, col(c)).otherwise(lit("<other>")))
+        when(col("n") >= k,
+          when(col(c) === "<other>",
+            raise_error(lit(s"suppressSmallGroups: key '$c' carries the " +
+              "reserved value '<other>'"))).otherwise(col(c)))
+          .otherwise(lit("<other>")))
     }
+    // named rows satisfy n >= k by construction; the filter can only drop
+    // an under-k suppression bucket
     relabeled.groupBy(keys.map(col): _*).agg(sum("n").as("n"))
+      .where(col("n") >= k)
   }
 }

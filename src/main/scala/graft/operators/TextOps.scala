@@ -1571,13 +1571,15 @@ object TextOps {
       trim(regexp_replace(decoded, "\\s+", " ")).as("text_clean"))
   }
 
-  /** Card-number candidate pattern: a plain 16-digit run. Deliberately
-    * lookaround-free — Spark regexes are java.util.regex but DuckDB's
-    * are RE2 (no lookbehind), and the oracle must scan with the
-    * IDENTICAL pattern; both engines' regexp_extract_all walk
-    * non-overlapping left-to-right matches, so the extracted candidate
-    * lists agree exactly. */
-  val CardRe = "[0-9]{16}"
+  /** Card-number candidate pattern: a MAXIMAL digit run of 16+ digits.
+    * Greedy left-to-right scanning makes every match a full run
+    * (digit-bounded on both sides by construction), so filtering to
+    * length == 16 yields digit-boundary-anchored candidates WITHOUT
+    * lookaround — Spark regexes are java.util.regex but DuckDB's are
+    * RE2 (no lookbehind), and the oracle must scan with the IDENTICAL
+    * pattern. A bare `[0-9]{16}` would instead take the first 16
+    * digits of a 17+-digit order number / hash as a candidate. */
+  val CardRe = "[0-9]{16,}"
 
   /** Luhn checksum validity (ISO/IEC 7812) of a pure-digit string:
     * from the RIGHT, double every second digit (subtracting 9 when the
@@ -1612,13 +1614,26 @@ object TextOps {
     * UDF, the whole row pipeline inside one codegen stage. Returns
     * `(id, n_candidates, n_valid, text_redacted)`. */
   def redactCards(df: DataFrame, text: String, id: String): DataFrame = {
-    val cands = regexp_extract_all(col(text), lit(CardRe), lit(0))
+    // Candidates are maximal digit runs of EXACTLY 16 digits (see
+    // [[CardRe]]), and replacement is sentinel-delimited: every 16+ run is
+    // wrapped in u0001-sentinels first, and only the sentinel-delimited card is replaced —
+    // so a valid card's digit sequence occurring INSIDE a longer run
+    // elsewhere in the document is never rewritten (a plain substring
+    // replace would mangle it). The sentinel (a control char no
+    // legitimate text carries) is reserved up front and stripped at the
+    // end, keeping the whole pipeline map-only and exchange-free.
+    val S = "\u0001"
+    val t0 = replace(col(text), lit(S), lit(""))
+    val runs = regexp_extract_all(t0, lit(CardRe), lit(0))
+    val cands = filter(runs, c => length(c) === 16)
     val valid = filter(cands, c => luhnValid(c))
+    val wrapped = regexp_replace(t0, s"($CardRe)", S + "$1" + S)
     df.select(col(id),
       size(cands).cast(LongType).as("n_candidates"),
       size(valid).cast(LongType).as("n_valid"),
-      aggregate(valid, col(text),
-        (acc, c) => replace(acc, c, lit("<CARD>"))).as("text_redacted"))
+      replace(aggregate(valid, wrapped,
+          (acc, c) => replace(acc, concat(lit(S), c, lit(S)), lit("<CARD>"))),
+        lit(S), lit("")).as("text_redacted"))
   }
 
   def redactPii(df: DataFrame, text: String, id: String): DataFrame = {

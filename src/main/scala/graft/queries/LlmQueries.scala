@@ -7235,7 +7235,8 @@ object LlmQueries {
         |    CASE WHEN n >= 7 THEN source ELSE '<other>' END AS source, n
         |  FROM g)
         |SELECT lang, source, sum(n)::BIGINT AS n
-        |FROM rl GROUP BY 1, 2 ORDER BY lang, source""".stripMargin,
+        |FROM rl GROUP BY 1, 2 HAVING sum(n) >= 7
+        |ORDER BY lang, source""".stripMargin,
 
     // canonical chain verbatim, then the same suffix/prefix chains as
     // equi-joins against the VALUES rule table — segment-boundary
@@ -7327,13 +7328,13 @@ object LlmQueries {
          |  FROM documents WHERE doc_id % 7 <> 0),
          |v2 AS (SELECT doc_id, source, text
          |  FROM documents WHERE doc_id % 11 <> 3),
-         |a AS (SELECT doc_id, source, ($h1) AS ha FROM v1),
-         |b AS (SELECT doc_id, source, ($h1) AS hb FROM v2),
+         |a AS (SELECT doc_id, 1 AS pa, source, ($h1) AS ha FROM v1),
+         |b AS (SELECT doc_id, 1 AS pb, source, ($h1) AS hb FROM v2),
          |j AS (SELECT coalesce(b.source, a.source) AS source,
          |    coalesce(a.doc_id, b.doc_id) AS doc_id,
-         |    CASE WHEN a.ha IS NULL THEN 'added'
-         |         WHEN b.hb IS NULL THEN 'removed'
-         |         WHEN a.ha <> b.hb THEN 'changed'
+         |    CASE WHEN a.pa IS NULL THEN 'added'
+         |         WHEN b.pb IS NULL THEN 'removed'
+         |         WHEN a.ha IS DISTINCT FROM b.hb THEN 'changed'
          |         ELSE 'unchanged' END AS status
          |  FROM a FULL JOIN b ON a.doc_id = b.doc_id)
          |SELECT source, status, count(*)::BIGINT AS n,
@@ -7934,10 +7935,14 @@ object LlmQueries {
         |           THEN text || ' card ' || payload || ((c + 5) % 10)::VARCHAR
         |         ELSE text END AS text
         |  FROM chk),
-        |ext AS (SELECT doc_id, text,
-        |    regexp_extract_all(text, '[0-9]{16}') AS cands
-        |  FROM planted),
-        |vf AS (SELECT doc_id, text, cands,
+        |ext AS (SELECT doc_id, replace(text, chr(1), '') AS t FROM planted),
+        |cw AS (SELECT doc_id, t,
+        |    list_filter(regexp_extract_all(t, '[0-9]{16,}'),
+        |      cc -> length(cc) = 16) AS cands,
+        |    regexp_replace(t, '([0-9]{16,})', chr(1) || '\1' || chr(1), 'g')
+        |      AS tw
+        |  FROM ext),
+        |vf AS (SELECT doc_id, tw, cands,
         |    list_filter(cands, cc ->
         |      list_sum(list_transform(generate_series(1, length(cc)), p ->
         |        CASE WHEN p % 2 = 0 THEN
@@ -7946,11 +7951,12 @@ object LlmQueries {
         |               ELSE 2*(ascii(substring(cc, length(cc)-p+1, 1)) - 48) END
         |        ELSE ascii(substring(cc, length(cc)-p+1, 1)) - 48 END)) % 10 = 0)
         |      AS valid
-        |  FROM ext)
+        |  FROM cw)
         |SELECT doc_id, len(cands)::BIGINT AS n_candidates,
         |  len(valid)::BIGINT AS n_valid,
-        |  list_reduce(list_prepend(text, valid),
-        |    (acc, cc) -> replace(acc, cc, '<CARD>')) AS text_redacted
+        |  replace(list_reduce(list_prepend(tw, valid),
+        |    (acc, cc) -> replace(acc, chr(1) || cc || chr(1), '<CARD>')),
+        |    chr(1), '') AS text_redacted
         |FROM vf ORDER BY doc_id""".stripMargin,
 
     "q66_pii_redact" -> {

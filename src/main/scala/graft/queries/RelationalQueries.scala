@@ -744,6 +744,68 @@ object RelationalQueries {
     graft.operators.Stats.statsRead(s, statsMaintPath(s, d), StatsCols)
       .orderBy("col_name")
 
+  /** Per-directory memo of the MAINTAINED l_orderkey histogram — the
+    * range tier's under-ingest form (the q227 protocol applied to
+    * q222): bounds frozen ONCE from the corpus min/max (the bounded
+    * 1-row ANALYZE action), then two order-parity batches each append
+    * their ≤ 16-row bucket partial replay-guarded. */
+  private val histMaintCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (SparkSession, String, Long, Long)]()
+  private def histMaintState(s: SparkSession, d: String): (String, Long, Long) = {
+    val v = histMaintCache.compute(d, (_, cur) => {
+      if (cur != null && (cur._1 eq s)) cur
+      else {
+        val li = t(s, d, "lineitem").select(col("l_orderkey"))
+        val b = li.agg(min("l_orderkey").as("lo"), max("l_orderkey").as("hi"))
+          .collect().head
+        val (lo, hi) = (b.getLong(0), b.getLong(1))
+        val p = s"${sys.props("java.io.tmpdir")}/graft_histmaint_" +
+          graft.engine.IndexCache.md5Key(d, 8)
+        graft.cli.Cleanup.deleteOnExit(p)
+        import graft.operators.{Sketch, Stats}
+        def half(par: Int) = Stats.histogramPartial(
+          li.where(pmod(col("l_orderkey"), lit(2)) === par),
+          "l_orderkey", 16, lo, hi)
+        require(Sketch.sketchAppendBatch(p, half(0), 0L), "batch 0 must apply")
+        require(Sketch.sketchAppendBatch(p, half(1), 1L), "batch 1 must apply")
+        require(!Sketch.sketchAppendBatch(p, half(1), 1L),
+          "replayed batch id must no-op")
+        (s, p, lo, hi)
+      }
+    })
+    (v._2, v._3, v._4)
+  }
+
+  /** q233 — range-selectivity from the MAINTAINED histogram
+    * ([[graft.operators.Stats.histogramRead]] over the persisted
+    * two-batch append path): q222's audit re-derived with the bucket
+    * map coming from frozen-bound per-batch partials instead of a
+    * corpus rebuild. The oracle is q222's VERBATIM direct build, so the
+    * gate proves maintained == direct bit for bit after an appended
+    * batch — the planner's range estimates stay current under ingest
+    * from ≤ 16 stored rows per batch. */
+  def histogramMaintainedQ(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.{Graph, Stats}
+    val (path, lo, hi) = histMaintState(s, d)
+    val li = t(s, d, "lineitem").select(col("l_orderkey"))
+    val hist = Stats.histogramRead(s, path, 16, lo, hi)
+    val rdf = li.agg(min("l_orderkey").as("__lo"), max("l_orderkey").as("__hi"))
+      .select(
+        (col("__lo") + Graph.idiv((col("__hi") - col("__lo") + 1) * 37, lit(100L)))
+          .as("range_lo"),
+        (col("__lo") + Graph.idiv((col("__hi") - col("__lo") + 1) * 61, lit(100L)))
+          .as("range_hi"))
+    val est = Stats.histogramRangeEstimate(
+      hist.crossJoin(broadcast(rdf)), col("range_lo"), col("range_hi"))
+    val truth = li.crossJoin(broadcast(rdf))
+      .where(col("l_orderkey").between(col("range_lo"), col("range_hi")))
+      .agg(count(lit(1)).as("true_count"))
+    rdf.crossJoin(est).crossJoin(truth)
+      .select(col("range_lo"), col("range_hi"), col("est_count"),
+        col("true_count"),
+        (col("est_count") - col("true_count")).as("err"))
+  }
+
   /** q228 — SKETCH-NDV statistics, the production ANALYZE path: exact
     * NDV (q220) costs a multi-distinct Expand over the fact table;
     * engines actually profile NDV with HLL. Per key column, the HLL
@@ -847,6 +909,33 @@ object RelationalQueries {
       .orderBy("l_returnflag")
 
   // ---- DuckDB oracles ----
+
+  /** The q222 range-selectivity oracle — shared verbatim by the
+    * maintained form (q233). */
+  private val histogramSelectivityOracleSql: String =
+      """WITH b AS (SELECT min(l_orderkey) AS lo, max(l_orderkey) AS hi
+        |  FROM lineitem),
+        |r AS (SELECT lo + ((hi - lo + 1) * 37) // 100 AS range_lo,
+        |    lo + ((hi - lo + 1) * 61) // 100 AS range_hi FROM b),
+        |h0 AS (SELECT ((l_orderkey - lo) * 16) // (hi - lo + 1) AS bucket,
+        |    lo, (hi - lo + 1) AS span
+        |  FROM lineitem CROSS JOIN b),
+        |h AS (SELECT bucket, lo + (bucket * span + 15) // 16 AS b_lo,
+        |    lo + ((bucket + 1) * span + 15) // 16 - 1 AS b_hi,
+        |    count(*)::BIGINT AS cnt
+        |  FROM h0 GROUP BY bucket, lo, span),
+        |e AS (SELECT sum(CASE
+        |      WHEN least(b_hi, range_hi) >= greatest(b_lo, range_lo)
+        |      THEN (cnt * (least(b_hi, range_hi) - greatest(b_lo, range_lo)
+        |        + 1)) // (b_hi - b_lo + 1)
+        |      ELSE 0 END)::BIGINT AS est_count
+        |  FROM h CROSS JOIN r),
+        |t AS (SELECT count(*)::BIGINT AS true_count
+        |  FROM lineitem CROSS JOIN r
+        |  WHERE l_orderkey BETWEEN range_lo AND range_hi)
+        |SELECT r.range_lo, r.range_hi, e.est_count, t.true_count,
+        |  (e.est_count - t.true_count)::BIGINT AS err
+        |FROM r CROSS JOIN e CROSS JOIN t""".stripMargin
 
   val sql: Map[String, String] = Map(
     // sim3 at vec_id = 0 IS the query-to-trained-centroid cosine table, so
@@ -1398,30 +1487,13 @@ object RelationalQueries {
     // bucket map, integer bucket bounds, overlap interpolation, and the
     // exact range count all replayed — the signed error is the
     // within-bucket-skew audit
-    "q222_histogram_selectivity" ->
-      """WITH b AS (SELECT min(l_orderkey) AS lo, max(l_orderkey) AS hi
-        |  FROM lineitem),
-        |r AS (SELECT lo + ((hi - lo + 1) * 37) // 100 AS range_lo,
-        |    lo + ((hi - lo + 1) * 61) // 100 AS range_hi FROM b),
-        |h0 AS (SELECT ((l_orderkey - lo) * 16) // (hi - lo + 1) AS bucket,
-        |    lo, (hi - lo + 1) AS span
-        |  FROM lineitem CROSS JOIN b),
-        |h AS (SELECT bucket, lo + (bucket * span + 15) // 16 AS b_lo,
-        |    lo + ((bucket + 1) * span + 15) // 16 - 1 AS b_hi,
-        |    count(*)::BIGINT AS cnt
-        |  FROM h0 GROUP BY bucket, lo, span),
-        |e AS (SELECT sum(CASE
-        |      WHEN least(b_hi, range_hi) >= greatest(b_lo, range_lo)
-        |      THEN (cnt * (least(b_hi, range_hi) - greatest(b_lo, range_lo)
-        |        + 1)) // (b_hi - b_lo + 1)
-        |      ELSE 0 END)::BIGINT AS est_count
-        |  FROM h CROSS JOIN r),
-        |t AS (SELECT count(*)::BIGINT AS true_count
-        |  FROM lineitem CROSS JOIN r
-        |  WHERE l_orderkey BETWEEN range_lo AND range_hi)
-        |SELECT r.range_lo, r.range_hi, e.est_count, t.true_count,
-        |  (e.est_count - t.true_count)::BIGINT AS err
-        |FROM r CROSS JOIN e CROSS JOIN t""".stripMargin,
+    "q222_histogram_selectivity" -> histogramSelectivityOracleSql,
+
+    // VERBATIM the q222 oracle: the Spark side reads its bucket map
+    // back from the persisted two-batch append path under frozen
+    // bounds — maintained == direct through the gate (the q227/q208
+    // family contract applied to the range tier)
+    "q233_histogram_maintained" -> histogramSelectivityOracleSql,
 
     // the bloom prefilter changes the PLAN (the fact exchange), never
     // the answer: the oracle is the plain selective join
@@ -1483,6 +1555,7 @@ object RelationalQueries {
     "q221_stats_join_estimate" -> statsJoinEstimateQ _,
     "q222_histogram_selectivity" -> histogramSelectivityQ _,
     "q227_stats_maintained" -> statsMaintainedQ _,
+    "q233_histogram_maintained" -> histogramMaintainedQ _,
     "q228_stats_ndv_sketch" -> statsNdvSketchQ _,
     "q229_ri_audit" -> riAuditQ _,
     "q181_bucketed_join" -> bucketedJoin _,

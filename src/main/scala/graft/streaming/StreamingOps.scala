@@ -498,6 +498,29 @@ object StreamingOps {
     tokStream.writeStream.foreachBatch(fn)
   }
 
+  /** Streaming HISTOGRAM maintenance — the range-selectivity tier kept
+    * current under ingest (the round-13 verdict's maintained-histogram
+    * ask): with bucket bounds FROZEN at `[lo, hi]` (the one-time ANALYZE
+    * decision), each micro-batch's per-bucket counts
+    * ([[graft.operators.Stats.histogramPartial]] — a bounded ≤ nBuckets
+    * partial) append replay-guarded; read-time bucket-wise sum
+    * ([[graft.operators.Stats.histogramRead]]) equals the direct
+    * whole-corpus build bit for bit (SparkEntry q233), so range
+    * estimates stay live without a rebuild. A batch value outside the
+    * frozen span fails the batch loud — the re-freeze signal. Caller
+    * sets `checkpointLocation` and `start()`s. */
+  def maintainHistogram(valStream: DataFrame, c: String, path: String,
+      nBuckets: Int, lo: Long, hi: Long)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val fn: (DataFrame, Long) => Unit = (batch, batchId) => {
+      graft.operators.Sketch.sketchAppendBatch(path,
+        graft.operators.Stats.histogramPartial(batch, c, nBuckets, lo, hi),
+        batchId)
+      ()
+    }
+    valStream.writeStream.foreachBatch(fn)
+  }
+
   /** Streaming KMV maintenance — the bottom-k sample kept current under
     * ingest: each micro-batch's per-group sample (≤ k rows per group)
     * appends replay-guarded; read-time min-k

@@ -123,4 +123,42 @@ class GraphSpec extends AnyFunSuite {
     val merged = ranks(Seq(("A", "B", 2L), ("B", "A", 2L)), 2)
     assert(split == merged)
   }
+
+  test("pageRankConverged: early exact convergence stops the loop and equals fixed-iters") {
+    // a regular cycle reaches its integer fixed point after ROUND 1
+    // (uniform start is already the fixed point), so with tol 0 the
+    // convergence form must stop at rounds = 1 with delta = 0 and match
+    // pageRank at ANY fixed depth bit for bit
+    val cycle = Seq(("A", "B", 1L), ("B", "C", 1L), ("C", "A", 1L))
+      .toDF("src", "dst", "w")
+    val c = Graph.pageRankConverged(cycle, "src", "dst", "w",
+      maxIters = 20, tolScaled = 0L)
+    assert(c.rounds == 1 && c.delta == 0L)
+    val got = c.ranks.collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    graft.engine.Checkpoints.release(c.ranks)
+    assert(got == ranks(Seq(("A", "B", 1L), ("B", "C", 1L), ("C", "A", 1L)), 7))
+  }
+
+  test("pageRankConverged: on a non-trivial graph, rounds-run equals fixed-iters bit for bit") {
+    val edges = Seq(("A", "B", 2L), ("A", "C", 1L), ("B", "C", 1L),
+      ("C", "A", 1L)).toDF("src", "dst", "w")
+    var observed = List.empty[(Int, Long)]
+    val c = Graph.pageRankConverged(edges, "src", "dst", "w",
+      maxIters = 4, tolScaled = 0L,
+      onRound = (r, d) => observed = (r, d) :: observed)
+    // this graph does not hit an exact integer fixed point in 4 rounds:
+    // the loop must run to maxIters, and the observer fires per round
+    // with non-increasing-to-zero deltas recorded in order
+    assert(c.rounds == 4)
+    assert(observed.reverse.map(_._1) == List(1, 2, 3, 4))
+    assert(observed.head._2 == c.delta)
+    val got = c.ranks.collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    graft.engine.Checkpoints.release(c.ranks)
+    val fixed = Graph.pageRank(edges, "src", "dst", "w", iters = 4)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(got == fixed, "convergence form must be a drop-in, not a second semantics")
+  }
 }

@@ -1219,6 +1219,22 @@ class OperatorSpec extends AnyFunSuite {
       Stats.histogram(df, "v", 4), lit(30L), lit(69L))
       .collect().head.getLong(0)
     assert(est == 40L)
+    // a column spanning most of the 64-bit range overflows the BIGINT
+    // bucket arithmetic — the guard fails loud instead of wrapping
+    val wide = Seq(Long.MinValue, 0L, Long.MaxValue).toDF("v")
+    val e = intercept[Exception] { Stats.histogram(wide, "v", 4).collect() }
+    assert((e.getMessage != null && e.getMessage.contains("overflows")) ||
+      Option(e.getCause).exists(_.getMessage.contains("overflows")))
+    // the frozen-bound partial matches the direct build's buckets when
+    // the freeze equals the corpus span, and merges additively
+    val p0 = Stats.histogramPartial(df.where(col("v") < 50), "v", 4, 0L, 99L)
+    val p1 = Stats.histogramPartial(df.where(col("v") >= 50), "v", 4, 0L, 99L)
+    val merged = p0.unionByName(p1).groupBy("bucket")
+      .agg(org.apache.spark.sql.functions.sum("cnt").as("cnt"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val direct = Stats.histogram(df, "v", 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(merged == direct)
   }
 
   test("suppressSmallGroups: no published group under k; mass conserves") {
@@ -1232,9 +1248,23 @@ class OperatorSpec extends AnyFunSuite {
     assert(r == Map(("en", "a") -> 9L, ("de", "c") -> 7L,
       ("<other>", "<other>") -> 5L))
     assert(r.values.sum == 21L, "release must still sum to the corpus")
-    r.foreach { case (k2, n) =>
-      assert(n >= 5 || k2 == (("<other>", "<other>")), s"$k2 isolates $n < k")
+    r.foreach { case (k2, n) => assert(n >= 5, s"$k2 isolates $n < k") }
+    // an UNDER-k suppression bucket is withheld entirely (one lone group
+    // of size 1 must not publish as '<other>' n=1)
+    val r2 = Stats.suppressSmallGroups(
+        (Seq.fill(9)(("en", "a")) :+ (("fr", "b"))).toDF("lang", "source"),
+        Seq("lang", "source"), k = 5)
+      .collect().map(x => (x.getString(0), x.getString(1)) -> x.getLong(2))
+      .toMap
+    assert(r2 == Map(("en", "a") -> 9L), "under-k <other> row must drop")
+    // a legitimate key value equal to the sentinel fails loud instead of
+    // silently merging into the suppression bucket
+    val e = intercept[Exception] {
+      Stats.suppressSmallGroups(
+        Seq.fill(6)(("<other>", "a")).toDF("lang", "source"),
+        Seq("lang", "source"), k = 5).collect()
     }
+    assert(e.getMessage.contains("reserved value"))
   }
 
   test("urlBlocklist rejects unknown rule kinds; luhnValid rejects the empty string") {
@@ -1334,7 +1364,13 @@ class OperatorSpec extends AnyFunSuite {
       (2L, "a 4532015112830366 b 4716108999716531 c"),
       // 15 digits: no candidate at all
       (3L, "order 453201511283036 shipped"),
-      (4L, "no digits here")
+      (4L, "no digits here"),
+      // a 17-digit run whose first 16 digits are Luhn-valid is NOT a
+      // candidate (digit-boundary anchoring) and must stay untouched
+      (5L, "id 45320151128303667 x"),
+      // a valid card whose digits also sit INSIDE a longer run elsewhere:
+      // only the standalone occurrence redacts
+      (6L, "pay 4532015112830366 ref 345320151128303669")
     ).toDF("doc_id", "text")
     val r = TextOps.redactCards(df, "text", "doc_id")
       .collect().map(x => x.getLong(0) ->
@@ -1343,6 +1379,8 @@ class OperatorSpec extends AnyFunSuite {
     assert(r(2L) == ((2L, 2L, "a <CARD> b <CARD> c")))
     assert(r(3L) == ((0L, 0L, "order 453201511283036 shipped")))
     assert(r(4L) == ((0L, 0L, "no digits here")))
+    assert(r(5L) == ((0L, 0L, "id 45320151128303667 x")))
+    assert(r(6L) == ((1L, 1L, "pay <CARD> ref 345320151128303669")))
   }
 
   test("snapshotDiff: all four statuses classify; a changed doc reports its NEW group") {

@@ -376,6 +376,45 @@ class StreamingSpec extends AnyFunSuite {
     assert(Sketch.cmRead(spark, cmPath).collect().map(_.getLong(2)).sum == before + 4)
   }
 
+  test("streaming histogram maintenance: frozen-bound merge equals the direct build; out-of-span fails loud") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    import graft.operators.{Sketch, Stats}
+    val path = s"${sys.props("java.io.tmpdir")}/graft_test_hist_maint"
+    val ckpt = s"${sys.props("java.io.tmpdir")}/graft_test_hist_maint_ckpt"
+    Seq(path, ckpt).foreach(graft.cli.Cleanup.deleteOnExit)
+    // bounds frozen at [0, 99]; the two batches jointly cover both ends,
+    // so the direct (data-derived) build uses the same span
+    val b0 = Seq(0L, 5L, 12L, 25L)
+    val b1 = Seq(30L, 49L, 99L, 60L, 77L)
+    val mem = MemoryStream[Long]
+    val q = StreamingOps.maintainHistogram(mem.toDF().toDF("v"), "v",
+        path, nBuckets = 4, lo = 0L, hi = 99L)
+      .option("checkpointLocation", ckpt).start()
+    try {
+      mem.addData(b0); q.processAllAvailable()
+      mem.addData(b1); q.processAllAvailable()
+    } finally q.stop()
+    def m(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(m(Stats.histogramRead(spark, path, 4, 0L, 99L)) ==
+      m(Stats.histogram((b0 ++ b1).toDF("v"), "v", 4)),
+      "maintained histogram must equal the direct build bit for bit")
+    // retry idempotence: an already-applied batch id appends nothing
+    assert(!Sketch.sketchAppendBatch(path,
+      Stats.histogramPartial(Seq(1L).toDF("v"), "v", 4, 0L, 99L), 1L))
+    assert(m(Stats.histogramRead(spark, path, 4, 0L, 99L)) ==
+      m(Stats.histogram((b0 ++ b1).toDF("v"), "v", 4)))
+    // a value outside the frozen span fails the batch loud (the
+    // re-freeze-and-rebuild signal), never silently clamps
+    val e = intercept[Exception] {
+      Stats.histogramPartial(Seq(150L).toDF("v"), "v", 4, 0L, 99L).collect()
+    }
+    assert((e.getMessage != null && e.getMessage.contains("frozen span")) ||
+      Option(e.getCause).exists(_.getMessage.contains("frozen span")))
+  }
+
   test("streaming KMV + edge maintenance: read-time merge equals the whole-stream build") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
