@@ -302,7 +302,12 @@ object Dedup {
     // the cap sidecars: a maintainBandIndex restart with a fresh checkpoint
     // restarts batch ids at 0, and a stale marker would make every append
     // silently no-op (batchId <= last) — silent ingest loss, no error
-    if (!append) graft.sources.Markers.delete(spark, s"$path/lastbatch")
+    // ... and any RTBF tombstones: a rebuilt index has no deletions, and
+    // stale tombstones would silently hide re-ingested ids from probes
+    if (!append) {
+      graft.sources.Markers.delete(spark, s"$path/lastbatch")
+      Rtbf.clearTombstones(spark, path)
+    }
     if (maxBucket == Int.MaxValue) {
       // an UNCAPPED append onto a CAPPED index would blind-append past the
       // cap (breaking the never-over-maxBucket invariant) and leave the
@@ -1060,6 +1065,7 @@ object Dedup {
       // lesson: a maintain restart with a fresh checkpoint restarts batch
       // ids at 0, and a stale marker silently no-ops every append)
       graft.sources.Markers.delete(fps.sparkSession, s"$path/lastbatch")
+      Rtbf.clearTombstones(fps.sparkSession, path)
       sk.write.mode("overwrite").parquet(s"$path/fps")
       sk.groupBy(col(id)).agg(count(lit(1)).as("nf"))
         .write.mode("overwrite").parquet(s"$path/sizes")

@@ -1058,6 +1058,9 @@ object Multimodal {
     require(maxBucket >= 1, s"maxBucket must be >= 1, got $maxBucket")
     val spark = hashes.sparkSession
     graft.sources.Markers.delete(spark, s"$path/lastbatch")
+    // a REBUILD has no deletions: stale tombstones would hide
+    // re-ingested ids from probes (the bandIndexWrite contract)
+    graft.operators.Rtbf.clearTombstones(spark, path)
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val hs = hashes.select(col(id) +: DHashBandCols.map(col): _*)
@@ -1304,13 +1307,34 @@ object Multimodal {
         Rtbf.dropForgotten(hs, spark, path, idc))
       try {
         Rtbf.swapRewrite(spark, path, "hashes", live)
-        val szP = new org.apache.hadoop.fs.Path(s"$path/bandsizes")
-        val fs = szP.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        if (fs.exists(szP))
+        // UNLIKE the LSH band index, over-cap buckets' hash rows live in
+        // `hashes` (the cap is pairing metadata, not row exclusion), so
+        // BOTH sidecars need the post-purge recount: `skipped` keeps its
+        // bucket SET (exclusion is permanent) at the new totals, and
+        // `bandsizes` gets the non-skipped buckets' new counts — the
+        // dhashIndexVerify contract (actual == sidecar per bucket)
+        val counts = dhashBanded(live.distinct(), idc)
+          .groupBy("band", "v").agg(count(lit(1)).as("__n"))
+        def dirExists(name: String): Boolean = {
+          val p = new org.apache.hadoop.fs.Path(s"$path/$name")
+          p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+        }
+        // materialized: the first swap replaces the very dir this reads
+        val skipKeys = graft.engine.Checkpoints.mark(
+          dhashIndexSkipped(spark, path)
+            .select(col("band_idx").as("band"), col("key").as("v")))
+        if (dirExists("skipped"))
+          Rtbf.swapRewrite(spark, path, "skipped",
+            skipKeys.join(counts, Seq("band", "v"), "left")
+              .select(col("band").as("band_idx"), col("v").as("key"),
+                coalesce(col("__n"), lit(0L)).as("size"),
+                lit(-1L).as("__batch")))
+        if (dirExists("bandsizes"))
           Rtbf.swapRewrite(spark, path, "bandsizes",
-            dhashBanded(live.distinct(), idc).groupBy("band", "v")
-              .agg(count(lit(1)).as("n"))
-              .withColumn("__batch", lit(-1L)))
+            counts.join(skipKeys, Seq("band", "v"), "left_anti")
+              .select(col("band"), col("v"), col("__n").as("n"),
+                lit(-1L).as("__batch")))
+        graft.engine.Checkpoints.release(skipKeys)
       } finally graft.engine.Checkpoints.release(live)
       Rtbf.clearTombstones(spark, path)
     }

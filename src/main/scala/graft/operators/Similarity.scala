@@ -335,6 +335,7 @@ object Similarity {
     // maintenance checkpoint restarts batch ids at 0, and a stale marker
     // would silently no-op every future ivfAppendBatch
     graft.sources.Markers.delete(spark, s"$path/lastbatch")
+    graft.operators.Rtbf.clearTombstones(spark, path)
     // vector/centroid self-norms are build-time columns: every future
     // search divides by them instead of recomputing sqrt(dot(v, v)) per
     // probed row — bit-identical values (same expression, evaluated once)
@@ -885,6 +886,7 @@ object Similarity {
     * streaming `lastbatch` marker is reset like [[ivfBuild]]'s. */
   def bqIvfBuild(idx: IvfIndex, path: String): BqIvfIndex = {
     graft.sources.Markers.delete(idx.spark, s"$path/lastbatch")
+    graft.operators.Rtbf.clearTombstones(idx.spark, path)
     bqQuantize(idx.corpus, idx.id, idx.emb, keep = Seq("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/corpus")
     idx.centroids.write.mode("overwrite").parquet(s"$path/centroids")
@@ -1632,6 +1634,7 @@ object Similarity {
     // contract): a fresh maintenance checkpoint restarts batch ids at 0
     // and a stale marker would silently no-op every future append
     graft.sources.Markers.delete(spark, s"$path/lastbatch")
+    graft.operators.Rtbf.clearTombstones(spark, path)
     vecs.select(col(id),
         sqrt(dot(col(emb).cast("array<double>"), col(emb).cast("array<double>")))
           .as("norm"),

@@ -2923,6 +2923,202 @@ object LlmQueries {
       "src", "dst", "w", PrIters)
       .orderBy(desc("pr"), col("node"))
 
+  // --- RTBF for persisted index artifacts (q234-q238) ---
+
+  /** The forgotten-doc selector of the RTBF gates: old-side docs with
+    * `doc_id % ForgetMod == ForgetRes` file deletion requests. Chosen so
+    * the set intersects real probe pairs at every test sf (near-dup
+    * pairs key on doc_id proximity mod small constants). */
+  val ForgetMod = 13
+  val ForgetRes = 1
+
+  /** The q238 planted token set (space-joined, leading space): appears
+    * ONLY on forgotten docs, so every token hash is exclusive by
+    * construction and the deletion visibly shortens samples. */
+  val RtbfKmvPlant: String =
+    (0 until 48).map(i => s"rtbfw$i").mkString(" ", " ", "")
+
+  /** The shared phase-tagged probe pair of every RTBF gate: the
+    * post-FORGET probe (tombstones only — materialized to `<p>/rtbf_probe`
+    * BEFORE the purge rewrites files under its plan), then the purge,
+    * then the post-PURGE probe evaluated live by the query. Equality of
+    * the two phases through one oracle replay IS the gate that the
+    * anti-join tier and the physical rewrite implement the same
+    * semantics. */
+  private def rtbfPhases(s: SparkSession, p: String,
+      probeLive: => DataFrame): DataFrame = {
+    val a = s.read.parquet(s"$p/rtbf_probe")
+      .select(lit("forgotten").as("phase"), col("*"))
+    val b = probeLive.select(lit("purged").as("phase"), col("*"))
+    a.unionByName(b)
+  }
+
+  /** Per-directory memo of the RTBF BAND index: built capped over the
+    * old corpus exactly like [[bandIndexCache]], then docs ≡
+    * [[ForgetRes]] (mod [[ForgetMod]]) are tombstoned
+    * ([[Dedup.bandIndexForget]]), the post-forget probe is materialized,
+    * and the index is PURGED ([[Dedup.bandIndexPurge]]). */
+  private val rtbfBandCache = new SessionPathMemo("rtbfband", (s, d, p) => {
+    val old = docs(s, d)
+      .where(pmod(col("doc_id"), lit(NewBatchMod)) =!= 0)
+    Dedup.bandIndexWrite(
+      Dedup.lshBands(minhashSigOf(old), "doc_id", NumHashes, Bands),
+      "doc_id", Bands, p, maxBucket = IncrementalCap)
+    Dedup.bandIndexForget(s, p,
+      old.where(pmod(col("doc_id"), lit(ForgetMod)) === ForgetRes)
+        .select("doc_id"), "doc_id")
+    rtbfBandProbe(s, d, p).write.mode("overwrite").parquet(s"$p/rtbf_probe")
+    Dedup.bandIndexPurge(s, p)
+    require(Dedup.bandIndexVerify(s, p, maxBucket = IncrementalCap)
+      .isEmpty, "purged band index must verify consistent")
+  })
+
+  private def rtbfBandProbe(s: SparkSession, d: String, p: String): DataFrame = {
+    val batch = docs(s, d)
+      .where(pmod(col("doc_id"), lit(NewBatchMod)) === 0)
+    Dedup.incrementalPairs(Dedup.bandIndexRead(s, p),
+      Dedup.lshBands(minhashSigOf(batch), "doc_id", NumHashes, Bands),
+      "doc_id", Bands)
+  }
+
+  /** q234 — RTBF through the persisted LSH band index
+    * ([[Dedup.bandIndexForget]]/[[Dedup.bandIndexPurge]]): q61's
+    * incremental probe rerun after forgetting the ≡ [[ForgetRes]]
+    * (mod [[ForgetMod]]) old docs — once against the TOMBSTONED index
+    * (phase `forgotten`), once after the physical purge (phase
+    * `purged`). Both phases must equal the oracle's probe of an index
+    * that simply excludes the forgotten docs (the cap HAVING stays on
+    * the FULL old side: cap metadata keeps pre-delete totals until
+    * purge, and purge does not re-admit build-time-skipped buckets).
+    * The purged index re-verifies clean in-gate. */
+  def rtbfBandQ(s: SparkSession, d: String): DataFrame = {
+    val p = rtbfBandCache(s, d)
+    rtbfPhases(s, p, rtbfBandProbe(s, d, p)).orderBy("phase", "a", "b")
+  }
+
+  /** Per-directory memo of the RTBF WINNOW index — [[winnowIndexCache]]'s
+    * build, then forget → materialized probe → purge → in-gate verify. */
+  private val rtbfWinnowCache = new SessionPathMemo("rtbfwinnow", (s, d, p) => {
+    val old = docs(s, d).where(pmod(col("doc_id"), lit(NewBatchMod)) =!= 0)
+    Dedup.winnowIndexWrite(
+      Dedup.winnowFingerprints(old, "text", "doc_id", k = 3, w = 4),
+      "doc_id", p)
+    Dedup.winnowForget(s, p,
+      old.where(pmod(col("doc_id"), lit(ForgetMod)) === ForgetRes)
+        .select("doc_id"), "doc_id")
+    rtbfWinnowProbe(s, d, p).write.mode("overwrite").parquet(s"$p/rtbf_probe")
+    Dedup.winnowPurge(s, p)
+    require(Dedup.winnowIndexVerify(s, p).isEmpty,
+      "purged winnow index must verify consistent")
+  })
+
+  private def rtbfWinnowProbe(s: SparkSession, d: String, p: String): DataFrame = {
+    val batch = docs(s, d).where(pmod(col("doc_id"), lit(NewBatchMod)) === 0)
+    Dedup.winnowIncrementalPairs(s, p,
+      Dedup.winnowFingerprints(batch, "text", "doc_id", k = 3, w = 4),
+      "doc_id", minShared = 1)
+  }
+
+  /** q235 — RTBF through the persisted winnow index
+    * ([[Dedup.winnowForget]]/[[Dedup.winnowPurge]]): q126's containment
+    * probe after forgetting the ≡ [[ForgetRes]] (mod [[ForgetMod]]) old
+    * docs, phase-paired like q234. The purge rewrites BOTH the
+    * fingerprint rows and the per-doc size sidecar (a forgotten doc's
+    * sizes are its data too), and the purged index re-verifies clean
+    * in-gate — bit-identical to an index built without the forgotten
+    * docs, which is exactly what the oracle replays. */
+  def rtbfWinnowQ(s: SparkSession, d: String): DataFrame = {
+    val p = rtbfWinnowCache(s, d)
+    rtbfPhases(s, p, rtbfWinnowProbe(s, d, p)).orderBy("phase", "a", "b")
+  }
+
+  /** Per-directory memo of the RTBF DHASH index — [[dhashIndexCache]]'s
+    * capped build over orig+copy, then forget the ≡ 4 (mod 10) ORIG
+    * images (their +100000 re-uploads stay — a realistic partial
+    * takedown) → materialized probe → purge. */
+  private val rtbfDHashCache = new SessionPathMemo("rtbfdhash", (s, d, p) => {
+    val (orig, copy, _) = dhashCorpusLegs(s, d)
+    Multimodal.dhashIndexWrite(
+      Multimodal.imageDHash(Multimodal.decodePpm(
+        orig.unionByName(copy), "doc_id", "payload")),
+      "doc_id", p, maxBucket = DHashIndexCap)
+    Multimodal.dhashForget(s, p,
+      orig.where(pmod(col("doc_id"), lit(10)) === 4).select("doc_id"),
+      "doc_id")
+    rtbfDHashProbe(s, d, p).write.mode("overwrite").parquet(s"$p/rtbf_probe")
+    Multimodal.dhashPurge(s, p)
+    require(Multimodal.dhashIndexVerify(s, p).isEmpty,
+      "purged dhash index must verify consistent")
+  })
+
+  private def rtbfDHashProbe(s: SparkSession, d: String, p: String): DataFrame =
+    Multimodal.dhashIncrementalPairs(s, p,
+      Multimodal.imageDHash(Multimodal.decodePpm(
+        dhashCorpusLegs(s, d)._3, "doc_id", "payload")),
+      "doc_id", maxHamming = 8)
+
+  /** q236 — RTBF through the persisted dHash index
+    * ([[Multimodal.dhashForget]]/[[Multimodal.dhashPurge]]): q131's
+    * incremental image probe after a takedown of the ≡ 4 (mod 10)
+    * ORIGINALS (re-uploads still indexed — the probe must keep finding
+    * those), phase-paired like q234. Cap exclusions replay on the FULL
+    * index side; the purged index re-verifies clean in-gate. */
+  def rtbfDHashQ(s: SparkSession, d: String): DataFrame = {
+    val p = rtbfDHashCache(s, d)
+    rtbfPhases(s, p, rtbfDHashProbe(s, d, p)).orderBy("phase", "a", "b")
+  }
+
+  /** Per-directory memo of the RTBF KMV sample: the whole corpus's
+    * per-source sample as ONE appended batch, then the ≡ [[ForgetRes]]
+    * (mod [[ForgetMod]]) docs' EXCLUSIVE word hashes (theirs anti-joined
+    * against every retained doc's — one corpus pass; a hash a retained
+    * doc still contributes must NOT be deleted) are tombstoned
+    * ([[Sketch.kmvForgetHashes]]) → materialized sample → purge. */
+  private val rtbfKmvCache = new SessionPathMemo("rtbfkmv", (s, d, p) => {
+    val dd = docs(s, d)
+    // forgotten docs carry a planted token set no retained doc has:
+    // without it, exclusive hashes almost never land inside a bottom-16
+    // sample at test sf and the deletion path would gate vacuously
+    // (48 md5-uniform extra hashes per affected source ≈ 2 expected
+    // sample hits each — q238's short groups prove rows really left)
+    val planted = dd.select(col("doc_id"), col("source"),
+      when(pmod(col("doc_id"), lit(ForgetMod)) === ForgetRes &&
+          col("text").isNotNull,
+        concat(col("text"), lit(RtbfKmvPlant))).otherwise(col("text"))
+        .as("text"))
+    val words = planted.select(col("doc_id"), col("source"),
+      explode(TextOps.tokens(col("text"))).as("w"))
+    require(Sketch.sketchAppendBatch(p,
+      Sketch.kmvSketch(words, "w", Seq("source")), 0L), "batch must apply")
+    val forgotten = pmod(col("doc_id"), lit(ForgetMod)) === ForgetRes
+    val exclusive = words.where(forgotten)
+      .select(Sketch.kmvHash(col("w")).as("h")).distinct()
+      .join(words.where(!forgotten)
+        .select(Sketch.kmvHash(col("w")).as("h")).distinct(),
+        Seq("h"), "left_anti")
+    Sketch.kmvForgetHashes(s, p, exclusive)
+    Sketch.kmvRead(s, p, Seq("source"))
+      .select(col("source"), col("pos").cast("long").as("pos"), col("h"))
+      .write.mode("overwrite").parquet(s"$p/rtbf_probe")
+    Sketch.kmvPurge(s, p, Seq("source"))
+  })
+
+  /** q238 — RTBF through the persisted KMV sample
+    * ([[Sketch.kmvForgetHashes]]/[[Sketch.kmvPurge]]): the per-source
+    * bottom-16 after the forgotten docs' exclusive hashes are deleted,
+    * phase-paired like q234. Survivors re-rank (pos closes the gaps);
+    * groups whose sample lost hashes shrink below k and stay short —
+    * the documented no-refill honesty of bottom-k deletion (the oracle
+    * replays exactly that: rank ≤ k on the full vocabulary, minus
+    * exclusive-to-forgotten hashes, re-ranked). */
+  def rtbfKmvQ(s: SparkSession, d: String): DataFrame = {
+    val p = rtbfKmvCache(s, d)
+    rtbfPhases(s, p,
+      Sketch.kmvRead(s, p, Seq("source"))
+        .select(col("source"), col("pos").cast("long").as("pos"), col("h")))
+      .orderBy("phase", "source", "pos")
+  }
+
   /** The Z-ordered events layout (memoized per session):
     * [[graft.sources.Layout.writeZOrdered]] on (user_id, ts_us) —
     * nanos truncated to µs FIRST so both engines bucket identical
@@ -7697,6 +7893,113 @@ object LlmQueries {
          |ORDER BY a, b""".stripMargin
     },
 
+    // q61's replay with the forgotten docs EXCLUDED from the index side
+    // (the cap HAVING stays on the FULL old side — tombstones hide rows
+    // from probes, cap metadata keeps pre-delete totals), crossed with
+    // the two phases: the tombstone tier and the physical purge must
+    // both equal this one independent formulation
+    "q234_rtbf_band" -> {
+      val ms = (0 until NumHashes).map(i =>
+        s"min(${pHash(i.toString, "shingle")}) AS m$i").mkString(",\n  ")
+      val bandExprs = (0 until Bands).map { b =>
+        val concat = s"m${2 * b}::VARCHAR || '_' || m${2 * b + 1}::VARCHAR"
+        s"${pHash((100 + b).toString, s"($concat)")} AS band$b"
+      }.mkString(",\n  ")
+      val stack = (0 until Bands).map(b =>
+        s"SELECT doc_id, $b AS bi, band$b AS k FROM bands")
+        .mkString("\nUNION ALL ")
+      s"""WITH $tokCte,
+         |sig AS (SELECT doc_id, $ms FROM tok GROUP BY doc_id),
+         |bands AS (SELECT doc_id, $bandExprs FROM sig),
+         |stacked AS ($stack),
+         |old AS (SELECT * FROM stacked WHERE doc_id % $NewBatchMod <> 0),
+         |kept AS (SELECT bi, k FROM old GROUP BY bi, k
+         |  HAVING count(*) <= $IncrementalCap),
+         |res AS (SELECT DISTINCT o.doc_id AS a, n.doc_id AS b
+         |  FROM old o JOIN kept USING (bi, k)
+         |  JOIN stacked n ON o.bi = n.bi AND o.k = n.k
+         |  WHERE n.doc_id % $NewBatchMod = 0 AND o.doc_id <> n.doc_id
+         |    AND o.doc_id % $ForgetMod <> $ForgetRes),
+         |ph AS (SELECT unnest(['forgotten', 'purged']) AS phase)
+         |SELECT phase, a, b FROM ph CROSS JOIN res
+         |ORDER BY phase, a, b""".stripMargin
+    },
+
+    // q126's replay with the forgotten docs excluded from the INDEX
+    // side chain itself (fingerprints AND sizes — the purge rewrites
+    // both), crossed with the two phases
+    "q235_rtbf_winnow" ->
+      s"""WITH ${winnowWfpCtes("o",
+        s"doc_id % $NewBatchMod <> 0 AND doc_id % $ForgetMod <> $ForgetRes")},
+         |${winnowWfpCtes("n", s"doc_id % $NewBatchMod = 0")},
+         |szo AS (SELECT doc_id, count(*)::BIGINT AS nf FROM wfpo
+         |  GROUP BY doc_id),
+         |szn AS (SELECT doc_id, count(*)::BIGINT AS nf FROM wfpn
+         |  GROUP BY doc_id),
+         |pr AS (SELECT x.doc_id AS a, y.doc_id AS b,
+         |    count(*)::BIGINT AS n_shared
+         |  FROM wfpo x JOIN wfpn y ON y.gh = x.gh
+         |    AND x.doc_id <> y.doc_id
+         |  GROUP BY x.doc_id, y.doc_id
+         |  HAVING count(*) >= 1),
+         |res AS (SELECT p.a, p.b, p.n_shared,
+         |    round(p.n_shared / (sa.nf + sb.nf - p.n_shared)::DOUBLE, 6)
+         |      AS overlap
+         |  FROM pr p JOIN szo sa ON sa.doc_id = p.a
+         |  JOIN szn sb ON sb.doc_id = p.b),
+         |ph AS (SELECT unnest(['forgotten', 'purged']) AS phase)
+         |SELECT phase, a, b, n_shared, overlap FROM ph CROSS JOIN res
+         |ORDER BY phase, a, b""".stripMargin,
+
+    // q131's replay with the taken-down ORIGINALS excluded from the
+    // index side (their +100000 re-uploads stay indexed), the cap
+    // HAVING on the FULL index side, crossed with the two phases
+    "q236_rtbf_dhash" ->
+      s"""WITH $dhashPairCtes,
+         |xb AS (SELECT band, v FROM e WHERE doc_id < 200000
+         |  GROUP BY band, v HAVING count(*) > $DHashIndexCap),
+         |p2 AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+         |    (bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1)) +
+         |     bit_count(xor(x.b2, y.b2)) + bit_count(xor(x.b3, y.b3)))::BIGINT
+         |      AS hamming
+         |  FROM e x JOIN e y ON y.band = x.band AND y.v = x.v
+         |    AND x.doc_id < 200000 AND y.doc_id >= 200000
+         |    AND NOT (x.doc_id < 100000 AND x.doc_id % 10 = 4)
+         |  LEFT JOIN xb ON xb.band = x.band AND xb.v = x.v
+         |  WHERE xb.band IS NULL),
+         |res AS (SELECT a, b, hamming FROM p2 WHERE hamming <= 8),
+         |ph AS (SELECT unnest(['forgotten', 'purged']) AS phase)
+         |SELECT phase, a, b, hamming FROM ph CROSS JOIN res
+         |ORDER BY phase, a, b""".stripMargin,
+
+    // the q205 sample replayed with doc provenance: a hash is deleted
+    // iff EVERY doc containing it is forgotten (the exclusive-hash
+    // anti-join), survivors of the stored bottom-k re-rank — short
+    // groups stay short (bottom-k cannot refill), crossed with phases
+    "q238_rtbf_kmv" -> {
+      val h = pHash("71", "w")
+      s"""WITH pl AS (SELECT doc_id, source,
+         |    CASE WHEN doc_id % $ForgetMod = $ForgetRes AND text IS NOT NULL
+         |      THEN text || '$RtbfKmvPlant' ELSE text END AS text
+         |  FROM documents),
+         |occ AS (SELECT doc_id, source, ($h) AS h
+         |  FROM (SELECT doc_id, source,
+         |      unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+         |    FROM pl) t),
+         |excl AS (SELECT h FROM occ GROUP BY h
+         |  HAVING bool_and(doc_id % $ForgetMod = $ForgetRes)),
+         |sample AS (SELECT source, h,
+         |    row_number() OVER (PARTITION BY source ORDER BY h) AS pos0
+         |  FROM (SELECT DISTINCT source, h FROM occ)),
+         |surv AS (SELECT s.source, s.h,
+         |    row_number() OVER (PARTITION BY s.source ORDER BY s.h) AS pos
+         |  FROM sample s LEFT JOIN excl e ON e.h = s.h
+         |  WHERE s.pos0 <= ${Sketch.KmvK} AND e.h IS NULL),
+         |ph AS (SELECT unnest(['forgotten', 'purged']) AS phase)
+         |SELECT phase, source, pos::BIGINT AS pos, h FROM ph CROSS JOIN surv
+         |ORDER BY phase, source, pos""".stripMargin
+    },
+
     "q62_decontaminate" ->
       s"""WITH $tok3Cte,
          |ev AS (SELECT DISTINCT shingle FROM tok3 WHERE doc_id % $EvalMod = 0),
@@ -8085,6 +8388,10 @@ object LlmQueries {
     "q226_langid_confusion" -> langIdConfusionQ _,
     "q230_countmin_delete" -> countMinDeleteQ _,
     "q231_deletion_sweep" -> deletionSweepQ _,
+    "q234_rtbf_band" -> rtbfBandQ _,
+    "q235_rtbf_winnow" -> rtbfWinnowQ _,
+    "q236_rtbf_dhash" -> rtbfDHashQ _,
+    "q238_rtbf_kmv" -> rtbfKmvQ _,
     "q205_kmv_sketch" -> kmvSketchQ _,
     "q206_kmv_merge" -> kmvMergeQ _,
     "q207_kmv_overlap" -> kmvOverlapQ _,

@@ -185,6 +185,59 @@ object RelationalQueries {
         nprobe = 2, shortlist = 30, k = 10)
       .orderBy("q_id", "rank")
 
+  /** Per-directory memo of the RTBF BQ tier: a fresh code index derived
+    * from the shared float [[ivfIndex]] ([[Similarity.bqIvfBuild]]),
+    * then the ≡ 3 (mod 7) vectors are tombstoned
+    * ([[Similarity.bqIvfForget]]), the post-forget probe materialized,
+    * and the index compacted — [[Similarity.bqIvfCompact]] doubles as
+    * the physical purge (the round-13 verdict's ivfCompact-discipline
+    * ask). */
+  private val rtbfBqCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Similarity.BqIvfIndex]()
+
+  private def rtbfBqProbe(s: SparkSession, d: String,
+      idx: Similarity.BqIvfIndex): DataFrame =
+    Similarity.bqIvfSearchBatch(idx, t(s, d, "embeddings"),
+      t(s, d, "embeddings").where(col("vec_id") < 3),
+      nprobe = 2, shortlist = 30, k = 10)
+
+  private def rtbfBqIndex(s: SparkSession, d: String): Similarity.BqIvfIndex =
+    rtbfBqCache.compute(d, (_, cur) => {
+      if (cur != null && (cur.spark eq s)) cur
+      else {
+        val h = graft.engine.IndexCache.md5Key(d, 8)
+        val path = s"${sys.props("java.io.tmpdir")}/graft_rtbfbq_$h"
+        graft.cli.Cleanup.deleteOnExit(path)
+        val bq = Similarity.bqIvfBuild(ivfIndex(s, d), path)
+        Similarity.bqIvfForget(bq,
+          t(s, d, "embeddings")
+            .where(pmod(col("vec_id"), lit(7)) === 3).select("vec_id"))
+        rtbfBqProbe(s, d, bq)
+          .write.mode("overwrite").parquet(s"$path/rtbf_probe")
+        Similarity.bqIvfCompact(bq, targetRecordsPerFile = 1L << 20)
+        bq
+      }
+    })
+
+  /** q237 — RTBF through the BQ code tier
+    * ([[Similarity.bqIvfForget]]/[[Similarity.bqIvfCompact]]): q176's
+    * IVF-pruned hamming search after forgetting the ≡ 3 (mod 7)
+    * vectors — once against the TOMBSTONED code table (phase
+    * `forgotten`: the anti-join drops their codes before the hamming
+    * shortlist), once after compaction purged the rows physically
+    * (phase `purged`). Both phases must equal the oracle's replay over
+    * a corpus that simply excludes the forgotten vectors from the
+    * hamming phase; the trained centroids stay frozen (the index was
+    * built before the deletion — forgetting never retrains). */
+  def rtbfBqIvfQ(s: SparkSession, d: String): DataFrame = {
+    val idx = rtbfBqIndex(s, d)
+    val a = s.read.parquet(s"${idx.path}/rtbf_probe")
+      .select(lit("forgotten").as("phase"), col("*"))
+    val b = rtbfBqProbe(s, d, idx)
+      .select(lit("purged").as("phase"), col("*"))
+    a.unionByName(b).orderBy("phase", "q_id", "rank")
+  }
+
   /** q79 — BATCHED IVF search ([[Similarity.ivfSearchIndexedBatch]]):
     * queries 0–2 each probe their best-2 trained cells, one pruned scan
     * of the union of probed partitions scores all three, per-query
@@ -1184,6 +1237,42 @@ object RelationalQueries {
          |SELECT q_id, vec_id, ham, cos, rank FROM r WHERE rank <= 10
          |ORDER BY q_id, rank""".stripMargin,
 
+    // q176's replay with the forgotten vectors excluded from the
+    // HAMMING phase only (codes hidden/purged; centroids frozen — the
+    // index predates the deletion; the float fetch is shortlist-driven
+    // so exclusion there is implied), crossed with the two phases: the
+    // tombstone anti-join and the compaction purge must both equal it
+    "q237_rtbf_bq_ivf" ->
+      s"""WITH $kmeansCtes,
+         |qprobes AS (SELECT q_id, cell FROM (
+         |    SELECT vec_id AS q_id, cell, row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY cs DESC, cell) AS pr
+         |    FROM sim3 WHERE vec_id < 3) WHERE pr <= 2),
+         |bits AS (SELECT vec_id, d, (v > 0)::INT AS b FROM ex),
+         |qb AS (SELECT vec_id AS q_id, d, b AS qbit FROM bits WHERE vec_id < 3),
+         |ham AS (SELECT qb.q_id, bits.vec_id,
+         |    sum(CASE WHEN bits.b <> qb.qbit THEN 1 ELSE 0 END)::BIGINT AS ham
+         |  FROM bits JOIN qb ON qb.d = bits.d
+         |  JOIN asg3 a ON a.vec_id = bits.vec_id
+         |  JOIN qprobes p ON p.q_id = qb.q_id AND p.cell = a.cell
+         |  WHERE bits.vec_id % 7 <> 3
+         |  GROUP BY qb.q_id, bits.vec_id),
+         |short AS (SELECT q_id, vec_id, ham, row_number() OVER (PARTITION BY q_id
+         |    ORDER BY ham, vec_id) AS hrank FROM ham),
+         |q AS (SELECT vec_id AS q_id, d, v FROM ex WHERE vec_id < 3),
+         |sc AS (SELECT s.q_id, s.vec_id, s.ham,
+         |    round(sum(e.v * q.v) / sqrt(sum(e.v * e.v))
+         |      / sqrt(sum(q.v * q.v)), 4) AS cos
+         |  FROM short s JOIN ex e ON e.vec_id = s.vec_id
+         |    JOIN q ON q.q_id = s.q_id AND q.d = e.d
+         |  WHERE s.hrank <= 30 GROUP BY s.q_id, s.vec_id, s.ham),
+         |r AS (SELECT q_id, vec_id, ham, cos, row_number() OVER (PARTITION BY q_id
+         |    ORDER BY cos DESC, vec_id)::INTEGER AS rank FROM sc),
+         |res AS (SELECT q_id, vec_id, ham, cos, rank FROM r WHERE rank <= 10),
+         |ph AS (SELECT unnest(['forgotten', 'purged']) AS phase)
+         |SELECT phase, q_id, vec_id, ham, cos, rank FROM ph CROSS JOIN res
+         |ORDER BY phase, q_id, rank""".stripMargin,
+
     // the incremental tier replayed over BOTH populations: training +
     // assignment on the old corpus only (exo), the new batch's map-only
     // assignment against the TRAINED centroids (cent2 — the append
@@ -1529,6 +1618,7 @@ object RelationalQueries {
     "q40_ann_ivf" -> annIvf _,
     "q79_ann_ivf_batch" -> annIvfBatch _,
     "q176_ann_bq_ivf" -> annBqIvf _,
+    "q237_rtbf_bq_ivf" -> rtbfBqIvfQ _,
     "q177_ann_bq_ivf_incremental" -> annBqIvfIncremental _,
     "q162_cross_modal_ivf" -> crossModalIvfBatch _,
     "q97_ann_pq" -> annPq _,

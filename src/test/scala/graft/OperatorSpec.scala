@@ -24,6 +24,45 @@ class OperatorSpec extends AnyFunSuite {
     (4L, "one two three four five six seven eight nine ten")
   ).toDF("doc_id", "text")
 
+  test("RTBF band index: forget hides a doc from probes, purge is physical, verify stays green") {
+    import graft.operators.{Dedup, Rtbf}
+    val path = s"${sys.props("java.io.tmpdir")}/graft_test_rtbf_band"
+    graft.cli.Cleanup.deleteOnExit(path)
+    new java.io.File(path).delete()
+    val old = docs.where(col("doc_id") <= 3) // 1, 2, 3 (1 ≈ 2, 1 == 3)
+    def sig(df: org.apache.spark.sql.DataFrame) = {
+      val s0 = df.where(col("text").isNotNull).select(col("doc_id"),
+        graft.functions.MinHashSig.minhash_sig(col("text"), 8).as("__sig"))
+      Dedup.lshBands(s0.select(col("doc_id") +:
+        (0 until 8).map(i => element_at(col("__sig"), i + 1).as(s"m$i")): _*),
+        "doc_id", 8, 4)
+    }
+    Dedup.bandIndexWrite(sig(old), "doc_id", 4, path, maxBucket = 10)
+    val batch = sig(docs.where(col("doc_id") === 4)
+      .select(lit(9L).as("doc_id"), lit(base).as("text")))
+    def probe() = Dedup.incrementalPairs(Dedup.bandIndexRead(spark, path),
+      batch, "doc_id", 4).collect().map(_.getLong(0)).toSet
+    assert(probe() == Set(1L, 2L, 3L), "pre-forget: all three collide")
+    Dedup.bandIndexForget(spark, path, Seq(1L).toDF("doc_id"), "doc_id")
+    assert(probe() == Set(2L, 3L), "tombstoned doc must vanish from probes")
+    // forget is idempotent; physical rows remain until purge
+    Dedup.bandIndexForget(spark, path, Seq(1L).toDF("doc_id"), "doc_id")
+    assert(spark.read.parquet(s"$path/bands")
+      .where(col("doc_id") === 1L).count() > 0)
+    Dedup.bandIndexPurge(spark, path)
+    assert(spark.read.parquet(s"$path/bands")
+      .where(col("doc_id") === 1L).count() == 0, "purge must be physical")
+    assert(!Rtbf.hasTombstones(spark, path), "purge clears the tombstones")
+    assert(probe() == Set(2L, 3L), "purged probe equals tombstoned probe")
+    assert(Dedup.bandIndexVerify(spark, path, maxBucket = 10).isEmpty,
+      "sizes sidecar must be refreshed to the post-purge counts")
+    // delete-then-append round trip: a fresh doc appends normally after
+    // the purge and becomes probe-visible; the forgotten id stays gone
+    Dedup.bandIndexWrite(sig(Seq((7L, base)).toDF("doc_id", "text")),
+      "doc_id", 4, path, maxBucket = 10, append = true)
+    assert(probe() == Set(2L, 3L, 7L))
+  }
+
   test("portableHash matches the md5-derived constant") {
     val got = Seq("hello").toDF("w")
       .select(TextOps.portableHash(col("w"), 42)).head().getLong(0)

@@ -376,6 +376,48 @@ class StreamingSpec extends AnyFunSuite {
     assert(Sketch.cmRead(spark, cmPath).collect().map(_.getLong(2)).sum == before + 4)
   }
 
+  test("RTBF round-trip under ingest: forget hides, later appends apply, purge is physical and idempotent") {
+    import spark.implicits._
+    import graft.operators.{Dedup, Rtbf}
+    val path = s"${sys.props("java.io.tmpdir")}/graft_test_rtbf_winnow"
+    graft.cli.Cleanup.deleteOnExit(path)
+    val a = "lorem ipsum dolor sit amet consectetur adipiscing elit " +
+      "sed alpha beta gamma delta epsilon zeta"
+    val b = "quick brown foxes jump over lazy dogs while seven wizards " +
+      "brew omega psi chi phi upsilon tau"
+    def fps(rows: Seq[(Long, String)]) = Dedup.winnowFingerprints(
+      rows.toDF("doc_id", "text"), "text", "doc_id", 3, 4)
+    Dedup.winnowIndexWrite(fps(Seq(1L -> a, 2L -> b)), "doc_id", path)
+    def probe(txt: String) = Dedup.winnowIncrementalPairs(spark, path,
+      fps(Seq(99L -> txt)), "doc_id", minShared = 1)
+      .collect().map(_.getLong(0)).toSet
+    assert(probe(a) == Set(1L), "pre-forget: doc 1 is containment-visible")
+    Dedup.winnowForget(spark, path, Seq(1L).toDF("doc_id"), "doc_id")
+    assert(probe(a).isEmpty, "forgotten doc must stop pairing immediately")
+    assert(probe(b) == Set(2L), "other docs unaffected")
+    // later appends still apply through the replay guard (delete does
+    // not wedge the ingest protocol)
+    assert(Dedup.winnowAppendBatch(path, fps(Seq(3L -> a)), "doc_id", 1L))
+    assert(probe(a) == Set(3L), "post-forget append is probe-visible")
+    assert(!Dedup.winnowAppendBatch(path, fps(Seq(3L -> a)), "doc_id", 1L),
+      "replayed batch id still no-ops after a forget")
+    // purge: physical, verifier-green, probe-stable, idempotent
+    Dedup.winnowPurge(spark, path)
+    assert(spark.read.parquet(s"$path/fps")
+      .where(col("doc_id") === 1L).count() == 0, "purge must be physical")
+    assert(spark.read.parquet(s"$path/sizes")
+      .where(col("doc_id") === 1L).count() == 0, "sizes rows are data too")
+    assert(!Rtbf.hasTombstones(spark, path))
+    assert(Dedup.winnowIndexVerify(spark, path).isEmpty)
+    assert(probe(a) == Set(3L) && probe(b) == Set(2L))
+    Dedup.winnowPurge(spark, path) // no tombstones: a no-op
+    assert(probe(a) == Set(3L))
+    // a rebuild clears any pending tombstones (no stale hiding)
+    Dedup.winnowForget(spark, path, Seq(2L).toDF("doc_id"), "doc_id")
+    Dedup.winnowIndexWrite(fps(Seq(1L -> a, 2L -> b)), "doc_id", path)
+    assert(probe(b) == Set(2L), "rebuild must clear stale tombstones")
+  }
+
   test("streaming histogram maintenance: frozen-bound merge equals the direct build; out-of-span fails loud") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
