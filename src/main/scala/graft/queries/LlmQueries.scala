@@ -3119,6 +3119,41 @@ object LlmQueries {
       .orderBy("phase", "source", "pos")
   }
 
+  /** Per-directory memo of the synthetic WARC fixture
+    * ([[graft.sources.Warc.writeSyntheticWarc]] over the ASCII
+    * documents). */
+  private val warcFixtureCache = new SessionPathMemo("warcfix", (s, d, p) =>
+    graft.sources.Warc.writeSyntheticWarc(docs(s, d), s"$p/warc"))
+
+  /** q239 — WARC record source end-to-end
+    * ([[graft.sources.Warc.records]] → [[graft.sources.Warc
+    * .httpResponses]] → [[TextOps.stripHtml]]): the crawl container
+    * format parsed from actual FILES — records split on the magic, cut
+    * by Content-Length, request/metadata chaff dropped by the response
+    * filter, HTTP status/Content-Type/body split out, and the body fed
+    * through the existing extraction chain. The oracle never sees the
+    * files: it re-derives every record from `documents` by the same
+    * deterministic layout (URL, HTML shell, 404s at ≡ 0 mod 19) and
+    * replays the strip — so a match proves the reader inverted the
+    * writer exactly (headers, lengths, body boundaries), with zero
+    * truncated records. */
+  def warcReadQ(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.Warc
+    val resp = Warc.httpResponses(
+      Warc.records(s, s"${warcFixtureCache(s, d)}/warc"))
+      .select(regexp_extract(col("uri"), "/doc/([0-9]+)$", 1).cast("long")
+        .as("doc_id"),
+        col("uri").as("url"), col("http_status"), col("content_type"),
+        col("body"), col("truncated"))
+    val stripped = TextOps.stripHtml(resp, "body", "doc_id")
+    resp.drop("body")
+      .join(stripped, "doc_id")
+      .select(col("doc_id"), col("url"), col("http_status"),
+        col("content_type"), col("n_tags"), col("text_clean"),
+        col("truncated"))
+      .orderBy("doc_id")
+  }
+
   /** The Z-ordered events layout (memoized per session):
     * [[graft.sources.Layout.writeZOrdered]] on (user_id, ts_us) —
     * nanos truncated to µs FIRST so both engines bucket identical
@@ -7173,6 +7208,39 @@ object LlmQueries {
     // tag regex, entity chain (same &amp;-last order), and whitespace
     // collapse replayed verbatim; DuckDB regexp_replace needs the 'g'
     // flag Spark implies
+    // the fixture derivation replayed WITHOUT the files: same URL/HTML
+    // shell/404 layout from `documents`, q215's strip chain on the body
+    // — matching the file-parsed Spark side proves the reader inverts
+    // the writer (headers, Content-Length cuts, body boundaries)
+    "q239_warc_read" ->
+      """WITH a AS (SELECT doc_id, text FROM documents
+        |  WHERE text IS NOT NULL
+        |    AND octet_length(encode(text)) = length(text)),
+        |p AS (SELECT doc_id,
+        |    'http://src' || (doc_id % 5) || '.example.org/doc/' || doc_id
+        |      AS url,
+        |    CASE WHEN doc_id % 19 = 0
+        |      THEN '<html><body>not found</body></html>'
+        |      ELSE '<html><head><title>doc ' || doc_id ||
+        |        '</title></head><body><p>' || text ||
+        |        '</p></body></html>' END AS t,
+        |    (CASE WHEN doc_id % 19 = 0 THEN 404 ELSE 200 END)::INTEGER
+        |      AS http_status
+        |  FROM a),
+        |s1 AS (SELECT doc_id, url, http_status,
+        |    len(regexp_extract_all(t, '<[^>]*>'))::BIGINT AS n_tags,
+        |    regexp_replace(t, '<[^>]*>', ' ', 'g') AS c
+        |  FROM p),
+        |s2 AS (SELECT doc_id, url, http_status, n_tags,
+        |    replace(replace(replace(replace(replace(replace(c,
+        |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+        |      '&nbsp;', ' '), '&amp;', '&') AS c2
+        |  FROM s1)
+        |SELECT doc_id, url, http_status, 'text/html' AS content_type,
+        |  n_tags, trim(regexp_replace(c2, '\s+', ' ', 'g')) AS text_clean,
+        |  false AS truncated
+        |FROM s2 ORDER BY doc_id""".stripMargin,
+
     "q215_html_strip" ->
       """WITH p AS (SELECT doc_id,
         |    CASE WHEN doc_id % 3 = 0 THEN '<div class="x"><p>' || text ||
@@ -8389,6 +8457,7 @@ object LlmQueries {
     "q230_countmin_delete" -> countMinDeleteQ _,
     "q231_deletion_sweep" -> deletionSweepQ _,
     "q234_rtbf_band" -> rtbfBandQ _,
+    "q239_warc_read" -> warcReadQ _,
     "q235_rtbf_winnow" -> rtbfWinnowQ _,
     "q236_rtbf_dhash" -> rtbfDHashQ _,
     "q238_rtbf_kmv" -> rtbfKmvQ _,

@@ -70,6 +70,43 @@ class IngestSpec extends AnyFunSuite {
       gas.count() == 2)
   }
 
+  test("WARC reader: records split by magic, payloads cut by Content-Length, chaff filtered, torn records flagged") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.sources.Warc
+    val dir = Files.createTempDirectory("graft_warc_test").toString
+    graft.cli.Cleanup.deleteOnExit(dir)
+    // ids chosen to exercise every branch: 3 → +request chaff,
+    // 17 → +metadata chaff, 19 → 404, 2 → plain 200
+    val docs = Seq((2L, "plain body two"), (3L, "with request chaff"),
+      (17L, "with metadata chaff"), (19L, "gone")).toDF("doc_id", "text")
+    Warc.writeSyntheticWarc(docs, s"$dir/warc")
+    val recs = Warc.records(spark, s"$dir/warc")
+    val byType = recs.groupBy("warc_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byType == Map("response" -> 4L, "request" -> 1L, "metadata" -> 1L))
+    assert(recs.where(col("truncated")).count() == 0)
+    // payload is CUT at Content-Length: no record separator bleeds in
+    assert(recs.where(col("payload").contains("\r\n\r\nWARC")).count() == 0)
+    val resp = Warc.httpResponses(recs).collect()
+      .map(r => r.getAs[String]("uri") ->
+        ((r.getAs[Int]("http_status"), r.getAs[String]("body")))).toMap
+    assert(resp.size == 4, "chaff must not survive the response filter")
+    assert(resp("http://src2.example.org/doc/2") ==
+      ((200, "<html><head><title>doc 2</title></head><body><p>" +
+        "plain body two</p></body></html>")))
+    assert(resp("http://src4.example.org/doc/19")._1 == 404)
+    // a record whose Content-Length overruns the payload area is FLAGGED,
+    // never silently bled into the next record
+    val torn = "WARC/1.0\r\nWARC-Type: response\r\n" +
+      "WARC-Target-URI: http://x.example/1\r\nContent-Length: 99\r\n\r\n" +
+      "short\r\n\r\n"
+    Files.write(java.nio.file.Paths.get(s"$dir/torn.warc"),
+      torn.getBytes("US-ASCII"))
+    val t = Warc.records(spark, s"$dir/torn.warc").collect().head
+    assert(t.getAs[Boolean]("truncated"))
+  }
+
   test("catalog readout lists databases, views and columns like the reference") {
     import spark.implicits._
     Seq((1L, 2.0)).toDF("time_id", "flow_rate").createOrReplaceTempView("gas_data")
