@@ -2114,32 +2114,214 @@ object TextOps {
       .select(col(id).as("__id"), label.cast("int").as("__y"))
     val feats = pocketFeats(df, text, id, dims, seed).join(lab, "__id")
     feats.persist()
-    try {
-      def errCol(dot: Column): Column =
-        (col("__y") - when(dot >= 0, 1).otherwise(0)).cast(LongType)
-      def perDoc(w: Array[Long]): DataFrame = {
-        val wLit = array(w.map(lit): _*)
-        feats.groupBy("__id", "__y")
-          .agg(sum(element_at(wLit, col("__j") + 1) * col("__x"))
-            .as("__dot"))
-      }
-      var w = Array.fill(dims + 2)(0L)
-      var snaps = List.empty[(Long, Int, Array[Long])]
-      for (r <- 1 to rounds) {
-        val g = feats
-          .join(perDoc(w).select(col("__id"),
-              errCol(col("__dot")).as("__err"))
-            .where(col("__err") =!= 0), "__id")
-          .groupBy("__j").agg(sum(col("__err") * col("__x")).as("__g"))
-          .collect()  // bounded: <= dims+2 rows — model arity, not data
-          .map(row => row.getInt(0) -> row.getLong(1)).toMap
-        w = Array.tabulate(dims + 2)(j => w(j) + g.getOrElse(j, 0L))
-        val errs = perDoc(w).where(errCol(col("__dot")) =!= 0).count()
-        snaps ::= ((errs, r, w.clone()))
-      }
-      val (pe, pr, pw) = snaps.minBy { case (e, r, _) => (e, r) }
-      PocketModel(pw.toSeq, dims, seed, pr, pe)
-    } finally feats.unpersist()
+    try pocketLoop(feats, dims, rounds, seed)
+    finally feats.unpersist()
+  }
+
+  /** The pocket-perceptron round loop over a PERSISTED labeled feature
+    * frame `(__id, __j, __x, __y)` — [[pocketPerceptronTrain]]'s body,
+    * factored for reuse by future binary distillation targets. (The
+    * language-ID family deliberately does NOT train through this: a
+    * one-vs-rest bank of perceptrons has per-model weight scales set by
+    * each training trajectory, so their logits are not comparable and
+    * any cross-model decision — argmax or first-firing-sign — is decided
+    * by scale, not evidence; measured on the q226 plant, it misrouted a
+    * third of zh. [[langNaiveBayesTrain]] is the calibrated trainer.) */
+  private def pocketLoop(feats: DataFrame, dims: Int, rounds: Int,
+      seed: Int): PocketModel = {
+    def errCol(dot: Column): Column =
+      (col("__y") - when(dot >= 0, 1).otherwise(0)).cast(LongType)
+    def perDoc(w: Array[Long]): DataFrame = {
+      val wLit = array(w.map(lit): _*)
+      feats.groupBy("__id", "__y")
+        .agg(sum(element_at(wLit, col("__j") + 1) * col("__x"))
+          .as("__dot"))
+    }
+    var w = Array.fill(dims + 2)(0L)
+    var snaps = List.empty[(Long, Int, Array[Long])]
+    for (r <- 1 to rounds) {
+      val g = feats
+        .join(perDoc(w).select(col("__id"),
+            errCol(col("__dot")).as("__err"))
+          .where(col("__err") =!= 0), "__id")
+        .groupBy("__j").agg(sum(col("__err") * col("__x")).as("__g"))
+        .collect()  // bounded: <= dims+2 rows — model arity, not data
+        .map(row => row.getInt(0) -> row.getLong(1)).toMap
+      w = Array.tabulate(dims + 2)(j => w(j) + g.getOrElse(j, 0L))
+      val errs = perDoc(w).where(errCol(col("__dot")) =!= 0).count()
+      snaps ::= ((errs, r, w.clone()))
+    }
+    val (pe, pr, pw) = snaps.minBy { case (e, r, _) => (e, r) }
+    PocketModel(pw.toSeq, dims, seed, pr, pe)
+  }
+
+  /** The codepoint-BIGRAM feature map — [[pocketFeats]]' twin one level
+    * below words, for classifiers whose signal whitespace tokens cannot
+    * see (language-ID: CJK has no spaces; morphology lives in character
+    * transitions). The text is space-padded so word boundaries become
+    * visible bigrams; `n` = gram count (always ≥ 1); features are the
+    * same milli-fraction floors + length + bias layout, so the pocket
+    * training loop and the [[PocketWeights]] kernel layout carry over
+    * unchanged. Spark `length`/`substring` and DuckDB both count
+    * CODEPOINTS, so the oracle replay is exact beyond the BMP. */
+  private def charGramFeats(df: DataFrame, text: String, id: String,
+      dims: Int, seed: Int): DataFrame = {
+    val t = concat(lit(" "), lower(trim(col(text))), lit(" "))
+    val base = df.where(col(text).isNotNull)
+      .select(col(id).as("__id"), t.as("__t"),
+        (length(t) - 1).cast(LongType).as("__n"))
+    val tk = base.select(col("__id"), col("__n"),
+      explode(transform(sequence(lit(1), col("__n").cast("int")),
+        i => substr(col("__t"), i, lit(2)))).as("__g"))
+    val bc = tk.groupBy(col("__id"), col("__n"),
+        pmod(portableHash(col("__g"), seed), lit(dims.toLong))
+          .cast("int").as("__j"))
+      .agg(count(lit(1)).as("__c"))
+    // NO length feature (pocketFeats' x_dims slot): length is volume,
+    // not language, and its magnitude (10·n vs milli-fractions ≤ 1000)
+    // swamps the length-invariant bigram signal — with the slot's rows
+    // absent its gradient is structurally zero, w(dims) trains to 0,
+    // and the kernel's w(dims)·10n term vanishes consistently, keeping
+    // the PocketWeights layout shared with the word-feature family.
+    bc.select(col("__id"), col("__j"),
+        expr("CAST((1000 * __c) div __n AS bigint)").as("__x"))
+      .unionByName(base.select(col("__id"), lit(dims + 1).as("__j"),
+        lit(1000L).as("__x")))
+  }
+
+  /** A trained language-ID model: per label, a [[graft.functions
+    * .PocketWeights]]-layout weight vector in integer NANO-BITS —
+    * `w(j)` = round(log2((c_j+1)/(t+dims))·10⁹) for bucket j, `w(dims)`
+    * = 0 (no length term — length is volume, not language), and the
+    * bias slot `w(dims+1)` = the class's log-prior — so the shared
+    * codepoint-bigram kernel evaluates a multinomial-NB score directly.
+    * Labels sorted: the deterministic argmax tiebreak order. */
+  case class LangIdModel(labels: Seq[String],
+      weights: Map[String, Seq[Long]], dims: Int, seed: Int)
+
+  /** TRAINED language-ID ([[langNaiveBayesTrain]] / [[langIdPredict]])
+    * — the learned replacement for the [[languageId]] marker
+    * heuristic's role (the heuristic stays as the zero-cost first tier;
+    * this is what it escalates to): MULTINOMIAL NAIVE BAYES over
+    * codepoint-bigram buckets (the fastText/CLD production family), so
+    * languages the marker list cannot see at all — CJK: no whitespace,
+    * no Latin markers — are learnable from labeled data.
+    *
+    * Why NB and not a one-vs-rest pocket-perceptron bank (q175's
+    * trainer): the multiclass decision needs CROSS-MODEL comparability,
+    * and independent perceptrons' weight scales are set by their own
+    * training trajectories — argmax (or first-firing sign) across them
+    * is decided by scale, not evidence (measured on the q226 plant: a
+    * third of zh misrouted). NB's per-label scores are log-likelihoods
+    * on one common scale, calibration is by construction, and training
+    * is ONE corpus pass with no convergence question.
+    *
+    * Every weight is an integer nano-bit (`round(log2(·)·10⁹)` — the
+    * q165 klBitsNano discipline), computed IN-PLAN by the same `log2`
+    * both engines evaluate identically, then collected (bounded:
+    * labels × dims rows — model arity, not data). Add-one smoothing
+    * keeps unseen buckets finite; the class log-prior lands in the
+    * kernel's bias slot (its constant ×1000 feature scales all labels
+    * identically — argmax unchanged). */
+  def langNaiveBayesTrain(df: DataFrame, text: String, id: String,
+      langLabel: String, dims: Int = 512, seed: Int = 59): LangIdModel = {
+    require(dims >= 1, s"dims must be >= 1, got $dims")
+    val base = df.where(col(text).isNotNull)
+    val t = concat(lit(" "), lower(trim(col(text))), lit(" "))
+    val grams = base.select(col(langLabel).as("__lang"), t.as("__t"))
+      .select(col("__lang"),
+        explode(transform(
+          sequence(lit(1), (length(col("__t")) - 1).cast("int")),
+          i => substr(col("__t"), i, lit(2)))).as("__g"))
+    val oc = grams.groupBy(col("__lang"),
+        pmod(portableHash(col("__g"), seed), lit(dims.toLong))
+          .cast("int").as("__j"))
+      .agg(count(lit(1)).as("__c"))
+    val tl = oc.groupBy("__lang").agg(sum("__c").as("__t"))
+    // full (label × bucket) grid incl. zero buckets, weights in-plan so
+    // the log2 the oracle replays is the one that trained the model
+    val spark = df.sparkSession
+    val grid = tl.crossJoin(
+        spark.range(dims).select(col("id").cast("int").as("__j")))
+      .join(oc, Seq("__lang", "__j"), "left")
+      .select(col("__lang"), col("__j"),
+        round(log2((coalesce(col("__c"), lit(0L)) + 1).cast("double") /
+          (col("__t") + dims).cast("double")) * 1e9).cast(LongType)
+          .as("__w"))
+      .collect() // bounded: labels x dims — model arity, not data
+    val priors = base.groupBy(col(langLabel).as("__lang"))
+      .agg(count(lit(1)).as("__nd"))
+      .crossJoin(broadcast(base.agg(count(lit(1)).as("__N"))))
+      .select(col("__lang"),
+        round(log2(col("__nd").cast("double") / col("__N").cast("double"))
+          * 1e9).cast(LongType).as("__p"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    require(priors.nonEmpty, "no labels to train on")
+    val labels = priors.keys.toSeq.sorted
+    val byLang = grid.groupBy(_.getString(0))
+    val weights = labels.map { l =>
+      val w = new Array[Long](dims + 2)
+      byLang(l).foreach(r => w(r.getInt(1)) = r.getLong(2))
+      w(dims) = 0L // no length term
+      w(dims + 1) = priors(l)
+      l -> w.toSeq
+    }.toMap
+    LangIdModel(labels, weights, dims, seed)
+  }
+
+  /** One label's exact BIGINT NB score of a text column — the native
+    * codegen kernel ([[graft.functions.CharGramLogit]]): the
+    * milli-fraction bigram profile dotted with the label's nano-bit
+    * log-likelihood weights (the milli quantization is label-invariant,
+    * so the argmax equals NB's). */
+  def charGramLogit(t: Column, weights: Seq[Long], dims: Int,
+      seed: Int): Column =
+    graft.functions.CharGramLogit.char_gram_logit(t,
+      new graft.functions.PocketWeights(weights.toArray, dims, seed))
+
+  /** EXECUTABLE SPEC of [[charGramLogit]] — declarative HOFs, pinned
+    * bit-identical to the native kernel in OperatorSpec (the
+    * [[pocketLogitHof]] twin discipline); not the production path. */
+  def charGramLogitHof(tc: Column, weights: Seq[Long], dims: Int,
+      seed: Int): Column = {
+    val wLit = array(weights.map(lit): _*)
+    val t = concat(lit(" "), lower(trim(tc)), lit(" "))
+    val n = (length(t) - 1).cast(LongType)
+    val buckets = transform(sequence(lit(1), (length(t) - 1)),
+      i => pmod(portableHash(substr(t, i, lit(2)), seed),
+        lit(dims.toLong)).cast("int"))
+    def milliFrac(c: Column): Column = {
+      val a = lit(1000L) * c
+      ((a - pmod(a, n)) / n).cast(LongType)
+    }
+    val dot = aggregate(sequence(lit(0), lit(dims - 1)), lit(0L),
+      (acc, j) => acc + element_at(wLit, j + 1) *
+        milliFrac(size(filter(buckets, b => b === j)).cast(LongType)))
+    dot +
+      element_at(wLit, lit(dims + 1)) * (n * lit(10L)) +
+      element_at(wLit, lit(dims + 2)) * lit(1000L)
+  }
+
+  /** Apply a trained [[LangIdModel]]: per-language native NB scores
+    * (one map-only codegen kernel each — the apply path scans the
+    * corpus, so it must be one scan with the weights riding the plan)
+    * and the ARGMAX, ties to the lexicographically first label — NB
+    * scores share one log-likelihood scale, so argmax is the honest
+    * decision (and fully deterministic: integer scores, fixed tiebreak
+    * — the DuckDB oracle replays it exactly). Returns
+    * `(id, logit_<label>…, lang_pred)`. */
+  def langIdPredict(df: DataFrame, text: String, id: String,
+      m: LangIdModel): DataFrame = {
+    val scored = m.labels.foldLeft(df.where(col(text).isNotNull)) {
+      (d, l) => d.withColumn(s"logit_$l",
+        charGramLogit(col(text), m.weights(l), m.dims, m.seed))
+    }
+    val best = greatest(m.labels.map(l => col(s"logit_$l")): _*)
+    val pred = m.labels.reverse.foldLeft(lit("und")) { (acc, l) =>
+      when(col(s"logit_$l") === best, lit(l)).otherwise(acc)
+    }
+    scored.select(col(id) +:
+      m.labels.map(l => col(s"logit_$l")) :+ pred.as("lang_pred"): _*)
   }
 
   /** Apply a trained [[PocketModel]] — the learned counterpart of the

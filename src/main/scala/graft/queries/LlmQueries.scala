@@ -3697,6 +3697,71 @@ object LlmQueries {
         |  WHERE r = (SELECT r FROM best))""".stripMargin
   }
 
+  /** The q240/q226 training replay as DuckDB CTE text: the plant
+    * (`pl`), the padded text (`pt`), the shared codepoint-bigram gram
+    * stream (`gr`) and milli feature frame (`fl(doc_id, j, x)` — bucket
+    * milli-fractions + the ×1000 bias row, NO length row), then the NB
+    * training: per (label, bucket) add-one counts over the full grid,
+    * nano-bit log-likelihood weights and log-priors (`wt(lang, j, w)`)
+    * — the same in-plan `round(log2(·)·10⁹)` the Spark trainer
+    * collected. */
+  private def langIdTrainCtes: String = {
+    val hg = pHash(LangIdSeed.toString, "g")
+    val hc = pHash(CjkHashSeed.toString, "w")
+    val d = LangIdDims
+    def suffixed(sfx: String) =
+      s"""list_aggregate(list_transform(
+         |        string_split_regex(trim(lower(text)), '\\s+'),
+         |        w -> w || '$sfx'), 'string_agg', ' ')""".stripMargin
+    s"""pl AS MATERIALIZED (SELECT doc_id, lang,
+       |    CASE WHEN lang = 'zh' THEN list_aggregate(list_transform(
+       |        string_split_regex(trim(lower(text)), '\\s+'),
+       |        w -> substr('$CjkAlphabet',
+       |          ($hc % $CjkAlphabetSize)::INT + 1, 1)),
+       |        'string_agg', '')
+       |      WHEN lang = 'de' THEN ${suffixed("ung")}
+       |      WHEN lang = 'fr' THEN ${suffixed("eux")}
+       |      WHEN lang = 'es' THEN ${suffixed("cion")}
+       |      ELSE text END AS t0
+       |  FROM documents WHERE text IS NOT NULL),
+       |pt AS MATERIALIZED (SELECT doc_id, lang,
+       |    ' ' || trim(lower(t0)) || ' ' AS t FROM pl),
+       |nt AS MATERIALIZED (SELECT doc_id,
+       |    (length(t) - 1)::BIGINT AS n FROM pt),
+       |gr AS MATERIALIZED (SELECT doc_id, substring(t, i, 2) AS g
+       |  FROM (SELECT doc_id, t,
+       |      unnest(generate_series(1, length(t) - 1)) AS i FROM pt)),
+       |bc AS (SELECT doc_id, ($hg % $d)::INT AS j, count(*)::BIGINT AS c
+       |  FROM gr GROUP BY 1, 2),
+       |fl AS MATERIALIZED (SELECT bc.doc_id, j, (1000 * c) // n AS x
+       |    FROM bc JOIN nt USING (doc_id)
+       |  UNION ALL SELECT doc_id, ${d + 1}, 1000 FROM nt),
+       |lb AS MATERIALIZED (SELECT doc_id, lang FROM pt),
+       |oc AS (SELECT lb.lang, ($hg % $d)::INT AS j, count(*)::BIGINT AS c
+       |  FROM gr JOIN lb USING (doc_id) GROUP BY 1, 2),
+       |tl AS (SELECT lang, sum(c)::BIGINT AS t FROM oc GROUP BY 1),
+       |grid AS (SELECT tl.lang, js.j, coalesce(oc.c, 0)::BIGINT AS c, tl.t
+       |  FROM tl CROSS JOIN
+       |    (SELECT unnest(generate_series(0, ${d - 1})) AS j) js
+       |  LEFT JOIN oc ON oc.lang = tl.lang AND oc.j = js.j),
+       |nd AS (SELECT lang, count(*)::BIGINT AS ndocs FROM lb GROUP BY 1),
+       |nn AS (SELECT count(*)::BIGINT AS n FROM lb),
+       |wt AS MATERIALIZED (
+       |  SELECT lang, j,
+       |    round(log2((c + 1)::DOUBLE / (t + $d)) * 1e9)::BIGINT AS w
+       |  FROM grid
+       |  UNION ALL SELECT lang, $d, 0::BIGINT FROM tl
+       |  UNION ALL SELECT nd.lang, ${d + 1},
+       |    round(log2(nd.ndocs::DOUBLE / nn.n) * 1e9)::BIGINT
+       |  FROM nd CROSS JOIN nn)""".stripMargin
+  }
+
+  /** The plant's label set — fixed by the testdata's lang column (all
+    * SFs carry all five); the oracle SQL is static text, so the set is
+    * pinned here and [[learnedLangId]]'s data-derived labels must match
+    * it for the gate to line up (they do at every SF, by generation). */
+  private val LangIdLabels = Seq("de", "en", "es", "fr", "zh")
+
   /** q111 — model-based quality scoring, now under the LEARNED
     * classifier ([[TextOps.pocketScore]] of [[learnedPocket]]): the
     * fastText-style linear quality gate (CCNet / FineWeb-Edu pattern)
@@ -4788,27 +4853,126 @@ object LlmQueries {
     TextOps.scriptProfile(planted, "text", "doc_id").orderBy("doc_id")
   }
 
-  /** q226 — language-ID CONFUSION matrix: the q27 marker-ratio
-    * classifier evaluated against the corpus's labeled `lang` column —
-    * per (true, predicted) cell, the count and the exact milli-share of
-    * the true language's row. This is the eval discipline every
-    * heuristic filter owes its users: q27 gates that the classifier
-    * computes what it claims; this gates HOW OFTEN what it claims is
-    * right, so a marker-list regression shows up as a moved cell, not a
-    * silent quality drift. */
+  // --- trained language-ID (q240 + the re-gated q226) ---
+
+  val LangIdDims = 512
+  val LangIdSeed = 59
+
+  /** The q226/q240 PLANT: each labeled doc's text rendered so the
+    * label is actually IN the characters (the raw testdata's `lang`
+    * column sits on English-ish synthetic prose — no classifier could
+    * honestly learn it): de/fr/es suffix every token with a
+    * language-marking morpheme (killing the word markers the heuristic
+    * needs — 'the' becomes 'theung'), zh renders through q173's CJK
+    * alphabet (no whitespace, no Latin — the language the heuristic
+    * cannot see AT ALL), en stays raw. Deterministic, so the oracle
+    * rebuilds it exactly. */
+  private def langIdPlant(s: SparkSession, d: String): DataFrame = {
+    val base = docs(s, d).where(col("text").isNotNull)
+    def suffixed(sfx: String) = array_join(
+      transform(TextOps.tokens(col("text")), w => concat(w, lit(sfx))), " ")
+    val cjk = array_join(transform(TextOps.tokens(col("text")),
+      w => lit(CjkAlphabet).substr(
+        pmod(TextOps.portableHash(w, CjkHashSeed),
+          lit(CjkAlphabetSize.toLong)).cast("int") + lit(1),
+        lit(1))), "")
+    base.select(col("doc_id"), col("lang"),
+      when(col("lang") === "zh", cjk)
+        .when(col("lang") === "de", suffixed("ung"))
+        .when(col("lang") === "fr", suffixed("eux"))
+        .when(col("lang") === "es", suffixed("cion"))
+        .otherwise(col("text")).as("text"))
+  }
+
+  /** Per-directory memo of the TRAINED language-ID model
+    * ([[TextOps.langPerceptronTrain]] over the plant) — with the
+    * dominance audit required IN-GATE: the learned model's per-language
+    * diagonal milli-accuracy must be ≥ the marker heuristic's for every
+    * language and STRICTLY greater for zh (the language the heuristic
+    * structurally cannot see), else the round's claim is false and the
+    * build fails loud. */
+  private val langIdModelCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (SparkSession, TextOps.LangIdModel)]()
+
+  private def learnedLangId(s: SparkSession, d: String): TextOps.LangIdModel =
+    langIdModelCache.compute(d, (_, cur) => {
+      if (cur != null && (cur._1 eq s)) cur
+      else {
+        val plant = langIdPlant(s, d)
+        val m = TextOps.langNaiveBayesTrain(plant, "text", "doc_id",
+          "lang", LangIdDims, LangIdSeed)
+        def diag(pred: DataFrame): Map[String, Long] =
+          plant.select(col("doc_id"), col("lang"))
+            .join(pred, "doc_id")
+            .groupBy("lang")
+            .agg(graft.operators.Graph.idiv(
+              sum(when(col("lang") === col("lang_pred"), 1L).otherwise(0L))
+                * 1000, count(lit(1))).as("m"))
+            .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        val h = diag(TextOps.languageId(plant, "text", "doc_id")
+          .select(col("doc_id"), col("lang_pred")))
+        val l = diag(TextOps.langIdPredict(plant, "text", "doc_id", m)
+          .select(col("doc_id"), col("lang_pred")))
+        m.labels.foreach { lang =>
+          require(l(lang) >= h.getOrElse(lang, 0L),
+            s"learned langid must dominate the heuristic on $lang: " +
+              s"learned ${l(lang)} < heuristic ${h.getOrElse(lang, 0L)}")
+        }
+        require(l("zh") > h.getOrElse("zh", 0L),
+          "learned langid must STRICTLY beat the heuristic on zh")
+        (s, m)
+      }
+    })._2
+
+  /** q240 — language-ID TRAINING ([[TextOps.langNaiveBayesTrain]]):
+    * the five labels' full nano-bit weight tables — per (label, bucket)
+    * the add-one-smoothed log-likelihood, the zeroed length slot, and
+    * the log-prior bias — every value gated: the oracle re-derives the
+    * plant, the gram stream, the (label × bucket) count grid, and the
+    * identical `round(log2(·)·10⁹)` weights (the q175 train-gating
+    * discipline with NB's one-pass training in place of rounds; see
+    * [[TextOps.langNaiveBayesTrain]] for why one-vs-rest perceptrons
+    * are the wrong multiclass trainer). q226 APPLIES these tables. */
+  def langIdTrainQ(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val m = learnedLangId(s, d)
+    m.labels.flatMap { l =>
+      m.weights(l).zipWithIndex.map { case (wv, j) => (l, j.toLong, wv) }
+    }.toDF("lang", "j", "w")
+      .orderBy("lang", "j")
+  }
+
+  /** q226 — language-ID CONFUSION matrix, re-gated on the LEARNED
+    * model (the round-13 verdict ask): both tiers evaluated on the
+    * planted multilingual corpus — the zero-cost marker heuristic
+    * (kept as the first tier; structurally blind to zh and to the
+    * suffix-morphed Latin plants) and the trained codepoint-bigram
+    * classifier (q240's weights applied through the native kernel,
+    * forced-choice argmax). Per (model, true, predicted) cell: count
+    * and exact milli-share. The learned model's diagonal dominating
+    * the heuristic's is REQUIRED in-gate ([[learnedLangId]]); this
+    * query is the evidence table. */
   def langIdConfusionQ(s: SparkSession, d: String): DataFrame = {
-    val pred = TextOps.languageId(docs(s, d), "text", "doc_id")
-      .select(col("doc_id"), col("lang_pred"))
-    val cells = docs(s, d).select(col("doc_id"), col("lang").as("lang_true"))
-      .join(pred, "doc_id")
-      .groupBy("lang_true", "lang_pred")
-      .agg(count(lit(1)).as("n"))
-    val totals = cells.groupBy("lang_true").agg(sum("n").as("__tot"))
-    cells.join(totals, "lang_true")
-      .select(col("lang_true"), col("lang_pred"), col("n"),
-        graft.operators.Graph.idiv(col("n") * 1000, col("__tot"))
-          .as("milli"))
-      .orderBy("lang_true", "lang_pred")
+    val plant = langIdPlant(s, d)
+    val m = learnedLangId(s, d)
+    def confusion(pred: DataFrame, tag: String): DataFrame = {
+      val cells = plant.select(col("doc_id"), col("lang").as("lang_true"))
+        .join(pred, "doc_id")
+        .groupBy("lang_true", "lang_pred")
+        .agg(count(lit(1)).as("n"))
+      val totals = cells.groupBy("lang_true").agg(sum("n").as("__tot"))
+      cells.join(totals, "lang_true")
+        .select(lit(tag).as("model"), col("lang_true"), col("lang_pred"),
+          col("n"),
+          graft.operators.Graph.idiv(col("n") * 1000, col("__tot"))
+            .as("milli"))
+    }
+    confusion(TextOps.languageId(plant, "text", "doc_id")
+        .select(col("doc_id"), col("lang_pred")), "heuristic")
+      .unionByName(confusion(
+        TextOps.langIdPredict(plant, "text", "doc_id", m)
+          .select(col("doc_id"), col("lang_pred")), "learned"))
+      .orderBy("model", "lang_true", "lang_pred")
   }
 
   /** q224 — behavior-SEQUENCE export: each user's time-ordered event
@@ -7438,28 +7602,56 @@ object LlmQueries {
 
     // the q27 scoring CTE verbatim, joined to the labeled lang — cells,
     // counts, and integer milli-shares all replayed
+    // the FULL training replay (langIdTrainCtes) + both tiers applied:
+    // the heuristic's marker/ratio chain over the planted text and the
+    // learned per-label BIGINT dots with the forced-choice argmax (ties
+    // to the lexicographically first label, exactly the Spark fold) —
+    // then both confusion matrices with integer milli-shares
     "q226_langid_confusion" -> {
-      val scores = TextOps.langMarkers.map { case (l, re) =>
-        s"len(regexp_extract_all(lower(text), '$re'))::DOUBLE" +
-          s" / len(string_split_regex(trim(lower(text)), '\\s+')) AS score_$l"
+      val hsc = TextOps.langMarkers.map { case (l, re) =>
+        s"len(regexp_extract_all(lower(t0), '$re'))::DOUBLE" +
+          s" / len(string_split_regex(trim(lower(t0)), '\\s+')) AS score_$l"
       }.mkString(",\n  ")
-      val names = TextOps.langMarkers.map(_._1)
-      val g = names.map(l => s"score_$l").mkString("greatest(", ", ", ")")
-      val pred = names.map(l =>
-        s"WHEN score_$l = $g THEN '$l'").mkString(
-        s"CASE WHEN $g = 0 THEN 'und' ", " ", " ELSE 'und' END")
-      s"""WITH sc AS (SELECT doc_id, lang,
-         |  $scores
-         |FROM documents),
-         |p AS (SELECT doc_id, lang AS lang_true, $pred AS lang_pred FROM sc),
-         |c AS (SELECT lang_true, lang_pred, count(*)::BIGINT AS n
-         |  FROM p GROUP BY 1, 2),
-         |t AS (SELECT lang_true, sum(n)::BIGINT AS tot FROM c GROUP BY 1)
-         |SELECT c.lang_true, c.lang_pred, c.n,
-         |  ((c.n * 1000) // t.tot)::BIGINT AS milli
-         |FROM c JOIN t USING (lang_true)
-         |ORDER BY c.lang_true, c.lang_pred""".stripMargin
+      val hnames = TextOps.langMarkers.map(_._1)
+      val hg = hnames.map(l => s"score_$l").mkString("greatest(", ", ", ")")
+      val hpred = hnames.map(l =>
+        s"WHEN score_$l = $hg THEN '$l'").mkString(
+        s"CASE WHEN $hg = 0 THEN 'und' ", " ", " ELSE 'und' END")
+      s"""WITH $langIdTrainCtes,
+         |hsc AS (SELECT doc_id, lang,
+         |  $hsc
+         |FROM pl),
+         |hpred AS (SELECT doc_id, lang AS lang_true, $hpred AS lang_pred
+         |  FROM hsc),
+         |lg AS (SELECT f.doc_id, w.lang, sum(f.x * w.w)::BIGINT AS v
+         |  FROM fl f JOIN wt w USING (j) GROUP BY 1, 2),
+         |mx AS (SELECT doc_id, max(v) AS g FROM lg GROUP BY 1),
+         |lpred AS (SELECT lg.doc_id, lb.lang AS lang_true,
+         |    min(lg.lang) AS lang_pred
+         |  FROM lg JOIN mx USING (doc_id) JOIN lb ON lb.doc_id = lg.doc_id
+         |  WHERE lg.v = mx.g GROUP BY 1, 2),
+         |hc2 AS (SELECT lang_true, lang_pred, count(*)::BIGINT AS n
+         |  FROM hpred GROUP BY 1, 2),
+         |ht AS (SELECT lang_true, sum(n)::BIGINT AS tot FROM hc2 GROUP BY 1),
+         |lc AS (SELECT lang_true, lang_pred, count(*)::BIGINT AS n
+         |  FROM lpred GROUP BY 1, 2),
+         |lt AS (SELECT lang_true, sum(n)::BIGINT AS tot FROM lc GROUP BY 1)
+         |SELECT model, lang_true, lang_pred, n, milli FROM (
+         |  SELECT 'heuristic' AS model, c.lang_true, c.lang_pred, c.n,
+         |    ((c.n * 1000) // t.tot)::BIGINT AS milli
+         |  FROM hc2 c JOIN ht t USING (lang_true)
+         |  UNION ALL
+         |  SELECT 'learned' AS model, c.lang_true, c.lang_pred, c.n,
+         |    ((c.n * 1000) // t.tot)::BIGINT AS milli
+         |  FROM lc c JOIN lt t USING (lang_true))
+         |ORDER BY model, lang_true, lang_pred""".stripMargin
     },
+
+    // the full NB training replay: plant, gram stream, count grid,
+    // identical in-plan round(log2(.)*1e9) weights and log-priors
+    "q240_langid_train" ->
+      s"""WITH $langIdTrainCtes
+         |SELECT lang, j::BIGINT AS j, w FROM wt ORDER BY lang, j""".stripMargin,
 
     // per-user ordered chunking + the ordered string_agg rebuild —
     // (ts, event_id) is the unique tiebreak that makes the export
@@ -8454,6 +8646,7 @@ object LlmQueries {
     "q224_event_sequences" -> eventSequencesQ _,
     "q225_transition_matrix" -> transitionMatrixQ _,
     "q226_langid_confusion" -> langIdConfusionQ _,
+    "q240_langid_train" -> langIdTrainQ _,
     "q230_countmin_delete" -> countMinDeleteQ _,
     "q231_deletion_sweep" -> deletionSweepQ _,
     "q234_rtbf_band" -> rtbfBandQ _,

@@ -2743,6 +2743,54 @@ class OperatorSpec extends AnyFunSuite {
     graft.tools.CodegenGuard.assertHealthy("pocketLogit pipeline")
   }
 
+  test("charGramLogit: native kernel pinned bit-identical to the HOF executable spec; codegen-healthy") {
+    import graft.operators.TextOps
+    val dims = 8
+    val w = Seq(7L, -3L, 11L, -5L, 2L, 9L, -1L, 4L, 0L, -23L) // dims + 2
+    val texts = Seq(
+      "the quick brown fox",
+      "  MIXED Case   And   Runs  of Spaces ",
+      "x",                    // single char: padding still yields grams
+      "café naïve über",      // multi-byte codepoints
+      "一二三",   // CJK, no whitespace
+      ""                      // empty: '  ' -> one gram
+    ).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val both = texts.toDF("id", "text").select(col("id"),
+        TextOps.charGramLogit(col("text"), w, dims, 59).as("native"),
+        TextOps.charGramLogitHof(col("text"), w, dims, 59).as("hof"))
+      .collect()
+    both.foreach { r =>
+      assert(r.getLong(1) == r.getLong(2),
+        s"native/HOF divergence at id ${r.getLong(0)}: " +
+          s"${r.getLong(1)} vs ${r.getLong(2)}")
+    }
+    graft.tools.CodegenGuard.reset()
+    (0L until 200L).map(i => (i, s"table window value $i"))
+      .toDF("doc_id", "text")
+      .select(TextOps.charGramLogit(col("text"), w, dims, 59).as("l"))
+      .collect()
+    graft.tools.CodegenGuard.assertHealthy("charGramLogit pipeline")
+  }
+
+  test("langNaiveBayesTrain/langIdPredict: disjoint-script classes separate; argmax ties break to the first label") {
+    import graft.operators.TextOps
+    val train = (Seq.fill(6)("aa ab ba") ++ Seq.fill(4)("zz zy yz"))
+      .zipWithIndex.map { case (t, i) => (i.toLong, t,
+        if (i < 6) "aa_lang" else "zz_lang") }
+      .toDF("doc_id", "text", "lang")
+    val m = TextOps.langNaiveBayesTrain(train, "text", "doc_id", "lang",
+      dims = 16, seed = 59)
+    assert(m.labels == Seq("aa_lang", "zz_lang"))
+    // length slot zero; prior of the 6-doc class above the 4-doc class
+    assert(m.weights.values.forall(_.apply(16) == 0L))
+    assert(m.weights("aa_lang").last > m.weights("zz_lang").last)
+    val pred = TextOps.langIdPredict(
+      Seq((100L, "ab ab aa"), (101L, "zy zz yz")).toDF("doc_id", "text"),
+      "text", "doc_id", m)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(pred == Map(100L -> "aa_lang", 101L -> "zz_lang"))
+  }
+
   test("vocabGrowth: exact equal-rank checkpoints, first-appearance counting, the curve flattens when vocabulary stops growing") {
     // docs 0-4 introduce two fresh words each; docs 5-9 only repeat —
     // the Heap's curve must flatten at 10 from bin 2 on
