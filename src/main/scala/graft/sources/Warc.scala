@@ -116,12 +116,15 @@ object Warc {
   def writeSyntheticWarc(docs: DataFrame, path: String): Unit = {
     val ascii = docs.where(col("text").isNotNull &&
       octet_length(encode(col("text"), "UTF-8")) === length(col("text")))
-    val url = concat(lit("http://src"),
+    // a caller-provided `url` column wins (the q241 crawl-to-corpus
+    // fixture plants cosmetic refetch variants); default derivation
+    // otherwise (the q239 layout)
+    val url = if (docs.columns.contains("url")) col("url")
+    else concat(lit("http://src"),
       pmod(col("doc_id"), lit(5)).cast("string"),
       lit(".example.org/doc/"), col("doc_id").cast("string"))
     val html = concat(
-      lit("<html><head><title>doc "), col("doc_id").cast("string"),
-      lit("</title></head><body><p>"), col("text"),
+      lit("<html><head><title>page</title></head><body><p>"), col("text"),
       lit("</p></body></html>"))
     val respPayload = when(pmod(col("doc_id"), lit(19)) === 0,
       lit("HTTP/1.1 404 Not Found\r\nContent-Type: text/html\r\n\r\n" +

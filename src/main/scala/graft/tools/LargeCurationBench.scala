@@ -113,6 +113,44 @@ object LargeCurationBench {
         .groupBy("lang").count().collect()
     }
 
+    // --- crawl-to-corpus composition (round 14, the q241 pipeline) ---
+    // the IDENTICAL require-gated code path the gate runs (every plant's
+    // recovery asserted inside), at nCc docs: WARC fixture written to
+    // disk, read back through the record parser, and the full eleven
+    // stages to the split — ONE wall number for the whole composition
+    // plus the funnel. Text: >= 40 tokens with stopwords (the binding
+    // quality rule keeps prose) and id-salted tails so 8-gram decon
+    // windows are verbatim-unique per doc.
+    val nCc = math.max(n / 5, 100000L)
+    // 10 four-word prose blocks with a PER-DOC-UNIQUE salt token after
+    // each: >= 40 real tokens with stopwords (quality keeps), and the
+    // longest token run shared across docs is 4 < 8 — no cross-doc
+    // 8-gram exists except on verbatim copies, so decon drops exactly
+    // the surviving eval members (and the require stays meaningful)
+    val ccBlocks = Seq(
+      "the quick brown fox", "jumps over the lazy", "dog and runs to",
+      "the river of words", "that have been written", "with care for every",
+      "reader and the story", "goes on and on", "through the long night",
+      "while stars shine over")
+    val ccText = concat_ws(" ",
+      ccBlocks.zipWithIndex.flatMap { case (b, i) =>
+        Seq(lit(b),
+          concat(lit("s"), col("id").cast("string"), lit(s"x$i")))
+      }: _*)
+    val ccDocs = spark.range(nCc).select(
+      col("id").as("doc_id"), ccText.as("text"))
+    val ccPath = s"${sys.props("java.io.tmpdir")}/graft_large_crawlcorpus"
+    graft.cli.Cleanup.deleteOnExit(ccPath)
+    val (_, tCc) = time(s"crawl-to-corpus ($nCc docs, all stages)") {
+      graft.queries.LlmQueries.buildCrawlCorpus(spark, ccDocs, ccPath)
+    }
+    println(f"  composition throughput: ${nCc / tCc / 1e3}%.1f K docs/s")
+    spark.read.parquet(s"$ccPath/funnel")
+      .orderBy("stage_idx").collect().foreach { r =>
+        println(f"  stage ${r.getInt(0)}%2d ${r.getString(1)}%-14s " +
+          f"n=${r.getLong(2)}%10d checksum=${r.getLong(3)}")
+      }
+
     spark.stop()
   }
 }

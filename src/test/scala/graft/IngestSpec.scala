@@ -93,7 +93,7 @@ class IngestSpec extends AnyFunSuite {
         ((r.getAs[Int]("http_status"), r.getAs[String]("body")))).toMap
     assert(resp.size == 4, "chaff must not survive the response filter")
     assert(resp("http://src2.example.org/doc/2") ==
-      ((200, "<html><head><title>doc 2</title></head><body><p>" +
+      ((200, "<html><head><title>page</title></head><body><p>" +
         "plain body two</p></body></html>")))
     assert(resp("http://src4.example.org/doc/19")._1 == 404)
     // a record whose Content-Length overruns the payload area is FLAGGED,
