@@ -3277,8 +3277,13 @@ object LlmQueries {
     val toks = TextOps.tokens(col("text"))
     val stops = array(TextOps.GopherStops.map(lit): _*)
     val s6 = mark(s5.where(size(toks) >= 40 && arrays_overlap(toks, stops)))
-    // stage 7: exact near-dup (bag-of-words fingerprint, keep-min)
-    val fps = TextOps.fingerprint(s6, "text", "doc_id")
+    // stage 7: exact near-dup — keep-min on the 60-bit content hash.
+    // NOT TextOps.fingerprint: its mod-1e6 range is fine at gate scale
+    // but pigeonholes >10^6 docs into forced collisions (measured: half
+    // the corpus dropped at 2M docs in LargeCurationBench); the 60-bit
+    // hash is collision-free at any corpus this engine will see.
+    val fps = s6.select(col("doc_id"),
+      TextOps.portableHash(col("text"), 7).as("fingerprint"))
     val keepMin = fps.groupBy("fingerprint").agg(min("doc_id").as("doc_id"))
     val s7 = mark(s6.join(keepMin.select("doc_id"), "doc_id"))
     // a planted dup whose SOURCE also survived to this stage: the copy
@@ -7622,7 +7627,6 @@ object LlmQueries {
     // keep-min, 3-gram decontamination vs the raw eval holdout, the q85
     // temperature replay, the q64 cumulative pack, and the q58 split
     "q241_crawl_to_corpus" -> {
-      val hW = pHash("7", "w")
       val hT = pHash("7", "t4")
       val hTc = pHash("7", "tc")
       val hsc = TextOps.langMarkers.map { case (l, re) =>
@@ -7717,9 +7721,7 @@ object LlmQueries {
          |      [$stops])),
          |st6 AS (SELECT count(*)::BIGINT AS n,
          |    sum(doc_id % 1000003)::BIGINT AS c FROM s6t),
-         |fp AS (SELECT doc_id, t4, toks,
-         |    list_sum(list_transform(toks, w -> ($hW) % 1000003))
-         |      % 1000003 AS f
+         |fp AS (SELECT doc_id, t4, toks, ($hT) AS f
          |  FROM s6t),
          |s7t AS (SELECT fp.doc_id, fp.t4, fp.toks FROM fp
          |  JOIN (SELECT f, min(doc_id) AS doc_id FROM fp GROUP BY f) k
