@@ -92,7 +92,10 @@ object Explain {
       "q223_kanon_rollup", "q224_event_sequences",
       "q225_transition_matrix", "q226_langid_confusion",
       "q228_stats_ndv_sketch", "q229_ri_audit",
-      "q230_countmin_delete", "q231_deletion_sweep")
+      "q230_countmin_delete", "q231_deletion_sweep",
+      "q233_histogram_maintained", "q234_rtbf_band", "q235_rtbf_winnow",
+      "q236_rtbf_dhash", "q237_rtbf_bq_ivf", "q238_rtbf_kmv",
+      "q239_warc_read", "q240_langid_train", "q241_crawl_to_corpus")
     val sb = new StringBuilder(
       s"# PLANS — physical plans of headline queries ($sfDir)\n\n" +
         "Generated by `runMain graft.Explain`. The properties PlanSpec pins\n" +
