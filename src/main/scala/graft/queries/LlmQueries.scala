@@ -5169,7 +5169,11 @@ object LlmQueries {
     * the heuristic's is REQUIRED in-gate ([[learnedLangId]]); this
     * query is the evidence table. */
   def langIdConfusionQ(s: SparkSession, d: String): DataFrame = {
-    val plant = langIdPlant(s, d)
+    // the plant's CJK rendering is an interpreted HOF referenced by both
+    // tiers' score legs and both truth joins — checkpoint it so it
+    // renders once per call, not four times (the q173 discipline; the
+    // caller's release of the returned frame reaches this leaf)
+    val plant = graft.engine.Checkpoints.mark(langIdPlant(s, d))
     val m = learnedLangId(s, d)
     def confusion(pred: DataFrame, tag: String): DataFrame = {
       val cells = plant.select(col("doc_id"), col("lang").as("lang_true"))

@@ -1424,6 +1424,69 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("WARC record parse is map-only: no exchange between the container scan and the response filter") {
+    import graft.sources.Warc
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_warcplan").toString
+    graft.cli.Cleanup.deleteOnExit(dir)
+    Warc.writeSyntheticWarc(
+      (1L to 40L).map(i => (i, s"body text $i")).toDF("doc_id", "text"),
+      s"$dir/warc")
+    val df = Warc.httpResponses(Warc.records(spark, s"$dir/warc"))
+      .where(col("http_status") === 200)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // one binaryFile scan per plan, zero exchanges: the container is the
+    // parallelism unit and every record/HTTP field projects map-side
+    assert(!p.contains("Exchange "), p.take(3000))
+    assert("FileScan binaryFile".r.findAllIn(p).size == 1, p.take(3000))
+  }
+
+  test("RTBF: an index with no tombstones keeps its exact pre-RTBF probe plan; tombstones add one anti-join") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import graft.operators.Dedup
+    val path = s"${sys.props("java.io.tmpdir")}/graft_test_rtbf_plan"
+    graft.cli.Cleanup.deleteOnExit(path)
+    def sig(df: org.apache.spark.sql.DataFrame) = {
+      val s0 = df.select(col("doc_id"),
+        graft.functions.MinHashSig.minhash_sig(col("text"), 8).as("__sig"))
+      Dedup.lshBands(s0.select(col("doc_id") +:
+        (0 until 8).map(i => element_at(col("__sig"), i + 1).as(s"m$i")): _*),
+        "doc_id", 8, 4)
+    }
+    val corpus = (1L to 20L).map(i => (i, s"alpha beta gamma $i"))
+      .toDF("doc_id", "text")
+    Dedup.bandIndexWrite(sig(corpus), "doc_id", 4, path)
+    def probePlan(): String = {
+      val df = Dedup.bandIndexRead(spark, path)
+      df.collect()
+      df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    }
+    val before = probePlan()
+    assert(!before.contains("Join"), before.take(2000))
+    Dedup.bandIndexForget(spark, path, Seq(1L).toDF("doc_id"), "doc_id")
+    val after = probePlan()
+    // exactly one anti-join against the (small) tombstone set — never an
+    // index-sized rewrite on the probe path
+    assert("LeftAnti".r.findAllIn(after).size == 1, after.take(3000))
+    Dedup.bandIndexPurge(spark, path)
+    val purged = probePlan()
+    assert(!purged.contains("Join"), purged.take(2000))
+  }
+
+  test("q233: the maintained-histogram read scans the batch partials, never the fact table") {
+    val df = SparkEntry.queries("q233_histogram_maintained")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // lineitem appears only for the range bounds + truth audit columns;
+    // the BUCKET MAP comes from the <= 16-rows-per-batch parts files
+    assert(p.contains("graft_histmaint"), p.take(3000))
+  }
+
   test("q205: KMV exchanges carry the 8-byte hash, never the word") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
     val df = SparkEntry.queries("q205_kmv_sketch")(spark, sf)
