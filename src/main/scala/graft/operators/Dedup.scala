@@ -79,12 +79,39 @@ object Dedup {
   /** The [[urlDedup]] verdict `(url_h, keep_id, copies)` over the
     * MAINTAINED index: computed entirely from the persisted 8 B key
     * rows — a URL ingested in batch N collapses with its canonical
-    * twin from batch N−1 without any content re-read. */
+    * twin from batch N−1 without any content re-read. LIVE rows only:
+    * docs tombstoned by [[urlIndexForget]] drop before the rollup, so
+    * a forgotten document is neither a keeper nor a copy. */
   def urlIndexDuplicates(spark: org.apache.spark.sql.SparkSession,
       path: String): DataFrame =
-    spark.read.parquet(s"$path/keys")
+    Rtbf.dropForgotten(spark.read.parquet(s"$path/keys"),
+        spark, path, "doc_id")
       .groupBy("url_h")
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("copies"))
+
+  /** RTBF for the URL-key index: tombstone doc ids —
+    * [[urlIndexDuplicates]] stops reporting them immediately;
+    * [[urlIndexPurge]] drops the key rows physically. */
+  def urlIndexForget(spark: org.apache.spark.sql.SparkSession,
+      path: String, ids: DataFrame, id: String): Unit =
+    Rtbf.forget(ids.select(col(id).cast("long").as("doc_id")), path,
+      "doc_id")
+
+  /** PURGE the URL-key index's tombstoned docs: atomic filtered rewrite
+    * of `<path>/keys`, then the tombstones clear (the
+    * [[bandIndexPurge]] discipline; the `lastbatch` marker stays
+    * valid — purge is maintenance, not a rebuild). */
+  def urlIndexPurge(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit = {
+    if (Rtbf.hasTombstones(spark, path)) {
+      val live = graft.engine.Checkpoints.mark(
+        Rtbf.dropForgotten(spark.read.parquet(s"$path/keys"),
+          spark, path, "doc_id"))
+      try Rtbf.swapRewrite(spark, path, "keys", live)
+      finally graft.engine.Checkpoints.release(live)
+      Rtbf.clearTombstones(spark, path)
+    }
+  }
 
   /** Word shingles (n-grams of tokens) as exploded rows (id, shingle),
     * distinct. n=1 -> token set. `normalize` runs

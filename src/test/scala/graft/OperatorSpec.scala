@@ -63,6 +63,39 @@ class OperatorSpec extends AnyFunSuite {
     assert(probe() == Set(2L, 3L, 7L))
   }
 
+  test("RTBF URL-key index: a forgotten doc is neither keeper nor copy; purge is physical") {
+    import graft.operators.{Dedup, Rtbf}
+    val path = s"${sys.props("java.io.tmpdir")}/graft_test_rtbf_url"
+    graft.cli.Cleanup.deleteOnExit(path)
+    // docs 1 and 2 are canonical twins; doc 3 is unique
+    val batch = Seq(
+      (1L, "http://x.example/p/1?a=1&b=2"),
+      (2L, "HTTP://X.EXAMPLE:80/p/1?b=2&a=1#f"),
+      (3L, "http://x.example/p/3")).toDF("doc_id", "url")
+    assert(Dedup.urlIndexAppendBatch(path, batch, "url", "doc_id", 0L))
+    def dups() = Dedup.urlIndexDuplicates(spark, path).collect()
+      .map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(dups() == Map(1L -> 2L, 3L -> 1L))
+    // forgetting the KEEPER promotes the twin; the forgotten id vanishes
+    Dedup.urlIndexForget(spark, path, Seq(1L).toDF("doc_id"), "doc_id")
+    assert(dups() == Map(2L -> 1L, 3L -> 1L))
+    assert(spark.read.parquet(s"$path/keys")
+      .where(col("doc_id") === 1L).count() == 1, "physical until purge")
+    Dedup.urlIndexPurge(spark, path)
+    assert(!Rtbf.hasTombstones(spark, path))
+    assert(spark.read.parquet(s"$path/keys")
+      .where(col("doc_id") === 1L).count() == 0, "purge must be physical")
+    assert(dups() == Map(2L -> 1L, 3L -> 1L))
+    // the replay guard survives the purge: later appends still apply
+    assert(!Dedup.urlIndexAppendBatch(path,
+      Seq((9L, "http://x.example/p/9")).toDF("doc_id", "url"),
+      "url", "doc_id", 0L))
+    assert(Dedup.urlIndexAppendBatch(path,
+      Seq((9L, "http://x.example/p/9")).toDF("doc_id", "url"),
+      "url", "doc_id", 1L))
+    assert(dups() == Map(2L -> 1L, 3L -> 1L, 9L -> 1L))
+  }
+
   test("portableHash matches the md5-derived constant") {
     val got = Seq("hello").toDF("w")
       .select(TextOps.portableHash(col("w"), 42)).head().getLong(0)
