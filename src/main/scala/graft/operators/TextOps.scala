@@ -2309,16 +2309,35 @@ object TextOps {
     * scores share one log-likelihood scale, so argmax is the honest
     * decision (and fully deterministic: integer scores, fixed tiebreak
     * — the DuckDB oracle replays it exactly). Returns
-    * `(id, logit_<label>…, lang_pred)`. */
+    * `(id, logit_<label>…, lang_pred)`.
+    *
+    * `undBelowNano` is the UNKNOWN-LANGUAGE floor (the round-14 verdict
+    * gap: forced-choice argmax routes a Russian document to one of the
+    * trained five, silently): when set, a document whose BEST score
+    * falls below it predicts `und` instead. The score is already
+    * length-invariant — the kernel dots nano-bit log-likelihoods with
+    * MILLI-FRACTION gram shares, so `best` reads "1000 × the winning
+    * label's average per-gram log2-likelihood (+ prior)" — and a text
+    * from an untrained language lands its gram mass in buckets at the
+    * label's AVERAGE weight (well below the entropy-sized score a
+    * trained language concentrates on its own high-probability
+    * buckets), so a fixed floor in nano-milli-bits separates the two
+    * regimes across corpus sizes. Calibrate on held-out text of the
+    * trained languages (the q226 gate plants an untrained Cyrillic
+    * rendering and requires it routes to `und`). */
   def langIdPredict(df: DataFrame, text: String, id: String,
-      m: LangIdModel): DataFrame = {
+      m: LangIdModel, undBelowNano: Option[Long] = None): DataFrame = {
     val scored = m.labels.foldLeft(df.where(col(text).isNotNull)) {
       (d, l) => d.withColumn(s"logit_$l",
         charGramLogit(col(text), m.weights(l), m.dims, m.seed))
     }
     val best = greatest(m.labels.map(l => col(s"logit_$l")): _*)
-    val pred = m.labels.reverse.foldLeft(lit("und")) { (acc, l) =>
+    val argmax = m.labels.reverse.foldLeft(lit("und")) { (acc, l) =>
       when(col(s"logit_$l") === best, lit(l)).otherwise(acc)
+    }
+    val pred = undBelowNano match {
+      case Some(thr) => when(best < lit(thr), lit("und")).otherwise(argmax)
+      case None => argmax
     }
     scored.select(col(id) +:
       m.labels.map(l => col(s"logit_$l")) :+ pred.as("lang_pred"): _*)

@@ -5074,6 +5074,39 @@ object LlmQueries {
   val LangIdDims = 512
   val LangIdSeed = 59
 
+  /** The q226 UNKNOWN-language plant (round-14 verdict ask 4): docs
+    * ≡ [[RuRes]] (mod [[RuMod]]) re-rendered through a Cyrillic
+    * alphabet no trained label contains, appended as EXTRA rows
+    * (`lang = 'ru'`, ids offset by [[RuIdOffset]]) — NEVER trained on,
+    * and required in-gate to route to `und` under the learned tier's
+    * score floor. One Cyrillic char per word, space-joined (the zh
+    * alphabet-slice device with word boundaries kept — Russian has
+    * them). */
+  val RuMod = 6
+  val RuRes = 1
+  val RuIdOffset = 1000000L
+  val CyrAlphabetSize = 64
+  val CyrHashSeed = 43
+  private val CyrAlphabet: String =
+    (0 until CyrAlphabetSize).map(i => (0x0430 + i).toChar).mkString
+
+  /** The learned tier's unknown-language floor, in the kernel's
+    * nano-milli-bit units (1e12 = one bit of average per-gram
+    * log2-likelihood): a document whose BEST label score falls below
+    * it predicts `und`. The score is length-invariant (milli-fraction
+    * gram shares dotted with nano-bit weights), so one floor serves
+    * every document length. Placement is MEASURED, not guessed
+    * (bench/langid_und_floor.txt): across sf0.001/0.01/0.1 the
+    * highest-scoring planted-Cyrillic doc reaches −11.50e12 and the
+    * lowest-scoring trained-language doc at the GATE SFs sits at
+    * −11.34e12 (zh — its alphabet-slice rendering is the
+    * highest-entropy trained class), so −11.45e12 routes EVERY planted
+    * unknown doc to `und` at all three SFs; the one trade is a few
+    * tail zh docs at sf0.1 (min −11.75e12) also reading `und`, which
+    * the oracle replays exactly and the zh dominance require tolerates
+    * (the heuristic scores zh at 0). */
+  val LangIdUndNano = -11450000000000L
+
   /** The q226/q240 PLANT: each labeled doc's text rendered so the
     * label is actually IN the characters (the raw testdata's `lang`
     * column sits on English-ish synthetic prose — no classifier could
@@ -5098,6 +5131,20 @@ object LlmQueries {
         .when(col("lang") === "fr", suffixed("eux"))
         .when(col("lang") === "es", suffixed("cion"))
         .otherwise(col("text")).as("text"))
+  }
+
+  /** The Cyrillic unknown-language rows (see [[RuMod]]) — EXCLUDED
+    * from training; q226 evaluates them. */
+  private def langIdPlantRu(s: SparkSession, d: String): DataFrame = {
+    val cyr = array_join(transform(TextOps.tokens(col("text")),
+      w => lit(CyrAlphabet).substr(
+        pmod(TextOps.portableHash(w, CyrHashSeed),
+          lit(CyrAlphabetSize.toLong)).cast("int") + lit(1),
+        lit(1))), " ")
+    docs(s, d).where(col("text").isNotNull &&
+        pmod(col("doc_id"), lit(RuMod)) === RuRes)
+      .select((col("doc_id") + lit(RuIdOffset)).as("doc_id"),
+        lit("ru").as("lang"), cyr.as("text"))
   }
 
   /** Per-directory memo of the TRAINED language-ID model
@@ -5127,8 +5174,11 @@ object LlmQueries {
             .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
         val h = diag(TextOps.languageId(plant, "text", "doc_id")
           .select(col("doc_id"), col("lang_pred")))
-        val l = diag(TextOps.langIdPredict(plant, "text", "doc_id", m)
-          .select(col("doc_id"), col("lang_pred")))
+        // the PRODUCTION predictor carries the und floor — the diag
+        // requires then also guard against an over-aggressive floor
+        // (an und on a trained row lowers the diagonal)
+        val l = diag(TextOps.langIdPredict(plant, "text", "doc_id", m,
+          Some(LangIdUndNano)).select(col("doc_id"), col("lang_pred")))
         m.labels.foreach { lang =>
           require(l(lang) >= h.getOrElse(lang, 0L),
             s"learned langid must dominate the heuristic on $lang: " +
@@ -5136,6 +5186,15 @@ object LlmQueries {
         }
         require(l("zh") > h.getOrElse("zh", 0L),
           "learned langid must STRICTLY beat the heuristic on zh")
+        // the unknown-language contract: EVERY planted Cyrillic doc
+        // must fall below the floor and read `und` — forced-choice
+        // argmax misrouting an untrained language is the round-14
+        // verdict defect this floor closes
+        val ruMiss = TextOps.langIdPredict(langIdPlantRu(s, d), "text",
+            "doc_id", m, Some(LangIdUndNano))
+          .where(col("lang_pred") =!= "und")
+        require(ruMiss.isEmpty,
+          "every planted unknown-language doc must route to und")
         (s, m)
       }
     })._2
@@ -5164,16 +5223,21 @@ object LlmQueries {
     * (kept as the first tier; structurally blind to zh and to the
     * suffix-morphed Latin plants) and the trained codepoint-bigram
     * classifier (q240's weights applied through the native kernel,
-    * forced-choice argmax). Per (model, true, predicted) cell: count
-    * and exact milli-share. The learned model's diagonal dominating
-    * the heuristic's is REQUIRED in-gate ([[learnedLangId]]); this
-    * query is the evidence table. */
+    * argmax under the [[LangIdUndNano]] unknown-language floor). The
+    * corpus now includes the UNTRAINED Cyrillic rows (`lang_true =
+    * 'ru'`, the round-14 verdict ask): the heuristic sees no markers
+    * and reads `und`; the learned tier must fall below the floor and
+    * read `und` too (required in-gate, [[learnedLangId]]) instead of
+    * forced-choice misrouting. Per (model, true, predicted) cell:
+    * count and exact milli-share. */
   def langIdConfusionQ(s: SparkSession, d: String): DataFrame = {
-    // the plant's CJK rendering is an interpreted HOF referenced by both
-    // tiers' score legs and both truth joins — checkpoint it so it
-    // renders once per call, not four times (the q173 discipline; the
-    // caller's release of the returned frame reaches this leaf)
-    val plant = graft.engine.Checkpoints.mark(langIdPlant(s, d))
+    // the plant's CJK/Cyrillic renderings are interpreted HOFs
+    // referenced by both tiers' score legs and both truth joins —
+    // checkpoint so they render once per call, not four times (the
+    // q173 discipline; the caller's release of the returned frame
+    // reaches this leaf)
+    val plant = graft.engine.Checkpoints.mark(
+      langIdPlant(s, d).unionByName(langIdPlantRu(s, d)))
     val m = learnedLangId(s, d)
     def confusion(pred: DataFrame, tag: String): DataFrame = {
       val cells = plant.select(col("doc_id"), col("lang").as("lang_true"))
@@ -5190,7 +5254,8 @@ object LlmQueries {
     confusion(TextOps.languageId(plant, "text", "doc_id")
         .select(col("doc_id"), col("lang_pred")), "heuristic")
       .unionByName(confusion(
-        TextOps.langIdPredict(plant, "text", "doc_id", m)
+        TextOps.langIdPredict(plant, "text", "doc_id", m,
+          Some(LangIdUndNano))
           .select(col("doc_id"), col("lang_pred")), "learned"))
       .orderBy("model", "lang_true", "lang_pred")
   }
@@ -8014,19 +8079,54 @@ object LlmQueries {
       val hpred = hnames.map(l =>
         s"WHEN score_$l = $hg THEN '$l'").mkString(
         s"CASE WHEN $hg = 0 THEN 'und' ", " ", " ELSE 'und' END")
+      val hcyr = pHash(CyrHashSeed.toString, "w")
+      val hgr = pHash(LangIdSeed.toString, "g")
+      val d = LangIdDims
+      // plr: the untrained Cyrillic rows (never in wt's training set);
+      // their feature frames route through the SAME apply chain, and
+      // the learned prediction applies the und floor before the argmax
       s"""WITH $langIdTrainCtes,
+         |plr AS MATERIALIZED (SELECT doc_id + $RuIdOffset AS doc_id,
+         |    'ru' AS lang,
+         |    list_aggregate(list_transform(
+         |      string_split_regex(trim(lower(text)), '\\s+'),
+         |      w -> substr('$CyrAlphabet',
+         |        ($hcyr % $CyrAlphabetSize)::INT + 1, 1)),
+         |      'string_agg', ' ') AS t0
+         |  FROM documents
+         |  WHERE text IS NOT NULL AND doc_id % $RuMod = $RuRes),
+         |pl2 AS (SELECT doc_id, lang, t0 FROM pl
+         |  UNION ALL SELECT doc_id, lang, t0 FROM plr),
+         |ptr AS MATERIALIZED (SELECT doc_id,
+         |    ' ' || trim(lower(t0)) || ' ' AS t FROM plr),
+         |ntr AS (SELECT doc_id, (length(t) - 1)::BIGINT AS n FROM ptr),
+         |grr AS (SELECT doc_id, substring(t, i, 2) AS g
+         |  FROM (SELECT doc_id, t,
+         |      unnest(generate_series(1, length(t) - 1)) AS i FROM ptr)),
+         |bcr AS (SELECT doc_id, ($hgr % $d)::INT AS j,
+         |    count(*)::BIGINT AS c FROM grr GROUP BY 1, 2),
+         |flr AS (SELECT bcr.doc_id, j, (1000 * c) // n AS x
+         |    FROM bcr JOIN ntr USING (doc_id)
+         |  UNION ALL SELECT doc_id, ${d + 1}, 1000 FROM ntr),
+         |fl2 AS (SELECT doc_id, j, x FROM fl
+         |  UNION ALL SELECT doc_id, j, x FROM flr),
+         |lb2 AS (SELECT doc_id, lang FROM pt
+         |  UNION ALL SELECT doc_id, lang FROM plr),
          |hsc AS (SELECT doc_id, lang,
          |  $hsc
-         |FROM pl),
+         |FROM pl2),
          |hpred AS (SELECT doc_id, lang AS lang_true, $hpred AS lang_pred
          |  FROM hsc),
          |lg AS (SELECT f.doc_id, w.lang, sum(f.x * w.w)::BIGINT AS v
-         |  FROM fl f JOIN wt w USING (j) GROUP BY 1, 2),
+         |  FROM fl2 f JOIN wt w USING (j) GROUP BY 1, 2),
          |mx AS (SELECT doc_id, max(v) AS g FROM lg GROUP BY 1),
-         |lpred AS (SELECT lg.doc_id, lb.lang AS lang_true,
-         |    min(lg.lang) AS lang_pred
-         |  FROM lg JOIN mx USING (doc_id) JOIN lb ON lb.doc_id = lg.doc_id
-         |  WHERE lg.v = mx.g GROUP BY 1, 2),
+         |am AS (SELECT lg.doc_id, min(lg.lang) AS am FROM lg
+         |  JOIN mx USING (doc_id) WHERE lg.v = mx.g GROUP BY 1),
+         |lpred AS (SELECT am.doc_id, lb2.lang AS lang_true,
+         |    CASE WHEN mx.g < $LangIdUndNano THEN 'und' ELSE am.am END
+         |      AS lang_pred
+         |  FROM am JOIN mx USING (doc_id)
+         |  JOIN lb2 ON lb2.doc_id = am.doc_id),
          |hc2 AS (SELECT lang_true, lang_pred, count(*)::BIGINT AS n
          |  FROM hpred GROUP BY 1, 2),
          |ht AS (SELECT lang_true, sum(n)::BIGINT AS tot FROM hc2 GROUP BY 1),
