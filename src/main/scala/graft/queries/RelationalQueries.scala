@@ -238,6 +238,111 @@ object RelationalQueries {
     a.unionByName(b).orderBy("phase", "q_id", "rank")
   }
 
+  /** Per-directory memo of the RTBF FLOAT-IVF index (the round-14
+    * verdict's uncovered path: [[Similarity.ivfForget]] shipped wired
+    * but gate-less): a fresh float index on the session-trained
+    * centroids (same quantizer — one Lloyd run serves every tier, and
+    * the oracle's `kmeansCtes` replay covers this index too), then the
+    * ≡ 3 (mod 7) vectors tombstoned, the post-forget probe
+    * materialized, and [[Similarity.ivfCompact]] run as the physical
+    * purge. */
+  private val rtbfIvfCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Similarity.IvfIndex]()
+
+  private def rtbfIvfProbe(s: SparkSession, d: String,
+      idx: Similarity.IvfIndex): DataFrame =
+    Similarity.ivfSearchIndexedBatch(idx,
+      t(s, d, "embeddings").where(col("vec_id") < 3), nprobe = 2, topK = 10)
+
+  private def rtbfIvfIndex(s: SparkSession, d: String): Similarity.IvfIndex =
+    rtbfIvfCache.compute(d, (_, cur) => {
+      if (cur != null && (cur.spark eq s)) cur
+      else {
+        val h = graft.engine.IndexCache.md5Key(d, 8)
+        val path = s"${sys.props("java.io.tmpdir")}/graft_rtbfivf_$h"
+        graft.cli.Cleanup.deleteOnExit(path)
+        val idx = Similarity.ivfBuild(s, t(s, d, "embeddings"), "vec_id",
+          "embedding", k = 8, path = path,
+          centroids = Some(ivfIndex(s, d).centroids.drop("cnorm")))
+        Similarity.ivfForget(idx,
+          t(s, d, "embeddings")
+            .where(pmod(col("vec_id"), lit(7)) === 3).select("vec_id"))
+        rtbfIvfProbe(s, d, idx)
+          .write.mode("overwrite").parquet(s"$path/rtbf_probe")
+        Similarity.ivfCompact(idx, targetRecordsPerFile = 1L << 20)
+        idx
+      }
+    })
+
+  /** q242 — RTBF through the FLOAT IVF index
+    * ([[Similarity.ivfForget]]/[[Similarity.ivfCompact]]): q79's
+    * batched partition-pruned search after forgetting the ≡ 3 (mod 7)
+    * vectors — once against the TOMBSTONED corpus (phase `forgotten`:
+    * the anti-join drops their rows before scoring), once after
+    * compaction purged the cell partitions physically (phase
+    * `purged`). Both phases must equal the oracle's replay over a
+    * corpus that simply excludes the forgotten vectors from the
+    * scoring scan; the trained centroids stay frozen (forgetting
+    * never retrains). */
+  def rtbfIvfQ(s: SparkSession, d: String): DataFrame = {
+    val idx = rtbfIvfIndex(s, d)
+    val a = s.read.parquet(s"${idx.path}/rtbf_probe")
+      .select(lit("forgotten").as("phase"), col("*"))
+    val b = rtbfIvfProbe(s, d, idx)
+      .select(lit("purged").as("phase"), col("*"))
+    a.unionByName(b).orderBy("phase", "q_id", "rank")
+  }
+
+  /** Per-directory memo of the RTBF IVF-PQ index (the second uncovered
+    * round-14 path, [[Similarity.ivfPqForget]]): a fresh code index on
+    * the session centroids + codebooks, forget ≡ 3 (mod 7), probe
+    * materialized, [[Similarity.ivfPqCompact]] as the purge. */
+  private val rtbfIvfPqCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Similarity.IvfPqIndex]()
+
+  private def rtbfIvfPqProbe(s: SparkSession, d: String,
+      idx: Similarity.IvfPqIndex): DataFrame =
+    Similarity.ivfPqSearchIndexedBatch(idx, pqBooks(s, d),
+      t(s, d, "embeddings").where(col("vec_id") < 3), "embedding",
+      nprobe = 2, topK = 10)
+
+  private def rtbfIvfPqIndex(s: SparkSession, d: String): Similarity.IvfPqIndex =
+    rtbfIvfPqCache.compute(d, (_, cur) => {
+      if (cur != null && (cur.spark eq s)) cur
+      else {
+        val h = graft.engine.IndexCache.md5Key(d, 8)
+        val path = s"${sys.props("java.io.tmpdir")}/graft_rtbfivfpq_$h"
+        graft.cli.Cleanup.deleteOnExit(path)
+        val idx = Similarity.ivfPqBuild(s, t(s, d, "embeddings"), "vec_id",
+          "embedding", k = 8, cb = pqBooks(s, d), path = path,
+          centroids = Some(ivfIndex(s, d).centroids.drop("cnorm")))
+        Similarity.ivfPqForget(idx,
+          t(s, d, "embeddings")
+            .where(pmod(col("vec_id"), lit(7)) === 3).select("vec_id"))
+        rtbfIvfPqProbe(s, d, idx)
+          .write.mode("overwrite").parquet(s"$path/rtbf_probe")
+        Similarity.ivfPqCompact(idx, targetRecordsPerFile = 1L << 20)
+        idx
+      }
+    })
+
+  /** q243 — RTBF through the IVF-PQ code index
+    * ([[Similarity.ivfPqForget]]/[[Similarity.ivfPqCompact]]): q104's
+    * batched ADC search after forgetting the ≡ 3 (mod 7) vectors,
+    * phase-paired like q242 — the tombstone anti-join hides the code
+    * rows, the compaction drops them physically, and both phases must
+    * equal the oracle's replay with the forgotten vectors excluded
+    * from the code scan (centroids AND codebooks frozen — deletion
+    * retrains nothing). */
+  def rtbfIvfPqQ(s: SparkSession, d: String): DataFrame = {
+    val idx = rtbfIvfPqIndex(s, d)
+    val a = s.read.parquet(s"${idx.path}/rtbf_probe")
+      .select(lit("forgotten").as("phase"), col("*"))
+    val b = rtbfIvfPqProbe(s, d, idx)
+      .select(lit("purged").as("phase"), col("*"))
+    a.unionByName(b).orderBy("phase", "q_id", "rank")
+  }
+
   /** q79 — BATCHED IVF search ([[Similarity.ivfSearchIndexedBatch]]):
     * queries 0–2 each probe their best-2 trained cells, one pruned scan
     * of the union of probed partitions scores all three, per-query
@@ -1273,6 +1378,75 @@ object RelationalQueries {
          |SELECT phase, q_id, vec_id, ham, cos, rank FROM ph CROSS JOIN res
          |ORDER BY phase, q_id, rank""".stripMargin,
 
+    // the q79 replay with the forgotten vectors excluded from the
+    // SCORING scan only (rows hidden/purged; centroids frozen — the
+    // index predates the deletion, forgetting never retrains), crossed
+    // with the two phases: the tombstone anti-join and the compaction
+    // purge must both equal it
+    "q242_rtbf_ivf" ->
+      s"""WITH $kmeansCtes,
+         |qprobes AS (SELECT q_id, cell FROM (
+         |    SELECT vec_id AS q_id, cell, row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY cs DESC, cell) AS pr
+         |    FROM sim3 WHERE vec_id < 3) WHERE pr <= 2),
+         |q AS (SELECT vec_id AS q_id, d, v FROM ex WHERE vec_id < 3),
+         |scored AS (SELECT q.q_id, e.vec_id,
+         |    round(sum(e.v * q.v) / sqrt(sum(e.v * e.v))
+         |      / sqrt(sum(q.v * q.v)), 4) AS cos
+         |  FROM ex e
+         |  JOIN q ON q.d = e.d
+         |  JOIN asg3 a ON a.vec_id = e.vec_id
+         |  JOIN qprobes p ON p.q_id = q.q_id AND p.cell = a.cell
+         |  WHERE e.vec_id % 7 <> 3
+         |  GROUP BY q.q_id, e.vec_id),
+         |r AS (SELECT q_id, vec_id, cos,
+         |    row_number() OVER (PARTITION BY q_id
+         |      ORDER BY cos DESC, vec_id)::INTEGER AS rank
+         |  FROM scored),
+         |res AS (SELECT q_id, vec_id, cos, rank FROM r WHERE rank <= 10),
+         |ph AS (SELECT unnest(['forgotten', 'purged']) AS phase)
+         |SELECT phase, q_id, vec_id, cos, rank FROM ph CROSS JOIN res
+         |ORDER BY phase, q_id, rank""".stripMargin,
+
+    // the q104 replay with the forgotten vectors excluded from the CODE
+    // scan (centroids AND codebooks frozen — deletion retrains
+    // nothing), crossed with the two phases like q242
+    "q243_rtbf_ivfpq" ->
+      s"""WITH $kmeansCtes,
+         |$pqCtesTail,
+         |qn AS (SELECT vec_id AS q_id, sqrt(sum(v * v)) AS n FROM ex
+         |  WHERE vec_id < 3 GROUP BY vec_id),
+         |vn AS (SELECT vec_id, sqrt(sum(v * v)) AS n FROM ex GROUP BY vec_id),
+         |probes AS (SELECT q_id, cell FROM (
+         |  SELECT q.vec_id AS q_id, c.cell,
+         |    row_number() OVER (PARTITION BY q.vec_id
+         |      ORDER BY sum(c.v * q.v) / sqrt(sum(c.v * c.v)) DESC, c.cell)
+         |      AS rn
+         |  FROM cent2 c JOIN ex q ON q.d = c.d AND q.vec_id < 3
+         |  GROUP BY q.vec_id, c.cell) WHERE rn <= 2),
+         |dt AS (SELECT q.vec_id AS q_id, b.sub, b.code, sum(q.v * b.v) AS dp
+         |  FROM sx q JOIN bk2 b ON b.sub = q.sub AND b.sd = q.sd
+         |  WHERE q.vec_id < 3 GROUP BY q.vec_id, b.sub, b.code),
+         |ad AS (SELECT t.q_id, a.vec_id, sum(t.dp) AS adp
+         |  FROM a3 a JOIN dt t ON t.sub = a.sub AND t.code = a.code
+         |  WHERE a.vec_id % 7 <> 3
+         |  GROUP BY t.q_id, a.vec_id),
+         |sres AS (SELECT ad.q_id, g.vec_id,
+         |    round(ad.adp / vn.n / qn.n, 4) AS acos
+         |  FROM asg3 g
+         |  JOIN ad ON ad.vec_id = g.vec_id
+         |  JOIN probes p ON p.q_id = ad.q_id AND p.cell = g.cell
+         |  JOIN vn ON vn.vec_id = g.vec_id
+         |  JOIN qn ON qn.q_id = ad.q_id),
+         |rk AS (SELECT q_id, vec_id, acos, row_number() OVER (
+         |    PARTITION BY q_id ORDER BY acos DESC, vec_id) AS rank
+         |  FROM sres),
+         |res AS (SELECT q_id, vec_id, acos, rank::INT AS rank FROM rk
+         |  WHERE rank <= 10),
+         |ph AS (SELECT unnest(['forgotten', 'purged']) AS phase)
+         |SELECT phase, q_id, vec_id, acos, rank FROM ph CROSS JOIN res
+         |ORDER BY phase, q_id, rank""".stripMargin,
+
     // the incremental tier replayed over BOTH populations: training +
     // assignment on the old corpus only (exo), the new batch's map-only
     // assignment against the TRAINED centroids (cent2 — the append
@@ -1619,6 +1793,8 @@ object RelationalQueries {
     "q79_ann_ivf_batch" -> annIvfBatch _,
     "q176_ann_bq_ivf" -> annBqIvf _,
     "q237_rtbf_bq_ivf" -> rtbfBqIvfQ _,
+    "q242_rtbf_ivf" -> rtbfIvfQ _,
+    "q243_rtbf_ivfpq" -> rtbfIvfPqQ _,
     "q177_ann_bq_ivf_incremental" -> annBqIvfIncremental _,
     "q162_cross_modal_ivf" -> crossModalIvfBatch _,
     "q97_ann_pq" -> annPq _,
