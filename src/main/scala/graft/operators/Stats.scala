@@ -76,7 +76,18 @@ object Stats {
     * batch — exact because batches partition the rows — then the same
     * long-form explode as [[columnStats]] (minus NDV). The planner's
     * row counts and bounds stay current under ingest from one stored
-    * row per batch. */
+    * row per batch.
+    *
+    * Deletion honesty (the family contract, stated per tier): the
+    * count columns are LINEAR and would admit the q230
+    * negative-partial discipline, but min/max are NOT — a deleted
+    * extremum cannot be un-maxed from partials, so deletion from
+    * maintained column stats is a REBUILD (re-run
+    * [[columnStatsPartial]] over the kept corpus), exactly like HLL
+    * registers and the KMV sample. The maintained HISTOGRAM is the
+    * deletion-capable range tier ([[histogramForget]]); planner
+    * bounds after a deletion are conservative until the rebuild —
+    * stale min/max only widens estimates, never corrupts them. */
   def statsRead(spark: org.apache.spark.sql.SparkSession, path: String,
       cols: Seq[String]): DataFrame = {
     val merged = Sketch.dedupedParts(spark, path).agg(
@@ -176,18 +187,150 @@ object Stats {
     * bucket-wise SUM of every appended partial — exact because batches
     * partition the rows and the bounds are frozen — then the same
     * integer bound reconstruction as [[histogram]]. `nBuckets`/`lo`/`hi`
-    * must be the frozen ANALYZE values every partial was built with. */
+    * must be the frozen ANALYZE values every partial was built with.
+    *
+    * Deletion-aware (the q230 negative-partial discipline applied to
+    * the range tier — bucket counts are LINEAR, so subtraction IS
+    * deletion, exactly): a bucket whose partials sum to ZERO is
+    * absence and drops from the result (matching [[histogram]], which
+    * never emits empty buckets); a NEGATIVE sum means more rows were
+    * deleted than ingested — over-deletion — and fails loud. */
   def histogramRead(spark: org.apache.spark.sql.SparkSession, path: String,
       nBuckets: Int, lo: Long, hi: Long): DataFrame = {
     require(nBuckets >= 1, s"need nBuckets >= 1, got $nBuckets")
     val b = lit(nBuckets.toLong)
     val span = lit(hi - lo + 1)
+    val guarded = when(col("cnt") < 0,
+      raise_error(concat(lit("histogramRead: bucket "),
+        col("bucket").cast("string"),
+        lit(" sums negative — a delete partial removed rows that were " +
+          "never ingested")))).otherwise(col("cnt"))
     Sketch.sumRead(spark, path, Seq("bucket"), "cnt")
+      .select(col("bucket"), guarded.as("cnt"))
+      .where(col("cnt") =!= 0)
       .select(col("bucket"),
         (lit(lo) + idiv(col("bucket") * span + b - 1, b)).as("b_lo"),
         (lit(lo) + idiv((col("bucket") + 1) * span + b - 1, b) - 1)
           .as("b_hi"),
         col("cnt"))
+  }
+
+  /** The DELETE partial for a maintained histogram: the negated
+    * [[histogramPartial]] of the rows to forget — appended through the
+    * same replay-guarded [[Sketch.sketchAppendBatch]] protocol as
+    * ingest (a replayed delete would subtract twice; the batch tag
+    * stops it), it removes the rows from every future
+    * [[histogramRead]] without rescanning history. Exact by linearity
+    * (the q230 count-min precedent applied to the range tier). The
+    * caller passes the SAME rows that were ingested; deleting rows
+    * that never arrived surfaces as [[histogramRead]]'s negative-sum
+    * raise. Contrast [[statsRead]]: its count/sum columns would admit
+    * the same discipline, but its min/max columns are NOT linear — a
+    * deleted extremum cannot be un-maxed, so maintained column-stats
+    * deletion is a REBUILD, documented there. */
+  def histogramForget(df: DataFrame, c: String, nBuckets: Int,
+      lo: Long, hi: Long, path: String, batchId: Long): Boolean =
+    Sketch.sketchAppendBatch(path,
+      histogramPartial(df, c, nBuckets, lo, hi)
+        .withColumn("cnt", -col("cnt")),
+      batchId)
+
+  /** PURGE a maintained histogram's delete history: atomic rewrite of
+    * `<path>/parts` as the current live nonzero bucket sums (one
+    * summed batch, tagged `-1`) — the forgotten rows' negative
+    * partials (and the positives they cancelled) leave storage
+    * physically, and the parts directory compacts to ≤ nBuckets rows
+    * regardless of batch count. `lastbatch` stays valid (purge is
+    * maintenance; later appends keep their replay guard) — the
+    * [[graft.operators.Sketch.kmvPurge]] discipline. */
+  def histogramPurge(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit = {
+    val live = graft.engine.Checkpoints.mark(
+      Sketch.sumRead(spark, path, Seq("bucket"), "cnt")
+        .where(col("cnt") =!= 0)
+        .withColumn("batch_id", lit(-1L)))
+    try graft.operators.Rtbf.swapRewrite(spark, path, "parts", live)
+    finally graft.engine.Checkpoints.release(live)
+  }
+
+  /** RE-FREEZE the bounds of a maintained histogram (the recovery
+    * [[histogramPartial]]'s out-of-span raise demands, as ONE operator
+    * instead of a by-hand procedure): rewrite the persisted partials
+    * into the `[newLo, newHi]` bucket grid via the atomic
+    * [[graft.operators.Rtbf.swapRewrite]] discipline. Widening only —
+    * shrinking would orphan counted rows.
+    *
+    * Two tiers, chosen by exact integer analysis of the two grids:
+    *  - **Exact remap** (returns true): when every OLD bucket's value
+    *    range lands inside ONE new bucket (checked for all `nBuckets`
+    *    old buckets on the driver — pure integer arithmetic, no data
+    *    read), the stored partials rewrite by bucket-id relabel,
+    *    summed per (batch_id, new bucket) so the replay-dedupe
+    *    invariant (distinct rows per batch) survives buckets merging.
+    *    No fact-table scan; history (including delete partials) is
+    *    preserved exactly.
+    *  - **Rebuild** (returns false): when the grids don't nest, bucket
+    *    counts cannot be redistributed without the raw values — the
+    *    caller must supply the CURRENT fact rows (`fact`, with column
+    *    `c`), which rebuild as one batch-tagged `-1` partial. One
+    *    corpus scan, the documented price of an unaligned re-freeze.
+    *
+    * The `lastbatch` marker is untouched in both tiers (re-freezing is
+    * maintenance, not a rebuild of the ingest protocol — later appends
+    * keep their replay guard), so new batches MUST be built against
+    * the new `[newLo, newHi]` from here on. */
+  def histogramRefreeze(spark: org.apache.spark.sql.SparkSession,
+      path: String, nBuckets: Int, oldLo: Long, oldHi: Long,
+      newLo: Long, newHi: Long,
+      fact: Option[(DataFrame, String)] = None): Boolean = {
+    require(nBuckets >= 1, s"need nBuckets >= 1, got $nBuckets")
+    require(newLo <= oldLo && newHi >= oldHi,
+      s"histogramRefreeze widens only: [$newLo, $newHi] does not cover " +
+        s"[$oldLo, $oldHi]")
+    require(BigInt(newHi) - BigInt(newLo) + 1 <=
+      BigInt(Long.MaxValue / nBuckets),
+      s"new span [$newLo, $newHi] overflows BIGINT bucket arithmetic at " +
+        s"nBuckets=$nBuckets")
+    val b = nBuckets.toLong
+    val oldSpan = oldHi - oldLo + 1
+    val newSpan = newHi - newLo + 1
+    def oldBLo(k: Long) = oldLo + (k * oldSpan + b - 1) / b
+    def oldBHi(k: Long) = oldLo + ((k + 1) * oldSpan + b - 1) / b - 1
+    def newBucket(v: Long) = (v - newLo) * b / newSpan
+    // empty old buckets (bHi < bLo under narrow spans) hold no rows and
+    // cannot block the exact tier
+    val nested = (0L until b).forall { k =>
+      oldBHi(k) < oldBLo(k) || newBucket(oldBLo(k)) == newBucket(oldBHi(k))
+    }
+    import graft.operators.Rtbf
+    if (nested) {
+      val badBucket: org.apache.spark.sql.Column = raise_error(concat(
+        lit("histogramRefreeze: stored bucket "),
+        col("bucket").cast("string"),
+        lit(s" outside [0, ${b - 1}]"))).cast("long")
+      val mapped = (0L until b).foldLeft(badBucket) { (acc, k) =>
+        when(col("bucket") === k, lit(newBucket(oldBLo(k)))).otherwise(acc)
+      }
+      val live = graft.engine.Checkpoints.mark(
+        Sketch.dedupedParts(spark, path)
+          .select(mapped.as("bucket"), col("cnt"), col("batch_id"))
+          .groupBy("bucket", "batch_id").agg(sum("cnt").as("cnt"))
+          .select("bucket", "cnt", "batch_id"))
+      try Rtbf.swapRewrite(spark, path, "parts", live)
+      finally graft.engine.Checkpoints.release(live)
+      true
+    } else {
+      val (df, c) = fact.getOrElse(throw new IllegalArgumentException(
+        s"histogramRefreeze: grids [$oldLo,$oldHi] -> [$newLo,$newHi] at " +
+          s"nBuckets=$nBuckets do not nest — pass the current fact rows " +
+          "to rebuild"))
+      val live = graft.engine.Checkpoints.mark(
+        histogramPartial(df, c, nBuckets, newLo, newHi)
+          .withColumn("batch_id", lit(-1L)))
+      try Rtbf.swapRewrite(spark, path, "parts", live)
+      finally graft.engine.Checkpoints.release(live)
+      false
+    }
   }
 
   /** Range-COUNT estimate from an equi-width [[histogram]], under the

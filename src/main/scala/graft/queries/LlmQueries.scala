@@ -2892,36 +2892,93 @@ object LlmQueries {
     * additive partial exactly like count-min cells, so the same
     * batch-tag discipline applies and a replayed batch must no-op or
     * every weight doubles and the rank chain diverges). */
+  /** The q203/q217/q244 link derivation: each document's one
+    * `(src, dst)` host-link observation (source → slot-mapped target
+    * host) — shared so the maintained builds, the RTBF delete batch,
+    * and the oracle replay all see the identical graph. */
+  private def hostLinkObs(dd: DataFrame): DataFrame = {
+    val slot = pmod(col("doc_id") * 37 + 11, lit(100))
+    dd.select(col("source").as("src"),
+      when(slot < 40, lit("src0"))
+        .when(slot < 65, lit("src1"))
+        .when(slot < 80, lit("src2"))
+        .otherwise(concat(lit("src"), pmod(slot, lit(20)).cast("string")))
+        .as("dst"))
+  }
+
+  private def hostLinkPartial(dd: DataFrame): DataFrame =
+    hostLinkObs(dd).groupBy("src", "dst").agg(count(lit(1)).as("w"))
+
   private val edgeMaintCache = new SessionPathMemo("pgedges", (s, d, p) => {
-    def half(par: Int): DataFrame = {
-      val dd = docs(s, d).where(pmod(col("doc_id"), lit(2)) === par)
-      val slot = pmod(col("doc_id") * 37 + 11, lit(100))
-      dd.select(col("source").as("src"),
-          when(slot < 40, lit("src0"))
-            .when(slot < 65, lit("src1"))
-            .when(slot < 80, lit("src2"))
-            .otherwise(concat(lit("src"), pmod(slot, lit(20)).cast("string")))
-            .as("dst"))
-        .groupBy("src", "dst").agg(count(lit(1)).as("w"))
-    }
+    def half(par: Int): DataFrame =
+      hostLinkPartial(docs(s, d).where(pmod(col("doc_id"), lit(2)) === par))
     require(Sketch.sketchAppendBatch(p, half(0), 0L), "batch 0 must apply")
     require(Sketch.sketchAppendBatch(p, half(1), 1L), "batch 1 must apply")
     require(!Sketch.sketchAppendBatch(p, half(1), 1L),
       "replayed batch id must no-op")
   })
 
-  /** q217 — PageRank from the MAINTAINED edge list ([[Sketch.sumRead]]
-    * over the persisted two-batch append path) against q203's oracle
-    * VERBATIM: per-batch edge partials sum to the whole graph's
-    * weights (the additive-merge proof, realized by the ingest
-    * protocol), so host authority stays recomputable under continuous
-    * ingest without ever rescanning old batches — the iteration reads
-    * batches × |hosts|² bounded stored rows, not documents. */
+  /** q217 — PageRank from the MAINTAINED edge list
+    * ([[graft.streaming.StreamingOps.edgeRead]] over the persisted
+    * two-batch append path) against q203's oracle VERBATIM: per-batch
+    * edge partials sum to the whole graph's weights (the
+    * additive-merge proof, realized by the ingest protocol), so host
+    * authority stays recomputable under continuous ingest without
+    * ever rescanning old batches — the iteration reads batches ×
+    * |hosts|² bounded stored rows, not documents. */
   def pageRankMaintainedQ(s: SparkSession, d: String): DataFrame =
     graft.operators.Graph.pageRank(
-      Sketch.sumRead(s, edgeMaintCache(s, d), Seq("src", "dst"), "w"),
+      graft.streaming.StreamingOps.edgeRead(s, edgeMaintCache(s, d)),
       "src", "dst", "w", PrIters)
       .orderBy(desc("pr"), col("node"))
+
+  /** Per-directory memo of the RTBF edge list: q217's two parity
+    * ingest batches, then the ≡ [[ForgetRes]] (mod [[ForgetMod]])
+    * documents' link observations deleted through ONE negative partial
+    * ([[graft.streaming.StreamingOps.edgeForgetBatch]] — replay-guard
+    * exercised in-gate: a replayed delete would subtract twice), the
+    * post-forget rank materialized, and the parts physically purged
+    * ([[graft.streaming.StreamingOps.edgePurge]]). */
+  private val edgeRtbfCache = new SessionPathMemo("pgedgesrtbf", (s, d, p) => {
+    import graft.streaming.StreamingOps
+    def half(par: Int): DataFrame =
+      hostLinkPartial(docs(s, d).where(pmod(col("doc_id"), lit(2)) === par))
+    require(Sketch.sketchAppendBatch(p, half(0), 0L), "batch 0 must apply")
+    require(Sketch.sketchAppendBatch(p, half(1), 1L), "batch 1 must apply")
+    val forgotten = hostLinkObs(docs(s, d)
+      .where(pmod(col("doc_id"), lit(ForgetMod)) === ForgetRes))
+    require(StreamingOps.edgeForgetBatch(forgotten, "src", "dst", p, 2L),
+      "delete batch must apply")
+    require(!StreamingOps.edgeForgetBatch(forgotten, "src", "dst", p, 2L),
+      "replayed delete batch must no-op (it would delete twice)")
+    rtbfEdgeRank(s, p).write.mode("overwrite").parquet(s"$p/rtbf_probe")
+    StreamingOps.edgePurge(s, p)
+  })
+
+  private def rtbfEdgeRank(s: SparkSession, p: String): DataFrame =
+    graft.operators.Graph.pageRank(
+      graft.streaming.StreamingOps.edgeRead(s, p),
+      "src", "dst", "w", PrIters)
+
+  /** q244 — RTBF through the MAINTAINED edge list (the round-14
+    * verdict gap: q217's graph kept serving a forgotten document's
+    * outlinks forever): after the negative-partial delete of the
+    * ≡ [[ForgetRes]] (mod [[ForgetMod]]) documents' links, the
+    * maintained rank must equal PageRank over the TRUNCATED corpus —
+    * once with the delete applied as a stored negative batch (phase
+    * `forgotten`), once after the physical purge rewrote the parts
+    * (phase `purged`). Both phases replay through one oracle that
+    * re-derives the graph from `documents` minus the forgotten docs —
+    * including any edge whose weight fell to zero dropping OUT of the
+    * node set (the ghost-edge trap [[graft.streaming.StreamingOps
+    * .edgeRead]] exists to close). */
+  def rtbfEdgesQ(s: SparkSession, d: String): DataFrame = {
+    val p = edgeRtbfCache(s, d)
+    val a = s.read.parquet(s"$p/rtbf_probe")
+      .select(lit("forgotten").as("phase"), col("*"))
+    val b = rtbfEdgeRank(s, p).select(lit("purged").as("phase"), col("*"))
+    a.unionByName(b).orderBy(col("phase"), desc("pr"), col("node"))
+  }
 
   // --- RTBF for persisted index artifacts (q234-q238) ---
 
@@ -3408,15 +3465,19 @@ object LlmQueries {
     * ((10^12·15)//100)//n. Ends with `pr$PrIters(node, pr)` and
     * `deg(node, out_w, in_w)` in scope. `seed = Some(host)` swaps in
     * the personalized form: all start mass and all teleport mass at the
-    * seed (q210). */
-  private def pageRankCtes(seed: Option[String] = None): String = {
+    * seed (q210). `docWhere` restricts the documents the graph derives
+    * from (q244 replays the truncated corpus after an RTBF delete —
+    * nodes and edges both shrink with it). */
+  private def pageRankCtes(seed: Option[String] = None,
+      docWhere: String = ""): String = {
     val scale = graft.operators.Graph.PrScale
     val b = new StringBuilder
     b ++= s"""e0 AS (SELECT source AS src,
        |    CASE WHEN slot < 40 THEN 'src0' WHEN slot < 65 THEN 'src1'
        |         WHEN slot < 80 THEN 'src2'
        |         ELSE 'src' || (slot % 20)::VARCHAR END AS dst
-       |  FROM (SELECT source, (doc_id * 37 + 11) % 100 AS slot FROM documents) t),
+       |  FROM (SELECT source, (doc_id * 37 + 11) % 100 AS slot
+       |        FROM documents$docWhere) t),
        |e AS MATERIALIZED (SELECT src, dst, count(*)::BIGINT AS w
        |  FROM e0 GROUP BY 1, 2),
        |nodes AS (SELECT DISTINCT node FROM (
@@ -7995,6 +8056,19 @@ object LlmQueries {
          |FROM deg d JOIN pr$PrIters p USING (node)
          |ORDER BY p.pr DESC, d.node""".stripMargin,
 
+    // the q203 replay over the TRUNCATED corpus (forgotten docs out of
+    // the graph derivation — edges, degrees, and the node set all
+    // shrink with them), crossed with the two phases: the stored
+    // negative delete partial and the physical purge must both equal it
+    "q244_rtbf_edges" ->
+      s"""WITH ${pageRankCtes(docWhere =
+           s" WHERE doc_id % $ForgetMod <> $ForgetRes")},
+         |res AS (SELECT d.node, d.out_w, d.in_w, p.pr
+         |  FROM deg d JOIN pr$PrIters p USING (node)),
+         |ph AS (SELECT unnest(['forgotten', 'purged']) AS phase)
+         |SELECT phase, node, out_w, in_w, pr FROM ph CROSS JOIN res
+         |ORDER BY phase, pr DESC, node""".stripMargin,
+
     // both tier rankings replayed (q78's full cosine + the 16-dim
     // prefix tier), then the integer 10^9 // (60 + rank) fusion and the
     // fused window — every digit of the hybrid ranking deterministic
@@ -9137,6 +9211,7 @@ object LlmQueries {
     "q215_html_strip" -> htmlStripQ _,
     "q216_rrf_fusion" -> rrfFusionQ _,
     "q217_pagerank_maintained" -> pageRankMaintainedQ _,
+    "q244_rtbf_edges" -> rtbfEdgesQ _,
     "q218_url_filter" -> urlFilterQ _,
     "q219_script_profile" -> scriptProfileQ _,
     "q223_kanon_rollup" -> kanonRollupQ _,

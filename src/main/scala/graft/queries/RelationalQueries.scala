@@ -904,9 +904,27 @@ object RelationalQueries {
 
   /** Per-directory memo of the MAINTAINED l_orderkey histogram — the
     * range tier's under-ingest form (the q227 protocol applied to
-    * q222): bounds frozen ONCE from the corpus min/max (the bounded
-    * 1-row ANALYZE action), then two order-parity batches each append
-    * their ≤ 16-row bucket partial replay-guarded. */
+    * q222), now built THROUGH the re-freeze lifecycle (the round-14
+    * verdict ask 6, exercised in-gate instead of a happy-path-only
+    * build):
+    *
+    *  1. bounds frozen too NARROW — `[lo, mid]`, the half-span ANALYZE
+    *     a shifting corpus outgrows — and the in-span rows appended as
+    *     batch 0;
+    *  2. the out-of-span batch REQUIRED to fail loud (the
+    *     [[graft.operators.Stats.histogramPartial]] raise — silent
+    *     clamping would corrupt the edge buckets);
+    *  3. [[graft.operators.Stats.histogramRefreeze]] widens to
+    *     `[lo, hi]` — the operator's integer grid analysis picks the
+    *     tier (at a power-of-two-ish corpus span the half-grids NEST
+    *     and the exact remap runs; both tiers are deterministically
+    *     pinned in OperatorSpec), with the ingested rows supplied in
+    *     case the rebuild tier is needed;
+    *  4. the formerly-out-of-span rows append as batch 1 under the new
+    *     bounds, replay-guarded (the marker survived the re-freeze).
+    *
+    * The read must then equal q222's direct whole-corpus build bit for
+    * bit — the oracle is untouched. */
   private val histMaintCache =
     new java.util.concurrent.ConcurrentHashMap[String, (SparkSession, String, Long, Long)]()
   private def histMaintState(s: SparkSession, d: String): (String, Long, Long) = {
@@ -917,21 +935,94 @@ object RelationalQueries {
         val b = li.agg(min("l_orderkey").as("lo"), max("l_orderkey").as("hi"))
           .collect().head
         val (lo, hi) = (b.getLong(0), b.getLong(1))
+        val mid = lo + (hi - lo) / 2
         val p = s"${sys.props("java.io.tmpdir")}/graft_histmaint_" +
           graft.engine.IndexCache.md5Key(d, 8)
         graft.cli.Cleanup.deleteOnExit(p)
         import graft.operators.{Sketch, Stats}
-        def half(par: Int) = Stats.histogramPartial(
-          li.where(pmod(col("l_orderkey"), lit(2)) === par),
-          "l_orderkey", 16, lo, hi)
-        require(Sketch.sketchAppendBatch(p, half(0), 0L), "batch 0 must apply")
-        require(Sketch.sketchAppendBatch(p, half(1), 1L), "batch 1 must apply")
-        require(!Sketch.sketchAppendBatch(p, half(1), 1L),
+        val below = li.where(col("l_orderkey") <= mid)
+        val above = li.where(col("l_orderkey") > mid)
+        require(Sketch.sketchAppendBatch(p,
+          Stats.histogramPartial(below, "l_orderkey", 16, lo, mid), 0L),
+          "batch 0 must apply")
+        val threw = try {
+          Sketch.sketchAppendBatch(p,
+            Stats.histogramPartial(above, "l_orderkey", 16, lo, mid), 1L)
+          false
+        } catch { case _: Throwable => true }
+        require(threw, "out-of-span ingest must fail loud, not clamp")
+        Stats.histogramRefreeze(s, p, 16, lo, mid, lo, hi,
+          fact = Some((below, "l_orderkey")))
+        require(Sketch.sketchAppendBatch(p,
+          Stats.histogramPartial(above, "l_orderkey", 16, lo, hi), 1L),
+          "batch 1 must apply under the re-frozen bounds")
+        require(!Sketch.sketchAppendBatch(p,
+          Stats.histogramPartial(above, "l_orderkey", 16, lo, hi), 1L),
           "replayed batch id must no-op")
         (s, p, lo, hi)
       }
     })
     (v._2, v._3, v._4)
+  }
+
+  /** Per-directory memo of the RTBF histogram (the negative-partial
+    * deletion tier, [[graft.operators.Stats.histogramForget]]): the
+    * full corpus as batch 0 under full-span frozen bounds, then the
+    * ≡ 0 (mod 53) order keys (q230's delete selector) removed by ONE
+    * negative partial — replay-guard exercised in-gate (a replayed
+    * delete would subtract twice and trip histogramRead's negative
+    * raise) — the post-forget read materialized, and the parts
+    * physically purged ([[graft.operators.Stats.histogramPurge]]).
+    * Bounds stay frozen across the deletion: RTBF never re-runs
+    * ANALYZE (stale bounds only widen estimates). */
+  private val histRtbfCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (SparkSession, String, Long, Long)]()
+  private def histRtbfState(s: SparkSession, d: String): (String, Long, Long) = {
+    val v = histRtbfCache.compute(d, (_, cur) => {
+      if (cur != null && (cur._1 eq s)) cur
+      else {
+        import graft.operators.{Sketch, Stats}
+        val li = t(s, d, "lineitem").select(col("l_orderkey"))
+        val b = li.agg(min("l_orderkey").as("lo"), max("l_orderkey").as("hi"))
+          .collect().head
+        val (lo, hi) = (b.getLong(0), b.getLong(1))
+        val p = s"${sys.props("java.io.tmpdir")}/graft_histrtbf_" +
+          graft.engine.IndexCache.md5Key(d, 8)
+        graft.cli.Cleanup.deleteOnExit(p)
+        require(Sketch.sketchAppendBatch(p,
+          Stats.histogramPartial(li, "l_orderkey", 16, lo, hi), 0L),
+          "batch 0 must apply")
+        val del = li.where(pmod(col("l_orderkey"), lit(53)) === 0)
+        require(Stats.histogramForget(del, "l_orderkey", 16, lo, hi, p, 1L),
+          "delete batch must apply")
+        require(!Stats.histogramForget(del, "l_orderkey", 16, lo, hi, p, 1L),
+          "replayed delete batch must no-op (it would delete twice)")
+        Stats.histogramRead(s, p, 16, lo, hi)
+          .write.mode("overwrite").parquet(s"$p/rtbf_probe")
+        Stats.histogramPurge(s, p)
+        (s, p, lo, hi)
+      }
+    })
+    (v._2, v._3, v._4)
+  }
+
+  /** q245 — RTBF through the MAINTAINED histogram
+    * ([[graft.operators.Stats.histogramForget]]/[[graft.operators
+    * .Stats.histogramPurge]]): bucket counts are linear, so one stored
+    * negative partial removes the forgotten rows from every future
+    * read exactly (the q230 count-min discipline on the range tier) —
+    * phase `forgotten` reads through the stored delete, phase `purged`
+    * after the physical rewrite, and both must equal the oracle's
+    * direct bucket map of the KEPT corpus under the ORIGINAL frozen
+    * bounds (deletion never re-freezes ANALYZE bounds). */
+  def rtbfHistogramQ(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.Stats
+    val (p, lo, hi) = histRtbfState(s, d)
+    val a = s.read.parquet(s"$p/rtbf_probe")
+      .select(lit("forgotten").as("phase"), col("*"))
+    val b = Stats.histogramRead(s, p, 16, lo, hi)
+      .select(lit("purged").as("phase"), col("*"))
+    a.unionByName(b).orderBy("phase", "bucket")
   }
 
   /** q233 — range-selectivity from the MAINTAINED histogram
@@ -1758,6 +1849,26 @@ object RelationalQueries {
     // family contract applied to the range tier)
     "q233_histogram_maintained" -> histogramSelectivityOracleSql,
 
+    // the direct bucket map of the KEPT corpus (q230's delete selector)
+    // under the FULL corpus's frozen bounds — deletion subtracts counts,
+    // it never re-freezes ANALYZE bounds — crossed with the two phases:
+    // the stored negative partial and the physical purge must both
+    // equal it
+    "q245_rtbf_histogram" ->
+      """WITH b AS (SELECT min(l_orderkey) AS lo, max(l_orderkey) AS hi
+        |  FROM lineitem),
+        |h0 AS (SELECT ((l_orderkey - lo) * 16) // (hi - lo + 1) AS bucket,
+        |    lo, (hi - lo + 1) AS span
+        |  FROM lineitem CROSS JOIN b WHERE l_orderkey % 53 <> 0),
+        |h AS (SELECT bucket, lo + (bucket * span + 15) // 16 AS b_lo,
+        |    lo + ((bucket + 1) * span + 15) // 16 - 1 AS b_hi,
+        |    count(*)::BIGINT AS cnt
+        |  FROM h0 GROUP BY bucket, lo, span),
+        |ph AS (SELECT unnest(['forgotten', 'purged']) AS phase)
+        |SELECT phase, bucket::BIGINT AS bucket, b_lo::BIGINT AS b_lo,
+        |  b_hi::BIGINT AS b_hi, cnt
+        |FROM ph CROSS JOIN h ORDER BY phase, bucket""".stripMargin,
+
     // the bloom prefilter changes the PLAN (the fact exchange), never
     // the answer: the oracle is the plain selective join
     "q213_bloom_join" ->
@@ -1822,6 +1933,7 @@ object RelationalQueries {
     "q222_histogram_selectivity" -> histogramSelectivityQ _,
     "q227_stats_maintained" -> statsMaintainedQ _,
     "q233_histogram_maintained" -> histogramMaintainedQ _,
+    "q245_rtbf_histogram" -> rtbfHistogramQ _,
     "q228_stats_ndv_sketch" -> statsNdvSketchQ _,
     "q229_ri_audit" -> riAuditQ _,
     "q181_bucketed_join" -> bucketedJoin _,

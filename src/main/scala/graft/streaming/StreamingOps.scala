@@ -561,6 +561,51 @@ object StreamingOps {
     linkStream.writeStream.foreachBatch(fn)
   }
 
+  /** The CURRENT edge list under a maintained path — the read side
+    * every graph query goes through (SparkEntry q217/q244): keyed sum
+    * of the appended weight partials, with edges whose weight summed
+    * to ZERO dropped (a fully-forgotten edge is ABSENT, not a
+    * zero-weight row — a ghost edge would put its endpoints back in
+    * the node set and shift every teleport share). A NEGATIVE sum
+    * (over-deletion) flows into [[graft.operators.Graph]]'s
+    * non-positive-weight raise, the family's fail-loud guard. */
+  def edgeRead(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame =
+    graft.operators.Sketch.sumRead(spark, path, Seq("src", "dst"), "w")
+      .where(col("w") =!= 0)
+
+  /** RTBF for the maintained edge list (the round-14 verdict gap: a
+    * forgotten document's outlinks kept shaping PageRank forever):
+    * edge weights are ADDITIVE partials, so the q230 count-min
+    * negative-partial discipline applies verbatim — append the
+    * NEGATED weighted aggregate of the forgotten documents' link
+    * observations (`forgottenLinks` = the same `(src, dst)` rows those
+    * documents contributed at ingest), replay-guarded by the ingest
+    * protocol itself (a replayed delete batch would subtract twice —
+    * the batch tag stops it, gated in-memo like q230). Every
+    * [[edgeRead]] from the append on serves the truncated graph; no
+    * history rescan. Returns true iff the batch applied. */
+  def edgeForgetBatch(forgottenLinks: DataFrame, src: String, dst: String,
+      path: String, batchId: Long): Boolean =
+    graft.operators.Sketch.sketchAppendBatch(path,
+      forgottenLinks.groupBy(col(src).as("src"), col(dst).as("dst"))
+        .agg((-count(lit(1))).as("w")), batchId)
+
+  /** PURGE the maintained edge list: atomic rewrite of `<path>/parts`
+    * as the current LIVE nonzero edges (one summed batch, tagged
+    * `-1`) — the forgotten documents' rows leave the storage
+    * physically and the parts directory compacts to |edges| rows
+    * regardless of batch count. The `lastbatch` marker stays valid
+    * (purge is maintenance, not a rebuild — later appends keep their
+    * replay guard), mirroring [[graft.operators.Sketch.kmvPurge]]. */
+  def edgePurge(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit = {
+    val live = graft.engine.Checkpoints.mark(
+      edgeRead(spark, path).withColumn("batch_id", lit(-1L)))
+    try graft.operators.Rtbf.swapRewrite(spark, path, "parts", live)
+    finally graft.engine.Checkpoints.release(live)
+  }
+
   /** Paired-modality alignment gate ON A STREAM — the ingest form of
     * the batch LAION filter ([[graft.operators.Similarity.alignmentFilter]],
     * SparkEntry q152): cosine between each incoming pair's caption and

@@ -1309,6 +1309,84 @@ class OperatorSpec extends AnyFunSuite {
     assert(merged == direct)
   }
 
+  test("histogramRefreeze: nested widening remaps exactly; unaligned demands the fact table; delete partials survive") {
+    import graft.operators.{Sketch, Stats}
+    def freshPath(name: String): String = {
+      val p = s"${sys.props("java.io.tmpdir")}/graft_test_$name"
+      graft.cli.Cleanup.deleteOnExit(p)
+      val f = new java.io.File(p)
+      def rm(x: java.io.File): Unit = {
+        Option(x.listFiles).foreach(_.foreach(rm)); x.delete() }
+      if (f.exists) rm(f)
+      p
+    }
+    def m(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    // EXACT tier: old [0,7]x4 (width-2 buckets) nests in [-8,7]x8
+    // (width-2 buckets, shifted ids) — history rewrites by relabel,
+    // including a DELETE partial, with no data rescan
+    val p = freshPath("hist_refreeze")
+    val vals = Seq(0L, 1L, 2L, 3L, 6L, 7L, 7L)
+    import spark.implicits._
+    assert(Sketch.sketchAppendBatch(p,
+      Stats.histogramPartial(vals.toDF("v"), "v", 4, 0L, 7L), 0L))
+    assert(Stats.histogramForget(Seq(7L).toDF("v"), "v", 4, 0L, 7L, p, 1L))
+    assert(Stats.histogramRefreeze(spark, p, 4, 0L, 7L, -8L, 7L),
+      "width-aligned widening must take the exact remap tier")
+    val kept = vals.diff(Seq(7L))
+    // reference: one fresh partial of the kept rows under the NEW bounds
+    // (the direct data-derived histogram would pick a different span)
+    val ref = freshPath("hist_refreeze_ref")
+    assert(Sketch.sketchAppendBatch(ref,
+      Stats.histogramPartial(kept.toDF("v"), "v", 4, -8L, 7L), 0L))
+    assert(m(Stats.histogramRead(spark, p, 4, -8L, 7L)) ==
+      m(Stats.histogramRead(spark, ref, 4, -8L, 7L)),
+      "remapped history must equal a fresh build under the new bounds")
+    // ingest continues under the new bounds; the marker survived, so a
+    // replayed old batch id still no-ops
+    assert(!Sketch.sketchAppendBatch(p,
+      Stats.histogramPartial(Seq(-8L).toDF("v"), "v", 4, -8L, 7L), 1L))
+    assert(Sketch.sketchAppendBatch(p,
+      Stats.histogramPartial(Seq(-8L, -8L).toDF("v"), "v", 4, -8L, 7L), 2L))
+    assert(m(Stats.histogramRead(spark, p, 4, -8L, 7L)) ==
+      m(Stats.histogram((kept ++ Seq(-8L, -8L)).toDF("v"), "v", 4)))
+    // UNALIGNED tier: [0,49]x4 -> [0,79]x4 does NOT nest (old bucket
+    // [13,24] straddles the new width-20 boundary at 20; note a span
+    // that exactly DOUBLES always nests — old bucket k lands in new
+    // bucket k/2 — which is why the unaligned probe uses 1.6x) —
+    // without the fact rows it must refuse, with them it rebuilds
+    val p2 = freshPath("hist_refreeze2")
+    val vals2 = Seq(0L, 10L, 25L, 44L, 49L)
+    assert(Sketch.sketchAppendBatch(p2,
+      Stats.histogramPartial(vals2.toDF("v"), "v", 4, 0L, 49L), 0L))
+    intercept[IllegalArgumentException] {
+      Stats.histogramRefreeze(spark, p2, 4, 0L, 49L, 0L, 79L)
+    }
+    assert(!Stats.histogramRefreeze(spark, p2, 4, 0L, 49L, 0L, 79L,
+      fact = Some((vals2.toDF("v"), "v"))),
+      "unaligned widening must take the rebuild tier")
+    assert(Sketch.sketchAppendBatch(p2,
+      Stats.histogramPartial(Seq(79L, 60L).toDF("v"), "v", 4, 0L, 79L), 1L))
+    assert(m(Stats.histogramRead(spark, p2, 4, 0L, 79L)) ==
+      m(Stats.histogram((vals2 ++ Seq(79L, 60L)).toDF("v"), "v", 4)))
+    // shrinking is refused outright
+    intercept[IllegalArgumentException] {
+      Stats.histogramRefreeze(spark, p2, 4, 0L, 79L, 0L, 49L)
+    }
+    // over-deletion fails loud at read time
+    val p3 = freshPath("hist_refreeze3")
+    assert(Sketch.sketchAppendBatch(p3,
+      Stats.histogramPartial(Seq(1L).toDF("v"), "v", 4, 0L, 7L), 0L))
+    assert(Stats.histogramForget(Seq(1L, 1L).toDF("v"), "v", 4, 0L, 7L,
+      p3, 1L))
+    val e2 = intercept[Exception] {
+      Stats.histogramRead(spark, p3, 4, 0L, 7L).collect()
+    }
+    assert((e2.getMessage != null && e2.getMessage.contains("negative")) ||
+      Option(e2.getCause).exists(_.getMessage.contains("negative")))
+  }
+
   test("suppressSmallGroups: no published group under k; mass conserves") {
     import graft.operators.Stats
     val df = (Seq.fill(9)(("en", "a")) ++ Seq.fill(3)(("en", "b")) ++

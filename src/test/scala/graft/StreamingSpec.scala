@@ -504,6 +504,56 @@ class StreamingSpec extends AnyFunSuite {
     assert(pr(edges) == pr(directEdges))
   }
 
+  test("edge RTBF: negative-partial forget equals the truncated graph; zero edges drop; purge + replay idempotent") {
+    import spark.implicits._
+    import graft.operators.{Graph, Sketch}
+    val path = s"${sys.props("java.io.tmpdir")}/graft_test_edge_rtbf"
+    graft.cli.Cleanup.deleteOnExit(path)
+    val fs = new java.io.File(path)
+    if (fs.exists) { def rm(f: java.io.File): Unit = {
+      Option(f.listFiles).foreach(_.foreach(rm)); f.delete() }; rm(fs) }
+    // ingest two batches of link observations
+    val b0 = Seq(("A", "B"), ("A", "B"), ("B", "C"))
+    val b1 = Seq(("A", "B"), ("C", "A"))
+    def partial(obs: Seq[(String, String)]) = obs.toDF("src", "dst")
+      .groupBy("src", "dst")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("w"))
+    assert(Sketch.sketchAppendBatch(path, partial(b0), 0L))
+    assert(Sketch.sketchAppendBatch(path, partial(b1), 1L))
+    // forget the documents that contributed one A->B and the only B->C
+    val forgotten = Seq(("A", "B"), ("B", "C")).toDF("s", "t")
+    assert(StreamingOps.edgeForgetBatch(forgotten, "s", "t", path, 2L),
+      "delete batch must apply")
+    assert(!StreamingOps.edgeForgetBatch(forgotten, "s", "t", path, 2L),
+      "replayed delete batch must no-op (it would delete twice)")
+    def em(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val truncated = Map(("A", "B") -> 2L, ("C", "A") -> 1L)
+    assert(em(StreamingOps.edgeRead(spark, path)) == truncated,
+      "forget must leave the truncated graph; B->C summed to zero and " +
+        "must be ABSENT, not a ghost zero-weight row")
+    // PageRank over the maintained truncated edges == over direct ones:
+    // node B survives only as a destination (A->B), node C only as a
+    // source — the zero edge dropping out is what keeps the node set
+    // and teleport shares honest
+    def pr(df: org.apache.spark.sql.DataFrame) =
+      Graph.pageRank(df, "src", "dst", "w", 3).collect()
+        .map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(pr(StreamingOps.edgeRead(spark, path)) ==
+      pr(truncated.toSeq.map { case ((s, t), w) => (s, t, w) }
+        .toDF("src", "dst", "w")))
+    // physical purge: same read, compacted storage, marker intact
+    StreamingOps.edgePurge(spark, path)
+    assert(em(StreamingOps.edgeRead(spark, path)) == truncated)
+    assert(!Sketch.sketchAppendBatch(path, partial(b1), 2L),
+      "lastbatch marker must survive the purge (replay still guarded)")
+    // ingest continues after the purge
+    assert(Sketch.sketchAppendBatch(path, partial(Seq(("B", "C"))), 3L))
+    assert(em(StreamingOps.edgeRead(spark, path)) ==
+      truncated + (("B", "C") -> 1L))
+  }
+
   test("streaming dHash-index maintenance: a re-encoded image hits the batch N-1 ingest; retry no-ops") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
