@@ -3211,6 +3211,54 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  /** The q246 multi-byte plant suffix: appended to EVERY document so
+    * byte length ≠ char length everywhere — the denomination the gzip
+    * reader's byte-exact Content-Length cuts must get right (2-byte
+    * é, 3-byte €, 3-byte 中). */
+  val WarcGzPlant = " é€中"
+
+  /** Per-directory memo of the `.warc.gz` fixture
+    * ([[graft.sources.Warc.writeSyntheticWarcGz]] over ALL non-null
+    * documents with the [[WarcGzPlant]] multi-byte suffix — no ASCII
+    * restriction, the point of the byte-exact reader). */
+  private val warcGzFixtureCache = new SessionPathMemo("warcgzfix",
+    (s, d, p) => graft.sources.Warc.writeSyntheticWarcGz(
+      docs(s, d).select(col("doc_id"),
+        concat(col("text"), lit(WarcGzPlant),
+          pmod(col("doc_id"), lit(7)).cast("string")).as("text")),
+      s"$p/warc"))
+
+  /** q246 — gzip WARC source end-to-end
+    * ([[graft.sources.Warc.recordsGz]] → [[graft.sources.Warc
+    * .httpResponses]] → [[TextOps.stripHtml]]): the round-14 verdict's
+    * top ask — real crawls are `.warc.gz` with UTF-8 payloads, and the
+    * q239 text reader is uncompressed-ASCII with char-denominated
+    * lengths. The fixture gives every document a multi-byte suffix and
+    * compresses member-per-record; the gate emits `content_length`
+    * (BYTES) beside the extracted text, and the oracle re-derives both
+    * from `documents` alone — `octet_length` of the reconstructed
+    * payload vs the reader's header parse, so a reader that cut by
+    * chars (or mis-walked a member boundary) mismatches on every row.
+    * Zero truncated records required by hash. */
+  def warcGzReadQ(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.Warc
+    val recs = Warc.recordsGz(s, s"${warcGzFixtureCache(s, d)}/warc")
+    val resp = Warc.httpResponses(recs)
+      .join(recs.select(col("file"), col("rec_idx"), col("content_length")),
+        Seq("file", "rec_idx"))
+      .select(regexp_extract(col("uri"), "/doc/([0-9]+)$", 1).cast("long")
+        .as("doc_id"),
+        col("uri").as("url"), col("http_status"), col("content_type"),
+        col("content_length"), col("body"), col("truncated"))
+    val stripped = TextOps.stripHtml(resp, "body", "doc_id")
+    resp.drop("body")
+      .join(stripped, "doc_id")
+      .select(col("doc_id"), col("url"), col("http_status"),
+        col("content_type"), col("content_length"), col("n_tags"),
+        col("text_clean"), col("truncated"))
+      .orderBy("doc_id")
+  }
+
   /** q241 plant moduli: refetch URL variants (≡ 2 mod 29), exact
     * content dups copying the previous doc (≡ 4 mod 31). */
   val CrawlRefetchMod = 29
@@ -7750,6 +7798,53 @@ object LlmQueries {
         |  false AS truncated
         |FROM s2 ORDER BY doc_id""".stripMargin,
 
+    // q239's replay over ALL documents (no ASCII gate) with the
+    // multi-byte plant, PLUS the byte-denominated Content-Length: the
+    // fixed HTTP header prefixes contribute compile-time byte
+    // constants, the HTML shell + planted text contribute
+    // octet_length(encode(.)) — a reader that cut by characters (every
+    // planted row has byte length > char length) hash-fails every row
+    "q246_warc_gz" -> {
+      val hdr200 =
+        "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8).length
+      val p404 = ("HTTP/1.1 404 Not Found\r\nContent-Type: text/html\r\n\r\n" +
+        "<html><body>not found</body></html>")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8).length
+      s"""WITH a AS (SELECT doc_id,
+         |    text || '$WarcGzPlant' || (doc_id % 7) AS text
+         |  FROM documents WHERE text IS NOT NULL),
+         |p AS (SELECT doc_id,
+         |    'http://src' || (doc_id % 5) || '.example.org/doc/' || doc_id
+         |      AS url,
+         |    CASE WHEN doc_id % 19 = 0
+         |      THEN '<html><body>not found</body></html>'
+         |      ELSE '<html><head><title>page</title></head><body><p>'
+         |        || text || '</p></body></html>' END AS t,
+         |    (CASE WHEN doc_id % 19 = 0 THEN 404 ELSE 200 END)::INTEGER
+         |      AS http_status,
+         |    (CASE WHEN doc_id % 19 = 0 THEN $p404
+         |      ELSE $hdr200 + octet_length(encode(
+         |        '<html><head><title>page</title></head><body><p>'
+         |        || text || '</p></body></html>')) END)::BIGINT
+         |      AS content_length
+         |  FROM a),
+         |s1 AS (SELECT doc_id, url, http_status, content_length,
+         |    len(regexp_extract_all(t, '<[^>]*>'))::BIGINT AS n_tags,
+         |    regexp_replace(t, '<[^>]*>', ' ', 'g') AS c
+         |  FROM p),
+         |s2 AS (SELECT doc_id, url, http_status, content_length, n_tags,
+         |    replace(replace(replace(replace(replace(replace(c,
+         |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+         |      '&nbsp;', ' '), '&amp;', '&') AS c2
+         |  FROM s1)
+         |SELECT doc_id, url, http_status, 'text/html' AS content_type,
+         |  content_length,
+         |  n_tags, trim(regexp_replace(c2, '\\s+', ' ', 'g')) AS text_clean,
+         |  false AS truncated
+         |FROM s2 ORDER BY doc_id""".stripMargin
+    },
+
     // the full fourteen-row funnel replayed from `documents` alone:
     // plant derivation, record stream arithmetic, the canonical-URL
     // chain over both URL forms, q215's strip, the line-df boilerplate,
@@ -9223,6 +9318,7 @@ object LlmQueries {
     "q231_deletion_sweep" -> deletionSweepQ _,
     "q234_rtbf_band" -> rtbfBandQ _,
     "q239_warc_read" -> warcReadQ _,
+    "q246_warc_gz" -> warcGzReadQ _,
     "q241_crawl_to_corpus" -> crawlToCorpusQ _,
     "q235_rtbf_winnow" -> rtbfWinnowQ _,
     "q236_rtbf_dhash" -> rtbfDHashQ _,

@@ -107,6 +107,66 @@ class IngestSpec extends AnyFunSuite {
     assert(t.getAs[Boolean]("truncated"))
   }
 
+  test("gzip WARC reader: byte-exact Content-Length cuts on multi-byte payloads; member walk; torn + corrupt containers") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.sources.Warc
+    val dir = Files.createTempDirectory("graft_warcgz_test").toString
+    graft.cli.Cleanup.deleteOnExit(dir)
+    // multi-byte text on every doc: byte length != char length is the
+    // property the char-denominated text reader cannot represent
+    val docs = Seq((2L, "héllo wörld 中文"), (3L, "chaff récord é"),
+      (17L, "métadata €5"), (19L, "góne")).toDF("doc_id", "text")
+    Warc.writeSyntheticWarcGz(docs, s"$dir/warc")
+    val recs = Warc.recordsGz(spark, s"$dir/warc")
+    val byType = recs.groupBy("warc_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byType == Map("response" -> 4L, "request" -> 1L, "metadata" -> 1L))
+    assert(recs.where(col("truncated")).count() == 0)
+    // round-trip: the declared Content-Length is the PAYLOAD'S BYTE
+    // length, strictly greater than its char length on every response
+    // carrying multi-byte text
+    val rows = recs.where(col("warc_type") === "response").collect()
+    rows.foreach { r =>
+      val payload = r.getAs[String]("payload")
+      val cl = r.getAs[Long]("content_length")
+      assert(cl ==
+        payload.getBytes(java.nio.charset.StandardCharsets.UTF_8).length,
+        s"byte-denominated length must survive the round-trip: $r")
+    }
+    assert(rows.exists(r => r.getAs[Long]("content_length") >
+      r.getAs[String]("payload").length),
+      "at least one payload must have byte length > char length")
+    // the body decodes the multi-byte text intact
+    val resp = Warc.httpResponses(recs).collect()
+      .map(r => r.getAs[String]("uri") -> r.getAs[String]("body")).toMap
+    assert(resp("http://src2.example.org/doc/2")
+      .contains("héllo wörld 中文"))
+    // a member whose Content-Length overruns its payload flags truncated
+    def gzMember(s: String): Array[Byte] = {
+      val buf = new java.io.ByteArrayOutputStream()
+      val gz = new java.util.zip.GZIPOutputStream(buf)
+      gz.write(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      gz.finish(); gz.close(); buf.toByteArray
+    }
+    val torn = "WARC/1.0\r\nWARC-Type: response\r\n" +
+      "WARC-Target-URI: http://x.example/1\r\nContent-Length: 99\r\n\r\n" +
+      "short\r\n\r\n"
+    Files.write(java.nio.file.Paths.get(s"$dir/torn.warc.gz"), gzMember(torn))
+    val t = Warc.recordsGz(spark, s"$dir/torn.warc.gz").collect().head
+    assert(t.getAs[Boolean]("truncated"))
+    // container corruption (no magic at a record boundary) fails LOUD —
+    // the strict sequential walk never resynchronizes silently
+    Files.write(java.nio.file.Paths.get(s"$dir/corrupt.warc.gz"),
+      gzMember("GARBAGE\r\n\r\npayload\r\n\r\n"))
+    val e = intercept[Exception] {
+      Warc.recordsGz(spark, s"$dir/corrupt.warc.gz").collect()
+    }
+    assert((e.getMessage != null && e.getMessage.contains("magic")) ||
+      Option(e.getCause).exists(c =>
+        c.getMessage != null && c.getMessage.contains("magic")))
+  }
+
   test("catalog readout lists databases, views and columns like the reference") {
     import spark.implicits._
     Seq((1L, 2.0)).toDF("time_id", "flow_rate").createOrReplaceTempView("gas_data")
