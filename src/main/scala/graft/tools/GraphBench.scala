@@ -116,8 +116,38 @@ object GraphBench {
       f"per-round cost must stay flat; got ${late / early}%.2f x growth")
     graft.engine.Checkpoints.release(c.ranks)
 
+    // the PERSONALIZED converged form at the same 20-round depth — same
+    // flatness claim, seeded init/teleport (the round-14 verdict ask:
+    // production-depth PPR must not compose lazily at fixed depth)
+    val wallsP = scala.collection.mutable.ArrayBuffer.empty[Double]
+    var lastP = System.nanoTime()
+    val (convP, tConvP) = time(
+      s"personalizedPageRankConverged: 20 rounds, ${4 * nBig} edges") {
+      lastP = System.nanoTime()
+      val cp = Graph.personalizedPageRankConverged(edgesBig, "src", "dst",
+        "w", maxIters = 20, tolScaled = 0L, seed = "0",
+        onRound = (round, delta) => {
+          val now = System.nanoTime()
+          wallsP += (now - lastP) / 1e9
+          println(f"  round $round%2d  ${(now - lastP) / 1e9}%6.2f s  delta $delta")
+          lastP = now
+        })
+      cp.ranks.orderBy(desc("pr"), col("node")).limit(1).collect().head -> cp
+    }
+    val (topP, cP) = convP
+    require(topP.getLong(0) == 0L,
+      "seed hub must dominate its own affinity vector at depth 20")
+    println(f"ppr rounds ${cP.rounds}, final delta ${cP.delta}")
+    val earlyP = wallsP.take(5).sum / 5
+    val lateP = wallsP.takeRight(5).sum / 5
+    println(f"ppr round walls: first-5 mean $earlyP%.2f s, last-5 mean " +
+      f"$lateP%.2f s (flatness ratio ${lateP / earlyP}%.2f)")
+    require(lateP < earlyP * 2.0,
+      f"seeded per-round cost must stay flat; got ${lateP / earlyP}%.2f x")
+    graft.engine.Checkpoints.release(cP.ranks)
+
     println(f"TOTAL pagerank $tPr%.2f s, ppr $tPpr%.2f s at n=$n, " +
-      f"converged-20 $tConv%.2f s at n=$nBig")
+      f"converged-20 $tConv%.2f s, ppr-converged-20 $tConvP%.2f s at n=$nBig")
     spark.stop()
   }
 }

@@ -161,4 +161,29 @@ class GraphSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
     assert(got == fixed, "convergence form must be a drop-in, not a second semantics")
   }
+
+  test("personalizedPageRankConverged: seeded converged equals seeded fixed-iters bit for bit") {
+    val edges = Seq(("A", "B", 2L), ("A", "C", 1L), ("B", "C", 1L),
+      ("C", "A", 1L)).toDF("src", "dst", "w")
+    val c = Graph.personalizedPageRankConverged(edges, "src", "dst", "w",
+      maxIters = 4, tolScaled = 0L, seed = "A")
+    assert(c.rounds == 4)
+    val got = c.ranks.collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    graft.engine.Checkpoints.release(c.ranks)
+    val fixed = Graph.personalizedPageRank(edges, "src", "dst", "w",
+        iters = 4, seed = "A")
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(got == fixed,
+      "seeded convergence form must be a drop-in for the seeded fixed form")
+    // structural zero survives the converged loop: a node unreachable
+    // from the seed stays at rank 0 through every round
+    val c2 = Graph.personalizedPageRankConverged(
+      Seq(("A", "B", 1L), ("C", "A", 1L)).toDF("src", "dst", "w"),
+      "src", "dst", "w", maxIters = 6, tolScaled = 0L, seed = "A")
+    val got2 = c2.ranks.collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    graft.engine.Checkpoints.release(c2.ranks)
+    assert(got2("C") == 0L && got2("A") > 0L && got2("B") > 0L)
+  }
 }
