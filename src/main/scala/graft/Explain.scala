@@ -95,7 +95,9 @@ object Explain {
       "q230_countmin_delete", "q231_deletion_sweep",
       "q233_histogram_maintained", "q234_rtbf_band", "q235_rtbf_winnow",
       "q236_rtbf_dhash", "q237_rtbf_bq_ivf", "q238_rtbf_kmv",
-      "q239_warc_read", "q240_langid_train", "q241_crawl_to_corpus")
+      "q239_warc_read", "q240_langid_train", "q241_crawl_to_corpus",
+      "q242_rtbf_ivf", "q243_rtbf_ivfpq", "q244_rtbf_edges",
+      "q245_rtbf_histogram", "q246_warc_gz")
     val sb = new StringBuilder(
       s"# PLANS — physical plans of headline queries ($sfDir)\n\n" +
         "Generated by `runMain graft.Explain`. The properties PlanSpec pins\n" +
