@@ -3316,7 +3316,13 @@ object LlmQueries {
       .unionByName(withDup
         .where(pmod(col("doc_id"), lit(CrawlRefetchMod)) === 2)
         .select(col("doc_id"), col("text"), urlVariant.as("url")))
-    Warc.writeSyntheticWarc(planted, s"$p/warc")
+    // the PRODUCTION container (round-15): member-per-record .warc.gz
+    // read back through the byte-exact gzip walker — the flagship now
+    // consumes the same container shape a real crawl delivers, and the
+    // text reader's ASCII restriction is gone with it (every non-null
+    // document participates; this testdata is ASCII so the funnel
+    // counts are unchanged, but the path no longer depends on it)
+    Warc.writeSyntheticWarcGz(planted, s"$p/warc")
 
     // stage 0-1: records -> HTTP 200 responses (chaff + 404s fall).
     // Every stage boundary is an eager localCheckpoint (mark/release,
@@ -3331,7 +3337,7 @@ object LlmQueries {
       m
     }
     try {
-    val recs = mark(Warc.records(s, s"$p/warc")
+    val recs = mark(Warc.recordsGz(s, s"$p/warc")
       .withColumn("doc_id",
         regexp_extract(col("uri"), "/doc/([0-9]+)", 1).cast("long")))
     val resp = mark(Warc.httpResponses(recs
@@ -3351,8 +3357,7 @@ object LlmQueries {
       .dropDuplicates("doc_id"))
     val nRefetchAlive = raw
       .where(pmod(col("doc_id"), lit(CrawlRefetchMod)) === 2 &&
-        pmod(col("doc_id"), lit(19)) =!= 0 && col("text").isNotNull &&
-        octet_length(encode(col("text"), "UTF-8")) === length(col("text")))
+        pmod(col("doc_id"), lit(19)) =!= 0 && col("text").isNotNull)
       .count()
     require(s1.count() - s2.count() == nRefetchAlive,
       "URL dedup must drop exactly the surviving refetch variants")
@@ -7872,8 +7877,7 @@ object LlmQueries {
          |rows0 AS (SELECT doc_id, text, 0 AS refetch FROM pv
          |  UNION ALL SELECT doc_id, text, 1 FROM pv
          |  WHERE doc_id % $CrawlRefetchMod = 2),
-         |a0 AS (SELECT * FROM rows0 WHERE text IS NOT NULL
-         |  AND octet_length(encode(text)) = length(text)),
+         |a0 AS (SELECT * FROM rows0 WHERE text IS NOT NULL),
          |st0 AS (SELECT
          |    sum(1 + CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END
          |          + CASE WHEN doc_id % 17 = 0 THEN 1 ELSE 0 END)::BIGINT
