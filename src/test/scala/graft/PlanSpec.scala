@@ -1444,6 +1444,28 @@ class PlanSpec extends AnyFunSuite {
     assert("FileScan binaryFile".r.findAllIn(p).size == 1, p.take(3000))
   }
 
+  test("gzip WARC parse keeps the same map-only shape: one container scan, zero exchanges to the response filter") {
+    import graft.sources.Warc
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_warcgzplan").toString
+    graft.cli.Cleanup.deleteOnExit(dir)
+    Warc.writeSyntheticWarcGz(
+      (1L to 40L).map(i => (i, s"bödy téxt $i")).toDF("doc_id", "text"),
+      s"$dir/warc")
+    val df = Warc.httpResponses(Warc.recordsGz(spark, s"$dir/warc"))
+      .where(col("http_status") === 200)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // the per-file gunzip + byte walk is a flatMap over the binaryFile
+    // rows — still one scan, still zero exchanges before the first
+    // filter (the 100 TB file-per-task contract survives the container
+    // format upgrade)
+    assert(!p.contains("Exchange "), p.take(3000))
+    assert("FileScan binaryFile".r.findAllIn(p).size == 1, p.take(3000))
+  }
+
   test("RTBF: an index with no tombstones keeps its exact pre-RTBF probe plan; tombstones add one anti-join") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
