@@ -138,7 +138,13 @@ object Warc {
     * surfaces as `truncated = true` ending the file. A missing magic,
     * unterminated header block, absent Content-Length, or missing
     * record separator fails the task loud (container corruption is not
-    * a row-level condition). */
+    * a row-level condition). Documented limit (the file's tradition):
+    * the BOUNDARY WALK is fully binary-safe — a payload of arbitrary
+    * bytes cuts at exactly Content-Length — but the `payload` COLUMN
+    * is the UTF-8 decode of those bytes, so non-text payloads (images
+    * inside a crawl) survive positionally yet decode lossily; a
+    * binary-column variant would return the undecoded slice and defer
+    * decoding to [[graft.operators.Multimodal]]'s per-format kernels. */
   def recordsGz(spark: SparkSession, glob: String): DataFrame = {
     import spark.implicits._
     val MagicB = Magic.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
