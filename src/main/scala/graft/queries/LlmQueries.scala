@@ -7775,6 +7775,10 @@ object LlmQueries {
     // shell/404 layout from `documents`, q215's strip chain on the body
     // — matching the file-parsed Spark side proves the reader inverts
     // the writer (headers, Content-Length cuts, body boundaries)
+    // the round-16 magic plant replayed: every 200 body with
+    // doc_id ≡ 0 (mod 23) carries a literal 'WARC/1.0' + CRLF — the
+    // strict walker cuts through it by Content-Length; a reader that
+    // split on the magic would tear that record and mismatch its row
     "q239_warc_read" ->
       """WITH a AS (SELECT doc_id, text FROM documents
         |  WHERE text IS NOT NULL
@@ -7785,7 +7789,11 @@ object LlmQueries {
         |    CASE WHEN doc_id % 19 = 0
         |      THEN '<html><body>not found</body></html>'
         |      ELSE '<html><head><title>page</title></head><body><p>'
-        |        || text || '</p></body></html>' END AS t,
+        |        || text
+        |        || CASE WHEN doc_id % 23 = 0
+        |             THEN ' see WARC/1.0' || chr(13) || chr(10) || ' archived'
+        |             ELSE '' END
+        |        || '</p></body></html>' END AS t,
         |    (CASE WHEN doc_id % 19 = 0 THEN 404 ELSE 200 END)::INTEGER
         |      AS http_status
         |  FROM a),

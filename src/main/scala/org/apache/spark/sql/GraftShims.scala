@@ -21,6 +21,19 @@ object GraftShims {
     * pointer jump) hit this deterministically, so their checkpoints must
     * shed the origin constraints; the only cost is weaker
     * constraint-inference on top of an already-materialized leaf. */
+  /** The session's Hadoop configuration as a serializable closure for
+    * executor-side FileSystem work (`SerializableConfiguration` is
+    * private[spark]; this package sees it). Without it an executor task
+    * building `new Configuration()` silently drops every
+    * `spark.hadoop.*` setting — object-store credentials, custom fs
+    * implementations — that the driver-side path honors. */
+  def serializableHadoopConf(
+      spark: SparkSession): () => org.apache.hadoop.conf.Configuration = {
+    val sc = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    () => sc.value
+  }
+
   def dropCheckpointConstraints(df: DataFrame): DataFrame = {
     val cdf = df.asInstanceOf[classic.Dataset[Row]]
     val session = cdf.sparkSession

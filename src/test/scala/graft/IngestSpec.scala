@@ -105,6 +105,31 @@ class IngestSpec extends AnyFunSuite {
       torn.getBytes("US-ASCII"))
     val t = Warc.records(spark, s"$dir/torn.warc").collect().head
     assert(t.getAs[Boolean]("truncated"))
+    // the round-16 strict walk: a payload CONTAINING the record magic
+    // cuts clean at Content-Length (the walk counts, it never searches)
+    val planted = "WARC/1.0\r\nWARC-Type: response\r\n" +
+      "WARC-Target-URI: http://x.example/2\r\nContent-Length: 30\r\n\r\n" +
+      "body with WARC/1.0\r\n inside it\r\n\r\n" +
+      "WARC/1.0\r\nWARC-Type: response\r\n" +
+      "WARC-Target-URI: http://x.example/3\r\nContent-Length: 4\r\n\r\n" +
+      "next\r\n\r\n"
+    Files.write(java.nio.file.Paths.get(s"$dir/plant.warc"),
+      planted.getBytes("US-ASCII"))
+    val pr = Warc.records(spark, s"$dir/plant.warc")
+      .orderBy("rec_idx").collect()
+    assert(pr.length == 2 && !pr.exists(_.getAs[Boolean]("truncated")))
+    assert(pr(0).getAs[String]("payload") == "body with WARC/1.0\r\n inside it")
+    assert(pr(1).getAs[String]("payload") == "next")
+    // the magic-split column plan survives as the executable spec twin:
+    // row-identical to the walker on the well-formed ASCII fixture (its
+    // stated validity class), and it OVER-SPLITS the planted container
+    // the walker just read correctly
+    val twin = Warc.recordsSplit(spark, s"$dir/warc")
+    val walk = Warc.records(spark, s"$dir/warc")
+    assert(twin.orderBy("file", "rec_idx").collect().toSeq ==
+      walk.orderBy("file", "rec_idx").collect().toSeq)
+    assert(Warc.recordsSplit(spark, s"$dir/plant.warc").count() == 3,
+      "the spec twin must still show the over-split the walker closes")
   }
 
   test("gzip WARC reader: byte-exact Content-Length cuts on multi-byte payloads; member walk; torn + corrupt containers") {
@@ -165,6 +190,47 @@ class IngestSpec extends AnyFunSuite {
     assert((e.getMessage != null && e.getMessage.contains("magic")) ||
       Option(e.getCause).exists(c =>
         c.getMessage != null && c.getMessage.contains("magic")))
+    // gzip FRAMING corruption is equally loud (round-16: the old
+    // GZIPInputStream path treated a malformed next-member header as
+    // silent EOF, dropping every subsequent record with no signal)
+    def msgOf(e: Throwable): String =
+      (Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+        .flatMap(t => Option(t.getMessage)).mkString(" | "))
+    val good = gzMember(
+      "WARC/1.0\r\nWARC-Type: response\r\n" +
+        "WARC-Target-URI: http://x.example/9\r\nContent-Length: 2\r\n\r\n" +
+        "ok\r\n\r\n")
+    // (a) trailing garbage after the last member
+    Files.write(java.nio.file.Paths.get(s"$dir/trail.warc.gz"),
+      good ++ "not a gzip member".getBytes("US-ASCII"))
+    val e2 = intercept[Exception] {
+      Warc.recordsGz(spark, s"$dir/trail.warc.gz").collect()
+    }
+    assert(msgOf(e2).contains("gzip member magic"), msgOf(e2))
+    // (b) a second member whose header is torn off mid-container
+    Files.write(java.nio.file.Paths.get(s"$dir/cut.warc.gz"),
+      good ++ good.take(good.length / 2))
+    val e3 = intercept[Exception] {
+      Warc.recordsGz(spark, s"$dir/cut.warc.gz").collect()
+    }
+    assert(msgOf(e3).nonEmpty)
+    // (c) a flipped payload byte fails the member CRC
+    val bad = good.clone()
+    bad(bad.length - 12) = (bad(bad.length - 12) ^ 0x40).toByte
+    Files.write(java.nio.file.Paths.get(s"$dir/crc.warc.gz"), bad)
+    val e4 = intercept[Exception] {
+      Warc.recordsGz(spark, s"$dir/crc.warc.gz").collect()
+    }
+    assert(msgOf(e4).contains("CRC32") || msgOf(e4).contains("corrupt deflate") ||
+      msgOf(e4).contains("ISIZE") || msgOf(e4).contains("gzip member"),
+      msgOf(e4))
+    // binary-payload tier: bytes survive undecoded through
+    // recordsGzBytes (UTF-8 round-trip of the multi-byte fixture)
+    val binRows = Warc.recordsGzBytes(spark, s"$dir/warc")
+      .where(col("warc_type") === "response").collect()
+    assert(binRows.forall { r =>
+      r.getAs[Long]("content_length") == r.getAs[Array[Byte]]("payload").length
+    })
   }
 
   test("catalog readout lists databases, views and columns like the reference") {
