@@ -279,8 +279,22 @@ object Warc {
       }
   }
 
-  private def decoded(recs: Dataset[WarcRecBin]): DataFrame =
-    recs.toDF().withColumn("payload", decode(col("payload"), "UTF-8"))
+  /** UTF-8 decode of the payload bytes with REPLACEMENT semantics
+    * (invalid sequences → U+FFFD, `java.lang.String`'s behavior) — the
+    * text tier must keep walking a container whose OTHER records are
+    * binary (Spark's `decode` expression throws
+    * MALFORMED_CHARACTER_CODING on the first image payload; lossy
+    * decode of non-text records is this tier's documented contract,
+    * [[recordsGzBytes]] is the lossless path). */
+  private def decoded(recs: Dataset[WarcRecBin]): DataFrame = {
+    val spark = recs.sparkSession
+    import spark.implicits._
+    recs.map(r => WarcRec(r.file, r.rec_idx, r.warc_type, r.uri,
+        r.content_length,
+        new String(r.payload, java.nio.charset.StandardCharsets.UTF_8),
+        r.truncated))
+      .toDF()
+  }
 
   /** One row per WARC record across every uncompressed container
     * matched by `glob`: `(file, rec_idx, warc_type, uri,
@@ -554,7 +568,14 @@ object Warc {
     * No magic plant here ([[writeSyntheticWarc]] carries it): q246's
     * oracle replays every body byte-for-byte and the multi-byte plant
     * is this fixture's own discriminating property. */
-  def writeSyntheticWarcGz(docs: DataFrame, path: String): Unit = {
+  def writeSyntheticWarcGz(docs: DataFrame, path: String): Unit =
+    writeWarcGzRows(syntheticWarcGzRows(docs), path)
+
+  /** The [[writeSyntheticWarcGz]] record rows as pre-framed BINARY
+    * `value` rows — exposed so composite fixtures (q241's container
+    * with in-crawl image records) can union extra [[recordBinCol]]
+    * rows into ONE container write. */
+  def syntheticWarcGzRows(docs: DataFrame): DataFrame = {
     val base = docs.where(col("text").isNotNull)
     val url = if (docs.columns.contains("url")) col("url")
     else concat(lit("http://src"),
@@ -583,7 +604,6 @@ object Warc {
       .unionByName(base
         .select(record("response", url, respPayload,
           byteLengths = true).as("value")))
-    writeWarcGzRows(recs.select(encode(col("value"), "UTF-8").as("value")),
-      path)
+    recs.select(encode(col("value"), "UTF-8").as("value"))
   }
 }
