@@ -47,13 +47,17 @@ import org.apache.spark.sql.functions._
   * and commutative, so partitioning can never change a digit (no float
   * accumulation-order hazard, the ADVICE r12 concern, by construction).
   *
-  * Semantics: the damped-flow variant with DANGLING MASS DROPPED — a
-  * node with no out-edges absorbs its rank (its damp share leaves the
-  * system) rather than teleporting it. That is deterministic, common in
-  * production host-rank implementations, and documented rather than
-  * hidden; callers who need stochastic-matrix PageRank add self-loops
-  * to dangling nodes before calling (q203's planted graph has no
-  * dangling hosts by construction). Rank mass is therefore bounded
+  * Semantics: BY DEFAULT the damped-flow variant with DANGLING MASS
+  * DROPPED — a node with no out-edges absorbs its rank (its damp share
+  * leaves the system) rather than teleporting it. That is
+  * deterministic, common in production host-rank implementations, and
+  * documented rather than hidden (q203's planted graph has no dangling
+  * hosts by construction). `redistributeDangling = true` selects the
+  * standard textbook alternative — the dangling nodes' damped mass
+  * spreads uniformly (`D div n` per node, one broadcast 1-row
+  * aggregate per round; q249 gates it on a graph with planted dangling
+  * hosts); callers who want self-loop semantics instead add the loops
+  * before calling. Rank mass is therefore bounded
   * above by [[PrScale]] and the floor divisions only ever shed mass —
   * GraphSpec pins both invariants, plus exact hand-computed ranks on a
   * 3-node graph and partitioning-invariance.
@@ -93,11 +97,12 @@ object Graph {
     * separate rows; they are summed into one weighted edge here so the
     * contract holds either way. */
   def pageRank(edges: DataFrame, src: String, dst: String, w: String,
-      iters: Int): DataFrame = {
+      iters: Int, redistributeDangling: Boolean = false): DataFrame = {
     val teleport = idiv(
       idiv(lit(PrScale * (PrDampDen - PrDampNum)), lit(PrDampDen)), col("__n"))
     prCore(edges, src, dst, w, iters,
-      init = idiv(lit(PrScale), col("__n")), teleport = teleport)
+      init = idiv(lit(PrScale), col("__n")), teleport = teleport,
+      redistributeDangling = redistributeDangling)
   }
 
   /** PERSONALIZED PageRank: all teleport mass returns to one `seed`
@@ -160,9 +165,21 @@ object Graph {
   }
 
   /** ONE damped-flow round: `pr_next(node) = teleport +
-    * Σ_incoming floor(damp(src)·w/W)` with the overflow-safe split. */
-  private def prRound(e: DataFrame, pr: DataFrame,
-      teleport: Column): DataFrame = {
+    * Σ_incoming floor(damp(src)·w/W)` with the overflow-safe split.
+    *
+    * `redistribute = true` adds the standard DANGLING-MASS term (the
+    * round-15 verdict's ask 4 — real host graphs have dangling hosts):
+    * the dangling nodes' damped rank `D = Σ_{out_w=0} floor(pr·85/100)`
+    * is spread uniformly, every node receiving `D div n` — computed as
+    * ONE in-plan 1-row aggregate broadcast into the round (no driver
+    * action, the A6 grid-extrema shape), so the per-round plan stays
+    * one hash join + one map-side-combinable sum + two broadcast
+    * 1-rows. Integer floors still only shed mass, so the ≤ [[PrScale]]
+    * bound and partitioning-invariance hold unchanged (GraphSpec pins
+    * both, plus flag-off ≡ flag-on on a dangling-free graph and exact
+    * hand-computed ranks on a planted-dangling 3-node chain). */
+  private def prRound(e: DataFrame, pr: DataFrame, teleport: Column,
+      redistribute: Boolean = false): DataFrame = {
     // alias-qualified refs: each round re-joins `e` against a frame
     // whose lineage already contains `e` (ranks descend from degrees),
     // so bare names would be ambiguous after self-join deduplication
@@ -179,21 +196,31 @@ object Graph {
             col("dm.__W"))).as("__c"))
       .groupBy("node")
       .agg(sum("__c").as("__in"))
-    pr.drop("pr")
-      .join(contrib, Seq("node"), "left")
-      .withColumn("pr", teleport + coalesce(col("__in"), lit(0L)))
-      .drop("__in")
+    val base = pr.drop("pr").join(contrib, Seq("node"), "left")
+    if (redistribute) {
+      val dang = pr.where(col("out_w") === 0)
+        .agg(coalesce(sum(idiv(col("pr") * lit(PrDampNum), lit(PrDampDen))),
+          lit(0L)).as("__dm"))
+      base.crossJoin(broadcast(dang))
+        .withColumn("pr", teleport + coalesce(col("__in"), lit(0L)) +
+          idiv(col("__dm"), col("__n")))
+        .drop("__in", "__dm")
+    } else
+      base.withColumn("pr", teleport + coalesce(col("__in"), lit(0L)))
+        .drop("__in")
   }
 
   /** The shared damped-flow iteration. `init` and `teleport` are
     * per-node integer columns that may reference `node` and the in-plan
     * node count `__n`. */
   private def prCore(edges: DataFrame, src: String, dst: String, w: String,
-      iters: Int, init: Column, teleport: Column): DataFrame = {
+      iters: Int, init: Column, teleport: Column,
+      redistributeDangling: Boolean = false): DataFrame = {
     require(iters >= 1, s"need iters >= 1; got $iters")
     val e = mergedEdges(edges, src, dst, w)
     var pr = prStart(e, init)
-    for (_ <- 1 to iters) pr = prRound(e, pr, teleport)
+    for (_ <- 1 to iters)
+      pr = prRound(e, pr, teleport, redistributeDangling)
     pr.select(col("node"), col("out_w"), col("in_w"), col("pr"))
   }
 
@@ -235,12 +262,14 @@ object Graph {
     * it must not evaluate the rank frames. */
   def pageRankConverged(edges: DataFrame, src: String, dst: String,
       w: String, maxIters: Int, tolScaled: Long,
-      onRound: (Int, Long) => Unit = (_, _) => ()): PrConverged =
+      onRound: (Int, Long) => Unit = (_, _) => (),
+      redistributeDangling: Boolean = false): PrConverged =
     prConvergedCore(edges, src, dst, w, maxIters, tolScaled, onRound,
       init = idiv(lit(PrScale), col("__n")),
       teleport = idiv(
         idiv(lit(PrScale * (PrDampDen - PrDampNum)), lit(PrDampDen)),
-        col("__n")))
+        col("__n")),
+      redistributeDangling = redistributeDangling)
 
   /** CONVERGENCE-form PERSONALIZED PageRank (the round-14 verdict's
     * last gap: [[pageRankConverged]] covered the uniform-teleport form
@@ -265,8 +294,8 @@ object Graph {
 
   private def prConvergedCore(edges: DataFrame, src: String, dst: String,
       w: String, maxIters: Int, tolScaled: Long,
-      onRound: (Int, Long) => Unit, init: Column,
-      teleport: Column): PrConverged = {
+      onRound: (Int, Long) => Unit, init: Column, teleport: Column,
+      redistributeDangling: Boolean = false): PrConverged = {
     require(maxIters >= 1, s"need maxIters >= 1; got $maxIters")
     require(tolScaled >= 0, s"need tolScaled >= 0; got $tolScaled")
     val e = graft.engine.Checkpoints.mark(mergedEdges(edges, src, dst, w))
@@ -274,7 +303,8 @@ object Graph {
     var rounds = 0
     var delta = Long.MaxValue
     while (rounds < maxIters && delta > tolScaled) {
-      val next = graft.engine.Checkpoints.mark(prRound(e, pr, teleport))
+      val next = graft.engine.Checkpoints.mark(
+        prRound(e, pr, teleport, redistributeDangling))
       delta = next.alias("nw")
         .join(pr.alias("od"), col("nw.node") === col("od.node"))
         .agg(sum(abs(col("nw.pr") - col("od.pr"))).as("__d"))

@@ -2741,6 +2741,35 @@ object LlmQueries {
       hostEdges(s, d), "src", "dst", "w", PrIters, "src0")
       .orderBy(desc("pr"), col("node"))
 
+  /** The q249 dangling plant: every doc ≡ 0 (mod 7) emits one EXTRA
+    * link from its host to `sink<doc_id mod 3>` — three hosts with
+    * in-links and no documents, hence no out-links: real host graphs
+    * are full of them (parked domains, media CDNs), the case q203's
+    * planted graph deliberately lacks. */
+  private def sinkEdges(s: SparkSession, d: String): DataFrame =
+    docs(s, d).where(pmod(col("doc_id"), lit(7)) === 0)
+      .select(col("source").as("src"),
+        concat(lit("sink"), pmod(col("doc_id"), lit(3)).cast("string"))
+          .as("dst"))
+      .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+
+  /** q249 — PageRank with DANGLING-MASS REDISTRIBUTION
+    * ([[graft.operators.Graph.pageRank]] `redistributeDangling =
+    * true`) over the q203 graph plus planted dangling sink hosts: each
+    * round the sinks' damped mass is spread uniformly (`D div n` per
+    * node, one broadcast 1-row aggregate — no driver action), the
+    * standard stochastic-matrix completion the default absorb-mode
+    * documents away. The oracle unrolls the same rounds with a
+    * per-round `dang` CTE summing the dangling damp and adding its
+    * floor share to every node — every digit of the redistribution
+    * replays, and the sinks gate at a real rank (absorb-mode would
+    * leave total mass visibly lower). */
+  def pageRankDanglingQ(s: SparkSession, d: String): DataFrame =
+    graft.operators.Graph.pageRank(
+      hostEdges(s, d).unionByName(sinkEdges(s, d)),
+      "src", "dst", "w", PrIters, redistributeDangling = true)
+      .orderBy(desc("pr"), col("node"))
+
   /** q216 — RECIPROCAL-RANK FUSION ([[Similarity.rrfFuse]]) of the two
     * retrieval tiers the engine already serves: the full-64-dim cosine
     * top-10 (q78's ranking) and the 16-dim matryoshka-prefix top-10
@@ -3727,7 +3756,8 @@ object LlmQueries {
     * from (q244 replays the truncated corpus after an RTBF delete —
     * nodes and edges both shrink with it). */
   private def pageRankCtes(seed: Option[String] = None,
-      docWhere: String = ""): String = {
+      docWhere: String = "", extraE0: String = "",
+      redistribute: Boolean = false): String = {
     val scale = graft.operators.Graph.PrScale
     val b = new StringBuilder
     b ++= s"""e0 AS (SELECT source AS src,
@@ -3735,7 +3765,7 @@ object LlmQueries {
        |         WHEN slot < 80 THEN 'src2'
        |         ELSE 'src' || (slot % 20)::VARCHAR END AS dst
        |  FROM (SELECT source, (doc_id * 37 + 11) % 100 AS slot
-       |        FROM documents$docWhere) t),
+       |        FROM documents$docWhere) t$extraE0),
        |e AS MATERIALIZED (SELECT src, dst, count(*)::BIGINT AS w
        |  FROM e0 GROUP BY 1, 2),
        |nodes AS (SELECT DISTINCT node FROM (
@@ -3758,6 +3788,20 @@ object LlmQueries {
         s"(CASE WHEN d.node = '$h' THEN ($scale * 15) // 100 ELSE 0 END)"
     }
     for (r <- 1 to PrIters) {
+      // the redistribution term (q249): per round one 1-row sum of the
+      // dangling nodes' damped mass, its floor share added to every node
+      val dangSql =
+        if (redistribute)
+          s""",
+             |dang$r AS (SELECT coalesce(sum((p.pr * 85) // 100), 0)::BIGINT
+             |      AS dm
+             |  FROM pr${r - 1} p JOIN deg d USING (node)
+             |  WHERE d.out_w = 0)""".stripMargin
+        else ""
+      val dangTerm =
+        if (redistribute)
+          s" + ((SELECT dm FROM dang$r) // (SELECT n FROM nn))"
+        else ""
       b ++= s""",
        |damp$r AS (SELECT p.node AS src, ((p.pr * 85) // 100)::BIGINT AS damp,
        |    d.out_w AS wt
@@ -3765,10 +3809,10 @@ object LlmQueries {
        |c$r AS (SELECT e.dst AS node,
        |    sum((t.damp // t.wt) * e.w
        |        + ((t.damp % t.wt) * e.w) // t.wt)::BIGINT AS cin
-       |  FROM e JOIN damp$r t ON e.src = t.src GROUP BY 1),
+       |  FROM e JOIN damp$r t ON e.src = t.src GROUP BY 1)$dangSql,
        |pr$r AS MATERIALIZED (SELECT d.node,
        |    ($teleportSql
-       |      + coalesce(c.cin, 0))::BIGINT AS pr
+       |      + coalesce(c.cin, 0)$dangTerm)::BIGINT AS pr
        |  FROM deg d LEFT JOIN c$r c USING (node))""".stripMargin
     }
     b.result()
@@ -8427,6 +8471,20 @@ object LlmQueries {
          |FROM deg d JOIN pr$PrIters p USING (node)
          |ORDER BY p.pr DESC, d.node""".stripMargin,
 
+    // the q203 chain over the sink-planted graph with the per-round
+    // dangling-mass CTE (sum the sinks' damped rank, add its floor
+    // share to every node) — the redistribution replays digit-exact
+    "q249_pagerank_dangling" ->
+      s"""WITH ${pageRankCtes(
+             extraE0 = """
+               | UNION ALL SELECT source AS src,
+               |   'sink' || (doc_id % 3)::VARCHAR AS dst
+               | FROM documents WHERE doc_id % 7 = 0""".stripMargin,
+             redistribute = true)}
+         |SELECT d.node, d.out_w, d.in_w, p.pr
+         |FROM deg d JOIN pr$PrIters p USING (node)
+         |ORDER BY p.pr DESC, d.node""".stripMargin,
+
     // VERBATIM the q203 oracle: the Spark side iterates over the edge
     // list read back from the persisted two-batch append path —
     // maintained == direct through the gate (additive edge partials,
@@ -9584,6 +9642,7 @@ object LlmQueries {
     "q201_hll_harmonic" -> hllHarmonicQ _,
     "q202_countmin_join_size" -> countMinJoinSizeQ _,
     "q203_pagerank_hosts" -> pageRankHostsQ _,
+    "q249_pagerank_dangling" -> pageRankDanglingQ _,
     "q204_authority_quota" -> authorityQuotaQ _,
     "q210_ppr_seed" -> pprSeedQ _,
     "q211_snapshot_diff" -> snapshotDiffQ _,

@@ -45,6 +45,45 @@ class GraphSpec extends AnyFunSuite {
     got.values.foreach { case (_, _, pr) => assert(pr == 333333333333L) }
   }
 
+  test("redistributeDangling: hand-computed chain; off-mode unchanged; no-op without dangling nodes") {
+    // A -> B -> C, C dangling; n = 3, pr0 = 333333333333 each,
+    // damp = 283333333333, teleport = 50000000000.
+    // D = damp(C) = 283333333333, share = D div 3 = 94444444444.
+    // pr1(A) = teleport + share = 144444444444
+    // pr1(B) = teleport + damp(A) + share = 427777777777
+    // pr1(C) = teleport + damp(B) + share = 427777777777
+    val chain = Seq(("A", "B", 1L), ("B", "C", 1L)).toDF("src", "dst", "w")
+    val on = Graph.pageRank(chain, "src", "dst", "w", iters = 1,
+        redistributeDangling = true)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(on == Map("A" -> 144444444444L, "B" -> 427777777777L,
+      "C" -> 427777777777L))
+    assert(on.values.sum <= Graph.PrScale, "floors still only shed mass")
+    // flag OFF keeps the absorb semantics (the default is unchanged)
+    val off = Graph.pageRank(chain, "src", "dst", "w", iters = 1)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(off("A") == 50000000000L && on.values.sum > off.values.sum)
+    // on a graph with NO dangling nodes the flag is a bit-exact no-op
+    val cyc = Seq(("A", "B", 1L), ("B", "C", 1L), ("C", "A", 1L))
+      .toDF("src", "dst", "w")
+    val a = Graph.pageRank(cyc, "src", "dst", "w", iters = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    val b = Graph.pageRank(cyc, "src", "dst", "w", iters = 3,
+        redistributeDangling = true)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(a == b)
+    // and the converged form is a drop-in for the fixed form with the
+    // flag threaded through
+    val c = Graph.pageRankConverged(chain, "src", "dst", "w",
+      maxIters = 3, tolScaled = 0L, redistributeDangling = true)
+    val got = c.ranks.collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    graft.engine.Checkpoints.release(c.ranks)
+    val fixed = Graph.pageRank(chain, "src", "dst", "w", iters = c.rounds,
+        redistributeDangling = true)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(got == fixed)
+  }
+
   test("dangling nodes absorb mass; nothing is invented") {
     // A -> B, B dangling: B's damp share leaves the system
     val got = ranks(Seq(("A", "B", 1L)), iters = 1)
