@@ -1519,15 +1519,43 @@ object TextOps {
   def dropBoilerplateLines(df: DataFrame, text: String, id: String,
       minDf: Int, seed: Int = 31): DataFrame = {
     require(minDf >= 2, s"minDf must be >= 2, got $minDf")
+    val heavy = lineDfPartial(df, text, id, seed)
+      .where(col("__df") >= minDf).select("__lh")
+    dropBoilerplateLinesWith(df, text, id, heavy, seed)
+  }
+
+  /** The per-batch LINE-DF PARTIAL for a maintained boilerplate index:
+    * `(__lh, __df)` — distinct-per-document line-hash counts
+    * ([[portableHash]] of the verbatim line, `seed`). ADDITIVE across
+    * batches whenever each document arrives in exactly one batch, so
+    * an incremental crawl appends one partial per batch and rolls the
+    * global document frequency up with a plain SUM — the corpus text
+    * never re-scans (q248's maintained form; [[dropBoilerplateLines]]
+    * is this partial + the apply below in one pass). */
+  def lineDfPartial(df: DataFrame, text: String, id: String,
+      seed: Int = 31): DataFrame = {
+    // per-doc DISTINCT line hashes: document frequency, not term frequency
+    df.select(col(id),
+        explode(array_distinct(
+          transform(split(col(text), "\n"), l => portableHash(l, seed))))
+          .as("__lh"))
+      .groupBy("__lh").agg(count(lit(1)).as("__df"))
+  }
+
+  /** [[dropBoilerplateLines]] with the heavy-line set SUPPLIED by the
+    * caller: `heavy` is a 1-column frame of `__lh` line hashes (same
+    * `seed`), e.g. the `df ≥ minDf` rollup of maintained
+    * [[lineDfPartial]] appends — identical removal semantics, which is
+    * what lets an incremental build equal the batch rebuild bit for
+    * bit. */
+  def dropBoilerplateLinesWith(df: DataFrame, text: String, id: String,
+      heavy: DataFrame, seed: Int = 31): DataFrame = {
     requireFresh(df, "text_clean", "n_lines", "n_removed", "__lh", "__heavy")
     val lines = split(col(text), "\n")
-    // per-doc DISTINCT line hashes: document frequency, not term frequency
     val lh = df.select(col(id),
       explode(array_distinct(transform(lines, l => portableHash(l, seed))))
         .as("__lh"))
-    val heavy = lh.groupBy("__lh").agg(count(lit(1)).as("__df"))
-      .where(col("__df") >= minDf).select("__lh")
-    val docHeavy = lh.join(broadcast(heavy), "__lh")
+    val docHeavy = lh.join(broadcast(heavy.select("__lh")), "__lh")
       .groupBy(col(id)).agg(collect_set(col("__lh")).as("__heavy"))
     val kept = filter(lines,
       l => !array_contains(col("__heavy"), portableHash(l, seed)))

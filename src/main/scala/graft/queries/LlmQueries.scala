@@ -3458,12 +3458,25 @@ object LlmQueries {
     * LargeCurationBench drives the IDENTICAL require-gated stages at
     * synthetic scale (the round-13 ask's wall-clock evidence runs the
     * same code as the gate, not a re-implementation). */
-  def buildCrawlCorpus(s: SparkSession, raw0: DataFrame,
-      p: String): Unit = {
-    import graft.sources.Warc
-    val K = lit(1000003L)
-    def ck(c: Column): Column = sum(pmod(c, K)).cast("long")
-    val raw = raw0
+  /** Funnel checksum: the mod-sum is additive, so per-batch partials
+    * roll up with a plain SUM (the q248 incremental contract). */
+  private def crawlCk(c: Column): Column =
+    sum(pmod(c, lit(1000003L))).cast("long")
+
+  private def crawlStageRow(idx: Int, name: String, df: DataFrame,
+      n: Column, checksum: Column): DataFrame =
+    df.agg(n.cast("long").as("n"), checksum.as("checksum"))
+      .select(lit(idx).as("stage_idx"), lit(name).as("stage"),
+        col("n"), col("checksum"))
+
+  /** The flagship's planted crawl rows `(doc_id, text, url,
+    * __refetch)`: content-dup plant (≡ 4 mod [[CrawlDupMod]] carries
+    * the previous doc's text) and the refetch plant (≡ 2 mod
+    * [[CrawlRefetchMod]] appears twice, the second leg under a
+    * cosmetic URL variant, `__refetch = 1`). Shared by the one-shot
+    * (q241) and incremental (q248) builds so both crawls are the SAME
+    * crawl. */
+  private def crawlPlanted(raw: DataFrame): DataFrame = {
     val prev = raw.select((col("doc_id") + 1).as("doc_id"),
       col("text").as("__prevText"))
     val withDup = raw.join(prev, Seq("doc_id"), "left")
@@ -3479,99 +3492,91 @@ object LlmQueries {
       pmod(col("doc_id"), lit(5)).cast("string"),
       lit(".EXAMPLE.ORG:80/doc/"), col("doc_id").cast("string"),
       lit("?b=2&a=1#frag"))
-    val planted = withDup.select(col("doc_id"), col("text"),
-        urlBase.as("url"))
+    withDup.select(col("doc_id"), col("text"), urlBase.as("url"),
+        lit(0).as("__refetch"))
       .unionByName(withDup
         .where(pmod(col("doc_id"), lit(CrawlRefetchMod)) === 2)
-        .select(col("doc_id"), col("text"), urlVariant.as("url")))
-    // the PRODUCTION container (round-15): member-per-record .warc.gz
-    // read back through the byte-exact gzip walker — the flagship now
-    // consumes the same container shape a real crawl delivers, and the
-    // text reader's ASCII restriction is gone with it (every non-null
-    // document participates; this testdata is ASCII so the funnel
-    // counts are unchanged, but the path no longer depends on it).
-    // Round-16: the container also carries BINARY image records (the
-    // [[CrawlImgMod]] plant) — real crawls interleave media responses
-    // with the HTML, and the funnel gains the image-dedup track below.
-    locally {
-      import s.implicits._
-      val imgHttpHdr = "HTTP/1.1 200 OK\r\nContent-Type: image/bmp\r\n\r\n"
-        .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
-      val imgRows = raw
-        .where(col("text").isNotNull &&
-          pmod(col("doc_id"), lit(CrawlImgMod)) === 1)
-        .select(col("doc_id")).as[Long]
-        .map { d0 =>
-          val sd = if (d0 % 39 == 27) d0 - CrawlImgMod else d0
-          (s"http://img.example.org/img/$d0.bmp",
-            imgHttpHdr ++ Multimodal.encodeBmp(imgW(sd), imgH(sd),
-              imgPlane(sd)))
-        }
-        .toDF("uri", "payload")
-        .select(Warc.recordBinCol(lit("response"), col("uri"),
-          col("payload")).as("value"))
-      Warc.writeWarcGzRows(
-        Warc.syntheticWarcGzRows(planted).unionByName(imgRows), s"$p/warc")
-    }
+        .select(col("doc_id"), col("text"), urlVariant.as("url"),
+          lit(1).as("__refetch")))
+  }
 
-    // stage 0-1: records -> HTTP 200 responses (chaff + 404s fall).
-    // Every stage boundary is an eager localCheckpoint (mark/release,
-    // the connectedComponents discipline): the funnel plus the plant
-    // requires evaluate ~20 bounded actions, and without the checkpoints
-    // each one would re-parse the WARC files and re-run every upstream
-    // stage (measured 20x at 10^5 docs in LargeCurationBench).
-    var owned = List.empty[DataFrame]
-    def mark(df: DataFrame): DataFrame = {
-      val m = graft.engine.Checkpoints.mark(df)
-      owned ::= m
-      m
-    }
-    try {
-    // image-record uris carry no /doc/ segment — they extract to NULL
-    // (nullif, not a bare ANSI cast of '') and contribute nothing to
-    // the id checksums; their track derives its own ids below
-    val recs = mark(Warc.recordsGz(s, s"$p/warc")
-      .withColumn("doc_id",
-        nullif(regexp_extract(col("uri"), "/doc/([0-9]+)", 1), lit(""))
-          .cast("long")))
-    val resp = mark(Warc.httpResponses(recs
-        .drop("doc_id"))
-      .withColumn("doc_id",
-        nullif(regexp_extract(col("uri"), "/doc/([0-9]+)", 1), lit(""))
-          .cast("long")))
-    require(resp.where(col("truncated")).isEmpty, "no torn records")
-    // the TEXT track is content-typed (round-16): image responses ride
-    // the same container and take the binary track below
-    val s1 = resp.where(col("http_status") === 200 &&
-        col("content_type") === "text/html")
-      .select(col("doc_id"), col("body"))
-    // stage 2: URL dedup through the real canonicalizer — refetch
-    // variants collapse; surviving duplicate rows are bit-identical
-    val keepers = Dedup.urlDedup(
-      resp.where(col("http_status") === 200 &&
-          col("content_type") === "text/html")
-        .select(col("doc_id"), col("uri").as("url")), "url", "doc_id")
-      .select(col("keep_id").as("doc_id"))
-    val s2 = mark(s1.join(keepers.distinct(), "doc_id")
-      .dropDuplicates("doc_id"))
-    val nRefetchAlive = raw
-      .where(pmod(col("doc_id"), lit(CrawlRefetchMod)) === 2 &&
-        pmod(col("doc_id"), lit(19)) =!= 0 && col("text").isNotNull)
-      .count()
-    require(s1.count() - s2.count() == nRefetchAlive,
-      "URL dedup must drop exactly the surviving refetch variants")
-    // stage 3: HTML strip
-    val s3 = mark(TextOps.stripHtml(s2, "body", "doc_id"))
+  /** Binary image record rows for the [[CrawlImgMod]] plant over a
+    * carrier-id frame: one `image/bmp` response per carrier (BMP bytes
+    * by the [[imgPlane]] arithmetic; ≡ 27 mod 39 carries the previous
+    * carrier's image). JVM work is the BMP encode only — the record
+    * framing stays in-plan. */
+  private def crawlImgRecordRows(s: SparkSession,
+      carriers: DataFrame): DataFrame = {
+    import s.implicits._
+    val imgHttpHdr = "HTTP/1.1 200 OK\r\nContent-Type: image/bmp\r\n\r\n"
+      .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    carriers.select(col("doc_id")).as[Long]
+      .map { d0 =>
+        val sd = if (d0 % 39 == 27) d0 - CrawlImgMod else d0
+        (s"http://img.example.org/img/$d0.bmp",
+          imgHttpHdr ++ Multimodal.encodeBmp(imgW(sd), imgH(sd),
+            imgPlane(sd)))
+      }
+      .toDF("uri", "payload")
+      .select(graft.sources.Warc.recordBinCol(lit("response"), col("uri"),
+        col("payload")).as("value"))
+  }
+
+  /** The image-record carrier set of a crawl slice: non-null text,
+    * doc_id ≡ 1 (mod [[CrawlImgMod]]). */
+  private def crawlImgCarriers(raw: DataFrame): DataFrame =
+    raw.where(col("text").isNotNull &&
+        pmod(col("doc_id"), lit(CrawlImgMod)) === 1)
+      .select(col("doc_id"))
+
+  /** Stage 14's EXACT-image keep-min over a `(doc_id, b0..b3, __sig)`
+    * fingerprint frame: capped banded hamming-0 candidates, verified
+    * by payload-signature equality (dHash is perceptual — candidates
+    * are a superset), larger id of each verified pair drops. `own`
+    * receives the pair machine's internal hash checkpoint for
+    * caller-scoped release. */
+  private def imageExactSurvivors(hs: DataFrame,
+      own: DataFrame => Unit): DataFrame = {
+    val (pairsI, _) = Multimodal.dhashNearDupPairsCapped(
+      hs.select("doc_id", "b0", "b1", "b2", "b3"), "doc_id",
+      maxHamming = 0, maxBucket = DHashPairCap)
+    own(pairsI)
+    val sigI = hs.select(col("doc_id"), col("__sig"))
+    val dupImgs = pairsI
+      .join(sigI.select(col("doc_id").as("a"), col("__sig").as("__sa")), "a")
+      .join(sigI.select(col("doc_id").as("b"), col("__sig").as("__sb")), "b")
+      .where(col("__sa") === col("__sb"))
+      .select(col("b").as("doc_id")).distinct()
+    hs.select("doc_id").join(dupImgs, Seq("doc_id"), "left_anti")
+  }
+
+  /** Shared funnel stages from the STRIPPED corpus on: boilerplate
+    * (stage 4, either the inline one-pass df — `heavy = None` — or the
+    * supplied maintained heavy-line rollup), language gate, binding
+    * quality rules, exact near-dup keep-min, decontamination vs the
+    * raw eval holdout, temperature mixture, token packing, and the
+    * reproducible split — funnel rows 4..13, with every plant's
+    * recovery require-gated. `s3t` is `(doc_id, text_clean)`; both
+    * flagship builds (q241 one-shot, q248 incremental) run EXACTLY
+    * this code, which is what makes their funnels comparable row for
+    * row. */
+  private def corpusTailRows(s: SparkSession, raw: DataFrame,
+      s3t: DataFrame, heavy: Option[DataFrame],
+      mark: DataFrame => DataFrame): Seq[DataFrame] = {
+    val ck = crawlCk _
     // stage 4: line-level boilerplate — every page re-lined with its
     // host's footer; df >= host size removes exactly the footer
-    val lined = s3.select(col("doc_id"),
+    val lined = s3t.select(col("doc_id"),
       concat(col("text_clean"), lit("\nvisit the src"),
         pmod(col("doc_id"), lit(5)).cast("string"),
         lit(" portal today")).as("text"))
-    val s4 = mark(TextOps.dropBoilerplateLines(lined, "text", "doc_id",
+    val s4 = mark((heavy match {
+      case None => TextOps.dropBoilerplateLines(lined, "text", "doc_id",
         minDf = 5)
-      .select(col("doc_id"), col("text_clean").as("text"),
-        col("n_removed")))
+      case Some(hv) => TextOps.dropBoilerplateLinesWith(lined, "text",
+        "doc_id", hv)
+    }).select(col("doc_id"), col("text_clean").as("text"),
+      col("n_removed")))
     require(s4.where(col("n_removed") =!= 1).isEmpty,
       "boilerplate must remove exactly the one planted footer per page")
     require(s4.where(col("text").contains(" portal today")).isEmpty,
@@ -3626,32 +3631,115 @@ object LlmQueries {
       TextOps.tokenCount(col("text")), ChunkTokens)
     // stage 11: reproducible split
     val split = TextOps.hashSplit(s8, "doc_id")
+    Seq(
+      crawlStageRow(4, "boilerplate", s4, count(lit(1)),
+        ck(TextOps.portableHash(col("text"), 7))),
+      crawlStageRow(5, "langid_en", s5, count(lit(1)), ck(col("doc_id"))),
+      crawlStageRow(6, "quality", s6, count(lit(1)), ck(col("doc_id"))),
+      crawlStageRow(7, "near_dup", s7, count(lit(1)), ck(col("doc_id"))),
+      crawlStageRow(8, "decontaminate", s8, count(lit(1)),
+        ck(col("doc_id"))),
+      crawlStageRow(9, "mixture", mixed, sum(col("__copies")),
+        ck(col("doc_id") * col("__copies"))),
+      crawlStageRow(10, "pack",
+        packed.select(col("doc_id"), col("chunk_id"), col("host")),
+        countDistinct(col("host"), col("chunk_id")),
+        ck(col("doc_id") * (col("chunk_id") + 1))),
+      crawlStageRow(11, "split_train", split.where(col("split") === "train"),
+        count(lit(1)), ck(col("doc_id"))),
+      crawlStageRow(12, "split_val", split.where(col("split") === "val"),
+        count(lit(1)), ck(col("doc_id"))),
+      crawlStageRow(13, "split_test", split.where(col("split") === "test"),
+        count(lit(1)), ck(col("doc_id"))))
+  }
+
+  def buildCrawlCorpus(s: SparkSession, raw0: DataFrame,
+      p: String): Unit = {
+    import graft.sources.Warc
+    val ck = crawlCk _
+    val raw = raw0
+    val planted = crawlPlanted(raw).drop("__refetch")
+    // the PRODUCTION container (round-15): member-per-record .warc.gz
+    // read back through the byte-exact gzip walker — the flagship now
+    // consumes the same container shape a real crawl delivers, and the
+    // text reader's ASCII restriction is gone with it (every non-null
+    // document participates; this testdata is ASCII so the funnel
+    // counts are unchanged, but the path no longer depends on it).
+    // Round-16: the container also carries BINARY image records (the
+    // [[CrawlImgMod]] plant) — real crawls interleave media responses
+    // with the HTML, and the funnel gains the image-dedup track below.
+    Warc.writeWarcGzRows(
+      Warc.syntheticWarcGzRows(planted)
+        .unionByName(crawlImgRecordRows(s, crawlImgCarriers(raw))),
+      s"$p/warc")
+
+    // stage 0-1: records -> HTTP 200 responses (chaff + 404s fall).
+    // Every stage boundary is an eager localCheckpoint (mark/release,
+    // the connectedComponents discipline): the funnel plus the plant
+    // requires evaluate ~20 bounded actions, and without the checkpoints
+    // each one would re-parse the WARC files and re-run every upstream
+    // stage (measured 20x at 10^5 docs in LargeCurationBench).
+    var owned = List.empty[DataFrame]
+    def mark(df: DataFrame): DataFrame = {
+      val m = graft.engine.Checkpoints.mark(df)
+      owned ::= m
+      m
+    }
+    try {
+    // image-record uris carry no /doc/ segment — they extract to NULL
+    // (nullif, not a bare ANSI cast of '') and contribute nothing to
+    // the id checksums; their track derives its own ids below
+    val recs = mark(Warc.recordsGz(s, s"$p/warc")
+      .withColumn("doc_id",
+        nullif(regexp_extract(col("uri"), "/doc/([0-9]+)", 1), lit(""))
+          .cast("long")))
+    val resp = mark(Warc.httpResponses(recs
+        .drop("doc_id"))
+      .withColumn("doc_id",
+        nullif(regexp_extract(col("uri"), "/doc/([0-9]+)", 1), lit(""))
+          .cast("long")))
+    require(resp.where(col("truncated")).isEmpty, "no torn records")
+    // the TEXT track is content-typed (round-16): image responses ride
+    // the same container and take the binary track below
+    val s1 = resp.where(col("http_status") === 200 &&
+        col("content_type") === "text/html")
+      .select(col("doc_id"), col("body"))
+    // stage 2: URL dedup through the real canonicalizer — refetch
+    // variants collapse; surviving duplicate rows are bit-identical
+    val keepers = Dedup.urlDedup(
+      resp.where(col("http_status") === 200 &&
+          col("content_type") === "text/html")
+        .select(col("doc_id"), col("uri").as("url")), "url", "doc_id")
+      .select(col("keep_id").as("doc_id"))
+    val s2 = mark(s1.join(keepers.distinct(), "doc_id")
+      .dropDuplicates("doc_id"))
+    val nRefetchAlive = raw
+      .where(pmod(col("doc_id"), lit(CrawlRefetchMod)) === 2 &&
+        pmod(col("doc_id"), lit(19)) =!= 0 && col("text").isNotNull)
+      .count()
+    require(s1.count() - s2.count() == nRefetchAlive,
+      "URL dedup must drop exactly the surviving refetch variants")
+    // stage 3: HTML strip
+    val s3 = mark(TextOps.stripHtml(s2, "body", "doc_id"))
+    // stages 4-13: the shared tail (inline one-pass boilerplate df)
+    val tailRows = corpusTailRows(s, raw,
+      s3.select(col("doc_id"), col("text_clean")), heavy = None, mark)
 
     // stage 14 (round-16): the IMAGE-DEDUP track — binary payloads off
     // the SAME container through recordsGzBytes → per-format decode →
-    // dHash → capped banded candidates → byte-equality verification →
-    // keep-min (dHash is perceptual, so hamming-0 candidates verify by
-    // the 16 B payload md5 before anything drops — the
-    // editVerifiedPairs discipline on the image side)
+    // dHash fingerprints + payload md5 in one compact frame → exact
+    // keep-min ([[imageExactSurvivors]])
     val respB = mark(Warc.httpResponseBytes(
         Warc.recordsGzBytes(s, s"$p/warc"))
       .where(col("content_type") === "image/bmp")
       .select(regexp_extract(col("uri"), "/img/([0-9]+)\\.bmp$", 1)
         .cast("long").as("doc_id"),
         col("body").as("payload")))
-    val decI = mark(Multimodal.decodeAny(respB, "doc_id"))
-    val (pairsI, _) = Multimodal.dhashNearDupPairsCapped(
-      Multimodal.imageDHash(decI), "doc_id",
-      maxHamming = 0, maxBucket = DHashPairCap)
-    owned ::= pairsI // the pair machine's internal hash checkpoint
-    val sigI = respB.select(col("doc_id"), md5(col("payload")).as("__sig"))
-    val dupImgs = pairsI
-      .join(sigI.select(col("doc_id").as("a"), col("__sig").as("__sa")), "a")
-      .join(sigI.select(col("doc_id").as("b"), col("__sig").as("__sb")), "b")
-      .where(col("__sa") === col("__sb"))
-      .select(col("b").as("doc_id")).distinct()
-    val sImg = mark(decI.select("doc_id")
-      .join(dupImgs, Seq("doc_id"), "left_anti"))
+    val hsI = mark(Multimodal.imageDHash(Multimodal.decodeAny(respB,
+        "doc_id"))
+      .join(respB.select(col("doc_id"), md5(col("payload")).as("__sig")),
+        "doc_id"))
+    val sImg = mark(imageExactSurvivors(hsI, pf => owned ::= pf))
     val plantedImgDup = respB.alias("ia")
       .where(pmod(col("ia.doc_id"), lit(39)) === 27)
       .join(respB.alias("ib"),
@@ -3660,38 +3748,16 @@ object LlmQueries {
     require(sImg.join(plantedImgDup, "doc_id").isEmpty,
       "every planted image dup whose source image is in the crawl must fall")
 
-    def stageRow(idx: Int, name: String, df: DataFrame, n: Column,
-        checksum: Column): DataFrame =
-      df.agg(n.cast("long").as("n"), checksum.as("checksum"))
-        .select(lit(idx).as("stage_idx"), lit(name).as("stage"),
-          col("n"), col("checksum"))
-    val funnel = Seq(
-      stageRow(0, "warc_records", recs, count(lit(1)),
+    val funnel = (Seq(
+      crawlStageRow(0, "warc_records", recs, count(lit(1)),
         ck(col("doc_id"))),
-      stageRow(1, "http_200", s1, count(lit(1)), ck(col("doc_id"))),
-      stageRow(2, "url_dedup", s2, count(lit(1)), ck(col("doc_id"))),
-      stageRow(3, "html_strip", s3, count(lit(1)),
-        ck(TextOps.portableHash(col("text_clean"), 7))),
-      stageRow(4, "boilerplate", s4, count(lit(1)),
-        ck(TextOps.portableHash(col("text"), 7))),
-      stageRow(5, "langid_en", s5, count(lit(1)), ck(col("doc_id"))),
-      stageRow(6, "quality", s6, count(lit(1)), ck(col("doc_id"))),
-      stageRow(7, "near_dup", s7, count(lit(1)), ck(col("doc_id"))),
-      stageRow(8, "decontaminate", s8, count(lit(1)), ck(col("doc_id"))),
-      stageRow(9, "mixture", mixed, sum(col("__copies")),
-        ck(col("doc_id") * col("__copies"))),
-      stageRow(10, "pack",
-        packed.select(col("doc_id"), col("chunk_id"),
-          col("host")),
-        countDistinct(col("host"), col("chunk_id")),
-        ck(col("doc_id") * (col("chunk_id") + 1))),
-      stageRow(11, "split_train", split.where(col("split") === "train"),
-        count(lit(1)), ck(col("doc_id"))),
-      stageRow(12, "split_val", split.where(col("split") === "val"),
-        count(lit(1)), ck(col("doc_id"))),
-      stageRow(13, "split_test", split.where(col("split") === "test"),
-        count(lit(1)), ck(col("doc_id"))),
-      stageRow(14, "image_dedup", sImg, count(lit(1)), ck(col("doc_id")))
+      crawlStageRow(1, "http_200", s1, count(lit(1)), ck(col("doc_id"))),
+      crawlStageRow(2, "url_dedup", s2, count(lit(1)), ck(col("doc_id"))),
+      crawlStageRow(3, "html_strip", s3, count(lit(1)),
+        ck(TextOps.portableHash(col("text_clean"), 7)))) ++
+      tailRows ++ Seq(
+      crawlStageRow(14, "image_dedup", sImg, count(lit(1)),
+        ck(col("doc_id"))))
     ).reduce(_ unionByName _)
     funnel.write.mode("overwrite").parquet(s"$p/funnel")
     } finally owned.foreach(graft.engine.Checkpoints.release)
@@ -3712,6 +3778,208 @@ object LlmQueries {
     * binary records) that never touches the WARC files. */
   def crawlToCorpusQ(s: SparkSession, d: String): DataFrame =
     s.read.parquet(s"${crawlCorpusCache(s, d)}/funnel")
+      .orderBy("stage_idx")
+
+  /** How many crawl batches the q248 incremental build ingests. */
+  val CrawlBatches = 3
+
+  /** q248's INCREMENTAL crawl build — the SAME crawl as q241, arriving
+    * as [[CrawlBatches]] container batches (a doc lands in batch
+    * `doc_id mod 3`; its refetch variant arrives one batch LATER, the
+    * real-crawl shape that forces CROSS-batch URL dedup; an image
+    * dup's source likewise sits in the previous batch). Per batch,
+    * everything maintained is an ORDER-INDEPENDENT merge, which is the
+    * whole theorem:
+    *
+    *  - URL keys append to the maintained index
+    *    ([[Dedup.urlIndexAppendBatch]], its own `lastbatch` replay
+    *    guard); a batch row whose canonical hash is ALREADY indexed is
+    *    a refetch of a staged doc and drops at ingest — the staged
+    *    corpus holds each doc exactly once (require-gated);
+    *  - the new docs strip ([[TextOps.stripHtml]]) and append to the
+    *    staged corpus (8 B id + clean text — per-doc work happens once,
+    *    at ingest);
+    *  - the line-df partial ([[TextOps.lineDfPartial]]) appends —
+    *    additive because each doc stages in exactly one batch, so the
+    *    final `SUM ≥ minDf` rollup IS the one-shot document frequency;
+    *  - image fingerprints (dHash bands + payload md5, 48 B/image —
+    *    never pixels) append to the maintained fingerprint table;
+    *  - funnel partials for rows 0-1 append (mod-sum checksums are
+    *    additive by construction).
+    *
+    * Every append is guarded by a per-structure `lastbatch` marker
+    * (the [[graft.sources.Markers]] at-least-once discipline) and the
+    * gate REPLAYS the final batch end-to-end, requiring every guard to
+    * no-op and the staged corpus not to grow. Corpus FINALIZATION
+    * (boilerplate apply from the maintained df rollup, language /
+    * quality / near-dup / decontamination / mixture / pack / split,
+    * image keep-min) then runs over the accumulated state — the
+    * ingest-continuously, curate-periodically shape production
+    * pipelines use — through [[corpusTailRows]], the IDENTICAL code
+    * the one-shot build runs. The funnel is gated against q241's
+    * oracle VERBATIM: batch-oblivious equals one-shot, row for row. */
+  def buildCrawlIncr(s: SparkSession, raw0: DataFrame, p: String): Unit = {
+    import graft.sources.Warc
+    val ck = crawlCk _
+    val raw = raw0
+    val planted = crawlPlanted(raw)
+    val urlIdx = s"$p/urlidx"
+    def guarded(sub: String, batchId: Long)(write: => Unit): Boolean = {
+      val mk = s"$p/$sub.lastbatch"
+      if (batchId <= graft.sources.Markers.readLastBatch(s, mk)) false
+      else {
+        write
+        graft.sources.Markers.writeLastBatch(s, mk, batchId)
+        true
+      }
+    }
+    def keysExist: Boolean = {
+      val kp = new org.apache.hadoop.fs.Path(s"$urlIdx/keys")
+      kp.getFileSystem(s.sparkContext.hadoopConfiguration).exists(kp)
+    }
+    var owned = List.empty[DataFrame]
+    def mark(df: DataFrame): DataFrame = {
+      val m = graft.engine.Checkpoints.mark(df)
+      owned ::= m
+      m
+    }
+    val footer = concat(col("text_clean"), lit("\nvisit the src"),
+      pmod(col("doc_id"), lit(5)).cast("string"), lit(" portal today"))
+    try {
+      // one ingest round; returns the per-structure applied flags so
+      // the replay exercise can require they ALL no-op
+      def ingestBatch(k: Int): Seq[Boolean] = {
+        val bplant = planted
+          .where(pmod(col("doc_id") + col("__refetch"),
+            lit(CrawlBatches)) === k)
+          .drop("__refetch")
+        val bimg = crawlImgCarriers(raw)
+          .where(pmod(col("doc_id"), lit(CrawlBatches)) === k)
+        // container write is idempotent (same bytes, overwrite)
+        Warc.writeWarcGzRows(
+          Warc.syntheticWarcGzRows(bplant)
+            .unionByName(crawlImgRecordRows(s, bimg)),
+          s"$p/warc_b$k")
+        val recs = mark(Warc.recordsGz(s, s"$p/warc_b$k")
+          .withColumn("doc_id",
+            nullif(regexp_extract(col("uri"), "/doc/([0-9]+)", 1), lit(""))
+              .cast("long")))
+        val resp = mark(Warc.httpResponses(recs.drop("doc_id"))
+          .withColumn("doc_id",
+            nullif(regexp_extract(col("uri"), "/doc/([0-9]+)", 1), lit(""))
+              .cast("long")))
+        require(resp.where(col("truncated")).isEmpty, "no torn records")
+        val s1b = mark(resp.where(col("http_status") === 200 &&
+            col("content_type") === "text/html")
+          .select(col("doc_id"), col("uri").as("url"), col("body")))
+        val partial = crawlStageRow(0, "warc_records", recs, count(lit(1)),
+            ck(col("doc_id")))
+          .unionByName(crawlStageRow(1, "http_200", s1b, count(lit(1)),
+            ck(col("doc_id"))))
+        val applied0 = guarded("partials", k) {
+          partial.write.mode("append").parquet(s"$p/partials")
+        }
+        // the maintained-index PROBE: canonical hashes already indexed
+        // are refetches of docs staged by an earlier batch — they drop
+        // at ingest (within a batch no two rows share a canonical URL
+        // by construction: a variant lands one batch after its base)
+        val uh = TextOps.portableHash(TextOps.canonicalUrl(col("url")), 23)
+          .as("__uh")
+        val newRows =
+          if (keysExist)
+            s1b.withColumn("__uh", uh)
+              .join(s.read.parquet(s"$urlIdx/keys").select("url_h"),
+                col("__uh") === col("url_h"), "left_anti")
+          else s1b
+        val stripped = mark(TextOps.stripHtml(
+          newRows.select("doc_id", "body"), "body", "doc_id"))
+        val applied1 = guarded("staged", k) {
+          stripped.select("doc_id", "text_clean")
+            .write.mode("append").parquet(s"$p/staged")
+        }
+        val applied2 = guarded("linedf", k) {
+          TextOps.lineDfPartial(
+              stripped.select(col("doc_id"), footer.as("text")),
+              "text", "doc_id")
+            .write.mode("append").parquet(s"$p/linedf")
+        }
+        val respB = mark(Warc.httpResponseBytes(
+            Warc.recordsGzBytes(s, s"$p/warc_b$k"))
+          .where(col("content_type") === "image/bmp")
+          .select(regexp_extract(col("uri"), "/img/([0-9]+)\\.bmp$", 1)
+            .cast("long").as("doc_id"),
+            col("body").as("payload")))
+        val applied3 = guarded("imgidx", k) {
+          Multimodal.imageDHash(Multimodal.decodeAny(respB, "doc_id"))
+            .join(respB.select(col("doc_id"),
+              md5(col("payload")).as("__sig")), "doc_id")
+            .write.mode("append").parquet(s"$p/imgidx")
+        }
+        // URL keys append LAST: every probe above evaluated already
+        val applied4 = Dedup.urlIndexAppendBatch(urlIdx,
+          s1b.select("doc_id", "url"), "url", "doc_id", k.toLong)
+        Seq(applied0, applied1, applied2, applied3, applied4)
+      }
+      for (k <- 0 until CrawlBatches)
+        require(ingestBatch(k).forall(identity), s"batch $k must apply")
+      // REPLAY GUARD, exercised in-gate: re-ingesting the final batch
+      // must no-op on every maintained structure
+      val stagedN = s.read.parquet(s"$p/staged").count()
+      require(ingestBatch(CrawlBatches - 1).forall(a => !a),
+        "a replayed batch must no-op on every maintained structure")
+      require(s.read.parquet(s"$p/staged").count() == stagedN,
+        "a replayed batch must not grow the staged corpus")
+      // cross-batch URL dedup proof: each fetchable doc staged once
+      require(stagedN == raw.where(col("text").isNotNull &&
+          pmod(col("doc_id"), lit(19)) =!= 0).count(),
+        "the maintained URL probe must stage each doc exactly once")
+
+      // FINALIZATION over the accumulated state
+      val staged = mark(s.read.parquet(s"$p/staged"))
+      val hv = s.read.parquet(s"$p/linedf")
+        .groupBy("__lh").agg(sum("__df").as("__df"))
+        .where(col("__df") >= 5).select("__lh")
+      val tailRows = corpusTailRows(s, raw, staged, heavy = Some(hv), mark)
+      val hsAll = mark(s.read.parquet(s"$p/imgidx"))
+      val sImg = mark(imageExactSurvivors(hsAll, pf => owned ::= pf))
+      val plantedImgDup = hsAll.alias("ia")
+        .where(pmod(col("ia.doc_id"), lit(39)) === 27)
+        .join(hsAll.alias("ib"),
+          col("ib.doc_id") === col("ia.doc_id") - CrawlImgMod)
+        .select(col("ia.doc_id"))
+      require(sImg.join(plantedImgDup, "doc_id").isEmpty,
+        "every planted image dup whose source image is in the crawl must fall")
+      val partials = s.read.parquet(s"$p/partials")
+      def sumRow(idx: Int, name: String): DataFrame =
+        crawlStageRow(idx, name,
+          partials.where(col("stage_idx") === idx),
+          sum(col("n")), sum(col("checksum")).cast("long"))
+      val funnel = (Seq(
+        sumRow(0, "warc_records"),
+        sumRow(1, "http_200"),
+        crawlStageRow(2, "url_dedup", staged, count(lit(1)),
+          ck(col("doc_id"))),
+        crawlStageRow(3, "html_strip", staged, count(lit(1)),
+          ck(TextOps.portableHash(col("text_clean"), 7)))) ++
+        tailRows ++ Seq(
+        crawlStageRow(14, "image_dedup", sImg, count(lit(1)),
+          ck(col("doc_id"))))
+      ).reduce(_ unionByName _)
+      funnel.write.mode("overwrite").parquet(s"$p/funnel")
+    } finally owned.foreach(graft.engine.Checkpoints.release)
+  }
+
+  private val crawlIncrCache = new SessionPathMemo("crawlincr",
+    (s, d, p) => buildCrawlIncr(s, docs(s, d), p))
+
+  /** q248 — the INCREMENTAL crawl flagship ([[buildCrawlIncr]]): the
+    * q241 crawl ingested as three container batches through the
+    * maintained URL-key index / staged corpus / line-df partials /
+    * image-fingerprint table, finalized once — gated against q241's
+    * funnel oracle VERBATIM, with the final batch's replay no-op
+    * require-gated in the build. */
+  def crawlIncrementalQ(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(s"${crawlIncrCache(s, d)}/funnel")
       .orderBy("stage_idx")
 
   /** The Z-ordered events layout (memoized per session):
@@ -8170,7 +8438,19 @@ object LlmQueries {
     // marker langid, binding Gopher rules, bag-of-words fingerprint
     // keep-min, 3-gram decontamination vs the raw eval holdout, the q85
     // temperature replay, the q64 cumulative pack, and the q58 split
-    "q241_crawl_to_corpus" -> {
+    "q241_crawl_to_corpus" -> crawlFunnelOracleSql,
+
+    // VERBATIM the q241 oracle: the incremental build ingests the SAME
+    // crawl as three batches through the maintained URL-key index,
+    // staged stripped corpus, additive line-df partials, and the
+    // maintained image-fingerprint table — matching the one-shot
+    // rebuild's oracle row for row proves batch-obliviousness (every
+    // maintained structure is an order-independent merge)
+    "q248_crawl_incremental" -> crawlFunnelOracleSql,
+  ) ++ sqlPart2
+
+  /** The shared q241/q248 funnel oracle (see the map entries above). */
+  private lazy val crawlFunnelOracleSql: String = {
       val hT = pHash("7", "t4")
       val hTc = pHash("7", "tc")
       val hsc = TextOps.langMarkers.map { case (l, re) =>
@@ -8351,8 +8631,11 @@ object LlmQueries {
          |  UNION ALL SELECT 13, 'split_test', n, c FROM st13
          |  UNION ALL SELECT 14, 'image_dedup', n, c FROM st14)
          |ORDER BY stage_idx""".stripMargin
-    },
+  }
 
+  /** Continuation of [[sql]] (split only so [[crawlFunnelOracleSql]]
+    * can sit between its two consumers). */
+  private lazy val sqlPart2: Map[String, String] = Map(
     "q215_html_strip" ->
       """WITH p AS (SELECT doc_id,
         |    CASE WHEN doc_id % 3 = 0 THEN '<div class="x"><p>' || text ||
@@ -9666,6 +9949,7 @@ object LlmQueries {
     "q246_warc_gz" -> warcGzReadQ _,
     "q247_warc_image_payloads" -> warcImagePayloadsQ _,
     "q241_crawl_to_corpus" -> crawlToCorpusQ _,
+    "q248_crawl_incremental" -> crawlIncrementalQ _,
     "q235_rtbf_winnow" -> rtbfWinnowQ _,
     "q236_rtbf_dhash" -> rtbfDHashQ _,
     "q238_rtbf_kmv" -> rtbfKmvQ _,
