@@ -3154,6 +3154,51 @@ object LlmQueries {
     rtbfPhases(s, p, rtbfDHashProbe(s, d, p)).orderBy("phase", "a", "b")
   }
 
+  /** Per-directory memo of the RTBF SPECTRAL index — q146's capped
+    * spectral index over the original clips, then forget the ≡ 4 (mod
+    * 10) originals → materialized probe → purge → verify. The generic
+    * banded-index machine forgets dHash/spectral/SimHash through one
+    * shared path, but the q237 lesson is that family-specific sidecar
+    * interplay is where purge bugs live — so the spectral instance
+    * gets its own oracle gate (q250) instead of shared-code coverage. */
+  private val rtbfSpectralCache = new SessionPathMemo("rtbfspec",
+    (s, d, p) => {
+      Multimodal.dhashIndexWrite(
+        Multimodal.audioSpectralFingerprint(Multimodal.decodeWav(
+          wavRotatedPayloads(s, d), "doc_id", "payload")),
+        "doc_id", p, maxBucket = AudioPairCap)
+      Multimodal.dhashForget(s, p,
+        wavRotatedPayloads(s, d)
+          .where(pmod(col("doc_id"), lit(10)) === 4).select("doc_id"),
+        "doc_id")
+      rtbfSpectralProbe(s, d, p)
+        .write.mode("overwrite").parquet(s"$p/rtbf_probe")
+      Multimodal.dhashPurge(s, p)
+      require(Multimodal.dhashIndexVerify(s, p).isEmpty,
+        "purged spectral index must verify consistent")
+    })
+
+  private def rtbfSpectralProbe(s: SparkSession, d: String,
+      p: String): DataFrame =
+    Multimodal.dhashIncrementalPairs(s, p,
+      Multimodal.audioSpectralFingerprint(Multimodal.decodeWav(
+        wavRotatedPayloads(s, d, idOffset = 400000L, halfGain = true),
+        "doc_id", "payload")),
+      "doc_id", maxHamming = 8)
+
+  /** q250 — RTBF through the persisted SPECTRAL index
+    * ([[Multimodal.dhashForget]]/[[Multimodal.dhashPurge]] on the
+    * audio-fingerprint instance): q146's half-gain incremental probe
+    * after a takedown of the ≡ 4 (mod 10) original clips — their
+    * re-exports stop pairing (the takedown's point), every other
+    * re-export keeps finding its source, cap exclusions replay on the
+    * FULL index side, and the purged index re-verifies clean in-gate.
+    * Phase-paired like q236. */
+  def rtbfSpectralQ(s: SparkSession, d: String): DataFrame = {
+    val p = rtbfSpectralCache(s, d)
+    rtbfPhases(s, p, rtbfSpectralProbe(s, d, p)).orderBy("phase", "a", "b")
+  }
+
   /** Per-directory memo of the RTBF KMV sample: the whole corpus's
     * per-source sample as ONE appended batch, then the ≡ [[ForgetRes]]
     * (mod [[ForgetMod]]) docs' EXCLUSIVE word hashes (theirs anti-joined
@@ -6602,6 +6647,36 @@ object LlmQueries {
          |SELECT a, b, hamming FROM p2 WHERE hamming <= 8
          |ORDER BY a, b""".stripMargin,
 
+    // q146's replay with the taken-down ORIGINALS excluded from the
+    // index side, the cap HAVING on the FULL index side, crossed with
+    // the two phases (the q236 template on the spectral instance)
+    "q250_rtbf_spectral" ->
+      s"""WITH ${wavSigCtes("_o", halfGain = false)},
+         |${wavSigCtes("_h", halfGain = true)},
+         |$spectralTabCte,
+         |${spectralHashCtes("_o")},
+         |${spectralHashCtes("_h", 400000L)},
+         |hs AS (SELECT * FROM hb_o UNION ALL SELECT * FROM hb_h),
+         |e AS (SELECT doc_id, b0, b1, b2, b3, band,
+         |    CASE band WHEN 0 THEN b0 WHEN 1 THEN b1
+         |      WHEN 2 THEN b2 ELSE b3 END AS v
+         |  FROM hs CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band)),
+         |xb AS (SELECT band, v FROM e WHERE doc_id < 400000
+         |  GROUP BY band, v HAVING count(*) > $AudioPairCap),
+         |p2 AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+         |    (bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1)) +
+         |     bit_count(xor(x.b2, y.b2)) + bit_count(xor(x.b3, y.b3)))::BIGINT
+         |      AS hamming
+         |  FROM e x JOIN e y ON y.band = x.band AND y.v = x.v
+         |    AND x.doc_id < 400000 AND y.doc_id >= 400000
+         |    AND x.doc_id % 10 <> 4
+         |  LEFT JOIN xb ON xb.band = x.band AND xb.v = x.v
+         |  WHERE xb.band IS NULL),
+         |res AS (SELECT a, b, hamming FROM p2 WHERE hamming <= 8),
+         |ph AS (SELECT unnest(['forgotten', 'purged']) AS phase)
+         |SELECT phase, a, b, hamming FROM ph CROSS JOIN res
+         |ORDER BY phase, a, b""".stripMargin,
+
     // every frame's shifted plane rebuilt from text independently of the
     // container walk (decode-vs-construction symmetry, the q71 pattern)
     "q149_video_frames" ->
@@ -9952,6 +10027,7 @@ object LlmQueries {
     "q248_crawl_incremental" -> crawlIncrementalQ _,
     "q235_rtbf_winnow" -> rtbfWinnowQ _,
     "q236_rtbf_dhash" -> rtbfDHashQ _,
+    "q250_rtbf_spectral" -> rtbfSpectralQ _,
     "q238_rtbf_kmv" -> rtbfKmvQ _,
     "q205_kmv_sketch" -> kmvSketchQ _,
     "q206_kmv_merge" -> kmvMergeQ _,
