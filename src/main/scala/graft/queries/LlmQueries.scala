@@ -1951,6 +1951,40 @@ object LlmQueries {
         hex(col("pixels")).as("pixels_hex"))
       .orderBy("doc_id", "frame_idx")
 
+  /** q251 — ANIMATED-GIF frame extraction
+    * ([[Multimodal.decodeGifFrames]]): the q149 shape over a REAL
+    * container format — each doc's frames (the q149 text-shift layout
+    * on a w×h GRAY plane) encode as one multi-frame animated GIF via
+    * the JDK's ImageIO sequence writer (indexed 256-gray palette, so
+    * nothing quantizes), and the reader walks the container back into
+    * per-frame rows. The oracle rebuilds every frame's RGB hex from
+    * `documents` alone (each text char c → the gray triple c,c,c) — a
+    * decoder that mis-walked the GIF frame sequence, dropped a frame,
+    * or mixed palettes mismatches byte-for-byte. `decodeStub` now
+    * covers only codecs that genuinely need external libraries. */
+  def gifFramesQ(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val payloads = docs(s, d)
+      .where(col("text").isNotNull &&
+        octet_length(encode(col("text"), "UTF-8")) === length(col("text")))
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (d0, text) =>
+        val w = 4 + (d0 % 8).toInt
+        val h = 3 + (d0 % 5).toInt
+        val nf = (2 + d0 % 3).toInt
+        val frames = (0 until nf).map { f =>
+          text.drop(f).padTo(w * h, '.').take(w * h)
+            .map(_.toByte).toArray
+        }
+        (d0, Multimodal.encodeAnimatedGif(w, h, frames))
+      }
+      .toDF("doc_id", "payload")
+    Multimodal.decodeGifFrames(payloads, "doc_id")
+      .select(col("doc_id"), col("frame_idx"), col("width"), col("height"),
+        hex(col("pixels")).as("pixels_hex"))
+      .orderBy("doc_id", "frame_idx")
+  }
+
   /** q150 — VIDEO near-dup via SHARED FRAMES: per-frame dHash through
     * the capped banded machine at hamming 0 (exact frame-hash match),
     * lifted to video pairs — the re-encode leg (`id + 600000`) drops
@@ -5780,7 +5814,20 @@ object LlmQueries {
     * unknown doc to `und` at all three SFs; the one trade is a few
     * tail zh docs at sf0.1 (min −11.75e12) also reading `und`, which
     * the oracle replays exactly and the zh dominance require tolerates
-    * (the heuristic scores zh at 0). */
+    * (the heuristic scores zh at 0).
+    *
+    * FRAGILITY (round-15 ADVICE, acknowledged): the floor sits ~1%
+    * below the lowest measured trained-language score at the gate SFs,
+    * and that margin is CORPUS-DEPENDENT — regenerated or
+    * differently-sized testdata could move zh's tail across it and
+    * flip the q226 in-gate requires (the oracle itself always agrees:
+    * it replays the same constant). A production deployment would
+    * derive the floor per-corpus — e.g. the trained labels' held-out
+    * score minimum minus a fixed relative margin, re-measured whenever
+    * the model retrains — rather than pin an absolute constant; the
+    * constant is kept here because the gate's point is replaying the
+    * exact integer decision boundary, and bench/langid_und_floor.txt
+    * records the measurement to re-run against any new corpus. */
   val LangIdUndNano = -11450000000000L
 
   /** The q226/q240 PLANT: each labeled doc's text rendered so the
@@ -6676,6 +6723,30 @@ object LlmQueries {
          |ph AS (SELECT unnest(['forgotten', 'purged']) AS phase)
          |SELECT phase, a, b, hamming FROM ph CROSS JOIN res
          |ORDER BY phase, a, b""".stripMargin,
+
+    // q149's decode-vs-construction symmetry on the REAL container:
+    // every GIF frame's gray plane rebuilt from text (char c → the
+    // c,c,c RGB triple), hex-aggregated in pixel order
+    "q251_gif_frames" ->
+      """WITH base AS (SELECT doc_id, (4 + doc_id % 8)::INTEGER AS w,
+        |    (3 + doc_id % 5)::INTEGER AS h,
+        |    ((4 + doc_id % 8) * (3 + doc_id % 5))::INTEGER AS npix, text
+        |  FROM documents WHERE text IS NOT NULL
+        |    AND octet_length(encode(text)) = length(text)),
+        |fr AS (SELECT doc_id, f, w, h, npix,
+        |    rpad(substring(text, f + 1), npix, '.') AS pt
+        |  FROM base CROSS JOIN generate_series(0, 3) t(f)
+        |  WHERE f < 2 + doc_id % 3),
+        |px AS (SELECT doc_id, f, w, h, i,
+        |    repeat(hex(encode(substring(pt, i, 1))), 3) AS h3
+        |  FROM fr CROSS JOIN generate_series(1, 96) g(i)
+        |  WHERE i <= npix),
+        |hx AS (SELECT doc_id, f, w, h,
+        |    string_agg(h3, '' ORDER BY i) AS pixels_hex
+        |  FROM px GROUP BY doc_id, f, w, h)
+        |SELECT doc_id, f::INTEGER AS frame_idx, w AS width, h AS height,
+        |  pixels_hex
+        |FROM hx ORDER BY doc_id, frame_idx""".stripMargin,
 
     // every frame's shifted plane rebuilt from text independently of the
     // container walk (decode-vs-construction symmetry, the q71 pattern)
@@ -10047,6 +10118,7 @@ object LlmQueries {
     "q148_mixture_bpe" -> mixtureAllocationBpeQ _,
     "q155_pack_chunks_bpe" -> packChunksBpeQ _,
     "q149_video_frames" -> videoFramesQ _,
+    "q251_gif_frames" -> gifFramesQ _,
     "q150_video_neardup" -> videoNearDupQ _,
     "q154_video_winnow" -> videoWinnowQ _,
     "q160_video_winnow_incremental" -> videoWinnowIncrementalQ _,
