@@ -97,7 +97,9 @@ object Explain {
       "q236_rtbf_dhash", "q237_rtbf_bq_ivf", "q238_rtbf_kmv",
       "q239_warc_read", "q240_langid_train", "q241_crawl_to_corpus",
       "q242_rtbf_ivf", "q243_rtbf_ivfpq", "q244_rtbf_edges",
-      "q245_rtbf_histogram", "q246_warc_gz")
+      "q245_rtbf_histogram", "q246_warc_gz", "q247_warc_image_payloads",
+      "q248_crawl_incremental", "q249_pagerank_dangling",
+      "q250_rtbf_spectral", "q251_gif_frames")
     val sb = new StringBuilder(
       s"# PLANS — physical plans of headline queries ($sfDir)\n\n" +
         "Generated by `runMain graft.Explain`. The properties PlanSpec pins\n" +
