@@ -143,9 +143,17 @@ object Graph {
         .otherwise(col("__w0")))
       .drop("__w0")
 
-  /** The node frame one damped-flow iteration starts from:
-    * `(node, out_w, in_w, __n, pr = init)`. */
-  private def prStart(e: DataFrame, init: Column): DataFrame = {
+  /** The LOOP-INVARIANT node frame `(node, out_w, in_w, __n)` —
+    * degrees and the in-plan node count never change across rounds, so
+    * they are computed ONCE per call and each round re-joins this frame
+    * rather than carrying it through the rank lineage. That keeps the
+    * previous round's frame referenced only by the flow derivation
+    * (once flag-off, twice with dangling redistribution), so the
+    * fixed-iters logical plan grows LINEARLY in depth flag-off and
+    * 2^depth flag-on — not the 2^/3^depth of threading the full frame
+    * through every round (the shape that made the round-16 dangling
+    * gate spend 30+ s in analysis over a tiny host graph). */
+  private def prStatic(e: DataFrame): DataFrame = {
     val nodes = e.select(col("__src").as("node"))
       .unionByName(e.select(col("__dst").as("node")))
       .distinct()
@@ -161,8 +169,12 @@ object Graph {
         coalesce(col("out_w"), lit(0L)).as("out_w"),
         coalesce(col("in_w"), lit(0L)).as("in_w"))
       .crossJoin(broadcast(nDf))
-      .withColumn("pr", init)
   }
+
+  /** The node frame one damped-flow iteration starts from:
+    * `(node, out_w, in_w, __n, pr = init)`. */
+  private def prStart(static: DataFrame, init: Column): DataFrame =
+    static.withColumn("pr", init)
 
   /** ONE damped-flow round: `pr_next(node) = teleport +
     * Σ_incoming floor(damp(src)·w/W)` with the overflow-safe split.
@@ -177,9 +189,14 @@ object Graph {
     * 1-rows. Integer floors still only shed mass, so the ≤ [[PrScale]]
     * bound and partitioning-invariance hold unchanged (GraphSpec pins
     * both, plus flag-off ≡ flag-on on a dangling-free graph and exact
-    * hand-computed ranks on a planted-dangling 3-node chain). */
-  private def prRound(e: DataFrame, pr: DataFrame, teleport: Column,
-      redistribute: Boolean = false): DataFrame = {
+    * hand-computed ranks on a planted-dangling 3-node chain).
+    *
+    * `static` is [[prStatic]]'s loop-invariant degree frame: the next
+    * frame is `static ⋈ contrib`, NOT `pr ⋈ contrib`, so `pr` is
+    * referenced only by the flow side and per-round plan growth stays
+    * linear (flag-off) / 2^depth (flag-on) — see [[prStatic]]. */
+  private def prRound(e: DataFrame, static: DataFrame, pr: DataFrame,
+      teleport: Column, redistribute: Boolean = false): DataFrame = {
     // alias-qualified refs: each round re-joins `e` against a frame
     // whose lineage already contains `e` (ranks descend from degrees),
     // so bare names would be ambiguous after self-join deduplication
@@ -196,7 +213,7 @@ object Graph {
             col("dm.__W"))).as("__c"))
       .groupBy("node")
       .agg(sum("__c").as("__in"))
-    val base = pr.drop("pr").join(contrib, Seq("node"), "left")
+    val base = static.join(contrib, Seq("node"), "left")
     if (redistribute) {
       val dang = pr.where(col("out_w") === 0)
         .agg(coalesce(sum(idiv(col("pr") * lit(PrDampNum), lit(PrDampDen))),
@@ -218,9 +235,10 @@ object Graph {
       redistributeDangling: Boolean = false): DataFrame = {
     require(iters >= 1, s"need iters >= 1; got $iters")
     val e = mergedEdges(edges, src, dst, w)
-    var pr = prStart(e, init)
+    val static = prStatic(e)
+    var pr = prStart(static, init)
     for (_ <- 1 to iters)
-      pr = prRound(e, pr, teleport, redistributeDangling)
+      pr = prRound(e, static, pr, teleport, redistributeDangling)
     pr.select(col("node"), col("out_w"), col("in_w"), col("pr"))
   }
 
@@ -299,12 +317,15 @@ object Graph {
     require(maxIters >= 1, s"need maxIters >= 1; got $maxIters")
     require(tolScaled >= 0, s"need tolScaled >= 0; got $tolScaled")
     val e = graft.engine.Checkpoints.mark(mergedEdges(edges, src, dst, w))
-    var pr = graft.engine.Checkpoints.mark(prStart(e, init))
+    // the degree frame is loop-invariant: checkpointed once beside the
+    // edges so no round re-executes its distinct + degree joins
+    val static = graft.engine.Checkpoints.mark(prStatic(e))
+    var pr = graft.engine.Checkpoints.mark(prStart(static, init))
     var rounds = 0
     var delta = Long.MaxValue
     while (rounds < maxIters && delta > tolScaled) {
       val next = graft.engine.Checkpoints.mark(
-        prRound(e, pr, teleport, redistributeDangling))
+        prRound(e, static, pr, teleport, redistributeDangling))
       delta = next.alias("nw")
         .join(pr.alias("od"), col("nw.node") === col("od.node"))
         .agg(sum(abs(col("nw.pr") - col("od.pr"))).as("__d"))
@@ -314,6 +335,7 @@ object Graph {
       rounds += 1
       onRound(rounds, delta)
     }
+    graft.engine.Checkpoints.release(static)
     graft.engine.Checkpoints.release(e)
     PrConverged(pr.select(col("node"), col("out_w"), col("in_w"), col("pr")),
       rounds, delta)

@@ -2797,12 +2797,24 @@ object LlmQueries {
     * per-round `dang` CTE summing the dangling damp and adding its
     * floor share to every node — every digit of the redistribution
     * replays, and the sinks gate at a real rank (absorb-mode would
-    * leave total mass visibly lower). */
+    * leave total mass visibly lower).
+    *
+    * Runs through [[graft.operators.Graph.pageRankConverged]] at
+    * `maxIters = PrIters, tolScaled = 0` — bit-identical to the
+    * fixed-iters form (GraphSpec pins the equivalence; at an exact
+    * fixed point extra rounds change nothing) but per-round
+    * checkpointed: with redistribution each lazy round references the
+    * previous ranks twice (flow + dangling sum), so the lazily
+    * composed plan doubles per round — 15+ s of analysis over a tiny
+    * host graph — where the checkpointed loop stays flat. The
+    * returned frame owns its final checkpoint leaf; Verify/Bench
+    * release it after consumption (the q54 labels contract). */
   def pageRankDanglingQ(s: SparkSession, d: String): DataFrame =
-    graft.operators.Graph.pageRank(
+    graft.operators.Graph.pageRankConverged(
       hostEdges(s, d).unionByName(sinkEdges(s, d)),
-      "src", "dst", "w", PrIters, redistributeDangling = true)
-      .orderBy(desc("pr"), col("node"))
+      "src", "dst", "w", maxIters = PrIters, tolScaled = 0L,
+      redistributeDangling = true)
+      .ranks.orderBy(desc("pr"), col("node"))
 
   /** q216 — RECIPROCAL-RANK FUSION ([[Similarity.rrfFuse]]) of the two
     * retrieval tiers the engine already serves: the full-64-dim cosine
