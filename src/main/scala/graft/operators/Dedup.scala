@@ -899,6 +899,49 @@ object Dedup {
     * canonical keepers should treat `converged = false` as an error. */
   final case class CcResult(labels: DataFrame, iterations: Int, converged: Boolean)
 
+  /** Conf key for the small-graph local solve: at or under this many
+    * DIRECTED edges (post-distinct pair rows) the transitive closure
+    * runs as one union-find task over the already-materialized edge
+    * checkpoint (guide §2.4 — the same decision class as AQE's
+    * broadcast rewrite: the data provably fits one task, so the
+    * iterative rounds' per-stage scheduling is pure overhead). The
+    * labels are IDENTICAL — min id per component — and the gate is a
+    * measured count, not a core count, so a 100 TB corpus's pair graph
+    * takes the pointer-jumping loop unchanged (LargeDedupBench pins it
+    * at 5M docs via `localEdgeLimit=0`). Set 0 to force the loop. */
+  val CcLocalEdgeLimitKey = "spark.graft.cc.localEdgeLimit"
+  private val CcLocalEdgeLimitDefault = 2000000L
+
+  /** Single-task min-root union-find: path-compressing DSU where union
+    * always attaches the LARGER root under the smaller, so every find
+    * lands on the component MINIMUM — exactly the loop's fixpoint
+    * labels (OperatorSpec pins local ≡ loop on random graphs). Emits
+    * one `(node, min)` row per distinct endpoint. */
+  private def localUnionFind(
+      rows: Iterator[org.apache.spark.sql.Row]): Iterator[(Long, Long)] = {
+    val parent = new java.util.HashMap[Long, Long]()
+    def find(x0: Long): Long = {
+      var r = x0
+      var p = parent.getOrDefault(r, r)
+      while (p != r) { r = p; p = parent.getOrDefault(r, r) }
+      var y = x0
+      while (parent.getOrDefault(y, y) != r) {
+        val nx = parent.get(y); parent.put(y, r); y = nx
+      }
+      r
+    }
+    rows.foreach { row =>
+      val u = row.getLong(0); val v = row.getLong(1)
+      parent.putIfAbsent(u, u); parent.putIfAbsent(v, v)
+      val ru = find(u); val rv = find(v)
+      if (ru != rv) {
+        if (ru < rv) parent.put(rv, ru) else parent.put(ru, rv)
+      }
+    }
+    import scala.jdk.CollectionConverters._
+    parent.keySet().iterator().asScala.map(k => (k, find(k)))
+  }
+
   def connectedComponentsStats(
       nodes: DataFrame, pairs: DataFrame, id: String,
       maxIter: Int = 25): CcResult = {
@@ -911,6 +954,28 @@ object Dedup {
     // LogicalRDD children (deep self-unions over window/distinct lineages
     // trip Catalyst's Union constraint rewrite)
     val e0 = Checkpoints.mark(edges)
+    // SCALE-ADAPTIVE: the edge set is materialized either way, so the
+    // gate is one cheap count over the checkpoint. The local path only
+    // engages at full-convergence maxIter (>= the 25 default) — a
+    // caller capping rounds below that is asking for the iterative
+    // partial-label semantics and gets the loop.
+    val ccLimit =
+      try nodes.sparkSession.conf
+        .get(CcLocalEdgeLimitKey, CcLocalEdgeLimitDefault.toString).toLong
+      catch { case _: NumberFormatException => CcLocalEdgeLimitDefault }
+    if (ccLimit > 0 && maxIter >= 25 && e0.count() <= ccLimit) {
+      val lab = e0.coalesce(1)
+        .mapPartitions(localUnionFind)(
+          org.apache.spark.sql.Encoders.product[(Long, Long)])
+        .toDF("u", "__l")
+      val out = Checkpoints.mark(
+        nodes.select(col(id).cast("long").as("u")).distinct()
+          .join(lab, Seq("u"), "left")
+          .select(col("u").as(id),
+            coalesce(col("__l"), col("u")).as("component")))
+      Checkpoints.release(e0)
+      return CcResult(out, 0, converged = true)
+    }
     val bi = Checkpoints.mark(
       e0.union(e0.select(col("v").as("u"), col("u").as("v"))))
     Checkpoints.release(e0)

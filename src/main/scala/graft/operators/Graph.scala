@@ -88,6 +88,138 @@ object Graph {
     GraftShims.column(new IntegralDivide(
       GraftShims.expression(a), GraftShims.expression(b)))
 
+  /** Start/teleport vector family — the two gated shapes. Kept as data
+    * (not pre-built Columns) so the SCALE-ADAPTIVE local solver below
+    * can interpret the same semantics without parsing expressions. */
+  private sealed trait PrMode extends Serializable
+  private case object PrUniform extends PrMode
+  private final case class PrSeeded(seed: String) extends PrMode
+
+  private def prInitCol(mode: PrMode): Column = mode match {
+    case PrUniform => idiv(lit(PrScale), col("__n"))
+    case PrSeeded(s) =>
+      when(col("node") === lit(s), lit(PrScale)).otherwise(lit(0L))
+  }
+  private def prTeleportCol(mode: PrMode): Column = mode match {
+    case PrUniform => idiv(
+      idiv(lit(PrScale * (PrDampDen - PrDampNum)), lit(PrDampDen)), col("__n"))
+    case PrSeeded(s) => when(col("node") === lit(s),
+      idiv(lit(PrScale * (PrDampDen - PrDampNum)), lit(PrDampDen)))
+      .otherwise(lit(0L))
+  }
+
+  /** Conf keys for the small-graph local solve (guide §2.4 — remove
+    * shuffles outright when the data provably fits one task, the same
+    * decision class as AQE's broadcast-join rewrite). Defaults are
+    * data-size thresholds, not core counts, so the plan choice is
+    * scale-adaptive: a 100 TB crawl's host graph blows past both and
+    * takes the distributed rounds unchanged (GraphBench still pins flat
+    * round walls at 10^7 edges via `localEdgeLimit=0`). Set
+    * `spark.graft.graph.localEdgeLimit=0` to force the distributed path
+    * (tests pinning the distributed plan shape do). */
+  val LocalEdgeLimitKey = "spark.graft.graph.localEdgeLimit"
+  val LocalStatsBytesKey = "spark.graft.graph.localStatsBytes"
+  private val LocalEdgeLimitDefault = 2000000L
+  private val LocalStatsBytesDefault = 128L * 1024 * 1024
+
+  private def confLong(df: DataFrame, key: String, dflt: Long): Long =
+    try df.sparkSession.conf.get(key, dflt.toString).toLong
+    catch { case _: NumberFormatException => dflt }
+
+  /** One output row of the local solver — same columns as the
+    * distributed rounds plus the convergence observables the converged
+    * form reports. */
+  final case class PrLocalRow(node: String, out_w: Long, in_w: Long,
+    pr: Long, __rounds: Int, __deltas: Array[Long])
+
+  /** The damped-flow rounds over an in-task edge list — BIT-IDENTICAL
+    * integer arithmetic to [[prRound]] (GraphSpec pins local ≡
+    * distributed on seeded random graphs, all modes): every quantity is
+    * a non-negative Long, so JVM `/`/`%` equal Spark's
+    * IntegralDivide/Pmod digit for digit. `tolScaled = -1` never
+    * early-stops (the fixed-iters contract — though at an exact fixed
+    * point extra rounds change nothing, pinned by GraphSpec). */
+  private def localPrRows(rows: Iterator[org.apache.spark.sql.Row],
+      maxIters: Int, tolScaled: Long, mode: PrMode,
+      redistribute: Boolean): Iterator[PrLocalRow] = {
+    val idx = new java.util.HashMap[String, Integer]()
+    val names = scala.collection.mutable.ArrayBuffer.empty[String]
+    def nid(s: String): Int = {
+      val got = idx.get(s)
+      if (got != null) got.intValue()
+      else { val i = names.size; idx.put(s, i); names += s; i }
+    }
+    val eu = new scala.collection.mutable.ArrayBuffer[Int]()
+    val ev = new scala.collection.mutable.ArrayBuffer[Int]()
+    val ew = new scala.collection.mutable.ArrayBuffer[Long]()
+    rows.foreach { r =>
+      eu += nid(r.getString(0)); ev += nid(r.getString(1)); ew += r.getLong(2)
+    }
+    val n = names.size
+    if (n == 0) return Iterator.empty
+    val nL = n.toLong
+    val outW = new Array[Long](n)
+    val inW = new Array[Long](n)
+    var k = 0
+    while (k < eu.length) { outW(eu(k)) += ew(k); inW(ev(k)) += ew(k); k += 1 }
+    val teleBase = PrScale * (PrDampDen - PrDampNum) / PrDampDen
+    val tele = new Array[Long](n)
+    var pr = new Array[Long](n)
+    mode match {
+      case PrUniform =>
+        java.util.Arrays.fill(tele, teleBase / nL)
+        java.util.Arrays.fill(pr, PrScale / nL)
+      case PrSeeded(seed) =>
+        val si = idx.get(seed)
+        if (si != null) { tele(si) = teleBase; pr(si) = PrScale }
+    }
+    val deltas = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var rounds = 0
+    var delta = Long.MaxValue
+    while (rounds < maxIters && delta > tolScaled) {
+      val damp = new Array[Long](n)
+      var i = 0
+      while (i < n) { damp(i) = pr(i) * PrDampNum / PrDampDen; i += 1 }
+      val next = tele.clone()
+      if (redistribute) {
+        var dang = 0L
+        i = 0
+        while (i < n) { if (outW(i) == 0) dang += damp(i); i += 1 }
+        val share = dang / nL
+        i = 0
+        while (i < n) { next(i) += share; i += 1 }
+      }
+      k = 0
+      while (k < eu.length) {
+        val w = ew(k); val d = damp(eu(k)); val bigW = outW(eu(k))
+        next(ev(k)) += (d / bigW) * w + (d % bigW) * w / bigW
+        k += 1
+      }
+      delta = 0L
+      i = 0
+      while (i < n) { delta += math.abs(next(i) - pr(i)); i += 1 }
+      pr = next
+      rounds += 1
+      deltas += delta
+    }
+    val rs = rounds
+    val ds = deltas.toArray
+    names.indices.iterator.map(i =>
+      PrLocalRow(names(i), outW(i), inW(i), pr(i), rs, ds))
+  }
+
+  /** The local-solve frame over a MATERIALIZED merged-edge checkpoint:
+    * one narrow coalesce + one task — no per-round exchange, no
+    * per-round broadcast build, no per-round plan. The checkpoint stays
+    * a leaf of the returned frame (caller-release contract unchanged). */
+  private def localRanksDf(e: DataFrame, maxIters: Int, tolScaled: Long,
+      mode: PrMode, redistribute: Boolean): DataFrame =
+    e.select(col("__src"), col("__dst"), col("__w")).coalesce(1)
+      .mapPartitions(it =>
+        localPrRows(it, maxIters, tolScaled, mode, redistribute))(
+        org.apache.spark.sql.Encoders.product[PrLocalRow])
+      .toDF()
+
   /** Weighted integer PageRank over an edge list `(src, dst, w)`:
     * `iters` full damped-flow rounds from the uniform start
     * `PrScale div n`. Returns one row per node —
@@ -97,13 +229,9 @@ object Graph {
     * separate rows; they are summed into one weighted edge here so the
     * contract holds either way. */
   def pageRank(edges: DataFrame, src: String, dst: String, w: String,
-      iters: Int, redistributeDangling: Boolean = false): DataFrame = {
-    val teleport = idiv(
-      idiv(lit(PrScale * (PrDampDen - PrDampNum)), lit(PrDampDen)), col("__n"))
-    prCore(edges, src, dst, w, iters,
-      init = idiv(lit(PrScale), col("__n")), teleport = teleport,
+      iters: Int, redistributeDangling: Boolean = false): DataFrame =
+    prCore(edges, src, dst, w, iters, PrUniform,
       redistributeDangling = redistributeDangling)
-  }
 
   /** PERSONALIZED PageRank: all teleport mass returns to one `seed`
     * node instead of spreading uniformly — the rank vector becomes
@@ -117,14 +245,8 @@ object Graph {
     * teleport column, caught by the q210 gate's nonzero assertion
     * upstream in GraphSpec). */
   def personalizedPageRank(edges: DataFrame, src: String, dst: String,
-      w: String, iters: Int, seed: String): DataFrame = {
-    val atSeed = col("node") === lit(seed)
-    prCore(edges, src, dst, w, iters,
-      init = when(atSeed, lit(PrScale)).otherwise(lit(0L)),
-      teleport = when(atSeed,
-        idiv(lit(PrScale * (PrDampDen - PrDampNum)), lit(PrDampDen)))
-        .otherwise(lit(0L)))
-  }
+      w: String, iters: Int, seed: String): DataFrame =
+    prCore(edges, src, dst, w, iters, PrSeeded(seed))
 
   /** Merged, weight-validated edge frame `(__src, __dst, __w)` — the
     * shared round input: multi-edges sum into one row; a non-positive
@@ -227,18 +349,48 @@ object Graph {
         .drop("__in")
   }
 
-  /** The shared damped-flow iteration. `init` and `teleport` are
-    * per-node integer columns that may reference `node` and the in-plan
-    * node count `__n`. */
+  /** The shared damped-flow iteration.
+    *
+    * SCALE-ADAPTIVE plan choice (guide §2.4): when the edge INPUT's
+    * estimated bytes are under [[LocalStatsBytesKey]] (a free logical-
+    * stats read, no extra pass) the merged edge list is checkpointed
+    * once and counted; at or under [[LocalEdgeLimitKey]] merged edges
+    * the whole iteration runs in ONE task over that checkpoint
+    * ([[localPrRows]] — bit-identical integer arithmetic, GraphSpec
+    * pins it) instead of `iters` × (hash join + aggregation exchange +
+    * broadcast build) rounds whose per-stage scheduling dominates at
+    * small scale. Past either threshold the distributed lazy-round plan
+    * is UNCHANGED — the 100 TB shape the PlanSpec q203 pin asserts
+    * (forced there via `localEdgeLimit=0`). Validation is shared: the
+    * local path consumes [[mergedEdges]]' checkpoint, so the
+    * non-positive-weight raise_error fires identically. */
   private def prCore(edges: DataFrame, src: String, dst: String, w: String,
-      iters: Int, init: Column, teleport: Column,
+      iters: Int, mode: PrMode,
       redistributeDangling: Boolean = false): DataFrame = {
     require(iters >= 1, s"need iters >= 1; got $iters")
-    val e = mergedEdges(edges, src, dst, w)
-    val static = prStatic(e)
-    var pr = prStart(static, init)
+    val lazyE = mergedEdges(edges, src, dst, w)
+    val edgeLimit = confLong(edges, LocalEdgeLimitKey, LocalEdgeLimitDefault)
+    val statsGate = confLong(edges, LocalStatsBytesKey, LocalStatsBytesDefault)
+    val inputBytes =
+      try edges.queryExecution.optimizedPlan.stats.sizeInBytes
+      catch { case _: Throwable => BigInt(Long.MaxValue) }
+    // the local kernel reads string node ids (the host-graph shape every
+    // gated query uses); non-string graphs take the distributed rounds
+    val stringNodes = lazyE.schema("__src").dataType ==
+      org.apache.spark.sql.types.StringType
+    if (stringNodes && edgeLimit > 0 && inputBytes <= statsGate) {
+      val e = graft.engine.Checkpoints.mark(lazyE)
+      if (e.count() <= edgeLimit)
+        return localRanksDf(e, iters, tolScaled = -1L, mode,
+          redistributeDangling)
+          .select(col("node"), col("out_w"), col("in_w"), col("pr"))
+      graft.engine.Checkpoints.release(e) // stats under-estimated; go wide
+    }
+    val static = prStatic(lazyE)
+    var pr = prStart(static, prInitCol(mode))
     for (_ <- 1 to iters)
-      pr = prRound(e, static, pr, teleport, redistributeDangling)
+      pr = prRound(lazyE, static, pr, prTeleportCol(mode),
+        redistributeDangling)
     pr.select(col("node"), col("out_w"), col("in_w"), col("pr"))
   }
 
@@ -283,11 +435,7 @@ object Graph {
       onRound: (Int, Long) => Unit = (_, _) => (),
       redistributeDangling: Boolean = false): PrConverged =
     prConvergedCore(edges, src, dst, w, maxIters, tolScaled, onRound,
-      init = idiv(lit(PrScale), col("__n")),
-      teleport = idiv(
-        idiv(lit(PrScale * (PrDampDen - PrDampNum)), lit(PrDampDen)),
-        col("__n")),
-      redistributeDangling = redistributeDangling)
+      PrUniform, redistributeDangling = redistributeDangling)
 
   /** CONVERGENCE-form PERSONALIZED PageRank (the round-14 verdict's
     * last gap: [[pageRankConverged]] covered the uniform-teleport form
@@ -301,31 +449,51 @@ object Graph {
     * its fixed point instead of a guessed depth. */
   def personalizedPageRankConverged(edges: DataFrame, src: String,
       dst: String, w: String, maxIters: Int, tolScaled: Long, seed: String,
-      onRound: (Int, Long) => Unit = (_, _) => ()): PrConverged = {
-    val atSeed = col("node") === lit(seed)
+      onRound: (Int, Long) => Unit = (_, _) => ()): PrConverged =
     prConvergedCore(edges, src, dst, w, maxIters, tolScaled, onRound,
-      init = when(atSeed, lit(PrScale)).otherwise(lit(0L)),
-      teleport = when(atSeed,
-        idiv(lit(PrScale * (PrDampDen - PrDampNum)), lit(PrDampDen)))
-        .otherwise(lit(0L)))
-  }
+      PrSeeded(seed))
 
   private def prConvergedCore(edges: DataFrame, src: String, dst: String,
       w: String, maxIters: Int, tolScaled: Long,
-      onRound: (Int, Long) => Unit, init: Column, teleport: Column,
+      onRound: (Int, Long) => Unit, mode: PrMode,
       redistributeDangling: Boolean = false): PrConverged = {
     require(maxIters >= 1, s"need maxIters >= 1; got $maxIters")
     require(tolScaled >= 0, s"need tolScaled >= 0; got $tolScaled")
     val e = graft.engine.Checkpoints.mark(mergedEdges(edges, src, dst, w))
+    // SCALE-ADAPTIVE (guide §2.4): the merged edges are already
+    // materialized here, so the gate is one cheap count — at or under
+    // the limit the whole run is ONE task ([[localPrRows]], identical
+    // integer arithmetic) + one checkpoint, instead of per-round
+    // (checkpoint job + 1-row delta collect). onRound replays the
+    // recorded per-round deltas after the fact, so observers see the
+    // same sequence either way. GraphBench forces the loop via
+    // `localEdgeLimit=0` when timing per-round walls at 10^7 edges.
+    val edgeLimit = confLong(edges, LocalEdgeLimitKey, LocalEdgeLimitDefault)
+    val stringNodes = e.schema("__src").dataType ==
+      org.apache.spark.sql.types.StringType
+    if (stringNodes && edgeLimit > 0 && e.count() <= edgeLimit) {
+      val full = graft.engine.Checkpoints.mark(
+        localRanksDf(e, maxIters, tolScaled, mode, redistributeDangling))
+      graft.engine.Checkpoints.release(e)
+      val head = full.select(col("__rounds"), col("__deltas")).limit(1)
+        .collect()
+      val (rounds, deltas) =
+        if (head.isEmpty) (0, Array.empty[Long])
+        else (head(0).getInt(0), head(0).getSeq[Long](1).toArray)
+      deltas.zipWithIndex.foreach { case (d, i) => onRound(i + 1, d) }
+      return PrConverged(
+        full.select(col("node"), col("out_w"), col("in_w"), col("pr")),
+        rounds, deltas.lastOption.getOrElse(Long.MaxValue))
+    }
     // the degree frame is loop-invariant: checkpointed once beside the
     // edges so no round re-executes its distinct + degree joins
     val static = graft.engine.Checkpoints.mark(prStatic(e))
-    var pr = graft.engine.Checkpoints.mark(prStart(static, init))
+    var pr = graft.engine.Checkpoints.mark(prStart(static, prInitCol(mode)))
     var rounds = 0
     var delta = Long.MaxValue
     while (rounds < maxIters && delta > tolScaled) {
       val next = graft.engine.Checkpoints.mark(
-        prRound(e, static, pr, teleport, redistributeDangling))
+        prRound(e, static, pr, prTeleportCol(mode), redistributeDangling))
       delta = next.alias("nw")
         .join(pr.alias("od"), col("nw.node") === col("od.node"))
         .agg(sum(abs(col("nw.pr") - col("od.pr"))).as("__d"))

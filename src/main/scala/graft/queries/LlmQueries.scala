@@ -3026,7 +3026,11 @@ object LlmQueries {
       "delete batch must apply")
     require(!StreamingOps.edgeForgetBatch(forgotten, "src", "dst", p, 2L),
       "replayed delete batch must no-op (it would delete twice)")
-    rtbfEdgeRank(s, p).write.mode("overwrite").parquet(s"$p/rtbf_probe")
+    // the rank frame may own a merged-edge checkpoint (the small-graph
+    // local solve) — release it once the probe parquet is written
+    val probe = rtbfEdgeRank(s, p)
+    try probe.write.mode("overwrite").parquet(s"$p/rtbf_probe")
+    finally graft.engine.Checkpoints.release(probe)
     StreamingOps.edgePurge(s, p)
   })
 

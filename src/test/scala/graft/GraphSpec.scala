@@ -225,4 +225,55 @@ class GraphSpec extends AnyFunSuite {
     graft.engine.Checkpoints.release(c2.ranks)
     assert(got2("C") == 0L && got2("A") > 0L && got2("B") > 0L)
   }
+
+  test("small-graph local solve equals the distributed rounds bit for bit, all modes") {
+    // the scale-adaptive fork: under the conf gates the whole iteration
+    // runs in one task; this pins local ≡ distributed on seeded random
+    // weighted graphs (with planted dangling sinks) for the uniform,
+    // seeded, and dangling-redistribution modes, fixed AND converged
+    // forms — so the hand-computed pins above (which now exercise the
+    // local kernel) transfer to the distributed path and vice versa.
+    def collectRanks(df: org.apache.spark.sql.DataFrame) = {
+      val m = df.collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+      graft.engine.Checkpoints.release(df)
+      m
+    }
+    def forceDistributed[A](body: => A): A = {
+      spark.conf.set(Graph.LocalEdgeLimitKey, "0")
+      try body finally spark.conf.unset(Graph.LocalEdgeLimitKey)
+    }
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(seed)
+      val n = 8 + rnd.nextInt(8)
+      val hosts = (0 until n).map(i => s"h$i")
+      val edges = (Seq.fill(12 + rnd.nextInt(20))(
+        (hosts(rnd.nextInt(n)), hosts(rnd.nextInt(n)),
+          1L + rnd.nextInt(4))) ++
+        // planted dangling sinks: in-links only
+        Seq((hosts(0), "sink0", 2L), (hosts(1 % n), "sink1", 1L)))
+        .toDF("src", "dst", "w")
+      for (redistribute <- Seq(false, true)) {
+        val local = collectRanks(Graph.pageRank(
+          edges, "src", "dst", "w", iters = 4, redistribute))
+        val dist = forceDistributed(collectRanks(Graph.pageRank(
+          edges, "src", "dst", "w", iters = 4, redistribute)))
+        assert(local == dist, s"seed $seed uniform redistribute=$redistribute")
+      }
+      val localSeeded = collectRanks(Graph.personalizedPageRank(
+        edges, "src", "dst", "w", iters = 4, seed = hosts(0)))
+      val distSeeded = forceDistributed(collectRanks(
+        Graph.personalizedPageRank(
+          edges, "src", "dst", "w", iters = 4, seed = hosts(0))))
+      assert(localSeeded == distSeeded, s"seed $seed seeded")
+      val localConv = Graph.pageRankConverged(
+        edges, "src", "dst", "w", maxIters = 6, tolScaled = 0L)
+      val distConv = forceDistributed(Graph.pageRankConverged(
+        edges, "src", "dst", "w", maxIters = 6, tolScaled = 0L))
+      assert(localConv.rounds == distConv.rounds &&
+        localConv.delta == distConv.delta, s"seed $seed converged stats")
+      assert(collectRanks(localConv.ranks) == collectRanks(distConv.ranks),
+        s"seed $seed converged ranks")
+    }
+  }
 }

@@ -660,7 +660,11 @@ class OperatorSpec extends AnyFunSuite {
   test("connectedComponents converges in O(log diameter) and reports it") {
     val nodes = (1L to 16L).toDF("doc_id")
     val pairs = (1L to 15L).map(i => (i, i + 1)).toDF("a", "b")
-    val r = Dedup.connectedComponentsStats(nodes, pairs, "doc_id")
+    // force the distributed loop: this pin is about ITS round count
+    spark.conf.set(Dedup.CcLocalEdgeLimitKey, "0")
+    val r =
+      try Dedup.connectedComponentsStats(nodes, pairs, "doc_id")
+      finally spark.conf.unset(Dedup.CcLocalEdgeLimitKey)
     assert(r.converged)
     // pointer jumping: a 16-node chain (diameter 15) must converge in far
     // fewer than 15 rounds (log-ish; +1 round to observe the fixpoint)
@@ -710,16 +714,55 @@ class OperatorSpec extends AnyFunSuite {
   test("connectedComponents evaluates its edge input exactly once") {
     // the loop-invariance pin: an accumulator in the pair pipeline counts
     // how many times each edge row is produced across the WHOLE cc run —
-    // pre-checkpoint-fix this was (1 + iterations) x rows
+    // pre-checkpoint-fix this was (1 + iterations) x rows. Pinned on the
+    // DISTRIBUTED loop (forced via the conf gate); the local path reads
+    // the same one-evaluation checkpoint by construction.
     val acc = spark.sparkContext.longAccumulator("edgeEvals")
     val tick = udf { (x: Long) => acc.add(1L); x }
     val nodes = (1L to 16L).toDF("doc_id")
     val pairs = (1L to 15L).map(i => (i, i + 1)).toDF("a", "b")
       .withColumn("a", tick(col("a")))
-    val r = Dedup.connectedComponentsStats(nodes, pairs, "doc_id")
+    spark.conf.set(Dedup.CcLocalEdgeLimitKey, "0")
+    val r =
+      try Dedup.connectedComponentsStats(nodes, pairs, "doc_id")
+      finally spark.conf.unset(Dedup.CcLocalEdgeLimitKey)
     assert(r.converged && r.iterations >= 2)
     assert(acc.value == 15L, s"edge pipeline evaluated ${acc.value / 15.0} times")
     graft.engine.Checkpoints.release(r.labels)
+  }
+
+  test("connectedComponents: small-graph local path equals the loop, releases its checkpoints") {
+    // the scale-adaptive fork (one union-find task under the edge-count
+    // gate) must be label-identical to the pointer-jumping loop on the
+    // same graphs — including isolated nodes (left join fills self)
+    val sc = spark.sparkContext
+    for (seed <- 1 to 5) {
+      val rnd = new scala.util.Random(100 + seed)
+      val n = 30 + rnd.nextInt(30)
+      val edges = Seq.fill(20 + rnd.nextInt(40))(
+        (rnd.nextInt(n).toLong + 1L, rnd.nextInt(n).toLong + 1L))
+      val nodes = (1L to n.toLong).toDF("doc_id")
+      val pairs = edges.toDF("a", "b")
+      val before = sc.getPersistentRDDs.size
+      val local = Dedup.connectedComponentsStats(nodes, pairs, "doc_id")
+      assert(local.converged && local.iterations == 0,
+        "gate should have chosen the local path")
+      // only the returned labels frame may stay pinned
+      assert(sc.getPersistentRDDs.size == before + 1,
+        s"local path leaked: ${sc.getPersistentRDDs.size - before - 1}")
+      val gotLocal = local.labels.collect()
+        .map(x => x.getLong(0) -> x.getLong(1)).toMap
+      graft.engine.Checkpoints.release(local.labels)
+      spark.conf.set(Dedup.CcLocalEdgeLimitKey, "0")
+      val loop =
+        try Dedup.connectedComponentsStats(nodes, pairs, "doc_id")
+        finally spark.conf.unset(Dedup.CcLocalEdgeLimitKey)
+      assert(loop.iterations >= 1, "conf gate should have forced the loop")
+      val gotLoop = loop.labels.collect()
+        .map(x => x.getLong(0) -> x.getLong(1)).toMap
+      graft.engine.Checkpoints.release(loop.labels)
+      assert(gotLocal == gotLoop, s"seed $seed: local != loop")
+    }
   }
 
   test("connectedComponents releases every superseded checkpoint") {

@@ -1350,7 +1350,14 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("q203: five PageRank rounds — no cartesian product, scans pruned to (doc_id, source)") {
-    val df = SparkEntry.queries("q203_pagerank_hosts")(spark, sf)
+    // this pin is about the DISTRIBUTED round shape (the 100 TB plan);
+    // at PlanSpec's tiny sf the scale-adaptive gate would otherwise
+    // choose the single-task local solve (GraphSpec pins local ≡
+    // distributed bit for bit), so force the rounds here
+    spark.conf.set(graft.operators.Graph.LocalEdgeLimitKey, "0")
+    val df =
+      try SparkEntry.queries("q203_pagerank_hosts")(spark, sf)
+      finally spark.conf.unset(graft.operators.Graph.LocalEdgeLimitKey)
     df.collect()
     val p = df.queryExecution.executedPlan.toString
     // the only nested-loop is the broadcast of the 1-row node count;
