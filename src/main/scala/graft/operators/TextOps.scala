@@ -1057,9 +1057,18 @@ object TextOps {
     val sortKey =
       if (bestFit) struct((-checked).as("d"), col(id).as("i"), checked.as("t"))
       else struct(col(id).as("i"), checked.as("t"))
-    base
-      .groupBy(partCols.map(col): _*)
-      .agg(array_sort(collect_list(sortKey)).as("__items"))
+    // the sequential fold below is the query's CPU (O(items × bins) per
+    // group) and runs ONE ROW PER GROUP — AQE's byte-based coalescing
+    // sees a few kB of collected arrays and merges every group into one
+    // task, serializing the folds. Fan the grouped rows back out when
+    // small (graft.sources.Fanout — identity at scale, where post-agg
+    // partitions are already parallel): round-robin is correct here
+    // because each row carries its whole group's state.
+    val grouped = graft.sources.Fanout.small(
+      base
+        .groupBy(partCols.map(col): _*)
+        .agg(array_sort(collect_list(sortKey)).as("__items")))
+    grouped
       .select(partCols.map(col) :+
         explode(expr(packBinsFold("__items", chunkTokens, bestFit)))
           .as("__a"): _*)

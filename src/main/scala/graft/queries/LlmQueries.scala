@@ -2529,7 +2529,12 @@ object LlmQueries {
     * at corpus scale they come from the maintained heavy-hitter probe
     * (q198) and the plan still touches no data. */
   def saltPlanQ(s: SparkSession, d: String): DataFrame = {
-    val toks = wordStream(s, d)
+    // fanned ([[graft.sources.Fanout]], this query only — the light
+    // sketch queries sharing wordStream measured slower under the extra
+    // exchange): q214 runs the count-min AND an exact distinct over the
+    // stream, 2.1 s fused into one scan task unfanned (0.7x measured)
+    val toks = graft.sources.Fanout.small(docs(s, d))
+      .select(explode(TextOps.tokens(col("text"))).as("w"))
     val cells = Sketch.countMinCells(toks, "w", CmDepth, CmWidth)
     graft.operators.Skew.saltPlanFromSketch(
         cells, toks.select("w").distinct(), "w", CmDepth, CmWidth, parts = 32)
@@ -4745,7 +4750,10 @@ object LlmQueries {
     * match says WHERE. The oracle enumerates the windows and replays
     * the (hash ASC, pos DESC) selection row by row. */
   def winnowQ(s: SparkSession, d: String): DataFrame =
-    Dedup.winnowFingerprints(docs(s, d), "text", "doc_id", k = 3, w = 4)
+    // fanned ([[graft.sources.Fanout]]): the gram-hash explode otherwise
+    // fuses into a 1-task scan stage on a single-row-group corpus
+    Dedup.winnowFingerprints(graft.sources.Fanout.small(docs(s, d)),
+        "text", "doc_id", k = 3, w = 4)
       .orderBy("doc_id", "pos", "fp")
 
   /** q115 — deterministic training shuffle ([[TextOps.shuffleOrder]]):
@@ -4761,7 +4769,8 @@ object LlmQueries {
     * ONCE per session, probed per batch — the q61 sign-once shape for
     * containment screening. Session scratch, removed at JVM exit. */
   private val winnowIndexCache = new SessionPathMemo("winnowidx", (s, d, p) => {
-    val old = docs(s, d).where(pmod(col("doc_id"), lit(NewBatchMod)) =!= 0)
+    val old = graft.sources.Fanout.small(docs(s, d))
+      .where(pmod(col("doc_id"), lit(NewBatchMod)) =!= 0)
     Dedup.winnowIndexWrite(
       Dedup.winnowFingerprints(old, "text", "doc_id", k = 3, w = 4),
       "doc_id", p)
@@ -4774,7 +4783,8 @@ object LlmQueries {
     * corpus-independent, same property as q61's per-row signatures;
     * the oracle's from-scratch replay re-evidences it). */
   def winnowIncrementalQ(s: SparkSession, d: String): DataFrame = {
-    val batch = docs(s, d).where(pmod(col("doc_id"), lit(NewBatchMod)) === 0)
+    val batch = graft.sources.Fanout.small(docs(s, d))
+      .where(pmod(col("doc_id"), lit(NewBatchMod)) === 0)
     Dedup.winnowIncrementalPairs(s, winnowIndexCache(s, d),
         Dedup.winnowFingerprints(batch, "text", "doc_id", k = 3, w = 4),
         "doc_id", minShared = 1)
@@ -4788,7 +4798,8 @@ object LlmQueries {
     * a real screening run raises it to cut noise. */
   def winnowPairsQ(s: SparkSession, d: String): DataFrame =
     Dedup.winnowCandidatePairs(
-        Dedup.winnowFingerprints(docs(s, d), "text", "doc_id", k = 3, w = 4),
+        Dedup.winnowFingerprints(graft.sources.Fanout.small(docs(s, d)),
+          "text", "doc_id", k = 3, w = 4),
         "doc_id", minShared = 1)
       .orderBy("a", "b")
 
@@ -5416,7 +5427,9 @@ object LlmQueries {
     * split only (seed 42, bucket < 80) and scores EVERY doc — held-out
     * docs run through genuine unseen-bigram smoothing. */
   def bigramXentQ(s: SparkSession, d: String): DataFrame = {
-    val all = docs(s, d)
+    // fanned ([[graft.sources.Fanout]]): the bigram explode + model
+    // counts otherwise fuse into one scan task (0.58x measured)
+    val all = graft.sources.Fanout.small(docs(s, d))
     val train = TextOps.withHashSplit(all, "doc_id")
       .where(col("split") === "train").drop("bucket", "split")
     TextOps.bigramXentAgainst(all, train, "text", "doc_id")

@@ -420,6 +420,10 @@ object TestSpark {
         graft.cli.Cleanup.deleteOnExit(wh); wh
       })
       .config("spark.sql.extensions", "graft.GraftExtensions")
+      // plan-shape pins assert the AT-SCALE shapes: disable the
+      // small-input scan fan-out (identity above its stats gate) so
+      // exchange counts/payload pins read the production plans
+      .config(graft.sources.Fanout.MaxBytesKey, "0")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s
