@@ -22,6 +22,15 @@ import org.apache.spark.sql.types._
   */
 object Multimodal {
 
+  // ImageIO's default stream cache is a TEMP FILE per created stream —
+  // one file create+delete per encoded/decoded payload, and the codec
+  // registry serializes the lookups, so 32 concurrent decode tasks in
+  // one JVM spend their time in filesystem metadata, not pixels
+  // (profiled on q251: fanning the 1-task GIF stage to 32 tasks
+  // MULTIPLIED total executor time ~60x before this). Memory-cached
+  // streams remove the files; runs once per JVM when any kernel loads.
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** Decoded-media metadata (the stub derives all fields from the bytes). */
   final case class MediaMeta(
       doc_id: Long, n_bytes: Long, width: Int, height: Int, frames: Int)
@@ -677,34 +686,37 @@ object Multimodal {
     df.select(col(id).cast("long"), col(payload))
       .where(col(payload).isNotNull)
       .mapPartitions { rows =>
-        rows.flatMap { r =>
+        // ONE reader per task (guide §4.5's initialize-once discipline,
+        // JVM flavor): the per-row ImageIO registry lookup is a
+        // synchronized scan that serializes concurrent decode tasks
+        val readers =
+          javax.imageio.ImageIO.getImageReadersByFormatName("gif")
+        val reader = if (readers.hasNext) readers.next() else null
+        val out0 = rows.flatMap { r =>
           val b = r.getAs[Array[Byte]](1)
           val docId = r.getLong(0)
           val out = scala.collection.mutable.ArrayBuffer.empty[GifFrame]
-          try {
+          if (reader != null) try {
             val iis = javax.imageio.ImageIO.createImageInputStream(
               new java.io.ByteArrayInputStream(b))
-            val readers = javax.imageio.ImageIO.getImageReaders(iis)
-            if (readers.hasNext) {
-              val reader = readers.next()
-              try {
-                reader.setInput(iis, false, true)
-                val n = reader.getNumImages(true)
-                var i = 0
-                var ok = true
-                while (ok && i < n) {
-                  try {
-                    val img = reader.read(i)
-                    out += GifFrame(docId, i, img.getWidth, img.getHeight,
-                      toRgbPlane(img))
-                  } catch { case _: Exception => ok = false }
-                  i += 1
-                }
-              } finally { reader.dispose(); iis.close() }
-            }
+            try {
+              reader.setInput(iis, false, true)
+              val n = reader.getNumImages(true)
+              var i = 0
+              var ok = true
+              while (ok && i < n) {
+                try {
+                  val img = reader.read(i)
+                  out += GifFrame(docId, i, img.getWidth, img.getHeight,
+                    toRgbPlane(img))
+                } catch { case _: Exception => ok = false }
+                i += 1
+              }
+            } finally iis.close()
           } catch { case _: Exception => () }
           out
         }
+        out0
       }(enc)
       .toDF()
   }

@@ -534,6 +534,34 @@ class OperatorSpec extends AnyFunSuite {
     assert(mae < 16.0, s"JPEG mean abs error $mae")
   }
 
+  test("animated GIF round-trip: every frame byte-exact; non-GIF and corrupt payloads drop") {
+    // pins decodeGifFrames' per-task-reader internals (the round-16
+    // ImageIO de-contention): multi-frame exactness over the indexed
+    // 256-gray palette, frame order, and the drop-don't-crash contract
+    val frames = Seq(
+      Array.tabulate(12)(i => (i * 7).toByte),
+      Array.tabulate(12)(i => (255 - i * 3).toByte),
+      Array.tabulate(12)(i => (i * i % 251).toByte))
+    val gif = Multimodal.encodeAnimatedGif(4, 3, frames)
+    val rows = Seq(
+      1L -> gif,
+      2L -> Multimodal.encodePng(4, 3, Array.fill(36)(9.toByte)), // non-GIF
+      3L -> gif.take(20))                                         // corrupt
+      .toDF("doc_id", "payload")
+    val got = Multimodal.decodeGifFrames(rows, "doc_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1)) ->
+        ((r.getInt(2), r.getInt(3), r.getAs[Array[Byte]](4).toSeq)))
+      .toMap
+    assert(got.keySet.map(_._1) == Set(1L), s"got ${got.keySet}")
+    frames.zipWithIndex.foreach { case (f, i) =>
+      val (w, h, px) = got((1L, i))
+      assert(w == 4 && h == 3, s"frame $i dims $w x $h")
+      // gray v encodes to palette index v and decodes to (v, v, v)
+      val want = f.flatMap(v => Seq(v, v, v)).toSeq
+      assert(px == want, s"frame $i plane mismatch")
+    }
+  }
+
   test("plane stats from decoded pixels: hand-checked channels, feeds ANN") {
     def ppm(header: String, pixels: Array[Byte]): Array[Byte] =
       header.getBytes("US-ASCII") ++ pixels
